@@ -1,0 +1,141 @@
+package graft
+
+/** DuckDB oracle SQL — one entry per [[Queries]] member. Column aliases
+  * MUST match the Spark output exactly (driver compare sorts columns by
+  * name before hashing). All float aggregates rounded identically on both
+  * sides; counts cast to BIGINT (DuckDB sums/integers otherwise widen to
+  * HUGEINT).
+  */
+object Oracles {
+
+  val sql: Map[String, String] = Map(
+    "s1_projection_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-01' AND l_discount > 0.05""".stripMargin,
+
+    "a1_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a2_group_counts" ->
+      """SELECT user_id, event_type, value > 100 AS high_value, count(*) AS n
+        |FROM events GROUP BY user_id, event_type, high_value""".stripMargin,
+
+    "j1_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "f4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "f1_glob_filter" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE regexp_matches(source, '^src1.*$') AND regexp_matches(lang, '^.s$')""".stripMargin,
+
+    "f3_not_in_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type NOT IN ('error', 'view') GROUP BY event_type""".stripMargin,
+
+    "t4_top1_per_group" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+
+    "t5_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "u1_union_placeholder" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_totalprice > 100000
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS o_orderkey, o_orderstatus,
+        |  CAST(NULL AS DOUBLE) AS o_totalprice
+        |FROM (SELECT DISTINCT o_orderstatus FROM orders) t""".stripMargin,
+
+    "d1_counter_diff" ->
+      """SELECT user_id, event_id,
+        |  round(CASE WHEN pv IS NULL THEN value
+        |             WHEN value < pv THEN value
+        |             ELSE value - pv END, 2) AS value_delta
+        |FROM (SELECT user_id, event_id, value,
+        |        lag(value) OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pv
+        |      FROM events) t""".stripMargin,
+
+    "d7_rate_derivation" ->
+      """SELECT user_id, event_id,
+        |  (value - pv) / secs AS value_rate
+        |FROM (SELECT user_id, event_id, value,
+        |        lag(value) OVER w AS pv,
+        |        (epoch_us(CAST(ts AS TIMESTAMP))
+        |          - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)) / 1000000.0 AS secs
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id
+        |                   ORDER BY CAST(ts AS TIMESTAMP), event_id)) t
+        |WHERE pv IS NOT NULL AND secs > 0""".stripMargin,
+
+    "j5_dim_encode" ->
+      """SELECT event_id,
+        |  CAST(dense_rank() OVER (ORDER BY event_type) AS INT) AS event_type_idx
+        |FROM events""".stripMargin,
+
+    "w3_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), t AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_secs
+        |FROM t GROUP BY user_id, session_id""".stripMargin,
+
+    "w10_tumbling_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY bucket_hour, event_type""".stripMargin,
+
+    "x2_normalize_fingerprint" ->
+      """SELECT normalized, count(*) AS n, md5(normalized) AS fingerprint
+        |FROM (SELECT regexp_replace(
+        |        regexp_replace(props, '''[^'']*''', '?', 'g'),
+        |        '[0-9]+(\.[0-9]+)?', '?', 'g') AS normalized
+        |      FROM events) t
+        |GROUP BY normalized""".stripMargin,
+
+    "x16_xid8" ->
+      """SELECT event_id, xid,
+        |  CAST((CASE WHEN xid > 1000 THEN 1 ELSE 2 END) * 4294967296 + xid AS BIGINT) AS xid8
+        |FROM (SELECT event_id,
+        |        CAST((event_id * 2654435761) % 4294967296 AS BIGINT) AS xid
+        |      FROM events) t""".stripMargin,
+
+    "f9_stale_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >=
+        |  (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 24 HOUR
+        |GROUP BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Diff, DimEncode, Sessionize}
+import graft.functions.PgFns
+
+/** Relational / telemetry query surface (SURVEY §2.1–§2.7, §2.5 diffs).
+  *
+  * Each method is one driver-verifiable query: the Spark plan here and the
+  * DuckDB SQL in [[Oracles]] must produce identical (column-name, value)
+  * sets. Float aggregates are rounded in BOTH engines; raw column values
+  * pass through bit-exact from parquet.
+  */
+object Queries {
+
+  // S1/S2 — projection + filter scan; Catalyst pushes both to parquet
+  // (PushedFilters + pruned ReadSchema), the engine-side analogue of the
+  // reference's hand-written projection lists (statements.go:128-194).
+  def s1ProjectionScan(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp") &&
+        col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  // A1 — multi-counter group-agg (statement grouping,
+  // output/transform/postgres_statements.go:13-55): map-side partial
+  // aggregation then one shuffle on the group keys.
+  def a1GroupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        count(lit(1)).as("n"))
+
+  // A2 — grouped counts (backend_counts.go:12-19) with a derived flag
+  // dimension (the reference's `waiting` column).
+  def a2GroupCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("high_value", col("value") > 100)
+      .groupBy("user_id", "event_type", "high_value")
+      .agg(count(lit(1)).as("n"))
+
+  // J1/J2 — star join: fact ⨝ small dims. Dims are broadcast (no shuffle
+  // of the fact side) — the plan a 100 TB orders table needs.
+  def j1StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+  }
+
+  // F4 — anti-join (extension-object filter, relations.go:48).
+  def f4AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti").select("c_custkey", "c_name")
+  }
+
+  // F1 — glob pattern filter (ignore_table_pattern, input/full.go:200-216)
+  // via the glob→regex compiler in PgFns.
+  def f1GlobFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("source").rlike(PgFns.globToRegex("src1*")) &&
+        col("lang").rlike(PgFns.globToRegex("?s")))
+      .select("doc_id", "source", "lang")
+
+  // F3/F12 — static NOT IN filter (system-catalog / cloud-internal DBs).
+  def f3NotInFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(!col("event_type").isin("error", "view"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+
+  // T4 — top-1 per category (xmin-horizon scans,
+  // input/postgres/server_stats.go:27-79). row_number over a per-category
+  // window: shuffle on category only.
+  def t4Top1PerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_type", "event_id", "value")
+  }
+
+  // T5 — global top-k (schema table limit guard, schema.go:97-110).
+  // orderBy+limit plans as TakeOrderedAndProject: per-partition top-k then
+  // a single merge — no global sort even at 100 TB.
+  def t5TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_totalprice")
+
+  // U1 — UNION ALL of real rows with placeholder rows for locked objects
+  // (relations.go:77-86).
+  def u1UnionPlaceholder(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val real = o.filter(col("o_totalprice") > 100000)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val locked = o.select("o_orderstatus").distinct()
+      .select(lit(-1L).as("o_orderkey"), col("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"))
+    real.unionByName(locked)
+  }
+
+  // D1/J3 — THE reference operator: per-key counter diff with first-run /
+  // new-key / reset semantics (SURVEY §2.5), as a lag window.
+  def d1CounterDiff(s: SparkSession, dir: String): DataFrame =
+    Diff.counterDiff(
+      Tables.events(s, dir),
+      keyCols = Seq("user_id"),
+      orderCols = Seq("ts", "event_id"),
+      counterCols = Seq("value"))
+      .select(col("user_id"), col("event_id"),
+        round(col("value_delta"), 2).as("value_delta"))
+
+  // D7/A6/A7 — rate derivation ((curr−prev)/Δt, state/system.go:350-382),
+  // with the F10 empty-diff filter (drop rows with no predecessor).
+  def d7RateDerivation(s: SparkSession, dir: String): DataFrame =
+    Diff.rate(Tables.events(s, dir), Seq("user_id"), "ts", "value",
+      orderTieBreak = Seq("event_id"))
+      .filter(col("value_rate").isNotNull)
+      // no rounding: row-wise IEEE arithmetic on identical operands is
+      // bit-exact across engines (rounding rules are NOT — HALF_UP vs
+      // scaled-std::round diverge at representation boundaries)
+      .select("user_id", "event_id", "value_rate")
+
+  // J5 — dimension-index encoding (snapshot reference arrays,
+  // output/transform/util.go:25-150).
+  def j5DimEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, fact) = DimEncode.encode(Tables.events(s, dir), "event_type")
+    fact.select("event_id", "event_type_idx")
+  }
+
+  // W3 — gap sessionization (stitch/associate window analogue).
+  def w3Sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", 1800,
+      orderTieBreak = Seq("event_id"))
+
+  // W10 — tumbling-window rollup (the 10 min/1 min cadence snapshots as
+  // event-time buckets).
+  def w10TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket_hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+
+  // X2/X1 — query-text normalization + fingerprint over the events props
+  // payload (normalize.go / fingerprint.go, reduced scope — see PgFns).
+  def x2NormalizeFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(PgFns.normalizeQuery(col("props")).as("normalized"))
+      .groupBy("normalized")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("fingerprint", md5(col("normalized")))
+
+  // X16 — xid→xid8 wraparound widening (postgres_server_stats.go:17-35).
+  // Synthesizes a 32-bit xid from event_id and reconstructs the 64-bit id
+  // against a fixed current reading.
+  def x16Xid8(s: SparkSession, dir: String): DataFrame = {
+    val current = lit(8589934592L + 1000L) // epoch 2, low-part 1000
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        pmod(col("event_id") * 2654435761L, lit(4294967296L)).as("xid"))
+      .withColumn("xid8", PgFns.xidToXid8(col("xid"), current))
+  }
+
+  // F9 — stale-bucket filter (retention window,
+  // output/transform/postgres_statements.go:90-95): keep only events
+  // within 24 h of the corpus max timestamp.
+  def f9StaleFilter(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val maxTs = e.agg(max("ts")).head.getTimestamp(0)
+    e.filter(col("ts") >= lit(maxTs) - expr("INTERVAL 24 HOURS"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,13 +1,42 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` keys are named after the SURVEY §2 operator they cover
+  * (the s/f/j/a/d/t/u/w/x operator families) plus the
+  * training-data-pipeline extensions (dedup_, embed_, text_).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.a1GroupAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_projection_scan" -> (Queries.s1ProjectionScan _),
+    "a1_group_agg" -> (Queries.a1GroupAgg _),
+    "a2_group_counts" -> (Queries.a2GroupCounts _),
+    "j1_star_join" -> (Queries.j1StarJoin _),
+    "f4_anti_join" -> (Queries.f4AntiJoin _),
+    "f1_glob_filter" -> (Queries.f1GlobFilter _),
+    "f3_not_in_filter" -> (Queries.f3NotInFilter _),
+    "t4_top1_per_group" -> (Queries.t4Top1PerGroup _),
+    "t5_topk" -> (Queries.t5TopK _),
+    "u1_union_placeholder" -> (Queries.u1UnionPlaceholder _),
+    "d1_counter_diff" -> (Queries.d1CounterDiff _),
+    "d7_rate_derivation" -> (Queries.d7RateDerivation _),
+    "j5_dim_encode" -> (Queries.j5DimEncode _),
+    "w3_sessionize" -> (Queries.w3Sessionize _),
+    "w10_tumbling_window" -> (Queries.w10TumblingWindow _),
+    "x2_normalize_fingerprint" -> (Queries.x2NormalizeFingerprint _),
+    "x16_xid8" -> (Queries.x16Xid8 _),
+    "f9_stale_filter" -> (Queries.f9StaleFilter _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar functions mirroring the reference's query-text and filter
+  * helpers, expressed as codegen'd `functions._` compositions (no UDFs in
+  * the hot path).
+  */
+object PgFns {
+
+  /** Glob → anchored Java/RE2-compatible regex, the reference's
+    * `ignore_table_pattern` filter (`input/full.go:200-216`, F1): `*` and
+    * `?` wildcards, everything else literal. Kept to a regex subset that
+    * behaves identically in Spark (java.util.regex) and DuckDB (RE2). */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append(".")
+      case c if "\\.[]{}()+-^$|".contains(c) => sb.append("\\").append(c)
+      case c => sb.append(c)
+    }
+    sb.append("$").toString
+  }
+
+  /** Query-text normalization, the spirit of the reference's pg_query
+    * normalize (`util/normalize.go:13-32`, X2): numeric and string
+    * literals replaced by `?`. A reduced-scope normalizer (no parse tree);
+    * the regexes are deliberately RE2-safe so a DuckDB oracle can apply
+    * the identical rewrite. */
+  def normalizeQuery(c: Column): Column = {
+    val noStrings = regexp_replace(c, "'[^']*'", "?")
+    regexp_replace(noStrings, "[0-9]+(\\.[0-9]+)?", "?")
+  }
+
+  /** Query fingerprint (`util/fingerprint.go:13-48`, X1): stable digest of
+    * the normalized text. md5 hex — identical builtin in DuckDB, so the
+    * oracle can reproduce it; for cluster-internal grouping keys prefer
+    * [[fingerprint64]] (xxhash64, cheaper, codegen'd). */
+  def fingerprint(c: Column): Column = md5(normalizeQuery(c))
+
+  /** 64-bit fingerprint for internal grouping at scale (not oracled —
+    * xxhash64 seed/variant is Spark-specific). */
+  def fingerprint64(c: Column): Column = xxhash64(normalizeQuery(c))
+
+  /** Utility-statement detection (`input/postgres/statements.go:431-450`,
+    * X3) — reduced scope: leading-keyword classification. */
+  def isUtilityStatement(c: Column): Column =
+    upper(trim(c)).rlike(
+      "^(CREATE|ALTER|DROP|GRANT|REVOKE|VACUUM|ANALYZE|SET|SHOW|COPY|TRUNCATE|COMMENT|REINDEX|CLUSTER|CHECKPOINT|PREPARE|DEALLOCATE|DISCARD|LOCK|LISTEN|NOTIFY|UNLISTEN|BEGIN|COMMIT|ROLLBACK|SAVEPOINT|RELEASE)\\b")
+
+  /** xid → xid8 widening with wraparound repair
+    * (`state/postgres_server_stats.go:17-35`, X16): reconstruct the 64-bit
+    * transaction id of a 32-bit xid given a current 64-bit reading. */
+  def xidToXid8(xid: Column, currentXid8: Column): Column = {
+    val epoch = shiftrightunsigned(currentXid8, 32)
+    val curLow = currentXid8.bitwiseAND(lit(0xffffffffL))
+    val adjEpoch = when(xid > curLow, epoch - 1).otherwise(epoch)
+    shiftleft(adjEpoch, 32) + xid
+  }
+
+  /** Secret-span redaction (`logs/replace.go:13-42`, X9) — reduced scope:
+    * redact quoted literals wholesale. */
+  def redactLiterals(c: Column): Column =
+    regexp_replace(c, "'[^']*'", "[redacted]")
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Counter-diff operator — the reference engine's central stateful op.
+  *
+  * Reproduces the `DiffSince` semantics of pganalyze/collector
+  * (`runner/diff.go:38-96`, `state/postgres_statement.go:65-83`,
+  * `input/full_1min.go:67-131`) as a declarative `lag()` window so Catalyst
+  * plans one shuffle on the key columns and Tungsten does the rest:
+  *
+  *   (a) first observation of a key  → diff against zero (emit the raw
+  *       counter; the reference's "new key on a follow-up run" case);
+  *   (b) key seen before             → `curr − prev`;
+  *   (c) counter reset (curr < prev) → re-baseline, emit `curr`
+  *       (the reference's `pg_stat_statements_reset` rebaseline,
+  *       `input/full.go:162-186`);
+  *   (d) gauge columns are carried, not diffed
+  *       (`state/postgres_relation_stats.go:98-140`).
+  *
+  * Scale notes: one hash-partitioned shuffle on `keyCols`; within each key
+  * the window sort is bounded by snapshots-per-key (time-series depth), not
+  * table size. For unbounded streams use the flatMapGroupsWithState variant
+  * in [[graft.streaming.StreamingDiff]], which keeps only last-seen values
+  * per key (what the Go code does with `server.PrevState`).
+  */
+object Diff {
+
+  /** Adds `<counter>_delta` per counter column; keeps key/order/gauge cols. */
+  def counterDiff(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      counterCols: Seq[String],
+      gaugeCols: Seq[String] = Nil,
+      handleResets: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    counterCols.foldLeft(df) { (acc, c) =>
+      val prev = lag(col(c), 1).over(w)
+      val delta =
+        if (handleResets)
+          when(prev.isNull, col(c))                 // (a) first run / new key
+            .when(col(c) < prev, col(c))            // (c) reset → re-baseline
+            .otherwise(col(c) - prev)               // (b) plain delta
+        else when(prev.isNull, col(c)).otherwise(col(c) - prev)
+      acc.withColumn(s"${c}_delta", delta)
+    }
+  }
+
+  /** Per-key rate: delta / seconds-since-previous-row, the reference's
+    * disk/net rate derivation (`state/system.go:350-382`). Rows with no
+    * predecessor get NULL rate (no interval to divide by). */
+  def rate(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      orderTieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: orderTieBreak).map(col): _*)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val prevV  = lag(col(valueCol), 1).over(w)
+    // exact micros difference, then one double division — deterministic
+    // (unix_timestamp's floor-to-seconds loses sub-second intervals)
+    val secs = (unix_micros(col(tsCol)) - unix_micros(prevTs)) / lit(1000000.0)
+    df.withColumn("interval_secs", secs)
+      .withColumn(
+        s"${valueCol}_rate",
+        when(prevV.isNull || secs <= 0, lit(null).cast("double"))
+          .otherwise((col(valueCol) - prevV) / secs))
+  }
+}

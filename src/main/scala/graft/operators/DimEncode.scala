@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimension encoding — the reference's snapshot "reference array + idx"
+  * scheme (`output/transform/util.go:25-150`, J5 in SURVEY §2.3): every
+  * fact row stores a small integer index into a deduplicated dimension
+  * array instead of the full value.
+  *
+  * The reference assigns indices in insertion order; we assign them by
+  * sorted value so the encoding is deterministic under any partitioning /
+  * parallelism (insertion order is not reproducible on a cluster).
+  *
+  * Scale notes: the dimension table is the distinct set of values —
+  * orders of magnitude smaller than the fact table — so the index join is
+  * a broadcast hash join (no shuffle of the fact side). The dense_rank
+  * window runs only over the distinct values.
+  */
+object DimEncode {
+
+  /** Returns (dim, fact): dim = (idx, value) with 1-based dense index by
+    * sorted value; fact = input with `<col>_idx` added via broadcast join. */
+  def encode(df: DataFrame, dimCol: String): (DataFrame, DataFrame) = {
+    val dim = df.select(col(dimCol)).distinct()
+      .withColumn(s"${dimCol}_idx",
+        dense_rank().over(Window.orderBy(col(dimCol))))
+    val fact = df.join(broadcast(dim), Seq(dimCol))
+    (dim, fact)
+  }
+
+  /** Integrity check mirroring the reference's verifyIntegrity
+    * (`output/full.go:73-97`): every fact idx must resolve in dim. */
+  def checkIntegrity(dim: DataFrame, fact: DataFrame, dimCol: String): Boolean =
+    fact.join(dim.select(s"${dimCol}_idx"), Seq(s"${dimCol}_idx"), "left_anti")
+      .isEmpty
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization — the batch analogue of the reference's
+  * per-backend log-line grouping and stitch windows
+  * (`logs/stream/stream.go:202-231`, `logs/analyze.go:2248-2294`, W3/W4 in
+  * SURVEY §2.9): rows of one key that occur within `gapSeconds` of the
+  * previous row belong to the same session.
+  *
+  * Scale notes: single shuffle on the key; per-key window sort only. The
+  * streaming variant with watermarks + state timeouts lives in
+  * [[graft.streaming.Stitch]].
+  */
+object Sessionize {
+
+  /** Adds `session_id` (1-based per key, in time order). */
+  def byGap(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      orderTieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (tsCol +: orderTieBreak).map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    // exact micros arithmetic: no float/floor ambiguity at the gap boundary
+    val isNew = when(
+      prevTs.isNull ||
+        (unix_micros(col(tsCol)) - unix_micros(prevTs)) > gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Session rollup: count + span per (key, session). */
+  def sessions(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      orderTieBreak: Seq[String] = Nil): DataFrame =
+    byGap(df, keyCol, tsCol, gapSeconds, orderTieBreak)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        ((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+          / lit(1000000L)).as("duration_secs"))
+}

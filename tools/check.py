@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: run Verify's parquet
+dumps against the DuckDB oracle on the same sf dir. Usage:
+    python3 tools/check.py [sfdir] [outdir]
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize dtypes for comparison
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            try:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+            except TypeError:
+                pass
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                type(v).__name__ == "ndarray" else v)
+    rows = sorted(df.itertuples(index=False, name=None), key=lambda r: tuple(
+        (x is None or (isinstance(x, float) and math.isnan(x)), str(x))
+        for x in r))
+    return rows
+
+def cmp_val(a, b):
+    a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+    b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+    if a_nan or b_nan:
+        return a_nan == b_nan
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return a == b or abs(float(a) - float(b)) < 1e-9
+        except (TypeError, ValueError):
+            return False
+    return a == b or str(a) == str(b)
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            files = glob.glob(f"{outdir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no spark output")
+                n_fail += 1
+                continue
+            mine = pd.read_parquet(f"{outdir}/{name}")
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if sorted(mine.columns) != sorted(want.columns):
+            print(f"FAIL {name}: columns {sorted(mine.columns)} vs {sorted(want.columns)}")
+            n_fail += 1
+            continue
+        a, b = norm(mine), norm(want)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (ra, rb) in enumerate(zip(a, b)):
+            if not all(cmp_val(x, y) for x, y in zip(ra, rb)):
+                bad = (i, ra, rb)
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+main()
