@@ -136,6 +136,111 @@ object Oracles {
       """SELECT event_type, count(*) AS n FROM events
         |WHERE CAST(ts AS TIMESTAMP) >=
         |  (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 24 HOUR
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              w -> len(w) > 0)) AS ws
+        |  FROM documents WHERE doc_id < 300
+        |), t AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+        |c AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+        |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8""".stripMargin,
+
+    "embed_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT q_id, n_id,
+        |    sum(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot,
+        |    sqrt(sum(CAST(q.x AS DOUBLE) * CAST(q.x AS DOUBLE)))
+        |      * sqrt(sum(CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE))) AS denom
+        |  FROM q JOIN c ON q.i = c.i WHERE q_id <> n_id
+        |  GROUP BY q_id, n_id)
+        |SELECT q_id, n_id, rank, sim FROM (
+        |  SELECT q_id, n_id,
+        |    CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END AS sim,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END) DESC,
+        |               n_id) AS INT) AS rank
+        |  FROM s) t
+        |WHERE rank <= 5""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INT) AS len_chars,
+        |  CAST(len(ws) AS INT) AS n_words,
+        |  CASE WHEN len(ws) > 0 THEN
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(ws)
+        |  ELSE 0.0 END AS avg_word_len,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / length(text)
+        |  ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN len(ws) > 0 THEN
+        |    CAST(len(list_filter(ws, w -> w IN
+        |      ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(ws)
+        |  ELSE 0.0 END AS stopword_ratio
+        |FROM t""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> len(w) > 0)) AS INT) AS n_ws_tokens
+        |FROM documents""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              w -> len(w) > 0)) AS ws
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ws, w -> w IN
+        |      ('the','a','of','and','to','in','is','it'))) AS INT) AS en_hits,
+        |    CAST(len(list_filter(ws, w -> w IN
+        |      ('el','la','de','y','que','en','un','es'))) AS INT) AS es_hits,
+        |    CAST(len(list_filter(ws, w -> w IN
+        |      ('der','die','das','und','zu','den','ist','ein'))) AS INT) AS de_hits,
+        |    CAST(len(list_filter(ws, w -> w IN
+        |      ('le','la','de','et','un','est','que','les'))) AS INT) AS fr_hits
+        |  FROM t)
+        |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+        |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits
+        |        AND en_hits >= fr_hits THEN 'en'
+        |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+        |       WHEN de_hits >= fr_hits THEN 'de'
+        |       ELSE 'fr' END AS lang_guess
+        |FROM h""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM documents""".stripMargin
   )
 }

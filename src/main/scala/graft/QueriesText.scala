@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFns
+
+/** Training-data pipeline query surface: dedup, similarity search and
+  * text analysis over the `documents` / `embeddings` tables.
+  */
+object QueriesText {
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Exact token-set Jaccard pairs, bounded to a fixed id range so the
+    * verification query stays O(bounded²) at any scale factor; the
+    * unbounded scale path is dedup_minhash_lsh. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 300),
+      "doc_id", "text", threshold = 0.8)
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidates(
+      Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text"))
+      .filter(col("est_jaccard") >= 0.7)
+      .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"),
+      maxHamming = 3)
+
+  def embedCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    Similarity.bruteForceTopK(queries, corpus, k = 5)
+  }
+
+  def embedAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    Similarity.lshTopK(queries, corpus, k = 5, bits = 8, dim = 64)
+  }
+
+  def embedNearDups(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.4, bits = 3, dim = 64)
+      .withColumn("sim", round(col("sim"), 6))
+
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val ws = TextFns.words(col("text"))
+    val nWords = size(ws)
+    val alpha = length(regexp_replace(col("text"), "\\s", ""))
+    d.select(
+      col("doc_id"),
+      length(col("text")).as("len_chars"),
+      nWords.as("n_words"),
+      when(nWords > 0, alpha.cast("double") / nWords).otherwise(0.0)
+        .as("avg_word_len"),
+      TextFns.punctRatio(col("text")).as("punct_ratio"),
+      when(nWords > 0,
+        TextFns.stopwordHits(ws, "en").cast("double") / nWords)
+        .otherwise(0.0).as("stopword_ratio"))
+  }
+
+  def textTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFns.tokenCount(col("text")).as("n_tokens"),
+      size(TextFns.words(col("text"))).as("n_ws_tokens"))
+
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val ws = TextFns.wordSet(col("text"))
+    val scored = d.select(
+      col("doc_id"),
+      TextFns.stopwordHits(ws, "en").as("en_hits"),
+      TextFns.stopwordHits(ws, "es").as("es_hits"),
+      TextFns.stopwordHits(ws, "de").as("de_hits"),
+      TextFns.stopwordHits(ws, "fr").as("fr_hits"))
+    scored.withColumn("lang_guess",
+      when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits")
+        && col("en_hits") >= col("fr_hits"), "en")
+        .when(col("es_hits") >= col("de_hits")
+          && col("es_hits") >= col("fr_hits"), "es")
+        .when(col("de_hits") >= col("fr_hits"), "de")
+        .otherwise("fr"))
+  }
+
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFns.contentFingerprint(col("text")).as("fingerprint"))
+}

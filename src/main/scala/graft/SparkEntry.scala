@@ -33,7 +33,19 @@ object SparkEntry {
     "w10_tumbling_window" -> (Queries.w10TumblingWindow _),
     "x2_normalize_fingerprint" -> (Queries.x2NormalizeFingerprint _),
     "x16_xid8" -> (Queries.x16Xid8 _),
-    "f9_stale_filter" -> (Queries.f9StaleFilter _)
+    "f9_stale_filter" -> (Queries.f9StaleFilter _),
+    // training-data pipeline extensions
+    "dedup_exact" -> (QueriesText.dedupExact _),
+    "dedup_ngram_jaccard" -> (QueriesText.dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (QueriesText.dedupMinhashLsh _),
+    "dedup_simhash" -> (QueriesText.dedupSimhash _),
+    "embed_cosine_topk" -> (QueriesText.embedCosineTopK _),
+    "embed_ann_lsh" -> (QueriesText.embedAnnLsh _),
+    "embed_near_dups" -> (QueriesText.embedNearDups _),
+    "text_quality" -> (QueriesText.textQuality _),
+    "text_token_count" -> (QueriesText.textTokenCount _),
+    "text_lang_id" -> (QueriesText.textLangId _),
+    "doc_fingerprint" -> (QueriesText.docFingerprint _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

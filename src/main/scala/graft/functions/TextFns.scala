@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID scoring, fingerprinting.
+  * All are pure `functions._` compositions (whole-stage codegen) except
+  * the hash-based ones, which use [[Hashing.fnv1a64]] for engine-owned
+  * determinism (cluster-stable, seed-free).
+  */
+object TextFns {
+
+  /** Lowercased whitespace tokens, empties dropped. Mirrors DuckDB's
+    * `list_filter(string_split_regex(lower(x),'\s+'), w -> len(w)>0)`. */
+  def words(c: Column): Column =
+    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+
+  /** Distinct token set (dedup/Jaccard input). */
+  def wordSet(c: Column): Column = array_distinct(words(c))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks (X-token analogue of the reference's
+    * fingerprint-input lexing). */
+  def tokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Whitespace-collapse + trim + lowercase normalization used before
+    * content fingerprinting. */
+  def normalizeWs(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Content fingerprint = md5 of normalized text (DuckDB-reproducible;
+    * use xxhash64(normalizeWs) for cheaper cluster-internal keys). */
+  def contentFingerprint(c: Column): Column = md5(normalizeWs(c))
+
+  /** Punctuation ratio: non-alphanumeric-non-space chars / total chars. */
+  def punctRatio(c: Column): Column = {
+    val puncts = length(regexp_replace(c, "[a-zA-Z0-9\\s]", ""))
+    when(length(c) > 0, puncts.cast("double") / length(c)).otherwise(0.0)
+  }
+
+  /** Tiny per-language stopword lists for heuristic language ID.
+    * Reduced-scope by design (no external models in this container) —
+    * the operator shape (per-language token-hit scoring + argmax) is the
+    * real deliverable. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "les"),
+    "zh" -> Seq("de", "le", "shi", "wo", "ni", "ta", "men", "zai"))
+
+  /** Hits of `lang`'s stopword list in the token array `ws`. */
+  def stopwordHits(ws: Column, lang: String): Column =
+    size(filter(ws, w => w.isInCollection(stopwords(lang))))
+}
+
+/** Deterministic, engine-owned 64-bit hashing (FNV-1a). Used wherever a
+  * hash must be reproducible across Spark versions, JVMs and cluster
+  * topologies (minhash perms, simhash bits, winnowing). */
+object Hashing extends Serializable {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  def fnv1a64(s: String): Long = {
+    var h = FnvOffset
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Seeded variant: hash of "seed:s" — the minhash permutation family. */
+  def fnv1a64(seed: Int, s: String): Long = fnv1a64(seed.toString + ":" + s)
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFns}
+
+/** Document deduplication family for training-data pipelines.
+  *
+  * Four tiers, cheapest-first — on a 100 TB corpus you run them in this
+  * order and each tier prunes the next tier's input:
+  *
+  *  1. [[exact]] — hash group-by, one shuffle on the fingerprint.
+  *  2. [[simhash]] + [[simhashPairs]] — per-row 64-bit sketch, near-dup
+  *     candidates via 4×16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒
+  *     at least one identical chunk), so the join is equi-join-shaped
+  *     (shuffle on chunk value), never a cross join.
+  *  3. [[minhashSignatures]] + [[lshCandidates]] — MinHash(64) banded
+  *     8×8; candidate pairs share a (band, bandhash) bucket: again an
+  *     equi-join, with skewed mega-buckets bounded by `maxBucket`.
+  *  4. [[ngramJaccardPairs]] — exact verification on candidates (or,
+  *     bounded, as its own operator): explode token sets, equi-join on
+  *     token, count common tokens per pair. Scales as sum over tokens of
+  *     df(token)^2 — cap hot
+  *     tokens with `maxDocFreq` (stopword-like tokens carry no dedup
+  *     signal but quadratic cost).
+  *
+  * All hashing is [[Hashing.fnv1a64]]: engine-owned and deterministic
+  * across JVMs/partitionings (no reliance on JVM hashCode or Spark seed
+  * internals).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-content fingerprint:
+    * (fingerprint, canonical_id = min id, n_dups). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("fingerprint", TextFns.contentFingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  // ---------------------------------------------------------------- minhash
+
+  val NumPerms = 64
+  val Bands = 8
+  val Rows = 8 // NumPerms / Bands
+
+  private val minhashUdf = udf { ws: Seq[String] =>
+    if (ws == null || ws.isEmpty) Array.fill(NumPerms)(Long.MaxValue)
+    else Array.tabulate(NumPerms) { p =>
+      var m = Long.MaxValue
+      ws.foreach { w => val h = Hashing.fnv1a64(p, w); if (h < m) m = h }
+      m
+    }
+  }
+
+  /** (id, sig: array<long>[64]) per doc. Per-row compute — no shuffle. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      minhashUdf(TextFns.wordSet(col(textCol))).as("sig"))
+
+  private val bandHashUdf = udf { (sig: Seq[Long], band: Int) =>
+    Hashing.fnv1a64(sig.slice(band * Rows, (band + 1) * Rows).mkString(","))
+  }
+
+  /** Candidate near-dup pairs (id_a < id_b) from LSH banding, with the
+    * fraction of agreeing minhash components as `est_jaccard`.
+    * `maxBucket` drops degenerate buckets (e.g. the all-empty-doc
+    * bucket) whose quadratic blowup would dominate at scale. */
+  def lshCandidates(sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .withColumn("band_hash", bandHashUdf(col("sig"), col("band")))
+    val bucketed = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = bucketed.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = bucketed.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val agree = udf { (x: Seq[Long], y: Seq[Long]) =>
+      x.zip(y).count { case (u, v) => u == v }.toDouble / NumPerms
+    }
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        agree(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  private val simhashUdf = udf { ws: Seq[String] =>
+    val acc = new Array[Int](64)
+    if (ws != null) ws.foreach { w =>
+      val h = Hashing.fnv1a64(w)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** (id, simhash: long) per doc — per-row compute, no shuffle. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      simhashUdf(TextFns.wordSet(col(textCol))).as("simhash"))
+
+  /** Near-dup pairs with hamming(simhash) ≤ maxHamming (≤ 15 supported:
+    * pigeonhole over 4 chunks guarantees recall for ≤ 3; keep 3). */
+  def simhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunked = hashes.select(col("id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("chunk_val",
+        expr("shiftrightunsigned(simhash, chunk * 16)")
+          .bitwiseAND(lit(0xffffL)))
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // ----------------------------------------------------- exact jaccard pairs
+
+  /** Exact token-set Jaccard pairs ≥ `threshold` via token equi-join.
+    * `maxDocFreq` caps per-token document frequency (a token present in
+    * d docs contributes d² join rows — hot tokens are pruned, matching
+    * the standard "stopwords carry no dedup signal" practice; pruned
+    * tokens shrink BOTH the intersection and the set sizes, applied
+    * symmetrically so Jaccard stays well-defined). */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val toks0 = docs.select(col(idCol).as("id"),
+      explode(TextFns.wordSet(col(textCol))).as("w"))
+    val toks =
+      if (maxDocFreq == Long.MaxValue) toks0
+      else {
+        val hot = toks0.groupBy("w").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("w")
+        toks0.join(broadcast(hot), Seq("w"), "left_anti")
+      }
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = toks.select(col("w"), col("id").as("id_a"))
+    val b = toks.select(col("w"), col("id").as("id_b"))
+    val common = a.join(b, Seq("w")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftNative
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.functions.expressions.CosineSimilarity
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query
+  *    set against the corpus, score with the codegen'd
+  *    [[CosineSimilarity]] kernel, per-query top-k via a window. One
+  *    pass over the corpus, no corpus shuffle — the 100 TB plan is
+  *    scan-local scoring + per-query k-heaps.
+  *  - [[lshTopK]] — scale path: random-hyperplane LSH signatures bucket
+  *    the corpus; each query only scores its own bucket(s). Recall is
+  *    tunable via `bits` (fewer bits → bigger buckets → higher recall,
+  *    more compute). An IVF variant would swap the hyperplanes for
+  *    k-means centroids; the plumbing is identical.
+  */
+object Similarity {
+
+  /** Codegen'd cosine similarity of two array<float> columns. */
+  def cosine(a: Column, b: Column): Column =
+    GraftNative.column(CosineSimilarity(
+      GraftNative.expression(a), GraftNative.expression(b)))
+
+  /** Exact top-k: `queries`(q_id, q_vec) × `corpus`(n_id, n_vec) → rows
+    * (q_id, n_id, sim, rank ≤ k), self-matches excluded. The query side
+    * is broadcast; ties broken by n_id for determinism. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(queries).crossJoin(corpus)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane `p`,
+    * dimension `j` → value in [-1, 1). */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val h = Hashing.fnv1a64(p * 104729 + j, "plane")
+    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  private def signBitsUdf(bits: Int, dim: Int) = {
+    val planes = Array.tabulate(bits, dim)((p, j) => planeComponent(p, j))
+    udf { v: Seq[Float] =>
+      var sig = 0L
+      var p = 0
+      while (p < bits) {
+        var dot = 0.0
+        val plane = planes(p)
+        var j = 0
+        val n = math.min(plane.length, v.length)
+        while (j < n) { dot += plane(j) * v(j); j += 1 }
+        if (dot > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+  }
+
+  /** LSH-bucketed ANN: both sides signed against the same hyperplanes;
+    * candidates share a bucket; per-query top-k within candidates. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
+    val sign = signBitsUdf(bits, dim)
+    val qs = broadcast(queries.withColumn("bucket", sign(col("q_vec"))))
+    val cs = corpus.withColumn("bucket", sign(col("n_vec")))
+    val scored = qs.join(cs, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets
+    * (the embedding-space member of the [[Dedup]] family). */
+  def embeddingNearDups(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val sign = signBitsUdf(bits, dim)
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", sign(col("vec")))
+    val a = e.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = e.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .dropDuplicates("id_a", "id_b")
+  }
+}

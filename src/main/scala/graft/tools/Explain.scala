@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Plan inspector: prints the formatted physical plan for one or all
+  * queries. Usage: runMain graft.tools.Explain <queryName|all> [sfDir]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("all")
+    val sfDir =
+      if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val targets =
+      if (name == "all") SparkEntry.queries
+      else SparkEntry.queries.filter(_._1 == name)
+    targets.foreach { case (n, fn) =>
+      println(s"\n===== $n =====")
+      fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's classic Column ⇄ Expression conversions, which are
+  * `private[sql]` in Spark 4. Custom Catalyst expressions (e.g.
+  * [[graft.functions.expressions.CosineSimilarity]]) are exposed as
+  * `Column`s through here.
+  */
+object GraftNative {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
