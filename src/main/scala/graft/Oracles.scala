@@ -241,6 +241,94 @@ object Oracles {
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Log-pipeline oracles: ground truth is re-derived from the
+    // generation rule (event_type → line), NOT by re-running the engine's
+    // regexes — agreement proves the parse/classify path.
+    "x5_log_parse" ->
+      """SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || ' UTC'
+        |    AS log_time,
+        |  user_id AS pid,
+        |  CAST(event_id % 1000 AS BIGINT) AS log_line_no,
+        |  'u' || user_id AS username,
+        |  'db' || (user_id % 5) AS database,
+        |  CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END
+        |    AS log_level,
+        |  CASE event_type
+        |    WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |      || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |      || regexp_extract(props, '"k": (\d+)', 1)
+        |    WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |      || regexp_extract(props, '"k": (\d+)', 1) || ' buffers'
+        |    WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |      || (5000 + user_id % 100)
+        |    WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |      || ' database=db'
+        |      || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |    ELSE 'deadlock detected' END AS content
+        |FROM events""".stripMargin,
+
+    "x7_log_classify" ->
+      """SELECT classification, class_name, count(*) AS n FROM (
+        |  SELECT
+        |    CASE event_type WHEN 'click' THEN 8 WHEN 'purchase' THEN 5
+        |      WHEN 'view' THEN 1 WHEN 'signup' THEN 2 ELSE 7 END
+        |      AS classification,
+        |    CASE event_type WHEN 'click' THEN 'STATEMENT_DURATION'
+        |      WHEN 'purchase' THEN 'CHECKPOINT_COMPLETE'
+        |      WHEN 'view' THEN 'CONNECTION_RECEIVED'
+        |      WHEN 'signup' THEN 'CONNECTION_AUTHORIZED'
+        |      ELSE 'DEADLOCK_DETECTED' END AS class_name
+        |  FROM events) t GROUP BY 1, 2""".stripMargin,
+
+    "log_top_queries" ->
+      """WITH c AS (
+        |  SELECT user_id AS pid, CAST(floor(value * 100) AS BIGINT) AS ms
+        |  FROM events WHERE event_type = 'click')
+        |SELECT pid,
+        |  'SELECT * FROM orders WHERE o_custkey = ?' AS normalized_query,
+        |  count(*) AS n_calls,
+        |  sum(CAST(ms AS DOUBLE)) AS total_ms,
+        |  sum(CAST(ms AS DOUBLE)) / count(*) AS avg_ms,
+        |  max(CAST(ms AS DOUBLE)) AS max_ms,
+        |  md5('SELECT * FROM orders WHERE o_custkey = ?') AS fingerprint
+        |FROM c GROUP BY pid""".stripMargin,
+
+    "x9_redact" ->
+      """SELECT event_id,
+        |  'SELECT * FROM customer WHERE c_name = [redacted] AND c_custkey = '
+        |    || regexp_extract(props, '"k": (\d+)', 1) AS redacted
+        |FROM events""".stripMargin,
+
+    "w4_context_assoc" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id AS pid, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |l AS (
+        |  SELECT event_id, pid, ts,
+        |    CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END
+        |      AS log_level, 0 AS line_seq
+        |  FROM e
+        |  UNION ALL
+        |  SELECT event_id, pid, ts, 'DETAIL', 1 FROM e
+        |  WHERE event_type = 'error'),
+        |t AS (
+        |  SELECT pid, event_id * 10 + line_seq AS line_uid,
+        |    log_level <> 'DETAIL' AS is_primary,
+        |    last_value(CASE WHEN log_level <> 'DETAIL'
+        |                    THEN event_id * 10 + line_seq END IGNORE NULLS)
+        |      OVER (PARTITION BY pid ORDER BY ts, event_id, line_seq
+        |            ROWS UNBOUNDED PRECEDING) AS parent_uid
+        |  FROM l)
+        |SELECT pid, line_uid, parent_uid FROM t WHERE NOT is_primary""".stripMargin,
+
+    "x17_session_duration" ->
+      """SELECT event_id,
+        |  (ms // 3600) * 3600 + ((ms // 60) % 60) * 60 + (ms % 60)
+        |    AS session_secs
+        |FROM (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS ms
+        |      FROM events) t""".stripMargin
   )
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PgFns
+import graft.logsys.{LogClassify, LogPrefix, LogSynth}
+
+/** Log-pipeline query surface (SURVEY §2.8/§2.9): prefix parse,
+  * classification, query-sample extraction + the flagship "top queries by
+  * total duration" rollup — the core pganalyze question, end-to-end.
+  */
+object QueriesLog {
+
+  /** The recommended log_line_prefix from the reference's docs. */
+  val Prefix = "%t [%p]: [%l-1] user=%u,db=%d "
+  val Compiled: LogPrefix.Compiled = LogPrefix.compile(Prefix)
+
+  // X4/X5 — compile log_line_prefix to a regex, parse rendered lines back
+  // into typed fields. One regexp_extract per field over the same
+  // compiled pattern (codegen'd; a single-pass struct extractor is the
+  // obvious upgrade if profiles show the rescan cost).
+  def x5LogParse(s: SparkSession, dir: String): DataFrame = {
+    val rx = Compiled.regex
+    val g = (f: String) => Compiled.groupOf(f)
+    LogSynth.renderedLines(s, dir).select(
+      col("event_id"),
+      regexp_extract(col("line"), rx, g("log_time")).as("log_time"),
+      regexp_extract(col("line"), rx, g("pid")).cast("long").as("pid"),
+      regexp_extract(col("line"), rx, g("log_line_no")).cast("long")
+        .as("log_line_no"),
+      regexp_extract(col("line"), rx, g("username")).as("username"),
+      regexp_extract(col("line"), rx, g("database")).as("database"),
+      regexp_extract(col("line"), rx, g("log_level")).as("log_level"),
+      regexp_extract(col("line"), rx, g("content")).as("content"))
+  }
+
+  // X7 — regex classification vs generation-time ground truth: the
+  // oracle derives the class from event_type (how the corpus was built),
+  // the engine from the content regexes alone. Agreement proves the
+  // matcher table.
+  def x7LogClassify(s: SparkSession, dir: String): DataFrame =
+    LogSynth.lines(s, dir)
+      .withColumn("classification", LogClassify.classify(col("content")))
+      .withColumn("class_name", LogClassify.className(col("classification")))
+      .groupBy("classification", "class_name")
+      .agg(count(lit(1)).as("n"))
+
+  // X11 + A1 — the flagship slice (SURVEY §7.2 step 3): duration lines →
+  // query samples → normalize → per-backend top-query rollup.
+  def logTopQueries(s: SparkSession, dir: String): DataFrame =
+    LogSynth.lines(s, dir)
+      .filter(col("content").startsWith("duration: "))
+      .select(
+        col("pid"),
+        regexp_extract(col("content"), "^duration: ([\\d.]+) ms", 1)
+          .cast("double").as("runtime_ms"),
+        regexp_extract(col("content"), "statement: (.*)$", 1).as("query"))
+      .filter(col("query") =!= "")
+      .withColumn("normalized_query", PgFns.normalizeQuery(col("query")))
+      .groupBy("pid", "normalized_query")
+      .agg(
+        count(lit(1)).as("n_calls"),
+        sum("runtime_ms").as("total_ms"),
+        (sum("runtime_ms") / count(lit(1))).as("avg_ms"),
+        max("runtime_ms").as("max_ms"))
+      .withColumn("fingerprint", md5(col("normalized_query")))
+
+  // X9 — secret redaction: splice out quoted literals.
+  def x9Redact(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+      .select(col("event_id"),
+        concat(lit("SELECT * FROM customer WHERE c_name = 'cust_"),
+          col("k"), lit("' AND c_custkey = "), col("k")).as("query"))
+      .withColumn("redacted", PgFns.redactLiterals(col("query")))
+      .select("event_id", "redacted")
+
+  // W4 — context association: DETAIL/STATEMENT continuation lines bind to
+  // the closest preceding primary line of the same backend
+  // (logs/analyze.go:2248-2294) — last(primary_uid, ignoreNulls) window.
+  def w4ContextAssoc(s: SparkSession, dir: String): DataFrame = {
+    val lines = LogSynth.linesWithContinuations(s, dir)
+      .withColumn("line_uid", col("event_id") * 10 + col("line_seq"))
+      .withColumn("is_primary", col("log_level") =!= "DETAIL")
+    val w = Window.partitionBy("pid")
+      .orderBy(col("ts"), col("event_id"), col("line_seq"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lines
+      .withColumn("parent_uid",
+        last(when(col("is_primary"), col("line_uid")), ignoreNulls = true)
+          .over(w))
+      .filter(!col("is_primary"))
+      .select("pid", "line_uid", "parent_uid")
+  }
+
+  // X17 — session-duration parse: h:mm:ss round-trip through the
+  // disconnection-line format.
+  def x17SessionDuration(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("ms", floor(col("value") * 100).cast("long"))
+    val line = concat(
+      lit("disconnection: session time: "),
+      expr("ms div 3600").cast("string"),
+      lit(":"), lpad(expr("(ms div 60) % 60").cast("string"), 2, "0"),
+      lit(":"), lpad(expr("ms % 60").cast("string"), 2, "0"), lit(".123"))
+    e.select(col("event_id"), line.as("content"))
+      .select(
+        col("event_id"),
+        (regexp_extract(col("content"),
+          "session time: (\\d+):(\\d+):(\\d+)", 1).cast("long") * 3600 +
+          regexp_extract(col("content"),
+            "session time: (\\d+):(\\d+):(\\d+)", 2).cast("long") * 60 +
+          regexp_extract(col("content"),
+            "session time: (\\d+):(\\d+):(\\d+)", 3).cast("long"))
+          .as("session_secs"))
+  }
+}

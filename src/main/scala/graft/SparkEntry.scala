@@ -10,9 +10,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY §7.2-step-3 slice: log lines → parse → classify →
+    * query samples → normalized top-queries rollup. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.a1GroupAgg(spark, "/root/testdata/sf0.001")
+    QueriesLog.logTopQueries(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -45,7 +47,14 @@ object SparkEntry {
     "text_quality" -> (QueriesText.textQuality _),
     "text_token_count" -> (QueriesText.textTokenCount _),
     "text_lang_id" -> (QueriesText.textLangId _),
-    "doc_fingerprint" -> (QueriesText.docFingerprint _)
+    "doc_fingerprint" -> (QueriesText.docFingerprint _),
+    // log pipeline
+    "x5_log_parse" -> (QueriesLog.x5LogParse _),
+    "x7_log_classify" -> (QueriesLog.x7LogClassify _),
+    "log_top_queries" -> (QueriesLog.logTopQueries _),
+    "x9_redact" -> (QueriesLog.x9Redact _),
+    "w4_context_assoc" -> (QueriesLog.w4ContextAssoc _),
+    "x17_session_duration" -> (QueriesLog.x17SessionDuration _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,64 @@
+package graft.logsys
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Data-driven log-event classification — the engine form of the
+  * reference's 116 matcher table (`logs/analyze.go:33-1183`, X7):
+  * each class is (prefix fast-path, anchored regex); dispatch compiles to
+  * one codegen'd `when/otherwise` chain with `startswith` guards ahead of
+  * the regex, exactly the reference's prefix fast-path. The table is a
+  * Seq so widening coverage is data entry, not engine work.
+  *
+  * A representative subset of classes ships in [[table]]; the enum values
+  * are engine-owned (the reference's protobuf enum has 91 values — a
+  * mapping table, not logic).
+  */
+object LogClassify {
+
+  final case class Matcher(
+      classification: Int,
+      name: String,
+      prefix: String, // fast-path: content must start with this
+      regex: String)  // anchored; groups = typed details
+
+  val Unknown = 0
+
+  val table: Seq[Matcher] = Seq(
+    Matcher(1, "CONNECTION_RECEIVED", "connection received: ",
+      "^connection received: host=([a-zA-Z0-9:.\\-]+)(?: port=(\\d+))?"),
+    Matcher(2, "CONNECTION_AUTHORIZED", "connection authorized: ",
+      "^connection authorized: user=([a-zA-Z0-9_\\-]+)(?: database=([a-zA-Z0-9_\\-]+))?"),
+    Matcher(3, "DISCONNECTION", "disconnection: ",
+      "^disconnection: session time: (\\d+):(\\d+):(\\d+)\\.(\\d+)"),
+    Matcher(4, "CHECKPOINT_STARTING", "checkpoint starting: ",
+      "^checkpoint starting: (.*)"),
+    Matcher(5, "CHECKPOINT_COMPLETE", "checkpoint complete: ",
+      "^checkpoint complete: wrote (\\d+) buffers"),
+    Matcher(6, "AUTOVACUUM_COMPLETED", "automatic vacuum of table ",
+      "^automatic vacuum of table \"([^\"]+)\""),
+    Matcher(7, "DEADLOCK_DETECTED", "deadlock detected", "^deadlock detected"),
+    Matcher(8, "STATEMENT_DURATION", "duration: ",
+      "^duration: ([\\d\\.]+) ms(?:\\s+statement: (.*))?"),
+    Matcher(9, "STATEMENT_CANCELED_TIMEOUT", "canceling statement due to statement timeout",
+      "^canceling statement due to statement timeout"),
+    Matcher(10, "SERVER_OUT_OF_MEMORY", "out of memory", "^out of memory"),
+    Matcher(11, "LOCK_ACQUIRED", "process ",
+      "^process (\\d+) acquired (\\w+) on (\\w+) .* after (\\d+)\\.(\\d+) ms"),
+    Matcher(12, "TEMP_FILE_CREATED", "temporary file: ",
+      "^temporary file: path \"([^\"]+)\", size (\\d+)"))
+
+  /** classification int for a content column: guarded when/otherwise
+    * chain (prefix fast-path then anchored regex), fully codegen'd. */
+  def classify(content: Column): Column =
+    table.foldRight(lit(Unknown)) { (m, acc) =>
+      when(content.startsWith(m.prefix) && content.rlike(m.regex),
+        lit(m.classification)).otherwise(acc)
+    }
+
+  /** class name lookup column (dimension decode for readability). */
+  def className(classification: Column): Column =
+    table.foldRight(lit("UNKNOWN")) { (m, acc) =>
+      when(classification === m.classification, lit(m.name)).otherwise(acc)
+    }
+}

@@ -1,0 +1,81 @@
+package graft.logsys
+
+/** log_line_prefix → regex compiler, mirroring the reference's
+  * `EscapeMatchers` table (`logs/parse.go:20-47,59-184`, X4 in SURVEY
+  * §2.8): each `%x` escape becomes a capture group; literal text is
+  * regex-quoted; `%q` marks the start of an optional tail group.
+  *
+  * The emitted regex is deliberately restricted to a syntax subset that
+  * behaves identically under java.util.regex (Spark) and RE2 (DuckDB
+  * oracle): character classes, `*`/`+`/`?`, non-capturing and optional
+  * groups — no backrefs, no lookaround.
+  */
+object LogPrefix {
+
+  /** escape → (fieldName, regex fragment). Fragments follow
+    * logs/parse.go:59-184. */
+  val EscapeMatchers: Map[Char, (String, String)] = Map(
+    't' -> ("log_time", "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} [A-Z0-9+-:]+)"),
+    'm' -> ("log_time_ms", "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d+ [A-Z0-9+-:]+)"),
+    'p' -> ("pid", "(\\d+)"),
+    'l' -> ("log_line_no", "(\\d+)"),
+    'u' -> ("username", "([a-zA-Z0-9_\\.\\-]*)"),
+    'd' -> ("database", "([a-zA-Z0-9_\\.\\-]*)"),
+    'a' -> ("application", "([a-zA-Z0-9_\\.\\-\\[\\]\\(\\) ]*)"),
+    'h' -> ("host", "([a-zA-Z0-9:.\\-]*)"),
+    'r' -> ("host_port", "([a-zA-Z0-9:.\\-()\\[\\]]*)"),
+    'c' -> ("session_id", "([0-9a-fA-F.]*)"),
+    'v' -> ("virtual_txid", "([0-9/]*)"),
+    'x' -> ("txid", "(\\d*)"),
+    'e' -> ("sqlstate", "([0-9A-Z]{5})"),
+    'i' -> ("command_tag", "([a-zA-Z0-9_ ]*)"),
+    'n' -> ("epoch", "(\\d+\\.\\d+)"),
+    's' -> ("session_start", "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} [A-Z0-9+-:]+)"))
+
+  private val quotable = ".[]{}()*+-?^$|\\"
+
+  /** Compiled prefix: anchored regex over "prefix LEVEL: content" and the
+    * ordered field names, with `log_level` and `content` always the last
+    * two groups. */
+  final case class Compiled(regex: String, fields: Seq[String]) {
+    def groupOf(field: String): Int = fields.indexOf(field) + 1
+  }
+
+  val LevelAlternation: String =
+    "(DEBUG[1-5]|INFO|NOTICE|WARNING|ERROR|LOG|FATAL|PANIC|DETAIL|STATEMENT|HINT|CONTEXT|QUERY)"
+
+  def compile(prefix: String): Compiled = {
+    val sb = new StringBuilder("^")
+    val fields = scala.collection.mutable.ArrayBuffer[String]()
+    var optionalDepth = 0
+    var i = 0
+    while (i < prefix.length) {
+      val c = prefix.charAt(i)
+      if (c == '%' && i + 1 < prefix.length) {
+        val esc = prefix.charAt(i + 1)
+        if (esc == 'q') {
+          // %q: everything after only present for non-daemon processes
+          sb.append("(?:")
+          optionalDepth += 1
+        } else if (esc == '%') {
+          sb.append("%")
+        } else {
+          EscapeMatchers.get(esc) match {
+            case Some((name, frag)) => fields += name; sb.append(frag)
+            case None => sb.append(".*?")
+          }
+        }
+        i += 2
+      } else {
+        if (quotable.contains(c)) sb.append('\\')
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.append(")?" * optionalDepth)
+    sb.append(LevelAlternation).append(":\\s+(.*)$")
+    fields += "log_level"
+    fields += "content"
+    Compiled(sb.toString, fields.toSeq)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.logsys
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic synthetic Postgres-log corpus derived from the driver's
+  * `events` table — the log-pipeline stand-in for a real server log
+  * stream (the container has no live Postgres). Every derivation is
+  * plain string/int arithmetic so the DuckDB oracle can rebuild the
+  * identical corpus.
+  *
+  * Mapping (event_type → log line): click→duration+statement,
+  * purchase→checkpoint complete, view→connection received,
+  * signup→connection authorized, error→deadlock (ERROR level, with a
+  * DETAIL continuation line in [[linesWithContinuations]]).
+  */
+object LogSynth {
+
+  /** (event_id, pid, ts, log_level, content) */
+  def lines(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+      // floor before the long cast: Spark's double→long cast truncates
+      // while DuckDB's rounds — floor() is identical in both
+      .withColumn("ms", floor(col("value") * 100).cast("long"))
+    e.select(
+      col("event_id"),
+      col("user_id").as("pid"),
+      col("ts"),
+      when(col("event_type") === "error", "ERROR").otherwise("LOG")
+        .as("log_level"),
+      when(col("event_type") === "click",
+        concat(lit("duration: "), col("ms"), lit(".000 ms  statement: SELECT * FROM orders WHERE o_custkey = "), col("k")))
+        .when(col("event_type") === "purchase",
+          concat(lit("checkpoint complete: wrote "), col("k"), lit(" buffers")))
+        .when(col("event_type") === "view",
+          concat(lit("connection received: host=10.0.0.1 port="),
+            (lit(5000) + col("user_id") % 100)))
+        .when(col("event_type") === "signup",
+          concat(lit("connection authorized: user=u"), col("user_id"),
+            lit(" database=db"), col("k").cast("int") % 5))
+        .otherwise(lit("deadlock detected"))
+        .as("content"))
+  }
+
+  /** Same corpus plus a DETAIL continuation line after each ERROR
+    * primary (line_seq 0 = primary, 1 = continuation) — input for the
+    * context-association operator (W4). */
+  def linesWithContinuations(s: SparkSession, dir: String): DataFrame = {
+    val base = lines(s, dir)
+    val detail = base.filter(col("log_level") === "ERROR")
+      .select(col("event_id"), col("pid"), col("ts"),
+        lit("DETAIL").as("log_level"),
+        concat(lit("Process "), col("pid"),
+          lit(" waits for ShareLock on transaction ")).as("content"),
+        lit(1).as("line_seq"))
+    base.withColumn("line_seq", lit(0)).unionByName(detail)
+  }
+
+  /** Fully-rendered log line with a `%t [%p]: [%l-1] user=%u,db=%d `
+    * prefix — input for the prefix-parse operator (X5). */
+  def renderedLines(s: SparkSession, dir: String): DataFrame =
+    lines(s, dir).select(
+      col("event_id"),
+      concat(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit(" UTC ["),
+        col("pid"), lit("]: ["), col("event_id") % 1000, lit("-1] user=u"),
+        col("pid"), lit(",db=db"), col("pid") % 5, lit(" "),
+        col("log_level"), lit(":  "), col("content")).as("line"))
+}

@@ -19,6 +19,13 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (name == "entry") {
+      val df = SparkEntry.entry(spark)
+      df.explain("formatted")
+      println(s"entry rows: ${df.count()}")
+      spark.stop()
+      return
+    }
     val targets =
       if (name == "all") SparkEntry.queries
       else SparkEntry.queries.filter(_._1 == name)
