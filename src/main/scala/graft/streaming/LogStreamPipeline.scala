@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.logsys.{LogClassify, LogPrefix}
+
+/** End-to-end streaming log pipeline (SURVEY §3.3): raw line stream →
+  * prefix parse → per-pid stitch (3 s readiness watermark) → classify →
+  * 1-minute windowed classification counts, 10 s micro-batch trigger —
+  * the Structured-Streaming shape of the reference's
+  * `AnalyzeStreamInGroups` (`logs/stream/stream.go:240-312`) +
+  * 10 s tick (`runner/logs.go:30-31`).
+  *
+  * Sources are interchangeable streaming DataFrames with a single
+  * `value` string column: `spark.readStream.text(dir)` (the file-tail
+  * source, S26), a socket source (S27 syslog analogue), or a Kafka
+  * source in production (S28–S31).
+  */
+object LogStreamPipeline {
+
+  val Trigger10s: Trigger = Trigger.ProcessingTime("10 seconds")
+
+  /** Parse a raw `value` line stream with a compiled prefix. */
+  def parse(raw: DataFrame, compiled: LogPrefix.Compiled): DataFrame = {
+    val rx = compiled.regex
+    val g = (f: String) => compiled.groupOf(f)
+    raw.select(
+      regexp_extract(col("value"), rx, g("pid")).cast("long").as("pid"),
+      to_timestamp(regexp_extract(col("value"), rx, g("log_time")),
+        "yyyy-MM-dd HH:mm:ss zzz").as("ts"),
+      regexp_extract(col("value"), rx, g("log_line_no")).cast("long")
+        .as("lineNo"),
+      when(regexp_extract(col("value"), rx, 1) === "", lit("UNKNOWN"))
+        .otherwise(regexp_extract(col("value"), rx, g("log_level")))
+        .as("level"),
+      when(regexp_extract(col("value"), rx, 1) === "", col("value"))
+        .otherwise(regexp_extract(col("value"), rx, g("content")))
+        .as("content"))
+  }
+
+  /** parse → watermark → stitch → classify. Returns an append stream of
+    * (pid, ts, level, content, classification). */
+  def analyzed(raw: DataFrame, compiled: LogPrefix.Compiled): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val parsed = parse(raw, compiled)
+      .withWatermark("ts", "3 seconds")
+      .as[Stitch.RawLine]
+    Stitch(parsed).toDF()
+      .withColumn("classification", LogClassify.classify(col("content")))
+      .withColumn("class_name", LogClassify.className(col("classification")))
+  }
+
+  /** 1-minute tumbling classification counts with watermark — the
+    * compact-log-snapshot rollup (K2).
+    *
+    * Chaining a stateful agg after flatMapGroupsWithState trips Spark's
+    * static multi-stateful-operator check, which cannot see that Stitch
+    * emits at most (readiness delay + one trigger) late. That bound is
+    * the reference's own guarantee (3 s readiness + discard policy, W1/
+    * W7) and the 30 s watermark here covers it, so callers disable
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
+    * for this composition (see [[configureFor]]). */
+  def windowedClassCounts(analyzed: DataFrame): DataFrame =
+    analyzed
+      .withWatermark("ts", "30 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("classification"),
+        col("class_name"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session settings required for the stitch→window composition. */
+  def configureFor(spark: SparkSession): Unit =
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false")
+
+  /** Wire to a sink with the reference's 10 s micro-batch cadence. */
+  def writer(df: DataFrame, format: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format(format)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger10s)
+      .outputMode("append")
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-backend log-line stitching — the reference's core streaming
+  * operator (`logs/stitch.go:14-56`, `logs/stream/stream.go:202-231`,
+  * W3 in SURVEY §2.9):
+  *
+  *  - lines with no recognized level ("UNKNOWN") are continuations of the
+  *    pending primary line of the same backend pid and are appended to
+  *    its content, capped at [[MaxStitchedBytes]] (10 MB — excess dropped,
+  *    `truncated` flagged);
+  *  - a new primary line flushes the pending one;
+  *  - an event-time timeout (the 3 s readiness watermark, W1,
+  *    `logs/stream/stream.go:233`) flushes a pending line once the
+  *    watermark passes it — the defer/discard triage;
+  *  - out-of-order repair (W2): within a micro-batch, lines sort by
+  *    (ts, lineNo) before stitching.
+  *
+  * State per pid is one pending line — bounded by the line cap, evicted
+  * by timeout (W7 poison-line policy).
+  */
+object Stitch {
+
+  val MaxStitchedBytes: Int = 10 * 1024 * 1024
+
+  case class RawLine(pid: Long, ts: Timestamp, level: String,
+      content: String, lineNo: Long)
+  case class StitchedLine(pid: Long, ts: Timestamp, level: String,
+      content: String, nLines: Int, truncated: Boolean)
+
+  /** public: the state encoder's generated code must reach the ctor */
+  case class Pending(ts: Timestamp, level: String, content: String,
+      nLines: Int, truncated: Boolean)
+
+  /** `watermarkDelay` e.g. "3 seconds" — rows must carry event time in
+    * `ts`; callers apply `withWatermark` upstream when streaming. */
+  def apply(lines: Dataset[RawLine]): Dataset[StitchedLine] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+
+    lines.groupByKey(_.pid)
+      .flatMapGroupsWithState[Pending, StitchedLine](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (pid: Long, it: Iterator[RawLine], state: GroupState[Pending]) =>
+          if (state.hasTimedOut) {
+            val flushed = state.getOption.map(p =>
+              StitchedLine(pid, p.ts, p.level, p.content, p.nLines, p.truncated))
+            state.remove()
+            flushed.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(r => (r.ts.getTime, r.lineNo))
+            val out = Seq.newBuilder[StitchedLine]
+            var pending = state.getOption
+            sorted.foreach { r =>
+              if (r.level == "UNKNOWN" && pending.isDefined) {
+                val p = pending.get
+                val room = MaxStitchedBytes - p.content.length
+                if (room <= 0)
+                  pending = Some(p.copy(truncated = true, nLines = p.nLines + 1))
+                else {
+                  val add = "\n" + r.content
+                  val clipped = if (add.length > room) add.take(room) else add
+                  pending = Some(p.copy(
+                    content = p.content + clipped,
+                    nLines = p.nLines + 1,
+                    truncated = p.truncated || add.length > room))
+                }
+              } else {
+                pending.foreach(p => out += StitchedLine(
+                  pid, p.ts, p.level, p.content, p.nLines, p.truncated))
+                val level = if (r.level == "UNKNOWN") "LOG" else r.level
+                pending = Some(Pending(r.ts, level, r.content, 1, truncated = false))
+              }
+            }
+            pending match {
+              case Some(p) =>
+                state.update(p)
+                // flush once the 3 s readiness watermark passes the line
+                state.setTimeoutTimestamp(p.ts.getTime + 3000)
+              case None => state.remove()
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

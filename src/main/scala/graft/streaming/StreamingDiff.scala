@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming counter-diff: the `flatMapGroupsWithState` form of
+  * [[graft.operators.Diff]], with the exact semantics the reference keeps
+  * in `server.PrevState` (`runner/diff.go:38-96`): state per key is the
+  * last-seen counter vector; each arriving snapshot emits deltas against
+  * it with first-run / new-key / reset handling, then replaces it.
+  *
+  * State is O(keys × counters) — what the Go daemon holds in RAM per
+  * server, here sharded across executors by the group key. A processing
+  * -time timeout evicts keys idle longer than `idleTimeoutMs` (the
+  * state-cap analogue of the reference's fingerprint-cache eviction,
+  * `state/fingerprints.go:51-67`).
+  */
+object StreamingDiff {
+
+  case class DiffRow(key: String, orderTs: Timestamp, counters: Map[String, Double])
+  case class DiffOut(key: String, orderTs: Timestamp,
+      deltas: Map[String, Double], firstSeen: Boolean)
+
+  def apply(rows: Dataset[DiffRow], idleTimeoutMs: Long = 0L): Dataset[DiffOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[Map[String, Double], DiffOut](
+        OutputMode.Append, timeoutConf) {
+        (key: String, it: Iterator[DiffRow], state: GroupState[Map[String, Double]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(r => (r.orderTs.getTime, r.orderTs.getNanos))
+            var prev = state.getOption
+            val out = sorted.map { r =>
+              val first = prev.isEmpty
+              val deltas = r.counters.map { case (name, cur) =>
+                name -> (prev.flatMap(_.get(name)) match {
+                  case None => cur                  // first run / new counter
+                  case Some(p) if cur < p => cur    // reset → re-baseline
+                  case Some(p) => cur - p
+                })
+              }
+              prev = Some(r.counters)
+              DiffOut(key, r.orderTs, deltas, first)
+            }
+            if (prev.isDefined) state.update(prev.get)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup
+    (4L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized docs") {
+    val groups = Dedup.exact(docs, "doc_id", "text")
+      .select("canonical_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(groups == Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash signatures: identical docs equal, disjoint docs differ") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("lsh candidates find the near-dup pair, not the disjoint one") {
+    val cands = Dedup.lshCandidates(
+      Dedup.minhashSignatures(docs, "doc_id", "text"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(cands.contains((1L, 3L)))
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical → hamming 0; near dup small; pairs found") {
+    // simhash needs wide majority margins → longer docs than the jaccard
+    // fixtures (with 8 words a single substitution flips ~half the bits)
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word30", "changed")
+    val sdocs = Seq((1L, base), (2L, base), (3L, near),
+      (4L, "entirely different short text")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash(sdocs, "doc_id", "text"), maxHamming = 16)
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).exists(h => h > 0 && h <= 16),
+      s"near-dup hamming: $pairs")
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("exact jaccard: dup pair = 1.0, near pair high, disjoint absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) == 7.0 / 9.0) // 7 shared of 8+8-7 distinct
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("cosine expression: identity 1, orthogonal 0, known value") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 1L, Array(1.0f, 0.0f), 1.0),
+      (2L, Array(1.0f, 0.0f), 2L, Array(0.0f, 1.0f), 0.0),
+      (3L, Array(3.0f, 4.0f), 3L, Array(4.0f, 3.0f), 24.0 / 25.0)
+    ).toDF("a_id", "a", "b_id", "b", "expected")
+    val bad = vecs
+      .withColumn("got", Similarity.cosine(col("a"), col("b")))
+      .filter(abs(col("got") - col("expected")) > 1e-15).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+
+  test("bruteForceTopK ranks by similarity with id tie-break") {
+    val qs = Seq((1L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.1f)),
+      (11L, Array(1.0f, 1.0f)),
+      (12L, Array(0.0f, 1.0f))).toDF("n_id", "n_vec")
+    val got = Similarity.bruteForceTopK(qs, corpus, 2)
+      .orderBy("rank").select("n_id").as[Long].collect().toSeq
+    assert(got == Seq(10L, 11L))
+  }
+}

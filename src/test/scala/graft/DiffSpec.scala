@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Diff
+
+/** §2.5 semantics: first-run baseline, plain delta, reset re-baseline. */
+class DiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("counterDiff: first-run, delta, reset, new-key semantics") {
+    val df = Seq(
+      ("a", 1, 100.0), // first observation → emit 100 (diff vs zero)
+      ("a", 2, 150.0), // delta 50
+      ("a", 3, 30.0),  // reset (30 < 150) → re-baseline, emit 30
+      ("a", 4, 35.0),  // delta 5
+      ("b", 9, 7.0)    // new key later → emit 7
+    ).toDF("key", "seq", "calls")
+
+    val got = Diff.counterDiff(df, Seq("key"), Seq("seq"), Seq("calls"))
+      .select("key", "seq", "calls_delta")
+      .as[(String, Int, Double)].collect().toSet
+
+    assert(got == Set(
+      ("a", 1, 100.0), ("a", 2, 50.0), ("a", 3, 30.0), ("a", 4, 5.0),
+      ("b", 9, 7.0)))
+  }
+
+  test("counterDiff without reset handling allows negative deltas") {
+    val df = Seq(("a", 1, 100.0), ("a", 2, 40.0)).toDF("key", "seq", "v")
+    val got = Diff.counterDiff(df, Seq("key"), Seq("seq"), Seq("v"),
+      handleResets = false)
+      .select("v_delta").as[Double].collect().toSet
+    assert(got == Set(100.0, -60.0))
+  }
+
+  test("rate: delta over exact seconds, null when no predecessor") {
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 30.0)
+    ).toDF("key", "ts", "v")
+    val got = Diff.rate(df, Seq("key"), "ts", "v")
+      .select("v_rate").as[Option[Double]].collect().toSet
+    assert(got == Set(None, Some(2.0)))
+  }
+}

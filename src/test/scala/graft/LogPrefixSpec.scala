@@ -1,0 +1,62 @@
+package graft
+
+import graft.logsys.{LogClassify, LogPrefix}
+
+class LogPrefixSpec extends SparkSpec {
+
+  test("compiled recommended prefix matches the oracle-embedded regex") {
+    // QueriesLog/Oracles embed this exact pattern — keep them in sync.
+    val c = LogPrefix.compile("%t [%p]: [%l-1] user=%u,db=%d ")
+    assert(c.regex ==
+      "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} [A-Z0-9+-:]+) " +
+        "\\[(\\d+)\\]: \\[(\\d+)\\-1\\] user=([a-zA-Z0-9_\\.\\-]*)," +
+        "db=([a-zA-Z0-9_\\.\\-]*) " + LogPrefix.LevelAlternation +
+        ":\\s+(.*)$")
+    assert(c.fields == Seq("log_time", "pid", "log_line_no", "username",
+      "database", "log_level", "content"))
+  }
+
+  test("parses an RDS-style line") {
+    val c = LogPrefix.compile("%t:%r:%u@%d:[%p]:")
+    val line = "2024-03-01 10:11:12 UTC:10.0.0.1(5432):alice@mydb:[4711]:LOG:  duration: 100.0 ms"
+    val m = java.util.regex.Pattern.compile(c.regex).matcher(line)
+    assert(m.find())
+    assert(m.group(c.groupOf("pid")) == "4711")
+    assert(m.group(c.groupOf("username")) == "alice")
+    assert(m.group(c.groupOf("database")) == "mydb")
+    assert(m.group(c.groupOf("log_level")) == "LOG")
+    assert(m.group(c.groupOf("content")) == "duration: 100.0 ms")
+  }
+
+  test("%q optional tail: daemon lines without the tail still parse") {
+    val c = LogPrefix.compile("%m [%p] %q[user=%u] ")
+    val daemon = "2024-03-01 10:11:12.345 UTC [99] LOG:  checkpoint starting: time"
+    val m = java.util.regex.Pattern.compile(c.regex).matcher(daemon)
+    assert(m.find())
+    assert(m.group(c.groupOf("pid")) == "99")
+    assert(m.group(c.groupOf("log_level")) == "LOG")
+  }
+
+  test("classification table matches realistic content lines") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val lines = Seq(
+      "duration: 1538.450 ms  statement: SELECT * FROM t" -> 8,
+      "connection received: host=10.0.0.1 port=5432" -> 1,
+      "connection authorized: user=app database=prod" -> 2,
+      "disconnection: session time: 0:09:59.999 user=app" -> 3,
+      "checkpoint starting: time" -> 4,
+      "checkpoint complete: wrote 1171 buffers (7.1%)" -> 5,
+      "automatic vacuum of table \"db.public.t\": index scans: 1" -> 6,
+      "deadlock detected" -> 7,
+      "canceling statement due to statement timeout" -> 9,
+      "out of memory" -> 10,
+      "temporary file: path \"base/pgsql_tmp/x\", size 2034" -> 12,
+      "some unclassifiable line" -> 0)
+    val df = lines.toDF("content", "expected")
+      .withColumn("got", LogClassify.classify(col("content")))
+    val bad = df.filter(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, PgFns, TextFns}
+
+class PgFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globToRegex translates wildcards and quotes regex chars") {
+    assert(PgFns.globToRegex("public.*") == "^public\\..*$")
+    assert(PgFns.globToRegex("s?.t[1]") == "^s.\\.t\\[1\\]$")
+    assert("public.users".matches(PgFns.globToRegex("public.*")))
+    assert(!"other.users".matches(PgFns.globToRegex("public.*")))
+  }
+
+  test("normalizeQuery masks string then numeric literals") {
+    val got = Seq("SELECT * FROM t WHERE a = 'x1' AND b = 42 AND c = 4.5")
+      .toDF("q").select(PgFns.normalizeQuery(col("q"))).as[String].head()
+    assert(got == "SELECT * FROM t WHERE a = ? AND b = ? AND c = ?")
+  }
+
+  test("isUtilityStatement flags DDL, not DML") {
+    val rows = Seq("CREATE TABLE x (a int)", "vacuum analyze t",
+      "SELECT 1", "INSERT INTO t VALUES (1)")
+      .toDF("q").select(col("q"), PgFns.isUtilityStatement(col("q")))
+      .as[(String, Boolean)].collect().toMap
+    assert(rows("CREATE TABLE x (a int)"))
+    assert(rows("vacuum analyze t"))
+    assert(!rows("SELECT 1"))
+    assert(!rows("INSERT INTO t VALUES (1)"))
+  }
+
+  test("xidToXid8 wraparound reconstruction") {
+    // current xid8 = epoch 2, low 1000; xid 999 → epoch 2; xid 2000 →
+    // epoch 1 (already wrapped past it)
+    val cur = (2L << 32) + 1000L
+    val got = Seq(999L, 2000L).toDF("xid")
+      .select(PgFns.xidToXid8(col("xid"), lit(cur))).as[Long].collect().toSeq
+    assert(got == Seq((2L << 32) + 999L, (1L << 32) + 2000L))
+  }
+
+  test("fnv1a64 is stable (golden values)") {
+    // golden: FNV-1a 64 of "a" per the public reference vectors
+    assert(Hashing.fnv1a64("") == 0xcbf29ce484222325L)
+    assert(Hashing.fnv1a64("a") == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("tokenCount counts letter runs, digit runs and marks") {
+    val got = Seq("Hello world-42!").toDF("t")
+      .select(TextFns.tokenCount(col("t"))).as[Int].head()
+    // hello, world, -, 42, ! → 5
+    assert(got == 5)
+  }
+}

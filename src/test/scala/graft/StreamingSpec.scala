@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Stitch, StreamingDiff}
+
+/** W1/W3/W5 semantics driven through real Structured Streaming
+  * micro-batches (MemoryStream + processAllAvailable per batch). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming diff keeps last-seen state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingDiff.DiffRow]
+    val out = StreamingDiff(input.toDS())
+    val q = out.writeStream.format("memory").queryName("sdiff")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(StreamingDiff.DiffRow("k1", ts("2024-01-01 00:00:00"),
+        Map("calls" -> 100.0)))
+      q.processAllAvailable()
+      input.addData(
+        StreamingDiff.DiffRow("k1", ts("2024-01-01 00:01:00"),
+          Map("calls" -> 150.0)),
+        StreamingDiff.DiffRow("k1", ts("2024-01-01 00:02:00"),
+          Map("calls" -> 20.0)), // reset
+        StreamingDiff.DiffRow("k2", ts("2024-01-01 00:02:00"),
+          Map("calls" -> 9.0)))  // new key mid-stream
+      q.processAllAvailable()
+      val got = spark.table("sdiff")
+        .as[StreamingDiff.DiffOut].collect()
+        .map(o => (o.key, o.orderTs.toString, o.deltas("calls"), o.firstSeen))
+        .toSet
+      assert(got == Set(
+        ("k1", "2024-01-01 00:00:00.0", 100.0, true),
+        ("k1", "2024-01-01 00:01:00.0", 50.0, false),
+        ("k1", "2024-01-01 00:02:00.0", 20.0, false), // re-baselined
+        ("k2", "2024-01-01 00:02:00.0", 9.0, true)))
+    } finally q.stop()
+  }
+
+  test("stitch appends continuations, flushes on new primary + watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Stitch.RawLine]
+    val out = Stitch(input.toDS().withWatermark("ts", "3 seconds")
+      .as[Stitch.RawLine])
+    val q = out.writeStream.format("memory").queryName("stitched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: primary + two UNKNOWN continuations for pid 1
+      input.addData(
+        Stitch.RawLine(1L, ts("2024-01-01 00:00:00"), "ERROR",
+          "deadlock detected", 1),
+        Stitch.RawLine(1L, ts("2024-01-01 00:00:00"), "UNKNOWN",
+          "Process 1 waits for ShareLock", 2),
+        Stitch.RawLine(1L, ts("2024-01-01 00:00:00"), "UNKNOWN",
+          "Process 2 waits for ShareLock", 3))
+      q.processAllAvailable()
+      assert(spark.table("stitched").isEmpty) // still pending (not ready)
+
+      // batch 2: a new primary flushes the stitched ERROR line
+      input.addData(Stitch.RawLine(1L, ts("2024-01-01 00:00:01"), "LOG",
+        "checkpoint starting: time", 4))
+      q.processAllAvailable()
+      val first = spark.table("stitched").as[Stitch.StitchedLine].collect()
+      assert(first.length == 1)
+      assert(first.head.level == "ERROR")
+      assert(first.head.content ==
+        "deadlock detected\nProcess 1 waits for ShareLock\nProcess 2 waits for ShareLock")
+      assert(first.head.nLines == 3)
+
+      // batch 3: advance the watermark past 00:00:01+3s → timeout flush
+      input.addData(Stitch.RawLine(2L, ts("2024-01-01 00:01:00"), "LOG",
+        "unrelated", 5))
+      q.processAllAvailable()
+      input.addData(Stitch.RawLine(2L, ts("2024-01-01 00:02:00"), "LOG",
+        "unrelated2", 6))
+      q.processAllAvailable()
+      val all = spark.table("stitched").as[Stitch.StitchedLine].collect()
+      assert(all.exists(l => l.pid == 1L &&
+        l.content == "checkpoint starting: time"),
+        s"watermark timeout should flush the pending LOG line: ${all.toSeq}")
+    } finally q.stop()
+  }
+}
