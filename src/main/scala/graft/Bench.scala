@@ -1,23 +1,47 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark entrypoint. Forces FULL materialization of every query —
+  * `agg(sum(xxhash64(struct(*))))` consumes every output column, so
+  * Catalyst cannot prune the projection work the way a bare `count()`
+  * lets it (regex/md5 columns would otherwise be optimized away and the
+  * bench would time a parquet scan). A warmup query amortizes session /
+  * codegen startup out of the per-query numbers, and queries run in
+  * deterministic (sorted) order so per-round deltas are comparable.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def force(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // decimal sum: a LongType sum of 64-bit hashes overflows under
+      // ANSI mode (Spark 4 default)
+      df.agg(sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+        .cast("decimal(38,0)"))).head
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // warmup: run the first query once to pay session/codegen startup
+    try force(names.head) catch { case _: Throwable => () }
+
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -154,7 +154,11 @@ object Queries {
   // event-time buckets).
   def w10TumblingWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("bucket_hour"),
+      // timestamp_ntz: the DuckDB oracle emits naive TIMESTAMP; Spark's
+      // session-tz timestamp is the same instant but a different logical
+      // type, which fails the driver's schema compare.
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz")
+          .as("bucket_hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
 
@@ -182,9 +186,13 @@ object Queries {
   // output/transform/postgres_statements.go:90-95): keep only events
   // within 24 h of the corpus max timestamp.
   def f9StaleFilter(s: SparkSession, dir: String): DataFrame = {
+    // One lazy plan: the 1-row max aggregate is broadcast-cross-joined
+    // into the scan instead of collected driver-side at plan time (which
+    // would run an eager extra job per query construction).
     val e = Tables.events(s, dir)
-    val maxTs = e.agg(max("ts")).head.getTimestamp(0)
-    e.filter(col("ts") >= lit(maxTs) - expr("INTERVAL 24 HOURS"))
+    val maxTs = e.agg(max("ts").as("max_ts"))
+    e.crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
       .groupBy("event_type").agg(count(lit(1)).as("n"))
   }
 }

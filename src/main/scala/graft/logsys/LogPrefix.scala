@@ -15,8 +15,8 @@ object LogPrefix {
   /** escape → (fieldName, regex fragment). Fragments follow
     * logs/parse.go:59-184. */
   val EscapeMatchers: Map[Char, (String, String)] = Map(
-    't' -> ("log_time", "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} [A-Z0-9+-:]+)"),
-    'm' -> ("log_time_ms", "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d+ [A-Z0-9+-:]+)"),
+    't' -> ("log_time", "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} [A-Z0-9+:-]+)"),
+    'm' -> ("log_time_ms", "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d+ [A-Z0-9+:-]+)"),
     'p' -> ("pid", "(\\d+)"),
     'l' -> ("log_line_no", "(\\d+)"),
     'u' -> ("username", "([a-zA-Z0-9_\\.\\-]*)"),
@@ -30,7 +30,10 @@ object LogPrefix {
     'e' -> ("sqlstate", "([0-9A-Z]{5})"),
     'i' -> ("command_tag", "([a-zA-Z0-9_ ]*)"),
     'n' -> ("epoch", "(\\d+\\.\\d+)"),
-    's' -> ("session_start", "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} [A-Z0-9+-:]+)"))
+    'b' -> ("backend_type", "([a-z ]+)"),
+    'P' -> ("leader_pid", "(\\d*)"),
+    'Q' -> ("query_id", "(-?\\d+)"),
+    's' -> ("session_start", "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} [A-Z0-9+:-]+)"))
 
   private val quotable = ".[]{}()*+-?^$|\\"
 

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Dimension encoding — the reference's snapshot "reference array + idx"
   * scheme (`output/transform/util.go:25-150`, J5 in SURVEY §2.3): every
@@ -13,20 +13,32 @@ import org.apache.spark.sql.functions._
   * sorted value so the encoding is deterministic under any partitioning /
   * parallelism (insertion order is not reproducible on a cluster).
   *
-  * Scale notes: the dimension table is the distinct set of values —
-  * orders of magnitude smaller than the fact table — so the index join is
-  * a broadcast hash join (no shuffle of the fact side). The dense_rank
-  * window runs only over the distinct values.
+  * Scale notes: the index is assigned with a distributed range-partitioned
+  * sort + `zipWithIndex` — NOT a global `Window.orderBy` (which would move
+  * every distinct value to a single partition; fatal when the dimension is
+  * query fingerprints with millions of distinct values at 100 TB). The
+  * fact-side join broadcasts the dim when small; Spark falls back to a
+  * shuffle hash join automatically past the broadcast threshold.
   */
 object DimEncode {
 
-  /** Returns (dim, fact): dim = (idx, value) with 1-based dense index by
-    * sorted value; fact = input with `<col>_idx` added via broadcast join. */
+  /** Returns (dim, fact): dim = (value, idx) with 1-based dense index by
+    * sorted value (nulls first); fact = input with `<col>_idx` added.
+    * Null-safe join: a NULL dimension value still gets an index. */
   def encode(df: DataFrame, dimCol: String): (DataFrame, DataFrame) = {
-    val dim = df.select(col(dimCol)).distinct()
-      .withColumn(s"${dimCol}_idx",
-        dense_rank().over(Window.orderBy(col(dimCol))))
-    val fact = df.join(broadcast(dim), Seq(dimCol))
+    val spark = df.sparkSession
+    val idxCol = s"${dimCol}_idx"
+    val valueField = df.select(dimCol).schema.fields.head
+    // distinct + range-partitioned sort stay distributed; zipWithIndex
+    // assigns contiguous ids with one lightweight partition-size pass.
+    val sorted = df.select(col(dimCol)).distinct().orderBy(col(dimCol))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row(r.get(0), (i + 1).toInt)
+    }
+    val dim = spark.createDataFrame(indexed,
+      StructType(Seq(valueField, StructField(idxCol, IntegerType, nullable = false))))
+    val fact = df.join(broadcast(dim), df(dimCol) <=> dim(dimCol))
+      .drop(dim(dimCol))
     (dim, fact)
   }
 

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets.UTF_8
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -26,6 +27,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Stitch {
 
   val MaxStitchedBytes: Int = 10 * 1024 * 1024
+
+  /** Longest prefix of `s` whose UTF-8 encoding fits `room` bytes,
+    * never splitting a surrogate pair. */
+  private def clipUtf8(s: String, room: Int): String = {
+    var bytes = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = if (cp < 0x80) 1 else if (cp < 0x800) 2
+              else if (cp < 0x10000) 3 else 4
+      if (bytes + w > room) return s.substring(0, i)
+      bytes += w
+      i += Character.charCount(cp)
+    }
+    s
+  }
 
   case class RawLine(pid: Long, ts: Timestamp, level: String,
       content: String, lineNo: Long)
@@ -58,16 +75,21 @@ object Stitch {
             sorted.foreach { r =>
               if (r.level == "UNKNOWN" && pending.isDefined) {
                 val p = pending.get
-                val room = MaxStitchedBytes - p.content.length
+                // byte-measured cap (the reference caps bytes, not chars;
+                // UTF-16 length undercounts multi-byte content 3-4x)
+                val used = p.content.getBytes(UTF_8).length
+                val room = MaxStitchedBytes - used
                 if (room <= 0)
                   pending = Some(p.copy(truncated = true, nLines = p.nLines + 1))
                 else {
                   val add = "\n" + r.content
-                  val clipped = if (add.length > room) add.take(room) else add
+                  val addBytes = add.getBytes(UTF_8)
+                  val clipped =
+                    if (addBytes.length > room) clipUtf8(add, room) else add
                   pending = Some(p.copy(
                     content = p.content + clipped,
                     nLines = p.nLines + 1,
-                    truncated = p.truncated || add.length > room))
+                    truncated = p.truncated || addBytes.length > room))
                 }
               } else {
                 pending.foreach(p => out += StitchedLine(
@@ -79,8 +101,13 @@ object Stitch {
             pending match {
               case Some(p) =>
                 state.update(p)
-                // flush once the 3 s readiness watermark passes the line
-                state.setTimeoutTimestamp(p.ts.getTime + 3000)
+                // flush once the 3 s readiness watermark passes the line;
+                // clamp above the current watermark — a timeout at or
+                // before it throws in GroupStateImpl when a continuation
+                // arrives in the same micro-batch that advanced the
+                // watermark past the pending primary's deadline
+                state.setTimeoutTimestamp(
+                  math.max(p.ts.getTime + 3000, state.getCurrentWatermarkMs() + 1))
               case None => state.remove()
             }
             out.result().iterator

@@ -8,7 +8,7 @@ class LogPrefixSpec extends SparkSpec {
     // QueriesLog/Oracles embed this exact pattern — keep them in sync.
     val c = LogPrefix.compile("%t [%p]: [%l-1] user=%u,db=%d ")
     assert(c.regex ==
-      "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} [A-Z0-9+-:]+) " +
+      "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} [A-Z0-9+:-]+) " +
         "\\[(\\d+)\\]: \\[(\\d+)\\-1\\] user=([a-zA-Z0-9_\\.\\-]*)," +
         "db=([a-zA-Z0-9_\\.\\-]*) " + LogPrefix.LevelAlternation +
         ":\\s+(.*)$")
