@@ -1,0 +1,183 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+/** Generated DuckDB oracle SQL for the hash-based dedup/similarity
+  * entries. The engine's hash constants (FNV-1a permutation mixers,
+  * LSH hyperplane matrices) are inlined as literals from the SAME Scala
+  * values the engine uses — one source of truth, so the oracle verifies
+  * the exact signature family, not a lookalike.
+  *
+  * Numeric parity notes:
+  *  - FNV-1a runs in HUGEINT (128-bit) with explicit mod-2^64 wrapping;
+  *    signed/unsigned conversion matches JVM Long two's complement.
+  *  - Hyperplane components are exact in IEEE doubles (see
+  *    [[Similarity.planeMatrix]]), so decimal literals round-trip.
+  *  - Dot products / norms use list_reduce over index-ordered products —
+  *    the same sequential accumulation order as the engine's loops, so
+  *    doubles are bit-identical (proven by embed_cosine_topk in r1).
+  */
+object OraclesGen {
+
+  /** FNV-1a 64 over the UTF-8 bytes of `e` (ASCII corpus), as unsigned
+    * HUGEINT in [0, 2^64). */
+  private def fnvHuge(e: String): String =
+    s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(regexp_extract_all($e, '.'), c -> CAST(ord(c) AS HUGEINT))),
+       |    (a, b) -> ((a - (a % 256) + CAST(xor(CAST(a % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT)) * 1099511628211)
+       |              % CAST(18446744073709551616 AS HUGEINT))""".stripMargin
+
+  /** Tokenize documents into per-doc distinct word lists + exploded
+    * tokens + one FNV hash per distinct word (shared CTE prefix). */
+  private val tokenCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)) AS ws
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w FROM d)""".stripMargin
+
+  private def longList(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
+
+  private def planeLit(m: Array[Array[Double]]): String =
+    m.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  // ------------------------------------------------------------- minhash
+
+  val dedupMinhashLsh: String = {
+    val consts = longList(Dedup.permConsts.toIndexedSeq)
+    val maxList = longList(Seq.fill(Dedup.NumPerms)(Long.MaxValue))
+    s"""WITH $tokenCtes,
+       |wh AS (
+       |  SELECT w, CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS h0
+       |  FROM (SELECT w, ${fnvHuge("w")} AS h FROM (SELECT DISTINCT w FROM tok))),
+       |perm AS (SELECT unnest(range(64)) AS p, unnest($consts) AS c),
+       |hp AS (
+       |  SELECT doc_id, p, min(CAST(CASE WHEN mm >= 9223372036854775808 THEN mm - 18446744073709551616 ELSE mm END AS BIGINT)) AS mh
+       |  FROM (
+       |    SELECT doc_id, p,
+       |      ((CASE WHEN x < 0 THEN CAST(x AS HUGEINT) + 18446744073709551616 ELSE CAST(x AS HUGEINT) END) * 1099511628211) % 18446744073709551616 AS mm
+       |    FROM (SELECT t.doc_id, perm.p, xor(wh.h0, perm.c) AS x
+       |          FROM tok t JOIN wh USING (w) CROSS JOIN perm))
+       |  GROUP BY doc_id, p),
+       |sig0 AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM hp GROUP BY doc_id),
+       |sigs AS (SELECT d.doc_id AS id, COALESCE(s.sig, $maxList) AS sig FROM d LEFT JOIN sig0 s USING (doc_id)),
+       |banded AS (SELECT id, sig, unnest(range(8)) AS band FROM sigs),
+       |bs AS (SELECT id, sig, band, sig[band*8+1 : band*8+8] AS band_sig FROM banded),
+       |bn AS (SELECT band, band_sig, count(*) AS n FROM bs GROUP BY band, band_sig),
+       |b2 AS (SELECT bs.* FROM bs JOIN bn USING (band, band_sig) WHERE bn.n <= 1000),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM b2 a JOIN b2 b ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id)
+       |SELECT id_a, id_b, round(est, 6) AS est_jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_filter(range(64), i -> sig_a[i+1] = sig_b[i+1])) AS DOUBLE) / 64 AS est
+       |  FROM pairs) t
+       |WHERE est >= 0.7""".stripMargin
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  val dedupSimhash: String = {
+    // 2^63 exceeds BIGINT — emit via BigInt so DuckDB parses HUGEINT
+    val powList = (0 until 64).map(j => (BigInt(1) << j).toString)
+      .mkString("[", ", ", "]")
+    val chunkPows = longList((0 until 4).map(c => 1L << (16 * c)))
+    s"""WITH $tokenCtes,
+       |wh AS (
+       |  SELECT w, ${fnvHuge("w")} AS hu FROM (SELECT DISTINCT w FROM tok)),
+       |bitj AS (SELECT unnest(range(64)) AS j, unnest($powList) AS pw),
+       |bits AS (
+       |  SELECT doc_id, j, pw, sum(CASE WHEN (hu // pw) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+       |  FROM tok JOIN wh USING (w) CROSS JOIN bitj
+       |  GROUP BY doc_id, j, pw),
+       |sh0 AS (
+       |  SELECT doc_id, sum(CASE WHEN acc > 0 THEN pw ELSE CAST(0 AS HUGEINT) END) AS hu
+       |  FROM bits GROUP BY doc_id),
+       |shs AS (
+       |  SELECT d.doc_id AS id,
+       |    COALESCE(CAST(CASE WHEN s.hu >= 9223372036854775808 THEN s.hu - 18446744073709551616 ELSE s.hu END AS BIGINT), 0) AS sh,
+       |    COALESCE(s.hu, CAST(0 AS HUGEINT)) AS hu
+       |  FROM d LEFT JOIN sh0 s USING (doc_id)),
+       |cp AS (SELECT unnest(range(4)) AS c, unnest($chunkPows) AS cpw),
+       |chunks AS (SELECT id, sh, c, (hu // cpw) % 65536 AS cv FROM shs CROSS JOIN cp),
+       |bn AS (SELECT c, cv, count(*) AS n FROM chunks GROUP BY c, cv),
+       |c2 AS (SELECT chunks.* FROM chunks JOIN bn USING (c, cv) WHERE bn.n <= 10000),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+       |  FROM c2 a JOIN c2 b ON a.c = b.c AND a.cv = b.cv AND a.id < b.id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
+  }
+
+  // ----------------------------------------------------------- embeddings
+
+  /** Sequential-order dot product of two expressions addressing DuckDB
+    * lists (bit-identical to the engine's index-ordered loop). */
+  private def seqDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(least(len($a), len($b))),
+       |        i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x,y) -> x+y)""".stripMargin
+
+  /** sign-bit bucketing CTE: per vec_id, sum of 2^p over planes with
+    * positive dot. `planesLit`/`powsLit` are inlined constants. */
+  private def signBitsCte(nPlanes: Int, planesLit: String, powsLit: String): String =
+    s"""pl AS (SELECT unnest(range($nPlanes)) AS p, unnest($powsLit) AS pw, unnest($planesLit) AS plane),
+       |e AS (SELECT vec_id, embedding AS vec FROM embeddings),
+       |sb AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN pw ELSE 0 END) AS BIGINT) AS allbits
+       |  FROM (
+       |    SELECT e.vec_id, pl.pw,
+       |      list_reduce(list_transform(range(least(len(pl.plane), len(e.vec))),
+       |        i -> pl.plane[i+1] * CAST(e.vec[i+1] AS DOUBLE)), (x,y) -> x+y) AS dot
+       |    FROM e CROSS JOIN pl)
+       |  GROUP BY vec_id)""".stripMargin
+
+  private def cosineSelect(aVec: String, bVec: String): String =
+    s"""CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END AS sim
+       |  FROM (
+       |    SELECT *,
+       |      ${seqDot(aVec, bVec)} AS dot,
+       |      sqrt(${seqDot(aVec, aVec)}) * sqrt(${seqDot(bVec, bVec)}) AS denom""".stripMargin
+
+  val embedAnnLsh: String = {
+    val planes = Similarity.planeMatrix(8, 64)
+    val pows = longList((0 until 8).map(1L << _))
+    s"""WITH ${signBitsCte(8, planeLit(planes), pows)},
+       |qb AS (SELECT e.vec_id AS q_id, e.vec AS q_vec, sb.allbits AS bucket FROM e JOIN sb USING (vec_id) WHERE vec_id < 20),
+       |cb AS (SELECT e.vec_id AS n_id, e.vec AS n_vec, sb.allbits AS bucket FROM e JOIN sb USING (vec_id)),
+       |sc AS (
+       |  SELECT q_id, n_id, ${cosineSelect("q_vec", "n_vec")}
+       |    FROM (SELECT q.q_id, c.n_id, q.q_vec, c.n_vec
+       |          FROM qb q JOIN cb c ON q.bucket = c.bucket AND q.q_id <> c.n_id)))
+       |SELECT q_id, n_id, rank, sim FROM (
+       |  SELECT q_id, n_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+       |  FROM sc) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  val embedNearDups: String = {
+    val bits = 4; val sigs = 8
+    val planes = Similarity.planeMatrix(bits * sigs, 64)
+    val pows = longList((0 until bits * sigs).map(1L << _))
+    val sigPows = longList((0 until sigs).map(s => 1L << (bits * s)))
+    s"""WITH ${signBitsCte(bits * sigs, planeLit(planes), pows)},
+       |sp AS (SELECT unnest(range($sigs)) AS sig, unnest($sigPows) AS spw),
+       |banded AS (
+       |  SELECT e.vec_id AS id, e.vec, sp.sig, (sb.allbits // sp.spw) % ${1 << bits} AS bucket
+       |  FROM e JOIN sb USING (vec_id) CROSS JOIN sp),
+       |bn AS (SELECT sig, bucket, count(*) AS n FROM banded GROUP BY sig, bucket),
+       |b2 AS (SELECT banded.* FROM banded JOIN bn USING (sig, bucket) WHERE bn.n <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.vec AS vec_a, b.vec AS vec_b
+       |  FROM b2 a JOIN b2 b ON a.sig = b.sig AND a.bucket = b.bucket AND a.id < b.id)
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT id_a, id_b, ${cosineSelect("vec_a", "vec_b")}
+       |    FROM cand)) t
+       |WHERE sim >= 0.4""".stripMargin
+  }
+
+  val sql: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "embed_ann_lsh" -> embedAnnLsh,
+    "embed_near_dups" -> embedNearDups)
+}

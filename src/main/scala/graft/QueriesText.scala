@@ -26,6 +26,8 @@ object QueriesText {
     Dedup.lshCandidates(
       Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text"))
       .filter(col("est_jaccard") >= 0.7)
+      // k/64 terminates within 6 decimals, so round-6 is exact in both
+      // engines (no HALF_UP vs half-even boundary risk)
       .withColumn("est_jaccard", round(col("est_jaccard"), 6))
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -49,11 +51,14 @@ object QueriesText {
     Similarity.lshTopK(queries, corpus, k = 5, bits = 8, dim = 64)
   }
 
+  /** Banded LSH near-dups: 8 signatures × 4 bits → recall ≈ 0.75 at
+    * sim 0.4 (p=0.63), with per-bucket caps bounding the self-join. The
+    * sim column is left unrounded: the oracle reproduces the identical
+    * IEEE double (sequential-order sums), as embed_cosine_topk proved. */
   def embedNearDups(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(
       Tables.embeddings(s, dir), "vec_id", "embedding",
-      threshold = 0.4, bits = 3, dim = 64)
-      .withColumn("sim", round(col("sim"), 6))
+      threshold = 0.4, bits = 4, sigs = 8, dim = 64)
 
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)

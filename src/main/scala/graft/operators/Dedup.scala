@@ -45,12 +45,31 @@ object Dedup {
   val Bands = 8
   val Rows = 8 // NumPerms / Bands
 
+  /** Per-permutation mixing constants — fixed engine constants, also
+    * inlined into the DuckDB oracle so the signature family is verifiable
+    * end-to-end. */
+  val permConsts: Array[Long] =
+    Array.tabulate(NumPerms)(p => Hashing.fnv1a64(p + ":perm"))
+
+  /** h_p(w) = ((fnv1a64(w) xor c_p) * FnvPrime) with 64-bit wrap: one
+    * content hash per word, then one xor+multiply per permutation —
+    * 64× cheaper than re-hashing the word per permutation, and cheap to
+    * reproduce in SQL (modular multiply via 128-bit intermediate). */
   private val minhashUdf = udf { ws: Seq[String] =>
     if (ws == null || ws.isEmpty) Array.fill(NumPerms)(Long.MaxValue)
-    else Array.tabulate(NumPerms) { p =>
-      var m = Long.MaxValue
-      ws.foreach { w => val h = Hashing.fnv1a64(p, w); if (h < m) m = h }
-      m
+    else {
+      val h0s = ws.map(Hashing.fnv1a64).toArray
+      Array.tabulate(NumPerms) { p =>
+        val c = permConsts(p)
+        var m = Long.MaxValue
+        var i = 0
+        while (i < h0s.length) {
+          val h = (h0s(i) ^ c) * Hashing.FnvPrime
+          if (h < m) m = h
+          i += 1
+        }
+        m
+      }
     }
   }
 
@@ -59,35 +78,31 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       minhashUdf(TextFns.wordSet(col(textCol))).as("sig"))
 
-  private val bandHashUdf = udf { (sig: Seq[Long], band: Int) =>
-    Hashing.fnv1a64(sig.slice(band * Rows, (band + 1) * Rows).mkString(","))
-  }
-
   /** Candidate near-dup pairs (id_a < id_b) from LSH banding, with the
     * fraction of agreeing minhash components as `est_jaccard`.
+    * Buckets key on the raw 8-long band slice (grouping on an array is an
+    * ordinary shuffle key — no band-hash collisions to reason about).
     * `maxBucket` drops degenerate buckets (e.g. the all-empty-doc
     * bucket) whose quadratic blowup would dominate at scale. */
   def lshCandidates(sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val banded = sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(Bands - 1))).as("band"))
-      .withColumn("band_hash", bandHashUdf(col("sig"), col("band")))
+      .withColumn("band_sig", slice(col("sig"), col("band") * Rows + 1, lit(Rows)))
     val bucketed = banded
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "band_hash")))
+          .partitionBy("band", "band_sig")))
       .filter(col("bucket_n") <= maxBucket)
-    val a = bucketed.select(col("band"), col("band_hash"),
+    val a = bucketed.select(col("band"), col("band_sig"),
       col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = bucketed.select(col("band"), col("band_hash"),
+    val b = bucketed.select(col("band"), col("band_sig"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    val agree = udf { (x: Seq[Long], y: Seq[Long]) =>
-      x.zip(y).count { case (u, v) => u == v }.toDouble / NumPerms
-    }
-    a.join(b, Seq("band", "band_hash"))
+    a.join(b, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        agree(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (u, v) => u === v),
+          x => x)).cast("double") / NumPerms).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -115,13 +130,21 @@ object Dedup {
       simhashUdf(TextFns.wordSet(col(textCol))).as("simhash"))
 
   /** Near-dup pairs with hamming(simhash) ≤ maxHamming (≤ 15 supported:
-    * pigeonhole over 4 chunks guarantees recall for ≤ 3; keep 3). */
-  def simhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * pigeonhole over 4 chunks guarantees recall for ≤ 3; keep 3).
+    * `maxBucket` caps degenerate chunk buckets (e.g. the all-zero chunk
+    * from empty docs) — without it one hot chunk value goes quadratic at
+    * scale. */
+  def simhashPairs(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     val chunked = hashes.select(col("id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("chunk_val",
         expr("shiftrightunsigned(simhash, chunk * 16)")
           .bitwiseAND(lit(0xffffL)))
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk", "chunk_val")))
+      .filter(col("bucket_n") <= maxBucket)
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"),

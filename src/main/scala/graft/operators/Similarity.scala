@@ -44,14 +44,22 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component: plane `p`,
-    * dimension `j` → value in [-1, 1). */
+    * dimension `j` → value in [-1, 1). All operations after the hash are
+    * exact in IEEE doubles ((h>>>11) is a 53-bit integer; /2^53, *2, -1
+    * are exact), so the constants round-trip losslessly through decimal
+    * literals into the DuckDB oracle. */
   private def planeComponent(p: Int, j: Int): Double = {
     val h = Hashing.fnv1a64(p * 104729 + j, "plane")
     (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
+  /** The hyperplane matrix for `n` planes × `dim` dims — public so the
+    * oracle generator can inline the identical constants. */
+  def planeMatrix(n: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(n, dim)((p, j) => planeComponent(p, j))
+
   private def signBitsUdf(bits: Int, dim: Int) = {
-    val planes = Array.tabulate(bits, dim)((p, j) => planeComponent(p, j))
+    val planes = planeMatrix(bits, dim)
     udf { v: Seq[Float] =>
       var sig = 0L
       var p = 0
@@ -85,21 +93,41 @@ object Similarity {
       .select("q_id", "n_id", "rank", "sim")
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets
-    * (the embedding-space member of the [[Dedup]] family). */
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via banded LSH
+    * (the embedding-space member of the [[Dedup]] family).
+    *
+    * `sigs` independent signatures of `bits` bits each (signature s uses
+    * planes [s*bits, (s+1)*bits)): a pair is a candidate when ANY
+    * signature matches — recall 1-(1-p^bits)^sigs instead of a single
+    * p^bits. `maxBucket` caps each (signature, bucket) cell, so no
+    * degenerate bucket ever goes quadratic: the worst case is
+    * sigs × maxBucket² per bucket value, independent of corpus size. */
   def embeddingNearDups(
       emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 8, dim: Int = 64): DataFrame = {
-    val sign = signBitsUdf(bits, dim)
+      threshold: Double, bits: Int = 4, sigs: Int = 8, dim: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
+    require(bits * sigs <= 62, "bits*sigs must fit in a long")
+    val sign = signBitsUdf(bits * sigs, dim)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", sign(col("vec")))
-    val a = e.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = e.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
+      .withColumn("allbits", sign(col("vec")))
+    val banded = e
+      .select(col("id"), col("vec"), col("allbits"),
+        explode(sequence(lit(0), lit(sigs - 1))).as("sig"))
+      .withColumn("bucket",
+        expr(s"shiftrightunsigned(allbits, sig * $bits)")
+          .bitwiseAND(lit((1L << bits) - 1)))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("sig", "bucket")))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = banded.select(col("sig"), col("bucket"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = banded.select(col("sig"), col("bucket"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("sig", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
-      .dropDuplicates("id_a", "id_b")
   }
 }
