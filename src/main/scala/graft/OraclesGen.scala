@@ -175,9 +175,30 @@ object OraclesGen {
        |WHERE sim >= 0.4""".stripMargin
   }
 
+  // ------------------------------------------------------ pg_query goldens
+
+  /** Expected normalizations embedded as literals (the reference's
+    * integration_test/pg17.expected; PgNormalizeSpec pins them to the
+    * golden file on disk). */
+  val x1NormalizeGoldens: String = {
+    val rows = PgGoldens.pgbench
+      .map { case (id, _, exp) => s"($id, ${PgGoldens.sqlLit(exp)})" }
+      .mkString(",\n  ")
+    s"SELECT * FROM (VALUES\n  $rows) AS t(q_id, normalized)"
+  }
+
+  /** Expected fingerprint grouping structure of [[PgGoldens.collapseInputs]]:
+    * {0,1,2} one group, {3,4} one group, {5,6} one group. */
+  val x1FingerprintCollapse: String =
+    """SELECT * FROM (VALUES
+      |  (0, CAST(3 AS BIGINT)), (3, CAST(2 AS BIGINT)), (5, CAST(2 AS BIGINT))
+      |) AS t(rep_id, n_queries)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "embed_ann_lsh" -> embedAnnLsh,
-    "embed_near_dups" -> embedNearDups)
+    "embed_near_dups" -> embedNearDups,
+    "x1_normalize_goldens" -> x1NormalizeGoldens,
+    "x1_fingerprint_collapse" -> x1FingerprintCollapse)
 }

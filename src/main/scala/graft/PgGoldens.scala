@@ -1,0 +1,56 @@
+package graft
+
+/** The pgbench workload (public pgbench builtin TPC-B script plus
+  * pgbench's partition-probe catalog query) and its expected pg_query
+  * normalization — the reference's own integration golden
+  * (`integration_test/pg17.expected`). The expected strings are embedded
+  * for the DuckDB oracle; PgNormalizeSpec asserts they match the golden
+  * file on disk, so drift is caught at test time.
+  */
+object PgGoldens {
+
+  /** (q_id, query-as-received, expected-normalized). */
+  val pgbench: Seq[(Int, String, String)] = Seq(
+    (0,
+      "INSERT INTO pgbench_history (tid, bid, aid, delta, mtime) VALUES (7, 3, 12345, -2468, CURRENT_TIMESTAMP)",
+      "INSERT INTO pgbench_history (tid, bid, aid, delta, mtime) VALUES ($1, $2, $3, $4, CURRENT_TIMESTAMP)"),
+    (1,
+      "SELECT abalance FROM pgbench_accounts WHERE aid = 12345",
+      "SELECT abalance FROM pgbench_accounts WHERE aid = $1"),
+    (2,
+      "select count(*) from pgbench_branches",
+      "select count(*) from pgbench_branches"),
+    (3,
+      "select o.n, p.partstrat, pg_catalog.count(i.inhparent) from pg_catalog.pg_class as c join pg_catalog.pg_namespace as n on (n.oid = c.relnamespace) cross join lateral (select pg_catalog.array_position(pg_catalog.current_schemas(true), n.nspname)) as o(n) left join pg_catalog.pg_partitioned_table as p on (p.partrelid = c.oid) left join pg_catalog.pg_inherits as i on (c.oid = i.inhparent) where c.relname = 'pgbench_accounts' and o.n is not null group by 1, 2 order by 1 asc limit 1",
+      "select o.n, p.partstrat, pg_catalog.count(i.inhparent) from pg_catalog.pg_class as c join pg_catalog.pg_namespace as n on (n.oid = c.relnamespace) cross join lateral (select pg_catalog.array_position(pg_catalog.current_schemas($1), n.nspname)) as o(n) left join pg_catalog.pg_partitioned_table as p on (p.partrelid = c.oid) left join pg_catalog.pg_inherits as i on (c.oid = i.inhparent) where c.relname = $2 and o.n is not null group by 1, 2 order by 1 asc limit $3"),
+    (4,
+      "UPDATE pgbench_accounts SET abalance = abalance + -2468 WHERE aid = 12345",
+      "UPDATE pgbench_accounts SET abalance = abalance + $1 WHERE aid = $2"),
+    (5,
+      "UPDATE pgbench_branches SET bbalance = bbalance + -2468 WHERE bid = 7",
+      "UPDATE pgbench_branches SET bbalance = bbalance + $1 WHERE bid = $2"),
+    (6,
+      "UPDATE pgbench_tellers SET tbalance = tbalance + -2468 WHERE tid = 3",
+      "UPDATE pgbench_tellers SET tbalance = tbalance + $1 WHERE tid = $2"),
+    // truncation-repair path (util/query_text.go:26-40)
+    (7,
+      "SELECT * FROM pgbench_accounts WHERE filler = 'trunca",
+      "/* truncated-query */ SELECT * FROM pgbench_accounts WHERE filler = $1"),
+    (8,
+      "SELECT 1 /* never closed",
+      "<unparsable query>"))
+
+  /** Inputs that must collapse to the same fingerprint group: (q_id,
+    * query); expected grouping = {0,1,2}, {3,4}, {5,6}. */
+  val collapseInputs: Seq[(Int, String)] = Seq(
+    (0, "SELECT * FROM t WHERE id IN (1, 2, 3)"),
+    (1, "select * from t where id in ($1)"),
+    (2, "SELECT  *  FROM t WHERE id IN (42, 43, 44, 45)"),
+    (3, "SELECT a FROM t WHERE x = 'v'"),
+    (4, "SELECT a FROM t WHERE x = $5"),
+    (5, "UPDATE t SET a = 1 /* comment */"),
+    (6, "update t\nset a = 2"))
+
+  /** SQL string literal with '' escaping. */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+}

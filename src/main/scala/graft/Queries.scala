@@ -182,6 +182,29 @@ object Queries {
       .withColumn("xid8", PgFns.xidToXid8(col("xid"), current))
   }
 
+  // X1/X2 (pg_query parity) — lexer-based normalization over the
+  // pgbench golden workload; the oracle embeds the reference's own
+  // integration_test/pg17.expected strings.
+  def x1NormalizeGoldens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgGoldens.pgbench.map { case (id, q, _) => (id, q) }
+      .toDF("q_id", "query")
+      .select(col("q_id"), PgFns.pgNormalize(col("query")).as("normalized"))
+  }
+
+  // X1 — fingerprint grouping semantics: IN-list arity, literal-vs-param,
+  // case and whitespace all collapse to one group key. Output is the
+  // group structure (representative id + size), independent of the hash
+  // value itself.
+  def x1FingerprintCollapse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgGoldens.collapseInputs.toDF("q_id", "query")
+      .withColumn("fp", PgFns.pgFingerprint(col("query")))
+      .groupBy("fp")
+      .agg(min("q_id").as("rep_id"), count(lit(1)).as("n_queries"))
+      .select("rep_id", "n_queries")
+  }
+
   // F9 — stale-bucket filter (retention window,
   // output/transform/postgres_statements.go:90-95): keep only events
   // within 24 h of the corpus max timestamp.

@@ -34,6 +34,8 @@ object SparkEntry {
     "w3_sessionize" -> (Queries.w3Sessionize _),
     "w10_tumbling_window" -> (Queries.w10TumblingWindow _),
     "x2_normalize_fingerprint" -> (Queries.x2NormalizeFingerprint _),
+    "x1_normalize_goldens" -> (Queries.x1NormalizeGoldens _),
+    "x1_fingerprint_collapse" -> (Queries.x1FingerprintCollapse _),
     "x16_xid8" -> (Queries.x16Xid8 _),
     "f9_stale_filter" -> (Queries.f9StaleFilter _),
     // training-data pipeline extensions

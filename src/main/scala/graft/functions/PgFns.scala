@@ -44,6 +44,22 @@ object PgFns {
     * xxhash64 seed/variant is Spark-specific). */
   def fingerprint64(c: Column): Column = xxhash64(normalizeQuery(c))
 
+  /** pg_query-parity normalization (X1/X2): lexer-based constant→`$n`
+    * replacement with truncation repair — see [[PgNormalize]]. Validated
+    * against the reference's integration goldens. */
+  def pgNormalize(c: Column): Column =
+    org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.PgNormalizeQueryExpr(
+        org.apache.spark.sql.GraftNative.expression(c)))
+
+  /** 64-bit grouping fingerprint with pg_query semantics: literals,
+    * params and IN-list arity collapse to one key; keyword case and
+    * whitespace are insignificant. */
+  def pgFingerprint(c: Column): Column =
+    org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.PgFingerprintExpr(
+        org.apache.spark.sql.GraftNative.expression(c)))
+
   /** Utility-statement detection (`input/postgres/statements.go:431-450`,
     * X3) — reduced scope: leading-keyword classification. */
   def isUtilityStatement(c: Column): Column =

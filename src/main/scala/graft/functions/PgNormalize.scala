@@ -1,0 +1,379 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Lexer-based SQL query normalization with pg_query/pg_stat_statements
+  * semantics (reference `util/normalize.go:13-32`, `util/fingerprint.go:13-48`,
+  * `util/query_text.go:5-40`; validated against the reference's own
+  * integration goldens `integration_test/pg10.expected…pg17.expected`).
+  *
+  * Instead of binding libpg_query (no JNI in this container), this is a
+  * faithful PostgreSQL *scanner*: it tokenizes the raw text (strings with
+  * '' doubling, E'…' backslash strings, dollar-quoted bodies, quoted
+  * identifiers, nested block comments, numeric literals incl. PG16
+  * hex/octal/binary and underscore separators, `$n` params) and replaces
+  * each constant token with `$n`, numbering sequentially after the
+  * highest pre-existing parameter — exactly what pg_query's normalize
+  * does with parse-tree constant locations, for the token-expressible
+  * subset. Keyword case, whitespace and comments are preserved verbatim,
+  * matching the goldens.
+  *
+  * Failure/repair semantics mirror the reference exactly:
+  * unparsable input (unterminated string/comment/dollar-quote, unbalanced
+  * parens) is repaired by `fixTruncated` (append odd quote, close
+  * parens — `util/query_text.go:26-40`), marked with the
+  * truncated-query comment prefix on success, else collapsed to the
+  * `<truncated query>` / `<unparsable query>` sentinels.
+  */
+object PgNormalize {
+
+  val TruncatedQueryMarker = "/* truncated-query */ "
+  val QueryTextTruncated = "<truncated query>"
+  val QueryTextUnparsable = "<unparsable query>"
+
+  // token types
+  private final val TConst = 0
+  private final val TParam = 1
+  private final val TWord = 2
+  private final val TQuotedIdent = 3
+  private final val TOp = 4 // single operator/punct char
+
+  private final case class Tok(kind: Int, start: Int, end: Int)
+
+  private final case class Lexed(
+      toks: ArrayBuffer[Tok], maxParam: Int, parens: Int, ok: Boolean)
+
+  /** Words that end a *value* (so a following `-` is binary); keywords
+    * after which `-` is unary minus and folds into a numeric constant,
+    * the way PG's doNegate folds `-1`. */
+  private val operatorKeywords: Set[String] = Set(
+    "select", "from", "where", "and", "or", "not", "in", "like", "ilike",
+    "between", "limit", "offset", "when", "then", "else", "case", "end",
+    "by", "on", "set", "values", "returning", "having", "union",
+    "intersect", "except", "all", "distinct", "as", "default", "is",
+    "escape", "similar", "to", "symmetric", "asymmetric", "array", "row")
+
+  private def isWordStart(c: Char) = Character.isLetter(c) || c == '_'
+  private def isWordChar(c: Char) =
+    Character.isLetterOrDigit(c) || c == '_' || c == '$'
+  private def isDigitOrSep(c: Char) = (c >= '0' && c <= '9') || c == '_'
+
+  // scan a plain '...' body from `i` (after the opening quote); returns
+  // index after the closing quote, or -1 if unterminated. '' doubling.
+  private def scanPlainString(q: String, i0: Int): Int = {
+    var i = i0
+    val n = q.length
+    while (i < n) {
+      if (q(i) == '\'') {
+        if (i + 1 < n && q(i + 1) == '\'') i += 2
+        else return i + 1
+      } else i += 1
+    }
+    -1
+  }
+
+  // E'...' body: backslash escapes \' and \\ don't terminate
+  private def scanEscapeString(q: String, i0: Int): Int = {
+    var i = i0
+    val n = q.length
+    while (i < n) {
+      q(i) match {
+        case '\\' => i += 2
+        case '\'' =>
+          if (i + 1 < n && q(i + 1) == '\'') i += 2
+          else return i + 1
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
+  private def scanQuotedIdent(q: String, i0: Int): Int = {
+    var i = i0
+    val n = q.length
+    while (i < n) {
+      if (q(i) == '"') {
+        if (i + 1 < n && q(i + 1) == '"') i += 2
+        else return i + 1
+      } else i += 1
+    }
+    -1
+  }
+
+  // number starting at q(i) (digit or '.'): PG numerics incl. 1_000,
+  // 1.5e-3, 0x1F, 0o17, 0b101
+  private def scanNumber(q: String, i0: Int): Int = {
+    val n = q.length
+    var i = i0
+    if (q(i) == '0' && i + 1 < n &&
+        (q(i + 1) == 'x' || q(i + 1) == 'X' || q(i + 1) == 'o' ||
+          q(i + 1) == 'O' || q(i + 1) == 'b' || q(i + 1) == 'B')) {
+      i += 2
+      while (i < n && (Character.digit(q(i), 16) >= 0 || q(i) == '_')) i += 1
+      return i
+    }
+    while (i < n && isDigitOrSep(q(i))) i += 1
+    if (i < n && q(i) == '.') {
+      i += 1
+      while (i < n && isDigitOrSep(q(i))) i += 1
+    }
+    if (i < n && (q(i) == 'e' || q(i) == 'E')) {
+      var j = i + 1
+      if (j < n && (q(j) == '+' || q(j) == '-')) j += 1
+      if (j < n && Character.isDigit(q(j))) {
+        i = j
+        while (i < n && isDigitOrSep(q(i))) i += 1
+      }
+    }
+    i
+  }
+
+  /** Clause keywords that end a GROUP BY / ORDER BY target list (for
+    * ordinal preservation). */
+  private val ordinalExitKeywords: Set[String] = Set(
+    "limit", "offset", "having", "window", "union", "intersect", "except",
+    "returning", "for", "fetch", "from", "where", "into", "values", "select")
+
+  /** Words that may follow an ordinal inside the target list. */
+  private val ordinalFollowKeywords: Set[String] = Set(
+    "asc", "desc", "nulls", "using") ++ ordinalExitKeywords ++ Set("order", "group")
+
+  private def lex(q: String): Lexed = {
+    val toks = new ArrayBuffer[Tok]
+    val n = q.length
+    var i = 0
+    var maxParam = 0
+    var parens = 0
+    var ok = true
+    // context for unary-sign folding and IS/NOT guards
+    var prevValue = false // last significant token can end a value
+    var prevWord = "" // last bare word, lowercased
+    // GROUP BY / ORDER BY ordinal preservation (PG16+ pg_stat_statements
+    // keeps `GROUP BY 1, 2` ordinals — see the reference's pg17 golden):
+    // active at the paren depth where BY was seen; bare integers that
+    // stand alone as list elements stay verbatim.
+    var ordinalDepth = -1
+    var prevSignificant = "" // last significant token text (for ',' check)
+    def push(kind: Int, s: Int, e: Int): Unit = toks += Tok(kind, s, e)
+
+    // is the token starting at j (after an ordinal number) a legal
+    // ordinal follower — ',' or clause end / direction keyword?
+    def ordinalFollows(j0: Int): Boolean = {
+      var j = j0
+      while (j < n && Character.isWhitespace(q(j))) j += 1
+      if (j >= n) return true
+      val c = q(j)
+      if (c == ',' || c == ')' || c == ';') return true
+      if (isWordStart(c)) {
+        var k = j + 1
+        while (k < n && isWordChar(q(k))) k += 1
+        return ordinalFollowKeywords.contains(q.substring(j, k).toLowerCase)
+      }
+      false
+    }
+
+    while (i < n && ok) {
+      val c = q(i)
+      if (c == '-' && i + 1 < n && q(i + 1) == '-') {
+        val j = q.indexOf('\n', i)
+        i = if (j < 0) n else j + 1 // comment = whitespace; context kept
+      } else if (c == '/' && i + 1 < n && q(i + 1) == '*') {
+        var depth = 1
+        var j = i + 2
+        while (j < n && depth > 0) {
+          if (j + 1 < n && q(j) == '/' && q(j + 1) == '*') { depth += 1; j += 2 }
+          else if (j + 1 < n && q(j) == '*' && q(j + 1) == '/') { depth -= 1; j += 2 }
+          else j += 1
+        }
+        if (depth > 0) { ok = false } else i = j
+      } else if (c == '\'') {
+        val e = scanPlainString(q, i + 1)
+        if (e < 0) ok = false
+        else { push(TConst, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; i = e }
+      } else if ((c == 'e' || c == 'E') && i + 1 < n && q(i + 1) == '\'') {
+        val e = scanEscapeString(q, i + 2)
+        if (e < 0) ok = false
+        else { push(TConst, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; i = e }
+      } else if ((c == 'b' || c == 'B' || c == 'x' || c == 'X') &&
+          i + 1 < n && q(i + 1) == '\'') {
+        val e = scanPlainString(q, i + 2)
+        if (e < 0) ok = false
+        else { push(TConst, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; i = e }
+      } else if ((c == 'u' || c == 'U') && i + 2 < n && q(i + 1) == '&' &&
+          q(i + 2) == '\'') {
+        val e = scanEscapeString(q, i + 3)
+        if (e < 0) ok = false
+        else { push(TConst, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; i = e }
+      } else if (c == '"') {
+        val e = scanQuotedIdent(q, i + 1)
+        if (e < 0) ok = false
+        else { push(TQuotedIdent, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; i = e }
+      } else if (c == '$') {
+        if (i + 1 < n && Character.isDigit(q(i + 1))) {
+          var j = i + 1
+          while (j < n && Character.isDigit(q(j))) j += 1
+          val num = q.substring(i + 1, j).toInt
+          if (num > maxParam) maxParam = num
+          push(TParam, i, j); prevValue = true; prevWord = ""
+          prevSignificant = "v"
+          i = j
+        } else {
+          // dollar-quote $tag$ ... $tag$
+          var j = i + 1
+          while (j < n && (isWordStart(q(j)) || Character.isDigit(q(j)))) j += 1
+          if (j < n && q(j) == '$') {
+            val tag = q.substring(i, j + 1)
+            val close = q.indexOf(tag, j + 1)
+            if (close < 0) ok = false
+            else {
+              val e = close + tag.length
+              push(TConst, i, e); prevValue = true; prevWord = ""
+              prevSignificant = "v"
+              i = e
+            }
+          } else {
+            push(TOp, i, i + 1); prevValue = false; prevWord = ""
+            prevSignificant = "$"
+            i += 1
+          }
+        }
+      } else if (Character.isDigit(c) ||
+          (c == '.' && i + 1 < n && Character.isDigit(q(i + 1)))) {
+        val e = scanNumber(q, i)
+        val isOrdinal = ordinalDepth == parens &&
+          (prevSignificant == "," || prevWord == "by") &&
+          q.substring(i, e).forall(Character.isDigit) && ordinalFollows(e)
+        push(if (isOrdinal) TWord else TConst, i, e)
+        prevValue = true; prevWord = ""; prevSignificant = "#"
+        i = e
+      } else if ((c == '-' || c == '+') && i + 1 < n &&
+          (Character.isDigit(q(i + 1)) ||
+            (q(i + 1) == '.' && i + 2 < n && Character.isDigit(q(i + 2)))) &&
+          !prevValue) {
+        // unary sign folds into the numeric constant (PG doNegate)
+        val e = scanNumber(q, i + 1)
+        push(TConst, i, e); prevValue = true; prevWord = ""
+        prevSignificant = "v"
+        i = e
+      } else if (isWordStart(c)) {
+        var j = i + 1
+        while (j < n && isWordChar(q(j))) j += 1
+        val w = q.substring(i, j).toLowerCase
+        if ((w == "true" || w == "false" || w == "null") &&
+            prevWord != "is" && prevWord != "not") {
+          push(TConst, i, j)
+          prevValue = true; prevWord = ""
+        } else {
+          push(TWord, i, j)
+          if (w == "by" && (prevWord == "group" || prevWord == "order"))
+            ordinalDepth = parens
+          else if (ordinalDepth == parens && ordinalExitKeywords.contains(w))
+            ordinalDepth = -1
+          prevValue = !operatorKeywords.contains(w)
+          prevWord = w
+        }
+        prevSignificant = "w"
+        i = j
+      } else if (c == '(' || c == '[') {
+        if (c == '(') parens += 1
+        push(TOp, i, i + 1); prevValue = false; prevWord = ""
+        prevSignificant = c.toString
+        i += 1
+      } else if (c == ')' || c == ']') {
+        if (c == ')') { parens -= 1; if (parens < ordinalDepth) ordinalDepth = -1 }
+        push(TOp, i, i + 1); prevValue = true; prevWord = ""
+        prevSignificant = c.toString
+        i += 1
+      } else if (Character.isWhitespace(c)) {
+        i += 1
+      } else {
+        push(TOp, i, i + 1); prevValue = false; prevWord = ""
+        prevSignificant = c.toString
+        i += 1
+      }
+    }
+    Lexed(toks, maxParam, parens, ok && parens == 0)
+  }
+
+  /** Replace constant tokens with sequential `$n` (continuing after the
+    * highest existing parameter); everything else verbatim. */
+  private def replace(q: String, lx: Lexed): String = {
+    val sb = new StringBuilder(q.length)
+    var pos = 0
+    var next = lx.maxParam + 1
+    lx.toks.foreach { t =>
+      if (t.kind == TConst) {
+        sb.append(q.substring(pos, t.start)).append('$').append(next)
+        next += 1
+        pos = t.end
+      }
+    }
+    sb.append(q.substring(pos))
+    sb.toString
+  }
+
+  /** `fixTruncatedQuery` (`util/query_text.go:26-40`): counts RAW quote
+    * chars (including escaped ones), appends the odd quote and closing
+    * parens — deliberately crude, mirrored exactly. */
+  def fixTruncated(q: String): String = {
+    var out = q
+    if (q.count(_ == '\'') % 2 == 1) out += "'"
+    if (q.count(_ == '"') % 2 == 1) out += "\""
+    val open = q.count(_ == '(') - q.count(_ == ')')
+    if (open > 0) out += ")" * open
+    out
+  }
+
+  /** NormalizeQuery (`util/normalize.go:13-32`). */
+  def normalize(q: String, filterQueryText: String = "normal",
+      trackActivityQuerySize: Int = 1024): String = {
+    val lx = lex(q)
+    if (lx.ok && q.trim.nonEmpty) replace(q, lx)
+    else {
+      val fixed = fixTruncated(q)
+      val lx2 = lex(fixed)
+      if (lx2.ok && fixed.trim.nonEmpty) TruncatedQueryMarker + replace(fixed, lx2)
+      else if (filterQueryText == "none") q
+      else if (q.length == trackActivityQuerySize - 1) QueryTextTruncated
+      else QueryTextUnparsable
+    }
+  }
+
+  /** Canonical grouping form for fingerprinting: keyword/identifier case
+    * folded, comments/whitespace collapsed, every param to `$`, and
+    * comma-lists of params collapsed to one — so `IN (1,2,3)` and
+    * `IN (4)` fingerprint identically, the pg_query parse-tree-hash
+    * behavior (constants are dropped from the tree). */
+  def canonical(q: String): String = {
+    val normalized = normalize(q)
+    val lx = lex(normalized)
+    val parts = new ArrayBuffer[String](lx.toks.length)
+    lx.toks.foreach { t =>
+      val s = normalized.substring(t.start, t.end)
+      parts += (t.kind match {
+        case TParam | TConst => "$"
+        case TWord => s.toLowerCase
+        case _ => s
+      })
+    }
+    // collapse runs: $ , $ , ... , $ → $
+    val out = new ArrayBuffer[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      out += parts(i)
+      if (parts(i) == "$") {
+        while (i + 2 < parts.length && parts(i + 1) == "," && parts(i + 2) == "$")
+          i += 2
+      }
+      i += 1
+    }
+    out.mkString(" ")
+  }
+
+  /** 64-bit grouping fingerprint of the canonical form (engine-owned
+    * FNV-1a; the reference's XXH3-of-parse-tree is pg_query-internal). */
+  def fingerprint(q: String): Long = Hashing.fnv1a64(canonical(q))
+
+  /** Hex form for display/oracle parity. */
+  def fingerprintHex(q: String): String = f"${fingerprint(q)}%016x"
+}

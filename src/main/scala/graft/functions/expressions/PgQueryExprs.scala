@@ -1,0 +1,39 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.PgNormalize
+
+/** Codegen'd wrappers for the [[PgNormalize]] scanner: the generated
+  * code calls the object's static forwarder directly — one static call
+  * per row inside whole-stage codegen, no UDF serialization, no
+  * iterator boundary.
+  */
+case class PgNormalizeQueryExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      PgNormalize.normalize(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "UTF8String.fromString(graft.functions.PgNormalize.normalize(" +
+        s"$c.toString(), " + "\"normal\", 1024))")
+  override protected def withNewChildInternal(newChild: Expression): PgNormalizeQueryExpr =
+    copy(child = newChild)
+}
+
+/** 64-bit grouping fingerprint of the canonical query form (IN-lists and
+  * params collapsed, case/whitespace folded). */
+case class PgFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    PgNormalize.fingerprint(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PgNormalize.fingerprint($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): PgFingerprintExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PgNormalize
+
+/** pg_query-parity normalization, validated against the reference's own
+  * integration goldens (`integration_test/pg17.expected` — the sorted
+  * set of normalizedQuery strings the reference produces for the pgbench
+  * workload) plus unit vectors for each lexer rule.
+  */
+class PgNormalizeSpec extends AnyFunSuite {
+
+  test("pg17 integration golden: normalize(pgbench workload) matches") {
+    val goldenPath = Paths.get("/root/reference/integration_test/pg17.expected")
+    assume(Files.exists(goldenPath), "reference goldens not present")
+    val golden = Files.readAllLines(goldenPath).asScala
+      .map(_.stripPrefix("\"").stripSuffix("\""))
+      .filterNot(_ == "<pganalyze-collector>") // F5 filter output, not normalize
+      .toSet
+    val got = PgGoldens.pgbench.take(7)
+      .map { case (_, q, _) => PgNormalize.normalize(q) }.toSet
+    assert(got == golden,
+      s"\nmissing: ${golden -- got}\nextra: ${got -- golden}")
+  }
+
+  test("embedded expected strings equal the live normalize output") {
+    PgGoldens.pgbench.foreach { case (id, q, exp) =>
+      assert(PgNormalize.normalize(q) == exp, s"q_id=$id")
+    }
+  }
+
+  test("pg10 golden (pre-partitioning pgbench) is the same subset") {
+    val goldenPath = Paths.get("/root/reference/integration_test/pg10.expected")
+    assume(Files.exists(goldenPath), "reference goldens not present")
+    val golden = Files.readAllLines(goldenPath).asScala
+      .map(_.stripPrefix("\"").stripSuffix("\""))
+      .filterNot(_ == "<pganalyze-collector>")
+      .toSet
+    val got = PgGoldens.pgbench.take(7)
+      .map { case (_, q, _) => PgNormalize.normalize(q) }.toSet
+    assert(golden.subsetOf(got), s"\nmissing: ${golden -- got}")
+  }
+
+  test("IN-lists: each element gets its own sequential param") {
+    assert(PgNormalize.normalize("SELECT * FROM t WHERE id IN (1, 2, 3)") ==
+      "SELECT * FROM t WHERE id IN ($1, $2, $3)")
+  }
+
+  test("numbering continues after existing params") {
+    assert(PgNormalize.normalize("SELECT * FROM t WHERE a = $2 AND b = 5") ==
+      "SELECT * FROM t WHERE a = $2 AND b = $3")
+  }
+
+  test("keyword case, whitespace and comments preserved verbatim") {
+    assert(PgNormalize.normalize("SeLeCt  1 /* keep me */ -- and me") ==
+      "SeLeCt  $1 /* keep me */ -- and me")
+  }
+
+  test("string variants are constants") {
+    assert(PgNormalize.normalize("SELECT 'a''b', E'x\\'y', B'1010', $$body$$, $q$tag body$q$") ==
+      "SELECT $1, $2, $3, $4, $5")
+  }
+
+  test("typmod constants normalize") {
+    assert(PgNormalize.normalize("select 1::numeric(10,2)") ==
+      "select $1::numeric($2,$3)")
+  }
+
+  test("booleans and bare NULL are constants; IS [NOT] forms are not") {
+    assert(PgNormalize.normalize("SELECT true, false, NULL WHERE a IS NULL AND b IS NOT TRUE") ==
+      "SELECT $1, $2, $3 WHERE a IS NULL AND b IS NOT TRUE")
+  }
+
+  test("unary minus folds into the constant; binary minus does not") {
+    assert(PgNormalize.normalize("SELECT a - 5 FROM t WHERE b = -5 LIMIT -1") ==
+      "SELECT a - $1 FROM t WHERE b = $2 LIMIT $3")
+  }
+
+  test("GROUP BY / ORDER BY ordinals preserved (PG16+ semantics)") {
+    assert(PgNormalize.normalize("select a, sum(b + 1) from t group by 1 order by 2 desc limit 10") ==
+      "select a, sum(b + $1) from t group by 1 order by 2 desc limit $2")
+  }
+
+  test("truncated query repair: odd quote appended, marker prefixed") {
+    assert(PgNormalize.normalize("SELECT * FROM t WHERE name = 'ab") ==
+      "/* truncated-query */ SELECT * FROM t WHERE name = $1")
+  }
+
+  test("truncated query repair: open parens closed") {
+    assert(PgNormalize.normalize("SELECT * FROM t WHERE (a = 1 AND (b = 2") ==
+      "/* truncated-query */ SELECT * FROM t WHERE (a = $1 AND (b = $2))")
+  }
+
+  test("unrepairable input collapses to sentinels") {
+    assert(PgNormalize.normalize("SELECT /* unclosed") == "<unparsable query>")
+    val atLimit = "SELECT /*" + "x" * 1014 // length == 1023 == trackSize-1
+    assert(atLimit.length == 1023)
+    assert(PgNormalize.normalize(atLimit) == "<truncated query>")
+    assert(PgNormalize.normalize("SELECT /* unclosed", filterQueryText = "none") ==
+      "SELECT /* unclosed")
+  }
+
+  test("fingerprint collapses IN-list arity, literal-vs-param, case, whitespace") {
+    val fp = PgNormalize.fingerprint _
+    assert(fp("SELECT * FROM t WHERE id IN (1, 2, 3)") ==
+      fp("select *\nfrom t where id in ($1)"))
+    assert(fp("SELECT a FROM t WHERE x = 'v'") == fp("SELECT a FROM t WHERE x = $3"))
+    assert(fp("SELECT a FROM t") != fp("SELECT a FROM u"))
+    assert(fp("SELECT a FROM t") != fp("SELECT b FROM t"))
+  }
+
+  test("fingerprint distinguishes quoted identifiers by case") {
+    val fp = PgNormalize.fingerprint _
+    assert(fp("SELECT \"Col\" FROM t") != fp("SELECT \"col\" FROM t"))
+    assert(fp("SELECT Col FROM t") == fp("SELECT col FROM t"))
+  }
+}
