@@ -261,7 +261,10 @@ object Oracles {
         |      || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
         |      || regexp_extract(props, '"k": (\d+)', 1)
         |    WHEN 'purchase' THEN 'checkpoint complete: wrote '
-        |      || regexp_extract(props, '"k": (\d+)', 1) || ' buffers'
+        |      || regexp_extract(props, '"k": (\d+)', 1)
+        |      || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |      || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |      || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
         |    WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
         |      || (5000 + user_id % 100)
         |    WHEN 'signup' THEN 'connection authorized: user=u' || user_id
@@ -273,14 +276,14 @@ object Oracles {
     "x7_log_classify" ->
       """SELECT classification, class_name, count(*) AS n FROM (
         |  SELECT
-        |    CASE event_type WHEN 'click' THEN 8 WHEN 'purchase' THEN 5
-        |      WHEN 'view' THEN 1 WHEN 'signup' THEN 2 ELSE 7 END
+        |    CASE event_type WHEN 'click' THEN 80 WHEN 'purchase' THEN 41
+        |      WHEN 'view' THEN 20 WHEN 'signup' THEN 21 ELSE 73 END
         |      AS classification,
         |    CASE event_type WHEN 'click' THEN 'STATEMENT_DURATION'
         |      WHEN 'purchase' THEN 'CHECKPOINT_COMPLETE'
         |      WHEN 'view' THEN 'CONNECTION_RECEIVED'
         |      WHEN 'signup' THEN 'CONNECTION_AUTHORIZED'
-        |      ELSE 'DEADLOCK_DETECTED' END AS class_name
+        |      ELSE 'LOCK_DEADLOCK_DETECTED' END AS class_name
         |  FROM events) t GROUP BY 1, 2""".stripMargin,
 
     "log_top_queries" ->

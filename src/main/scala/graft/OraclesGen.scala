@@ -194,7 +194,27 @@ object OraclesGen {
       |  (0, CAST(3 AS BIGINT)), (3, CAST(2 AS BIGINT)), (5, CAST(2 AS BIGINT))
       |) AS t(rep_id, n_queries)""".stripMargin
 
+  // ---------------------------------------------------- full classification
+
+  /** The oracle's ground truth is the (event_id % N) → intended-class
+    * mapping from [[graft.logsys.LogSamples]] — generation-rule data,
+    * independent of the engine's matcher table. */
+  val x7FullClassify: String = {
+    val samples = graft.logsys.LogSamples.samples
+    val n = samples.length
+    val rows = samples.zipWithIndex
+      .map { case ((cid, name, _), idx) =>
+        s"($idx, $cid, ${PgGoldens.sqlLit(name)})" }
+      .mkString(",\n  ")
+    s"""SELECT m.cid AS classification, m.name AS class_name, count(*) AS n
+       |FROM events e JOIN (VALUES
+       |  $rows) m(idx, cid, name)
+       |ON CAST(e.event_id % $n AS INT) = m.idx
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "x7_full_classify" -> x7FullClassify,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "embed_ann_lsh" -> embedAnnLsh,

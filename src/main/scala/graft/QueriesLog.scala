@@ -47,6 +47,25 @@ object QueriesLog {
       .groupBy("classification", "class_name")
       .agg(count(lit(1)).as("n"))
 
+  // X7 (full table) — one sample line per classification from the
+  // reference's own test corpus; the engine must recover each class via
+  // the 119-matcher regex table alone. The oracle only knows the
+  // (event_id % N) → intended-class mapping, not the matcher table.
+  def x7FullClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = graft.logsys.LogSamples.samples.length
+    val tmpl = graft.logsys.LogSamples.samples.zipWithIndex
+      .map { case ((_, _, content), idx) => (idx, content) }
+      .toDF("idx", "content")
+    Tables.events(s, dir)
+      .select((col("event_id") % n).cast("int").as("idx"))
+      .join(broadcast(tmpl), "idx")
+      .withColumn("classification", LogClassify.classify(col("content")))
+      .withColumn("class_name", LogClassify.className(col("classification")))
+      .groupBy("classification", "class_name")
+      .agg(count(lit(1)).as("n"))
+  }
+
   // X11 + A1 — the flagship slice (SURVEY §7.2 step 3): duration lines →
   // query samples → normalize → per-backend top-query rollup.
   def logTopQueries(s: SparkSession, dir: String): DataFrame =

@@ -53,6 +53,7 @@ object SparkEntry {
     // log pipeline
     "x5_log_parse" -> (QueriesLog.x5LogParse _),
     "x7_log_classify" -> (QueriesLog.x7LogClassify _),
+    "x7_full_classify" -> (QueriesLog.x7FullClassify _),
     "log_top_queries" -> (QueriesLog.logTopQueries _),
     "x9_redact" -> (QueriesLog.x9Redact _),
     "w4_context_assoc" -> (QueriesLog.w4ContextAssoc _),

@@ -1,64 +1,145 @@
 package graft.logsys
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import java.util.regex.Pattern
 
-/** Data-driven log-event classification — the engine form of the
-  * reference's 116 matcher table (`logs/analyze.go:33-1183`, X7):
-  * each class is (prefix fast-path, anchored regex); dispatch compiles to
-  * one codegen'd `when/otherwise` chain with `startswith` guards ahead of
-  * the regex, exactly the reference's prefix fast-path. The table is a
-  * Seq so widening coverage is data entry, not engine work.
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftNative
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.types.{DataType, IntegerType, MapType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Log-event classification over the full reference matcher set
+  * (`logs/analyze.go:33-1183`, X7): [[LogClassifyTable.table]] holds the
+  * (prefix fast-path, anchored regex, class) entries in dispatch order;
+  * classification is one static call per row inside whole-stage codegen.
   *
-  * A representative subset of classes ships in [[table]]; the enum values
-  * are engine-owned (the reference's protobuf enum has 91 values — a
-  * mapping table, not logic).
+  * Engine shape: the linear prefix scan fails on the first character for
+  * almost every (matcher, line) pair — the same fast-path the reference
+  * uses — and the regex only runs on prefix hits. At 100 TB this is a
+  * per-row map-side operation with no shuffle.
   */
 object LogClassify {
 
-  final case class Matcher(
-      classification: Int,
-      name: String,
-      prefix: String, // fast-path: content must start with this
-      regex: String)  // anchored; groups = typed details
-
   val Unknown = 0
+  val UnknownName = "UNKNOWN_LOG_CLASSIFICATION"
 
-  val table: Seq[Matcher] = Seq(
-    Matcher(1, "CONNECTION_RECEIVED", "connection received: ",
-      "^connection received: host=([a-zA-Z0-9:.\\-]+)(?: port=(\\d+))?"),
-    Matcher(2, "CONNECTION_AUTHORIZED", "connection authorized: ",
-      "^connection authorized: user=([a-zA-Z0-9_\\-]+)(?: database=([a-zA-Z0-9_\\-]+))?"),
-    Matcher(3, "DISCONNECTION", "disconnection: ",
-      "^disconnection: session time: (\\d+):(\\d+):(\\d+)\\.(\\d+)"),
-    Matcher(4, "CHECKPOINT_STARTING", "checkpoint starting: ",
-      "^checkpoint starting: (.*)"),
-    Matcher(5, "CHECKPOINT_COMPLETE", "checkpoint complete: ",
-      "^checkpoint complete: wrote (\\d+) buffers"),
-    Matcher(6, "AUTOVACUUM_COMPLETED", "automatic vacuum of table ",
-      "^automatic vacuum of table \"([^\"]+)\""),
-    Matcher(7, "DEADLOCK_DETECTED", "deadlock detected", "^deadlock detected"),
-    Matcher(8, "STATEMENT_DURATION", "duration: ",
-      "^duration: ([\\d\\.]+) ms(?:\\s+statement: (.*))?"),
-    Matcher(9, "STATEMENT_CANCELED_TIMEOUT", "canceling statement due to statement timeout",
-      "^canceling statement due to statement timeout"),
-    Matcher(10, "SERVER_OUT_OF_MEMORY", "out of memory", "^out of memory"),
-    Matcher(11, "LOCK_ACQUIRED", "process ",
-      "^process (\\d+) acquired (\\w+) on (\\w+) .* after (\\d+)\\.(\\d+) ms"),
-    Matcher(12, "TEMP_FILE_CREATED", "temporary file: ",
-      "^temporary file: path \"([^\"]+)\", size (\\d+)"))
+  private final case class Compiled(
+      cid: Int, name: String, prefixes: Array[String],
+      pattern: Pattern, classifyOnPrefix: Boolean, groupNames: Array[String])
 
-  /** classification int for a content column: guarded when/otherwise
-    * chain (prefix fast-path then anchored regex), fully codegen'd. */
+  private val compiled: Array[Compiled] = LogClassifyTable.table.map { m =>
+    Compiled(m.cid, m.name, m.prefixes.toArray,
+      m.regex.map(Pattern.compile(_)).orNull,
+      m.classifyOnPrefix, m.groupNames.toArray)
+  }.toArray
+
+  private val nameById: Map[Int, String] =
+    LogClassifyTable.table.map(m => m.cid -> m.name).toMap
+
+  @inline private def prefixMatches(c: Compiled, content: String): Boolean = {
+    if (c.prefixes.isEmpty) return true
+    var i = 0
+    while (i < c.prefixes.length) {
+      if (content.startsWith(c.prefixes(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  private def findMatcher(content: String): Compiled = {
+    var i = 0
+    while (i < compiled.length) {
+      val c = compiled(i)
+      if (prefixMatches(c, content)) {
+        if (c.classifyOnPrefix || c.pattern == null) return c
+        if (c.pattern.matcher(content).find()) return c
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** Classification id for a content string (0 = unknown). */
+  def classifyId(content: String): Int = {
+    val m = findMatcher(content)
+    if (m == null) Unknown else m.cid
+  }
+
+  /** Class name for an id. */
+  def nameOf(cid: Int): String = nameById.getOrElse(cid, UnknownName)
+
+  /** Typed details for the winning matcher: named capture groups →
+    * values (autovacuum's ~60-group mega-regex, checkpoint-complete
+    * fields, disconnection session time, …). Null-valued groups are
+    * omitted, mirroring the reference's per-class Details maps. */
+  def detailsOf(content: String): java.util.LinkedHashMap[String, String] = {
+    val out = new java.util.LinkedHashMap[String, String]()
+    val m = findMatcher(content)
+    if (m == null || m.pattern == null || m.groupNames.isEmpty) return out
+    val mt = m.pattern.matcher(content)
+    if (!mt.find()) return out
+    var g = 0
+    while (g < m.groupNames.length && g < mt.groupCount()) {
+      val v = mt.group(g + 1)
+      if (v != null) out.put(m.groupNames(g), v)
+      g += 1
+    }
+    out
+  }
+
+  /** classification id column (codegen'd static call). */
   def classify(content: Column): Column =
-    table.foldRight(lit(Unknown)) { (m, acc) =>
-      when(content.startsWith(m.prefix) && content.rlike(m.regex),
-        lit(m.classification)).otherwise(acc)
-    }
+    GraftNative.column(ClassifyExpr(GraftNative.expression(content)))
 
-  /** class name lookup column (dimension decode for readability). */
+  /** class-name column from a classification id column. */
   def className(classification: Column): Column =
-    table.foldRight(lit("UNKNOWN")) { (m, acc) =>
-      when(classification === m.classification, lit(m.name)).otherwise(acc)
+    GraftNative.column(ClassNameExpr(GraftNative.expression(classification)))
+
+  /** details map column (map<string,string> of named regex groups). */
+  def details(content: Column): Column =
+    GraftNative.column(DetailsExpr(GraftNative.expression(content)))
+}
+
+case class ClassifyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    LogClassify.classifyId(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.logsys.LogClassify.classifyId($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): ClassifyExpr =
+    copy(child = newChild)
+}
+
+case class ClassNameExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(LogClassify.nameOf(input.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.logsys.LogClassify.nameOf($c))")
+  override protected def withNewChildInternal(newChild: Expression): ClassNameExpr =
+    copy(child = newChild)
+}
+
+case class DetailsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val m = LogClassify.detailsOf(input.asInstanceOf[UTF8String].toString)
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    var i = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = UTF8String.fromString(e.getKey)
+      vals(i) = UTF8String.fromString(e.getValue)
+      i += 1
     }
+    ArrayBasedMapData(keys, vals)
+  }
+  override protected def withNewChildInternal(newChild: Expression): DetailsExpr =
+    copy(child = newChild)
 }

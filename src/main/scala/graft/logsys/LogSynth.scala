@@ -34,7 +34,10 @@ object LogSynth {
       when(col("event_type") === "click",
         concat(lit("duration: "), col("ms"), lit(".000 ms  statement: SELECT * FROM orders WHERE o_custkey = "), col("k")))
         .when(col("event_type") === "purchase",
-          concat(lit("checkpoint complete: wrote "), col("k"), lit(" buffers")))
+          concat(lit("checkpoint complete: wrote "), col("k"),
+            lit(" buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; " +
+              "write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, " +
+              "longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB")))
         .when(col("event_type") === "view",
           concat(lit("connection received: host=10.0.0.1 port="),
             (lit(5000) + col("user_id") % 100)))

@@ -1,0 +1,87 @@
+package graft
+
+import scala.io.Source
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.logsys.{LogClassify, LogClassifyTable, LogSamples}
+
+/** Classification over the reference's own 111-line test corpus
+  * (`logs/analyze_test.go`, shipped as log_classify_corpus.tsv) and the
+  * per-class sample set. */
+class LogClassifySpec extends AnyFunSuite {
+
+  private def corpus: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/log_classify_corpus.tsv")
+    assert(in != null, "corpus resource missing")
+    Source.fromInputStream(in, "UTF-8").getLines().map { line =>
+      val Array(cls, esc) = line.split("\t", 2)
+      val content = esc
+        .replace("\\n", "\n").replace("\\t", "\t").replace("\\\\", "\\")
+      (cls, content)
+    }.toSeq
+  }
+
+  test("reference corpus: every line classifies to the expected class") {
+    val fails = corpus.flatMap { case (expected, content) =>
+      val got = LogClassify.nameOf(LogClassify.classifyId(content))
+      if (got != expected) Some(s"want=$expected got=$got content=${content.take(80)}")
+      else None
+    }
+    assert(fails.isEmpty, s"${fails.size} mismatches:\n${fails.mkString("\n")}")
+  }
+
+  test("per-class samples: all 99 classes recovered by the matcher table") {
+    val fails = LogSamples.samples.flatMap { case (cid, name, content) =>
+      val got = LogClassify.classifyId(content)
+      if (got != cid) Some(s"$name: want=$cid got=$got") else None
+    }
+    assert(fails.isEmpty, fails.mkString("\n"))
+    assert(LogSamples.samples.map(_._1).distinct.size >= 90)
+  }
+
+  test("table covers ≥99 distinct classes in dispatch order") {
+    assert(LogClassifyTable.table.map(_.name).distinct.size >= 99)
+    assert(LogClassifyTable.table.size >= 115)
+  }
+
+  test("autovacuum details: typed fields from the mega-regex") {
+    val content = corpus.collectFirst {
+      case ("AUTOVACUUM_COMPLETED", c) if c.contains("buffer usage") => c
+    }.get
+    val d = LogClassify.detailsOf(content)
+    assert(d.get("relname") != null)
+    assert(d.get("idx_scans") != null)
+    assert(d.get("pages_removed") != null)
+    assert(d.get("tuples_removed") != null)
+    assert(d.get("buffer_hits") != null)
+  }
+
+  test("checkpoint-complete details: 16 numbered fields named") {
+    val content = "checkpoint complete: wrote 111 buffers (0.7%); " +
+      "0 WAL file(s) added, 0 removed, 0 recycled; write=11.074 s, " +
+      "sync=0.217 s, total=11.303 s; sync files=33, longest=0.076 s, " +
+      "average=0.006 s; distance=213 kB, estimate=213 kB"
+    assert(LogClassify.classifyId(content) == 41)
+    val d = LogClassify.detailsOf(content)
+    assert(d.get("bufs_written") == "111")
+    assert(d.get("write_secs") == "11.074")
+    assert(d.get("distance_kb") == "213")
+  }
+
+  test("disconnection details: session time components") {
+    val content = "disconnection: session time: 1:02:03.004 user=alice " +
+      "database=prod host=10.0.0.9 port=51234"
+    val d = LogClassify.detailsOf(content)
+    assert(d.get("hours") == "1")
+    assert(d.get("minutes") == "02")
+  }
+
+  test("precedence: auto_explain beats plain duration; statement beats unknown") {
+    assert(LogClassify.nameOf(LogClassify.classifyId(
+      "duration: 100.0 ms  plan:\n{\"Plan\": {}}")) == "STATEMENT_AUTO_EXPLAIN")
+    assert(LogClassify.nameOf(LogClassify.classifyId(
+      "duration: 100.0 ms  statement: SELECT 1")) == "STATEMENT_DURATION")
+    assert(LogClassify.classifyId("some unrecognized line") == 0)
+  }
+}
