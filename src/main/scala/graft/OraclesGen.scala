@@ -213,7 +213,17 @@ object OraclesGen {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Expected redactions embedded as literals (reference
+    * `logs/replace_test.go` outputs). */
+  val x9Spans: String = {
+    val rows = PgGoldens.spanInputs
+      .map { case (id, _, _, exp) => s"($id, ${PgGoldens.sqlLit(exp)})" }
+      .mkString(",\n  ")
+    s"SELECT * FROM (VALUES\n  $rows) AS t(q_id, redacted)"
+  }
+
   val sql: Map[String, String] = Map(
+    "x9_spans" -> x9Spans,
     "x7_full_classify" -> x7FullClassify,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,

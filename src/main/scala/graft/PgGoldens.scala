@@ -51,6 +51,25 @@ object PgGoldens {
     (5, "UPDATE t SET a = 1 /* comment */"),
     (6, "update t\nset a = 2"))
 
+  /** Secret-redaction span corpus: (q_id, log level, content, expected
+    * redacted output with ALL secret kinds filtered). Expected strings
+    * follow the reference's own `logs/replace_test.go` outputs (cases
+    * 0–5) and the span rules of `logs/analyze.go:2078-2235` (6–7). */
+  val spanInputs: Seq[(Int, String, String, String)] = Seq(
+    (0, "LOG", "duration: 1242.570 ms  statement: SELECT 1",
+      "duration: 1242.570 ms  statement: [redacted]"),
+    (1, "DETAIL", "parameters: $1 = 'long string', $2 = '1', $3 = 'long string'",
+      "parameters: $1 = '[redacted]', $2 = '[redacted]', $3 = '[redacted]'"),
+    (2, "STATEMENT", "SELECT 1", "[redacted]"),
+    (3, "ERROR", "Unknown Data", "[redacted]\n"),
+    (4, "ERROR", "division by zero", "division by zero"),
+    (5, "LOG", "duration: 2007.111 ms  plan:\n{\"Query Text\": \"SELECT pg_sleep($1)\", \"Plan\": { } }",
+      "duration: 2007.111 ms  plan:\n[redacted]"),
+    (6, "LOG", "connection received: host=10.0.0.1 port=5432",
+      "connection received: host=10.0.0.1 port=5432"),
+    (7, "ERROR", "canceling statement due to statement timeout",
+      "canceling statement due to statement timeout"))
+
   /** SQL string literal with '' escaping. */
   def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 }

@@ -86,6 +86,16 @@ object QueriesLog {
         max("runtime_ms").as("max_ms"))
       .withColumn("fingerprint", md5(col("normalized_query")))
 
+  // X8/X9 — secret marking spans + splice redaction over the span
+  // corpus; the oracle embeds the reference's replace_test outputs.
+  def x9Spans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgGoldens.spanInputs.map { case (id, level, content, _) => (id, level, content) }
+      .toDF("q_id", "level", "content")
+      .select(col("q_id"),
+        graft.logsys.LogSecrets.redact(col("content"), col("level")).as("redacted"))
+  }
+
   // X9 — secret redaction: splice out quoted literals.
   def x9Redact(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

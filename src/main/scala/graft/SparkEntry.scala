@@ -56,6 +56,7 @@ object SparkEntry {
     "x7_full_classify" -> (QueriesLog.x7FullClassify _),
     "log_top_queries" -> (QueriesLog.logTopQueries _),
     "x9_redact" -> (QueriesLog.x9Redact _),
+    "x9_spans" -> (QueriesLog.x9Spans _),
     "w4_context_assoc" -> (QueriesLog.w4ContextAssoc _),
     "x17_session_duration" -> (QueriesLog.x17SessionDuration _)
   )

@@ -25,14 +25,16 @@ object LogClassify {
   val Unknown = 0
   val UnknownName = "UNKNOWN_LOG_CLASSIFICATION"
 
-  private final case class Compiled(
+  private[logsys] final case class Compiled(
       cid: Int, name: String, prefixes: Array[String],
-      pattern: Pattern, classifyOnPrefix: Boolean, groupNames: Array[String])
+      pattern: Pattern, classifyOnPrefix: Boolean, groupNames: Array[String],
+      groupSecrets: Array[Int], remainderKind: Int)
 
   private val compiled: Array[Compiled] = LogClassifyTable.table.map { m =>
     Compiled(m.cid, m.name, m.prefixes.toArray,
       m.regex.map(Pattern.compile(_)).orNull,
-      m.classifyOnPrefix, m.groupNames.toArray)
+      m.classifyOnPrefix, m.groupNames.toArray,
+      m.groupSecrets.toArray, m.remainderKind)
   }.toArray
 
   private val nameById: Map[Int, String] =
@@ -47,6 +49,11 @@ object LogClassify {
     }
     false
   }
+
+  /** The dispatch-order winning matcher for a line (null = none) —
+    * shared with [[LogSecrets]] for span marking. */
+  private[logsys] def winningMatcher(content: String): Compiled =
+    findMatcher(content)
 
   private def findMatcher(content: String): Compiled = {
     var i = 0

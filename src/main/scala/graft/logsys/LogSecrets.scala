@@ -1,0 +1,191 @@
+package graft.logsys
+
+import java.util.regex.Pattern
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftNative
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Secret marking and splice redaction (X8/X9): a port of the
+  * reference's span semantics — `logs/analyze.go:2078-2235`
+  * (matchLogLineCommon's marker emission), `state/logs.go:59-95` (the 7
+  * secret kinds), `logs/replace.go:13-42` (ReplaceSecrets splice).
+  *
+  * Markers are (start, end, kind) spans over the content:
+  *  - content before the regex match start → UNIDENTIFIED
+  *  - each capture group with a non-zero kind in the matcher's
+  *    `groupSecrets` → that kind; groups beyond the secrets list →
+  *    UNIDENTIFIED
+  *  - content after the match end → the matcher's `remainderKind`
+  *    (e.g. the statement text after `duration: … ms  statement: `),
+  *    else UNIDENTIFIED; trailing newline excluded
+  *  - prefix-only matchers mark everything after the prefix UNIDENTIFIED
+  *
+  * Redaction splices `[redacted]` over every marker whose kind is in the
+  * filter set; lines never reviewed (no matcher matched) are replaced
+  * wholesale when UNIDENTIFIED is filtered.
+  */
+object LogSecrets {
+
+  val Credential = 1
+  val ParsingError = 2
+  val StatementText = 3
+  val StatementParameter = 4
+  val TableData = 5
+  val Ops = 6
+  val Unidentified = 7
+  val AllKinds: Seq[Int] = 1 to 7
+
+  val Replacement = "[redacted]"
+
+  final case class Marker(start: Int, end: Int, kind: Int)
+
+  /** duration.detail — `parameters: $1 = '…', $2 = NULL` value spans
+    * (kind STATEMENT_PARAMETER), matched repeatedly (`matchAll`). */
+  private val paramsPattern = Pattern.compile(
+    "(?:parameters: |, )\\$\\d+ = (?:(NULL)|'((?:[^']|'')*)')")
+
+  /** Primary-line marking: (reviewedForSecrets, classification, markers). */
+  def primaryMark(content: String): (Boolean, Int, List[Marker]) = {
+    val m = LogClassify.winningMatcher(content)
+    if (m == null) return (false, 0, Nil)
+    val out = ListBuffer.empty[Marker]
+    if (m.pattern == null) {
+      // prefix-only matcher: remainder after prefix is unidentified
+      val prefix = m.prefixes.find(content.startsWith(_)).get
+      var end = content.length
+      if (end > 0 && content.charAt(end - 1) == '\n') end -= 1
+      if (prefix.length < content.length && end - prefix.length > 0)
+        out += Marker(prefix.length, end, Unidentified)
+      return (true, m.cid, out.toList)
+    }
+    val mt = m.pattern.matcher(content)
+    if (!mt.find()) {
+      // classify-on-prefix matchers can classify without marking
+      return (false, if (m.classifyOnPrefix) m.cid else 0, Nil)
+    }
+    if (mt.start > 0) out += Marker(0, mt.start, Unidentified)
+    var g = 0
+    while (g < mt.groupCount()) {
+      val s = mt.start(g + 1)
+      if (s >= 0) {
+        if (g >= m.groupSecrets.length) out += Marker(s, mt.end(g + 1), Unidentified)
+        else if (m.groupSecrets(g) != 0) out += Marker(s, mt.end(g + 1), m.groupSecrets(g))
+      }
+      g += 1
+    }
+    if (mt.end < content.length - 1) {
+      val kind = if (m.remainderKind != 0) m.remainderKind else Unidentified
+      var end = content.length
+      if (content.charAt(end - 1) == '\n') end -= 1
+      if (end - mt.end > 0) out += Marker(mt.end, end, kind)
+    }
+    (true, m.cid, out.toList)
+  }
+
+  /** DETAIL `parameters:` line marking (matchAll semantics). */
+  def detailParamsMark(content: String): (Boolean, List[Marker]) = {
+    val mt = paramsPattern.matcher(content)
+    val out = ListBuffer.empty[Marker]
+    var found = false
+    while (mt.find()) {
+      found = true
+      var g = 0
+      while (g < 2) {
+        if (mt.start(g + 1) >= 0)
+          out += Marker(mt.start(g + 1), mt.end(g + 1), StatementParameter)
+        g += 1
+      }
+    }
+    (found, out.toList)
+  }
+
+  /** STATEMENT/QUERY context lines: whole content is statement text
+    * (`markLineAsSecret`, analyze.go:2226-2233). */
+  def statementLineMark(content: String): List[Marker] =
+    List(Marker(0, content.length, StatementText))
+
+  /** ReplaceSecrets splice for one line (`logs/replace.go:20-42`). */
+  def replace(content: String, reviewed: Boolean, classification: Int,
+      hasParent: Boolean, markers: List[Marker], kinds: Set[Int]): String = {
+    if (kinds.contains(Unidentified) &&
+        (!reviewed || (classification == 0 && !hasParent)))
+      return Replacement + "\n"
+    val sorted = markers.sortBy(_.start)
+    val sb = new StringBuilder(content)
+    var bytesChecked = -1
+    var offset = 0
+    sorted.foreach { m =>
+      if (kinds.contains(m.kind) && m.start > bytesChecked) {
+        sb.replace(m.start - offset, m.end - offset, Replacement)
+        bytesChecked = m.end
+        offset += (m.end - m.start) - Replacement.length
+      }
+    }
+    sb.toString
+  }
+
+  /** Full per-line redaction by log level: DETAIL `parameters:` lines use
+    * the parameter matcher, STATEMENT/QUERY lines are whole-statement
+    * secrets, everything else goes through the primary matcher table.
+    * Continuation levels count as having a parent (the reference only
+    * wholesale-redacts unidentified lines with no ParentUUID). */
+  def redactLine(content: String, level: String, kinds: Set[Int]): String = {
+    val continuation = level == "DETAIL" || level == "STATEMENT" ||
+      level == "QUERY" || level == "CONTEXT" || level == "HINT"
+    if (level == "STATEMENT" || level == "QUERY")
+      replace(content, reviewed = true, classification = 0, hasParent = true,
+        statementLineMark(content), kinds)
+    else if (level == "DETAIL" && content.startsWith("parameters: ")) {
+      val (found, ms) = detailParamsMark(content)
+      replace(content, reviewed = found, classification = 0, hasParent = true, ms, kinds)
+    } else {
+      val (reviewed, cls, ms) = primaryMark(content)
+      replace(content, reviewed, cls, continuation, ms, kinds)
+    }
+  }
+
+  /** markers as an array<struct<start,end,kind>> column. */
+  def markers(content: Column): Column =
+    GraftNative.column(SecretMarkersExpr(GraftNative.expression(content)))
+
+  /** redacted content column for (content, level), filtering `kinds`. */
+  def redact(content: Column, level: Column, kinds: Seq[Int] = AllKinds): Column =
+    GraftNative.column(RedactSecretsExpr(
+      GraftNative.expression(content), GraftNative.expression(level), kinds))
+}
+
+case class SecretMarkersExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("kind", IntegerType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val (_, _, ms) = LogSecrets.primaryMark(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(ms.map(m => InternalRow(m.start, m.end, m.kind)).toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): SecretMarkersExpr =
+    copy(child = newChild)
+}
+
+case class RedactSecretsExpr(left: Expression, right: Expression, kinds: Seq[Int])
+    extends BinaryExpression with CodegenFallback {
+  private lazy val kindSet = kinds.toSet
+  override def dataType: DataType = StringType
+  override def nullSafeEval(content: Any, level: Any): Any =
+    UTF8String.fromString(LogSecrets.redactLine(
+      content.asInstanceOf[UTF8String].toString,
+      level.asInstanceOf[UTF8String].toString, kindSet))
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RedactSecretsExpr =
+    copy(left = newLeft, right = newRight)
+}

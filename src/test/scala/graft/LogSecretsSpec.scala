@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.logsys.LogSecrets
+
+/** Ports of the reference's `logs/replace_test.go` pairs at the
+  * content level (the prefix parse is LogPrefix's job), plus marker-span
+  * unit checks. */
+class LogSecretsSpec extends AnyFunSuite {
+
+  private val all = LogSecrets.AllKinds.toSet
+
+  test("duration statement text is spliced") {
+    assert(LogSecrets.redactLine(
+      "duration: 1242.570 ms  statement: SELECT 1", "LOG", all) ==
+      "duration: 1242.570 ms  statement: [redacted]")
+    assert(LogSecrets.redactLine(
+      "duration: 1242.570 ms  statement: SELECT 1", "LOG",
+      Set(LogSecrets.StatementText)) ==
+      "duration: 1242.570 ms  statement: [redacted]")
+  }
+
+  test("auto_explain plan body is statement text") {
+    assert(LogSecrets.redactLine(
+      "duration: 2007.111 ms  plan:\n{\"Query Text\": \"SELECT pg_sleep($1)\", \"Plan\": { } }",
+      "LOG", Set(LogSecrets.StatementText)) ==
+      "duration: 2007.111 ms  plan:\n[redacted]")
+  }
+
+  test("DETAIL parameters values are individually spliced") {
+    assert(LogSecrets.redactLine(
+      "parameters: $1 = 'long string', $2 = '1', $3 = 'long string'",
+      "DETAIL", Set(LogSecrets.StatementParameter)) ==
+      "parameters: $1 = '[redacted]', $2 = '[redacted]', $3 = '[redacted]'")
+  }
+
+  test("STATEMENT context line is wholesale statement text") {
+    assert(LogSecrets.redactLine("SELECT 1", "STATEMENT",
+      Set(LogSecrets.StatementText)) == "[redacted]")
+  }
+
+  test("unidentified unknown line is wholesale redacted with newline") {
+    assert(LogSecrets.redactLine("Unknown Data", "ERROR",
+      Set(LogSecrets.Unidentified)) == "[redacted]\n")
+    // known class with no secret spans survives untouched
+    assert(LogSecrets.redactLine("division by zero", "ERROR",
+      Set(LogSecrets.Unidentified)) == "division by zero")
+  }
+
+  test("non-filtered kinds survive") {
+    assert(LogSecrets.redactLine(
+      "duration: 1242.570 ms  statement: SELECT 1", "LOG",
+      Set(LogSecrets.StatementParameter)) ==
+      "duration: 1242.570 ms  statement: SELECT 1")
+  }
+
+  test("syntax error quoted fragment is a parsing-error span") {
+    val got = LogSecrets.redactLine(
+      "syntax error at or near \"WHERE\" at character 25", "ERROR",
+      Set(LogSecrets.ParsingError))
+    assert(got.contains("[redacted]") && got.startsWith("syntax error at or near"))
+  }
+
+  test("markers carry byte-accurate spans") {
+    val content = "duration: 1242.570 ms  statement: SELECT 1"
+    val (reviewed, cls, ms) = LogSecrets.primaryMark(content)
+    assert(reviewed && cls == 80)
+    val st = ms.find(_.kind == LogSecrets.StatementText).get
+    assert(content.substring(st.start, st.end) == "SELECT 1")
+  }
+}
