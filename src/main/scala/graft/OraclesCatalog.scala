@@ -1,0 +1,187 @@
+package graft
+
+/** DuckDB oracles for the catalog-scan surface: each oracle re-derives
+  * the [[graft.sources.CatalogSynth]] stand-in tables as CTEs (same
+  * integer/string arithmetic) and applies the operator logic in plain
+  * SQL. Integer aggregates are cast to BIGINT (DuckDB widens to
+  * HUGEINT); string concatenation of integers renders identically in
+  * both engines.
+  */
+object OraclesCatalog {
+
+  private val rels =
+    """rels AS (
+      |  SELECT p_partkey AS rel_oid,
+      |    p_partkey % 3 AS db_oid,
+      |    CASE p_partkey % 8 WHEN 0 THEN 'pg_catalog' WHEN 1 THEN 'pg_toast'
+      |      WHEN 2 THEN 'information_schema' WHEN 3 THEN 'app_private'
+      |      ELSE 'public' END AS nspname,
+      |    'rel_' || p_partkey AS relname,
+      |    CASE p_partkey % 4 WHEN 3 THEN 'p' WHEN 2 THEN 'v' ELSE 'r' END AS relkind,
+      |    p_size * 1000 + p_partkey % 97 AS reltuples,
+      |    CAST(p_size * 10 AS BIGINT) AS relpages,
+      |    p_partkey % 37 = 0 AS is_locked,
+      |    CASE WHEN p_partkey % 4 = 1 THEN (p_partkey // 20) * 20 + 3 END AS parent_oid,
+      |    CASE WHEN p_partkey % 4 = 1 THEN CAST(p_partkey % 3 + 1 AS INT) END AS inhseqno
+      |  FROM part)""".stripMargin
+
+  private val backends =
+    """backends AS (
+      |  SELECT event_id, user_id AS pid, user_id % 5 AS db_oid,
+      |    'u' || user_id AS usename,
+      |    CASE event_type WHEN 'view' THEN 'idle'
+      |      WHEN 'signup' THEN 'idle in transaction' ELSE 'active' END AS state,
+      |    CASE WHEN user_id % 17 = 0 THEN 'autovacuum worker'
+      |      ELSE 'client backend' END AS backend_type,
+      |    value > 150 AS waiting
+      |  FROM events)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "s3_activity_scan" ->
+      s"""WITH $backends
+         |SELECT event_id, pid, db_oid, usename, state, backend_type, waiting
+         |FROM backends WHERE state <> 'idle'""".stripMargin,
+
+    "s5_vacuum_progress" ->
+      s"""WITH $backends,
+         |vac AS (
+         |  SELECT event_id, user_id AS pid,
+         |    CAST(floor(value * 10) AS BIGINT) AS relid,
+         |    CASE event_id % 3 WHEN 0 THEN 'scanning heap'
+         |      WHEN 1 THEN 'vacuuming indexes' ELSE 'vacuuming heap' END AS phase,
+         |    CAST(floor(value * 100) AS BIGINT) AS heap_blks_total,
+         |    CAST(floor(value * 50) AS BIGINT) AS heap_blks_scanned
+         |  FROM events WHERE event_type = 'error')
+         |SELECT v.event_id, v.pid, w.usename, w.db_oid, v.relid, v.phase,
+         |  v.heap_blks_total, v.heap_blks_scanned
+         |FROM vac v JOIN (SELECT DISTINCT pid, usename, db_oid FROM backends) w
+         |  USING (pid)""".stripMargin,
+
+    "s11_relation_stats" ->
+      s"""WITH $rels,
+         |idx AS (
+         |  SELECT (p_partkey // 3) * 3 AS indrelid, p_size * 7 % 1000 AS idx_scan,
+         |    p_size * 131 % 10000 AS idx_tup_read
+         |  FROM part WHERE p_partkey % 2 = 0),
+         |ir AS (
+         |  SELECT indrelid AS rel_oid, CAST(sum(idx_scan) AS BIGINT) AS idx_scan_sum,
+         |    CAST(sum(idx_tup_read) AS BIGINT) AS idx_tup_read_sum,
+         |    count(*) AS n_indexes
+         |  FROM idx GROUP BY 1),
+         |pr AS (
+         |  SELECT parent_oid AS rel_oid, CAST(sum(reltuples) AS BIGINT) AS child_tuples
+         |  FROM rels WHERE parent_oid IS NOT NULL GROUP BY 1)
+         |SELECT r.rel_oid, r.nspname, r.relname, r.relkind, r.reltuples, r.relpages,
+         |  COALESCE(ir.idx_scan_sum, 0) AS idx_scan_sum,
+         |  COALESCE(ir.idx_tup_read_sum, 0) AS idx_tup_read_sum,
+         |  COALESCE(ir.n_indexes, 0) AS n_indexes,
+         |  COALESCE(pr.child_tuples, 0) AS child_tuples
+         |FROM rels r LEFT JOIN ir USING (rel_oid) LEFT JOIN pr USING (rel_oid)
+         |WHERE r.relkind IN ('r', 'p') AND NOT r.is_locked
+         |  AND r.nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')
+         |UNION ALL
+         |SELECT rel_oid, nspname, relname, relkind,
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |FROM rels
+         |WHERE relkind IN ('r', 'p') AND is_locked
+         |  AND nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')""".stripMargin,
+
+    "s17_database_stats" ->
+      """WITH dbs AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS db_oid,
+        |    CASE n_nationkey % 7 WHEN 0 THEN 'rdsadmin'
+        |      WHEN 1 THEN 'azure_maintenance' WHEN 2 THEN 'cloudsqladmin'
+        |      ELSE 'db_' || n_nationkey END AS datname,
+        |    CAST(1000000 + n_nationkey * 100 AS BIGINT) AS frozenxid,
+        |    CAST(n_nationkey * 977 % 10000 AS BIGINT) AS xact_commit,
+        |    CAST(n_nationkey * 131 % 1000 AS BIGINT) AS xact_rollback,
+        |    CAST(n_nationkey % 5 AS BIGINT) AS temp_files
+        |  FROM nation)
+        |SELECT db_oid, datname, 2000000 - frozenxid AS frozenxid_age,
+        |  xact_commit + xact_rollback AS xact_total, temp_files
+        |FROM dbs
+        |WHERE datname NOT IN ('rdsadmin', 'azure_maintenance', 'cloudsqladmin')""".stripMargin,
+
+    "s22_replication_lag" ->
+      """WITH repl AS (
+        |  SELECT 's' || s_suppkey AS standby_name,
+        |    '10.0.0.' || (s_suppkey % 250) AS client_addr,
+        |    CASE WHEN s_suppkey % 7 = 0 THEN 'catchup' ELSE 'streaming' END AS state,
+        |    CAST(floor(s_acctbal * 1000) AS BIGINT) + 100000 AS sent_lsn,
+        |    CAST(floor(s_acctbal * 1000) AS BIGINT) + 100000
+        |      - (s_suppkey * 13 % 5000) AS replay_lsn
+        |  FROM supplier)
+        |SELECT standby_name, client_addr, sent_lsn - replay_lsn AS lag_bytes
+        |FROM repl WHERE state = 'streaming'""".stripMargin,
+
+    "s23_xmin_top1" ->
+      """SELECT category, holder, xmin_age FROM (
+        |  SELECT event_type AS category, 'u' || user_id AS holder,
+        |    CAST(floor(value * 1000) AS BIGINT) + event_id % 7 AS xmin_age,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(floor(value * 1000) AS BIGINT) + event_id % 7 DESC,
+        |               'u' || user_id) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+
+    "j2_stats_text" ->
+      """WITH e AS (
+        |  SELECT *, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |stats AS (
+        |  SELECT user_id % 5 AS db_oid, user_id AS user_oid, k AS query_id,
+        |    event_id % 7 <> 0 AS toplevel, count(*) AS calls,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_ms
+        |  FROM e GROUP BY 1, 2, 3, 4),
+        |texts AS (
+        |  SELECT DISTINCT user_id % 5 AS db_oid, user_id AS user_oid, k AS query_id,
+        |    event_id % 7 <> 0 AS toplevel,
+        |    CASE WHEN k % 50 = 0 THEN '/* pganalyze-collector */ SELECT 1'
+        |      ELSE 'SELECT * FROM orders WHERE o_custkey = ' || k END AS query
+        |  FROM e)
+        |SELECT s.db_oid, s.user_oid, s.query_id, s.toplevel, s.calls, s.total_ms,
+        |  t.query
+        |FROM stats s JOIN texts t USING (db_oid, user_oid, query_id, toplevel)
+        |WHERE t.query NOT LIKE '/* pganalyze-collector */%'""".stripMargin,
+
+    "j4_buffercache_residual" ->
+      """WITH pages AS (
+        |  SELECT l_suppkey % 3 AS db_oid,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN l_partkey
+        |      ELSE l_partkey + 1000000 END AS filenode
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT db_oid, filenode, CAST(count(*) * 8192 AS BIGINT) AS bytes
+        |  FROM pages GROUP BY 1, 2),
+        |r AS (SELECT DISTINCT p_partkey AS filenode FROM part)
+        |SELECT db_oid,
+        |  CAST(COALESCE(sum(CASE WHEN r.filenode IS NOT NULL THEN bytes END), 0)
+        |    AS BIGINT) AS tracked_bytes,
+        |  CAST(COALESCE(sum(CASE WHEN r.filenode IS NULL THEN bytes END), 0)
+        |    AS BIGINT) AS untracked_bytes
+        |FROM b LEFT JOIN r USING (filenode) GROUP BY db_oid""".stripMargin,
+
+    "u2_per_db_union" ->
+      s"""WITH $rels
+         |SELECT DISTINCT db_oid, relname FROM rels WHERE db_oid IN (0, 1, 2)""".stripMargin,
+
+    "f2_schema_regexp" ->
+      s"""WITH $rels
+         |SELECT rel_oid, nspname, relname FROM rels
+         |WHERE NOT regexp_matches(nspname || '.' || relname,
+         |  '(?i)^(pg_catalog|pg_toast)\\.')""".stripMargin,
+
+    "t6_parent_partition" ->
+      """WITH inh AS (
+        |  SELECT p_partkey AS rel_oid, (p_partkey // 20) * 20 + 3 AS parent_oid,
+        |    CAST(p_partkey % 3 + 1 AS INT) AS inhseqno
+        |  FROM part WHERE p_partkey % 4 = 1
+        |  UNION ALL
+        |  SELECT p_partkey, (p_partkey // 40) * 40 + 3,
+        |    CAST(p_partkey % 3 + 2 AS INT)
+        |  FROM part WHERE p_partkey % 8 = 1)
+        |SELECT rel_oid, parent_oid, inhseqno FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY rel_oid
+        |    ORDER BY inhseqno, parent_oid) AS rn
+        |  FROM inh) t WHERE rn = 1""".stripMargin)
+}

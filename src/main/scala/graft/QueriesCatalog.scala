@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.CatalogSynth
+
+/** Catalog-scan query surface (SURVEY §2.1 S3–S25 + the joins/aggs that
+  * ride on it: J2/J4, A3/A4/A5, U2/U4, F2/F5/F12, T6). Sources are the
+  * parquet-backed [[CatalogSynth]] stand-ins; every plan here is the
+  * shape the reference's hand-written catalog SQL compiles to on a real
+  * lake: pruned scans, broadcast dims, equi-joins on oid keys, map-side
+  * partial aggregation.
+  */
+object QueriesCatalog {
+
+  /** Schemas the system-catalog filter drops (F3). */
+  private val SystemSchemas = Seq("pg_catalog", "pg_toast", "information_schema")
+
+  // S3 — pg_stat_activity scan: projection + state filter.
+  def s3ActivityScan(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.backends(s, dir)
+      .filter(col("state") =!= "idle")
+      .select("event_id", "pid", "db_oid", "usename", "state",
+        "backend_type", "waiting")
+
+  // S5 — vacuum progress ⨝ activity on pid (vacuum_progress.go:66-134).
+  def s5VacuumProgress(s: SparkSession, dir: String): DataFrame = {
+    val vac = CatalogSynth.vacuumProgress(s, dir)
+    val who = CatalogSynth.backends(s, dir)
+      .select("pid", "usename", "db_oid").distinct()
+    vac.join(broadcast(who), Seq("pid"))
+      .select("event_id", "pid", "usename", "db_oid", "relid", "phase",
+        "heap_blks_total", "heap_blks_scanned")
+  }
+
+  // S11 + A3 + A4 + U1 — the 220-line relation-stats scan: base stats,
+  // LATERAL index rollup (= groupBy+join), partition-size rollup, and
+  // locked-relation placeholder rows unioned in.
+  def s11RelationStats(s: SparkSession, dir: String): DataFrame = {
+    val rels = CatalogSynth.relations(s, dir)
+    val idxRollup = CatalogSynth.indexStats(s, dir)
+      .groupBy(col("indrelid").as("rel_oid"))
+      .agg(sum("idx_scan").as("idx_scan_sum"),
+        sum("idx_tup_read").as("idx_tup_read_sum"),
+        count(lit(1)).as("n_indexes"))
+    val partRollup = rels
+      .filter(col("parent_oid").isNotNull)
+      .groupBy(col("parent_oid").as("rel_oid"))
+      .agg(sum("reltuples").as("child_tuples"))
+    val live = rels
+      .filter(col("relkind").isin("r", "p") && !col("is_locked") &&
+        !col("nspname").isin(SystemSchemas: _*))
+      .join(idxRollup, Seq("rel_oid"), "left")
+      .join(partRollup, Seq("rel_oid"), "left")
+      .select(col("rel_oid"), col("nspname"), col("relname"), col("relkind"),
+        col("reltuples"), col("relpages"),
+        coalesce(col("idx_scan_sum"), lit(0L)).as("idx_scan_sum"),
+        coalesce(col("idx_tup_read_sum"), lit(0L)).as("idx_tup_read_sum"),
+        coalesce(col("n_indexes"), lit(0L)).as("n_indexes"),
+        coalesce(col("child_tuples"), lit(0L)).as("child_tuples"))
+    val locked = rels
+      .filter(col("relkind").isin("r", "p") && col("is_locked") &&
+        !col("nspname").isin(SystemSchemas: _*))
+      .select(col("rel_oid"), col("nspname"), col("relname"), col("relkind"),
+        lit(null).cast("long").as("reltuples"),
+        lit(null).cast("long").as("relpages"),
+        lit(null).cast("long").as("idx_scan_sum"),
+        lit(null).cast("long").as("idx_tup_read_sum"),
+        lit(null).cast("long").as("n_indexes"),
+        lit(null).cast("long").as("child_tuples"))
+    live.unionByName(locked)
+  }
+
+  // S17 + F12 + X16 — database stats with cloud-internal filter and
+  // frozenxid age against a fixed current xid reading.
+  def s17DatabaseStats(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.databases(s, dir)
+      .filter(!col("datname").isin("rdsadmin", "azure_maintenance", "cloudsqladmin"))
+      .select(col("db_oid"), col("datname"),
+        (lit(2000000L) - col("frozenxid")).as("frozenxid_age"),
+        (col("xact_commit") + col("xact_rollback")).as("xact_total"),
+        col("temp_files"))
+
+  // S22 — replication scan: per-standby lag (pg_wal_lsn_diff analogue).
+  def s22ReplicationLag(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.replication(s, dir)
+      .filter(col("state") === "streaming")
+      .select(col("standby_name"), col("client_addr"),
+        (col("sent_lsn") - col("replay_lsn")).as("lag_bytes"))
+
+  // S23 + T4 — xmin-horizon top-1 per category (the five ORDER BY
+  // age DESC LIMIT 1 subqueries, server_stats.go:27-79).
+  def s23XminTop1(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("category")
+      .orderBy(col("xmin_age").desc, col("holder"))
+    CatalogSynth.xminHolders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("category", "holder", "xmin_age")
+  }
+
+  // J2 + F5 — stats ⨝ texts broadcast equi-join on the statement key,
+  // with the collector-marker filter (querymarker.go:3).
+  def j2StatsText(s: SparkSession, dir: String): DataFrame = {
+    val stats = CatalogSynth.statementStats(s, dir)
+    val texts = CatalogSynth.statementTexts(s, dir)
+      .filter(!col("query").startsWith("/* pganalyze-collector */"))
+    stats.join(broadcast(texts),
+        Seq("db_oid", "user_oid", "query_id", "toplevel"))
+      .select("db_oid", "user_oid", "query_id", "toplevel", "calls",
+        "total_ms", "query")
+  }
+
+  // J4 + A5 + A8 — buffercache pages → bytes, relation lookup, and the
+  // untracked residual per database.
+  def j4BuffercacheResidual(s: SparkSession, dir: String): DataFrame = {
+    val bytes = CatalogSynth.bufferCachePages(s, dir)
+      .groupBy("db_oid", "filenode")
+      .agg((count(lit(1)) * 8192).as("bytes"))
+    val relIds = CatalogSynth.relations(s, dir)
+      .select(col("rel_oid").as("filenode")).distinct()
+      .withColumn("tracked", lit(1))
+    bytes.join(broadcast(relIds), Seq("filenode"), "left")
+      .groupBy("db_oid")
+      .agg(
+        coalesce(sum(when(col("tracked") === 1, col("bytes"))), lit(0L))
+          .as("tracked_bytes"),
+        coalesce(sum(when(col("tracked").isNull, col("bytes"))), lit(0L))
+          .as("untracked_bytes"))
+  }
+
+  // U2 + U4 — per-database fan-out: one filtered scan per database
+  // unioned (the reference reconnects per DB), then name dedup.
+  def u2PerDbUnion(s: SparkSession, dir: String): DataFrame = {
+    val rels = CatalogSynth.relations(s, dir)
+    (0L until 3L)
+      .map(d => rels.filter(col("db_oid") === d).select("db_oid", "relname"))
+      .reduce(_.unionByName(_))
+      .distinct()
+  }
+
+  // F2 — ignore_schema_regexp: case-insensitive regex over
+  // schema.relname, pushed into every catalog scan (relations.go:50).
+  def f2SchemaRegexp(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.relations(s, dir)
+      .filter(!concat(col("nspname"), lit("."), col("relname"))
+        .rlike("(?i)^(pg_catalog|pg_toast)\\."))
+      .select("rel_oid", "nspname", "relname")
+
+  // T6 — parent-partition pick: first inheritance parent per child
+  // (ORDER BY inhseqno LIMIT 1, relations.go:34) over multi-edge
+  // pg_inherits rows.
+  def t6ParentPartition(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("rel_oid")
+      .orderBy(col("inhseqno"), col("parent_oid"))
+    CatalogSynth.inheritance(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("rel_oid", "parent_oid", "inhseqno")
+  }
+}

@@ -38,6 +38,18 @@ object SparkEntry {
     "x1_fingerprint_collapse" -> (Queries.x1FingerprintCollapse _),
     "x16_xid8" -> (Queries.x16Xid8 _),
     "f9_stale_filter" -> (Queries.f9StaleFilter _),
+    // catalog-scan layer (S3–S25 + dependent joins/aggs)
+    "s3_activity_scan" -> (QueriesCatalog.s3ActivityScan _),
+    "s5_vacuum_progress" -> (QueriesCatalog.s5VacuumProgress _),
+    "s11_relation_stats" -> (QueriesCatalog.s11RelationStats _),
+    "s17_database_stats" -> (QueriesCatalog.s17DatabaseStats _),
+    "s22_replication_lag" -> (QueriesCatalog.s22ReplicationLag _),
+    "s23_xmin_top1" -> (QueriesCatalog.s23XminTop1 _),
+    "j2_stats_text" -> (QueriesCatalog.j2StatsText _),
+    "j4_buffercache_residual" -> (QueriesCatalog.j4BuffercacheResidual _),
+    "u2_per_db_union" -> (QueriesCatalog.u2PerDbUnion _),
+    "f2_schema_regexp" -> (QueriesCatalog.f2SchemaRegexp _),
+    "t6_parent_partition" -> (QueriesCatalog.t6ParentPartition _),
     // training-data pipeline extensions
     "dedup_exact" -> (QueriesText.dedupExact _),
     "dedup_ngram_jaccard" -> (QueriesText.dedupNgramJaccard _),
@@ -63,5 +75,6 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.sql ++ OraclesGen.sql
+  def oracleSql: Map[String, String] =
+    Oracles.sql ++ OraclesGen.sql ++ OraclesCatalog.sql
 }

@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+/** Version-adaptive catalog-scan schema registry — the engine form of
+  * the reference's per-version SQL assembly
+  * (`input/postgres/statements.go:128-154`, `vacuum_progress.go:66-100`,
+  * `relation_stats.go:179-256`): explicit `StructType`s (never inferred)
+  * with per-Postgres-version column variants resolved at read time.
+  * A JDBC deployment points these at the live catalogs; the test
+  * environment reads the [[CatalogSynth]] parquet stand-ins.
+  */
+object CatalogSchemas {
+
+  /** A schema with version-gated columns: `since`/`until` bound the
+    * Postgres major versions (inclusive) a field exists in. */
+  final case class VersionedField(
+      field: StructField, since: Int = 0, until: Int = Int.MaxValue)
+
+  final case class VersionedSchema(name: String, fields: Seq[VersionedField]) {
+    def forVersion(v: Int): StructType =
+      StructType(fields.filter(f => v >= f.since && v <= f.until).map(_.field))
+  }
+
+  private def f(name: String, t: DataType, nullable: Boolean = true,
+      since: Int = 0, until: Int = Int.MaxValue) =
+    VersionedField(StructField(name, t, nullable), since, until)
+
+  /** pg_stat_statements (S1): 1.8+ (PG13) renamed total_time →
+    * total_exec_time and added plan-time counters. */
+  val statStatements: VersionedSchema = VersionedSchema("pg_stat_statements", Seq(
+    f("dbid", LongType, nullable = false),
+    f("userid", LongType, nullable = false),
+    f("queryid", LongType),
+    f("toplevel", BooleanType, since = 14),
+    f("calls", LongType),
+    f("total_time", DoubleType, until = 12),
+    f("total_exec_time", DoubleType, since = 13),
+    f("total_plan_time", DoubleType, since = 13),
+    f("rows", LongType),
+    f("shared_blks_hit", LongType),
+    f("shared_blks_read", LongType),
+    f("shared_blks_dirtied", LongType),
+    f("shared_blks_written", LongType),
+    f("local_blks_hit", LongType),
+    f("local_blks_read", LongType),
+    f("temp_blks_read", LongType),
+    f("temp_blks_written", LongType),
+    f("blk_read_time", DoubleType),
+    f("blk_write_time", DoubleType),
+    f("wal_records", LongType, since = 13),
+    f("wal_bytes", DecimalType(20, 0), since = 13),
+    f("jit_functions", LongType, since = 15)))
+
+  /** pg_stat_activity (S3): wait events split in 9.6; leader_pid 13+. */
+  val statActivity: VersionedSchema = VersionedSchema("pg_stat_activity", Seq(
+    f("datid", LongType),
+    f("pid", IntegerType, nullable = false),
+    f("leader_pid", IntegerType, since = 13),
+    f("usesysid", LongType),
+    f("application_name", StringType),
+    f("client_addr", StringType),
+    f("backend_start", TimestampType),
+    f("xact_start", TimestampType),
+    f("query_start", TimestampType),
+    f("state_change", TimestampType),
+    f("wait_event_type", StringType),
+    f("wait_event", StringType),
+    f("state", StringType),
+    f("backend_xid", LongType),
+    f("backend_xmin", LongType),
+    f("query_id", LongType, since = 14),
+    f("query", StringType),
+    f("backend_type", StringType)))
+
+  /** pg_stat_progress_vacuum (S5): pg17 renamed the dead-tuple fields. */
+  val vacuumProgress: VersionedSchema = VersionedSchema("pg_stat_progress_vacuum", Seq(
+    f("pid", IntegerType, nullable = false),
+    f("datid", LongType),
+    f("relid", LongType),
+    f("phase", StringType),
+    f("heap_blks_total", LongType),
+    f("heap_blks_scanned", LongType),
+    f("heap_blks_vacuumed", LongType),
+    f("index_vacuum_count", LongType),
+    f("max_dead_tuples", LongType, until = 16),
+    f("num_dead_tuples", LongType, until = 16),
+    f("max_dead_tuple_bytes", LongType, since = 17),
+    f("dead_tuple_bytes", LongType, since = 17)))
+
+  /** pg_stat_replication (S22). */
+  val statReplication: VersionedSchema = VersionedSchema("pg_stat_replication", Seq(
+    f("pid", IntegerType, nullable = false),
+    f("usename", StringType),
+    f("application_name", StringType),
+    f("client_addr", StringType),
+    f("state", StringType),
+    f("sent_lsn", StringType),
+    f("write_lsn", StringType),
+    f("flush_lsn", StringType),
+    f("replay_lsn", StringType),
+    f("write_lag", CalendarIntervalType, since = 10),
+    f("flush_lag", CalendarIntervalType, since = 10),
+    f("replay_lag", CalendarIntervalType, since = 10),
+    f("sync_state", StringType)))
+
+  /** pg_stat_io (S24, PG16+). */
+  val statIo: VersionedSchema = VersionedSchema("pg_stat_io", Seq(
+    f("backend_type", StringType, since = 16),
+    f("object", StringType, since = 16),
+    f("context", StringType, since = 16),
+    f("reads", LongType, since = 16),
+    f("read_time", DoubleType, since = 16),
+    f("writes", LongType, since = 16),
+    f("write_time", DoubleType, since = 16),
+    f("extends", LongType, since = 16),
+    f("hits", LongType, since = 16),
+    f("evictions", LongType, since = 16),
+    f("fsyncs", LongType, since = 16)))
+
+  /** Relation stats (S11): the 40-col pg_stat_get_*() projection. */
+  val relationStats: VersionedSchema = VersionedSchema("relation_stats", Seq(
+    f("relid", LongType, nullable = false),
+    f("size_bytes", LongType),
+    f("toast_size_bytes", LongType),
+    f("seq_scan", LongType),
+    f("seq_tup_read", LongType),
+    f("idx_scan", LongType),
+    f("idx_tup_fetch", LongType),
+    f("n_tup_ins", LongType),
+    f("n_tup_upd", LongType),
+    f("n_tup_del", LongType),
+    f("n_tup_hot_upd", LongType),
+    f("n_tup_newpage_upd", LongType, since = 16),
+    f("n_live_tup", LongType),
+    f("n_dead_tup", LongType),
+    f("n_mod_since_analyze", LongType),
+    f("n_ins_since_vacuum", LongType, since = 13),
+    f("last_vacuum", TimestampType),
+    f("last_autovacuum", TimestampType),
+    f("last_analyze", TimestampType),
+    f("last_autoanalyze", TimestampType),
+    f("vacuum_count", LongType),
+    f("autovacuum_count", LongType),
+    f("analyze_count", LongType),
+    f("autoanalyze_count", LongType),
+    f("frozenxid", LongType),
+    f("minmxid", LongType),
+    f("relpages", LongType),
+    f("reltuples", DoubleType),
+    f("relallvisible", LongType),
+    f("relfrozenxid_age", LongType),
+    f("heap_blks_read", LongType),
+    f("heap_blks_hit", LongType),
+    f("idx_blks_read", LongType),
+    f("idx_blks_hit", LongType),
+    f("toast_blks_read", LongType),
+    f("toast_blks_hit", LongType),
+    f("tidx_blks_read", LongType),
+    f("tidx_blks_hit", LongType)))
+
+  val all: Seq[VersionedSchema] = Seq(
+    statStatements, statActivity, vacuumProgress, statReplication,
+    statIo, relationStats)
+}

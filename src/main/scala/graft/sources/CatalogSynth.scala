@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic synthetic Postgres catalog tables derived from the
+  * driver's parquet testdata — the catalog-scan stand-ins for S3–S25
+  * (the container has no live Postgres; the reference's JDBC scans
+  * become `spark.read` + these derivations, and the version-adaptive
+  * SQL registry becomes [[CatalogSchemas]]).
+  *
+  * Every derivation is plain integer/string arithmetic over one base
+  * table so the DuckDB oracle rebuilds the identical rows. Domains are
+  * chosen to exercise the downstream operators: system schemas for
+  * F2/F3 filters, locked relations for U1 placeholders, parent/child
+  * links for A4/T6 rollups, cloud-internal DBs for F12, collector
+  * markers for F5, unmatched filenodes for the J4/A5 residual.
+  */
+object CatalogSynth {
+
+  /** pg_class ⨝ pg_namespace analogue (S6): one relation per part row. */
+  def relations(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey").as("rel_oid"),
+      (col("p_partkey") % 3).as("db_oid"),
+      expr("CASE p_partkey % 8 WHEN 0 THEN 'pg_catalog' WHEN 1 THEN 'pg_toast' " +
+        "WHEN 2 THEN 'information_schema' WHEN 3 THEN 'app_private' " +
+        "ELSE 'public' END").as("nspname"),
+      concat(lit("rel_"), col("p_partkey")).as("relname"),
+      expr("CASE p_partkey % 4 WHEN 3 THEN 'p' WHEN 2 THEN 'v' ELSE 'r' END")
+        .as("relkind"),
+      (col("p_size") * 1000 + col("p_partkey") % 97).as("reltuples"),
+      (col("p_size") * 10).cast("long").as("relpages"),
+      (col("p_partkey") % 37 === 0).as("is_locked"),
+      expr("CASE WHEN p_partkey % 4 = 1 THEN (p_partkey div 20) * 20 + 3 END")
+        .as("parent_oid"),
+      expr("CASE WHEN p_partkey % 4 = 1 THEN CAST(p_partkey % 3 + 1 AS INT) END")
+        .as("inhseqno"))
+
+  /** pg_stat_user_indexes analogue (S12): one index per even part row. */
+  def indexStats(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_partkey") % 2 === 0)
+      .select(
+        (col("p_partkey") + 1000000).as("index_oid"),
+        expr("(p_partkey div 3) * 3").as("indrelid"),
+        (col("p_size") * 7 % 1000).as("idx_scan"),
+        (col("p_size") * 131 % 10000).as("idx_tup_read"),
+        (col("p_size") * 17 % 5000).as("idx_tup_fetch"))
+
+  /** pg_stat_activity analogue (S3): one backend row per event. */
+  def backends(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      col("user_id").as("pid"),
+      (col("user_id") % 5).as("db_oid"),
+      concat(lit("u"), col("user_id")).as("usename"),
+      expr("CASE event_type WHEN 'view' THEN 'idle' " +
+        "WHEN 'signup' THEN 'idle in transaction' ELSE 'active' END").as("state"),
+      expr("CASE WHEN user_id % 17 = 0 THEN 'autovacuum worker' " +
+        "ELSE 'client backend' END").as("backend_type"),
+      (col("value") > 150).as("waiting"),
+      col("ts").as("query_start"),
+      expr("CAST(floor(value * 37) AS BIGINT)").as("backend_xid_age"))
+
+  /** pg_stat_statements stats rows (S1 analogue, keyed). */
+  def statementStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .groupBy(
+        (col("user_id") % 5).as("db_oid"),
+        col("user_id").as("user_oid"),
+        col("k").as("query_id"),
+        (col("event_id") % 7 =!= 0).as("toplevel"))
+      .agg(count(lit(1)).as("calls"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("total_ms"))
+
+  /** pg_stat_statements(true) text rows (S2): first-writer-wins dedup;
+    * every 50th query id is a collector query (F5 marker). */
+  def statementTexts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .select(
+        (col("user_id") % 5).as("db_oid"),
+        col("user_id").as("user_oid"),
+        col("k").as("query_id"),
+        (col("event_id") % 7 =!= 0).as("toplevel"),
+        when(col("k") % 50 === 0,
+          lit("/* pganalyze-collector */ SELECT 1"))
+          .otherwise(concat(lit("SELECT * FROM orders WHERE o_custkey = "), col("k")))
+          .as("query"))
+      .distinct()
+
+  /** pg_buffercache page rows (S25): db/filenode per lineitem; odd
+    * orderkeys land on filenodes with no matching relation (J4/A5
+    * residual). */
+  def bufferCachePages(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      (col("l_suppkey") % 3).as("db_oid"),
+      expr("CASE WHEN l_orderkey % 2 = 0 THEN l_partkey " +
+        "ELSE l_partkey + 1000000 END").as("filenode"))
+
+  /** pg_stat_replication analogue (S22): one standby per supplier. */
+  def replication(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select(
+      concat(lit("s"), col("s_suppkey")).as("standby_name"),
+      concat(lit("10.0.0."), col("s_suppkey") % 250).as("client_addr"),
+      expr("CASE WHEN s_suppkey % 7 = 0 THEN 'catchup' ELSE 'streaming' END")
+        .as("state"),
+      expr("CAST(floor(s_acctbal * 1000) AS BIGINT) + 100000").as("sent_lsn"),
+      (expr("CAST(floor(s_acctbal * 1000) AS BIGINT) + 100000")
+        - expr("s_suppkey * 13 % 5000")).as("replay_lsn"))
+
+  /** pg_database ⨝ pg_stat_database analogue (S17): includes the
+    * cloud-internal DBs the F12 filter must drop. */
+  def databases(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
+      col("n_nationkey").cast("long").as("db_oid"),
+      expr("CASE n_nationkey % 7 WHEN 0 THEN 'rdsadmin' " +
+        "WHEN 1 THEN 'azure_maintenance' WHEN 2 THEN 'cloudsqladmin' " +
+        "ELSE 'db_' || n_nationkey END").as("datname"),
+      (lit(1000000L) + col("n_nationkey") * 100L).as("frozenxid"),
+      (col("n_nationkey") * 977 % 10000).cast("long").as("xact_commit"),
+      (col("n_nationkey") * 131 % 1000).cast("long").as("xact_rollback"),
+      (col("n_nationkey") % 5).cast("long").as("temp_files"))
+
+  /** pg_stat_progress_vacuum analogue (S5): error events are vacuums. */
+  def vacuumProgress(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(
+        col("event_id"),
+        col("user_id").as("pid"),
+        expr("CAST(floor(value * 10) AS BIGINT)").as("relid"),
+        expr("CASE event_id % 3 WHEN 0 THEN 'scanning heap' " +
+          "WHEN 1 THEN 'vacuuming indexes' ELSE 'vacuuming heap' END").as("phase"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("heap_blks_total"),
+        expr("CAST(floor(value * 50) AS BIGINT)").as("heap_blks_scanned"))
+
+  /** pg_inherits analogue (T6): children can have multiple inheritance
+    * edges; the parent-partition pick takes the lowest inhseqno. */
+  def inheritance(s: SparkSession, dir: String): DataFrame = {
+    val children = Tables.part(s, dir).filter(col("p_partkey") % 4 === 1)
+    val first = children.select(
+      col("p_partkey").as("rel_oid"),
+      expr("(p_partkey div 20) * 20 + 3").as("parent_oid"),
+      expr("CAST(p_partkey % 3 + 1 AS INT)").as("inhseqno"))
+    val second = children.filter(col("p_partkey") % 8 === 1).select(
+      col("p_partkey").as("rel_oid"),
+      expr("(p_partkey div 40) * 40 + 3").as("parent_oid"),
+      expr("CAST(p_partkey % 3 + 2 AS INT)").as("inhseqno"))
+    first.unionByName(second)
+  }
+
+  /** xmin-horizon holders (S23): one holder row per event; category =
+    * the five horizon sources the reference scans top-1 for. */
+  def xminHolders(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_type").as("category"),
+      concat(lit("u"), col("user_id")).as("holder"),
+      (expr("CAST(floor(value * 1000) AS BIGINT)") + col("event_id") % 7)
+        .as("xmin_age"))
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.CatalogSchemas
+
+/** Version-variant resolution of the catalog schema registry. */
+class CatalogSpec extends AnyFunSuite {
+
+  test("pg_stat_statements: total_time until PG12, exec/plan split after") {
+    val v12 = CatalogSchemas.statStatements.forVersion(12).fieldNames.toSet
+    val v13 = CatalogSchemas.statStatements.forVersion(13).fieldNames.toSet
+    assert(v12.contains("total_time") && !v12.contains("total_exec_time"))
+    assert(!v13.contains("total_time") && v13.contains("total_exec_time"))
+    assert(!v12.contains("toplevel") &&
+      CatalogSchemas.statStatements.forVersion(14).fieldNames.contains("toplevel"))
+  }
+
+  test("pg_stat_progress_vacuum: pg17 dead-tuple rename") {
+    val v16 = CatalogSchemas.vacuumProgress.forVersion(16).fieldNames.toSet
+    val v17 = CatalogSchemas.vacuumProgress.forVersion(17).fieldNames.toSet
+    assert(v16.contains("max_dead_tuples") && !v17.contains("max_dead_tuples"))
+    assert(v17.contains("dead_tuple_bytes") && !v16.contains("dead_tuple_bytes"))
+  }
+
+  test("pg_stat_io empty before PG16") {
+    assert(CatalogSchemas.statIo.forVersion(15).isEmpty)
+    assert(CatalogSchemas.statIo.forVersion(16).length == 11)
+  }
+
+  test("every registry schema is non-empty at PG17") {
+    CatalogSchemas.all.foreach { s =>
+      assert(s.forVersion(17).nonEmpty, s.name)
+    }
+  }
+}
