@@ -171,6 +171,35 @@ object OraclesCatalog {
          |WHERE NOT regexp_matches(nspname || '.' || relname,
          |  '(?i)^(pg_catalog|pg_toast)\\.')""".stripMargin,
 
+    "d4_relation_diff" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS rel_oid, s.snap,
+        |    p_partkey % 37 = 0 AND s.snap = 1 AS locked,
+        |    p_size * 13 * (s.snap + 1) + p_partkey % 7 AS seq_scan,
+        |    p_size * 5 * (s.snap + 1) AS idx_scan,
+        |    p_size * 100 + s.snap AS n_live_tup
+        |  FROM part CROSS JOIN (SELECT unnest(range(3)) AS snap) s
+        |  WHERE NOT (p_partkey % 11 = 0 AND s.snap = 1)),
+        |x AS (
+        |  SELECT *,
+        |    lag(snap) OVER w AS prev_idx,
+        |    lag(locked) OVER w AS prev_locked,
+        |    lag(seq_scan) OVER w AS prev_seq,
+        |    lag(idx_scan) OVER w AS prev_idx_scan
+        |  FROM base WINDOW w AS (PARTITION BY rel_oid ORDER BY snap))
+        |SELECT rel_oid, snap, n_live_tup,
+        |  CASE WHEN prev_idx = snap - 1 AND NOT prev_locked
+        |         THEN seq_scan - prev_seq
+        |       WHEN snap > 0 AND (prev_idx IS NULL OR prev_idx <> snap - 1)
+        |         THEN seq_scan
+        |       ELSE CAST(NULL AS BIGINT) END AS seq_scan_delta,
+        |  CASE WHEN prev_idx = snap - 1 AND NOT prev_locked
+        |         THEN idx_scan - prev_idx_scan
+        |       WHEN snap > 0 AND (prev_idx IS NULL OR prev_idx <> snap - 1)
+        |         THEN idx_scan
+        |       ELSE CAST(NULL AS BIGINT) END AS idx_scan_delta
+        |FROM x WHERE NOT locked""".stripMargin,
+
     "t6_parent_partition" ->
       """WITH inh AS (
         |  SELECT p_partkey AS rel_oid, (p_partkey // 20) * 20 + 3 AS parent_oid,

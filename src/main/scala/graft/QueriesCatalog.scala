@@ -149,6 +149,17 @@ object QueriesCatalog {
         .rlike("(?i)^(pg_catalog|pg_toast)\\."))
       .select("rel_oid", "nspname", "relname")
 
+  // D4 — relation-stats diff with full fidelity: locked-row skip, gauge
+  // carry, new-key diff-vs-zero, gauge-only first snapshot.
+  def d4RelationDiff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diff.relationDiff(
+      CatalogSynth.relationStatsTimeline(s, dir),
+      keyCols = Seq("rel_oid"),
+      snapCol = "snap",
+      counterCols = Seq("seq_scan", "idx_scan"),
+      gaugeCols = Seq("n_live_tup"),
+      lockedCol = "locked")
+
   // T6 — parent-partition pick: first inheritance parent per child
   // (ORDER BY inhseqno LIMIT 1, relations.go:34) over multi-edge
   // pg_inherits rows.

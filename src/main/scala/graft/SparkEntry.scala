@@ -50,6 +50,7 @@ object SparkEntry {
     "u2_per_db_union" -> (QueriesCatalog.u2PerDbUnion _),
     "f2_schema_regexp" -> (QueriesCatalog.f2SchemaRegexp _),
     "t6_parent_partition" -> (QueriesCatalog.t6ParentPartition _),
+    "d4_relation_diff" -> (QueriesCatalog.d4RelationDiff _),
     // training-data pipeline extensions
     "dedup_exact" -> (QueriesText.dedupExact _),
     "dedup_ngram_jaccard" -> (QueriesText.dedupNgramJaccard _),

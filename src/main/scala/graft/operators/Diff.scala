@@ -49,6 +49,58 @@ object Diff {
     }
   }
 
+  /** Relation-stats diff with the reference's full fidelity semantics
+    * (`runner/diff.go:38-74`, `state/postgres_relation_stats.go:98-140`):
+    *
+    *   - rows exclusively locked in the CURRENT snapshot are dropped
+    *     (`runner/diff.go:44-45` — no usable data);
+    *   - a key whose previous-snapshot row exists and was not locked
+    *     diffs normally (plain subtraction — relation counters have no
+    *     reset clamp in the reference);
+    *   - a key absent from the immediately-previous snapshot (or whose
+    *     previous row was locked) on a FOLLOW-UP run diffs against zero
+    *     when truly new, or carries gauges only when the previous row
+    *     was locked;
+    *   - on the FIRST snapshot ever, counters are omitted entirely
+    *     (gauge-only baseline — `runner/diff.go:48-70`);
+    *   - gauge columns always carry the current reading.
+    *
+    * "Immediately previous" is resolved against the global snapshot
+    * sequence (a key last seen 2 snapshots ago counts as new, exactly
+    * like a map lookup against the previous run), via a tiny distinct
+    * snapshot index that is broadcast — the single-partition window runs
+    * over #snapshots rows (runs-per-retention, not table size), so it is
+    * scale-safe.
+    */
+  def relationDiff(
+      df: DataFrame,
+      keyCols: Seq[String],
+      snapCol: String,
+      counterCols: Seq[String],
+      gaugeCols: Seq[String],
+      lockedCol: String): DataFrame = {
+    val snaps = df.select(col(snapCol)).distinct()
+      .withColumn("snap_idx",
+        row_number().over(Window.orderBy(col(snapCol))).cast("long") - 1)
+    val indexed = df.join(broadcast(snaps), Seq(snapCol))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("snap_idx"))
+    val prevIdx = lag(col("snap_idx"), 1).over(w)
+    val prevLocked = lag(col(lockedCol), 1).over(w)
+    val diffed = counterCols.foldLeft(indexed) { (acc, c) =>
+      val prev = lag(col(c), 1).over(w)
+      acc.withColumn(s"${c}_delta",
+        when(prevIdx === col("snap_idx") - 1 && !prevLocked, col(c) - prev)
+          .when(col("snap_idx") > 0 &&
+            (prevIdx.isNull || prevIdx =!= col("snap_idx") - 1), col(c))
+          .otherwise(lit(null).cast("long")))
+    }
+    diffed
+      .filter(!col(lockedCol))
+      .select((keyCols :+ snapCol) .map(col) ++
+        gaugeCols.map(col) ++
+        counterCols.map(c => col(s"${c}_delta")): _*)
+  }
+
   /** Per-key rate: delta / seconds-since-previous-row, the reference's
     * disk/net rate derivation (`state/system.go:350-382`). Rows with no
     * predecessor get NULL rate (no interval to divide by). */

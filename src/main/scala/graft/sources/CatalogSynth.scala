@@ -139,6 +139,24 @@ object CatalogSynth {
         expr("CAST(floor(value * 100) AS BIGINT)").as("heap_blks_total"),
         expr("CAST(floor(value * 50) AS BIGINT)").as("heap_blks_scanned"))
 
+  /** Relation-stats timeline (D4): three collection snapshots per
+    * relation with monotonically growing counters; every 11th relation
+    * is absent from snapshot 1 (new-key path) and every 37th is
+    * exclusively locked in snapshot 1 (locked path). */
+  def relationStatsTimeline(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size"),
+        explode(sequence(lit(0L), lit(2L))).as("snap"))
+      .filter(!(col("p_partkey") % 11 === 0 && col("snap") === 1))
+      .select(
+        col("p_partkey").as("rel_oid"),
+        col("snap"),
+        (col("p_partkey") % 37 === 0 && col("snap") === 1).as("locked"),
+        (col("p_size") * 13 * (col("snap") + 1) + col("p_partkey") % 7)
+          .as("seq_scan"),
+        (col("p_size") * 5 * (col("snap") + 1)).as("idx_scan"),
+        (col("p_size") * 100 + col("snap")).as("n_live_tup"))
+
   /** pg_inherits analogue (T6): children can have multiple inheritance
     * edges; the parent-partition pick takes the lowest inhseqno. */
   def inheritance(s: SparkSession, dir: String): DataFrame = {

@@ -8,6 +8,34 @@ import graft.operators.Diff
 class DiffSpec extends SparkSpec {
   import spark.implicits._
 
+  test("relationDiff: locked skip, gauge carry, new-key, first-snapshot baseline") {
+    // (rel, snap, locked, ctr, gauge)
+    val df = Seq(
+      (1L, 0L, false, 100L, 10L), // first snapshot → gauge-only
+      (1L, 1L, false, 150L, 11L), // normal delta 50
+      (1L, 2L, false, 170L, 12L), // normal delta 20
+      (2L, 0L, false, 10L, 20L),  // first snapshot → gauge-only
+      (2L, 1L, true, 0L, 0L),     // locked → dropped from output
+      (2L, 2L, false, 40L, 22L),  // prev row locked → gauge-only
+      (3L, 1L, false, 7L, 30L),   // new key on follow-up → diff vs zero
+      (4L, 0L, false, 5L, 40L),   // first snapshot
+      (4L, 2L, false, 9L, 42L)    // absent at snap 1 → treated as new → raw
+    ).toDF("rel_oid", "snap", "locked", "ctr", "gauge")
+    val got = Diff.relationDiff(df, Seq("rel_oid"), "snap",
+      Seq("ctr"), Seq("gauge"), "locked")
+      .select("rel_oid", "snap", "gauge", "ctr_delta")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got((1L, 0L)) == (10L, None))
+    assert(got((1L, 1L)) == (11L, Some(50L)))
+    assert(got((1L, 2L)) == (12L, Some(20L)))
+    assert(got((2L, 0L)) == (20L, None))
+    assert(!got.contains((2L, 1L))) // locked row dropped
+    assert(got((2L, 2L)) == (22L, None)) // prev locked → gauge-only
+    assert(got((3L, 1L)) == (30L, Some(7L))) // new key → raw
+    assert(got((4L, 2L)) == (42L, Some(9L))) // snapshot gap → raw
+  }
+
   test("counterDiff: first-run, delta, reset, new-key semantics") {
     val df = Seq(
       ("a", 1, 100.0), // first observation → emit 100 (diff vs zero)
