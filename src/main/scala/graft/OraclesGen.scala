@@ -222,8 +222,23 @@ object OraclesGen {
     s"SELECT * FROM (VALUES\n  $rows) AS t(q_id, redacted)"
   }
 
+  /** md5 of the canonicalized GOLDEN files (independent ground truth —
+    * the engine side canonicalizes its own normalization of the inputs). */
+  def x12ExplainNormalize: String = {
+    val rows = QueriesLog.explainFixtures.map { case (name, _, golden) =>
+      val canon = graft.logsys.PlanNormalize.canonical(
+        graft.logsys.PlanNormalize.parse(golden).get(0))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      s"(${PgGoldens.sqlLit(name)}, '$md')"
+    }.mkString(",\n  ")
+    s"SELECT * FROM (VALUES\n  $rows) AS t(fixture, plan_md5)"
+  }
+
   val sql: Map[String, String] = Map(
     "x9_spans" -> x9Spans,
+    "x12_explain_normalize" -> x12ExplainNormalize,
     "x7_full_classify" -> x7FullClassify,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,

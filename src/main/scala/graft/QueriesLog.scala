@@ -96,6 +96,39 @@ object QueriesLog {
         graft.logsys.LogSecrets.redact(col("content"), col("level")).as("redacted"))
   }
 
+  // X12 — EXPLAIN-JSON normalization over the reference's golden plan
+  // fixtures: the engine normalizes each in.json; the oracle holds md5s
+  // of the canonicalized out_normalize.json goldens.
+  def x12ExplainNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fixtures = QueriesLog.explainFixtures.map { case (name, in, _) => (name, in) }
+    fixtures.toDF("fixture", "input")
+      .select(col("fixture"),
+        md5(org.apache.spark.sql.GraftNative.column(
+          graft.functions.expressions.ExplainNormalizeExpr(
+            org.apache.spark.sql.GraftNative.expression(col("input")))))
+          .as("plan_md5"))
+  }
+
+  /** (fixture, in.json text, out_normalize.json text), read once from the
+    * reference's public test fixtures. */
+  lazy val explainFixtures: Seq[(String, String, String)] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get("/root/reference/logs/querysample/testdata")
+    if (!Files.exists(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".in.json"))
+      .map(_.stripSuffix(".in.json"))
+      .filter(n => Files.exists(dir.resolve(s"$n.out_normalize.json")))
+      .toSeq.sorted
+      .map { n =>
+        (n, Files.readString(dir.resolve(s"$n.in.json")),
+          Files.readString(dir.resolve(s"$n.out_normalize.json")))
+      }
+  }
+
   // X9 — secret redaction: splice out quoted literals.
   def x9Redact(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

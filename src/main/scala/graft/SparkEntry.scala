@@ -70,6 +70,7 @@ object SparkEntry {
     "log_top_queries" -> (QueriesLog.logTopQueries _),
     "x9_redact" -> (QueriesLog.x9Redact _),
     "x9_spans" -> (QueriesLog.x9Spans _),
+    "x12_explain_normalize" -> (QueriesLog.x12ExplainNormalize _),
     "w4_context_assoc" -> (QueriesLog.w4ContextAssoc _),
     "x17_session_duration" -> (QueriesLog.x17SessionDuration _)
   )

@@ -138,7 +138,34 @@ object PgNormalize {
   private val ordinalFollowKeywords: Set[String] = Set(
     "asc", "desc", "nulls", "using") ++ ordinalExitKeywords ++ Set("order", "group")
 
-  private def lex(q: String): Lexed = {
+  /** Keywords (plus multi-word type-name tokens) after/before which bare
+    * word adjacency is grammatical — used by strict expression mode to
+    * detect plan-only constructs a real parser rejects (`SubPlan 1`,
+    * `XMLTABLE(... COLUMNS id integer PATH ...)`). */
+  private val adjacencyKeywords: Set[String] = Set(
+    "select", "as", "from", "where", "and", "or", "not", "case", "when",
+    "then", "else", "end", "distinct", "all", "by", "group", "order",
+    "having", "limit", "offset", "union", "intersect", "except", "on",
+    "using", "join", "inner", "left", "right", "full", "outer", "cross",
+    "lateral", "natural", "in", "is", "null", "true", "false", "between",
+    "symmetric", "asymmetric", "like", "ilike", "similar", "to", "escape",
+    "collate", "filter", "over", "partition", "range", "rows", "groups",
+    "window", "array", "row", "interval", "cast", "exists", "any", "some",
+    "nulls", "first", "last", "asc", "desc", "with", "recursive", "values",
+    "insert", "update", "delete", "set", "returning", "conflict", "do",
+    "nothing", "at", "time", "zone", "precision", "varying", "without",
+    "local", "double", "character", "bit", "for", "search", "depth",
+    "breadth", "cycle", "current_timestamp", "current_date", "current_time",
+    "localtime", "localtimestamp", "preceding", "following", "unbounded",
+    "current")
+
+  /** `strictExpr` approximates a real parser's rejection of plan-only
+    * constructs inside wrapped expressions (`SubPlan 1`, XMLTABLE column
+    * clauses): two value tokens juxtaposed inside parens — outside a
+    * `::` type-name context and not licensed by a keyword — are not
+    * expression grammar, so the lex is marked failed and normalize
+    * collapses to the unparsable sentinel, matching pg_query. */
+  private def lex(q: String, strictExpr: Boolean = false): Lexed = {
     val toks = new ArrayBuffer[Tok]
     val n = q.length
     var i = 0
@@ -154,6 +181,9 @@ object PgNormalize {
     // stand alone as list elements stay verbatim.
     var ordinalDepth = -1
     var prevSignificant = "" // last significant token text (for ',' check)
+    // strict expression mode: adjacency validity tracking
+    var adjPrev = false   // last token was value-like (word/number/string/`)`)
+    var afterCast = false // inside a `::` type-name word sequence
     def push(kind: Int, s: Int, e: Int): Unit = toks += Tok(kind, s, e)
 
     // is the token starting at j (after an ordinal number) a legal
@@ -189,25 +219,25 @@ object PgNormalize {
       } else if (c == '\'') {
         val e = scanPlainString(q, i + 1)
         if (e < 0) ok = false
-        else { push(TConst, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; i = e }
+        else { push(TConst, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; adjPrev = true; afterCast = false; i = e }
       } else if ((c == 'e' || c == 'E') && i + 1 < n && q(i + 1) == '\'') {
         val e = scanEscapeString(q, i + 2)
         if (e < 0) ok = false
-        else { push(TConst, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; i = e }
+        else { push(TConst, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; adjPrev = true; afterCast = false; i = e }
       } else if ((c == 'b' || c == 'B' || c == 'x' || c == 'X') &&
           i + 1 < n && q(i + 1) == '\'') {
         val e = scanPlainString(q, i + 2)
         if (e < 0) ok = false
-        else { push(TConst, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; i = e }
+        else { push(TConst, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; adjPrev = true; afterCast = false; i = e }
       } else if ((c == 'u' || c == 'U') && i + 2 < n && q(i + 1) == '&' &&
           q(i + 2) == '\'') {
         val e = scanEscapeString(q, i + 3)
         if (e < 0) ok = false
-        else { push(TConst, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; i = e }
+        else { push(TConst, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; adjPrev = true; afterCast = false; i = e }
       } else if (c == '"') {
         val e = scanQuotedIdent(q, i + 1)
         if (e < 0) ok = false
-        else { push(TQuotedIdent, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; i = e }
+        else { push(TQuotedIdent, i, e); prevValue = true; prevWord = ""; prevSignificant = "v"; adjPrev = true; afterCast = false; i = e }
       } else if (c == '$') {
         if (i + 1 < n && Character.isDigit(q(i + 1))) {
           var j = i + 1
@@ -215,7 +245,7 @@ object PgNormalize {
           val num = q.substring(i + 1, j).toInt
           if (num > maxParam) maxParam = num
           push(TParam, i, j); prevValue = true; prevWord = ""
-          prevSignificant = "v"
+          prevSignificant = "v"; adjPrev = false; afterCast = false
           i = j
         } else {
           // dollar-quote $tag$ ... $tag$
@@ -228,7 +258,7 @@ object PgNormalize {
             else {
               val e = close + tag.length
               push(TConst, i, e); prevValue = true; prevWord = ""
-              prevSignificant = "v"
+              prevSignificant = "v"; adjPrev = true; afterCast = false
               i = e
             }
           } else {
@@ -240,11 +270,13 @@ object PgNormalize {
       } else if (Character.isDigit(c) ||
           (c == '.' && i + 1 < n && Character.isDigit(q(i + 1)))) {
         val e = scanNumber(q, i)
+        if (strictExpr && parens > 0 && adjPrev && !afterCast) ok = false
         val isOrdinal = ordinalDepth == parens &&
           (prevSignificant == "," || prevWord == "by") &&
           q.substring(i, e).forall(Character.isDigit) && ordinalFollows(e)
         push(if (isOrdinal) TWord else TConst, i, e)
         prevValue = true; prevWord = ""; prevSignificant = "#"
+        adjPrev = true; afterCast = false
         i = e
       } else if ((c == '-' || c == '+') && i + 1 < n &&
           (Character.isDigit(q(i + 1)) ||
@@ -259,10 +291,13 @@ object PgNormalize {
         var j = i + 1
         while (j < n && isWordChar(q(j))) j += 1
         val w = q.substring(i, j).toLowerCase
+        if (strictExpr && parens > 0 && adjPrev && !afterCast &&
+            !adjacencyKeywords.contains(w)) ok = false
         if ((w == "true" || w == "false" || w == "null") &&
             prevWord != "is" && prevWord != "not") {
           push(TConst, i, j)
           prevValue = true; prevWord = ""
+          adjPrev = true
         } else {
           push(TWord, i, j)
           if (w == "by" && (prevWord == "group" || prevWord == "order"))
@@ -271,6 +306,7 @@ object PgNormalize {
             ordinalDepth = -1
           prevValue = !operatorKeywords.contains(w)
           prevWord = w
+          adjPrev = !afterCast && !adjacencyKeywords.contains(w)
         }
         prevSignificant = "w"
         i = j
@@ -278,17 +314,25 @@ object PgNormalize {
         if (c == '(') parens += 1
         push(TOp, i, i + 1); prevValue = false; prevWord = ""
         prevSignificant = c.toString
+        adjPrev = false; afterCast = false
         i += 1
       } else if (c == ')' || c == ']') {
         if (c == ')') { parens -= 1; if (parens < ordinalDepth) ordinalDepth = -1 }
         push(TOp, i, i + 1); prevValue = true; prevWord = ""
         prevSignificant = c.toString
+        adjPrev = true; afterCast = false
         i += 1
       } else if (Character.isWhitespace(c)) {
         i += 1
+      } else if (c == ':' && i + 1 < n && q(i + 1) == ':') {
+        push(TOp, i, i + 2); prevValue = false; prevWord = ""
+        prevSignificant = "::"
+        adjPrev = false; afterCast = true
+        i += 2
       } else {
         push(TOp, i, i + 1); prevValue = false; prevWord = ""
         prevSignificant = c.toString
+        adjPrev = false; afterCast = false
         i += 1
       }
     }
@@ -312,6 +356,40 @@ object PgNormalize {
     sb.toString
   }
 
+  /** Comment bodies in lexical order (delimiters stripped; nested block
+    * comments kept as one body) — string-aware, for query-tag parsing. */
+  def comments(q: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val n = q.length
+    var i = 0
+    while (i < n) {
+      val c = q(i)
+      if (c == '-' && i + 1 < n && q(i + 1) == '-') {
+        val j = q.indexOf('\n', i)
+        val end = if (j < 0) n else j
+        out += q.substring(i + 2, end)
+        i = end
+      } else if (c == '/' && i + 1 < n && q(i + 1) == '*') {
+        var depth = 1
+        var j = i + 2
+        while (j < n && depth > 0) {
+          if (j + 1 < n && q(j) == '/' && q(j + 1) == '*') { depth += 1; j += 2 }
+          else if (j + 1 < n && q(j) == '*' && q(j + 1) == '/') { depth -= 1; j += 2 }
+          else j += 1
+        }
+        out += q.substring(i + 2, math.max(i + 2, j - 2))
+        i = j
+      } else if (c == '\'') {
+        val e = scanPlainString(q, i + 1)
+        i = if (e < 0) n else e
+      } else if (c == '"') {
+        val e = scanQuotedIdent(q, i + 1)
+        i = if (e < 0) n else e
+      } else i += 1
+    }
+    out.toSeq
+  }
+
   /** `fixTruncatedQuery` (`util/query_text.go:26-40`): counts RAW quote
     * chars (including escaped ones), appends the odd quote and closing
     * parens — deliberately crude, mirrored exactly. */
@@ -326,12 +404,13 @@ object PgNormalize {
 
   /** NormalizeQuery (`util/normalize.go:13-32`). */
   def normalize(q: String, filterQueryText: String = "normal",
-      trackActivityQuerySize: Int = 1024): String = {
-    val lx = lex(q)
+      trackActivityQuerySize: Int = 1024,
+      strictExpr: Boolean = false): String = {
+    val lx = lex(q, strictExpr)
     if (lx.ok && q.trim.nonEmpty) replace(q, lx)
     else {
       val fixed = fixTruncated(q)
-      val lx2 = lex(fixed)
+      val lx2 = lex(fixed, strictExpr)
       if (lx2.ok && fixed.trim.nonEmpty) TruncatedQueryMarker + replace(fixed, lx2)
       else if (filterQueryText == "none") q
       else if (q.length == trackActivityQuerySize - 1) QueryTextTruncated

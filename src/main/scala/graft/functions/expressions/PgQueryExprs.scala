@@ -25,6 +25,21 @@ case class PgNormalizeQueryExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** auto_explain JSON → canonical normalized-plan JSON (X12), one static
+  * call per row. */
+case class ExplainNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.logsys.PlanNormalize.normalizedCanonical(
+      input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "UTF8String.fromString(graft.logsys.PlanNormalize.normalizedCanonical(" +
+        s"$c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): ExplainNormalizeExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit grouping fingerprint of the canonical query form (IN-lists and
   * params collapsed, case/whitespace folded). */
 case class PgFingerprintExpr(child: Expression) extends UnaryExpression {

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.logsys.PlanNormalize
+
+/** EXPLAIN-JSON normalization against the reference's 25 golden plan
+  * fixtures in `logs/querysample/testdata` (each `NAME.in.json` vs
+  * `NAME.out_normalize.json` and `NAME.out_passthrough.json`): grouping
+  * sets, incremental sort, memoize, parallel workers, FDW, JIT, custom
+  * plans, tablesample, tid range scans, triggers, …
+  */
+class PlanNormalizeSpec extends AnyFunSuite {
+
+  private val dir = Paths.get("/root/reference/logs/querysample/testdata")
+
+  private def fixtures: Seq[String] = {
+    assume(Files.exists(dir), "reference fixtures not present")
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".in.json"))
+      .map(_.stripSuffix(".in.json"))
+      .filter { name => // only JSON-format fixtures have plan goldens
+        Files.exists(dir.resolve(s"$name.out_normalize.json"))
+      }
+      .toSeq.sorted
+  }
+
+  test("all golden fixtures: normalize variant matches") {
+    val names = fixtures
+    assume(names.nonEmpty)
+    val fails = names.flatMap { name =>
+      val in = Files.readString(dir.resolve(s"$name.in.json"))
+      val golden = PlanNormalize.parse(
+        Files.readString(dir.resolve(s"$name.out_normalize.json")))
+      val (_, container) = PlanNormalize.transformAutoExplainJson(in, normalize = true)
+      // golden files wrap the container in a one-element array
+      val got = PlanNormalize.canonical(container)
+      val want = PlanNormalize.canonical(golden.get(0))
+      if (got != want) Some(s"$name:\n  got=${got.take(400)}\n  want=${want.take(400)}")
+      else None
+    }
+    assert(fails.isEmpty, s"${fails.size} fixture mismatches:\n${fails.mkString("\n")}")
+  }
+
+  test("all golden fixtures: passthrough variant matches") {
+    val names = fixtures
+    assume(names.nonEmpty)
+    val fails = names.flatMap { name =>
+      val in = Files.readString(dir.resolve(s"$name.in.json"))
+      val golden = PlanNormalize.parse(
+        Files.readString(dir.resolve(s"$name.out_passthrough.json")))
+      val (_, container) = PlanNormalize.transformAutoExplainJson(in, normalize = false)
+      val got = PlanNormalize.canonical(container)
+      val want = PlanNormalize.canonical(golden.get(0))
+      if (got != want) Some(name) else None
+    }
+    assert(fails.isEmpty, s"mismatches: $fails")
+  }
+
+  test("normalized query text matches the reference expectations (sample)") {
+    val in = Files.readString(dir.resolve("json_simple.in.json"))
+    val (q, _) = PlanNormalize.transformAutoExplainJson(in, normalize = true)
+    assert(graft.functions.PgNormalize.normalize(q, "unparseable", -1) ==
+      "SELECT abalance FROM pgbench_accounts WHERE aid = $1;")
+  }
+
+  test("text-format auto_explain extraction with parameters") {
+    val text = "Query Text: SELECT * FROM t WHERE a = $1\n" +
+      "Query Parameters: $1 = 'x', $2 = NULL\n" +
+      "Seq Scan on t  (cost=0.00..35.50 rows=2550 width=4)"
+    val s = PlanNormalize.transformAutoExplainText(text).get
+    assert(s.query == "SELECT * FROM t WHERE a = $1")
+    assert(s.parameters == Seq(Some("x"), None))
+    assert(s.explainText.startsWith("Seq Scan on t"))
+  }
+
+  test("text-format auto_explain extraction without parameters") {
+    val text = "Query Text: SELECT 1\n" +
+      "Result  (cost=0.00..0.01 rows=1 width=4)\n  Output: 1"
+    val s = PlanNormalize.transformAutoExplainText(text).get
+    assert(s.query == "SELECT 1")
+    assert(s.parameters.isEmpty)
+  }
+
+  test("sqlcommenter and marginalia tags parse with decoding") {
+    val tags = PlanNormalize.parseTags(
+      "SELECT 1 /*app='myapp',controller='dash%2Fboard',route:index*/")
+    assert(tags("app") == "myapp")
+    assert(tags("controller") == "dash/board")
+    assert(tags("route") == "index")
+  }
+}
