@@ -236,9 +236,49 @@ object OraclesGen {
     s"SELECT * FROM (VALUES\n  $rows) AS t(fixture, plan_md5)"
   }
 
+  // ----------------------------------------------------------- multimodal
+
+  /** The stubbed decoder's feature math re-derived in SQL: FNV-1a over
+    * the payload bytes (== the ASCII text), per-dim xor-multiply mix,
+    * top-53-bit fraction — exact doubles on both sides. */
+  val mmDecodeFeatures: String = {
+    def mixed(c: Long): String =
+      s"""((CASE WHEN xor(h0, CAST($c AS BIGINT)) < 0
+         |      THEN CAST(xor(h0, CAST($c AS BIGINT)) AS HUGEINT) + 18446744073709551616
+         |      ELSE CAST(xor(h0, CAST($c AS BIGINT)) AS HUGEINT) END)
+         |   * 1099511628211) % 18446744073709551616""".stripMargin
+    val feats = graft.operators.Multimodal.featureConsts
+      .map(c => s"CAST((${mixed(c)}) // 2048 AS DOUBLE) / 9007199254740992.0")
+      .mkString("[", ",\n  ", "]")
+    s"""WITH wh AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS media_type,
+       |    CAST(length(text) AS INT) AS n_bytes,
+       |    CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS h0
+       |  FROM (SELECT *, ${fnvHuge("text")} AS h FROM documents))
+       |SELECT doc_id, media_type, n_bytes,
+       |  $feats AS features
+       |FROM wh""".stripMargin
+  }
+
+  val mmFrameSample: String =
+    """WITH v AS (
+      |  SELECT doc_id, text, CAST(floor(length(text) / 16) AS INT) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT doc_id, text, unnest(range(0, greatest(n_frames, 1), 4)) AS frame_idx,
+      |    n_frames
+      |  FROM v)
+      |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |  encode(substring(text, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_bytes
+      |FROM f WHERE n_frames > 0""".stripMargin
+
   val sql: Map[String, String] = Map(
     "x9_spans" -> x9Spans,
     "x12_explain_normalize" -> x12ExplainNormalize,
+    "mm_decode_features" -> mmDecodeFeatures,
+    "mm_frame_sample" -> mmFrameSample,
     "x7_full_classify" -> x7FullClassify,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,

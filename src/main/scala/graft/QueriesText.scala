@@ -101,6 +101,29 @@ object QueriesText {
         .otherwise("fr"))
   }
 
+  /** Media stand-in: documents as opaque binary payloads with a type
+    * dimension (image/audio/video by doc_id). */
+  private def media(s: SparkSession, dir: String) =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END").as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  // Multimodal: batched partition-local decode (stubbed codec, real
+  // batch/schema/partitioning contract).
+  def mmDecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Multimodal.decodeFeatures(
+      media(s, dir).as[graft.operators.Multimodal.MediaRow]).toDF()
+  }
+
+  // Multimodal: video frame sampling as pure binary column algebra.
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.frameSample(
+      media(s, dir).filter(col("media_type") === "video"),
+      "doc_id", "payload")
+
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),

@@ -63,6 +63,8 @@ object SparkEntry {
     "text_token_count" -> (QueriesText.textTokenCount _),
     "text_lang_id" -> (QueriesText.textLangId _),
     "doc_fingerprint" -> (QueriesText.docFingerprint _),
+    "mm_decode_features" -> (QueriesText.mmDecodeFeatures _),
+    "mm_frame_sample" -> (QueriesText.mmFrameSample _),
     // log pipeline
     "x5_log_parse" -> (QueriesLog.x5LogParse _),
     "x7_log_classify" -> (QueriesLog.x7LogClassify _),

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Multimodal-column plumbing for training-data pipelines: media
+  * payloads are opaque `binary` columns with typed metadata; decode /
+  * feature-extract / frame-sample run as batched partition-local
+  * transforms (`mapPartitions` with explicit batch grouping — the Scala
+  * form of the `mapInPandas` batch contract: the engine hands each task
+  * an iterator, the decoder consumes fixed-size batches, and emits an
+  * iterator back; no shuffle, no driver collection).
+  *
+  * DECODER STUB: this container ships no image/audio codecs, so
+  * [[fakeDecode]] is a clearly-marked deterministic stand-in (FNV-mixed
+  * feature vector). The Spark-side contract — schema, binary payloads,
+  * batch shape, partition independence — is real and is what a real
+  * decoder (JNI to libjpeg/ffmpeg, or a Python worker via Arrow) would
+  * plug into.
+  */
+object Multimodal {
+
+  val FeatureDim = 4
+  val FrameBytes = 16
+  val FrameStride = 4 // keep every 4th frame
+  val DecodeBatch = 64
+
+  /** Per-dimension mixing constants (inlined into the oracle). */
+  val featureConsts: Array[Long] =
+    Array.tabulate(FeatureDim)(j => Hashing.fnv1a64(j + ":mm"))
+
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  final case class FeatureRow(doc_id: Long, media_type: String, n_bytes: Int,
+      features: Array[Double])
+
+  /** STUB decode: payload bytes → FeatureDim doubles in [0, 1). Stands
+    * in for a real image/audio feature extractor; deterministic and
+    * byte-exact reproducible (FNV-1a + per-dim mix, the engine's hash
+    * family). Replace the body — not the signature — to plug in a real
+    * codec. */
+  def fakeDecode(payload: Array[Byte]): Array[Double] = {
+    var h = Hashing.FnvOffset
+    var i = 0
+    while (i < payload.length) {
+      h ^= (payload(i) & 0xffL)
+      h *= Hashing.FnvPrime
+      i += 1
+    }
+    Array.tabulate(FeatureDim) { j =>
+      val m = (h ^ featureConsts(j)) * Hashing.FnvPrime
+      (m >>> 11).toDouble / (1L << 53).toDouble
+    }
+  }
+
+  /** Batched partition-local feature extraction: iterator in, iterator
+    * out, consuming [[DecodeBatch]]-row batches (a real decoder amortizes
+    * codec setup per batch exactly here). */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap { batch =>
+        // batch boundary = codec-session boundary
+        batch.iterator.map { r =>
+          FeatureRow(r.doc_id, r.media_type, r.payload.length,
+            fakeDecode(r.payload))
+        }
+      }
+    }
+  }
+
+  /** Video frame sampling: fixed-size frames, keep every
+    * [[FrameStride]]-th — pure column algebra (binary substring over an
+    * exploded frame index), fully codegen'd, no UDF. */
+  def frameSample(media: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    media
+      .withColumn("n_frames", (length(col(payloadCol)) / FrameBytes).cast("int"))
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0, greatest(n_frames - 1, 0), $FrameStride)")))
+      .filter(col("n_frames") > 0)
+      .select(col(idCol), col("frame_idx"),
+        expr(s"substring($payloadCol, frame_idx * $FrameBytes + 1, $FrameBytes)")
+          .as("frame_bytes"))
+}

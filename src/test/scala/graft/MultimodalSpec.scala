@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDs(n: Int) = (1 to n).map { i =>
+    Multimodal.MediaRow(i.toLong, if (i % 3 == 0) "video" else "image",
+      ("payload-" * i).getBytes("UTF-8"))
+  }.toDS()
+
+  test("decodeFeatures: deterministic, schema'd, batch- and partition-invariant") {
+    val base = Multimodal.decodeFeatures(mediaDs(200).repartition(1))
+      .collect().map(r => r.doc_id -> r.features.toSeq).toMap
+    // different partitioning (and therefore different batch boundaries)
+    // must not change a single feature
+    val re = Multimodal.decodeFeatures(mediaDs(200).repartition(7))
+      .collect().map(r => r.doc_id -> r.features.toSeq).toMap
+    assert(base == re)
+    assert(base(1L).length == Multimodal.FeatureDim)
+    assert(base.values.forall(_.forall(f => f >= 0.0 && f < 1.0)))
+    // payloads differ → features differ
+    assert(base(1L) != base(2L))
+  }
+
+  test("frameSample: every 4th fixed-size frame, binary slices") {
+    val df = mediaDs(9).toDF().filter(col("media_type") === "video")
+    val frames = Multimodal.frameSample(df, "doc_id", "payload")
+      .collect()
+    // doc 3: payload length 24 → 1 frame (idx 0); doc 6: 48 bytes → 3
+    // frames, stride 4 keeps idx 0; doc 9: 72 bytes → 4 frames → idx 0, 4?
+    // 4 frames = idx 0..3 → only 0
+    val byDoc = frames.groupBy(_.getLong(0))
+    assert(byDoc(3L).map(_.getInt(1)).toSeq == Seq(0))
+    assert(byDoc(6L).map(_.getInt(1)).toSeq == Seq(0))
+    val f0 = byDoc(3L).head.getAs[Array[Byte]]("frame_bytes")
+    assert(new String(f0, "UTF-8") == "payload-payload-")
+    assert(f0.length == Multimodal.FrameBytes)
+  }
+
+  test("frameSample keeps stride-4 indices for long payloads") {
+    val long = Seq(Multimodal.MediaRow(1L, "video",
+      ("x" * (Multimodal.FrameBytes * 10 + 3)).getBytes("UTF-8"))).toDS()
+    val idxs = Multimodal.frameSample(long.toDF(), "doc_id", "payload")
+      .select("frame_idx").as[Int].collect().sorted.toSeq
+    assert(idxs == Seq(0, 4, 8))
+  }
+}
