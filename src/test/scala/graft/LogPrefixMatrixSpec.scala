@@ -1,0 +1,87 @@
+package graft
+
+import scala.io.Source
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.logsys.LogPrefix
+
+/** The reference's full prefix-parse matrix (`logs/parse_test.go:13-723`
+  * extracted to log_prefix_matrix.tsv): 21 documented log_line_prefix
+  * formats × timezone variants (UTC, numeric offsets, abbreviated and
+  * region zone names, configured log_timezone override), asserting
+  * timestamp micros, username, database, pid, line number, level,
+  * application and content. */
+class LogPrefixMatrixSpec extends AnyFunSuite {
+
+  private case class Row(prefix: String, tz: String, ok: Boolean,
+      verbose: Boolean, occurredUs: Option[Long], username: String,
+      database: String, pid: Option[Long], lineNo: Option[Long],
+      level: String, application: String, content: String, line: String)
+
+  private def rows: Seq[Row] = {
+    val in = getClass.getResourceAsStream("/log_prefix_matrix.tsv")
+    assert(in != null)
+    def un(s: String) =
+      s.replace("\\n", "\n").replace("\\t", "\t").replace("\\\\", "\\")
+    Source.fromInputStream(in, "UTF-8").getLines().map { l =>
+      val f = l.split("\t", -1).map(un)
+      Row(f(0), f(1), f(2) == "1", f(3) == "1",
+        Option(f(4)).filter(_.nonEmpty).map(_.toLong), f(5), f(6),
+        Option(f(7)).filter(_.nonEmpty).map(_.toLong),
+        Option(f(8)).filter(_.nonEmpty).map(_.toLong),
+        f(9), f(10), f(11), f(12))
+    }.toSeq
+  }
+
+  test("all matrix rows parse with expected fields") {
+    val all = rows
+    assert(all.size >= 40)
+    val fails = all.flatMap { r =>
+      val prefix = LogPrefix.byName(r.prefix)
+      val compiled = LogPrefix.compile(prefix)
+      val tz = Option(r.tz).filter(_.nonEmpty).map(java.time.ZoneId.of)
+      LogPrefix.parseLine(compiled, r.line, tz, r.verbose) match {
+        case None => Some(s"${r.prefix}: no match for ${r.line.take(60)}")
+        case Some(p) =>
+          val errs = Seq.newBuilder[String]
+          if (r.occurredUs.isDefined && p.occurredAtMicros != r.occurredUs)
+            errs += s"ts ${p.occurredAtMicros} != ${r.occurredUs}"
+          if (p.username != r.username) errs += s"user '${p.username}' != '${r.username}'"
+          if (p.database != r.database) errs += s"db '${p.database}' != '${r.database}'"
+          if (r.pid.isDefined && p.pid != r.pid) errs += s"pid ${p.pid} != ${r.pid}"
+          if (r.lineNo.isDefined && p.logLineNumber != r.lineNo)
+            errs += s"line# ${p.logLineNumber} != ${r.lineNo}"
+          if (r.level.nonEmpty && p.logLevel != r.level)
+            errs += s"level ${p.logLevel} != ${r.level}"
+          if (p.application != r.application)
+            errs += s"app '${p.application}' != '${r.application}'"
+          if (p.content != r.content)
+            errs += s"content '${p.content.take(50)}' != '${r.content.take(50)}'"
+          val e = errs.result()
+          if (e.isEmpty) None
+          else Some(s"${r.prefix} [${r.line.take(60)}]: ${e.mkString("; ")}")
+      }
+    }
+    assert(fails.isEmpty, s"${fails.size} failures:\n${fails.mkString("\n")}")
+  }
+
+  test("timezone resolution variants") {
+    import graft.logsys.LogTimestamp
+    // numeric offset
+    assert(LogTimestamp.parse("2018-05-04 03:06:18.360 +0100", None) ==
+      Some(1525399578360000L))
+    // bare hour offset (Go's Atoi fallback)
+    assert(LogTimestamp.parse("2022-12-23 09:53:43.862 -03", None) ==
+      Some(1671800023862000L))
+    // legacy fixed abbreviation
+    assert(LogTimestamp.parse("2018-09-27 06:57:01.030 EST", None) ==
+      Some(1538049421030000L))
+    // configured log_timezone overrides the token (DST-aware)
+    assert(LogTimestamp.parse("2018-09-27 06:57:01.030 BST",
+      Some(java.time.ZoneId.of("Europe/London"))) ==
+      Some(1538027821030000L))
+    // unknown zone name fails the line
+    assert(LogTimestamp.parse("2018-09-27 06:57:01 XQZ", None).isEmpty)
+  }
+}

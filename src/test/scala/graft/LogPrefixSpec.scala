@@ -4,16 +4,15 @@ import graft.logsys.{LogClassify, LogPrefix}
 
 class LogPrefixSpec extends SparkSpec {
 
-  test("compiled recommended prefix matches the oracle-embedded regex") {
-    // QueriesLog/Oracles embed this exact pattern — keep them in sync.
+  test("compiled recommended-style prefix: field order and round-trip") {
     val c = LogPrefix.compile("%t [%p]: [%l-1] user=%u,db=%d ")
-    assert(c.regex ==
-      "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} [A-Z0-9+:-]+) " +
-        "\\[(\\d+)\\]: \\[(\\d+)\\-1\\] user=([a-zA-Z0-9_\\.\\-]*)," +
-        "db=([a-zA-Z0-9_\\.\\-]*) " + LogPrefix.LevelAlternation +
-        ":\\s+(.*)$")
     assert(c.fields == Seq("log_time", "pid", "log_line_no", "username",
       "database", "log_level", "content"))
+    val line = "2024-03-01 10:11:12 UTC [42]: [7-1] user=u7,db=db2 LOG:  duration: 1.0 ms"
+    val p = LogPrefix.parseLine(c, line).get
+    assert(p.pid.contains(42L) && p.logLineNumber.contains(7L))
+    assert(p.username == "u7" && p.database == "db2")
+    assert(p.logLevel == "LOG" && p.content == "duration: 1.0 ms")
   }
 
   test("parses an RDS-style line") {
