@@ -274,11 +274,103 @@ object OraclesGen {
       |  encode(substring(text, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_bytes
       |FROM f WHERE n_frames > 0""".stripMargin
 
+  // -------------------------------------------- scalar-function goldens
+
+  val x3Utility: String = {
+    val rows = PgGoldens.utilityInputs
+      .map { case (id, _, u) => s"($id, $u)" }.mkString(",\n  ")
+    s"SELECT * FROM (VALUES\n  $rows) AS t(q_id, is_utility)"
+  }
+
+  val x10CredentialScrub: String = {
+    val rows = PgGoldens.credentialInputs
+      .map { case (id, _, exp) => s"($id, ${PgGoldens.sqlLit(exp)})" }
+      .mkString(",\n  ")
+    s"SELECT * FROM (VALUES\n  $rows) AS t(q_id, scrubbed)"
+  }
+
+  val x14TraceExtract: String = {
+    val rows = PgGoldens.traceInputs
+      .map { case (id, _, tid, sid, fl) =>
+        s"($id, ${PgGoldens.sqlLit(tid)}, ${PgGoldens.sqlLit(sid)}, ${PgGoldens.sqlLit(fl)})" }
+      .mkString(",\n  ")
+    s"SELECT * FROM (VALUES\n  $rows) AS t(q_id, trace_id, parent_span_id, flags)"
+  }
+
+  val x18LogRepair: String = {
+    val rows = PgGoldens.herokuInputs
+      .map { case (id, _, rep, tr) => s"($id, ${PgGoldens.sqlLit(rep)}, $tr)" }
+      .mkString(",\n  ")
+    s"SELECT * FROM (VALUES\n  $rows) AS t(q_id, repaired, was_truncated)"
+  }
+
+  val x15Unpack: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+      |    user_id
+      |  FROM events)
+      |SELECT event_id,
+      |  [k, user_id] AS oids,
+      |  [CAST(k AS INT), CAST(user_id AS INT)] AS ints
+      |FROM e""".stripMargin
+
+  val t2HistoricLatest: String =
+    """WITH base AS (
+      |  SELECT p_partkey AS rel_oid, s.snap,
+      |    p_partkey % 37 = 0 AND s.snap = 1 AS locked,
+      |    p_size * 13 * (s.snap + 1) + p_partkey % 7 AS seq_scan
+      |  FROM part CROSS JOIN (SELECT unnest(range(3)) AS snap) s
+      |  WHERE NOT (p_partkey % 11 = 0 AND s.snap = 1))
+      |SELECT rel_oid, snap, seq_scan,
+      |  snap = max(snap) OVER (PARTITION BY rel_oid) AS is_latest
+      |FROM base WHERE NOT locked""".stripMargin
+
+  val f6TimeWindow: String =
+    """WITH lines AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END AS log_level
+      |  FROM events)
+      |SELECT log_level, count(*) AS n FROM lines
+      |WHERE ts >= (SELECT max(ts) FROM lines) - INTERVAL 1 HOUR
+      |GROUP BY log_level""".stripMargin
+
+  val f7Prefilter: String =
+    """SELECT CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END AS log_level,
+      |  count(*) AS n
+      |FROM events WHERE event_type <> 'click'
+      |GROUP BY 1""".stripMargin
+
+  def f8ExplainSkip: String = {
+    val util = graft.functions.PgFns.UtilityRegex
+    s"""WITH e AS (
+       |  SELECT *, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+       |  FROM events),
+       |texts AS (
+       |  SELECT DISTINCT user_id % 5 AS db_oid, user_id AS user_oid, k AS query_id,
+       |    event_id % 7 <> 0 AS toplevel,
+       |    CASE WHEN k % 50 = 0 THEN '/* pganalyze-collector */ SELECT 1'
+       |      ELSE 'SELECT * FROM orders WHERE o_custkey = ' || k END AS query
+       |  FROM e)
+       |SELECT db_oid, count(*) AS n_eligible FROM texts
+       |WHERE db_oid < 3 AND query NOT LIKE '/* pganalyze-collector */%'
+       |  AND NOT regexp_matches(upper(trim(query)) || ' ', ${PgGoldens.sqlLit(util)})
+       |GROUP BY db_oid""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "x9_spans" -> x9Spans,
     "x12_explain_normalize" -> x12ExplainNormalize,
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_frame_sample" -> mmFrameSample,
+    "x3_utility" -> x3Utility,
+    "x10_credential_scrub" -> x10CredentialScrub,
+    "x14_trace_extract" -> x14TraceExtract,
+    "x18_log_repair" -> x18LogRepair,
+    "x15_unpack" -> x15Unpack,
+    "t2_historic_latest" -> t2HistoricLatest,
+    "f6_time_window" -> f6TimeWindow,
+    "f7_prefilter" -> f7Prefilter,
+    "f8_explain_skip" -> f8ExplainSkip,
     "x7_full_classify" -> x7FullClassify,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,

@@ -70,6 +70,51 @@ object PgGoldens {
     (7, "ERROR", "canceling statement due to statement timeout",
       "canceling statement due to statement timeout"))
 
+  /** Utility-statement detection corpus (X3): (q_id, query, is_utility). */
+  val utilityInputs: Seq[(Int, String, Boolean)] = Seq(
+    (0, "SELECT 1", false),
+    (1, "INSERT INTO t VALUES (1)", false),
+    (2, "WITH x AS (SELECT 1) SELECT * FROM x", false),
+    (3, "UPDATE t SET a = 1", false),
+    (4, "CREATE TABLE t (a int)", true),
+    (5, "ALTER ROLE myrole WITH PASSWORD 'secret'", true),
+    (6, "VACUUM ANALYZE t", true),
+    (7, "SET search_path = public", true),
+    (8, "BEGIN", true),
+    (9, "EXPLAIN SELECT 1", true),
+    (10, "COPY t FROM STDIN", true))
+
+  /** Utility-credential scrub corpus (X10): normalization collapses the
+    * password literal, the reference's CredentialLogSecret path. */
+  val credentialInputs: Seq[(Int, String, String)] = Seq(
+    (0, "ALTER ROLE myrole WITH PASSWORD 'supersecret'",
+      "ALTER ROLE myrole WITH PASSWORD $1"),
+    (1, "CREATE USER u PASSWORD 'hunter2' LOGIN",
+      "CREATE USER u PASSWORD $1 LOGIN"),
+    (2, "ALTER USER app SET search_path = 'private'",
+      "ALTER USER app SET search_path = $1"),
+    (3, "ALTER ROLE r VALID UNTIL '2030-01-01'",
+      "ALTER ROLE r VALID UNTIL $1"))
+
+  /** OTel trace extraction corpus (X14): sqlcommenter traceparent tags
+    * (`logs/querysample/tracing.go:1-104`). */
+  val traceInputs: Seq[(Int, String, String, String, String)] = Seq(
+    (0, "SELECT 1 /*traceparent='00-4bf92f3577b34da6a3ce929d0e0e4736-00f067aa0ba902b7-01'*/",
+      "4bf92f3577b34da6a3ce929d0e0e4736", "00f067aa0ba902b7", "01"),
+    (1, "UPDATE t SET a = 1 /*app='x',traceparent='00-aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa-bbbbbbbbbbbbbbbb-00'*/",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "bbbbbbbbbbbbbbbb", "00"),
+    (2, "SELECT 2 /*app='no-trace'*/", "", "", ""))
+
+  /** Heroku repair + truncation corpus (X18/X19): (q_id, raw, repaired,
+    * truncated). */
+  val herokuInputs: Seq[(Int, String, String, Boolean)] = Seq(
+    (0, "{\"Query Text\": \"SELECT 1\nFROM t\", \"Plan\": {}}",
+      "{\"Query Text\": \"SELECT 1 FROM t\", \"Plan\": {}}", false),
+    (1, "{\"Query Text\": \"SELECT 2 FROM u\", \"Plan\": {}}",
+      "{\"Query Text\": \"SELECT 2 FROM u\", \"Plan\": {}}", false),
+    (2, "duration: 1.0 ms  statement: SELECT [Your log message was truncated]",
+      "duration: 1.0 ms  statement: SELECT [Your log message was truncated]", true))
+
   /** SQL string literal with '' escaping. */
   def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftNative
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PgFns
+import graft.functions.expressions.{HerokuRepairExpr, QueryTagsExpr}
+import graft.logsys.{LogSynth, PlanNormalize}
+import graft.sources.CatalogSynth
+
+/** Scalar-function and filter query surface closing the remaining
+  * SURVEY §2 rows: X3/X10/X13–X15/X18/X19, T2, F6–F8.
+  */
+object QueriesFns {
+
+  private def tags(c: Column): Column =
+    GraftNative.column(QueryTagsExpr(GraftNative.expression(c)))
+  private def herokuRepair(c: Column): Column =
+    GraftNative.column(HerokuRepairExpr(GraftNative.expression(c)))
+
+  // X15 — oid-array / int2vector unpack over synthesized catalog strings.
+  def x15Unpack(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .select(col("event_id"),
+        concat(lit("{"), col("k"), lit(","), col("user_id"), lit("}")).as("oid_raw"),
+        concat(col("k"), lit(" "), col("user_id")).as("vec_raw"))
+      .select(col("event_id"),
+        PgFns.parseOidArray(col("oid_raw")).as("oids"),
+        PgFns.parseIntVector(col("vec_raw")).as("ints"))
+
+  // X3 — utility-statement detection over the golden corpus.
+  def x3Utility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgGoldens.utilityInputs.map { case (id, q, _) => (id, q) }
+      .toDF("q_id", "query")
+      .select(col("q_id"), PgFns.isUtilityStatement(col("query")).as("is_utility"))
+  }
+
+  // X10 — utility-credential scrub: password literals collapse under
+  // normalization (CredentialLogSecret, logs/analyze.go:2320-2335).
+  def x10CredentialScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgGoldens.credentialInputs.map { case (id, q, _) => (id, q) }
+      .toDF("q_id", "query")
+      .select(col("q_id"), PgFns.pgNormalize(col("query")).as("scrubbed"))
+  }
+
+  // X13/X14 — query-tag parse + traceparent extraction.
+  def x14TraceExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tp = "^00-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$"
+    PgGoldens.traceInputs.map { case (id, q, _, _, _) => (id, q) }
+      .toDF("q_id", "query")
+      .withColumn("traceparent",
+        coalesce(element_at(tags(col("query")), "traceparent"), lit("")))
+      .select(col("q_id"),
+        regexp_extract(col("traceparent"), tp, 1).as("trace_id"),
+        regexp_extract(col("traceparent"), tp, 2).as("parent_span_id"),
+        regexp_extract(col("traceparent"), tp, 3).as("flags"))
+  }
+
+  // X18/X19 — Heroku Query Text newline repair + truncation detection.
+  def x18LogRepair(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgGoldens.herokuInputs.map { case (id, raw, _, _) => (id, raw) }
+      .toDF("q_id", "raw")
+      .select(col("q_id"),
+        herokuRepair(col("raw")).as("repaired"),
+        col("raw").contains(PlanNormalize.TruncationMarker).as("was_truncated"))
+  }
+
+  // T2 — historic sort + latest split (postgres_statements.go:128-135):
+  // the newest snapshot per key is split out of the historic buckets.
+  def t2HistoricLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("rel_oid")
+    CatalogSynth.relationStatsTimeline(s, dir)
+      .filter(!col("locked"))
+      .withColumn("is_latest", col("snap") === max("snap").over(w))
+      .select("rel_oid", "snap", "seq_scan", "is_latest")
+  }
+
+  // F6 — log time-window filter: drop lines older than linesNewerThan
+  // (logs/parse.go:489-494), anchored to the corpus max.
+  def f6TimeWindow(s: SparkSession, dir: String): DataFrame = {
+    val lines = LogSynth.lines(s, dir)
+    val maxTs = lines.agg(max("ts").as("max_ts"))
+    lines.crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 1 HOURS"))
+      .groupBy("log_level").agg(count(lit(1)).as("n"))
+  }
+
+  // F7 — high-volume prefilter: drop statement/duration lines when the
+  // flags are set (state/state.go:358-401).
+  def f7Prefilter(s: SparkSession, dir: String): DataFrame =
+    LogSynth.lines(s, dir)
+      .filter(!col("content").startsWith("duration: ") &&
+        !col("content").startsWith("statement: "))
+      .groupBy("log_level").agg(count(lit(1)).as("n"))
+
+  // F8 — EXPLAIN skip predicate: monitored DBs only, no collector
+  // queries, no utility statements (input/postgres/explain.go:21-42).
+  def f8ExplainSkip(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.statementTexts(s, dir)
+      .filter(col("db_oid") < 3 &&
+        !col("query").startsWith("/* pganalyze-collector */") &&
+        !PgFns.isUtilityStatement(col("query")))
+      .groupBy("db_oid").agg(count(lit(1)).as("n_eligible"))
+}

@@ -51,6 +51,16 @@ object SparkEntry {
     "f2_schema_regexp" -> (QueriesCatalog.f2SchemaRegexp _),
     "t6_parent_partition" -> (QueriesCatalog.t6ParentPartition _),
     "d4_relation_diff" -> (QueriesCatalog.d4RelationDiff _),
+    // scalar functions / filters / sorts
+    "x15_unpack" -> (QueriesFns.x15Unpack _),
+    "x3_utility" -> (QueriesFns.x3Utility _),
+    "x10_credential_scrub" -> (QueriesFns.x10CredentialScrub _),
+    "x14_trace_extract" -> (QueriesFns.x14TraceExtract _),
+    "x18_log_repair" -> (QueriesFns.x18LogRepair _),
+    "t2_historic_latest" -> (QueriesFns.t2HistoricLatest _),
+    "f6_time_window" -> (QueriesFns.f6TimeWindow _),
+    "f7_prefilter" -> (QueriesFns.f7Prefilter _),
+    "f8_explain_skip" -> (QueriesFns.f8ExplainSkip _),
     // training-data pipeline extensions
     "dedup_exact" -> (QueriesText.dedupExact _),
     "dedup_ngram_jaccard" -> (QueriesText.dedupNgramJaccard _),

@@ -62,9 +62,22 @@ object PgFns {
 
   /** Utility-statement detection (`input/postgres/statements.go:431-450`,
     * X3) — reduced scope: leading-keyword classification. */
+  /** The utility leading-keyword set (shared with the DuckDB oracle —
+    * RE2-safe). EXPLAIN is a utility statement in the PG grammar. */
+  val UtilityRegex: String =
+    "^(CREATE|ALTER|DROP|GRANT|REVOKE|VACUUM|ANALYZE|SET|SHOW|COPY|TRUNCATE|COMMENT|REINDEX|CLUSTER|CHECKPOINT|PREPARE|DEALLOCATE|DISCARD|LOCK|LISTEN|NOTIFY|UNLISTEN|BEGIN|COMMIT|ROLLBACK|SAVEPOINT|RELEASE|EXPLAIN) "
+
   def isUtilityStatement(c: Column): Column =
-    upper(trim(c)).rlike(
-      "^(CREATE|ALTER|DROP|GRANT|REVOKE|VACUUM|ANALYZE|SET|SHOW|COPY|TRUNCATE|COMMENT|REINDEX|CLUSTER|CHECKPOINT|PREPARE|DEALLOCATE|DISCARD|LOCK|LISTEN|NOTIFY|UNLISTEN|BEGIN|COMMIT|ROLLBACK|SAVEPOINT|RELEASE)\\b")
+    concat(upper(trim(c)), lit(" ")).rlike(UtilityRegex)
+
+  /** `{1,2,3}` oid-array unpack (`relations.go:234-249`, X15). */
+  def parseOidArray(c: Column): Column =
+    transform(split(regexp_replace(c, "^\\{|\\}$", ""), ","),
+      x => trim(x).cast("long"))
+
+  /** `1 2 3` int2vector unpack (`input/postgres/helpers.go`, X15). */
+  def parseIntVector(c: Column): Column =
+    transform(split(c, " "), x => x.cast("int"))
 
   /** xid → xid8 widening with wraparound repair
     * (`state/postgres_server_stats.go:17-35`, X16): reconstruct the 64-bit

@@ -1,8 +1,9 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.PgNormalize
@@ -22,6 +23,37 @@ case class PgNormalizeQueryExpr(child: Expression) extends UnaryExpression {
       "UTF8String.fromString(graft.functions.PgNormalize.normalize(" +
         s"$c.toString(), " + "\"normal\", 1024))")
   override protected def withNewChildInternal(newChild: Expression): PgNormalizeQueryExpr =
+    copy(child = newChild)
+}
+
+/** sqlcommenter/marginalia query tags as a map column (X13,
+  * `logs/querysample/tags.go:14-77`). */
+case class QueryTagsExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType =
+    MapType(StringType, StringType, valueContainsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val tags = graft.logsys.PlanNormalize.parseTags(
+      input.asInstanceOf[UTF8String].toString).toSeq
+    ArrayBasedMapData(
+      tags.map(t => UTF8String.fromString(t._1)).toArray[Any],
+      tags.map(t => UTF8String.fromString(t._2)).toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): QueryTagsExpr =
+    copy(child = newChild)
+}
+
+/** Heroku "Query Text" newline repair (X18). */
+case class HerokuRepairExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.logsys.PlanNormalize.herokuRepair(
+      input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "UTF8String.fromString(graft.logsys.PlanNormalize.herokuRepair(" +
+        s"$c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): HerokuRepairExpr =
     copy(child = newChild)
 }
 

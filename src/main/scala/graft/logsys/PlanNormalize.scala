@@ -235,6 +235,32 @@ object PlanNormalize {
     out.result()
   }
 
+  // ------------------------------------------------ Heroku repair (X18/X19)
+
+  private val herokuQueryText = java.util.regex.Pattern.compile(
+    "(?s)(\"Query Text\"\\s*:\\s*\")(.*?)\"")
+  private val newlines = java.util.regex.Pattern.compile("[\\r\\n]+")
+
+  /** Heroku logplex flattens auto_explain JSON onto one line but keeps
+    * raw newlines inside the "Query Text" value — invalid JSON. Replace
+    * them with spaces (`querysample.go:36-48`). */
+  def herokuRepair(text: String): String = {
+    val m = herokuQueryText.matcher(text)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val cleaned = newlines.matcher(m.group(2)).replaceAll(" ")
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + cleaned + "\""))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  val TruncationMarker = "[Your log message was truncated]"
+
+  /** X19 — `logs/util/parse.go:5-10`. */
+  def wasTruncated(line: String): Boolean = line.contains(TruncationMarker)
+
   // --------------------------------------------------- sqlcommenter (X13)
 
   /** sqlcommenter / marginalia query tags from SQL comments
