@@ -200,6 +200,112 @@ object OraclesCatalog {
         |       ELSE CAST(NULL AS BIGINT) END AS idx_scan_delta
         |FROM x WHERE NOT locked""".stripMargin,
 
+    "d5_index_stats_diff" ->
+      """WITH base AS (
+        |  SELECT p_partkey + 1000000 AS index_oid, s.snap,
+        |    p_size * 7 * (s.snap + 1) AS idx_scan,
+        |    p_size * 131 * (s.snap + 1) AS idx_tup_read,
+        |    p_size * 8192 + s.snap AS size_bytes
+        |  FROM part CROSS JOIN (SELECT unnest(range(3)) AS snap) s
+        |  WHERE p_partkey % 2 = 0)
+        |SELECT index_oid, snap, size_bytes,
+        |  CASE WHEN snap > 0 THEN idx_scan - lag(idx_scan) OVER w END AS idx_scan_delta,
+        |  CASE WHEN snap > 0 THEN idx_tup_read - lag(idx_tup_read) OVER w END AS idx_tup_read_delta
+        |FROM base WINDOW w AS (PARTITION BY index_oid ORDER BY snap)""".stripMargin,
+
+    "d9_function_stats_diff" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS func_oid, 'fn_' || p_partkey AS funcname, s.snap,
+        |    p_size * 3 * (s.snap + 1) AS calls,
+        |    p_size * 7 * (s.snap + 1) AS total_time_ms,
+        |    p_size * 5 * (s.snap + 1) AS self_time_ms
+        |  FROM part CROSS JOIN (SELECT unnest(range(3)) AS snap) s
+        |  WHERE p_partkey % 5 = 0),
+        |x AS (
+        |  SELECT *, lag(calls) OVER w AS pv_c, lag(total_time_ms) OVER w AS pv_t,
+        |    lag(self_time_ms) OVER w AS pv_s
+        |  FROM base WINDOW w AS (PARTITION BY func_oid ORDER BY snap))
+        |SELECT func_oid, funcname, snap,
+        |  CASE WHEN pv_c IS NULL THEN calls WHEN calls < pv_c THEN calls
+        |    ELSE calls - pv_c END AS calls_delta,
+        |  CASE WHEN pv_t IS NULL THEN total_time_ms WHEN total_time_ms < pv_t
+        |    THEN total_time_ms ELSE total_time_ms - pv_t END AS total_time_ms_delta,
+        |  CASE WHEN pv_s IS NULL THEN self_time_ms WHEN self_time_ms < pv_s
+        |    THEN self_time_ms ELSE self_time_ms - pv_s END AS self_time_ms_delta
+        |FROM x""".stripMargin,
+
+    "s18_roles" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS rol_oid,
+        |  'role_' || n_nationkey AS rolname,
+        |  n_nationkey % 7 = 0 AS rolsuper,
+        |  n_nationkey % 3 <> 0 AS rolcanlogin,
+        |  [CAST(n_nationkey % 5 AS BIGINT), CAST(n_nationkey % 3 AS BIGINT)] AS member_of
+        |FROM nation""".stripMargin,
+
+    "s19_settings" ->
+      """SELECT 'setting_' || p_partkey AS name,
+        |  CAST(p_size AS VARCHAR) AS setting,
+        |  CASE p_partkey % 3 WHEN 0 THEN 'ms' WHEN 1 THEN 'kB' ELSE NULL END AS unit,
+        |  CASE p_partkey % 4 WHEN 0 THEN 'default' WHEN 1 THEN 'configuration file'
+        |    ELSE 'user' END AS source
+        |FROM part
+        |WHERE p_partkey % 7 = 0 AND p_partkey % 4 <> 0""".stripMargin,
+
+    "s20_types" ->
+      """SELECT CAST(n_nationkey + 50000 AS BIGINT) AS typ_oid,
+        |  'ty_' || n_nationkey AS typname,
+        |  CASE n_nationkey % 3 WHEN 0 THEN 'e' WHEN 1 THEN 'd' ELSE 'c' END AS typtype,
+        |  CASE WHEN n_nationkey % 3 = 0
+        |    THEN ['v' || (n_nationkey % 4), 'v' || (n_nationkey % 2)] END AS enum_values
+        |FROM nation""".stripMargin,
+
+    "s21_extensions" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS ext_oid,
+        |  'ext_' || r_regionkey AS extname, '1.' || r_regionkey AS extversion
+        |FROM region""".stripMargin,
+
+    "d3_io_diff" ->
+      """WITH base AS (
+        |  SELECT
+        |    CASE user_id % 3 WHEN 0 THEN 'client backend'
+        |      WHEN 1 THEN 'autovacuum worker' ELSE 'checkpointer' END AS backend_type,
+        |    CASE event_id % 2 WHEN 0 THEN 'relation' ELSE 'temp relation' END AS object,
+        |    CASE event_id % 3 WHEN 0 THEN 'normal' WHEN 1 THEN 'vacuum'
+        |      ELSE 'bulkread' END AS context,
+        |    user_id % 4 AS snap,
+        |    CAST(floor(value * 10) AS BIGINT) AS reads,
+        |    CAST(floor(value * 5) AS BIGINT) AS writes
+        |  FROM events),
+        |agg AS (
+        |  SELECT backend_type, object, context, snap,
+        |    CAST(sum(reads) AS BIGINT) AS reads, CAST(sum(writes) AS BIGINT) AS writes
+        |  FROM base GROUP BY 1, 2, 3, 4),
+        |x AS (
+        |  SELECT *, lag(reads) OVER w AS pv_r, lag(writes) OVER w AS pv_w
+        |  FROM agg WINDOW w AS (PARTITION BY backend_type, object, context ORDER BY snap))
+        |SELECT backend_type, object, context, snap,
+        |  CASE WHEN pv_r IS NULL THEN reads WHEN reads < pv_r THEN reads
+        |    ELSE reads - pv_r END AS reads_delta,
+        |  CASE WHEN pv_w IS NULL THEN writes WHEN writes < pv_w THEN writes
+        |    ELSE writes - pv_w END AS writes_delta
+        |FROM x""".stripMargin,
+
+    "a11_pgss_info_diff" ->
+      """WITH agg AS (
+        |  SELECT event_id % 4 AS snap,
+        |    CAST(sum(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dealloc,
+        |    count(*) AS observed
+        |  FROM events GROUP BY 1),
+        |x AS (
+        |  SELECT *, lag(dealloc) OVER w AS pv_d, lag(observed) OVER w AS pv_o
+        |  FROM agg WINDOW w AS (ORDER BY snap))
+        |SELECT snap,
+        |  CASE WHEN pv_d IS NULL THEN dealloc WHEN dealloc < pv_d THEN dealloc
+        |    ELSE dealloc - pv_d END AS dealloc_delta,
+        |  CASE WHEN pv_o IS NULL THEN observed WHEN observed < pv_o THEN observed
+        |    ELSE observed - pv_o END AS observed_delta
+        |FROM x""".stripMargin,
+
     "t6_parent_partition" ->
       """WITH inh AS (
         |  SELECT p_partkey AS rel_oid, (p_partkey // 20) * 20 + 3 AS parent_oid,

@@ -160,6 +160,66 @@ object QueriesCatalog {
       gaugeCols = Seq("n_live_tup"),
       lockedCol = "locked")
 
+  // S12 + D5 — index-stats diff: counters diffed, size carried as gauge.
+  def d5IndexStatsDiff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diff.relationDiff(
+      CatalogSynth.indexStatsTimeline(s, dir),
+      keyCols = Seq("index_oid"), snapCol = "snap",
+      counterCols = Seq("idx_scan", "idx_tup_read"),
+      gaugeCols = Seq("size_bytes"), lockedCol = "locked")
+
+  // S16 + D9 — function-stats diff (calls / total / self time).
+  def d9FunctionStatsDiff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diff.counterDiff(
+      CatalogSynth.functionStatsTimeline(s, dir),
+      keyCols = Seq("func_oid"), orderCols = Seq("snap"),
+      counterCols = Seq("calls", "total_time_ms", "self_time_ms"))
+      .select(col("func_oid"), col("funcname"), col("snap"),
+        col("calls_delta"), col("total_time_ms_delta"), col("self_time_ms_delta"))
+
+  // S18 — roles scan with membership-array unpack (X15 reuse).
+  def s18Roles(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.roles(s, dir)
+      .select(col("rol_oid"), col("rolname"), col("rolsuper"),
+        col("rolcanlogin"),
+        graft.functions.PgFns.parseOidArray(col("member_of_raw")).as("member_of"))
+
+  // S19 — settings scan: non-default values only.
+  def s19Settings(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.settings(s, dir)
+      .filter(col("source") =!= "default")
+      .select("name", "setting", "unit", "source")
+
+  // S20 — custom-types scan: enum value arrays unpacked.
+  def s20Types(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.types(s, dir)
+      .select(col("typ_oid"), col("typname"), col("typtype"),
+        when(col("enum_values_raw").isNotNull,
+          split(regexp_replace(col("enum_values_raw"), "^\\{|\\}$", ""), ","))
+          .as("enum_values"))
+
+  // S21 — extensions scan.
+  def s21Extensions(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.extensions(s, dir)
+
+  // S24 + D3 — pg_stat_io diff over (backend_type, object, context).
+  def d3IoDiff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diff.counterDiff(
+      CatalogSynth.statIoTimeline(s, dir),
+      keyCols = Seq("backend_type", "object", "context"),
+      orderCols = Seq("snap"),
+      counterCols = Seq("reads", "writes"))
+      .select(col("backend_type"), col("object"), col("context"), col("snap"),
+        col("reads_delta"), col("writes_delta"))
+
+  // A11 + D8 — pg_stat_statements_info diff (global key).
+  def a11PgssInfoDiff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diff.counterDiff(
+      CatalogSynth.pgssInfoTimeline(s, dir).withColumn("server", lit(1)),
+      keyCols = Seq("server"), orderCols = Seq("snap"),
+      counterCols = Seq("dealloc", "observed"))
+      .select(col("snap"), col("dealloc_delta"), col("observed_delta"))
+
   // T6 — parent-partition pick: first inheritance parent per child
   // (ORDER BY inhseqno LIMIT 1, relations.go:34) over multi-edge
   // pg_inherits rows.

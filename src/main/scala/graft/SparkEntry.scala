@@ -51,6 +51,14 @@ object SparkEntry {
     "f2_schema_regexp" -> (QueriesCatalog.f2SchemaRegexp _),
     "t6_parent_partition" -> (QueriesCatalog.t6ParentPartition _),
     "d4_relation_diff" -> (QueriesCatalog.d4RelationDiff _),
+    "d5_index_stats_diff" -> (QueriesCatalog.d5IndexStatsDiff _),
+    "d9_function_stats_diff" -> (QueriesCatalog.d9FunctionStatsDiff _),
+    "s18_roles" -> (QueriesCatalog.s18Roles _),
+    "s19_settings" -> (QueriesCatalog.s19Settings _),
+    "s20_types" -> (QueriesCatalog.s20Types _),
+    "s21_extensions" -> (QueriesCatalog.s21Extensions _),
+    "d3_io_diff" -> (QueriesCatalog.d3IoDiff _),
+    "a11_pgss_info_diff" -> (QueriesCatalog.a11PgssInfoDiff _),
     // scalar functions / filters / sorts
     "x15_unpack" -> (QueriesFns.x15Unpack _),
     "x3_utility" -> (QueriesFns.x3Utility _),

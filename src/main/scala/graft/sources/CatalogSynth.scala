@@ -172,6 +172,102 @@ object CatalogSynth {
     first.unionByName(second)
   }
 
+  /** Index-stats timeline (S12/D5): three snapshots per index; size is
+    * a gauge, scan counters grow. */
+  def indexStatsTimeline(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey"), col("p_size"),
+        explode(sequence(lit(0L), lit(2L))).as("snap"))
+      .select(
+        (col("p_partkey") + 1000000).as("index_oid"),
+        col("snap"),
+        lit(false).as("locked"),
+        (col("p_size") * 7 * (col("snap") + 1)).as("idx_scan"),
+        (col("p_size") * 131 * (col("snap") + 1)).as("idx_tup_read"),
+        (col("p_size") * 8192L + col("snap")).as("size_bytes"))
+
+  /** pg_stat_user_functions timeline (S16/D9). */
+  def functionStatsTimeline(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey"), col("p_size"),
+        explode(sequence(lit(0L), lit(2L))).as("snap"))
+      .select(
+        col("p_partkey").as("func_oid"),
+        concat(lit("fn_"), col("p_partkey")).as("funcname"),
+        col("snap"),
+        (col("p_size") * 3 * (col("snap") + 1)).as("calls"),
+        (col("p_size") * 7 * (col("snap") + 1)).as("total_time_ms"),
+        (col("p_size") * 5 * (col("snap") + 1)).as("self_time_ms"))
+
+  /** pg_roles analogue (S18) with a `{a,b}`-style membership array. */
+  def roles(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
+      col("n_nationkey").cast("long").as("rol_oid"),
+      concat(lit("role_"), col("n_nationkey")).as("rolname"),
+      (col("n_nationkey") % 7 === 0).as("rolsuper"),
+      (col("n_nationkey") % 3 =!= 0).as("rolcanlogin"),
+      concat(lit("{"), col("n_nationkey") % 5, lit(","),
+        col("n_nationkey") % 3, lit("}")).as("member_of_raw"))
+
+  /** pg_settings analogue (S19). */
+  def settings(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_partkey") % 7 === 0)
+      .select(
+        concat(lit("setting_"), col("p_partkey")).as("name"),
+        col("p_size").cast("string").as("setting"),
+        expr("CASE p_partkey % 3 WHEN 0 THEN 'ms' WHEN 1 THEN 'kB' ELSE NULL END")
+          .as("unit"),
+        expr("CASE p_partkey % 4 WHEN 0 THEN 'default' WHEN 1 THEN " +
+          "'configuration file' ELSE 'user' END").as("source"))
+
+  /** pg_type analogue (S20): enums carry a value list. */
+  def types(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
+      (col("n_nationkey") + 50000).cast("long").as("typ_oid"),
+      concat(lit("ty_"), col("n_nationkey")).as("typname"),
+      expr("CASE n_nationkey % 3 WHEN 0 THEN 'e' WHEN 1 THEN 'd' ELSE 'c' END")
+        .as("typtype"),
+      when(col("n_nationkey") % 3 === 0,
+        concat(lit("{v"), col("n_nationkey") % 4, lit(",v"),
+          col("n_nationkey") % 2, lit("}")))
+        .otherwise(lit(null)).as("enum_values_raw"))
+
+  /** pg_extension analogue (S21). */
+  def extensions(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select(
+      col("r_regionkey").cast("long").as("ext_oid"),
+      concat(lit("ext_"), col("r_regionkey")).as("extname"),
+      concat(lit("1."), col("r_regionkey")).as("extversion"))
+
+  /** pg_stat_io timeline (S24/D3): per (backend_type, object, context)
+    * I/O counters per snapshot, aggregated from events. */
+  def statIoTimeline(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        expr("CASE user_id % 3 WHEN 0 THEN 'client backend' " +
+          "WHEN 1 THEN 'autovacuum worker' ELSE 'checkpointer' END")
+          .as("backend_type"),
+        expr("CASE event_id % 2 WHEN 0 THEN 'relation' ELSE 'temp relation' END")
+          .as("object"),
+        expr("CASE event_id % 3 WHEN 0 THEN 'normal' WHEN 1 THEN 'vacuum' " +
+          "ELSE 'bulkread' END").as("context"),
+        (col("user_id") % 4).as("snap"),
+        expr("CAST(floor(value * 10) AS BIGINT)").as("reads"),
+        expr("CAST(floor(value * 5) AS BIGINT)").as("writes"))
+      .groupBy("backend_type", "object", "context", "snap")
+      .agg(sum("reads").as("reads"), sum("writes").as("writes"))
+
+  /** pg_stat_statements_info timeline (A11/D8): one global key. */
+  def pgssInfoTimeline(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy((col("event_id") % 4).as("snap"))
+      .agg(
+        sum(when(col("user_id") % 13 === 0, 1L).otherwise(0L)).as("dealloc"),
+        count(lit(1)).as("observed"))
+
   /** xmin-horizon holders (S23): one holder row per event; category =
     * the five horizon sources the reference scans top-1 for. */
   def xminHolders(s: SparkSession, dir: String): DataFrame =
