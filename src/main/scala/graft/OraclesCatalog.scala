@@ -200,6 +200,21 @@ object OraclesCatalog {
         |       ELSE CAST(NULL AS BIGINT) END AS idx_scan_delta
         |FROM x WHERE NOT locked""".stripMargin,
 
+    "k1_snapshot_fact" ->
+      """WITH e AS (
+        |  SELECT *, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |stats AS (
+        |  SELECT user_id % 5 AS db_oid, user_id AS user_oid, k AS query_id,
+        |    event_id % 7 <> 0 AS toplevel, count(*) AS calls,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_ms
+        |  FROM e GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(dense_rank() OVER (ORDER BY db_oid) AS INT) AS db_oid_idx,
+        |  CAST(dense_rank() OVER (ORDER BY user_oid) AS INT) AS user_oid_idx,
+        |  CAST(dense_rank() OVER (ORDER BY query_id) AS INT) AS query_id_idx,
+        |  toplevel, calls, total_ms
+        |FROM stats""".stripMargin,
+
     "d5_index_stats_diff" ->
       """WITH base AS (
         |  SELECT p_partkey + 1000000 AS index_oid, s.snap,

@@ -220,6 +220,15 @@ object QueriesCatalog {
       counterCols = Seq("dealloc", "observed"))
       .select(col("snap"), col("dealloc_delta"), col("observed_delta"))
 
+  // K1/K3 — snapshot assembly: the dim-encoded statement fact (every
+  // reference resolved through a deduplicated dimension, integrity
+  // asserted like verifyIntegrity).
+  def k1SnapshotFact(s: SparkSession, dir: String): DataFrame = {
+    val snap = graft.sinks.SnapshotSink.assemble(s, dir)
+    require(graft.sinks.SnapshotSink.verifyIntegrity(snap))
+    snap.fact
+  }
+
   // T6 — parent-partition pick: first inheritance parent per child
   // (ORDER BY inhseqno LIMIT 1, relations.go:34) over multi-edge
   // pg_inherits rows.

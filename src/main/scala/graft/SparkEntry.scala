@@ -59,6 +59,7 @@ object SparkEntry {
     "s21_extensions" -> (QueriesCatalog.s21Extensions _),
     "d3_io_diff" -> (QueriesCatalog.d3IoDiff _),
     "a11_pgss_info_diff" -> (QueriesCatalog.a11PgssInfoDiff _),
+    "k1_snapshot_fact" -> (QueriesCatalog.k1SnapshotFact _),
     // scalar functions / filters / sorts
     "x15_unpack" -> (QueriesFns.x15Unpack _),
     "x3_utility" -> (QueriesFns.x3Utility _),

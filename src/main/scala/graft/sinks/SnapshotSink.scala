@@ -1,0 +1,55 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DimEncode
+import graft.sources.CatalogSynth
+
+/** Full-snapshot assembly + dimension-encoded sink (K1/K2/K3): the
+  * engine form of the reference's snapshot document
+  * (`output/transform/postgres.go:33-119`, `util.go:25-150`,
+  * `output/full.go:20-97`): deduplicated reference dimensions
+  * (databases, roles, query keys) with every fact row carrying small
+  * integer indices — the star-schema parquet layout that IS the
+  * analytic form of the protobuf snapshot.
+  *
+  * The sink writes one directory per table (dims + fact), partitioned
+  * by collection snapshot on a real lake; integrity is asserted before
+  * the write exactly like `verifyIntegrity` (every fact index resolves
+  * in its dimension, K3).
+  */
+object SnapshotSink {
+
+  final case class Snapshot(
+      databaseDim: DataFrame, roleDim: DataFrame, queryDim: DataFrame,
+      fact: DataFrame)
+
+  /** Assemble the statement-stats fact with dim-encoded database / role
+    * / query references. */
+  def assemble(s: SparkSession, dir: String): Snapshot = {
+    val stats = CatalogSynth.statementStats(s, dir)
+    val (dbDim, f1) = DimEncode.encode(stats, "db_oid")
+    val (roleDim, f2) = DimEncode.encode(f1, "user_oid")
+    val (queryDim, f3) = DimEncode.encode(f2, "query_id")
+    val fact = f3.select(
+      col("db_oid_idx"), col("user_oid_idx"), col("query_id_idx"),
+      col("toplevel"), col("calls"), col("total_ms"))
+    Snapshot(dbDim, roleDim, queryDim, fact)
+  }
+
+  /** K3 — every fact reference must resolve in its dimension. */
+  def verifyIntegrity(snap: Snapshot): Boolean =
+    DimEncode.checkIntegrity(snap.databaseDim, snap.fact, "db_oid") &&
+      DimEncode.checkIntegrity(snap.roleDim, snap.fact, "user_oid") &&
+      DimEncode.checkIntegrity(snap.queryDim, snap.fact, "query_id")
+
+  /** K1 — write the star schema (dims + fact) as parquet directories. */
+  def write(snap: Snapshot, outDir: String): Unit = {
+    require(verifyIntegrity(snap), "snapshot integrity check failed")
+    snap.databaseDim.write.mode("overwrite").parquet(s"$outDir/dim_database")
+    snap.roleDim.write.mode("overwrite").parquet(s"$outDir/dim_role")
+    snap.queryDim.write.mode("overwrite").parquet(s"$outDir/dim_query")
+    snap.fact.write.mode("overwrite").parquet(s"$outDir/fact_statements")
+  }
+}

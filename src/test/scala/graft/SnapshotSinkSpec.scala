@@ -1,0 +1,33 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.SnapshotSink
+
+class SnapshotSinkSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("assemble: dims deduplicate, fact references resolve (K3)") {
+    val snap = SnapshotSink.assemble(spark, dir)
+    assert(SnapshotSink.verifyIntegrity(snap))
+    // every fact row kept, one dim row per distinct value
+    val stats = graft.sources.CatalogSynth.statementStats(spark, dir)
+    assert(snap.fact.count() == stats.count())
+    assert(snap.databaseDim.count() ==
+      stats.select("db_oid").distinct().count())
+    assert(snap.queryDim.count() ==
+      stats.select("query_id").distinct().count())
+  }
+
+  test("write: star-schema parquet round-trips (K1)") {
+    val out = Files.createTempDirectory("snap").toString
+    val snap = SnapshotSink.assemble(spark, dir)
+    SnapshotSink.write(snap, out)
+    val factBack = spark.read.parquet(s"$out/fact_statements")
+    assert(factBack.count() == snap.fact.count())
+    assert(factBack.columns.toSet.contains("db_oid_idx"))
+    val dimBack = spark.read.parquet(s"$out/dim_query")
+    assert(dimBack.count() == snap.queryDim.count())
+  }
+}
