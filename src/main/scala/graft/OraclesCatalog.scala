@@ -200,6 +200,54 @@ object OraclesCatalog {
         |       ELSE CAST(NULL AS BIGINT) END AS idx_scan_delta
         |FROM x WHERE NOT locked""".stripMargin,
 
+    "s7_columns" ->
+      s"""WITH $rels,
+         |live AS (
+         |  SELECT rel_oid, a.attnum FROM rels
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, 4)) AS INT) AS attnum) a
+         |  WHERE relkind IN ('r', 'p') AND NOT is_locked
+         |    AND nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema'))
+         |SELECT rel_oid, attnum, 'c' || attnum AS attname,
+         |  CASE attnum % 3 WHEN 0 THEN 'int8' WHEN 1 THEN 'text'
+         |    ELSE 'timestamptz' END AS atttype
+         |FROM live
+         |UNION ALL
+         |SELECT rel_oid, CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         |FROM rels
+         |WHERE relkind IN ('r', 'p') AND is_locked
+         |  AND nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')""".stripMargin,
+
+    "s14_column_stats" ->
+      """SELECT p_partkey AS rel_oid, a.attnum,
+        |  CAST(p_size % 10 AS DOUBLE) / 10.0 AS null_frac,
+        |  a.attnum * 4 AS avg_width,
+        |  CASE WHEN p_size % 2 = 0 THEN -1.0
+        |    ELSE CAST(p_size * 10 AS DOUBLE) END AS n_distinct,
+        |  CAST(p_size % 100 AS DOUBLE) / 100.0 AS correlation
+        |FROM part CROSS JOIN (SELECT CAST(unnest(range(1, 4)) AS INT) AS attnum) a""".stripMargin,
+
+    "s13_citus_sizes" ->
+      s"""WITH $rels
+         |SELECT rel_oid, rel_oid % 13 = 0 AS is_distributed,
+         |  CASE WHEN rel_oid % 13 = 0 THEN reltuples * 64
+         |    ELSE relpages * 8192 END AS size_bytes
+         |FROM rels WHERE relkind = 'r'""".stripMargin,
+
+    "j6_plan_idx_join" ->
+      """WITH e AS (
+        |  SELECT *, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |stats AS (
+        |  SELECT user_id % 5 AS db_oid, user_id AS user_oid, k AS query_id,
+        |    event_id % 7 <> 0 AS toplevel, count(*) AS calls
+        |  FROM e GROUP BY 1, 2, 3, 4),
+        |plans AS (
+        |  SELECT DISTINCT query_id, query_id % 7 AS plan_id, calls AS plan_calls
+        |  FROM stats)
+        |SELECT CAST(dense_rank() OVER (ORDER BY query_id) AS INT) AS query_id_idx,
+        |  plan_id, plan_calls
+        |FROM plans""".stripMargin,
+
     "k1_snapshot_fact" ->
       """WITH e AS (
         |  SELECT *, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

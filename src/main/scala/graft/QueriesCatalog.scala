@@ -220,6 +220,61 @@ object QueriesCatalog {
       counterCols = Seq("dealloc", "observed"))
       .select(col("snap"), col("dealloc_delta"), col("observed_delta"))
 
+  // S7 + U1 — columns scan: three attributes per live relation, plus
+  // locked-relation placeholder rows (relations.go:52-86,261-298).
+  def s7Columns(s: SparkSession, dir: String): DataFrame = {
+    val rels = CatalogSynth.relations(s, dir)
+      .filter(col("relkind").isin("r", "p") &&
+        !col("nspname").isin(SystemSchemas: _*))
+    val live = rels.filter(!col("is_locked"))
+      .select(col("rel_oid"), explode(sequence(lit(1), lit(3))).as("attnum"))
+      .select(col("rel_oid"), col("attnum"),
+        concat(lit("c"), col("attnum")).as("attname"),
+        expr("CASE attnum % 3 WHEN 0 THEN 'int8' WHEN 1 THEN 'text' " +
+          "ELSE 'timestamptz' END").as("atttype"))
+    val locked = rels.filter(col("is_locked"))
+      .select(col("rel_oid"), lit(null).cast("int").as("attnum"),
+        lit(null).cast("string").as("attname"),
+        lit(null).cast("string").as("atttype"))
+    live.unionByName(locked)
+  }
+
+  // S14 — column-statistics scan (pg_stats: null_frac/avg_width/
+  // n_distinct/correlation per column).
+  def s14ColumnStats(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey").as("rel_oid"), col("p_size"),
+        explode(sequence(lit(1), lit(3))).as("attnum"))
+      .select(col("rel_oid"), col("attnum"),
+        (col("p_size") % 10).cast("double") / 10.0 as "null_frac",
+        (col("attnum") * 4).as("avg_width"),
+        expr("CASE WHEN p_size % 2 = 0 THEN -1.0 " +
+          "ELSE CAST(p_size * 10 AS DOUBLE) END").as("n_distinct"),
+        (col("p_size") % 100).cast("double") / 100.0 as "correlation")
+
+  // S13 — Citus size fallback: distributed tables report sizes via the
+  // citus path, locals via pg_table_size (relation_stats_aux.go:11-141).
+  def s13CitusSizes(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.relations(s, dir)
+      .filter(col("relkind") === "r")
+      .withColumn("is_distributed", col("rel_oid") % 13 === 0)
+      .select(col("rel_oid"), col("is_distributed"),
+        when(col("is_distributed"), col("reltuples") * 64)
+          .otherwise(col("relpages") * 8192).as("size_bytes"))
+
+  // J6 — plan-stats → query-idx join: per-plan rows resolve their query
+  // reference through the snapshot query dimension
+  // (output/transform/postgres_plans.go:1-169).
+  def j6PlanIdxJoin(s: SparkSession, dir: String): DataFrame = {
+    val snap = graft.sinks.SnapshotSink.assemble(s, dir)
+    val plans = CatalogSynth.statementStats(s, dir)
+      .select(col("query_id"), (col("query_id") % 7).as("plan_id"),
+        col("calls").as("plan_calls"))
+      .distinct()
+    plans.join(broadcast(snap.queryDim), Seq("query_id"))
+      .select("query_id_idx", "plan_id", "plan_calls")
+  }
+
   // K1/K3 — snapshot assembly: the dim-encoded statement fact (every
   // reference resolved through a deduplicated dimension, integrity
   // asserted like verifyIntegrity).

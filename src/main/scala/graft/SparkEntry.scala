@@ -60,6 +60,10 @@ object SparkEntry {
     "d3_io_diff" -> (QueriesCatalog.d3IoDiff _),
     "a11_pgss_info_diff" -> (QueriesCatalog.a11PgssInfoDiff _),
     "k1_snapshot_fact" -> (QueriesCatalog.k1SnapshotFact _),
+    "s7_columns" -> (QueriesCatalog.s7Columns _),
+    "s14_column_stats" -> (QueriesCatalog.s14ColumnStats _),
+    "s13_citus_sizes" -> (QueriesCatalog.s13CitusSizes _),
+    "j6_plan_idx_join" -> (QueriesCatalog.j6PlanIdxJoin _),
     // scalar functions / filters / sorts
     "x15_unpack" -> (QueriesFns.x15Unpack _),
     "x3_utility" -> (QueriesFns.x3Utility _),

@@ -87,4 +87,40 @@ class StreamingSpec extends SparkSpec {
         s"watermark timeout should flush the pending LOG line: ${all.toSeq}")
     } finally q.stop()
   }
+
+  test("W9: per-batch enrichment via foreachBatch (classify + redact)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, String, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+    val q = input.toDS().toDF("id", "level", "content")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the reference's postprocessAndSendLogs shape: classify, redact,
+        // then hand off — all inside the micro-batch
+        val enriched = batch
+          .withColumn("classification",
+            graft.logsys.LogClassify.classify(col("content")))
+          .withColumn("redacted",
+            graft.logsys.LogSecrets.redact(col("content"), col("level")))
+          .select("id", "classification", "redacted")
+        enriched.collect().foreach(r =>
+          collected.synchronized {
+            collected += ((r.getLong(0), r.getInt(1), r.getString(2)))
+          })
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        (1L, "LOG", "duration: 10.5 ms  statement: SELECT secret_col FROM t"),
+        (2L, "ERROR", "division by zero"))
+      q.processAllAvailable()
+      val byId = collected.synchronized(collected.toList).map(r => r._1 -> r).toMap
+      assert(byId(1L)._2 == 80) // STATEMENT_DURATION
+      assert(byId(1L)._3 == "duration: 10.5 ms  statement: [redacted]")
+      assert(byId(2L)._2 == 128) // DIVISION_BY_ZERO
+      assert(byId(2L)._3 == "division by zero")
+    } finally q.stop()
+  }
 }
