@@ -26,6 +26,31 @@ case class PgNormalizeQueryExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-pass regex group extraction: one compiled-pattern match per
+  * row returning ALL capture groups as array<string> (unmatched groups
+  * → empty string, no match → null). Replaces N parallel
+  * `regexp_extract` calls that would each rescan the same line. */
+case class RegexGroupsExpr(child: Expression, pattern: String, groups: Int)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val m = compiled.matcher(input.asInstanceOf[UTF8String].toString)
+    if (!m.find()) return null
+    val out = new Array[Any](groups)
+    var g = 0
+    while (g < groups) {
+      val v = if (g < m.groupCount()) m.group(g + 1) else null
+      out(g) = UTF8String.fromString(if (v == null) "" else v)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): RegexGroupsExpr =
+    copy(child = newChild)
+}
+
 /** sqlcommenter/marginalia query tags as a map column (X13,
   * `logs/querysample/tags.go:14-77`). */
 case class QueryTagsExpr(child: Expression) extends UnaryExpression

@@ -23,22 +23,24 @@ object LogStreamPipeline {
 
   val Trigger10s: Trigger = Trigger.ProcessingTime("10 seconds")
 
-  /** Parse a raw `value` line stream with a compiled prefix. */
+  /** Parse a raw `value` line stream with a compiled prefix — one regex
+    * pass per line via the group-array extractor (unmatched lines are
+    * continuations: level UNKNOWN, content = whole line). */
   def parse(raw: DataFrame, compiled: LogPrefix.Compiled): DataFrame = {
-    val rx = compiled.regex
     val g = (f: String) => compiled.groupOf(f)
-    raw.select(
-      regexp_extract(col("value"), rx, g("pid")).cast("long").as("pid"),
-      to_timestamp(regexp_extract(col("value"), rx, g("log_time")),
+    val groupsCol = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.RegexGroupsExpr(
+        org.apache.spark.sql.GraftNative.expression(col("value")),
+        compiled.regex, compiled.fields.length))
+    raw.withColumn("g", groupsCol).select(
+      element_at(col("g"), g("pid")).cast("long").as("pid"),
+      to_timestamp(element_at(col("g"), g("log_time")),
         "yyyy-MM-dd HH:mm:ss zzz").as("ts"),
-      regexp_extract(col("value"), rx, g("log_line_no")).cast("long")
-        .as("lineNo"),
-      when(regexp_extract(col("value"), rx, 1) === "", lit("UNKNOWN"))
-        .otherwise(regexp_extract(col("value"), rx, g("log_level")))
-        .as("level"),
-      when(regexp_extract(col("value"), rx, 1) === "", col("value"))
-        .otherwise(regexp_extract(col("value"), rx, g("content")))
-        .as("content"))
+      element_at(col("g"), g("log_line_no")).cast("long").as("lineNo"),
+      when(col("g").isNull, lit("UNKNOWN"))
+        .otherwise(element_at(col("g"), g("log_level"))).as("level"),
+      when(col("g").isNull, col("value"))
+        .otherwise(element_at(col("g"), g("content"))).as("content"))
   }
 
   /** parse → watermark → stitch → classify. Returns an append stream of
