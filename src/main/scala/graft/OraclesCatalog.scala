@@ -248,6 +248,44 @@ object OraclesCatalog {
         |  plan_id, plan_calls
         |FROM plans""".stripMargin,
 
+    "s8_indexes" ->
+      """SELECT p_partkey + 1000000 AS index_oid,
+        |  (p_partkey // 3) * 3 AS indrelid,
+        |  'idx_' || p_partkey AS indexname,
+        |  p_partkey % 6 = 0 AS is_unique,
+        |  p_partkey % 12 = 0 AS is_primary,
+        |  [1, CAST(p_partkey % 3 + 2 AS INT)] AS indkey
+        |FROM part WHERE p_partkey % 2 = 0""".stripMargin,
+
+    "s9_constraints" ->
+      """SELECT p_partkey + 2000000 AS con_oid, p_partkey AS rel_oid,
+        |  'fk_' || p_partkey AS conname,
+        |  CASE p_partkey % 3 WHEN 0 THEN 'f' WHEN 1 THEN 'u' ELSE 'c' END AS contype,
+        |  [p_partkey % 3 + 1] AS conkey,
+        |  CASE WHEN p_partkey % 3 = 0 THEN (p_partkey // 7) * 7 END AS confrelid
+        |FROM part WHERE p_partkey % 4 = 2""".stripMargin,
+
+    "s10_views" ->
+      s"""WITH $rels
+         |SELECT rel_oid, nspname, relname,
+         |  'SELECT * FROM base_' || rel_oid AS viewdef
+         |FROM rels
+         |WHERE relkind = 'v'
+         |  AND nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')""".stripMargin,
+
+    "s34_os_metrics" ->
+      """WITH agg AS (
+        |  SELECT user_id % 7 AS host_id,
+        |    CAST(sum(CAST(floor(value * 10) AS BIGINT)) AS BIGINT) AS cpu_user,
+        |    CAST(sum(CAST(floor(value * 3) AS BIGINT)) AS BIGINT) AS cpu_system,
+        |    CAST(sum(CAST(floor(value * 20) AS BIGINT)) AS BIGINT) AS cpu_idle
+        |  FROM events GROUP BY 1)
+        |SELECT host_id,
+        |  CAST(cpu_user AS DOUBLE) / (cpu_user + cpu_system + cpu_idle) AS user_pct,
+        |  CAST(cpu_system AS DOUBLE) / (cpu_user + cpu_system + cpu_idle) AS system_pct,
+        |  CAST(cpu_idle AS DOUBLE) / (cpu_user + cpu_system + cpu_idle) AS idle_pct
+        |FROM agg""".stripMargin,
+
     "k1_snapshot_fact" ->
       """WITH e AS (
         |  SELECT *, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

@@ -275,6 +275,63 @@ object QueriesCatalog {
       .select("query_id_idx", "plan_id", "plan_calls")
   }
 
+  // S8 — indexes catalog scan: metadata with the indexed-column
+  // int2vector unpacked (relations.go:88-133).
+  def s8Indexes(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_partkey") % 2 === 0)
+      .select(
+        (col("p_partkey") + 1000000).as("index_oid"),
+        expr("(p_partkey div 3) * 3").as("indrelid"),
+        concat(lit("idx_"), col("p_partkey")).as("indexname"),
+        (col("p_partkey") % 6 === 0).as("is_unique"),
+        (col("p_partkey") % 12 === 0).as("is_primary"),
+        concat(lit("1 "), (col("p_partkey") % 3 + 2)).as("indkey_raw"))
+      .withColumn("indkey",
+        graft.functions.PgFns.parseIntVector(col("indkey_raw")))
+      .drop("indkey_raw")
+
+  // S9 — constraints scan: FK constraints with column-number arrays
+  // (relations.go:135-170).
+  def s9Constraints(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_partkey") % 4 === 2)
+      .select(
+        (col("p_partkey") + 2000000).as("con_oid"),
+        col("p_partkey").as("rel_oid"),
+        concat(lit("fk_"), col("p_partkey")).as("conname"),
+        expr("CASE p_partkey % 3 WHEN 0 THEN 'f' WHEN 1 THEN 'u' ELSE 'c' END")
+          .as("contype"),
+        graft.functions.PgFns.parseOidArray(
+          concat(lit("{"), col("p_partkey") % 3 + 1, lit("}"))).as("conkey"),
+        when(col("p_partkey") % 3 === 0, expr("(p_partkey div 7) * 7"))
+          .as("confrelid"))
+
+  // S10 — view-definition scan (pg_get_viewdef for relkind v/m,
+  // relations.go:172-190).
+  def s10Views(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.relations(s, dir)
+      .filter(col("relkind") === "v" &&
+        !col("nspname").isin(SystemSchemas: _*))
+      .select(col("rel_oid"), col("nspname"), col("relname"),
+        concat(lit("SELECT * FROM base_"), col("rel_oid")).as("viewdef"))
+
+  // S34 + A6 — OS metrics scan with CPU % normalization
+  // (state/system.go:318-347): counters become percentages of total.
+  def s34OsMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy((col("user_id") % 7).as("host_id"))
+      .agg(
+        sum(expr("CAST(floor(value * 10) AS BIGINT)")).as("cpu_user"),
+        sum(expr("CAST(floor(value * 3) AS BIGINT)")).as("cpu_system"),
+        sum(expr("CAST(floor(value * 20) AS BIGINT)")).as("cpu_idle"))
+      .withColumn("total",
+        col("cpu_user") + col("cpu_system") + col("cpu_idle"))
+      .select(col("host_id"),
+        (col("cpu_user").cast("double") / col("total")).as("user_pct"),
+        (col("cpu_system").cast("double") / col("total")).as("system_pct"),
+        (col("cpu_idle").cast("double") / col("total")).as("idle_pct"))
+
   // K1/K3 — snapshot assembly: the dim-encoded statement fact (every
   // reference resolved through a deduplicated dimension, integrity
   // asserted like verifyIntegrity).

@@ -64,6 +64,10 @@ object SparkEntry {
     "s14_column_stats" -> (QueriesCatalog.s14ColumnStats _),
     "s13_citus_sizes" -> (QueriesCatalog.s13CitusSizes _),
     "j6_plan_idx_join" -> (QueriesCatalog.j6PlanIdxJoin _),
+    "s8_indexes" -> (QueriesCatalog.s8Indexes _),
+    "s9_constraints" -> (QueriesCatalog.s9Constraints _),
+    "s10_views" -> (QueriesCatalog.s10Views _),
+    "s34_os_metrics" -> (QueriesCatalog.s34OsMetrics _),
     // scalar functions / filters / sorts
     "x15_unpack" -> (QueriesFns.x15Unpack _),
     "x3_utility" -> (QueriesFns.x3Utility _),
