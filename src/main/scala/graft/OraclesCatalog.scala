@@ -286,6 +286,49 @@ object OraclesCatalog {
         |  CAST(cpu_idle AS DOUBLE) / (cpu_user + cpu_system + cpu_idle) AS idle_pct
         |FROM agg""".stripMargin,
 
+    "s15_ext_stats" ->
+      """SELECT p_partkey + 3000000 AS stx_oid, p_partkey AS rel_oid,
+        |  'stx_' || p_partkey AS stxname,
+        |  string_split(CASE p_partkey % 3 WHEN 0 THEN 'd,f,m'
+        |    WHEN 1 THEN 'd,f' ELSE 'd' END, ',') AS kinds
+        |FROM part WHERE p_partkey % 9 = 0""".stripMargin,
+
+    "d2_plan_stats_diff" ->
+      """WITH base AS (
+        |  SELECT p_partkey % 500 AS query_id, p_partkey % 7 AS plan_id, s.snap,
+        |    p_size * 2 * (s.snap + 1) AS calls,
+        |    p_size * 9 * (s.snap + 1) AS total_ms
+        |  FROM part CROSS JOIN (SELECT unnest(range(3)) AS snap) s),
+        |agg AS (
+        |  SELECT query_id, plan_id, snap, CAST(sum(calls) AS BIGINT) AS calls,
+        |    CAST(sum(total_ms) AS BIGINT) AS total_ms
+        |  FROM base GROUP BY 1, 2, 3),
+        |x AS (
+        |  SELECT *, lag(calls) OVER w AS pv_c, lag(total_ms) OVER w AS pv_t
+        |  FROM agg WINDOW w AS (PARTITION BY query_id, plan_id ORDER BY snap))
+        |SELECT query_id, plan_id, snap,
+        |  CASE WHEN pv_c IS NULL THEN calls WHEN calls < pv_c THEN calls
+        |    ELSE calls - pv_c END AS calls_delta,
+        |  CASE WHEN pv_t IS NULL THEN total_ms WHEN total_ms < pv_t THEN total_ms
+        |    ELSE total_ms - pv_t END AS total_ms_delta
+        |FROM x""".stripMargin,
+
+    "d6_database_stats_diff" ->
+      """WITH base AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS db_oid, s.snap,
+        |    n_nationkey * 977 * (s.snap + 1) AS xact_commit,
+        |    n_nationkey * 131 * (s.snap + 1) AS xact_rollback
+        |  FROM nation CROSS JOIN (SELECT unnest(range(3)) AS snap) s),
+        |x AS (
+        |  SELECT *, lag(xact_commit) OVER w AS pv_c, lag(xact_rollback) OVER w AS pv_r
+        |  FROM base WINDOW w AS (PARTITION BY db_oid ORDER BY snap))
+        |SELECT db_oid, snap,
+        |  CASE WHEN pv_c IS NULL THEN xact_commit WHEN xact_commit < pv_c
+        |    THEN xact_commit ELSE xact_commit - pv_c END AS xact_commit_delta,
+        |  CASE WHEN pv_r IS NULL THEN xact_rollback WHEN xact_rollback < pv_r
+        |    THEN xact_rollback ELSE xact_rollback - pv_r END AS xact_rollback_delta
+        |FROM x""".stripMargin,
+
     "k1_snapshot_fact" ->
       """WITH e AS (
         |  SELECT *, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k

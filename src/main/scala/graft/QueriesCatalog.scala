@@ -332,6 +332,52 @@ object QueriesCatalog {
         (col("cpu_system").cast("double") / col("total")).as("system_pct"),
         (col("cpu_idle").cast("double") / col("total")).as("idle_pct"))
 
+  // S15 — extended-statistics scan (pg_statistic_ext: kinds arrays).
+  def s15ExtStats(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_partkey") % 9 === 0)
+      .select(
+        (col("p_partkey") + 3000000).as("stx_oid"),
+        col("p_partkey").as("rel_oid"),
+        concat(lit("stx_"), col("p_partkey")).as("stxname"),
+        split(expr("CASE p_partkey % 3 WHEN 0 THEN 'd,f,m' WHEN 1 THEN 'd,f' " +
+          "ELSE 'd' END"), ",").as("kinds"))
+
+  // D2 — plan-stats diff: per (query, plan) counters over snapshots.
+  def d2PlanStatsDiff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diff.counterDiff(
+      Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_size"),
+          explode(sequence(lit(0L), lit(2L))).as("snap"))
+        .select(
+          (col("p_partkey") % 500).as("query_id"),
+          (col("p_partkey") % 7).as("plan_id"),
+          col("snap"),
+          (col("p_size") * 2 * (col("snap") + 1)).as("calls"),
+          (col("p_size") * 9 * (col("snap") + 1)).as("total_ms"))
+        .groupBy("query_id", "plan_id", "snap")
+        .agg(sum("calls").as("calls"), sum("total_ms").as("total_ms")),
+      keyCols = Seq("query_id", "plan_id"), orderCols = Seq("snap"),
+      counterCols = Seq("calls", "total_ms"))
+      .select(col("query_id"), col("plan_id"), col("snap"),
+        col("calls_delta"), col("total_ms_delta"))
+
+  // D6 — database-stats diff (xact commit/rollback per database).
+  def d6DatabaseStatsDiff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diff.counterDiff(
+      Tables.nation(s, dir)
+        .select(col("n_nationkey"),
+          explode(sequence(lit(0L), lit(2L))).as("snap"))
+        .select(
+          col("n_nationkey").cast("long").as("db_oid"),
+          col("snap"),
+          (col("n_nationkey") * 977L * (col("snap") + 1)).as("xact_commit"),
+          (col("n_nationkey") * 131L * (col("snap") + 1)).as("xact_rollback")),
+      keyCols = Seq("db_oid"), orderCols = Seq("snap"),
+      counterCols = Seq("xact_commit", "xact_rollback"))
+      .select(col("db_oid"), col("snap"),
+        col("xact_commit_delta"), col("xact_rollback_delta"))
+
   // K1/K3 — snapshot assembly: the dim-encoded statement fact (every
   // reference resolved through a deduplicated dimension, integrity
   // asserted like verifyIntegrity).

@@ -68,6 +68,9 @@ object SparkEntry {
     "s9_constraints" -> (QueriesCatalog.s9Constraints _),
     "s10_views" -> (QueriesCatalog.s10Views _),
     "s34_os_metrics" -> (QueriesCatalog.s34OsMetrics _),
+    "s15_ext_stats" -> (QueriesCatalog.s15ExtStats _),
+    "d2_plan_stats_diff" -> (QueriesCatalog.d2PlanStatsDiff _),
+    "d6_database_stats_diff" -> (QueriesCatalog.d6DatabaseStatsDiff _),
     // scalar functions / filters / sorts
     "x15_unpack" -> (QueriesFns.x15Unpack _),
     "x3_utility" -> (QueriesFns.x3Utility _),
