@@ -28,6 +28,9 @@ object SnapshotSink {
   /** Assemble the statement-stats fact with dim-encoded database / role
     * / query references. */
   def assemble(s: SparkSession, dir: String): Snapshot = {
+    // NOTE: measured both ways at sf0.1 — caching stats here costs more
+    // (materialization + memory format) than the repeated lineage walks
+    // save; the aggregated stats are small and the scans are pruned.
     val stats = CatalogSynth.statementStats(s, dir)
     val (dbDim, f1) = DimEncode.encode(stats, "db_oid")
     val (roleDim, f2) = DimEncode.encode(f1, "user_oid")
