@@ -1,0 +1,98 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Hashing
+
+/** Native sketch expressions over a words array — these replace the
+  * Scala UDF versions: the expression reads `ArrayData`/`UTF8String`
+  * directly and hashes the UTF-8 bytes in place, skipping the UDF
+  * path's per-row deserialization to `Seq[String]` (the dominant cost
+  * of sketching at scale; the hashes themselves are cheap).
+  *
+  * Hash family identical to the UDFs they replace (FNV-1a content hash
+  * + per-permutation xor-multiply mix), so the DuckDB oracles are
+  * unchanged.
+  */
+object SketchExprs {
+
+  /** FNV-1a 64 over a UTF8String's bytes — identical to
+    * `Hashing.fnv1a64(s: String)` for any UTF-8 content. */
+  @inline private[expressions] def fnv(u: UTF8String): Long = {
+    val bytes = u.getBytes
+    var h = Hashing.FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Hashing.FnvPrime
+      i += 1
+    }
+    h
+  }
+}
+
+/** MinHash signature: array<string> words → array<long>[numPerms]. */
+case class MinhashSignatureExpr(child: Expression, numPerms: Int,
+    permConsts: Seq[Long]) extends UnaryExpression with CodegenFallback {
+  @transient private lazy val consts = permConsts.toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](numPerms)
+    if (n == 0) {
+      var p = 0
+      while (p < numPerms) { out(p) = Long.MaxValue; p += 1 }
+      return new GenericArrayData(out)
+    }
+    val h0s = new Array[Long](n)
+    var i = 0
+    while (i < n) { h0s(i) = SketchExprs.fnv(arr.getUTF8String(i)); i += 1 }
+    var p = 0
+    while (p < numPerms) {
+      val c = consts(p)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val h = (h0s(j) ^ c) * Hashing.FnvPrime
+        if (h < m) m = h
+        j += 1
+      }
+      out(p) = m
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** SimHash: array<string> words → 64-bit signed sketch. */
+case class SimhashExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = SketchExprs.fnv(arr.getUTF8String(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}

@@ -54,29 +54,19 @@ object Dedup {
   /** h_p(w) = ((fnv1a64(w) xor c_p) * FnvPrime) with 64-bit wrap: one
     * content hash per word, then one xor+multiply per permutation —
     * 64× cheaper than re-hashing the word per permutation, and cheap to
-    * reproduce in SQL (modular multiply via 128-bit intermediate). */
-  private val minhashUdf = udf { ws: Seq[String] =>
-    if (ws == null || ws.isEmpty) Array.fill(NumPerms)(Long.MaxValue)
-    else {
-      val h0s = ws.map(Hashing.fnv1a64).toArray
-      Array.tabulate(NumPerms) { p =>
-        val c = permConsts(p)
-        var m = Long.MaxValue
-        var i = 0
-        while (i < h0s.length) {
-          val h = (h0s(i) ^ c) * Hashing.FnvPrime
-          if (h < m) m = h
-          i += 1
-        }
-        m
-      }
-    }
-  }
+    * reproduce in SQL (modular multiply via 128-bit intermediate).
+    * Computed by a native expression over UTF8String bytes — no UDF
+    * deserialization. */
+  def minhashSig(words: Column): Column =
+    org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.MinhashSignatureExpr(
+        org.apache.spark.sql.GraftNative.expression(words),
+        NumPerms, permConsts.toIndexedSeq))
 
   /** (id, sig: array<long>[64]) per doc. Per-row compute — no shuffle. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
-      minhashUdf(TextFns.wordSet(col(textCol))).as("sig"))
+      minhashSig(TextFns.wordSet(col(textCol))).as("sig"))
 
   /** Candidate near-dup pairs (id_a < id_b) from LSH banding, with the
     * fraction of agreeing minhash components as `est_jaccard`.
@@ -108,26 +98,14 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  private val simhashUdf = udf { ws: Seq[String] =>
-    val acc = new Array[Int](64)
-    if (ws != null) ws.foreach { w =>
-      val h = Hashing.fnv1a64(w)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
-        j += 1
-      }
-    }
-    var out = 0L
-    var j = 0
-    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
-    out
-  }
-
-  /** (id, simhash: long) per doc — per-row compute, no shuffle. */
+  /** (id, simhash: long) per doc — per-row compute, no shuffle; native
+    * expression over UTF8String bytes. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
-      simhashUdf(TextFns.wordSet(col(textCol))).as("simhash"))
+      org.apache.spark.sql.GraftNative.column(
+        graft.functions.expressions.SimhashExpr(
+          org.apache.spark.sql.GraftNative.expression(
+            TextFns.wordSet(col(textCol))))).as("simhash"))
 
   /** Near-dup pairs with hamming(simhash) ≤ maxHamming (≤ 15 supported:
     * pigeonhole over 4 chunks guarantees recall for ≤ 3; keep 3).
