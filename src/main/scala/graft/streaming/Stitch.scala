@@ -22,7 +22,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    (ts, lineNo) before stitching.
   *
   * State per pid is one pending line — bounded by the line cap, evicted
-  * by timeout (W7 poison-line policy).
+  * by timeout; orphan continuations with no pending primary are
+  * discarded, never promoted (W7 poison-line policy,
+  * `logs/stream/stream.go:84-90`).
   */
 object Stitch {
 
@@ -91,11 +93,15 @@ object Stitch {
                     nLines = p.nLines + 1,
                     truncated = p.truncated || addBytes.length > room))
                 }
+              } else if (r.level == "UNKNOWN") {
+                // orphan continuation with no pending primary: it can
+                // never be associated (continuations follow their
+                // primary in event time) — discard, the reference's
+                // poison-line policy (stream.go:84-90, W7)
               } else {
                 pending.foreach(p => out += StitchedLine(
                   pid, p.ts, p.level, p.content, p.nLines, p.truncated))
-                val level = if (r.level == "UNKNOWN") "LOG" else r.level
-                pending = Some(Pending(r.ts, level, r.content, 1, truncated = false))
+                pending = Some(Pending(r.ts, r.level, r.content, 1, truncated = false))
               }
             }
             pending match {

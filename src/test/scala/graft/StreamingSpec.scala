@@ -88,6 +88,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("W7: orphan continuations are discarded, never promoted") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Stitch.RawLine]
+    val out = Stitch(input.toDS().withWatermark("ts", "3 seconds"))
+    val q = out.writeStream.format("memory").queryName("sdiscard")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        // orphan continuation (no primary for pid 9 yet) → discarded
+        Stitch.RawLine(9L, ts("2024-01-01 00:00:00"), "UNKNOWN", "\tleaked line", 1),
+        // a real primary later
+        Stitch.RawLine(9L, ts("2024-01-01 00:00:05"), "LOG", "checkpoint starting: time", 2))
+      q.processAllAvailable()
+      // advance watermark to flush the pending primary
+      input.addData(Stitch.RawLine(8L, ts("2024-01-01 00:01:00"), "LOG", "x", 1))
+      q.processAllAvailable()
+      val all = spark.table("sdiscard").as[Stitch.StitchedLine].collect()
+      assert(!all.exists(_.content.contains("leaked line")),
+        s"orphan continuation must be discarded: ${all.toSeq}")
+      assert(all.exists(_.content == "checkpoint starting: time"))
+    } finally q.stop()
+  }
+
   test("W9: per-batch enrichment via foreachBatch (classify + redact)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
