@@ -127,7 +127,9 @@ object Oracles {
 
     "x16_xid8" ->
       """SELECT event_id, xid,
-        |  CAST((CASE WHEN xid > 1000 THEN 1 ELSE 2 END) * 4294967296 + xid AS BIGINT) AS xid8
+        |  CASE WHEN xid = 0 THEN 0
+        |    ELSE CAST(((8589935592 - xid) // 4294967296) * 4294967296 + xid AS BIGINT)
+        |  END AS xid8
         |FROM (SELECT event_id,
         |        CAST((event_id * 2654435761) % 4294967296 AS BIGINT) AS xid
         |      FROM events) t""".stripMargin,

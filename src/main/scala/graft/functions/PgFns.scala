@@ -79,15 +79,15 @@ object PgFns {
   def parseIntVector(c: Column): Column =
     transform(split(c, " "), x => x.cast("int"))
 
-  /** xid → xid8 widening with wraparound repair
-    * (`state/postgres_server_stats.go:17-35`, X16): reconstruct the 64-bit
-    * transaction id of a 32-bit xid given a current 64-bit reading. */
-  def xidToXid8(xid: Column, currentXid8: Column): Column = {
-    val epoch = shiftrightunsigned(currentXid8, 32)
-    val curLow = currentXid8.bitwiseAND(lit(0xffffffffL))
-    val adjEpoch = when(xid > curLow, epoch - 1).otherwise(epoch)
-    shiftleft(adjEpoch, 32) + xid
-  }
+  /** xid → xid8 widening with wraparound repair (`state/util.go:27-44`,
+    * X16): epoch = (currentXid8 − xid) >> 32 — the GENERAL distance form,
+    * not a one-wrap special case — and the reference's zero guard (xmin
+    * horizons and currentXactId are legitimately 0 on replicas). */
+  def xidToXid8(xid: Column, currentXid8: Column): Column =
+    when(xid === 0 || currentXid8 === 0, lit(0L))
+      .otherwise(
+        shiftleft(shiftrightunsigned(currentXid8 - xid, 32), 32)
+          .bitwiseOR(xid))
 
   /** Secret-span redaction (`logs/replace.go:13-42`, X9) — reduced scope:
     * redact quoted literals wholesale. */

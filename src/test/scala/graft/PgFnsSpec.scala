@@ -31,6 +31,23 @@ class PgFnsSpec extends SparkSpec {
     assert(!rows("INSERT INTO t VALUES (1)"))
   }
 
+  test("xidToXid8 zero guard: replica horizons and zero current") {
+    val got = Seq((0L, 8589935592L), (999L, 0L), (0L, 0L))
+      .toDF("xid", "cur")
+      .select(PgFns.xidToXid8(col("xid"), col("cur"))).as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 0L))
+  }
+
+  test("xidToXid8 multi-epoch distance (not just one wrap)") {
+    // current epoch 5, low 10; xid 4e9 is 2 epochs back? epoch of xid =
+    // (current - xid) >> 32
+    val cur = 5L * 4294967296L + 10L
+    val xid = 4000000000L
+    val got = Seq(xid).toDF("xid")
+      .select(PgFns.xidToXid8(col("xid"), lit(cur))).as[Long].collect().head
+    assert(got == 4L * 4294967296L + xid)
+  }
+
   test("xidToXid8 wraparound reconstruction") {
     // current xid8 = epoch 2, low 1000; xid 999 → epoch 2; xid 2000 →
     // epoch 1 (already wrapped past it)
