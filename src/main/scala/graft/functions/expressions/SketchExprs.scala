@@ -71,6 +71,33 @@ case class MinhashSignatureExpr(child: Expression, numPerms: Int,
     copy(child = newChild)
 }
 
+/** Random-hyperplane sign bits: array<float> vector → long bucket id
+  * (bit p set when plane p's dot product is positive). Planes are
+  * passed flattened (bits × dim row-major) — the same constants the
+  * oracle generator inlines. */
+case class SignBitsExpr(child: Expression, bits: Int, dim: Int,
+    planesFlat: Seq[Double]) extends UnaryExpression with CodegenFallback {
+  @transient private lazy val planes = planesFlat.toArray
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      val base = p * dim
+      var j = 0
+      while (j < n) { dot += planes(base + j) * v.getFloat(j); j += 1 }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(newChild: Expression): SignBitsExpr =
+    copy(child = newChild)
+}
+
 /** SimHash: array<string> words → 64-bit signed sketch. */
 case class SimhashExpr(child: Expression) extends UnaryExpression
     with CodegenFallback {

@@ -58,32 +58,20 @@ object Similarity {
   def planeMatrix(n: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(n, dim)((p, j) => planeComponent(p, j))
 
-  private def signBitsUdf(bits: Int, dim: Int) = {
-    val planes = planeMatrix(bits, dim)
-    udf { v: Seq[Float] =>
-      var sig = 0L
-      var p = 0
-      while (p < bits) {
-        var dot = 0.0
-        val plane = planes(p)
-        var j = 0
-        val n = math.min(plane.length, v.length)
-        while (j < n) { dot += plane(j) * v(j); j += 1 }
-        if (dot > 0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    }
-  }
+  /** Sign-bit bucket column — native expression over the float array
+    * (no UDF deserialization); the identical loop the old UDF ran. */
+  private def signBits(v: Column, bits: Int, dim: Int): Column =
+    GraftNative.column(graft.functions.expressions.SignBitsExpr(
+      GraftNative.expression(v), bits, dim,
+      planeMatrix(bits, dim).flatten.toIndexedSeq))
 
   /** LSH-bucketed ANN: both sides signed against the same hyperplanes;
     * candidates share a bucket; per-query top-k within candidates. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 8, dim: Int = 64): DataFrame = {
-    val sign = signBitsUdf(bits, dim)
-    val qs = broadcast(queries.withColumn("bucket", sign(col("q_vec"))))
-    val cs = corpus.withColumn("bucket", sign(col("n_vec")))
+    val qs = broadcast(queries.withColumn("bucket", signBits(col("q_vec"), bits, dim)))
+    val cs = corpus.withColumn("bucket", signBits(col("n_vec"), bits, dim))
     val scored = qs.join(cs, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
@@ -107,9 +95,8 @@ object Similarity {
       threshold: Double, bits: Int = 4, sigs: Int = 8, dim: Int = 64,
       maxBucket: Int = 1000): DataFrame = {
     require(bits * sigs <= 62, "bits*sigs must fit in a long")
-    val sign = signBitsUdf(bits * sigs, dim)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("allbits", sign(col("vec")))
+      .withColumn("allbits", signBits(col("vec"), bits * sigs, dim))
     val banded = e
       .select(col("id"), col("vec"), col("allbits"),
         explode(sequence(lit(0), lit(sigs - 1))).as("sig"))
