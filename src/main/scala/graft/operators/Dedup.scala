@@ -143,13 +143,15 @@ object Dedup {
     * d docs contributes d² join rows — hot tokens are pruned, matching
     * the standard "stopwords carry no dedup signal" practice; pruned
     * tokens shrink BOTH the intersection and the set sizes, applied
-    * symmetrically so Jaccard stays well-defined). */
+    * symmetrically so Jaccard stays well-defined). The default cap of
+    * 10k bounds the worst token at 10⁸ join rows regardless of corpus
+    * size — unlimited is opt-in, never the default. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+      maxDocFreq: Long = 10000): DataFrame = {
     val toks0 = docs.select(col(idCol).as("id"),
       explode(TextFns.wordSet(col(textCol))).as("w"))
     val toks =
