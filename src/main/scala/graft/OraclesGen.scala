@@ -357,7 +357,24 @@ object OraclesGen {
        |GROUP BY db_oid""".stripMargin
   }
 
+  val x7AutovacuumDetails: String =
+    """SELECT event_id, 65 AS classification,
+      |  'db0.public.t' || (user_id % 10) AS relname,
+      |  k % 5 AS idx_scans,
+      |  k % 100 AS pages_removed,
+      |  k % 1000 + 1 AS pages_remain,
+      |  k % 7 AS pages_skipped_frozen,
+      |  k % 50 AS tuples_removed,
+      |  k % 500 AS tuples_remain,
+      |  k % 90 + 10 AS buffer_hits,
+      |  k % 9 AS buffer_misses,
+      |  k % 4 AS buffers_dirtied
+      |FROM (SELECT event_id, user_id,
+      |        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      |      FROM events) t""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "x7_autovacuum_details" -> x7AutovacuumDetails,
     "x9_spans" -> x9Spans,
     "x12_explain_normalize" -> x12ExplainNormalize,
     "mm_decode_features" -> mmDecodeFeatures,

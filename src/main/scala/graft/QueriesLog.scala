@@ -100,6 +100,29 @@ object QueriesLog {
         graft.logsys.LogSecrets.redact(col("content"), col("level")).as("redacted"))
   }
 
+  // X7 (details) — the ~60-group autovacuum mega-regex as typed fields:
+  // classify each synthesized full autovacuum line and surface the named
+  // capture groups; the oracle re-derives every field from the
+  // generation rule alone.
+  def x7AutovacuumDetails(s: SparkSession, dir: String): DataFrame = {
+    val d = LogClassify.details(col("content"))
+    LogSynth.autovacuumLines(s, dir)
+      .withColumn("classification", LogClassify.classify(col("content")))
+      .select(
+        col("event_id"),
+        col("classification"),
+        element_at(d, "relname").as("relname"),
+        element_at(d, "idx_scans").cast("long").as("idx_scans"),
+        element_at(d, "pages_removed").cast("long").as("pages_removed"),
+        element_at(d, "pages_remain").cast("long").as("pages_remain"),
+        element_at(d, "pages_skipped_frozen").cast("long").as("pages_skipped_frozen"),
+        element_at(d, "tuples_removed").cast("long").as("tuples_removed"),
+        element_at(d, "tuples_remain").cast("long").as("tuples_remain"),
+        element_at(d, "buffer_hits").cast("long").as("buffer_hits"),
+        element_at(d, "buffer_misses").cast("long").as("buffer_misses"),
+        element_at(d, "buffers_dirtied").cast("long").as("buffers_dirtied"))
+  }
+
   // X12 — EXPLAIN-JSON normalization over the reference's golden plan
   // fixtures: the engine normalizes each in.json; the oracle holds md5s
   // of the canonicalized out_normalize.json goldens.

@@ -99,6 +99,7 @@ object SparkEntry {
     "x5_log_parse" -> (QueriesLog.x5LogParse _),
     "x7_log_classify" -> (QueriesLog.x7LogClassify _),
     "x7_full_classify" -> (QueriesLog.x7FullClassify _),
+    "x7_autovacuum_details" -> (QueriesLog.x7AutovacuumDetails _),
     "log_top_queries" -> (QueriesLog.logTopQueries _),
     "x9_redact" -> (QueriesLog.x9Redact _),
     "x9_spans" -> (QueriesLog.x9Spans _),

@@ -62,6 +62,30 @@ object LogSynth {
     base.withColumn("line_seq", lit(0)).unionByName(detail)
   }
 
+  /** Full autovacuum-complete lines with event-derived counters — input
+    * for the mega-regex details extraction (X7 details). PG12-style
+    * format from the reference's own test corpus. */
+  def autovacuumLines(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+    e.select(
+      col("event_id"), col("k"),
+      concat(
+        lit("automatic vacuum of table \"db0.public.t"), col("user_id") % 10,
+        lit("\": index scans: "), col("k") % 5,
+        lit("\n pages: "), col("k") % 100, lit(" removed, "),
+        col("k") % 1000 + 1, lit(" remain, 0 skipped due to pins, "),
+        col("k") % 7, lit(" skipped frozen"),
+        lit("\n tuples: "), col("k") % 50, lit(" removed, "),
+        col("k") % 500, lit(" remain, "), col("k") % 3,
+        lit(" are dead but not yet removable"),
+        lit("\n buffer usage: "), col("k") % 90 + 10, lit(" hits, "),
+        col("k") % 9, lit(" misses, "), col("k") % 4, lit(" dirtied"),
+        lit("\n avg read rate: 2.000 MB/s, avg write rate: 1.000 MB/s"),
+        lit("\n system usage: CPU 0.00s/0.00u sec elapsed 0.00 sec"))
+        .as("content"))
+  }
+
   /** Fully-rendered log line with a `%t [%p]: [%l-1] user=%u,db=%d `
     * prefix — input for the prefix-parse operator (X5). */
   def renderedLines(s: SparkSession, dir: String): DataFrame =
