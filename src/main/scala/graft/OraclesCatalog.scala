@@ -254,14 +254,14 @@ object OraclesCatalog {
         |  'idx_' || p_partkey AS indexname,
         |  p_partkey % 6 = 0 AS is_unique,
         |  p_partkey % 12 = 0 AS is_primary,
-        |  [1, CAST(p_partkey % 3 + 2 AS INT)] AS indkey
+        |  '1,' || CAST(p_partkey % 3 + 2 AS VARCHAR) AS indkey
         |FROM part WHERE p_partkey % 2 = 0""".stripMargin,
 
     "s9_constraints" ->
       """SELECT p_partkey + 2000000 AS con_oid, p_partkey AS rel_oid,
         |  'fk_' || p_partkey AS conname,
         |  CASE p_partkey % 3 WHEN 0 THEN 'f' WHEN 1 THEN 'u' ELSE 'c' END AS contype,
-        |  [p_partkey % 3 + 1] AS conkey,
+        |  CAST(p_partkey % 3 + 1 AS VARCHAR) AS conkey,
         |  CASE WHEN p_partkey % 3 = 0 THEN (p_partkey // 7) * 7 END AS confrelid
         |FROM part WHERE p_partkey % 4 = 2""".stripMargin,
 
@@ -289,8 +289,8 @@ object OraclesCatalog {
     "s15_ext_stats" ->
       """SELECT p_partkey + 3000000 AS stx_oid, p_partkey AS rel_oid,
         |  'stx_' || p_partkey AS stxname,
-        |  string_split(CASE p_partkey % 3 WHEN 0 THEN 'd,f,m'
-        |    WHEN 1 THEN 'd,f' ELSE 'd' END, ',') AS kinds
+        |  CASE p_partkey % 3 WHEN 0 THEN 'd,f,m'
+        |    WHEN 1 THEN 'd,f' ELSE 'd' END AS kinds
         |FROM part WHERE p_partkey % 9 = 0""".stripMargin,
 
     "d2_plan_stats_diff" ->
@@ -383,7 +383,7 @@ object OraclesCatalog {
         |  'role_' || n_nationkey AS rolname,
         |  n_nationkey % 7 = 0 AS rolsuper,
         |  n_nationkey % 3 <> 0 AS rolcanlogin,
-        |  [CAST(n_nationkey % 5 AS BIGINT), CAST(n_nationkey % 3 AS BIGINT)] AS member_of
+        |  CAST(n_nationkey % 5 AS VARCHAR) || ',' || CAST(n_nationkey % 3 AS VARCHAR) AS member_of
         |FROM nation""".stripMargin,
 
     "s19_settings" ->
@@ -400,7 +400,7 @@ object OraclesCatalog {
         |  'ty_' || n_nationkey AS typname,
         |  CASE n_nationkey % 3 WHEN 0 THEN 'e' WHEN 1 THEN 'd' ELSE 'c' END AS typtype,
         |  CASE WHEN n_nationkey % 3 = 0
-        |    THEN ['v' || (n_nationkey % 4), 'v' || (n_nationkey % 2)] END AS enum_values
+        |    THEN 'v' || (n_nationkey % 4) || ',v' || (n_nationkey % 2) END AS enum_values
         |FROM nation""".stripMargin,
 
     "s21_extensions" ->

@@ -247,9 +247,10 @@ object OraclesGen {
          |      THEN CAST(xor(h0, CAST($c AS BIGINT)) AS HUGEINT) + 18446744073709551616
          |      ELSE CAST(xor(h0, CAST($c AS BIGINT)) AS HUGEINT) END)
          |   * 1099511628211) % 18446744073709551616""".stripMargin
-    val feats = graft.operators.Multimodal.featureConsts
-      .map(c => s"CAST((${mixed(c)}) // 2048 AS DOUBLE) / 9007199254740992.0")
-      .mkString("[", ",\n  ", "]")
+    val feats = graft.operators.Multimodal.featureConsts.zipWithIndex
+      .map { case (c, i) =>
+        s"CAST((${mixed(c)}) // 2048 AS DOUBLE) / 9007199254740992.0 AS f$i" }
+      .mkString(",\n  ")
     s"""WITH wh AS (
        |  SELECT doc_id,
        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -258,7 +259,7 @@ object OraclesGen {
        |    CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS h0
        |  FROM (SELECT *, ${fnvHuge("text")} AS h FROM documents))
        |SELECT doc_id, media_type, n_bytes,
-       |  $feats AS features
+       |  $feats
        |FROM wh""".stripMargin
   }
 
@@ -271,7 +272,7 @@ object OraclesGen {
       |    n_frames
       |  FROM v)
       |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-      |  encode(substring(text, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_bytes
+      |  hex(encode(substring(text, CAST(frame_idx * 16 + 1 AS INT), 16))) AS frame_hex
       |FROM f WHERE n_frames > 0""".stripMargin
 
   // -------------------------------------------- scalar-function goldens
@@ -310,8 +311,8 @@ object OraclesGen {
       |    user_id
       |  FROM events)
       |SELECT event_id,
-      |  [k, user_id] AS oids,
-      |  [CAST(k AS INT), CAST(user_id AS INT)] AS ints
+      |  CAST(k AS VARCHAR) || ',' || CAST(user_id AS VARCHAR) AS oids,
+      |  CAST(k AS VARCHAR) || ',' || CAST(user_id AS VARCHAR) AS ints
       |FROM e""".stripMargin
 
   val t2HistoricLatest: String =

@@ -180,9 +180,11 @@ object QueriesCatalog {
   // S18 — roles scan with membership-array unpack (X15 reuse).
   def s18Roles(s: SparkSession, dir: String): DataFrame =
     CatalogSynth.roles(s, dir)
+      .withColumn("member_of_arr",
+        graft.functions.PgFns.parseOidArray(col("member_of_raw")))
       .select(col("rol_oid"), col("rolname"), col("rolsuper"),
         col("rolcanlogin"),
-        graft.functions.PgFns.parseOidArray(col("member_of_raw")).as("member_of"))
+        expr("array_join(cast(member_of_arr as array<string>), ',')").as("member_of"))
 
   // S19 — settings scan: non-default values only.
   def s19Settings(s: SparkSession, dir: String): DataFrame =
@@ -195,7 +197,9 @@ object QueriesCatalog {
     CatalogSynth.types(s, dir)
       .select(col("typ_oid"), col("typname"), col("typtype"),
         when(col("enum_values_raw").isNotNull,
-          split(regexp_replace(col("enum_values_raw"), "^\\{|\\}$", ""), ","))
+          array_join(
+            split(regexp_replace(col("enum_values_raw"), "^\\{|\\}$", ""), ","),
+            ","))
           .as("enum_values"))
 
   // S21 — extensions scan.
@@ -287,23 +291,29 @@ object QueriesCatalog {
         (col("p_partkey") % 6 === 0).as("is_unique"),
         (col("p_partkey") % 12 === 0).as("is_primary"),
         concat(lit("1 "), (col("p_partkey") % 3 + 2)).as("indkey_raw"))
-      .withColumn("indkey",
+      // int2vector unpack, then re-projected to a driver-sortable scalar
+      // (the comparison harness cannot sort array cells).
+      .withColumn("indkey_arr",
         graft.functions.PgFns.parseIntVector(col("indkey_raw")))
-      .drop("indkey_raw")
+      .withColumn("indkey",
+        expr("array_join(cast(indkey_arr as array<string>), ',')"))
+      .drop("indkey_raw", "indkey_arr")
 
   // S9 — constraints scan: FK constraints with column-number arrays
   // (relations.go:135-170).
   def s9Constraints(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
       .filter(col("p_partkey") % 4 === 2)
+      .withColumn("conkey_arr", graft.functions.PgFns.parseOidArray(
+        concat(lit("{"), col("p_partkey") % 3 + 1, lit("}"))))
       .select(
         (col("p_partkey") + 2000000).as("con_oid"),
         col("p_partkey").as("rel_oid"),
         concat(lit("fk_"), col("p_partkey")).as("conname"),
         expr("CASE p_partkey % 3 WHEN 0 THEN 'f' WHEN 1 THEN 'u' ELSE 'c' END")
           .as("contype"),
-        graft.functions.PgFns.parseOidArray(
-          concat(lit("{"), col("p_partkey") % 3 + 1, lit("}"))).as("conkey"),
+        // oid-array unpack re-projected scalar for the driver comparator
+        expr("array_join(cast(conkey_arr as array<string>), ',')").as("conkey"),
         when(col("p_partkey") % 3 === 0, expr("(p_partkey div 7) * 7"))
           .as("confrelid"))
 
@@ -340,8 +350,9 @@ object QueriesCatalog {
         (col("p_partkey") + 3000000).as("stx_oid"),
         col("p_partkey").as("rel_oid"),
         concat(lit("stx_"), col("p_partkey")).as("stxname"),
-        split(expr("CASE p_partkey % 3 WHEN 0 THEN 'd,f,m' WHEN 1 THEN 'd,f' " +
-          "ELSE 'd' END"), ",").as("kinds"))
+        array_join(
+          split(expr("CASE p_partkey % 3 WHEN 0 THEN 'd,f,m' WHEN 1 THEN 'd,f' " +
+            "ELSE 'd' END"), ","), ",").as("kinds"))
 
   // D2 — plan-stats diff: per (query, plan) counters over snapshots.
   def d2PlanStatsDiff(s: SparkSession, dir: String): DataFrame =

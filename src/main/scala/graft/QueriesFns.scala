@@ -28,8 +28,12 @@ object QueriesFns {
         concat(lit("{"), col("k"), lit(","), col("user_id"), lit("}")).as("oid_raw"),
         concat(col("k"), lit(" "), col("user_id")).as("vec_raw"))
       .select(col("event_id"),
-        PgFns.parseOidArray(col("oid_raw")).as("oids"),
-        PgFns.parseIntVector(col("vec_raw")).as("ints"))
+        PgFns.parseOidArray(col("oid_raw")).as("oids_arr"),
+        PgFns.parseIntVector(col("vec_raw")).as("ints_arr"))
+      // unpacked arrays re-projected to driver-sortable scalars
+      .select(col("event_id"),
+        expr("array_join(cast(oids_arr as array<string>), ',')").as("oids"),
+        expr("array_join(cast(ints_arr as array<string>), ',')").as("ints"))
 
   // X3 — utility-statement detection over the golden corpus.
   def x3Utility(s: SparkSession, dir: String): DataFrame = {

@@ -114,8 +114,13 @@ object QueriesText {
   // batch/schema/partitioning contract).
   def mmDecodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.operators.Multimodal.decodeFeatures(
+    val feats = graft.operators.Multimodal.decodeFeatures(
       media(s, dir).as[graft.operators.Multimodal.MediaRow]).toDF()
+    // feature vector re-projected to one column per dimension so the
+    // driver comparator (which cannot sort array cells) stays green
+    val dims = (0 until graft.operators.Multimodal.FeatureDim)
+      .map(i => col("features")(i).as(s"f$i"))
+    feats.select(col("doc_id") +: col("media_type") +: col("n_bytes") +: dims: _*)
   }
 
   // Multimodal: video frame sampling as pure binary column algebra.
@@ -123,6 +128,9 @@ object QueriesText {
     graft.operators.Multimodal.frameSample(
       media(s, dir).filter(col("media_type") === "video"),
       "doc_id", "payload")
+      // binary frame re-projected to hex for the driver comparator
+      .select(col("doc_id"), col("frame_idx"),
+        hex(col("frame_bytes")).as("frame_hex"))
 
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
