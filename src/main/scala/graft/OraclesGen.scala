@@ -138,21 +138,40 @@ object OraclesGen {
        |      sqrt(${seqDot(aVec, aVec)}) * sqrt(${seqDot(bVec, bVec)}) AS denom""".stripMargin
 
   val embedAnnLsh: String = {
-    val planes = Similarity.planeMatrix(8, 64)
-    val pows = longList((0 until 8).map(1L << _))
-    s"""WITH ${signBitsCte(8, planeLit(planes), pows)},
-       |qb AS (SELECT e.vec_id AS q_id, e.vec AS q_vec, sb.allbits AS bucket FROM e JOIN sb USING (vec_id) WHERE vec_id < 20),
-       |cb AS (SELECT e.vec_id AS n_id, e.vec AS n_vec, sb.allbits AS bucket FROM e JOIN sb USING (vec_id)),
+    val bits = 4; val sigs = 15
+    val planes = Similarity.planeMatrix(bits * sigs, 64)
+    val pows = longList((0 until bits * sigs).map(1L << _))
+    val sigPows = longList((0 until sigs).map(s => 1L << (bits * s)))
+    s"""WITH ${signBitsCte(bits * sigs, planeLit(planes), pows)},
+       |sp AS (SELECT unnest(range($sigs)) AS sig, unnest($sigPows) AS spw),
+       |qb AS (SELECT e.vec_id AS q_id, e.vec AS q_vec, sp.sig, (sb.allbits // sp.spw) % ${1 << bits} AS bucket
+       |       FROM e JOIN sb USING (vec_id) CROSS JOIN sp WHERE vec_id < 20),
+       |cb0 AS (SELECT e.vec_id AS n_id, e.vec AS n_vec, sp.sig, (sb.allbits // sp.spw) % ${1 << bits} AS bucket
+       |        FROM e JOIN sb USING (vec_id) CROSS JOIN sp),
+       |bn AS (SELECT sig, bucket, count(*) AS n FROM cb0 GROUP BY sig, bucket),
+       |cb AS (SELECT cb0.* FROM cb0 JOIN bn USING (sig, bucket) WHERE bn.n <= 10000),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, c.n_id, q.q_vec, c.n_vec
+       |  FROM qb q JOIN cb c ON q.sig = c.sig AND q.bucket = c.bucket AND q.q_id <> c.n_id),
        |sc AS (
        |  SELECT q_id, n_id, ${cosineSelect("q_vec", "n_vec")}
-       |    FROM (SELECT q.q_id, c.n_id, q.q_vec, c.n_vec
-       |          FROM qb q JOIN cb c ON q.bucket = c.bucket AND q.q_id <> c.n_id)))
+       |    FROM cand))
        |SELECT q_id, n_id, rank, sim FROM (
        |  SELECT q_id, n_id, sim,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
        |  FROM sc) t
        |WHERE rank <= 5""".stripMargin
   }
+
+  /** Recall of the banded ANN against the exact brute-force ground
+    * truth: both algorithms re-derived in SQL, joined on (q_id, n_id). */
+  val embedAnnRecall: String =
+    s"""WITH bf AS (${Oracles.sql("embed_cosine_topk")}),
+       |lsh AS ($embedAnnLsh)
+       |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(count(l.n_id) AS BIGINT) AS n_hit,
+       |  CAST(count(l.n_id) AS DOUBLE) / count(*) AS recall
+       |FROM bf LEFT JOIN lsh l USING (q_id, n_id)""".stripMargin
 
   val embedNearDups: String = {
     val bits = 4; val sigs = 8
@@ -393,6 +412,7 @@ object OraclesGen {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "embed_ann_lsh" -> embedAnnLsh,
+    "embed_ann_recall" -> embedAnnRecall,
     "embed_near_dups" -> embedNearDups,
     "x1_normalize_goldens" -> x1NormalizeGoldens,
     "x1_fingerprint_collapse" -> x1FingerprintCollapse)

@@ -105,12 +105,14 @@ object QueriesLog {
   // capture groups; the oracle re-derives every field from the
   // generation rule alone.
   def x7AutovacuumDetails(s: SparkSession, dir: String): DataFrame = {
-    val d = LogClassify.details(col("content"))
+    // fused struct: one matcher-table scan + one mega-regex execution
+    // per row (separate classify()+details() columns ran it twice)
+    val d = col("cd").getField("details")
     LogSynth.autovacuumLines(s, dir)
-      .withColumn("classification", LogClassify.classify(col("content")))
+      .withColumn("cd", LogClassify.classifyDetails(col("content")))
       .select(
         col("event_id"),
-        col("classification"),
+        col("cd").getField("classification").as("classification"),
         element_at(d, "relname").as("relname"),
         element_at(d, "idx_scans").cast("long").as("idx_scans"),
         element_at(d, "pages_removed").cast("long").as("pages_removed"),

@@ -48,7 +48,28 @@ object QueriesText {
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
-    Similarity.lshTopK(queries, corpus, k = 5, bits = 8, dim = 64)
+    Similarity.lshTopK(queries, corpus, k = 5, bits = 4, sigs = 15, dim = 64)
+  }
+
+  /** ANN retrieval quality, measured: top-5 recall of [[embedAnnLsh]]
+    * against the exact [[Similarity.bruteForceTopK]] ground truth —
+    * one row (n_truth, n_hit, recall). */
+  def embedAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("q_id", "n_id")
+    val approx = Similarity.lshTopK(queries, corpus, k = 5,
+        bits = 4, sigs = 15, dim = 64)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"))
   }
 
   /** Banded LSH near-dups: 8 signatures × 4 bits → recall ≈ 0.75 at

@@ -4,10 +4,11 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftNative
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
-import org.apache.spark.sql.types.{DataType, IntegerType, MapType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, MapType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Log-event classification over the full reference matcher set
@@ -54,6 +55,32 @@ object LogClassify {
     * shared with [[LogSecrets]] for span marking. */
   private[logsys] def winningMatcher(content: String): Compiled =
     findMatcher(content)
+
+  /** One scan of the matcher table returning BOTH the winner and — when
+    * the win (or its detail groups) required running the regex — the live
+    * [[java.util.regex.Matcher]], so callers can extract capture groups
+    * without a second regex execution. Matches [[findMatcher]]'s dispatch
+    * semantics exactly (classify-on-prefix wins still attempt one find for
+    * their detail groups, as [[detailsOf]] did). */
+  private[logsys] def findWithMatch(content: String): (Compiled, java.util.regex.Matcher) = {
+    var i = 0
+    while (i < compiled.length) {
+      val c = compiled(i)
+      if (prefixMatches(c, content)) {
+        if (c.classifyOnPrefix || c.pattern == null) {
+          if (c.pattern != null && c.groupNames.nonEmpty) {
+            val mt = c.pattern.matcher(content)
+            return (c, if (mt.find()) mt else null)
+          }
+          return (c, null)
+        }
+        val mt = c.pattern.matcher(content)
+        if (mt.find()) return (c, mt)
+      }
+      i += 1
+    }
+    (null, null)
+  }
 
   private def findMatcher(content: String): Compiled = {
     var i = 0
@@ -107,6 +134,13 @@ object LogClassify {
   /** details map column (map<string,string> of named regex groups). */
   def details(content: Column): Column =
     GraftNative.column(DetailsExpr(GraftNative.expression(content)))
+
+  /** Fused `struct<classification int, details map>` — ONE matcher-table
+    * scan and at most one regex execution per row. The separate
+    * [[classify]] + [[details]] columns each re-ran the scan, executing
+    * the ~60-group autovacuum mega-regex twice per line. */
+  def classifyDetails(content: Column): Column =
+    GraftNative.column(ClassifyDetailsExpr(GraftNative.expression(content)))
 }
 
 case class ClassifyExpr(child: Expression) extends UnaryExpression {
@@ -128,6 +162,34 @@ case class ClassNameExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c =>
       s"UTF8String.fromString(graft.logsys.LogClassify.nameOf($c))")
   override protected def withNewChildInternal(newChild: Expression): ClassNameExpr =
+    copy(child = newChild)
+}
+
+case class ClassifyDetailsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("classification", IntegerType, nullable = false),
+    StructField("details",
+      MapType(StringType, StringType, valueContainsNull = false), nullable = false)))
+  override def nullSafeEval(input: Any): Any = {
+    val content = input.asInstanceOf[UTF8String].toString
+    val (c, mt) = LogClassify.findWithMatch(content)
+    val cid = if (c == null) LogClassify.Unknown else c.cid
+    if (c == null || mt == null || c.groupNames.isEmpty)
+      return InternalRow(cid, ArrayBasedMapData(Array.empty[Any], Array.empty[Any]))
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var g = 0
+    while (g < c.groupNames.length && g < mt.groupCount()) {
+      val v = mt.group(g + 1)
+      if (v != null) {
+        keys += UTF8String.fromString(c.groupNames(g))
+        vals += UTF8String.fromString(v)
+      }
+      g += 1
+    }
+    InternalRow(cid, ArrayBasedMapData(keys.toArray, vals.toArray))
+  }
+  override protected def withNewChildInternal(newChild: Expression): ClassifyDetailsExpr =
     copy(child = newChild)
 }
 

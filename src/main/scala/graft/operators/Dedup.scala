@@ -75,15 +75,22 @@ object Dedup {
     * `maxBucket` drops degenerate buckets (e.g. the all-empty-doc
     * bucket) whose quadratic blowup would dominate at scale. */
   def lshCandidates(sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    // One explicit shuffle on the bucket key: the hot-bucket count, the
+    // anti-join probe, and both sides of the pair join all consume this
+    // exchange (ReuseExchange), so the signature expression runs ONCE.
     val banded = sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .withColumn("band_sig", slice(col("sig"), col("band") * Rows + 1, lit(Rows)))
-    val bucketed = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "band_sig")))
-      .filter(col("bucket_n") <= maxBucket)
+      .repartition(col("band"), col("band_sig"))
+    // cap via key-only counts + broadcast anti-join: unlike a window over
+    // (band, band_sig), no task ever BUFFERS a hot bucket — over-cap rows
+    // stream through the filter and drop
+    val hot = banded.groupBy("band", "band_sig")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("band", "band_sig")
+    val bucketed = banded.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
     val a = bucketed.select(col("band"), col("band_sig"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = bucketed.select(col("band"), col("band_sig"),
@@ -114,15 +121,18 @@ object Dedup {
     * scale. */
   def simhashPairs(hashes: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
-    val chunked = hashes.select(col("id"), col("simhash"),
+    // shared exchange + key-only hot-bucket cap (see lshCandidates)
+    val chunked0 = hashes.select(col("id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("chunk_val",
         expr("shiftrightunsigned(simhash, chunk * 16)")
           .bitwiseAND(lit(0xffffL)))
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("chunk", "chunk_val")))
-      .filter(col("bucket_n") <= maxBucket)
+      .repartition(col("chunk"), col("chunk_val"))
+    val hot = chunked0.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("chunk", "chunk_val")
+    val chunked = chunked0.join(broadcast(hot), Seq("chunk", "chunk_val"), "left_anti")
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"),

@@ -17,27 +17,40 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * sort + `zipWithIndex` — NOT a global `Window.orderBy` (which would move
   * every distinct value to a single partition; fatal when the dimension is
   * query fingerprints with millions of distinct values at 100 TB). The
-  * fact-side join broadcasts the dim when small; Spark falls back to a
-  * shuffle hash join automatically past the broadcast threshold.
+  * fact-side join is broadcast only when the measured dim cardinality is
+  * under `maxBroadcastRows` (an RDD-backed dim has no stats, so an
+  * unconditional hint would driver-collect a million-row dimension);
+  * larger dims take a shuffled equi-join on the dimension value.
   */
 object DimEncode {
+
+  /** Past this many distinct values the dim is joined with a shuffle
+    * instead of a driver-collected broadcast (~10 MB at 64 B/value, the
+    * engine-default broadcast budget). */
+  val DefaultMaxBroadcastRows = 150000L
 
   /** Returns (dim, fact): dim = (value, idx) with 1-based dense index by
     * sorted value (nulls first); fact = input with `<col>_idx` added.
     * Null-safe join: a NULL dimension value still gets an index. */
-  def encode(df: DataFrame, dimCol: String): (DataFrame, DataFrame) = {
+  def encode(df: DataFrame, dimCol: String,
+      maxBroadcastRows: Long = DefaultMaxBroadcastRows): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val idxCol = s"${dimCol}_idx"
     val valueField = df.select(dimCol).schema.fields.head
     // distinct + range-partitioned sort stay distributed; zipWithIndex
     // assigns contiguous ids with one lightweight partition-size pass.
     val sorted = df.select(col(dimCol)).distinct().orderBy(col(dimCol))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+    val sortedRdd = sorted.rdd
+    // one extra lightweight job on the (already-shuffled) distinct side;
+    // its map stages are reused by the zipWithIndex pass below
+    val dimRows = sortedRdd.count()
+    val indexed = sortedRdd.zipWithIndex().map { case (r, i) =>
       Row(r.get(0), (i + 1).toInt)
     }
     val dim = spark.createDataFrame(indexed,
       StructType(Seq(valueField, StructField(idxCol, IntegerType, nullable = false))))
-    val fact = df.join(broadcast(dim), df(dimCol) <=> dim(dimCol))
+    val dimSide = if (dimRows <= maxBroadcastRows) broadcast(dim) else dim
+    val fact = df.join(dimSide, df(dimCol) <=> dim(dimCol))
       .drop(dim(dimCol))
     (dim, fact)
   }

@@ -65,15 +65,39 @@ object Similarity {
       GraftNative.expression(v), bits, dim,
       planeMatrix(bits, dim).flatten.toIndexedSeq))
 
-  /** LSH-bucketed ANN: both sides signed against the same hyperplanes;
-    * candidates share a bucket; per-query top-k within candidates. */
+  /** LSH-bucketed ANN, banded multi-probe: both sides get `sigs`
+    * independent signatures of `bits` bits each (signature s = planes
+    * [s*bits, (s+1)*bits) of one [[signBits]] call); a corpus row is a
+    * candidate for a query when ANY signature bucket matches — recall
+    * 1-(1-p^bits)^sigs instead of a single p^bits — then per-query exact
+    * top-k within candidates. `maxBucket` caps each (signature, bucket)
+    * cell on the corpus side (key-only count + broadcast anti-join), so
+    * a hot bucket never goes quadratic: worst case sigs × maxBucket
+    * scored rows per query. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      bits: Int = 8, dim: Int = 64): DataFrame = {
-    val qs = broadcast(queries.withColumn("bucket", signBits(col("q_vec"), bits, dim)))
-    val cs = corpus.withColumn("bucket", signBits(col("n_vec"), bits, dim))
-    val scored = qs.join(cs, Seq("bucket"))
+      bits: Int = 4, sigs: Int = 8, dim: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
+    require(bits * sigs <= 62, "bits*sigs must fit in a long")
+    def banded(df: DataFrame, vecCol: String): DataFrame = df
+      .withColumn("allbits", signBits(col(vecCol), bits * sigs, dim))
+      .withColumn("sig", explode(sequence(lit(0), lit(sigs - 1))))
+      .withColumn("bucket",
+        expr(s"shiftrightunsigned(allbits, sig * $bits)")
+          .bitwiseAND(lit((1L << bits) - 1)))
+      .drop("allbits")
+    // shared exchange: the count branch and the probe side reuse one
+    // shuffle, so corpus sign-bits are computed once
+    val cb0 = banded(corpus, "n_vec").repartition(col("sig"), col("bucket"))
+    val hotBuckets = cb0.groupBy("sig", "bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("sig", "bucket")
+    val cb = cb0.join(broadcast(hotBuckets), Seq("sig", "bucket"), "left_anti")
+    val qb = broadcast(banded(queries, "q_vec"))
+    val scored = qb.join(cb, Seq("sig", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -97,15 +121,21 @@ object Similarity {
     require(bits * sigs <= 62, "bits*sigs must fit in a long")
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("allbits", signBits(col("vec"), bits * sigs, dim))
-    val banded = e
+    // shared exchange on the bucket key (ReuseExchange: sign-bit compute
+    // runs once) + key-only hot-bucket cap via broadcast anti-join — no
+    // task ever buffers a hot bucket the way a window would
+    val banded0 = e
       .select(col("id"), col("vec"), col("allbits"),
         explode(sequence(lit(0), lit(sigs - 1))).as("sig"))
       .withColumn("bucket",
         expr(s"shiftrightunsigned(allbits, sig * $bits)")
           .bitwiseAND(lit((1L << bits) - 1)))
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("sig", "bucket")))
-      .filter(col("bucket_n") <= maxBucket)
+      .repartition(col("sig"), col("bucket"))
+    val hot = banded0.groupBy("sig", "bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("sig", "bucket")
+    val banded = banded0.join(broadcast(hot), Seq("sig", "bucket"), "left_anti")
     val a = banded.select(col("sig"), col("bucket"),
       col("id").as("id_a"), col("vec").as("vec_a"))
     val b = banded.select(col("sig"), col("bucket"),

@@ -84,4 +84,27 @@ class DedupSimilaritySpec extends SparkSpec {
       .orderBy("rank").select("n_id").as[Long].collect().toSeq
     assert(got == Seq(10L, 11L))
   }
+
+  test("banded lshTopK top-5 recall vs brute force >= 0.8 on testdata") {
+    // 15 sigs × 4 bits: expected recall 1-(1-p^4)^15 ≈ 0.9 at the
+    // similarity range of real top-5 neighbors; measured 0.86 at sf0.01
+    // (the driver's embed_ann_recall entry re-measures per round)
+    val recall = QueriesText.embedAnnRecall(spark, Sf)
+      .select("recall").as[Double].head()
+    assert(recall >= 0.8, s"ANN recall degraded: $recall")
+  }
+
+  test("lshTopK hot-bucket cap drops capped buckets without a window") {
+    val qs = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("q_id", "q_vec")
+    val corpus = (10L to 30L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("n_id", "n_vec")
+    val plan = Similarity.lshTopK(qs, corpus, 3, bits = 2, sigs = 2, dim = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") || plan.contains("RunningWindowFunction")
+      || plan.contains("row_number"), "top-k window expected, bucket window not")
+    // identical vectors all land in one bucket: cap = 5 drops them all
+    val capped = Similarity.lshTopK(qs, corpus, 3,
+      bits = 2, sigs = 2, dim = 4, maxBucket = 5)
+    assert(capped.count() === 0)
+  }
 }
