@@ -275,6 +275,19 @@ object Oracles {
         |    ELSE 'deadlock detected' END AS content
         |FROM events""".stripMargin,
 
+    "w5_stream_batch" ->
+      """SELECT epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS window_start_us,
+        |  CASE event_type WHEN 'click' THEN 80 WHEN 'purchase' THEN 41
+        |    WHEN 'view' THEN 20 WHEN 'signup' THEN 21 ELSE 73 END
+        |    AS classification,
+        |  CASE event_type WHEN 'click' THEN 'STATEMENT_DURATION'
+        |    WHEN 'purchase' THEN 'CHECKPOINT_COMPLETE'
+        |    WHEN 'view' THEN 'CONNECTION_RECEIVED'
+        |    WHEN 'signup' THEN 'CONNECTION_AUTHORIZED'
+        |    ELSE 'LOCK_DEADLOCK_DETECTED' END AS class_name,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
     "x7_log_classify" ->
       """SELECT classification, class_name, count(*) AS n FROM (
         |  SELECT

@@ -125,6 +125,53 @@ object QueriesLog {
         element_at(d, "buffers_dirtied").cast("long").as("buffers_dirtied"))
   }
 
+  // S26 + W5 + W8 + W9 + K2 — the streaming pipeline made driver-visible:
+  // rendered log lines land in a file-source directory, a real
+  // Structured-Streaming query (readStream.text → prefix parse →
+  // per-pid flatMapGroupsWithState stitch → classify) drains it with the
+  // batch-bridge trigger (AvailableNow), foreachBatch bridges each
+  // micro-batch to parquet, and the returned DataFrame is the K2
+  // windowed classification rollup over the bridged output. A per-pid
+  // sentinel primary line (+1 h) flushes each backend's final pending
+  // line through the state machine, so every real line is emitted
+  // deterministically without waiting on event-time timeouts
+  // (runner/logs.go:236-286, logs/stream/stream.go:240-312).
+  def w5StreamBatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w5").toFile.getAbsolutePath
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val sentinels = LogSynth.lines(s, dir)
+      .groupBy("pid").agg(max(col("ts")).as("ts"))
+      .select(concat(
+        date_format(expr("ts + INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss"),
+        lit(" UTC ["), col("pid"), lit("]: [999-1] user=u"), col("pid"),
+        lit(",db=db"), col("pid") % 5,
+        lit(" LOG:  graft sentinel flush")).as("line"))
+    LogSynth.renderedLines(s, dir).select("line").unionByName(sentinels)
+      .coalesce(1).write.mode("overwrite").text(inDir)
+    graft.streaming.LogStreamPipeline.configureFor(s)
+    val analyzed = graft.streaming.LogStreamPipeline.analyzed(
+      s.readStream.text(inDir), Compiled)
+    val q = analyzed.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(outDir); () }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      // sentinels exist only to flush real pendings; whether they are
+      // themselves timeout-flushed in a trailing no-data batch is an
+      // engine detail — drop them from the rollup either way
+      .filter(col("content") =!= "graft sentinel flush")
+      .groupBy(window(col("ts"), "1 minute"),
+        col("classification"), col("class_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("classification"), col("class_name"), col("n"))
+  }
+
   // X12 — EXPLAIN-JSON normalization over the reference's golden plan
   // fixtures: the engine normalizes each in.json; the oracle holds md5s
   // of the canonicalized out_normalize.json goldens.

@@ -106,6 +106,7 @@ object SparkEntry {
     "x9_spans" -> (QueriesLog.x9Spans _),
     "x12_explain_normalize" -> (QueriesLog.x12ExplainNormalize _),
     "w4_context_assoc" -> (QueriesLog.w4ContextAssoc _),
+    "w5_stream_batch" -> (QueriesLog.w5StreamBatch _),
     "x17_session_duration" -> (QueriesLog.x17SessionDuration _)
   )
 
