@@ -275,6 +275,110 @@ object Oracles {
         |    ELSE 'deadlock detected' END AS content
         |FROM events""".stripMargin,
 
+    "s27_syslog_parse" ->
+      """SELECT event_id,
+        |  true AS syslog_framed,
+        |  134 AS pri,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS log_time,
+        |  'host' || (user_id % 7) AS host,
+        |  'postgres' AS app,
+        |  user_id AS pid,
+        |  CAST(event_id % 1000 AS BIGINT) AS log_line_no,
+        |  CAST(1 AS BIGINT) AS chunk,
+        |  CASE event_type
+        |    WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |      || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |      || regexp_extract(props, '"k": (\d+)', 1)
+        |    WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |      || regexp_extract(props, '"k": (\d+)', 1)
+        |      || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |      || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |      || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+        |    WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |      || (5000 + user_id % 100)
+        |    WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |      || ' database=db'
+        |      || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |    ELSE 'deadlock detected' END AS content
+        |FROM events""".stripMargin,
+
+    "s28_heroku_frames" ->
+      """SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS header_timestamp,
+        |  'postgres.' || (user_id % 8) AS proc_id,
+        |  CASE event_type
+        |    WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |      || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |      || regexp_extract(props, '"k": (\d+)', 1)
+        |    WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |      || regexp_extract(props, '"k": (\d+)', 1)
+        |      || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |      || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |      || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+        |    WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |      || (5000 + user_id % 100)
+        |    WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |      || ' database=db'
+        |      || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |    ELSE 'deadlock detected' END AS content
+        |FROM events""".stripMargin,
+
+    "s29_gcp_log_parse" ->
+      """SELECT event_id,
+        |  'p' || (user_id % 3) AS project_id,
+        |  'inst' || (user_id % 5) AS instance_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS log_time,
+        |  CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END AS severity,
+        |  CASE event_type
+        |    WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |      || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |      || regexp_extract(props, '"k": (\d+)', 1)
+        |    WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |      || regexp_extract(props, '"k": (\d+)', 1)
+        |      || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |      || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |      || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+        |    WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |      || (5000 + user_id % 100)
+        |    WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |      || ' database=db'
+        |      || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |    ELSE 'deadlock detected' END AS content
+        |FROM events""".stripMargin,
+
+    "s31_azure_log_parse" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id AS pid, ts,
+        |    CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END AS log_level,
+        |    CASE event_type
+        |      WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |        || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |        || regexp_extract(props, '"k": (\d+)', 1)
+        |      WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |        || regexp_extract(props, '"k": (\d+)', 1)
+        |        || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |        || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |        || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+        |      WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |        || (5000 + user_id % 100)
+        |      WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |        || ' database=db'
+        |        || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |      ELSE 'deadlock detected' END AS content,
+        |    event_type = 'error' AS is_err
+        |  FROM events)
+        |SELECT event_id, 'server' || (pid % 4) AS server_name, log_level,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || ' UTC ['
+        |    || pid || ']: ' || log_level || ':  ' || content AS line,
+        |  false AS is_detail
+        |FROM base
+        |UNION ALL
+        |SELECT event_id, 'server' || (pid % 4) AS server_name,
+        |  'DETAIL' AS log_level,
+        |  'Process ' || pid || ' waits for ShareLock on transaction 1234' AS line,
+        |  true AS is_detail
+        |FROM base WHERE is_err""".stripMargin,
+
     "w5_stream_batch" ->
       """SELECT epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS window_start_us,
         |  CASE event_type WHEN 'click' THEN 80 WHEN 'purchase' THEN 41

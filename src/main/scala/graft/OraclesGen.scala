@@ -361,7 +361,12 @@ object OraclesGen {
       |GROUP BY 1""".stripMargin
 
   def f8ExplainSkip: String = {
-    val util = graft.functions.PgFns.UtilityRegex
+    // oracle-side utility approximation: the f8 corpus is plain SELECTs
+    // plus the collector marker, where leading-keyword and the engine's
+    // scanner-based IsUtilityStmt agree by construction (the scanner
+    // itself is verified against the x3_utility golden corpus)
+    val util =
+      "^(CREATE|ALTER|DROP|GRANT|REVOKE|VACUUM|ANALYZE|SET|SHOW|COPY|TRUNCATE|COMMENT|REINDEX|CLUSTER|CHECKPOINT|PREPARE|DEALLOCATE|DISCARD|LOCK|LISTEN|NOTIFY|UNLISTEN|BEGIN|COMMIT|ROLLBACK|SAVEPOINT|RELEASE|EXPLAIN) "
     s"""WITH e AS (
        |  SELECT *, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
        |  FROM events),

@@ -82,7 +82,18 @@ object PgGoldens {
     (7, "SET search_path = public", true),
     (8, "BEGIN", true),
     (9, "EXPLAIN SELECT 1", true),
-    (10, "COPY t FROM STDIN", true))
+    (10, "COPY t FROM STDIN", true),
+    // scanner-only cases the leading-keyword regex misread (X3)
+    (11, "WITH x AS (SELECT 1) INSERT INTO t SELECT * FROM x", false),
+    (12, "WITH RECURSIVE r AS (SELECT 1) DELETE FROM t USING r", false),
+    (13, "(SELECT 1)", false),
+    (14, "-- lead comment\n  DROP TABLE t", true),
+    (15, "/* c */ EXPLAIN (ANALYZE) SELECT 1", true),
+    (16, "TABLE t", false),
+    (17, "MERGE INTO t USING s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v", false),
+    (18, "VALUES (1), (2)", false),
+    (19, "WITH d AS (DELETE FROM t RETURNING id) SELECT count(*) FROM d", false))
 
   /** Utility-credential scrub corpus (X10): normalization collapses the
     * password literal, the reference's CredentialLogSecret path. */

@@ -172,6 +172,118 @@ object QueriesLog {
         col("classification"), col("class_name"), col("n"))
   }
 
+  // S27 — syslog RFC5424 source adapter: frame the synthetic corpus as
+  // `<PRI>1 TS HOST APP PROCID MSGID SD [seqno-chunk] MSG` lines, then
+  // de-frame with the adapter and recover every typed field; the oracle
+  // re-derives fields from the generation rules alone.
+  def s27SyslogParse(s: SparkSession, dir: String): DataFrame = {
+    val framed = LogSynth.lines(s, dir).select(
+      col("event_id"),
+      concat(
+        lit("<134>1 "), date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        lit(" host"), col("pid") % 7, lit(" postgres "), col("pid"),
+        lit(" - - ["), col("event_id") % 1000, lit("-1] "),
+        col("content")).as("line"))
+    graft.sources.Syslog.parsed(framed, "line")
+      .select("event_id", "syslog_framed", "pri", "log_time", "host",
+        "app", "pid", "log_line_no", "chunk", "content")
+  }
+
+  // S28 — Heroku HTTPS log-drain adapter: octet-framed syslog bodies
+  // (RFC6587) with an interleaved non-Postgres router frame the adapter
+  // must discard; byte-exact length-prefixed frame walk.
+  def s28HerokuFrames(s: SparkSession, dir: String): DataFrame = {
+    val base = LogSynth.lines(s, dir)
+    val tsIso = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val pgFrame = concat(lit("<134>1 "), tsIso,
+      lit(" host app postgres."), col("pid") % 8, lit(" - "), col("content"))
+    val noise = concat(lit("<158>1 "), tsIso,
+      lit(" host heroku router - at=info method=GET path=/"))
+    val body = concat(
+      length(noise), lit(" "), noise,
+      length(pgFrame), lit(" "), pgFrame)
+    base.select(col("event_id"),
+        explode(graft.sources.Syslog.herokuFrames(body)).as("f"))
+      .select(col("event_id"),
+        col("f.header_timestamp").as("header_timestamp"),
+        col("f.proc_id").as("proc_id"),
+        col("f.content").as("content"))
+  }
+
+  // S29 — Cloud SQL Pub/Sub adapter: wrap the corpus in the provider's
+  // JSON envelope, unwrap with the adapter, recover typed fields.
+  def s29GcpLogParse(s: SparkSession, dir: String): DataFrame = {
+    val base = LogSynth.lines(s, dir)
+    val payload = to_json(struct(
+      concat(lit("ins"), col("event_id")).as("insertId"),
+      concat(lit("projects/p"), col("pid") % 3,
+        lit("/logs/cloudsql.googleapis.com%2Fpostgres.log")).as("logName"),
+      struct(
+        lit("cloudsql_database").as("type"),
+        map(lit("database_id"),
+          concat(lit("p"), col("pid") % 3, lit(":inst"), col("pid") % 5))
+          .as("labels")).as("resource"),
+      col("log_level").as("severity"),
+      col("content").as("textPayload"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp")))
+    graft.sources.CloudLogs.gcpLogStream(
+      base.select(col("event_id"), payload.as("payload")), "payload")
+      .select("event_id", "project_id", "instance_id", "log_time",
+        "severity", "content")
+  }
+
+  // S31 — Azure Event Hub adapter: single-server records with Azure's
+  // message mutations applied at synthesis; the adapter must undo them
+  // (pid suffix, missing space, checkpoint "(N)") and re-join
+  // prefix+level+content, emitting DETAIL rows for deadlock records.
+  def s31AzureLogParse(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .withColumn("ms", floor(col("value") * 100).cast("long"))
+    val mutated = e.select(
+      col("event_id"), col("user_id").as("pid"), col("ts"),
+      when(col("event_type") === "error", "ERROR").otherwise("LOG")
+        .as("log_level"),
+      when(col("event_type") === "click",
+        concat(lit("duration: "), col("ms"),
+          lit(".000 ms  statement: SELECT * FROM orders WHERE o_custkey = "),
+          col("k")))
+        .when(col("event_type") === "purchase",
+          concat(lit("checkpoint complete ("), col("k") % 9,
+            lit("): wrote "), col("k"),
+            lit(" buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; " +
+              "write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, " +
+              "longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB")))
+        .when(col("event_type") === "view",
+          concat(lit("connection received: host=10.0.0.1 port="),
+            lit(5000) + col("user_id") % 100, lit(" pid="), col("user_id")))
+        .when(col("event_type") === "signup",
+          concat(lit("connection authorized: user=u"), col("user_id"),
+            lit("database=db"), col("k").cast("int") % 5))
+        .otherwise(lit("deadlock detected")).as("message"),
+      when(col("event_type") === "error",
+        concat(lit("Process "), col("user_id"),
+          lit(" waits for ShareLock on transaction 1234")))
+        .otherwise(lit("")).as("detail"))
+    val payload = to_json(struct(array(struct(
+      concat(lit("server"), col("pid") % 4).as("LogicalServerName"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("time"),
+      concat(lit("/subscriptions/s1/resourceGroups/rg/providers/" +
+        "Microsoft.DBforPostgreSQL/servers/server"), col("pid") % 4)
+        .as("resourceId"),
+      lit("PostgreSQLLogs").as("category"),
+      lit("LogEvent").as("operationName"),
+      struct(
+        concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit(" UTC ["), col("pid"), lit("]: ")).as("prefix"),
+        col("message").as("message"),
+        col("detail").as("detail"),
+        col("log_level").as("errorLevel")).as("properties"))).as("records")))
+    graft.sources.CloudLogs.azureLogLines(
+      mutated.select(col("event_id"), payload.as("payload")), "payload")
+      .select("event_id", "server_name", "log_level", "line", "is_detail")
+  }
+
   // X12 — EXPLAIN-JSON normalization over the reference's golden plan
   // fixtures: the engine normalizes each in.json; the oracle holds md5s
   // of the canonicalized out_normalize.json goldens.

@@ -107,6 +107,10 @@ object SparkEntry {
     "x12_explain_normalize" -> (QueriesLog.x12ExplainNormalize _),
     "w4_context_assoc" -> (QueriesLog.w4ContextAssoc _),
     "w5_stream_batch" -> (QueriesLog.w5StreamBatch _),
+    "s27_syslog_parse" -> (QueriesLog.s27SyslogParse _),
+    "s28_heroku_frames" -> (QueriesLog.s28HerokuFrames _),
+    "s29_gcp_log_parse" -> (QueriesLog.s29GcpLogParse _),
+    "s31_azure_log_parse" -> (QueriesLog.s31AzureLogParse _),
     "x17_session_duration" -> (QueriesLog.x17SessionDuration _)
   )
 

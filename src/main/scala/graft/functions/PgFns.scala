@@ -61,14 +61,14 @@ object PgFns {
         org.apache.spark.sql.GraftNative.expression(c)))
 
   /** Utility-statement detection (`input/postgres/statements.go:431-450`,
-    * X3) — reduced scope: leading-keyword classification. */
-  /** The utility leading-keyword set (shared with the DuckDB oracle —
-    * RE2-safe). EXPLAIN is a utility statement in the PG grammar. */
-  val UtilityRegex: String =
-    "^(CREATE|ALTER|DROP|GRANT|REVOKE|VACUUM|ANALYZE|SET|SHOW|COPY|TRUNCATE|COMMENT|REINDEX|CLUSTER|CHECKPOINT|PREPARE|DEALLOCATE|DISCARD|LOCK|LISTEN|NOTIFY|UNLISTEN|BEGIN|COMMIT|ROLLBACK|SAVEPOINT|RELEASE|EXPLAIN) "
-
+    * X3): scanner-driven — the [[PgNormalize]] lexer skips comments,
+    * strips parenthesized wrappers, and resolves `WITH … INSERT` CTE
+    * chains to the main statement verb, matching pg_query's
+    * IsUtilityStmt semantics instead of a leading-keyword guess. */
   def isUtilityStatement(c: Column): Column =
-    concat(upper(trim(c)), lit(" ")).rlike(UtilityRegex)
+    org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.IsUtilityExpr(
+        org.apache.spark.sql.GraftNative.expression(c)))
 
   /** `{1,2,3}` oid-array unpack (`relations.go:234-249`, X15). */
   def parseOidArray(c: Column): Column =

@@ -339,6 +339,53 @@ object PgNormalize {
     Lexed(toks, maxParam, parens, ok && parens == 0)
   }
 
+  /** Statement verbs that parse to plannable (non-utility) statements —
+    * everything else goes through ProcessUtility in PG. */
+  private val dmlVerbs: Set[String] =
+    Set("select", "insert", "update", "delete", "merge", "table", "values")
+
+  /** First significant statement verb, with parser-like handling the
+    * leading-keyword regex got wrong (X3, `statements.go:431-450`):
+    * comments and whitespace are skipped by the lexer, leading `(` is
+    * stripped (a parenthesized statement parses as its body), and a
+    * `WITH [RECURSIVE] …` CTE chain resolves to the MAIN statement's
+    * verb — the first DML verb token back at the CTE-list paren depth
+    * (CTE names cannot be bare reserved words, so no false hit).
+    * Returns "" for empty/unlexable input. */
+  def statementVerb(q: String): String = {
+    val lx = lex(q)
+    val toks = lx.toks
+    var i = 0
+    while (i < toks.length && toks(i).kind == TOp && q(toks(i).start) == '(')
+      i += 1
+    if (i >= toks.length || toks(i).kind != TWord) return ""
+    val first = q.substring(toks(i).start, toks(i).end).toLowerCase
+    if (first != "with") return first
+    var depth = 0
+    i += 1
+    while (i < toks.length) {
+      val tk = toks(i)
+      if (tk.kind == TOp) {
+        val c = q(tk.start)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      } else if (tk.kind == TWord && depth <= 0) {
+        val w = q.substring(tk.start, tk.end).toLowerCase
+        if (dmlVerbs.contains(w)) return w
+      }
+      i += 1
+    }
+    "with"
+  }
+
+  /** pg_query `IsUtilityStmt` semantics over the scanner (X3): utility =
+    * any statement whose main verb is not a plannable DML verb; empty or
+    * unlexable input is not utility (the reference returns the parse
+    * error and treats it as non-utility). */
+  def isUtilityStatement(q: String): Boolean = {
+    val v = statementVerb(q)
+    v.nonEmpty && v != "with" && !dmlVerbs.contains(v)
+  }
+
   /** Replace constant tokens with sequential `$n` (continuing after the
     * highest existing parameter); everything else verbatim. */
   private def replace(q: String, lx: Lexed): String = {

@@ -1,0 +1,87 @@
+package graft.functions.expressions
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Octet-counting syslog TCP framing for Heroku HTTPS log drains (S28,
+  * `input/system/heroku/http_syslog_parser.go:24-108`, RFC6587 §3.4.1):
+  * a drain body is a sequence of `<len> <frame>` where `len` counts the
+  * BYTES of the frame (`<PRI>VERSION TS HOST APP PROCID MSGID MSG…`).
+  * Frames are walked byte-exactly; only Heroku-Postgres frames
+  * (app-name `app`, procid `heroku-postgres` or `postgres.N`) survive,
+  * emitted as structs of (header_timestamp, proc_id, content). A
+  * malformed length/truncated frame stops the walk, like the
+  * reference's reader loop. */
+case class HerokuSyslogFramesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("header_timestamp", StringType),
+    StructField("proc_id", StringType),
+    StructField("content", StringType))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var i = 0
+    val n = bytes.length
+    var broken = false
+
+    // read a space-terminated token starting at `i`; returns the token
+    // (without the trailing space) or null at end/unterminated; advances
+    // past the space
+    def token(): String = {
+      val s = i
+      while (i < n && bytes(i) != ' ') i += 1
+      if (i >= n) { broken = true; null }
+      else { val t = new String(bytes, s, i - s, UTF_8); i += 1; t }
+    }
+
+    while (!broken && i < n) {
+      val lenStr = token()
+      if (!broken) {
+        val total =
+          try java.lang.Long.parseLong(lenStr)
+          catch { case _: NumberFormatException => broken = true; -1L }
+        if (!broken) {
+          var remaining = total
+          val frameStart = i
+          val pri = token() // PRI/VERSION, skipped
+          val ts = token()
+          val host = token() // skipped
+          val app = token()
+          val procId = token()
+          val msgId = token() // skipped
+          if (!broken) {
+            remaining -= (i - frameStart)
+            if (remaining > 0) {
+              if (i + remaining > n) broken = true
+              else {
+                val content = new String(bytes, i, remaining.toInt, UTF_8)
+                i += remaining.toInt
+                if (app == "app" && (procId == "heroku-postgres" ||
+                    procId.startsWith("postgres.")))
+                  out += InternalRow(
+                    UTF8String.fromString(ts),
+                    UTF8String.fromString(procId),
+                    UTF8String.fromString(content))
+              }
+            }
+            // remaining <= 0: unexpected for Postgres output, skip frame
+            val _ = (pri, host, msgId)
+          }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HerokuSyslogFramesExpr =
+    copy(child = newChild)
+}

@@ -26,6 +26,19 @@ case class PgNormalizeQueryExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Scanner-driven utility-statement detection (X3) — one static call
+  * per row inside whole-stage codegen. */
+case class IsUtilityExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullSafeEval(input: Any): Any =
+    PgNormalize.isUtilityStatement(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PgNormalize.isUtilityStatement($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): IsUtilityExpr =
+    copy(child = newChild)
+}
+
 /** Single-pass regex group extraction: one compiled-pattern match per
   * row returning ALL capture groups as array<string> (unmatched groups
   * → empty string, no match → null). Replaces N parallel

@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cloud-provider log-payload adapters (S28–S31): each provider ships
+  * Postgres log lines wrapped in a provider-specific JSON envelope; the
+  * adapters unwrap them into the engine's common (server, time, level,
+  * content) line shape that the prefix parser / classifier consume.
+  *
+  * All parsing is `from_json` + column algebra — per-row, map-side, no
+  * shuffle; the JSON schema is pruned to the consumed fields so Jackson
+  * never materializes the rest (Spark's JsonToStructs schema pruning).
+  */
+object CloudLogs {
+
+  // ------------------------------------------------------- Google Cloud SQL
+
+  /** Pub/Sub message payload for Cloud SQL Postgres logs
+    * (`input/system/google_cloudsql/logs.go:20-41`). */
+  val GcpSchema: StructType = StructType(Seq(
+    StructField("insertId", StringType),
+    StructField("logName", StringType),
+    StructField("receiveTimestamp", StringType),
+    StructField("resource", StructType(Seq(
+      StructField("type", StringType),
+      StructField("labels", MapType(StringType, StringType))))),
+    StructField("severity", StringType),
+    StructField("textPayload", StringType),
+    StructField("timestamp", StringType)))
+
+  /** Unwrap Cloud SQL Pub/Sub payloads (`logs.go:89-139`): keep
+    * `cloudsql_database` resources whose logName ends in `postgres.log`
+    * and whose `database_id` label is `project:instance`; emit
+    * (project_id, instance_id, log_time, severity, content). */
+  def gcpLogStream(df: DataFrame, jsonCol: String): DataFrame = {
+    val m = from_json(col(jsonCol), GcpSchema)
+    df.withColumn("_m", m)
+      .filter(col("_m").isNotNull &&
+        col("_m.resource.type") === "cloudsql_database" &&
+        col("_m.logName").endsWith("postgres.log"))
+      .withColumn("_dbid", col("_m.resource.labels")("database_id"))
+      .filter(col("_dbid").isNotNull &&
+        (size(split(col("_dbid"), ":")) === 2))
+      .select(
+        df.columns.map(col) ++ Seq(
+          split(col("_dbid"), ":")(0).as("project_id"),
+          split(col("_dbid"), ":")(1).as("instance_id"),
+          col("_m.timestamp").as("log_time"),
+          col("_m.severity").as("severity"),
+          col("_m.textPayload").as("content")): _*)
+  }
+
+  // ----------------------------------------------------------------- Azure
+
+  /** Event Hub payload: `{records: [...]}` with per-record properties
+    * (`input/system/azure/logs.go:24-60`). */
+  val AzureSchema: StructType = StructType(Seq(
+    StructField("records", ArrayType(StructType(Seq(
+      StructField("LogicalServerName", StringType),
+      StructField("time", StringType),
+      StructField("resourceId", StringType),
+      StructField("category", StringType),
+      StructField("operationName", StringType),
+      StructField("properties", StructType(Seq(
+        StructField("prefix", StringType),
+        StructField("message", StringType),
+        StructField("detail", StringType),
+        StructField("errorLevel", StringType))))))))))
+
+  /** Unwrap Event Hub batches (`logs.go:216-221`, `ParseRecordToLogLines`
+    * `logs.go:269-316`): keep `PostgreSQLLogs`/`LogEvent` records; on
+    * Single Server, undo Azure's message mutations (pid suffix on
+    * connection-received, missing space in connection-authorized, the
+    * `(N)` insert in checkpoint-complete) and re-join prefix + level +
+    * content; emit the main line plus a DETAIL line when the record
+    * carries a detail field. Output: (server_name, log_time, log_level,
+    * line, is_detail). */
+  def azureLogLines(df: DataFrame, jsonCol: String): DataFrame = {
+    val rec = df
+      .withColumn("_r", explode(from_json(col(jsonCol), AzureSchema)("records")))
+      .filter(col("_r.category") === "PostgreSQLLogs" &&
+        col("_r.operationName") === "LogEvent")
+      .withColumn("_parts", split(col("_r.resourceId"), "/"))
+      .withColumn("_single",
+        lower(element_at(col("_parts"), -2)) === "servers")
+      .withColumn("server_name",
+        when(col("_single"), col("_r.LogicalServerName"))
+          .otherwise(lower(element_at(col("_parts"), -1))))
+    val msg = col("_r.properties.message")
+    val repaired =
+      when(msg.startsWith("connection received:"),
+        regexp_replace(msg,
+          "^(connection received: host=[^ ]+( port=\\w+)?) pid=\\d+", "$1"))
+        .when(msg.startsWith("connection authorized:"),
+          regexp_replace(msg,
+            "^(connection authorized: user=\\w+)(database=\\w+)", "$1 $2"))
+        .when(msg.startsWith("checkpoint complete"),
+          regexp_replace(msg,
+            "^(checkpoint complete) \\(\\d+\\)(:)", "$1$2"))
+        .otherwise(msg)
+    val lined = rec.withColumn("line",
+      when(col("_single"),
+        concat(col("_r.properties.prefix"), col("_r.properties.errorLevel"),
+          lit(":  "), repaired))
+        .otherwise(msg))
+    val base = lined.select(
+      df.columns.map(col) ++ Seq(
+        col("server_name"),
+        col("_r.time").as("log_time"),
+        col("_r.properties.errorLevel").as("log_level"),
+        col("line"),
+        lit(false).as("is_detail")): _*)
+    val details = lined
+      .filter(col("_r.properties.detail").isNotNull &&
+        col("_r.properties.detail") =!= "")
+      .select(
+        df.columns.map(col) ++ Seq(
+          col("server_name"),
+          col("_r.time").as("log_time"),
+          lit("DETAIL").as("log_level"),
+          col("_r.properties.detail").as("line"),
+          lit(true).as("is_detail")): _*)
+    base.unionByName(details)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** RFC5424 syslog de-framing for Postgres logs shipped over syslog — the
+  * selfhosted syslog source adapter (S27,
+  * `input/system/selfhosted/syslog_handler.go:124-172`).
+  *
+  * A framed line is
+  * `<PRI>VERSION TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD MSG`; the
+  * adapter extracts the backend pid from PROCID and strips the
+  * `[seqno-chunk] ` marker Postgres' syslog logging prepends to MSG
+  * (falling back to the same marker in STRUCTURED-DATA), carrying
+  * sequence/chunk through for stitching. Unframed lines (no `<` prefix /
+  * regex miss) pass through with null syslog fields — the reference
+  * returns `false` and treats them as raw lines.
+  *
+  * Everything is one [[graft.functions.expressions.RegexGroupsExpr]]
+  * pass per regex per row inside whole-stage codegen: a per-row map-side
+  * operation with no shuffle, the same shape as the prefix parser (X4).
+  */
+object Syslog {
+
+  /** `<pri>version ts host app procid msgid sd msg` — SD is `-` or one
+    * `[...]` block (go-syslog's RFC5424 subset). */
+  val FrameRegex: String =
+    "^<(\\d{1,3})>(\\d) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[[^\\]]*\\]) (.*)$"
+  val FrameGroups = 9
+
+  /** Postgres' syslog marker at the head of MSG (`syslog_handler.go:23`). */
+  val MarkerRegex: String = "^\\s*\\[(\\d+)-(\\d+)\\] (.*)$"
+  /** The same marker as the whole STRUCTURED-DATA (`syslog_handler.go:24`). */
+  val SdMarkerRegex: String = "^\\[(\\d+)-(\\d+)\\]$"
+
+  /** Heroku HTTPS-drain octet-framed body → array of Postgres frames
+    * (S28, RFC6587 octet counting — see
+    * [[graft.functions.expressions.HerokuSyslogFramesExpr]]). */
+  def herokuFrames(body: Column): Column =
+    org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.HerokuSyslogFramesExpr(
+        org.apache.spark.sql.GraftNative.expression(body)))
+
+  private def groups(c: Column, regex: String, n: Int): Column =
+    org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.RegexGroupsExpr(
+        org.apache.spark.sql.GraftNative.expression(c), regex, n))
+
+  /** De-frame a raw `lineCol` into typed syslog fields:
+    * (pri, version, log_time, host, app, pid, msgid, log_line_no, chunk,
+    * content, syslog_framed). */
+  def parsed(df: DataFrame, lineCol: String): DataFrame = {
+    val g = groups(col(lineCol), FrameRegex, FrameGroups)
+    val withFrame = df
+      .withColumn("_sys", g)
+      .withColumn("syslog_framed", col("_sys").isNotNull)
+      .withColumn("_msg",
+        when(col("syslog_framed"), element_at(col("_sys"), 9))
+          .otherwise(col(lineCol)))
+      .withColumn("_sd", element_at(col("_sys"), 8))
+    val mk = groups(col("_msg"), MarkerRegex, 3)
+    val sdmk = groups(col("_sd"), SdMarkerRegex, 2)
+    withFrame
+      .withColumn("_mk", mk)
+      .withColumn("_sdmk", sdmk)
+      .select(
+        df.columns.map(col) ++ Seq(
+          col("syslog_framed"),
+          element_at(col("_sys"), 1).cast("int").as("pri"),
+          element_at(col("_sys"), 3).as("log_time"),
+          element_at(col("_sys"), 4).as("host"),
+          element_at(col("_sys"), 5).as("app"),
+          element_at(col("_sys"), 6).cast("long").as("pid"),
+          coalesce(
+            element_at(col("_mk"), 1).cast("long"),
+            element_at(col("_sdmk"), 1).cast("long")).as("log_line_no"),
+          coalesce(
+            element_at(col("_mk"), 2).cast("long"),
+            element_at(col("_sdmk"), 2).cast("long")).as("chunk"),
+          when(col("_mk").isNotNull, element_at(col("_mk"), 3))
+            .otherwise(col("_msg")).as("content")): _*)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Syslog
+
+/** S27 — RFC5424 de-framing (`syslog_handler.go:124-172`). */
+class SyslogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(lines: String*) =
+    Syslog.parsed(lines.zipWithIndex.map { case (l, i) => (i, l) }
+      .toDF("id", "line"), "line").orderBy("id")
+
+  test("framed line with message marker") {
+    val r = parse(
+      "<134>1 2024-01-01T00:00:00Z db1 postgres 4242 - - [77-1] LOG:  checkpoint starting: time")
+      .collect().head
+    assert(r.getAs[Boolean]("syslog_framed"))
+    assert(r.getAs[Int]("pri") === 134)
+    assert(r.getAs[String]("host") === "db1")
+    assert(r.getAs[String]("app") === "postgres")
+    assert(r.getAs[Long]("pid") === 4242L)
+    assert(r.getAs[Long]("log_line_no") === 77L)
+    assert(r.getAs[Long]("chunk") === 1L)
+    assert(r.getAs[String]("content") === "LOG:  checkpoint starting: time")
+  }
+
+  test("marker falls back to structured-data when absent from message") {
+    val r = parse(
+      "<13>1 2024-01-01T00:00:00Z h app 9 - [8-2] ERROR:  deadlock detected")
+      .collect().head
+    assert(r.getAs[Long]("log_line_no") === 8L)
+    assert(r.getAs[Long]("chunk") === 2L)
+    assert(r.getAs[String]("content") === "ERROR:  deadlock detected")
+  }
+
+  test("framed line without any marker keeps full message, null seq") {
+    val r = parse(
+      "<13>1 2024-01-01T00:00:00Z h app 9 - - plain message").collect().head
+    assert(r.getAs[Boolean]("syslog_framed"))
+    assert(r.isNullAt(r.fieldIndex("log_line_no")))
+    assert(r.getAs[String]("content") === "plain message")
+  }
+
+  test("heroku octet framing: keeps postgres frames, drops others") {
+    val pg = "<134>1 2024-01-01T00:00:00Z host app postgres.5 - LOG:  ready"
+    val router = "<158>1 2024-01-01T00:00:00Z host heroku router - at=info"
+    val legacy = "<134>1 2024-01-01T00:00:00Z host app heroku-postgres - metrics"
+    val body = s"${router.length} $router${pg.length} $pg${legacy.length} $legacy"
+    val rows = Seq((1, body)).toDF("id", "body")
+      .select(explode(Syslog.herokuFrames(col("body"))).as("f"))
+      .select("f.proc_id", "f.content").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("postgres.5", "heroku-postgres"))
+    assert(rows.head.getString(1) === "LOG:  ready")
+  }
+
+  test("heroku octet framing: truncated tail stops the walk cleanly") {
+    val pg = "<134>1 2024-01-01T00:00:00Z host app postgres.1 - msg one"
+    val body = s"${pg.length} $pg" + "999 <134>1 trunc"
+    val rows = Seq((1, body)).toDF("id", "body")
+      .select(explode(Syslog.herokuFrames(col("body"))).as("f"))
+      .select("f.content").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("msg one"))
+  }
+
+  test("unframed line passes through with null syslog fields") {
+    val r = parse("2024-01-01 00:00:00 UTC [99]: LOG:  not syslog")
+      .collect().head
+    assert(!r.getAs[Boolean]("syslog_framed"))
+    assert(r.isNullAt(r.fieldIndex("pri")))
+    assert(r.getAs[String]("content") === "2024-01-01 00:00:00 UTC [99]: LOG:  not syslog")
+  }
+}
