@@ -302,6 +302,34 @@ object Oracles {
         |    ELSE 'deadlock detected' END AS content
         |FROM events""".stripMargin,
 
+    "j9_explain_enrich" ->
+      """WITH e AS (
+        |  SELECT event_id AS sample_id, 'db' || (user_id % 5) AS database,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |s AS (
+        |  SELECT sample_id, database, k,
+        |    CASE WHEN k % 50 = 0 THEN '/* pganalyze-collector */ SELECT 1'
+        |      WHEN k % 47 = 0 THEN 'SELECT pg_start_backup(''b'')'
+        |      WHEN k % 13 = 0 THEN 'VACUUM ANALYZE orders'
+        |      ELSE 'SELECT * FROM orders WHERE o_custkey = ' || k END AS query,
+        |    k % 11 = 0 AS has_explain
+        |  FROM e),
+        |kept AS (
+        |  SELECT * FROM s
+        |  WHERE database IN ('db0', 'db1', 'db2')
+        |    AND k % 50 <> 0 AND k % 47 <> 0)
+        |SELECT sample_id, database,
+        |  CASE WHEN has_explain THEN 'AUTO_EXPLAIN'
+        |    WHEN k % 13 = 0 THEN NULL
+        |    ELSE 'LOG_EXPLAIN' END AS explain_source,
+        |  CASE WHEN has_explain THEN '{"Plan":{"Node Type":"Index Scan"}}'
+        |    WHEN k % 13 = 0 THEN NULL
+        |    ELSE '{"Plan":{"Node Type":"Seq Scan","Relation Name":"orders",'
+        |      || '"Total Cost":' || CAST((length(query) * 3) // 2 AS BIGINT)
+        |      || '}}' END AS explain_json
+        |FROM kept""".stripMargin,
+
     "s28_heroku_frames" ->
       """SELECT event_id,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS header_timestamp,

@@ -189,6 +189,33 @@ object QueriesLog {
         "app", "pid", "log_line_no", "chunk", "content")
   }
 
+  // J9 — EXPLAIN-enrichment side-effect join: samples lacking a plan
+  // fan out per database (repartition = the one-connection-per-db
+  // boundary), run the (stubbed) EXPLAIN round-trip partition-locally,
+  // and merge back with auto_explain passthroughs; collector-marker,
+  // backup and unmonitored-db samples are skipped, utility statements
+  // are output without a plan (explain.go:18-90).
+  def j9ExplainEnrich(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+    val samples = e.select(
+      col("event_id").as("sample_id"),
+      concat(lit("db"), col("user_id") % 5).as("database"),
+      when(col("k") % 50 === 0,
+        lit("/* pganalyze-collector */ SELECT 1"))
+        .when(col("k") % 47 === 0, lit("SELECT pg_start_backup('b')"))
+        .when(col("k") % 13 === 0, lit("VACUUM ANALYZE orders"))
+        .otherwise(concat(
+          lit("SELECT * FROM orders WHERE o_custkey = "), col("k")))
+        .as("query"),
+      (col("k") % 11 === 0).as("has_explain"),
+      when(col("k") % 11 === 0,
+        lit("""{"Plan":{"Node Type":"Index Scan"}}"""))
+        .as("explain_json"))
+    graft.operators.ExplainEnrich.enrich(samples, Seq("db0", "db1", "db2"))
+      .select("sample_id", "database", "explain_source", "explain_json")
+  }
+
   // S28 — Heroku HTTPS log-drain adapter: octet-framed syslog bodies
   // (RFC6587) with an interleaved non-Postgres router frame the adapter
   // must discard; byte-exact length-prefixed frame walk.

@@ -108,6 +108,7 @@ object SparkEntry {
     "w4_context_assoc" -> (QueriesLog.w4ContextAssoc _),
     "w5_stream_batch" -> (QueriesLog.w5StreamBatch _),
     "s27_syslog_parse" -> (QueriesLog.s27SyslogParse _),
+    "j9_explain_enrich" -> (QueriesLog.j9ExplainEnrich _),
     "s28_heroku_frames" -> (QueriesLog.s28HerokuFrames _),
     "s29_gcp_log_parse" -> (QueriesLog.s29GcpLogParse _),
     "s31_azure_log_parse" -> (QueriesLog.s31AzureLogParse _),

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.PgNormalize
+
+/** J9 — the EXPLAIN-enrichment side-effect join
+  * (`input/postgres/explain.go:18-90`): query samples that lack a plan
+  * are EXPLAINed against their own database and merged back with the
+  * samples that already carry one (auto_explain).
+  *
+  * Spark-first shape: the reference opens ONE connection per database
+  * and walks that db's samples on it; here each database's samples are
+  * co-located with `repartition(database)` and the runner is invoked
+  * partition-locally inside `mapPartitions` — a genuine side-effecting
+  * round-trip that no expression can model, which is exactly the
+  * mapPartitions escape hatch. The runner is STUBBED (no live Postgres
+  * in this container) with a deterministic plan generator; a real
+  * implementation swaps [[StubRunner]] for a JDBC-backed one with the
+  * same trait, and the enrichment plan/semantics are unchanged.
+  *
+  * Reference fidelity:
+  *  - skip: unmonitored database, collector-marker queries, backup
+  *    calls (`explain.go:21-31`);
+  *  - samples with an existing plan pass through (`explain.go:37-40`);
+  *  - never EXPLAIN a utility statement — checked with the scanner, the
+  *    same guard as pg_query.IsUtilityStmt (`explain.go:99-103`);
+  *    utility samples are still output, without plan (`explain.go:160`).
+  */
+object ExplainEnrich {
+
+  val MarkerSql = "/* pganalyze-collector */"
+
+  /** Per-database EXPLAIN round-trip. `open` is called once per database
+    * per partition (the connection boundary); `explain` once per sample. */
+  trait Runner extends Serializable {
+    def open(db: String): Unit = ()
+    def explain(db: String, query: String): String
+  }
+
+  /** STUB: deterministic stand-in for the live `EXPLAIN (FORMAT JSON)`
+    * round-trip — replace with a JDBC runner in production. Emits a
+    * minimal plan JSON derivable in the oracle: relation = first word
+    * after FROM, cost = 3·len/2. */
+  object StubRunner extends Runner {
+    def explain(db: String, query: String): String = {
+      val i = query.indexOf(" FROM ")
+      val rel =
+        if (i < 0) "unknown"
+        else query.substring(i + 6)
+          .takeWhile(c => Character.isLetterOrDigit(c) || c == '_')
+      val cost = query.length * 3 / 2
+      s"""{"Plan":{"Node Type":"Seq Scan","Relation Name":"$rel","Total Cost":$cost}}"""
+    }
+  }
+
+  /** Enrich `samples` (sample_id, database, query, has_explain,
+    * explain_json) → (sample_id, database, query, explain_source,
+    * explain_json): auto_explain passthrough + per-db EXPLAIN fan-out. */
+  def enrich(samples: DataFrame, monitoredDbs: Seq[String],
+      runner: Runner = StubRunner): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val skip = !col("database").isin(monitoredDbs: _*) ||
+      col("query").startsWith(MarkerSql) ||
+      col("query").contains("pg_start_backup") ||
+      col("query").contains("pg_stop_backup")
+    val kept = samples.filter(!skip)
+    val passthrough = kept.filter(col("has_explain"))
+      .select(col("sample_id"), col("database"), col("query"),
+        lit("AUTO_EXPLAIN").as("explain_source"), col("explain_json"))
+    val ran = kept.filter(!col("has_explain"))
+      .select(col("sample_id").cast("long"), col("database"), col("query"))
+      .repartition(col("database"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val opened = scala.collection.mutable.HashSet.empty[String]
+        it.map { case (id, db, q) =>
+          if (opened.add(db)) runner.open(db) // one connection per db
+          // never EXPLAIN what doesn't parse to a single plannable
+          // statement (accidental-execution guard, explain.go:99-103)
+          val plannable = !PgNormalize.isUtilityStatement(q) &&
+            PgNormalize.statementVerb(q).nonEmpty
+          if (plannable) (id, db, q, "LOG_EXPLAIN", runner.explain(db, q))
+          else (id, db, q, null: String, null: String)
+        }
+      }
+      .toDF("sample_id", "database", "query", "explain_source", "explain_json")
+    passthrough.unionByName(ran)
+  }
+}

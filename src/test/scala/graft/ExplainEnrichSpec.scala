@@ -1,0 +1,86 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.ExplainEnrich
+
+/** JVM-static state shared between driver and local-mode executors (a
+  * closure-captured queue would be serialized into a per-task copy). */
+object ExplainEnrichSpecState {
+  val opens = new ConcurrentLinkedQueue[String]()
+  object CountingRunner extends ExplainEnrich.Runner {
+    override def open(db: String): Unit = { opens.add(db); () }
+    def explain(db: String, query: String): String = "{}"
+  }
+}
+
+/** J9 — EXPLAIN-enrichment side-effect join (`explain.go:18-90`). */
+class ExplainEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples = Seq(
+    (1L, "db0", "SELECT * FROM orders WHERE o_custkey = 7", false, null: String),
+    (2L, "db0", "VACUUM ANALYZE orders", false, null: String),
+    (3L, "db1", "SELECT 1 FROM t", true, """{"Plan":{"Node Type":"Index Scan"}}"""),
+    (4L, "db4", "SELECT * FROM orders", false, null: String), // unmonitored
+    (5L, "db0", "/* pganalyze-collector */ SELECT 1", false, null: String),
+    (6L, "db1", "SELECT pg_start_backup('x')", false, null: String),
+    (7L, "db1", "WITH c AS (SELECT 1) INSERT INTO t SELECT * FROM c", false, null: String))
+    .toDF("sample_id", "database", "query", "has_explain", "explain_json")
+
+  test("skips, passthrough, utility guard, per-db explain") {
+    val out = ExplainEnrich.enrich(samples, Seq("db0", "db1", "db2"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(3), Option(r.getString(4)))).toMap
+    // skipped entirely: unmonitored (4), marker (5), backup (6)
+    assert(out.keySet === Set(1L, 2L, 3L, 7L))
+    // plannable: explained by the stub runner
+    assert(out(1L)._1 === "LOG_EXPLAIN")
+    assert(out(1L)._2.get.contains("\"Relation Name\":\"orders\""))
+    // utility: output without a plan (explain.go:160)
+    assert(out(2L)._1 === null && out(2L)._2.isEmpty)
+    // auto_explain passthrough keeps its plan
+    assert(out(3L)._1 === "AUTO_EXPLAIN")
+    assert(out(3L)._2.get.contains("Index Scan"))
+    // CTE-wrapped DML is plannable (scanner, not leading keyword)
+    assert(out(7L)._1 === "LOG_EXPLAIN")
+  }
+
+  test("runner opens once per database per partition") {
+    ExplainEnrichSpecState.opens.clear()
+    ExplainEnrich.enrich(samples, Seq("db0", "db1", "db2"),
+      ExplainEnrichSpecState.CountingRunner).collect()
+    // dbs with at least one to-explain sample: db0 (1,2), db1 (7);
+    // repartition(database) co-locates each db, so one open per db
+    val perDb = ExplainEnrichSpecState.opens.toArray
+      .map(_.toString).groupBy(identity)
+    assert(perDb.keySet === Set("db0", "db1"))
+    assert(perDb.values.forall(_.length == 1))
+  }
+
+  test("W9: enrichment runs per micro-batch via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Boolean, String)]
+    val collected = new ConcurrentLinkedQueue[(Long, String)]()
+    val q = input.toDF()
+      .toDF("sample_id", "database", "query", "has_explain", "explain_json")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ExplainEnrich.enrich(batch, Seq("db0", "db1", "db2"))
+          .collect().foreach(r =>
+            collected.add((r.getLong(0), r.getString(3))))
+        ()
+      }
+      .start()
+    input.addData((10L, "db0", "SELECT * FROM orders", false, null),
+      (11L, "db0", "VACUUM", false, null))
+    q.processAllAvailable()
+    q.stop()
+    val byId = collected.toArray.map(_.asInstanceOf[(Long, String)]).toMap
+    assert(byId(10L) === "LOG_EXPLAIN")
+    assert(byId(11L) === null)
+  }
+}
