@@ -386,6 +386,27 @@ object PgNormalize {
     v.nonEmpty && v != "with" && !dmlVerbs.contains(v)
   }
 
+  /** `markUtilitySecret`'s NormalizeUtility-changed predicate, reduced to
+    * the node types pg_query's utility-only normalization actually
+    * rewrites (`pg_query_normalize.c:414-447`): role/user/group options,
+    * subscription conninfo, user mappings — i.e. a CREATE/ALTER
+    * ROLE/USER/GROUP/SUBSCRIPTION statement carrying a string literal
+    * (the password/conninfo). EXECUTE/EXPLAIN/etc. constants are NOT
+    * rewritten in utility-only mode, so they carry no credential risk. */
+  def utilityCredentialRisk(q: String): Boolean = {
+    val lx = lex(q)
+    if (!lx.ok) return false
+    val ws = lx.toks.iterator.filter(_.kind == TWord).take(2)
+      .map(t => q.substring(t.start, t.end).toLowerCase).toSeq
+    if (ws.length < 2) return false
+    if (ws.head != "create" && ws.head != "alter") return false
+    if (!Set("role", "user", "group", "subscription").contains(ws(1))) return false
+    lx.toks.exists { t =>
+      t.kind == TConst && (q.charAt(t.start) == '\'' ||
+        (t.start + 1 < q.length && q.charAt(t.start + 1) == '\''))
+    }
+  }
+
   /** Replace constant tokens with sequential `$n` (continuing after the
     * highest existing parameter); everything else verbatim. */
   private def replace(q: String, lx: Lexed): String = {

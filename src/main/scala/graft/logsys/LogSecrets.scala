@@ -52,6 +52,55 @@ object LogSecrets {
   private val paramsPattern = Pattern.compile(
     "(?:parameters: |, )\\$\\d+ = (?:(NULL)|'((?:[^']|'')*)')")
 
+  /** Secondary-line (DETAIL/HINT/CONTEXT) matchers with per-group secret
+    * kinds — the flat union of the reference's per-class `detail:`
+    * matchers (`logs/analyze.go:698-788,849-1174`); kind 0 = reviewed
+    * but not secret. */
+  private val secondaryMatchers: Seq[(Pattern, Seq[Int])] = Seq(
+    ("^prepare: (.+)", Seq(StatementText)),
+    ("^Key \\((.+)\\)=\\((.+)\\) already exists\\.", Seq(0, TableData)),
+    ("^Key \\((.+)\\)=\\((.+)\\) is not present in table \"(.+)\"\\.",
+      Seq(0, TableData, 0)),
+    ("^Key \\((.+)\\)=\\((.+)\\) is still referenced from table \"(.+)\"\\.",
+      Seq(0, TableData, 0)),
+    ("^Key \\([^)]+\\)=\\((.+)\\) conflicts with existing key \\([^)]+\\)=\\((.+)\\)\\.",
+      Seq(TableData, TableData)),
+    ("^Failing row contains \\((.+)\\)\\.", Seq(TableData)),
+    ("^Failed process was running: (.*)", Seq(StatementText)),
+    ("^The failed archive command was: (.+)", Seq(Ops)),
+    ("^(?:(?:Role|User|Password does not match for user|Password of user) " +
+      "\"([^\"]+)\" ?(?:does not have a valid SCRAM secret|does not exist|" +
+      "has no password assigned|has an expired password|" +
+      "has a password that cannot be used with MD5 authentication|" +
+      "is in unrecognized format)?\\.\\s+)?" +
+      "Connection matched pg_hba.conf line \\d+: \"([^\"]+)\"", Seq(0, Ops)),
+    ("^Escape sequence \"(.+)\" is invalid\\.", Seq(TableData)),
+    ("^JSON data, line (\\d+): (.+)", Seq(0, TableData))
+  ).map { case (re, kinds) => (Pattern.compile(re), kinds) }
+
+  /** Mark a DETAIL/HINT/CONTEXT line: `parameters:` value spans first,
+    * then the flat secondary table; None = no matcher reviewed it. */
+  def secondaryMark(content: String): Option[List[Marker]] = {
+    if (content.startsWith("parameters: ")) {
+      val (found, ms) = detailParamsMark(content)
+      if (found) return Some(ms)
+    }
+    secondaryMatchers.foreach { case (p, kinds) =>
+      val mt = p.matcher(content)
+      if (mt.find()) {
+        val out = ListBuffer.empty[Marker]
+        var g = 0
+        while (g < mt.groupCount() && g < kinds.length) {
+          if (mt.start(g + 1) >= 0 && kinds(g) != 0)
+            out += Marker(mt.start(g + 1), mt.end(g + 1), kinds(g))
+          g += 1
+        }
+        return Some(out.toList)
+      }
+    }
+    None
+  }
+
   /** Primary-line marking: (reviewedForSecrets, classification, markers). */
   def primaryMark(content: String): (Boolean, Int, List[Marker]) = {
     val m = LogClassify.winningMatcher(content)
@@ -87,7 +136,22 @@ object LogSecrets {
       if (content.charAt(end - 1) == '\n') end -= 1
       if (end - mt.end > 0) out += Marker(mt.end, end, kind)
     }
+    markUtilityCredential(content, out)
     (true, m.cid, out.toList)
+  }
+
+  /** `markUtilitySecret` (analyze.go:2320-2337): a statement-text span
+    * whose text is a utility statement that normalization would change
+    * (i.e. it carries literals — ALTER ROLE … PASSWORD '…') gets an
+    * overlapping CREDENTIAL marker, so credential-only redaction strips
+    * it even when statement text is kept. */
+  private def markUtilityCredential(content: String, out: ListBuffer[Marker]): Unit = {
+    val stmts = out.filter(_.kind == StatementText).toList
+    stmts.foreach { m =>
+      val q = content.substring(m.start, m.end)
+      if (graft.functions.PgNormalize.utilityCredentialRisk(q))
+        out += Marker(m.start, m.end, Credential)
+    }
   }
 
   /** DETAIL `parameters:` line marking (matchAll semantics). */
@@ -108,9 +172,16 @@ object LogSecrets {
   }
 
   /** STATEMENT/QUERY context lines: whole content is statement text
-    * (`markLineAsSecret`, analyze.go:2226-2233). */
-  def statementLineMark(content: String): List[Marker] =
-    List(Marker(0, content.length, StatementText))
+    * (`markLineAsSecret`, analyze.go:2226-2233). When the associated
+    * primary line is a SYNTAX_ERROR, the same span additionally gets a
+    * PARSING_ERROR marker so both filters redact it
+    * (analyze.go:1303-1317). */
+  def statementLineMark(content: String,
+      primarySyntaxError: Boolean = false): List[Marker] = {
+    val base = Marker(0, content.length, StatementText)
+    if (primarySyntaxError) List(base, Marker(0, content.length, ParsingError))
+    else List(base)
+  }
 
   /** ReplaceSecrets splice for one line (`logs/replace.go:20-42`). */
   def replace(content: String, reviewed: Boolean, classification: Int,
@@ -143,9 +214,15 @@ object LogSecrets {
     if (level == "STATEMENT" || level == "QUERY")
       replace(content, reviewed = true, classification = 0, hasParent = true,
         statementLineMark(content), kinds)
-    else if (level == "DETAIL" && content.startsWith("parameters: ")) {
-      val (found, ms) = detailParamsMark(content)
-      replace(content, reviewed = found, classification = 0, hasParent = true, ms, kinds)
+    else if (level == "DETAIL" || level == "HINT" || level == "CONTEXT") {
+      secondaryMark(content) match {
+        case Some(ms) =>
+          replace(content, reviewed = true, classification = 0,
+            hasParent = true, ms, kinds)
+        case None =>
+          val (reviewed, cls, ms) = primaryMark(content)
+          replace(content, reviewed, cls, hasParent = true, ms, kinds)
+      }
     } else {
       val (reviewed, cls, ms) = primaryMark(content)
       replace(content, reviewed, cls, continuation, ms, kinds)

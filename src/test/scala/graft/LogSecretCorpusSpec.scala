@@ -1,0 +1,62 @@
+package graft
+
+import scala.io.Source
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.logsys.LogSecrets
+
+/** Secret-span assertions over the reference's reviewed test corpus
+  * (`logs/analyze_test.go` ReviewedForSecrets entries, extracted to
+  * log_secret_corpus.tsv as level \t start:end:kind,... \t content). */
+class LogSecretCorpusSpec extends AnyFunSuite {
+
+  private val kindByName = Map(
+    "Credential" -> LogSecrets.Credential,
+    "ParsingError" -> LogSecrets.ParsingError,
+    "StatementText" -> LogSecrets.StatementText,
+    "StatementParameter" -> LogSecrets.StatementParameter,
+    "TableData" -> LogSecrets.TableData,
+    "Ops" -> LogSecrets.Ops,
+    "Unidentified" -> LogSecrets.Unidentified)
+
+  private def corpus: Seq[(String, String, Seq[(Int, Int, Int)], String)] = {
+    val in = getClass.getResourceAsStream("/log_secret_corpus.tsv")
+    assert(in != null)
+    Source.fromInputStream(in, "UTF-8").getLines().map { line =>
+      val Array(lvl, pcls, mks, esc) = line.split("\t", 4)
+      val content = esc
+        .replace("\\n", "\n").replace("\\t", "\t").replace("\\\\", "\\")
+      val markers =
+        if (mks.isEmpty) Nil
+        else mks.split(",").toSeq.map { m =>
+          val Array(a, b, k) = m.split(":", 3)
+          (a.toInt, b.toInt, kindByName(k))
+        }
+      (lvl, pcls, markers, content)
+    }.toSeq
+  }
+
+  test("span agreement vs reference reviewed corpus") {
+    var ok = 0; var bad = 0
+    val fails = collection.mutable.Buffer.empty[String]
+    corpus.foreach { case (lvl, pcls, expected, content) =>
+      val got =
+        if (lvl == "STATEMENT" || lvl == "QUERY")
+          LogSecrets.statementLineMark(content, pcls == "SYNTAX_ERROR")
+            .map(m => (m.start, m.end, m.kind))
+        else if (lvl == "DETAIL" || lvl == "HINT" || lvl == "CONTEXT")
+          LogSecrets.secondaryMark(content)
+            .getOrElse(LogSecrets.primaryMark(content)._3)
+            .map(m => (m.start, m.end, m.kind))
+        else
+          LogSecrets.primaryMark(content)._3.map(m => (m.start, m.end, m.kind))
+      if (got.sortBy(t => (t._1, t._2, t._3)) == expected.sortBy(t => (t._1, t._2, t._3))) ok += 1
+      else { bad += 1; if (fails.size < 25)
+        fails += s"lvl=$lvl content=${content.take(70).replace("\n", "\\n")} want=$expected got=$got" }
+    }
+    info(s"agree=$ok disagree=$bad")
+    fails.foreach(info(_))
+    assert(bad == 0, s"$bad span mismatches:\n${fails.mkString("\n")}")
+  }
+}
