@@ -330,7 +330,7 @@ object Oracles {
         |      || '}}' END AS explain_json
         |FROM kept""".stripMargin,
 
-    "s28_heroku_frames" ->
+    "s29_heroku_frames" ->
       """SELECT event_id,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS header_timestamp,
         |  'postgres.' || (user_id % 8) AS proc_id,
@@ -351,7 +351,7 @@ object Oracles {
         |    ELSE 'deadlock detected' END AS content
         |FROM events""".stripMargin,
 
-    "s29_gcp_log_parse" ->
+    "s30_gcp_log_parse" ->
       """SELECT event_id,
         |  'p' || (user_id % 3) AS project_id,
         |  'inst' || (user_id % 5) AS instance_id,

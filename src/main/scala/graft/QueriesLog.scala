@@ -216,10 +216,10 @@ object QueriesLog {
       .select("sample_id", "database", "explain_source", "explain_json")
   }
 
-  // S28 — Heroku HTTPS log-drain adapter: octet-framed syslog bodies
+  // S29 — Heroku HTTPS log-drain adapter: octet-framed syslog bodies
   // (RFC6587) with an interleaved non-Postgres router frame the adapter
   // must discard; byte-exact length-prefixed frame walk.
-  def s28HerokuFrames(s: SparkSession, dir: String): DataFrame = {
+  def s29HerokuFrames(s: SparkSession, dir: String): DataFrame = {
     val base = LogSynth.lines(s, dir)
     val tsIso = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     val pgFrame = concat(lit("<134>1 "), tsIso,
@@ -237,9 +237,9 @@ object QueriesLog {
         col("f.content").as("content"))
   }
 
-  // S29 — Cloud SQL Pub/Sub adapter: wrap the corpus in the provider's
+  // S30 — Cloud SQL Pub/Sub adapter: wrap the corpus in the provider's
   // JSON envelope, unwrap with the adapter, recover typed fields.
-  def s29GcpLogParse(s: SparkSession, dir: String): DataFrame = {
+  def s30GcpLogParse(s: SparkSession, dir: String): DataFrame = {
     val base = LogSynth.lines(s, dir)
     val payload = to_json(struct(
       concat(lit("ins"), col("event_id")).as("insertId"),

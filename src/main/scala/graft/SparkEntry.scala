@@ -109,8 +109,8 @@ object SparkEntry {
     "w5_stream_batch" -> (QueriesLog.w5StreamBatch _),
     "s27_syslog_parse" -> (QueriesLog.s27SyslogParse _),
     "j9_explain_enrich" -> (QueriesLog.j9ExplainEnrich _),
-    "s28_heroku_frames" -> (QueriesLog.s28HerokuFrames _),
-    "s29_gcp_log_parse" -> (QueriesLog.s29GcpLogParse _),
+    "s29_heroku_frames" -> (QueriesLog.s29HerokuFrames _),
+    "s30_gcp_log_parse" -> (QueriesLog.s30GcpLogParse _),
     "s31_azure_log_parse" -> (QueriesLog.s31AzureLogParse _),
     "x17_session_duration" -> (QueriesLog.x17SessionDuration _)
   )

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Octet-counting syslog TCP framing for Heroku HTTPS log drains (S28,
+/** Octet-counting syslog TCP framing for Heroku HTTPS log drains (S29,
   * `input/system/heroku/http_syslog_parser.go:24-108`, RFC6587 §3.4.1):
   * a drain body is a sequence of `<len> <frame>` where `len` counts the
   * BYTES of the frame (`<PRI>VERSION TS HOST APP PROCID MSGID MSG…`).

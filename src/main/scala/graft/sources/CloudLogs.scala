@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Cloud-provider log-payload adapters (S28–S31): each provider ships
+/** Cloud-provider log-payload adapters (S29–S31): each provider ships
   * Postgres log lines wrapped in a provider-specific JSON envelope; the
   * adapters unwrap them into the engine's common (server, time, level,
   * content) line shape that the prefix parser / classifier consume.

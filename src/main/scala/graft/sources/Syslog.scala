@@ -34,7 +34,7 @@ object Syslog {
   val SdMarkerRegex: String = "^\\[(\\d+)-(\\d+)\\]$"
 
   /** Heroku HTTPS-drain octet-framed body → array of Postgres frames
-    * (S28, RFC6587 octet counting — see
+    * (S29, RFC6587 octet counting — see
     * [[graft.functions.expressions.HerokuSyslogFramesExpr]]). */
   def herokuFrames(body: Column): Column =
     org.apache.spark.sql.GraftNative.column(
