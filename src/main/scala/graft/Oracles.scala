@@ -330,6 +330,52 @@ object Oracles {
         |      || '}}' END AS explain_json
         |FROM kept""".stripMargin,
 
+    "s28_otel_log_parse" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id AS pid,
+        |    CAST(event_id % 3 AS INT) AS m,
+        |    CAST(event_id % 1000 AS BIGINT) AS n,
+        |    event_type = 'error' AS is_err,
+        |    CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END AS lvl,
+        |    CASE event_type
+        |      WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |        || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |        || regexp_extract(props, '"k": (\d+)', 1)
+        |      WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |        || regexp_extract(props, '"k": (\d+)', 1)
+        |        || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |        || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |        || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+        |      WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |        || (5000 + user_id % 100)
+        |      WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |        || ' database=db'
+        |        || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |      ELSE 'deadlock detected' END AS content
+        |  FROM events),
+        |jsonlike AS (
+        |  SELECT event_id,
+        |    CASE m WHEN 0 THEN 'jsonlog' ELSE 'k8s' END AS record_kind,
+        |    CASE WHEN m = 1 THEN 'pg-0' END AS k8s_pod,
+        |    CASE WHEN m = 1 THEN 'ns' || (pid % 4) END AS k8s_namespace,
+        |    pid, n AS log_line_no, lvl AS log_level,
+        |    'u' || pid AS username, 'db' || (pid % 5) AS database,
+        |    content, false AS is_detail, is_err
+        |  FROM e WHERE m IN (0, 1))
+        |SELECT event_id, record_kind, k8s_pod, k8s_namespace, pid,
+        |  log_line_no, log_level, username, database, content, is_detail
+        |FROM jsonlike
+        |UNION ALL
+        |SELECT event_id, record_kind, k8s_pod, k8s_namespace, pid,
+        |  log_line_no, 'DETAIL', username, database,
+        |  'Process ' || pid || ' waits for ShareLock on transaction 1234',
+        |  true
+        |FROM jsonlike WHERE is_err
+        |UNION ALL
+        |SELECT event_id, 'plain', NULL, NULL, pid, n, NULL, NULL, NULL,
+        |  content, false
+        |FROM e WHERE m = 2""".stripMargin,
+
     "s29_heroku_frames" ->
       """SELECT event_id,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS header_timestamp,
@@ -406,6 +452,21 @@ object Oracles {
         |  'Process ' || pid || ' waits for ShareLock on transaction 1234' AS line,
         |  true AS is_detail
         |FROM base WHERE is_err""".stripMargin,
+
+    "x6_tz_parse" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    CAST(user_id % 5 - 2 AS INT) AS off,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS wall
+        |  FROM events),
+        |tok AS (
+        |  SELECT event_id, wall,
+        |    (CASE WHEN off < 0 THEN '-' ELSE '+' END)
+        |      || lpad(CAST(abs(off) AS VARCHAR), 2, '0') || '00' AS tz
+        |  FROM t)
+        |SELECT event_id, tz,
+        |  epoch_us(strptime(wall || ' ' || tz, '%Y-%m-%d %H:%M:%S %z')) AS parsed_us
+        |FROM tok""".stripMargin,
 
     "w5_stream_batch" ->
       """SELECT epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS window_start_us,

@@ -216,6 +216,67 @@ object QueriesLog {
       .select("sample_id", "database", "explain_source", "explain_json")
   }
 
+  // S28 — OTel OTLP/JSON log adapter: three record shapes per the
+  // reference (simple jsonlog, K8s-wrapped jsonlog with logger=postgres,
+  // plain syslog-framed string bodies), detail fields fanning out as
+  // DETAIL rows. The envelope is synthesized as literal OTLP JSON; the
+  // adapter's from_json + kvlist unwrapping is the code under test.
+  def s28OtelLogParse(s: SparkSession, dir: String): DataFrame = {
+    val base = LogSynth.lines(s, dir)
+      .withColumn("m", (col("event_id") % 3).cast("int"))
+      .withColumn("n", col("event_id") % 1000)
+      .withColumn("is_err", col("log_level") === "ERROR")
+      .withColumn("detail_txt",
+        concat(lit("Process "), col("pid"),
+          lit(" waits for ShareLock on transaction 1234")))
+    def kvs(k: String, v: org.apache.spark.sql.Column) =
+      concat(lit(s"""{"key":"$k","value":{"stringValue":""""), v, lit("\"}}"))
+    val wallUtc = concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit(" UTC"))
+    def recordVals(pidAsInt: Boolean) = {
+      val pidEntry =
+        if (pidAsInt)
+          concat(lit("""{"key":"process_id","value":{"intValue":""""),
+            col("pid"), lit("\"}}"))
+        else kvs("process_id", col("pid").cast("string"))
+      val baseVals = concat_ws(",",
+        kvs("log_time", wallUtc),
+        kvs("user_name", concat(lit("u"), col("pid"))),
+        kvs("database_name", concat(lit("db"), col("pid") % 5)),
+        pidEntry,
+        kvs("session_line_num", col("n").cast("string")),
+        kvs("message", col("content")),
+        kvs("error_severity", col("log_level")))
+      when(col("is_err"), concat(baseVals, lit(","), kvs("detail", col("detail_txt"))))
+        .otherwise(baseVals)
+    }
+    val body0 = concat(lit("""{"kvlistValue":{"values":["""),
+      recordVals(pidAsInt = false), lit("]}}"))
+    val k8sVals = concat_ws(",",
+      kvs("pod_name", lit("pg-0")),
+      kvs("namespace_name", concat(lit("ns"), col("pid") % 4)))
+    val body1 = concat(
+      lit("""{"kvlistValue":{"values":[{"key":"logger","value":{"stringValue":"postgres"}},"""),
+      lit("""{"key":"record","value":{"kvlistValue":{"values":["""),
+      recordVals(pidAsInt = true),
+      lit("""]}}},{"key":"kubernetes","value":{"kvlistValue":{"values":["""),
+      k8sVals, lit("]}}}]}}"))
+    val sysLine = concat(lit("<134>1 "),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      lit(" host postgres "), col("pid"), lit(" - - ["), col("n"),
+      lit("-1] "), col("content"))
+    val body2 = concat(lit("""{"stringValue":""""), sysLine, lit("\"}"))
+    val body = when(col("m") === 0, body0)
+      .when(col("m") === 1, body1).otherwise(body2)
+    val payload = concat(
+      lit("""{"resourceLogs":[{"scopeLogs":[{"logRecords":[{"timeUnixNano":"0","body":"""),
+      body, lit("}]}]}]}"))
+    graft.sources.CloudLogs.otelLogLines(
+      base.select(col("event_id"), payload.as("payload")), "payload")
+      .select("event_id", "record_kind", "k8s_pod", "k8s_namespace", "pid",
+        "log_line_no", "log_level", "username", "database", "content",
+        "is_detail")
+  }
+
   // S29 — Heroku HTTPS log-drain adapter: octet-framed syslog bodies
   // (RFC6587) with an interleaved non-Postgres router frame the adapter
   // must discard; byte-exact length-prefixed frame walk.
@@ -309,6 +370,24 @@ object QueriesLog {
     graft.sources.CloudLogs.azureLogLines(
       mutated.select(col("event_id"), payload.as("payload")), "payload")
       .select("event_id", "server_name", "log_level", "line", "is_detail")
+  }
+
+  // X6 — timestamp parse with timezone resolution: offset-suffixed log
+  // times ("%t" with numeric zones) parsed by the zone-aware expression;
+  // named-zone quirks (MST, log_timezone overrides) are covered by
+  // LogTimeSpec since the oracle engine has no tz database.
+  def x6TzParse(s: SparkSession, dir: String): DataFrame = {
+    val off = (col("user_id") % 5 - 2).cast("int")
+    val tok = concat(
+      when(off < 0, lit("-")).otherwise(lit("+")),
+      lpad(abs(off).cast("string"), 2, "0"), lit("00"))
+    Tables.events(s, dir)
+      .select(col("event_id"), tok.as("tz"),
+        concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit(" "), tok).as("time_part"))
+      .select(col("event_id"), col("tz"),
+        unix_micros(graft.logsys.LogTime.toTimestamp(col("time_part")))
+          .as("parsed_us"))
   }
 
   // X12 — EXPLAIN-JSON normalization over the reference's golden plan

@@ -109,9 +109,11 @@ object SparkEntry {
     "w5_stream_batch" -> (QueriesLog.w5StreamBatch _),
     "s27_syslog_parse" -> (QueriesLog.s27SyslogParse _),
     "j9_explain_enrich" -> (QueriesLog.j9ExplainEnrich _),
+    "s28_otel_log_parse" -> (QueriesLog.s28OtelLogParse _),
     "s29_heroku_frames" -> (QueriesLog.s29HerokuFrames _),
     "s30_gcp_log_parse" -> (QueriesLog.s30GcpLogParse _),
     "s31_azure_log_parse" -> (QueriesLog.s31AzureLogParse _),
+    "x6_tz_parse" -> (QueriesLog.x6TzParse _),
     "x17_session_duration" -> (QueriesLog.x17SessionDuration _)
   )
 

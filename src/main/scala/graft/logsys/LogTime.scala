@@ -1,0 +1,80 @@
+package graft.logsys
+
+import java.time.{LocalDateTime, ZoneId, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftNative
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** X6 — `%t`/`%m`/`%s` timestamp resolution with log_timezone semantics
+  * (`logs/parse.go:288-344`):
+  *
+  *  - when a `log_timezone` is configured, the trailing zone token is
+  *    IGNORED and the wall time is interpreted in that zone (the
+  *    reference's `ParseInLocation(lp.tz)` path);
+  *  - otherwise the zone token resolves as: numeric offset (`-0700`,
+  *    `+05`), bare hour int (`07` → fixed +07:00, the Go `Atoi` branch),
+  *    or a zone NAME looked up in the tz database — replicating the Go
+  *    quirk fix where `time.Parse` reads a name but not its offset, so
+  *    the line must be re-interpreted in the named zone;
+  *  - an unresolvable zone name → null (the reference drops the line).
+  *
+  * Fractional seconds (`%m`) are accepted; result is epoch micros.
+  */
+object LogTime {
+
+  private val Base = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSS]")
+
+  /** Parse `yyyy-MM-dd HH:mm:ss[.SSS] ZONE`; `logTimezone` overrides the
+    * trailing zone token when set. Returns epoch micros, or null. */
+  def parseMicros(timePart: String, logTimezone: String): java.lang.Long = {
+    val lastSpace = timePart.lastIndexOf(' ')
+    if (lastSpace < 0) return null
+    val wall = timePart.substring(0, lastSpace)
+    val zoneTok = timePart.substring(lastSpace + 1)
+    val local =
+      try LocalDateTime.parse(wall, Base)
+      catch { case _: Exception => return null }
+    val zone: ZoneId =
+      if (logTimezone != null && logTimezone.nonEmpty) {
+        try resolveZone(logTimezone) catch { case _: Exception => return null }
+      } else {
+        try resolveZone(zoneTok) catch { case _: Exception => return null }
+      }
+    if (zone == null) return null
+    val inst = local.atZone(zone).toInstant
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  private def resolveZone(tok: String): ZoneId = {
+    if (tok == "UTC" || tok == "Z") return ZoneOffset.UTC
+    if (tok.matches("[+-]?\\d{1,2}")) // Go's Atoi branch: bare hour count
+      return ZoneOffset.ofHours(tok.toInt)
+    if (tok.matches("[+-]\\d{4}")) {
+      val sign = if (tok.startsWith("-")) -1 else 1
+      val h = tok.substring(1, 3).toInt
+      val m = tok.substring(3, 5).toInt
+      return ZoneOffset.ofHoursMinutes(sign * h, sign * m)
+    }
+    if (tok.matches("[+-]\\d{2}:\\d{2}")) return ZoneOffset.of(tok)
+    // zone NAME: tz database incl. the short-id table (MST, PST, …)
+    ZoneId.of(tok, ZoneId.SHORT_IDS)
+  }
+
+  /** Timestamp column (micros) from a `%t`-style time string. */
+  def toTimestamp(timePart: Column, logTimezone: String = ""): Column =
+    GraftNative.column(LogTimeExpr(GraftNative.expression(timePart), logTimezone))
+}
+
+case class LogTimeExpr(child: Expression, logTimezone: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = TimestampType
+  override def nullSafeEval(input: Any): Any =
+    LogTime.parseMicros(input.asInstanceOf[UTF8String].toString, logTimezone)
+  override protected def withNewChildInternal(newChild: Expression): LogTimeExpr =
+    copy(child = newChild)
+}

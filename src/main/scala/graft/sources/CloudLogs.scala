@@ -52,6 +52,121 @@ object CloudLogs {
           col("_m.textPayload").as("content")): _*)
   }
 
+  // ------------------------------------------------------------------ OTel
+
+  /** OTLP/JSON logs payload, pruned to the consumed shape
+    * (`input/system/selfhosted/otel_handler.go:166-306`): records carry
+    * either a kvlist body (Postgres jsonlog fields, optionally wrapped
+    * in a K8s envelope by fluentbit/Vector) or a plain string body
+    * (possibly RFC5424-framed). */
+  val OtelSchema: StructType = {
+    val leafVal = StructType(Seq(
+      StructField("stringValue", StringType),
+      StructField("intValue", StringType)))
+    val leafKv = StructType(Seq(
+      StructField("key", StringType), StructField("value", leafVal)))
+    val kvlist2 = StructType(Seq(StructField("values", ArrayType(leafKv))))
+    val topVal = StructType(Seq(
+      StructField("stringValue", StringType),
+      StructField("intValue", StringType),
+      StructField("kvlistValue", kvlist2)))
+    val topKv = StructType(Seq(
+      StructField("key", StringType), StructField("value", topVal)))
+    val body = StructType(Seq(
+      StructField("stringValue", StringType),
+      StructField("kvlistValue",
+        StructType(Seq(StructField("values", ArrayType(topKv)))))))
+    val logRecord = StructType(Seq(
+      StructField("timeUnixNano", StringType),
+      StructField("body", body)))
+    StructType(Seq(StructField("resourceLogs", ArrayType(StructType(Seq(
+      StructField("scopeLogs", ArrayType(StructType(Seq(
+        StructField("logRecords", ArrayType(logRecord))))))))))))
+  }
+
+  private def kvMap(values: org.apache.spark.sql.Column) =
+    map_from_entries(transform(values, v =>
+      struct(v.getField("key"),
+        coalesce(v.getField("value").getField("stringValue"),
+          v.getField("value").getField("intValue")))))
+
+  private def subKvlist(values: org.apache.spark.sql.Column, key: String) =
+    filter(values, v => v.getField("key") === key)(0)
+      .getField("value").getField("kvlistValue").getField("values")
+
+  /** Unwrap OTLP/JSON log requests (`handleOtlpLogsRequest`,
+    * `otel_handler.go:176-248` + `logLineFromStructuredFields`): three
+    * record shapes — simple jsonlog (kvlist with `error_severity`),
+    * K8s-wrapped jsonlog (`logger=postgres` with `record`/`kubernetes`
+    * sub-lists), and plain string bodies de-framed through the syslog
+    * adapter. jsonlog `detail` fields fan out as DETAIL rows;
+    * unrecognized records are dropped (the rejected count). Output:
+    * (record_kind, k8s_pod, k8s_namespace, pid, log_line_no, log_level,
+    * username, database, content, is_detail). */
+  def otelLogLines(df: DataFrame, jsonCol: String): DataFrame = {
+    val recs = df
+      .withColumn("_rl", explode(from_json(col(jsonCol), OtelSchema)("resourceLogs")))
+      .withColumn("_sl", explode(col("_rl.scopeLogs")))
+      .withColumn("_lr", explode(col("_sl.logRecords")))
+    val topVals = col("_lr.body.kvlistValue.values")
+    val kv = recs
+      .withColumn("_has_kv", col("_lr.body.kvlistValue").isNotNull)
+      .withColumn("_top", when(col("_has_kv"), kvMap(topVals)))
+      .withColumn("_logger", col("_top")("logger"))
+      .withColumn("_kind",
+        when(col("_has_kv") && col("_logger") === "postgres", "k8s")
+          .when(col("_has_kv") && col("_top")("error_severity").isNotNull,
+            "jsonlog")
+          .when(!col("_has_kv") &&
+            col("_lr.body.stringValue").isNotNull &&
+            col("_lr.body.stringValue") =!= "", "plain"))
+      // not recognized → rejected (otel_handler.go:229-245)
+      .filter(col("_kind").isNotNull)
+    val jsonRows = kv.filter(col("_kind") =!= "plain")
+      .withColumn("_rec",
+        when(col("_kind") === "k8s", kvMap(subKvlist(topVals, "record")))
+          .otherwise(col("_top")))
+      .withColumn("_k8s",
+        when(col("_kind") === "k8s", kvMap(subKvlist(topVals, "kubernetes"))))
+    def jsonCols(contentCol: org.apache.spark.sql.Column,
+        levelCol: org.apache.spark.sql.Column, isDetail: Boolean) =
+      Seq(
+        col("_kind").as("record_kind"),
+        col("_k8s")("pod_name").as("k8s_pod"),
+        col("_k8s")("namespace_name").as("k8s_namespace"),
+        col("_rec")("process_id").cast("long").as("pid"),
+        col("_rec")("session_line_num").cast("long").as("log_line_no"),
+        levelCol.as("log_level"),
+        col("_rec")("user_name").as("username"),
+        col("_rec")("database_name").as("database"),
+        contentCol.as("content"),
+        lit(isDetail).as("is_detail"))
+    val main = jsonRows.select(
+      df.columns.map(col) ++ jsonCols(col("_rec")("message"),
+        col("_rec")("error_severity"), isDetail = false): _*)
+    val details = jsonRows
+      .filter(col("_rec")("detail").isNotNull && col("_rec")("detail") =!= "")
+      .select(df.columns.map(col) ++ jsonCols(col("_rec")("detail"),
+        lit("DETAIL"), isDetail = true): _*)
+    val plain = Syslog.parsed(
+      kv.filter(col("_kind") === "plain")
+        .select(df.columns.map(col) :+ col("_lr.body.stringValue").as("_line"): _*),
+      "_line")
+      .select(
+        df.columns.map(col) ++ Seq(
+          lit("plain").as("record_kind"),
+          lit(null).cast("string").as("k8s_pod"),
+          lit(null).cast("string").as("k8s_namespace"),
+          col("pid"),
+          col("log_line_no"),
+          lit(null).cast("string").as("log_level"),
+          lit(null).cast("string").as("username"),
+          lit(null).cast("string").as("database"),
+          col("content"),
+          lit(false).as("is_detail")): _*)
+    main.unionByName(details).unionByName(plain)
+  }
+
   // ----------------------------------------------------------------- Azure
 
   /** Event Hub payload: `{records: [...]}` with per-record properties

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.logsys.LogTime
+
+/** X6 — timezone resolution quirks (`logs/parse.go:288-344`). */
+class LogTimeSpec extends AnyFunSuite {
+
+  private def us(s: String, tz: String = "") = LogTime.parseMicros(s, tz)
+  private val utcNoon = 1704110400000000L // 2024-01-01T12:00:00Z
+
+  test("UTC zone token") {
+    assert(us("2024-01-01 12:00:00 UTC") === utcNoon)
+  }
+
+  test("numeric offsets: -0700, +05, +05:30, bare hour") {
+    assert(us("2024-01-01 05:00:00 -0700") === utcNoon)
+    assert(us("2024-01-01 17:00:00 +05") === utcNoon)
+    assert(us("2024-01-01 17:30:00 +05:30") === utcNoon)
+    assert(us("2024-01-01 19:00:00 07") === utcNoon) // Go Atoi branch
+  }
+
+  test("zone NAME resolves through the tz database (the Go quirk fix)") {
+    // MST = -07:00 fixed; Go time.Parse alone would read offset 0
+    assert(us("2024-01-01 05:00:00 MST") === utcNoon)
+  }
+
+  test("unknown zone name drops the line (null)") {
+    assert(us("2024-01-01 12:00:00 NOPE") === null)
+    assert(us("garbage") === null)
+  }
+
+  test("log_timezone override ignores the trailing token") {
+    // configured log_timezone=America/Phoenix (-07:00, no DST):
+    // wall time 05:00 'UTC' is reinterpreted as 05:00 Phoenix
+    assert(us("2024-01-01 05:00:00 UTC", "America/Phoenix") === utcNoon)
+  }
+
+  test("fractional seconds (%m) accepted") {
+    assert(us("2024-01-01 12:00:00.250 UTC") === utcNoon + 250000L)
+  }
+}
