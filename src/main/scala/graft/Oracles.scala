@@ -330,6 +330,55 @@ object Oracles {
         |      || '}}' END AS explain_json
         |FROM kept""".stripMargin,
 
+    "s32_incremental_tail" ->
+      """WITH l AS (
+        |  SELECT 'postgresql.log.' || (event_id % 4) AS file, event_id,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || ' UTC ['
+        |      || user_id || ']: [' || (event_id % 1000) || '-1] user=u'
+        |      || user_id || ',db=db' || (user_id % 5) || ' '
+        |      || (CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END)
+        |      || ':  '
+        |      || CASE event_type
+        |        WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |          || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |          || regexp_extract(props, '"k": (\d+)', 1)
+        |        WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |          || regexp_extract(props, '"k": (\d+)', 1)
+        |          || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |          || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |          || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+        |        WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |          || (5000 + user_id % 100)
+        |        WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |          || ' database=db'
+        |          || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |        ELSE 'deadlock detected' END AS line
+        |  FROM events),
+        |files AS (
+        |  SELECT file, string_agg(line, chr(10) ORDER BY event_id) AS content
+        |  FROM l GROUP BY file),
+        |w AS (
+        |  SELECT file, CAST(length(content) AS BIGINT) AS size,
+        |    greatest(CAST(length(content) AS BIGINT) - 100000,
+        |      CAST(floor(length(content) / 2) AS BIGINT), 0) AS start0,
+        |    content
+        |  FROM files),
+        |t AS (
+        |  SELECT file, size,
+        |    CASE WHEN start0 > 0 THEN
+        |      CASE WHEN instr(substr(content, CAST(start0 AS BIGINT) + 1), chr(10)) = 0
+        |        THEN ''
+        |        ELSE substr(substr(content, CAST(start0 AS BIGINT) + 1),
+        |          instr(substr(content, CAST(start0 AS BIGINT) + 1), chr(10)) + 1)
+        |      END
+        |    ELSE substr(content, CAST(start0 AS BIGINT) + 1) END AS tail
+        |  FROM w)
+        |SELECT file,
+        |  CAST(u.i - 1 AS INT) AS line_idx, u.line, size AS new_offset
+        |FROM t, LATERAL (
+        |  SELECT unnest(string_split(tail, chr(10))) AS line,
+        |    generate_subscripts(string_split(tail, chr(10)), 1) AS i) u""".stripMargin,
+
     "s28_otel_log_parse" ->
       """WITH e AS (
         |  SELECT event_id, user_id AS pid,

@@ -216,6 +216,25 @@ object QueriesLog {
       .select("sample_id", "database", "explain_source", "explain_json")
   }
 
+  // S32/S33 — incremental byte-offset tailing: per-file content
+  // snapshots resume from a marker table (here: mid-file, so the
+  // partial-first-line skip is exercised) clamped to the trailing
+  // window; new lines + new markers come back as rows.
+  def s32IncrementalTail(s: SparkSession, dir: String): DataFrame = {
+    val lines = LogSynth.renderedLines(s, dir)
+      .select(
+        concat(lit("postgresql.log."), col("event_id") % 4).as("file"),
+        col("event_id"), col("line"))
+    val files = lines.groupBy("file").agg(
+      concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("event_id"), col("line")))),
+          x => x.getField("line"))).as("content"))
+    val markers = files.select(col("file"),
+      floor(length(col("content")) / 2).cast("long").as("prev_offset"))
+    graft.sources.IncrementalTail.tail(files, markers, maxTailBytes = 100000L)
+  }
+
   // S28 — OTel OTLP/JSON log adapter: three record shapes per the
   // reference (simple jsonlog, K8s-wrapped jsonlog with logger=postgres,
   // plain syslog-framed string bodies), detail fields fanning out as

@@ -110,6 +110,7 @@ object SparkEntry {
     "s27_syslog_parse" -> (QueriesLog.s27SyslogParse _),
     "j9_explain_enrich" -> (QueriesLog.j9ExplainEnrich _),
     "s28_otel_log_parse" -> (QueriesLog.s28OtelLogParse _),
+    "s32_incremental_tail" -> (QueriesLog.s32IncrementalTail _),
     "s29_heroku_frames" -> (QueriesLog.s29HerokuFrames _),
     "s30_gcp_log_parse" -> (QueriesLog.s30GcpLogParse _),
     "s31_azure_log_parse" -> (QueriesLog.s31AzureLogParse _),

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S32/S33 — incremental log-file tailing with byte-offset markers, the
+  * shared analytic core of the RDS log-portion download
+  * (`input/system/rds/logs.go:67-129`) and `pg_read_file` polling
+  * (`input/postgres/log_pg_read_file.go:15-123`):
+  *
+  *  - each poll resumes from the file's previous marker (offset), but
+  *    never reads more than the trailing `maxTailBytes` of the file
+  *    (`GREATEST(size - 10MB, $prev)` in the reference's read SQL; the
+  *    ring-buffer clamp in the RDS path);
+  *  - when the window starts mid-file it almost certainly starts
+  *    mid-line — the partial first line is skipped (the reference's
+  *    parser discards it as an unclassifiable fragment);
+  *  - the new marker for each file is its current size.
+  *
+  * Spark shape: one row per (file, content snapshot), marker state as a
+  * second DataFrame — a broadcast-joinable key/offset table (or the
+  * value state of `mapGroupsWithState` when run inside a stream). Every
+  * step is column algebra over the file row: at 100 TB this is
+  * thousands of files processed partition-parallel with no shuffle
+  * beyond the marker join.
+  */
+object IncrementalTail {
+
+  val DefaultMaxTailBytes: Long = 10L * 1024 * 1024
+
+  /** `files` = (file, content); `markers` = (file, prev_offset).
+    * Returns (file, line_idx, line, new_offset) — the window's lines and
+    * the marker to persist. ASCII/byte equivalence assumed for offsets
+    * (the reference also counts bytes over server-encoding text). */
+  def tail(files: DataFrame, markers: DataFrame,
+      maxTailBytes: Long = DefaultMaxTailBytes): DataFrame =
+    files
+      .withColumn("size", length(col("content")).cast("long"))
+      .join(broadcast(markers), Seq("file"), "left")
+      .withColumn("start0",
+        greatest(col("size") - maxTailBytes,
+          coalesce(col("prev_offset"), lit(0L)), lit(0L)))
+      .withColumn("tail_raw",
+        expr("substring(content, cast(start0 as int) + 1)"))
+      // mid-file window start ⇒ drop the partial first line
+      .withColumn("tail",
+        when(col("start0") > 0,
+          when(expr("instr(tail_raw, '\n')") === 0, lit(""))
+            .otherwise(expr("substring(tail_raw, instr(tail_raw, '\n') + 1)")))
+          .otherwise(col("tail_raw")))
+      .select(col("file"), col("size").as("new_offset"),
+        posexplode(split(col("tail"), "\n")).as(Seq("line_idx", "line")))
+      .select("file", "line_idx", "line", "new_offset")
+}

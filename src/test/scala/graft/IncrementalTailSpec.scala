@@ -1,0 +1,49 @@
+package graft
+
+import graft.sources.IncrementalTail
+
+/** S32/S33 — byte-offset marker tailing (`rds/logs.go:67-129`,
+  * `log_pg_read_file.go:15-123`). */
+class IncrementalTailSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(content: String, prev: Option[Long], maxTail: Long = 1000L) = {
+    val files = Seq(("f", content)).toDF("file", "content")
+    val markers = prev.map(o => Seq(("f", o))).getOrElse(Seq.empty[(String, Long)])
+      .toDF("file", "prev_offset")
+    IncrementalTail.tail(files, markers, maxTail)
+      .orderBy("line_idx")
+      .collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+  }
+
+  test("fresh file (no marker): all lines, marker = size") {
+    val got = run("a\nb\nc", None)
+    assert(got.toSeq === Seq((0, "a", 5L), (1, "b", 5L), (2, "c", 5L)))
+  }
+
+  test("resume from marker mid-line drops the partial first line") {
+    // marker lands inside "bb": the fragment "b" is unparseable, skip it
+    val got = run("aaa\nbbb\nccc", Some(5L))
+    assert(got.map(_._2).toSeq === Seq("ccc"))
+    assert(got.head._3 === 11L)
+  }
+
+  test("tail window clamps a stale marker") {
+    // marker 0 but only the trailing 6 bytes may be read: start=5 (>0)
+    // → partial "bb" dropped, "ccc" survives
+    val got = run("aaa\nbbb\nccc", Some(0L), maxTail = 6L)
+    assert(got.map(_._2).toSeq === Seq("ccc"))
+  }
+
+  test("marker at a line boundary resumes at the next full line") {
+    // marker 3 = the newline after "aaa": window "\nbbb" → "bbb"
+    val got = run("aaa\nbbb", Some(3L))
+    assert(got.map(_._2).toSeq === Seq("bbb"))
+  }
+
+  test("window with no newline at all yields one empty window") {
+    val none = run("aaabbb", Some(3L))
+    assert(none.map(_._2).toSeq === Seq(""))
+  }
+}
