@@ -330,6 +330,12 @@ object Oracles {
         |      || '}}' END AS explain_json
         |FROM kept""".stripMargin,
 
+    "skew_salted_join" ->
+      """SELECT e.event_id, e.user_id % 3 AS k, n.n_name
+        |FROM events e
+        |JOIN nation n ON n.n_nationkey = e.user_id % 3
+        |WHERE n.n_nationkey < 3""".stripMargin,
+
     "s32_incremental_tail" ->
       """WITH l AS (
         |  SELECT 'postgresql.log.' || (event_id % 4) AS file, event_id,

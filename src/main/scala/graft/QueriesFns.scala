@@ -104,6 +104,20 @@ object QueriesFns {
         !col("content").startsWith("statement: "))
       .groupBy("log_level").agg(count(lit(1)).as("n"))
 
+  // Skew infrastructure — salted equi-join: the 3-hot-key fact side
+  // joins a non-broadcastable dim with the key spread over 8 salt
+  // partitions; result identical to the plain join (the oracle).
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(s, dir)
+      .select(col("event_id"), (col("user_id") % 3).as("k"), col("value"))
+    val dim = Tables.nation(s, dir)
+      .filter(col("n_nationkey") < 3)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+    graft.operators.SkewJoin
+      .saltedEquiJoin(fact, dim, "k", col("event_id"), nSalts = 8)
+      .select("event_id", "k", "n_name")
+  }
+
   // F8 — EXPLAIN skip predicate: monitored DBs only, no collector
   // queries, no utility statements (input/postgres/explain.go:21-42).
   def f8ExplainSkip(s: SparkSession, dir: String): DataFrame =

@@ -81,6 +81,7 @@ object SparkEntry {
     "f6_time_window" -> (QueriesFns.f6TimeWindow _),
     "f7_prefilter" -> (QueriesFns.f7Prefilter _),
     "f8_explain_skip" -> (QueriesFns.f8ExplainSkip _),
+    "skew_salted_join" -> (QueriesFns.skewSaltedJoin _),
     // training-data pipeline extensions
     "dedup_exact" -> (QueriesText.dedupExact _),
     "dedup_ngram_jaccard" -> (QueriesText.dedupNgramJaccard _),

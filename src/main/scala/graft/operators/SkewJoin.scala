@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew tooling for large joins: when a join key's distribution is hot
+  * (a handful of keys carry most rows) and the dimension side is too big
+  * to broadcast, a plain shuffle join lands each hot key on ONE task.
+  * Salting rewrites the join to spread each key over `nSalts` partitions:
+  *
+  *  - the fact side gets `salt = pmod(saltFrom, nSalts)` (any
+  *    deterministic per-row expression — a row id hash — so the result
+  *    is reproducible, unlike `rand()`);
+  *  - the dimension side is replicated once per salt value;
+  *  - the join key becomes (key, salt), so a key that carried N rows now
+  *    carries N/nSalts per task.
+  *
+  * Cost: dim side × nSalts — use for genuinely skewed keys, and prefer
+  * AQE's runtime skew-join splitting when statistics suffice; this
+  * operator is the explicit form for when they don't (e.g. skew appears
+  * only after a filter AQE can't see through).
+  */
+object SkewJoin {
+
+  /** Salted inner equi-join of `fact` ⨝ `dim` on `key`. */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltFrom: Column, nSalts: Int): DataFrame = {
+    require(nSalts > 0)
+    val salted = fact.withColumn("_salt", pmod(saltFrom, lit(nSalts)).cast("int"))
+    val dimRep = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(dimRep, Seq(key, "_salt")).drop("_salt")
+  }
+}

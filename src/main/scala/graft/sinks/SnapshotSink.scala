@@ -55,4 +55,22 @@ object SnapshotSink {
     snap.queryDim.write.mode("overwrite").parquet(s"$outDir/dim_query")
     snap.fact.write.mode("overwrite").parquet(s"$outDir/fact_statements")
   }
+
+  /** K1 at lake scale — write fact + query dim as BUCKETED tables on the
+    * join key, so repeated fact⨝dim resolution (the hottest snapshot
+    * join) runs shuffle-free: both sides pre-hashed into the same
+    * `nBuckets` files, Spark plans a bucket-local sort-merge join with
+    * NO Exchange. At 100 TB this converts every downstream
+    * snapshot-resolution join from a full shuffle into a scan. */
+  def writeBucketed(snap: Snapshot, nBuckets: Int,
+      factTable: String = "fact_statements_b",
+      queryDimTable: String = "dim_query_b"): Unit = {
+    require(verifyIntegrity(snap), "snapshot integrity check failed")
+    snap.fact.write.mode("overwrite")
+      .bucketBy(nBuckets, "query_id_idx").sortBy("query_id_idx")
+      .format("parquet").saveAsTable(factTable)
+    snap.queryDim.write.mode("overwrite")
+      .bucketBy(nBuckets, "query_id_idx").sortBy("query_id_idx")
+      .format("parquet").saveAsTable(queryDimTable)
+  }
 }

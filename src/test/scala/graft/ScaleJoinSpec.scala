@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+import graft.sinks.SnapshotSink
+
+/** Scale-join infrastructure: salted skew joins and bucketed co-located
+  * joins — the plan shapes that survive a 100× scale-up. */
+class ScaleJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join: same result as plain join, salt in the join keys") {
+    val fact = (1L to 1000L).map(i => (i, i % 3)).toDF("id", "k")
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val salted = SkewJoin.saltedEquiJoin(fact, dim, "k", col("id"), nSalts = 8)
+    val plain = fact.join(dim, "k")
+    assert(salted.count() === 1000)
+    assert(salted.select("id", "k", "name").exceptAll(
+      plain.select("id", "k", "name")).isEmpty)
+    // with broadcast off, the shuffle join must key on (k, _salt):
+    // each hot key spreads over 8 partitions instead of 1
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = SkewJoin.saltedEquiJoin(fact, dim, "k", col("id"), 8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("_salt"), s"salt missing from join plan:\n$plan")
+    }
+  }
+
+  private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed star tables: fact-dim join plans with no Exchange") {
+    val snap = SnapshotSink.assemble(spark, Sf)
+    SnapshotSink.writeBucketed(snap, nBuckets = 4)
+    try {
+      withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.sources.bucketing.enabled" -> "true") {
+        val fact = spark.table("fact_statements_b")
+        val dim = spark.table("dim_query_b")
+        val joined = fact.join(dim, "query_id_idx")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$plan")
+        assert(joined.count() === snap.fact.count())
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fact_statements_b")
+      spark.sql("DROP TABLE IF EXISTS dim_query_b")
+    }
+  }
+}
