@@ -163,6 +163,76 @@ object OraclesGen {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Full SQL re-derivation of the deterministic-k-means IVF path
+    * ([[Similarity.ivfFit]]/[[Similarity.ivfTopK]]): init = 16 lowest-id
+    * vectors, 2 Lloyd iterations with id-ordered sequential member sums
+    * (list_reduce over `list(vec ORDER BY id)` — the same fold order as
+    * the engine's sorted `aggregate`), cosine assignment with
+    * cluster-id tie-break, probe-4 retrieval, exact rescoring, top-5,
+    * recall vs brute force. */
+  val embedIvfRecall: String = {
+    val dim = 64; val k = 16; val nprobe = 4
+    def sim(v: String, c: String) =
+      s"(${seqDot(v, c)}) / (sqrt(${seqDot(v, v)}) * sqrt(${seqDot(c, c)}))"
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT id, vec, cluster FROM (
+         |    SELECT id, vec, cluster,
+         |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cluster) AS rn
+         |    FROM (
+         |      SELECT e.id, e.vec, $cents.cluster,
+         |        ${sim("e.vec", s"$cents.centroid")} AS sim
+         |      FROM e CROSS JOIN $cents) s0) s1
+         |  WHERE rn = 1)""".stripMargin
+    def update(name: String, assigned: String, prev: String) =
+      s"""$name AS (
+         |  SELECT p.cluster, COALESCE(u.centroid, p.centroid) AS centroid
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cluster,
+         |      list_transform(range($dim), d ->
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(ms, m -> CAST(m[d+1] AS DOUBLE))),
+         |          (a, b) -> a + b) / len(ms)) AS centroid
+         |    FROM (SELECT cluster, list(vec ORDER BY id) AS ms
+         |          FROM $assigned GROUP BY cluster) g) u USING (cluster))""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster,
+       |    list_transform(vec, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM (SELECT id, vec FROM e ORDER BY id LIMIT $k) i),
+       |${assign("a1", "c0")},
+       |${update("c1", "a1", "c0")},
+       |${assign("a2", "c1")},
+       |${update("c2", "a2", "c1")},
+       |${assign("a3", "c2")},
+       |q AS (SELECT id AS q_id, vec AS q_vec FROM e WHERE id < 20),
+       |qs AS (
+       |  SELECT q_id, q_vec, cluster FROM (
+       |    SELECT q_id, q_vec, cluster,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cluster) AS rn
+       |    FROM (
+       |      SELECT q.q_id, q.q_vec, c2.cluster,
+       |        ${sim("q.q_vec", "c2.centroid")} AS sim
+       |      FROM q CROSS JOIN c2) p0) p1
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT qs.q_id, qs.q_vec, a3.id AS n_id, a3.vec AS n_vec
+       |  FROM qs JOIN a3 USING (cluster) WHERE qs.q_id <> a3.id),
+       |sc AS (
+       |  SELECT q_id, n_id, ${cosineSelect("q_vec", "n_vec")}
+       |    FROM cand)),
+       |ivf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+       |    FROM sc) t WHERE rk <= 5),
+       |bf AS (${Oracles.sql("embed_cosine_topk")})
+       |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(count(i.n_id) AS BIGINT) AS n_hit,
+       |  CAST(count(i.n_id) AS DOUBLE) / count(*) AS recall
+       |FROM bf LEFT JOIN ivf i USING (q_id, n_id)""".stripMargin
+  }
+
   /** Recall of the banded ANN against the exact brute-force ground
     * truth: both algorithms re-derived in SQL, joined on (q_id, n_id). */
   val embedAnnRecall: String =
@@ -418,6 +488,7 @@ object OraclesGen {
     "dedup_simhash" -> dedupSimhash,
     "embed_ann_lsh" -> embedAnnLsh,
     "embed_ann_recall" -> embedAnnRecall,
+    "embed_ivf_recall" -> embedIvfRecall,
     "embed_near_dups" -> embedNearDups,
     "x1_normalize_goldens" -> x1NormalizeGoldens,
     "x1_fingerprint_collapse" -> x1FingerprintCollapse)

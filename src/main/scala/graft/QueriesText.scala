@@ -72,6 +72,27 @@ object QueriesText {
         (col("n_hit").cast("double") / col("n_truth")).as("recall"))
   }
 
+  /** IVF retrieval quality: top-5 recall of the coarse-quantized path
+    * (16 deterministic k-means lists, probe 4) against exact brute
+    * force — one row (n_truth, n_hit, recall). */
+  def embedIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("q_id", "n_id")
+    val approx = Similarity.ivfTopK(queries, corpus, k = 5,
+        nClusters = 16, iters = 2, nprobe = 4)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
   /** Banded LSH near-dups: 8 signatures × 4 bits → recall ≈ 0.75 at
     * sim 0.4 (p=0.63), with per-bucket caps bounding the self-join. The
     * sim column is left unrounded: the oracle reproduces the identical

@@ -90,6 +90,7 @@ object SparkEntry {
     "embed_cosine_topk" -> (QueriesText.embedCosineTopK _),
     "embed_ann_lsh" -> (QueriesText.embedAnnLsh _),
     "embed_ann_recall" -> (QueriesText.embedAnnRecall _),
+    "embed_ivf_recall" -> (QueriesText.embedIvfRecall _),
     "embed_near_dups" -> (QueriesText.embedNearDups _),
     "text_quality" -> (QueriesText.textQuality _),
     "text_token_count" -> (QueriesText.textTokenCount _),

@@ -105,6 +105,91 @@ object Similarity {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Deterministic k-means for IVF coarse quantization: centroids
+    * initialize from the `k` lowest-id vectors and update with
+    * SEQUENTIAL id-ordered member sums (an id-sorted fold, not a
+    * parallel `sum`), so the fitted centroids are bit-reproducible
+    * across partitionings — and in the SQL oracle. Assignment is by
+    * cosine, ties broken by cluster id. Empty clusters keep their
+    * previous centroid.
+    *
+    * Scale shape: assignment is a broadcast of `k` centroids against the
+    * corpus (per-row argmax, no corpus shuffle); the update shuffles
+    * once on cluster id. The id-sorted fold materializes each cluster's
+    * members in one task — at extreme scale swap it for a two-level
+    * ordered tree fold; the contract (fixed fold order) is the point. */
+  def ivfFit(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    var cents = emb.orderBy("id").limit(k)
+      .orderBy("id")
+      .select(col("id"), expr("transform(vec, x -> cast(x as double))").as("centroid"))
+      .withColumn("cluster",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+      .select("cluster", "centroid")
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(emb, cents)
+      val updated = assigned
+        .groupBy("cluster")
+        .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("ms"))
+        .select(col("cluster"),
+          expr(s"""transform(sequence(0, $dim - 1),
+            d -> aggregate(ms, 0D, (acc, m) -> acc + m.vec[d]) / size(ms))""")
+            .as("centroid"))
+      cents = cents.select(col("cluster"), col("centroid").as("prev"))
+        .join(updated, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("centroid"), col("prev")).as("centroid"))
+      i += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: (id, vec, cluster). */
+  def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", expr(
+        """aggregate(zip_with(vec, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)
+          | / (sqrt(aggregate(vec, 0D, (a, x) -> a + cast(x as double) * x))
+          |    * sqrt(aggregate(centroid, 0D, (a, x) -> a + x * x)))""".stripMargin))
+    val w = Window.partitionBy("id").orderBy(col("sim").desc, col("cluster"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("id", "vec", "cluster")
+  }
+
+  /** IVF top-k: fit `nClusters` centroids on the corpus, assign corpus
+    * rows to their inverted lists, probe each query's `nprobe` nearest
+    * lists, exact-score only those candidates. The scale path when
+    * hyperplane LSH recall is insufficient: probing cost is
+    * corpus/nClusters × nprobe per query instead of the full corpus. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val emb = corpus.select(col("n_id").as("id"), col("n_vec").as("vec"))
+    val cents = ivfFit(emb, nClusters, iters, dim)
+    val lists = ivfAssign(emb, cents)
+      .select(col("id").as("n_id"), col("vec").as("n_vec"), col("cluster"))
+    val qScored = queries.crossJoin(broadcast(cents))
+      .withColumn("sim", expr(
+        """aggregate(zip_with(q_vec, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)
+          | / (sqrt(aggregate(q_vec, 0D, (a, x) -> a + cast(x as double) * x))
+          |    * sqrt(aggregate(centroid, 0D, (a, x) -> a + x * x)))""".stripMargin))
+    val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cluster"))
+    val probes = qScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select("q_id", "q_vec", "cluster")
+    val scored = broadcast(probes).join(lists, Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold via banded LSH
     * (the embedding-space member of the [[Dedup]] family).
     *

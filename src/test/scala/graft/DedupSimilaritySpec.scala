@@ -94,6 +94,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"ANN recall degraded: $recall")
   }
 
+  test("IVF top-5 recall vs brute force >= 0.75 probing 4/16 lists") {
+    // deterministic k-means (sorted-fold centroids): measured 0.84 at
+    // sf0.01 while scanning ~25% of the corpus per query
+    val recall = QueriesText.embedIvfRecall(spark, Sf)
+      .select("recall").as[Double].head()
+    assert(recall >= 0.75, s"IVF recall degraded: $recall")
+  }
+
   test("lshTopK hot-bucket cap drops capped buckets without a window") {
     val qs = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("q_id", "q_vec")
     val corpus = (10L to 30L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
