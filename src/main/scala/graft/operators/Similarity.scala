@@ -79,25 +79,34 @@ object Similarity {
       bits: Int = 4, sigs: Int = 8, dim: Int = 64,
       maxBucket: Int = 10000): DataFrame = {
     require(bits * sigs <= 62, "bits*sigs must fit in a long")
-    def banded(df: DataFrame, vecCol: String): DataFrame = df
+    def banded(df: DataFrame, vecCol: String, idCol: String): DataFrame = df
       .withColumn("allbits", signBits(col(vecCol), bits * sigs, dim))
       .withColumn("sig", explode(sequence(lit(0), lit(sigs - 1))))
       .withColumn("bucket",
         expr(s"shiftrightunsigned(allbits, sig * $bits)")
           .bitwiseAND(lit((1L << bits) - 1)))
-      .drop("allbits")
-    // shared exchange: the count branch and the probe side reuse one
-    // shuffle, so corpus sign-bits are computed once
-    val cb0 = banded(corpus, "n_vec").repartition(col("sig"), col("bucket"))
+      .select(idCol, "sig", "bucket")
+    // candidate generation runs over SLIM (id, sig, bucket) rows — the
+    // float vectors never enter the banding shuffle (a 15× duplication
+    // of 256 B vectors at 100 TB); one explicit repartition on the
+    // bucket key lets the hot-bucket count and the probe side reuse a
+    // single exchange, so corpus sign-bits are computed once
+    val cb0 = banded(corpus, "n_vec", "n_id").repartition(col("sig"), col("bucket"))
     val hotBuckets = cb0.groupBy("sig", "bucket")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
       .select("sig", "bucket")
     val cb = cb0.join(broadcast(hotBuckets), Seq("sig", "bucket"), "left_anti")
-    val qb = broadcast(banded(queries, "q_vec"))
-    val scored = qb.join(cb, Seq("sig", "bucket"))
+    val qb = broadcast(banded(queries, "q_vec", "q_id"))
+    val cand = qb.join(cb, Seq("sig", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
       .dropDuplicates("q_id", "n_id")
+    // candidates are bounded by queries × sigs × maxBucket → broadcast
+    // them back against a plain corpus scan to fetch vectors: no corpus
+    // shuffle at all, scoring is scan-local
+    val scored = corpus.join(broadcast(cand), Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
