@@ -214,29 +214,38 @@ object Similarity {
       maxBucket: Int = 1000): DataFrame = {
     require(bits * sigs <= 62, "bits*sigs must fit in a long")
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("allbits", signBits(col("vec"), bits * sigs, dim))
-    // shared exchange on the bucket key (ReuseExchange: sign-bit compute
-    // runs once) + key-only hot-bucket cap via broadcast anti-join — no
-    // task ever buffers a hot bucket the way a window would
+    // candidate generation over SLIM (id, sig, bucket) rows — vectors
+    // never enter the 8-way banding shuffle; shared exchange on the
+    // bucket key (ReuseExchange: sign-bit compute runs once) + key-only
+    // hot-bucket cap via broadcast anti-join, so no task ever buffers a
+    // hot bucket the way a window would
     val banded0 = e
-      .select(col("id"), col("vec"), col("allbits"),
-        explode(sequence(lit(0), lit(sigs - 1))).as("sig"))
+      .withColumn("allbits", signBits(col("vec"), bits * sigs, dim))
+      .select(col("id"),
+        explode(sequence(lit(0), lit(sigs - 1))).as("sig"),
+        col("allbits"))
       .withColumn("bucket",
         expr(s"shiftrightunsigned(allbits, sig * $bits)")
           .bitwiseAND(lit((1L << bits) - 1)))
+      .select("id", "sig", "bucket")
       .repartition(col("sig"), col("bucket"))
     val hot = banded0.groupBy("sig", "bucket")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
       .select("sig", "bucket")
     val banded = banded0.join(broadcast(hot), Seq("sig", "bucket"), "left_anti")
-    val a = banded.select(col("sig"), col("bucket"),
-      col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = banded.select(col("sig"), col("bucket"),
-      col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("sig", "bucket"))
+    val a = banded.select(col("sig"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("sig"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("sig", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // vectors re-enter by joining the pairs back to the raw embedding
+    // scan on each side: two id-keyed shuffles of ONE vector copy each,
+    // instead of eight copies through the banding exchange
+    pairs
+      .join(e.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
