@@ -75,13 +75,17 @@ object Dedup {
     * `maxBucket` drops degenerate buckets (e.g. the all-empty-doc
     * bucket) whose quadratic blowup would dominate at scale. */
   def lshCandidates(sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    // One explicit shuffle on the bucket key: the hot-bucket count, the
-    // anti-join probe, and both sides of the pair join all consume this
-    // exchange (ReuseExchange), so the signature expression runs ONCE.
-    val banded = sigs
+    // ONE materialization point for the expensive signatures: an
+    // id-partitioned exchange reused (ReuseExchange) by the banding
+    // branch and by both est-jaccard join-backs, so minhash runs once
+    // and the full 64-long signature never rides the banding shuffle —
+    // only the 8-long band slice does.
+    val sigsP = sigs.select("id", "sig").repartition(col("id"))
+    val banded = sigsP
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .withColumn("band_sig", slice(col("sig"), col("band") * Rows + 1, lit(Rows)))
+      .select("id", "band", "band_sig")
       .repartition(col("band"), col("band_sig"))
     // cap via key-only counts + broadcast anti-join: unlike a window over
     // (band, band_sig), no task ever BUFFERS a hot bucket — over-cap rows
@@ -91,16 +95,18 @@ object Dedup {
       .filter(col("bucket_n") > maxBucket)
       .select("band", "band_sig")
     val bucketed = banded.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
-    val a = bucketed.select(col("band"), col("band_sig"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = bucketed.select(col("band"), col("band_sig"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_sig"))
+    val a = bucketed.select(col("band"), col("band_sig"), col("id").as("id_a"))
+    val b = bucketed.select(col("band"), col("band_sig"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(sigsP.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigsP.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (u, v) => u === v),
           x => x)).cast("double") / NumPerms).as("est_jaccard"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   // ---------------------------------------------------------------- simhash
