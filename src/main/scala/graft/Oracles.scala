@@ -388,7 +388,7 @@ object Oracles {
     "s28_otel_log_parse" ->
       """WITH e AS (
         |  SELECT event_id, user_id AS pid,
-        |    CAST(event_id % 3 AS INT) AS m,
+        |    CAST(event_id % 4 AS INT) AS m,
         |    CAST(event_id % 1000 AS BIGINT) AS n,
         |    event_type = 'error' AS is_err,
         |    CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END AS lvl,
@@ -410,13 +410,14 @@ object Oracles {
         |  FROM events),
         |jsonlike AS (
         |  SELECT event_id,
-        |    CASE m WHEN 0 THEN 'jsonlog' ELSE 'k8s' END AS record_kind,
+        |    CASE m WHEN 0 THEN 'jsonlog' WHEN 1 THEN 'k8s'
+        |      ELSE 'supabase' END AS record_kind,
         |    CASE WHEN m = 1 THEN 'pg-0' END AS k8s_pod,
         |    CASE WHEN m = 1 THEN 'ns' || (pid % 4) END AS k8s_namespace,
         |    pid, n AS log_line_no, lvl AS log_level,
         |    'u' || pid AS username, 'db' || (pid % 5) AS database,
         |    content, false AS is_detail, is_err
-        |  FROM e WHERE m IN (0, 1))
+        |  FROM e WHERE m IN (0, 1, 3))
         |SELECT event_id, record_kind, k8s_pod, k8s_namespace, pid,
         |  log_line_no, log_level, username, database, content, is_detail
         |FROM jsonlike

@@ -242,7 +242,7 @@ object QueriesLog {
   // adapter's from_json + kvlist unwrapping is the code under test.
   def s28OtelLogParse(s: SparkSession, dir: String): DataFrame = {
     val base = LogSynth.lines(s, dir)
-      .withColumn("m", (col("event_id") % 3).cast("int"))
+      .withColumn("m", (col("event_id") % 4).cast("int"))
       .withColumn("n", col("event_id") % 1000)
       .withColumn("is_err", col("log_level") === "ERROR")
       .withColumn("detail_txt",
@@ -284,11 +284,22 @@ object QueriesLog {
       lit(" host postgres "), col("pid"), lit(" - - ["), col("n"),
       lit("-1] "), col("content"))
     val body2 = concat(lit("""{"stringValue":""""), sysLine, lit("\"}"))
+    // Supabase drain: csvlog fields under metadata→parsed, message on
+    // the record's eventName
+    val body3 = concat(
+      lit("""{"kvlistValue":{"values":[{"key":"metadata","value":{"kvlistValue":{"values":[""" +
+        """{"key":"parsed","value":{"kvlistValue":{"values":["""),
+      recordVals(pidAsInt = true),
+      lit("]}}}]}}}]}}"))
     val body = when(col("m") === 0, body0)
-      .when(col("m") === 1, body1).otherwise(body2)
+      .when(col("m") === 1, body1)
+      .when(col("m") === 2, body2).otherwise(body3)
+    val eventName = when(col("m") === 3,
+      concat(lit("\"eventName\":\""), col("content"), lit("\",")))
+      .otherwise(lit(""))
     val payload = concat(
-      lit("""{"resourceLogs":[{"scopeLogs":[{"logRecords":[{"timeUnixNano":"0","body":"""),
-      body, lit("}]}]}]}"))
+      lit("""{"resourceLogs":[{"scopeLogs":[{"logRecords":[{"timeUnixNano":"0","""),
+      eventName, lit("\"body\":"), body, lit("}]}]}]}"))
     graft.sources.CloudLogs.otelLogLines(
       base.select(col("event_id"), payload.as("payload")), "payload")
       .select("event_id", "record_kind", "k8s_pod", "k8s_namespace", "pid",

@@ -65,7 +65,15 @@ object CloudLogs {
       StructField("intValue", StringType)))
     val leafKv = StructType(Seq(
       StructField("key", StringType), StructField("value", leafVal)))
-    val kvlist2 = StructType(Seq(StructField("values", ArrayType(leafKv))))
+    val kvlist3 = StructType(Seq(StructField("values", ArrayType(leafKv))))
+    // mid level: Supabase nests metadata → parsed → csvlog fields
+    val midVal = StructType(Seq(
+      StructField("stringValue", StringType),
+      StructField("intValue", StringType),
+      StructField("kvlistValue", kvlist3)))
+    val midKv = StructType(Seq(
+      StructField("key", StringType), StructField("value", midVal)))
+    val kvlist2 = StructType(Seq(StructField("values", ArrayType(midKv))))
     val topVal = StructType(Seq(
       StructField("stringValue", StringType),
       StructField("intValue", StringType),
@@ -78,6 +86,7 @@ object CloudLogs {
         StructType(Seq(StructField("values", ArrayType(topKv)))))))
     val logRecord = StructType(Seq(
       StructField("timeUnixNano", StringType),
+      StructField("eventName", StringType),
       StructField("body", body)))
     StructType(Seq(StructField("resourceLogs", ArrayType(StructType(Seq(
       StructField("scopeLogs", ArrayType(StructType(Seq(
@@ -90,8 +99,10 @@ object CloudLogs {
         coalesce(v.getField("value").getField("stringValue"),
           v.getField("value").getField("intValue")))))
 
+  // get() instead of [0]: an absent key yields null, not an ANSI
+  // out-of-bounds error
   private def subKvlist(values: org.apache.spark.sql.Column, key: String) =
-    filter(values, v => v.getField("key") === key)(0)
+    get(filter(values, v => v.getField("key") === key), lit(0))
       .getField("value").getField("kvlistValue").getField("values")
 
   /** Unwrap OTLP/JSON log requests (`handleOtlpLogsRequest`,
@@ -109,12 +120,19 @@ object CloudLogs {
       .withColumn("_sl", explode(col("_rl.scopeLogs")))
       .withColumn("_lr", explode(col("_sl.logRecords")))
     val topVals = col("_lr.body.kvlistValue.values")
+    // Supabase log drain: csvlog fields under metadata → parsed, message
+    // on the record's eventName (`supabase/logs.go:13-25`)
+    val parsedVals = get(filter(subKvlist(topVals, "metadata"),
+      v => v.getField("key") === "parsed"), lit(0))
+      .getField("value").getField("kvlistValue").getField("values")
     val kv = recs
       .withColumn("_has_kv", col("_lr.body.kvlistValue").isNotNull)
       .withColumn("_top", when(col("_has_kv"), kvMap(topVals)))
       .withColumn("_logger", col("_top")("logger"))
+      .withColumn("_parsed", when(col("_has_kv"), parsedVals))
       .withColumn("_kind",
-        when(col("_has_kv") && col("_logger") === "postgres", "k8s")
+        when(col("_has_kv") && col("_parsed").isNotNull, "supabase")
+          .when(col("_has_kv") && col("_logger") === "postgres", "k8s")
           .when(col("_has_kv") && col("_top")("error_severity").isNotNull,
             "jsonlog")
           .when(!col("_has_kv") &&
@@ -125,6 +143,7 @@ object CloudLogs {
     val jsonRows = kv.filter(col("_kind") =!= "plain")
       .withColumn("_rec",
         when(col("_kind") === "k8s", kvMap(subKvlist(topVals, "record")))
+          .when(col("_kind") === "supabase", kvMap(col("_parsed")))
           .otherwise(col("_top")))
       .withColumn("_k8s",
         when(col("_kind") === "k8s", kvMap(subKvlist(topVals, "kubernetes"))))
@@ -142,7 +161,10 @@ object CloudLogs {
         contentCol.as("content"),
         lit(isDetail).as("is_detail"))
     val main = jsonRows.select(
-      df.columns.map(col) ++ jsonCols(col("_rec")("message"),
+      df.columns.map(col) ++ jsonCols(
+        // Supabase carries the message on the record's EventName
+        when(col("_kind") === "supabase", col("_lr.eventName"))
+          .otherwise(col("_rec")("message")),
         col("_rec")("error_severity"), isDetail = false): _*)
     val details = jsonRows
       .filter(col("_rec")("detail").isNotNull && col("_rec")("detail") =!= "")
