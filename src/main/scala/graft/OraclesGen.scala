@@ -264,6 +264,45 @@ object OraclesGen {
        |WHERE sim >= 0.4""".stripMargin
   }
 
+  /** Winnowing re-derived in SQL: Horner-form k-gram hashes (value-equal
+    * to the engine's rolling update mod 2^64), HUGEINT window minima
+    * (= the engine's unsigned compare), signed conversion, distinct
+    * sort. */
+  val docWinnow: String = {
+    val k = 8; val w = 4
+    val B = graft.functions.Hashing.FnvPrime
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(text, '.'),
+       |      c -> CAST(ord(c) AS HUGEINT)) AS cs
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(cs) < $k THEN CAST([] AS HUGEINT[])
+       |    ELSE list_transform(range(len(cs) - $k + 1),
+       |      p -> list_reduce(list_prepend(CAST(0 AS HUGEINT), cs[p+1 : p+$k]),
+       |        (a, c) -> (a * $B + c) % CAST(18446744073709551616 AS HUGEINT)))
+       |    END AS hs
+       |  FROM d),
+       |m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+       |      WHEN len(hs) <= $w THEN [list_aggregate(hs, 'min')]
+       |      ELSE list_transform(range(len(hs) - $w + 1),
+       |        q -> list_aggregate(hs[q+1 : q+$w], 'min'))
+       |    END AS mins
+       |  FROM h),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(mins,
+       |      x -> CAST(CASE WHEN x >= 9223372036854775808
+       |        THEN x - 18446744073709551616 ELSE x END AS BIGINT)))) AS fps
+       |  FROM m)
+       |SELECT doc_id, array_to_string(fps, ',') AS fingerprints,
+       |  CAST(len(fps) AS INT) AS n_fp
+       |FROM f""".stripMargin
+  }
+
   // ------------------------------------------------------ pg_query goldens
 
   /** Expected normalizations embedded as literals (the reference's
@@ -489,6 +528,7 @@ object OraclesGen {
     "embed_ann_lsh" -> embedAnnLsh,
     "embed_ann_recall" -> embedAnnRecall,
     "embed_ivf_recall" -> embedIvfRecall,
+    "doc_winnow" -> docWinnow,
     "embed_near_dups" -> embedNearDups,
     "x1_normalize_goldens" -> x1NormalizeGoldens,
     "x1_fingerprint_collapse" -> x1FingerprintCollapse)

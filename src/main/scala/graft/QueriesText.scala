@@ -174,6 +174,16 @@ object QueriesText {
       .select(col("doc_id"), col("frame_idx"),
         hex(col("frame_bytes")).as("frame_hex"))
 
+  /** Winnowing fingerprints per document (8-gram rolling hash, window
+    * 4), re-projected to a joined string for the driver comparator. */
+  def docWinnow(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFns.winnowFingerprints(col("text")).as("fps_arr"))
+      .select(col("doc_id"),
+        expr("array_join(cast(fps_arr as array<string>), ',')").as("fingerprints"),
+        size(col("fps_arr")).as("n_fp"))
+
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),

@@ -96,6 +96,7 @@ object SparkEntry {
     "text_token_count" -> (QueriesText.textTokenCount _),
     "text_lang_id" -> (QueriesText.textLangId _),
     "doc_fingerprint" -> (QueriesText.docFingerprint _),
+    "doc_winnow" -> (QueriesText.docWinnow _),
     "mm_decode_features" -> (QueriesText.mmDecodeFeatures _),
     "mm_frame_sample" -> (QueriesText.mmFrameSample _),
     // log pipeline

@@ -34,6 +34,13 @@ object TextFns {
     * use xxhash64(normalizeWs) for cheaper cluster-internal keys). */
   def contentFingerprint(c: Column): Column = md5(normalizeWs(c))
 
+  /** Winnowing fingerprints (rolling k-gram hash + window minima) —
+    * see [[graft.functions.expressions.WinnowExpr]]. */
+  def winnowFingerprints(c: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.WinnowExpr(
+        org.apache.spark.sql.GraftNative.expression(c), k, w))
+
   /** Punctuation ratio: non-alphanumeric-non-space chars / total chars. */
   def punctRatio(c: Column): Column = {
     val puncts = length(regexp_replace(c, "[a-zA-Z0-9\\s]", ""))

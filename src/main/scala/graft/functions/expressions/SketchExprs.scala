@@ -123,3 +123,63 @@ case class SimhashExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
     copy(child = newChild)
 }
+
+/** Winnowing document fingerprints (the MOSS scheme): a TRUE rolling
+  * polynomial hash over every `k`-byte gram — O(1) per position via
+  *   h' = (h − out·B^(k−1))·B + in   (mod 2^64)
+  * — then the minimum hash of each `w`-gram window, distinct and
+  * sorted. Near-duplicate documents share fingerprints even under
+  * local edits, which whole-content hashing (doc_fingerprint) cannot
+  * see. B = the FNV prime; all arithmetic wraps mod 2^64 so the DuckDB
+  * oracle reproduces values in HUGEINT. Documents shorter than `k`
+  * yield an empty fingerprint set; fewer grams than `w` form a single
+  * window. */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * Hashing.FnvPrime + (bytes(i) & 0xffL); i += 1 }
+    hashes(0) = h
+    var bk = 1L
+    i = 0
+    while (i < k - 1) { bk *= Hashing.FnvPrime; i += 1 }
+    var p = 1
+    while (p < m) {
+      h = (h - (bytes(p - 1) & 0xffL) * bk) * Hashing.FnvPrime +
+        (bytes(p + k - 1) & 0xffL)
+      hashes(p) = h
+      p += 1
+    }
+    val nWin = math.max(1, m - w + 1)
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    var q = 0
+    while (q < nWin) {
+      var min = hashes(q)
+      var j = q + 1
+      val end = math.min(q + w, m)
+      while (j < end) {
+        // UNSIGNED minimum: hash values live in [0, 2^64) — the oracle
+        // compares them as HUGEINT
+        if (java.lang.Long.compareUnsigned(hashes(j), min) < 0) min = hashes(j)
+        j += 1
+      }
+      mins.add(min)
+      q += 1
+    }
+    val out = new Array[Any](mins.size)
+    val it = mins.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}

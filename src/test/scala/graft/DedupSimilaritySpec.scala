@@ -94,6 +94,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"ANN recall degraded: $recall")
   }
 
+  test("winnowing: local edits keep most fingerprints, whole-hash loses all") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away"
+    val b = a.replace("lazy", "hazy") // one local edit
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+      .select(col("id"),
+        graft.functions.TextFns.winnowFingerprints(col("text")).as("fps"))
+    val Array(fa, fb) = df.orderBy("id").collect()
+      .map(_.getSeq[Long](1).toSet)
+    val overlap = fa.intersect(fb).size.toDouble / fa.size
+    assert(overlap >= 0.5, s"winnow overlap too low: $overlap")
+    assert(fa != fb) // the edit does change SOME fingerprints
+    // short docs (< k) have no fingerprints
+    val empty = Seq((1L, "tiny")).toDF("id", "text")
+      .select(graft.functions.TextFns.winnowFingerprints(col("text")).as("f"))
+      .collect().head.getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
   test("IVF top-5 recall vs brute force >= 0.75 probing 4/16 lists") {
     // deterministic k-means (sorted-fold centroids): measured 0.84 at
     // sf0.01 while scanning ~25% of the corpus per query
