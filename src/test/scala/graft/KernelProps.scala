@@ -1,0 +1,121 @@
+package graft
+
+import java.time.format.DateTimeFormatter
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.PgNormalize
+import graft.functions.expressions.{HerokuSyslogFramesExpr, WinnowExpr}
+import graft.logsys.LogTime
+
+/** Property-based checks over the pure (Spark-free) kernels: the SQL
+  * scanner, timezone resolution, the rolling-hash winnower, and the
+  * octet-framing walker. */
+object KernelProps extends Properties("graft.kernels") {
+
+  private val ident: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val literal: Gen[String] = Gen.oneOf(
+    Gen.chooseNum(0, 999999).map(_.toString),
+    ident.map(s => s"'$s'"))
+  private val queryGen: Gen[String] = for {
+    t <- ident; c <- ident; v <- literal
+    n <- Gen.chooseNum(1, 6); vs <- Gen.listOfN(n, literal)
+  } yield s"SELECT * FROM $t WHERE $c IN (${vs.mkString(", ")}) AND $c = $v"
+
+  property("normalize is idempotent") = forAll(queryGen) { q =>
+    val once = PgNormalize.normalize(q)
+    PgNormalize.normalize(once) == once
+  }
+
+  property("fingerprint ignores whitespace runs") = forAll(queryGen) { q =>
+    PgNormalize.fingerprint(q) ==
+      PgNormalize.fingerprint(q.replace(" ", "   "))
+  }
+
+  property("fingerprint collapses IN-list arity") =
+    forAll(ident, ident, Gen.chooseNum(1, 5), Gen.chooseNum(6, 12)) {
+      (t, c, n1, n2) =>
+        def q(n: Int) = s"SELECT * FROM $t WHERE $c IN (${(1 to n).mkString(", ")})"
+        PgNormalize.fingerprint(q(n1)) == PgNormalize.fingerprint(q(n2))
+    }
+
+  property("statementVerb sees through comments and parens") =
+    forAll(queryGen) { q =>
+      val wrapped = s"/* c */ ($q)"
+      PgNormalize.statementVerb(wrapped) == "select" &&
+        !PgNormalize.isUtilityStatement(wrapped)
+    }
+
+  private val wallFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  property("LogTime offset round-trip") =
+    forAll(Gen.chooseNum(0L, 4102444800L), Gen.chooseNum(-12, 12)) {
+      (sec, off) =>
+        val inst = java.time.Instant.ofEpochSecond(sec)
+        val zone = java.time.ZoneOffset.ofHours(off)
+        val wall = java.time.LocalDateTime.ofInstant(inst, zone).format(wallFmt)
+        val tok = (if (off < 0) "-" else "+") + f"${math.abs(off)}%02d00"
+        LogTime.parseMicros(s"$wall $tok", "") == sec * 1000000L
+    }
+
+  private def directHashes(s: String, k: Int): Array[Long] = {
+    val bytes = s.getBytes("UTF-8")
+    (0 to bytes.length - k).map { p =>
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        h = h * graft.functions.Hashing.FnvPrime + (bytes(p + j) & 0xffL); j += 1
+      }
+      h
+    }.toArray
+  }
+
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(8, 11).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(' ', '~')).map(_.mkString))
+
+  property("rolling hash equals direct Horner (single-window strings)") =
+    forAll(asciiText) { s =>
+      // 8 <= len < 12 ⇒ at most 4 grams = one window: output is the
+      // unsigned minimum of the direct per-gram polynomial hashes
+      val expr = WinnowExpr(null, 8, 4)
+      val got = expr.nullSafeEval(UTF8String.fromString(s))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .toLongArray()
+      val want = directHashes(s, 8).min(Ordering.fromLessThan[Long](
+        (a, b) => java.lang.Long.compareUnsigned(a, b) < 0))
+      got.toSeq == Seq(want)
+    }
+
+  property("every winnow fingerprint is some k-gram's hash") =
+    forAll(Gen.chooseNum(12, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose('a', 'z')).map(_.mkString))) { s =>
+      val expr = WinnowExpr(null, 8, 4)
+      val got = expr.nullSafeEval(UTF8String.fromString(s))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .toLongArray().toSet
+      got.subsetOf(directHashes(s, 8).toSet)
+    }
+
+  private val msgGen: Gen[String] =
+    Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' ')))
+        .map(_.mkString))
+
+  property("heroku octet framing round-trips random frame sequences") =
+    forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, msgGen))) { msgs =>
+      val frames = msgs.map(m =>
+        s"<134>1 2024-01-01T00:00:00Z host app postgres.1 - $m")
+      val body = frames.map(f => s"${f.length} $f").mkString
+      val expr = HerokuSyslogFramesExpr(null)
+      val got = expr.nullSafeEval(UTF8String.fromString(body))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      val contents = (0 until got.numElements()).map(i =>
+        got.getStruct(i, 3).getUTF8String(2).toString)
+      Prop(contents == msgs)
+    }
+}
