@@ -53,7 +53,7 @@ object QueriesLog {
 
   // X7 (full table) — one sample line per classification from the
   // reference's own test corpus; the engine must recover each class via
-  // the 119-matcher regex table alone. The oracle only knows the
+  // the 120-matcher regex table alone. The oracle only knows the
   // (event_id % N) → intended-class mapping, not the matcher table.
   def x7FullClassify(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
