@@ -269,6 +269,13 @@ object OraclesGen {
     * (= the engine's unsigned compare), signed conversion, distinct
     * sort. */
   val docWinnow: String = {
+    // NOTE: byte-derivation assumption — `regexp_extract_all(text, '.')`
+    // does not match newlines (RE2) and `ord()` yields codepoints, while
+    // WinnowExpr hashes raw UTF-8 bytes. The two are value-equal only
+    // because the synthetic `documents.text` corpus is ASCII and
+    // newline-free (same assumption IncrementalTail's oracle documents);
+    // a corpus with newlines or multibyte characters needs a bytes-based
+    // derivation here (e.g. splitting on chr(10) explicitly).
     val k = 8; val w = 4
     val B = graft.functions.Hashing.FnvPrime
     s"""WITH d AS (

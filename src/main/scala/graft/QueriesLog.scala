@@ -152,6 +152,10 @@ object QueriesLog {
     graft.streaming.LogStreamPipeline.configureFor(s)
     val analyzed = graft.streaming.LogStreamPipeline.analyzed(
       s.readStream.text(inDir), Compiled)
+    // pre-create outDir with the pipeline schema so the read below
+    // succeeds even if the stream commits zero micro-batches
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      analyzed.schema).write.mode("overwrite").parquet(outDir)
     val q = analyzed.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         b.write.mode("append").parquet(outDir); () }
@@ -160,7 +164,7 @@ object QueriesLog {
       .outputMode("append")
       .start()
     q.awaitTermination()
-    s.read.parquet(outDir)
+    val result = s.read.parquet(outDir)
       // sentinels exist only to flush real pendings; whether they are
       // themselves timeout-flushed in a trailing no-data batch is an
       // engine detail — drop them from the rollup either way
@@ -170,6 +174,9 @@ object QueriesLog {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("classification"), col("class_name"), col("n"))
+      .localCheckpoint() // materialize before the temp dir is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    result
   }
 
   // S27 — syslog RFC5424 source adapter: frame the synthetic corpus as

@@ -393,14 +393,36 @@ object PgNormalize {
     * ROLE/USER/GROUP/SUBSCRIPTION statement carrying a string literal
     * (the password/conninfo). EXECUTE/EXPLAIN/etc. constants are NOT
     * rewritten in utility-only mode, so they carry no credential risk. */
+  /** Does `pg_query.NormalizeUtility` rewrite this statement? Per the
+    * reference's normalizer (`parser/pg_query_normalize.c:398-450`),
+    * utility-only normalization records constants ONLY for: Create/Alter
+    * RoleStmt option DefElems whose arg is a *String* (PASSWORD '…',
+    * VALID UNTIL '…' — Integer args like CONNECTION LIMIT 10 are never
+    * recorded), Create/AlterSubscriptionStmt conninfo, and Create/Alter
+    * UserMappingStmt options. `ALTER ROLE … SET cfg = '…'` is an
+    * AlterRoleSetStmt (→ VariableSetStmt, skipped under utility-only)
+    * and `ALTER ROLE x RENAME TO y` is a RenameStmt — neither is
+    * rewritten, so neither is credential risk. */
   def utilityCredentialRisk(q: String): Boolean = {
     val lx = lex(q)
     if (!lx.ok) return false
-    val ws = lx.toks.iterator.filter(_.kind == TWord).take(2)
+    val ws = lx.toks.iterator.filter(_.kind == TWord).take(6)
       .map(t => q.substring(t.start, t.end).toLowerCase).toSeq
     if (ws.length < 2) return false
     if (ws.head != "create" && ws.head != "alter") return false
     if (!Set("role", "user", "group", "subscription").contains(ws(1))) return false
+    val rest = ws.drop(2)
+    val userMapping = ws(1) == "user" && rest.headOption.contains("mapping")
+    if (!userMapping) {
+      // AlterRoleSetStmt / RenameStmt forms are not normalized
+      // `… <name> SET/RESET/RENAME …` and `… ALL IN DATABASE … SET …`
+      if (ws.head == "alter" && ws(1) != "subscription" &&
+          rest.take(2).exists(w =>
+            w == "set" || w == "reset" || w == "rename" || w == "in"))
+        return false
+      // only the conninfo string of a subscription is recorded
+      if (ws(1) == "subscription" && !rest.contains("connection")) return false
+    }
     lx.toks.exists { t =>
       t.kind == TConst && (q.charAt(t.start) == '\'' ||
         (t.start + 1 < q.length && q.charAt(t.start + 1) == '\''))

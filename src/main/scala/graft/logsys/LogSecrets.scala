@@ -52,51 +52,176 @@ object LogSecrets {
   private val paramsPattern = Pattern.compile(
     "(?:parameters: |, )\\$\\d+ = (?:(NULL)|'((?:[^']|'')*)')")
 
-  /** Secondary-line (DETAIL/HINT/CONTEXT) matchers with per-group secret
-    * kinds — the flat union of the reference's per-class `detail:`
-    * matchers (`logs/analyze.go:698-788,849-1174`); kind 0 = reviewed
-    * but not secret. */
-  private val secondaryMatchers: Seq[(Pattern, Seq[Int])] = Seq(
-    ("^prepare: (.+)", Seq(StatementText)),
-    ("^Key \\((.+)\\)=\\((.+)\\) already exists\\.", Seq(0, TableData)),
-    ("^Key \\((.+)\\)=\\((.+)\\) is not present in table \"(.+)\"\\.",
+  /** One secondary-line matcher. `pattern == null` ⇒ prefix-only
+    * (reviewed; remainder after prefix marked UNIDENTIFIED, mirroring
+    * `matchLogLineCommon`'s nil-regexp branch). When a pattern is set,
+    * `prefixes` is an optional cheap prefilter (empty = always try). */
+  private final case class SecMatcher(prefixes: Seq[String], pattern: Pattern,
+      kinds: Seq[Int], matchAll: Boolean = false)
+
+  private def sec(re: String, kinds: Seq[Int], prefixes: Seq[String] = Nil,
+      matchAll: Boolean = false): SecMatcher =
+    SecMatcher(prefixes, Pattern.compile(re), kinds, matchAll)
+
+  private def secPrefix(ps: String*): SecMatcher = SecMatcher(ps, null, Nil)
+
+  /** Secondary-line (DETAIL/HINT/CONTEXT) matchers — the flat union of
+    * the reference's per-class `detail:`/`hint:` matchers
+    * (`logs/analyze.go:50-1120`) plus `otherContextPatterns`
+    * (`analyze.go:1150-1180`); kind 0 = reviewed but not secret.
+    * The reference dispatches these per-classification; the flat union
+    * is equivalent here because the patterns are mutually exclusive on
+    * real Postgres message text (asserted by LogSecretCorpusSpec). */
+  private val secondaryMatchers: Seq[SecMatcher] = Seq(
+    // duration.detail / statementLog.detail parameter values (matchAll)
+    SecMatcher(Seq("parameters: "), paramsPattern,
+      Seq(StatementParameter, StatementParameter), matchAll = true),
+    sec("^prepare: (.+)", Seq(StatementText)),
+    sec("^Key \\((.+)\\)=\\((.+)\\) already exists\\.", Seq(0, TableData)),
+    sec("^Key \\((.+)\\)=\\((.+)\\) is not present in table \"(.+)\"\\.",
       Seq(0, TableData, 0)),
-    ("^Key \\((.+)\\)=\\((.+)\\) is still referenced from table \"(.+)\"\\.",
+    sec("^Key \\((.+)\\)=\\((.+)\\) is still referenced from table \"(.+)\"\\.",
       Seq(0, TableData, 0)),
-    ("^Key \\([^)]+\\)=\\((.+)\\) conflicts with existing key \\([^)]+\\)=\\((.+)\\)\\.",
+    sec("^Key \\([^)]+\\)=\\((.+)\\) conflicts with existing key \\([^)]+\\)=\\((.+)\\)\\.",
       Seq(TableData, TableData)),
-    ("^Failing row contains \\((.+)\\)\\.", Seq(TableData)),
-    ("^Failed process was running: (.*)", Seq(StatementText)),
-    ("^The failed archive command was: (.+)", Seq(Ops)),
-    ("^(?:(?:Role|User|Password does not match for user|Password of user) " +
+    sec("^Failing row contains \\((.+)\\)\\.", Seq(TableData)),
+    sec("^Failed process was running: (.*)", Seq(StatementText)),
+    sec("^The failed archive command was: (.+)", Seq(Ops)),
+    sec("^(?:(?:Role|User|Password does not match for user|Password of user) " +
       "\"([^\"]+)\" ?(?:does not have a valid SCRAM secret|does not exist|" +
       "has no password assigned|has an expired password|" +
       "has a password that cannot be used with MD5 authentication|" +
       "is in unrecognized format)?\\.\\s+)?" +
       "Connection matched pg_hba.conf line \\d+: \"([^\"]+)\"", Seq(0, Ops)),
-    ("^Escape sequence \"(.+)\" is invalid\\.", Seq(TableData)),
-    ("^JSON data, line (\\d+): (.+)", Seq(0, TableData))
-  ).map { case (re, kinds) => (Pattern.compile(re), kinds) }
+    sec("^Escape sequence \"(.+)\" is invalid\\.", Seq(TableData)),
+    sec("^JSON data, line (\\d+): (.+)", Seq(0, TableData)),
+    // lockWait.detail (analyze.go:380-383)
+    sec("^Process(?:es)? holding the lock: ([\\d, ]+). Wait queue: ([\\d, ]+)\\.?",
+      Seq(0, 0)),
+    // deadlock.detail (analyze.go:392-395) — matchAll, multi-line; each
+    // `Process N: <query>` tail is statement text
+    sec("(?m)^Process (\\d+)(?: waits for \\w+ on transaction \\d+; " +
+      "blocked by process \\d+.\\s+|: (.+))", Seq(0, StatementText),
+      matchAll = true),
+    // restartpointAt.detail (analyze.go:160-163)
+    sec("^last completed transaction was at log time " +
+      "(\\d+-\\d+-\\d+ \\d+:\\d+:\\d+\\.\\d+[\\d:+-]+)", Seq(0),
+      prefixes = Seq("last completed transaction was at log time ")),
+    // serverOutOfMemory.detail (analyze.go:475-477)
+    sec("^Failed on request of size (\\d+)\\.", Seq(0)),
+    // wraparoundWarning.hint (analyze.go:413-416)
+    sec("^To avoid a database shutdown, execute a full-database VACUUM in " +
+      "\"(.+)\".\\s+You might also need to commit or roll back old prepared " +
+      "transactions.", Seq(0),
+      prefixes = Seq("To avoid a database shutdown, execute a full-database VACUUM in")),
+    // dependentObjectsStillExist.detail (analyze.go:983-985)
+    sec("^\\w+ (.+) depends on \\w+ (.+)", Seq(0, 0)),
+    // otherContextPatterns (analyze.go:1150-1180), all matchAll
+    sec("^COPY \\w+, line \\d+(?:, column \\w+)?", Nil,
+      prefixes = Seq("COPY"), matchAll = true),
+    sec("PL/pgSQL function (?:[^(]+\\([^)]+\\)|inline_code_block)(.*)",
+      Seq(0), matchAll = true),
+    sec("while updating tuple \\(\\d+,\\d+\\) in relation \"([^\"]+)\"",
+      Seq(0), matchAll = true),
+    sec("while inserting index tuple \\(\\d+,\\d+\\) in relation \"([^\"]+)\"",
+      Seq(0), matchAll = true),
+    sec("(?:(?:unnamed portal|portal \\\"(.+)\\\") with parameters: |, )" +
+      "\\$\\d+ = (?:(NULL)|'((?:[^']|'')*)')",
+      Seq(0, StatementParameter, StatementParameter),
+      prefixes = Seq("portal \"", "unnamed portal "), matchAll = true),
+    // prefix-only detail/hint matchers (reviewed, kind-0): crash
+    // recovery, serialization reason codes, array/int parse hints,
+    // checkpoint/deadlock/wraparound/corruption/cast hints
+    secPrefix(
+      "The postmaster has commanded this server process to roll back the " +
+        "current transaction and exit, because another server process " +
+        "exited abnormally and possibly corrupted shared memory.",
+      "In a moment you should be able to reconnect to the database and " +
+        "repeat your command.",
+      "User query might have needed to see row versions that must be removed.",
+      "Value must be an integer.",
+      "Array value must start with \"{\" or dimension information.",
+      "Unexpected array element.",
+      "Reason code: Canceled on identification as a pivot, during conflict out checking.",
+      "Reason code: Canceled on identification as a pivot, during conflict in checking.",
+      "Reason code: Canceled on identification as a pivot, during write.",
+      "Reason code: Canceled on identification as a pivot, during commit attempt.",
+      "Reason code: Canceled on conflict out to pivot",
+      "Consider increasing the configuration parameter \"max_wal_size\".",
+      "See server log for query details.",
+      "Stop the postmaster and use a standalone backend to vacuum that " +
+        "database. You might also need to commit or roll back old prepared " +
+        "transactions.",
+      "This probably means that some data is corrupted and you will have " +
+        "to use the last backup for recovery.",
+      "If this has occurred more than once some data might be corrupted " +
+        "and you might need to choose an earlier recovery target.",
+      "No function matches the given name and argument types. You might " +
+        "need to add explicit type casts.",
+      "For example, FROM (SELECT ...) [AS] foo.",
+      "No operator matches the given name and argument type(s). You might " +
+        "need to add explicit type casts.",
+      "Ensure that no rows proposed for insertion within the same command " +
+        "have duplicate constrained values.",
+      "Use DROP ... CASCADE to drop the dependent objects too.",
+      "The transaction might succeed if retried."))
 
-  /** Mark a DETAIL/HINT/CONTEXT line: `parameters:` value spans first,
-    * then the flat secondary table; None = no matcher reviewed it. */
-  def secondaryMark(content: String): Option[List[Marker]] = {
-    if (content.startsWith("parameters: ")) {
-      val (found, ms) = detailParamsMark(content)
-      if (found) return Some(ms)
-    }
-    secondaryMatchers.foreach { case (p, kinds) =>
-      val mt = p.matcher(content)
-      if (mt.find()) {
+  /** `matchLogLineCommon` (analyze.go:2078-2193) for one secondary
+    * matcher: leading content before the first match, gaps (≥2 chars)
+    * between matchAll matches and the remainder after the last match are
+    * UNIDENTIFIED; capture groups carry their configured kind (kind 0 =
+    * reviewed, no marker; groups beyond the kinds list = UNIDENTIFIED).
+    * Returns None when the matcher doesn't review the line. */
+  private def markWith(content: String, m: SecMatcher): Option[List[Marker]] = {
+    if (m.pattern == null) {
+      return m.prefixes.find(content.startsWith(_)).map { prefix =>
         val out = ListBuffer.empty[Marker]
-        var g = 0
-        while (g < mt.groupCount() && g < kinds.length) {
-          if (mt.start(g + 1) >= 0 && kinds(g) != 0)
-            out += Marker(mt.start(g + 1), mt.end(g + 1), kinds(g))
-          g += 1
+        if (prefix.length < content.length) {
+          var end = content.length
+          if (content.charAt(end - 1) == '\n') end -= 1
+          if (end - prefix.length > 0) out += Marker(prefix.length, end, Unidentified)
         }
-        return Some(out.toList)
+        out.toList
       }
+    }
+    if (m.prefixes.nonEmpty && !m.prefixes.exists(content.startsWith(_)))
+      return None
+    val mt = m.pattern.matcher(content)
+    if (!mt.find()) return None
+    val out = ListBuffer.empty[Marker]
+    var first = true
+    var prevEnd = 0
+    var more = true
+    while (more) {
+      if (first && mt.start > 0) out += Marker(0, mt.start, Unidentified)
+      if (!first && prevEnd < mt.start - 1) out += Marker(prevEnd, mt.start, Unidentified)
+      var g = 0
+      while (g < mt.groupCount()) {
+        val s = mt.start(g + 1)
+        if (s >= 0) {
+          if (g >= m.kinds.length) out += Marker(s, mt.end(g + 1), Unidentified)
+          else if (m.kinds(g) != 0) out += Marker(s, mt.end(g + 1), m.kinds(g))
+        }
+        g += 1
+      }
+      prevEnd = mt.end
+      first = false
+      more = m.matchAll && mt.find()
+    }
+    if (prevEnd < content.length - 1) {
+      var end = content.length
+      if (content.charAt(end - 1) == '\n') end -= 1
+      if (end - prevEnd > 0) out += Marker(prevEnd, end, Unidentified)
+    }
+    Some(out.toList)
+  }
+
+  /** Mark a DETAIL/HINT/CONTEXT line against the flat secondary table;
+    * None = no matcher reviewed it. */
+  def secondaryMark(content: String): Option[List[Marker]] = {
+    secondaryMatchers.foreach { m =>
+      val r = markWith(content, m)
+      if (r.isDefined) return r
     }
     None
   }
@@ -175,12 +300,17 @@ object LogSecrets {
     * (`markLineAsSecret`, analyze.go:2226-2233). When the associated
     * primary line is a SYNTAX_ERROR, the same span additionally gets a
     * PARSING_ERROR marker so both filters redact it
-    * (analyze.go:1303-1317). */
+    * (analyze.go:1303-1317). The reference then runs `markUtilitySecret`
+    * over the statement line too (analyze.go:2298-2299), so a utility
+    * statement carrying a credential literal also gets an overlapping
+    * CREDENTIAL marker. */
   def statementLineMark(content: String,
       primarySyntaxError: Boolean = false): List[Marker] = {
-    val base = Marker(0, content.length, StatementText)
-    if (primarySyntaxError) List(base, Marker(0, content.length, ParsingError))
-    else List(base)
+    val out = ListBuffer.empty[Marker]
+    out += Marker(0, content.length, StatementText)
+    if (primarySyntaxError) out += Marker(0, content.length, ParsingError)
+    markUtilityCredential(content, out)
+    out.toList
   }
 
   /** ReplaceSecrets splice for one line (`logs/replace.go:20-42`). */

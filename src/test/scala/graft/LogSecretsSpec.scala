@@ -62,6 +62,27 @@ class LogSecretsSpec extends AnyFunSuite {
     assert(got.contains("[redacted]") && got.startsWith("syntax error at or near"))
   }
 
+  test("credential-only filter redacts utility passwords on STATEMENT lines") {
+    assert(LogSecrets.redactLine("ALTER ROLE x PASSWORD 'hunter2'",
+      "STATEMENT", Set(LogSecrets.Credential)) == "[redacted]")
+    // non-utility statement text survives a credential-only filter
+    assert(LogSecrets.redactLine("SELECT 1", "STATEMENT",
+      Set(LogSecrets.Credential)) == "SELECT 1")
+    // Integer role options are not rewritten by NormalizeUtility
+    assert(LogSecrets.redactLine("ALTER ROLE x CONNECTION LIMIT 10",
+      "STATEMENT", Set(LogSecrets.Credential)) == "ALTER ROLE x CONNECTION LIMIT 10")
+  }
+
+  test("deadlock DETAIL statement lists are statement-text spans") {
+    val content = "Process 98: SELECT * FROM t WHERE secret = 'x'"
+    val got = LogSecrets.redactLine(content, "DETAIL", Set(LogSecrets.StatementText))
+    assert(got == "Process 98: [redacted]")
+    // reviewed-but-secret-free detail stays intact under Unidentified filter
+    assert(LogSecrets.redactLine("Failed on request of size 324589128.",
+      "DETAIL", Set(LogSecrets.Unidentified)) ==
+      "Failed on request of size 324589128.")
+  }
+
   test("markers carry byte-accurate spans") {
     val content = "duration: 1242.570 ms  statement: SELECT 1"
     val (reviewed, cls, ms) = LogSecrets.primaryMark(content)
