@@ -156,14 +156,30 @@ object QueriesLog {
     // succeeds even if the stream commits zero micro-batches
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       analyzed.schema).write.mode("overwrite").parquet(outDir)
-    val q = analyzed.writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        b.write.mode("append").parquet(outDir); () }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .start()
-    q.awaitTermination()
+    // Stream-scoped tuning, restored after the drain: 8 state partitions
+    // (the state here is tiny — per-pid pendings — and each partition
+    // pays a per-batch state-store commit), and no trailing no-data
+    // micro-batch (sentinels, not timeouts, flush the real pendings, so
+    // the extra batch only re-plans the pipeline to emit rows the rollup
+    // filters out anyway).
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val oldNoData = s.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val q = analyzed.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", oldNoData)
+    }
     val result = s.read.parquet(outDir)
       // sentinels exist only to flush real pendings; whether they are
       // themselves timeout-flushed in a trailing no-data batch is an
@@ -247,7 +263,14 @@ object QueriesLog {
   // plain syslog-framed string bodies), detail fields fanning out as
   // DETAIL rows. The envelope is synthesized as literal OTLP JSON; the
   // adapter's from_json + kvlist unwrapping is the code under test.
-  def s28OtelLogParse(s: SparkSession, dir: String): DataFrame = {
+  def s28OtelLogParse(s: SparkSession, dir: String): DataFrame =
+    graft.sources.CloudLogs.otelLogLines(s28Payload(s, dir), "payload")
+      .select("event_id", "record_kind", "k8s_pod", "k8s_namespace", "pid",
+        "log_line_no", "log_level", "username", "database", "content",
+        "is_detail")
+
+  /** The synthesized OTLP/JSON payload feed for S28: (event_id, payload). */
+  def s28Payload(s: SparkSession, dir: String): DataFrame = {
     val base = LogSynth.lines(s, dir)
       .withColumn("m", (col("event_id") % 4).cast("int"))
       .withColumn("n", col("event_id") % 1000)
@@ -307,11 +330,7 @@ object QueriesLog {
     val payload = concat(
       lit("""{"resourceLogs":[{"scopeLogs":[{"logRecords":[{"timeUnixNano":"0","""),
       eventName, lit("\"body\":"), body, lit("}]}]}]}"))
-    graft.sources.CloudLogs.otelLogLines(
-      base.select(col("event_id"), payload.as("payload")), "payload")
-      .select("event_id", "record_kind", "k8s_pod", "k8s_namespace", "pid",
-        "log_line_no", "log_level", "username", "database", "content",
-        "is_detail")
+    base.select(col("event_id"), payload.as("payload"))
   }
 
   // S29 — Heroku HTTPS log-drain adapter: octet-framed syslog bodies

@@ -36,7 +36,12 @@ object CloudLogs {
     * (project_id, instance_id, log_time, severity, content). */
   def gcpLogStream(df: DataFrame, jsonCol: String): DataFrame = {
     val m = from_json(col(jsonCol), GcpSchema)
-    df.withColumn("_m", m)
+    // explode(array(…)) is a deliberate optimizer fence: predicates on
+    // generator output are not pushed below a Generate, so the JSON is
+    // parsed exactly once per row — a bare aliased column would be
+    // substituted into each pushed-down filter conjunct and re-parse
+    // the payload ~5× per row.
+    df.withColumn("_m", explode(array(m)))
       .filter(col("_m").isNotNull &&
         col("_m.resource.type") === "cloudsql_database" &&
         col("_m.logName").endsWith("postgres.log"))
@@ -125,68 +130,78 @@ object CloudLogs {
     val parsedVals = get(filter(subKvlist(topVals, "metadata"),
       v => v.getField("key") === "parsed"), lit(0))
       .getField("value").getField("kvlistValue").getField("values")
+    // Build every kvlist map (and the plain-body syslog parse) ONCE per
+    // record in one projection behind an explode(array(…)) fence:
+    // predicates on generator output are not pushed below a Generate, so
+    // the transform/filter array traversals and regex passes are not
+    // re-evaluated per pushed-down filter conjunct or per downstream
+    // field access. Kind/record resolution after the fence is plain map
+    // lookups on the fenced structs — cheap to duplicate.
+    val hasKv = col("_lr.body.kvlistValue").isNotNull
+    val bundle = struct(
+      when(hasKv, kvMap(topVals)).as("top"),
+      when(hasKv, kvMap(parsedVals)).as("parsedmap"),
+      when(hasKv, kvMap(subKvlist(topVals, "record"))).as("recmap"),
+      when(hasKv, kvMap(subKvlist(topVals, "kubernetes"))).as("k8smap"),
+      when(!hasKv, Syslog.parsedStruct(col("_lr.body.stringValue"))).as("ps"))
+    val kind =
+      when(col("_b.parsedmap").isNotNull, "supabase")
+        .when(col("_b.top")("logger") === "postgres", "k8s")
+        .when(col("_b.top")("error_severity").isNotNull, "jsonlog")
+        .when(!hasKv && col("_lr.body.stringValue").isNotNull &&
+          col("_lr.body.stringValue") =!= "", "plain")
     val kv = recs
-      .withColumn("_has_kv", col("_lr.body.kvlistValue").isNotNull)
-      .withColumn("_top", when(col("_has_kv"), kvMap(topVals)))
-      .withColumn("_logger", col("_top")("logger"))
-      .withColumn("_parsed", when(col("_has_kv"), parsedVals))
-      .withColumn("_kind",
-        when(col("_has_kv") && col("_parsed").isNotNull, "supabase")
-          .when(col("_has_kv") && col("_logger") === "postgres", "k8s")
-          .when(col("_has_kv") && col("_top")("error_severity").isNotNull,
-            "jsonlog")
-          .when(!col("_has_kv") &&
-            col("_lr.body.stringValue").isNotNull &&
-            col("_lr.body.stringValue") =!= "", "plain"))
+      .withColumn("_b", explode(array(bundle)))
+      .withColumn("_kind", kind)
       // not recognized → rejected (otel_handler.go:229-245)
       .filter(col("_kind").isNotNull)
-    val jsonRows = kv.filter(col("_kind") =!= "plain")
+    // Single pass: each row yields 1–2 output structs (main + optional
+    // DETAIL) inlined by one generator — a union of filtered branches
+    // would re-run the JSON parse and payload synthesis once per branch.
+    val enriched = kv
       .withColumn("_rec",
-        when(col("_kind") === "k8s", kvMap(subKvlist(topVals, "record")))
-          .when(col("_kind") === "supabase", kvMap(col("_parsed")))
-          .otherwise(col("_top")))
-      .withColumn("_k8s",
-        when(col("_kind") === "k8s", kvMap(subKvlist(topVals, "kubernetes"))))
-    def jsonCols(contentCol: org.apache.spark.sql.Column,
+        when(col("_kind") === "k8s", col("_b.recmap"))
+          .when(col("_kind") === "supabase", col("_b.parsedmap"))
+          .otherwise(col("_b.top")))
+      .withColumn("_k8s", when(col("_kind") === "k8s", col("_b.k8smap")))
+    def rec(k: String) = col("_rec")(k)
+    def jsonStruct(contentCol: org.apache.spark.sql.Column,
         levelCol: org.apache.spark.sql.Column, isDetail: Boolean) =
-      Seq(
+      struct(
         col("_kind").as("record_kind"),
         col("_k8s")("pod_name").as("k8s_pod"),
         col("_k8s")("namespace_name").as("k8s_namespace"),
-        col("_rec")("process_id").cast("long").as("pid"),
-        col("_rec")("session_line_num").cast("long").as("log_line_no"),
-        levelCol.as("log_level"),
-        col("_rec")("user_name").as("username"),
-        col("_rec")("database_name").as("database"),
-        contentCol.as("content"),
+        rec("process_id").cast("long").as("pid"),
+        rec("session_line_num").cast("long").as("log_line_no"),
+        levelCol.cast("string").as("log_level"),
+        rec("user_name").as("username"),
+        rec("database_name").as("database"),
+        contentCol.cast("string").as("content"),
         lit(isDetail).as("is_detail"))
-    val main = jsonRows.select(
-      df.columns.map(col) ++ jsonCols(
-        // Supabase carries the message on the record's EventName
-        when(col("_kind") === "supabase", col("_lr.eventName"))
-          .otherwise(col("_rec")("message")),
-        col("_rec")("error_severity"), isDetail = false): _*)
-    val details = jsonRows
-      .filter(col("_rec")("detail").isNotNull && col("_rec")("detail") =!= "")
-      .select(df.columns.map(col) ++ jsonCols(col("_rec")("detail"),
-        lit("DETAIL"), isDetail = true): _*)
-    val plain = Syslog.parsed(
-      kv.filter(col("_kind") === "plain")
-        .select(df.columns.map(col) :+ col("_lr.body.stringValue").as("_line"): _*),
-      "_line")
-      .select(
-        df.columns.map(col) ++ Seq(
-          lit("plain").as("record_kind"),
-          lit(null).cast("string").as("k8s_pod"),
-          lit(null).cast("string").as("k8s_namespace"),
-          col("pid"),
-          col("log_line_no"),
-          lit(null).cast("string").as("log_level"),
-          lit(null).cast("string").as("username"),
-          lit(null).cast("string").as("database"),
-          col("content"),
-          lit(false).as("is_detail")): _*)
-    main.unionByName(details).unionByName(plain)
+    val mainStruct = jsonStruct(
+      // Supabase carries the message on the record's EventName
+      when(col("_kind") === "supabase", col("_lr.eventName"))
+        .otherwise(rec("message")),
+      rec("error_severity"), isDetail = false)
+    val detailStruct = jsonStruct(rec("detail"), lit("DETAIL"), isDetail = true)
+    val ps = col("_b.ps")
+    val plainStruct = struct(
+      col("_kind").as("record_kind"),
+      lit(null).cast("string").as("k8s_pod"),
+      lit(null).cast("string").as("k8s_namespace"),
+      ps.getField("pid").as("pid"),
+      ps.getField("log_line_no").as("log_line_no"),
+      lit(null).cast("string").as("log_level"),
+      lit(null).cast("string").as("username"),
+      lit(null).cast("string").as("database"),
+      ps.getField("content").as("content"),
+      lit(false).as("is_detail"))
+    val rows =
+      when(col("_kind") === "plain", array(plainStruct))
+        .when(rec("detail").isNotNull && rec("detail") =!= "",
+          array(mainStruct, detailStruct))
+        .otherwise(array(mainStruct))
+    enriched.select(df.columns.map(col) :+ inline(rows): _*)
   }
 
   // ----------------------------------------------------------------- Azure
@@ -242,23 +257,24 @@ object CloudLogs {
         concat(col("_r.properties.prefix"), col("_r.properties.errorLevel"),
           lit(":  "), repaired))
         .otherwise(msg))
-    val base = lined.select(
-      df.columns.map(col) ++ Seq(
-        col("server_name"),
-        col("_r.time").as("log_time"),
-        col("_r.properties.errorLevel").as("log_level"),
-        col("line"),
-        lit(false).as("is_detail")): _*)
-    val details = lined
-      .filter(col("_r.properties.detail").isNotNull &&
-        col("_r.properties.detail") =!= "")
-      .select(
-        df.columns.map(col) ++ Seq(
-          col("server_name"),
-          col("_r.time").as("log_time"),
-          lit("DETAIL").as("log_level"),
-          col("_r.properties.detail").as("line"),
-          lit(true).as("is_detail")): _*)
-    base.unionByName(details)
+    // Single pass (as in [[otelLogLines]]): 1–2 output structs per
+    // record, one generator, instead of a union that re-parses the
+    // envelope per branch.
+    val detail = col("_r.properties.detail")
+    val mainStruct = struct(
+      col("server_name"),
+      col("_r.time").as("log_time"),
+      col("_r.properties.errorLevel").as("log_level"),
+      col("line"),
+      lit(false).as("is_detail"))
+    val detailStruct = struct(
+      col("server_name"),
+      col("_r.time").as("log_time"),
+      lit("DETAIL").as("log_level"),
+      detail.as("line"),
+      lit(true).as("is_detail"))
+    val rows = when(detail.isNotNull && detail =!= "",
+      array(mainStruct, detailStruct)).otherwise(array(mainStruct))
+    lined.select(df.columns.map(col) :+ inline(rows): _*)
   }
 }

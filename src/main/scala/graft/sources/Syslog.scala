@@ -46,38 +46,35 @@ object Syslog {
       graft.functions.expressions.RegexGroupsExpr(
         org.apache.spark.sql.GraftNative.expression(c), regex, n))
 
-  /** De-frame a raw `lineCol` into typed syslog fields:
-    * (pri, version, log_time, host, app, pid, msgid, log_line_no, chunk,
-    * content, syslog_framed). */
-  def parsed(df: DataFrame, lineCol: String): DataFrame = {
-    val g = groups(col(lineCol), FrameRegex, FrameGroups)
-    val withFrame = df
-      .withColumn("_sys", g)
-      .withColumn("syslog_framed", col("_sys").isNotNull)
-      .withColumn("_msg",
-        when(col("syslog_framed"), element_at(col("_sys"), 9))
-          .otherwise(col(lineCol)))
-      .withColumn("_sd", element_at(col("_sys"), 8))
-    val mk = groups(col("_msg"), MarkerRegex, 3)
-    val sdmk = groups(col("_sd"), SdMarkerRegex, 2)
-    withFrame
-      .withColumn("_mk", mk)
-      .withColumn("_sdmk", sdmk)
-      .select(
-        df.columns.map(col) ++ Seq(
-          col("syslog_framed"),
-          element_at(col("_sys"), 1).cast("int").as("pri"),
-          element_at(col("_sys"), 3).as("log_time"),
-          element_at(col("_sys"), 4).as("host"),
-          element_at(col("_sys"), 5).as("app"),
-          element_at(col("_sys"), 6).cast("long").as("pid"),
-          coalesce(
-            element_at(col("_mk"), 1).cast("long"),
-            element_at(col("_sdmk"), 1).cast("long")).as("log_line_no"),
-          coalesce(
-            element_at(col("_mk"), 2).cast("long"),
-            element_at(col("_sdmk"), 2).cast("long")).as("chunk"),
-          when(col("_mk").isNotNull, element_at(col("_mk"), 3))
-            .otherwise(col("_msg")).as("content")): _*)
+  /** The same parse as [[parsed]] as one struct-valued column, so
+    * adapters (e.g. the OTel plain-body branch) can embed the syslog
+    * fields in a wider single-pass projection without a separate
+    * DataFrame branch. */
+  def parsedStruct(line: Column): Column = {
+    val sys = groups(line, FrameRegex, FrameGroups)
+    val msg = when(sys.isNotNull, element_at(sys, 9)).otherwise(line)
+    val mk = groups(msg, MarkerRegex, 3)
+    val sdmk = groups(element_at(sys, 8), SdMarkerRegex, 2)
+    struct(
+      sys.isNotNull.as("syslog_framed"),
+      element_at(sys, 1).cast("int").as("pri"),
+      element_at(sys, 3).as("log_time"),
+      element_at(sys, 4).as("host"),
+      element_at(sys, 5).as("app"),
+      element_at(sys, 6).cast("long").as("pid"),
+      coalesce(
+        element_at(mk, 1).cast("long"),
+        element_at(sdmk, 1).cast("long")).as("log_line_no"),
+      coalesce(
+        element_at(mk, 2).cast("long"),
+        element_at(sdmk, 2).cast("long")).as("chunk"),
+      when(mk.isNotNull, element_at(mk, 3)).otherwise(msg).as("content"))
   }
+
+  /** De-frame a raw `lineCol` into typed syslog fields:
+    * (syslog_framed, pri, log_time, host, app, pid, log_line_no, chunk,
+    * content). */
+  def parsed(df: DataFrame, lineCol: String): DataFrame =
+    df.withColumn("_p", parsedStruct(col(lineCol)))
+      .select(df.columns.map(col) :+ expr("_p.*"): _*)
 }

@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc per-query timing: `runMain graft.tools.TimeQ q1 q2 …` times
+  * each named SparkEntry query at sf0.1 with one warmup run, using the
+  * same full-materialization hash as Bench. */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def force(name: String): Unit = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.agg(sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+        .cast("decimal(38,0)"))).head
+    }
+    args.foreach { n =>
+      force(n)
+      val t0 = System.nanoTime()
+      force(n)
+      println(f"TIME $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
