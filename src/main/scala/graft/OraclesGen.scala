@@ -268,6 +268,69 @@ object OraclesGen {
     * to the engine's rolling update mod 2^64), HUGEINT window minima
     * (= the engine's unsigned compare), signed conversion, distinct
     * sort. */
+  /** Connected components over the bounded exact-Jaccard pair graph:
+    * the recursive CTE propagates only labels smaller than the target
+    * node (the final component is the min reachable id, so larger
+    * labels can never win), which also bounds the closure. */
+  val dedupComponents: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+      |                              w -> len(w) > 0)) AS ws
+      |  FROM documents WHERE doc_id < 300
+      |), t AS (SELECT doc_id, unnest(ws) AS w FROM d),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+      |c AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT id_a, id_b FROM c
+      |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |n AS (SELECT DISTINCT src AS id FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
+      |  WHERE r.lbl < e.dst),
+      |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+      |SELECT id AS doc_id, component,
+      |  count(*) OVER (PARTITION BY component) AS cluster_size
+      |FROM comp""".stripMargin
+
+  /** 64-token chunks on a 48-token stride; DuckDB list slicing is
+    * 1-based inclusive, mirroring Spark's `slice(ws, start+1, 64)`. */
+  val docChunking: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |                w -> len(w) > 0) AS ws
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, ws, len(ws) AS n,
+      |    unnest(range(CAST(ceil(len(ws) / 48.0) AS BIGINT))) AS chunk_idx
+      |  FROM d WHERE len(ws) > 0)
+      |SELECT doc_id, chunk_idx,
+      |  array_to_string(ws[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, n)],
+      |                  ' ') AS chunk_text,
+      |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_tokens
+      |FROM c""".stripMargin
+
+  /** FNV-routed 80/10/10 split; same byte-wise FNV-1a as the engine
+    * (`split:<doc_id>` is ASCII so the codepoint derivation is exact). */
+  val sampleSplit: String = {
+    val h = fnvHuge("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id,
+       |  CAST($h % 256 AS BIGINT) AS bucket,
+       |  CASE WHEN $h % 256 < 204 THEN 'train'
+       |       WHEN $h % 256 < 230 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
   val docWinnow: String = {
     // NOTE: byte-derivation assumption — `regexp_extract_all(text, '.')`
     // does not match newlines (RE2) and `ord()` yields codepoints, while
@@ -517,6 +580,9 @@ object OraclesGen {
   val sql: Map[String, String] = Map(
     "x7_autovacuum_details" -> x7AutovacuumDetails,
     "x9_spans" -> x9Spans,
+    "dedup_components" -> dedupComponents,
+    "doc_chunking" -> docChunking,
+    "sample_split" -> sampleSplit,
     "x12_explain_normalize" -> x12ExplainNormalize,
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_frame_sample" -> mmFrameSample,

@@ -188,4 +188,58 @@ object QueriesText {
     Tables.documents(s, dir).select(
       col("doc_id"),
       TextFns.contentFingerprint(col("text")).as("fingerprint"))
+
+  /** Dedup cluster assignment: connected components over the bounded
+    * exact-Jaccard pair graph (the scale path feeds
+    * [[Dedup.lshCandidates]] pairs instead — same operator). Output:
+    * (doc_id, component = min id in cluster, cluster_size). */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 300),
+      "doc_id", "text", threshold = 0.8)
+    Dedup.connectedComponents(pairs)
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))))
+      .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+  }
+
+  /** Token-window document chunking for context-bounded training
+    * samples: 64-token chunks on a 48-token stride (16-token overlap),
+    * per-row `sequence`+`explode` — no shuffle, no UDF. */
+  def docChunking(s: SparkSession, dir: String): DataFrame = {
+    val chunkLen = 64
+    val stride = 48
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") > 0)
+    d.select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0),
+          ceil(col("n").cast("double") / stride).cast("int") - 1)).as("chunk_idx"))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("ws"), col("chunk_idx") * stride + 1,
+          lit(chunkLen)), " ").as("chunk_text"),
+        least(lit(chunkLen), col("n") - col("chunk_idx") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
+  /** Deterministic train/validation/test split: FNV-1a over
+    * `split:<doc_id>` routes each document to a bucket in [0, 256) —
+    * 80/10/10 by bucket range, reproducible across engines and cluster
+    * topologies (no `rand()`, no seed-dependent `hash()`). */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.Fnv64Expr(
+        org.apache.spark.sql.GraftNative.expression(
+          concat(lit("split:"), col("doc_id").cast("string")))))
+    val bucket = h.bitwiseAND(lit(255L))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < 204, "train")
+        .when(bucket < 230, "validation")
+        .otherwise("test").as("split"))
+  }
 }

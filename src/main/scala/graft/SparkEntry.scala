@@ -85,6 +85,9 @@ object SparkEntry {
     // training-data pipeline extensions
     "dedup_exact" -> (QueriesText.dedupExact _),
     "dedup_ngram_jaccard" -> (QueriesText.dedupNgramJaccard _),
+    "dedup_components" -> (QueriesText.dedupComponents _),
+    "doc_chunking" -> (QueriesText.docChunking _),
+    "sample_split" -> (QueriesText.sampleSplit _),
     "dedup_minhash_lsh" -> (QueriesText.dedupMinhashLsh _),
     "dedup_simhash" -> (QueriesText.dedupSimhash _),
     "embed_cosine_topk" -> (QueriesText.embedCosineTopK _),

@@ -183,3 +183,18 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
     copy(child = newChild)
 }
+
+/** FNV-1a 64 of a string's UTF-8 bytes as a signed long (the unsigned
+  * value is the same 64 bits; oracles compare via HUGEINT). Used for
+  * deterministic, engine-owned row routing — e.g. train/validation/test
+  * sample splits — where the assignment must be reproducible across
+  * Spark versions, JVMs and cluster topologies (unlike `rand()`, and
+  * unlike `hash()`/`xxhash64()` which DuckDB cannot reproduce). */
+case class Fnv64Expr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.fnv(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Fnv64Expr =
+    copy(child = newChild)
+}

@@ -190,4 +190,71 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  // ---------------------------------------------------- connected components
+
+  /** Dedup cluster assignment: connected components over a near-dup pair
+    * graph — the step that turns pairwise candidates ([[lshCandidates]],
+    * [[simhashPairs]], [[ngramJaccardPairs]]) into keep/drop decisions
+    * (one canonical document per cluster). Returns (id, component) where
+    * `component` is the smallest id in the cluster — deterministic
+    * regardless of iteration order or partitioning. Only ids that appear
+    * in a pair are returned (singletons are their own cluster trivially).
+    *
+    * Algorithm: min-label propagation with pointer-jumping — each round
+    * every node takes the least of (its label, its neighbors' labels,
+    * its *label's* label). The neighbor step is a broadcast-free
+    * equi-join + map-side-combining groupBy; the pointer-jumping step
+    * (label-of-label, a self-join on the label table) halves remaining
+    * path lengths each round, so convergence is O(log diameter) rounds
+    * rather than O(diameter). Near-dup graphs are clique-like (a cluster
+    * of k near-identical docs has ~k² candidate pairs), so real corpora
+    * converge in 2–3 rounds; `maxIters` guards pathological chains.
+    * Each round's labels are materialized (`localCheckpoint`) to
+    * truncate the iterative lineage — on a cluster, checkpointing to
+    * reliable storage does the same job; the edge list is persisted once
+    * and re-read every round instead of being recomputed from text. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init = node set + the first neighbor-min round in one aggregation
+    // (both edge directions are present, so every node appears as src)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("component"))
+      .localCheckpoint()
+    var i = 0
+    var done = false
+    while (i < maxIters && !done) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("component")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("nbr_min"))
+      // pointer jumping: the label of my label (labels always carry node
+      // ids, so the lookup always resolves)
+      val ptr = labels.select(col("id").as("ptr_id"), col("component").as("ptr_min"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(ptr, col("component") === col("ptr_id"), "left")
+        .select(col("id"),
+          least(
+            col("component"),
+            coalesce(col("nbr_min"), col("component")),
+            coalesce(col("ptr_min"), col("component"))).as("component"))
+        .localCheckpoint()
+      done = next
+        .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
+        .filter(col("component") < col("prev"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -133,4 +133,35 @@ class DedupSimilaritySpec extends SparkSpec {
       bits = 2, sigs = 2, dim = 4, maxBucket = 5)
     assert(capped.count() === 0)
   }
+
+  test("connected components: transitive chains collapse to the min id") {
+    // two clusters: {1,2,3} via chain 1-2, 2-3 and {7,9}; 5 is isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connected components: a long path converges within maxIters") {
+    val n = 64 // path 0-1-2-…-64: diameter stresses the propagation loop
+    val pairs = (0L until n).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(comps.length == n.toInt + 1 && comps.forall(_._2 == 0L))
+  }
+
+  test("sample split is deterministic and ~80/10/10") {
+    val d = (0L until 512L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // same routing as QueriesText.sampleSplit, against the pure kernel
+    val h = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.Fnv64Expr(
+        org.apache.spark.sql.GraftNative.expression(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("split:"),
+            org.apache.spark.sql.functions.col("doc_id").cast("string")))))
+    val buckets = d.select(col("doc_id"), h.bitwiseAND(lit(255L)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets.values.forall(b => b >= 0 && b < 256))
+    assert(buckets(0L) ==
+      (graft.functions.Hashing.fnv1a64("split:0") & 255L))
+  }
 }
