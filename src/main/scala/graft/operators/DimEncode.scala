@@ -29,11 +29,9 @@ object DimEncode {
     * engine-default broadcast budget). */
   val DefaultMaxBroadcastRows = 150000L
 
-  /** Returns (dim, fact): dim = (value, idx) with 1-based dense index by
-    * sorted value (nulls first); fact = input with `<col>_idx` added.
-    * Null-safe join: a NULL dimension value still gets an index. */
-  def encode(df: DataFrame, dimCol: String,
-      maxBroadcastRows: Long = DefaultMaxBroadcastRows): (DataFrame, DataFrame) = {
+  /** (dim table, distinct-count) for one dimension column: (value, idx)
+    * with 1-based dense index by sorted value (nulls first). */
+  private def dimTable(df: DataFrame, dimCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val idxCol = s"${dimCol}_idx"
     val valueField = df.select(dimCol).schema.fields.head
@@ -49,10 +47,41 @@ object DimEncode {
     }
     val dim = spark.createDataFrame(indexed,
       StructType(Seq(valueField, StructField(idxCol, IntegerType, nullable = false))))
+    (dim, dimRows)
+  }
+
+  /** Returns (dim, fact): dim = (value, idx) with 1-based dense index by
+    * sorted value (nulls first); fact = input with `<col>_idx` added.
+    * Null-safe join: a NULL dimension value still gets an index. */
+  def encode(df: DataFrame, dimCol: String,
+      maxBroadcastRows: Long = DefaultMaxBroadcastRows): (DataFrame, DataFrame) = {
+    val (dim, dimRows) = dimTable(df, dimCol)
     val dimSide = if (dimRows <= maxBroadcastRows) broadcast(dim) else dim
     val fact = df.join(dimSide, df(dimCol) <=> dim(dimCol))
       .drop(dim(dimCol))
     (dim, fact)
+  }
+
+  /** Encode several dimensions of one fact table. Each dim build runs
+    * its distinct→sort→count→zipWithIndex jobs on a separate thread, so
+    * the three-dim snapshot assembly overlaps its per-dim job latency
+    * (Spark schedules concurrent jobs from one session freely) instead
+    * of paying it serially; the fact then joins every dim in a single
+    * plan. Returns (dims by column, fact with all `<col>_idx` added). */
+  def encodeAll(df: DataFrame, dimCols: Seq[String],
+      maxBroadcastRows: Long = DefaultMaxBroadcastRows)
+      : (Map[String, DataFrame], DataFrame) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = dimCols.map(c => c -> Future(dimTable(df, c)))
+    val dims = futures.map { case (c, f) => c -> Await.result(f, Duration.Inf) }
+    var fact = df
+    dims.foreach { case (c, (dim, rows)) =>
+      val dimSide = if (rows <= maxBroadcastRows) broadcast(dim) else dim
+      fact = fact.join(dimSide, fact(c) <=> dim(c)).drop(dim(c))
+    }
+    (dims.map { case (c, (dim, _)) => c -> dim }.toMap, fact)
   }
 
   /** Integrity check mirroring the reference's verifyIntegrity

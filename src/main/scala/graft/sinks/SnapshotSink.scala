@@ -32,9 +32,10 @@ object SnapshotSink {
     // (materialization + memory format) than the repeated lineage walks
     // save; the aggregated stats are small and the scans are pruned.
     val stats = CatalogSynth.statementStats(s, dir)
-    val (dbDim, f1) = DimEncode.encode(stats, "db_oid")
-    val (roleDim, f2) = DimEncode.encode(f1, "user_oid")
-    val (queryDim, f3) = DimEncode.encode(f2, "query_id")
+    val (dims, f3) = DimEncode.encodeAll(
+      stats, Seq("db_oid", "user_oid", "query_id"))
+    val (dbDim, roleDim, queryDim) =
+      (dims("db_oid"), dims("user_oid"), dims("query_id"))
     val fact = f3.select(
       col("db_oid_idx"), col("user_oid_idx"), col("query_id_idx"),
       col("toplevel"), col("calls"), col("total_ms"))
