@@ -150,20 +150,29 @@ object Similarity {
       cents = cents.select(col("cluster"), col("centroid").as("prev"))
         .join(updated, Seq("cluster"), "left")
         .select(col("cluster"), coalesce(col("centroid"), col("prev")).as("centroid"))
+        // k tiny rows: materialize so iteration i+1 (and every downstream
+        // consumer — list assignment AND query probing both re-reference
+        // cents) doesn't re-run the whole k-means lineage
+        .localCheckpoint()
       i += 1
     }
     cents
   }
 
-  /** Nearest-centroid assignment: (id, vec, cluster). */
+  /** Nearest-centroid assignment: (id, vec, cluster). Per-id argmax via
+    * `max_by` over (sim, -cluster) — a map-side-combining hash aggregate
+    * instead of a sort window, same tie-break (highest sim, then lowest
+    * cluster id). */
   def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     val scored = emb.crossJoin(broadcast(cents))
       .withColumn("sim", expr(
         """aggregate(zip_with(vec, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)
           | / (sqrt(aggregate(vec, 0D, (a, x) -> a + cast(x as double) * x))
           |    * sqrt(aggregate(centroid, 0D, (a, x) -> a + x * x)))""".stripMargin))
-    val w = Window.partitionBy("id").orderBy(col("sim").desc, col("cluster"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    scored.groupBy("id").agg(
+      first(col("vec")).as("vec"),
+      max_by(col("cluster"),
+        struct(col("sim"), (-col("cluster")).cast("int"))).as("cluster"))
       .select("id", "vec", "cluster")
   }
 
