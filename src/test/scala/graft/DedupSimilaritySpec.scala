@@ -149,6 +149,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(comps.length == n.toInt + 1 && comps.forall(_._2 == 0L))
   }
 
+  test("connected components agree with union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> {
+        // canonical = min node id in the component among ids in the graph
+        val root = find(id.toInt)
+        edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .filter(j => find(j.toInt) == root).min
+      }).toMap
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("sample split is deterministic and ~80/10/10") {
     val d = (0L until 512L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // same routing as QueriesText.sampleSplit, against the pure kernel
