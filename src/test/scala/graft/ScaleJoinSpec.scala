@@ -57,4 +57,29 @@ class ScaleJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS dim_query_b")
     }
   }
+
+  test("per-row pipeline operators plan with no Exchange") {
+    // chunking and split routing are pure map-side work: any shuffle in
+    // these plans would be a scale regression
+    val chunks = QueriesText.docChunking(spark, Sf)
+    val split = QueriesText.sampleSplit(spark, Sf)
+    Seq("doc_chunking" -> chunks, "sample_split" -> split).foreach {
+      case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
+    }
+  }
+
+  test("cloud adapters parse the envelope exactly once per record") {
+    // the explode(array(...)) fences keep pushed-down filters from
+    // re-substituting from_json per conjunct (a per-row 5x JSON parse)
+    Seq(
+      "s30_gcp_log_parse" -> QueriesLog.s30GcpLogParse(spark, Sf),
+      "s28_otel_log_parse" -> QueriesLog.s28OtelLogParse(spark, Sf)).foreach {
+      case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        val n = "from_json".r.findAllIn(plan).length
+        assert(n == 1, s"$name must parse JSON once, found $n:\n${plan.take(2000)}")
+    }
+  }
 }
