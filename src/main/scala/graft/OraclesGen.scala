@@ -319,6 +319,18 @@ object OraclesGen {
       |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_tokens
       |FROM c""".stripMargin
 
+  /** Top-100 vocabulary by document frequency; (df DESC, w) is a total
+    * order so the limit is deterministic in both engines. */
+  val textVocabTopK: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+      |                              w -> len(w) > 0)) AS ws
+      |  FROM documents),
+      |t AS (SELECT doc_id, unnest(ws) AS w FROM d)
+      |SELECT w, count(*) AS df FROM t GROUP BY w
+      |ORDER BY df DESC, w LIMIT 100""".stripMargin
+
   /** FNV-routed 80/10/10 split; same byte-wise FNV-1a as the engine
     * (`split:<doc_id>` is ASCII so the codepoint derivation is exact). */
   val sampleSplit: String = {
@@ -583,6 +595,7 @@ object OraclesGen {
     "dedup_components" -> dedupComponents,
     "doc_chunking" -> docChunking,
     "sample_split" -> sampleSplit,
+    "text_vocab_topk" -> textVocabTopK,
     "x12_explain_normalize" -> x12ExplainNormalize,
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_frame_sample" -> mmFrameSample,

@@ -225,6 +225,16 @@ object QueriesText {
           .cast("long").as("n_tokens"))
   }
 
+  /** Corpus vocabulary: top-100 tokens by document frequency —
+    * map-side-combining partial aggregation into a global
+    * TakeOrderedAndProject (no full sort at any scale); ties broken by
+    * token so the top-k is a deterministic total order. */
+  def textVocabTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextFns.wordSet(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(100)
+
   /** Deterministic train/validation/test split: FNV-1a over
     * `split:<doc_id>` routes each document to a bucket in [0, 256) —
     * 80/10/10 by bucket range, reproducible across engines and cluster

@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup_components" -> (QueriesText.dedupComponents _),
     "doc_chunking" -> (QueriesText.docChunking _),
     "sample_split" -> (QueriesText.sampleSplit _),
+    "text_vocab_topk" -> (QueriesText.textVocabTopK _),
     "dedup_minhash_lsh" -> (QueriesText.dedupMinhashLsh _),
     "dedup_simhash" -> (QueriesText.dedupSimhash _),
     "embed_cosine_topk" -> (QueriesText.embedCosineTopK _),
