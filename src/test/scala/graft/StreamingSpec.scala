@@ -111,6 +111,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stitch caps content at MaxStitchedBytes and flags truncation") {
+    // the reference's StitchBuffer cap semantics (logs/stitch_test.go):
+    // content beyond the byte cap is dropped, not grown without bound
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Stitch.RawLine]
+    val out = Stitch(input.toDS().withWatermark("ts", "3 seconds"))
+    val q = out.writeStream.format("memory").queryName("scap")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val nearCap = "x" * (Stitch.MaxStitchedBytes - 10)
+      input.addData(
+        Stitch.RawLine(1L, ts("2024-01-01 00:00:00"), "LOG", nearCap, 1),
+        // 100-byte continuation: only 10 bytes of room remain (9 after \n)
+        Stitch.RawLine(1L, ts("2024-01-01 00:00:00"), "UNKNOWN", "y" * 100, 2),
+        // second continuation: zero room, dropped whole
+        Stitch.RawLine(1L, ts("2024-01-01 00:00:00"), "UNKNOWN", "z" * 100, 3))
+      q.processAllAvailable()
+      input.addData(Stitch.RawLine(1L, ts("2024-01-01 00:00:01"), "LOG", "next", 4))
+      q.processAllAvailable()
+      val got = spark.table("scap").as[Stitch.StitchedLine].collect()
+        .filter(_.nLines == 3)
+      assert(got.length == 1)
+      val line = got.head
+      assert(line.truncated, "over-cap stitch must be flagged truncated")
+      assert(line.content.getBytes("UTF-8").length <= Stitch.MaxStitchedBytes)
+      assert(line.content.endsWith("\n" + "y" * 9), "partial room is clipped, not dropped")
+      assert(!line.content.contains("z"), "zero-room continuation dropped whole")
+    } finally q.stop()
+  }
+
   test("W9: per-batch enrichment via foreachBatch (classify + redact)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
