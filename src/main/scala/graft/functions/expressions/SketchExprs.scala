@@ -198,3 +198,29 @@ case class Fnv64Expr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): Fnv64Expr =
     copy(child = newChild)
 }
+
+/** Fraction of agreeing positions between two equal-length long-array
+  * minhash signatures (`est_jaccard`). Replaces the interpreted
+  * `zip_with` + `filter` + `size` higher-order pipeline on the candidate
+  *-pair hot path — one primitive loop per pair instead of per-element
+  * lambda dispatch. */
+case class SigAgreeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) eq += 1
+      i += 1
+    }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreeExpr =
+    copy(left = newLeft, right = newRight)
+}

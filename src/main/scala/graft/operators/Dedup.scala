@@ -105,8 +105,11 @@ object Dedup {
       .join(sigsP.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigsP.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (u, v) => u === v),
-          x => x)).cast("double") / NumPerms).as("est_jaccard"))
+        org.apache.spark.sql.GraftNative.column(
+          graft.functions.expressions.SigAgreeExpr(
+            org.apache.spark.sql.GraftNative.expression(col("sig_a")),
+            org.apache.spark.sql.GraftNative.expression(col("sig_b"))))
+          .as("est_jaccard"))
   }
 
   // ---------------------------------------------------------------- simhash
