@@ -29,6 +29,11 @@ object Similarity {
     GraftNative.column(CosineSimilarity(
       GraftNative.expression(a), GraftNative.expression(b)))
 
+  /** float vector × double vector (IVF centroids). */
+  def cosineFD(a: Column, b: Column): Column =
+    GraftNative.column(graft.functions.expressions.CosineSimilarityFD(
+      GraftNative.expression(a), GraftNative.expression(b)))
+
   /** Exact top-k: `queries`(q_id, q_vec) × `corpus`(n_id, n_vec) → rows
     * (q_id, n_id, sim, rank ≤ k), self-matches excluded. The query side
     * is broadcast; ties broken by n_id for determinism. */
@@ -165,10 +170,7 @@ object Similarity {
     * cluster id). */
   def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     val scored = emb.crossJoin(broadcast(cents))
-      .withColumn("sim", expr(
-        """aggregate(zip_with(vec, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)
-          | / (sqrt(aggregate(vec, 0D, (a, x) -> a + cast(x as double) * x))
-          |    * sqrt(aggregate(centroid, 0D, (a, x) -> a + x * x)))""".stripMargin))
+      .withColumn("sim", cosineFD(col("vec"), col("centroid")))
     scored.groupBy("id").agg(
       first(col("vec")).as("vec"),
       max_by(col("cluster"),
@@ -190,10 +192,7 @@ object Similarity {
     val lists = ivfAssign(emb, cents)
       .select(col("id").as("n_id"), col("vec").as("n_vec"), col("cluster"))
     val qScored = queries.crossJoin(broadcast(cents))
-      .withColumn("sim", expr(
-        """aggregate(zip_with(q_vec, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)
-          | / (sqrt(aggregate(q_vec, 0D, (a, x) -> a + cast(x as double) * x))
-          |    * sqrt(aggregate(centroid, 0D, (a, x) -> a + x * x)))""".stripMargin))
+      .withColumn("sim", cosineFD(col("q_vec"), col("centroid")))
     val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cluster"))
     val probes = qScored.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
