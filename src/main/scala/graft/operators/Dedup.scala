@@ -231,6 +231,13 @@ object Dedup {
       .agg(min(col("dst")).as("nbr_min"))
       .select(col("id"), least(col("id"), col("nbr_min")).as("component"))
       .localCheckpoint()
+    // convergence check: labels only ever decrease, so the label sum is
+    // strictly monotone and stationary exactly at the fixpoint — one
+    // cheap aggregate over the materialized labels instead of a
+    // join-against-previous per round
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var i = 0
     var done = false
     while (i < maxIters && !done) {
@@ -250,10 +257,9 @@ object Dedup {
             coalesce(col("nbr_min"), col("component")),
             coalesce(col("ptr_min"), col("component"))).as("component"))
         .localCheckpoint()
-      done = next
-        .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
-        .filter(col("component") < col("prev"))
-        .isEmpty
+      val curSum = labelSum(next)
+      done = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       labels = next
       i += 1
     }
