@@ -12,19 +12,19 @@ import graft.functions.TextFns
 object QueriesText {
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.exact(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text")
 
   /** Exact token-set Jaccard pairs, bounded to a fixed id range so the
     * verification query stays O(bounded²) at any scale factor; the
     * unbounded scale path is dedup_minhash_lsh. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
-      Tables.documents(s, dir).filter(col("doc_id") < 300),
+      Tables.fanOut(Tables.documents(s, dir)).filter(col("doc_id") < 300),
       "doc_id", "text", threshold = 0.8)
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidates(
-      Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text"))
+      Dedup.minhashSignatures(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text"))
       .filter(col("est_jaccard") >= 0.7)
       // k/64 terminates within 6 decimals, so round-6 is exact in both
       // engines (no HALF_UP vs half-even boundary risk)
@@ -32,11 +32,11 @@ object QueriesText {
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
-      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"),
+      Dedup.simhash(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text"),
       maxHamming = 3)
 
   def embedCosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
@@ -44,7 +44,7 @@ object QueriesText {
   }
 
   def embedAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
@@ -55,7 +55,7 @@ object QueriesText {
     * against the exact [[Similarity.bruteForceTopK]] ground truth —
     * one row (n_truth, n_hit, recall). */
   def embedAnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
@@ -76,7 +76,7 @@ object QueriesText {
     * (16 deterministic k-means lists, probe 4) against exact brute
     * force — one row (n_truth, n_hit, recall). */
   def embedIvfRecall(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
@@ -99,11 +99,11 @@ object QueriesText {
     * IEEE double (sequential-order sums), as embed_cosine_topk proved. */
   def embedNearDups(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(
-      Tables.embeddings(s, dir), "vec_id", "embedding",
+      Tables.fanOut(Tables.embeddings(s, dir)), "vec_id", "embedding",
       threshold = 0.4, bits = 4, sigs = 8, dim = 64)
 
   def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.fanOut(Tables.documents(s, dir))
     val ws = TextFns.words(col("text"))
     val nWords = size(ws)
     val alpha = length(regexp_replace(col("text"), "\\s", ""))
@@ -120,13 +120,13 @@ object QueriesText {
   }
 
   def textTokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    Tables.fanOut(Tables.documents(s, dir)).select(
       col("doc_id"),
       TextFns.tokenCount(col("text")).as("n_tokens"),
       size(TextFns.words(col("text"))).as("n_ws_tokens"))
 
   def textLangId(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.fanOut(Tables.documents(s, dir))
     val ws = TextFns.wordSet(col("text"))
     val scored = d.select(
       col("doc_id"),
@@ -177,7 +177,7 @@ object QueriesText {
   /** Winnowing fingerprints per document (8-gram rolling hash, window
     * 4), re-projected to a joined string for the driver comparator. */
   def docWinnow(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    Tables.fanOut(Tables.documents(s, dir)).select(
       col("doc_id"),
       TextFns.winnowFingerprints(col("text")).as("fps_arr"))
       .select(col("doc_id"),
@@ -185,7 +185,7 @@ object QueriesText {
         size(col("fps_arr")).as("n_fp"))
 
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    Tables.fanOut(Tables.documents(s, dir)).select(
       col("doc_id"),
       TextFns.contentFingerprint(col("text")).as("fingerprint"))
 
@@ -195,7 +195,7 @@ object QueriesText {
     * (doc_id, component = min id in cluster, cluster_size). */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.ngramJaccardPairs(
-      Tables.documents(s, dir).filter(col("doc_id") < 300),
+      Tables.fanOut(Tables.documents(s, dir)).filter(col("doc_id") < 300),
       "doc_id", "text", threshold = 0.8)
     Dedup.connectedComponents(pairs)
       .withColumn("cluster_size",
@@ -230,7 +230,7 @@ object QueriesText {
     * TakeOrderedAndProject (no full sort at any scale); ties broken by
     * token so the top-k is a deterministic total order. */
   def textVocabTopK(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .select(explode(TextFns.wordSet(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("w")).limit(100)

@@ -30,6 +30,20 @@ object Tables {
         "timestamp_micros(ts div 1000)"))
   }
 
+  /** Fan a narrow scan out to the session's core count before
+    * per-row-CPU-heavy work (JSON envelope parsing, regex classification,
+    * shingling/hashing). On a production lake the scan already yields at
+    * least `defaultParallelism` splits and this is a no-op; the test
+    * inputs are single small parquet files (one scan split), which would
+    * otherwise pin an entire parse pipeline to one task. One tiny
+    * round-robin shuffle buys full parallelism for everything downstream.
+    * Not used on pure map-side operators whose plans must stay
+    * Exchange-free (ScaleJoinSpec). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

@@ -20,7 +20,7 @@ object LogSynth {
 
   /** (event_id, pid, ts, log_level, content) */
   def lines(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+    val e = Tables.fanOut(Tables.events(s, dir))
       .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
       // floor before the long cast: Spark's double→long cast truncates
       // while DuckDB's rounds — floor() is identical in both
@@ -66,7 +66,7 @@ object LogSynth {
     * for the mega-regex details extraction (X7 details). PG12-style
     * format from the reference's own test corpus. */
   def autovacuumLines(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+    val e = Tables.fanOut(Tables.events(s, dir))
       .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
     e.select(
       col("event_id"), col("k"),
