@@ -224,13 +224,17 @@ object Dedup {
       .unionByName(pairs
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
+      // cache partitioned on the per-round join key, so every round's
+      // edges⨝labels probe reuses the cached partitioning instead of
+      // re-shuffling the (large) edge side
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init = node set + the first neighbor-min round in one aggregation
     // (both edge directions are present, so every node appears as src)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nbr_min"))
       .select(col("id"), least(col("id"), col("nbr_min")).as("component"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // convergence check: labels only ever decrease, so the label sum is
     // strictly monotone and stationary exactly at the fixpoint — one
     // cheap aggregate over the materialized labels instead of a
@@ -256,7 +260,10 @@ object Dedup {
             col("component"),
             coalesce(col("nbr_min"), col("component")),
             coalesce(col("ptr_min"), col("component"))).as("component"))
-        .localCheckpoint()
+        // lazy: the convergence aggregate right below is the first
+        // action, so checkpoint materialization and the label-sum fold
+        // happen in ONE job per round instead of two
+        .localCheckpoint(eager = false)
       val curSum = labelSum(next)
       done = curSum.compareTo(prevSum) == 0
       prevSum = curSum

@@ -155,10 +155,12 @@ object Similarity {
       cents = cents.select(col("cluster"), col("centroid").as("prev"))
         .join(updated, Seq("cluster"), "left")
         .select(col("cluster"), coalesce(col("centroid"), col("prev")).as("centroid"))
-        // k tiny rows: materialize so iteration i+1 (and every downstream
+        // k tiny rows: checkpoint so iteration i+1 (and every downstream
         // consumer — list assignment AND query probing both re-reference
-        // cents) doesn't re-run the whole k-means lineage
-        .localCheckpoint()
+        // cents) doesn't re-run the whole k-means lineage; lazy, so the
+        // next consumer's broadcast-collect materializes it in its own
+        // job rather than paying a separate eager job per iteration
+        .localCheckpoint(eager = false)
       i += 1
     }
     cents
