@@ -245,6 +245,66 @@ object Oracles {
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, ws,
+        |    CASE WHEN len(ws) >= 2 THEN
+        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bs
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS INT) AS n_words,
+        |  CASE WHEN len(ws) > 0 THEN
+        |    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+        |  ELSE 0.0 END AS dup_word_frac,
+        |  CASE WHEN len(ws) > 0 THEN
+        |    CAST(list_max(list_transform(list_distinct(ws),
+        |      w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws)
+        |  ELSE 0.0 END AS top_word_frac,
+        |  CASE WHEN len(bs) > 0 THEN
+        |    CAST(list_max(list_transform(list_distinct(bs),
+        |      w -> len(list_filter(bs, x -> x = w)))) AS DOUBLE) / len(bs)
+        |  ELSE 0.0 END AS top_bigram_frac
+        |FROM b""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH u AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |bd AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+        |b AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |      FROM bd),
+        |e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |d AS (
+        |  SELECT vec_id,
+        |    list_transform(range(64), i -> abs(v[i+1] -
+        |      (CASE WHEN mxs[i+1] > mns[i+1] THEN
+        |        (round((v[i+1] - mns[i+1]) / (mxs[i+1] - mns[i+1]) * 254)
+        |          / 254) * (mxs[i+1] - mns[i+1]) + mns[i+1]
+        |      ELSE mns[i+1] END))) AS errs
+        |  FROM e, b)
+        |SELECT vec_id,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), errs),
+        |    (a, c) -> a + c) / 64, 9) AS mean_abs_err,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), errs),
+        |    (a, c) -> greatest(a, c)), 9) AS max_abs_err
+        |FROM d""".stripMargin,
+
+    "a12_latency_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+
     // Log-pipeline oracles: ground truth is re-derived from the
     // generation rule (event_type → line), NOT by re-running the engine's
     // regexes — agreement proves the parse/classify path.

@@ -589,8 +589,39 @@ object OraclesGen {
       |        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
       |      FROM events) t""".stripMargin
 
+  /** PII scrub: the synthesized fragments are re-derived from the
+    * generation rule; the detector/scrub patterns are the ENGINE'S
+    * [[graft.functions.TextFns.piiPatterns]] table interpolated verbatim
+    * (written to the Java-regex ∩ RE2 common subset, so both engines
+    * compile the identical strings). */
+  val docPiiScrub: String = {
+    val ps = graft.functions.TextFns.piiPatterns
+    val counts = ps.map { case (name, re, _) =>
+      s"  CAST(len(regexp_extract_all(pii_text, '$re')) AS INT) AS n_$name,"
+    }.mkString("\n")
+    val scrub = ps.foldLeft("pii_text") { case (acc, (_, re, repl)) =>
+      s"regexp_replace($acc, '$re', '$repl', 'g')"
+    }
+    s"""WITH p AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 2 = 0 THEN
+       |      ' contact user' || doc_id || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 0 THEN
+       |      ' from 10.' || (doc_id % 200 + 1) || '.0.' || (doc_id % 250 + 1)
+       |    ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN
+       |      ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    ELSE '' END AS pii_text
+       |  FROM documents)
+       |SELECT doc_id,
+       |$counts
+       |  $scrub AS scrubbed
+       |FROM p""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "x7_autovacuum_details" -> x7AutovacuumDetails,
+    "doc_pii_scrub" -> docPiiScrub,
     "x9_spans" -> x9Spans,
     "dedup_components" -> dedupComponents,
     "doc_chunking" -> docChunking,

@@ -47,6 +47,21 @@ object Queries {
       .groupBy("user_id", "event_type", "high_value")
       .agg(count(lit(1)).as("n"))
 
+  // A12 — per-class latency percentiles (exact, interpolated): the
+  // monitoring rollup a statement-latency dashboard needs. Spark's
+  // `percentile` and DuckDB's `quantile_cont` interpolate with the same
+  // lower+(upper−lower)·frac formula; round(6) absorbs any last-ulp
+  // divergence. One shuffle on the group key; the sort is per-group
+  // inside the aggregate, never global.
+  def a12LatencyPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95D)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99D)"), 6).as("p99"))
+
   // J1/J2 — star join: fact ⨝ small dims. Dims are broadcast (no shuffle
   // of the fact side) — the plan a 100 TB orders table needs.
   def j1StarJoin(s: SparkSession, dir: String): DataFrame = {

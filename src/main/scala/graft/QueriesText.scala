@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity}
@@ -234,6 +234,93 @@ object QueriesText {
       .select(explode(TextFns.wordSet(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("w")).limit(100)
+
+  /** PII-bearing text synthesized deterministically from doc_id (the
+    * corpus itself is PII-free word soup): every 2nd doc gains an email,
+    * every 3rd an IPv4, every 5th a phone number — the oracle re-derives
+    * the same fragments from the generation rule, so nonzero match
+    * counts are actually exercised. */
+  private def piiText: Column = concat(
+    col("text"),
+    when(col("doc_id") % 2 === 0,
+      concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" from 10."), (col("doc_id") % 200) + 1, lit(".0."),
+        (col("doc_id") % 250) + 1)).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")))
+
+  /** PII scrubbing for training corpora: per-pattern match counts and
+    * the scrubbed text (placeholders spliced over every match). Pure
+    * per-row codegen'd regex work — no shuffle, no UDF; the patterns
+    * are the engine-owned [[TextFns.piiPatterns]] table, shared verbatim
+    * with the oracle. */
+  def docPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), piiText.as("pii_text"))
+    val counts = TextFns.piiPatterns.map { case (name, re, _) =>
+      TextFns.piiCount(col("pii_text"), re).as(s"n_$name")
+    }
+    d.select(
+      Seq(col("doc_id")) ++ counts ++ Seq(
+        TextFns.piiScrub(col("pii_text")).as("scrubbed")): _*)
+  }
+
+  /** Gopher-style repetition signals, all computed per-row with
+    * higher-order functions (no shuffle): duplicate-word fraction, most
+    * frequent word's share, most frequent bigram's share. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .withColumn("bs", TextFns.bigrams(col("ws")))
+    d.select(
+      col("doc_id"),
+      size(col("ws")).as("n_words"),
+      TextFns.dupWordFrac(col("ws")).as("dup_word_frac"),
+      when(size(col("ws")) > 0,
+        TextFns.topElementCount(col("ws")).cast("double") / size(col("ws")))
+        .otherwise(0.0).as("top_word_frac"),
+      when(size(col("bs")) > 0,
+        TextFns.topElementCount(col("bs")).cast("double") / size(col("bs")))
+        .otherwise(0.0).as("top_bigram_frac"))
+  }
+
+  /** Int8 scalar quantization of the embedding corpus (the way you
+    * compress 100 TB of vectors before ANN serving): one single-pass
+    * aggregate computes per-dimension global bounds (128 agg
+    * expressions, no explode/shuffle of the vectors), a broadcast join
+    * ships the 1-row bounds everywhere, and quantize / dequantize /
+    * reconstruction-error are per-row sequential folds — deterministic
+    * regardless of partitioning. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val bounds = e.agg(
+      array((0 until dims).map(i =>
+        min(element_at(col("v"), i + 1))): _*).as("mns"),
+      array((0 until dims).map(i =>
+        max(element_at(col("v"), i + 1))): _*).as("mxs"))
+    e.crossJoin(broadcast(bounds))
+      .withColumn("deq", expr(
+        s"""transform(sequence(0, $dims - 1), i ->
+           |  CASE WHEN mxs[i] > mns[i] THEN
+           |    (round((v[i] - mns[i]) / (mxs[i] - mns[i]) * 254) / 254)
+           |      * (mxs[i] - mns[i]) + mns[i]
+           |  ELSE mns[i] END)""".stripMargin))
+      .select(
+        col("vec_id"),
+        round(expr(s"""aggregate(sequence(0, $dims - 1), 0D,
+          |(acc, i) -> acc + abs(v[i] - deq[i])) / $dims""".stripMargin), 9)
+          .as("mean_abs_err"),
+        round(expr(s"""aggregate(sequence(0, $dims - 1), 0D,
+          |(acc, i) -> greatest(acc, abs(v[i] - deq[i])))""".stripMargin), 9)
+          .as("max_abs_err"))
+  }
 
   /** Deterministic train/validation/test split: FNV-1a over
     * `split:<doc_id>` routes each document to a bucket in [0, 256) —

@@ -100,6 +100,10 @@ object SparkEntry {
     "text_token_count" -> (QueriesText.textTokenCount _),
     "text_lang_id" -> (QueriesText.textLangId _),
     "doc_fingerprint" -> (QueriesText.docFingerprint _),
+    "doc_pii_scrub" -> (QueriesText.docPiiScrub _),
+    "text_repetition" -> (QueriesText.textRepetition _),
+    "embed_quantize" -> (QueriesText.embedQuantize _),
+    "a12_latency_percentiles" -> (Queries.a12LatencyPercentiles _),
     "doc_winnow" -> (QueriesText.docWinnow _),
     "mm_decode_features" -> (QueriesText.mmDecodeFeatures _),
     "mm_frame_sample" -> (QueriesText.mmFrameSample _),

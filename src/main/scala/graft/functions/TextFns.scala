@@ -61,6 +61,57 @@ object TextFns {
   /** Hits of `lang`'s stopword list in the token array `ws`. */
   def stopwordHits(ws: Column, lang: String): Column =
     size(filter(ws, w => w.isInCollection(stopwords(lang))))
+
+  // -------------------------------------------------------------- PII scrub
+
+  /** PII detector patterns for training-data scrubbing. Written to the
+    * common subset of Java regex and RE2 (no backrefs, no lookaround),
+    * so the engine (codegen'd `regexp_replace`/`regexp_count`) and the
+    * DuckDB oracle run the IDENTICAL pattern strings. Ordered: the scrub
+    * applies them in sequence, so earlier placeholders are not re-matched
+    * by later patterns (email before phone keeps digits in hostnames
+    * intact, ip before phone keeps dotted quads from part-matching). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[email]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[ip]"),
+    ("phone", "\\+\\d{1,2}-\\d{3}-\\d{3,4}-?\\d{0,4}", "[phone]"))
+
+  /** Count of matches of pattern `re` in `c`. */
+  def piiCount(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** Scrubbed text: every [[piiPatterns]] occurrence replaced by its
+    * placeholder, applied in declaration order. Pure per-row codegen'd
+    * string work — no shuffle, no UDF. */
+  def piiScrub(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, re, repl)) =>
+      regexp_replace(acc, re, repl)
+    }
+
+  // ------------------------------------------------- repetition signals
+
+  /** Word-level repetition fraction: 1 − distinct/total (Gopher-style
+    * "fraction of duplicated content" signal at word granularity). */
+  def dupWordFrac(ws: Column): Column =
+    when(size(ws) > 0,
+      lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
+      .otherwise(0.0)
+
+  /** Count of the most frequent element of `arr`, computed per-row with
+    * higher-order functions only (no shuffle): for each distinct value,
+    * count its occurrences, take the max. O(distinct × n) per row. */
+  def topElementCount(arr: Column): Column =
+    when(size(arr) > 0,
+      array_max(transform(array_distinct(arr),
+        w => size(filter(arr, x => x === w)))))
+      .otherwise(lit(0))
+
+  /** Adjacent word bigrams as strings ("w1 w2"). */
+  def bigrams(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
 }
 
 /** Deterministic, engine-owned 64-bit hashing (FNV-1a). Used wherever a

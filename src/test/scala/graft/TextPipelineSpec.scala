@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** PII scrubbing, repetition signals and embedding quantization — the
+  * round-5 training-pipeline additions. */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii scrub replaces every pattern and counts match") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@test.org or admin@x.co thanks"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +1-555-0123 now"),
+      (4L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = df.select(
+      col("doc_id"),
+      TextFns.piiCount(col("text"), TextFns.piiPatterns(0)._2).as("n_email"),
+      TextFns.piiCount(col("text"), TextFns.piiPatterns(1)._2).as("n_ip"),
+      TextFns.piiCount(col("text"), TextFns.piiPatterns(2)._2).as("n_phone"),
+      TextFns.piiScrub(col("text")).as("scrubbed"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L) == ((2, 0, 0, "mail me at [email] or [email] thanks")))
+    assert(out(2L) == ((0, 2, 0, "server [ip] and [ip] up")))
+    assert(out(3L) == ((0, 0, 1, "call [phone] now")))
+    assert(out(4L) == ((0, 0, 0, "nothing sensitive here")))
+  }
+
+  test("repetition signals on a degenerate and a diverse doc") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all words here are unique tokens"),
+      (3L, "")).toDF("doc_id", "text")
+    val ws = TextFns.words(col("text"))
+    val out = df.select(col("doc_id"),
+      TextFns.dupWordFrac(ws).as("dup"),
+      TextFns.topElementCount(ws).as("top"),
+      TextFns.bigrams(ws).as("bs"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getInt(2), r.getSeq[String](3))).toMap
+    assert(out(1L)._1 == 0.75 && out(1L)._2 == 4)
+    assert(out(1L)._3 == Seq("spam spam", "spam spam", "spam spam"))
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == 1)
+    assert(out(3L) == ((0.0, 0, Seq())))
+  }
+
+  test("quantization error is bounded by half a quantization step") {
+    val out = QueriesText.embedQuantize(spark, Sf)
+    // int8 (254 steps) over per-dim span: |err| <= span/(2*254); spans
+    // here are <= ~2 (unit-ish vectors), so 0.005 is a safe ceiling
+    val bad = out.filter(col("max_abs_err") > 0.005).count()
+    assert(bad === 0)
+    assert(out.count() > 0)
+  }
+
+  test("latency percentiles are ordered and bracketed") {
+    val out = Queries.a12LatencyPercentiles(spark, Sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p95, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 <= p95 && p95 <= p99)
+    }
+  }
+}
