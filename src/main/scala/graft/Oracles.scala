@@ -305,6 +305,12 @@ object Oracles {
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
 
+    "corpus_stats_rollup" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
     // Log-pipeline oracles: ground truth is re-derived from the
     // generation rule (event_type → line), NOT by re-running the engine's
     // regexes — agreement proves the parse/classify path.

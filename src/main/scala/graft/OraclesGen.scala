@@ -343,17 +343,20 @@ object OraclesGen {
        |FROM documents""".stripMargin
   }
 
-  val docWinnow: String = {
-    // NOTE: byte-derivation assumption — `regexp_extract_all(text, '.')`
-    // does not match newlines (RE2) and `ord()` yields codepoints, while
-    // WinnowExpr hashes raw UTF-8 bytes. The two are value-equal only
-    // because the synthetic `documents.text` corpus is ASCII and
-    // newline-free (same assumption IncrementalTail's oracle documents);
-    // a corpus with newlines or multibyte characters needs a bytes-based
-    // derivation here (e.g. splitting on chr(10) explicitly).
-    val k = 8; val w = 4
+  /** Shared winnowing CTE chain (d→h→m→f): `f(doc_id, fps)` with the
+    * per-doc sorted-distinct fingerprint list. Reused by [[docWinnow]]
+    * and [[docDecontaminate]].
+    *
+    * NOTE: byte-derivation assumption — `regexp_extract_all(text, '.')`
+    * does not match newlines (RE2) and `ord()` yields codepoints, while
+    * WinnowExpr hashes raw UTF-8 bytes. The two are value-equal only
+    * because the synthetic `documents.text` corpus is ASCII and
+    * newline-free (same assumption IncrementalTail's oracle documents);
+    * a corpus with newlines or multibyte characters needs a bytes-based
+    * derivation here (e.g. splitting on chr(10) explicitly). */
+  private def winnowCtes(k: Int = 8, w: Int = 4): String = {
     val B = graft.functions.Hashing.FnvPrime
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id,
        |    list_transform(regexp_extract_all(text, '.'),
        |      c -> CAST(ord(c) AS HUGEINT)) AS cs
@@ -379,11 +382,41 @@ object OraclesGen {
        |    list_sort(list_distinct(list_transform(mins,
        |      x -> CAST(CASE WHEN x >= 9223372036854775808
        |        THEN x - 18446744073709551616 ELSE x END AS BIGINT)))) AS fps
-       |  FROM m)
+       |  FROM m)""".stripMargin
+  }
+
+  /** FNV-routed source mixing: bucket and keep-threshold re-derived
+    * from the same recipe constants the engine uses. */
+  val sampleMixSources: String = {
+    val h = fnvHuge("'mix:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source,
+       |  CAST($h % 256 AS BIGINT) AS bucket,
+       |  CAST($h % 256 AS BIGINT) <
+       |    (CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4
+       |      WHEN 0 THEN 256 WHEN 1 THEN 128 WHEN 2 THEN 64
+       |      ELSE 26 END) AS kept
+       |FROM documents""".stripMargin
+  }
+
+  val docWinnow: String =
+    s"""WITH ${winnowCtes()}
        |SELECT doc_id, array_to_string(fps, ',') AS fingerprints,
        |  CAST(len(fps) AS INT) AS n_fp
        |FROM f""".stripMargin
-  }
+
+  /** Decontamination: winnow-fingerprint overlap between the training
+    * corpus and the benchmark stand-in (doc_id % 97 = 0); fps are
+    * per-doc distinct, so count(*) over the fp equi-join IS the
+    * intersection size. */
+  val docDecontaminate: String =
+    s"""WITH ${winnowCtes()},
+       |tr AS (SELECT doc_id AS train_id, unnest(fps) AS fp
+       |       FROM f WHERE doc_id % 97 <> 0),
+       |be AS (SELECT doc_id AS bench_id, unnest(fps) AS fp
+       |       FROM f WHERE doc_id % 97 = 0)
+       |SELECT train_id, bench_id, count(*) AS n_shared
+       |FROM tr JOIN be USING (fp)
+       |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
 
   // ------------------------------------------------------ pg_query goldens
 
@@ -626,6 +659,8 @@ object OraclesGen {
     "dedup_components" -> dedupComponents,
     "doc_chunking" -> docChunking,
     "sample_split" -> sampleSplit,
+    "sample_mix_sources" -> sampleMixSources,
+    "doc_decontaminate" -> docDecontaminate,
     "text_vocab_topk" -> textVocabTopK,
     "x12_explain_normalize" -> x12ExplainNormalize,
     "mm_decode_features" -> mmDecodeFeatures,

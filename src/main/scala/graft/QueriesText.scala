@@ -322,6 +322,58 @@ object QueriesText {
           .as("max_abs_err"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing ≥ 3
+    * winnowing fingerprints with any benchmark document (stand-in
+    * benchmark set: doc_id % 97 = 0). Scale shape: the benchmark side is
+    * tiny by construction, so the fingerprint equi-join BROADCASTS it —
+    * the training corpus never shuffles; per-doc fingerprints are
+    * distinct, so count(*) of the join IS the intersection size. */
+  def docDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFns.winnowFingerprints(col("text")).as("fps"))
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_id"), explode(col("fps")).as("fp"))
+    val bench = d.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), explode(col("fps")).as("fp"))
+    train.join(broadcast(bench), Seq("fp"))
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
+  /** Deterministic source-mixing: each source gets a keep-fraction from
+    * the mixing recipe (here: source index mod 4 → 100/50/25/10 %), and
+    * each document routes through an FNV bucket — reproducible across
+    * engines, partitionings and reruns, unlike `rand()`-based sampling.
+    * Pure map-side row work. */
+  def sampleMixSources(s: SparkSession, dir: String): DataFrame = {
+    val h = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.Fnv64Expr(
+        org.apache.spark.sql.GraftNative.expression(
+          concat(lit("mix:"), col("doc_id").cast("string")))))
+    val bucket = h.bitwiseAND(lit(255L))
+    val srcIdx = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val threshold = when(srcIdx % 4 === 0, 256)
+      .when(srcIdx % 4 === 1, 128)
+      .when(srcIdx % 4 === 2, 64)
+      .otherwise(26)
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      bucket.as("bucket"),
+      (bucket < threshold).as("kept"))
+  }
+
+  /** Corpus composition rollup: (source, lang) cells plus per-source
+    * subtotals and the grand total in one pass — Spark's ROLLUP lowers
+    * to a single expanded aggregate, not one job per level. */
+  def corpusStatsRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .rollup("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        round(avg("n_chars"), 6).as("avg_chars"))
+
   /** Deterministic train/validation/test split: FNV-1a over
     * `split:<doc_id>` routes each document to a bucket in [0, 256) —
     * 80/10/10 by bucket range, reproducible across engines and cluster

@@ -101,6 +101,9 @@ object SparkEntry {
     "text_lang_id" -> (QueriesText.textLangId _),
     "doc_fingerprint" -> (QueriesText.docFingerprint _),
     "doc_pii_scrub" -> (QueriesText.docPiiScrub _),
+    "doc_decontaminate" -> (QueriesText.docDecontaminate _),
+    "sample_mix_sources" -> (QueriesText.sampleMixSources _),
+    "corpus_stats_rollup" -> (QueriesText.corpusStatsRollup _),
     "text_repetition" -> (QueriesText.textRepetition _),
     "embed_quantize" -> (QueriesText.embedQuantize _),
     "a12_latency_percentiles" -> (Queries.a12LatencyPercentiles _),

@@ -56,6 +56,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("decontamination broadcasts the benchmark side") {
+    val df = QueriesText.docDecontaminate(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n${plan.take(1500)}")
+    // overlap is symmetric ground truth: every flagged pair shares >= 3
+    assert(df.filter(col("n_shared") < 3).count() === 0)
+  }
+
+  test("source mixing keeps everything for 100%-ratio sources") {
+    val out = QueriesText.sampleMixSources(spark, Sf)
+      .withColumn("idx", regexp_extract(col("source"), "(\\d+)", 1).cast("int"))
+    assert(out.filter(col("idx") % 4 === 0 && !col("kept")).count() === 0)
+    // a 10% source must not keep everything (256 buckets, threshold 26)
+    val tail = out.filter(col("idx") % 4 === 3)
+    if (tail.count() > 10) assert(tail.filter(!col("kept")).count() > 0)
+  }
+
+  test("rollup grand total equals the table count") {
+    val out = QueriesText.corpusStatsRollup(spark, Sf)
+    val total = out.filter(col("source").isNull && col("lang").isNull)
+      .select("n_docs").head.getLong(0)
+    assert(total === Tables.documents(spark, Sf).count())
+  }
+
   test("latency percentiles are ordered and bracketed") {
     val out = Queries.a12LatencyPercentiles(spark, Sf)
     val rows = out.collect()
