@@ -652,8 +652,24 @@ object OraclesGen {
        |FROM p""".stripMargin
   }
 
+  /** Checkpoint-complete details re-derived from the generation rule
+    * (LogSynth purchase lines carry fixed timing constants + k buffers). */
+  val x7CheckpointDetails: String =
+    """SELECT event_id, 41 AS classification,
+      |  k AS bufs_written, 4.2 AS bufs_written_pct,
+      |  CAST(0 AS BIGINT) AS segs_added, CAST(0 AS BIGINT) AS segs_removed,
+      |  CAST(3 AS BIGINT) AS segs_recycled,
+      |  1.2 AS write_secs, 0.1 AS sync_secs, 1.4 AS total_secs,
+      |  CAST(7 AS BIGINT) AS sync_rels, 0.05 AS longest_secs,
+      |  0.01 AS average_secs,
+      |  CAST(1024 AS BIGINT) AS distance_kb, CAST(2048 AS BIGINT) AS estimate_kb
+      |FROM (SELECT event_id,
+      |        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      |      FROM events WHERE event_type = 'purchase') t""".stripMargin
+
   val sql: Map[String, String] = Map(
     "x7_autovacuum_details" -> x7AutovacuumDetails,
+    "x7_checkpoint_details" -> x7CheckpointDetails,
     "doc_pii_scrub" -> docPiiScrub,
     "x9_spans" -> x9Spans,
     "dedup_components" -> dedupComponents,

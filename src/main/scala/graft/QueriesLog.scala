@@ -125,6 +125,33 @@ object QueriesLog {
         element_at(d, "buffers_dirtied").cast("long").as("buffers_dirtied"))
   }
 
+  // X7 details, checkpoint flavor: the CHECKPOINT_COMPLETE matcher's 16
+  // typed capture groups (logs/analyze.go checkpointComplete details),
+  // extracted from the synthesized checkpoint lines via the same fused
+  // classify+details struct — one regex execution per row.
+  def x7CheckpointDetails(s: SparkSession, dir: String): DataFrame = {
+    val d = col("cd").getField("details")
+    LogSynth.lines(s, dir)
+      .filter(col("content").startsWith("checkpoint complete: "))
+      .withColumn("cd", LogClassify.classifyDetails(col("content")))
+      .select(
+        col("event_id"),
+        col("cd").getField("classification").as("classification"),
+        element_at(d, "bufs_written").cast("long").as("bufs_written"),
+        element_at(d, "bufs_written_pct").cast("double").as("bufs_written_pct"),
+        element_at(d, "segs_added").cast("long").as("segs_added"),
+        element_at(d, "segs_removed").cast("long").as("segs_removed"),
+        element_at(d, "segs_recycled").cast("long").as("segs_recycled"),
+        element_at(d, "write_secs").cast("double").as("write_secs"),
+        element_at(d, "sync_secs").cast("double").as("sync_secs"),
+        element_at(d, "total_secs").cast("double").as("total_secs"),
+        element_at(d, "sync_rels").cast("long").as("sync_rels"),
+        element_at(d, "longest_secs").cast("double").as("longest_secs"),
+        element_at(d, "average_secs").cast("double").as("average_secs"),
+        element_at(d, "distance_kb").cast("long").as("distance_kb"),
+        element_at(d, "estimate_kb").cast("long").as("estimate_kb"))
+  }
+
   // S26 + W5 + W8 + W9 + K2 — the streaming pipeline made driver-visible:
   // rendered log lines land in a file-source directory, a real
   // Structured-Streaming query (readStream.text → prefix parse →

@@ -115,6 +115,7 @@ object SparkEntry {
     "x7_log_classify" -> (QueriesLog.x7LogClassify _),
     "x7_full_classify" -> (QueriesLog.x7FullClassify _),
     "x7_autovacuum_details" -> (QueriesLog.x7AutovacuumDetails _),
+    "x7_checkpoint_details" -> (QueriesLog.x7CheckpointDetails _),
     "log_top_queries" -> (QueriesLog.logTopQueries _),
     "x9_redact" -> (QueriesLog.x9Redact _),
     "x9_spans" -> (QueriesLog.x9Spans _),
