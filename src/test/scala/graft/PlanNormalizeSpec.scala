@@ -61,11 +61,25 @@ class PlanNormalizeSpec extends AnyFunSuite {
     assert(fails.isEmpty, s"mismatches: $fails")
   }
 
-  test("normalized query text matches the reference expectations (sample)") {
-    val in = Files.readString(dir.resolve("json_simple.in.json"))
-    val (q, _) = PlanNormalize.transformAutoExplainJson(in, normalize = true)
-    assert(graft.functions.PgNormalize.normalize(q, "unparseable", -1) ==
-      "SELECT abalance FROM pgbench_accounts WHERE aid = $1;")
+  test("normalized query text matches all reference expectations") {
+    // querysample/normalize_test.go's expected normalized texts,
+    // extracted to querysample_normalize_goldens.tsv
+    val res = getClass.getResourceAsStream("/querysample_normalize_goldens.tsv")
+    assert(res != null)
+    val goldens = scala.io.Source.fromInputStream(res, "UTF-8").getLines()
+      .map { l =>
+        val Array(name, esc) = l.split("\t", 2)
+        name -> esc.replace("\\n", "\n").replace("\\t", "\t")
+          .replace("\\\\", "\\")
+      }.toSeq
+    assert(goldens.size >= 24)
+    val fails = goldens.flatMap { case (name, want) =>
+      val in = Files.readString(dir.resolve(s"$name.in.json"))
+      val (q, _) = PlanNormalize.transformAutoExplainJson(in, normalize = true)
+      val got = graft.functions.PgNormalize.normalize(q, "unparseable", -1)
+      if (got != want) Some(s"$name:\n  got =$got\n  want=$want") else None
+    }
+    assert(fails.isEmpty, s"${fails.size} mismatches:\n${fails.mkString("\n")}")
   }
 
   test("text-format auto_explain extraction with parameters") {
@@ -92,5 +106,58 @@ class PlanNormalizeSpec extends AnyFunSuite {
     assert(tags("app") == "myapp")
     assert(tags("controller") == "dash/board")
     assert(tags("route") == "index")
+  }
+
+  test("reference parseTags corpus (querysample/tags_test.go)") {
+    val cases: Seq[(String, String, Map[String, String])] = Seq(
+      ("no tags", "SELECT 1", Map.empty),
+      ("marginalia", "SELECT 1 /* abc:123, def:456 */",
+        Map("abc" -> "123", "def" -> "456")),
+      ("complex marginalia",
+        """SELECT 1 /*controller_with_namespace:Api::V1::SubmittedInspectionFormsController,action:index,line:/config/initializers/kaminari_total_count.rb:60:in `total_count'*/""",
+        Map(
+          "controller_with_namespace" -> "Api::V1::SubmittedInspectionFormsController",
+          "action" -> "index",
+          "line" -> "/config/initializers/kaminari_total_count.rb:60:in `total_count'")),
+      ("key=value", "SELECT 1 /* abc=123,def=456 */",
+        Map("abc" -> "123", "def" -> "456")),
+      ("valueless key ignored", "SELECT 1 /* hello=world,foo */",
+        Map("hello" -> "world")),
+      ("valueless key in middle", "SELECT 1 /* hello: world, foo, bar: 123 */",
+        Map("hello" -> "world", "bar" -> "123")),
+      ("comment inside string", "SELECT '/* not a comment */' /* a:42 */",
+        Map("a" -> "42")),
+      ("multiple comments", "/* a:1,b:2 */ SELECT 1 /* c:3,d:4 */",
+        Map("a" -> "1", "b" -> "2", "c" -> "3", "d" -> "4")),
+      ("conflicting keys: last wins", "/* a:1,b:2 */ SELECT 1 /* c:3,a:4 */",
+        Map("a" -> "4", "b" -> "2", "c" -> "3")),
+      ("sqlcommenter", "SELECT 1 /* foo='bar%20quux' */",
+        Map("foo" -> "bar quux")),
+      ("complex sqlcommenter",
+        """SELECT 1, 'string', '/* ignore */' /* foo='bar%20quux',fred='http://example.org/a%20b%20c\'',thud%20thud%25thud\'='\'%25%20%25 %20' */""",
+        Map(
+          "foo" -> "bar quux",
+          "fred" -> "http://example.org/a b c'",
+          "thud thud%thud'" -> "'% %  ")),
+      ("marginalia traceparent",
+        "SELECT 1 /* traceparent:00-7dd3a87ae5bdacc0c56f3ba452a22fed-b39c2eabd3993833-01,tracestate:pganalyze=t:1701420562.550783 */",
+        Map(
+          "traceparent" -> "00-7dd3a87ae5bdacc0c56f3ba452a22fed-b39c2eabd3993833-01",
+          "tracestate" -> "pganalyze=t:1701420562.550783")),
+      ("sqlcommenter traceparent",
+        "SELECT 1 /* traceparent='00-7dd3a87ae5bdacc0c56f3ba452a22fed-b39c2eabd3993833-01',tracestate='pganalyze=t:1701420562.550783' */",
+        Map(
+          "traceparent" -> "00-7dd3a87ae5bdacc0c56f3ba452a22fed-b39c2eabd3993833-01",
+          "tracestate" -> "pganalyze=t:1701420562.550783")),
+      ("sqlcommenter traceparent url-escaped",
+        "SELECT 1 /* traceparent='00-7dd3a87ae5bdacc0c56f3ba452a22fed-b39c2eabd3993833-01',tracestate='pganalyze%3Dt%3A1701420562.550783' */",
+        Map(
+          "traceparent" -> "00-7dd3a87ae5bdacc0c56f3ba452a22fed-b39c2eabd3993833-01",
+          "tracestate" -> "pganalyze=t:1701420562.550783")))
+    val fails = cases.flatMap { case (name, q, want) =>
+      val got = PlanNormalize.parseTags(q)
+      if (got != want) Some(s"$name: got=$got want=$want") else None
+    }
+    assert(fails.isEmpty, fails.mkString("\n"))
   }
 }
