@@ -221,6 +221,36 @@ object Similarity {
   def embeddingNearDups(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 4, sigs: Int = 8, dim: Int = 64,
+      maxBucket: Int = 1000): DataFrame =
+    embeddingNearDupsImpl(emb, idCol, vecCol, threshold, bits, sigs, dim, maxBucket)
+
+  /** Banding width for a corpus of `n` vectors targeting ~`targetBucket`
+    * rows per (signature, bucket) cell: bits ≈ log2(n / targetBucket).
+    * The measured law from the 10× scale check (SURVEY §9): 2 k vectors
+    * → 4 bits, 20 k → 7 bits; under-sizing floods the per-bucket cap
+    * (dropping true pairs), over-sizing splits near-dups across buckets
+    * (recovered by more signatures, at sigs × cost). Clamped so
+    * `bits × sigs` fits the 62-bit signature packing. */
+  def autoBits(n: Long, sigs: Int, targetBucket: Long = 125,
+      minBits: Int = 2): Int = {
+    val ideal = math.max(minBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+    math.min(ideal, 62 / math.max(1, sigs))
+  }
+
+  /** [[embeddingNearDups]] with `bits` auto-sized from the corpus count
+    * (one cheap count job — at lake scale, feed a catalog row-count
+    * estimate instead). */
+  def embeddingNearDupsAuto(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, sigs: Int = 8, dim: Int = 64,
+      maxBucket: Int = 1000): DataFrame =
+    embeddingNearDupsImpl(emb, idCol, vecCol, threshold,
+      autoBits(emb.count(), sigs), sigs, dim, maxBucket)
+
+  private def embeddingNearDupsImpl(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 4, sigs: Int = 8, dim: Int = 64,
       maxBucket: Int = 1000): DataFrame = {
     require(bits * sigs <= 62, "bits*sigs must fit in a long")
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))

@@ -56,6 +56,20 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("banding auto-sizing follows the measured law") {
+    import graft.operators.Similarity.autoBits
+    assert(autoBits(2000, 8) === 4)   // the sf0.1 configuration
+    assert(autoBits(20000, 8) === 7)  // the 10x scale-check fix
+    assert(autoBits(100, 8) === 2)    // floor
+    assert(autoBits(1L << 40, 8) === 7) // 62-bit packing clamp: 62/8
+    assert(autoBits(1L << 40, 4) === 15)
+    // auto variant runs end-to-end and picks a cap-safe width
+    val out = graft.operators.Similarity.embeddingNearDupsAuto(
+      Tables.embeddings(spark, Sf), "vec_id", "embedding", threshold = 0.4)
+    assert(out.columns.toSeq === Seq("id_a", "id_b", "sim"))
+    out.count() // forces execution
+  }
+
   test("decontamination broadcasts the benchmark side") {
     val df = QueriesText.docDecontaminate(spark, Sf)
     val plan = df.queryExecution.executedPlan.toString
