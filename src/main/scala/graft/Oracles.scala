@@ -662,6 +662,90 @@ object Oracles {
         |  (ms // 3600) * 3600 + ((ms // 60) % 60) * 60 + (ms % 60)
         |    AS session_secs
         |FROM (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS ms
-        |      FROM events) t""".stripMargin
+        |      FROM events) t""".stripMargin,
+
+    // TF-IDF: both engines order the per-doc window by the ROUNDED
+    // score (term tie-break), so last-ULP ln() divergence cannot flip
+    // ranks.
+    "text_tfidf_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rank, term, tf, df, score FROM (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1), 6)
+        |      AS score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1), 6)
+        |        DESC, term) AS INT) AS rank
+        |  FROM tf JOIN df USING (term) CROSS JOIN n) x
+        |WHERE rank <= 3""".stripMargin,
+
+    // BM25 (k1=1.2, b=0.75): avgdl as exact-integer sum/count division;
+    // contrib operand order mirrors the engine exactly.
+    "text_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(len(ws)) AS sum_dl FROM d),
+        |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM d),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+        |       WHERE term IN ('hash', 'table', 'scan')
+        |       GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+        |       GROUP BY term),
+        |sc AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl
+        |           / (sum_dl::DOUBLE / n_docs::DOUBLE))) AS contrib
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats)
+        |SELECT doc_id, round(sum(contrib), 6) AS bm25,
+        |  count(*) AS n_terms_hit
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+
+    // J10 — DuckDB's native ASOF JOIN as an independent implementation
+    // of the union+window as-of semantics (inclusive: r.ts <= l.ts).
+    "j10_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts,
+        |    max(event_id) AS click_id,
+        |    max_by(value, event_id) AS click_value
+        |  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |        FROM events WHERE event_type = 'click') c0
+        |  GROUP BY user_id, ts
+        |), errs AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  c.click_id, c.click_value
+        |FROM errs e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+
+    // J11 — the naive containment predicate the bucketed equi-join plan
+    // must reproduce exactly.
+    "j11_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS ivl_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS start_ts,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS end_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT iv.ivl_id, iv.user_id,
+        |  count(*) AS n_events, max(e.event_id) AS last_pt_id
+        |FROM iv JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |              FROM events) e
+        |  ON e.user_id = iv.user_id
+        |  AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+        |GROUP BY iv.ivl_id, iv.user_id""".stripMargin
   )
 }

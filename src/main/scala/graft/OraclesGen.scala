@@ -170,10 +170,17 @@ object OraclesGen {
     * the engine's sorted `aggregate`), cosine assignment with
     * cluster-id tie-break, probe-4 retrieval, exact rescoring, top-5,
     * recall vs brute force. */
-  val embedIvfRecall: String = {
-    val dim = 64; val k = 16; val nprobe = 4
-    def sim(v: String, c: String) =
-      s"(${seqDot(v, c)}) / (sqrt(${seqDot(v, v)}) * sqrt(${seqDot(c, c)}))"
+  /** Cosine of a vector expression against a centroid expression (both
+    * addressed as DuckDB lists). */
+  private def ivfSim(v: String, c: String) =
+    s"(${seqDot(v, c)}) / (sqrt(${seqDot(v, v)}) * sqrt(${seqDot(c, c)}))"
+
+  /** The shared WITH-fragment re-deriving [[Similarity.ivfFit]] +
+    * [[Similarity.ivfAssign]] in SQL: `e` (id, vec from embeddings),
+    * `c0` init = k lowest-id vectors, two Lloyd iterations with
+    * id-ordered sequential member sums, `a3` = the final (id, vec,
+    * cluster) assignment. Bit-reproducible against the engine. */
+  private def ivfAssignedCtes(k: Int, dim: Int): String = {
     def assign(name: String, cents: String) =
       s"""$name AS (
          |  SELECT id, vec, cluster FROM (
@@ -181,7 +188,7 @@ object OraclesGen {
          |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cluster) AS rn
          |    FROM (
          |      SELECT e.id, e.vec, $cents.cluster,
-         |        ${sim("e.vec", s"$cents.centroid")} AS sim
+         |        ${ivfSim("e.vec", s"$cents.centroid")} AS sim
          |      FROM e CROSS JOIN $cents) s0) s1
          |  WHERE rn = 1)""".stripMargin
     def update(name: String, assigned: String, prev: String) =
@@ -195,7 +202,7 @@ object OraclesGen {
          |          (a, b) -> a + b) / len(ms)) AS centroid
          |    FROM (SELECT cluster, list(vec ORDER BY id) AS ms
          |          FROM $assigned GROUP BY cluster) g) u USING (cluster))""".stripMargin
-    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    s"""e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster,
        |    list_transform(vec, x -> CAST(x AS DOUBLE)) AS centroid
@@ -204,7 +211,13 @@ object OraclesGen {
        |${update("c1", "a1", "c0")},
        |${assign("a2", "c1")},
        |${update("c2", "a2", "c1")},
-       |${assign("a3", "c2")},
+       |${assign("a3", "c2")}""".stripMargin
+  }
+
+  val embedIvfRecall: String = {
+    val nprobe = 4
+    def sim(v: String, c: String) = ivfSim(v, c)
+    s"""WITH ${ivfAssignedCtes(16, 64)},
        |q AS (SELECT id AS q_id, vec AS q_vec FROM e WHERE id < 20),
        |qs AS (
        |  SELECT q_id, q_vec, cluster FROM (
@@ -232,6 +245,20 @@ object OraclesGen {
        |  CAST(count(i.n_id) AS DOUBLE) / count(*) AS recall
        |FROM bf LEFT JOIN ivf i USING (q_id, n_id)""".stripMargin
   }
+
+  /** SemDeDup: same k-means re-derivation, then within-cluster pairwise
+    * cosine — any vector matching a lower-id member at ≥ 0.3 is dropped. */
+  val semDedup: String =
+    s"""WITH ${ivfAssignedCtes(16, 64)},
+       |pr AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.vec AS va, b.vec AS vb
+       |  FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.id < b.id),
+       |sc AS (
+       |  SELECT id_b, ${cosineSelect("va", "vb")}
+       |    FROM pr)),
+       |dropped AS (SELECT DISTINCT id_b FROM sc WHERE sim >= 0.3)
+       |SELECT a3.id AS vec_id, a3.cluster, (d.id_b IS NULL) AS kept
+       |FROM a3 LEFT JOIN dropped d ON a3.id = d.id_b""".stripMargin
 
   /** Recall of the banded ANN against the exact brute-force ground
     * truth: both algorithms re-derived in SQL, joined on (q_id, n_id). */
@@ -696,6 +723,7 @@ object OraclesGen {
     "embed_ann_lsh" -> embedAnnLsh,
     "embed_ann_recall" -> embedAnnRecall,
     "embed_ivf_recall" -> embedIvfRecall,
+    "sem_dedup" -> semDedup,
     "doc_winnow" -> docWinnow,
     "embed_near_dups" -> embedNearDups,
     "x1_normalize_goldens" -> x1NormalizeGoldens,

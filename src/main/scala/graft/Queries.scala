@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Diff, DimEncode, Sessionize}
+import graft.operators.{Diff, DimEncode, Sessionize, TemporalJoin}
 import graft.functions.PgFns
 
 /** Relational / telemetry query surface (SURVEY §2.1–§2.7, §2.5 diffs).
@@ -232,5 +232,47 @@ object Queries {
     e.crossJoin(broadcast(maxTs))
       .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
       .groupBy("event_type").agg(count(lit(1)).as("n"))
+  }
+
+  // J10 — as-of join, the general form of the reference's diff join
+  // (J3, runner/diff.go:38-96: each snapshot matched to the immediately
+  // preceding one per key): every error event picks up the most recent
+  // prior click of the same user, single-shuffle union+window plan —
+  // no inequality cross product. The oracle is DuckDB's native
+  // ASOF JOIN, an independent implementation of the same semantics.
+  def j10AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    // unique per (user_id, ts): latest event_id wins — the determinism
+    // contract both TemporalJoin.asOf and DuckDB ASOF require
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max_by(struct(col("event_id"), col("value")), col("event_id"))
+        .as("m"))
+      .select(col("user_id"), col("ts"),
+        col("m.event_id").as("click_id"), col("m.value").as("click_value"))
+    val errors = e.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    TemporalJoin.asOf(errors, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("click_id"), col("click_value"))
+  }
+
+  // J11 — interval-containment join via fixed-width bucket equi-join
+  // (the scale-safe plan for "events inside each maintenance window"):
+  // each purchase opens a 10-minute window; count the same user's
+  // events inside it. The oracle states the naive BETWEEN predicate.
+  def j11RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val intervals = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("ivl_id"), col("user_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+    val points = e.select(col("user_id"), col("ts"),
+      col("event_id").as("pt_id"))
+    TemporalJoin.intervalJoin(intervals, points, Seq("user_id"),
+        "start_ts", "end_ts", "ts", bucketMicros = 600000000L)
+      .groupBy("ivl_id", "user_id")
+      .agg(count(lit(1)).as("n_events"), max("pt_id").as("last_pt_id"))
   }
 }

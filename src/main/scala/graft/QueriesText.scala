@@ -235,6 +235,97 @@ object QueriesText {
       .groupBy("w").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("w")).limit(100)
 
+  /** Semantic dedup (SemDeDup): the deterministic k-means coarse
+    * quantizer ([[Similarity.ivfFit]], bit-reproduced in the oracle)
+    * partitions the embedding corpus into clusters; WITHIN each
+    * cluster, any vector whose cosine to a lower-id member meets the
+    * threshold is dropped (lowest id survives as the exemplar).
+    *
+    * Scale shape: the pairwise comparison is confined to clusters — at
+    * corpus scale k grows with n so cluster sizes stay bounded
+    * (n/k ≈ constant), which is the SemDeDup design point; the
+    * cluster-keyed self-join is an equi-join, never a global cross
+    * product. Output: every vector with its cluster and kept flag. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.3
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.ivfFit(e, k = 16, iters = 2, dim = 64)
+    val assigned = Similarity.ivfAssign(e, cents)
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    val dropped = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cluster"),
+        (!coalesce(col("dup"), lit(false))).as("kept"))
+  }
+
+  /** TF-IDF top-3 terms per document (smooth idf, sklearn form:
+    * ln((N+1)/(df+1)) + 1). Plan shape: one shuffle to (doc, term)
+    * counts, one shuffle to term document-frequencies, a term-keyed
+    * join back (vocab scales with corpus — a shuffled hash join, NOT a
+    * broadcast), and a per-doc top-k window. The corpus size enters as
+    * a broadcast 1-row aggregate, not a driver collect. Scores round-6:
+    * tf/df/N are integers, so both engines compute ln on identical
+    * doubles (last-ULP log divergence is sub-1e-9 and vanishes at 6
+    * decimals). */
+  def textTfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(s, dir))
+    val tf = d.select(col("doc_id"), explode(TextFns.words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(
+        col("tf") * (log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1)) + 1), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
+
+  /** BM25 retrieval over the corpus for a fixed 3-term query
+    * (k1 = 1.2, b = 0.75, Robertson idf with the +1 floor): per-doc
+    * term frequencies for ONLY the query terms (the filter prunes
+    * before the first shuffle), document frequencies per term, length
+    * normalization against the corpus-average doc length — computed as
+    * exact-integer sum/count, not a float `avg`, so both engines
+    * divide the same operands — and a global top-50 that plans as
+    * TakeOrderedAndProject. */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "table", "scan")
+    val k1 = 1.2; val b = 0.75
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("ws"))).as("sum_dl"))
+    val tf = d.select(col("doc_id"), size(col("ws")).as("dl"),
+        explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib", col("idf") * col("tf") /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy("doc_id")
+      .agg(round(sum("contrib"), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+  }
+
   /** PII-bearing text synthesized deterministically from doc_id (the
     * corpus itself is PII-free word soup): every 2nd doc gains an email,
     * every 3rd an IPv4, every 5th a phone number — the oracle re-derives

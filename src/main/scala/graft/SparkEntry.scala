@@ -81,6 +81,8 @@ object SparkEntry {
     "f6_time_window" -> (QueriesFns.f6TimeWindow _),
     "f7_prefilter" -> (QueriesFns.f7Prefilter _),
     "f8_explain_skip" -> (QueriesFns.f8ExplainSkip _),
+    "j10_asof_join" -> (Queries.j10AsofJoin _),
+    "j11_range_join" -> (Queries.j11RangeJoin _),
     "skew_salted_join" -> (QueriesFns.skewSaltedJoin _),
     // training-data pipeline extensions
     "dedup_exact" -> (QueriesText.dedupExact _),
@@ -88,6 +90,9 @@ object SparkEntry {
     "dedup_components" -> (QueriesText.dedupComponents _),
     "doc_chunking" -> (QueriesText.docChunking _),
     "sample_split" -> (QueriesText.sampleSplit _),
+    "sem_dedup" -> (QueriesText.semDedup _),
+    "text_tfidf_topk" -> (QueriesText.textTfidfTopK _),
+    "text_bm25" -> (QueriesText.textBm25 _),
     "text_vocab_topk" -> (QueriesText.textVocabTopK _),
     "dedup_minhash_lsh" -> (QueriesText.dedupMinhashLsh _),
     "dedup_simhash" -> (QueriesText.dedupSimhash _),

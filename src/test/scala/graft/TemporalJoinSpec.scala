@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalJoin
+
+/** [[TemporalJoin]] semantics: inclusive as-of matching, null for
+  * unmatched left rows, interval-boundary inclusivity, bucket-edge
+  * correctness (interval spanning bucket boundaries). */
+class TemporalJoinSpec extends SparkSpec {
+
+  private def ts(sec: Int) = java.sql.Timestamp.from(
+    java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+
+  test("asOf picks the most recent right row at or before each left ts") {
+    import spark.implicits._
+    val left = Seq((1L, ts(10), "l1"), (1L, ts(20), "l2"), (2L, ts(5), "l3"))
+      .toDF("k", "ts", "ltag")
+    val right = Seq((1L, ts(10), "r10"), (1L, ts(15), "r15"), (2L, ts(9), "r9"))
+      .toDF("k", "ts", "rtag")
+    val got = TemporalJoin.asOf(left, right, Seq("k"), "ts", "ts")
+      .select("k", "ltag", "rtag").as[(Long, String, String)].collect().toSet
+    // l1@10 matches r10 (inclusive); l2@20 matches r15 (most recent,
+    // not just any prior); l3@5 has no prior right row → null
+    assert(got === Set((1L, "l1", "r10"), (1L, "l2", "r15"), (2L, "l3", null)))
+  }
+
+  test("asOf carries multiple right payload columns and left columns through") {
+    import spark.implicits._
+    val left = Seq((1L, ts(30), 99L)).toDF("k", "ts", "left_id")
+    val right = Seq((1L, ts(20), 7L, 3.5)).toDF("k", "ts", "r_id", "r_val")
+    val row = TemporalJoin.asOf(left, right, Seq("k"), "ts", "ts")
+      .select("k", "left_id", "r_id", "r_val")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(row === ((1L, 99L, 7L, 3.5)))
+  }
+
+  test("intervalJoin matches boundary-inclusive and across bucket edges") {
+    import spark.implicits._
+    // bucket = 10 s; interval [5, 25] spans 3 buckets
+    val iv = Seq((100L, 1L, ts(5), ts(25))).toDF("ivl_id", "k", "start_ts", "end_ts")
+    val pts = Seq(
+      (1L, ts(4), 0L),   // before start → out
+      (1L, ts(5), 1L),   // at start → in
+      (1L, ts(19), 2L),  // mid, different bucket → in
+      (1L, ts(25), 3L),  // at end → in
+      (1L, ts(26), 4L),  // after end → out
+      (2L, ts(10), 5L))  // wrong key → out
+      .toDF("k", "ts", "pt_id")
+    val got = TemporalJoin.intervalJoin(iv, pts, Seq("k"),
+        "start_ts", "end_ts", "ts", bucketMicros = 10000000L)
+      .select("pt_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L))
+  }
+
+  test("intervalJoin emits each contained point exactly once") {
+    import spark.implicits._
+    val iv = Seq((1L, 1L, ts(0), ts(100))).toDF("ivl_id", "k", "start_ts", "end_ts")
+    val pts = Seq((1L, ts(50), 1L)).toDF("k", "ts", "pt_id")
+    // interval explodes to 11 buckets; the point must still match once
+    val n = TemporalJoin.intervalJoin(iv, pts, Seq("k"),
+      "start_ts", "end_ts", "ts", bucketMicros = 10000000L).count()
+    assert(n === 1L)
+  }
+}
