@@ -272,6 +272,60 @@ object Oracles {
         |  ELSE 0.0 END AS top_bigram_frac
         |FROM b""".stripMargin,
 
+    // boolean gates: every signal is computed from identical integer
+    // operands in both engines (single divisions — bit-exact), so the
+    // threshold comparisons need no rounding
+    "corpus_quality_gates" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+        |    ELSE 0.0 END AS dup_frac,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST(list_max(list_transform(list_distinct(ws),
+        |        w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws)
+        |    ELSE 0.0 END AS top_frac,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST(len(list_filter(list_distinct(ws), w -> w IN
+        |        ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |        / len(ws)
+        |    ELSE 0.0 END AS stop_frac
+        |  FROM t)
+        |SELECT doc_id,
+        |  n_words >= 30 AS pass_min_words,
+        |  dup_frac <= 0.65 AS pass_dup_words,
+        |  top_frac <= 0.2 AS pass_top_word,
+        |  stop_frac >= 0.02 AS pass_stopwords,
+        |  (n_words >= 30 AND dup_frac <= 0.65 AND top_frac <= 0.2
+        |    AND stop_frac >= 0.02) AS keep
+        |FROM g""".stripMargin,
+
+    // temperature sampling: the share denominator folds per-source
+    // weights in source order in BOTH engines (see the engine comment)
+    "corpus_token_budget" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |       FROM d GROUP BY source),
+        |w AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.7) AS wt FROM ps),
+        |s AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list(wt ORDER BY source)), (a, b) -> a + b) AS wt_sum
+        |      FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  round(wt / wt_sum, 6) AS p_sample,
+        |  round(100000.0 * wt / wt_sum, 2) AS expected_tokens,
+        |  round(100000.0 * wt / wt_sum / n_tokens, 6) AS epochs
+        |FROM w, s""".stripMargin,
+
     "embed_quantize" ->
       """WITH u AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -379,6 +379,65 @@ object QueriesText {
         .otherwise(0.0).as("top_bigram_frac"))
   }
 
+  /** Composed C4/Gopher-style quality gating: every rule evaluated
+    * per document in ONE pass (all signals are per-row higher-order
+    * functions — no shuffle, no UDF), with per-rule pass flags kept in
+    * the output so downstream can attribute drops to rules. `keep` is
+    * the conjunction. Thresholds chosen against the corpus quartiles
+    * so each rule genuinely fires. */
+  def corpusQualityGates(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+    d.select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        TextFns.dupWordFrac(col("ws")).as("dup_frac"),
+        when(size(col("ws")) > 0,
+          TextFns.topElementCount(col("ws")).cast("double") / size(col("ws")))
+          .otherwise(0.0).as("top_frac"),
+        when(size(col("ws")) > 0,
+          TextFns.stopwordHits(array_distinct(col("ws")), "en").cast("double")
+            / size(col("ws"))).otherwise(0.0).as("stop_frac"))
+      .select(
+        col("doc_id"),
+        (col("n_words") >= 30).as("pass_min_words"),
+        (col("dup_frac") <= 0.65).as("pass_dup_words"),
+        (col("top_frac") <= 0.2).as("pass_top_word"),
+        (col("stop_frac") >= 0.02).as("pass_stopwords"),
+        (col("n_words") >= 30 && col("dup_frac") <= 0.65 &&
+          col("top_frac") <= 0.2 && col("stop_frac") >= 0.02).as("keep"))
+  }
+
+  /** Temperature-based source mixing against a token budget (the
+    * UniMax/multilingual-sampling shape): per-source token counts are
+    * exact integer sums; sampling shares p_s = tokens^τ / Σ tokens^τ
+    * (τ = 0.7) flatten the source distribution; expected tokens and
+    * epochs follow from a 100k-token budget. The per-source rollup is
+    * one shuffle on `source`; the share denominator is a broadcast
+    * 1-row aggregate. */
+  def corpusTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val budget = 100000.0
+    val tau = 0.7
+    val perSource = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("source"), TextFns.tokenCount(col("text")).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("wt", pow(col("n_tokens").cast("double"), tau))
+    // source-ordered sequential fold, not a parallel sum: the handful
+    // of per-source weights must add in the same order in both engines
+    val denom = perSource.agg(expr(
+      """aggregate(array_sort(collect_list(struct(source, wt))),
+        |0D, (acc, x) -> acc + x.wt)""".stripMargin).as("wt_sum"))
+    perSource.crossJoin(broadcast(denom))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("wt") / col("wt_sum"), 6).as("p_sample"),
+        round(lit(budget) * col("wt") / col("wt_sum"), 2)
+          .as("expected_tokens"),
+        round(lit(budget) * col("wt") / col("wt_sum")
+          / col("n_tokens"), 6).as("epochs"))
+  }
+
   /** Int8 scalar quantization of the embedding corpus (the way you
     * compress 100 TB of vectors before ANN serving): one single-pass
     * aggregate computes per-dimension global bounds (128 agg

@@ -108,6 +108,8 @@ object SparkEntry {
     "doc_pii_scrub" -> (QueriesText.docPiiScrub _),
     "doc_decontaminate" -> (QueriesText.docDecontaminate _),
     "sample_mix_sources" -> (QueriesText.sampleMixSources _),
+    "corpus_quality_gates" -> (QueriesText.corpusQualityGates _),
+    "corpus_token_budget" -> (QueriesText.corpusTokenBudget _),
     "corpus_stats_rollup" -> (QueriesText.corpusStatsRollup _),
     "text_repetition" -> (QueriesText.textRepetition _),
     "embed_quantize" -> (QueriesText.embedQuantize _),
