@@ -370,6 +370,24 @@ object OraclesGen {
        |FROM documents""".stripMargin
   }
 
+  /** Per-source cap: FNV priority converted to the engine's SIGNED
+    * 64-bit ordering before the per-source rank. */
+  val sampleDomainCap: String = {
+    val h = fnvHuge("'cap:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH p AS (
+       |  SELECT doc_id, source,
+       |    CAST(CASE WHEN $h >= 9223372036854775808
+       |         THEN $h - 18446744073709551616
+       |         ELSE $h END AS BIGINT) AS priority
+       |  FROM documents)
+       |SELECT doc_id, source, rk FROM (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY priority, doc_id) AS INT) AS rk
+       |  FROM p) t
+       |WHERE rk <= 15""".stripMargin
+  }
+
   /** Shared winnowing CTE chain (d→h→m→f): `f(doc_id, fps)` with the
     * per-doc sorted-distinct fingerprint list. Reused by [[docWinnow]]
     * and [[docDecontaminate]].
@@ -702,6 +720,7 @@ object OraclesGen {
     "dedup_components" -> dedupComponents,
     "doc_chunking" -> docChunking,
     "sample_split" -> sampleSplit,
+    "sample_domain_cap" -> sampleDomainCap,
     "sample_mix_sources" -> sampleMixSources,
     "doc_decontaminate" -> docDecontaminate,
     "text_vocab_topk" -> textVocabTopK,

@@ -524,6 +524,26 @@ object QueriesText {
         sum("n_chars").as("sum_chars"),
         round(avg("n_chars"), 6).as("avg_chars"))
 
+  /** Per-source document cap (the per-domain cap of crawl pipelines):
+    * keep at most 15 documents per source, prioritized by a
+    * deterministic FNV hash of the doc id (an unbiased, reproducible
+    * "random" order — no rand(), no seed drift), ties broken by id.
+    * One shuffle on source; the per-group top-k window never sees more
+    * than one source per partition. */
+  def sampleDomainCap(s: SparkSession, dir: String): DataFrame = {
+    val h = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.Fnv64Expr(
+        org.apache.spark.sql.GraftNative.expression(
+          concat(lit("cap:"), col("doc_id").cast("string")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("priority"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), h.as("priority"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 15)
+      .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))
+  }
+
   /** Deterministic train/validation/test split: FNV-1a over
     * `split:<doc_id>` routes each document to a bucket in [0, 256) —
     * 80/10/10 by bucket range, reproducible across engines and cluster

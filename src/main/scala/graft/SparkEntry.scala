@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_components" -> (QueriesText.dedupComponents _),
     "doc_chunking" -> (QueriesText.docChunking _),
     "sample_split" -> (QueriesText.sampleSplit _),
+    "sample_domain_cap" -> (QueriesText.sampleDomainCap _),
     "sem_dedup" -> (QueriesText.semDedup _),
     "text_tfidf_topk" -> (QueriesText.textTfidfTopK _),
     "text_bm25" -> (QueriesText.textBm25 _),

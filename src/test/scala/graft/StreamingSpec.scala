@@ -176,4 +176,35 @@ class StreamingSpec extends SparkSpec {
       assert(byId(2L)._3 == "division by zero")
     } finally q.stop()
   }
+
+  test("streaming exact dedup: watermarked state drops repeats across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // the streaming form of dedup_exact: fingerprint-keyed
+    // dropDuplicatesWithinWatermark — state for a fingerprint is evicted
+    // once the watermark passes it, so the state store stays bounded at
+    // (dedup horizon × ingest rate), not corpus size
+    val deduped = input.toDS().toDF("doc_id", "ts", "fp")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), "fpA"),
+        (2L, ts("2024-01-01 00:00:05"), "fpA"), // dup within batch
+        (3L, ts("2024-01-01 00:00:10"), "fpB"))
+      q.processAllAvailable()
+      input.addData(
+        (4L, ts("2024-01-01 00:02:00"), "fpA"), // dup across batches
+        (5L, ts("2024-01-01 00:02:10"), "fpC"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L, 5L),
+        s"expected first-writer-wins dedup, got $ids")
+    } finally q.stop()
+  }
 }

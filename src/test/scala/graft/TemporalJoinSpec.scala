@@ -52,6 +52,26 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got === Set(1L, 2L, 3L))
   }
 
+  test("asOf plans as one window pass — no join operator at all") {
+    val plan = SparkEntry.queries("j10_asof_join")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // the as-of resolution itself is union+window: no nested-loop or
+    // cartesian fallback anywhere in the plan
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"as-of join must not plan a cross product:\n${plan.take(2000)}")
+    assert(plan.contains("Window"), "expected the window resolution")
+  }
+
+  test("intervalJoin plans as an equi-join on the bucket key") {
+    val plan = SparkEntry.queries("j11_range_join")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join must stay an equi-join:\n${plan.take(2000)}")
+    assert(plan.contains("_b"), "bucket key missing from the plan")
+  }
+
   test("intervalJoin emits each contained point exactly once") {
     import spark.implicits._
     val iv = Seq((1L, 1L, ts(0), ts(100))).toDF("ivl_id", "k", "start_ts", "end_ts")
