@@ -370,6 +370,63 @@ object OraclesGen {
        |FROM documents""".stripMargin
   }
 
+  /** BPE merge induction, 5 rounds unrolled: each round counts
+    * adjacent symbol pairs weighted by word count, picks the argmax
+    * (count desc, pair lex), and applies the merge with the same
+    * greedy left-to-right skip-fold the engine runs. Fold encoding:
+    * elements are [cur, next] lookahead pairs and the skip flag is a
+    * chr(1) sentinel appended to the accumulator list — DuckDB's
+    * list_reduce requires accumulator type = element type AND (in
+    * v1.0.0) corrupts struct accumulators, so everything is VARCHAR[].
+    * The sentinel is always popped by the following element (a merge
+    * needs a successor), so it never leaks into the result. */
+  val tokenizerBpeMerges: String = {
+    val rounds = 5
+    def pairCte(i: Int) =
+      s"""p$i AS (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(wc) AS BIGINT) AS pair_count
+         |  FROM (SELECT wc, unnest(list_transform(range(len(s) - 1),
+         |          k -> struct_pack(a := s[k+1], b := s[k+2]))) AS pr
+         |        FROM w$i WHERE len(s) >= 2) t
+         |  GROUP BY pr.a, pr.b)""".stripMargin
+    def bestCte(i: Int) =
+      s"""m$i AS (
+         |  SELECT a, b, pair_count FROM p$i
+         |  ORDER BY pair_count DESC, a, b LIMIT 1)""".stripMargin
+    def applyCte(i: Int) =
+      s"""w${i + 1} AS (
+         |  SELECT w, wc,
+         |    list_reduce(list_prepend(
+         |      CAST([] AS VARCHAR[]),
+         |      list_transform(range(len(s)), k ->
+         |        [s[k+1], CASE WHEN k + 2 <= len(s) THEN s[k+2]
+         |                 ELSE '' END])),
+         |      (acc, e) -> CASE
+         |        WHEN len(acc) > 0 AND acc[len(acc)] = chr(1)
+         |          THEN acc[1:len(acc)-1]
+         |        WHEN e[2] <> '' AND e[1] = m$i.a AND e[2] = m$i.b
+         |          THEN list_append(list_append(acc, e[1] || e[2]), chr(1))
+         |        ELSE list_append(acc, e[1]) END) AS s
+         |  FROM w$i, m$i)""".stripMargin
+    val ctes = (0 until rounds).map { i =>
+      Seq(pairCte(i), bestCte(i)) ++
+        (if (i < rounds - 1) Seq(applyCte(i)) else Nil)
+    }.flatten
+    val selects = (0 until rounds).map { i =>
+      s"""SELECT CAST(${i + 1} AS INT) AS "round", a AS "left",
+         |  b AS "right", a || b AS merged, pair_count FROM m$i""".stripMargin
+    }
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> len(w) > 0)) AS w
+       |  FROM documents),
+       |w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc,
+       |         regexp_extract_all(w, '.') AS s
+       |       FROM tok GROUP BY w),
+       |${ctes.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Per-source cap: FNV priority converted to the engine's SIGNED
     * 64-bit ordering before the per-source rank. */
   val sampleDomainCap: String = {
@@ -721,6 +778,7 @@ object OraclesGen {
     "doc_chunking" -> docChunking,
     "sample_split" -> sampleSplit,
     "sample_domain_cap" -> sampleDomainCap,
+    "tokenizer_bpe_merges" -> tokenizerBpeMerges,
     "sample_mix_sources" -> sampleMixSources,
     "doc_decontaminate" -> docDecontaminate,
     "text_vocab_topk" -> textVocabTopK,

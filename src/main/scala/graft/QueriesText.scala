@@ -524,6 +524,18 @@ object QueriesText {
         sum("n_chars").as("sum_chars"),
         round(avg("n_chars"), 6).as("avg_chars"))
 
+  /** BPE tokenizer training over the corpus word counts: 5 merge
+    * rounds learned with [[graft.operators.BpeTrain]] — weighted pair
+    * counts, lexicographic tie-breaks, greedy left-to-right merge
+    * application. The only corpus-scale stage is the initial word
+    * count; every round runs over the Zipf-bounded vocab table. */
+  def tokenizerBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.fanOut(Tables.documents(s, dir))
+      .select(explode(TextFns.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    graft.operators.BpeTrain.merges(words, rounds = 5)
+  }
+
   /** Per-source document cap (the per-domain cap of crawl pipelines):
     * keep at most 15 documents per source, prioritized by a
     * deterministic FNV hash of the doc id (an unbiased, reproducible

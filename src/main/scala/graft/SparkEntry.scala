@@ -91,6 +91,7 @@ object SparkEntry {
     "doc_chunking" -> (QueriesText.docChunking _),
     "sample_split" -> (QueriesText.sampleSplit _),
     "sample_domain_cap" -> (QueriesText.sampleDomainCap _),
+    "tokenizer_bpe_merges" -> (QueriesText.tokenizerBpeMerges _),
     "sem_dedup" -> (QueriesText.semDedup _),
     "text_tfidf_topk" -> (QueriesText.textTfidfTopK _),
     "text_bm25" -> (QueriesText.textBm25 _),

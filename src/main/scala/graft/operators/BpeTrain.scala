@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training (Sennrich-style merge induction) over a
+  * word-count table — the tokenizer-fitting stage of a training-data
+  * pipeline, run where the data lives instead of on a driver sample.
+  *
+  * Each round: count adjacent symbol pairs weighted by word frequency
+  * (overlapping positions count, as in the reference algorithm), pick
+  * the global argmax (ties broken lexicographically), and apply the
+  * merge greedily left-to-right (non-overlapping) to every word's
+  * symbol sequence.
+  *
+  * Scale shape: the input is the DISTINCT-word count table — Zipf-
+  * bounded, orders of magnitude smaller than the corpus — so the only
+  * corpus-scale stage is the word count itself (one shuffle). Each
+  * round is a pair-explode + one aggregation over the vocab table plus
+  * a broadcast of the single winning pair; the fold that applies a
+  * merge is a per-row higher-order function, no UDF. Lineage across
+  * rounds is cut with a lazy localCheckpoint exactly like
+  * [[Similarity.ivfFit]].
+  */
+object BpeTrain {
+
+  /** Greedy left-to-right merge application: rewrite symbol array `s`,
+    * replacing each non-overlapping adjacent (a, b) with the merged
+    * token. Pure column expression (aggregate fold with a skip flag). */
+  private def applyMerge(s: String, a: String, b: String) = expr(
+    s"""aggregate(
+       |  sequence(0, size($s) - 1),
+       |  struct(cast(array() as array<string>) as out, false as skip),
+       |  (acc, i) -> CASE
+       |    WHEN acc.skip THEN struct(acc.out as out, false as skip)
+       |    WHEN i < size($s) - 1 AND $s[i] = $a AND $s[i + 1] = $b
+       |      THEN struct(concat(acc.out, array($s[i] || $s[i + 1]))
+       |             as out, true as skip)
+       |    ELSE struct(concat(acc.out, array($s[i])) as out,
+       |           false as skip) END,
+       |  acc -> acc.out)""".stripMargin)
+
+  /** Learn `rounds` merges from `words`(w, wc). Returns one row per
+    * merge: (round, left, right, merged, pair_count). */
+  def merges(words: DataFrame, rounds: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var vocab = words.select(col("w"), col("wc"),
+      expr("filter(split(w, ''), x -> x != '')").as("s"))
+    var learned = Vector.empty[DataFrame]
+    var r = 0
+    while (r < rounds) {
+      val best = vocab
+        // single-symbol words have no pairs (sequence(0, -1) would run
+        // DESCENDING in Spark, not empty — guard, don't rely on it)
+        .filter(size(col("s")) >= 2)
+        .select(col("wc"), explode(expr(
+          """transform(sequence(0, size(s) - 2),
+            |  i -> struct(s[i] as a, s[i + 1] as b))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wc").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a"), col("b"))
+        .limit(1)
+        .localCheckpoint(eager = false) // one tiny row; cut the lineage
+      learned = learned :+ best.select(lit(r + 1).as("round"),
+        col("a").as("left"), col("b").as("right"),
+        concat(col("a"), col("b")).as("merged"), col("pair_count"))
+      vocab = vocab.crossJoin(broadcast(best))
+        .withColumn("s", applyMerge("s", "a", "b"))
+        .select("w", "wc", "s")
+        .localCheckpoint(eager = false)
+      r += 1
+    }
+    learned.reduce(_ unionByName _)
+  }
+}

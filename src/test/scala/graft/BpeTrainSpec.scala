@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.BpeTrain
+
+/** Hand-computed BPE merge induction: weighted pair counts, greedy
+  * non-overlapping application ("abab" + merge (a,b) → [ab, ab]). */
+class BpeTrainSpec extends SparkSpec {
+
+  test("two rounds on a hand-computable vocab") {
+    import spark.implicits._
+    val words = Seq(("abab", 2L), ("ab", 3L), ("ba", 1L)).toDF("w", "wc")
+    val got = BpeTrain.merges(words, rounds = 2)
+      .orderBy("round")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // r1: (a,b) = 2*2 (overlapping positions in abab) + 3 = 7 beats
+    //     (b,a) = 2 + 1 = 3
+    // after merge: abab→[ab,ab], ab→[ab], ba→[b,a]
+    // r2: (ab,ab) = 2 beats (b,a) = 1
+    assert(got === Seq(
+      (1, "a", "b", "ab", 7L),
+      (2, "ab", "ab", "abab", 2L)))
+  }
+
+  test("single-symbol words contribute no pairs and survive merges") {
+    import spark.implicits._
+    val words = Seq(("a", 10L), ("bc", 1L)).toDF("w", "wc")
+    val got = BpeTrain.merges(words, rounds = 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "b", "c", "bc", 1L)))
+  }
+}
