@@ -370,6 +370,22 @@ object OraclesGen {
        |FROM documents""".stripMargin
   }
 
+  /** Shard manifest: unsigned HUGEINT mod 16 ≡ the engine's signed
+    * pmod because 16 divides 2^64. */
+  val sampleShardManifest: String = {
+    val h = fnvHuge("'shard:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CAST($h % 16 AS INT) AS shard,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
+       |  FROM documents)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM p GROUP BY shard""".stripMargin
+  }
+
   /** BPE merge induction, 5 rounds unrolled: each round counts
     * adjacent symbol pairs weighted by word count, picks the argmax
     * (count desc, pair lex), and applies the merge with the same
@@ -779,6 +795,7 @@ object OraclesGen {
     "sample_split" -> sampleSplit,
     "sample_domain_cap" -> sampleDomainCap,
     "tokenizer_bpe_merges" -> tokenizerBpeMerges,
+    "sample_shard_manifest" -> sampleShardManifest,
     "sample_mix_sources" -> sampleMixSources,
     "doc_decontaminate" -> docDecontaminate,
     "text_vocab_topk" -> textVocabTopK,

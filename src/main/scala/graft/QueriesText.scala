@@ -556,6 +556,19 @@ object QueriesText {
       .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))
   }
 
+  /** Shard-packing manifest: documents routed to 16 training shards by
+    * deterministic FNV (a reproducible global shuffle — 16 divides
+    * 2^64, so the unsigned-mod oracle and the signed-pmod engine
+    * agree), with per-shard doc/token counts and id ranges. The writer
+    * itself ([[graft.sinks.ShardWriter.write]]) lays each shard out as
+    * one internally-ordered file; ShardWriterSpec covers it. */
+  def sampleShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+    graft.sinks.ShardWriter.manifest(d, "doc_id", "n_tok", nShards = 16)
+  }
+
   /** Deterministic train/validation/test split: FNV-1a over
     * `split:<doc_id>` routes each document to a bucket in [0, 256) —
     * 80/10/10 by bucket range, reproducible across engines and cluster

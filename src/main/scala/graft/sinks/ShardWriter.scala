@@ -1,0 +1,60 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Training-shard packer — the export stage of a data pipeline: route
+  * every sample to a shard with a deterministic hash (reproducible
+  * "global shuffle": the hash order is unrelated to source order, and
+  * identical across engines/reruns/cluster sizes, unlike rand()),
+  * then lay each shard out contiguously, internally ordered by the
+  * same hash so a training loader streams records in the packed order.
+  *
+  * Scale shape: ONE repartition on the shard id (each output task
+  * writes exactly one shard file — no post-hoc compaction), with
+  * `sortWithinPartitions` riding the same exchange; per-shard
+  * manifests come from the identical routing expression, so the
+  * manifest job and the write job agree by construction.
+  */
+object ShardWriter {
+
+  /** Deterministic shard id + intra-shard order key for `idCol`. */
+  def shardOf(idCol: String, nShards: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val h = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.Fnv64Expr(
+        org.apache.spark.sql.GraftNative.expression(
+          concat(lit("shard:"), col(idCol).cast("string")))))
+    (pmod(h, lit(nShards.toLong)).cast("int"), h)
+  }
+
+  /** Write `df` as `nShards` parquet shards under `dir`, one file per
+    * shard, records inside a shard ordered by the routing hash (kept
+    * as a `pack_key` column — loaders can resume mid-shard on it).
+    * The within-partition sort leads with the partition column so the
+    * dynamic-partition writer's required ordering is already satisfied
+    * and it does NOT inject its own (unstable) sort. */
+  def write(df: DataFrame, idCol: String, nShards: Int, dir: String): Unit = {
+    val (shard, order) = shardOf(idCol, nShards)
+    df.withColumn("shard", shard)
+      .withColumn("pack_key", order)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pack_key"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(dir)
+  }
+
+  /** Per-shard manifest: (shard, n_docs, n_tokens, min/max id) from the
+    * same routing expression the writer uses. */
+  def manifest(df: DataFrame, idCol: String, tokensCol: String,
+      nShards: Int): DataFrame = {
+    val (shard, _) = shardOf(idCol, nShards)
+    df.withColumn("shard", shard)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("n_tokens"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.ShardWriter
+
+/** Shard packing: deterministic routing, one file per shard, records
+  * inside a shard ordered by the routing hash, manifest agreement. */
+class ShardWriterSpec extends SparkSpec {
+
+  test("write lays out one internally-ordered file per shard; manifest agrees") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards")
+      .toFile.getAbsolutePath
+    try {
+      ShardWriter.write(docs, "doc_id", nShards = 4, dir)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(shardDirs.length === 4)
+      // one data file per shard — the writer must not fragment
+      shardDirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length === 1, s"${d.getName} has ${files.length} files")
+      }
+      val back = spark.read.parquet(dir)
+      assert(back.count() === docs.count())
+      // round-trip: every doc routed to the shard the manifest expects
+      val (shard, order) = ShardWriter.shardOf("doc_id", 4)
+      val expected = docs.select(col("doc_id"), shard.as("expected_shard"))
+      val mismatches = back.select(col("doc_id"), col("shard"))
+        .join(expected, "doc_id")
+        .filter(col("shard") =!= col("expected_shard")).count()
+      assert(mismatches === 0L)
+      // intra-shard order: file order == pack_key order (parquet
+      // preserves row order within a file; coalesce(1) keeps the
+      // single file's split order)
+      val ordered = spark.read
+        .parquet(s"$dir/shard=0")
+        .coalesce(1)
+        .withColumn("rid", monotonically_increasing_id())
+        .orderBy("rid")
+        .select("pack_key").as[Long].collect()
+      assert(ordered.toSeq === ordered.sorted.toSeq,
+        "records inside a shard must be in pack_key order")
+      // manifest totals agree with the written data
+      val man = ShardWriter.manifest(
+        docs.withColumn("n_tok", col("n_chars")), "doc_id", "n_tok", 4)
+      assert(man.agg(sum("n_docs")).head.getLong(0) === docs.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+}
