@@ -250,7 +250,13 @@ object QueriesText {
     val threshold = 0.3
     val e = Tables.fanOut(Tables.embeddings(s, dir))
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = Similarity.ivfFit(e, k = 16, iters = 2, dim = 64)
+    // k scales with the corpus so cluster sizes stay ~300 and the
+    // within-cluster pairwise stays bounded (quadratic in cluster
+    // size × k clusters = LINEAR total when k ∝ n) — the SemDeDup
+    // sizing law, same shape as Similarity.autoBits. At the sf0.01
+    // gate (500 vectors) this floors to the oracle's k = 16.
+    val k = math.max(16, math.ceil(e.count() / 300.0).toInt)
+    val cents = Similarity.ivfFit(e, k = k, iters = 2, dim = 64)
     val assigned = Similarity.ivfAssign(e, cents)
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("vec").as("vec_a"))
@@ -277,8 +283,14 @@ object QueriesText {
     * decimals). */
   def textTfidfTopK(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanOut(Tables.documents(s, dir))
+    // tf feeds both the df aggregation and the scoring join:
+    // materialize it (vocab × docs rows, far smaller than the token
+    // stream) so the corpus is exploded and counted once, not once per
+    // consumer. At lake scale this is persist(DISK_ONLY); locally a
+    // lazy checkpoint.
     val tf = d.select(col("doc_id"), explode(TextFns.words(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -303,14 +315,20 @@ object QueriesText {
   def textBm25(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("hash", "table", "scan")
     val k1 = 1.2; val b = 0.75
+    // ONE tokenization pass: per-doc length and the pruned-to-3-terms
+    // hit list come out of the same projection, materialized
+    // doc-count-sized (lazy localCheckpoint) so the stats branch and
+    // the tf branch don't each re-tokenize the corpus — tokenizing
+    // 100 TB twice is the avoidable cost here.
     val d = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
-    val stats = d.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("ws"))).as("sum_dl"))
-    val tf = d.select(col("doc_id"), size(col("ws")).as("dl"),
-        explode(col("ws")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), size(col("ws")).as("dl"),
+        filter(col("ws"), w => w.isInCollection(terms)).as("hits"))
+      .localCheckpoint(eager = false)
+    val tf = d.select(col("doc_id"), col("dl"),
+      explode(col("hits")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val dfreq = tf.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
     val scored = tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
