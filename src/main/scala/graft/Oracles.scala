@@ -768,6 +768,19 @@ object Oracles {
         |FROM sc GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
 
+    // W11 streaming diff == batch lag-window diff (same reset/first-run
+    // semantics as d1) + the stateful operator's per-key first_seen
+    "w11_stream_diff" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us,
+        |  round(CASE WHEN pv IS NULL THEN value
+        |             WHEN value < pv THEN value
+        |             ELSE value - pv END, 2) AS value_delta,
+        |  (pv IS NULL) AS first_seen
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |        lag(value) OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP)) AS pv
+        |      FROM events) t""".stripMargin,
+
     // J10 — DuckDB's native ASOF JOIN as an independent implementation
     // of the union+window as-of semantics (inclusive: r.ts <= l.ts).
     "j10_asof_join" ->

@@ -222,6 +222,51 @@ object QueriesLog {
     result
   }
 
+  // W11/D1 streaming — the reference's core stateful operator made
+  // driver-visible: counter snapshots flow through a REAL Structured
+  // Streaming query (readStream.parquet → per-key
+  // flatMapGroupsWithState diff → foreachBatch bridge), drained with
+  // AvailableNow, and the result must equal the batch lag-window diff
+  // the oracle states (plus the per-key first_seen flag only the
+  // stateful form knows). (user_id, ts) is unique in the corpus, so
+  // orderTs alone is a total order per key.
+  def w11StreamDiff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w11").toFile.getAbsolutePath
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val rows = Tables.events(s, dir).select(
+      col("user_id").cast("string").as("key"),
+      col("ts").as("orderTs"),
+      map(lit("value"), col("value")).as("counters"))
+    rows.write.mode("overwrite").parquet(inDir)
+    val stream = s.readStream.schema(rows.schema).parquet(inDir)
+      .as[graft.streaming.StreamingDiff.DiffRow]
+    val diffed = graft.streaming.StreamingDiff(stream).toDF()
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      diffed.schema).write.mode("overwrite").parquet(outDir)
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = diffed.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val result = s.read.parquet(outDir)
+      .select(col("key").cast("long").as("user_id"),
+        unix_micros(col("orderTs")).as("ts_us"),
+        round(element_at(col("deltas"), "value"), 2).as("value_delta"),
+        col("firstSeen").as("first_seen"))
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    result
+  }
+
   // S27 — syslog RFC5424 source adapter: frame the synthetic corpus as
   // `<PRI>1 TS HOST APP PROCID MSGID SD [seqno-chunk] MSG` lines, then
   // de-frame with the adapter and recover every typed field; the oracle

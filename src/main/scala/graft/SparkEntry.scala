@@ -132,6 +132,7 @@ object SparkEntry {
     "x12_explain_normalize" -> (QueriesLog.x12ExplainNormalize _),
     "w4_context_assoc" -> (QueriesLog.w4ContextAssoc _),
     "w5_stream_batch" -> (QueriesLog.w5StreamBatch _),
+    "w11_stream_diff" -> (QueriesLog.w11StreamDiff _),
     "s27_syslog_parse" -> (QueriesLog.s27SyslogParse _),
     "j9_explain_enrich" -> (QueriesLog.j9ExplainEnrich _),
     "s28_otel_log_parse" -> (QueriesLog.s28OtelLogParse _),
