@@ -174,8 +174,11 @@ object QueriesLog {
         lit(" UTC ["), col("pid"), lit("]: [999-1] user=u"), col("pid"),
         lit(",db=db"), col("pid") % 5,
         lit(" LOG:  graft sentinel flush")).as("line"))
+    // parallel input write: the stitch sorts within each key anyway, so
+    // file order is irrelevant, and AvailableNow still drains every
+    // file in one batch (no maxFilesPerTrigger set)
     LogSynth.renderedLines(s, dir).select("line").unionByName(sentinels)
-      .coalesce(1).write.mode("overwrite").text(inDir)
+      .write.mode("overwrite").text(inDir)
     graft.streaming.LogStreamPipeline.configureFor(s)
     val analyzed = graft.streaming.LogStreamPipeline.analyzed(
       s.readStream.text(inDir), Compiled)
