@@ -177,6 +177,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: samples enrich log lines within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    // the streaming form of W4/J9: a log-line stream joins a
+    // query-sample stream of the same backend within ±1 minute, both
+    // sides watermarked so join state is evicted past the horizon
+    val lines = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val samples = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val l = lines.toDS().toDF("pid", "line_ts", "content")
+      .withWatermark("line_ts", "2 minutes")
+    val r = samples.toDS().toDF("s_pid", "sample_ts", "query")
+      .withWatermark("sample_ts", "2 minutes")
+    val joined = l.join(r, expr(
+      """pid = s_pid AND
+        |sample_ts >= line_ts - INTERVAL 1 MINUTE AND
+        |sample_ts <= line_ts + INTERVAL 1 MINUTE""".stripMargin))
+    val q = joined.writeStream
+      .format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      lines.addData((1L, ts("2024-01-01 00:10:00"), "duration: 12 ms"))
+      samples.addData((1L, ts("2024-01-01 00:10:30"), "SELECT 1"))
+      samples.addData((1L, ts("2024-01-01 00:12:30"), "SELECT 2")) // outside +-1min
+      samples.addData((2L, ts("2024-01-01 00:10:30"), "SELECT 3")) // other pid
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select(col("pid"), col("query")).collect()
+        .map(r0 => (r0.getLong(0), r0.getString(1))).toSet
+      assert(got === Set((1L, "SELECT 1")),
+        s"only the same-pid in-window sample must join, got $got")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: watermarked state drops repeats across batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
