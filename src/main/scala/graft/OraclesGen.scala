@@ -370,6 +370,45 @@ object OraclesGen {
        |FROM documents""".stripMargin
   }
 
+  /** HyperLogLog bit-reproduction: same FNV hash, registers = h % 256
+    * (≡ the engine's signed h & 255), rank = 57 − len(bin(h // 256)),
+    * register-ordered 2^-rank fold, literal-derived alpha, linear
+    * counting below 2.5·m. */
+  val corpusDistinctHll: String = {
+    val h = fnvHuge("w")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> len(w) > 0)) AS w
+       |  FROM documents),
+       |th AS (SELECT w, $h AS h FROM tok),
+       |rr AS (SELECT CAST(h % 256 AS INT) AS reg,
+       |         CAST(h // 256 AS BIGINT) AS v FROM th),
+       |rk AS (SELECT reg,
+       |         max(CASE WHEN v = 0 THEN 57
+       |             ELSE 57 - len(bin(v)) END) AS mr
+       |       FROM rr GROUP BY reg),
+       |regs AS (
+       |  SELECT g.reg, COALESCE(rk.mr, 0) AS rank0
+       |  FROM (SELECT unnest(range(256)) AS reg) g LEFT JOIN rk USING (reg)),
+       |sk AS (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(1.0 / CAST((CAST(1 AS BIGINT) << rank0) AS DOUBLE)
+       |        ORDER BY reg)), (a, b) -> a + b) AS sum2,
+       |    CAST(sum(CASE WHEN rank0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS zeros
+       |  FROM regs),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       |          CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+       |        FROM tok)
+       |SELECT n_tokens, exact_distinct, zeros,
+       |  round(CASE WHEN ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / sum2)
+       |               <= 640.0 AND zeros > 0
+       |        THEN 256.0 * ln(256.0 / zeros)
+       |        ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / sum2 END, 4)
+       |    AS hll_estimate
+       |FROM tot, sk""".stripMargin
+  }
+
   /** Shard manifest: unsigned HUGEINT mod 16 ≡ the engine's signed
     * pmod because 16 divides 2^64. */
   val sampleShardManifest: String = {
@@ -796,6 +835,7 @@ object OraclesGen {
     "sample_domain_cap" -> sampleDomainCap,
     "tokenizer_bpe_merges" -> tokenizerBpeMerges,
     "sample_shard_manifest" -> sampleShardManifest,
+    "corpus_distinct_hll" -> corpusDistinctHll,
     "sample_mix_sources" -> sampleMixSources,
     "doc_decontaminate" -> docDecontaminate,
     "text_vocab_topk" -> textVocabTopK,

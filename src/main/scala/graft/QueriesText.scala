@@ -574,6 +574,50 @@ object QueriesText {
       .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))
   }
 
+  /** Engine-owned deterministic HyperLogLog (m = 256 registers, FNV
+    * hash, linear-counting small-range correction) — the 100 TB answer
+    * to "how many distinct tokens" when an exact count-distinct
+    * shuffle is unaffordable: register state is 256 bytes regardless
+    * of corpus size and merges associatively (map-side combine does
+    * the work). The estimate is bit-reproduced in the DuckDB oracle:
+    * same hash, same registers, same register-ordered 2^-rank fold,
+    * same literal-derived alpha — no tolerance comparison needed. The
+    * exact count is included alongside to expose the sketch error (at
+    * lake scale you would compute only the sketch). */
+  def corpusDistinctHll(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanOut(Tables.documents(s, dir))
+      .select(explode(TextFns.words(col("text"))).as("w"))
+    val h = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.Fnv64Expr(
+        org.apache.spark.sql.GraftNative.expression(col("w"))))
+    val withV = toks.select(
+      h.bitwiseAND(lit(255L)).cast("int").as("reg"),
+      shiftrightunsigned(h, 8).as("v"))
+    val ranks = withV
+      .select(col("reg"),
+        when(col("v") === 0, 57)
+          .otherwise(lit(57) - length(bin(col("v")))).as("rank"))
+      .groupBy("reg").agg(max("rank").as("mr"))
+    val regs = s.range(256).select(col("id").cast("int").as("reg"))
+      .join(ranks, Seq("reg"), "left")
+      .select(col("reg"), coalesce(col("mr"), lit(0)).as("rank0"))
+    val sketch = regs.agg(
+      expr("""aggregate(array_sort(collect_list(struct(reg, rank0))),
+        |0D, (acc, x) ->
+        |  acc + 1.0 / cast(shiftleft(cast(1 as bigint), x.rank0) as double))"""
+        .stripMargin).as("sum2"),
+      sum(when(col("rank0") === 0, 1).otherwise(0)).cast("long").as("zeros"))
+    val tot = toks.agg(count(lit(1)).as("n_tokens"),
+      count_distinct(col("w")).as("exact_distinct"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val rawE = alpha * lit(65536.0) / col("sum2")
+    tot.crossJoin(broadcast(sketch))
+      .select(col("n_tokens"), col("exact_distinct"), col("zeros"),
+        round(when(rawE <= 640.0 && col("zeros") > 0,
+          lit(256.0) * log(lit(256.0) / col("zeros")))
+          .otherwise(rawE), 4).as("hll_estimate"))
+  }
+
   /** Shard-packing manifest: documents routed to 16 training shards by
     * deterministic FNV (a reproducible global shuffle — 16 divides
     * 2^64, so the unsigned-mod oracle and the signed-pmod engine

@@ -114,6 +114,7 @@ object SparkEntry {
     "corpus_quality_gates" -> (QueriesText.corpusQualityGates _),
     "corpus_token_budget" -> (QueriesText.corpusTokenBudget _),
     "corpus_stats_rollup" -> (QueriesText.corpusStatsRollup _),
+    "corpus_distinct_hll" -> (QueriesText.corpusDistinctHll _),
     "text_repetition" -> (QueriesText.textRepetition _),
     "embed_quantize" -> (QueriesText.embedQuantize _),
     "a12_latency_percentiles" -> (Queries.a12LatencyPercentiles _),
