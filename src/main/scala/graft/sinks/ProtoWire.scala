@@ -1,0 +1,140 @@
+package graft.sinks
+
+import java.io.ByteArrayOutputStream
+
+/** Minimal protobuf wire-format encoder (the PUBLIC encoding:
+  * developers.google.com/protocol-buffers/docs/encoding) + zlib, so the
+  * snapshot sink can emit the reference's actual output shape —
+  * `proto.Marshal → zlib → upload` (`output/upload.go:95-99`) — without
+  * any protobuf library dependency.
+  *
+  * Only the three wire types the snapshot schema uses are needed:
+  * varint (0), length-delimited (2) for strings/bytes/sub-messages and
+  * packed repeated ints, and 64-bit (1) for doubles. Field numbers
+  * follow the caller's schema contract (see
+  * `protobuf/compact_snapshot.proto:16-29` for the reference shape the
+  * test encodes).
+  */
+object ProtoWire {
+
+  /** Append-only message builder. */
+  final class Msg {
+    private[ProtoWire] val buf = new ByteArrayOutputStream()
+
+    private def key(field: Int, wireType: Int): Unit =
+      varintRaw((field.toLong << 3) | wireType)
+
+    private def varintRaw(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) {
+        buf.write(((v & 0x7f) | 0x80).toInt)
+        v >>>= 7
+      }
+      buf.write(v.toInt)
+    }
+
+    /** wire type 0 — int32/int64/uint64/bool/enum. */
+    def varint(field: Int, v: Long): Msg = { key(field, 0); varintRaw(v); this }
+
+    /** proto3 default-elision helper: skip zero. */
+    def varintOpt(field: Int, v: Long): Msg =
+      if (v == 0) this else varint(field, v)
+
+    /** wire type 1 — double (IEEE 754 little-endian). */
+    def double(field: Int, v: Double): Msg = {
+      key(field, 1)
+      var bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0
+      while (i < 8) { buf.write((bits & 0xff).toInt); bits >>>= 8; i += 1 }
+      this
+    }
+
+    /** wire type 2 — UTF-8 string. */
+    def string(field: Int, s: String): Msg =
+      bytes(field, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    /** wire type 2 — raw bytes. */
+    def bytes(field: Int, b: Array[Byte]): Msg = {
+      key(field, 2); varintRaw(b.length.toLong); buf.write(b, 0, b.length); this
+    }
+
+    /** wire type 2 — nested message. */
+    def msg(field: Int, m: Msg): Msg = bytes(field, m.toBytes)
+
+    /** wire type 2 — packed repeated varint. */
+    def packed(field: Int, vs: Seq[Long]): Msg = {
+      val p = new Msg
+      vs.foreach(p.varintRaw)
+      bytes(field, p.toBytes)
+    }
+
+    def toBytes: Array[Byte] = buf.toByteArray
+  }
+
+  def msg(): Msg = new Msg
+
+  /** zlib (RFC 1950) — the reference compresses marshalled snapshots
+    * with zlib before upload. */
+  def zlib(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new ByteArrayOutputStream(b.length / 2 + 16)
+    val tmp = new Array[Byte](4096)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  def unzlib(b: Array[Byte]): Array[Byte] = {
+    val i = new java.util.zip.Inflater()
+    i.setInput(b)
+    val out = new ByteArrayOutputStream(b.length * 2 + 16)
+    val tmp = new Array[Byte](4096)
+    while (!i.finished()) out.write(tmp, 0, i.inflate(tmp))
+    i.end()
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- decoder
+  // (round-trip proof for the spec; also what a downstream consumer of
+  // the sink would implement)
+
+  sealed trait Value
+  final case class VInt(v: Long) extends Value
+  final case class V64(bits: Long) extends Value
+  final case class VBytes(b: Array[Byte]) extends Value
+
+  /** Decode one message level into (field, value) pairs in order. */
+  def decode(b: Array[Byte]): Seq[(Int, Value)] = {
+    var pos = 0
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      var more = true
+      while (more) {
+        val x = b(pos) & 0xff; pos += 1
+        v |= (x & 0x7fL) << shift
+        shift += 7
+        more = (x & 0x80) != 0
+      }
+      v
+    }
+    val out = Seq.newBuilder[(Int, Value)]
+    while (pos < b.length) {
+      val k = varint()
+      val field = (k >>> 3).toInt
+      (k & 7) match {
+        case 0 => out += field -> VInt(varint())
+        case 1 =>
+          var bits = 0L; var i = 0
+          while (i < 8) { bits |= (b(pos) & 0xffL) << (8 * i); pos += 1; i += 1 }
+          out += field -> V64(bits)
+        case 2 =>
+          val n = varint().toInt
+          out += field -> VBytes(java.util.Arrays.copyOfRange(b, pos, pos + n))
+          pos += n
+        case wt => throw new IllegalArgumentException(s"wire type $wt")
+      }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.sinks.ProtoWire
+import graft.sinks.ProtoWire.{VBytes, VInt, V64}
+
+/** Wire-format goldens (hand-derived per the public protobuf encoding
+  * spec), round-trip decode, zlib round-trip, and a compact-snapshot-
+  * shaped end-to-end encode from a DataFrame. */
+class ProtoWireSpec extends SparkSpec {
+
+  private def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+
+  test("hand-derived golden bytes per the public encoding spec") {
+    // field 1, varint 150 → 08 96 01 (the canonical spec example)
+    assert(hex(ProtoWire.msg().varint(1, 150).toBytes) === "089601")
+    // field 2, string "testing" → 12 07 74 65 73 74 69 6e 67
+    assert(hex(ProtoWire.msg().string(2, "testing").toBytes) ===
+      "120774657374696e67")
+    // field 3, nested msg(field 1 = 1) → 1a 02 08 01
+    assert(hex(ProtoWire.msg().msg(3, ProtoWire.msg().varint(1, 1)).toBytes) ===
+      "1a02" + "0801")
+    // packed repeated [3,270,86942] on field 4 → 22 06 03 8e 02 9e a7 05
+    assert(hex(ProtoWire.msg().packed(4, Seq(3L, 270L, 86942L)).toBytes) ===
+      "2206038e029ea705")
+    // negative int64 encodes as 10-byte two's-complement varint
+    assert(hex(ProtoWire.msg().varint(1, -1).toBytes) ===
+      "08ffffffffffffffffff01")
+    // double 1.5 on field 5 → 29 + LE bits
+    assert(hex(ProtoWire.msg().double(5, 1.5).toBytes) === "29000000000000f83f")
+  }
+
+  test("decode round-trips every wire type") {
+    val m = ProtoWire.msg()
+      .varint(1, 42).string(2, "q").double(3, 2.5)
+      .msg(4, ProtoWire.msg().varint(1, 7))
+      .packed(5, Seq(1L, 128L))
+    val got = ProtoWire.decode(m.toBytes)
+    assert(got(0) === (1 -> VInt(42)))
+    assert(got(1)._1 === 2)
+    assert(new String(got(1)._2.asInstanceOf[VBytes].b) === "q")
+    assert(got(2) === (3 -> V64(java.lang.Double.doubleToLongBits(2.5))))
+    val nested = ProtoWire.decode(got(3)._2.asInstanceOf[VBytes].b)
+    assert(nested === Seq(1 -> VInt(7)))
+  }
+
+  test("zlib round-trip") {
+    val payload = ("snapshot " * 100).getBytes
+    val z = ProtoWire.zlib(payload)
+    assert(z.length < payload.length / 2)
+    // RFC 1950 zlib header: CMF 0x78
+    assert((z(0) & 0xff) === 0x78)
+    assert(ProtoWire.unzlib(z).toSeq === payload.toSeq)
+  }
+
+  test("compact-snapshot-shaped sink: DataFrame rows -> proto -> zlib -> decode") {
+    import org.apache.spark.sql.functions._
+    // the K1 shape (compact_snapshot.proto:16-29 analogue): header with
+    // snapshot metadata + one sub-message per query-stat row
+    val rows = Tables.events(spark, Sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum("value").as("total"))
+      .orderBy("event_type")
+      .collect()
+    val snap = ProtoWire.msg().varint(1, 1L) // snapshot_version
+      .string(2, "graft")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      snap.msg(3, ProtoWire.msg()
+        .varint(1, i.toLong)
+        .string(2, r.getString(0))
+        .varint(3, r.getLong(1))
+        .double(4, r.getDouble(2)))
+    }
+    val wire = ProtoWire.zlib(snap.toBytes)
+    val back = ProtoWire.decode(ProtoWire.unzlib(wire))
+    val entries = back.collect { case (3, VBytes(b)) => ProtoWire.decode(b) }
+    assert(entries.length === rows.length)
+    val first = entries.head
+    assert(new String(first(1)._2.asInstanceOf[VBytes].b) ===
+      rows.head.getString(0))
+    assert(first(2) === (3 -> VInt(rows.head.getLong(1))))
+  }
+}
