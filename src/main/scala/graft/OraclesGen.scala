@@ -683,6 +683,13 @@ object OraclesGen {
     s"SELECT * FROM (VALUES\n  $rows) AS t(q_id, is_utility)"
   }
 
+  val x20QueryGuard: String = {
+    val rows = PgGoldens.queryRunInputs
+      .map { case (id, _, exp) => s"($id, ${PgGoldens.sqlLit(exp)})" }
+      .mkString(",\n  ")
+    s"SELECT * FROM (VALUES\n  $rows) AS t(q_id, verdict)"
+  }
+
   val x10CredentialScrub: String = {
     val rows = PgGoldens.credentialInputs
       .map { case (id, _, exp) => s"($id, ${PgGoldens.sqlLit(exp)})" }
@@ -843,6 +850,7 @@ object OraclesGen {
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "x3_utility" -> x3Utility,
+    "x20_query_guard" -> x20QueryGuard,
     "x10_credential_scrub" -> x10CredentialScrub,
     "x14_trace_extract" -> x14TraceExtract,
     "x18_log_repair" -> x18LogRepair,

@@ -97,6 +97,32 @@ object PgGoldens {
 
   /** Utility-credential scrub corpus (X10): normalization collapses the
     * password literal, the reference's CredentialLogSecret path. */
+  /** Query-run guard cases (`validateQuery`, explain_analyze.go:60-117):
+    * (id, query, expected category). */
+  val queryRunInputs: Seq[(Int, String, String)] = Seq(
+    (0, "SELECT * FROM orders WHERE o_custkey = 5", "ok"),
+    (1, "WITH x AS (SELECT 1) SELECT * FROM x", "ok"),
+    (2, "TABLE orders", "ok"),                    // SelectStmt in PG
+    (3, "VALUES (1, 2)", "ok"),                   // SelectStmt in PG
+    (4, "INSERT INTO t VALUES (1)", "dml"),
+    (5, "UPDATE t SET a = 1", "dml"),
+    (6, "DELETE FROM t WHERE a = 1", "dml"),
+    (7, "WITH d AS (SELECT 1) INSERT INTO t SELECT * FROM d", "dml"),
+    (8, "VACUUM ANALYZE t", "utility"),
+    (9, "EXPLAIN SELECT 1", "utility"),
+    (10, "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DO NOTHING",
+      "utility"),                                 // reference default branch
+    (11, "SELECT 1; SELECT 2", "multi"),
+    (12, "SELECT 1;", "ok"),                      // trailing ; is fine
+    (13, "SELECT dblink('host=evil', 'SELECT 1')", "blocked_function"),
+    (14, "SELECT * FROM crosstab('SELECT 1') AS t(a int)", "blocked_function"),
+    (15, "SELECT public.dblink_exec('c', 'SQL')", "blocked_function"),
+    (16, "SELECT 'dblink(' FROM t", "ok"),        // string literal, not a call
+    (17, "SELECT dblink FROM t", "ok"),           // bare column, not a call
+    (18, "SELECT DBLINK('x')", "blocked_function"), // unquoted idents lowercase
+    (19, "SELECT (1 + 2", "parse"),               // unbalanced parens
+    (20, "SELECT xpath_table('a','b','c','d','e')", "blocked_function"))
+
   val credentialInputs: Seq[(Int, String, String)] = Seq(
     (0, "ALTER ROLE myrole WITH PASSWORD 'supersecret'",
       "ALTER ROLE myrole WITH PASSWORD $1"),

@@ -43,6 +43,22 @@ object QueriesFns {
       .select(col("q_id"), PgFns.isUtilityStatement(col("query")).as("is_utility"))
   }
 
+  // X20 — the on-demand query-run guard (validateQuery,
+  // explain_analyze.go:60-117): single parseable SELECT, no DML, no
+  // utility, no blocked function anywhere; the engine derives each
+  // category from the scanner alone, the oracle only states the
+  // expected outcomes.
+  def x20QueryGuard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgGoldens.queryRunInputs.map { case (id, q, _) => (id, q) }
+      .toDF("q_id", "query")
+      .select(col("q_id"),
+        org.apache.spark.sql.GraftNative.column(
+          graft.functions.expressions.QueryRunGuardExpr(
+            org.apache.spark.sql.GraftNative.expression(col("query"))))
+          .as("verdict"))
+  }
+
   // X10 — utility-credential scrub: password literals collapse under
   // normalization (CredentialLogSecret, logs/analyze.go:2320-2335).
   def x10CredentialScrub(s: SparkSession, dir: String): DataFrame = {

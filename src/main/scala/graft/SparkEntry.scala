@@ -74,6 +74,7 @@ object SparkEntry {
     // scalar functions / filters / sorts
     "x15_unpack" -> (QueriesFns.x15Unpack _),
     "x3_utility" -> (QueriesFns.x3Utility _),
+    "x20_query_guard" -> (QueriesFns.x20QueryGuard _),
     "x10_credential_scrub" -> (QueriesFns.x10CredentialScrub _),
     "x14_trace_extract" -> (QueriesFns.x14TraceExtract _),
     "x18_log_repair" -> (QueriesFns.x18LogRepair _),

@@ -386,6 +386,54 @@ object PgNormalize {
     v.nonEmpty && v != "with" && !dmlVerbs.contains(v)
   }
 
+  /** Functions the query-run guard rejects anywhere in a statement
+    * (`explain_analyze.go:88-99`): exfiltration (dblink family) and
+    * nested-SQL-execution (crosstab/xpath_table) risks. */
+  private val blockedFunctions: Set[String] = Set(
+    "dblink", "dblink_connect", "dblink_exec",
+    "crosstab", "crosstab2", "crosstab3", "crosstab4", "xpath_table")
+
+  /** The on-demand query-run guard (`validateQuery`,
+    * `explain_analyze.go:60-117`) over the scanner: a single parseable
+    * statement whose main verb is a SELECT form (TABLE/VALUES parse as
+    * SelectStmt in PG and are allowed; wCTEs are permitted like the
+    * reference, which relies on the read-only transaction instead),
+    * with no blocked function call anywhere. Returns the reference's
+    * rejection category: ok | parse | multi | dml | utility |
+    * blocked_function (MERGE hits the reference's default branch →
+    * utility, exactly as pg_query's switch does). */
+  def queryRunGuard(q: String): String = {
+    val lx = lex(q)
+    if (!lx.ok || lx.parens != 0) return "parse"
+    val toks = lx.toks
+    if (toks.isEmpty) return "parse"
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == TOp && q.charAt(t.start) == ';' && i + 1 < toks.length)
+        return "multi"
+      i += 1
+    }
+    val v = statementVerb(q)
+    if (v.isEmpty || v == "with") return "parse"
+    if (v == "insert" || v == "update" || v == "delete") return "dml"
+    if (v != "select" && v != "table" && v != "values") return "utility"
+    i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val name =
+        if (t.kind == TWord) q.substring(t.start, t.end).toLowerCase
+        else if (t.kind == TQuotedIdent) q.substring(t.start + 1, t.end - 1)
+        else null
+      if (name != null && blockedFunctions.contains(name) &&
+          i + 1 < toks.length && toks(i + 1).kind == TOp &&
+          q.charAt(toks(i + 1).start) == '(')
+        return "blocked_function"
+      i += 1
+    }
+    "ok"
+  }
+
   /** `markUtilitySecret`'s NormalizeUtility-changed predicate, reduced to
     * the node types pg_query's utility-only normalization actually
     * rewrites (`pg_query_normalize.c:414-447`): role/user/group options,

@@ -39,6 +39,21 @@ case class IsUtilityExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The on-demand query-run guard (`explain_analyze.go:60-117`) — one
+  * static scanner call per row inside whole-stage codegen. */
+case class QueryRunGuardExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      PgNormalize.queryRunGuard(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "UTF8String.fromString(graft.functions.PgNormalize.queryRunGuard(" +
+        s"$c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): QueryRunGuardExpr =
+    copy(child = newChild)
+}
+
 /** Single-pass regex group extraction: one compiled-pattern match per
   * row returning ALL capture groups as array<string> (unmatched groups
   * → empty string, no match → null). Replaces N parallel
