@@ -177,6 +177,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: gap-based sessions close at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // W3's native streaming form: session_window(gap) per backend —
+    // a session closes only once the watermark passes ts + gap
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = input.toDS().toDF("pid", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("pid"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00")),
+        (1L, ts("2024-01-01 00:10:00")),  // same session (gap < 30m)
+        (1L, ts("2024-01-01 01:00:00")))  // new session
+      q.processAllAvailable()
+      // advance the watermark far enough to close both sessions
+      input.addData((2L, ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_win")
+        .filter(col("pid") === 1L)
+        .select(col("n")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 2L),
+        s"expected a 2-event and a 1-event session for pid 1, got $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: samples enrich log lines within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, expr}
