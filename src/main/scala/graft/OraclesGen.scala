@@ -425,6 +425,42 @@ object OraclesGen {
        |FROM p GROUP BY shard""".stripMargin
   }
 
+  /** Sequence packing: the per-shard greedy next-fit walk re-derived as
+    * a recursive CTE (one iteration per document rank, all shards in
+    * parallel); pack_key converted to the engine's signed ordering. */
+  val sampleSeqPack: String = {
+    val h = fnvHuge("'shard:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH RECURSIVE p AS (
+       |  SELECT doc_id,
+       |    CAST($h % 16 AS INT) AS shard,
+       |    CAST(CASE WHEN $h >= 9223372036854775808
+       |         THEN $h - 18446744073709551616
+       |         ELSE $h END AS BIGINT) AS pack_key,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY shard
+       |    ORDER BY pack_key, doc_id) AS rn
+       |  FROM p),
+       |walk AS (
+       |  SELECT shard, rn, doc_id, n_tok, n_tok AS fill,
+       |    CAST(0 AS BIGINT) AS ex
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.shard, r.rn, r.doc_id, r.n_tok,
+       |    CASE WHEN w.fill + r.n_tok > 512 AND w.fill > 0
+       |         THEN r.n_tok ELSE w.fill + r.n_tok END,
+       |    CASE WHEN w.fill + r.n_tok > 512 AND w.fill > 0
+       |         THEN w.ex + 1 ELSE w.ex END
+       |  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1)
+       |SELECT shard, ex AS example_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(n_tok) AS BIGINT) / 512.0, 6) AS fill_ratio
+       |FROM walk GROUP BY shard, ex""".stripMargin
+  }
+
   /** BPE merge induction, 5 rounds unrolled: each round counts
     * adjacent symbol pairs weighted by word count, picks the argmax
     * (count desc, pair lex), and applies the merge with the same
@@ -842,6 +878,7 @@ object OraclesGen {
     "sample_domain_cap" -> sampleDomainCap,
     "tokenizer_bpe_merges" -> tokenizerBpeMerges,
     "sample_shard_manifest" -> sampleShardManifest,
+    "sample_seq_pack" -> sampleSeqPack,
     "corpus_distinct_hll" -> corpusDistinctHll,
     "sample_mix_sources" -> sampleMixSources,
     "doc_decontaminate" -> docDecontaminate,

@@ -631,6 +631,44 @@ object QueriesText {
     graft.sinks.ShardWriter.manifest(d, "doc_id", "n_tok", nShards = 16)
   }
 
+  /** Sequence packing: greedy next-fit packing of documents into
+    * ≤512-token training examples, independently per FNV-routed shard
+    * in deterministic pack_key order — exactly how production packers
+    * run (per-worker sequential packing over a sharded stream; a
+    * GLOBAL greedy pack is inherently sequential and unscalable).
+    * A document longer than the budget gets its own example. The fold
+    * is a per-shard aggregate HOF; only the shard rollup shuffles.
+    * Output: one row per packed example with its fill. */
+  def sampleSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val (shard, order) = graft.sinks.ShardWriter.shardOf("doc_id", 16)
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("shard", shard)
+      .withColumn("pack_key", order)
+    d.groupBy("shard")
+      .agg(sort_array(collect_list(
+        struct(col("pack_key"), col("doc_id"), col("n_tok")))).as("ms"))
+      .select(col("shard"), explode(expr(
+        """aggregate(ms,
+          |  struct(cast(0 as bigint) as fill, cast(0 as bigint) as ex,
+          |    cast(array() as array<struct<doc_id: bigint, ex: bigint,
+          |      n_tok: bigint>>) as out),
+          |  (acc, m) -> CASE
+          |    WHEN acc.fill + m.n_tok > 512 AND acc.fill > 0 THEN
+          |      struct(m.n_tok as fill, acc.ex + 1 as ex,
+          |        concat(acc.out, array(struct(m.doc_id as doc_id,
+          |          acc.ex + 1 as ex, m.n_tok as n_tok))) as out)
+          |    ELSE
+          |      struct(acc.fill + m.n_tok as fill, acc.ex as ex,
+          |        concat(acc.out, array(struct(m.doc_id as doc_id,
+          |          acc.ex as ex, m.n_tok as n_tok))) as out) END,
+          |  acc -> acc.out)""".stripMargin)).as("a"))
+      .groupBy(col("shard"), col("a.ex").as("example_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("a.n_tok").as("n_tokens"))
+      .withColumn("fill_ratio", round(col("n_tokens") / 512.0, 6))
+  }
+
   /** Deterministic train/validation/test split: FNV-1a over
     * `split:<doc_id>` routes each document to a bucket in [0, 256) —
     * 80/10/10 by bucket range, reproducible across engines and cluster

@@ -94,6 +94,7 @@ object SparkEntry {
     "sample_domain_cap" -> (QueriesText.sampleDomainCap _),
     "tokenizer_bpe_merges" -> (QueriesText.tokenizerBpeMerges _),
     "sample_shard_manifest" -> (QueriesText.sampleShardManifest _),
+    "sample_seq_pack" -> (QueriesText.sampleSeqPack _),
     "sem_dedup" -> (QueriesText.semDedup _),
     "text_tfidf_topk" -> (QueriesText.textTfidfTopK _),
     "text_bm25" -> (QueriesText.textBm25 _),
