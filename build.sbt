@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] drives one JVM: a 100+-query Verify/Bench session at 8g
+  // hit rolling GC + JIT-code-cache-full windows (10-100x slowdowns on
+  // whichever queries ran inside them); whole-stage codegen emits a
+  // class per stage, so the default 240m code cache fills mid-session
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -15,11 +15,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shuffle/spill on tmpfs when available: this host's disk throttles
+    // to ~45 MB/s under sustained load, which turns shuffle writes into
+    // multi-minute stalls; on a real cluster this is local NVMe
+    if (new java.io.File("/dev/shm").isDirectory)
+      builder.config("spark.local.dir", "/dev/shm/graft_spark_local")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def force(name: String): Unit = {
@@ -28,6 +33,14 @@ object Bench {
       // ANSI mode (Spark 4 default)
       df.agg(sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
         .cast("decimal(38,0)"))).head
+      // release per-query cached state: queries that localCheckpoint
+      // multi-consumer intermediates (k-means, BPE rounds, scoring tf
+      // tables) pin MEMORY_AND_DISK blocks; across a 100+-query session
+      // those accumulate until the executor heap thrashes and every
+      // later query pays GC, not compute (observed: 10-100x)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

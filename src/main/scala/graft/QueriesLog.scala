@@ -17,6 +17,18 @@ object QueriesLog {
   val Prefix = "%t [%p]: [%l-1] user=%u,db=%d "
   val Compiled: LogPrefix.Compiled = LogPrefix.compile(Prefix)
 
+  /** Scratch dir for stream round-trips — tmpfs when available (the
+    * host disk throttles to ~45 MB/s under sustained load; these dirs
+    * are deleted at the end of the query either way). */
+  private def scratchDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val p =
+      if (shm.isDirectory)
+        java.nio.file.Files.createTempDirectory(shm.toPath, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    p.toFile.getAbsolutePath
+  }
+
   // X4/X5 — compile log_line_prefix to a regex, parse rendered lines back
   // into typed fields. A single-pass extractor: ONE regex match per row
   // yields every capture group (the old per-field regexp_extract rescanned
@@ -165,7 +177,7 @@ object QueriesLog {
   // (runner/logs.go:236-286, logs/stream/stream.go:240-312).
   def w5StreamBatch(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("graft_w5").toFile.getAbsolutePath
+    val tmp = scratchDir("graft_w5")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val sentinels = LogSynth.lines(s, dir)
       .groupBy("pid").agg(max(col("ts")).as("ts"))
@@ -236,7 +248,7 @@ object QueriesLog {
   def w11StreamDiff(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_w11").toFile.getAbsolutePath
+    val tmp = scratchDir("graft_w11")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val rows = Tables.events(s, dir).select(
       col("user_id").cast("string").as("key"),
