@@ -45,6 +45,11 @@ object TemporalJoin {
       leftTs: String, rightTs: String): DataFrame = {
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
     val leftCols = left.columns
+    val collisions = rightPayload.toSet
+      .intersect(leftCols.filterNot(keys.contains).toSet)
+    require(collisions.isEmpty,
+      s"asOf output would be ambiguous: rename right-side columns " +
+        s"${collisions.mkString(", ")} (also present on the left)")
     // tag and union: right rows sort BEFORE left rows at equal ts
     // (side 0 < 1) so a right row exactly at leftTs is matched —
     // inclusive semantics, same as DuckDB `ON l.ts >= r.ts`.
