@@ -21,8 +21,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
     // shuffle/spill on tmpfs when available: this host's disk throttles
     // to ~45 MB/s under sustained load, which turns shuffle writes into
-    // multi-minute stalls; on a real cluster this is local NVMe
-    if (new java.io.File("/dev/shm").isDirectory)
+    // multi-minute stalls; on a real cluster this is local NVMe. Opt
+    // out with SPARK_GRAFT_TMPFS=0 for large-SF / memory-constrained
+    // runs where RAM-backed spill could exhaust host memory instead of
+    // degrading gracefully to disk.
+    if (sys.env.get("SPARK_GRAFT_TMPFS").forall(_ != "0") &&
+        new java.io.File("/dev/shm").isDirectory)
       builder.config("spark.local.dir", "/dev/shm/graft_spark_local")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -758,12 +758,14 @@ object Oracles {
         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
         |       GROUP BY term),
         |sc AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, term,
         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf
         |      / (tf + 1.2 * (0.25 + 0.75 * dl
         |           / (sum_dl::DOUBLE / n_docs::DOUBLE))) AS contrib
         |  FROM tf JOIN df USING (term) CROSS JOIN stats)
-        |SELECT doc_id, round(sum(contrib), 6) AS bm25,
+        |SELECT doc_id,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(contrib ORDER BY term)), (a, b) -> a + b), 6) AS bm25,
         |  count(*) AS n_terms_hit
         |FROM sc GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,

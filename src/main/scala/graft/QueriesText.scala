@@ -338,8 +338,15 @@ object QueriesText {
         (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("contrib", col("idf") * col("tf") /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // contribs fold in TERM order (one row per term per doc), not an
+    // unordered `sum`: float addition order must match the oracle's
+    // operand order exactly or a last-ULP difference can flip the 6th
+    // decimal under the hash gate
     scored.groupBy("doc_id")
-      .agg(round(sum("contrib"), 6).as("bm25"),
+      .agg(round(expr(
+        """aggregate(array_sort(collect_list(struct(term, contrib))),
+          |  cast(0 as double), (acc, x) -> acc + x.contrib)""".stripMargin),
+        6).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(50)
   }

@@ -14,8 +14,9 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
     // shuffle/spill on tmpfs when available (see Bench: the host disk
-    // throttles under sustained load)
-    if (new java.io.File("/dev/shm").isDirectory)
+    // throttles under sustained load); SPARK_GRAFT_TMPFS=0 opts out
+    if (sys.env.get("SPARK_GRAFT_TMPFS").forall(_ != "0") &&
+        new java.io.File("/dev/shm").isDirectory)
       builder.config("spark.local.dir", "/dev/shm/graft_spark_local")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -41,15 +41,21 @@ object BpeTrain {
        |  acc -> acc.out)""".stripMargin)
 
   /** Learn `rounds` merges from `words`(w, wc). Returns one row per
-    * merge: (round, left, right, merged, pair_count). */
+    * merge: (round, left, right, merged, pair_count) — FEWER than
+    * `rounds` rows when the vocab fully merges first (every word down
+    * to one symbol): the loop detects pair exhaustion and stops,
+    * rather than letting an empty argmax silently empty the vocab.
+    * `rounds = 0` returns an empty frame with the same schema. */
   def merges(words: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val spark = words.sparkSession
     import spark.implicits._
     var vocab = words.select(col("w"), col("wc"),
       expr("filter(split(w, ''), x -> x != '')").as("s"))
     var learned = Vector.empty[DataFrame]
     var r = 0
-    while (r < rounds) {
+    var exhausted = false
+    while (r < rounds && !exhausted) {
       val best = vocab
         // single-symbol words have no pairs (sequence(0, -1) would run
         // DESCENDING in Spark, not empty — guard, don't rely on it)
@@ -62,15 +68,25 @@ object BpeTrain {
         .orderBy(col("pair_count").desc, col("a"), col("b"))
         .limit(1)
         .localCheckpoint(eager = false) // one tiny row; cut the lineage
-      learned = learned :+ best.select(lit(r + 1).as("round"),
-        col("a").as("left"), col("b").as("right"),
-        concat(col("a"), col("b")).as("merged"), col("pair_count"))
-      vocab = vocab.crossJoin(broadcast(best))
-        .withColumn("s", applyMerge("s", "a", "b"))
-        .select("w", "wc", "s")
-        .localCheckpoint(eager = false)
-      r += 1
+      // pair exhaustion: no adjacent pairs left anywhere → stop. The
+      // emptiness probe is one job over the (already tiny, checkpointed)
+      // 0-or-1-row argmax, not over the vocab.
+      if (best.isEmpty) { exhausted = true }
+      else {
+        learned = learned :+ best.select(lit(r + 1).as("round"),
+          col("a").as("left"), col("b").as("right"),
+          concat(col("a"), col("b")).as("merged"), col("pair_count"))
+        vocab = vocab.crossJoin(broadcast(best))
+          .withColumn("s", applyMerge("s", "a", "b"))
+          .select("w", "wc", "s")
+          .localCheckpoint(eager = false)
+        r += 1
+      }
     }
-    learned.reduce(_ unionByName _)
+    if (learned.isEmpty)
+      words.select(lit(0).as("round"), lit("").as("left"),
+        lit("").as("right"), lit("").as("merged"),
+        lit(0L).as("pair_count")).limit(0)
+    else learned.reduce(_ unionByName _)
   }
 }

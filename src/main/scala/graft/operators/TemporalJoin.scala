@@ -91,6 +91,16 @@ object TemporalJoin {
       intervals: DataFrame, points: DataFrame, keys: Seq[String],
       startCol: String, endCol: String, tsCol: String,
       bucketMicros: Long): DataFrame = {
+    // same up-front ambiguity guard as asOf: a shared non-key column
+    // name would otherwise surface as an ambiguous-reference error (or
+    // silent duplicate output columns) deep inside the join
+    val collisions = intervals.columns.filterNot(keys.contains).toSet
+      .intersect(points.columns.filterNot(keys.contains).toSet)
+    require(collisions.isEmpty,
+      s"intervalJoin output would be ambiguous: rename columns " +
+        s"${collisions.mkString(", ")} (present on both sides)")
+    require(!intervals.columns.contains("_b") && !points.columns.contains("_b"),
+      "intervalJoin reserves the internal column name _b")
     val iv = intervals
       .withColumn("_b", explode(sequence(
         (unix_micros(col(startCol)) / bucketMicros).cast("long"),

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * then lay each shard out contiguously, internally ordered by the
   * same hash so a training loader streams records in the packed order.
   *
-  * Scale shape: ONE repartition on the shard id (each output task
-  * writes exactly one shard file — no post-hoc compaction), with
+  * Scale shape: ONE repartition on the shard id (each shard value maps
+  * to a single task, so every shard comes out as exactly one file with
+  * no post-hoc compaction; hash-partitioning may co-locate several
+  * shard values in one task, which only batches writes), with
   * `sortWithinPartitions` riding the same exchange; per-shard
   * manifests come from the identical routing expression, so the
   * manifest job and the write job agree by construction.
