@@ -191,6 +191,11 @@ object OraclesGen {
          |        ${ivfSim("e.vec", s"$cents.centroid")} AS sim
          |      FROM e CROSS JOIN $cents) s0) s1
          |  WHERE rn = 1)""".stripMargin
+    // two-level ordered tree fold, mirroring Similarity.ivfFit exactly:
+    // level 1 folds members in id order within chunk `id // W`, level 2
+    // folds chunk partial sums in chunk order, then one division by the
+    // total count — same operand order, bit-reproducible.
+    val w = graft.operators.Similarity.DefaultChunkWidth
     def update(name: String, assigned: String, prev: String) =
       s"""$name AS (
          |  SELECT p.cluster, COALESCE(u.centroid, p.centroid) AS centroid
@@ -198,10 +203,22 @@ object OraclesGen {
          |    SELECT cluster,
          |      list_transform(range($dim), d ->
          |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |          list_transform(ms, m -> CAST(m[d+1] AS DOUBLE))),
-         |          (a, b) -> a + b) / len(ms)) AS centroid
-         |    FROM (SELECT cluster, list(vec ORDER BY id) AS ms
-         |          FROM $assigned GROUP BY cluster) g) u USING (cluster))""".stripMargin
+         |          list_transform(pss, ps -> ps[d+1])),
+         |          (a, b) -> a + b) / total_cnt) AS centroid
+         |    FROM (
+         |      SELECT cluster, list(psum ORDER BY chunk) AS pss,
+         |        CAST(sum(cnt) AS BIGINT) AS total_cnt
+         |      FROM (
+         |        SELECT cluster, chunk,
+         |          list_transform(range($dim), d ->
+         |            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |              list_transform(ms, m -> CAST(m[d+1] AS DOUBLE))),
+         |              (a, b) -> a + b)) AS psum,
+         |          len(ms) AS cnt
+         |        FROM (SELECT cluster, id // $w AS chunk,
+         |                list(vec ORDER BY id) AS ms
+         |              FROM $assigned GROUP BY cluster, chunk) g1) g2
+         |      GROUP BY cluster) g3) u USING (cluster))""".stripMargin
     s"""e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster,

@@ -121,20 +121,32 @@ object Similarity {
 
   // ------------------------------------------------------------------- IVF
 
+  /** Level-1 fold width of [[ivfFit]]'s two-level centroid update —
+    * a FIXED constant shared with the SQL oracle (the fold order is
+    * part of the bit-reproducibility contract). */
+  val DefaultChunkWidth = 1024L
+
   /** Deterministic k-means for IVF coarse quantization: centroids
-    * initialize from the `k` lowest-id vectors and update with
-    * SEQUENTIAL id-ordered member sums (an id-sorted fold, not a
-    * parallel `sum`), so the fitted centroids are bit-reproducible
-    * across partitionings — and in the SQL oracle. Assignment is by
-    * cosine, ties broken by cluster id. Empty clusters keep their
-    * previous centroid.
+    * initialize from the `k` lowest-id vectors and update with a
+    * TWO-LEVEL ordered tree fold (not a parallel `sum`), so the fitted
+    * centroids are bit-reproducible across partitionings — and in the
+    * SQL oracle. Assignment is by cosine, ties broken by cluster id.
+    * Empty clusters keep their previous centroid.
     *
     * Scale shape: assignment is a broadcast of `k` centroids against the
     * corpus (per-row argmax, no corpus shuffle); the update shuffles
-    * once on cluster id. The id-sorted fold materializes each cluster's
-    * members in one task — at extreme scale swap it for a two-level
-    * ordered tree fold; the contract (fixed fold order) is the point. */
-  def ivfFit(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    * once on (cluster, chunk) and once on cluster. The fold order is a
+    * pure function of ids — chunk `id div chunkWidth`, members fold in
+    * ascending id within a chunk, chunk partial sums fold in ascending
+    * chunk — so NO task ever materializes a whole cluster: level 1
+    * buffers at most `chunkWidth` vectors per row, level 2 buffers one
+    * dim-length partial sum per chunk. At a fixed small k the old flat
+    * fold held corpus/k vectors in single rows (executor OOM at 100×);
+    * this caps level-1 rows at chunkWidth regardless of corpus size.
+    * Set `chunkWidth` ≈ sqrt(id-range) at lake scale to balance the
+    * levels; the default matches the oracle's constant. */
+  def ivfFit(emb: DataFrame, k: Int, iters: Int, dim: Int,
+      chunkWidth: Long = DefaultChunkWidth): DataFrame = {
     val spark = emb.sparkSession
     var cents = emb.orderBy("id").limit(k)
       .orderBy("id")
@@ -146,11 +158,19 @@ object Similarity {
     while (i < iters) {
       val assigned = ivfAssign(emb, cents)
       val updated = assigned
-        .groupBy("cluster")
+        .groupBy(col("cluster"), expr(s"id div $chunkWidth").as("chunk"))
         .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("ms"))
+        .select(col("cluster"), col("chunk"),
+          expr(s"""transform(sequence(0, $dim - 1),
+            d -> aggregate(ms, 0D, (acc, m) -> acc + m.vec[d]))""").as("psum"),
+          size(col("ms")).cast("long").as("cnt"))
+        .groupBy("cluster")
+        .agg(sort_array(collect_list(struct(col("chunk"), col("psum"), col("cnt"))))
+          .as("chunks"))
         .select(col("cluster"),
           expr(s"""transform(sequence(0, $dim - 1),
-            d -> aggregate(ms, 0D, (acc, m) -> acc + m.vec[d]) / size(ms))""")
+            d -> aggregate(chunks, 0D, (acc, c) -> acc + c.psum[d])
+                 / aggregate(chunks, cast(0 as bigint), (acc, c) -> acc + c.cnt))""")
             .as("centroid"))
       cents = cents.select(col("cluster"), col("centroid").as("prev"))
         .join(updated, Seq("cluster"), "left")
