@@ -884,7 +884,84 @@ object OraclesGen {
       |        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
       |      FROM events WHERE event_type = 'purchase') t""".stripMargin
 
+  /** Full re-derivation of [[graft.sinks.FullSnapshotPipeline.e2e]]:
+    * two-run cumulative statement stats LEFT-JOIN diff (== the D1
+    * lag-window on a 2-snapshot timeline), F5 collector filter, X1/X2
+    * normalize+fingerprint (the synthetic texts' canonical form is
+    * regexp-derivable; the fingerprint is the same FNV-1a the engine
+    * computes), A1 fingerprint grouping, and the document-level section
+    * counts. A matching row-hash proves the engine's protobuf+zlib
+    * encode→decode round-trip preserved every value bit-for-bit. */
+  val e2eFullSnapshot: String = {
+    val canonFp =
+      s"""CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+         |  ELSE h END AS BIGINT)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, value,
+       |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+       |    CAST(ts AS TIMESTAMP) AS tsx
+       |  FROM events),
+       |s0 AS (
+       |  SELECT user_id % 5 AS db_oid, user_id AS user_oid, k AS query_id,
+       |    event_id % 7 <> 0 AS toplevel,
+       |    CAST(count(*) AS BIGINT) AS calls,
+       |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_ms
+       |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2, 3, 4),
+       |s1 AS (
+       |  SELECT user_id % 5 AS db_oid, user_id AS user_oid, k AS query_id,
+       |    event_id % 7 <> 0 AS toplevel,
+       |    CAST(count(*) AS BIGINT) AS calls,
+       |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_ms
+       |  FROM ev GROUP BY 1, 2, 3, 4),
+       |d AS (
+       |  SELECT s1.db_oid, s1.user_oid, s1.query_id, s1.toplevel,
+       |    s1.calls - COALESCE(s0.calls, 0) AS calls_delta,
+       |    s1.total_ms - COALESCE(s0.total_ms, 0) AS total_ms_delta
+       |  FROM s1 LEFT JOIN s0 USING (db_oid, user_oid, query_id, toplevel)),
+       |t AS (
+       |  SELECT DISTINCT user_id % 5 AS db_oid, user_id AS user_oid,
+       |    k AS query_id, event_id % 7 <> 0 AS toplevel,
+       |    CASE WHEN k % 50 = 0 THEN '/* pganalyze-collector */ SELECT 1'
+       |         ELSE 'SELECT * FROM orders WHERE o_custkey = ' || k END AS query
+       |  FROM ev),
+       |f AS (
+       |  SELECT d.*, t.query
+       |  FROM d JOIN t USING (db_oid, user_oid, query_id, toplevel)
+       |  WHERE t.query NOT LIKE '/* pganalyze-collector */%'),
+       |n AS (
+       |  SELECT f.*,
+       |    regexp_replace(query, '[0-9]+$$', '$$1') AS normalized,
+       |    ${fnvHuge("lower(regexp_replace(query, '[0-9]+$', '$'))")} AS h
+       |  FROM f),
+       |g AS (
+       |  SELECT db_oid, user_oid, toplevel, $canonFp AS fingerprint,
+       |    CAST(sum(calls_delta) AS BIGINT) AS calls,
+       |    CAST(sum(total_ms_delta) AS BIGINT) AS total_ms,
+       |    CAST(count(*) AS BIGINT) AS n_query_ids,
+       |    min(normalized) AS normalized_query
+       |  FROM n GROUP BY 1, 2, 3, 4)
+       |SELECT
+       |  CASE g.db_oid % 7 WHEN 0 THEN 'rdsadmin'
+       |    WHEN 1 THEN 'azure_maintenance' WHEN 2 THEN 'cloudsqladmin'
+       |    ELSE 'db_' || g.db_oid END AS datname,
+       |  'u' || g.user_oid AS rolname,
+       |  g.toplevel, g.fingerprint, g.normalized_query, g.n_query_ids,
+       |  g.calls, g.total_ms,
+       |  (SELECT CAST(count(DISTINCT user_oid) AS BIGINT) FROM f) AS n_roles,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_databases,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_queries,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_relations,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM part WHERE p_partkey % 7 = 0)
+       |    AS n_settings,
+       |  (SELECT CAST(epoch_us(max(tsx)) // 1000000 AS BIGINT) FROM ev)
+       |    AS collected_at_s,
+       |  CAST(600 AS BIGINT) AS interval_secs,
+       |  TRUE AS integrity_ok
+       |FROM g""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "e2e_full_snapshot" -> e2eFullSnapshot,
     "x7_autovacuum_details" -> x7AutovacuumDetails,
     "x7_checkpoint_details" -> x7CheckpointDetails,
     "doc_pii_scrub" -> docPiiScrub,

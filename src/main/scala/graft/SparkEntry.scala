@@ -144,7 +144,11 @@ object SparkEntry {
     "s30_gcp_log_parse" -> (QueriesLog.s30GcpLogParse _),
     "s31_azure_log_parse" -> (QueriesLog.s31AzureLogParse _),
     "x6_tz_parse" -> (QueriesLog.x6TzParse _),
-    "x17_session_duration" -> (QueriesLog.x17SessionDuration _)
+    "x17_session_duration" -> (QueriesLog.x17SessionDuration _),
+    // end-to-end full-snapshot lifecycle (scans → diffs → grouping →
+    // dim-encode → protobuf+zlib wire → decode → integrity verify)
+    "e2e_full_snapshot" ->
+      ((s: SparkSession, d: String) => graft.sinks.FullSnapshotPipeline.e2e(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

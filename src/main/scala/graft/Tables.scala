@@ -41,7 +41,15 @@ object Tables {
     * Exchange-free (ScaleJoinSpec). */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // file-count gate, NOT df.rdd.getNumPartitions: touching .rdd forces
+    // physical planning of the scan at query-BUILD time (twice per query
+    // once the real plan runs). File count is available from the catalog
+    // without planning; on a real lake there are >= target files and this
+    // is a no-op, locally the single-file test inputs repartition as
+    // before. (A few huge files would split into enough tasks anyway —
+    // the extra repartition in that corner is harmless, one narrow pass.)
+    val files = df.inputFiles.length
+    if (files > 0 && files < target) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")

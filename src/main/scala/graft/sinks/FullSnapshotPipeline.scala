@@ -1,0 +1,378 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.PgFns
+import graft.operators.{Diff, DimEncode}
+import graft.sources.CatalogSynth
+
+/** End-to-end full-snapshot lifecycle — the reference's actual product
+  * as ONE verified pipeline (`runner/full.go:21-125` →
+  * `output/transform/postgres.go` → `output/full.go:20-97` →
+  * `output/upload.go:95-99`):
+  *
+  *   catalog scans (S1/S2/S6/S11/S17/S19) → counter diffs against the
+  *   previous run (D1 statements, D4 relations, D6 databases) → F5
+  *   collector-query filter → X1/X2 normalize+fingerprint → A1
+  *   statement grouping (query_ids roll up per fingerprint) → J5
+  *   dimension encoding (reference arrays + idx) → K1 document
+  *   assembly → protobuf wire bytes + zlib ([[ProtoWire]], field
+  *   numbers from `protobuf/full_snapshot.proto:11-92` and
+  *   `protobuf/shared.proto:34-78`) → decode → K3 integrity
+  *   verification (`output/full.go:73-97` length equality PLUS every
+  *   stat idx resolving) → the decoded document as a DataFrame.
+  *
+  * Everything distributed stays distributed (diffs, grouping, dims are
+  * Spark plans); only the assembled DOCUMENT is collected — the
+  * snapshot is the reference's bounded per-server artifact (dims +
+  * one tick's grouped facts; the reference caps at 5000 queries per
+  * database), not a corpus-scale dataset. The returned DataFrame is
+  * built from the DECODED wire bytes, so a green oracle row proves the
+  * whole encode→compress→decompress→decode chain, not just the SQL.
+  */
+object FullSnapshotPipeline {
+
+  /** F5 — the reference's own-query marker (`input/postgres/statements.go`
+    * filters statements carrying the collector comment). */
+  val CollectorMarker = "/* pganalyze-collector */"
+
+  /** Deterministic stand-in for the reference's uuidv7 snapshot id
+    * (`output/full.go:44` — random there; the gate needs reproducible
+    * bytes). */
+  val SnapshotUuid = "00000000-0000-7000-8000-000000000001"
+
+  val CollectorVersion = "graft-0.5.0"
+  val IntervalSecs = 600L
+
+  // ------------------------------------------------------- spark stages
+
+  /** D1 over the two-run statement timeline: the current run's deltas
+    * (first-seen keys emit raw counters — the reference's new-key
+    * branch). */
+  def statementDiff(s: SparkSession, dir: String): DataFrame =
+    Diff.counterDiff(
+      CatalogSynth.statementStatsRuns(s, dir),
+      keyCols = Seq("db_oid", "user_oid", "query_id", "toplevel"),
+      orderCols = Seq("snap"),
+      counterCols = Seq("calls", "total_ms"))
+      .filter(col("snap") === 1)
+      .select(col("db_oid"), col("user_oid"), col("query_id"),
+        col("toplevel"), col("calls_delta"), col("total_ms_delta"))
+
+  /** F5 filter + X1/X2 normalize/fingerprint + A1 grouping: one row per
+    * (db, role, toplevel, fingerprint) with query_ids rolled up — the
+    * reference's statement-group transform
+    * (`output/transform/postgres_statements.go`). */
+  def queryGroups(s: SparkSession, dir: String): DataFrame = {
+    val texts = CatalogSynth.statementTexts(s, dir)
+    statementDiff(s, dir)
+      .join(texts, Seq("db_oid", "user_oid", "query_id", "toplevel"))
+      .filter(!col("query").startsWith(CollectorMarker)) // F5
+      .withColumn("fp", PgFns.pgFingerprint(col("query")))
+      .withColumn("norm", PgFns.pgNormalize(col("query")))
+      .groupBy("db_oid", "user_oid", "toplevel", "fp")
+      .agg(
+        sum("calls_delta").as("calls"),
+        sum("total_ms_delta").as("total_ms"),
+        sort_array(collect_list("query_id")).as("query_ids"),
+        // every member of a fingerprint group normalizes identically by
+        // construction; min() just fixes the representative
+        min("norm").as("normalized_query"))
+  }
+
+  // --------------------------------------------------- document assembly
+
+  /** The assembled (still driver-side-bounded) snapshot document. */
+  final case class Doc(
+      collectedAtSecs: Long,
+      dbRows: Seq[Row], roleRows: Seq[Row], queryRows: Seq[Row],
+      relRefRows: Seq[Row], relStatRows: Seq[Row], dbStatRows: Seq[Row],
+      settingRows: Seq[Row])
+
+  /** Run the distributed stages and collect the bounded sections, each
+    * sorted by its dimension index. */
+  def assemble(s: SparkSession, dir: String): Doc = {
+    // J5: reference arrays built scale-safe (DimEncode sorts + zips, no
+    // global window), then every fact carries the small idx
+    val dbs = CatalogSynth.databases(s, dir)
+    val (dbDim, dbFact) = DimEncode.encode(dbs, "db_oid")
+
+    val groups0 = queryGroups(s, dir)
+    val (roleDim, groupsR) = DimEncode.encode(groups0, "user_oid")
+    val withDb = groupsR.join(broadcast(dbDim), Seq("db_oid"))
+    val (qDim, qFact) = DimEncode.encode(
+      withDb.withColumn("qkey",
+        struct(col("db_oid"), col("user_oid"), col("toplevel"), col("fp"))),
+      "qkey")
+
+    val rels = CatalogSynth.relations(s, dir)
+    val (relDim, relFact) = DimEncode.encode(rels, "rel_oid")
+    val relRefs = relFact.join(broadcast(dbDim), Seq("db_oid"))
+
+    val relDiff = Diff.relationDiff(
+      CatalogSynth.relationStatsTimeline(s, dir),
+      keyCols = Seq("rel_oid"), snapCol = "snap",
+      counterCols = Seq("seq_scan", "idx_scan"),
+      gaugeCols = Seq("n_live_tup"), lockedCol = "locked")
+      .filter(col("snap") === 2)
+      .join(broadcast(relDim), Seq("rel_oid"))
+
+    val dbDiff = Diff.counterDiff(
+      Tables.nation(s, dir)
+        .select(col("n_nationkey"),
+          explode(sequence(lit(0L), lit(2L))).as("snap"))
+        .select(
+          col("n_nationkey").cast("long").as("db_oid"),
+          col("snap"),
+          (col("n_nationkey") * 977L * (col("snap") + 1)).as("xact_commit"),
+          (col("n_nationkey") * 131L * (col("snap") + 1)).as("xact_rollback")),
+      keyCols = Seq("db_oid"), orderCols = Seq("snap"),
+      counterCols = Seq("xact_commit", "xact_rollback"))
+      .filter(col("snap") === 2)
+      .join(broadcast(dbDim), Seq("db_oid"))
+      .join(broadcast(dbs.select("db_oid", "temp_files")), Seq("db_oid"))
+
+    val collectedAtSecs = Tables.events(s, dir)
+      .agg(expr("unix_micros(max(ts)) div 1000000").as("s")).head.getLong(0)
+
+    Doc(
+      collectedAtSecs = collectedAtSecs,
+      dbRows = dbFact.select("db_oid_idx", "datname", "frozenxid", "temp_files")
+        .orderBy("db_oid_idx").collect().toIndexedSeq,
+      roleRows = roleDim.select("user_oid_idx", "user_oid")
+        .orderBy("user_oid_idx").collect().toIndexedSeq,
+      queryRows = qFact.select(
+        col("qkey_idx"), col("db_oid_idx"), col("user_oid_idx"),
+        col("toplevel"), col("fp"), col("normalized_query"),
+        col("query_ids"), col("calls"), col("total_ms"))
+        .orderBy("qkey_idx").collect().toIndexedSeq,
+      relRefRows = relRefs.select(
+        col("rel_oid_idx"), col("db_oid_idx"), col("nspname"),
+        col("relname"), col("relkind"))
+        .orderBy("rel_oid_idx").collect().toIndexedSeq,
+      relStatRows = relDiff.select(
+        col("rel_oid_idx"), col("seq_scan_delta"), col("idx_scan_delta"),
+        col("n_live_tup"))
+        .orderBy("rel_oid_idx").collect().toIndexedSeq,
+      dbStatRows = dbDiff.select(
+        col("db_oid_idx"), col("xact_commit_delta"),
+        col("xact_rollback_delta"), col("temp_files"))
+        .orderBy("db_oid_idx").collect().toIndexedSeq,
+      settingRows = CatalogSynth.settings(s, dir).select("name", "setting")
+        .orderBy("name").collect().toIndexedSeq)
+  }
+
+  // ----------------------------------------------------------- encoding
+
+  /** FullSnapshot wire bytes (field numbers per
+    * `protobuf/full_snapshot.proto` / `shared.proto`; indices are the
+    * 1-based [[DimEncode]] indices — the reference uses 0-based array
+    * positions, so array position = idx - 1). */
+  /** Width-tolerant numeric getter (synth columns are int or long
+    * depending on the source table's parquet types). */
+  private def num(r: Row, i: Int): Long = r.getAs[Number](i).longValue
+
+  def encode(doc: Doc): Array[Byte] = {
+    val m = ProtoWire.msg()
+      .varint(1, 1L)                       // snapshot_version_major
+      .string(3, CollectorVersion)         // collector_version
+      .string(10, SnapshotUuid)            // snapshot_uuid
+      .msg(11, ProtoWire.msg().varint(1, doc.collectedAtSecs)) // collected_at
+      .varint(12, IntervalSecs)            // collected_interval_secs
+    doc.roleRows.foreach { r =>            // 102 RoleReference{name}
+      m.msg(102, ProtoWire.msg().string(1, "u" + r.get(1)))
+    }
+    doc.dbRows.foreach { r =>              // 103 DatabaseReference{name}
+      m.msg(103, ProtoWire.msg().string(1, r.getString(1)))
+    }
+    doc.roleRows.foreach { r =>            // 110 RoleInformation
+      m.msg(110, ProtoWire.msg().varint(1, num(r, 0)).varint(3, 1L))
+    }
+    doc.dbRows.foreach { r =>              // 111 DatabaseInformation
+      m.msg(111, ProtoWire.msg().varint(1, num(r, 0))
+        .varint(9, num(r, 2)))          // frozen_xid
+    }
+    doc.dbStatRows.foreach { r =>          // 112 DatabaseStatistic
+      m.msg(112, ProtoWire.msg().varint(1, num(r, 0))
+        .varint(4, num(r, 1))              // xact_commit
+        .varint(5, num(r, 2))              // xact_rollback
+        .varint(7, num(r, 3)))             // temp_files
+    }
+    doc.settingRows.foreach { r =>         // 122 Setting{name,current_value}
+      m.msg(122, ProtoWire.msg().string(1, r.getString(0))
+        .string(2, r.getString(1)))
+    }
+    doc.queryRows.foreach { r =>           // 200 QueryReference
+      val fpBytes = java.nio.ByteBuffer.allocate(8).putLong(num(r, 4)).array()
+      m.msg(200, ProtoWire.msg()
+        .varint(1, num(r, 1))              // database_idx
+        .varint(2, num(r, 2))              // role_idx
+        .bytes(3, fpBytes)                 // fingerprint
+        .varint(4, if (r.getBoolean(3)) 1L else 0L)) // toplevel
+    }
+    doc.queryRows.foreach { r =>           // 210 QueryInformation
+      m.msg(210, ProtoWire.msg()
+        .varint(1, num(r, 0))              // query_idx
+        .string(2, r.getString(5))         // normalized_query
+        .packed(3, r.getSeq[Number](6).map(_.longValue))) // query_ids
+    }
+    doc.queryRows.foreach { r =>           // 211 QueryStatistic
+      m.msg(211, ProtoWire.msg()
+        .varint(1, num(r, 0))
+        .varint(2, num(r, 7))              // calls
+        .double(3, num(r, 8).toDouble))    // total_time
+    }
+    doc.relRefRows.foreach { r =>          // 201 RelationReference
+      m.msg(201, ProtoWire.msg()
+        .varint(1, num(r, 1))              // database_idx
+        .string(2, r.getString(2))         // schema_name
+        .string(3, r.getString(3)))        // relation_name
+    }
+    doc.relRefRows.foreach { r =>          // 220 RelationInformation
+      m.msg(220, ProtoWire.msg()
+        .varint(1, num(r, 0))
+        .string(2, r.getString(4)))        // relation_type
+    }
+    doc.relStatRows.foreach { r =>         // 221 RelationStatistic
+      val s221 = ProtoWire.msg().varint(1, num(r, 0))
+      // locked-in-previous-snapshot keys diff to NULL (runner/diff.go:48-70
+      // gauge-only carry): elide the counter fields, keep the gauge
+      if (!r.isNullAt(1)) s221.varint(3, num(r, 1))  // seq_scan
+      if (!r.isNullAt(2)) s221.varint(5, num(r, 2))  // idx_scan
+      s221.varint(11, num(r, 3))                     // n_live_tup
+      m.msg(221, s221)
+    }
+    m.toBytes
+  }
+
+  // ------------------------------------------------------------ decoding
+
+  import ProtoWire.{VBytes, VInt, V64, Value}
+
+  private def sub(b: Array[Byte]): Map[Int, Seq[Value]] =
+    ProtoWire.decode(b).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  private def vint(m: Map[Int, Seq[Value]], f: Int): Long =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(VInt(v)) => v
+      case _ => 0L
+    }
+  private def vstr(m: Map[Int, Seq[Value]], f: Int): String =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(VBytes(b)) => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case _ => ""
+    }
+  private def vbytes(m: Map[Int, Seq[Value]], f: Int): Array[Byte] =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(VBytes(b)) => b
+      case _ => Array.empty
+    }
+
+  /** Decode zlib+wire bytes, run the K3/verifyIntegrity checks, and
+    * return one row per query group, resolved through the decoded
+    * reference arrays — the proof that the document survives the wire. */
+  def decodeVerify(s: SparkSession, wire: Array[Byte]): DataFrame = {
+    val top = ProtoWire.decode(ProtoWire.unzlib(wire))
+    def msgs(field: Int): Seq[Map[Int, Seq[Value]]] =
+      top.collect { case (`field`, VBytes(b)) => sub(b) }
+
+    val roleRefs = msgs(102); val dbRefs = msgs(103)
+    val roleInfos = msgs(110); val dbInfos = msgs(111); val dbStats = msgs(112)
+    val settings = msgs(122)
+    val qRefs = msgs(200); val qInfos = msgs(210); val qStats = msgs(211)
+    val relRefs = msgs(201); val relInfos = msgs(220); val relStats = msgs(221)
+
+    // K3 — the reference's verifyIntegrity (`output/full.go:73-97`):
+    // reference and information arrays must be the same length...
+    require(roleRefs.length == roleInfos.length,
+      s"found ${roleInfos.length} RoleInformations but ${roleRefs.length} RoleReferences")
+    require(dbRefs.length == dbInfos.length,
+      s"found ${dbInfos.length} DatabaseInformations but ${dbRefs.length} DatabaseReferences")
+    require(qRefs.length == qInfos.length,
+      s"found ${qInfos.length} QueryInformations but ${qRefs.length} QueryReferences")
+    require(relRefs.length == relInfos.length,
+      s"found ${relInfos.length} RelationInformations but ${relRefs.length} RelationReferences")
+    // ...plus the dim-resolution half: every idx a fact carries must
+    // land inside its reference array
+    def idxOk(stats: Seq[Map[Int, Seq[Value]]], f: Int, n: Int): Boolean =
+      stats.forall { m => val i = vint(m, f); i >= 1 && i <= n }
+    require(idxOk(qStats, 1, qRefs.length), "query_statistics idx out of range")
+    require(idxOk(relStats, 1, relRefs.length), "relation_statistics idx out of range")
+    require(idxOk(dbStats, 1, dbRefs.length), "database_statistics idx out of range")
+    require(qRefs.forall { m =>
+      val d = vint(m, 1); val r = vint(m, 2)
+      d >= 1 && d <= dbRefs.length && r >= 1 && r <= roleRefs.length
+    }, "query_references db/role idx out of range")
+    require(relRefs.forall { m =>
+      val d = vint(m, 1); d >= 1 && d <= dbRefs.length
+    }, "relation_references db idx out of range")
+
+    val hdr = top.collect { case (f, v) if f <= 12 => (f, v) }.toMap
+    val collectedAtSecs = hdr.get(11) match {
+      case Some(VBytes(b)) => vint(sub(b), 1)
+      case _ => 0L
+    }
+    val intervalSecs = hdr.get(12) match {
+      case Some(VInt(v)) => v; case _ => 0L
+    }
+
+    // resolve each query statistic through the decoded arrays (idx is
+    // 1-based → array position idx-1)
+    val dbNames = dbRefs.map(vstr(_, 1)).toIndexedSeq
+    val roleNames = roleRefs.map(vstr(_, 1)).toIndexedSeq
+    val infoByIdx = qInfos.map(m => vint(m, 1) -> m).toMap
+    val statByIdx = qStats.map(m => vint(m, 1) -> m).toMap
+    val rows = qRefs.zipWithIndex.map { case (ref, pos) =>
+      val idx = pos + 1
+      val info = infoByIdx(idx.toLong)
+      val stat = statByIdx(idx.toLong)
+      val fp = java.nio.ByteBuffer.wrap(vbytes(ref, 3)).getLong
+      val totalMs = stat.get(3).flatMap(_.headOption) match {
+        case Some(V64(bits)) => java.lang.Double.longBitsToDouble(bits).toLong
+        case _ => 0L
+      }
+      // packed varint payload: one entry per continuation-terminated run
+      val nQueryIds = {
+        val payload = vbytes(info, 3)
+        var p = 0; var n = 0
+        while (p < payload.length) {
+          while ((payload(p) & 0x80) != 0) p += 1
+          p += 1; n += 1
+        }
+        n.toLong
+      }
+      Row(
+        dbNames((vint(ref, 1) - 1).toInt),
+        roleNames((vint(ref, 2) - 1).toInt),
+        vint(ref, 4) == 1L,
+        fp,
+        vstr(info, 2),
+        nQueryIds,
+        vint(stat, 2),
+        totalMs,
+        roleRefs.length.toLong, dbRefs.length.toLong,
+        qRefs.length.toLong, relRefs.length.toLong,
+        settings.length.toLong,
+        collectedAtSecs, intervalSecs, true)
+    }
+    val schema = StructType(Seq(
+      StructField("datname", StringType), StructField("rolname", StringType),
+      StructField("toplevel", BooleanType), StructField("fingerprint", LongType),
+      StructField("normalized_query", StringType),
+      StructField("n_query_ids", LongType), StructField("calls", LongType),
+      StructField("total_ms", LongType), StructField("n_roles", LongType),
+      StructField("n_databases", LongType), StructField("n_queries", LongType),
+      StructField("n_relations", LongType), StructField("n_settings", LongType),
+      StructField("collected_at_s", LongType), StructField("interval_secs", LongType),
+      StructField("integrity_ok", BooleanType)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The driver-gated entry: assemble → encode → zlib → decode → verify. */
+  def e2e(s: SparkSession, dir: String): DataFrame =
+    decodeVerify(s, ProtoWire.zlib(encode(assemble(s, dir))))
+}

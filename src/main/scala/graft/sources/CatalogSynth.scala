@@ -77,6 +77,27 @@ object CatalogSynth {
       .agg(count(lit(1)).as("calls"),
         sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("total_ms"))
 
+  /** Two consecutive pg_stat_statements collection RUNS (S1 + the D1
+    * prev-state input): run 0 sees the even event_ids, run 1 sees all
+    * events — counters are cumulative, so run-1 readings grow and keys
+    * that only have odd events are NEW in run 1 (the reference's
+    * "new key on a follow-up run" diff branch). */
+  def statementStatsRuns(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+    def statsAt(snap: Int, f: org.apache.spark.sql.Column): DataFrame = ev
+      .filter(f)
+      .groupBy(
+        (col("user_id") % 5).as("db_oid"),
+        col("user_id").as("user_oid"),
+        col("k").as("query_id"),
+        (col("event_id") % 7 =!= 0).as("toplevel"))
+      .agg(count(lit(1)).as("calls"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("total_ms"))
+      .withColumn("snap", lit(snap.toLong))
+    statsAt(0, col("event_id") % 2 === 0).unionByName(statsAt(1, lit(true)))
+  }
+
   /** pg_stat_statements(true) text rows (S2): first-writer-wins dedup;
     * every 50th query id is a collector query (F5 marker). */
   def statementTexts(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.sinks.{FullSnapshotPipeline => P, ProtoWire}
+import graft.sinks.ProtoWire.{VBytes, VInt}
+
+/** The end-to-end snapshot document: golden wire bytes for a minimal
+  * hand-built document (every section the pipeline emits, byte-derived
+  * per the public protobuf encoding), decode/integrity behavior on
+  * malformed documents, and the full pipeline on real testdata. */
+class FullSnapshotSpec extends SparkSpec {
+
+  private def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+
+  /** One row per section, tiny values → the golden bytes are derivable
+    * by hand from the encoding spec (field<<3|wiretype, varints,
+    * length-delimited strings). */
+  private def miniDoc = P.Doc(
+    collectedAtSecs = 100L,
+    dbRows = Seq(Row(1, "d1", 7L, 2L)),
+    roleRows = Seq(Row(1, 5L)),
+    queryRows = Seq(Row(1, 1, 1, true, 3L, "SELECT $1", Seq(9L, 10L), 4L, 6L)),
+    relRefRows = Seq(Row(1, 1, "public", "t1", "r")),
+    relStatRows = Seq(Row(1, 8L, 9L, 10L)),
+    dbStatRows = Seq(Row(1, 11L, 12L, 2L)),
+    settingRows = Seq(Row("work_mem", "4MB")))
+
+  test("golden bytes: header + every section, hand-derived") {
+    val b = P.encode(miniDoc)
+    val h = hex(b)
+    // header: field 1 varint 1 → 08 01; field 3 string "graft-0.5.0" →
+    // 1a 0b ...; field 10 string uuid → 52 24 ...; field 11 msg{1:100} →
+    // 5a 02 08 64; field 12 varint 600 → 60 d8 04
+    assert(h.startsWith("0801"))
+    assert(h.contains("1a0b" + hex("graft-0.5.0".getBytes)))
+    assert(h.contains("5224" + hex(P.SnapshotUuid.getBytes)))
+    assert(h.contains("5a020864"))
+    assert(h.contains("60d804"))
+    // 102 RoleReference{name:"u5"} → key 102<<3|2 = 816+2=0x332 varint
+    // b2 06, len 04, then 0a 02 75 35
+    assert(h.contains("b206040a027535"))
+    // 103 DatabaseReference{name:"d1"} → key 0x33a → ba 06
+    assert(h.contains("ba06040a026431"))
+    // 110 RoleInformation{1:1,3:1} → key 0x372 → f2 06, len 04
+    assert(h.contains("f20604080118"))
+    // 122 Setting{work_mem,4MB} → key 0x3d2 → d2 07
+    assert(h.contains("d2070f0a08" + hex("work_mem".getBytes) + "1203" + hex("4MB".getBytes)))
+    // 200 QueryReference: key 200<<3|2=0x642 → c2 0c; fingerprint 3 →
+    // 8 bytes big-endian 0000000000000003 on field 3 (1a 08 ...)
+    assert(h.contains("c20c10080110011a0800000000000000032001"))
+    // 210 QueryInformation: packed query_ids [9,10] → field 3 len 2: 1a 02 09 0a
+    assert(h.contains("120953454c45435420243") || h.contains(hex("SELECT $1".getBytes)))
+    assert(h.contains("1a02090a"))
+    // 211 QueryStatistic: calls varint 4, total_time double 6.0 → 19 + LE
+    assert(h.contains("100419" + hex(java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(6.0).array())))
+    // 221 RelationStatistic{1:1,3:8,5:9,11:10} → fields 08 01 18 08 28 09 58 0a
+    assert(h.contains("080118082809580a"))
+  }
+
+  test("decode round-trips the mini document and passes integrity") {
+    val df = P.decodeVerify(spark, ProtoWire.zlib(P.encode(miniDoc)))
+    val r = df.collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[String]("datname") === "d1")
+    assert(row.getAs[String]("rolname") === "u5")
+    assert(row.getAs[Boolean]("toplevel"))
+    assert(row.getAs[Long]("fingerprint") === 3L)
+    assert(row.getAs[String]("normalized_query") === "SELECT $1")
+    assert(row.getAs[Long]("n_query_ids") === 2L)
+    assert(row.getAs[Long]("calls") === 4L)
+    assert(row.getAs[Long]("total_ms") === 6L)
+    assert(row.getAs[Long]("n_settings") === 1L)
+    assert(row.getAs[Long]("collected_at_s") === 100L)
+    assert(row.getAs[Long]("interval_secs") === 600L)
+  }
+
+  test("integrity check rejects ref/info length mismatch (verifyIntegrity)") {
+    // drop the RoleInformation section: references != informations
+    val good = P.encode(miniDoc)
+    val stripped = ProtoWire.decode(good).filterNot(_._1 == 110)
+    val m = ProtoWire.msg()
+    stripped.foreach {
+      case (f, VInt(v)) => m.varint(f, v)
+      case (f, VBytes(b)) => m.bytes(f, b)
+      case (f, ProtoWire.V64(bits)) =>
+        m.double(f, java.lang.Double.longBitsToDouble(bits))
+    }
+    val e = intercept[IllegalArgumentException] {
+      P.decodeVerify(spark, ProtoWire.zlib(m.toBytes))
+    }
+    assert(e.getMessage.contains("RoleInformations"))
+  }
+
+  test("integrity check rejects out-of-range stat idx") {
+    val bad = miniDoc.copy(dbStatRows = Seq(Row(9, 11L, 12L, 2L)))
+    val e = intercept[IllegalArgumentException] {
+      P.decodeVerify(spark, ProtoWire.zlib(P.encode(bad)))
+    }
+    assert(e.getMessage.contains("database_statistics idx"))
+  }
+
+  test("full pipeline on testdata: every query group survives the wire") {
+    val doc = P.assemble(spark, Sf)
+    val df = P.decodeVerify(spark, ProtoWire.zlib(P.encode(doc)))
+    val rows = df.collect()
+    assert(rows.length === doc.queryRows.length)
+    assert(rows.forall(_.getAs[Boolean]("integrity_ok")))
+    // decoded values equal the assembled (pre-wire) values, row for row
+    val assembled = doc.queryRows.map(r =>
+      (r.getAs[Number]("calls").longValue, r.getAs[Number]("total_ms").longValue))
+      .sortBy(identity)
+    val decoded = rows.map(r =>
+      (r.getAs[Long]("calls"), r.getAs[Long]("total_ms"))).toSeq.sortBy(identity)
+    assert(decoded === assembled)
+    // F5: no collector-marker query survives into the document
+    assert(doc.queryRows.forall(!_.getAs[String]("normalized_query")
+      .startsWith(P.CollectorMarker)))
+  }
+}
