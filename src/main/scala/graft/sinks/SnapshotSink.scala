@@ -31,7 +31,12 @@ object SnapshotSink {
     // NOTE: measured both ways at sf0.1 — caching stats here costs more
     // (materialization + memory format) than the repeated lineage walks
     // save; the aggregated stats are small and the scans are pruned.
-    val stats = CatalogSynth.statementStats(s, dir)
+    assembleFrom(CatalogSynth.statementStats(s, dir))
+  }
+
+  /** [[assemble]] from any stats source with the keyed-stats columns —
+    * the swap point for a live [[graft.sources.CatalogJdbc]] scan. */
+  def assembleFrom(stats: DataFrame): Snapshot = {
     val (dims, f3) = DimEncode.encodeAll(
       stats, Seq("db_oid", "user_oid", "query_id"))
     val (dbDim, roleDim, queryDim) =

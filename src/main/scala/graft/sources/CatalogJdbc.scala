@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Live JDBC catalog-scan adapter — the deployment half of
+  * [[CatalogSchemas]]: assembles the reference's version-adaptive SQL
+  * (`input/postgres/statements.go:22-60,128-194`,
+  * `vacuum_progress.go:11-25,66-100`) and reads it through
+  * `spark.read.jdbc`, so the projection runs inside the database and
+  * Spark sees the NORMALIZED scan shape regardless of server version.
+  *
+  * Version matrix (pg_stat_statements extension minor version):
+  *   - 1.3+ (PG ≤12): `total_time`, `blk_read_time`/`blk_write_time`,
+  *     `min_time…stddev_time`, no `toplevel` (selected as `true`)
+  *   - 1.8+ (PG 13): `total_exec_time`, `min_exec_time…`
+  *   - 1.9+ (PG 14): real `toplevel` column
+  *   - 1.11+ (PG 17): io time split into shared/local/temp columns,
+  *     summed back to the legacy pair
+  * pg_stat_progress_vacuum: PG 17 renamed the dead-tuple fields
+  * (`max_dead_tuples`/`num_dead_tuples` →
+  * `num_dead_item_ids`/`dead_tuple_bytes`/`max_dead_tuple_bytes` +
+  * index progress counters); both shapes normalize to one schema with
+  * the missing side zero-filled, exactly like the reference.
+  *
+  * Scale/pushdown: each scan is ONE bounded-result query per tick (the
+  * reference's cadence model) — the version-adaptive projection is
+  * evaluated by the server, the collector never transfers dead columns.
+  * Identifiers that collide with SQL reserved words (`rows`) are
+  * double-quoted in lowercase, valid against both Postgres and the
+  * embedded test database.
+  */
+object CatalogJdbc {
+
+  /** The reference marks its own queries so F5 can filter them
+    * (`input/postgres/statements.go` QueryMarkerSQL analogue). */
+  val QueryMarker = "/* pganalyze-collector */"
+
+  /** Connection + server-version descriptor (the swap point a real
+    * deployment configures; tests point it at embedded Derby). */
+  final case class PgSource(
+      url: String,
+      pgMajor: Int,
+      pgssMinor: Int,
+      options: Map[String, String] = Map.empty)
+
+  // ------------------------------------------------------ SQL assembly
+
+  /** `statementStatsSQL` with the four version-gated slots filled
+    * (`statements.go:128-154`). */
+  def statementStatsSql(pgssMinor: Int, table: String): String = {
+    val topLevel =
+      if (pgssMinor >= 9) "toplevel" else "true"
+    val totalTime =
+      if (pgssMinor >= 8) "total_exec_time" else "total_time"
+    // alias every slot so the Spark-side schema is version-independent
+    val (ioR, ioW) =
+      if (pgssMinor >= 11)
+        ("shared_blk_read_time + local_blk_read_time + temp_blk_read_time",
+          "shared_blk_write_time + local_blk_write_time + temp_blk_write_time")
+      else ("blk_read_time", "blk_write_time")
+    val suffix = if (pgssMinor >= 8) "exec_time" else "time"
+    val Seq(mn, mx, mean, std) =
+      Seq("min", "max", "mean", "stddev").map(p => s"${p}_$suffix")
+    s"""SELECT dbid, userid, queryid, $topLevel AS toplevel, calls,
+       |  $totalTime AS total_time, "rows", shared_blks_hit, shared_blks_read,
+       |  shared_blks_dirtied, shared_blks_written, local_blks_hit,
+       |  local_blks_read, local_blks_dirtied, local_blks_written,
+       |  temp_blks_read, temp_blks_written,
+       |  $ioR AS blk_read_time, $ioW AS blk_write_time,
+       |  $mn AS min_time, $mx AS max_time, $mean AS mean_time,
+       |  $std AS stddev_time
+       |FROM $table""".stripMargin
+  }
+
+  /** `statementTextSQL` (`statements.go:46-48`). */
+  def statementTextsSql(pgssMinor: Int, table: String): String = {
+    val topLevel = if (pgssMinor >= 9) "toplevel" else "true"
+    s"""SELECT dbid, userid, queryid, $topLevel AS toplevel, query FROM $table"""
+  }
+
+  /** Vacuum-progress field block (`vacuum_progress.go:11-25`): one
+    * normalized shape, version-specific sources zero-filled. */
+  def vacuumProgressSql(pgMajor: Int, table: String): String = {
+    val fields =
+      if (pgMajor >= 17)
+        """CAST(0 AS BIGINT) AS max_dead_item_ids,
+          |  COALESCE(num_dead_item_ids, 0) AS num_dead_item_ids,
+          |  COALESCE(dead_tuple_bytes, 0) AS dead_tuple_bytes,
+          |  COALESCE(max_dead_tuple_bytes, 0) AS max_dead_tuple_bytes,
+          |  COALESCE(indexes_total, 0) AS indexes_total,
+          |  COALESCE(indexes_processed, 0) AS indexes_processed""".stripMargin
+      else
+        """COALESCE(max_dead_tuples, 0) AS max_dead_item_ids,
+          |  COALESCE(num_dead_tuples, 0) AS num_dead_item_ids,
+          |  CAST(0 AS BIGINT) AS dead_tuple_bytes,
+          |  CAST(0 AS BIGINT) AS max_dead_tuple_bytes,
+          |  CAST(0 AS BIGINT) AS indexes_total,
+          |  CAST(0 AS BIGINT) AS indexes_processed""".stripMargin
+    s"""SELECT pid, datid, relid, phase, heap_blks_total, heap_blks_scanned,
+       |  heap_blks_vacuumed, index_vacuum_count,
+       |  $fields
+       |FROM $table""".stripMargin
+  }
+
+  // ------------------------------------------------------- JDBC reads
+
+  private def readSql(s: SparkSession, src: PgSource, sql: String): DataFrame = {
+    var r = s.read.format("jdbc").option("url", src.url).option("query", sql)
+    src.options.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  /** S1 — version-normalized pg_stat_statements scan. */
+  def statementStats(s: SparkSession, src: PgSource,
+      table: String = "pg_stat_statements"): DataFrame =
+    readSql(s, src, statementStatsSql(src.pgssMinor, table))
+
+  /** S2 — statement texts scan. */
+  def statementTexts(s: SparkSession, src: PgSource,
+      table: String = "pg_stat_statements"): DataFrame =
+    readSql(s, src, statementTextsSql(src.pgssMinor, table))
+
+  /** S5 — vacuum progress scan. */
+  def vacuumProgress(s: SparkSession, src: PgSource,
+      table: String = "pg_stat_progress_vacuum"): DataFrame =
+    readSql(s, src, vacuumProgressSql(src.pgMajor, table))
+
+  /** Map the normalized JDBC statement scan onto the keyed-stats shape
+    * the snapshot pipeline consumes ([[CatalogSynth.statementStats]]'s
+    * columns) — the swap point that lets every downstream query run
+    * unchanged against a live server. */
+  def asSynthStats(scan: DataFrame): DataFrame = scan.select(
+    col("dbid").cast("long").as("db_oid"),
+    col("userid").cast("long").as("user_oid"),
+    col("queryid").cast("long").as("query_id"),
+    col("toplevel"),
+    col("calls").cast("long").as("calls"),
+    col("total_time").cast("long").as("total_ms"))
+}

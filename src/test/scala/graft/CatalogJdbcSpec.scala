@@ -1,0 +1,217 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.CatalogJdbc
+import graft.sources.CatalogJdbc.PgSource
+import graft.sources.CatalogSynth
+
+/** Proves the live-JDBC code path with an in-process Derby database
+  * seeded from the synth parquet: each pg_stat_statements extension
+  * minor version (1.3 / 1.8 / 1.11) gets a table with that version's
+  * REAL column set, the adapter assembles the version's SQL, and every
+  * variant must come back as the same normalized scan — green against
+  * the same downstream (K1 assembly) as the parquet stand-in. */
+class CatalogJdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftjdbc;create=true"
+  private lazy val conn = {
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    DriverManager.getConnection(url)
+  }
+
+  /** The expected keyed stats from the parquet synth (sf0.001). */
+  private lazy val synthStats =
+    CatalogSynth.statementStats(spark, Sf)
+      .select("db_oid", "user_oid", "query_id", "toplevel", "calls", "total_ms")
+      .collect().toIndexedSeq
+
+  private def exec(sql: String): Unit = {
+    val st = conn.createStatement(); try st.execute(sql) finally st.close()
+  }
+
+  /** Seed one pgss table: `cols` DDL + per-row value mapper. */
+  private def seed(table: String, ddl: String, insert: String,
+      rows: Seq[org.apache.spark.sql.Row],
+      bind: (java.sql.PreparedStatement, org.apache.spark.sql.Row) => Unit): Unit = {
+    exec(s"CREATE TABLE $table ($ddl)")
+    val ps = conn.prepareStatement(insert)
+    try {
+      rows.foreach { r => bind(ps, r); ps.addBatch() }
+      ps.executeBatch()
+    } finally ps.close()
+  }
+
+  private val zeros =
+    "shared_blks_hit BIGINT, shared_blks_read BIGINT, shared_blks_dirtied BIGINT, " +
+      "shared_blks_written BIGINT, local_blks_hit BIGINT, local_blks_read BIGINT, " +
+      "local_blks_dirtied BIGINT, local_blks_written BIGINT, temp_blks_read BIGINT, " +
+      "temp_blks_written BIGINT"
+  private val zeroNames =
+    "shared_blks_hit, shared_blks_read, shared_blks_dirtied, shared_blks_written, " +
+      "local_blks_hit, local_blks_read, local_blks_dirtied, local_blks_written, " +
+      "temp_blks_read, temp_blks_written"
+  private val zeroVals = Seq.fill(10)("0").mkString(", ")
+
+  private def bindCommon(ps: java.sql.PreparedStatement,
+      r: org.apache.spark.sql.Row): Unit = {
+    ps.setLong(1, r.getAs[Number]("db_oid").longValue)
+    ps.setLong(2, r.getAs[Number]("user_oid").longValue)
+    ps.setLong(3, r.getAs[Number]("query_id").longValue)
+  }
+
+  private lazy val seeded: Unit = {
+    // 1.11 (PG17): toplevel + total_exec_time + split io-time columns
+    seed("pgss_m11",
+      "dbid BIGINT, userid BIGINT, queryid BIGINT, toplevel BOOLEAN, calls BIGINT, " +
+        s"total_exec_time DOUBLE, \"rows\" BIGINT, $zeros, " +
+        "shared_blk_read_time DOUBLE, local_blk_read_time DOUBLE, " +
+        "temp_blk_read_time DOUBLE, shared_blk_write_time DOUBLE, " +
+        "local_blk_write_time DOUBLE, temp_blk_write_time DOUBLE, " +
+        "min_exec_time DOUBLE, max_exec_time DOUBLE, mean_exec_time DOUBLE, " +
+        "stddev_exec_time DOUBLE",
+      s"INSERT INTO pgss_m11 VALUES (?, ?, ?, ?, ?, ?, 0, $zeroVals, " +
+        "1.5, 0.25, 0.25, 2.0, 0.5, 0.5, 0, 0, 0, 0)",
+      synthStats, (ps, r) => {
+        bindCommon(ps, r)
+        ps.setBoolean(4, r.getAs[Boolean]("toplevel"))
+        ps.setLong(5, r.getAs[Number]("calls").longValue)
+        ps.setDouble(6, r.getAs[Number]("total_ms").doubleValue)
+      })
+    // 1.8 (PG13): exec-time names, combined io-time, NO toplevel column
+    seed("pgss_m8",
+      "dbid BIGINT, userid BIGINT, queryid BIGINT, calls BIGINT, " +
+        s"total_exec_time DOUBLE, \"rows\" BIGINT, $zeros, " +
+        "blk_read_time DOUBLE, blk_write_time DOUBLE, " +
+        "min_exec_time DOUBLE, max_exec_time DOUBLE, mean_exec_time DOUBLE, " +
+        "stddev_exec_time DOUBLE",
+      s"INSERT INTO pgss_m8 VALUES (?, ?, ?, ?, ?, 0, $zeroVals, 2.0, 3.0, 0, 0, 0, 0)",
+      synthStats.filter(_.getAs[Boolean]("toplevel")), (ps, r) => {
+        bindCommon(ps, r)
+        ps.setLong(4, r.getAs[Number]("calls").longValue)
+        ps.setDouble(5, r.getAs[Number]("total_ms").doubleValue)
+      })
+    // 1.3 (PG <=12): legacy total_time / min_time names, no toplevel
+    seed("pgss_m3",
+      "dbid BIGINT, userid BIGINT, queryid BIGINT, calls BIGINT, " +
+        s"total_time DOUBLE, \"rows\" BIGINT, $zeros, " +
+        "blk_read_time DOUBLE, blk_write_time DOUBLE, " +
+        "min_time DOUBLE, max_time DOUBLE, mean_time DOUBLE, stddev_time DOUBLE",
+      s"INSERT INTO pgss_m3 VALUES (?, ?, ?, ?, ?, 0, $zeroVals, 2.0, 3.0, 0, 0, 0, 0)",
+      synthStats.filter(_.getAs[Boolean]("toplevel")), (ps, r) => {
+        bindCommon(ps, r)
+        ps.setLong(4, r.getAs[Number]("calls").longValue)
+        ps.setDouble(5, r.getAs[Number]("total_ms").doubleValue)
+      })
+    // vacuum progress, both field generations
+    exec("CREATE TABLE vac_v16 (pid INT, datid BIGINT, relid BIGINT, " +
+      "phase VARCHAR(40), heap_blks_total BIGINT, heap_blks_scanned BIGINT, " +
+      "heap_blks_vacuumed BIGINT, index_vacuum_count BIGINT, " +
+      "max_dead_tuples BIGINT, num_dead_tuples BIGINT)")
+    exec("CREATE TABLE vac_v17 (pid INT, datid BIGINT, relid BIGINT, " +
+      "phase VARCHAR(40), heap_blks_total BIGINT, heap_blks_scanned BIGINT, " +
+      "heap_blks_vacuumed BIGINT, index_vacuum_count BIGINT, " +
+      "num_dead_item_ids BIGINT, dead_tuple_bytes BIGINT, " +
+      "max_dead_tuple_bytes BIGINT, indexes_total BIGINT, indexes_processed BIGINT)")
+    val vac = CatalogSynth.vacuumProgress(spark, Sf)
+      .select("pid", "relid", "phase", "heap_blks_total", "heap_blks_scanned")
+      .collect().toIndexedSeq
+    val p16 = conn.prepareStatement(
+      "INSERT INTO vac_v16 VALUES (?, ?, ?, ?, ?, ?, ?, 1, ?, ?)")
+    val p17 = conn.prepareStatement(
+      "INSERT INTO vac_v17 VALUES (?, ?, ?, ?, ?, ?, ?, 1, ?, ?, ?, 4, 2)")
+    try {
+      vac.foreach { r =>
+        val pid = r.getAs[Number]("pid").intValue
+        val relid = r.getAs[Number]("relid").longValue
+        val total = r.getAs[Number]("heap_blks_total").longValue
+        val scanned = r.getAs[Number]("heap_blks_scanned").longValue
+        Seq(p16, p17).foreach { p =>
+          p.setInt(1, pid); p.setLong(2, pid % 5L); p.setLong(3, relid)
+          p.setString(4, r.getAs[String]("phase"))
+          p.setLong(5, total); p.setLong(6, scanned); p.setLong(7, scanned / 2)
+        }
+        p16.setLong(8, total % 97); p16.setLong(9, scanned % 97)
+        p16.addBatch()
+        p17.setLong(8, scanned % 97); p17.setLong(9, total * 8)
+        p17.setLong(10, total * 16)
+        p17.addBatch()
+      }
+      p16.executeBatch(); p17.executeBatch()
+    } finally { p16.close(); p17.close() }
+  }
+
+  private def scanFor(minor: Int, table: String): DataFrame =
+    CatalogJdbc.statementStats(spark,
+      PgSource(url, pgMajor = 17, pgssMinor = minor), table)
+
+  private def keyed(df: DataFrame): Seq[(Long, Long, Long, Boolean, Long, Long)] =
+    CatalogJdbc.asSynthStats(df)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5)))
+      .toIndexedSeq.sorted
+
+  private def expected(onlyToplevel: Boolean): Seq[(Long, Long, Long, Boolean, Long, Long)] =
+    synthStats
+      .filter(r => !onlyToplevel || r.getAs[Boolean]("toplevel"))
+      .map(r => (r.getAs[Number]("db_oid").longValue,
+        r.getAs[Number]("user_oid").longValue,
+        r.getAs[Number]("query_id").longValue,
+        r.getAs[Boolean]("toplevel"),
+        r.getAs[Number]("calls").longValue,
+        r.getAs[Number]("total_ms").longValue))
+      .toIndexedSeq.sorted
+
+  test("pgss 1.11 scan (toplevel + split io-times) normalizes and matches synth") {
+    seeded
+    assert(keyed(scanFor(11, "pgss_m11")) === expected(onlyToplevel = false))
+    // the version-adaptive io-time sum reached the normalized columns
+    val io = scanFor(11, "pgss_m11").agg(
+      min("blk_read_time"), min("blk_write_time")).head
+    assert(io.getDouble(0) === 2.0 && io.getDouble(1) === 3.0)
+  }
+
+  test("pgss 1.8 scan (exec-time names, no toplevel) matches synth") {
+    seeded
+    assert(keyed(scanFor(8, "pgss_m8")) === expected(onlyToplevel = true))
+  }
+
+  test("pgss 1.3 scan (legacy names) matches synth") {
+    seeded
+    assert(keyed(scanFor(3, "pgss_m3")) === expected(onlyToplevel = true))
+  }
+
+  test("K1 snapshot assembly is green with Tables swapped to the JDBC reader") {
+    seeded
+    val viaJdbc = graft.sinks.SnapshotSink.assembleFrom(
+      CatalogJdbc.asSynthStats(scanFor(11, "pgss_m11")))
+    assert(graft.sinks.SnapshotSink.verifyIntegrity(viaJdbc))
+    val viaSynth = graft.sinks.SnapshotSink.assemble(spark, Sf)
+    val j = viaJdbc.fact.collect().map(_.toSeq).toSet
+    val p = viaSynth.fact.collect().map(_.toSeq).toSet
+    assert(j === p)
+  }
+
+  test("vacuum progress: pg16 vs pg17 field generations normalize to one schema") {
+    seeded
+    val v16 = CatalogJdbc.vacuumProgress(spark,
+      PgSource(url, pgMajor = 16, pgssMinor = 10), "vac_v16")
+    val v17 = CatalogJdbc.vacuumProgress(spark,
+      PgSource(url, pgMajor = 17, pgssMinor = 11), "vac_v17")
+    assert(v16.columns.toSeq === v17.columns.toSeq)
+    // shared fields identical across generations
+    val shared = Seq("pid", "datid", "relid", "phase", "heap_blks_total",
+      "heap_blks_scanned", "heap_blks_vacuumed", "index_vacuum_count")
+    assert(v16.select(shared.map(col): _*).collect().map(_.toSeq).toSet ===
+      v17.select(shared.map(col): _*).collect().map(_.toSeq).toSet)
+    // version mapping: 16 fills item-id counts, 17 fills byte counts
+    assert(v16.agg(max("dead_tuple_bytes")).head.getAs[Number](0).longValue === 0L)
+    assert(v16.agg(max("max_dead_item_ids")).head.getAs[Number](0).longValue > 0L)
+    assert(v17.agg(max("max_dead_item_ids")).head.getAs[Number](0).longValue === 0L)
+    assert(v17.agg(max("dead_tuple_bytes")).head.getAs[Number](0).longValue > 0L)
+  }
+}
