@@ -117,6 +117,33 @@ object Oracles {
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY bucket_hour, event_type""".stripMargin,
 
+    // W10 scheduler cycle: same fold/assignment arithmetic as
+    // Queries.w10SchedulerCycle + Scheduler.plan's overlap-skip rule
+    // (high-freq firings on the 10-minute boundary are dropped).
+    "w10_scheduler_cycle" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+        |  FROM events),
+        |t0 AS (SELECT (min(es) // 600) * 600 AS t0 FROM ev),
+        |fe AS (SELECT user_id, t0 + ((es - t0) % 600) AS es, t0
+        |       FROM ev CROSS JOIN t0),
+        |x AS (
+        |  SELECT 'activity_10s' AS cadence,
+        |    t0 + (((es - t0) // 10) + 1) * 10 AS fire_at, user_id FROM fe
+        |  UNION ALL
+        |  SELECT 'highfreq_1min',
+        |    t0 + (((es - t0) // 60) + 1) * 60, user_id FROM fe
+        |  UNION ALL
+        |  SELECT 'full_10min',
+        |    t0 + (((es - t0) // 600) + 1) * 600, user_id FROM fe)
+        |SELECT cadence, fire_at,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM x
+        |WHERE NOT (cadence = 'highfreq_1min' AND fire_at % 600 = 0)
+        |GROUP BY cadence, fire_at""".stripMargin,
+
     "x2_normalize_fingerprint" ->
       """SELECT normalized, count(*) AS n, md5(normalized) AS fingerprint
         |FROM (SELECT regexp_replace(

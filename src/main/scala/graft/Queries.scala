@@ -177,6 +177,44 @@ object Queries {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
 
+  // W10 — one full scheduler cycle (scheduler/scheduler.go:19-112): the
+  // 10 s activity, 1 min high-freq and 10 min full cadences materialized
+  // side by side over event time, with the secondary-schedule
+  // overlap-skip (a 1 min firing on a 10 min boundary is dropped). The
+  // tick list comes from Scheduler.plan — the same arithmetic the
+  // concurrent runtime executes — and event time is folded modulo the
+  // cycle so every tick window carries data at any scale factor. The
+  // single-row t0 aggregate is collected once (plan construction needs
+  // the scalar); everything else is one scan + one grouped aggregate.
+  def w10SchedulerCycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Scheduler
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("es"))
+    val t0 = ev.agg(expr("(min(es) div 600) * 600")).head.getLong(0)
+    val ticks = Scheduler.plan(t0, Scheduler.FullPeriod)
+    import s.implicits._
+    val tickDf = broadcast(ticks.map(t => (t.cadence, t.fireAt))
+      .toDF("cadence", "fire_at"))
+    val folded = ev.select(col("user_id"),
+      (lit(t0) + (col("es") - t0) % 600).as("es"))
+    def assign(cadence: String, period: Long) =
+      struct(lit(cadence).as("cadence"),
+        expr(s"$t0 + (((es - $t0) div $period) + 1) * $period").as("fire_at"))
+    folded
+      .select(col("user_id"), explode(array(
+        assign(Scheduler.Activity, Scheduler.ActivityPeriod),
+        assign(Scheduler.HighFreq, Scheduler.HighFreqPeriod),
+        assign(Scheduler.Full, Scheduler.FullPeriod))).as("t"))
+      .select(col("user_id"), col("t.cadence").as("cadence"),
+        col("t.fire_at").as("fire_at"))
+      // inner join against the PLAN applies the overlap-skip: the
+      // high-freq tick on the 10 min boundary is absent from the plan
+      .join(tickDf, Seq("cadence", "fire_at"))
+      .groupBy("cadence", "fire_at")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
+
   // X2/X1 — query-text normalization + fingerprint over the events props
   // payload (normalize.go / fingerprint.go, reduced scope — see PgFns).
   def x2NormalizeFingerprint(s: SparkSession, dir: String): DataFrame =

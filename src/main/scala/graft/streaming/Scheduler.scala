@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicReference
+
+/** W10 — the reference's three-cadence scheduler
+  * (`scheduler/scheduler.go:19-112`, `runner/run.go:285-309`): a 10 s
+  * activity schedule, a 1 min high-frequency schedule and a 10 min
+  * full-snapshot schedule run SIDE BY SIDE, where
+  *
+  *   - the 1 min schedule is SECONDARY to the 10 min one: a firing that
+  *     coincides with a full-snapshot firing is skipped
+  *     (`ScheduleSecondary`, `scheduler.go:79-109` — "minute %% 10 == 0"
+  *     in wall-clock terms), and
+  *   - every tick's runner is cancelled right before the NEXT scheduled
+  *     execution (`scheduler.go:60-67`), with short gaps extended to a
+  *     floor so quick cadences aren't pointlessly cancelled.
+  *
+  * The fire plan is pure arithmetic ([[plan]]) so the batch gate can
+  * reproduce it in SQL; the concurrent runtime ([[runConcurrent]]) is
+  * the deployment form — three executor threads, per-tick deadlines,
+  * skip/timeout reporting.
+  */
+object Scheduler {
+
+  val ActivityPeriod = 10L
+  val HighFreqPeriod = 60L
+  val FullPeriod = 600L
+
+  val Activity = "activity_10s"
+  val HighFreq = "highfreq_1min"
+  val Full = "full_10min"
+
+  final case class Tick(cadence: String, fireAt: Long, deadline: Long)
+
+  /** Deterministic fire plan over (t0, t0 + horizon]: every cadence
+    * fires at its period multiples; a high-freq firing that lands on a
+    * full-snapshot firing is dropped (the overlap-skip rule). Each tick
+    * carries its deadline: the next firing of the same cadence, short
+    * gaps extended to `minRunSecs` (the reference's 19 s floor). */
+  def plan(t0: Long, horizon: Long, minRunSecs: Long = 19L): Seq[Tick] = {
+    def fires(period: Long): Seq[Long] =
+      (period to horizon by period).map(t0 + _)
+    def withDeadline(cadence: String, fs: Seq[Long], period: Long): Seq[Tick] =
+      fs.map(f => Tick(cadence, f, f + math.max(period - 1, minRunSecs)))
+    withDeadline(Activity, fires(ActivityPeriod), ActivityPeriod) ++
+      withDeadline(HighFreq,
+        fires(HighFreqPeriod).filterNot(_ % FullPeriod == 0), HighFreqPeriod) ++
+      withDeadline(Full, fires(FullPeriod), FullPeriod)
+  }
+
+  sealed trait Outcome
+  case object Completed extends Outcome
+  case object TimedOut extends Outcome
+  final case class Report(tick: Tick, outcome: Outcome)
+
+  /** Run one planned cycle's ticks concurrently — one worker per
+    * cadence (the reference's three goroutines), ticks of a cadence in
+    * fire order, each runner bounded by a real deadline and abandoned
+    * (reported [[TimedOut]]) when it exceeds it. `tickBudgetMs` maps
+    * one planned second to that many wall milliseconds, so tests can
+    * compress a 600 s cycle into sub-second runs without changing the
+    * plan arithmetic. */
+  def runConcurrent(ticks: Seq[Tick], runner: Tick => Unit,
+      tickBudgetMs: Long = 1000L): Seq[Report] = {
+    val byCadence = ticks.groupBy(_.cadence).toSeq.sortBy(_._1)
+    val pool = Executors.newCachedThreadPool()
+    val reports = new AtomicReference(Vector.empty[Report])
+    val done = new CountDownLatch(byCadence.size)
+    byCadence.foreach { case (_, cadenceTicks) =>
+      pool.execute { () =>
+        try cadenceTicks.sortBy(_.fireAt).foreach { t =>
+          val budget = (t.deadline - t.fireAt) * tickBudgetMs
+          val f = pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = runner(t)
+          })
+          val outcome =
+            try { f.get(budget, TimeUnit.MILLISECONDS); Completed }
+            catch {
+              case _: java.util.concurrent.TimeoutException =>
+                f.cancel(true); TimedOut
+            }
+          reports.updateAndGet(_ :+ Report(t, outcome))
+        } finally done.countDown()
+      }
+    }
+    done.await(10, TimeUnit.MINUTES)
+    pool.shutdownNow()
+    reports.get()
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.util.concurrent.CountDownLatch
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Scheduler
+import graft.streaming.Scheduler.{Completed, TimedOut}
+
+/** The three-cadence scheduler: plan arithmetic (fire times, overlap
+  * skip, deadlines) and the concurrent runtime (side-by-side cadences,
+  * per-tick deadline cancellation). */
+class SchedulerSpec extends AnyFunSuite {
+
+  test("plan: one 600 s cycle fires 60 activity + 9 high-freq + 1 full") {
+    val p = Scheduler.plan(1200L, 600L)
+    val by = p.groupBy(_.cadence).view.mapValues(_.map(_.fireAt).sorted).toMap
+    assert(by(Scheduler.Activity).size === 60)
+    assert(by(Scheduler.Activity).head === 1210L)
+    assert(by(Scheduler.Activity).last === 1800L)
+    // the 1-min firing at the 10-min boundary (1800) is skipped
+    assert(by(Scheduler.HighFreq) === (1260L to 1740L by 60L))
+    assert(by(Scheduler.Full) === Seq(1800L))
+  }
+
+  test("plan: deadlines extend short gaps to the 19 s floor") {
+    val p = Scheduler.plan(0L, 600L)
+    val act = p.filter(_.cadence == Scheduler.Activity).head
+    assert(act.deadline - act.fireAt === 19L) // 10 s cadence -> floored
+    val full = p.filter(_.cadence == Scheduler.Full).head
+    assert(full.deadline - full.fireAt === 599L) // period - 1, like the reference
+  }
+
+  test("runConcurrent: the three cadences genuinely run side by side") {
+    // one tick per cadence; every runner blocks until all three have
+    // started — only possible if the cadences run concurrently
+    val ticks = Seq(
+      Scheduler.Tick(Scheduler.Activity, 10, 29),
+      Scheduler.Tick(Scheduler.HighFreq, 60, 119),
+      Scheduler.Tick(Scheduler.Full, 600, 1199))
+    val gate = new CountDownLatch(3)
+    val reports = Scheduler.runConcurrent(ticks, { _ =>
+      gate.countDown()
+      assert(gate.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    }, tickBudgetMs = 10000L)
+    assert(reports.size === 3)
+    assert(reports.forall(_.outcome == Completed))
+  }
+
+  test("runConcurrent: a tick exceeding its deadline is cancelled, later ticks still run") {
+    val ran = new AtomicInteger(0)
+    val ticks = Seq(
+      Scheduler.Tick(Scheduler.Activity, 10, 11),  // 1-unit budget
+      Scheduler.Tick(Scheduler.Activity, 20, 40))
+    val reports = Scheduler.runConcurrent(ticks, { t =>
+      ran.incrementAndGet()
+      if (t.fireAt == 10) Thread.sleep(60000) // blows its 1-unit deadline
+    }, tickBudgetMs = 50L)
+    assert(ran.get === 2) // the second tick was not starved by the first
+    val byFire = reports.map(r => r.tick.fireAt -> r.outcome).toMap
+    assert(byFire(10L) === TimedOut)
+    assert(byFire(20L) === Completed)
+  }
+}
