@@ -960,8 +960,50 @@ object OraclesGen {
        |FROM g""".stripMargin
   }
 
+  /** X14 exporter: re-derives every decoded OTLP span field — ids,
+    * deterministic span id (FNV of "span:"+trace_id), tracestate vs
+    * fallback timing, the sample URL — from the same events rows. */
+  val x14SpanExport: String = {
+    def signed(h: String) =
+      s"""CAST(CASE WHEN $h >= 9223372036854775808
+         |  THEN $h - 18446744073709551616 ELSE $h END AS BIGINT)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, value,
+       |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events WHERE event_type = 'purchase'),
+       |b AS (
+       |  SELECT *, us // 1000000 AS secs,
+       |    CAST(floor(value * 10) AS BIGINT) AS runtime_ms,
+       |    lpad(CAST(event_id AS VARCHAR), 32, '0') AS trace_id,
+       |    lpad(CAST(user_id AS VARCHAR), 16, '0') AS parent_span_id
+       |  FROM ev WHERE event_id % 2 = 0),
+       |c AS (
+       |  SELECT *,
+       |    CASE WHEN event_id % 3 = 0
+       |      THEN 'pganalyze=t:' || (secs - 5) ELSE '' END AS trace_state,
+       |    ${signed(fnvHuge("'span:' || trace_id"))} AS span_id,
+       |    ${signed(fnvHuge("'select * from orders where o_custkey = $'"))} AS fp
+       |  FROM b)
+       |SELECT trace_id, parent_span_id, span_id, trace_state,
+       |  CASE WHEN event_id % 3 = 0 THEN (secs - 5) * 1000000000
+       |    ELSE us * 1000 - runtime_ms * 1000000 END AS start_ns,
+       |  CASE WHEN event_id % 3 = 0
+       |    THEN (secs - 5) * 1000000000 + runtime_ms * 1000000
+       |    ELSE us * 1000 END AS end_ns,
+       |  'EXPLAIN Plan' AS name, 'postgresql' AS db_system,
+       |  'https://pganalyze.local/databases/' ||
+       |    CASE user_id % 5 WHEN 0 THEN 'rdsadmin'
+       |      WHEN 1 THEN 'azure_maintenance' WHEN 2 THEN 'cloudsqladmin'
+       |      ELSE 'db_' || (user_id % 5) END ||
+       |    '/queries/' || fp || '/samples/' || secs ||
+       |    '?role=u' || user_id AS plan_url
+       |FROM c""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "e2e_full_snapshot" -> e2eFullSnapshot,
+    "x14_span_export" -> x14SpanExport,
     "x7_autovacuum_details" -> x7AutovacuumDetails,
     "x7_checkpoint_details" -> x7CheckpointDetails,
     "doc_pii_scrub" -> docPiiScrub,

@@ -237,6 +237,77 @@ object QueriesLog {
     result
   }
 
+  // X14 (exporter half) — OTel span export
+  // (logs/querysample/tracing.go:1-104): synthesize traceparent-tagged
+  // query samples from events, extract tags with the REAL X13 parser,
+  // keep only EXPLAIN-bearing samples with a traceparent (the
+  // reference's two skip rules), export OTLP span protobufs through
+  // the SpanExporter sink, then read the endpoint back and DECODE the
+  // wire bytes — the output rows are what an OTLP consumer sees, so
+  // the oracle gate proves the span encoding end-to-end.
+  def x14SpanExport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PgFns
+    val tmp = scratchDir("graft_spans")
+    val tpRe = "^00-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$"
+    val base = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"),
+        expr("unix_micros(ts)").as("us"),
+        expr("CAST(floor(value * 10) AS BIGINT)").as("runtime_ms"))
+      .withColumn("trace_id_in", lpad(col("event_id").cast("string"), 32, "0"))
+      .withColumn("pspan_in", lpad(col("user_id").cast("string"), 16, "0"))
+      .withColumn("secs", expr("us div 1000000"))
+      .withColumn("has_explain", col("event_id") % 2 === 0)
+      .withColumn("tstate_in", when(col("event_id") % 3 === 0,
+        concat(lit("pganalyze=t:"), col("secs") - 5)).otherwise(lit("")))
+      .withColumn("base_query",
+        concat(lit("SELECT * FROM orders WHERE o_custkey = "), col("k")))
+      .withColumn("query", concat(
+        col("base_query"),
+        lit(" /*traceparent='00-"), col("trace_id_in"), lit("-"),
+        col("pspan_in"), lit("-01'"),
+        when(col("tstate_in") =!= "",
+          concat(lit(",tracestate='"), col("tstate_in"), lit("'")))
+          .otherwise(lit("")),
+        lit("*/")))
+    val tg = PgFns.queryTags(col("query"))
+    val samples = base
+      .withColumn("tp", element_at(tg, "traceparent"))
+      .withColumn("tstate", coalesce(element_at(tg, "tracestate"), lit("")))
+      // the reference skips samples without EXPLAIN or traceparent
+      .filter(col("has_explain") && col("tp").isNotNull)
+      .withColumn("trace_id", regexp_extract(col("tp"), tpRe, 1))
+      .withColumn("parent_span_id", regexp_extract(col("tp"), tpRe, 2))
+      // startAndEndTime (tracing.go:36-68): client send time from the
+      // pganalyze tracestate when present, else occurred_at - runtime
+      .withColumn("t_client",
+        regexp_extract(col("tstate"), "pganalyze=t:([0-9]+)", 1))
+      .withColumn("start_ns", when(col("t_client") =!= "",
+        col("t_client").cast("long") * 1000000000L)
+        .otherwise(col("us") * 1000L - col("runtime_ms") * 1000000L))
+      .withColumn("end_ns", when(col("t_client") =!= "",
+        col("t_client").cast("long") * 1000000000L + col("runtime_ms") * 1000000L)
+        .otherwise(col("us") * 1000L))
+      // urlToSample (tracing.go:21-34); fingerprint of the untagged
+      // text, rendered as its signed decimal (hex in the reference)
+      .withColumn("fp", PgFns.pgFingerprint(col("base_query")))
+      .withColumn("plan_url", concat(
+        lit("https://pganalyze.local/databases/"),
+        expr("CASE user_id % 5 WHEN 0 THEN 'rdsadmin' " +
+          "WHEN 1 THEN 'azure_maintenance' WHEN 2 THEN 'cloudsqladmin' " +
+          "ELSE 'db_' || (user_id % 5) END"),
+        lit("/queries/"), col("fp"),
+        lit("/samples/"), col("secs"), lit("?role=u"), col("user_id")))
+    graft.sinks.SpanExporter.export(
+      samples.select("trace_id", "parent_span_id", "tstate", "start_ns",
+        "end_ns", "plan_url").withColumnRenamed("tstate", "trace_state"), tmp)
+    val decoded = graft.sinks.SpanExporter.readBack(s, tmp)
+      .localCheckpoint() // materialize before the temp dir is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    decoded
+  }
+
   // W11/D1 streaming — the reference's core stateful operator made
   // driver-visible: counter snapshots flow through a REAL Structured
   // Streaming query (readStream.parquet → per-key

@@ -146,6 +146,7 @@ object SparkEntry {
     "s31_azure_log_parse" -> (QueriesLog.s31AzureLogParse _),
     "x6_tz_parse" -> (QueriesLog.x6TzParse _),
     "x17_session_duration" -> (QueriesLog.x17SessionDuration _),
+    "x14_span_export" -> (QueriesLog.x14SpanExport _),
     // end-to-end full-snapshot lifecycle (scans → diffs → grouping →
     // dim-encode → protobuf+zlib wire → decode → integrity verify)
     "e2e_full_snapshot" ->

@@ -60,6 +60,12 @@ object PgFns {
       graft.functions.expressions.PgFingerprintExpr(
         org.apache.spark.sql.GraftNative.expression(c)))
 
+  /** sqlcommenter query-tag map (X13, `logs/querysample/tags.go`). */
+  def queryTags(c: Column): Column =
+    org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.QueryTagsExpr(
+        org.apache.spark.sql.GraftNative.expression(c)))
+
   /** Utility-statement detection (`input/postgres/statements.go:431-450`,
     * X3): scanner-driven — the [[PgNormalize]] lexer skips comments,
     * strips parenthesized wrappers, and resolves `WITH … INSERT` CTE

@@ -40,14 +40,19 @@ object ProtoWire {
     def varintOpt(field: Int, v: Long): Msg =
       if (v == 0) this else varint(field, v)
 
-    /** wire type 1 — double (IEEE 754 little-endian). */
-    def double(field: Int, v: Double): Msg = {
+    /** wire type 1 — fixed64 (little-endian; OTLP uses it for
+      * span timestamps). */
+    def fixed64(field: Int, v: Long): Msg = {
       key(field, 1)
-      var bits = java.lang.Double.doubleToLongBits(v)
+      var bits = v
       var i = 0
       while (i < 8) { buf.write((bits & 0xff).toInt); bits >>>= 8; i += 1 }
       this
     }
+
+    /** wire type 1 — double (IEEE 754 little-endian). */
+    def double(field: Int, v: Double): Msg =
+      fixed64(field, java.lang.Double.doubleToLongBits(v))
 
     /** wire type 2 — UTF-8 string. */
     def string(field: Int, s: String): Msg =

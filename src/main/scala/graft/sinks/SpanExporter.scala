@@ -1,0 +1,116 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.functions.Hashing
+
+/** X14 second half — the OTel span EXPORTER
+  * (`logs/querysample/tracing.go:1-104`): query samples that carry a
+  * `traceparent` tag and an EXPLAIN plan are emitted as OpenTelemetry
+  * trace spans, one "EXPLAIN Plan" span per sample, parented under the
+  * client's span, timed from the `pganalyze=t:…` tracestate when the
+  * client passed its send time and from `occurred_at - runtime`
+  * otherwise, and tagged `db.system=postgresql` +
+  * `db.postgresql.plan=<sample url>`.
+  *
+  * The wire format is the PUBLIC OTLP `Span` message
+  * (opentelemetry-proto `trace/v1/trace.proto`): trace_id(1) /
+  * span_id(2) / trace_state(3) / parent_span_id(4) bytes+string,
+  * name(5), start(7)/end(8) fixed64 nanos, attributes(9) as
+  * KeyValue{key, AnyValue{string_value}} — encoded with [[ProtoWire]],
+  * no library dependency. The reference's tracer draws a random span
+  * id; ours derives it deterministically from the trace id (FNV-1a of
+  * "span:" + trace_id) so the export is reproducible under the gate.
+  *
+  * The export itself is the sink side-effect (the reference pushes to
+  * an OTLP endpoint inside foreachBatch and ForceFlushes): span
+  * encoding runs distributed at the sink boundary (a typed map — the
+  * same honest per-partition contract as the Multimodal decoder), and
+  * the endpoint stand-in is a parquet directory of raw span records a
+  * downstream OTLP forwarder would drain. */
+object SpanExporter {
+
+  val SpanName = "EXPLAIN Plan"
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+
+  private def hexString(b: Array[Byte]): String =
+    b.map("%02x".format(_)).mkString
+
+  /** One OTLP Span record. */
+  def spanBytes(traceId: String, parentSpanId: String, traceState: String,
+      startNs: Long, endNs: Long, planUrl: String): Array[Byte] = {
+    def attr(k: String, v: String) = ProtoWire.msg()
+      .string(1, k)
+      .msg(2, ProtoWire.msg().string(1, v))
+    val spanId = Hashing.fnv1a64("span:" + traceId)
+    val m = ProtoWire.msg()
+      .bytes(1, hexBytes(traceId))
+      .bytes(2, java.nio.ByteBuffer.allocate(8).putLong(spanId).array())
+    if (traceState.nonEmpty) m.string(3, traceState)
+    m.bytes(4, hexBytes(parentSpanId))
+      .string(5, SpanName)
+      .fixed64(7, startNs)
+      .fixed64(8, endNs)
+      .msg(9, attr("db.system", "postgresql"))
+      .msg(9, attr("db.postgresql.plan", planUrl))
+    m.toBytes
+  }
+
+  /** Export: samples(trace_id, parent_span_id, trace_state, start_ns,
+    * end_ns, plan_url) → one span record per row at `outDir`. */
+  def export(samples: DataFrame, outDir: String): Unit = {
+    val s = samples.sparkSession
+    import s.implicits._
+    samples.select(
+      col("trace_id"), col("parent_span_id"), col("trace_state"),
+      col("start_ns"), col("end_ns"), col("plan_url"))
+      .as[(String, String, String, Long, Long, String)]
+      .map { case (t, p, ts, s0, e0, u) => spanBytes(t, p, ts, s0, e0, u) }
+      .toDF("span")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Decoded span fields (what an OTLP consumer reads back). */
+  final case class DecodedSpan(
+      trace_id: String, parent_span_id: String, span_id: Long,
+      trace_state: String, start_ns: Long, end_ns: Long, name: String,
+      db_system: String, plan_url: String)
+
+  def decodeSpan(b: Array[Byte]): DecodedSpan = {
+    import ProtoWire.{VBytes, VInt, V64}
+    var traceId = ""; var parent = ""; var spanId = 0L; var state = ""
+    var start = 0L; var end = 0L; var name = ""
+    var attrs = Map.empty[String, String]
+    ProtoWire.decode(b).foreach {
+      case (1, VBytes(v)) => traceId = hexString(v)
+      case (2, VBytes(v)) => spanId = java.nio.ByteBuffer.wrap(v).getLong
+      case (3, VBytes(v)) => state = new String(v, "UTF-8")
+      case (4, VBytes(v)) => parent = hexString(v)
+      case (5, VBytes(v)) => name = new String(v, "UTF-8")
+      case (7, V64(v)) => start = v
+      case (8, V64(v)) => end = v
+      case (9, VBytes(v)) =>
+        val kv = ProtoWire.decode(v)
+        val k = kv.collectFirst { case (1, VBytes(b2)) => new String(b2, "UTF-8") }
+        val av = kv.collectFirst { case (2, VBytes(b2)) =>
+          ProtoWire.decode(b2).collectFirst {
+            case (1, VBytes(b3)) => new String(b3, "UTF-8")
+          }.getOrElse("")
+        }
+        for (key <- k; value <- av) attrs += key -> value
+      case _ => ()
+    }
+    DecodedSpan(traceId, parent, spanId, state, start, end, name,
+      attrs.getOrElse("db.system", ""), attrs.getOrElse("db.postgresql.plan", ""))
+  }
+
+  /** Read an export directory back as decoded span rows. */
+  def readBack(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(dir).select(col("span")).as[Array[Byte]]
+      .map(decodeSpan).toDF()
+  }
+}

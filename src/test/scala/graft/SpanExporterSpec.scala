@@ -1,0 +1,89 @@
+package graft
+
+import graft.sinks.SpanExporter
+import graft.functions.Hashing
+
+/** OTLP span wire bytes: hand-derived goldens per the public protobuf
+  * encoding + the opentelemetry-proto Span field numbers, decode
+  * round-trip, and the export/read-back cycle through parquet. */
+class SpanExporterSpec extends SparkSpec {
+
+  private def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+
+  private val traceId = "0" * 31 + "7"
+  private val parent = "0" * 15 + "9"
+
+  test("golden bytes: OTLP Span fields, hand-derived") {
+    val b = SpanExporter.spanBytes(traceId, parent, "pganalyze=t:100",
+      1000000000L, 3000000000L, "https://x/plan")
+    val h = hex(b)
+    // field 1 (trace_id): key 0a, 16 bytes ...07
+    assert(h.startsWith("0a10" + "0" * 31 + "7"))
+    // field 2 (span_id): key 12, 8 bytes = FNV-1a("span:" + traceId)
+    val spanId = Hashing.fnv1a64("span:" + traceId)
+    assert(h.contains("1208" + hex(
+      java.nio.ByteBuffer.allocate(8).putLong(spanId).array())))
+    // field 3 (trace_state): key 1a, len 15
+    assert(h.contains("1a0f" + hex("pganalyze=t:100".getBytes)))
+    // field 4 (parent_span_id): key 22, 8 bytes ...09
+    assert(h.contains("2208" + "0" * 15 + "9"))
+    // field 5 (name): key 2a, "EXPLAIN Plan"
+    assert(h.contains("2a0c" + hex("EXPLAIN Plan".getBytes)))
+    // field 7 (start fixed64 LE): key 39, 1e9 = 0x3B9ACA00
+    assert(h.contains("3900ca9a3b00000000"))
+    // field 8 (end fixed64 LE): key 41, 3e9 = 0xB2D05E00
+    assert(h.contains("41005ed0b200000000"))
+    // field 9 (attribute KeyValue db.system=postgresql):
+    // key 4a, len 23: key(1)="db.system" value(2)=AnyValue{1:"postgresql"}
+    assert(h.contains("4a19" + "0a09" + hex("db.system".getBytes) +
+      "120c0a0a" + hex("postgresql".getBytes)))
+  }
+
+  test("trace_state omitted when empty (proto3 default elision)") {
+    val b = SpanExporter.spanBytes(traceId, parent, "", 1L, 2L, "u")
+    assert(!hex(b).contains("1a0f"))
+    assert(SpanExporter.decodeSpan(b).trace_state === "")
+  }
+
+  test("decode round-trips every field") {
+    val d = SpanExporter.decodeSpan(SpanExporter.spanBytes(
+      traceId, parent, "pganalyze=t:100", 11L, 22L, "https://x/plan"))
+    assert(d.trace_id === traceId)
+    assert(d.parent_span_id === parent)
+    assert(d.span_id === Hashing.fnv1a64("span:" + traceId))
+    assert(d.trace_state === "pganalyze=t:100")
+    assert(d.start_ns === 11L && d.end_ns === 22L)
+    assert(d.name === "EXPLAIN Plan")
+    assert(d.db_system === "postgresql")
+    assert(d.plan_url === "https://x/plan")
+  }
+
+  test("export + read-back through the parquet endpoint stand-in") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_spec")
+      .toFile.getAbsolutePath
+    val samples = Seq(
+      (traceId, parent, "", 5L, 9L, "u1"),
+      ("1" * 32, "2" * 16, "pganalyze=t:7", 7000000000L, 7500000000L, "u2"))
+      .toDF("trace_id", "parent_span_id", "trace_state", "start_ns",
+        "end_ns", "plan_url")
+    SpanExporter.export(samples, dir)
+    val back = SpanExporter.readBack(spark, dir).collect()
+      .map(r => (r.getAs[String]("trace_id"), r.getAs[Long]("start_ns"),
+        r.getAs[String]("plan_url"))).sortBy(_._1)
+    assert(back === Array((traceId, 5L, "u1"), ("1" * 32, 7000000000L, "u2")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("driver entry: exported span count matches the skip rules") {
+    val df = QueriesLog.x14SpanExport(spark, Sf)
+    val n = df.count()
+    assert(n > 0)
+    // only EXPLAIN-bearing (even event_id) purchase samples export
+    import org.apache.spark.sql.functions._
+    val expected = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase" && col("event_id") % 2 === 0)
+      .count()
+    assert(n === expected)
+  }
+}
