@@ -681,7 +681,9 @@ object Oracles {
         |    WHEN 'view' THEN 'CONNECTION_RECEIVED'
         |    WHEN 'signup' THEN 'CONNECTION_AUTHORIZED'
         |    ELSE 'LOCK_DEADLOCK_DETECTED' END AS class_name,
-        |  count(*) AS n
+        |  count(*) AS n,
+        |  (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events)
+        |    AS n_discarded
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "x7_log_classify" ->

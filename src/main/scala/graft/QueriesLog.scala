@@ -186,10 +186,17 @@ object QueriesLog {
         lit(" UTC ["), col("pid"), lit("]: [999-1] user=u"), col("pid"),
         lit(",db=db"), col("pid") % 5,
         lit(" LOG:  graft sentinel flush")).as("line"))
+    // orphan continuations (no prefix → unparseable): the W7 poison
+    // path, one per distinct event_type so the discard counter is
+    // data-derived and oracle-checkable
+    val orphans = Tables.events(s, dir).select(col("event_type")).distinct()
+      .select(concat(lit("\torphan continuation after rotation: "),
+        col("event_type")).as("line"))
     // parallel input write: the stitch sorts within each key anyway, so
     // file order is irrelevant, and AvailableNow still drains every
     // file in one batch (no maxFilesPerTrigger set)
     LogSynth.renderedLines(s, dir).select("line").unionByName(sentinels)
+      .unionByName(orphans)
       .write.mode("overwrite").text(inDir)
     graft.streaming.LogStreamPipeline.configureFor(s)
     val analyzed = graft.streaming.LogStreamPipeline.analyzed(
@@ -222,16 +229,58 @@ object QueriesLog {
       s.conf.set("spark.sql.shuffle.partitions", oldParts)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", oldNoData)
     }
-    val result = s.read.parquet(outDir)
-      // sentinels exist only to flush real pendings; whether they are
-      // themselves timeout-flushed in a trailing no-data batch is an
-      // engine detail — drop them from the rollup either way
-      .filter(col("content") =!= "graft sentinel flush")
-      .groupBy(window(col("ts"), "1 minute"),
-        col("classification"), col("class_name"))
-      .agg(count(lit(1)).as("n"))
+    // W7 discard counter: the poison lines surfaced by the stitcher's
+    // dead-letter channel, counted off the bridged parquet
+    val nDiscarded = s.read.parquet(outDir)
+      .filter(col("level") === "DISCARDED").count()
+
+    // K2 — the REAL streaming windowed-count sink: the bridged parquet
+    // is replayed as a STREAM into windowedClassCounts (append mode:
+    // only watermark-finalized windows emit). One synthetic
+    // watermark-advancer row an hour past the last real line makes the
+    // 30 s watermark clear every real window, so the trailing no-data
+    // batch finalizes all of them; the advancer's own window never
+    // closes and its marker class is dropped after the sink.
+    val maxTs = s.read.parquet(outDir).agg(max("ts")).head.getTimestamp(0)
+    import s.implicits._
+    Seq(1).toDF("x").select(
+      lit(-1L).as("pid"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 3600 * 1000L)).as("ts"),
+      lit("LOG").as("level"), lit("graft watermark advancer").as("content"),
+      lit(1).as("nLines"), lit(false).as("truncated"),
+      lit(-999).as("classification"), lit("ADVANCER").as("class_name"))
+      .write.mode("append").parquet(outDir)
+    val out2 = s"$tmp/out2"; val ckpt2 = s"$tmp/ckpt2"
+    val bridged = s.readStream.schema(s.read.parquet(outDir).schema)
+      .parquet(outDir)
+    val wcc = graft.streaming.LogStreamPipeline.windowedClassCounts(bridged)
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      wcc.schema).write.mode("overwrite").parquet(out2)
+    val oldParts2 = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      val q2 = wcc.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out2); () }
+        .option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .start()
+      q2.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", oldParts2)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", oldNoData)
+    }
+    // helper rows aggregate into their own groups: dead-letter lines at
+    // the epoch-0 window (a raw continuation carries no event time),
+    // the advancer under its marker class — drop both after the sink
+    val result = s.read.parquet(out2)
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("classification"), col("class_name"), col("n"))
+      .filter(col("window_start_us") =!= 0 &&
+        col("classification") =!= -999)
+      .withColumn("n_discarded", lit(nDiscarded))
       .localCheckpoint() // materialize before the temp dir is deleted
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     result

@@ -32,11 +32,22 @@ object LogStreamPipeline {
       graft.functions.expressions.RegexGroupsExpr(
         org.apache.spark.sql.GraftNative.expression(col("value")),
         compiled.regex, compiled.fields.length))
+    // unmatched lines (no prefix) are continuations: a raw text tail
+    // cannot attribute them to a backend, so they carry the poison-pid
+    // -1 and epoch-0 event time — the stitcher routes them to the W7
+    // DISCARDED dead-letter (a continuation with no pending primary can
+    // never associate)
     raw.withColumn("g", groupsCol).select(
-      element_at(col("g"), g("pid")).cast("long").as("pid"),
-      to_timestamp(element_at(col("g"), g("log_time")),
-        "yyyy-MM-dd HH:mm:ss zzz").as("ts"),
-      element_at(col("g"), g("log_line_no")).cast("long").as("lineNo"),
+      when(col("g").isNull, lit(-1L))
+        .otherwise(element_at(col("g"), g("pid")).cast("long")).as("pid"),
+      // epoch+1s, not 0: the watermark starts at 0 and rows at or below
+      // it are dropped as late before they reach the stitcher
+      when(col("g").isNull, timestamp_seconds(lit(1L)))
+        .otherwise(to_timestamp(element_at(col("g"), g("log_time")),
+          "yyyy-MM-dd HH:mm:ss zzz")).as("ts"),
+      when(col("g").isNull, lit(0L))
+        .otherwise(element_at(col("g"), g("log_line_no")).cast("long"))
+        .as("lineNo"),
       when(col("g").isNull, lit("UNKNOWN"))
         .otherwise(element_at(col("g"), g("log_level"))).as("level"),
       when(col("g").isNull, col("value"))
@@ -66,6 +77,13 @@ object LogStreamPipeline {
     * W7) and the 30 s watermark here covers it, so callers disable
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
     * for this composition (see [[configureFor]]). */
+  /** NOTE: callers must NOT pre-filter helper rows (flush sentinels,
+    * dead-letter lines) out of the stream — Catalyst pushes any
+    * non-`ts` predicate BELOW the EventTimeWatermark node, so the
+    * excluded rows would stop advancing event time and the last real
+    * windows would never finalize in append mode. Helper rows land in
+    * their own (window, classification) groups; drop those groups
+    * AFTER the sink. */
   def windowedClassCounts(analyzed: DataFrame): DataFrame =
     analyzed
       .withWatermark("ts", "30 seconds")

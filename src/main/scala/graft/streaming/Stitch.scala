@@ -96,8 +96,13 @@ object Stitch {
               } else if (r.level == "UNKNOWN") {
                 // orphan continuation with no pending primary: it can
                 // never be associated (continuations follow their
-                // primary in event time) — discard, the reference's
-                // poison-line policy (stream.go:84-90, W7)
+                // primary in event time) — the reference's poison-line
+                // policy drops it silently (stream.go:84-90, W7); we
+                // route it to a DISCARDED dead-letter row instead so
+                // the discard COUNT is observable downstream (and under
+                // the driver gate). Dead-letter rows never enter state.
+                out += StitchedLine(pid, r.ts, "DISCARDED", r.content, 1,
+                  truncated = false)
               } else {
                 pending.foreach(p => out += StitchedLine(
                   pid, p.ts, p.level, p.content, p.nLines, p.truncated))

@@ -105,8 +105,14 @@ class StreamingSpec extends SparkSpec {
       input.addData(Stitch.RawLine(8L, ts("2024-01-01 00:01:00"), "LOG", "x", 1))
       q.processAllAvailable()
       val all = spark.table("sdiscard").as[Stitch.StitchedLine].collect()
-      assert(!all.exists(_.content.contains("leaked line")),
-        s"orphan continuation must be discarded: ${all.toSeq}")
+      // never promoted into a stitched line…
+      assert(!all.exists(l => l.level != "DISCARDED" &&
+        l.content.contains("leaked line")),
+        s"orphan continuation must not be promoted: ${all.toSeq}")
+      // …but surfaced on the DISCARDED dead-letter channel (the
+      // observable W7 counter)
+      assert(all.exists(l => l.level == "DISCARDED" &&
+        l.content.contains("leaked line")))
       assert(all.exists(_.content == "checkpoint starting: time"))
     } finally q.stop()
   }
