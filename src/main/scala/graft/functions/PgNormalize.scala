@@ -570,16 +570,46 @@ object PgNormalize {
       parts += (t.kind match {
         case TParam | TConst => "$"
         case TWord => s.toLowerCase
+        case TQuotedIdent =>
+          // a quoted identifier that needs no quoting is the same
+          // parse-tree node as its bare form: strip the quotes
+          // (mixed-case / escaped / non-identifier content keeps them)
+          val inner = s.substring(1, s.length - 1)
+          if (inner.matches("[a-z_][a-z0-9_]*")) inner else s
         case _ => s
       })
     }
+    // parse-tree-parity rewrites (the lexically-closable slice of the
+    // pg_query fingerprint's tree-level collapses, see PgNormalizeSpec
+    // "parse-tree gap" table): `!=` scans to the same operator as `<>`
+    // in the Postgres grammar; `AS`, `INNER` (before JOIN) and `OUTER`
+    // (after LEFT/RIGHT/FULL) are grammar sugar absent from the parse
+    // tree; trailing semicolons delimit nothing.
+    val rw = new ArrayBuffer[String](parts.length)
+    var j = 0
+    while (j < parts.length) {
+      val p = parts(j)
+      val next = if (j + 1 < parts.length) parts(j + 1) else ""
+      val prev = if (rw.nonEmpty) rw.last else ""
+      p match {
+        case "!=" => rw += "<>"
+        case "!" if next == "=" => rw += "<>"; j += 1
+        case "<" if next == ">" => rw += "<>"; j += 1
+        case "as" => ()
+        case "inner" if next == "join" => ()
+        case "outer" if prev == "left" || prev == "right" || prev == "full" => ()
+        case _ => rw += p
+      }
+      j += 1
+    }
+    while (rw.nonEmpty && rw.last == ";") rw.remove(rw.length - 1)
     // collapse runs: $ , $ , ... , $ → $
-    val out = new ArrayBuffer[String](parts.length)
+    val out = new ArrayBuffer[String](rw.length)
     var i = 0
-    while (i < parts.length) {
-      out += parts(i)
-      if (parts(i) == "$") {
-        while (i + 2 < parts.length && parts(i + 1) == "," && parts(i + 2) == "$")
+    while (i < rw.length) {
+      out += rw(i)
+      if (rw(i) == "$") {
+        while (i + 2 < rw.length && rw(i + 1) == "," && rw(i + 2) == "$")
           i += 2
       }
       i += 1
