@@ -100,7 +100,13 @@ object FullSnapshotPipeline {
     val dbs = CatalogSynth.databases(s, dir)
     val (dbDim, dbFact) = DimEncode.encode(dbs, "db_oid")
 
-    val groups0 = queryGroups(s, dir)
+    // the grouped statement facts feed FOUR consumers (role dim build,
+    // qkey dim build, the dim-resolution join, the final collect) —
+    // materialize once or each re-runs the event-scale diff+fingerprint
+    // lineage; the table is #groups-sized (bounded by the per-server
+    // query cap), so this is the same lake-scale persist the reference's
+    // in-memory TransientState represents
+    val groups0 = queryGroups(s, dir).localCheckpoint(eager = false)
     val (roleDim, groupsR) = DimEncode.encode(groups0, "user_oid")
     val withDb = groupsR.join(broadcast(dbDim), Seq("db_oid"))
     val (qDim, qFact) = DimEncode.encode(
@@ -135,34 +141,48 @@ object FullSnapshotPipeline {
       .join(broadcast(dbDim), Seq("db_oid"))
       .join(broadcast(dbs.select("db_oid", "temp_files")), Seq("db_oid"))
 
-    val collectedAtSecs = Tables.events(s, dir)
-      .agg(expr("unix_micros(max(ts)) div 1000000").as("s")).head.getLong(0)
-
+    // the section materializations are independent jobs — run them
+    // concurrently (Spark schedules parallel jobs from one session
+    // freely), the same overlap trick DimEncode.encodeAll uses; at toy
+    // scale this collapses seven serial job latencies into the longest
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    def bg[T](f: => T): Future[T] = Future(f)
+    val fCollectedAt = bg(Tables.events(s, dir)
+      .agg(expr("unix_micros(max(ts)) div 1000000").as("s")).head.getLong(0))
+    val fDb = bg(dbFact.select("db_oid_idx", "datname", "frozenxid", "temp_files")
+      .orderBy("db_oid_idx").collect().toIndexedSeq)
+    val fRole = bg(roleDim.select("user_oid_idx", "user_oid")
+      .orderBy("user_oid_idx").collect().toIndexedSeq)
+    val fQuery = bg(qFact.select(
+      col("qkey_idx"), col("db_oid_idx"), col("user_oid_idx"),
+      col("toplevel"), col("fp"), col("normalized_query"),
+      col("query_ids"), col("calls"), col("total_ms"))
+      .orderBy("qkey_idx").collect().toIndexedSeq)
+    val fRelRef = bg(relRefs.select(
+      col("rel_oid_idx"), col("db_oid_idx"), col("nspname"),
+      col("relname"), col("relkind"))
+      .orderBy("rel_oid_idx").collect().toIndexedSeq)
+    val fRelStat = bg(relDiff.select(
+      col("rel_oid_idx"), col("seq_scan_delta"), col("idx_scan_delta"),
+      col("n_live_tup"))
+      .orderBy("rel_oid_idx").collect().toIndexedSeq)
+    val fDbStat = bg(dbDiff.select(
+      col("db_oid_idx"), col("xact_commit_delta"),
+      col("xact_rollback_delta"), col("temp_files"))
+      .orderBy("db_oid_idx").collect().toIndexedSeq)
+    val fSettings = bg(CatalogSynth.settings(s, dir).select("name", "setting")
+      .orderBy("name").collect().toIndexedSeq)
     Doc(
-      collectedAtSecs = collectedAtSecs,
-      dbRows = dbFact.select("db_oid_idx", "datname", "frozenxid", "temp_files")
-        .orderBy("db_oid_idx").collect().toIndexedSeq,
-      roleRows = roleDim.select("user_oid_idx", "user_oid")
-        .orderBy("user_oid_idx").collect().toIndexedSeq,
-      queryRows = qFact.select(
-        col("qkey_idx"), col("db_oid_idx"), col("user_oid_idx"),
-        col("toplevel"), col("fp"), col("normalized_query"),
-        col("query_ids"), col("calls"), col("total_ms"))
-        .orderBy("qkey_idx").collect().toIndexedSeq,
-      relRefRows = relRefs.select(
-        col("rel_oid_idx"), col("db_oid_idx"), col("nspname"),
-        col("relname"), col("relkind"))
-        .orderBy("rel_oid_idx").collect().toIndexedSeq,
-      relStatRows = relDiff.select(
-        col("rel_oid_idx"), col("seq_scan_delta"), col("idx_scan_delta"),
-        col("n_live_tup"))
-        .orderBy("rel_oid_idx").collect().toIndexedSeq,
-      dbStatRows = dbDiff.select(
-        col("db_oid_idx"), col("xact_commit_delta"),
-        col("xact_rollback_delta"), col("temp_files"))
-        .orderBy("db_oid_idx").collect().toIndexedSeq,
-      settingRows = CatalogSynth.settings(s, dir).select("name", "setting")
-        .orderBy("name").collect().toIndexedSeq)
+      collectedAtSecs = Await.result(fCollectedAt, Duration.Inf),
+      dbRows = Await.result(fDb, Duration.Inf),
+      roleRows = Await.result(fRole, Duration.Inf),
+      queryRows = Await.result(fQuery, Duration.Inf),
+      relRefRows = Await.result(fRelRef, Duration.Inf),
+      relStatRows = Await.result(fRelStat, Duration.Inf),
+      dbStatRows = Await.result(fDbStat, Duration.Inf),
+      settingRows = Await.result(fSettings, Duration.Inf))
   }
 
   // ----------------------------------------------------------- encoding
