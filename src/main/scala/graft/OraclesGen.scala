@@ -953,6 +953,14 @@ object OraclesGen {
        |  (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_relations,
        |  (SELECT CAST(count(*) AS BIGINT) FROM part WHERE p_partkey % 7 = 0)
        |    AS n_settings,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM part WHERE p_partkey % 2 = 0)
+       |    AS n_indexes,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM part WHERE p_partkey % 5 = 0)
+       |    AS n_functions,
+       |  (SELECT CAST(sum(p_size * 7) AS BIGINT) FROM part
+       |   WHERE p_partkey % 2 = 0) AS sum_idx_scan_delta,
+       |  (SELECT CAST(sum(p_size * 3) AS BIGINT) FROM part
+       |   WHERE p_partkey % 5 = 0) AS sum_fn_calls_delta,
        |  (SELECT CAST(epoch_us(max(tsx)) // 1000000 AS BIGINT) FROM ev)
        |    AS collected_at_s,
        |  CAST(600 AS BIGINT) AS interval_secs,

@@ -90,99 +90,159 @@ object FullSnapshotPipeline {
       collectedAtSecs: Long,
       dbRows: Seq[Row], roleRows: Seq[Row], queryRows: Seq[Row],
       relRefRows: Seq[Row], relStatRows: Seq[Row], dbStatRows: Seq[Row],
-      settingRows: Seq[Row])
+      settingRows: Seq[Row],
+      idxRows: Seq[Row] = Nil, fnRows: Seq[Row] = Nil)
 
   /** Run the distributed stages and collect the bounded sections, each
-    * sorted by its dimension index. */
+    * sorted by its dimension index. The four heavy branches (statement
+    * groups, relations+indexes, functions, database stats) have no
+    * cross-dependencies beyond the tiny database dim, so each runs in
+    * its own future — Spark schedules their jobs concurrently and the
+    * wall-clock is the longest branch, not the sum (same overlap trick
+    * as DimEncode.encodeAll). */
   def assemble(s: SparkSession, dir: String): Doc = {
-    // J5: reference arrays built scale-safe (DimEncode sorts + zips, no
-    // global window), then every fact carries the small idx
-    val dbs = CatalogSynth.databases(s, dir)
-    val (dbDim, dbFact) = DimEncode.encode(dbs, "db_oid")
-
-    // the grouped statement facts feed FOUR consumers (role dim build,
-    // qkey dim build, the dim-resolution join, the final collect) —
-    // materialize once or each re-runs the event-scale diff+fingerprint
-    // lineage; the table is #groups-sized (bounded by the per-server
-    // query cap), so this is the same lake-scale persist the reference's
-    // in-memory TransientState represents
-    val groups0 = queryGroups(s, dir).localCheckpoint(eager = false)
-    val (roleDim, groupsR) = DimEncode.encode(groups0, "user_oid")
-    val withDb = groupsR.join(broadcast(dbDim), Seq("db_oid"))
-    val (qDim, qFact) = DimEncode.encode(
-      withDb.withColumn("qkey",
-        struct(col("db_oid"), col("user_oid"), col("toplevel"), col("fp"))),
-      "qkey")
-
-    val rels = CatalogSynth.relations(s, dir)
-    val (relDim, relFact) = DimEncode.encode(rels, "rel_oid")
-    val relRefs = relFact.join(broadcast(dbDim), Seq("db_oid"))
-
-    val relDiff = Diff.relationDiff(
-      CatalogSynth.relationStatsTimeline(s, dir),
-      keyCols = Seq("rel_oid"), snapCol = "snap",
-      counterCols = Seq("seq_scan", "idx_scan"),
-      gaugeCols = Seq("n_live_tup"), lockedCol = "locked")
-      .filter(col("snap") === 2)
-      .join(broadcast(relDim), Seq("rel_oid"))
-
-    val dbDiff = Diff.counterDiff(
-      Tables.nation(s, dir)
-        .select(col("n_nationkey"),
-          explode(sequence(lit(0L), lit(2L))).as("snap"))
-        .select(
-          col("n_nationkey").cast("long").as("db_oid"),
-          col("snap"),
-          (col("n_nationkey") * 977L * (col("snap") + 1)).as("xact_commit"),
-          (col("n_nationkey") * 131L * (col("snap") + 1)).as("xact_rollback")),
-      keyCols = Seq("db_oid"), orderCols = Seq("snap"),
-      counterCols = Seq("xact_commit", "xact_rollback"))
-      .filter(col("snap") === 2)
-      .join(broadcast(dbDim), Seq("db_oid"))
-      .join(broadcast(dbs.select("db_oid", "temp_files")), Seq("db_oid"))
-
-    // the section materializations are independent jobs — run them
-    // concurrently (Spark schedules parallel jobs from one session
-    // freely), the same overlap trick DimEncode.encodeAll uses; at toy
-    // scale this collapses seven serial job latencies into the longest
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     def bg[T](f: => T): Future[T] = Future(f)
+
+    // J5: reference arrays built scale-safe (DimEncode sorts + zips, no
+    // global window), then every fact carries the small idx. The db dim
+    // is the one shared input — built up front, broadcast everywhere.
+    val dbs = CatalogSynth.databases(s, dir)
+    val (dbDim, dbFact) = DimEncode.encode(dbs, "db_oid")
+
+    // -------- branch A: statement groups → role dim → query dim
+    val fQ = bg {
+      // the grouped statement facts feed FOUR consumers (role dim
+      // build, qkey dim build, the dim-resolution join, the final
+      // collect) — materialize once or each re-runs the event-scale
+      // diff+fingerprint lineage; the table is #groups-sized (bounded
+      // by the per-server query cap), the reference's TransientState
+      val groups0 = queryGroups(s, dir).localCheckpoint(eager = false)
+      val (roleDim, groupsR) = DimEncode.encode(groups0, "user_oid")
+      val withDb = groupsR.join(broadcast(dbDim), Seq("db_oid"))
+      val (_, qFact) = DimEncode.encode(
+        withDb.withColumn("qkey",
+          struct(col("db_oid"), col("user_oid"), col("toplevel"), col("fp"))),
+        "qkey")
+      val roleRows = roleDim.select("user_oid_idx", "user_oid")
+        .orderBy("user_oid_idx").collect().toIndexedSeq
+      val queryRows = qFact.select(
+        col("qkey_idx"), col("db_oid_idx"), col("user_oid_idx"),
+        col("toplevel"), col("fp"), col("normalized_query"),
+        col("query_ids"), col("calls"), col("total_ms"))
+        .orderBy("qkey_idx").collect().toIndexedSeq
+      (roleRows, queryRows)
+    }
+
+    // -------- branch B: relations → D4 diff → indexes (D5, chained
+    // through the relation dim: IndexInformation carries relation_idx)
+    val fRel = bg {
+      val rels = CatalogSynth.relations(s, dir)
+      val (relDim, relFact) = DimEncode.encode(rels, "rel_oid")
+      val relRefs = relFact.join(broadcast(dbDim), Seq("db_oid"))
+        .localCheckpoint(eager = false) // feeds refs collect + idx join
+      val relDiff = Diff.relationDiff(
+        CatalogSynth.relationStatsTimeline(s, dir),
+        keyCols = Seq("rel_oid"), snapCol = "snap",
+        counterCols = Seq("seq_scan", "idx_scan"),
+        gaugeCols = Seq("n_live_tup"), lockedCol = "locked")
+        .filter(col("snap") === 2)
+        .join(broadcast(relDim), Seq("rel_oid"))
+      val idxDiff = Diff.relationDiff(
+        CatalogSynth.indexStatsTimeline(s, dir),
+        keyCols = Seq("index_oid"), snapCol = "snap",
+        counterCols = Seq("idx_scan", "idx_tup_read"),
+        gaugeCols = Seq("size_bytes"), lockedCol = "locked")
+        .filter(col("snap") === 2)
+      val (_, idxFact) = DimEncode.encode(idxDiff, "index_oid")
+      val idxJoined = idxFact
+        .withColumn("rel_oid", col("index_oid") - 1000000L)
+        .join(relRefs.select(col("rel_oid"), col("rel_oid_idx"),
+          col("db_oid_idx"), col("nspname")), Seq("rel_oid"))
+        .withColumn("index_name", concat(lit("idx_"), col("rel_oid")))
+      val refRows = relRefs.select(
+        col("rel_oid_idx"), col("db_oid_idx"), col("nspname"),
+        col("relname"), col("relkind"))
+        .orderBy("rel_oid_idx").collect().toIndexedSeq
+      val statRows = relDiff.select(
+        col("rel_oid_idx"), col("seq_scan_delta"), col("idx_scan_delta"),
+        col("n_live_tup"))
+        .orderBy("rel_oid_idx").collect().toIndexedSeq
+      val idxRows = idxJoined.select(
+        col("index_oid_idx"), col("db_oid_idx"), col("nspname"),
+        col("index_name"), col("rel_oid_idx"), col("size_bytes"),
+        col("idx_scan_delta"), col("idx_tup_read_delta"))
+        .orderBy("index_oid_idx").collect().toIndexedSeq
+      (refRows, statRows, idxRows)
+    }
+
+    // -------- branch C: functions (D9 diff; functions share the
+    // relations' database/schema derivation rules)
+    val fFn = bg {
+      val fnDiff = Diff.counterDiff(
+        CatalogSynth.functionStatsTimeline(s, dir),
+        keyCols = Seq("func_oid"), orderCols = Seq("snap"),
+        counterCols = Seq("calls", "total_time_ms", "self_time_ms"))
+        .filter(col("snap") === 2)
+      val (_, fnFact) = DimEncode.encode(fnDiff, "func_oid")
+      fnFact
+        .withColumn("db_oid", (col("func_oid") % 3).cast("long"))
+        .join(broadcast(dbDim), Seq("db_oid"))
+        .withColumn("nspname",
+          expr("CASE func_oid % 8 WHEN 0 THEN 'pg_catalog' " +
+            "WHEN 1 THEN 'pg_toast' WHEN 2 THEN 'information_schema' " +
+            "WHEN 3 THEN 'app_private' ELSE 'public' END"))
+        .select(
+          col("func_oid_idx"), col("db_oid_idx"), col("nspname"),
+          col("funcname"), col("calls_delta"), col("total_time_ms_delta"),
+          col("self_time_ms_delta"))
+        .orderBy("func_oid_idx").collect().toIndexedSeq
+    }
+
+    // -------- branch D: database stats (D6 diff) + small sections
+    val fDbStat = bg {
+      Diff.counterDiff(
+        Tables.nation(s, dir)
+          .select(col("n_nationkey"),
+            explode(sequence(lit(0L), lit(2L))).as("snap"))
+          .select(
+            col("n_nationkey").cast("long").as("db_oid"),
+            col("snap"),
+            (col("n_nationkey") * 977L * (col("snap") + 1)).as("xact_commit"),
+            (col("n_nationkey") * 131L * (col("snap") + 1)).as("xact_rollback")),
+        keyCols = Seq("db_oid"), orderCols = Seq("snap"),
+        counterCols = Seq("xact_commit", "xact_rollback"))
+        .filter(col("snap") === 2)
+        .join(broadcast(dbDim), Seq("db_oid"))
+        .join(broadcast(dbs.select("db_oid", "temp_files")), Seq("db_oid"))
+        .select(
+          col("db_oid_idx"), col("xact_commit_delta"),
+          col("xact_rollback_delta"), col("temp_files"))
+        .orderBy("db_oid_idx").collect().toIndexedSeq
+    }
     val fCollectedAt = bg(Tables.events(s, dir)
       .agg(expr("unix_micros(max(ts)) div 1000000").as("s")).head.getLong(0))
-    val fDb = bg(dbFact.select("db_oid_idx", "datname", "frozenxid", "temp_files")
-      .orderBy("db_oid_idx").collect().toIndexedSeq)
-    val fRole = bg(roleDim.select("user_oid_idx", "user_oid")
-      .orderBy("user_oid_idx").collect().toIndexedSeq)
-    val fQuery = bg(qFact.select(
-      col("qkey_idx"), col("db_oid_idx"), col("user_oid_idx"),
-      col("toplevel"), col("fp"), col("normalized_query"),
-      col("query_ids"), col("calls"), col("total_ms"))
-      .orderBy("qkey_idx").collect().toIndexedSeq)
-    val fRelRef = bg(relRefs.select(
-      col("rel_oid_idx"), col("db_oid_idx"), col("nspname"),
-      col("relname"), col("relkind"))
-      .orderBy("rel_oid_idx").collect().toIndexedSeq)
-    val fRelStat = bg(relDiff.select(
-      col("rel_oid_idx"), col("seq_scan_delta"), col("idx_scan_delta"),
-      col("n_live_tup"))
-      .orderBy("rel_oid_idx").collect().toIndexedSeq)
-    val fDbStat = bg(dbDiff.select(
-      col("db_oid_idx"), col("xact_commit_delta"),
-      col("xact_rollback_delta"), col("temp_files"))
+    val fDbRows = bg(dbFact
+      .select("db_oid_idx", "datname", "frozenxid", "temp_files")
       .orderBy("db_oid_idx").collect().toIndexedSeq)
     val fSettings = bg(CatalogSynth.settings(s, dir).select("name", "setting")
       .orderBy("name").collect().toIndexedSeq)
+
+    val (roleRows, queryRows) = Await.result(fQ, Duration.Inf)
+    val (relRefRows, relStatRows, idxRows) = Await.result(fRel, Duration.Inf)
     Doc(
       collectedAtSecs = Await.result(fCollectedAt, Duration.Inf),
-      dbRows = Await.result(fDb, Duration.Inf),
-      roleRows = Await.result(fRole, Duration.Inf),
-      queryRows = Await.result(fQuery, Duration.Inf),
-      relRefRows = Await.result(fRelRef, Duration.Inf),
-      relStatRows = Await.result(fRelStat, Duration.Inf),
+      dbRows = Await.result(fDbRows, Duration.Inf),
+      roleRows = roleRows,
+      queryRows = queryRows,
+      relRefRows = relRefRows,
+      relStatRows = relStatRows,
       dbStatRows = Await.result(fDbStat, Duration.Inf),
-      settingRows = Await.result(fSettings, Duration.Inf))
+      settingRows = Await.result(fSettings, Duration.Inf),
+      idxRows = idxRows,
+      fnRows = Await.result(fFn, Duration.Inf))
   }
 
   // ----------------------------------------------------------- encoding
@@ -256,6 +316,43 @@ object FullSnapshotPipeline {
         .varint(1, num(r, 0))
         .string(2, r.getString(4)))        // relation_type
     }
+    doc.idxRows.foreach { r =>             // 202 IndexReference
+      m.msg(202, ProtoWire.msg()
+        .varint(1, num(r, 1))              // database_idx
+        .string(2, r.getString(2))         // schema_name
+        .string(3, r.getString(3)))        // index_name
+    }
+    doc.idxRows.foreach { r =>             // 224 IndexInformation
+      m.msg(224, ProtoWire.msg()
+        .varint(1, num(r, 0))              // index_idx
+        .varint(2, num(r, 4))              // relation_idx
+        .string(10, "btree"))              // index_type
+    }
+    doc.idxRows.foreach { r =>             // 225 IndexStatistic
+      m.msg(225, ProtoWire.msg()
+        .varint(1, num(r, 0))
+        .varint(2, num(r, 5))              // size_bytes
+        .varint(3, num(r, 6))              // idx_scan
+        .varint(4, num(r, 7)))             // idx_tup_read
+    }
+    doc.fnRows.foreach { r =>              // 203 FunctionReference
+      m.msg(203, ProtoWire.msg()
+        .varint(1, num(r, 1))              // database_idx
+        .string(2, r.getString(2))         // schema_name
+        .string(3, r.getString(3)))        // function_name
+    }
+    doc.fnRows.foreach { r =>              // 227 FunctionInformation
+      m.msg(227, ProtoWire.msg()
+        .varint(1, num(r, 0))
+        .string(3, "sql"))                 // language
+    }
+    doc.fnRows.foreach { r =>              // 228 FunctionStatistic
+      m.msg(228, ProtoWire.msg()
+        .varint(1, num(r, 0))
+        .varint(2, num(r, 4))              // calls
+        .double(3, num(r, 5).toDouble)     // total_time
+        .double(4, num(r, 6).toDouble))    // self_time
+    }
     doc.relStatRows.foreach { r =>         // 221 RelationStatistic
       val s221 = ProtoWire.msg().varint(1, num(r, 0))
       // locked-in-previous-snapshot keys diff to NULL (runner/diff.go:48-70
@@ -304,30 +401,48 @@ object FullSnapshotPipeline {
     val settings = msgs(122)
     val qRefs = msgs(200); val qInfos = msgs(210); val qStats = msgs(211)
     val relRefs = msgs(201); val relInfos = msgs(220); val relStats = msgs(221)
+    val idxRefs = msgs(202); val idxInfos = msgs(224); val idxStats = msgs(225)
+    val fnRefs = msgs(203); val fnInfos = msgs(227); val fnStats = msgs(228)
+    // these Seqs are Lists: .length is a full traversal, so every count
+    // is computed exactly once and reused by the checks AND the output
+    val (nRoles, nDbs, nQs, nRels) =
+      (roleRefs.length.toLong, dbRefs.length.toLong,
+        qRefs.length.toLong, relRefs.length.toLong)
+    val (nSettings, nIdx, nFns) =
+      (settings.length.toLong, idxRefs.length.toLong, fnRefs.length.toLong)
 
     // K3 — the reference's verifyIntegrity (`output/full.go:73-97`):
     // reference and information arrays must be the same length...
-    require(roleRefs.length == roleInfos.length,
-      s"found ${roleInfos.length} RoleInformations but ${roleRefs.length} RoleReferences")
-    require(dbRefs.length == dbInfos.length,
-      s"found ${dbInfos.length} DatabaseInformations but ${dbRefs.length} DatabaseReferences")
-    require(qRefs.length == qInfos.length,
-      s"found ${qInfos.length} QueryInformations but ${qRefs.length} QueryReferences")
-    require(relRefs.length == relInfos.length,
-      s"found ${relInfos.length} RelationInformations but ${relRefs.length} RelationReferences")
+    require(nRoles == roleInfos.length,
+      s"found ${roleInfos.length} RoleInformations but $nRoles RoleReferences")
+    require(nDbs == dbInfos.length,
+      s"found ${dbInfos.length} DatabaseInformations but $nDbs DatabaseReferences")
+    require(nQs == qInfos.length,
+      s"found ${qInfos.length} QueryInformations but $nQs QueryReferences")
+    require(nRels == relInfos.length,
+      s"found ${relInfos.length} RelationInformations but $nRels RelationReferences")
+    require(nIdx == idxInfos.length,
+      s"found ${idxInfos.length} IndexInformations but $nIdx IndexReferences")
+    require(nFns == fnInfos.length,
+      s"found ${fnInfos.length} FunctionInformations but $nFns FunctionReferences")
     // ...plus the dim-resolution half: every idx a fact carries must
     // land inside its reference array
     def idxOk(stats: Seq[Map[Int, Seq[Value]]], f: Int, n: Int): Boolean =
       stats.forall { m => val i = vint(m, f); i >= 1 && i <= n }
-    require(idxOk(qStats, 1, qRefs.length), "query_statistics idx out of range")
-    require(idxOk(relStats, 1, relRefs.length), "relation_statistics idx out of range")
-    require(idxOk(dbStats, 1, dbRefs.length), "database_statistics idx out of range")
+    require(idxOk(qStats, 1, nQs.toInt), "query_statistics idx out of range")
+    require(idxOk(relStats, 1, nRels.toInt), "relation_statistics idx out of range")
+    require(idxOk(dbStats, 1, nDbs.toInt), "database_statistics idx out of range")
+    require(idxOk(idxStats, 1, nIdx.toInt), "index_statistics idx out of range")
+    require(idxOk(fnStats, 1, nFns.toInt), "function_statistics idx out of range")
+    require(idxInfos.forall { m =>
+      val rel = vint(m, 2); rel >= 1 && rel <= nRels
+    }, "index_informations relation idx out of range")
     require(qRefs.forall { m =>
       val d = vint(m, 1); val r = vint(m, 2)
-      d >= 1 && d <= dbRefs.length && r >= 1 && r <= roleRefs.length
+      d >= 1 && d <= nDbs && r >= 1 && r <= nRoles
     }, "query_references db/role idx out of range")
     require(relRefs.forall { m =>
-      val d = vint(m, 1); d >= 1 && d <= dbRefs.length
+      val d = vint(m, 1); d >= 1 && d <= nDbs
     }, "relation_references db idx out of range")
 
     val hdr = top.collect { case (f, v) if f <= 12 => (f, v) }.toMap
@@ -345,6 +460,11 @@ object FullSnapshotPipeline {
     val roleNames = roleRefs.map(vstr(_, 1)).toIndexedSeq
     val infoByIdx = qInfos.map(m => vint(m, 1) -> m).toMap
     val statByIdx = qStats.map(m => vint(m, 1) -> m).toMap
+    // section aggregates are per-DOCUMENT constants — computed once,
+    // not once per emitted row (10k-element folds inside a 3k-row loop
+    // turn linear decode into quadratic)
+    val sumIdxScan = idxStats.map(vint(_, 3)).sum
+    val sumFnCalls = fnStats.map(vint(_, 2)).sum
     val rows = qRefs.zipWithIndex.map { case (ref, pos) =>
       val idx = pos + 1
       val info = infoByIdx(idx.toLong)
@@ -373,9 +493,8 @@ object FullSnapshotPipeline {
         nQueryIds,
         vint(stat, 2),
         totalMs,
-        roleRefs.length.toLong, dbRefs.length.toLong,
-        qRefs.length.toLong, relRefs.length.toLong,
-        settings.length.toLong,
+        nRoles, nDbs, nQs, nRels, nSettings, nIdx, nFns,
+        sumIdxScan, sumFnCalls,
         collectedAtSecs, intervalSecs, true)
     }
     val schema = StructType(Seq(
@@ -386,6 +505,9 @@ object FullSnapshotPipeline {
       StructField("total_ms", LongType), StructField("n_roles", LongType),
       StructField("n_databases", LongType), StructField("n_queries", LongType),
       StructField("n_relations", LongType), StructField("n_settings", LongType),
+      StructField("n_indexes", LongType), StructField("n_functions", LongType),
+      StructField("sum_idx_scan_delta", LongType),
+      StructField("sum_fn_calls_delta", LongType),
       StructField("collected_at_s", LongType), StructField("interval_secs", LongType),
       StructField("integrity_ok", BooleanType)))
     import scala.jdk.CollectionConverters._

@@ -24,7 +24,9 @@ class FullSnapshotSpec extends SparkSpec {
     relRefRows = Seq(Row(1, 1, "public", "t1", "r")),
     relStatRows = Seq(Row(1, 8L, 9L, 10L)),
     dbStatRows = Seq(Row(1, 11L, 12L, 2L)),
-    settingRows = Seq(Row("work_mem", "4MB")))
+    settingRows = Seq(Row("work_mem", "4MB")),
+    idxRows = Seq(Row(1, 1, "public", "idx_t1", 1, 64L, 7L, 13L)),
+    fnRows = Seq(Row(1, 1, "public", "fn_1", 4L, 6L, 5L)))
 
   test("golden bytes: header + every section, hand-derived") {
     val b = P.encode(miniDoc)
@@ -57,6 +59,18 @@ class FullSnapshotSpec extends SparkSpec {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(6.0).array())))
     // 221 RelationStatistic{1:1,3:8,5:9,11:10} → fields 08 01 18 08 28 09 58 0a
     assert(h.contains("080118082809580a"))
+    // 202 IndexReference: key 202<<3|2 = 1618 → d2 0c, len 18;
+    // {1:1, "public", "idx_t1"}
+    assert(h.contains("d20c12" + "0801" + "1206" + hex("public".getBytes) +
+      "1a06" + hex("idx_t1".getBytes)))
+    // 225 IndexStatistic{1:1, 2:64, 3:7, 4:13} → 08 01 10 40 18 07 20 0d
+    assert(h.contains("080110401807200d"))
+    // 228 FunctionStatistic{1:1, 2:4, 3:6.0d, 4:5.0d}
+    assert(h.contains("08011004" +
+      "19" + hex(java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(6.0).array()) +
+      "21" + hex(java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(5.0).array())))
   }
 
   test("decode round-trips the mini document and passes integrity") {
