@@ -1009,9 +1009,53 @@ object OraclesGen {
        |FROM c""".stripMargin
   }
 
+  /** DSIR importance weights re-derived: same FNV bucket hashing (1024
+    * divides 2^64, so unsigned mod == the engine's signed pmod), same
+    * exact-integer ratio operands, same bucket-ordered fold. */
+  val dsirSelect: String =
+    s"""WITH dw AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                w -> len(w) > 0) AS ws
+       |  FROM documents),
+       |bgr AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(len(ws) - 1),
+       |      i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+       |  FROM dw WHERE len(ws) >= 2),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    CAST(${fnvHuge("'dsir:' || bg")} % 1024 AS BIGINT) AS bucket
+       |  FROM bgr),
+       |raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM f GROUP BY bucket),
+       |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM f
+       |        WHERE lang = 'en' GROUP BY bucket),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS tr,
+       |          CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tt
+       |        FROM f),
+       |lr AS (
+       |  SELECT r.bucket,
+       |    ln(CAST((COALESCE(ct, 0) + 1) * (tr + 1024) AS DOUBLE)
+       |       / CAST((cr + 1) * (tt + 1024) AS DOUBLE)) AS log_ratio
+       |  FROM raw r LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+       |df AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+       |       FROM f GROUP BY 1, 2),
+       |w AS (
+       |  SELECT doc_id,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(n * log_ratio ORDER BY bucket)), (a, b) -> a + b), 6)
+       |      AS dsir_weight,
+       |    CAST(sum(n) AS BIGINT) AS n_bigrams
+       |  FROM df JOIN lr USING (bucket) GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, dsir_weight,
+       |  (row_number() OVER (ORDER BY dsir_weight DESC, doc_id)) <= 100
+       |    AS selected
+       |FROM w""".stripMargin
+
   val sql: Map[String, String] = Map(
     "e2e_full_snapshot" -> e2eFullSnapshot,
     "x14_span_export" -> x14SpanExport,
+    "dsir_select" -> dsirSelect,
     "x7_autovacuum_details" -> x7AutovacuumDetails,
     "x7_checkpoint_details" -> x7CheckpointDetails,
     "doc_pii_scrub" -> docPiiScrub,

@@ -581,6 +581,70 @@ object QueriesText {
       .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))
   }
 
+  /** DSIR-style data selection (hashed n-gram importance resampling,
+    * the public "Data Selection for Language Models via Importance
+    * Resampling" recipe): word BIGRAMS hash into B = 1024 buckets; the
+    * target distribution is fit on the English slice, the raw
+    * distribution on the whole corpus (add-one smoothing over the
+    * bucket space), and every document scores the sum of its features'
+    * log-likelihood ratios. Selection = global top-100 by weight.
+    *
+    * Scale shape: the only corpus-scale stage is one shuffle to
+    * (doc, bucket) counts; both distribution tables are B-sized and
+    * broadcast; selection is a TakeOrderedAndProject + broadcast semi
+    * join — no global window ever sees per-doc rows in one partition.
+    * Determinism: the ratio is ONE division of two exact integer
+    * products (fits a double's 53-bit mantissa at these totals; at
+    * lake scale compute the two divisions separately), the per-doc
+    * fold runs in bucket order on both engines, and ties at the
+    * selection boundary break by doc_id. */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val B = 1024L
+    val d = Tables.fanOut(Tables.documents(s, dir))
+    val bg = d
+      .select(col("doc_id"), col("lang"), TextFns.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> ws[i] || ' ' || ws[i + 1])"))
+        .as("bg"))
+    val h = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.Fnv64Expr(
+        org.apache.spark.sql.GraftNative.expression(
+          concat(lit("dsir:"), col("bg")))))
+    // B divides 2^64, so the signed pmod equals the oracle's unsigned mod.
+    // ONE corpus-scale shuffle: the hashed bigram stream rolls straight
+    // up to (doc, bucket) counts; the raw/target distributions and both
+    // totals are rollups of THAT (doc×B-bounded) table, so the token
+    // stream is scanned exactly once and never materialized
+    val docFeat = bg
+      .select(col("doc_id"), col("lang"), pmod(h, lit(B)).as("bucket"))
+      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val raw = docFeat.groupBy("bucket").agg(sum("n").as("cr"))
+    val tgt = docFeat.filter(col("lang") === "en")
+      .groupBy("bucket").agg(sum("n").as("ct"))
+    val totals = raw.agg(sum("cr").as("tr"))
+      .crossJoin(tgt.agg(sum("ct").as("tt")))
+    val lr = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), log(
+        ((coalesce(col("ct"), lit(0L)) + 1L) * (col("tr") + B)).cast("double") /
+          ((col("cr") + 1L) * (col("tt") + B)).cast("double")).as("log_ratio"))
+    val wts = docFeat
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(round(expr(
+        """aggregate(array_sort(collect_list(struct(bucket, n * log_ratio))),
+          |  cast(0 as double), (acc, x) -> acc + x.col2)""".stripMargin), 6)
+        .as("dsir_weight"),
+        sum("n").as("n_bigrams"))
+    val top = wts.orderBy(col("dsir_weight").desc, col("doc_id")).limit(100)
+      .select(col("doc_id"), lit(true).as("sel"))
+    wts.join(broadcast(top), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("dsir_weight"),
+        coalesce(col("sel"), lit(false)).as("selected"))
+  }
+
   /** Engine-owned deterministic HyperLogLog (m = 256 registers, FNV
     * hash, linear-counting small-range correction) — the 100 TB answer
     * to "how many distinct tokens" when an exact count-distinct

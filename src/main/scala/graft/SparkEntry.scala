@@ -120,6 +120,7 @@ object SparkEntry {
     "corpus_distinct_hll" -> (QueriesText.corpusDistinctHll _),
     "text_repetition" -> (QueriesText.textRepetition _),
     "embed_quantize" -> (QueriesText.embedQuantize _),
+    "dsir_select" -> (QueriesText.dsirSelect _),
     "a12_latency_percentiles" -> (Queries.a12LatencyPercentiles _),
     "doc_winnow" -> (QueriesText.docWinnow _),
     "mm_decode_features" -> (QueriesText.mmDecodeFeatures _),
