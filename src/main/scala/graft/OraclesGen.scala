@@ -1052,10 +1052,127 @@ object OraclesGen {
        |    AS selected
        |FROM w""".stripMargin
 
+  /** Full SQL re-derivation of the product-quantization path
+    * ([[graft.operators.ProductQuant]]): per-subspace deterministic
+    * k-means (init = 16 lowest-id subvectors, two Lloyd iterations
+    * with the two-level id-ordered chunk fold), squared-L2 assignment
+    * with cluster tie-breaks, per-query ADC tables, subspace-ordered
+    * distance folds, recall vs exact L2 brute force. */
+  val embedPqRecall: String = {
+    val w = graft.operators.Similarity.DefaultChunkWidth
+    // squared L2 between two 8-dim double lists, index-ordered fold
+    def d2(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(8),
+         |    d -> ($a[d+1] - $b[d+1]) * ($a[d+1] - $b[d+1]))),
+         |  (x, y) -> x + y)""".stripMargin
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT id, j, s, cluster FROM (
+         |    SELECT sv.id, sv.j, sv.s, c.cluster,
+         |      row_number() OVER (PARTITION BY sv.id, sv.j
+         |        ORDER BY ${d2("sv.s", "c.centroid")}, c.cluster) AS rn
+         |    FROM sv JOIN $cents c USING (j)) t WHERE rn = 1)""".stripMargin
+    def update(name: String, assigned: String, prev: String) =
+      s"""$name AS (
+         |  SELECT p.j, p.cluster, COALESCE(u.centroid, p.centroid) AS centroid
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT j, cluster,
+         |      list_transform(range(8), d ->
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(pss, ps -> ps[d+1])),
+         |          (a, b) -> a + b) / total_cnt) AS centroid
+         |    FROM (
+         |      SELECT j, cluster, list(psum ORDER BY chunk) AS pss,
+         |        CAST(sum(cnt) AS BIGINT) AS total_cnt
+         |      FROM (
+         |        SELECT j, cluster, chunk,
+         |          list_transform(range(8), d ->
+         |            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |              list_transform(ms, m2 -> m2[d+1])),
+         |              (a, b) -> a + b)) AS psum,
+         |          len(ms) AS cnt
+         |        FROM (SELECT j, cluster, id // $w AS chunk,
+         |                list(s ORDER BY id) AS ms
+         |              FROM $assigned GROUP BY j, cluster, chunk) g1) g2
+         |      GROUP BY j, cluster) g3) u USING (j, cluster))""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |sv AS (
+       |  SELECT id, j,
+       |    list_transform(range(8), d -> CAST(vec[j*8 + d + 1] AS DOUBLE)) AS s
+       |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS j) js),
+       |c0 AS (
+       |  SELECT j,
+       |    CAST(row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS INT)
+       |      AS cluster,
+       |    s AS centroid
+       |  FROM sv WHERE id IN (SELECT id FROM e ORDER BY id LIMIT 16)),
+       |${assign("a1", "c0")},
+       |${update("c1", "a1", "c0")},
+       |${assign("a2", "c1")},
+       |${update("c2", "a2", "c1")},
+       |${assign("codes", "c2")},
+       |q AS (SELECT id AS q_id, vec AS q_vec FROM e WHERE id < 20),
+       |qsv AS (
+       |  SELECT q_id, j,
+       |    list_transform(range(8), d -> CAST(q_vec[j*8 + d + 1] AS DOUBLE)) AS s
+       |  FROM q CROSS JOIN (SELECT unnest(range(8)) AS j) js),
+       |dtab AS (
+       |  SELECT q_id, c.j, c.cluster, ${d2("qsv.s", "c.centroid")} AS d2
+       |  FROM qsv JOIN c2 c USING (j)),
+       |ad AS (
+       |  SELECT q_id, codes.id AS n_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(d2 ORDER BY codes.j)), (a, b) -> a + b) AS adist
+       |  FROM codes JOIN dtab
+       |    ON codes.j = dtab.j AND codes.cluster = dtab.cluster
+       |  WHERE codes.id <> dtab.q_id
+       |  GROUP BY q_id, codes.id),
+       |adr AS (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rk
+       |  FROM ad),
+       |pq AS (SELECT q_id, n_id FROM adr WHERE rk <= 5),
+       |rr AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT c50.q_id, c50.n_id,
+       |      row_number() OVER (PARTITION BY c50.q_id ORDER BY
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(64),
+       |            d -> (CAST(q.q_vec[d+1] AS DOUBLE) - CAST(e.vec[d+1] AS DOUBLE))
+       |               * (CAST(q.q_vec[d+1] AS DOUBLE) - CAST(e.vec[d+1] AS DOUBLE)))),
+       |          (a, b) -> a + b), c50.n_id) AS rk
+       |    FROM (SELECT q_id, n_id FROM adr WHERE rk <= 50) c50
+       |    JOIN q USING (q_id) JOIN e ON e.id = c50.n_id) t
+       |  WHERE rk <= 5),
+       |bfs AS (
+       |  SELECT q.q_id, e.id AS n_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(64),
+       |        d -> (CAST(q.q_vec[d+1] AS DOUBLE) - CAST(e.vec[d+1] AS DOUBLE))
+       |           * (CAST(q.q_vec[d+1] AS DOUBLE) - CAST(e.vec[d+1] AS DOUBLE)))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM q CROSS JOIN e WHERE q.q_id <> e.id),
+       |bf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rk
+       |    FROM bfs) t WHERE rk <= 5)
+       |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(count(p.n_id) AS BIGINT) AS n_hit_adc,
+       |  CAST(count(r.n_id) AS BIGINT) AS n_hit_rerank,
+       |  CAST(count(p.n_id) AS DOUBLE) / count(*) AS recall_adc,
+       |  CAST(count(r.n_id) AS DOUBLE) / count(*) AS recall_rerank,
+       |  CAST(4 AS BIGINT) AS bytes_per_vec
+       |FROM bf LEFT JOIN pq p USING (q_id, n_id)
+       |  LEFT JOIN rr r USING (q_id, n_id)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "e2e_full_snapshot" -> e2eFullSnapshot,
     "x14_span_export" -> x14SpanExport,
     "dsir_select" -> dsirSelect,
+    "embed_pq_recall" -> embedPqRecall,
     "x7_autovacuum_details" -> x7AutovacuumDetails,
     "x7_checkpoint_details" -> x7CheckpointDetails,
     "doc_pii_scrub" -> docPiiScrub,

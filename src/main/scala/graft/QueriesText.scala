@@ -581,6 +581,58 @@ object QueriesText {
       .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))
   }
 
+  /** Product-quantization retrieval quality: top-5 recall of the
+    * ADC-over-4-byte-codes path ([[graft.operators.ProductQuant]],
+    * 8 subspaces x 16 centroids) against exact squared-L2 brute force
+    * — one row (n_truth, n_hit, recall, bytes_per_vec). The whole
+    * chain (per-subspace deterministic k-means, code assignment,
+    * per-query distance tables, subspace-ordered ADC folds) is
+    * bit-reproduced in the DuckDB oracle. */
+  def embedPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductQuant
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
+    val emb = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cents = ProductQuant.fit(emb, m = 8, k = 16, iters = 2, dim = 64)
+    val codes = ProductQuant.encode(emb, cents, m = 8, dim = 64)
+    // ADC over the compressed corpus, twice: raw top-5 (the pure
+    // 4-byte-per-vector read path) and a top-50 candidate set that an
+    // exact re-rank refines — the standard PQ deployment, which reads
+    // only 50 full vectors per query instead of the corpus
+    val adc50 = ProductQuant.adcTopK(queries, codes, cents,
+      k = 50, m = 8, dim = 64, nCodes = 16)
+      .localCheckpoint(eager = false) // feeds raw top-5 AND the re-rank
+    val adc5 = adc50.filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2"), col("n_id"))
+    def exact(pairs: DataFrame): DataFrame = pairs
+      .withColumn("qd", expr("transform(q_vec, x -> cast(x as double))"))
+      .withColumn("nd", expr("transform(n_vec, x -> cast(x as double))"))
+      .withColumn("d2", ProductQuant.sqDist("qd", "nd"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "n_id")
+    val rerank5 = exact(
+      corpus.join(broadcast(adc50.select("q_id", "n_id")), Seq("n_id"))
+        .join(broadcast(queries), Seq("q_id")))
+      .withColumn("rhit", lit(1L))
+    val truth = exact(broadcast(queries).crossJoin(corpus)
+      .filter(col("q_id") =!= col("n_id")))
+    truth
+      .join(adc5, Seq("q_id", "n_id"), "left")
+      .join(rerank5, Seq("q_id", "n_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit_adc"),
+        coalesce(sum("rhit"), lit(0L)).as("n_hit_rerank"))
+      .select(col("n_truth"), col("n_hit_adc"), col("n_hit_rerank"),
+        (col("n_hit_adc").cast("double") / col("n_truth")).as("recall_adc"),
+        (col("n_hit_rerank").cast("double") / col("n_truth")).as("recall_rerank"),
+        lit(4L).as("bytes_per_vec"))
+  }
+
   /** DSIR-style data selection (hashed n-gram importance resampling,
     * the public "Data Selection for Language Models via Importance
     * Resampling" recipe): word BIGRAMS hash into B = 1024 buckets; the

@@ -121,6 +121,7 @@ object SparkEntry {
     "text_repetition" -> (QueriesText.textRepetition _),
     "embed_quantize" -> (QueriesText.embedQuantize _),
     "dsir_select" -> (QueriesText.dsirSelect _),
+    "embed_pq_recall" -> (QueriesText.embedPqRecall _),
     "a12_latency_percentiles" -> (Queries.a12LatencyPercentiles _),
     "doc_winnow" -> (QueriesText.docWinnow _),
     "mm_decode_features" -> (QueriesText.mmDecodeFeatures _),

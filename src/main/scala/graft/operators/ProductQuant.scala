@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the memory-bound ANN path (the public
+  * PQ/ADC construction from Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search"): the embedding space splits into `m`
+  * subspaces of `dim/m` dimensions, each with its own deterministic
+  * k-means codebook; a vector compresses to `m` small codes (here
+  * 8 × 4 bits = 4 bytes per 64-float vector, a 64× compression), and
+  * queries score candidates with an Asymmetric Distance Computation:
+  * one (m × k) table of exact query-to-centroid distances per query,
+  * then every candidate's approximate distance is a table-lookup sum —
+  * the corpus is never decompressed.
+  *
+  * Determinism contract (the oracle bit-reproduces everything):
+  * codebooks initialize from the k lowest-id subvectors, updates use
+  * the same two-level ordered tree fold as [[Similarity.ivfFit]]
+  * (chunk `id div chunkWidth`, members in id order, chunks in chunk
+  * order), assignment is squared-L2 argmin with cluster-id
+  * tie-breaks, and ADC sums fold in subspace order.
+  *
+  * Scale shape: training shuffles once per iteration on
+  * (subspace, cluster, chunk) — bounded rows per task; encoding is a
+  * per-row argmin against a broadcast codebook (scan-local); ADC
+  * scoring is scan-local against broadcast per-query tables plus one
+  * corpus-scale code-pivot shuffle that a real deployment does once at
+  * index-build time. */
+object ProductQuant {
+
+  /** (id, j, sv): subvector j of every embedding, cast to double up
+    * front so both engines fold identical operands. */
+  private def subvectors(emb: DataFrame, m: Int, sub: Int): DataFrame =
+    emb.select(col("id"), explode(expr(
+      s"""transform(sequence(0, ${m - 1}), j -> struct(j as j,
+         |  transform(sequence(0, ${sub - 1}),
+         |    d -> cast(vec[j * $sub + d] as double)) as sv))""".stripMargin))
+      .as("x"))
+      .select(col("id"), col("x.j").as("j"), col("x.sv").as("sv"))
+
+  /** Squared L2 between two double-array columns, folded in index
+    * order (codegen'd higher-order functions, no UDF). */
+  def sqDist(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as double), (acc, v) -> acc + v)")
+
+  /** Nearest-codebook-entry assignment per (id, subspace). */
+  private def assign(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.join(broadcast(cents), Seq("j"))
+      .withColumn("d2", sqDist("sv", "centroid"))
+      .groupBy("id", "j").agg(
+        first(col("sv")).as("sv"),
+        min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("cluster"))
+
+  /** Train the `m` codebooks. Returns (j, cluster, centroid). */
+  def fit(emb: DataFrame, m: Int, k: Int, iters: Int, dim: Int,
+      chunkWidth: Long = Similarity.DefaultChunkWidth): DataFrame = {
+    val sub = dim / m
+    require(m * sub == dim, s"m=$m must divide dim=$dim")
+    val sv = subvectors(emb, m, sub)
+    // init: the k lowest-id subvectors seed every subspace's codebook
+    var cents = sv.join(
+      broadcast(emb.orderBy("id").limit(k).orderBy("id")
+        .withColumn("cluster",
+          (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+        .select("id", "cluster")), Seq("id"))
+      .select(col("j"), col("cluster"), col("sv").as("centroid"))
+      .localCheckpoint(eager = false)
+    var i = 0
+    while (i < iters) {
+      val assigned = assign(sv, cents)
+      val updated = assigned
+        .groupBy(col("j"), col("cluster"),
+          expr(s"id div $chunkWidth").as("chunk"))
+        .agg(sort_array(collect_list(struct(col("id"), col("sv")))).as("ms"))
+        .select(col("j"), col("cluster"), col("chunk"),
+          expr(s"""transform(sequence(0, ${sub - 1}),
+            d -> aggregate(ms, 0D, (acc, x) -> acc + x.sv[d]))""").as("psum"),
+          size(col("ms")).cast("long").as("cnt"))
+        .groupBy("j", "cluster")
+        .agg(sort_array(collect_list(struct(col("chunk"), col("psum"),
+          col("cnt")))).as("chunks"))
+        .select(col("j"), col("cluster"),
+          expr(s"""transform(sequence(0, ${sub - 1}),
+            d -> aggregate(chunks, 0D, (acc, c) -> acc + c.psum[d])
+                 / aggregate(chunks, cast(0 as bigint), (acc, c) -> acc + c.cnt))""")
+            .as("centroid"))
+      cents = cents.select(col("j"), col("cluster"), col("centroid").as("prev"))
+        .join(updated, Seq("j", "cluster"), "left")
+        .select(col("j"), col("cluster"),
+          coalesce(col("centroid"), col("prev")).as("centroid"))
+        .localCheckpoint(eager = false)
+      i += 1
+    }
+    cents
+  }
+
+  /** Compress the corpus: (id, j, cluster) — `m` codes per vector. */
+  def encode(emb: DataFrame, cents: DataFrame, m: Int, dim: Int): DataFrame =
+    assign(subvectors(emb, m, dim / m), cents).select("id", "j", "cluster")
+
+  /** ADC top-k: queries(q_id, q_vec) scored against the COMPRESSED
+    * corpus. Approximate distance = Σ_j dtab[j][code_j], folded in
+    * subspace order. Returns (q_id, n_id, rank, adist). */
+  def adcTopK(queries: DataFrame, codes: DataFrame, cents: DataFrame,
+      k: Int, m: Int, dim: Int, nCodes: Int): DataFrame = {
+    val sub = dim / m
+    // per-query distance table: exact query-subvector ↔ centroid
+    val qsv = queries.select(col("q_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${m - 1}), j -> struct(j as j,
+           |  transform(sequence(0, ${sub - 1}),
+           |    d -> cast(q_vec[j * $sub + d] as double)) as sv))""".stripMargin))
+        .as("x"))
+      .select(col("q_id"), col("x.j").as("j"), col("x.sv").as("sv"))
+    val dtab = qsv.join(broadcast(cents), Seq("j"))
+      .withColumn("d2", sqDist("sv", "centroid"))
+      .select("q_id", "j", "cluster", "d2")
+      // pivot to one dense [m][k] lookup array per query (folds index
+      // j * nCodes + cluster), so scoring is a pure scan-local fold
+      .groupBy("q_id")
+      .agg(expr(s"""transform(sequence(0, ${m * nCodes - 1}),
+        i -> element_at(map_from_entries(collect_list(
+          struct(j * $nCodes + cluster, d2))), i))""").as("dt"))
+    // one index-build-time shuffle: codes pivot to a per-id array in
+    // subspace order
+    val codeArr = codes.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("j"), col("cluster")))).as("cs"))
+    codeArr.crossJoin(broadcast(dtab))
+      .filter(col("id") =!= col("q_id")) // self-matches, like bruteForceTopK
+      .withColumn("adist", expr(
+        s"aggregate(cs, cast(0 as double), (acc, c) -> " +
+          s"acc + dt[c.j * $nCodes + c.cluster])"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adist"), col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("n_id"), col("rank"), col("adist"))
+  }
+}
