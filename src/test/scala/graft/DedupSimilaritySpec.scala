@@ -188,4 +188,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(buckets(0L) ==
       (graft.functions.Hashing.fnv1a64("split:0") & 255L))
   }
+
+  test("PQ codebooks and codes are bit-identical under any partitioning") {
+    import graft.operators.ProductQuant
+    val emb = Tables.embeddings(spark, Sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def centroids(e: org.apache.spark.sql.DataFrame) =
+      ProductQuant.fit(e, m = 8, k = 16, iters = 2, dim = 64)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+          r.getSeq[Double](2).toIndexedSeq))
+        .sortBy(t => (t._1, t._2)).toIndexedSeq
+    val a = centroids(emb)
+    val b = centroids(emb.repartition(7))
+    // exact double equality: the two-level id-ordered fold is the
+    // reproducibility contract, not a tolerance
+    assert(a === b)
+    val cents = ProductQuant.fit(emb, 8, 16, 2, 64)
+    def codes(e: org.apache.spark.sql.DataFrame) =
+      ProductQuant.encode(e, cents, 8, 64).collect()
+        .map(r => (r.getAs[Long]("id"), r.getInt(1), r.getInt(2)))
+        .sorted.toIndexedSeq
+    assert(codes(emb) === codes(emb.repartition(5)))
+  }
 }
