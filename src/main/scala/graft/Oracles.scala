@@ -172,6 +172,19 @@ object Oracles {
         |  min(doc_id) AS canonical_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // streaming dedup == the batch min-id window (the stateful
+    // operator's first-seen tagging must agree exactly)
+    "dedup_stream" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |      AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint,
+        |  doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_first,
+        |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+        |FROM f""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id,

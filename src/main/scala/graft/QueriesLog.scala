@@ -402,6 +402,46 @@ object QueriesLog {
     result
   }
 
+  // Streaming exact dedup — the incremental-shard form of dedup_exact:
+  // a REAL flatMapGroupsWithState query drained under the gate, tagging
+  // every arriving document first-seen-or-duplicate against all prior
+  // state (one long per distinct fingerprint). The batch oracle is the
+  // min-id window: within one drain the stateful operator must agree
+  // with it exactly.
+  def dedupStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val tmp = scratchDir("graft_sdedup")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val rows = Tables.documents(s, dir).select(
+      graft.functions.TextFns.contentFingerprint(col("text")).as("fingerprint"),
+      col("doc_id").as("docId"))
+    rows.write.mode("overwrite").parquet(inDir)
+    val stream = s.readStream.schema(rows.schema).parquet(inDir)
+      .as[graft.streaming.StreamingDedup.DocRow]
+    val tagged = graft.streaming.StreamingDedup(stream).toDF()
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      tagged.schema).write.mode("overwrite").parquet(outDir)
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = tagged.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val result = s.read.parquet(outDir)
+      .select(col("docId").as("doc_id"), col("fingerprint"),
+        col("isFirst").as("is_first"), col("canonicalId").as("canonical_id"))
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    result
+  }
+
   // S27 — syslog RFC5424 source adapter: frame the synthetic corpus as
   // `<PRI>1 TS HOST APP PROCID MSGID SD [seqno-chunk] MSG` lines, then
   // de-frame with the adapter and recover every typed field; the oracle

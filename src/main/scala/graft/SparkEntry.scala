@@ -122,6 +122,7 @@ object SparkEntry {
     "embed_quantize" -> (QueriesText.embedQuantize _),
     "dsir_select" -> (QueriesText.dsirSelect _),
     "embed_pq_recall" -> (QueriesText.embedPqRecall _),
+    "dedup_stream" -> (QueriesLog.dedupStream _),
     "a12_latency_percentiles" -> (Queries.a12LatencyPercentiles _),
     "doc_winnow" -> (QueriesText.docWinnow _),
     "mm_decode_features" -> (QueriesText.mmDecodeFeatures _),

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming exact dedup — the incremental-ingestion form of
+  * [[graft.operators.Dedup.exact]]: documents arrive in shards over
+  * time, and each must be tagged first-seen-or-duplicate AGAINST ALL
+  * HISTORY without re-scanning the corpus. State per distinct content
+  * fingerprint is one long (the canonical id) — the same per-key
+  * last-value shape as [[StreamingDiff]], kept by the state store.
+  *
+  * Within a micro-batch a key's rows process in (docId) order, so
+  * arrival races inside one batch resolve deterministically (lowest id
+  * wins the canonical slot, exactly the batch operator's min(id)).
+  *
+  * 100 TB note: dedup state is inherently corpus-keyed — production
+  * runs size the state store (RocksDB) for #distinct-fingerprints and
+  * shard it across executors; a TTL'd variant bounds it when
+  * duplicates only matter within a window. */
+object StreamingDedup {
+
+  case class DocRow(fingerprint: String, docId: Long)
+  /** public: the state encoder's generated code must reach the ctor */
+  case class Seen(canonicalId: Long)
+  case class Tagged(fingerprint: String, docId: Long, isFirst: Boolean,
+      canonicalId: Long)
+
+  def apply(rows: Dataset[DocRow]): Dataset[Tagged] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[Seen, Tagged](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, it: Iterator[DocRow], state: GroupState[Seen]) =>
+          val sorted = it.toSeq.sortBy(_.docId)
+          var canonical = state.getOption.map(_.canonicalId)
+          val out = sorted.map { r =>
+            canonical match {
+              case None =>
+                canonical = Some(r.docId)
+                state.update(Seen(r.docId))
+                Tagged(fp, r.docId, isFirst = true, r.docId)
+              case Some(c) =>
+                Tagged(fp, r.docId, isFirst = false, c)
+            }
+          }
+          out.iterator
+      }
+  }
+}

@@ -88,6 +88,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: first-seen state survives micro-batches (arrival order, not id order)") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingDedup.DocRow]
+    val out = StreamingDedup(input.toDS())
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: doc 5 arrives first and claims the canonical slot
+      input.addData(StreamingDedup.DocRow("fpA", 5L),
+        StreamingDedup.DocRow("fpB", 9L))
+      q.processAllAvailable()
+      // batch 2: a LOWER id of the same content arrives later — it is a
+      // duplicate of the already-seen doc 5 (incremental semantics:
+      // history wins, unlike the batch operator's global min)
+      input.addData(StreamingDedup.DocRow("fpA", 3L),
+        StreamingDedup.DocRow("fpA", 7L))
+      q.processAllAvailable()
+      val all = spark.table("sdedup").as[StreamingDedup.Tagged].collect()
+        .map(t => (t.fingerprint, t.docId) -> (t.isFirst, t.canonicalId)).toMap
+      assert(all(("fpA", 5L)) === ((true, 5L)))
+      assert(all(("fpB", 9L)) === ((true, 9L)))
+      assert(all(("fpA", 3L)) === ((false, 5L)))
+      assert(all(("fpA", 7L)) === ((false, 5L)))
+    } finally q.stop()
+  }
+
   test("W7: orphan continuations are discarded, never promoted") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Stitch.RawLine]
