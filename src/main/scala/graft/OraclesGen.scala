@@ -968,6 +968,100 @@ object OraclesGen {
        |FROM g""".stripMargin
   }
 
+  /** Compact log snapshot e2e: re-derives every decoded wire field —
+    * per-file byte offsets (window cumsum over the reconstructed line
+    * text), level/classification from the generation rule, the
+    * constant query fingerprint, and the document-level counts — from
+    * the same events rows the engine's pipeline consumed. */
+  val e2eCompactSnapshot: String = {
+    val signedFp =
+      s"""CAST(CASE WHEN h >= 9223372036854775808
+         |  THEN h - 18446744073709551616 ELSE h END AS BIGINT)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id AS pid, value, event_type,
+       |    regexp_extract(props, '"k": (\\d+)', 1) AS k,
+       |    CAST(ts AS TIMESTAMP) AS tsx
+       |  FROM events),
+       |l AS (
+       |  SELECT *,
+       |    CAST(event_id % 3 AS INT) AS file_idx,
+       |    CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END AS lvl,
+       |    CASE event_type
+       |      WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+       |        || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+       |        || k
+       |      WHEN 'purchase' THEN 'checkpoint complete: wrote ' || k
+       |        || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+       |        || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+       |        || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+       |      WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+       |        || (5000 + pid % 100)
+       |      WHEN 'signup' THEN 'connection authorized: user=u' || pid
+       |        || ' database=db' || (CAST(k AS INT) % 5)
+       |      ELSE 'deadlock detected' END AS content
+       |  FROM ev),
+       |r AS (
+       |  SELECT *,
+       |    strftime(tsx, '%Y-%m-%d %H:%M:%S') || ' UTC [' || pid || ']: ['
+       |      || (event_id % 1000) || '-1] user=u' || pid || ',db=db'
+       |      || (pid % 5) || ' ' || lvl || ':  ' || content AS line
+       |  FROM l),
+       |o AS (
+       |  SELECT *, CAST(length(line) AS BIGINT) AS len,
+       |    CAST(COALESCE(sum(length(line) + 1) OVER (
+       |      PARTITION BY file_idx ORDER BY event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS byte_start
+       |  FROM r),
+       |f AS (
+       |  SELECT file_idx, CAST(sum(len + 1) AS BIGINT) AS file_byte_size
+       |  FROM o GROUP BY 1),
+       |c AS (
+       |  SELECT
+       |    CAST(count(*) AS BIGINT) AS n_lines,
+       |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+       |      AS n_samples,
+       |    CAST(count(DISTINCT pid) AS BIGINT) AS n_roles,
+       |    CAST(count(DISTINCT pid % 5) AS BIGINT) AS n_databases,
+       |    CAST(count(DISTINCT pid) FILTER (event_type = 'click') AS BIGINT)
+       |      AS n_queries,
+       |    CAST(sum(CASE WHEN event_type = 'click'
+       |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS sum_runtime_ms,
+       |    CAST(max(epoch_us(tsx) // 1000000) AS BIGINT) AS collected_at_s
+       |  FROM ev),
+       |fp AS (
+       |  SELECT ${fnvHuge("'select * from orders where o_custkey = $'")} AS h)
+       |SELECT
+       |  'postgresql.log.' || o.file_idx AS original_name,
+       |  o.byte_start,
+       |  o.byte_start + o.len - CAST(length(o.content) AS BIGINT)
+       |    AS byte_content_start,
+       |  o.byte_start + o.len AS byte_end,
+       |  o.pid AS backend_pid,
+       |  CASE WHEN o.event_type = 'error' THEN 5 ELSE 6 END AS level,
+       |  CASE o.event_type WHEN 'click' THEN 80 WHEN 'purchase' THEN 41
+       |    WHEN 'view' THEN 20 WHEN 'signup' THEN 21 ELSE 73 END
+       |    AS classification,
+       |  'u' || o.pid AS rolname,
+       |  'db' || (o.pid % 5) AS datname,
+       |  CAST(epoch_us(o.tsx) // 1000000 AS BIGINT) AS occurred_at_s,
+       |  o.event_type = 'click' AS has_query,
+       |  CASE WHEN o.event_type = 'click' THEN (SELECT $signedFp FROM fp) END
+       |    AS fingerprint,
+       |  CASE WHEN o.event_type = 'click'
+       |    THEN 'SELECT * FROM orders WHERE o_custkey = $$1' END
+       |    AS normalized_query,
+       |  o.content,
+       |  f.file_byte_size,
+       |  '0,1,6' AS filter_secret_kinds,
+       |  CAST(3 AS BIGINT) AS n_files,
+       |  c.n_lines, c.n_samples, c.n_roles, c.n_databases, c.n_queries,
+       |  c.sum_runtime_ms, c.collected_at_s,
+       |  TRUE AS integrity_ok
+       |FROM o JOIN f USING (file_idx), c""".stripMargin
+  }
+
   /** X14 exporter: re-derives every decoded OTLP span field — ids,
     * deterministic span id (FNV of "span:"+trace_id), tracestate vs
     * fallback timing, the sample URL — from the same events rows. */
@@ -1170,6 +1264,7 @@ object OraclesGen {
 
   val sql: Map[String, String] = Map(
     "e2e_full_snapshot" -> e2eFullSnapshot,
+    "e2e_compact_snapshot" -> e2eCompactSnapshot,
     "x14_span_export" -> x14SpanExport,
     "dsir_select" -> dsirSelect,
     "embed_pq_recall" -> embedPqRecall,

@@ -153,7 +153,12 @@ object SparkEntry {
     // end-to-end full-snapshot lifecycle (scans → diffs → grouping →
     // dim-encode → protobuf+zlib wire → decode → integrity verify)
     "e2e_full_snapshot" ->
-      ((s: SparkSession, d: String) => graft.sinks.FullSnapshotPipeline.e2e(s, d))
+      ((s: SparkSession, d: String) => graft.sinks.FullSnapshotPipeline.e2e(s, d)),
+    // end-to-end compact LOG snapshot (the second wire artifact: parsed
+    // + classified log lines, query samples, BaseRefs dims → protobuf+
+    // zlib → decode → integrity verify)
+    "e2e_compact_snapshot" ->
+      ((s: SparkSession, d: String) => graft.sinks.CompactSnapshotPipeline.e2e(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

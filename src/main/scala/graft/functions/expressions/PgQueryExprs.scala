@@ -20,8 +20,11 @@ case class PgNormalizeQueryExpr(child: Expression) extends UnaryExpression {
       PgNormalize.normalize(input.asInstanceOf[UTF8String].toString))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
+      // Scala default args don't exist as JVM overloads: the generated
+      // Java must pass every parameter explicitly or codegen falls back
+      // to interpreted mode for the whole stage
       "UTF8String.fromString(graft.functions.PgNormalize.normalize(" +
-        s"$c.toString(), " + "\"normal\", 1024))")
+        s"$c.toString(), " + "\"normal\", 1024, false))")
   override protected def withNewChildInternal(newChild: Expression): PgNormalizeQueryExpr =
     copy(child = newChild)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.sinks.{CompactSnapshotPipeline => P, ProtoWire}
+
+class CompactSnapshotSpec extends SparkSpec {
+
+  private lazy val doc = P.assemble(spark, Sf)
+
+  test("assemble: sections bounded and consistent") {
+    assert(doc.fileRows.length == P.NumFiles)
+    assert(doc.lineRows.length ==
+      Tables.events(spark, Sf).count())
+    assert(doc.sampleRows.length == doc.lineRows.count(r => !r.isNullAt(9)))
+    // every query the samples reference exists exactly once in the dim
+    val qIdxs = doc.queryRows.map(_.getAs[Number](0).longValue).toSet
+    assert(qIdxs.size == doc.queryRows.length)
+    assert(doc.sampleRows.forall(r =>
+      qIdxs.contains(r.getAs[Number](0).longValue)))
+  }
+
+  test("wire round-trip: decode equals the assembled document") {
+    val df = P.decodeVerify(spark, ProtoWire.zlib(P.encode(doc)))
+    assert(df.count() == doc.lineRows.length)
+    val byName = df.groupBy("original_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    doc.fileRows.foreach { f =>
+      val name = s"postgresql.log.${f.getAs[Number](0).longValue}"
+      assert(byName(name) == f.getAs[Number](2).longValue)
+    }
+    // byte ranges tile each file exactly: lines sorted by byte_start are
+    // contiguous (next start == previous end + 1 newline)
+    import org.apache.spark.sql.functions._
+    val gaps = df.withColumn("prev_end", lag("byte_end", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("original_name").orderBy("byte_start")))
+      .filter(col("prev_end").isNotNull &&
+        col("byte_start") =!= col("prev_end") + 1)
+    assert(gaps.count() == 0)
+  }
+
+  test("integrity: corrupted byte_size is rejected") {
+    val f0 = doc.fileRows.head
+    val tampered = doc.copy(fileRows =
+      org.apache.spark.sql.Row(f0.get(0),
+        f0.getAs[Number](1).longValue + 1L, f0.get(2)) +: doc.fileRows.tail)
+    val e = intercept[IllegalArgumentException] {
+      P.decodeVerify(spark, ProtoWire.zlib(P.encode(tampered)))
+    }
+    assert(e.getMessage.contains("byte_size"))
+  }
+
+  test("integrity: dangling query reference is rejected") {
+    // drop the last QueryReference+Information pair: samples referencing
+    // that idx must now fail idx resolution
+    val tampered = doc.copy(queryRows = doc.queryRows.init)
+    val e = intercept[IllegalArgumentException] {
+      P.decodeVerify(spark, ProtoWire.zlib(P.encode(tampered)))
+    }
+    assert(e.getMessage.contains("idx"))
+  }
+}
