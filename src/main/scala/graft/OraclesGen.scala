@@ -488,37 +488,41 @@ object OraclesGen {
     * v1.0.0) corrupts struct accumulators, so everything is VARCHAR[].
     * The sentinel is always popped by the following element (a merge
     * needs a successor), so it never leaks into the result. */
+  // BPE oracle CTE builders (shared by the train and encode oracles):
+  // per-round weighted pair counts, the lexicographic argmax, and the
+  // greedy left-to-right merge application as a sentinel-flag fold.
+  private def bpePairCte(i: Int) =
+    s"""p$i AS (
+       |  SELECT pr.a AS a, pr.b AS b, CAST(sum(wc) AS BIGINT) AS pair_count
+       |  FROM (SELECT wc, unnest(list_transform(range(len(s) - 1),
+       |          k -> struct_pack(a := s[k+1], b := s[k+2]))) AS pr
+       |        FROM w$i WHERE len(s) >= 2) t
+       |  GROUP BY pr.a, pr.b)""".stripMargin
+  private def bpeBestCte(i: Int) =
+    s"""m$i AS (
+       |  SELECT a, b, pair_count FROM p$i
+       |  ORDER BY pair_count DESC, a, b LIMIT 1)""".stripMargin
+  private def bpeApplyCte(i: Int) =
+    s"""w${i + 1} AS (
+       |  SELECT w, wc,
+       |    list_reduce(list_prepend(
+       |      CAST([] AS VARCHAR[]),
+       |      list_transform(range(len(s)), k ->
+       |        [s[k+1], CASE WHEN k + 2 <= len(s) THEN s[k+2]
+       |                 ELSE '' END])),
+       |      (acc, e) -> CASE
+       |        WHEN len(acc) > 0 AND acc[len(acc)] = chr(1)
+       |          THEN acc[1:len(acc)-1]
+       |        WHEN e[2] <> '' AND e[1] = m$i.a AND e[2] = m$i.b
+       |          THEN list_append(list_append(acc, e[1] || e[2]), chr(1))
+       |        ELSE list_append(acc, e[1]) END) AS s
+       |  FROM w$i, m$i)""".stripMargin
+
   val tokenizerBpeMerges: String = {
     val rounds = 5
-    def pairCte(i: Int) =
-      s"""p$i AS (
-         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(wc) AS BIGINT) AS pair_count
-         |  FROM (SELECT wc, unnest(list_transform(range(len(s) - 1),
-         |          k -> struct_pack(a := s[k+1], b := s[k+2]))) AS pr
-         |        FROM w$i WHERE len(s) >= 2) t
-         |  GROUP BY pr.a, pr.b)""".stripMargin
-    def bestCte(i: Int) =
-      s"""m$i AS (
-         |  SELECT a, b, pair_count FROM p$i
-         |  ORDER BY pair_count DESC, a, b LIMIT 1)""".stripMargin
-    def applyCte(i: Int) =
-      s"""w${i + 1} AS (
-         |  SELECT w, wc,
-         |    list_reduce(list_prepend(
-         |      CAST([] AS VARCHAR[]),
-         |      list_transform(range(len(s)), k ->
-         |        [s[k+1], CASE WHEN k + 2 <= len(s) THEN s[k+2]
-         |                 ELSE '' END])),
-         |      (acc, e) -> CASE
-         |        WHEN len(acc) > 0 AND acc[len(acc)] = chr(1)
-         |          THEN acc[1:len(acc)-1]
-         |        WHEN e[2] <> '' AND e[1] = m$i.a AND e[2] = m$i.b
-         |          THEN list_append(list_append(acc, e[1] || e[2]), chr(1))
-         |        ELSE list_append(acc, e[1]) END) AS s
-         |  FROM w$i, m$i)""".stripMargin
     val ctes = (0 until rounds).map { i =>
-      Seq(pairCte(i), bestCte(i)) ++
-        (if (i < rounds - 1) Seq(applyCte(i)) else Nil)
+      Seq(bpePairCte(i), bpeBestCte(i)) ++
+        (if (i < rounds - 1) Seq(bpeApplyCte(i)) else Nil)
     }.flatten
     val selects = (0 until rounds).map { i =>
       s"""SELECT CAST(${i + 1} AS INT) AS "round", a AS "left",
@@ -533,6 +537,41 @@ object OraclesGen {
        |       FROM tok GROUP BY w),
        |${ctes.mkString(",\n")}
        |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** BPE encode: rebuilds the trained vocab state (the full w0→w5 merge
+    * chain, one apply per round) and tokenizes every document against
+    * it — the per-doc token stream concatenated in document word
+    * order. */
+  val tokenizerBpeEncode: String = {
+    val rounds = 5
+    val ctes = (0 until rounds).flatMap { i =>
+      Seq(bpePairCte(i), bpeBestCte(i), bpeApplyCte(i))
+    }
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> len(w) > 0)) AS w
+       |  FROM documents),
+       |w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc,
+       |         regexp_extract_all(w, '.') AS s
+       |       FROM tok GROUP BY w),
+       |${ctes.mkString(",\n")},
+       |dw AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(len(ws)),
+       |      k -> struct_pack(k := k, w := ws[k+1]))) AS p
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |            x -> len(x) > 0) AS ws
+       |        FROM documents) t),
+       |enc AS (
+       |  SELECT dw.doc_id, dw.p.k AS pos, w$rounds.s AS s
+       |  FROM dw JOIN w$rounds ON dw.p.w = w$rounds.w)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(s)) AS BIGINT) AS n_tokens,
+       |  array_to_string(flatten(list(s ORDER BY pos)), ' ') AS tokens_str
+       |FROM enc GROUP BY doc_id""".stripMargin
   }
 
   /** Per-source cap: FNV priority converted to the engine's SIGNED
@@ -1277,6 +1316,7 @@ object OraclesGen {
     "sample_split" -> sampleSplit,
     "sample_domain_cap" -> sampleDomainCap,
     "tokenizer_bpe_merges" -> tokenizerBpeMerges,
+    "tokenizer_bpe_encode" -> tokenizerBpeEncode,
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,
     "corpus_distinct_hll" -> corpusDistinctHll,

@@ -561,6 +561,32 @@ object QueriesText {
     graft.operators.BpeTrain.merges(words, rounds = 5)
   }
 
+  /** BPE tokenizer ENCODE — the inference half of
+    * [[tokenizerBpeMerges]]: train 5 merges, then tokenize every
+    * document with the learned table. Encoding replays the merge list
+    * in rank order per word — exactly the trainer's own vocab
+    * evolution — so the encoder table IS the trained vocab state
+    * ([[graft.operators.BpeTrain.trainWithVocab]]), computed once per
+    * DISTINCT word (Zipf-bounded); the corpus-scale work is one word
+    * explode + one equi-join + one per-doc regroup. Output per doc:
+    * word/token counts and the full token stream in document order. */
+  def tokenizerBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val words = docs.select(explode(TextFns.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val (_, vocab) = graft.operators.BpeTrain.trainWithVocab(words, rounds = 5)
+    docs.select(col("doc_id"),
+        posexplode(TextFns.words(col("text"))).as(Seq("pos", "w")))
+      .join(vocab.select("w", "s"), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("s"))).as("n_tokens"),
+        collect_list(struct(col("pos"), col("s"))).as("ps"))
+      .withColumn("tokens_str", concat_ws(" ",
+        flatten(expr("transform(array_sort(ps), x -> x.s)"))))
+      .drop("ps")
+  }
+
   /** Per-source document cap (the per-domain cap of crawl pipelines):
     * keep at most 15 documents per source, prioritized by a
     * deterministic FNV hash of the doc id (an unbiased, reproducible

@@ -123,6 +123,7 @@ object SparkEntry {
     "dsir_select" -> (QueriesText.dsirSelect _),
     "embed_pq_recall" -> (QueriesText.embedPqRecall _),
     "dedup_stream" -> (QueriesLog.dedupStream _),
+    "tokenizer_bpe_encode" -> (QueriesText.tokenizerBpeEncode _),
     "a12_latency_percentiles" -> (Queries.a12LatencyPercentiles _),
     "doc_winnow" -> (QueriesText.docWinnow _),
     "mm_decode_features" -> (QueriesText.mmDecodeFeatures _),

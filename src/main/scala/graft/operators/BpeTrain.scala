@@ -46,7 +46,18 @@ object BpeTrain {
     * to one symbol): the loop detects pair exhaustion and stops,
     * rather than letting an empty argmax silently empty the vocab.
     * `rounds = 0` returns an empty frame with the same schema. */
-  def merges(words: DataFrame, rounds: Int): DataFrame = {
+  def merges(words: DataFrame, rounds: Int): DataFrame =
+    trainWithVocab(words, rounds)._1
+
+  /** [[merges]] plus the post-training vocab state `(w, wc, s)` — the
+    * per-distinct-word token sequences after every learned merge has
+    * been applied. This IS the BPE *encoder* table: encoding a corpus
+    * replays the merge list in rank order per word, which is exactly
+    * the evolution the trainer already performed on its (Zipf-bounded)
+    * distinct-word table; a corpus is then tokenized by joining each
+    * word occurrence against this table, so the expensive per-word
+    * merge folds run once per DISTINCT word, never per occurrence. */
+  def trainWithVocab(words: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val spark = words.sparkSession
     import spark.implicits._
@@ -83,10 +94,12 @@ object BpeTrain {
         r += 1
       }
     }
-    if (learned.isEmpty)
-      words.select(lit(0).as("round"), lit("").as("left"),
-        lit("").as("right"), lit("").as("merged"),
-        lit(0L).as("pair_count")).limit(0)
-    else learned.reduce(_ unionByName _)
+    val mergesDf =
+      if (learned.isEmpty)
+        words.select(lit(0).as("round"), lit("").as("left"),
+          lit("").as("right"), lit("").as("merged"),
+          lit(0L).as("pair_count")).limit(0)
+      else learned.reduce(_ unionByName _)
+    (mergesDf, vocab)
   }
 }

@@ -21,6 +21,24 @@ class BpeTrainSpec extends SparkSpec {
       (2, "ab", "ab", "abab", 2L)))
   }
 
+  test("trainWithVocab: encoder table is the trained vocab evolution") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = Seq(("abab", 2L), ("ab", 3L), ("ba", 1L), ("c", 4L))
+      .toDF("w", "wc")
+    val (_, vocab) = BpeTrain.trainWithVocab(words, rounds = 2)
+    val got = vocab.select(col("w"), col("s"))
+      .as[(String, Seq[String])].collect().toMap
+    // merges r1 (a,b)→ab, r2 (ab,ab)→abab applied in rank order
+    assert(got === Map(
+      "abab" -> Seq("abab"), "ab" -> Seq("ab"),
+      "ba" -> Seq("b", "a"), "c" -> Seq("c")))
+    // invariant: tokens concatenate back to the word, for every word
+    val broken = vocab.filter(
+      concat_ws("", col("s")) =!= col("w")).count()
+    assert(broken == 0)
+  }
+
   test("single-symbol words contribute no pairs and survive merges") {
     import spark.implicits._
     val words = Seq(("a", 10L), ("bc", 1L)).toDF("w", "wc")
