@@ -539,6 +539,55 @@ object OraclesGen {
        |${selects.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Exact substring dedup: rebuilds the duplicated-5-gram set with the
+    * same FNV64 window hashes, expands coverage, and re-derives the
+    * per-doc counts and surviving token stream. */
+  val dedupSubstrings: String = {
+    val W = 5
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, p.k AS i, p.w AS tok
+       |  FROM (SELECT doc_id, unnest(list_transform(range(len(ws)),
+       |          k -> struct_pack(k := k, w := ws[k+1]))) AS p
+       |        FROM t) x),
+       |hw AS (
+       |  SELECT doc_id, pos, ${fnvHuge("ng")} AS h
+       |  FROM (SELECT doc_id, p.k AS pos,
+       |          array_to_string(ws[p.k+1:p.k+$W], ' ') AS ng
+       |        FROM (SELECT doc_id, ws, unnest(list_transform(
+       |                range(len(ws) - ${W - 1}),
+       |                k -> struct_pack(k := k))) AS p
+       |              FROM t WHERE len(ws) >= $W) y) z),
+       |dh AS (SELECT h FROM hw GROUP BY h HAVING count(*) > 1),
+       |dupw AS (SELECT doc_id, pos FROM hw JOIN dh USING (h)),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, i
+       |  FROM (SELECT doc_id, unnest(range(pos, pos + $W)) AS i
+       |        FROM dupw) z),
+       |fl AS (
+       |  SELECT tok.doc_id, tok.i, tok.tok, cov.i IS NOT NULL AS cov
+       |  FROM tok LEFT JOIN cov
+       |    ON tok.doc_id = cov.doc_id AND tok.i = cov.i),
+       |dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+       |       FROM dupw GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_tokens, a.n_tokens_removed,
+       |  CAST(COALESCE(dc.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       |  a.kept_text
+       |FROM (SELECT doc_id,
+       |        CAST(count(*) AS BIGINT) AS n_tokens,
+       |        CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_tokens_removed,
+       |        COALESCE(array_to_string(
+       |          list(tok ORDER BY i) FILTER (NOT cov), ' '), '')
+       |          AS kept_text
+       |      FROM fl GROUP BY doc_id) a
+       |LEFT JOIN dc USING (doc_id)""".stripMargin
+  }
+
   /** BPE encode: rebuilds the trained vocab state (the full w0→w5 merge
     * chain, one apply per round) and tokenizes every document against
     * it — the per-doc token stream concatenated in document word
@@ -1317,6 +1366,7 @@ object OraclesGen {
     "sample_domain_cap" -> sampleDomainCap,
     "tokenizer_bpe_merges" -> tokenizerBpeMerges,
     "tokenizer_bpe_encode" -> tokenizerBpeEncode,
+    "dedup_substrings" -> dedupSubstrings,
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,
     "corpus_distinct_hll" -> corpusDistinctHll,

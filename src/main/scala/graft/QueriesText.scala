@@ -561,6 +561,60 @@ object QueriesText {
     graft.operators.BpeTrain.merges(words, rounds = 5)
   }
 
+  /** Exact substring dedup (the Lee et al. "Deduplicating Training
+    * Data" operator): find every 5-token window whose token sequence
+    * occurs MORE THAN ONCE anywhere in the corpus, and strip the
+    * covered tokens from each document. Scale shape is all equi-joins:
+    * windows carry only (doc_id, pos, fnv64) — an 8-byte hash, not the
+    * n-gram text — into the duplicate count; duplicated windows expand
+    * to their covered positions (×5 rows, `explode(sequence)`), so
+    * coverage is a distinct + equi-join, never a per-doc range probe.
+    * Output per doc: token/window counts and the surviving token
+    * stream (lowercased, whitespace-normalized, in document order). */
+  def dedupSubstrings(s: SparkSession, dir: String): DataFrame = {
+    val W = 5
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val tokens = docs.select(col("doc_id"),
+        posexplode(TextFns.words(col("text"))).as(Seq("i", "tok")))
+      .localCheckpoint(eager = false) // feeds windows + coverage + rollup
+    val h = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.Fnv64Expr(
+        org.apache.spark.sql.GraftNative.expression(col("ng"))))
+    val windows = docs
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      // size < W would make sequence(0, negative) run DESCENDING in
+      // Spark, not empty — filter first
+      .filter(size(col("ws")) >= W)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("ws")) - W),
+          k => concat_ws(" ", slice(col("ws"), k + lit(1), lit(W)))))
+        .as(Seq("pos", "ng")))
+      .select(col("doc_id"), col("pos"), h.as("h"))
+    val dupHashes = windows.groupBy("h")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("h")
+    val dupw = windows.join(dupHashes, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+      .localCheckpoint(eager = false) // feeds coverage + per-doc count
+    val covered = dupw
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + $W - 1)")).as("i"))
+      .distinct()
+    val flagged = tokens
+      .join(covered.withColumn("cov", lit(true)), Seq("doc_id", "i"), "left")
+      .withColumn("cov", coalesce(col("cov"), lit(false)))
+    val perDoc = flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("cov"), 1L).otherwise(0L)).as("n_tokens_removed"),
+      collect_list(when(!col("cov"), struct(col("i"), col("tok")))).as("ks"))
+    val dupCounts = dupw.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"))
+    perDoc.join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_tokens_removed"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        concat_ws(" ", expr("transform(array_sort(ks), x -> x.tok)"))
+          .as("kept_text"))
+  }
+
   /** BPE tokenizer ENCODE — the inference half of
     * [[tokenizerBpeMerges]]: train 5 merges, then tokenize every
     * document with the learned table. Encoding replays the merge list

@@ -124,6 +124,7 @@ object SparkEntry {
     "embed_pq_recall" -> (QueriesText.embedPqRecall _),
     "dedup_stream" -> (QueriesLog.dedupStream _),
     "tokenizer_bpe_encode" -> (QueriesText.tokenizerBpeEncode _),
+    "dedup_substrings" -> (QueriesText.dedupSubstrings _),
     "a12_latency_percentiles" -> (Queries.a12LatencyPercentiles _),
     "doc_winnow" -> (QueriesText.docWinnow _),
     "mm_decode_features" -> (QueriesText.mmDecodeFeatures _),
