@@ -539,6 +539,39 @@ object OraclesGen {
        |${selects.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Bigram-LM scoring: identical count tables, identical smoothed
+    * conditional formula (same operand order, shared-libm ln/exp), and
+    * the position-ordered log-prob fold. */
+  val textLmScore: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, p.k AS pos, ws[p.k+1] AS w1, ws[p.k+2] AS w2
+       |  FROM (SELECT doc_id, ws, unnest(list_transform(range(len(ws) - 1),
+       |          k -> struct_pack(k := k))) AS p
+       |        FROM d WHERE len(ws) >= 2) x),
+       |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+       |       FROM bg GROUP BY w1, w2),
+       |cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu
+       |       FROM bg GROUP BY w1),
+       |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+       |      FROM (SELECT unnest(ws) AS w FROM d) t),
+       |sc AS (
+       |  SELECT bg.doc_id, bg.pos,
+       |    ln((cb + 0.5) / (cu + 0.5 * v)) AS logp
+       |  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(logp ORDER BY pos)), (a, b) -> a + b), 6) AS sum_logprob,
+       |  round(exp(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(logp ORDER BY pos)), (a, b) -> a + b) / count(*)), 6)
+       |    AS perplexity
+       |FROM sc GROUP BY doc_id""".stripMargin
+
   /** Exact substring dedup: rebuilds the duplicated-5-gram set with the
     * same FNV64 window hashes, expands coverage, and re-derives the
     * per-doc counts and surviving token stream. */
@@ -1367,6 +1400,7 @@ object OraclesGen {
     "tokenizer_bpe_merges" -> tokenizerBpeMerges,
     "tokenizer_bpe_encode" -> tokenizerBpeEncode,
     "dedup_substrings" -> dedupSubstrings,
+    "text_lm_score" -> textLmScore,
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,
     "corpus_distinct_hll" -> corpusDistinctHll,

@@ -561,6 +561,51 @@ object QueriesText {
     graft.operators.BpeTrain.merges(words, rounds = 5)
   }
 
+  /** Bigram language-model quality scoring (the CCNet/KenLM-style
+    * perplexity filter): fit an add-α bigram LM on the corpus itself
+    * (context counts + smoothed conditionals, α = 0.5), then score
+    * every document by its average token log-probability and
+    * perplexity. Scale shape: bigram/context count tables are
+    * Zipf-bounded; the corpus-scale work is one bigram explode and two
+    * equi-joins against those tables. The per-doc log-prob sum is an
+    * ORDER-FIXED fold (position-sorted), so float addition order —
+    * and therefore the round-6 gate hash — is identical in the
+    * oracle. */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val bg = docs
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("ws")) - 2),
+          k => struct(element_at(col("ws"), k + lit(1)).as("w1"),
+            element_at(col("ws"), k + lit(2)).as("w2")))))
+      .select(col("doc_id"), col("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+      .localCheckpoint(eager = false) // feeds counts + scoring join
+    val cBig = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cCtx = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = docs
+      .select(explode(TextFns.words(col("text"))).as("w"))
+      .agg(countDistinct("w").as("v"))
+    bg.join(cBig, Seq("w1", "w2"))
+      .join(cCtx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log(
+        (col("cb") + lit(0.5)) /
+          (col("cu") + lit(0.5) * col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        collect_list(struct(col("pos"), col("logp"))).as("ls"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("""aggregate(transform(array_sort(ls), x -> x.logp),
+               |  cast(0 as double), (a, x) -> a + x)""".stripMargin)
+          .as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s"), 6).as("sum_logprob"),
+        round(exp(-col("s") / col("n_bigrams")), 6).as("perplexity"))
+  }
+
   /** Exact substring dedup (the Lee et al. "Deduplicating Training
     * Data" operator): find every 5-token window whose token sequence
     * occurs MORE THAN ONCE anywhere in the corpus, and strip the

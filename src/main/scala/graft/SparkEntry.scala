@@ -125,6 +125,7 @@ object SparkEntry {
     "dedup_stream" -> (QueriesLog.dedupStream _),
     "tokenizer_bpe_encode" -> (QueriesText.tokenizerBpeEncode _),
     "dedup_substrings" -> (QueriesText.dedupSubstrings _),
+    "text_lm_score" -> (QueriesText.textLmScore _),
     "a12_latency_percentiles" -> (Queries.a12LatencyPercentiles _),
     "doc_winnow" -> (QueriesText.docWinnow _),
     "mm_decode_features" -> (QueriesText.mmDecodeFeatures _),
