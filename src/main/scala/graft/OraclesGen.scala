@@ -1273,60 +1273,85 @@ object OraclesGen {
     * with the two-level id-ordered chunk fold), squared-L2 assignment
     * with cluster tie-breaks, per-query ADC tables, subspace-ordered
     * distance folds, recall vs exact L2 brute force. */
-  val embedPqRecall: String = {
-    val w = graft.operators.Similarity.DefaultChunkWidth
-    // squared L2 between two 8-dim double lists, index-ordered fold
-    def d2(a: String, b: String) =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |  list_transform(range(8),
-         |    d -> ($a[d+1] - $b[d+1]) * ($a[d+1] - $b[d+1]))),
-         |  (x, y) -> x + y)""".stripMargin
-    def assign(name: String, cents: String) =
-      s"""$name AS (
-         |  SELECT id, j, s, cluster FROM (
-         |    SELECT sv.id, sv.j, sv.s, c.cluster,
-         |      row_number() OVER (PARTITION BY sv.id, sv.j
-         |        ORDER BY ${d2("sv.s", "c.centroid")}, c.cluster) AS rn
-         |    FROM sv JOIN $cents c USING (j)) t WHERE rn = 1)""".stripMargin
-    def update(name: String, assigned: String, prev: String) =
-      s"""$name AS (
-         |  SELECT p.j, p.cluster, COALESCE(u.centroid, p.centroid) AS centroid
-         |  FROM $prev p LEFT JOIN (
-         |    SELECT j, cluster,
-         |      list_transform(range(8), d ->
-         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |          list_transform(pss, ps -> ps[d+1])),
-         |          (a, b) -> a + b) / total_cnt) AS centroid
-         |    FROM (
-         |      SELECT j, cluster, list(psum ORDER BY chunk) AS pss,
-         |        CAST(sum(cnt) AS BIGINT) AS total_cnt
-         |      FROM (
-         |        SELECT j, cluster, chunk,
-         |          list_transform(range(8), d ->
-         |            list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |              list_transform(ms, m2 -> m2[d+1])),
-         |              (a, b) -> a + b)) AS psum,
-         |          len(ms) AS cnt
-         |        FROM (SELECT j, cluster, id // $w AS chunk,
-         |                list(s ORDER BY id) AS ms
-         |              FROM $assigned GROUP BY j, cluster, chunk) g1) g2
-         |      GROUP BY j, cluster) g3) u USING (j, cluster))""".stripMargin
-    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-       |sv AS (
+  // ------------------------------------------------------------------
+  // Shared PQ/IVF-PQ k-means oracle builders: index-ordered L2 folds,
+  // rank-1 assignment, the chunked two-level centroid update, and the
+  // subvector view — all parameterized on subspace count/width so the
+  // coarse quantizer (m = 1, subDim = 64) and the residual PQ
+  // (m = 8, subDim = 8) reuse one bit-exact reproduction.
+  private def pqD2(a: String, b: String, n: Int) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range($n),
+       |    d -> ($a[d+1] - $b[d+1]) * ($a[d+1] - $b[d+1]))),
+       |  (x, y) -> x + y)""".stripMargin
+  private def pqSvCte(name: String, src: String, vecCol: String, m: Int,
+      subDim: Int, castDouble: Boolean) = {
+    val cell =
+      if (castDouble) s"CAST($vecCol[j*$subDim + d + 1] AS DOUBLE)"
+      else s"$vecCol[j*$subDim + d + 1]"
+    s"""$name AS (
        |  SELECT id, j,
-       |    list_transform(range(8), d -> CAST(vec[j*8 + d + 1] AS DOUBLE)) AS s
-       |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS j) js),
-       |c0 AS (
+       |    list_transform(range($subDim), d -> $cell) AS s
+       |  FROM $src CROSS JOIN (SELECT unnest(range($m)) AS j) js)""".stripMargin
+  }
+  private def pqInitCte(name: String, sv: String, k: Int) =
+    s"""$name AS (
        |  SELECT j,
        |    CAST(row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS INT)
        |      AS cluster,
        |    s AS centroid
-       |  FROM sv WHERE id IN (SELECT id FROM e ORDER BY id LIMIT 16)),
-       |${assign("a1", "c0")},
-       |${update("c1", "a1", "c0")},
-       |${assign("a2", "c1")},
-       |${update("c2", "a2", "c1")},
-       |${assign("codes", "c2")},
+       |  FROM $sv WHERE id IN (SELECT id FROM e ORDER BY id LIMIT $k))""".stripMargin
+  private def pqAssignCte(name: String, sv: String, cents: String,
+      subDim: Int) =
+    s"""$name AS (
+       |  SELECT id, j, s, cluster FROM (
+       |    SELECT sv.id, sv.j, sv.s, c.cluster,
+       |      row_number() OVER (PARTITION BY sv.id, sv.j
+       |        ORDER BY ${pqD2("sv.s", "c.centroid", subDim)}, c.cluster) AS rn
+       |    FROM $sv sv JOIN $cents c USING (j)) t WHERE rn = 1)""".stripMargin
+  private def pqUpdateCte(name: String, assigned: String, prev: String,
+      subDim: Int) = {
+    val w = graft.operators.Similarity.DefaultChunkWidth
+    s"""$name AS (
+       |  SELECT p.j, p.cluster, COALESCE(u.centroid, p.centroid) AS centroid
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT j, cluster,
+       |      list_transform(range($subDim), d ->
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(pss, ps -> ps[d+1])),
+       |          (a, b) -> a + b) / total_cnt) AS centroid
+       |    FROM (
+       |      SELECT j, cluster, list(psum ORDER BY chunk) AS pss,
+       |        CAST(sum(cnt) AS BIGINT) AS total_cnt
+       |      FROM (
+       |        SELECT j, cluster, chunk,
+       |          list_transform(range($subDim), d ->
+       |            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |              list_transform(ms, m2 -> m2[d+1])),
+       |              (a, b) -> a + b)) AS psum,
+       |          len(ms) AS cnt
+       |        FROM (SELECT j, cluster, id // $w AS chunk,
+       |                list(s ORDER BY id) AS ms
+       |              FROM $assigned GROUP BY j, cluster, chunk) g1) g2
+       |      GROUP BY j, cluster) g3) u USING (j, cluster))""".stripMargin
+  }
+  /** c0 → (assign, update) ×2 → final codes, for a 2-iteration fit —
+    * the engine's `ProductQuant.fit(iters = 2)` + `encode`. */
+  private def pqChainCtes(p: String, sv: String, subDim: Int,
+      k: Int): String =
+    Seq(
+      pqInitCte(s"${p}c0", sv, k),
+      pqAssignCte(s"${p}a1", sv, s"${p}c0", subDim),
+      pqUpdateCte(s"${p}c1", s"${p}a1", s"${p}c0", subDim),
+      pqAssignCte(s"${p}a2", sv, s"${p}c1", subDim),
+      pqUpdateCte(s"${p}c2", s"${p}a2", s"${p}c1", subDim),
+      pqAssignCte(s"${p}codes", sv, s"${p}c2", subDim)).mkString(",\n")
+
+  val embedPqRecall: String = {
+    def d2(a: String, b: String) = pqD2(a, b, 8)
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |${pqSvCte("sv", "e", "vec", 8, 8, castDouble = true)},
+       |${pqChainCtes("", "sv", 8, 16)},
        |q AS (SELECT id AS q_id, vec AS q_vec FROM e WHERE id < 20),
        |qsv AS (
        |  SELECT q_id, j,
@@ -1383,12 +1408,107 @@ object OraclesGen {
        |  LEFT JOIN rr r USING (q_id, n_id)""".stripMargin
   }
 
+  /** IVF-PQ: the full composed index bit-reproduced — coarse full-dim
+    * k-means (the m = 1 chain), residuals against the assigned coarse
+    * centroid, the residual-PQ chain, nprobe = 2 coarse routing per
+    * query, per-probed-list residual distance tables, and the
+    * list-restricted ADC fold — against exact-L2 truth. */
+  val embedIvfPqRecall: String = {
+    def d264(a: String, b: String) = pqD2(a, b, 64)
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |${pqSvCte("svc", "e", "vec", 1, 64, castDouble = true)},
+       |${pqChainCtes("c", "svc", 64, 16)},
+       |res AS (
+       |  SELECT cc.id, cc.cluster AS cl,
+       |    list_transform(range(64),
+       |      d -> CAST(e.vec[d+1] AS DOUBLE) - c.centroid[d+1]) AS rvec
+       |  FROM ccodes cc JOIN e ON e.id = cc.id
+       |  JOIN cc2 c ON c.j = cc.j AND c.cluster = cc.cluster),
+       |${pqSvCte("svr", "res", "rvec", 8, 8, castDouble = false)},
+       |${pqChainCtes("r", "svr", 8, 16)},
+       |q AS (SELECT id AS q_id, vec AS q_vec FROM e WHERE id < 20),
+       |qp AS (
+       |  SELECT q_id, cluster AS cl, rvec FROM (
+       |    SELECT q.q_id, c.cluster,
+       |      list_transform(range(64),
+       |        d -> CAST(q.q_vec[d+1] AS DOUBLE) - c.centroid[d+1]) AS rvec,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(64),
+       |            d -> (CAST(q.q_vec[d+1] AS DOUBLE) - c.centroid[d+1])
+       |               * (CAST(q.q_vec[d+1] AS DOUBLE) - c.centroid[d+1]))),
+       |          (x, y) -> x + y), c.cluster) AS rn
+       |    FROM q CROSS JOIN cc2 c) t WHERE rn <= 4),
+       |qsvr AS (
+       |  SELECT q_id, cl, j,
+       |    list_transform(range(8), d -> rvec[j*8 + d + 1]) AS s
+       |  FROM qp CROSS JOIN (SELECT unnest(range(8)) AS j) js),
+       |dtq AS (
+       |  SELECT q_id, cl, c.j AS j, c.cluster AS code,
+       |    ${pqD2("qsvr.s", "c.centroid", 8)} AS d2
+       |  FROM qsvr JOIN rc2 c ON c.j = qsvr.j),
+       |ad AS (
+       |  SELECT dtq.q_id, pc.id AS n_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(dtq.d2 ORDER BY pc.j)), (a, b) -> a + b) AS adist
+       |  FROM rcodes pc
+       |  JOIN res ON res.id = pc.id
+       |  JOIN dtq ON dtq.cl = res.cl AND dtq.j = pc.j
+       |    AND dtq.code = pc.cluster
+       |  WHERE pc.id <> dtq.q_id
+       |  GROUP BY dtq.q_id, pc.id),
+       |adr AS (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rk
+       |  FROM ad),
+       |top5 AS (SELECT q_id, n_id FROM adr WHERE rk <= 5),
+       |rr AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT c50.q_id, c50.n_id,
+       |      row_number() OVER (PARTITION BY c50.q_id ORDER BY
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(64),
+       |            d -> (CAST(q.q_vec[d+1] AS DOUBLE) - CAST(e.vec[d+1] AS DOUBLE))
+       |               * (CAST(q.q_vec[d+1] AS DOUBLE) - CAST(e.vec[d+1] AS DOUBLE)))),
+       |          (a, b) -> a + b), c50.n_id) AS rk
+       |    FROM (SELECT q_id, n_id FROM adr WHERE rk <= 50) c50
+       |    JOIN q USING (q_id) JOIN e ON e.id = c50.n_id) t
+       |  WHERE rk <= 5),
+       |bfs AS (
+       |  SELECT q.q_id, e.id AS n_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(64),
+       |        d -> (CAST(q.q_vec[d+1] AS DOUBLE) - CAST(e.vec[d+1] AS DOUBLE))
+       |           * (CAST(q.q_vec[d+1] AS DOUBLE) - CAST(e.vec[d+1] AS DOUBLE)))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM q CROSS JOIN e WHERE q.q_id <> e.id),
+       |bf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rk
+       |    FROM bfs) t WHERE rk <= 5),
+       |np AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_probed
+       |  FROM qp JOIN res ON res.cl = qp.cl)
+       |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(count(p.n_id) AS BIGINT) AS n_hit_adc,
+       |  CAST(count(r.n_id) AS BIGINT) AS n_hit_rerank,
+       |  CAST(count(p.n_id) AS DOUBLE) / count(*) AS recall_adc,
+       |  CAST(count(r.n_id) AS DOUBLE) / count(*) AS recall_rerank,
+       |  (SELECT n_probed FROM np) AS n_probed,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e)
+       |    * (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_exhaustive
+       |FROM bf LEFT JOIN top5 p USING (q_id, n_id)
+       |  LEFT JOIN rr r USING (q_id, n_id)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "e2e_full_snapshot" -> e2eFullSnapshot,
     "e2e_compact_snapshot" -> e2eCompactSnapshot,
     "x14_span_export" -> x14SpanExport,
     "dsir_select" -> dsirSelect,
     "embed_pq_recall" -> embedPqRecall,
+    "embed_ivfpq_recall" -> embedIvfPqRecall,
     "x7_autovacuum_details" -> x7AutovacuumDetails,
     "x7_checkpoint_details" -> x7CheckpointDetails,
     "doc_pii_scrub" -> docPiiScrub,

@@ -758,6 +758,59 @@ object QueriesText {
         lit(4L).as("bytes_per_vec"))
   }
 
+  /** IVF-PQ retrieval quality ([[graft.operators.ProductQuant.ivfPqTopK]],
+    * 16 coarse lists × nprobe 4, residual PQ 8×16, exact re-rank of
+    * the ADC top-50): top-5 recall vs exact L2 for both the raw ADC
+    * path and the re-ranked path, plus the probed-vector count against
+    * the exhaustive scan size — the measured statement of the index's
+    * scale win (ADC reads ~nprobe/nClusters of the corpus at
+    * 4 bytes/vector; the refine stage reads 50 full vectors/query). */
+  def embedIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductQuant
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
+    val emb = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val r = ProductQuant.ivfPqTopK(queries, emb, k = 50,
+      nClusters = 16, nprobe = 4, m = 8, nCodes = 16, iters = 2, dim = 64)
+    val adc50 = r.topK.localCheckpoint(eager = false) // feeds raw + rerank
+    val adc5 = adc50.filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2"), col("n_id"))
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    def exact(pairs: DataFrame): DataFrame = pairs
+      .withColumn("qd", expr("transform(q_vec, x -> cast(x as double))"))
+      .withColumn("nd", expr("transform(n_vec, x -> cast(x as double))"))
+      .withColumn("d2", ProductQuant.sqDist("qd", "nd"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "n_id")
+    // the refine stage of the production index: exact re-rank of the 50
+    // ADC candidates — 50 full-vector reads per query, not the corpus
+    val rerank5 = exact(
+      corpus.join(broadcast(adc50.select("q_id", "n_id")), Seq("n_id"))
+        .join(broadcast(queries), Seq("q_id")))
+      .withColumn("rhit", lit(1L))
+    val truth = exact(broadcast(queries).crossJoin(corpus)
+      .filter(col("q_id") =!= col("n_id")))
+    truth.join(adc5, Seq("q_id", "n_id"), "left")
+      .join(rerank5, Seq("q_id", "n_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit_adc"),
+        coalesce(sum("rhit"), lit(0L)).as("n_hit_rerank"))
+      .crossJoin(broadcast(r.nProbed))
+      .crossJoin(broadcast(
+        corpus.agg(count(lit(1)).as("nc"))
+          .crossJoin(queries.agg(count(lit(1)).as("nq")))
+          .select((col("nc") * col("nq")).as("n_exhaustive"))))
+      .select(col("n_truth"), col("n_hit_adc"), col("n_hit_rerank"),
+        (col("n_hit_adc").cast("double") / col("n_truth")).as("recall_adc"),
+        (col("n_hit_rerank").cast("double") / col("n_truth"))
+          .as("recall_rerank"),
+        col("n_probed"), col("n_exhaustive"))
+  }
+
   /** DSIR-style data selection (hashed n-gram importance resampling,
     * the public "Data Selection for Language Models via Importance
     * Resampling" recipe): word BIGRAMS hash into B = 1024 buckets; the

@@ -122,6 +122,7 @@ object SparkEntry {
     "embed_quantize" -> (QueriesText.embedQuantize _),
     "dsir_select" -> (QueriesText.dsirSelect _),
     "embed_pq_recall" -> (QueriesText.embedPqRecall _),
+    "embed_ivfpq_recall" -> (QueriesText.embedIvfPqRecall _),
     "dedup_stream" -> (QueriesLog.dedupStream _),
     "tokenizer_bpe_encode" -> (QueriesText.tokenizerBpeEncode _),
     "dedup_substrings" -> (QueriesText.dedupSubstrings _),

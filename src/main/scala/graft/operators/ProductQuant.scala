@@ -101,6 +101,81 @@ object ProductQuant {
   def encode(emb: DataFrame, cents: DataFrame, m: Int, dim: Int): DataFrame =
     assign(subvectors(emb, m, dim / m), cents).select("id", "j", "cluster")
 
+  /** IVF-PQ retrieval — the canonical composed ANN index (the public
+    * FAISS `IndexIVFPQ` design): a coarse full-dim quantizer routes
+    * every vector to an inverted list, PQ compresses the RESIDUAL
+    * (vector − assigned coarse centroid), and a query ADC-scans only
+    * its `nprobe` nearest lists with a distance table built on the
+    * query's per-list residual.
+    *
+    * Scale shape: the coarse quantizer is [[fit]] with m = 1 (a
+    * full-dim codebook is the degenerate product quantizer), so both
+    * training stages share the chunked two-level fold; the scan join
+    * is an EQUI-join on the coarse cluster id — cost is
+    * Σ|probed lists| per query, never the corpus — and the per-query
+    * distance tables (nprobe × m × nCodes doubles) broadcast.
+    *
+    * Returns the top-k (q_id, n_id, rank, adist) plus the 1-row probed
+    * pair count — the measured scan volume vs an exhaustive pass. */
+  final case class IvfPqResult(topK: DataFrame, nProbed: DataFrame)
+
+  def ivfPqTopK(queries: DataFrame, emb: DataFrame, k: Int,
+      nClusters: Int, nprobe: Int, m: Int, nCodes: Int, iters: Int,
+      dim: Int): IvfPqResult = {
+    val sub = dim / m
+    val coarse = fit(emb, 1, nClusters, iters, dim)
+    val lists = encode(emb, coarse, 1, dim)
+      .select(col("id"), col("cluster").as("cl"))
+    val res = emb.join(lists, Seq("id"))
+      .join(broadcast(coarse.select(col("cluster").as("cl"),
+        col("centroid"))), Seq("cl"))
+      .select(col("id"), col("cl"), expr(
+        s"""transform(sequence(0, ${dim - 1}),
+           |  d -> cast(vec[d] as double) - centroid[d])""".stripMargin)
+        .as("vec"))
+      // residuals feed PQ training (which re-derives its subvector view
+      // once per k-means pass) AND encoding — cut the join lineage once
+      .localCheckpoint(eager = false)
+    val pqCents = fit(res.select("id", "vec"), m, nCodes, iters, dim)
+    val codes = encode(res.select("id", "vec"), pqCents, m, dim)
+      .join(res.select("id", "cl"), Seq("id"))
+    val qd = queries.withColumn("qd",
+      expr("transform(q_vec, x -> cast(x as double))"))
+    val probes = qd.crossJoin(broadcast(coarse))
+      .withColumn("d2", sqDist("qd", "centroid"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("d2"), col("cluster"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("cluster").as("cl"), expr(
+        s"""transform(sequence(0, ${dim - 1}),
+           |  d -> qd[d] - centroid[d])""".stripMargin).as("q_rvec"))
+    val qsv = probes.select(col("q_id"), col("cl"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}), j -> struct(j as j,
+           |  transform(sequence(0, ${sub - 1}),
+           |    d -> q_rvec[j * $sub + d]) as sv))""".stripMargin)).as("x"))
+      .select(col("q_id"), col("cl"), col("x.j").as("j"), col("x.sv").as("sv"))
+    val dtab = qsv.join(broadcast(pqCents), Seq("j"))
+      .withColumn("d2", sqDist("sv", "centroid"))
+      .groupBy("q_id", "cl")
+      .agg(expr(s"""transform(sequence(0, ${m * nCodes - 1}),
+        i -> element_at(map_from_entries(collect_list(
+          struct(j * $nCodes + cluster, d2))), i))""").as("dt"))
+    val codeArr = codes.groupBy("id", "cl")
+      .agg(sort_array(collect_list(struct(col("j"), col("cluster")))).as("cs"))
+    val topK = codeArr.join(broadcast(dtab), Seq("cl"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("adist", expr(
+        s"aggregate(cs, cast(0 as double), (acc, c) -> " +
+          s"acc + dt[c.j * $nCodes + c.cluster])"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adist"), col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("n_id"), col("rank"), col("adist"))
+    val nProbed = probes.select("q_id", "cl").join(lists, Seq("cl"))
+      .agg(count(lit(1)).as("n_probed"))
+    IvfPqResult(topK, nProbed)
+  }
+
   /** ADC top-k: queries(q_id, q_vec) scored against the COMPRESSED
     * corpus. Approximate distance = Σ_j dtab[j][code_j], folded in
     * subspace order. Returns (q_id, n_id, rank, adist). */
