@@ -42,10 +42,13 @@ object OraclesGen {
 
   // ------------------------------------------------------------- minhash
 
-  val dedupMinhashLsh: String = {
+  /** The MinHash→LSH candidate chain as a reusable CTE prefix ending
+    * with `lshp`(id_a, id_b, est_jaccard) at the ≥ 0.7 gate — shared by
+    * the pair query and the fuzzy-dedup e2e chain. */
+  private val minhashPairCtes: String = {
     val consts = longList(Dedup.permConsts.toIndexedSeq)
     val maxList = longList(Seq.fill(Dedup.NumPerms)(Long.MaxValue))
-    s"""WITH $tokenCtes,
+    s"""$tokenCtes,
        |wh AS (
        |  SELECT w, CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS h0
        |  FROM (SELECT w, ${fnvHuge("w")} AS h FROM (SELECT DISTINCT w FROM tok))),
@@ -66,13 +69,48 @@ object OraclesGen {
        |b2 AS (SELECT bs.* FROM bs JOIN bn USING (band, band_sig) WHERE bn.n <= 1000),
        |pairs AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-       |  FROM b2 a JOIN b2 b ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id)
-       |SELECT id_a, id_b, round(est, 6) AS est_jaccard FROM (
-       |  SELECT id_a, id_b,
-       |    CAST(len(list_filter(range(64), i -> sig_a[i+1] = sig_b[i+1])) AS DOUBLE) / 64 AS est
-       |  FROM pairs) t
-       |WHERE est >= 0.7""".stripMargin
+       |  FROM b2 a JOIN b2 b ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id),
+       |lshp AS (
+       |  SELECT id_a, id_b, round(est, 6) AS est_jaccard FROM (
+       |    SELECT id_a, id_b,
+       |      CAST(len(list_filter(range(64), i -> sig_a[i+1] = sig_b[i+1])) AS DOUBLE) / 64 AS est
+       |    FROM pairs) t
+       |  WHERE est >= 0.7)""".stripMargin
   }
+
+  val dedupMinhashLsh: String =
+    s"""WITH $minhashPairCtes
+       |SELECT id_a, id_b, est_jaccard FROM lshp""".stripMargin
+
+  /** Fuzzy-dedup e2e: the production near-dup pipeline as one chain —
+    * MinHash→LSH candidates, recursive-CTE connected components over
+    * the candidate graph (singletons are their own cluster), and the
+    * canonical pick (most words, lowest id) per cluster. */
+  val dedupFuzzyE2e: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |e2 AS (SELECT id_a AS src, id_b AS dst FROM lshp
+       |       UNION ALL SELECT id_b, id_a FROM lshp),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM (SELECT DISTINCT src AS id FROM e2) n
+       |  UNION
+       |  SELECT e2.dst, r.lbl FROM reach r JOIN e2 ON e2.src = r.id
+       |  WHERE r.lbl < e2.dst),
+       |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+       |nw AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      w -> len(w) > 0)) AS INT) AS n_words
+       |  FROM documents),
+       |allc AS (
+       |  SELECT nw.doc_id, COALESCE(comp.component, nw.doc_id) AS component,
+       |    nw.n_words
+       |  FROM nw LEFT JOIN comp ON comp.id = nw.doc_id)
+       |SELECT doc_id, component,
+       |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+       |  n_words,
+       |  row_number() OVER (PARTITION BY component
+       |    ORDER BY n_words DESC, doc_id) = 1 AS is_canonical
+       |FROM allc""".stripMargin
 
   // ------------------------------------------------------------- simhash
 
@@ -1542,6 +1580,7 @@ object OraclesGen {
     "f8_explain_skip" -> f8ExplainSkip,
     "x7_full_classify" -> x7FullClassify,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_fuzzy_e2e" -> dedupFuzzyE2e,
     "dedup_simhash" -> dedupSimhash,
     "embed_ann_lsh" -> embedAnnLsh,
     "embed_ann_recall" -> embedAnnRecall,

@@ -561,6 +561,35 @@ object QueriesText {
     graft.operators.BpeTrain.merges(words, rounds = 5)
   }
 
+  /** Fuzzy-dedup e2e — the production near-dup pipeline as ONE chain:
+    * MinHash(64) signatures → 8×8 banded LSH candidates (≥ 0.7
+    * estimated Jaccard) → connected components over the candidate
+    * graph → canonical selection per cluster (most words, lowest id).
+    * Every stage is the already-verified operator; this entry verifies
+    * their COMPOSITION — the keep/drop decision a crawl pipeline
+    * actually ships. Singleton docs are their own cluster. One extra
+    * shuffle on component for the size/rank window. */
+  def dedupFuzzyE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text"))
+      .filter(col("est_jaccard") >= 0.7)
+    val comp = Dedup.connectedComponents(pairs)
+    val nw = docs.select(col("doc_id"),
+      size(TextFns.words(col("text"))).as("n_words"))
+    val allc = nw
+      .join(comp.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(col("n_words").desc, col("doc_id"))
+    allc.select(col("doc_id"), col("component"),
+      count(lit(1)).over(wc).as("n_members"),
+      col("n_words"),
+      (row_number().over(wr) === 1).as("is_canonical"))
+  }
+
   /** Bigram language-model quality scoring (the CCNet/KenLM-style
     * perplexity filter): fit an add-α bigram LM on the corpus itself
     * (context counts + smoothed conditionals, α = 0.5), then score
