@@ -1221,6 +1221,86 @@ object OraclesGen {
        |FROM o JOIN f USING (file_idx), c""".stripMargin
   }
 
+  /** Compact activity snapshot e2e: re-derives the per-pid activity
+    * tick (latest event per backend), the state/backend-type/wait
+    * mappings, the constant query fingerprint, the vacuum tick, and
+    * every document-level count from the same events rows. */
+  val e2eActivitySnapshot: String = {
+    val signedFp =
+      s"""CAST(CASE WHEN h >= 9223372036854775808
+         |  THEN h - 18446744073709551616 ELSE h END AS BIGINT)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id AS pid, value, event_type,
+       |    regexp_extract(props, '"k": (\\d+)', 1) AS k,
+       |    CAST(ts AS TIMESTAMP) AS tsx
+       |  FROM events),
+       |cur AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY pid
+       |      ORDER BY tsx DESC, event_id DESC) AS rn
+       |    FROM ev) t WHERE rn = 1),
+       |b AS (
+       |  SELECT pid, 'u' || pid AS rolname, 'db' || (pid % 5) AS datname,
+       |    CASE event_type WHEN 'view' THEN 'idle'
+       |      WHEN 'signup' THEN 'idle in transaction'
+       |      ELSE 'active' END AS state,
+       |    CASE WHEN pid % 17 = 0 THEN 'autovacuum worker'
+       |      ELSE 'client backend' END AS backend_type,
+       |    value > 150 AS waiting,
+       |    CAST(epoch_us(tsx) // 1000000 AS BIGINT) AS query_start_s,
+       |    k, event_type
+       |  FROM cur),
+       |b2 AS (
+       |  SELECT *,
+       |    state = 'active' AND backend_type = 'client backend' AS has_query
+       |  FROM b),
+       |verr AS (
+       |  SELECT * FROM (
+       |    SELECT pid, event_id, value,
+       |      row_number() OVER (PARTITION BY pid ORDER BY event_id DESC)
+       |        AS rn
+       |    FROM ev WHERE event_type = 'error') t WHERE rn = 1),
+       |vx AS (
+       |  SELECT pid, CAST(floor(value * 10) AS BIGINT) AS relid,
+       |    CAST(floor(value * 50) AS BIGINT) AS scanned
+       |  FROM verr),
+       |fp AS (
+       |  SELECT ${fnvHuge("'select * from orders where o_custkey = $'")} AS h),
+       |c AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM b2) AS n_backends,
+       |    (SELECT CAST(count(DISTINCT rolname) AS BIGINT) FROM b2)
+       |      AS n_roles,
+       |    (SELECT CAST(count(DISTINCT datname) AS BIGINT) FROM b2)
+       |      AS n_databases,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM
+       |      (SELECT DISTINCT datname, rolname FROM b2 WHERE has_query) z)
+       |      AS n_queries,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM
+       |      (SELECT DISTINCT pid % 5, relid FROM vx) z) AS n_relations,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM vx) AS n_vacuums,
+       |    (SELECT CAST(COALESCE(sum(scanned), 0) AS BIGINT) FROM vx)
+       |      AS sum_heap_blks_scanned,
+       |    (SELECT CAST(max(query_start_s) AS BIGINT) FROM b2)
+       |      AS collected_at_s)
+       |SELECT b2.pid, b2.rolname, b2.datname, b2.has_query,
+       |  CASE WHEN b2.has_query THEN (SELECT $signedFp FROM fp) END
+       |    AS fingerprint,
+       |  CASE WHEN b2.has_query
+       |    THEN 'SELECT * FROM orders WHERE o_custkey = ' || b2.k END
+       |    AS query_text,
+       |  b2.query_start_s, b2.waiting, b2.state,
+       |  CASE WHEN b2.waiting THEN 'Lock' ELSE '' END AS wait_event_type,
+       |  CASE WHEN b2.waiting THEN 'transactionid' ELSE '' END AS wait_event,
+       |  b2.backend_type,
+       |  'PostgreSQL 17.0' AS pg_version,
+       |  c.n_backends, c.n_roles, c.n_databases, c.n_queries,
+       |  c.n_relations, c.n_vacuums, c.sum_heap_blks_scanned,
+       |  c.collected_at_s,
+       |  TRUE AS integrity_ok
+       |FROM b2, c""".stripMargin
+  }
+
   /** X14 exporter: re-derives every decoded OTLP span field — ids,
     * deterministic span id (FNV of "span:"+trace_id), tracestate vs
     * fallback timing, the sample URL — from the same events rows. */
@@ -1543,6 +1623,7 @@ object OraclesGen {
   val sql: Map[String, String] = Map(
     "e2e_full_snapshot" -> e2eFullSnapshot,
     "e2e_compact_snapshot" -> e2eCompactSnapshot,
+    "e2e_activity_snapshot" -> e2eActivitySnapshot,
     "x14_span_export" -> x14SpanExport,
     "dsir_select" -> dsirSelect,
     "embed_pq_recall" -> embedPqRecall,

@@ -163,7 +163,12 @@ object SparkEntry {
     // + classified log lines, query samples, BaseRefs dims → protobuf+
     // zlib → decode → integrity verify)
     "e2e_compact_snapshot" ->
-      ((s: SparkSession, d: String) => graft.sinks.CompactSnapshotPipeline.e2e(s, d))
+      ((s: SparkSession, d: String) => graft.sinks.CompactSnapshotPipeline.e2e(s, d)),
+    // end-to-end compact ACTIVITY snapshot (the third wire artifact:
+    // per-pid activity tick + vacuum tick, BaseRefs dims → protobuf+
+    // zlib → decode → integrity verify)
+    "e2e_activity_snapshot" ->
+      ((s: SparkSession, d: String) => graft.sinks.ActivitySnapshotPipeline.e2e(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

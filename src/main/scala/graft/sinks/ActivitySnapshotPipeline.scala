@@ -1,0 +1,366 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.PgFns
+import graft.sources.CatalogSynth
+
+/** End-to-end compact ACTIVITY snapshot lifecycle — the reference's
+  * third wire artifact (`output/transform/activity.go`,
+  * `output/compact_activity.go`, `protobuf/compact_activity_snapshot
+  * .proto:9-20`), as ONE verified chain:
+  *
+  *   S3 activity scan → current-backends tick (top-1 per pid — an
+  *   activity snapshot ships the CONNECTED backends at the tick, not
+  *   the event history) → S5 vacuum-progress tick → X1/X2 query
+  *   normalize/fingerprint for active client backends → role/database/
+  *   query/relation BaseRefs dims → CompactSnapshot wire bytes + zlib
+  *   (field 12 = CompactActivitySnapshot) → decode → integrity
+  *   verification → the decoded backends as a DataFrame.
+  *
+  * Same collection discipline as the other two snapshot pipelines:
+  * everything corpus-scale is a Spark plan (the per-pid top-1 windows
+  * shuffle once on pid); only the tick-bounded document (≈ one row per
+  * connected backend) is collected. */
+object ActivitySnapshotPipeline {
+
+  val SnapshotUuid = "00000000-0000-7000-8000-000000000003"
+  val PgVersionFull = "PostgreSQL 17.0"
+  val PgVersionNum = 170000L
+
+  private val PhaseByName = Map(
+    "initializing" -> 0, "scanning heap" -> 1, "vacuuming indexes" -> 2,
+    "vacuuming heap" -> 3, "cleaning up indexes" -> 4,
+    "truncating heap" -> 5, "performing final cleanup" -> 6)
+
+  // ------------------------------------------------------- spark stages
+
+  /** The activity tick: the latest backend row per pid, with the
+    * derived query text / wait-event fields the transform ships. */
+  def currentBackends(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pid")
+      .orderBy(col("query_start").desc, col("event_id").desc)
+    CatalogSynth.backends(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("rolname", col("usename"))
+      .withColumn("datname", concat(lit("db"), col("db_oid")))
+      .withColumn("has_query",
+        col("state") === "active" && col("backend_type") === "client backend")
+      .withColumn("query", when(col("has_query"),
+        concat(lit("SELECT * FROM orders WHERE o_custkey = "), col("query_k"))))
+      .withColumn("fp", when(col("has_query"), PgFns.pgFingerprint(col("query"))))
+      .withColumn("normalized_query",
+        when(col("has_query"), PgFns.pgNormalize(col("query"))))
+      .withColumn("wait_event_type", when(col("waiting"), "Lock").otherwise(""))
+      .withColumn("wait_event",
+        when(col("waiting"), "transactionid").otherwise(""))
+      .withColumn("query_start_s",
+        expr("unix_micros(query_start) div 1000000"))
+  }
+
+  /** The vacuum tick: latest vacuum-progress row per pid (autovacuum
+    * backends), with its relation key. */
+  def currentVacuums(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pid").orderBy(col("event_id").desc)
+    CatalogSynth.vacuumProgress(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("db_oid", col("pid") % 5)
+      .withColumn("datname", concat(lit("db"), col("db_oid")))
+      .withColumn("relname", concat(lit("t"), col("relid")))
+      .withColumn("phase_id",
+        coalesce(element_at(typedLit(PhaseByName), col("phase")), lit(0)))
+  }
+
+  // --------------------------------------------------- document assembly
+
+  /** Row layouts (positional, shared with encode):
+    *  - roleRows/dbRows: (idx, name)
+    *  - queryRows: (qkey_idx, db_idx, role_idx, fp, normalized)
+    *  - relRows:  (rkey_idx, db_idx, relname)
+    *  - backendRows: (pid, role_idx, db_idx, qkey_idx|null, query|null,
+    *                  query_start_s, waiting, state, wait_event_type,
+    *                  wait_event, backend_type)
+    *  - vacuumRows: (pid, role_idx, db_idx, rkey_idx, query_start_s?
+    *                 n/a → started_s, phase_id, heap_blks_total,
+    *                 heap_blks_scanned) */
+  final case class Doc(
+      collectedAtSecs: Long,
+      roleRows: Seq[Row], dbRows: Seq[Row], queryRows: Seq[Row],
+      relRows: Seq[Row], backendRows: Seq[Row], vacuumRows: Seq[Row])
+
+  def assemble(s: SparkSession, dir: String): Doc = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    import graft.operators.DimEncode
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    def bg[T](f: => T): Future[T] = Future(f)
+
+    // the tick tables are bounded (one row per pid) but feed several
+    // consumers — materialize each once before the concurrent collects
+    val backs0 = currentBackends(s, dir).localCheckpoint()
+    val vacs0 = currentVacuums(s, dir).localCheckpoint()
+
+    val (roleDim, b1) = DimEncode.encode(backs0, "rolname")
+    val (dbDim, b2) = DimEncode.encode(b1, "datname")
+    val qset = b2.filter(col("has_query"))
+      .withColumn("qkey",
+        struct(col("datname_idx"), col("rolname_idx"), col("fp")))
+    val (_, qFact0) = DimEncode.encode(qset, "qkey")
+    val qFact = qFact0.localCheckpoint()
+    val backs = b2.join(
+      qFact.select(col("pid").as("pid"), col("qkey_idx")), Seq("pid"), "left")
+
+    // vacuums resolve through the same role/db dims (the vacuum backend
+    // is a backend), plus their own relation dim
+    val vacs1 = vacs0
+      .withColumn("rolname", concat(lit("u"), col("pid")))
+      .join(broadcast(roleDim), Seq("rolname"))
+      .join(broadcast(dbDim), Seq("datname"))
+      .withColumn("rkey", struct(col("datname_idx"), col("relname")))
+    val (_, vFact0) = DimEncode.encode(vacs1, "rkey")
+    val vFact = vFact0.localCheckpoint()
+
+    val fBacks = bg(backs.select(col("pid"), col("rolname_idx"),
+        col("datname_idx"), col("qkey_idx"), col("query"),
+        col("query_start_s"), col("waiting"), col("state"),
+        col("wait_event_type"), col("wait_event"), col("backend_type"))
+      .orderBy("pid").collect().toIndexedSeq)
+    val fVacs = bg(vFact.select(col("pid"), col("rolname_idx"),
+        col("datname_idx"), col("rkey_idx"),
+        expr("CAST(0 AS BIGINT)").as("started_s"), col("phase_id"),
+        col("heap_blks_total"), col("heap_blks_scanned"))
+      .orderBy("pid").collect().toIndexedSeq)
+    val fQueries = bg(qFact.groupBy("qkey_idx")
+      .agg(first("datname_idx").as("datname_idx"),
+        first("rolname_idx").as("rolname_idx"), first("fp").as("fp"),
+        min("normalized_query").as("normalized_query"))
+      .orderBy("qkey_idx").collect().toIndexedSeq)
+    val fRels = bg(vFact.groupBy("rkey_idx")
+      .agg(first("datname_idx").as("datname_idx"),
+        first("relname").as("relname"))
+      .orderBy("rkey_idx").collect().toIndexedSeq)
+    val fRoles = bg(roleDim.select("rolname_idx", "rolname")
+      .orderBy("rolname_idx").collect().toIndexedSeq)
+    val fDbs = bg(dbDim.select("datname_idx", "datname")
+      .orderBy("datname_idx").collect().toIndexedSeq)
+    val fAt = bg(backs0.agg(max("query_start_s")).head.getLong(0))
+
+    Doc(
+      collectedAtSecs = Await.result(fAt, Duration.Inf),
+      roleRows = Await.result(fRoles, Duration.Inf),
+      dbRows = Await.result(fDbs, Duration.Inf),
+      queryRows = Await.result(fQueries, Duration.Inf),
+      relRows = Await.result(fRels, Duration.Inf),
+      backendRows = Await.result(fBacks, Duration.Inf),
+      vacuumRows = Await.result(fVacs, Duration.Inf))
+  }
+
+  // ----------------------------------------------------------- encoding
+
+  private def num(r: Row, i: Int): Long = r.getAs[Number](i).longValue
+
+  /** CompactSnapshot wire bytes, data = field 12 (activity). */
+  def encode(doc: Doc): Array[Byte] = {
+    val m = ProtoWire.msg()
+      .varint(1, 1L)
+      .string(3, FullSnapshotPipeline.CollectorVersion)
+      .string(4, SnapshotUuid)
+      .msg(5, ProtoWire.msg().varint(1, doc.collectedAtSecs))
+    val refs = ProtoWire.msg()
+    doc.roleRows.foreach(r =>
+      refs.msg(1, ProtoWire.msg().string(1, r.getString(1))))
+    doc.dbRows.foreach(r =>
+      refs.msg(2, ProtoWire.msg().string(1, r.getString(1))))
+    doc.queryRows.foreach { r =>
+      val fpBytes = java.nio.ByteBuffer.allocate(8).putLong(num(r, 3)).array()
+      refs.msg(3, ProtoWire.msg()
+        .varint(1, num(r, 1)).varint(2, num(r, 2)).bytes(3, fpBytes))
+    }
+    doc.queryRows.foreach { r =>
+      refs.msg(4, ProtoWire.msg()
+        .varint(1, num(r, 0)).string(2, r.getString(4)))
+    }
+    doc.relRows.foreach { r =>          // 5 RelationReference
+      refs.msg(5, ProtoWire.msg()
+        .varint(1, num(r, 1))           //   database_idx
+        .string(2, "public")            //   schema_name
+        .string(3, r.getString(2)))     //   relation_name
+    }
+    m.msg(6, refs)
+
+    val act = ProtoWire.msg()           // 12 — CompactActivitySnapshot
+      .msg(1, ProtoWire.msg()           //   1 PostgresVersion
+        .string(1, PgVersionFull).varint(3, PgVersionNum))
+    doc.backendRows.foreach { r =>      //   2 Backend
+      val b = ProtoWire.msg()
+        .varint(1, num(r, 0))           //     identity (deterministic: pid)
+        .varint(2, num(r, 0))           //     pid
+        .varint(3, 1L).varint(4, num(r, 1))
+        .varint(5, 1L).varint(6, num(r, 2))
+      if (!r.isNullAt(3)) {
+        // query_text ships raw (query_text_normalized=false → elided)
+        b.varint(7, 1L).varint(8, num(r, 3)).string(9, r.getString(4))
+      }
+      b.msg(15, ProtoWire.msg().varint(1, num(r, 5))) // query_start
+        .varint(17, if (r.getBoolean(6)) 1L else 0L)  // waiting
+        .string(18, r.getString(7))     //     state
+        .string(19, r.getString(8))     //     wait_event_type
+        .string(20, r.getString(9))     //     wait_event
+        .string(21, r.getString(10))    //     backend_type
+      act.msg(2, b)
+    }
+    doc.vacuumRows.foreach { r =>       //  10 VacuumProgressInformation
+      act.msg(10, ProtoWire.msg()
+        .varint(1, num(r, 0))           //     vacuum_identity (pid)
+        .varint(2, num(r, 1))           //     role_idx
+        .varint(3, num(r, 2))           //     database_idx
+        .varint(4, num(r, 3))           //     relation_idx
+        .varint(5, num(r, 0))           //     backend_identity
+        .varint(7, 1L))                 //     autovacuum
+    }
+    doc.vacuumRows.foreach { r =>       //  11 VacuumProgressStatistic
+      act.msg(11, ProtoWire.msg()
+        .varint(1, num(r, 0))
+        .varint(2, num(r, 5))           //     phase
+        .varint(3, num(r, 6))           //     heap_blks_total
+        .varint(4, num(r, 7)))          //     heap_blks_scanned
+    }
+    m.msg(12, act)
+    m.toBytes
+  }
+
+  // ----------------------------------------------------------- decoding
+
+  import ProtoWire.{VBytes, VInt, Value}
+
+  private def sub(b: Array[Byte]): Map[Int, Seq[Value]] =
+    ProtoWire.decode(b).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  private def vint(m: Map[Int, Seq[Value]], f: Int): Long =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(VInt(v)) => v
+      case _ => 0L
+    }
+  private def vstr(m: Map[Int, Seq[Value]], f: Int): String =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(VBytes(b)) =>
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case _ => ""
+    }
+  private def vbytes(m: Map[Int, Seq[Value]], f: Int): Array[Byte] =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(VBytes(b)) => b
+      case _ => Array.empty
+    }
+
+  /** Decode + verify; one output row per backend, resolved. */
+  def decodeVerify(s: SparkSession, wire: Array[Byte]): DataFrame = {
+    val top = ProtoWire.decode(ProtoWire.unzlib(wire)).toMap
+    def topBytes(f: Int): Array[Byte] = top.get(f) match {
+      case Some(VBytes(b)) => b
+      case _ => Array.empty
+    }
+    val refs = sub(topBytes(6)); val act = sub(topBytes(12))
+    def msgsOf(m: Map[Int, Seq[Value]], f: Int): Seq[Map[Int, Seq[Value]]] =
+      m.getOrElse(f, Nil).collect { case VBytes(b) => sub(b) }
+    val roleRefs = msgsOf(refs, 1); val dbRefs = msgsOf(refs, 2)
+    val qRefs = msgsOf(refs, 3); val qInfos = msgsOf(refs, 4)
+    val relRefs = msgsOf(refs, 5)
+    val backends = msgsOf(act, 2)
+    val vacInfos = msgsOf(act, 10); val vacStats = msgsOf(act, 11)
+
+    val (nRoles, nDbs, nQs, nRels) =
+      (roleRefs.length.toLong, dbRefs.length.toLong, qRefs.length.toLong,
+        relRefs.length.toLong)
+    val (nBackends, nVacs) = (backends.length.toLong, vacInfos.length.toLong)
+
+    require(nQs == qInfos.length,
+      s"found ${qInfos.length} QueryInformations but $nQs QueryReferences")
+    require(nVacs == vacStats.length,
+      s"found ${vacStats.length} VacuumProgressStatistics but " +
+        s"$nVacs VacuumProgressInformations")
+    require(qRefs.forall { m =>
+      val d = vint(m, 1); val r = vint(m, 2)
+      d >= 1 && d <= nDbs && r >= 1 && r <= nRoles
+    }, "query_references db/role idx out of range")
+    require(relRefs.forall { m =>
+      val d = vint(m, 1); d >= 1 && d <= nDbs
+    }, "relation_references db idx out of range")
+    require(backends.forall { m =>
+      val roleOk = vint(m, 4) >= 1 && vint(m, 4) <= nRoles
+      val dbOk = vint(m, 6) >= 1 && vint(m, 6) <= nDbs
+      val qOk = vint(m, 7) == 0L ||
+        (vint(m, 8) >= 1 && vint(m, 8) <= nQs)
+      roleOk && dbOk && qOk
+    }, "backend idx out of range")
+    // every vacuum statistic's identity must resolve to an information
+    val vacIds = vacInfos.map(vint(_, 1)).toSet
+    require(vacStats.forall(m => vacIds.contains(vint(m, 1))),
+      "vacuum statistic identity without information")
+    require(vacInfos.forall { m =>
+      vint(m, 4) >= 1 && vint(m, 4) <= nRels
+    }, "vacuum relation idx out of range")
+
+    val collectedAtSecs = top.get(5) match {
+      case Some(VBytes(b)) => vint(sub(b), 1)
+      case _ => 0L
+    }
+    val pgv = act.getOrElse(1, Nil).headOption match {
+      case Some(VBytes(b)) => vstr(sub(b), 1)
+      case _ => ""
+    }
+    val roleNames = roleRefs.map(vstr(_, 1)).toIndexedSeq
+    val dbNames = dbRefs.map(vstr(_, 1)).toIndexedSeq
+    val fpByIdx = qRefs.map(r =>
+      java.nio.ByteBuffer.wrap(vbytes(r, 3)).getLong).toIndexedSeq
+    val sumHeapScanned = vacStats.map(vint(_, 4)).sum
+
+    val rows = backends.map { m =>
+      val hasQ = vint(m, 7) == 1L
+      val qStart = m.get(15).flatMap(_.headOption) match {
+        case Some(VBytes(b)) => vint(sub(b), 1)
+        case _ => 0L
+      }
+      Row(
+        vint(m, 2),
+        roleNames((vint(m, 4) - 1).toInt),
+        dbNames((vint(m, 6) - 1).toInt),
+        hasQ,
+        if (hasQ) fpByIdx((vint(m, 8) - 1).toInt) else null,
+        if (hasQ) vstr(m, 9) else null,
+        qStart, vint(m, 17) == 1L, vstr(m, 18), vstr(m, 19), vstr(m, 20),
+        vstr(m, 21), pgv,
+        nBackends, nRoles, nDbs, nQs, nRels, nVacs, sumHeapScanned,
+        collectedAtSecs, true)
+    }
+    val schema = StructType(Seq(
+      StructField("pid", LongType),
+      StructField("rolname", StringType), StructField("datname", StringType),
+      StructField("has_query", BooleanType),
+      StructField("fingerprint", LongType),
+      StructField("query_text", StringType),
+      StructField("query_start_s", LongType),
+      StructField("waiting", BooleanType),
+      StructField("state", StringType),
+      StructField("wait_event_type", StringType),
+      StructField("wait_event", StringType),
+      StructField("backend_type", StringType),
+      StructField("pg_version", StringType),
+      StructField("n_backends", LongType), StructField("n_roles", LongType),
+      StructField("n_databases", LongType), StructField("n_queries", LongType),
+      StructField("n_relations", LongType), StructField("n_vacuums", LongType),
+      StructField("sum_heap_blks_scanned", LongType),
+      StructField("collected_at_s", LongType),
+      StructField("integrity_ok", BooleanType)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The driver-gated entry: assemble → encode → zlib → decode → verify. */
+  def e2e(s: SparkSession, dir: String): DataFrame =
+    decodeVerify(s, ProtoWire.zlib(encode(assemble(s, dir))))
+}

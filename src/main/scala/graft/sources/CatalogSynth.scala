@@ -63,7 +63,9 @@ object CatalogSynth {
         "ELSE 'client backend' END").as("backend_type"),
       (col("value") > 150).as("waiting"),
       col("ts").as("query_start"),
-      expr("CAST(floor(value * 37) AS BIGINT)").as("backend_xid_age"))
+      expr("CAST(floor(value * 37) AS BIGINT)").as("backend_xid_age"),
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+        .as("query_k"))
 
   /** pg_stat_statements stats rows (S1 analogue, keyed). */
   def statementStats(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,40 @@
+package graft
+
+import graft.sinks.{ActivitySnapshotPipeline => P, ProtoWire}
+
+class ActivitySnapshotSpec extends SparkSpec {
+
+  private lazy val doc = P.assemble(spark, Sf)
+
+  test("tick semantics: one backend per pid, vacuums are a subset") {
+    val nPids = graft.sources.CatalogSynth.backends(spark, Sf)
+      .select("pid").distinct().count()
+    assert(doc.backendRows.length == nPids)
+    assert(doc.backendRows.map(_.getAs[Number](0).longValue).distinct.size ==
+      doc.backendRows.length)
+    val pids = doc.backendRows.map(_.getAs[Number](0).longValue).toSet
+    assert(doc.vacuumRows.forall(r => pids.contains(r.getAs[Number](0).longValue)))
+  }
+
+  test("wire round-trip: decoded backends resolve through BaseRefs") {
+    val df = P.decodeVerify(spark, ProtoWire.zlib(P.encode(doc)))
+    assert(df.count() == doc.backendRows.length)
+    import org.apache.spark.sql.functions._
+    // every active client backend carries a resolved query; others none
+    val bad = df.filter(
+      (col("state") === "active" && col("backend_type") === "client backend")
+        =!= col("has_query"))
+    assert(bad.count() == 0)
+  }
+
+  test("integrity: dangling backend query reference is rejected") {
+    // drop the last QueryReference+Information pair: backends holding
+    // that idx must fail idx resolution in decodeVerify
+    assume(doc.queryRows.nonEmpty)
+    val tampered = doc.copy(queryRows = doc.queryRows.init)
+    val e = intercept[IllegalArgumentException] {
+      P.decodeVerify(spark, ProtoWire.zlib(P.encode(tampered)))
+    }
+    assert(e.getMessage.contains("idx"))
+  }
+}
