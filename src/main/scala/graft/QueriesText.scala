@@ -650,7 +650,11 @@ object QueriesText {
     val docs = Tables.fanOut(Tables.documents(s, dir))
     val tokens = docs.select(col("doc_id"),
         posexplode(TextFns.words(col("text"))).as(Seq("i", "tok")))
-      .localCheckpoint(eager = false) // feeds windows + coverage + rollup
+      // EAGER: these tables feed two branches of ONE action each — a
+      // lazy checkpoint would be computed concurrently (and redundantly)
+      // by both branches' stages before it persists; eager pays one
+      // up-front job and every consumer reads the materialized copy
+      .localCheckpoint()
     val h = org.apache.spark.sql.GraftNative.column(
       graft.functions.expressions.Fnv64Expr(
         org.apache.spark.sql.GraftNative.expression(col("ng"))))
@@ -664,11 +668,12 @@ object QueriesText {
           k => concat_ws(" ", slice(col("ws"), k + lit(1), lit(W)))))
         .as(Seq("pos", "ng")))
       .select(col("doc_id"), col("pos"), h.as("h"))
+      .localCheckpoint() // feeds dup count + the dup join (see above)
     val dupHashes = windows.groupBy("h")
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("h")
     val dupw = windows.join(dupHashes, Seq("h"))
       .select(col("doc_id"), col("pos"))
-      .localCheckpoint(eager = false) // feeds coverage + per-doc count
+      .localCheckpoint() // feeds coverage + per-doc count (see above)
     val covered = dupw
       .select(col("doc_id"),
         explode(expr(s"sequence(pos, pos + $W - 1)")).as("i"))
