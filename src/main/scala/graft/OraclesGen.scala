@@ -1301,6 +1301,63 @@ object OraclesGen {
        |FROM b2, c""".stripMargin
   }
 
+  /** Compact system snapshot e2e: re-derives the per-core CPU
+    * percentages (one division of exact integer sums, same operand
+    * order), the memory/disk derivations, and the document counts. */
+  val e2eSystemSnapshot: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, value, CAST(ts AS TIMESTAMP) AS tsx FROM events),
+       |cpu AS (
+       |  SELECT CAST(user_id % 7 AS BIGINT) AS core_id,
+       |    CAST(sum(CAST(floor(value * 10) AS BIGINT)) AS BIGINT) AS cu,
+       |    CAST(sum(CAST(floor(value * 3) AS BIGINT)) AS BIGINT) AS cs,
+       |    CAST(sum(CAST(floor(value * 20) AS BIGINT)) AS BIGINT) AS ci
+       |  FROM ev GROUP BY 1),
+       |g AS (
+       |  SELECT
+       |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+       |      AS ms_total,
+       |    CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(epoch_us(max(tsx)) // 1000000 AS BIGINT) AS collected_at_s
+       |  FROM ev)
+       |SELECT cpu.core_id,
+       |  CAST(cu AS DOUBLE) / (cu + cs + ci) AS user_pct,
+       |  CAST(cs AS DOUBLE) / (cu + cs + ci) AS system_pct,
+       |  CAST(ci AS DOUBLE) / (cu + cs + ci) AS idle_pct,
+       |  CAST(g.ms_total * 4096 AS BIGINT) AS mem_total_bytes,
+       |  CAST(g.ms_total * 1024 AS BIGINT) AS mem_free_bytes,
+       |  CAST(g.ms_total * 512 AS BIGINT) AS mem_cached_bytes,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cpu) AS n_cpus,
+       |  CAST(2 AS BIGINT) AS n_disks,
+       |  CAST(g.n_events * 9 AS BIGINT) AS sum_disk_read_ops,
+       |  'graft-system' AS system_id,
+       |  g.collected_at_s,
+       |  TRUE AS integrity_ok
+       |FROM cpu, g""".stripMargin
+
+  /** Query-run snapshot e2e: re-derives each run's guard outcome (the
+    * oracle states only the expected verdicts; the engine computes them
+    * with the real scanner), the stub plan JSON, and the timestamps. */
+  val e2eQueryRunSnapshot: String =
+    s"""WITH c AS (
+       |  SELECT event_id AS run_id, user_id AS backend_pid,
+       |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT)
+       |      AS started_s,
+       |    CASE WHEN event_id % 5 = 0
+       |      THEN 'DELETE FROM orders WHERE o_custkey = '
+       |      ELSE 'SELECT * FROM orders WHERE o_custkey = ' END
+       |      || regexp_extract(props, '"k": (\\d+)', 1) AS query
+       |  FROM events WHERE event_type = 'click')
+       |SELECT run_id, backend_pid, started_s,
+       |  started_s + 1 AS finished_s,
+       |  run_id % 5 = 0 AS blocked,
+       |  CASE WHEN run_id % 5 <> 0 THEN
+       |    '{"Plan":{"Node Type":"Seq Scan","Relation Name":"orders","Total Cost":'
+       |    || CAST(length(query) * 3 // 2 AS BIGINT) || '}}' END AS result,
+       |  CASE WHEN run_id % 5 = 0 THEN 'dml' END AS error,
+       |  TRUE AS integrity_ok
+       |FROM c""".stripMargin
+
   /** X14 exporter: re-derives every decoded OTLP span field — ids,
     * deterministic span id (FNV of "span:"+trace_id), tracestate vs
     * fallback timing, the sample URL — from the same events rows. */
@@ -1624,6 +1681,8 @@ object OraclesGen {
     "e2e_full_snapshot" -> e2eFullSnapshot,
     "e2e_compact_snapshot" -> e2eCompactSnapshot,
     "e2e_activity_snapshot" -> e2eActivitySnapshot,
+    "e2e_system_snapshot" -> e2eSystemSnapshot,
+    "e2e_query_run_snapshot" -> e2eQueryRunSnapshot,
     "x14_span_export" -> x14SpanExport,
     "dsir_select" -> dsirSelect,
     "embed_pq_recall" -> embedPqRecall,

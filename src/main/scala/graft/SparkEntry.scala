@@ -168,7 +168,17 @@ object SparkEntry {
     // per-pid activity tick + vacuum tick, BaseRefs dims → protobuf+
     // zlib → decode → integrity verify)
     "e2e_activity_snapshot" ->
-      ((s: SparkSession, d: String) => graft.sinks.ActivitySnapshotPipeline.e2e(s, d))
+      ((s: SparkSession, d: String) => graft.sinks.ActivitySnapshotPipeline.e2e(s, d)),
+    // end-to-end compact SYSTEM snapshot (the fourth wire artifact:
+    // per-core CPU tick + memory/disk stats → protobuf+zlib → decode →
+    // integrity verify)
+    "e2e_system_snapshot" ->
+      ((s: SparkSession, d: String) => graft.sinks.SystemSnapshotPipeline.e2e(s, d)),
+    // end-to-end query-run snapshots (the fifth wire variant: one
+    // CompactSnapshot per on-demand run, guard verdicts by the real
+    // scanner, per-run decode + integrity)
+    "e2e_query_run_snapshot" ->
+      ((s: SparkSession, d: String) => graft.sinks.QueryRunSnapshotPipeline.e2e(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

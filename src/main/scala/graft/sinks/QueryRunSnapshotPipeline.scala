@@ -1,0 +1,146 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** End-to-end QUERY-RUN snapshot lifecycle — the fifth (and last)
+  * CompactSnapshot variant (`protobuf/query_run_snapshot.proto:8-10`,
+  * `shared.proto:362-375`, `runner/query_run.go` +
+  * `input/postgres/explain_analyze.go:60-117`): on-demand query-run
+  * requests pass the X20 guard, allowed runs produce the (stubbed,
+  * [[graft.operators.ExplainEnrich.StubRunner]]-formula) EXPLAIN
+  * result, blocked runs carry the guard verdict as the error — and
+  * EACH run ships as its own CompactSnapshot document, the reference's
+  * actual per-run cadence.
+  *
+  * The guard verdicts are computed by the REAL codegen'd scanner
+  * ([[graft.functions.PgFns.queryRunGuard]]) on the distributed plan;
+  * only the bounded run list is collected, then every run round-trips
+  * its own protobuf+zlib document through decode + per-run integrity
+  * checks (result XOR error matching the verdict, finished ≥ started,
+  * id echo). */
+object QueryRunSnapshotPipeline {
+
+  val SnapshotUuid = "00000000-0000-7000-8000-000000000005"
+
+  // ------------------------------------------------------- spark stages
+
+  /** The run-request table: click events become EXPLAIN requests; every
+    * fifth request is a DML statement the guard must block. */
+  def runRequests(s: SparkSession, dir: String): DataFrame = {
+    val guard = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.GraftNative.column(
+        graft.functions.expressions.QueryRunGuardExpr(
+          org.apache.spark.sql.GraftNative.expression(c)))
+    Tables.fanOut(Tables.events(s, dir))
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("run_id"),
+        col("user_id").as("backend_pid"),
+        expr("unix_micros(ts) div 1000000").as("started_s"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k"))
+      .withColumn("query", concat(
+        when(col("run_id") % 5 === 0, "DELETE FROM orders WHERE o_custkey = ")
+          .otherwise("SELECT * FROM orders WHERE o_custkey = "),
+        col("k")))
+      .withColumn("verdict", guard(col("query")))
+      // the StubRunner plan formula (relation after FROM, cost 3·len/2)
+      // as a column: rel is constant 'orders' for this corpus
+      .withColumn("result", when(col("verdict") === "ok", concat(
+        lit("""{"Plan":{"Node Type":"Seq Scan","Relation Name":"orders","Total Cost":"""),
+        floor(length(col("query")) * 3 / 2).cast("long"), lit("}}"))))
+      .withColumn("error",
+        when(col("verdict") =!= "ok", col("verdict")).otherwise(lit(null)))
+      .withColumn("finished_s", col("started_s") + 1L)
+  }
+
+  // ----------------------------------------------- per-run wire round-trip
+
+  private def num(r: Row, i: Int): Long = r.getAs[Number](i).longValue
+
+  /** One CompactSnapshot document for one run. */
+  def encodeRun(r: Row): Array[Byte] = {
+    val qr = ProtoWire.msg()
+      .varint(1, num(r, 0))                          // id
+      .msg(2, ProtoWire.msg().varint(1, num(r, 2)))  // started_at
+      .msg(3, ProtoWire.msg().varint(1, num(r, 8)))  // finished_at
+    if (!r.isNullAt(6)) qr.string(4, r.getString(6)) // result
+    if (!r.isNullAt(7)) qr.string(5, r.getString(7)) // error
+    qr.varint(6, num(r, 1))                          // backend_pid
+    ProtoWire.msg()
+      .varint(1, 1L)
+      .string(3, FullSnapshotPipeline.CollectorVersion)
+      .string(4, SnapshotUuid)
+      .msg(5, ProtoWire.msg().varint(1, num(r, 8)))
+      .msg(13, ProtoWire.msg().msg(1, qr))           // query_run_snapshot
+      .toBytes
+  }
+
+  import ProtoWire.{VBytes, VInt, Value}
+
+  private def sub(b: Array[Byte]): Map[Int, Seq[Value]] =
+    ProtoWire.decode(b).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  private def vint(m: Map[Int, Seq[Value]], f: Int): Long =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(VInt(v)) => v
+      case _ => 0L
+    }
+  private def vstrOpt(m: Map[Int, Seq[Value]], f: Int): Option[String] =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(VBytes(b)) =>
+        Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+
+  def e2e(s: SparkSession, dir: String): DataFrame = {
+    val runs = runRequests(s, dir)
+      .select(col("run_id"), col("backend_pid"), col("started_s"),
+        col("k"), col("query"), col("verdict"), col("result"),
+        col("error"), col("finished_s"))
+      .orderBy("run_id").collect().toIndexedSeq
+    val rows = runs.map { r =>
+      val wire = ProtoWire.zlib(encodeRun(r))
+      val top = ProtoWire.decode(ProtoWire.unzlib(wire)).toMap
+      val qr = top.get(13) match {
+        case Some(VBytes(b)) => sub(b).getOrElse(1, Nil).headOption match {
+          case Some(VBytes(q)) => sub(q)
+          case _ => Map.empty[Int, Seq[Value]]
+        }
+        case _ => Map.empty[Int, Seq[Value]]
+      }
+      val id = vint(qr, 1)
+      val started = qr.get(2).flatMap(_.headOption) match {
+        case Some(VBytes(b)) => vint(sub(b), 1)
+        case _ => 0L
+      }
+      val finished = qr.get(3).flatMap(_.headOption) match {
+        case Some(VBytes(b)) => vint(sub(b), 1)
+        case _ => 0L
+      }
+      val result = vstrOpt(qr, 4)
+      val error = vstrOpt(qr, 5)
+      // per-run integrity: id echo, exactly one of result/error, and
+      // monotone timestamps
+      require(id == num(r, 0), s"run id mismatch: $id vs ${num(r, 0)}")
+      require(result.isDefined != error.isDefined,
+        s"run $id must carry exactly one of result/error")
+      require(finished >= started, s"run $id finished before it started")
+      Row(id, vint(qr, 6), started, finished,
+        error.isDefined, result.orNull, error.orNull, true)
+    }
+    val schema = StructType(Seq(
+      StructField("run_id", LongType),
+      StructField("backend_pid", LongType),
+      StructField("started_s", LongType),
+      StructField("finished_s", LongType),
+      StructField("blocked", BooleanType),
+      StructField("result", StringType),
+      StructField("error", StringType),
+      StructField("integrity_ok", BooleanType)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
+}

@@ -1,0 +1,207 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** End-to-end compact SYSTEM snapshot lifecycle — the fourth wire
+  * artifact (`output/compact_system.go:13-22`,
+  * `output/transform/system.go`, `protobuf/compact_system_snapshot
+  * .proto:8-10`, `shared.proto:101-127`): S34 OS metrics (per-core CPU
+  * counters normalized to percentages, A6), a memory statistic, and
+  * per-device disk statistics, assembled into `System` → CompactSnapshot
+  * field 11 → protobuf+zlib → decode → integrity verification.
+  *
+  * The CPU percent normalization is ONE division of two exact integer
+  * sums on both sides (the s34 determinism contract), so the decoded
+  * doubles hash-match the oracle bit-for-bit. */
+object SystemSnapshotPipeline {
+
+  val SnapshotUuid = "00000000-0000-7000-8000-000000000004"
+  val SystemId = "graft-system"
+  val DiskNames = Seq("vda", "vdb")
+
+  // ------------------------------------------------------- spark stages
+
+  /** Per-core CPU tick: the S34 aggregation, keeping the exact integer
+    * sums alongside the normalized percentages. */
+  def cpuTick(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy((col("user_id") % 7).as("core_id"))
+      .agg(
+        sum(expr("CAST(floor(value * 10) AS BIGINT)")).as("cpu_user"),
+        sum(expr("CAST(floor(value * 3) AS BIGINT)")).as("cpu_system"),
+        sum(expr("CAST(floor(value * 20) AS BIGINT)")).as("cpu_idle"))
+      .withColumn("total",
+        col("cpu_user") + col("cpu_system") + col("cpu_idle"))
+      .select(col("core_id"),
+        (col("cpu_user").cast("double") / col("total")).as("user_pct"),
+        (col("cpu_system").cast("double") / col("total")).as("system_pct"),
+        (col("cpu_idle").cast("double") / col("total")).as("idle_pct"))
+
+  /** One global tick row: memory gauges and per-disk thoughput counters
+    * derived from the same event aggregates (deterministic integer
+    * arithmetic; the disk rates are exact integer-quotient doubles). */
+  def systemTick(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("ms_total"),
+        count(lit(1)).as("n_events"),
+        expr("unix_micros(max(ts)) div 1000000").as("collected_at_s"))
+      .select(
+        (col("ms_total") * 4096L).as("mem_total_bytes"),
+        (col("ms_total") * 1024L).as("mem_free_bytes"),
+        (col("ms_total") * 512L).as("mem_cached_bytes"),
+        (col("n_events") * 7L).as("disk0_reads"),
+        (col("n_events") * 3L).as("disk0_writes"),
+        (col("n_events") * 2L).as("disk1_reads"),
+        (col("n_events") * 1L).as("disk1_writes"),
+        col("collected_at_s"))
+
+  // --------------------------------------------------- document assembly
+
+  /** cpuRows: (core_id, user_pct, system_pct, idle_pct); sysRow: the
+    * single systemTick row. */
+  final case class Doc(cpuRows: Seq[Row], sysRow: Row)
+
+  def assemble(s: SparkSession, dir: String): Doc = Doc(
+    cpuRows = cpuTick(s, dir).orderBy("core_id").collect().toIndexedSeq,
+    sysRow = systemTick(s, dir).head)
+
+  // ----------------------------------------------------------- encoding
+
+  private def num(r: Row, i: Int): Long = r.getAs[Number](i).longValue
+
+  def encode(doc: Doc): Array[Byte] = {
+    val sys = ProtoWire.msg()
+      .msg(1, ProtoWire.msg().varint(1, 0L))  // SystemInformation{SELF_HOSTED}
+      .string(2, SystemId)
+      .msg(11, ProtoWire.msg()                // MemoryStatistic
+        .varint(1, num(doc.sysRow, 0))        //   total_bytes
+        .varint(2, num(doc.sysRow, 2))        //   cached_bytes
+        .varint(4, num(doc.sysRow, 1)))       //   free_bytes
+    doc.cpuRows.foreach { r =>                // 13 CPUReference{core_id}
+      sys.msg(13, ProtoWire.msg().string(1, num(r, 0).toString))
+    }
+    doc.cpuRows.zipWithIndex.foreach { case (r, i) => // 14 CPUStatistic
+      sys.msg(14, ProtoWire.msg()
+        .varint(1, i + 1L)                    //   cpu_idx (1-based array pos)
+        .double(2, r.getDouble(1))            //   user_percent
+        .double(3, r.getDouble(2))            //   system_percent
+        .double(4, r.getDouble(3)))           //   idle_percent
+    }
+    DiskNames.zipWithIndex.foreach { case (n, _) => // 17 DiskReference
+      sys.msg(17, ProtoWire.msg().string(1, n))
+    }
+    Seq((num(doc.sysRow, 3), num(doc.sysRow, 4)),
+        (num(doc.sysRow, 5), num(doc.sysRow, 6)))
+      .zipWithIndex.foreach { case ((rd, wr), i) =>  // 19 DiskStatistic
+        sys.msg(19, ProtoWire.msg()
+          .varint(1, i + 1L)
+          .double(2, rd.toDouble)             //   read_operations_per_second
+          .double(6, wr.toDouble))            //   write ops (field 6)
+      }
+    ProtoWire.msg()
+      .varint(1, 1L)
+      .string(3, FullSnapshotPipeline.CollectorVersion)
+      .string(4, SnapshotUuid)
+      .msg(5, ProtoWire.msg().varint(1, num(doc.sysRow, 7)))
+      .msg(11, ProtoWire.msg().msg(1, sys))   // CompactSystemSnapshot{System}
+      .toBytes
+  }
+
+  // ----------------------------------------------------------- decoding
+
+  import ProtoWire.{V64, VBytes, VInt, Value}
+
+  private def sub(b: Array[Byte]): Map[Int, Seq[Value]] =
+    ProtoWire.decode(b).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  private def vint(m: Map[Int, Seq[Value]], f: Int): Long =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(VInt(v)) => v
+      case _ => 0L
+    }
+  private def vdouble(m: Map[Int, Seq[Value]], f: Int): Double =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(V64(bits)) => java.lang.Double.longBitsToDouble(bits)
+      case _ => 0.0
+    }
+  private def vstr(m: Map[Int, Seq[Value]], f: Int): String =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(VBytes(b)) =>
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case _ => ""
+    }
+
+  def decodeVerify(s: SparkSession, wire: Array[Byte]): DataFrame = {
+    val top = ProtoWire.decode(ProtoWire.unzlib(wire)).toMap
+    def topBytes(f: Int): Array[Byte] = top.get(f) match {
+      case Some(VBytes(b)) => b
+      case _ => Array.empty
+    }
+    val sys = sub(sub(topBytes(11)).getOrElse(1, Nil).headOption match {
+      case Some(VBytes(b)) => b
+      case _ => Array.empty
+    })
+    def msgs(f: Int): Seq[Map[Int, Seq[Value]]] =
+      sys.getOrElse(f, Nil).collect { case VBytes(b) => sub(b) }
+    val cpuRefs = msgs(13); val cpuStats = msgs(14)
+    val diskRefs = msgs(17); val diskStats = msgs(19)
+    val mem = sys.getOrElse(11, Nil).headOption match {
+      case Some(VBytes(b)) => sub(b)
+      case _ => Map.empty[Int, Seq[Value]]
+    }
+    val (nCpus, nDisks) = (cpuRefs.length.toLong, diskRefs.length.toLong)
+    require(nCpus == cpuStats.length,
+      s"found ${cpuStats.length} CPUStatistics but $nCpus CPUReferences")
+    require(nDisks == diskStats.length,
+      s"found ${diskStats.length} DiskStatistics but $nDisks DiskReferences")
+    require(cpuStats.forall { m =>
+      val i = vint(m, 1); i >= 1 && i <= nCpus
+    }, "cpu_statistics idx out of range")
+    require(diskStats.forall { m =>
+      val i = vint(m, 1); i >= 1 && i <= nDisks
+    }, "disk_statistics idx out of range")
+    // percentages of one core must sum to 1 within float tolerance —
+    // the normalization invariant the transform guarantees
+    require(cpuStats.forall { m =>
+      math.abs(vdouble(m, 2) + vdouble(m, 3) + vdouble(m, 4) - 1.0) < 1e-9
+    }, "cpu percentages do not sum to 1")
+
+    val collectedAtSecs = top.get(5) match {
+      case Some(VBytes(b)) => vint(sub(b), 1)
+      case _ => 0L
+    }
+    val coreIds = cpuRefs.map(vstr(_, 1)).toIndexedSeq
+    val sumDiskReads = diskStats.map(vdouble(_, 2)).sum.toLong
+    val rows = cpuStats.map { m =>
+      Row(
+        coreIds((vint(m, 1) - 1).toInt).toLong,
+        vdouble(m, 2), vdouble(m, 3), vdouble(m, 4),
+        vint(mem, 1), vint(mem, 4), vint(mem, 2),
+        nCpus, nDisks, sumDiskReads, vstr(sys, 2),
+        collectedAtSecs, true)
+    }
+    val schema = StructType(Seq(
+      StructField("core_id", LongType),
+      StructField("user_pct", DoubleType),
+      StructField("system_pct", DoubleType),
+      StructField("idle_pct", DoubleType),
+      StructField("mem_total_bytes", LongType),
+      StructField("mem_free_bytes", LongType),
+      StructField("mem_cached_bytes", LongType),
+      StructField("n_cpus", LongType), StructField("n_disks", LongType),
+      StructField("sum_disk_read_ops", LongType),
+      StructField("system_id", StringType),
+      StructField("collected_at_s", LongType),
+      StructField("integrity_ok", BooleanType)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The driver-gated entry: assemble → encode → zlib → decode → verify. */
+  def e2e(s: SparkSession, dir: String): DataFrame =
+    decodeVerify(s, ProtoWire.zlib(encode(assemble(s, dir))))
+}
