@@ -754,6 +754,70 @@ object OraclesGen {
        |  FROM m)""".stripMargin
   }
 
+  /** Content-defined chunking: rebuilds the rolling gram hashes (the
+    * winnow recurrence), the divisor cut candidates, and the min/max
+    * scan as a recursive CTE; chunk hashes and the corpus-wide
+    * occurrence counts re-derived identically. */
+  val docCdcChunks: String = {
+    val B = graft.functions.Hashing.FnvPrime
+    val (k, div, minL, maxL) = (8, 16, 16, 64)
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+       |  FROM documents),
+       |carr AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(text, '.'),
+       |      c -> CAST(ord(c) AS HUGEINT)) AS cs
+       |  FROM d),
+       |h AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(cs) < $k THEN CAST([] AS HUGEINT[])
+       |    ELSE list_transform(range(len(cs) - $k + 1),
+       |      p -> list_reduce(list_prepend(CAST(0 AS HUGEINT), cs[p+1 : p+$k]),
+       |        (a, c) -> (a * $B + c) % CAST(18446744073709551616 AS HUGEINT)))
+       |    END AS hs
+       |  FROM carr),
+       |cand AS (
+       |  SELECT doc_id, CAST(t.u.p + $k AS INT) AS e
+       |  FROM (SELECT doc_id, unnest(list_transform(range(len(hs)),
+       |          i -> struct_pack(p := i, hv := hs[i+1]))) AS u
+       |        FROM h) t
+       |  WHERE t.u.hv % $div = 0),
+       |candarr AS (
+       |  SELECT doc_id, list_sort(list(e)) AS es FROM cand GROUP BY doc_id),
+       |d2 AS (
+       |  SELECT d.doc_id, d.len, COALESCE(ca.es, CAST([] AS INT[])) AS es
+       |  FROM d LEFT JOIN candarr ca USING (doc_id)),
+       |chunks AS (
+       |  SELECT doc_id, CAST(0 AS INT) AS cstart,
+       |    CAST(COALESCE(list_aggregate(list_filter(es,
+       |        x -> x >= $minL AND x <= LEAST($maxL, len)), 'min'),
+       |      LEAST($maxL, len)) AS INT) AS cend,
+       |    len, es
+       |  FROM d2 WHERE len > 0
+       |  UNION ALL
+       |  SELECT r.doc_id, r.cend,
+       |    CAST(COALESCE(list_aggregate(list_filter(r.es,
+       |        x -> x >= r.cend + $minL
+       |          AND x <= LEAST(r.cend + $maxL, r.len)), 'min'),
+       |      LEAST(r.cend + $maxL, r.len)) AS INT), r.len, r.es
+       |  FROM chunks r WHERE r.cend < r.len),
+       |rows0 AS (
+       |  SELECT ch.doc_id,
+       |    CAST(row_number() OVER (PARTITION BY ch.doc_id
+       |      ORDER BY ch.cstart) - 1 AS INT) AS chunk_idx,
+       |    ch.cstart AS "start", ch.cend AS "end",
+       |    ch.cend - ch.cstart AS chunk_len,
+       |    CAST(CASE WHEN hh >= 9223372036854775808
+       |      THEN hh - 18446744073709551616 ELSE hh END AS BIGINT)
+       |      AS chunk_hash
+       |  FROM (SELECT ch0.*, ${fnvHuge(
+                 "substr(d.text, ch0.cstart + 1, ch0.cend - ch0.cstart)")} AS hh
+       |        FROM chunks ch0 JOIN d ON d.doc_id = ch0.doc_id) ch)
+       |SELECT *, count(*) OVER (PARTITION BY chunk_hash) AS n_occurrences
+       |FROM rows0""".stripMargin
+  }
+
   /** FNV-routed source mixing: bucket and keep-threshold re-derived
     * from the same recipe constants the engine uses. */
   val sampleMixSources: String = {
@@ -1727,6 +1791,7 @@ object OraclesGen {
     "embed_ivf_recall" -> embedIvfRecall,
     "sem_dedup" -> semDedup,
     "doc_winnow" -> docWinnow,
+    "doc_cdc_chunks" -> docCdcChunks,
     "embed_near_dups" -> embedNearDups,
     "x1_normalize_goldens" -> x1NormalizeGoldens,
     "x1_fingerprint_collapse" -> x1FingerprintCollapse)

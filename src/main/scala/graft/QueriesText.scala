@@ -561,6 +561,27 @@ object QueriesText {
     graft.operators.BpeTrain.merges(words, rounds = 5)
   }
 
+  /** Content-defined chunking (the Rabin/FastCDC family): rolling-hash
+    * cut points (same 8-gram polynomial as winnowing) with min 16 /
+    * max 64 byte bounds, divisor 16 — boundaries survive local edits,
+    * so shifted content re-aligns and chunk hashes dedup across the
+    * corpus (the `n_occurrences` window). One native expression per
+    * row for the scan; one shuffle on chunk_hash for the dedup count. */
+  def docCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.CdcChunksExpr(
+        org.apache.spark.sql.GraftNative.expression(col("text")),
+        k = 8, divisor = 16L, minLen = 16, maxLen = 64))
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("c.start").as("start"), col("c.end").as("end"),
+        (col("c.end") - col("c.start")).as("chunk_len"),
+        col("c.hash").as("chunk_hash"))
+      .withColumn("n_occurrences", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk_hash")))
+  }
+
   /** Fuzzy-dedup e2e — the production near-dup pipeline as ONE chain:
     * MinHash(64) signatures → 8×8 banded LSH candidates (≥ 0.7
     * estimated Jaccard) → connected components over the candidate

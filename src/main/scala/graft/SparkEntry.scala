@@ -128,6 +128,7 @@ object SparkEntry {
     "dedup_substrings" -> (QueriesText.dedupSubstrings _),
     "text_lm_score" -> (QueriesText.textLmScore _),
     "dedup_fuzzy_e2e" -> (QueriesText.dedupFuzzyE2e _),
+    "doc_cdc_chunks" -> (QueriesText.docCdcChunks _),
     "a12_latency_percentiles" -> (Queries.a12LatencyPercentiles _),
     "doc_winnow" -> (QueriesText.docWinnow _),
     "mm_decode_features" -> (QueriesText.mmDecodeFeatures _),

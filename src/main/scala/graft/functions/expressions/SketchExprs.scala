@@ -124,6 +124,80 @@ case class SimhashExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Content-defined chunking (the Rabin/FastCDC family used by
+  * dedup-at-scale stores): the SAME rolling polynomial k-gram hash as
+  * [[WinnowExpr]], with a cut after byte position e-1 whenever the
+  * gram ending there satisfies `hash % divisor == 0`, subject to
+  * min/max chunk bounds — a boundary survives local edits because it
+  * depends only on the surrounding k bytes, so shifted content
+  * re-aligns (fixed-size chunking cannot).
+  *
+  * Scan semantics (mirrored exactly in the oracle's recursive CTE):
+  * from `start`, the chunk ends at the FIRST candidate cut e with
+  * `start+minLen ≤ e ≤ start+maxLen`, else at `start+maxLen`, clamped
+  * to the document end (the final remainder may be short). Returns
+  * array<struct<start, end, hash>> with hash = FNV-1a 64 of the chunk
+  * bytes (the dedup key). */
+case class CdcChunksExpr(child: Expression, k: Int, divisor: Long,
+    minLen: Int, maxLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && divisor > 0 && minLen >= k && maxLen > minLen)
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // rolling gram hashes: hs(p) = hash of bytes [p, p+k)
+    val m = math.max(0, n - k + 1)
+    val hs = new Array[Long](m)
+    if (m > 0) {
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * Hashing.FnvPrime + (bytes(i) & 0xffL); i += 1 }
+      hs(0) = h
+      var bk = 1L
+      i = 0
+      while (i < k - 1) { bk *= Hashing.FnvPrime; i += 1 }
+      var p = 1
+      while (p < m) {
+        h = (h - (bytes(p - 1) & 0xffL) * bk) * Hashing.FnvPrime +
+          (bytes(p + k - 1) & 0xffL)
+        hs(p) = h
+        p += 1
+      }
+    }
+    // cut candidate AFTER byte e-1 ⟺ gram starting at e-k divides
+    @inline def isCut(e: Int): Boolean =
+      e >= k && e - k < m && java.lang.Long.remainderUnsigned(
+        hs(e - k), divisor) == 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    while (start < n) {
+      val limit = math.min(start + maxLen, n)
+      var end = limit
+      var e = start + minLen
+      var found = false
+      while (!found && e <= limit) {
+        if (isCut(e)) { end = e; found = true }
+        e += 1
+      }
+      if (end <= start) end = limit // unreachable guard (minLen > 0)
+      var ch = Hashing.FnvOffset
+      var i = start
+      while (i < end) { ch ^= (bytes(i) & 0xffL); ch *= Hashing.FnvPrime; i += 1 }
+      out += org.apache.spark.sql.catalyst.InternalRow(start, end, ch)
+      start = end
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+}
+
 /** Winnowing document fingerprints (the MOSS scheme): a TRUE rolling
   * polynomial hash over every `k`-byte gram — O(1) per position via
   *   h' = (h − out·B^(k−1))·B + in   (mod 2^64)
