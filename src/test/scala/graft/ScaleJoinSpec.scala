@@ -70,6 +70,33 @@ class ScaleJoinSpec extends SparkSpec {
     }
   }
 
+  test("late-round-5 corpus operators plan with equi-joins only") {
+    // substring dedup, LM scoring, BPE encode and CDC chunking must
+    // never degrade to a cartesian/nested-loop shape — their scale
+    // story is all equi-joins; a BroadcastNestedLoopJoin or
+    // CartesianProduct here is a 100×-scale regression
+    Seq(
+      "dedup_substrings" -> QueriesText.dedupSubstrings(spark, Sf),
+      "tokenizer_bpe_encode" -> QueriesText.tokenizerBpeEncode(spark, Sf),
+      "doc_cdc_chunks" -> QueriesText.docCdcChunks(spark, Sf)).foreach {
+      case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name must not plan a cartesian product:\n${plan.take(2000)}")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name must not plan a nested-loop join:\n${plan.take(2000)}")
+    }
+    // text_lm_score legitimately carries ONE broadcast nested loop: the
+    // 1-row vocab-size scalar crossJoin (the adjudicated
+    // broadcast-1-row-aggregate pattern); anything beyond that is a
+    // regression
+    val lm = QueriesText.textLmScore(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!lm.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(lm).length <= 1,
+      s"text_lm_score must only cross-join the 1-row scalar:\n${lm.take(2000)}")
+  }
+
   test("cloud adapters parse the envelope exactly once per record") {
     // the explode(array(...)) fences keep pushed-down filters from
     // re-substituting from_json per conjunct (a per-row 5x JSON parse)
