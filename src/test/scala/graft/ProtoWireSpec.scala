@@ -79,4 +79,25 @@ class ProtoWireSpec extends SparkSpec {
       rows.head.getString(0))
     assert(first(2) === (3 -> VInt(rows.head.getLong(1))))
   }
+
+  test("query-run document: golden bytes for one run") {
+    import org.apache.spark.sql.Row
+    // a blocked run: id 5, pid 9, started 100, finished 101, error 'dml'
+    val r = Row(5L, 9L, 100L, "7", "DELETE FROM orders WHERE o_custkey = 7",
+      "dml", null, "dml", 101L)
+    val wire = graft.sinks.QueryRunSnapshotPipeline.encodeRun(r)
+    // decode instead of full-byte pin (the header carries the collector
+    // version string); the QueryRun submessage bytes ARE pinned
+    val top = ProtoWire.decode(wire).toMap
+    val qrBytes = top(13).asInstanceOf[VBytes].b
+    // query_run_snapshot{1: QueryRun{1:5, 2:{1:100}, 3:{1:101},
+    //   5:"dml", 6:9}}
+    assert(hex(qrBytes) ===
+      "0a11" +            // field 1, len 17
+      "0805" +            // id = 5
+      "1202" + "0864" +   // started_at{seconds=100}
+      "1a02" + "0865" +   // finished_at{seconds=101}
+      "2a03" + "646d6c" + // error = "dml"
+      "3009")             // backend_pid = 9
+  }
 }
