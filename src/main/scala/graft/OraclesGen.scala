@@ -761,14 +761,22 @@ object OraclesGen {
   val docCdcChunks: String = {
     val B = graft.functions.Hashing.FnvPrime
     val (k, div, minL, maxL) = (8, 16, 16, 64)
-    s"""WITH RECURSIVE d AS (
-       |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+    // BYTE-based to match CdcChunksExpr exactly: the engine hashes the
+    // UTF-8 octets and emits byte offsets, so the oracle decodes the
+    // byte stream from hex(encode(text)) rather than ord() of
+    // characters — the two only coincide on pure-ASCII text.
+    s"""WITH RECURSIVE hx AS (
+       |  SELECT doc_id, hex(encode(text)) AS h,
+       |    CAST(octet_length(encode(text)) AS INT) AS len
        |  FROM documents),
+       |d AS (SELECT doc_id, len FROM hx),
        |carr AS (
        |  SELECT doc_id,
-       |    list_transform(regexp_extract_all(text, '.'),
-       |      c -> CAST(ord(c) AS HUGEINT)) AS cs
-       |  FROM d),
+       |    list_transform(range(len),
+       |      i -> CAST((strpos('0123456789ABCDEF', h[2*i+1 : 2*i+1]) - 1) * 16
+       |             + (strpos('0123456789ABCDEF', h[2*i+2 : 2*i+2]) - 1)
+       |           AS HUGEINT)) AS cs
+       |  FROM hx),
        |h AS (
        |  SELECT doc_id,
        |    CASE WHEN len(cs) < $k THEN CAST([] AS HUGEINT[])
@@ -811,9 +819,15 @@ object OraclesGen {
        |    CAST(CASE WHEN hh >= 9223372036854775808
        |      THEN hh - 18446744073709551616 ELSE hh END AS BIGINT)
        |      AS chunk_hash
-       |  FROM (SELECT ch0.*, ${fnvHuge(
-                 "substr(d.text, ch0.cstart + 1, ch0.cend - ch0.cstart)")} AS hh
-       |        FROM chunks ch0 JOIN d ON d.doc_id = ch0.doc_id) ch)
+       |  FROM (SELECT ch0.*,
+       |          list_reduce(list_prepend(
+       |              CAST(14695981039346656037 AS HUGEINT),
+       |              ca.cs[ch0.cstart + 1 : ch0.cend]),
+       |            (a, b) -> ((a - (a % 256)
+       |              + CAST(xor(CAST(a % 256 AS BIGINT), CAST(b AS BIGINT))
+       |                  AS HUGEINT)) * 1099511628211)
+       |              % CAST(18446744073709551616 AS HUGEINT)) AS hh
+       |        FROM chunks ch0 JOIN carr ca ON ca.doc_id = ch0.doc_id) ch)
        |SELECT *, count(*) OVER (PARTITION BY chunk_hash) AS n_occurrences
        |FROM rows0""".stripMargin
   }
@@ -1649,7 +1663,7 @@ object OraclesGen {
 
   /** IVF-PQ: the full composed index bit-reproduced — coarse full-dim
     * k-means (the m = 1 chain), residuals against the assigned coarse
-    * centroid, the residual-PQ chain, nprobe = 2 coarse routing per
+    * centroid, the residual-PQ chain, nprobe = 4 coarse routing per
     * query, per-probed-list residual distance tables, and the
     * list-restricted ADC fold — against exact-L2 truth. */
   val embedIvfPqRecall: String = {

@@ -290,7 +290,7 @@ object QueriesText {
     // lazy checkpoint.
     val tf = d.select(col("doc_id"), explode(TextFns.words(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint() // EAGER: feeds df agg + scoring join
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -324,7 +324,7 @@ object QueriesText {
       .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("dl"),
         filter(col("ws"), w => w.isInCollection(terms)).as("hits"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint() // EAGER: feeds tf branch + corpus stats branch
     val tf = d.select(col("doc_id"), col("dl"),
       explode(col("hits")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
@@ -632,7 +632,9 @@ object QueriesText {
             element_at(col("ws"), k + lit(2)).as("w2")))))
       .select(col("doc_id"), col("pos"),
         col("col.w1").as("w1"), col("col.w2").as("w2"))
-      .localCheckpoint(eager = false) // feeds counts + scoring join
+      .localCheckpoint() // EAGER: feeds counts + scoring join — three
+    // branches of one final action; a lazy checkpoint here is
+    // recomputed concurrently per branch (see dedupSubstrings)
     val cBig = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cCtx = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
     val vocab = docs
@@ -782,7 +784,8 @@ object QueriesText {
     // only 50 full vectors per query instead of the corpus
     val adc50 = ProductQuant.adcTopK(queries, codes, cents,
       k = 50, m = 8, dim = 64, nCodes = 16)
-      .localCheckpoint(eager = false) // feeds raw top-5 AND the re-rank
+      .localCheckpoint() // EAGER: feeds raw top-5 AND the re-rank — a
+    // lazy checkpoint re-runs the whole ADC chain once per branch
     val adc5 = adc50.filter(col("rank") <= 5)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
@@ -828,7 +831,8 @@ object QueriesText {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val r = ProductQuant.ivfPqTopK(queries, emb, k = 50,
       nClusters = 16, nprobe = 4, m = 8, nCodes = 16, iters = 2, dim = 64)
-    val adc50 = r.topK.localCheckpoint(eager = false) // feeds raw + rerank
+    val adc50 = r.topK.localCheckpoint() // EAGER: feeds raw + rerank —
+    // lazy would re-run the full IVF-PQ ADC chain once per branch
     val adc5 = adc50.filter(col("rank") <= 5)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
     val w = org.apache.spark.sql.expressions.Window
@@ -904,7 +908,7 @@ object QueriesText {
     val docFeat = bg
       .select(col("doc_id"), col("lang"), pmod(h, lit(B)).as("bucket"))
       .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint() // EAGER: feeds raw + target + per-doc weights
     val raw = docFeat.groupBy("bucket").agg(sum("n").as("cr"))
     val tgt = docFeat.filter(col("lang") === "en")
       .groupBy("bucket").agg(sum("n").as("ct"))

@@ -49,7 +49,15 @@ object Tables {
     // before. (A few huge files would split into enough tasks anyway —
     // the extra repartition in that corner is harmless, one narrow pass.)
     val files = df.inputFiles.length
-    if (files > 0 && files < target) df.repartition(target) else df
+    if (files > 0) {
+      if (files < target) df.repartition(target) else df
+    } else {
+      // Not file-scan-backed (in-memory, JDBC catalog reads): inputFiles
+      // is empty, so fall back to the physical partition count — these
+      // frames are k-row catalog shapes where the one-off planning cost
+      // of .rdd is negligible and a 1-partition frame must still fan out.
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")

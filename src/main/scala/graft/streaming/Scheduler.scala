@@ -39,14 +39,20 @@ object Scheduler {
     * carries its deadline: the next firing of the same cadence, short
     * gaps extended to `minRunSecs` (the reference's 19 s floor). */
   def plan(t0: Long, horizon: Long, minRunSecs: Long = 19L): Seq[Tick] = {
-    def fires(period: Long): Seq[Long] =
-      (period to horizon by period).map(t0 + _)
+    // Offsets are t0-RELATIVE; the overlap-skip must compare offsets,
+    // not absolute fire times — high-freq coincides with full-snapshot
+    // exactly when the OFFSET is a multiple of FullPeriod, regardless
+    // of t0's alignment. (Filtering absolute times kept the real
+    // overlap at t0+600 for non-600-aligned t0 and wrongly dropped
+    // unrelated ticks landing on absolute 600 s boundaries.)
+    def offsets(period: Long): Seq[Long] = period to horizon by period
     def withDeadline(cadence: String, fs: Seq[Long], period: Long): Seq[Tick] =
       fs.map(f => Tick(cadence, f, f + math.max(period - 1, minRunSecs)))
-    withDeadline(Activity, fires(ActivityPeriod), ActivityPeriod) ++
+    withDeadline(Activity, offsets(ActivityPeriod).map(t0 + _), ActivityPeriod) ++
       withDeadline(HighFreq,
-        fires(HighFreqPeriod).filterNot(_ % FullPeriod == 0), HighFreqPeriod) ++
-      withDeadline(Full, fires(FullPeriod), FullPeriod)
+        offsets(HighFreqPeriod).filterNot(_ % FullPeriod == 0).map(t0 + _),
+        HighFreqPeriod) ++
+      withDeadline(Full, offsets(FullPeriod).map(t0 + _), FullPeriod)
   }
 
   sealed trait Outcome

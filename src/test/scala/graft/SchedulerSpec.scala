@@ -24,6 +24,24 @@ class SchedulerSpec extends AnyFunSuite {
     assert(by(Scheduler.Full) === Seq(1800L))
   }
 
+  test("plan: overlap skip is t0-relative — non-aligned t0 still skips the coinciding tick") {
+    // t0 = 123 is NOT a multiple of 600: the high-freq tick that truly
+    // coincides with the full-snapshot firing is t0+600 = 723 (absolute
+    // time not a 600-multiple) and must be skipped; no other tick is.
+    val p = Scheduler.plan(123L, 600L)
+    val by = p.groupBy(_.cadence).view.mapValues(_.map(_.fireAt).sorted).toMap
+    assert(by(Scheduler.HighFreq) === (183L to 663L by 60L))
+    assert(!by(Scheduler.HighFreq).contains(723L))
+    assert(by(Scheduler.Full) === Seq(723L))
+    // a t0 where an early high-freq tick lands on an ABSOLUTE 600
+    // boundary (540 + 60 = 600): it does not coincide with full
+    // (which fires at 540 + 600 = 1140) and must NOT be dropped
+    val p2 = Scheduler.plan(540L, 600L)
+    val hf2 = p2.filter(_.cadence == Scheduler.HighFreq).map(_.fireAt)
+    assert(hf2.contains(600L))
+    assert(!hf2.contains(1140L))
+  }
+
   test("plan: deadlines extend short gaps to the 19 s floor") {
     val p = Scheduler.plan(0L, 600L)
     val act = p.filter(_.cadence == Scheduler.Activity).head
