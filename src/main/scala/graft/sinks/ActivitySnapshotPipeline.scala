@@ -91,9 +91,11 @@ object ActivitySnapshotPipeline {
   final case class Doc(
       collectedAtSecs: Long,
       roleRows: Seq[Row], dbRows: Seq[Row], queryRows: Seq[Row],
-      relRows: Seq[Row], backendRows: Seq[Row], vacuumRows: Seq[Row])
+      relRows: Seq[Row], backendRows: Seq[Row], vacuumRows: Seq[Row],
+      droppedSections: Seq[String] = Nil)
 
-  def assemble(s: SparkSession, dir: String): Doc = {
+  def assemble(s: SparkSession, dir: String,
+      backendLimit: Int = SectionCap.BackendLimit): Doc = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     import graft.operators.DimEncode
@@ -125,16 +127,23 @@ object ActivitySnapshotPipeline {
     val (_, vFact0) = DimEncode.encode(vacs1, "rkey")
     val vFact = vFact0.localCheckpoint()
 
-    val fBacks = bg(backs.select(col("pid"), col("rolname_idx"),
-        col("datname_idx"), col("qkey_idx"), col("query"),
-        col("query_start_s"), col("waiting"), col("state"),
-        col("wait_event_type"), col("wait_event"), col("backend_type"))
-      .orderBy("pid").collect().toIndexedSeq)
-    val fVacs = bg(vFact.select(col("pid"), col("rolname_idx"),
-        col("datname_idx"), col("rkey_idx"),
-        expr("CAST(0 AS BIGINT)").as("started_s"), col("phase_id"),
-        col("heap_blks_total"), col("heap_blks_scanned"))
-      .orderBy("pid").collect().toIndexedSeq)
+    // backends are max_connections-bounded server-side; the guard makes
+    // the bound local — a runaway source drops the per-pid sections
+    // with a flag instead of unbounding the driver collect
+    val fBacks = bg(SectionCap.guarded(
+      backs.select(col("pid"), col("rolname_idx"),
+          col("datname_idx"), col("qkey_idx"), col("query"),
+          col("query_start_s"), col("waiting"), col("state"),
+          col("wait_event_type"), col("wait_event"), col("backend_type"))
+        .orderBy("pid"),
+      backendLimit, "backends", "backend"))
+    val fVacs = bg(SectionCap.guarded(
+      vFact.select(col("pid"), col("rolname_idx"),
+          col("datname_idx"), col("rkey_idx"),
+          expr("CAST(0 AS BIGINT)").as("started_s"), col("phase_id"),
+          col("heap_blks_total"), col("heap_blks_scanned"))
+        .orderBy("pid"),
+      backendLimit, "vacuum backends", "vacuum progress"))
     val fQueries = bg(qFact.groupBy("qkey_idx")
       .agg(first("datname_idx").as("datname_idx"),
         first("rolname_idx").as("rolname_idx"), first("fp").as("fp"),
@@ -150,14 +159,17 @@ object ActivitySnapshotPipeline {
       .orderBy("datname_idx").collect().toIndexedSeq)
     val fAt = bg(backs0.agg(max("query_start_s")).head.getLong(0))
 
+    val backSec = Await.result(fBacks, Duration.Inf)
+    val vacSec = Await.result(fVacs, Duration.Inf)
     Doc(
       collectedAtSecs = Await.result(fAt, Duration.Inf),
       roleRows = Await.result(fRoles, Duration.Inf),
       dbRows = Await.result(fDbs, Duration.Inf),
       queryRows = Await.result(fQueries, Duration.Inf),
       relRows = Await.result(fRels, Duration.Inf),
-      backendRows = Await.result(fBacks, Duration.Inf),
-      vacuumRows = Await.result(fVacs, Duration.Inf))
+      backendRows = backSec.rows,
+      vacuumRows = vacSec.rows,
+      droppedSections = backSec.flag.toSeq ++ vacSec.flag.toSeq)
   }
 
   // ----------------------------------------------------------- encoding

@@ -133,14 +133,16 @@ object CompactSnapshotPipeline {
   final case class Doc(
       collectedAtSecs: Long,
       fileRows: Seq[Row], roleRows: Seq[Row], dbRows: Seq[Row],
-      queryRows: Seq[Row], lineRows: Seq[Row], sampleRows: Seq[Row])
+      queryRows: Seq[Row], lineRows: Seq[Row], sampleRows: Seq[Row],
+      droppedSections: Seq[String] = Nil)
 
   /** Run the distributed stages and collect the bounded sections. The
     * parsed corpus and the sample subset are each materialized once
     * (they feed several consumers); the six section collects then run
     * concurrently — wall-clock is the longest collect, not the sum
     * (same overlap pattern as [[FullSnapshotPipeline.assemble]]). */
-  def assemble(s: SparkSession, dir: String): Doc = {
+  def assemble(s: SparkSession, dir: String,
+      logLineLimit: Int = SectionCap.LogLineLimit): Doc = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -163,21 +165,30 @@ object CompactSnapshotPipeline {
     val (_, qFact0) = DimEncode.encode(clicks, "qkey")
     val qFact = qFact0.localCheckpoint()
 
+    // W6 made a hard bound: the reference's log path is backpressure-
+    // bounded (`runner/logs.go:265-283` discards rather than buffer
+    // unboundedly); here the equivalent guard drops an over-limit
+    // batch's line AND sample sections (samples derive from the same
+    // lines) with a flag, keeping the driver collect limit-bounded.
     val fLines = bg {
-      lines.join(qFact.select(col("event_id"), col("qkey_idx")),
-          Seq("event_id"), "left")
-        .select(col("file_idx"), col("byte_start"),
-          col("byte_content_start"), col("byte_end"), col("pid"),
-          col("level"), col("classification"), col("username_idx"),
-          col("database_idx"), col("qkey_idx"), col("occurred_at_s"),
-          col("content"), col("event_id"))
-        .orderBy("file_idx", "byte_start").collect().toIndexedSeq
+      SectionCap.guarded(
+        lines.join(qFact.select(col("event_id"), col("qkey_idx")),
+            Seq("event_id"), "left")
+          .select(col("file_idx"), col("byte_start"),
+            col("byte_content_start"), col("byte_end"), col("pid"),
+            col("level"), col("classification"), col("username_idx"),
+            col("database_idx"), col("qkey_idx"), col("occurred_at_s"),
+            col("content"), col("event_id"))
+          .orderBy("file_idx", "byte_start"),
+        logLineLimit, "log lines", "log line")
     }
     val fSamples = bg {
-      qFact.select(col("qkey_idx"), col("occurred_at_s"),
-          col("runtime_ms"), col("query"), col("file_idx"),
-          col("byte_start"), col("event_id"))
-        .orderBy("file_idx", "byte_start").collect().toIndexedSeq
+      SectionCap.guarded(
+        qFact.select(col("qkey_idx"), col("occurred_at_s"),
+            col("runtime_ms"), col("query"), col("file_idx"),
+            col("byte_start"), col("event_id"))
+          .orderBy("file_idx", "byte_start"),
+        logLineLimit, "query samples", "query sample")
     }
     val fQueryRows = bg {
       qFact.groupBy("qkey_idx")
@@ -198,14 +209,33 @@ object CompactSnapshotPipeline {
       .orderBy("database_idx").collect().toIndexedSeq)
     val fAt = bg(lines.agg(max("occurred_at_s")).head.getLong(0))
 
+    val lineSec = Await.result(fLines, Duration.Inf)
+    val sampleSec = Await.result(fSamples, Duration.Inf)
+    // a dropped line section takes its derived samples with it: a
+    // document with samples pointing at absent lines would be
+    // internally inconsistent
+    val sampleRows = if (lineSec.dropped) Vector.empty[Row] else sampleSec.rows
+    val derivedFlag =
+      if (lineSec.dropped && !sampleSec.dropped && sampleSec.rows.nonEmpty)
+        Seq("query sample information will not be sent " +
+          "(log line section was dropped)")
+      else Nil
+    // the file section's byte accounting is DERIVED from the line rows
+    // (decode verifies sum of line spans == file byte_size), so a
+    // dropped line section takes the file section with it
+    val fileRows =
+      if (lineSec.dropped) Vector.empty[Row]
+      else Await.result(fFiles, Duration.Inf)
     Doc(
       collectedAtSecs = Await.result(fAt, Duration.Inf),
-      fileRows = Await.result(fFiles, Duration.Inf),
+      fileRows = fileRows,
       roleRows = Await.result(fRoles, Duration.Inf),
       dbRows = Await.result(fDbs, Duration.Inf),
       queryRows = Await.result(fQueryRows, Duration.Inf),
-      lineRows = Await.result(fLines, Duration.Inf),
-      sampleRows = Await.result(fSamples, Duration.Inf))
+      lineRows = lineSec.rows,
+      sampleRows = sampleRows,
+      droppedSections =
+        lineSec.flag.toSeq ++ sampleSec.flag.toSeq ++ derivedFlag)
   }
 
   // ----------------------------------------------------------- encoding

@@ -28,8 +28,11 @@ import graft.sources.CatalogSynth
   * Everything distributed stays distributed (diffs, grouping, dims are
   * Spark plans); only the assembled DOCUMENT is collected — the
   * snapshot is the reference's bounded per-server artifact (dims +
-  * one tick's grouped facts; the reference caps at 5000 queries per
-  * database), not a corpus-scale dataset. The returned DataFrame is
+  * one tick's grouped facts), and the bound is ENFORCED: every
+  * section collect runs through a [[SectionCap]] guard (schema 5000
+  * relations, statements 5000), so a pathological source drops the
+  * section with a `collector_errors` flag instead of unbounding
+  * driver memory. The returned DataFrame is
   * built from the DECODED wire bytes, so a green oracle row proves the
   * whole encode→compress→decompress→decode chain, not just the SQL.
   */
@@ -85,13 +88,22 @@ object FullSnapshotPipeline {
 
   // --------------------------------------------------- document assembly
 
-  /** The assembled (still driver-side-bounded) snapshot document. */
+  /** The assembled (driver-side-bounded, [[SectionCap]]-enforced)
+    * snapshot document. `collectorErrors` carries the section-drop
+    * flags onto the wire (`protobuf/full_snapshot.proto:24`). */
   final case class Doc(
       collectedAtSecs: Long,
       dbRows: Seq[Row], roleRows: Seq[Row], queryRows: Seq[Row],
       relRefRows: Seq[Row], relStatRows: Seq[Row], dbStatRows: Seq[Row],
       settingRows: Seq[Row],
-      idxRows: Seq[Row] = Nil, fnRows: Seq[Row] = Nil)
+      idxRows: Seq[Row] = Nil, fnRows: Seq[Row] = Nil,
+      collectorErrors: Seq[String] = Nil)
+
+  /** Section limits (reference defaults; specs shrink them to prove the
+    * overflow path). */
+  final case class Caps(
+      schemaTableLimit: Int = SectionCap.SchemaTableLimit,
+      statementLimit: Int = SectionCap.StatementLimit)
 
   /** Run the distributed stages and collect the bounded sections, each
     * sorted by its dimension index. The four heavy branches (statement
@@ -100,7 +112,7 @@ object FullSnapshotPipeline {
     * its own future — Spark schedules their jobs concurrently and the
     * wall-clock is the longest branch, not the sum (same overlap trick
     * as DimEncode.encodeAll). */
-  def assemble(s: SparkSession, dir: String): Doc = {
+  def assemble(s: SparkSession, dir: String, caps: Caps = Caps()): Doc = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -128,12 +140,17 @@ object FullSnapshotPipeline {
         "qkey")
       val roleRows = roleDim.select("user_oid_idx", "user_oid")
         .orderBy("user_oid_idx").collect().toIndexedSeq
-      val queryRows = qFact.select(
-        col("qkey_idx"), col("db_oid_idx"), col("user_oid_idx"),
-        col("toplevel"), col("fp"), col("normalized_query"),
-        col("query_ids"), col("calls"), col("total_ms"))
-        .orderBy("qkey_idx").collect().toIndexedSeq
-      (roleRows, queryRows)
+      // statement cap (statements.go:78-110 holds entries near
+      // pg_stat_statements.max): over the limit the query section is
+      // dropped, never collected unbounded
+      val qSec = SectionCap.guarded(
+        qFact.select(
+          col("qkey_idx"), col("db_oid_idx"), col("user_oid_idx"),
+          col("toplevel"), col("fp"), col("normalized_query"),
+          col("query_ids"), col("calls"), col("total_ms"))
+          .orderBy("qkey_idx"),
+        caps.statementLimit, "statements", "statement")
+      (roleRows, qSec)
     }
 
     // -------- branch B: relations → D4 diff → indexes (D5, chained
@@ -162,20 +179,30 @@ object FullSnapshotPipeline {
         .join(relRefs.select(col("rel_oid"), col("rel_oid_idx"),
           col("db_oid_idx"), col("nspname")), Seq("rel_oid"))
         .withColumn("index_name", concat(lit("idx_"), col("rel_oid")))
-      val refRows = relRefs.select(
-        col("rel_oid_idx"), col("db_oid_idx"), col("nspname"),
-        col("relname"), col("relkind"))
-        .orderBy("rel_oid_idx").collect().toIndexedSeq
-      val statRows = relDiff.select(
-        col("rel_oid_idx"), col("seq_scan_delta"), col("idx_scan_delta"),
-        col("n_live_tup"))
-        .orderBy("rel_oid_idx").collect().toIndexedSeq
-      val idxRows = idxJoined.select(
-        col("index_oid_idx"), col("db_oid_idx"), col("nspname"),
-        col("index_name"), col("rel_oid_idx"), col("size_bytes"),
-        col("idx_scan_delta"), col("idx_tup_read_delta"))
-        .orderBy("index_oid_idx").collect().toIndexedSeq
-      (refRows, statRows, idxRows)
+      // schema_table_limit (schema.go:14,97-110): the RELATION count is
+      // the trigger, and an overflow drops the whole schema section
+      // (refs, stats, indexes) — the dependent collects never run
+      val refSec = SectionCap.guarded(
+        relRefs.select(
+          col("rel_oid_idx"), col("db_oid_idx"), col("nspname"),
+          col("relname"), col("relkind"))
+          .orderBy("rel_oid_idx"),
+        caps.schemaTableLimit, "total tables", "schema")
+      val (statRows, idxRows) =
+        if (refSec.dropped) (Vector.empty[Row], Vector.empty[Row])
+        else {
+          val stats = relDiff.select(
+            col("rel_oid_idx"), col("seq_scan_delta"), col("idx_scan_delta"),
+            col("n_live_tup"))
+            .orderBy("rel_oid_idx").collect().toIndexedSeq
+          val idx = idxJoined.select(
+            col("index_oid_idx"), col("db_oid_idx"), col("nspname"),
+            col("index_name"), col("rel_oid_idx"), col("size_bytes"),
+            col("idx_scan_delta"), col("idx_tup_read_delta"))
+            .orderBy("index_oid_idx").collect().toIndexedSeq
+          (stats, idx)
+        }
+      (refSec, statRows, idxRows)
     }
 
     // -------- branch C: functions (D9 diff; functions share the
@@ -187,18 +214,20 @@ object FullSnapshotPipeline {
         counterCols = Seq("calls", "total_time_ms", "self_time_ms"))
         .filter(col("snap") === 2)
       val (_, fnFact) = DimEncode.encode(fnDiff, "func_oid")
-      fnFact
+      val fnFact2 = fnFact
         .withColumn("db_oid", (col("func_oid") % 3).cast("long"))
         .join(broadcast(dbDim), Seq("db_oid"))
         .withColumn("nspname",
           expr("CASE func_oid % 8 WHEN 0 THEN 'pg_catalog' " +
             "WHEN 1 THEN 'pg_toast' WHEN 2 THEN 'information_schema' " +
             "WHEN 3 THEN 'app_private' ELSE 'public' END"))
-        .select(
+      SectionCap.guarded(
+        fnFact2.select(
           col("func_oid_idx"), col("db_oid_idx"), col("nspname"),
           col("funcname"), col("calls_delta"), col("total_time_ms_delta"),
           col("self_time_ms_delta"))
-        .orderBy("func_oid_idx").collect().toIndexedSeq
+          .orderBy("func_oid_idx"),
+        caps.schemaTableLimit, "functions", "function")
     }
 
     // -------- branch D: database stats (D6 diff) + small sections
@@ -230,19 +259,23 @@ object FullSnapshotPipeline {
     val fSettings = bg(CatalogSynth.settings(s, dir).select("name", "setting")
       .orderBy("name").collect().toIndexedSeq)
 
-    val (roleRows, queryRows) = Await.result(fQ, Duration.Inf)
-    val (relRefRows, relStatRows, idxRows) = Await.result(fRel, Duration.Inf)
+    val (roleRows, qSec) = Await.result(fQ, Duration.Inf)
+    val (refSec, relStatRows, idxRows) = Await.result(fRel, Duration.Inf)
+    val fnSec = Await.result(fFn, Duration.Inf)
     Doc(
       collectedAtSecs = Await.result(fCollectedAt, Duration.Inf),
       dbRows = Await.result(fDbRows, Duration.Inf),
       roleRows = roleRows,
-      queryRows = queryRows,
-      relRefRows = relRefRows,
+      queryRows = qSec.rows,
+      relRefRows = refSec.rows,
       relStatRows = relStatRows,
       dbStatRows = Await.result(fDbStat, Duration.Inf),
       settingRows = Await.result(fSettings, Duration.Inf),
       idxRows = idxRows,
-      fnRows = Await.result(fFn, Duration.Inf))
+      fnRows = fnSec.rows,
+      // deterministic flag order: schema, then statements, then functions
+      collectorErrors =
+        refSec.flag.toSeq ++ qSec.flag.toSeq ++ fnSec.flag.toSeq)
   }
 
   // ----------------------------------------------------------- encoding
@@ -262,6 +295,9 @@ object FullSnapshotPipeline {
       .string(10, SnapshotUuid)            // snapshot_uuid
       .msg(11, ProtoWire.msg().varint(1, doc.collectedAtSecs)) // collected_at
       .varint(12, IntervalSecs)            // collected_interval_secs
+    doc.collectorErrors.foreach { e =>     // 21 collector_errors — the
+      m.string(21, e)                      // section-drop flags
+    }                                      // (full_snapshot.proto:24)
     doc.roleRows.foreach { r =>            // 102 RoleReference{name}
       m.msg(102, ProtoWire.msg().string(1, "u" + r.get(1)))
     }
@@ -386,6 +422,15 @@ object FullSnapshotPipeline {
     m.get(f).flatMap(_.headOption) match {
       case Some(VBytes(b)) => b
       case _ => Array.empty
+    }
+
+  /** The decoded section-drop flags (`collector_errors`, field 21) —
+    * how a consumer sees that a capped section was dropped rather than
+    * empty-by-coincidence. */
+  def decodeErrors(wire: Array[Byte]): Seq[String] =
+    ProtoWire.decode(ProtoWire.unzlib(wire)).collect {
+      case (21, VBytes(b)) =>
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
     }
 
   /** Decode zlib+wire bytes, run the K3/verifyIntegrity checks, and
