@@ -490,6 +490,54 @@ object Oracles {
         |      || '}}' END AS explain_json
         |FROM kept""".stripMargin,
 
+    // The LIVE J9: identical enrichment semantics, but explain_json
+    // came back through a real JDBC round-trip — the in-database helper
+    // computed "Plan Rows" from the db's own rel_counts catalog, which
+    // the oracle reproduces from the same parquet cardinalities.
+    "j9_explain_live" ->
+      """WITH e AS (
+        |  SELECT event_id AS sample_id, 'db' || (user_id % 5) AS database,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |s AS (
+        |  SELECT sample_id, database, k,
+        |    CASE k % 3 WHEN 0 THEN 'orders' WHEN 1 THEN 'lineitem'
+        |      ELSE 'customer' END AS rel,
+        |    CASE k % 3 WHEN 0 THEN (SELECT count(*) FROM orders)
+        |      WHEN 1 THEN (SELECT count(*) FROM lineitem)
+        |      ELSE (SELECT count(*) FROM customer) END AS rel_n,
+        |    k % 11 = 0 AS has_explain
+        |  FROM e),
+        |q AS (
+        |  SELECT *,
+        |    CASE WHEN k % 50 = 0 THEN '/* pganalyze-collector */ SELECT 1'
+        |      WHEN k % 47 = 0 THEN 'SELECT pg_start_backup(''b'')'
+        |      WHEN k % 13 = 0 THEN 'VACUUM ANALYZE orders'
+        |      WHEN k % 17 = 0 THEN 'DELETE FROM ' || rel
+        |        || ' WHERE o_custkey = ' || k
+        |      ELSE 'SELECT * FROM ' || rel || ' WHERE o_custkey = ' || k
+        |      END AS query
+        |  FROM s),
+        |kept AS (
+        |  SELECT * FROM q
+        |  WHERE database IN ('db0', 'db1', 'db2')
+        |    AND k % 50 <> 0 AND k % 47 <> 0)
+        |SELECT sample_id, database,
+        |  CASE WHEN has_explain THEN NULL
+        |    WHEN k % 13 = 0 THEN 'utility'
+        |    WHEN k % 17 = 0 THEN 'dml'
+        |    ELSE 'ok' END AS verdict,
+        |  CASE WHEN has_explain THEN 'AUTO_EXPLAIN'
+        |    WHEN k % 13 = 0 OR k % 17 = 0 THEN NULL
+        |    ELSE 'LOG_EXPLAIN' END AS explain_source,
+        |  CASE WHEN has_explain THEN '{"Plan":{"Node Type":"Index Scan"}}'
+        |    WHEN k % 13 = 0 OR k % 17 = 0 THEN NULL
+        |    ELSE '{"Plan":{"Node Type":"Seq Scan","Relation Name":"' || rel
+        |      || '","Plan Rows":' || rel_n
+        |      || ',"Total Cost":' || CAST((length(query) * 3) // 2 AS BIGINT)
+        |      || '}}' END AS explain_json
+        |FROM kept""".stripMargin,
+
     "skew_salted_join" ->
       """SELECT e.event_id, e.user_id % 3 AS k, n.n_name
         |FROM events e

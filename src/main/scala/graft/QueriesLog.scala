@@ -486,6 +486,56 @@ object QueriesLog {
       .select("sample_id", "database", "explain_source", "explain_json")
   }
 
+  // J9 LIVE — the same enrichment shape, but the runner is the REAL
+  // JDBC round-trip (ExplainJdbc): one embedded-Derby database per
+  // monitored db, the reference's helper invocation (`SELECT
+  // pganalyze.explain($1)` → Derby `VALUES pganalyze."explain"(?)`)
+  // prepared+bound+executed over JDBC, and the helper computing the
+  // plan's row estimate INSIDE the database from its own rel_counts
+  // catalog — so a matching oracle row proves a genuine in-database
+  // round-trip. X20 guard (queryRunGuard) ahead of every EXPLAIN.
+  def j9ExplainLive(s: SparkSession, dir: String): DataFrame = {
+    val monitored = Seq("db0", "db1", "db2")
+    // the monitored databases' relation cardinalities (seeded as each
+    // db's rel_counts catalog — what the in-db helper queries)
+    val counts = Map(
+      "orders" -> Tables.orders(s, dir).count(),
+      "lineitem" -> Tables.lineitem(s, dir).count(),
+      "customer" -> Tables.customer(s, dir).count())
+    monitored.foreach { db =>
+      graft.operators.ExplainJdbc.seedDerby(
+        s"jdbc:derby:memory:explain_$db", counts)
+    }
+    val runner = new graft.operators.JdbcExplainRunner(
+      monitored.map(db => db -> s"jdbc:derby:memory:explain_$db").toMap,
+      helperSql = Some(graft.operators.ExplainEnrich.MarkerSql +
+        " VALUES pganalyze.\"explain\"(?)"))
+    val e = Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+    val rel = element_at(
+      array(lit("orders"), lit("lineitem"), lit("customer")),
+      (col("k") % 3 + 1).cast("int"))
+    val samples = e.select(
+      col("event_id").as("sample_id"),
+      concat(lit("db"), col("user_id") % 5).as("database"),
+      when(col("k") % 50 === 0,
+        lit("/* pganalyze-collector */ SELECT 1"))
+        .when(col("k") % 47 === 0, lit("SELECT pg_start_backup('b')"))
+        .when(col("k") % 13 === 0, lit("VACUUM ANALYZE orders"))
+        .when(col("k") % 17 === 0,
+          concat(lit("DELETE FROM "), rel, lit(" WHERE o_custkey = "), col("k")))
+        .otherwise(concat(
+          lit("SELECT * FROM "), rel, lit(" WHERE o_custkey = "), col("k")))
+        .as("query"),
+      (col("k") % 11 === 0).as("has_explain"),
+      when(col("k") % 11 === 0,
+        lit("""{"Plan":{"Node Type":"Index Scan"}}"""))
+        .as("explain_json"))
+    graft.operators.ExplainEnrich.enrich(samples, monitored, runner)
+      .select("sample_id", "database", "verdict", "explain_source",
+        "explain_json")
+  }
+
   // S32/S33 — incremental byte-offset tailing: per-file content
   // snapshots resume from a marker table (here: mid-file, so the
   // partial-first-line skip is exercised) clamped to the trailing

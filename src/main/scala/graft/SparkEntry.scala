@@ -148,6 +148,7 @@ object SparkEntry {
     "w11_stream_diff" -> (QueriesLog.w11StreamDiff _),
     "s27_syslog_parse" -> (QueriesLog.s27SyslogParse _),
     "j9_explain_enrich" -> (QueriesLog.j9ExplainEnrich _),
+    "j9_explain_live" -> (QueriesLog.j9ExplainLive _),
     "s28_otel_log_parse" -> (QueriesLog.s28OtelLogParse _),
     "s32_incremental_tail" -> (QueriesLog.s32IncrementalTail _),
     "s29_heroku_frames" -> (QueriesLog.s29HerokuFrames _),

@@ -15,10 +15,12 @@ import graft.functions.PgNormalize
   * co-located with `repartition(database)` and the runner is invoked
   * partition-locally inside `mapPartitions` — a genuine side-effecting
   * round-trip that no expression can model, which is exactly the
-  * mapPartitions escape hatch. The runner is STUBBED (no live Postgres
-  * in this container) with a deterministic plan generator; a real
-  * implementation swaps [[StubRunner]] for a JDBC-backed one with the
-  * same trait, and the enrichment plan/semantics are unchanged.
+  * mapPartitions escape hatch. The LIVE runner is [[JdbcExplainRunner]]
+  * ([[ExplainJdbc]]): real per-db JDBC connections + the reference's
+  * helper/direct EXPLAIN statement matrix, proven against embedded
+  * Derby (no live Postgres exists in this container). [[StubRunner]]
+  * remains the no-connection fallback with the same trait, and the
+  * enrichment plan/semantics are identical either way.
   *
   * Reference fidelity:
   *  - skip: unmonitored database, collector-marker queries, backup
@@ -69,6 +71,7 @@ object ExplainEnrich {
     val kept = samples.filter(!skip)
     val passthrough = kept.filter(col("has_explain"))
       .select(col("sample_id"), col("database"), col("query"),
+        lit(null: String).as("verdict"),
         lit("AUTO_EXPLAIN").as("explain_source"), col("explain_json"))
     val ran = kept.filter(!col("has_explain"))
       .select(col("sample_id").cast("long"), col("database"), col("query"))
@@ -78,15 +81,18 @@ object ExplainEnrich {
         val opened = scala.collection.mutable.HashSet.empty[String]
         it.map { case (id, db, q) =>
           if (opened.add(db)) runner.open(db) // one connection per db
-          // never EXPLAIN what doesn't parse to a single plannable
-          // statement (accidental-execution guard, explain.go:99-103)
-          val plannable = !PgNormalize.isUtilityStatement(q) &&
-            PgNormalize.statementVerb(q).nonEmpty
-          if (plannable) (id, db, q, "LOG_EXPLAIN", runner.explain(db, q))
-          else (id, db, q, null: String, null: String)
+          // the X20 accidental-execution guard ahead of every EXPLAIN
+          // (validateQuery, explain_analyze.go:60-117, strictly
+          // stronger than explain.go:99-103's IsUtilityStmt check):
+          // single parseable SELECT, no DML/utility/blocked function
+          val verdict = PgNormalize.queryRunGuard(q)
+          if (verdict == "ok")
+            (id, db, q, verdict, "LOG_EXPLAIN", runner.explain(db, q))
+          else (id, db, q, verdict, null: String, null: String)
         }
       }
-      .toDF("sample_id", "database", "query", "explain_source", "explain_json")
+      .toDF("sample_id", "database", "query", "verdict",
+        "explain_source", "explain_json")
     passthrough.unionByName(ran)
   }
 }

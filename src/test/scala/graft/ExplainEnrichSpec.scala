@@ -31,22 +31,25 @@ class ExplainEnrichSpec extends SparkSpec {
     (7L, "db1", "WITH c AS (SELECT 1) INSERT INTO t SELECT * FROM c", false, null: String))
     .toDF("sample_id", "database", "query", "has_explain", "explain_json")
 
-  test("skips, passthrough, utility guard, per-db explain") {
+  test("skips, passthrough, X20 guard verdicts, per-db explain") {
     val out = ExplainEnrich.enrich(samples, Seq("db0", "db1", "db2"))
       .collect().map(r => r.getLong(0) ->
-        (r.getString(3), Option(r.getString(4)))).toMap
+        (r.getString(3), r.getString(4), Option(r.getString(5)))).toMap
     // skipped entirely: unmonitored (4), marker (5), backup (6)
     assert(out.keySet === Set(1L, 2L, 3L, 7L))
-    // plannable: explained by the stub runner
-    assert(out(1L)._1 === "LOG_EXPLAIN")
-    assert(out(1L)._2.get.contains("\"Relation Name\":\"orders\""))
+    // plannable: verdict ok, explained by the stub runner
+    assert(out(1L)._1 === "ok" && out(1L)._2 === "LOG_EXPLAIN")
+    assert(out(1L)._3.get.contains("\"Relation Name\":\"orders\""))
     // utility: output without a plan (explain.go:160)
-    assert(out(2L)._1 === null && out(2L)._2.isEmpty)
-    // auto_explain passthrough keeps its plan
-    assert(out(3L)._1 === "AUTO_EXPLAIN")
-    assert(out(3L)._2.get.contains("Index Scan"))
-    // CTE-wrapped DML is plannable (scanner, not leading keyword)
-    assert(out(7L)._1 === "LOG_EXPLAIN")
+    assert(out(2L)._1 === "utility" && out(2L)._3.isEmpty)
+    // auto_explain passthrough keeps its plan, never guarded
+    assert(out(3L)._1 === null && out(3L)._2 === "AUTO_EXPLAIN")
+    assert(out(3L)._3.get.contains("Index Scan"))
+    // CTE-wrapped DML: the X20 guard (validateQuery) blocks DML even
+    // under a WITH — deliberately STRICTER than explain.go's
+    // utility-only check, because the helper executes under the helper
+    // owner's rights (explain_analyze.go:60-117)
+    assert(out(7L)._1 === "dml" && out(7L)._3.isEmpty)
   }
 
   test("runner opens once per database per partition") {
@@ -71,7 +74,7 @@ class ExplainEnrichSpec extends SparkSpec {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         ExplainEnrich.enrich(batch, Seq("db0", "db1", "db2"))
           .collect().foreach(r =>
-            collected.add((r.getLong(0), r.getString(3))))
+            collected.add((r.getLong(0), r.getString(4))))
         ()
       }
       .start()

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ExplainEnrich, ExplainJdbc, JdbcExplainRunner}
+
+/** The LIVE J9 runner: the helper-mode EXPLAIN round-trip really goes
+  * through the database (embedded Derby, the CatalogJdbcSpec pattern)
+  * — the in-db helper's plan depends on database state the driver
+  * never sees directly — plus the reference's ExplainError contract
+  * and re-seeding semantics. */
+class ExplainJdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:explainspec"
+  private val helperSql =
+    ExplainEnrich.MarkerSql + " VALUES pganalyze.\"explain\"(?)"
+
+  test("helper executes INSIDE the database: plan rows come from the db's own catalog") {
+    ExplainJdbc.seedDerby(url, Map("orders" -> 1234L))
+    val c = DriverManager.getConnection(url)
+    try {
+      val ps = c.prepareStatement(helperSql)
+      ps.setString(1, "SELECT * FROM orders WHERE o_custkey = 7")
+      val rs = ps.executeQuery()
+      assert(rs.next())
+      val json = rs.getString(1)
+      assert(json.contains(""""Relation Name":"orders""""))
+      assert(json.contains(""""Plan Rows":1234"""))
+      rs.close(); ps.close()
+    } finally c.close()
+  }
+
+  test("re-seeding refreshes the catalog (DELETE + INSERT, not append)") {
+    ExplainJdbc.seedDerby(url, Map("orders" -> 99L))
+    val runner = new JdbcExplainRunner(Map("db0" -> url), Some(helperSql))
+    val json = runner.explain("db0", "SELECT * FROM orders WHERE o_custkey = 1")
+    assert(json.contains(""""Plan Rows":99"""))
+    ExplainJdbc.seedDerby(url, Map("orders" -> 1234L)) // restore
+  }
+
+  test("unknown relation plans with zero rows (helper query misses, no error)") {
+    ExplainJdbc.seedDerby(url, Map("orders" -> 1234L))
+    val runner = new JdbcExplainRunner(Map("db0" -> url), Some(helperSql))
+    val json = runner.explain("db0", "SELECT * FROM nosuchrel WHERE x = 1")
+    assert(json.contains(""""Relation Name":"nosuchrel""""))
+    assert(json.contains(""""Plan Rows":0"""))
+  }
+
+  test("SQLException becomes the sample's error payload, not a batch abort (ExplainError contract)") {
+    ExplainJdbc.seedDerby(url, Map("orders" -> 1234L))
+    val broken = new JdbcExplainRunner(Map("db0" -> url),
+      Some(ExplainEnrich.MarkerSql + " VALUES pganalyze.no_such_helper(?)"))
+    val json = broken.explain("db0", "SELECT * FROM orders")
+    assert(json.startsWith("""{"Error":""""))
+  }
+
+  test("enrich over the live runner: guarded fan-out, real round-trip per sample") {
+    import spark.implicits._
+    ExplainJdbc.seedDerby(url, Map("orders" -> 1234L, "customer" -> 55L))
+    val samples = Seq(
+      (1L, "db0", "SELECT * FROM orders WHERE o_custkey = 3", false, null: String),
+      (2L, "db0", "SELECT * FROM customer WHERE c_custkey = 4", false, null: String),
+      (3L, "db0", "DELETE FROM orders WHERE o_custkey = 5", false, null: String),
+      (4L, "db0", "VACUUM ANALYZE orders", false, null: String),
+      (5L, "db0", "SELECT 1; SELECT 2", false, null: String),
+      (6L, "db0", "auto-explained", true, """{"Plan":{"Node Type":"Index Scan"}}"""))
+      .toDF("sample_id", "database", "query", "has_explain", "explain_json")
+    val runner = new JdbcExplainRunner(Map("db0" -> url), Some(helperSql))
+    val out = ExplainEnrich.enrich(samples, Seq("db0"), runner)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(3), r.getString(4), r.getString(5))).toMap
+    assert(out(1L)._2 === "LOG_EXPLAIN")
+    assert(out(1L)._3.contains(""""Plan Rows":1234"""))
+    assert(out(2L)._3.contains(""""Plan Rows":55"""))
+    assert(out(3L)._1 === "dml" && out(3L)._3 === null)
+    assert(out(4L)._1 === "utility" && out(4L)._3 === null)
+    assert(out(5L)._1 === "multi" && out(5L)._3 === null)
+    assert(out(6L) === ((null, "AUTO_EXPLAIN",
+      """{"Plan":{"Node Type":"Index Scan"}}""")))
+  }
+}
