@@ -603,18 +603,108 @@ object PgNormalize {
       j += 1
     }
     while (rw.nonEmpty && rw.last == ";") rw.remove(rw.length - 1)
+    val rw2 = stripTableAliases(rw)
     // collapse runs: $ , $ , ... , $ → $
-    val out = new ArrayBuffer[String](rw.length)
+    val out = new ArrayBuffer[String](rw2.length)
     var i = 0
-    while (i < rw.length) {
-      out += rw(i)
-      if (rw(i) == "$") {
-        while (i + 2 < rw.length && rw(i + 1) == "," && rw(i + 2) == "$")
+    while (i < rw2.length) {
+      out += rw2(i)
+      if (rw2(i) == "$") {
+        while (i + 2 < rw2.length && rw2(i + 1) == "," && rw2(i + 2) == "$")
           i += 2
       }
       i += 1
     }
     out.mkString(" ")
+  }
+
+  /** Words that can follow a FROM-item without being its alias — the
+    * stop set for [[stripTableAliases]]' alias candidacy. */
+  private val aliasStopKeywords: Set[String] = Set(
+    "on", "using", "join", "left", "right", "full", "cross", "natural",
+    "where", "group", "order", "having", "limit", "offset", "union",
+    "intersect", "except", "returning", "window", "for", "fetch", "into",
+    "set", "values", "select", "from", "with", "tablesample", "when",
+    "then", "else", "end", "and", "or", "not", "distinct", "lateral",
+    "only", "asc", "desc", "nulls", "first", "last", "is", "in", "like",
+    "ilike", "between", "update", "delete", "insert", "do")
+
+  /** Parse-tree parity for table aliases: pg_query's fingerprint skips
+    * Alias nodes entirely (`util/fingerprint.go:13-48` via libpg_query's
+    * fingerprint defs — a RangeVar's alias and its column list never
+    * reach the hash), so `FROM t x`, `FROM t y` and `FROM t` all
+    * fingerprint identically while qualifier REFERENCES (`x.a`, a
+    * ColumnRef string) still count. Lexical emulation: a paren-aware
+    * FROM/UPDATE-clause state machine drops the alias identifier (and
+    * its column-alias list) at the definition site only. States:
+    * 0 outside, 1 expecting a FROM item, 2 after a primary (alias may
+    * follow), 3 after the alias, 4 inside ON/USING, 5 inside a
+    * join-keyword run. Parens push the state; the close-paren of a
+    * paren opened at state 1/2 resumes state 2 (subquery/function
+    * primaries), any other resumes its opener's state. */
+  private def stripTableAliases(toks: ArrayBuffer[String]): ArrayBuffer[String] = {
+    val out = new ArrayBuffer[String](toks.length)
+    var state = 0
+    // stack entries: resume state on close-paren (-1 = resume as
+    // AFTER_PRIMARY because the group itself is/completes a primary)
+    val stack = new ArrayBuffer[Int]
+    def isIdentLike(s: String): Boolean =
+      s.nonEmpty && (s.head == '"' || s.head == '_' || s.head.isLetter) &&
+        !aliasStopKeywords.contains(s)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var emit = true
+      t match {
+        case "(" =>
+          if (state == 3) {
+            // column-alias list of the alias just stripped: part of the
+            // Alias node, skip the balanced group entirely
+            var depth = 1; emit = false
+            while (i + 1 < toks.length && depth > 0) {
+              i += 1
+              if (toks(i) == "(") depth += 1
+              else if (toks(i) == ")") depth -= 1
+            }
+          } else {
+            stack += (if (state == 1 || state == 2) -1 else state)
+            state = 0
+          }
+        case ")" =>
+          if (stack.nonEmpty) {
+            val s0 = stack.remove(stack.length - 1)
+            state = if (s0 == -1) 2 else s0
+          }
+        case "from" => state = 1
+        case "update" if state == 0 && stack.isEmpty => state = 1
+        case "," if state == 2 || state == 3 || state == 4 => state = 1
+        case "join" if state >= 2 => state = 1
+        case "left" | "right" | "full" | "cross" | "natural"
+            if state >= 2 => state = 5
+        case "on" | "using" if state == 2 || state == 3 => state = 4
+        case kw if state != 0 && aliasStopKeywords.contains(kw) =>
+          state = state match {
+            case 1 if kw == "only" || kw == "lateral" => 1
+            case _ if kw == "where" || kw == "group" || kw == "order" ||
+              kw == "having" || kw == "limit" || kw == "offset" ||
+              kw == "union" || kw == "intersect" || kw == "except" ||
+              kw == "returning" || kw == "window" || kw == "for" ||
+              kw == "fetch" || kw == "set" || kw == "select" => 0
+            case s => s
+          }
+        case "." if state == 2 => () // qualified name continues
+        case w if state == 1 && isIdentLike(w) => state = 2
+        case w if state == 2 && isIdentLike(w) &&
+            i > 0 && toks(i - 1) == "." => () // qualified-name part
+        case w if state == 2 && isIdentLike(w) =>
+          emit = false; state = 3 // the alias definition site
+        case _ if state == 1 => state = 0 // not a table item: bail
+        case _ => ()
+      }
+      if (emit) out += t
+      i += 1
+    }
+    out
   }
 
   /** 64-bit grouping fingerprint of the canonical form (engine-owned

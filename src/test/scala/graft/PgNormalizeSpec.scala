@@ -154,8 +154,21 @@ class PgNormalizeSpec extends AnyFunSuite {
       true, true), // closable: a quoted identifier that needs no
                    // quoting is the same tree node as its bare form
     ("unreferenced alias rename", "SELECT a FROM t x", "SELECT a FROM t y",
-      true, false), // residual: alias nodes are ignored by the tree
-                    // hash; a lexer cannot know x/y are aliases
+      true, true), // closed in r6: the FROM-clause state machine strips
+                   // Alias definition sites, matching the tree hash
+                   // (which ignores Alias nodes entirely)
+    ("alias present vs absent", "SELECT a FROM t x", "SELECT a FROM t",
+      true, true), // same family: the Alias node never reaches the hash
+    ("aliased AS rename", "SELECT a FROM t AS x", "SELECT a FROM t AS y",
+      true, true),
+    ("nested subquery alias rename",
+      "SELECT * FROM (SELECT a FROM t x) z",
+      "SELECT * FROM (SELECT a FROM t y) w",
+      true, true), // paren-aware: inner FROM items strip at depth
+    ("join alias rename",
+      "SELECT a.id FROM a JOIN b x ON a.id = x.aid",
+      "SELECT a.id FROM a JOIN b y ON a.id = y.aid",
+      false, true), // referenced in ON → ColumnRef keeps the string
     // tree-DIFFERENT pairs — the scanner must keep these apart
     ("schema qualification", "SELECT a FROM public.t", "SELECT a FROM t",
       false, true),
@@ -176,11 +189,10 @@ class PgNormalizeSpec extends AnyFunSuite {
     results.filter(_._3).foreach { case (name, tree, _, ours) =>
       assert(ours === tree, s"closable pair '$name' diverges from tree verdict")
     }
-    // …and the residual is exactly the documented non-lexical family
-    assert(diverging.map(_._1).toSet === Set("unreferenced alias rename"))
-    val rate = diverging.size.toDouble / parseTreePairs.size
-    info(f"parse-tree divergence: ${diverging.size}/${parseTreePairs.size} " +
-      f"(${rate * 100}%.0f%%), residual = ${diverging.map(_._1).mkString(", ")}")
-    assert(rate <= 0.15)
+    // …and the residual is empty: r6 closed the alias family, the last
+    // divergence (gap table reads 0/N)
+    assert(diverging.isEmpty,
+      s"unexpected parse-tree divergence: ${diverging.map(_._1).mkString(", ")}")
+    info(s"parse-tree divergence: 0/${parseTreePairs.size}")
   }
 }
