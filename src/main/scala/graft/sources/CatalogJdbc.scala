@@ -37,12 +37,16 @@ object CatalogJdbc {
   val QueryMarker = "/* pganalyze-collector */"
 
   /** Connection + server-version descriptor (the swap point a real
-    * deployment configures; tests point it at embedded Derby). */
+    * deployment configures; tests point it at embedded Derby).
+    * `systemType`: "" self-hosted/RDS, "aurora" (IO-timing quirk,
+    * `statements.go:431-450`), "epas" (system-schema variant,
+    * `relations.go:14-15`). */
   final case class PgSource(
       url: String,
       pgMajor: Int,
       pgssMinor: Int,
-      options: Map[String, String] = Map.empty)
+      options: Map[String, String] = Map.empty,
+      systemType: String = "")
 
   // ------------------------------------------------------ SQL assembly
 
@@ -103,6 +107,32 @@ object CatalogJdbc {
        |FROM $table""".stripMargin
   }
 
+  /** S6 — relations catalog scan with the version + flavor matrix
+    * (`relations.go:10-20`): EPAS hides its `sys` schema and every
+    * namespace parented into it; PG 12 dropped `relhasoids`. The
+    * reference spells the EPAS parent check `n.nspparent <>
+    * 'sys'::regnamespace`; the portable spelling here (NOT IN over the
+    * namespace table) is the same predicate without the Postgres-only
+    * cast, so the variant is provable against the embedded test
+    * database too. */
+  def relationsSql(pgMajor: Int, systemType: String,
+      classTable: String = "pg_class",
+      nsTable: String = "pg_namespace"): String = {
+    val filter =
+      if (systemType == "epas")
+        "n.nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema', " +
+          s"'sys') AND n.nspparent NOT IN " +
+          s"(SELECT oid FROM $nsTable WHERE nspname = 'sys')"
+      else "n.nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')"
+    val oidField =
+      if (pgMajor >= 12) "false AS relation_has_oids"
+      else "c.relhasoids AS relation_has_oids"
+    s"""SELECT c.oid AS rel_oid, n.nspname, c.relname, c.relkind,
+       |  c.reltuples, c.relpages, $oidField
+       |FROM $classTable c JOIN $nsTable n ON n.oid = c.relnamespace
+       |WHERE $filter""".stripMargin
+  }
+
   // ------------------------------------------------------- JDBC reads
 
   private def readSql(s: SparkSession, src: PgSource, sql: String): DataFrame = {
@@ -125,6 +155,37 @@ object CatalogJdbc {
   def vacuumProgress(s: SparkSession, src: PgSource,
       table: String = "pg_stat_progress_vacuum"): DataFrame =
     readSql(s, src, vacuumProgressSql(src.pgMajor, table))
+
+  /** S6 — relations scan (EPAS/oid variants per [[relationsSql]]). */
+  def relations(s: SparkSession, src: PgSource,
+      classTable: String = "pg_class",
+      nsTable: String = "pg_namespace"): DataFrame =
+    readSql(s, src, relationsSql(src.pgMajor, src.systemType,
+      classTable, nsTable))
+
+  /** The Aurora IO-timing quirk (`statements.go:431-450` +
+    * `output/transform/postgres_statements.go:114-117`): Aurora reports
+    * wildly incorrect `blk_read_time`/`blk_write_time` for UTILITY
+    * statements, so on an Aurora source those two columns are zeroed on
+    * every row whose received query text is a utility statement.
+    * Spark-first: the statement-text join is the same broadcast J2 the
+    * pipelines already do, and the utility test is the codegen'd
+    * scanner expression — no per-row JDBC, no UDF. */
+  def withIoTimingQuirk(stats: DataFrame, texts: DataFrame,
+      src: PgSource): DataFrame =
+    if (src.systemType != "aurora") stats
+    else {
+      val keys = Seq("dbid", "userid", "queryid", "toplevel")
+      val t = texts.select((keys.map(col) :+ col("query")): _*)
+      val isUtil = coalesce(
+        graft.functions.PgFns.isUtilityStatement(col("query")), lit(false))
+      stats.join(org.apache.spark.sql.functions.broadcast(t), keys, "left")
+        .withColumn("blk_read_time",
+          when(isUtil, lit(0.0)).otherwise(col("blk_read_time")))
+        .withColumn("blk_write_time",
+          when(isUtil, lit(0.0)).otherwise(col("blk_write_time")))
+        .drop("query")
+    }
 
   /** Map the normalized JDBC statement scan onto the keyed-stats shape
     * the snapshot pipeline consumes ([[CatalogSynth.statementStats]]'s

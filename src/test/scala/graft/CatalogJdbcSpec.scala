@@ -106,6 +106,81 @@ class CatalogJdbcSpec extends SparkSpec {
         ps.setLong(4, r.getAs[Number]("calls").longValue)
         ps.setDouble(5, r.getAs[Number]("total_ms").doubleValue)
       })
+    // 1.10 (PG15): 1.9 shape + the jit_* block and temp io-times —
+    // extra columns the scan must simply not trip over
+    seed("pgss_m10",
+      "dbid BIGINT, userid BIGINT, queryid BIGINT, toplevel BOOLEAN, calls BIGINT, " +
+        s"total_exec_time DOUBLE, \"rows\" BIGINT, $zeros, " +
+        "blk_read_time DOUBLE, blk_write_time DOUBLE, " +
+        "temp_blk_read_time DOUBLE, temp_blk_write_time DOUBLE, " +
+        "min_exec_time DOUBLE, max_exec_time DOUBLE, mean_exec_time DOUBLE, " +
+        "stddev_exec_time DOUBLE, jit_functions BIGINT, " +
+        "jit_generation_time DOUBLE, jit_inlining_count BIGINT, " +
+        "jit_inlining_time DOUBLE, jit_optimization_count BIGINT, " +
+        "jit_optimization_time DOUBLE, jit_emission_count BIGINT, " +
+        "jit_emission_time DOUBLE",
+      s"INSERT INTO pgss_m10 VALUES (?, ?, ?, ?, ?, ?, 0, $zeroVals, " +
+        "2.0, 3.0, 0.5, 0.5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)",
+      synthStats, (ps, r) => {
+        bindCommon(ps, r)
+        ps.setBoolean(4, r.getAs[Boolean]("toplevel"))
+        ps.setLong(5, r.getAs[Number]("calls").longValue)
+        ps.setDouble(6, r.getAs[Number]("total_ms").doubleValue)
+      })
+    // 1.12 (PG18): 1.11 shape + stats_since + parallel-worker counters
+    seed("pgss_m12",
+      "dbid BIGINT, userid BIGINT, queryid BIGINT, toplevel BOOLEAN, calls BIGINT, " +
+        s"total_exec_time DOUBLE, \"rows\" BIGINT, $zeros, " +
+        "shared_blk_read_time DOUBLE, local_blk_read_time DOUBLE, " +
+        "temp_blk_read_time DOUBLE, shared_blk_write_time DOUBLE, " +
+        "local_blk_write_time DOUBLE, temp_blk_write_time DOUBLE, " +
+        "min_exec_time DOUBLE, max_exec_time DOUBLE, mean_exec_time DOUBLE, " +
+        "stddev_exec_time DOUBLE, stats_since TIMESTAMP, " +
+        "minmax_stats_since TIMESTAMP, parallel_workers_to_launch BIGINT, " +
+        "parallel_workers_launched BIGINT",
+      s"INSERT INTO pgss_m12 VALUES (?, ?, ?, ?, ?, ?, 0, $zeroVals, " +
+        "1.5, 0.25, 0.25, 2.0, 0.5, 0.5, 0, 0, 0, 0, " +
+        "CURRENT_TIMESTAMP, CURRENT_TIMESTAMP, 4, 2)",
+      synthStats, (ps, r) => {
+        bindCommon(ps, r)
+        ps.setBoolean(4, r.getAs[Boolean]("toplevel"))
+        ps.setLong(5, r.getAs[Number]("calls").longValue)
+        ps.setDouble(6, r.getAs[Number]("total_ms").doubleValue)
+      })
+    // statement texts for the Aurora quirk join (every other statement
+    // a utility VACUUM)
+    exec("CREATE TABLE pgss_texts (dbid BIGINT, userid BIGINT, " +
+      "queryid BIGINT, toplevel BOOLEAN, query VARCHAR(200))")
+    val pt = conn.prepareStatement("INSERT INTO pgss_texts VALUES (?, ?, ?, ?, ?)")
+    try {
+      synthStats.foreach { r =>
+        bindCommon(pt, r)
+        pt.setBoolean(4, r.getAs[Boolean]("toplevel"))
+        val qid = r.getAs[Number]("query_id").longValue
+        pt.setString(5,
+          if (qid % 2 == 0) "VACUUM ANALYZE orders"
+          else "SELECT * FROM orders WHERE o_custkey = " + qid)
+        pt.addBatch()
+      }
+      pt.executeBatch()
+    } finally pt.close()
+    // relations catalog (pg_class + pg_namespace) with an EPAS `sys`
+    // schema and a namespace parented into it
+    exec("CREATE TABLE pg_namespace (oid BIGINT, nspname VARCHAR(64), " +
+      "nspparent BIGINT)")
+    exec("INSERT INTO pg_namespace VALUES (11, 'pg_catalog', 0), " +
+      "(99, 'pg_toast', 0), (13, 'information_schema', 0), " +
+      "(16, 'public', 0), (17, 'app_private', 0), " +
+      "(20, 'sys', 0), (21, 'dbms_job_procedure', 20)")
+    exec("CREATE TABLE pg_class (oid BIGINT, relname VARCHAR(64), " +
+      "relkind VARCHAR(1), relnamespace BIGINT, reltuples BIGINT, " +
+      "relpages BIGINT, relhasoids BOOLEAN)")
+    exec("INSERT INTO pg_class VALUES " +
+      "(1001, 'orders', 'r', 16, 100, 10, false), " +
+      "(1002, 'events', 'r', 17, 200, 20, true), " +
+      "(1003, 'pg_type', 'r', 11, 50, 5, false), " +
+      "(1004, 'edb_resource_group', 'r', 20, 5, 1, false), " +
+      "(1005, 'dbms_internal', 'r', 21, 7, 1, false)")
     // vacuum progress, both field generations
     exec("CREATE TABLE vac_v16 (pid INT, datid BIGINT, relid BIGINT, " +
       "phase VARCHAR(40), heap_blks_total BIGINT, heap_blks_scanned BIGINT, " +
@@ -194,6 +269,80 @@ class CatalogJdbcSpec extends SparkSpec {
     val j = viaJdbc.fact.collect().map(_.toSeq).toSet
     val p = viaSynth.fact.collect().map(_.toSeq).toSet
     assert(j === p)
+  }
+
+  test("pgss 1.10 scan (jit columns present) routes through the 1.9 slots and matches synth") {
+    seeded
+    assert(keyed(scanFor(10, "pgss_m10")) === expected(onlyToplevel = false))
+    // combined io-time pair (the >=11 split does NOT apply at 1.10)
+    val io = scanFor(10, "pgss_m10").agg(
+      min("blk_read_time"), min("blk_write_time")).head
+    assert(io.getDouble(0) === 2.0 && io.getDouble(1) === 3.0)
+  }
+
+  test("pgss 1.12 scan (stats_since + parallel counters) routes through the 1.11 slots and matches synth") {
+    seeded
+    assert(keyed(scanFor(12, "pgss_m12")) === expected(onlyToplevel = false))
+    val io = scanFor(12, "pgss_m12").agg(
+      min("blk_read_time"), min("blk_write_time")).head
+    assert(io.getDouble(0) === 2.0 && io.getDouble(1) === 3.0)
+  }
+
+  test("K1 snapshot assembly is green on the 1.10 and 1.12 slots too") {
+    seeded
+    val viaSynth = graft.sinks.SnapshotSink.assemble(spark, Sf)
+    val p = viaSynth.fact.collect().map(_.toSeq).toSet
+    Seq(10 -> "pgss_m10", 12 -> "pgss_m12").foreach { case (minor, table) =>
+      val viaJdbc = graft.sinks.SnapshotSink.assembleFrom(
+        CatalogJdbc.asSynthStats(scanFor(minor, table)))
+      assert(graft.sinks.SnapshotSink.verifyIntegrity(viaJdbc))
+      assert(viaJdbc.fact.collect().map(_.toSeq).toSet === p,
+        s"K1 assembly diverged on pgss 1.$minor")
+    }
+  }
+
+  test("Aurora io-timing quirk: utility statements zeroed, others untouched, non-Aurora unchanged") {
+    seeded
+    val aurora = PgSource(url, pgMajor = 17, pgssMinor = 11, systemType = "aurora")
+    val stats = CatalogJdbc.statementStats(spark, aurora, "pgss_m11")
+    val texts = CatalogJdbc.statementTexts(spark, aurora, "pgss_texts")
+    val quirked = CatalogJdbc.withIoTimingQuirk(stats, texts, aurora)
+      .select(col("queryid"), col("blk_read_time"), col("blk_write_time"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    quirked.foreach { case (qid, (rt, wt)) =>
+      if (qid % 2 == 0) assert(rt === 0.0 && wt === 0.0,
+        s"utility statement $qid kept io timings")
+      else assert(rt === 2.0 && wt === 3.0,
+        s"plain statement $qid lost io timings")
+    }
+    // a non-Aurora source passes through bit-identical
+    val plain = PgSource(url, pgMajor = 17, pgssMinor = 11)
+    val untouched = CatalogJdbc.withIoTimingQuirk(stats, texts, plain)
+    assert(untouched eq stats)
+  }
+
+  test("relations scan: EPAS filter hides sys + sys-parented namespaces; default keeps them") {
+    seeded
+    val epas = CatalogJdbc.relations(spark,
+      PgSource(url, pgMajor = 17, pgssMinor = 11, systemType = "epas"))
+    assert(epas.select("relname").collect().map(_.getString(0)).toSet ===
+      Set("orders", "events"))
+    val default = CatalogJdbc.relations(spark,
+      PgSource(url, pgMajor = 17, pgssMinor = 11))
+    assert(default.select("relname").collect().map(_.getString(0)).toSet ===
+      Set("orders", "events", "edb_resource_group", "dbms_internal"))
+  }
+
+  test("relations scan: relhasoids column real before PG12, constant false after") {
+    seeded
+    val pre = CatalogJdbc.relations(spark, PgSource(url, pgMajor = 11, pgssMinor = 8))
+      .filter(col("relname") === "events")
+      .select("relation_has_oids").head.getBoolean(0)
+    assert(pre === true) // the seeded pre-12 column value
+    val post = CatalogJdbc.relations(spark, PgSource(url, pgMajor = 12, pgssMinor = 8))
+      .filter(col("relname") === "events")
+      .select("relation_has_oids").head.getBoolean(0)
+    assert(post === false) // constant-false variant
   }
 
   test("vacuum progress: pg16 vs pg17 field generations normalize to one schema") {
