@@ -1,0 +1,212 @@
+package graft.sinks
+
+import java.io.{ByteArrayOutputStream, IOException, OutputStream}
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+/** The reference's snapshot delivery contract (`output/upload.go:26-97`
+  * + `output/upload_http_legacy.go:24-170`), as a driver-side transport
+  * for the [[ProtoWire]]-encoded documents:
+  *
+  *  1. `proto.Marshal → zlib` (the pipelines' existing wire bytes);
+  *  2. storage upload — multipart/form-data POST of the compressed
+  *     bytes (grant-provided fields + a `file` part named by the
+  *     snapshot uuid), `201 Created` expected, object key parsed from
+  *     the XML response (`uploadToS3`); a grant carrying `localDir`
+  *     instead writes the file locally (`uploadSnapshot:31-45`);
+  *  3. submission — form-encoded POST of `s3_location` + `collected_at`
+  *     to `APIBaseURL + /v2/snapshots` (`/compact` for compact
+  *     snapshots), `200 OK` expected (`submitSnapshot`).
+  *
+  * Retry mirrors the reference's retryablehttp client
+  * (`config/read.go:470-478`): up to `retryMax` retries after the
+  * first attempt, exponential backoff `waitMin * 2^attempt` capped at
+  * `waitMax`, retrying on connection errors, 429, and 5xx except 501.
+  * Sleep and clock are injected so the spec drives failure scenarios
+  * without wall-clock time.
+  *
+  * Compact-submission throttle (`upload.go:27,62-76`): successful
+  * compact submissions are counted per kind and surfaced as ONE
+  * summary line per minute ("3 activity, 2 logs"), not logged
+  * individually — the reference's log-noise bound, kept because a 10 s
+  * cadence would otherwise emit six lines a minute per server.
+  */
+object SnapshotTransport {
+
+  /** The server-issued upload grant (`state.Grant` essentials). */
+  final case class Grant(
+      s3Url: String,
+      s3Fields: Map[String, String] = Map.empty,
+      localDir: Option[String] = None,
+      apiBaseUrl: String = "",
+      valid: Boolean = true)
+
+  /** `config/read.go:470-478`. */
+  final case class RetryPolicy(
+      retryMax: Int = 4,
+      waitMinMs: Long = 1000L,
+      waitMaxMs: Long = 30000L)
+
+  sealed trait Outcome
+  final case class Submitted(location: String, attempts: Int) extends Outcome
+  final case class Failed(error: String, attempts: Int) extends Outcome
+
+  /** One HTTP response (status + body); the transport function is
+    * injectable so specs can run against an in-process server or a
+    * scripted fake. */
+  type Http = (String, String, Array[Byte]) => (Int, String)
+
+  /** Real transport over HttpURLConnection (URL, content-type, body). */
+  val httpPost: Http = (url, contentType, body) => {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", contentType)
+      conn.setFixedLengthStreamingMode(body.length)
+      val os: OutputStream = conn.getOutputStream
+      try { os.write(body); os.flush() } finally os.close()
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val out = new ByteArrayOutputStream()
+      if (is != null) {
+        val buf = new Array[Byte](8192)
+        var n = is.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = is.read(buf) }
+        is.close()
+      }
+      (code, new String(out.toByteArray, UTF_8))
+    } finally conn.disconnect()
+  }
+
+  /** Should this response retry? (retryablehttp's DefaultRetryPolicy:
+    * connection errors — surfaced as status -1 — plus 429 and 5xx
+    * except 501.) */
+  def retriable(status: Int): Boolean =
+    status < 0 || status == 429 || (status >= 500 && status != 501)
+
+  /** Run `attempt` under the reference's backoff schedule. Returns the
+    * final response and the number of attempts made. */
+  def withRetry(policy: RetryPolicy, sleep: Long => Unit)(
+      attempt: () => (Int, String)): ((Int, String), Int) = {
+    var tries = 0
+    var last: (Int, String) = (-1, "")
+    var done = false
+    while (!done && tries <= policy.retryMax) {
+      last =
+        try attempt()
+        catch { case e: IOException => (-1, String.valueOf(e.getMessage)) }
+      tries += 1
+      if (retriable(last._1) && tries <= policy.retryMax) {
+        val backoff = math.min(
+          policy.waitMinMs * (1L << math.min(tries - 1, 30)),
+          policy.waitMaxMs)
+        sleep(backoff)
+      } else done = true
+    }
+    (last, tries)
+  }
+
+  private val Boundary = "graftsnapshotboundary"
+
+  /** Minimal multipart/form-data body: grant fields + the `file` part
+    * (`uploadToS3`'s writer calls, byte-for-byte shape). */
+  def multipartBody(fields: Map[String, String], filename: String,
+      data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+    fields.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      w(s"--$Boundary\r\n")
+      w(s"""Content-Disposition: form-data; name="$k"\r\n\r\n""")
+      w(v); w("\r\n")
+    }
+    w(s"--$Boundary\r\n")
+    w("Content-Disposition: form-data; name=\"file\"; " +
+      s"""filename="$filename"\r\n""")
+    w("Content-Type: application/octet-stream\r\n\r\n")
+    out.write(data)
+    w(s"\r\n--$Boundary--\r\n")
+    out.toByteArray
+  }
+
+  val MultipartContentType = s"multipart/form-data; boundary=$Boundary"
+
+  private val KeyRe = "<Key>([^<]*)</Key>".r
+
+  /** The uploader: step-1 storage POST (or local-dir write) + step-2
+    * submission POST, each under the retry schedule. One instance per
+    * server, matching the reference's per-server upload goroutine. */
+  final class Uploader(
+      grant: Grant,
+      policy: RetryPolicy = RetryPolicy(),
+      http: Http = httpPost,
+      sleep: Long => Unit = Thread.sleep,
+      now: () => Long = System.currentTimeMillis) {
+
+    /** `uploadViaWebsocketOrHttp`'s HTTP path for one already-zlib'd
+      * document. */
+    def upload(wire: Array[Byte], uuid: String, collectedAtSecs: Long,
+        compact: Boolean): Outcome = {
+      if (!grant.valid)
+        return Failed("Error - can't upload without valid S3 grant", 0)
+      // ---- step 1: storage (or the local-dir grant fallback)
+      val (location, upTries) = grant.localDir match {
+        case Some(dir) =>
+          val p = java.nio.file.Paths.get(dir, uuid)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, wire)
+          (p.toString, 0)
+        case None =>
+          val body = multipartBody(grant.s3Fields, uuid, wire)
+          val ((st, resp), n) = withRetry(policy, sleep)(() =>
+            http(grant.s3Url, MultipartContentType, body))
+          if (st != 201)
+            return Failed(
+              s"Bad S3 upload return code $st (expected 201 Created), " +
+                s"body: $resp", n)
+          KeyRe.findFirstMatchIn(resp) match {
+            case Some(m) => (m.group(1), n)
+            case None => return Failed(s"No object key in response: $resp", n)
+          }
+      }
+      // ---- step 2: submission
+      val path = if (compact) "/v2/snapshots/compact" else "/v2/snapshots"
+      val form = s"s3_location=${java.net.URLEncoder.encode(location, "UTF-8")}" +
+        s"&collected_at=$collectedAtSecs"
+      val ((st2, resp2), n2) = withRetry(policy, sleep)(() =>
+        http(grant.apiBaseUrl + path,
+          "application/x-www-form-urlencoded", form.getBytes(UTF_8)))
+      if (st2 != 200) Failed(s"Error when submitting: $resp2", upTries + n2)
+      else Submitted(location, upTries + n2)
+    }
+
+    // ---- compact-submission throttle (upload.go:27,62-76)
+    private val compactCounts = mutable.SortedMap.empty[String, Int]
+    private var windowStart = 0L
+
+    /** Record one successful compact submission of `kind`; returns the
+      * once-per-minute summary line when the window rolls, None inside
+      * the window. */
+    def noteCompactSubmission(kind: String): Option[String] = {
+      val t = now()
+      if (windowStart == 0L) {
+        windowStart = t - t % 60000L
+        compactCounts(kind) = compactCounts.getOrElse(kind, 0) + 1
+        None
+      } else if (t - windowStart > 60000L) {
+        val summary = compactCounts.map { case (k, n) => s"$n $k" }.mkString(", ")
+        compactCounts.clear()
+        compactCounts(kind) = 1
+        windowStart = t - t % 60000L
+        if (summary.nonEmpty)
+          Some(s"Submitted compact snapshots successfully: $summary")
+        else None
+      } else {
+        compactCounts(kind) = compactCounts.getOrElse(kind, 0) + 1
+        None
+      }
+    }
+  }
+}

@@ -1,0 +1,198 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.sinks.{FullSnapshotPipeline => FP, ProtoWire}
+import graft.sinks.SnapshotTransport
+import graft.sinks.SnapshotTransport._
+
+/** The delivery contract (`output/upload.go:26-97`,
+  * `upload_http_legacy.go`): golden bytes through a REAL in-process
+  * HTTP round-trip (storage POST → key → submission POST), the
+  * retryablehttp schedule under failure injection, the local-dir grant
+  * fallback, and the compact-submission throttle. */
+class SnapshotTransportSpec extends SparkSpec {
+
+  private def readBody(ex: HttpExchange): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val is = ex.getRequestBody
+    val buf = new Array[Byte](8192)
+    var n = is.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = is.read(buf) }
+    out.toByteArray
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes(UTF_8)
+    ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+    if (b.nonEmpty) ex.getResponseBody.write(b)
+    ex.close()
+  }
+
+  /** Extract the `file` part's bytes from the multipart body. */
+  private def filePart(body: Array[Byte]): Array[Byte] = {
+    val s = new String(body, ISO_8859_1)
+    val start = s.indexOf("application/octet-stream\r\n\r\n") +
+      "application/octet-stream\r\n\r\n".length
+    val end = s.indexOf("\r\n--graftsnapshotboundary--", start)
+    body.slice(start, end)
+  }
+
+  test("golden bytes survive the real HTTP transport: storage POST -> key -> submission POST") {
+    val wire = ProtoWire.zlib(FP.encode(FP.assemble(spark, Sf)))
+    var storedBody: Array[Byte] = null
+    var storedCt: String = null
+    var submitted: String = null
+    var submittedPath: String = null
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/s3", (ex: HttpExchange) => {
+      storedBody = readBody(ex)
+      storedCt = ex.getRequestHeaders.getFirst("Content-Type")
+      respond(ex, 201,
+        "<PostResponse><Location>http://s/k</Location><Bucket>b</Bucket>" +
+          "<Key>snapshots/key123</Key></PostResponse>")
+    })
+    server.createContext("/v2/snapshots", (ex: HttpExchange) => {
+      submitted = new String(readBody(ex), UTF_8)
+      submittedPath = ex.getRequestURI.getPath
+      respond(ex, 200, "")
+    })
+    server.start()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      val up = new Uploader(Grant(s3Url = s"$base/s3",
+        s3Fields = Map("policy" -> "p1", "acl" -> "private"),
+        apiBaseUrl = base))
+      val out = up.upload(wire, FP.SnapshotUuid, 1234567L, compact = false)
+      assert(out === Submitted("snapshots/key123", 2))
+      assert(storedCt === MultipartContentType)
+      // the file part is byte-identical to what was sent…
+      val received = filePart(storedBody)
+      assert(received.toSeq === wire.toSeq)
+      // …and the grant fields rode along
+      val bodyStr = new String(storedBody, ISO_8859_1)
+      assert(bodyStr.contains("name=\"policy\"\r\n\r\np1"))
+      // …and the received bytes decode + verify integrity end-to-end
+      assert(FP.decodeVerify(spark, received).count() > 0)
+      // submission posted the storage key + collected_at to /v2/snapshots
+      assert(submittedPath === "/v2/snapshots")
+      assert(submitted === "s3_location=snapshots%2Fkey123&collected_at=1234567")
+    } finally server.stop(0)
+  }
+
+  test("compact snapshots submit to /v2/snapshots/compact") {
+    var path: String = null
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/s3", (ex: HttpExchange) =>
+      respond(ex, 201, "<PostResponse><Key>k</Key></PostResponse>"))
+    server.createContext("/v2/snapshots", (ex: HttpExchange) => {
+      path = ex.getRequestURI.getPath; respond(ex, 200, "")
+    })
+    server.start()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      val up = new Uploader(Grant(s3Url = s"$base/s3", apiBaseUrl = base))
+      assert(up.upload(Array[Byte](1, 2), "u1", 1L, compact = true)
+        .isInstanceOf[Submitted])
+      assert(path === "/v2/snapshots/compact")
+    } finally server.stop(0)
+  }
+
+  test("failure injection: two 500s then 201 -> success after the 1s/2s backoff steps") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val http: Http = (url, _, _) =>
+      if (url.endsWith("/s3")) {
+        calls += 1
+        if (calls <= 2) (500, "boom")
+        else (201, "<PostResponse><Key>k7</Key></PostResponse>")
+      } else (200, "")
+    val up = new Uploader(Grant(s3Url = "x/s3", apiBaseUrl = "x"),
+      http = http, sleep = sleeps += _)
+    val out = up.upload(Array[Byte](9), "u", 5L, compact = false)
+    assert(out === Submitted("k7", 4)) // 3 storage attempts + 1 submit
+    assert(sleeps.toSeq === Seq(1000L, 2000L))
+  }
+
+  test("retry exhaustion: five attempts (retryMax 4), capped exponential waits, then Failed") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val http: Http = (_, _, _) => (503, "unavailable")
+    val up = new Uploader(Grant(s3Url = "x/s3", apiBaseUrl = "x"),
+      policy = RetryPolicy(retryMax = 4, waitMinMs = 1000, waitMaxMs = 5000),
+      http = http, sleep = sleeps += _)
+    val out = up.upload(Array[Byte](9), "u", 5L, compact = false)
+    assert(out === Failed(
+      "Bad S3 upload return code 503 (expected 201 Created), body: unavailable", 5))
+    assert(sleeps.toSeq === Seq(1000L, 2000L, 4000L, 5000L)) // capped at waitMax
+  }
+
+  test("connection errors retry; 400-class responses do not") {
+    var calls = 0
+    val flaky: Http = (url, _, _) =>
+      if (url.endsWith("/s3")) {
+        calls += 1
+        if (calls == 1) throw new java.io.IOException("connection refused")
+        else (201, "<PostResponse><Key>k</Key></PostResponse>")
+      } else (200, "")
+    val up = new Uploader(Grant(s3Url = "x/s3", apiBaseUrl = "x"),
+      http = flaky, sleep = _ => ())
+    assert(up.upload(Array[Byte](1), "u", 1L, compact = false)
+      .isInstanceOf[Submitted])
+
+    var badCalls = 0
+    val denied: Http = (_, _, _) => { badCalls += 1; (403, "forbidden") }
+    val up2 = new Uploader(Grant(s3Url = "x/s3", apiBaseUrl = "x"),
+      http = denied, sleep = _ => ())
+    val out2 = up2.upload(Array[Byte](1), "u", 1L, compact = false)
+    assert(out2.isInstanceOf[Failed] && badCalls === 1) // no retry on 403
+  }
+
+  test("local-dir grant writes the file and submits its path (uploadSnapshot:31-45)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upload").toString
+    var submitted: String = null
+    val http: Http = (url, _, body) =>
+      if (url.contains("/v2/")) { submitted = new String(body, UTF_8); (200, "") }
+      else (500, "storage should not be called")
+    val up = new Uploader(
+      Grant(s3Url = "", localDir = Some(dir), apiBaseUrl = "x"),
+      http = http, sleep = _ => ())
+    val wire = Array[Byte](1, 2, 3, 4)
+    val out = up.upload(wire, "uuid-1", 99L, compact = false)
+    assert(out.isInstanceOf[Submitted])
+    val written = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "uuid-1"))
+    assert(written.toSeq === wire.toSeq)
+    assert(submitted.contains("collected_at=99"))
+  }
+
+  test("invalid grant refuses to upload") {
+    val up = new Uploader(Grant(s3Url = "x", valid = false),
+      http = (_, _, _) => fail("no HTTP on invalid grant"), sleep = _ => ())
+    assert(up.upload(Array[Byte](1), "u", 1L, compact = false) ===
+      Failed("Error - can't upload without valid S3 grant", 0))
+  }
+
+  test("compact-submission throttle: one summary line per minute, counts by kind") {
+    // minute-aligned start: the reference truncates the window to the
+    // minute (upload.go:67), so a mid-minute first submission rolls
+    // early — the timeline here starts on a boundary to pin the count
+    var t = 1020000L
+    val up = new Uploader(Grant(s3Url = "x", apiBaseUrl = "x"),
+      http = (_, _, _) => (200, ""), sleep = _ => (), now = () => t)
+    assert(up.noteCompactSubmission("activity").isEmpty) // window opens
+    t += 10000L
+    assert(up.noteCompactSubmission("logs").isEmpty)
+    t += 20000L
+    assert(up.noteCompactSubmission("activity").isEmpty)
+    t += 40000L // 70s past the window start: roll + summarize
+    assert(up.noteCompactSubmission("activity") ===
+      Some("Submitted compact snapshots successfully: 2 activity, 1 logs"))
+    // the roll reset the counts and started a new window
+    t += 10000L
+    assert(up.noteCompactSubmission("system").isEmpty)
+  }
+}
