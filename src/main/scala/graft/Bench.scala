@@ -18,6 +18,7 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // shuffle/spill on tmpfs when available: this host's disk throttles
     // to ~45 MB/s under sustained load, which turns shuffle writes into

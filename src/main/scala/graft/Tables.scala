@@ -18,16 +18,24 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark has no native type for. Read them as raw nanos
-    * (`nanosAsLong`) and truncate to micros — exactly what
-    * `CAST(ts AS TIMESTAMP)` does in DuckDB, so oracle comparisons see
-    * identical instants. */
+  /** The events table's `ts` has shipped as two different parquet
+    * physical types across testdata generations: TIMESTAMP(NANOS) (no
+    * native Spark type — read as raw nanos via `nanosAsLong` and truncate
+    * to micros, exactly what `CAST(ts AS TIMESTAMP)` does in DuckDB) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ).
+    * Normalize both to session-TZ TimestampType holding the same instants
+    * the DuckDB oracle sees: all engine/oracle sessions run UTC, so the
+    * NTZ wall-clock cast is instant-preserving. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Fan a narrow scan out to the session's core count before
