@@ -462,5 +462,216 @@ object OraclesCatalog {
         |SELECT rel_oid, parent_oid, inhseqno FROM (
         |  SELECT *, row_number() OVER (PARTITION BY rel_oid
         |    ORDER BY inhseqno, parent_oid) AS rn
-        |  FROM inh) t WHERE rn = 1""".stripMargin)
+        |  FROM inh) t WHERE rn = 1""".stripMargin,
+
+    // Mirrors QueriesSelftest.selftestSummary: same synthetic aspect
+    // states, same loop-break flags, same verdict CASE chains.
+    "selftest_summary" ->
+      """WITH base AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS sid, n_name AS sname,
+        |    n_nationkey % 11 = 7 AS susp,
+        |    CAST(n_nationkey % 4 AS INT) AS dbcount
+        |  FROM nation),
+        |asp AS (
+        |  SELECT b.sid, a.a,
+        |    CAST(CASE (b.sid * 7 + a.a * 13) % 19 WHEN 0 THEN 0 WHEN 1 THEN 1
+        |      WHEN 2 THEN 2 WHEN 3 THEN 3 ELSE 4 END AS INT) AS st
+        |  FROM base b CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS a) a),
+        |aspm AS (
+        |  SELECT sid, a, st,
+        |    CASE WHEN st = 4 THEN 'ok' ELSE 'm' || sid || '_' || a END AS am,
+        |    CASE WHEN st = 3 THEN 'h' || sid || '_' || a ELSE '' END AS ah,
+        |    CASE st WHEN 0 THEN 'unchecked' WHEN 1 THEN 'na' WHEN 2 THEN 'warn'
+        |      WHEN 3 THEN 'error' ELSE 'ok' END AS aicon,
+        |    list_extract(['api_connection','websocket','telemetry',
+        |      'system_stats','db_connection','pg_version',
+        |      'pg_stat_statements','activity','logs','explain'], a + 1) AS aname
+        |  FROM asp),
+        |stp AS (
+        |  SELECT sid,
+        |    max(CASE WHEN a = 4 THEN st END) AS st4,
+        |    max(CASE WHEN a = 6 THEN st END) AS st6,
+        |    max(CASE WHEN a = 7 THEN st END) AS st7,
+        |    max(CASE WHEN a = 8 THEN st END) AS st8,
+        |    max(CASE WHEN a = 7 THEN am END) AS am7,
+        |    max(CASE WHEN a = 7 THEN ah END) AS ah7,
+        |    max(CASE WHEN a = 8 THEN am END) AS am8,
+        |    max(CASE WHEN a = 8 THEN ah END) AS ah8,
+        |    CAST(sum(CASE WHEN a < 9 THEN CAST(st = 4 AS INT)
+        |      ELSE CAST(st = 0 OR st = 4 AS INT) END) AS INT) AS okcnt
+        |  FROM aspm GROUP BY sid),
+        |dbs AS (
+        |  SELECT b.sid, b.dbcount, CAST(t.db_idx AS INT) AS db_idx,
+        |    'db_' || b.sid || '_' || t.db_idx AS dbname
+        |  FROM base b CROSS JOIN (SELECT unnest([0, 1, 2]) AS db_idx) t
+        |  WHERE t.db_idx < b.dbcount),
+        |dbsm AS (
+        |  SELECT *,
+        |    CAST(CASE (sid * 5 + db_idx * 17) % 13 WHEN 0 THEN 0
+        |      WHEN 1 THEN 3 WHEN 2 THEN 3 ELSE 4 END AS INT) AS ds0,
+        |    CAST(CASE (sid * 5 + db_idx * 17 + 29) % 13 WHEN 0 THEN 0
+        |      WHEN 1 THEN 3 WHEN 2 THEN 3 ELSE 4 END AS INT) AS ds1,
+        |    CAST(CASE (sid * 5 + db_idx * 17 + 58) % 13 WHEN 0 THEN 0
+        |      WHEN 1 THEN 3 WHEN 2 THEN 3 ELSE 4 END AS INT) AS ds2
+        |  FROM dbs),
+        |dbsm2 AS (
+        |  SELECT *,
+        |    CASE WHEN ds0 = 3 THEN 'dm' || sid || '_' || db_idx || '_' || 0
+        |      ELSE '' END AS dm0,
+        |    CASE WHEN ds1 = 3 THEN 'dm' || sid || '_' || db_idx || '_' || 1
+        |      ELSE '' END AS dm1,
+        |    CASE WHEN ds2 = 3 THEN 'dm' || sid || '_' || db_idx || '_' || 2
+        |      ELSE '' END AS dm2,
+        |    CASE WHEN ds0 <> 4 THEN 0 WHEN ds1 <> 4 THEN 1
+        |      WHEN ds2 <> 4 THEN 2 END AS fail_kind
+        |  FROM dbsm),
+        |dagg AS (
+        |  SELECT sid,
+        |    min(CASE WHEN ds0 = 0 THEN dbname END) AS unchk0,
+        |    CAST(count(CASE WHEN ds0 = 3 THEN 1 END) AS BIGINT) AS errcnt0,
+        |    min(CASE WHEN ds0 = 3 THEN dbname END) AS errname0,
+        |    min(CASE WHEN ds0 = 3 THEN dm0 END) AS errmsg0,
+        |    min(CASE WHEN ds0 = 4 THEN 1 ELSE 0 END) AS allok0,
+        |    min(CASE WHEN ds1 = 0 THEN dbname END) AS unchk1,
+        |    CAST(count(CASE WHEN ds1 = 3 THEN 1 END) AS BIGINT) AS errcnt1,
+        |    min(CASE WHEN ds1 = 3 THEN dbname END) AS errname1,
+        |    min(CASE WHEN ds1 = 3 THEN dm1 END) AS errmsg1,
+        |    min(CASE WHEN ds1 = 4 THEN 1 ELSE 0 END) AS allok1,
+        |    min(CASE WHEN ds2 = 0 THEN dbname END) AS unchk2,
+        |    CAST(count(CASE WHEN ds2 = 3 THEN 1 END) AS BIGINT) AS errcnt2,
+        |    min(CASE WHEN ds2 = 3 THEN dbname END) AS errname2,
+        |    min(CASE WHEN ds2 = 3 THEN dm2 END) AS errmsg2,
+        |    min(CASE WHEN ds2 = 4 THEN 1 ELSE 0 END) AS allok2,
+        |    min(CASE WHEN fail_kind IS NOT NULL
+        |      THEN db_idx * 4 + fail_kind END) AS ffcode,
+        |    min(CASE WHEN db_idx = 0 THEN CAST(ds0 = 4 AS INT) END) AS schema0_ok
+        |  FROM dbsm2 GROUP BY sid),
+        |srv AS (
+        |  SELECT b.sid, b.sname, b.susp, b.dbcount,
+        |    s.st4, s.st6, s.st7, s.st8, s.am7, s.ah7, s.am8, s.ah8,
+        |    d.unchk0, d.errcnt0, d.errname0, d.errmsg0, d.allok0,
+        |    d.unchk1, d.errcnt1, d.errname1, d.errmsg1, d.allok1,
+        |    d.unchk2, d.errcnt2, d.errname2, d.errmsg2, d.allok2,
+        |    (d.ffcode IS NULL OR d.ffcode % 4 <> 0) AS all_schema_ok,
+        |    (d.ffcode IS NULL OR d.ffcode % 4 <> 1) AS all_col_ok,
+        |    (d.ffcode IS NULL OR d.ffcode % 4 <> 2) AS all_ext_ok,
+        |    (b.dbcount > 0 AND (d.ffcode IS NULL OR d.ffcode <> 0))
+        |      AS some_schema_ok,
+        |    (b.dbcount > 0 AND d.schema0_ok = 1) AS some_ok_s,
+        |    (s.okcnt = 10 AND (b.dbcount = 0 OR
+        |      (d.allok0 = 1 AND d.allok1 = 1 AND d.allok2 = 1)))
+        |      AS all_features_ok
+        |  FROM base b JOIN stp s ON b.sid = s.sid
+        |  LEFT JOIN dagg d ON b.sid = d.sid),
+        |dbsum AS (
+        |  SELECT srv.*, k.a AS dba,
+        |    list_extract(['schema','column_stats','extended_stats'], k.a + 1)
+        |      AS dbaname,
+        |    CASE k.a WHEN 0 THEN allok0 WHEN 1 THEN allok1 ELSE allok2 END AS allokx,
+        |    CASE k.a WHEN 0 THEN unchk0 WHEN 1 THEN unchk1 ELSE unchk2 END AS unchkx,
+        |    CASE k.a WHEN 0 THEN errcnt0 WHEN 1 THEN errcnt1 ELSE errcnt2 END AS errcntx,
+        |    CASE k.a WHEN 0 THEN errname0 WHEN 1 THEN errname1 ELSE errname2 END AS errnamex,
+        |    CASE k.a WHEN 0 THEN errmsg0 WHEN 1 THEN errmsg1 ELSE errmsg2 END AS errmsgx
+        |  FROM srv CROSS JOIN (SELECT unnest([0,1,2]) AS a) k)
+        |SELECT m.sid AS server_id, b.sname AS server_name,
+        |  'aspect:' || m.aname AS item, m.aicon AS icon, m.am AS msg,
+        |  m.ah AS hint
+        |FROM aspm m JOIN base b ON m.sid = b.sid WHERE NOT b.susp
+        |UNION ALL
+        |SELECT sid, sname, 'dbsummary:' || dbaname,
+        |  CASE WHEN coalesce(allokx, 0) = 1 THEN 'ok' ELSE 'error' END,
+        |  CASE
+        |    WHEN dbcount = 0 THEN 'could not check databases'
+        |    WHEN unchkx IS NOT NULL THEN
+        |      CASE WHEN dbcount > 1 THEN 'could not check ' || unchkx ||
+        |        ' and ' || (dbcount - 1) ||
+        |        ' other monitored database(s) (see details with --verbose)'
+        |      ELSE 'could not check database ' || unchkx END
+        |    WHEN errcntx > 1 THEN 'found problems in ' || errnamex ||
+        |      ' and ' || (errcntx - 1) ||
+        |      ' other monitored database(s) (see details with --verbose)'
+        |    WHEN errcntx > 0 THEN 'found problem in database ' || errnamex ||
+        |      ': ' || errmsgx
+        |    WHEN dbcount > 1 THEN 'ok in db_' || sid || '_0 and ' ||
+        |      (dbcount - 1) ||
+        |      ' other monitored database(s) (see details with --verbose)'
+        |    ELSE 'ok in db_' || sid || '_0 (no other databases are monitored)'
+        |  END, ''
+        |FROM dbsum WHERE NOT susp
+        |UNION ALL
+        |SELECT sid, sname, 'feature:query_performance',
+        |  CASE WHEN st4 <> 4 OR st6 <> 4 THEN 'error' ELSE 'ok' END,
+        |  CASE WHEN st4 <> 4 THEN 'database connection required'
+        |    WHEN st6 = 3 THEN 'not available due to pg_stat_statements error; see above'
+        |    WHEN st6 <> 4 THEN 'pg_stat_statements required'
+        |    ELSE 'ok' END, ''
+        |FROM srv WHERE NOT susp
+        |UNION ALL
+        |SELECT sid, sname, 'feature:index_advisor',
+        |  CASE WHEN st4 <> 4 OR dbcount = 0 OR NOT some_schema_ok THEN 'error'
+        |    WHEN NOT (all_schema_ok AND all_col_ok AND all_ext_ok) THEN 'warn'
+        |    ELSE 'ok' END,
+        |  CASE WHEN st4 <> 4 THEN 'database connection required'
+        |    WHEN dbcount = 0 THEN 'could not check databases'
+        |    WHEN NOT some_schema_ok THEN 'not available due to schema monitoring errors; see above'
+        |    WHEN NOT all_schema_ok THEN 'schema monitoring errors in some databases; see above'
+        |    WHEN NOT all_col_ok THEN 'column stats helper missing in some databases; see above'
+        |    WHEN NOT all_ext_ok THEN 'extended stats helper missing in some databases; see above'
+        |    ELSE 'ok' END,
+        |  CASE WHEN st4 <> 4 OR dbcount = 0 OR NOT some_schema_ok THEN ''
+        |    WHEN NOT all_schema_ok THEN 'Schema information is required for Index Advisor'
+        |    WHEN NOT all_col_ok THEN 'Column stats can improve index recommendations'
+        |    WHEN NOT all_ext_ok THEN 'Extended stats can improve index recommendations'
+        |    ELSE '' END
+        |FROM srv WHERE NOT susp
+        |UNION ALL
+        |SELECT sid, sname, 'feature:vacuum_advisor',
+        |  CASE WHEN st4 <> 4 THEN 'error' WHEN st7 = 1 THEN 'na'
+        |    WHEN st8 <> 4 THEN 'error' ELSE 'ok' END,
+        |  CASE WHEN st4 <> 4 THEN 'database connection required'
+        |    WHEN st7 = 1 THEN am7
+        |    WHEN st8 <> 4 THEN 'Log Insights required' ELSE 'ok' END,
+        |  CASE WHEN st4 = 4 AND st7 = 1 THEN ah7 ELSE '' END
+        |FROM srv WHERE NOT susp
+        |UNION ALL
+        |SELECT sid, sname, 'feature:log_insights',
+        |  CASE WHEN st7 = 1 THEN 'na' ELSE
+        |    CASE st8 WHEN 0 THEN 'unchecked' WHEN 1 THEN 'na' WHEN 2 THEN 'warn'
+        |      WHEN 3 THEN 'error' ELSE 'ok' END END,
+        |  CASE WHEN st7 = 1 THEN am7 ELSE am8 END,
+        |  CASE WHEN st7 = 1 THEN ah7 ELSE ah8 END
+        |FROM srv WHERE NOT susp
+        |UNION ALL
+        |SELECT sid, sname, 'feature:connections',
+        |  CASE st7 WHEN 0 THEN 'unchecked' WHEN 1 THEN 'na' WHEN 2 THEN 'warn'
+        |    WHEN 3 THEN 'error' ELSE 'ok' END,
+        |  am7, ah7
+        |FROM srv WHERE NOT susp
+        |UNION ALL
+        |SELECT sid, sname, 'feature:explain_plans',
+        |  CASE WHEN st4 <> 4 THEN 'error' WHEN st7 = 1 THEN 'na'
+        |    WHEN st8 <> 4 THEN 'error' ELSE 'unchecked' END,
+        |  CASE WHEN st4 <> 4 THEN 'database connection required'
+        |    WHEN st7 = 1 THEN am7
+        |    WHEN st8 <> 4 THEN 'Log Insights required'
+        |    ELSE 'check pganalyze EXPLAIN Plans page' END,
+        |  CASE WHEN st4 = 4 AND st7 = 1 THEN ah7 ELSE '' END
+        |FROM srv WHERE NOT susp
+        |UNION ALL
+        |SELECT sid, sname, 'feature:schema_statistics',
+        |  CASE WHEN st4 <> 4 OR NOT some_ok_s THEN 'error'
+        |    WHEN allok0 <> 1 THEN 'warn' ELSE 'ok' END,
+        |  CASE WHEN st4 <> 4 THEN 'database connection required'
+        |    WHEN NOT some_ok_s THEN 'not available due to errors; see above'
+        |    WHEN allok0 <> 1 THEN 'available for some databases'
+        |    ELSE 'ok' END, ''
+        |FROM srv WHERE NOT susp
+        |UNION ALL
+        |SELECT sid, sname, 'all_features_ok',
+        |  CASE WHEN all_features_ok THEN 'ok' ELSE 'error' END, '', ''
+        |FROM srv WHERE NOT susp
+        |UNION ALL
+        |SELECT sid, sname, 'collection_suspended', 'warn',
+        |  'collection suspended: replica server ' || sid, ''
+        |FROM base WHERE susp""".stripMargin)
 }

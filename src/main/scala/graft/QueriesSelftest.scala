@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Selftest summary — the reference's `--test` report as a query.
+  *
+  * The reference runs one collection cycle, records a
+  * per-aspect status (`state/selftest.go:28-68`: ten server-level
+  * collection aspects, three per-database aspects, five state codes) and
+  * derives the per-feature verdicts printed by
+  * `selftest/summary.go:202-311`. The derivation rules are pure
+  * functions of the aspect states, and several of them carry non-obvious
+  * loop-break semantics that this translation preserves exactly:
+  *
+  *  - `getIndexAdvisorStatus` (`summary.go:373-418`) iterates monitored
+  *    databases in order and `break`s at the FIRST failing check, so only
+  *    the first failure's aspect flag (schema / column stats / extended
+  *    stats) is ever cleared — a later database's schema failure is
+  *    invisible if an earlier database failed its column-stats check. We
+  *    model the loop with `min(db_idx * 4 + fail_kind)`: the first
+  *    failure's (index, kind) pair decides the verdict.
+  *  - `summarizeDbChecks` (`summary.go:79-146`) ranks unchecked >
+  *    multi-error > single-error > ok and pluralizes against
+  *    `len(checks)`, not the error count.
+  *  - `getLogInsightsStatus` (`summary.go:437-447`) substitutes the
+  *    activity aspect when activity is NotAvailable (the reference knows
+  *    log snapshots are gated on the same plan flag); VACUUM Advisor and
+  *    EXPLAIN Plans inherit that substitution.
+  *  - `checkAllAspectsOk` (`summary.go:313-334`) skips the Explain
+  *    aspect only while it is unchecked.
+  *  - A suspended server (`MarkCollectionSuspended`, `summary.go:214-217`)
+  *    short-circuits the whole report to one row.
+  *
+  * Aspect states are synthesized deterministically from `nation` (one
+  * server per nation row, `sid % 4` monitored databases) so the DuckDB
+  * oracle rebuilds identical inputs. Selftest data is config-scale (one
+  * row per server × ~21 report lines) — the cross join against the
+  * 10-aspect literal array and the per-server aggregation are k-row
+  * shapes at any corpus size, so this plan is scale-independent by
+  * construction.
+  */
+object QueriesSelftest {
+
+  private val aspectNames = Seq(
+    "api_connection", "websocket", "telemetry", "system_stats",
+    "db_connection", "pg_version", "pg_stat_statements", "activity",
+    "logs", "explain")
+
+  /** state codes: 0 unchecked, 1 not_available, 2 warning, 3 error, 4 okay */
+  private def iconSql(st: String): String =
+    s"CASE $st WHEN 0 THEN 'unchecked' WHEN 1 THEN 'na' WHEN 2 THEN 'warn' " +
+      s"WHEN 3 THEN 'error' ELSE 'ok' END"
+
+  def selftestSummary(s: SparkSession, dir: String): DataFrame = {
+    val base0 = Tables.nation(s, dir).select(
+      col("n_nationkey").cast("long").as("sid"),
+      col("n_name").as("sname"))
+      .withColumn("susp", expr("sid % 11 = 7"))
+      .withColumn("dbcount", expr("CAST(sid % 4 AS INT)"))
+
+    // Ten server-level aspect states + synthetic msg/hint, one formula
+    // per aspect so the oracle mirrors them as literal CASE arms.
+    val base = (0 until 10).foldLeft(base0) { (d, a) =>
+      d.withColumn(s"st$a", expr(
+          s"CAST(CASE (sid * 7 + $a * 13) % 19 WHEN 0 THEN 0 WHEN 1 THEN 1 " +
+            s"WHEN 2 THEN 2 WHEN 3 THEN 3 ELSE 4 END AS INT)"))
+        .withColumn(s"am$a",
+          expr(s"CASE WHEN st$a = 4 THEN 'ok' ELSE 'm' || sid || '_' || $a END"))
+        .withColumn(s"ah$a",
+          expr(s"CASE WHEN st$a = 3 THEN 'h' || sid || '_' || $a ELSE '' END"))
+    }
+
+    // Monitored databases: sid % 4 of them; three per-db aspect states
+    // (0 schema, 1 column stats, 2 extended stats).
+    val dbs = (0 until 3).foldLeft(
+      base.select(col("sid"), col("dbcount"))
+        .withColumn("db_idx", explode(when(col("dbcount") > 0,
+          sequence(lit(0), col("dbcount") - 1)).otherwise(array())))
+        .withColumn("dbname", expr("'db_' || sid || '_' || db_idx"))) { (d, a) =>
+      d.withColumn(s"ds$a", expr(
+          s"CAST(CASE (sid * 5 + db_idx * 17 + $a * 29) % 13 WHEN 0 THEN 0 " +
+            s"WHEN 1 THEN 3 WHEN 2 THEN 3 ELSE 4 END AS INT)"))
+        .withColumn(s"dm$a", expr(
+          s"CASE WHEN ds$a = 3 THEN 'dm' || sid || '_' || db_idx || '_' || $a " +
+            s"ELSE '' END"))
+    }.withColumn("fail_kind", expr(
+      "CASE WHEN ds0 <> 4 THEN 0 WHEN ds1 <> 4 THEN 1 WHEN ds2 <> 4 THEN 2 END"))
+
+    // Per-server rollup of the db loop state. min(dbname) is min(db_idx)
+    // because names only differ in the idx suffix (idx <= 3).
+    val daggExprs = (0 until 3).flatMap { a =>
+      Seq(
+        s"min(CASE WHEN ds$a = 0 THEN dbname END) AS unchk$a",
+        s"count(CASE WHEN ds$a = 3 THEN 1 END) AS errcnt$a",
+        s"min(CASE WHEN ds$a = 3 THEN dbname END) AS errname$a",
+        s"min(CASE WHEN ds$a = 3 THEN dm$a END) AS errmsg$a",
+        s"min(CASE WHEN ds$a = 4 THEN 1 ELSE 0 END) AS allok$a")
+    } ++ Seq(
+      // the getIndexAdvisorStatus loop: first failing (db, aspect) pair
+      "min(CASE WHEN fail_kind IS NOT NULL THEN db_idx * 4 + fail_kind END) AS ffcode",
+      // getSchemaStatisticsStatus's someDbsOkay: db 0's schema verdict
+      "min(CASE WHEN db_idx = 0 THEN CAST(ds0 = 4 AS INT) END) AS schema0_ok")
+    val dagg = dbs.groupBy("sid")
+      .agg(expr(daggExprs.head), daggExprs.tail.map(expr): _*)
+
+    val srv = base.join(broadcast(dagg), Seq("sid"), "left")
+      .withColumn("all_schema_ok", expr("ffcode IS NULL OR ffcode % 4 <> 0"))
+      .withColumn("all_col_ok", expr("ffcode IS NULL OR ffcode % 4 <> 1"))
+      .withColumn("all_ext_ok", expr("ffcode IS NULL OR ffcode % 4 <> 2"))
+      // false only when db 0 itself failed its schema check (ffcode = 0)
+      .withColumn("some_schema_ok",
+        expr("dbcount > 0 AND (ffcode IS NULL OR ffcode <> 0)"))
+      .withColumn("some_ok_s", expr("dbcount > 0 AND schema0_ok = 1"))
+      .withColumn("all_features_ok", expr(
+        (0 until 9).map(a => s"st$a = 4").mkString(" AND ") +
+          " AND (st9 = 0 OR st9 = 4)" +
+          " AND (dbcount = 0 OR (allok0 = 1 AND allok1 = 1 AND allok2 = 1))"))
+
+    def row(item: String, icon: String, msg: String, hint: String): String =
+      s"named_struct('item', $item, 'icon', $icon, 'msg', $msg, 'hint', $hint)"
+
+    val aspectRows = aspectNames.zipWithIndex.map { case (n, a) =>
+      row(s"'aspect:$n'", iconSql(s"st$a"), s"am$a", s"ah$a")
+    }
+
+    val dbAspectNames = Seq("schema", "column_stats", "extended_stats")
+    val dbRows = dbAspectNames.zipWithIndex.map { case (n, a) =>
+      val verboseHint = " (see details with --verbose)"
+      row(s"'dbsummary:$n'",
+        s"CASE WHEN coalesce(allok$a, 0) = 1 THEN 'ok' ELSE 'error' END",
+        s"""CASE
+           | WHEN dbcount = 0 THEN 'could not check databases'
+           | WHEN unchk$a IS NOT NULL THEN
+           |   CASE WHEN dbcount > 1 THEN 'could not check ' || unchk$a ||
+           |     ' and ' || (dbcount - 1) ||
+           |     ' other monitored database(s)$verboseHint'
+           |   ELSE 'could not check database ' || unchk$a END
+           | WHEN errcnt$a > 1 THEN 'found problems in ' || errname$a ||
+           |   ' and ' || (errcnt$a - 1) ||
+           |   ' other monitored database(s)$verboseHint'
+           | WHEN errcnt$a > 0 THEN 'found problem in database ' || errname$a ||
+           |   ': ' || errmsg$a
+           | WHEN dbcount > 1 THEN 'ok in db_' || sid || '_0 and ' ||
+           |   (dbcount - 1) || ' other monitored database(s)$verboseHint'
+           | ELSE 'ok in db_' || sid || '_0 (no other databases are monitored)'
+           |END""".stripMargin,
+        "''")
+    }
+
+    val dbConnRequired = "'database connection required'"
+    val featureRows = Seq(
+      // getQueryPerformanceStatus (summary.go:336-347)
+      row("'feature:query_performance'",
+        s"CASE WHEN st4 <> 4 OR st6 <> 4 THEN 'error' ELSE 'ok' END",
+        s"""CASE WHEN st4 <> 4 THEN $dbConnRequired
+           | WHEN st6 = 3 THEN 'not available due to pg_stat_statements error; see above'
+           | WHEN st6 <> 4 THEN 'pg_stat_statements required'
+           | ELSE 'ok' END""".stripMargin,
+        "''"),
+      // getIndexAdvisorStatus (summary.go:373-418)
+      row("'feature:index_advisor'",
+        s"""CASE WHEN st4 <> 4 OR dbcount = 0 OR NOT some_schema_ok THEN 'error'
+           | WHEN NOT (all_schema_ok AND all_col_ok AND all_ext_ok) THEN 'warn'
+           | ELSE 'ok' END""".stripMargin,
+        s"""CASE WHEN st4 <> 4 THEN $dbConnRequired
+           | WHEN dbcount = 0 THEN 'could not check databases'
+           | WHEN NOT some_schema_ok THEN 'not available due to schema monitoring errors; see above'
+           | WHEN NOT all_schema_ok THEN 'schema monitoring errors in some databases; see above'
+           | WHEN NOT all_col_ok THEN 'column stats helper missing in some databases; see above'
+           | WHEN NOT all_ext_ok THEN 'extended stats helper missing in some databases; see above'
+           | ELSE 'ok' END""".stripMargin,
+        s"""CASE WHEN st4 <> 4 OR dbcount = 0 OR NOT some_schema_ok THEN ''
+           | WHEN NOT all_schema_ok THEN 'Schema information is required for Index Advisor'
+           | WHEN NOT all_col_ok THEN 'Column stats can improve index recommendations'
+           | WHEN NOT all_ext_ok THEN 'Extended stats can improve index recommendations'
+           | ELSE '' END""".stripMargin),
+      // getVACUUMAdvisorStatus (summary.go:420-435)
+      row("'feature:vacuum_advisor'",
+        s"""CASE WHEN st4 <> 4 THEN 'error' WHEN st7 = 1 THEN 'na'
+           | WHEN st8 <> 4 THEN 'error' ELSE 'ok' END""".stripMargin,
+        s"""CASE WHEN st4 <> 4 THEN $dbConnRequired WHEN st7 = 1 THEN am7
+           | WHEN st8 <> 4 THEN 'Log Insights required' ELSE 'ok' END""".stripMargin,
+        s"CASE WHEN st4 = 4 AND st7 = 1 THEN ah7 ELSE '' END"),
+      // getLogInsightsStatus (summary.go:437-447)
+      row("'feature:log_insights'",
+        s"CASE WHEN st7 = 1 THEN 'na' ELSE ${iconSql("st8")} END",
+        s"CASE WHEN st7 = 1 THEN am7 ELSE am8 END",
+        s"CASE WHEN st7 = 1 THEN ah7 ELSE ah8 END"),
+      // getConnectionsStatus (summary.go:449-451)
+      row("'feature:connections'", iconSql("st7"), "am7", "ah7"),
+      // getAutomatedExplainStatus (summary.go:453-469)
+      row("'feature:explain_plans'",
+        s"""CASE WHEN st4 <> 4 THEN 'error' WHEN st7 = 1 THEN 'na'
+           | WHEN st8 <> 4 THEN 'error' ELSE 'unchecked' END""".stripMargin,
+        s"""CASE WHEN st4 <> 4 THEN $dbConnRequired WHEN st7 = 1 THEN am7
+           | WHEN st8 <> 4 THEN 'Log Insights required'
+           | ELSE 'check pganalyze EXPLAIN Plans page' END""".stripMargin,
+        s"CASE WHEN st4 = 4 AND st7 = 1 THEN ah7 ELSE '' END"),
+      // getSchemaStatisticsStatus (summary.go:349-371)
+      row("'feature:schema_statistics'",
+        s"""CASE WHEN st4 <> 4 OR NOT some_ok_s THEN 'error'
+           | WHEN allok0 <> 1 THEN 'warn' ELSE 'ok' END""".stripMargin,
+        s"""CASE WHEN st4 <> 4 THEN $dbConnRequired
+           | WHEN NOT some_ok_s THEN 'not available due to errors; see above'
+           | WHEN allok0 <> 1 THEN 'available for some databases'
+           | ELSE 'ok' END""".stripMargin,
+        "''"))
+
+    val allOkRow = row("'all_features_ok'",
+      "CASE WHEN all_features_ok THEN 'ok' ELSE 'error' END", "''", "''")
+    val suspRow = row("'collection_suspended'", "'warn'",
+      "'collection suspended: replica server ' || sid", "''")
+
+    val allRows = (aspectRows ++ dbRows ++ featureRows :+ allOkRow)
+      .mkString("array(", ", ", ")")
+
+    srv.select(
+        col("sid").as("server_id"), col("sname").as("server_name"),
+        explode(when(col("susp"), expr(s"array($suspRow)"))
+          .otherwise(expr(allRows))).as("r"))
+      .select(col("server_id"), col("server_name"),
+        col("r.item").as("item"), col("r.icon").as("icon"),
+        col("r.msg").as("msg"), col("r.hint").as("hint"))
+  }
+}

@@ -70,6 +70,7 @@ object SparkEntry {
     "s10_views" -> (QueriesCatalog.s10Views _),
     "s34_os_metrics" -> (QueriesCatalog.s34OsMetrics _),
     "s15_ext_stats" -> (QueriesCatalog.s15ExtStats _),
+    "selftest_summary" -> (QueriesSelftest.selftestSummary _),
     "d2_plan_stats_diff" -> (QueriesCatalog.d2PlanStatsDiff _),
     "d6_database_stats_diff" -> (QueriesCatalog.d6DatabaseStatsDiff _),
     // scalar functions / filters / sorts

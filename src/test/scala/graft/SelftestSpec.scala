@@ -1,0 +1,92 @@
+package graft
+
+/** Pins the selftest verdict derivation (reference:
+  * selftest/summary.go:202-311, state/selftest.go:14-68) — in
+  * particular the getIndexAdvisorStatus loop-break semantics and the
+  * suspended-server short-circuit, both invisible to a naive
+  * all()/any() translation.
+  */
+class SelftestSpec extends SparkSpec {
+
+  private lazy val rows = QueriesSelftest.selftestSummary(spark, Sf)
+    .collect()
+    .map(r => (r.getLong(0), r.getString(2)) ->
+      (r.getString(3), r.getString(4), r.getString(5)))
+    .toMap
+
+  test("suspended servers short-circuit to a single row") {
+    // sid % 11 = 7 → servers 7 and 18 of the 25
+    val bySrv = rows.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySrv(7L) === 1 && bySrv(18L) === 1)
+    assert(rows((7L, "collection_suspended")) ===
+      (("warn", "collection suspended: replica server 7", "")))
+    // every non-suspended server reports the full 21 lines
+    assert(bySrv.filterKeys(k => k != 7L && k != 18L).values.toSet === Set(21))
+    assert(rows.size === 23 * 21 + 2)
+  }
+
+  test("server 0: zero monitored databases") {
+    // st6 (pg_stat_statements) = (0 + 6*13) % 19 = 2 → warning
+    assert(rows((0L, "feature:query_performance")) ===
+      (("error", "pg_stat_statements required", "")))
+    // dbcount = 0: index advisor and the db summaries degrade
+    assert(rows((0L, "feature:index_advisor")) ===
+      (("error", "could not check databases", "")))
+    assert(rows((0L, "dbsummary:schema")) ===
+      (("error", "could not check databases", "")))
+    assert(rows((0L, "feature:schema_statistics")) ===
+      (("error", "not available due to errors; see above", "")))
+    // logs + activity are okay → vacuum advisor ok, explain unchecked
+    assert(rows((0L, "feature:vacuum_advisor")) === (("ok", "ok", "")))
+    assert(rows((0L, "feature:explain_plans")) ===
+      (("unchecked", "check pganalyze EXPLAIN Plans page", "")))
+    // aspect api_connection is unchecked → all_features_ok fails
+    assert(rows((0L, "aspect:api_connection"))._1 === "unchecked")
+    assert(rows((0L, "all_features_ok"))._1 === "error")
+  }
+
+  test("server 11: the loop break hides a later column-stats error") {
+    // db states for sid=11 (base 55): db0 all ok; db1 ext-stats
+    // unchecked (fail at db_idx=1, kind=2); db2 column-stats ERROR —
+    // but the reference's loop broke at db1, so the index-advisor
+    // verdict is the extended-stats warning, NOT the column-stats one
+    // (summary.go:384-403: one break, single flag cleared).
+    assert(rows((11L, "feature:index_advisor")) ===
+      (("warn", "extended stats helper missing in some databases; see above",
+        "Extended stats can improve index recommendations")))
+    // the per-aspect db summaries still see every database:
+    assert(rows((11L, "dbsummary:column_stats")) ===
+      (("error", "found problem in database db_11_2: dm11_2_1", "")))
+    assert(rows((11L, "dbsummary:extended_stats")) === (("error",
+      "could not check db_11_1 and 2 other monitored database(s) " +
+        "(see details with --verbose)", "")))
+    assert(rows((11L, "dbsummary:schema")) === (("ok",
+      "ok in db_11_0 and 2 other monitored database(s) " +
+        "(see details with --verbose)", "")))
+    assert(rows((11L, "feature:schema_statistics")) === (("ok", "ok", "")))
+  }
+
+  test("server 3: first database failing schema blocks the advisors") {
+    // ds0(3,0) = 15 % 13 = 2 → error at db_idx 0 → ffcode = 0
+    assert(rows((3L, "feature:index_advisor")) ===
+      (("error", "not available due to schema monitoring errors; see above", "")))
+    assert(rows((3L, "feature:schema_statistics")) ===
+      (("error", "not available due to errors; see above", "")))
+    assert(rows((3L, "dbsummary:schema")) ===
+      (("error", "found problem in database db_3_0: dm3_0_0", "")))
+  }
+
+  test("every icon state and every feature verdict branch is exercised") {
+    val icons = rows.values.map(_._1).toSet
+    assert(icons === Set("ok", "warn", "error", "na", "unchecked"))
+    def verdicts(item: String): Set[String] =
+      rows.collect { case ((_, i), (icon, _, _)) if i == item => icon }.toSet
+    assert(verdicts("feature:query_performance").contains("ok"))
+    assert(verdicts("feature:query_performance").contains("error"))
+    assert(verdicts("feature:log_insights").intersect(Set("na")) .nonEmpty ||
+      rows.exists { case ((_, i), (icon, _, _)) =>
+        i == "feature:connections" && icon == "na" })
+    assert(verdicts("all_features_ok") === Set("ok", "error") ||
+      verdicts("all_features_ok") === Set("error"))
+  }
+}
