@@ -50,13 +50,20 @@ object ScaleUp {
       expr("transform(embedding, x -> cast(x + rep * 0.013 as float))")
         .as("embedding")), "embeddings")
 
-    // events: offset ids, shift ts per replica (ts is raw parquet nanos)
+    // events: offset ids, shift ts one hour per replica. ts has shipped
+    // as both raw TIMESTAMP(NANOS) longs and TIMESTAMP(MICROS) NTZ
+    // across testdata generations (see Tables.eventsRaw) — shift in the
+    // scanned type's own unit so the written file keeps that type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
     val maxEv = ev.agg(max("event_id")).head.getLong(0) + 1
+    val shifted =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        (col("ts") + col("rep").cast("long") * lit(3600L * 1000000000L)).as("ts")
+      else expr("timestampadd(HOUR, rep, ts)").as("ts")
     write(ev.crossJoin(reps).select(
       (col("event_id") + col("rep") * maxEv).as("event_id"),
-      (col("ts") + col("rep").cast("long") * lit(3600L * 1000000000L)).as("ts"),
+      shifted,
       col("user_id"), col("event_type"), col("value"), col("props")), "events")
 
     // lineitem + orders: offset the join keys, keep measures

@@ -20,11 +20,21 @@ object TimeQ {
       df.agg(sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
         .cast("decimal(38,0)"))).head
     }
+    // Same per-query hygiene as Bench: queries that localCheckpoint
+    // multi-consumer intermediates pin MEMORY_AND_DISK blocks; without
+    // this, a heavy query's blocks GC-tax every later timing in the
+    // list (observed: a 25-row query reading 20 s after a 10x e2e run).
+    def cleanup(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     args.foreach { n =>
-      force(n)
+      force(n); cleanup()
       val t0 = System.nanoTime()
       force(n)
       println(f"TIME $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      cleanup()
     }
     spark.stop()
   }
