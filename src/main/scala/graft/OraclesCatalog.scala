@@ -464,6 +464,61 @@ object OraclesCatalog {
         |    ORDER BY inhseqno, parent_oid) AS rn
         |  FROM inh) t WHERE rn = 1""".stripMargin,
 
+    "a13_wait_event_profile" ->
+      """WITH samples AS (
+        |  SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS query_k,
+        |    CASE CAST(floor(value * 7) AS INT) % 5 WHEN 0 THEN 'Lock'
+        |      WHEN 1 THEN 'LWLock' WHEN 2 THEN 'IO' WHEN 3 THEN 'Client'
+        |    END AS wet0,
+        |    user_id
+        |  FROM events WHERE event_type NOT IN ('view', 'signup')),
+        |tagged AS (
+        |  SELECT query_k, coalesce(wet0, 'CPU') AS wait_event_type,
+        |    CASE wet0
+        |      WHEN 'Lock' THEN list_extract(['relation','tuple','transactionid'],
+        |        CAST(user_id % 3 AS INT) + 1)
+        |      WHEN 'LWLock' THEN list_extract(['WALWrite','BufferContent'],
+        |        CAST(user_id % 2 AS INT) + 1)
+        |      WHEN 'IO' THEN list_extract(['DataFileRead','WALSync'],
+        |        CAST(user_id % 2 AS INT) + 1)
+        |      WHEN 'Client' THEN 'ClientRead' ELSE 'Running' END AS wait_event
+        |  FROM samples),
+        |prof AS (
+        |  SELECT query_k, wait_event_type, wait_event,
+        |    CAST(count(*) AS BIGINT) AS samples
+        |  FROM tagged GROUP BY 1, 2, 3)
+        |SELECT query_k, wait_event_type, wait_event, samples,
+        |  CAST(samples AS DOUBLE) /
+        |    sum(samples) OVER (PARTITION BY query_k) AS share
+        |FROM prof""".stripMargin,
+
+    "j12_blocking_chains" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT pid, row_number() OVER (ORDER BY pid) AS i,
+        |    lag(pid, 1) OVER (ORDER BY pid) AS l1,
+        |    lag(pid, 2) OVER (ORDER BY pid) AS l2
+        |  FROM (SELECT DISTINCT user_id AS pid FROM events)),
+        |marked AS (
+        |  SELECT pid, CAST((i - 1) % 4 AS INT) AS r, l1, l2 FROM idx),
+        |e AS (
+        |  SELECT pid AS child,
+        |    CASE WHEN r = 3 THEN l2 ELSE l1 END AS parent,
+        |    CASE WHEN r = 3 THEN 2 ELSE 1 END AS n_blockers
+        |  FROM marked WHERE r > 0),
+        |walk AS (
+        |  SELECT child AS pid, parent AS anc, CAST(1 AS BIGINT) AS depth FROM e
+        |  UNION ALL
+        |  SELECT w.pid, e.parent, w.depth + 1
+        |  FROM walk w JOIN e ON w.anc = e.child),
+        |resolved AS (
+        |  SELECT pid, anc AS root_pid, depth,
+        |    row_number() OVER (PARTITION BY pid ORDER BY depth DESC) AS rn
+        |  FROM walk)
+        |SELECT r.pid, r.root_pid, r.depth, e.n_blockers
+        |FROM resolved r JOIN e ON r.pid = e.child WHERE r.rn = 1
+        |UNION ALL
+        |SELECT pid, pid, CAST(0 AS BIGINT), 0 FROM marked WHERE r = 0""".stripMargin,
+
     // Mirrors QueriesSelftest.selftestSummary: same synthetic aspect
     // states, same loop-break flags, same verdict CASE chains.
     "selftest_summary" ->

@@ -409,4 +409,67 @@ object QueriesCatalog {
       .filter(col("rn") === 1)
       .select("rel_oid", "parent_oid", "inhseqno")
   }
+
+  /** A13 — wait-event profile: the sampling analysis built on the
+    * wait_event columns the reference collects per backend
+    * (`input/postgres/backends.go:19-24`: wait_event_type, wait_event,
+    * and `waiting` = wait_event_type = 'Lock'). Active samples grouped
+    * by (query, wait state) with each state's share of the query's
+    * samples — a NULL wait_event means on-CPU, reported as CPU/Running
+    * the way wait-sampling tools do. One shuffle on the profile key;
+    * the share window partitions by query_k (bounded key domain). */
+  def a13WaitEventProfile(s: SparkSession, dir: String): DataFrame = {
+    val samples = Tables.events(s, dir)
+      .filter(expr("event_type NOT IN ('view', 'signup')"))
+      .select(
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+          .as("query_k"),
+        expr("CASE CAST(floor(value * 7) AS INT) % 5 " +
+          "WHEN 0 THEN 'Lock' WHEN 1 THEN 'LWLock' WHEN 2 THEN 'IO' " +
+          "WHEN 3 THEN 'Client' END").as("wet0"),
+        col("user_id"))
+      .withColumn("wait_event_type", coalesce(col("wet0"), lit("CPU")))
+      .withColumn("wait_event", expr(
+        "CASE wet0 " +
+          "WHEN 'Lock' THEN element_at(array('relation','tuple','transactionid'), CAST(user_id % 3 AS INT) + 1) " +
+          "WHEN 'LWLock' THEN element_at(array('WALWrite','BufferContent'), CAST(user_id % 2 AS INT) + 1) " +
+          "WHEN 'IO' THEN element_at(array('DataFileRead','WALSync'), CAST(user_id % 2 AS INT) + 1) " +
+          "WHEN 'Client' THEN 'ClientRead' ELSE 'Running' END"))
+    val w = Window.partitionBy("query_k")
+    samples.groupBy("query_k", "wait_event_type", "wait_event")
+      .agg(count(lit(1)).as("samples"))
+      .withColumn("share",
+        col("samples").cast("double") / sum("samples").over(w))
+  }
+
+  /** J12 — blocking chains: every blocked backend resolved to its root
+    * blocker + chain depth via [[graft.operators.LockChains]] pointer
+    * jumping (the transitive analysis over the `pg_blocking_pids`
+    * arrays of `backends.go:13-17`). Synthesized forest: the distinct
+    * PID population in pid order, chains of four (root, then three
+    * blocked nodes); the deepest node carries TWO blockers and the
+    * canonical parent is the min PID — the reference reports the full
+    * array, analysis picks one. Root backends appear with depth 0. */
+  def j12BlockingChains(s: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.events(s, dir)
+      .select(col("user_id").as("pid")).distinct()
+      .withColumn("i", row_number().over(Window.orderBy("pid")))
+      .withColumn("r", expr("CAST((i - 1) % 4 AS INT)"))
+      .withColumn("l1", lag("pid", 1).over(Window.orderBy("pid")))
+      .withColumn("l2", lag("pid", 2).over(Window.orderBy("pid")))
+    val blocked = idx.filter(col("r") > 0)
+      .select(col("pid").as("child"),
+        // canonical parent = min blocker PID: the r=3 node is blocked
+        // by both predecessors and l2 < l1 in pid order
+        expr("CASE WHEN r = 3 THEN l2 ELSE l1 END").as("parent"),
+        expr("CASE WHEN r = 3 THEN 2 ELSE 1 END").as("n_blockers"))
+    val resolved = graft.operators.LockChains.resolve(blocked)
+    val roots = idx.filter(col("r") === 0)
+      .select(col("pid"), col("pid").as("root_pid"),
+        lit(0L).as("depth"), lit(0).as("n_blockers"))
+    resolved.join(blocked.select(col("child").as("pid"), col("n_blockers")),
+        Seq("pid"))
+      .select(col("pid"), col("root_pid"), col("depth"), col("n_blockers"))
+      .unionByName(roots)
+  }
 }

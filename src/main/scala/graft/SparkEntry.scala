@@ -71,6 +71,8 @@ object SparkEntry {
     "s34_os_metrics" -> (QueriesCatalog.s34OsMetrics _),
     "s15_ext_stats" -> (QueriesCatalog.s15ExtStats _),
     "selftest_summary" -> (QueriesSelftest.selftestSummary _),
+    "a13_wait_event_profile" -> (QueriesCatalog.a13WaitEventProfile _),
+    "j12_blocking_chains" -> (QueriesCatalog.j12BlockingChains _),
     "d2_plan_stats_diff" -> (QueriesCatalog.d2PlanStatsDiff _),
     "d6_database_stats_diff" -> (QueriesCatalog.d6DatabaseStatsDiff _),
     // scalar functions / filters / sorts

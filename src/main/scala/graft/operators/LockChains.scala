@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocking-chain resolution over the `pg_blocking_pids` forest.
+  *
+  * The reference collects, per backend, the array of PIDs blocking it
+  * when it waits on a heavyweight lock
+  * (`input/postgres/backends.go:13-17`: `CASE WHEN wait_event_type =
+  * 'Lock' THEN pg_blocking_pids(pid) END`) and ships it on the activity
+  * snapshot (`state/postgres_backend.go` BlockedByPids). The analysis a
+  * user actually wants from that array — "which session is the ROOT of
+  * this pile-up, and how deep am I in it" — is a transitive walk of the
+  * blocker forest. This operator resolves every blocked PID to its root
+  * blocker and chain depth.
+  *
+  * Implementation is pointer jumping, not a per-node walk: each round
+  * substitutes every node's ancestor with that ancestor's own ancestor
+  * and accumulates the hop count, so an L-deep chain resolves in
+  * O(log L) self-joins. Convergence is a monotone aggregate (the total
+  * hop-count sum only grows, and is stationary exactly when no node's
+  * ancestor still has an outgoing edge) — one cheap fold per round, the
+  * same trick as [[Dedup.connectedComponents]].
+  *
+  * Scale: a blocking graph is max_connections-bounded (thousands of
+  * nodes), so every frame here is k-row at any corpus scale; the rounds
+  * bound (log of the longest chain) is what matters, and lock chains
+  * deeper than ~dozens do not occur on a live system. Cycles cannot
+  * occur in the input (Postgres would have cancelled one member as a
+  * deadlock), but `maxIters` still hard-bounds the loop.
+  */
+object LockChains {
+
+  /** `edges`: one row per blocked node — (`child`, `parent`) where
+    * `parent` is the canonical blocker (the reference reports the full
+    * array; callers pick min PID as canonical). Returns one row per
+    * child: (`pid`, `root_pid`, `depth` >= 1). Nodes that never appear
+    * as a child are roots and are not returned (callers union them with
+    * depth 0 if the full-population shape is wanted). */
+  def resolve(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // f: node -> (anc, dist), initially the direct parent at distance 1
+    var f = edges.select(
+        col("child").cast("long").as("node"),
+        col("parent").cast("long").as("anc"),
+        lit(1L).as("dist"))
+      .localCheckpoint(eager = false)
+    def distSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("dist").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prev = distSum(f)
+    var i = 0
+    var done = false
+    while (i < maxIters && !done) {
+      val g = f.select(col("node").as("g_node"), col("anc").as("g_anc"),
+        col("dist").as("g_dist"))
+      val next = f.join(g, f("anc") === g("g_node"), "left")
+        .select(f("node"),
+          coalesce(col("g_anc"), f("anc")).as("anc"),
+          (f("dist") + coalesce(col("g_dist"), lit(0L))).as("dist"))
+        // lazy: the convergence fold below is the single first action,
+        // so materialization + the dist-sum happen in one job per round
+        .localCheckpoint(eager = false)
+      val cur = distSum(next)
+      done = cur.compareTo(prev) == 0
+      prev = cur
+      f = next
+      i += 1
+    }
+    f.select(col("node").as("pid"), col("anc").as("root_pid"),
+      col("dist").as("depth"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.LockChains
+
+/** Unit coverage for the pointer-jumping blocking-chain resolver beyond
+  * the depth-2 forest the driver query synthesizes: a long chain
+  * (multiple doubling rounds), a branching pile-up, and singletons.
+  */
+class LockChainsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a 9-deep chain resolves to the root with exact depths") {
+    // 1 <- 2 <- 3 <- ... <- 10 (each blocked by its predecessor)
+    val edges = (2 to 10).map(i => (i.toLong, i.toLong - 1))
+      .toDF("child", "parent")
+    val got = LockChains.resolve(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size === 9)
+    (2 to 10).foreach { i =>
+      assert(got(i.toLong) === ((1L, i.toLong - 1)), s"node $i")
+    }
+  }
+
+  test("a branching pile-up: every waiter resolves to the one root") {
+    // root 100; 101..105 block on 100; 106..108 block on 103
+    val edges = ((101 to 105).map(i => (i.toLong, 100L)) ++
+      (106 to 108).map(i => (i.toLong, 103L))).toDF("child", "parent")
+    val got = LockChains.resolve(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert((101 to 105).forall(i => got(i.toLong) === ((100L, 1L))))
+    assert((106 to 108).forall(i => got(i.toLong) === ((100L, 2L))))
+  }
+
+  test("round count is logarithmic: depth 9 converges within 20 iters") {
+    // resolve() hard-bounds at maxIters; a tiny bound proves the
+    // doubling actually doubles (depth 9 needs ceil(log2(9)) = 4 rounds
+    // + 1 stationary confirmation round)
+    val edges = (2 to 10).map(i => (i.toLong, i.toLong - 1))
+      .toDF("child", "parent")
+    val got = LockChains.resolve(edges, maxIters = 5).collect()
+    assert(got.map(_.getLong(1)).forall(_ == 1L))
+  }
+}
