@@ -45,7 +45,9 @@ object OraclesGen {
   /** The MinHash→LSH candidate chain as a reusable CTE prefix ending
     * with `lshp`(id_a, id_b, est_jaccard) at the ≥ 0.7 gate — shared by
     * the pair query and the fuzzy-dedup e2e chain. */
-  private val minhashPairCtes: String = {
+  /** Signature-building prefix shared by the batch pair queries and the
+    * streaming first-seen oracle: everything through `sigs(id, sig)`. */
+  private val minhashSigCtes: String = {
     val consts = longList(Dedup.permConsts.toIndexedSeq)
     val maxList = longList(Seq.fill(Dedup.NumPerms)(Long.MaxValue))
     s"""$tokenCtes,
@@ -62,7 +64,11 @@ object OraclesGen {
        |          FROM tok t JOIN wh USING (w) CROSS JOIN perm))
        |  GROUP BY doc_id, p),
        |sig0 AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM hp GROUP BY doc_id),
-       |sigs AS (SELECT d.doc_id AS id, COALESCE(s.sig, $maxList) AS sig FROM d LEFT JOIN sig0 s USING (doc_id)),
+       |sigs AS (SELECT d.doc_id AS id, COALESCE(s.sig, $maxList) AS sig FROM d LEFT JOIN sig0 s USING (doc_id))""".stripMargin
+  }
+
+  private val minhashPairCtes: String = {
+    s"""$minhashSigCtes,
        |banded AS (SELECT id, sig, unnest(range(8)) AS band FROM sigs),
        |bs AS (SELECT id, sig, band, sig[band*8+1 : band*8+8] AS band_sig FROM banded),
        |bn AS (SELECT band, band_sig, count(*) AS n FROM bs GROUP BY band, band_sig),
@@ -111,6 +117,47 @@ object OraclesGen {
        |  row_number() OVER (PARTITION BY component
        |    ORDER BY n_words DESC, doc_id) = 1 AS is_canonical
        |FROM allc""".stripMargin
+
+  /** Streaming LSH first-seen: the bucket holder is the min-id document
+    * per (band, band-slice) — exactly what "claim on arrival" makes the
+    * stateful operator keep — every later bucket member compares its
+    * full signature against the holder's, and the transitive claim
+    * chain (parent = min matching holder) resolves by recursion. Must
+    * agree with StreamingNearDup within one drain. */
+  val dedupStreamLsh: String =
+    s"""WITH RECURSIVE $minhashSigCtes,
+       |banded AS (SELECT id, sig, unnest(range(8)) AS band FROM sigs),
+       |bs AS (SELECT id, sig, band, sig[band*8+1 : band*8+8] AS band_sig FROM banded),
+       |hold AS (SELECT band, band_sig, min(id) AS holder FROM bs GROUP BY band, band_sig),
+       |cand AS (
+       |  SELECT b.id, h.holder, hs.sig AS holder_sig, b.sig AS my_sig
+       |  FROM bs b JOIN hold h USING (band, band_sig)
+       |  JOIN sigs hs ON hs.id = h.holder
+       |  WHERE h.holder < b.id),
+       |est AS (
+       |  SELECT DISTINCT id, holder,
+       |    CAST(len(list_filter(range(64), i -> my_sig[i+1] = holder_sig[i+1])) AS DOUBLE) / 64 AS est
+       |  FROM cand),
+       |edges AS (
+       |  SELECT id AS child, min(holder) AS parent
+       |  FROM est WHERE est >= 0.7 GROUP BY id),
+       |walk(pid, anc, depth) AS (
+       |  SELECT child, parent, CAST(1 AS BIGINT) FROM edges
+       |  UNION ALL
+       |  SELECT w.pid, e.parent, w.depth + 1
+       |  FROM walk w JOIN edges e ON w.anc = e.child),
+       |res AS (
+       |  SELECT pid, anc, depth,
+       |    row_number() OVER (PARTITION BY pid ORDER BY depth DESC) AS rn
+       |  FROM walk)
+       |SELECT doc.doc_id,
+       |  e.child IS NULL AS is_first,
+       |  COALESCE(r.anc, doc.doc_id) AS canonical_id,
+       |  COALESCE(r.depth, CAST(0 AS BIGINT)) AS chain_depth
+       |FROM (SELECT doc_id FROM documents) doc
+       |LEFT JOIN edges e ON e.child = doc.doc_id
+       |LEFT JOIN (SELECT pid, anc, depth FROM res WHERE rn = 1) r
+       |  ON r.pid = doc.doc_id""".stripMargin
 
   // ------------------------------------------------------------- simhash
 
@@ -1799,6 +1846,7 @@ object OraclesGen {
     "x7_full_classify" -> x7FullClassify,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_fuzzy_e2e" -> dedupFuzzyE2e,
+    "dedup_stream_lsh" -> dedupStreamLsh,
     "dedup_simhash" -> dedupSimhash,
     "embed_ann_lsh" -> embedAnnLsh,
     "embed_ann_recall" -> embedAnnRecall,

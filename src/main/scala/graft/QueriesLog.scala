@@ -442,6 +442,64 @@ object QueriesLog {
     result
   }
 
+  // Streaming NEAR-dup — the incremental form of the MinHash→LSH
+  // pipeline: per-LSH-bucket first-claimant state (StreamingNearDup)
+  // drained under the gate, then the per-band match records combined
+  // into verdicts and the transitive claim chains flattened with
+  // LockChains pointer jumping. The oracle reproduces the whole thing
+  // in SQL because "claim on arrival" makes the bucket holder = the
+  // bucket's min doc id.
+  def dedupStreamLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val tmp = scratchDir("graft_snd")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val D = graft.operators.Dedup
+    val sigs = D.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+    val rows = sigs
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(D.Bands - 1))).as("band"))
+      .withColumn("band_sig",
+        slice(col("sig"), col("band") * D.Rows + 1, lit(D.Rows)))
+      .select(
+        concat_ws(":", col("band"),
+          concat_ws(",", col("band_sig").cast("array<string>"))).as("bucket"),
+        col("id").as("docId"), col("sig"))
+    rows.write.mode("overwrite").parquet(inDir)
+    val stream = s.readStream.schema(rows.schema).parquet(inDir)
+      .as[graft.streaming.StreamingNearDup.BandRow]
+    val matches = graft.streaming.StreamingNearDup(stream).toDF()
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      matches.schema).write.mode("overwrite").parquet(outDir)
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = matches.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val edges = s.read.parquet(outDir)
+      .filter(col("est") >= 0.7)
+      .groupBy(col("docId").as("child"))
+      .agg(min("holderId").as("parent"))
+    val resolved = graft.operators.LockChains.resolve(edges)
+      .select(col("pid").as("doc_id"), col("root_pid"), col("depth"))
+    val result = Tables.documents(s, dir).select(col("doc_id"))
+      .join(resolved, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("root_pid").isNull.as("is_first"),
+        coalesce(col("root_pid"), col("doc_id")).as("canonical_id"),
+        coalesce(col("depth"), lit(0L)).as("chain_depth"))
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    result
+  }
+
   // S27 — syslog RFC5424 source adapter: frame the synthetic corpus as
   // `<PRI>1 TS HOST APP PROCID MSGID SD [seqno-chunk] MSG` lines, then
   // de-frame with the adapter and recover every typed field; the oracle

@@ -127,6 +127,7 @@ object SparkEntry {
     "embed_pq_recall" -> (QueriesText.embedPqRecall _),
     "embed_ivfpq_recall" -> (QueriesText.embedIvfPqRecall _),
     "dedup_stream" -> (QueriesLog.dedupStream _),
+    "dedup_stream_lsh" -> (QueriesLog.dedupStreamLsh _),
     "tokenizer_bpe_encode" -> (QueriesText.tokenizerBpeEncode _),
     "dedup_substrings" -> (QueriesText.dedupSubstrings _),
     "text_lm_score" -> (QueriesText.textLmScore _),

@@ -115,6 +115,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: bucket holders survive batches; claim chains form") {
+    import graft.streaming.StreamingNearDup
+    implicit val sqlCtx = spark.sqlContext
+    def sig(seed: Long, flips: Int): Array[Long] =
+      Array.tabulate(64)(i => if (i < flips) seed + 1000 + i else seed)
+    val input = MemoryStream[StreamingNearDup.BandRow]
+    val out = StreamingNearDup(input.toDS())
+    val q = out.writeStream.format("memory").queryName("snd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: doc 10 claims bucket b0; doc 20 (16/64 components off —
+      // est 0.75) matches it in the same batch, and CLAIMS bucket b9
+      // that doc 10 is not in
+      input.addData(
+        StreamingNearDup.BandRow("b0", 10L, sig(7L, 0)),
+        StreamingNearDup.BandRow("b0", 20L, sig(7L, 16)),
+        StreamingNearDup.BandRow("b9", 20L, sig(7L, 16)))
+      q.processAllAvailable()
+      // batch 2: doc 5 has a LOWER id but arrives later — history wins,
+      // it matches doc 10's standing claim on b0; doc 30 lands in b9
+      // only, matching the duplicate doc 20's claim (the C→B→A chain)
+      input.addData(
+        StreamingNearDup.BandRow("b0", 5L, sig(7L, 8)),
+        StreamingNearDup.BandRow("b9", 30L, sig(7L, 16)))
+      q.processAllAvailable()
+      val all = spark.table("snd").as[StreamingNearDup.BandMatch].collect()
+        .map(m => m.docId -> ((m.holderId, m.est))).toMap
+      assert(all(20L) === ((10L, 48.0 / 64)))
+      assert(all(5L) === ((10L, 56.0 / 64)))
+      assert(all(30L) === ((20L, 1.0))) // chain: 30 → 20 (→ 10)
+      assert(!all.contains(10L)) // the first claimant emits nothing
+    } finally q.stop()
+  }
+
   test("W7: orphan continuations are discarded, never promoted") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Stitch.RawLine]
