@@ -97,6 +97,23 @@ class ScaleJoinSpec extends SparkSpec {
       s"text_lm_score must only cross-join the 1-row scalar:\n${lm.take(2000)}")
   }
 
+  test("round-6 operators plan with equi-joins only") {
+    // selftest is k-row but its shape should still be clean; the
+    // activity analytics and the near-dup chain resolution must hold
+    // the equi-join discipline at any population size
+    Seq(
+      "selftest_summary" -> QueriesSelftest.selftestSummary(spark, Sf),
+      "a13_wait_event_profile" -> QueriesCatalog.a13WaitEventProfile(spark, Sf),
+      "j12_blocking_chains" -> QueriesCatalog.j12BlockingChains(spark, Sf))
+      .foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name must not plan a cartesian product:\n${plan.take(2000)}")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name must not plan a nested-loop join:\n${plan.take(2000)}")
+      }
+  }
+
   test("cloud adapters parse the envelope exactly once per record") {
     // the explode(array(...)) fences keep pushed-down filters from
     // re-substituting from_json per conjunct (a per-row 5x JSON parse)
