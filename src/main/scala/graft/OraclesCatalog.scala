@@ -464,6 +464,67 @@ object OraclesCatalog {
         |    ORDER BY inhseqno, parent_oid) AS rn
         |  FROM inh) t WHERE rn = 1""".stripMargin,
 
+    // Mirrors sources/HelperMatch: same registry + probe literals, same
+    // split-token matching with the DEFAULT-break and first-match-wins.
+    "s35_helper_match" ->
+      """WITH reg(name, ord, arguments, result) AS (VALUES
+        |  ('explain_analyze', 1, 'query text, params text[], param_types text[], analyze_flags text[]', 'text'),
+        |  ('get_stat_statements', 1, 'showtext boolean DEFAULT true', 'SETOF pg_stat_statements'),
+        |  ('get_column_stats', 1, '', 'TABLE(schemaname name, tablename name, attname name, inherited boolean, null_frac real, avg_width integer, n_distinct real, correlation real)'),
+        |  ('get_relation_stats_ext', 1, '', 'SETOF pg_stats_ext'),
+        |  ('explain', 1, 'query text, params text[]', 'text'),
+        |  ('read_log_file', 1, 'log_filename text, read_offset bigint, read_length bigint', 'text'),
+        |  ('get_stat_activity', 1, '', 'SETOF pg_stat_activity'),
+        |  ('get_stat_replication', 1, '', 'SETOF pg_stat_replication'),
+        |  ('get_stat_progress_vacuum', 1, '', 'SETOF pg_stat_progress_vacuum'),
+        |  ('reset_stat_statements', 1, '', 'void'),
+        |  ('quirk_default_break', 1, 'a text, b integer DEFAULT 5, c integer', 'integer'),
+        |  ('overload_pick', 1, 'x text', 'text'),
+        |  ('overload_pick', 2, 'x integer', 'integer'),
+        |  ('overload_pick', 3, 'x integer', 'bigint')),
+        |req(req_id, name, input_types) AS (VALUES
+        |  (1, 'reset_stat_statements', CAST([] AS VARCHAR[])),
+        |  (2, 'get_stat_statements', ['boolean']),
+        |  (3, 'get_stat_statements', CAST([] AS VARCHAR[])),
+        |  (4, 'get_stat_activity', CAST([] AS VARCHAR[])),
+        |  (5, 'explain', ['text', 'text[]']),
+        |  (6, 'read_log_file', ['text', 'bigint', 'bigint']),
+        |  (7, 'get_column_stats', CAST([] AS VARCHAR[])),
+        |  (8, 'get_stat_progress_vacuum', CAST([] AS VARCHAR[])),
+        |  (9, 'get_stat_replication', CAST([] AS VARCHAR[])),
+        |  (10, 'get_relation_stats_ext', CAST([] AS VARCHAR[])),
+        |  (11, 'explain_analyze', ['text', 'text[]', 'text[]', 'text[]']),
+        |  (12, 'explain_analyze', ['text', 'text[]', 'text[]']),
+        |  (13, 'explain_analyze', ['text', 'text[]', 'text[]', 'text[]', 'text[]']),
+        |  (14, 'explain_analyze', ['text', 'text[]', 'text[]', 'float']),
+        |  (15, 'quirk_default_break', ['text']),
+        |  (16, 'overload_pick', ['integer']),
+        |  (17, 'missing_helper', CAST([] AS VARCHAR[]))),
+        |paired AS (
+        |  SELECT req.req_id, req.name, req.input_types, reg.ord, reg.result,
+        |    CASE WHEN reg.arguments = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split(reg.arguments, ', ') END AS args_arr
+        |  FROM req LEFT JOIN reg ON req.name = reg.name),
+        |sized AS (
+        |  SELECT *, CAST(len(input_types) AS INT) AS n_in,
+        |    CAST(len(args_arr) AS INT) AS n_args
+        |  FROM paired),
+        |m AS (
+        |  SELECT *,
+        |    (ord IS NOT NULL AND n_in <= n_args AND
+        |     len(list_filter(range(n_in),
+        |       i -> string_split(args_arr[i + 1], ' ')[2] <> input_types[i + 1])) = 0 AND
+        |     (n_args = n_in OR
+        |      (len(string_split(args_arr[n_in + 1], ' ')) >= 3 AND
+        |       string_split(args_arr[n_in + 1], ' ')[3] = 'DEFAULT'))) AS matched
+        |  FROM sized)
+        |SELECT req_id, name,
+        |  -- array_to_string([]) is NULL in DuckDB; Spark's array_join is ''
+        |  coalesce(first(array_to_string(input_types, ',')), '') AS args_requested,
+        |  coalesce(bool_or(matched), false) AS "exists",
+        |  coalesce(arg_min(result, ord) FILTER (WHERE matched), '') AS return_type
+        |FROM m GROUP BY req_id, name""".stripMargin,
+
     "a13_wait_event_profile" ->
       """WITH samples AS (
         |  SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS query_k,

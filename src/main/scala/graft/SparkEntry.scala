@@ -72,6 +72,7 @@ object SparkEntry {
     "s15_ext_stats" -> (QueriesCatalog.s15ExtStats _),
     "selftest_summary" -> (QueriesSelftest.selftestSummary _),
     "a13_wait_event_profile" -> (QueriesCatalog.a13WaitEventProfile _),
+    "s35_helper_match" -> (graft.sources.HelperMatch.query _),
     "j12_blocking_chains" -> (QueriesCatalog.j12BlockingChains _),
     "d2_plan_stats_diff" -> (QueriesCatalog.d2PlanStatsDiff _),
     "d6_database_stats_diff" -> (QueriesCatalog.d6DatabaseStatsDiff _),

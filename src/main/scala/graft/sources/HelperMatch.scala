@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Helper-function signature matching — the logic that decides whether
+  * a restricted monitoring user's `pganalyze.*` SECURITY DEFINER helper
+  * can substitute for direct catalog access
+  * (`input/postgres/collection.go:105-160`: `findHelperFunction` /
+  * `HelperExists` / `HelperReturnType`).
+  *
+  * Faithful semantics, including the quirks:
+  *  - argument strings are the `pg_get_function_arguments` rendering,
+  *    split on ", " then on single spaces — token 2 is the type, so
+  *    multi-word types ("double precision") mis-split exactly as the
+  *    reference's own comment admits;
+  *  - a request with MORE types than the overload has arguments is
+  *    skipped; with FEWER, the first unconsumed argument decides alone:
+  *    if its third token is `DEFAULT` the overload matches even when
+  *    LATER arguments lack defaults (the loop `break`s) — pinned by the
+  *    quirk_default_break row;
+  *  - overloads match first-wins in catalog order
+  *    (`for _, f := range funcs`), reproduced as min-ord-among-matches.
+  *
+  * The registry rows are the reference's real helper signatures
+  * (the SQL files under `util/helpers`,
+  * `setup/util/helper_functions.go:38`) plus
+  * synthetic rows exercising the quirk branches; the request list is
+  * every `HelperExists` probe site in the reference plus its own
+  * golden test pairs (`input/postgres/collection_test.go:19-68`).
+  * Registry and probe set are config-scale (k rows) at any corpus
+  * size; the match itself is pure per-row array logic — no shuffle
+  * beyond the name equi-join and the per-request rollup.
+  */
+object HelperMatch {
+
+  /** (name, ord, pg_get_function_arguments rendering, result type) */
+  val registry: Seq[(String, Int, String, String)] = Seq(
+    ("explain_analyze", 1,
+      "query text, params text[], param_types text[], analyze_flags text[]",
+      "text"),
+    ("get_stat_statements", 1, "showtext boolean DEFAULT true",
+      "SETOF pg_stat_statements"),
+    ("get_column_stats", 1, "",
+      "TABLE(schemaname name, tablename name, attname name, inherited boolean, " +
+        "null_frac real, avg_width integer, n_distinct real, correlation real)"),
+    ("get_relation_stats_ext", 1, "", "SETOF pg_stats_ext"),
+    ("explain", 1, "query text, params text[]", "text"),
+    ("read_log_file", 1,
+      "log_filename text, read_offset bigint, read_length bigint", "text"),
+    ("get_stat_activity", 1, "", "SETOF pg_stat_activity"),
+    ("get_stat_replication", 1, "", "SETOF pg_stat_replication"),
+    ("get_stat_progress_vacuum", 1, "", "SETOF pg_stat_progress_vacuum"),
+    ("reset_stat_statements", 1, "", "void"),
+    // the DEFAULT break: c has no default, but the loop stops at b
+    ("quirk_default_break", 1, "a text, b integer DEFAULT 5, c integer",
+      "integer"),
+    // first-match-wins across overloads
+    ("overload_pick", 1, "x text", "text"),
+    ("overload_pick", 2, "x integer", "integer"),
+    ("overload_pick", 3, "x integer", "bigint"))
+
+  /** (req_id, name, requested input types) — the reference's probe
+    * sites + its golden test pairs + the quirk probes. */
+  val requests: Seq[(Int, String, Seq[String])] = Seq(
+    (1, "reset_stat_statements", Nil), // statements.go:114
+    (2, "get_stat_statements", Seq("boolean")), // statements.go:396
+    (3, "get_stat_statements", Nil), // statements.go:396 showtext path
+    (4, "get_stat_activity", Nil), // backend_counts.go:24
+    (5, "explain", Seq("text", "text[]")), // explain.go:65
+    (6, "read_log_file", Seq("text", "bigint", "bigint")), // log_pg_read_file.go:80
+    (7, "get_column_stats", Nil), // relation_column_stats.go:23
+    (8, "get_stat_progress_vacuum", Nil), // vacuum_progress.go:84
+    (9, "get_stat_replication", Nil), // replication.go:91
+    (10, "get_relation_stats_ext", Nil), // relation_stats_ext.go:52
+    (11, "explain_analyze", Seq("text", "text[]", "text[]", "text[]")),
+    (12, "explain_analyze", Seq("text", "text[]", "text[]")), // shorter: no
+    (13, "explain_analyze",
+      Seq("text", "text[]", "text[]", "text[]", "text[]")), // longer: no
+    (14, "explain_analyze", Seq("text", "text[]", "text[]", "float")), // type: no
+    (15, "quirk_default_break", Seq("text")), // DEFAULT break accepts
+    (16, "overload_pick", Seq("integer")), // ord 2 wins over ord 3
+    (17, "missing_helper", Nil)) // not in the registry
+
+  def query(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reg = registry.toDF("name", "ord", "arguments", "result")
+    val req = requests.toDF("req_id", "name", "input_types")
+    val paired = req.join(reg, Seq("name"), "left")
+      .withColumn("args_arr", expr(
+        "CASE WHEN arguments = '' THEN array() ELSE split(arguments, ', ') END"))
+      .withColumn("n_in", size(col("input_types")))
+      .withColumn("n_args", size(col("args_arr")))
+      .withColumn("typed_ok", expr(
+        "forall(zip_with(slice(args_arr, 1, n_in), input_types, " +
+          "(a, t) -> element_at(split(a, ' '), 2) = t), x -> x)"))
+      // try_element_at: both OR branches evaluate under codegen, so the
+      // n_args = n_in case would still index one past the array's end
+      // (ANSI element_at throws; DuckDB's list_extract returns NULL)
+      .withColumn("extra_ok", expr(
+        "n_args = n_in OR (size(split(try_element_at(args_arr, n_in + 1), ' ')) >= 3 " +
+          "AND try_element_at(split(try_element_at(args_arr, n_in + 1), ' '), 3) = 'DEFAULT')"))
+      .withColumn("matched", expr(
+        "ord IS NOT NULL AND n_in <= n_args AND typed_ok AND extra_ok"))
+    paired.groupBy("req_id", "name")
+      .agg(
+        max(col("matched")).as("exists"),
+        min(when(col("matched"), struct(col("ord"), col("result"))))
+          .as("best"),
+        first(array_join(col("input_types"), ",")).as("args_requested"))
+      .select(col("req_id"), col("name"), col("args_requested"),
+        coalesce(col("exists"), lit(false)).as("exists"),
+        coalesce(col("best.result"), lit("")).as("return_type"))
+  }
+}
