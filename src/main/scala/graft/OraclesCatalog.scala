@@ -464,6 +464,107 @@ object OraclesCatalog {
         |    ORDER BY inhseqno, parent_oid) AS rn
         |  FROM inh) t WHERE rn = 1""".stripMargin,
 
+    // Mirrors QueriesConfig.configResolve: same synthetic shapes, same
+    // precedence/SplitN-equality/trim rules. All regexes anchored or
+    // single-occurrence so Spark's replace-all == DuckDB's
+    // replace-first.
+    "config_resolve" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS pk, CAST(p_partkey % 6 AS INT) AS shape
+        |  FROM part),
+        |h AS (
+        |  SELECT pk, shape,
+        |    CASE shape
+        |      WHEN 0 THEN 'db' || pk || '.abc' || pk % 97 || '.us-west-2.rds.amazonaws.com'
+        |      WHEN 1 THEN 'db' || pk || '.cluster-abc' || pk % 97 || '.eu-central-1.rds.amazonaws.com'
+        |      WHEN 2 THEN 'db' || pk || '.cluster-ro-abc' || pk % 97 || '.eu-west-1.rds.amazonaws.com'
+        |      WHEN 3 THEN 'srv' || pk || '.postgres.database.azure.com'
+        |      WHEN 4 THEN 'p.cb' || pk || '.db.postgresbridge.com'
+        |      ELSE 'svc-' || pk % 7 || '-proj' || pk % 13 || '.aivencloud.com'
+        |    END AS host0
+        |  FROM base),
+        |u AS (
+        |  SELECT *,
+        |    CASE WHEN pk % 5 = 0 THEN 'postgres://u' || pk || ':pw' || pk || '@'
+        |      || host0 || ':6432/db' || pk ELSE '' END AS db_url,
+        |    CASE WHEN pk % 5 = 0 THEN 'ignored.example.com' ELSE host0 END
+        |      AS db_host_field
+        |  FROM h),
+        |hh AS (
+        |  SELECT *,
+        |    CASE WHEN db_url <> '' THEN regexp_extract(db_url, '@([^:/]+)[:/]', 1)
+        |      ELSE db_host_field END AS host
+        |  FROM u),
+        |p AS (
+        |  SELECT *, string_split(host, '.') AS parts,
+        |    CASE WHEN pk % 11 = 0 THEN 'preset-region' ELSE '' END AS preset_region,
+        |    CASE WHEN pk % 13 = 0 AND shape = 3 THEN 'manual' || pk ELSE '' END
+        |      AS preset_instance
+        |  FROM hh),
+        |q AS (
+        |  SELECT *,
+        |    (host LIKE '%.rds.amazonaws.com' AND len(parts) = 6) AS is_rds,
+        |    parts[2] AS p2,
+        |    (host LIKE '%.postgresbridge.com' AND len(parts) = 5
+        |      AND parts[1] = 'p' AND parts[3] = 'db') AS is_crunchy,
+        |    CASE WHEN host LIKE '%.aivencloud.com' AND len(parts) = 3
+        |      THEN parts[1] ELSE '' END AS aiven_sub,
+        |    CASE WHEN pk % 7 = 0 THEN 'proj' || pk || ':asia-east1:inst' || pk
+        |      ELSE '' END AS gcp_raw,
+        |    CASE CAST(pk % 4 AS INT) WHEN 0 THEN 'postgres'
+        |      WHEN 1 THEN 'postgres, *'
+        |      WHEN 2 THEN 'postgres, extra1, extra2' ELSE ' maindb ' END
+        |      AS db_name_raw,
+        |    CASE WHEN pk % 3 = 0 THEN 'http://localhost:808' || pk % 10
+        |      ELSE 'https://api.pganalyze.com' END AS api_base_url
+        |  FROM p),
+        |n AS (
+        |  SELECT *,
+        |    list_transform(string_split(db_name_raw, ','), x -> trim(x))
+        |      AS name_parts
+        |  FROM q)
+        |SELECT pk, host,
+        |  CASE WHEN db_url = '' THEN ''
+        |    ELSE regexp_replace(db_url, '://([^:@/]+):[^@]*@', '://\1@') END
+        |    AS db_url_redacted,
+        |  CASE WHEN is_rds AND p2 LIKE 'cluster-%' THEN parts[1] ELSE '' END
+        |    AS aws_db_cluster_id,
+        |  (is_rds AND p2 LIKE 'cluster-ro-%') AS aws_db_cluster_readonly,
+        |  CASE WHEN is_rds AND NOT p2 LIKE 'cluster-%' THEN parts[1]
+        |    ELSE preset_instance END AS aws_db_instance_id,
+        |  CASE WHEN is_rds
+        |    THEN regexp_replace(p2, '^cluster-ro-|^cluster-', '') ELSE '' END
+        |    AS aws_account_id,
+        |  CASE WHEN preset_region <> '' THEN preset_region
+        |    WHEN is_rds THEN parts[3]
+        |    WHEN preset_instance <> '' THEN 'us-east-1' ELSE '' END AS aws_region,
+        |  CASE WHEN host LIKE '%.postgres.database.azure.com' AND len(parts) = 5
+        |    THEN parts[1] ELSE '' END AS azure_db_server_name,
+        |  CASE WHEN is_crunchy THEN parts[2] ELSE '' END
+        |    AS crunchy_bridge_cluster_id,
+        |  is_crunchy AS log_pg_read_file,
+        |  CASE WHEN aiven_sub <> ''
+        |    THEN regexp_replace(aiven_sub, '-[^-]*$', '') ELSE '' END
+        |    AS aiven_service_id,
+        |  CASE WHEN aiven_sub <> ''
+        |    THEN regexp_extract(aiven_sub, '([^-]+)$', 1) ELSE '' END
+        |    AS aiven_project_id,
+        |  CASE WHEN gcp_raw <> '' THEN string_split(gcp_raw, ':')[1] ELSE '' END
+        |    AS gcp_project_id,
+        |  CASE WHEN gcp_raw <> '' THEN string_split(gcp_raw, ':')[2] ELSE '' END
+        |    AS gcp_region,
+        |  CASE WHEN gcp_raw <> '' THEN string_split(gcp_raw, ':')[3] ELSE '' END
+        |    AS gcp_instance_id,
+        |  name_parts[1] AS db_name,
+        |  (len(name_parts) = 2 AND name_parts[2] = '*') AS db_all_names,
+        |  CAST(CASE WHEN len(name_parts) = 2 AND name_parts[2] = '*' THEN 0
+        |    ELSE len(name_parts) - 1 END AS INT) AS n_extra_names,
+        |  CASE WHEN api_base_url LIKE 'http://%'
+        |    THEN 'ws://' || substring(api_base_url, 8)
+        |    ELSE 'wss://' || regexp_replace(api_base_url, '^[a-z]+://', '') END
+        |    || '/v2/snapshots/websocket' AS websocket_url
+        |FROM n""".stripMargin,
+
     // Mirrors sources/HelperMatch: same registry + probe literals, same
     // split-token matching with the DEFAULT-break and first-match-wins.
     "s35_helper_match" ->

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Config resolution — the reference's `preprocessConfig`
+  * (`config/read.go:623-839`) as a derivation: provider identity and
+  * connection facts inferred from the configured host/URL shape.
+  *
+  * Semantics preserved exactly:
+  *  - host precedence (`config/config.go:424-435`): a non-empty db_url
+  *    wins and the host is the URL authority up to `:`/`/`; the
+  *    explicit db_host field is ignored in that case;
+  *  - RDS (`read.go:627-648`): `name.<id>.<region>.rds.amazonaws.com`
+  *    SplitN(4); a `cluster-` second label means cluster id (readonly
+  *    when `cluster-ro-`), otherwise instance id; account id = second
+  *    label with `cluster-ro-`/`cluster-` trimmed (double TrimPrefix);
+  *    already-set fields are never overwritten (the preset-region row);
+  *  - the us-east-1 fallback (`read.go:688-691`): cluster/instance
+  *    known but region empty;
+  *  - Azure / Crunchy Bridge / Aiven shapes (`read.go:649-684`), Aiven
+  *    splitting service/project on the LAST dash; a Crunchy host also
+  *    forces log_pg_read_file (`read.go:764-766`);
+  *  - GCP `project:region:instance` unpack only when exactly two colons
+  *    (`read.go:693-698`);
+  *  - db_name comma list (`read.go:709-717`): entries trimmed, first
+  *    is the primary, a two-entry list ending `*` means all-databases
+  *    (and NO extra names), otherwise the tail are extras;
+  *  - websocket URL (`read.go:826-835`): api_base_url + the snapshots
+  *    path with http→ws, anything else→wss;
+  *  - redacted URL (`config.go:437-451`): password dropped, username
+  *    kept.
+  *
+  * Config is k-row per fleet in production; deriving it over the part
+  * table just gives the gate more rows — every column is one per-row
+  * string pass, no shuffle at all.
+  */
+object QueriesConfig {
+
+  def configResolve(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey").as("pk"))
+      .withColumn("shape", expr("CAST(pk % 6 AS INT)"))
+      // the provider-shaped host every row resolves to
+      .withColumn("host0", expr(
+        "CASE shape " +
+          "WHEN 0 THEN 'db' || pk || '.abc' || pk % 97 || '.us-west-2.rds.amazonaws.com' " +
+          "WHEN 1 THEN 'db' || pk || '.cluster-abc' || pk % 97 || '.eu-central-1.rds.amazonaws.com' " +
+          "WHEN 2 THEN 'db' || pk || '.cluster-ro-abc' || pk % 97 || '.eu-west-1.rds.amazonaws.com' " +
+          "WHEN 3 THEN 'srv' || pk || '.postgres.database.azure.com' " +
+          "WHEN 4 THEN 'p.cb' || pk || '.db.postgresbridge.com' " +
+          "ELSE 'svc-' || pk % 7 || '-proj' || pk % 13 || '.aivencloud.com' END"))
+      .withColumn("db_url", expr(
+        "CASE WHEN pk % 5 = 0 THEN 'postgres://u' || pk || ':pw' || pk || '@' " +
+          "|| host0 || ':6432/db' || pk ELSE '' END"))
+      .withColumn("db_host_field", expr(
+        "CASE WHEN pk % 5 = 0 THEN 'ignored.example.com' ELSE host0 END"))
+      // GetDbHost: URL authority wins over the host field
+      .withColumn("host", expr(
+        "CASE WHEN db_url <> '' THEN regexp_extract(db_url, '@([^:/]+)[:/]', 1) " +
+          "ELSE db_host_field END"))
+      .withColumn("parts", split(col("host"), "\\."))
+      .withColumn("preset_region", expr(
+        "CASE WHEN pk % 11 = 0 THEN 'preset-region' ELSE '' END"))
+      .withColumn("preset_instance", expr(
+        "CASE WHEN pk % 13 = 0 AND shape = 3 THEN 'manual' || pk ELSE '' END"))
+      .withColumn("is_rds", expr(
+        "host LIKE '%.rds.amazonaws.com' AND size(parts) = 6"))
+      .withColumn("p2", expr("element_at(parts, 2)"))
+      .withColumn("aws_db_cluster_id", expr(
+        "CASE WHEN is_rds AND p2 LIKE 'cluster-%' THEN element_at(parts, 1) ELSE '' END"))
+      .withColumn("aws_db_cluster_readonly", expr(
+        "is_rds AND p2 LIKE 'cluster-ro-%'"))
+      .withColumn("aws_db_instance_id", expr(
+        "CASE WHEN is_rds AND NOT p2 LIKE 'cluster-%' THEN element_at(parts, 1) " +
+          "ELSE preset_instance END"))
+      // double TrimPrefix: cluster-ro- first, then cluster-
+      .withColumn("aws_account_id", expr(
+        "CASE WHEN is_rds THEN regexp_replace(p2, '^cluster-ro-|^cluster-', '') ELSE '' END"))
+      .withColumn("aws_region", expr(
+        "CASE WHEN preset_region <> '' THEN preset_region " +
+          "WHEN is_rds THEN element_at(parts, 3) " +
+          // read.go:688-691 — id known, region not: us-east-1
+          "WHEN preset_instance <> '' THEN 'us-east-1' ELSE '' END"))
+      // SplitN remainder equality: a deeper subdomain must not match
+      // (read.go's parts[1] == 'postgres.database.azure.com' etc.)
+      .withColumn("azure_db_server_name", expr(
+        "CASE WHEN host LIKE '%.postgres.database.azure.com' AND size(parts) = 5 " +
+          "THEN element_at(parts, 1) ELSE '' END"))
+      .withColumn("is_crunchy", expr(
+        "host LIKE '%.postgresbridge.com' AND size(parts) = 5 " +
+          "AND element_at(parts, 1) = 'p' AND element_at(parts, 3) = 'db'"))
+      .withColumn("crunchy_bridge_cluster_id", expr(
+        "CASE WHEN is_crunchy THEN element_at(parts, 2) ELSE '' END"))
+      .withColumn("log_pg_read_file", col("is_crunchy"))
+      .withColumn("aiven_sub", expr(
+        "CASE WHEN host LIKE '%.aivencloud.com' AND size(parts) = 3 " +
+          "THEN element_at(parts, 1) ELSE '' END"))
+      .withColumn("aiven_service_id", expr(
+        "CASE WHEN aiven_sub <> '' THEN regexp_replace(aiven_sub, '-[^-]*$', '') ELSE '' END"))
+      .withColumn("aiven_project_id", expr(
+        "CASE WHEN aiven_sub <> '' THEN regexp_extract(aiven_sub, '([^-]+)$', 1) ELSE '' END"))
+      .withColumn("gcp_raw", expr(
+        "CASE WHEN pk % 7 = 0 THEN 'proj' || pk || ':asia-east1:inst' || pk ELSE '' END"))
+      .withColumn("gcp_project_id", expr(
+        "CASE WHEN gcp_raw <> '' THEN element_at(split(gcp_raw, ':'), 1) ELSE '' END"))
+      .withColumn("gcp_region", expr(
+        "CASE WHEN gcp_raw <> '' THEN element_at(split(gcp_raw, ':'), 2) ELSE '' END"))
+      .withColumn("gcp_instance_id", expr(
+        "CASE WHEN gcp_raw <> '' THEN element_at(split(gcp_raw, ':'), 3) ELSE '' END"))
+      .withColumn("db_name_raw", expr(
+        "CASE CAST(pk % 4 AS INT) WHEN 0 THEN 'postgres' " +
+          "WHEN 1 THEN 'postgres, *' " +
+          "WHEN 2 THEN 'postgres, extra1, extra2' ELSE ' maindb ' END"))
+      .withColumn("name_parts", expr(
+        "transform(split(db_name_raw, ','), x -> trim(x))"))
+      .withColumn("db_name", expr("element_at(name_parts, 1)"))
+      .withColumn("db_all_names", expr(
+        "size(name_parts) = 2 AND element_at(name_parts, 2) = '*'"))
+      .withColumn("n_extra_names", expr(
+        "CAST(CASE WHEN db_all_names THEN 0 ELSE size(name_parts) - 1 END AS INT)"))
+      .withColumn("api_base_url", expr(
+        "CASE WHEN pk % 3 = 0 THEN 'http://localhost:808' || pk % 10 " +
+          "ELSE 'https://api.pganalyze.com' END"))
+      .withColumn("websocket_url", expr(
+        "CASE WHEN api_base_url LIKE 'http://%' " +
+          "THEN 'ws://' || substring(api_base_url, 8) " +
+          "ELSE 'wss://' || regexp_replace(api_base_url, '^[a-z]+://', '') END " +
+          "|| '/v2/snapshots/websocket'"))
+      .withColumn("db_url_redacted", expr(
+        "CASE WHEN db_url = '' THEN '' " +
+          "ELSE regexp_replace(db_url, '://([^:@/]+):[^@]*@', '://$1@') END"))
+      .select("pk", "host", "db_url_redacted",
+        "aws_db_cluster_id", "aws_db_cluster_readonly", "aws_db_instance_id",
+        "aws_account_id", "aws_region", "azure_db_server_name",
+        "crunchy_bridge_cluster_id", "log_pg_read_file",
+        "aiven_service_id", "aiven_project_id",
+        "gcp_project_id", "gcp_region", "gcp_instance_id",
+        "db_name", "db_all_names", "n_extra_names", "websocket_url")
+}
