@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
 object QueriesConfig {
 
   def configResolve(s: SparkSession, dir: String): DataFrame =
-    Tables.part(s, dir)
+    resolve(Tables.part(s, dir)
       .select(col("p_partkey").as("pk"))
       .withColumn("shape", expr("CAST(pk % 6 AS INT)"))
       // the provider-shaped host every row resolves to
@@ -55,15 +55,33 @@ object QueriesConfig {
           "|| host0 || ':6432/db' || pk ELSE '' END"))
       .withColumn("db_host_field", expr(
         "CASE WHEN pk % 5 = 0 THEN 'ignored.example.com' ELSE host0 END"))
+      .withColumn("preset_region", expr(
+        "CASE WHEN pk % 11 = 0 THEN 'preset-region' ELSE '' END"))
+      .withColumn("preset_instance", expr(
+        "CASE WHEN pk % 13 = 0 AND shape = 3 THEN 'manual' || pk ELSE '' END"))
+      .withColumn("gcp_raw", expr(
+        "CASE WHEN pk % 7 = 0 THEN 'proj' || pk || ':asia-east1:inst' || pk ELSE '' END"))
+      .withColumn("db_name_raw", expr(
+        "CASE CAST(pk % 4 AS INT) WHEN 0 THEN 'postgres' " +
+          "WHEN 1 THEN 'postgres, *' " +
+          "WHEN 2 THEN 'postgres, extra1, extra2' ELSE ' maindb ' END"))
+      .withColumn("api_base_url", expr(
+        "CASE WHEN pk % 3 = 0 THEN 'http://localhost:808' || pk % 10 " +
+          "ELSE 'https://api.pganalyze.com' END")))
+
+  /** The derivation proper over raw config columns (`pk`, `db_url`,
+    * `db_host_field`, `preset_region`, `preset_instance`, `gcp_raw`,
+    * `db_name_raw`, `api_base_url`) — separated from the synthetic
+    * generator so specs can feed handcrafted rows, in particular the
+    * SplitN-remainder NEGATIVES (a deeper subdomain must not match)
+    * that the generator never produces. */
+  def resolve(cfg: DataFrame): DataFrame =
+    cfg
       // GetDbHost: URL authority wins over the host field
       .withColumn("host", expr(
         "CASE WHEN db_url <> '' THEN regexp_extract(db_url, '@([^:/]+)[:/]', 1) " +
           "ELSE db_host_field END"))
       .withColumn("parts", split(col("host"), "\\."))
-      .withColumn("preset_region", expr(
-        "CASE WHEN pk % 11 = 0 THEN 'preset-region' ELSE '' END"))
-      .withColumn("preset_instance", expr(
-        "CASE WHEN pk % 13 = 0 AND shape = 3 THEN 'manual' || pk ELSE '' END"))
       .withColumn("is_rds", expr(
         "host LIKE '%.rds.amazonaws.com' AND size(parts) = 6"))
       .withColumn("p2", expr("element_at(parts, 2)"))
@@ -100,18 +118,12 @@ object QueriesConfig {
         "CASE WHEN aiven_sub <> '' THEN regexp_replace(aiven_sub, '-[^-]*$', '') ELSE '' END"))
       .withColumn("aiven_project_id", expr(
         "CASE WHEN aiven_sub <> '' THEN regexp_extract(aiven_sub, '([^-]+)$', 1) ELSE '' END"))
-      .withColumn("gcp_raw", expr(
-        "CASE WHEN pk % 7 = 0 THEN 'proj' || pk || ':asia-east1:inst' || pk ELSE '' END"))
       .withColumn("gcp_project_id", expr(
         "CASE WHEN gcp_raw <> '' THEN element_at(split(gcp_raw, ':'), 1) ELSE '' END"))
       .withColumn("gcp_region", expr(
         "CASE WHEN gcp_raw <> '' THEN element_at(split(gcp_raw, ':'), 2) ELSE '' END"))
       .withColumn("gcp_instance_id", expr(
         "CASE WHEN gcp_raw <> '' THEN element_at(split(gcp_raw, ':'), 3) ELSE '' END"))
-      .withColumn("db_name_raw", expr(
-        "CASE CAST(pk % 4 AS INT) WHEN 0 THEN 'postgres' " +
-          "WHEN 1 THEN 'postgres, *' " +
-          "WHEN 2 THEN 'postgres, extra1, extra2' ELSE ' maindb ' END"))
       .withColumn("name_parts", expr(
         "transform(split(db_name_raw, ','), x -> trim(x))"))
       .withColumn("db_name", expr("element_at(name_parts, 1)"))
@@ -119,9 +131,6 @@ object QueriesConfig {
         "size(name_parts) = 2 AND element_at(name_parts, 2) = '*'"))
       .withColumn("n_extra_names", expr(
         "CAST(CASE WHEN db_all_names THEN 0 ELSE size(name_parts) - 1 END AS INT)"))
-      .withColumn("api_base_url", expr(
-        "CASE WHEN pk % 3 = 0 THEN 'http://localhost:808' || pk % 10 " +
-          "ELSE 'https://api.pganalyze.com' END"))
       .withColumn("websocket_url", expr(
         "CASE WHEN api_base_url LIKE 'http://%' " +
           "THEN 'ws://' || substring(api_base_url, 8) " +
