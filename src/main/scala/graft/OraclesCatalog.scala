@@ -565,6 +565,139 @@ object OraclesCatalog {
         |    || '/v2/snapshots/websocket' AS websocket_url
         |FROM n""".stripMargin,
 
+    // Mirrors QueriesConfig.systemIdentify: same generator (eight host
+    // shapes), same branch order and quirks (preset-type force,
+    // cluster-prefix scope, self-hosted nested-if, port-0 scope).
+    "system_identify" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS pk, CAST(p_partkey % 8 AS INT) AS shape
+        |  FROM part),
+        |h AS (
+        |  SELECT pk, shape,
+        |    CASE shape
+        |      WHEN 0 THEN 'db' || pk || '.abc' || pk % 97 || '.us-west-2.rds.amazonaws.com'
+        |      WHEN 1 THEN 'db' || pk || '.cluster-abc' || pk % 97 || '.eu-central-1.rds.amazonaws.com'
+        |      WHEN 2 THEN 'db' || pk || '.cluster-ro-abc' || pk % 97 || '.eu-west-1.rds.amazonaws.com'
+        |      WHEN 3 THEN 'srv' || pk || '.postgres.database.azure.com'
+        |      WHEN 4 THEN 'p.cb' || pk || '.db.postgresbridge.com'
+        |      WHEN 5 THEN 'svc-' || pk % 7 || '-proj' || pk % 13 || '.aivencloud.com'
+        |      WHEN 6 THEN 'ep-cool-' || pk || '.us-east-2.aws.neon.tech'
+        |      ELSE 'db.ref' || pk || '.supabase.co'
+        |    END AS host0
+        |  FROM base),
+        |u AS (
+        |  SELECT *,
+        |    CASE WHEN pk % 5 = 0 THEN 'postgres://u' || pk || ':pw' || pk || '@'
+        |      || host0 || ':6432/db' || pk ELSE '' END AS db_url,
+        |    CAST(CASE WHEN pk % 9 = 0 THEN 0 ELSE 5432 END AS INT) AS db_port,
+        |    CASE WHEN pk % 11 = 0 THEN 'preset-region' ELSE '' END AS preset_region,
+        |    CASE WHEN pk % 13 = 0 AND pk % 8 = 3 THEN 'manual' || pk ELSE '' END
+        |      AS preset_instance,
+        |    CASE WHEN pk % 7 = 0 THEN 'proj' || pk || ':asia-east1:inst' || pk
+        |      ELSE '' END AS gcp_raw,
+        |    CASE CAST(pk % 4 AS INT) WHEN 0 THEN 'postgres'
+        |      WHEN 1 THEN 'postgres, *'
+        |      WHEN 2 THEN 'postgres, extra1, extra2' ELSE ' maindb ' END
+        |      AS db_name_raw,
+        |    CASE WHEN pk % 17 = 0 THEN 'sysid' || pk ELSE '' END AS preset_system_id,
+        |    CASE WHEN pk % 19 = 0 THEN 'amazon_rds' ELSE '' END AS preset_system_type
+        |  FROM h),
+        |hh AS (
+        |  SELECT *, host0 AS host,
+        |    string_split(host0, '.') AS parts
+        |  FROM u),
+        |r AS (
+        |  SELECT *,
+        |    (host LIKE '%.rds.amazonaws.com' AND len(parts) = 6) AS is_rds,
+        |    parts[2] AS p2,
+        |    (host LIKE '%.postgresbridge.com' AND len(parts) = 5
+        |      AND parts[1] = 'p' AND parts[3] = 'db') AS is_crunchy,
+        |    CASE WHEN host LIKE '%.aivencloud.com' AND len(parts) = 3
+        |      THEN parts[1] ELSE '' END AS aiven_sub,
+        |    list_transform(string_split(db_name_raw, ','), x -> trim(x))
+        |      AS name_parts
+        |  FROM hh),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN is_rds AND p2 LIKE 'cluster-%' THEN parts[1] ELSE '' END
+        |      AS cluster_id,
+        |    (is_rds AND p2 LIKE 'cluster-ro-%') AS cluster_ro,
+        |    CASE WHEN is_rds AND NOT p2 LIKE 'cluster-%' THEN parts[1]
+        |      ELSE preset_instance END AS instance_id,
+        |    CASE WHEN is_rds
+        |      THEN regexp_replace(p2, '^cluster-ro-|^cluster-', '') ELSE '' END
+        |      AS account_id,
+        |    CASE WHEN preset_region <> '' THEN preset_region
+        |      WHEN is_rds THEN parts[3]
+        |      WHEN preset_instance <> '' THEN 'us-east-1' ELSE '' END AS region,
+        |    CASE WHEN host LIKE '%.postgres.database.azure.com' AND len(parts) = 5
+        |      THEN parts[1] ELSE '' END AS azure_name,
+        |    CASE WHEN is_crunchy THEN parts[2] ELSE '' END AS crunchy_id,
+        |    CASE WHEN aiven_sub <> ''
+        |      THEN regexp_replace(aiven_sub, '-[^-]*$', '') ELSE '' END AS aiven_svc,
+        |    CASE WHEN aiven_sub <> ''
+        |      THEN regexp_extract(aiven_sub, '([^-]+)$', 1) ELSE '' END AS aiven_proj,
+        |    CASE WHEN gcp_raw <> '' THEN string_split(gcp_raw, ':')[1] ELSE '' END
+        |      AS gcp_proj,
+        |    CASE WHEN gcp_raw <> '' THEN string_split(gcp_raw, ':')[3] ELSE '' END
+        |      AS gcp_inst,
+        |    name_parts[1] AS db_name,
+        |    (len(name_parts) = 2 AND name_parts[2] = '*') AS db_all_names,
+        |    CASE WHEN db_url <> ''
+        |      THEN CAST(regexp_extract(db_url, ':(\d+)/', 1) AS INT)
+        |      ELSE db_port END AS port,
+        |    CASE WHEN db_url <> '' THEN regexp_extract(db_url, ':\d+/(.*)$', 1)
+        |      ELSE name_parts[1] END AS raw_db_name
+        |  FROM r),
+        |g AS (
+        |  SELECT *,
+        |    host AS self_id,
+        |    port || '/' || raw_db_name ||
+        |      CASE WHEN db_all_names THEN '*' ELSE '' END AS self_scope,
+        |    CASE WHEN instance_id <> '' OR cluster_id <> ''
+        |      OR preset_system_type = 'amazon_rds' THEN 'amazon_rds'
+        |      WHEN azure_name <> '' THEN 'azure_database'
+        |      WHEN gcp_proj <> '' AND gcp_inst <> '' THEN 'google_cloudsql'
+        |      WHEN crunchy_id <> '' THEN 'crunchy_bridge'
+        |      WHEN aiven_proj <> '' AND aiven_svc <> '' THEN 'aiven'
+        |      WHEN host LIKE '%.neon.tech' THEN 'neon'
+        |      WHEN host LIKE '%.supabase.co'
+        |        OR host LIKE '%.pooler.supabase.com' THEN 'supabase'
+        |      ELSE 'self_hosted' END AS branch,
+        |    CASE WHEN instance_id = '' AND cluster_id <> '' THEN
+        |      CASE WHEN cluster_ro THEN 'cluster-ro-' ELSE 'cluster-' END
+        |      ELSE '' END AS cluster_prefix
+        |  FROM f)
+        |SELECT pk, branch AS system_type,
+        |  CASE WHEN preset_system_id <> '' THEN preset_system_id ELSE
+        |    CASE branch
+        |    WHEN 'amazon_rds' THEN CASE WHEN instance_id <> ''
+        |      THEN instance_id ELSE cluster_id END
+        |    WHEN 'azure_database' THEN azure_name
+        |    WHEN 'google_cloudsql' THEN gcp_inst
+        |    WHEN 'crunchy_bridge' THEN crunchy_id
+        |    WHEN 'aiven' THEN aiven_svc
+        |    WHEN 'neon' THEN host
+        |    WHEN 'supabase' THEN regexp_extract(host, '([^.]+)[.]supabase[.]co$', 1)
+        |    ELSE self_id END END AS system_id,
+        |  CASE branch
+        |    WHEN 'amazon_rds' THEN CASE WHEN account_id <> ''
+        |      THEN region || '/' || cluster_prefix || account_id
+        |      ELSE region END
+        |    WHEN 'google_cloudsql' THEN gcp_proj
+        |    WHEN 'aiven' THEN aiven_proj
+        |    WHEN 'self_hosted' THEN CASE WHEN preset_system_id <> '' THEN ''
+        |      ELSE self_scope END
+        |    ELSE '' END AS system_scope,
+        |  CASE WHEN branch IN ('aiven', 'neon', 'supabase') THEN 'self_hosted'
+        |    ELSE '' END AS system_type_fallback,
+        |  CASE WHEN branch IN ('aiven', 'neon', 'supabase') THEN self_id
+        |    ELSE '' END AS system_id_fallback,
+        |  CASE WHEN branch IN ('aiven', 'neon', 'supabase') THEN self_scope
+        |    WHEN branch = 'amazon_rds' AND account_id <> '' THEN region
+        |    ELSE '' END AS system_scope_fallback
+        |FROM g""".stripMargin,
+
     // Mirrors sources/HelperMatch: same registry + probe literals, same
     // split-token matching with the DEFAULT-break and first-match-wins.
     "s35_helper_match" ->

@@ -69,6 +69,125 @@ object QueriesConfig {
         "CASE WHEN pk % 3 = 0 THEN 'http://localhost:808' || pk % 10 " +
           "ELSE 'https://api.pganalyze.com' END")))
 
+  /** System identification — `config/identify_system.go:9-149` +
+    * `config/managed_platforms.go`: the (system_type, system_id,
+    * system_scope) triple stamped on every snapshot header, derived
+    * from the resolved provider fields with the reference's branch
+    * order (RDS > Azure > CloudSQL > Crunchy > Aiven > Neon > Supabase
+    * > self-hosted) and its quirks:
+    *  - a preset system_type forces its branch even when another
+    *    provider's fields are populated;
+    *  - the RDS scope is `region/[cluster-[ro-]]account` (the cluster
+    *    prefix only when no instance id), with the bare region kept as
+    *    the scope FALLBACK;
+    *  - Aiven/Neon/Supabase carry self-hosted fallback identity
+    *    (host + port/dbname scope) for servers that migrate off;
+    *  - self-hosted scope uses `GetDbPort()` (NOT the or-default
+    *    variant), so a URL-less config without a port yields the
+    *    literal `0/dbname` scope;
+    *  - in the self-hosted branch the scope is only derived when the
+    *    system id was ALSO empty (the nested if at
+    *    `identify_system.go:126-130`) — a preset id leaves scope ''.
+    */
+  def systemIdentify(s: SparkSession, dir: String): DataFrame = {
+    val cfg = Tables.part(s, dir)
+      .select(col("p_partkey").as("pk"))
+      .withColumn("shape", expr("CAST(pk % 8 AS INT)"))
+      .withColumn("host0", expr(
+        "CASE shape " +
+          "WHEN 0 THEN 'db' || pk || '.abc' || pk % 97 || '.us-west-2.rds.amazonaws.com' " +
+          "WHEN 1 THEN 'db' || pk || '.cluster-abc' || pk % 97 || '.eu-central-1.rds.amazonaws.com' " +
+          "WHEN 2 THEN 'db' || pk || '.cluster-ro-abc' || pk % 97 || '.eu-west-1.rds.amazonaws.com' " +
+          "WHEN 3 THEN 'srv' || pk || '.postgres.database.azure.com' " +
+          "WHEN 4 THEN 'p.cb' || pk || '.db.postgresbridge.com' " +
+          "WHEN 5 THEN 'svc-' || pk % 7 || '-proj' || pk % 13 || '.aivencloud.com' " +
+          "WHEN 6 THEN 'ep-cool-' || pk || '.us-east-2.aws.neon.tech' " +
+          "ELSE 'db.ref' || pk || '.supabase.co' END"))
+      .withColumn("db_url", expr(
+        "CASE WHEN pk % 5 = 0 THEN 'postgres://u' || pk || ':pw' || pk || '@' " +
+          "|| host0 || ':6432/db' || pk ELSE '' END"))
+      .withColumn("db_host_field", expr(
+        "CASE WHEN pk % 5 = 0 THEN 'ignored.example.com' ELSE host0 END"))
+      // the port-0 quirk rows: no URL and no configured port
+      .withColumn("db_port", expr(
+        "CAST(CASE WHEN pk % 9 = 0 THEN 0 ELSE 5432 END AS INT)"))
+      .withColumn("preset_region", expr(
+        "CASE WHEN pk % 11 = 0 THEN 'preset-region' ELSE '' END"))
+      .withColumn("preset_instance", expr(
+        "CASE WHEN pk % 13 = 0 AND shape = 3 THEN 'manual' || pk ELSE '' END"))
+      .withColumn("gcp_raw", expr(
+        "CASE WHEN pk % 7 = 0 THEN 'proj' || pk || ':asia-east1:inst' || pk ELSE '' END"))
+      .withColumn("db_name_raw", expr(
+        "CASE CAST(pk % 4 AS INT) WHEN 0 THEN 'postgres' " +
+          "WHEN 1 THEN 'postgres, *' " +
+          "WHEN 2 THEN 'postgres, extra1, extra2' ELSE ' maindb ' END"))
+      .withColumn("api_base_url", lit("https://api.pganalyze.com"))
+      .withColumn("preset_system_id", expr(
+        "CASE WHEN pk % 17 = 0 THEN 'sysid' || pk ELSE '' END"))
+      .withColumn("preset_system_type", expr(
+        "CASE WHEN pk % 19 = 0 THEN 'amazon_rds' ELSE '' END"))
+    resolveAll(cfg)
+      .withColumn("port", expr(
+        "CASE WHEN db_url <> '' THEN CAST(regexp_extract(db_url, ':(\\\\d+)/', 1) AS INT) " +
+          "ELSE db_port END"))
+      // GetDbName: the URL path wins over the (preprocessed) DbName
+      .withColumn("raw_db_name", expr(
+        "CASE WHEN db_url <> '' THEN regexp_extract(db_url, ':\\\\d+/(.*)$', 1) " +
+          "ELSE db_name END"))
+      .withColumn("self_id", col("host"))
+      .withColumn("self_scope", expr(
+        "port || '/' || raw_db_name || CASE WHEN db_all_names THEN '*' ELSE '' END"))
+      .withColumn("branch", expr(
+        "CASE WHEN aws_db_instance_id <> '' OR aws_db_cluster_id <> '' " +
+          "OR preset_system_type = 'amazon_rds' THEN 'amazon_rds' " +
+          "WHEN azure_db_server_name <> '' THEN 'azure_database' " +
+          "WHEN gcp_project_id <> '' AND gcp_instance_id <> '' THEN 'google_cloudsql' " +
+          "WHEN crunchy_bridge_cluster_id <> '' THEN 'crunchy_bridge' " +
+          "WHEN aiven_project_id <> '' AND aiven_service_id <> '' THEN 'aiven' " +
+          "WHEN host LIKE '%.neon.tech' THEN 'neon' " +
+          "WHEN host LIKE '%.supabase.co' OR host LIKE '%.pooler.supabase.com' " +
+          "THEN 'supabase' ELSE 'self_hosted' END"))
+      .withColumn("cluster_prefix", expr(
+        "CASE WHEN aws_db_instance_id = '' AND aws_db_cluster_id <> '' THEN " +
+          "CASE WHEN aws_db_cluster_readonly THEN 'cluster-ro-' ELSE 'cluster-' END " +
+          "ELSE '' END"))
+      .withColumn("system_id", expr(
+        "CASE WHEN preset_system_id <> '' THEN preset_system_id ELSE " +
+          "CASE branch " +
+          "WHEN 'amazon_rds' THEN CASE WHEN aws_db_instance_id <> '' " +
+          "  THEN aws_db_instance_id ELSE aws_db_cluster_id END " +
+          "WHEN 'azure_database' THEN azure_db_server_name " +
+          "WHEN 'google_cloudsql' THEN gcp_instance_id " +
+          "WHEN 'crunchy_bridge' THEN crunchy_bridge_cluster_id " +
+          "WHEN 'aiven' THEN aiven_service_id " +
+          "WHEN 'neon' THEN host " +
+          "WHEN 'supabase' THEN regexp_extract(host, '([^.]+)[.]supabase[.]co$', 1) " +
+          "ELSE self_id END END"))
+      .withColumn("system_scope", expr(
+        "CASE branch " +
+          "WHEN 'amazon_rds' THEN CASE WHEN aws_account_id <> '' " +
+          "  THEN aws_region || '/' || cluster_prefix || aws_account_id " +
+          "  ELSE aws_region END " +
+          "WHEN 'google_cloudsql' THEN gcp_project_id " +
+          "WHEN 'aiven' THEN aiven_project_id " +
+          // the nested-if quirk: preset id leaves self-hosted scope ''
+          "WHEN 'self_hosted' THEN CASE WHEN preset_system_id <> '' THEN '' " +
+          "  ELSE self_scope END " +
+          "ELSE '' END"))
+      .withColumn("system_type_fallback", expr(
+        "CASE WHEN branch IN ('aiven', 'neon', 'supabase') THEN 'self_hosted' " +
+          "ELSE '' END"))
+      .withColumn("system_id_fallback", expr(
+        "CASE WHEN branch IN ('aiven', 'neon', 'supabase') THEN self_id ELSE '' END"))
+      .withColumn("system_scope_fallback", expr(
+        "CASE WHEN branch IN ('aiven', 'neon', 'supabase') THEN self_scope " +
+          "WHEN branch = 'amazon_rds' AND aws_account_id <> '' THEN aws_region " +
+          "ELSE '' END"))
+      .select(col("pk"), col("branch").as("system_type"), col("system_id"),
+        col("system_scope"), col("system_type_fallback"),
+        col("system_id_fallback"), col("system_scope_fallback"))
+  }
+
   /** The derivation proper over raw config columns (`pk`, `db_url`,
     * `db_host_field`, `preset_region`, `preset_instance`, `gcp_raw`,
     * `db_name_raw`, `api_base_url`) — separated from the synthetic
@@ -76,6 +195,19 @@ object QueriesConfig {
     * SplitN-remainder NEGATIVES (a deeper subdomain must not match)
     * that the generator never produces. */
   def resolve(cfg: DataFrame): DataFrame =
+    resolveAll(cfg)
+      .select("pk", "host", "db_url_redacted",
+        "aws_db_cluster_id", "aws_db_cluster_readonly", "aws_db_instance_id",
+        "aws_account_id", "aws_region", "azure_db_server_name",
+        "crunchy_bridge_cluster_id", "log_pg_read_file",
+        "aiven_service_id", "aiven_project_id",
+        "gcp_project_id", "gcp_region", "gcp_instance_id",
+        "db_name", "db_all_names", "n_extra_names", "websocket_url")
+
+  /** [[resolve]] without the output projection: keeps every input and
+    * intermediate column so downstream derivations ([[systemIdentify]])
+    * can reach the raw url/port/preset fields. */
+  def resolveAll(cfg: DataFrame): DataFrame =
     cfg
       // GetDbHost: URL authority wins over the host field
       .withColumn("host", expr(
@@ -139,11 +271,4 @@ object QueriesConfig {
       .withColumn("db_url_redacted", expr(
         "CASE WHEN db_url = '' THEN '' " +
           "ELSE regexp_replace(db_url, '://([^:@/]+):[^@]*@', '://$1@') END"))
-      .select("pk", "host", "db_url_redacted",
-        "aws_db_cluster_id", "aws_db_cluster_readonly", "aws_db_instance_id",
-        "aws_account_id", "aws_region", "azure_db_server_name",
-        "crunchy_bridge_cluster_id", "log_pg_read_file",
-        "aiven_service_id", "aiven_project_id",
-        "gcp_project_id", "gcp_region", "gcp_instance_id",
-        "db_name", "db_all_names", "n_extra_names", "websocket_url")
 }

@@ -74,6 +74,7 @@ object SparkEntry {
     "a13_wait_event_profile" -> (QueriesCatalog.a13WaitEventProfile _),
     "s35_helper_match" -> (graft.sources.HelperMatch.query _),
     "config_resolve" -> (QueriesConfig.configResolve _),
+    "system_identify" -> (QueriesConfig.systemIdentify _),
     "j12_blocking_chains" -> (QueriesCatalog.j12BlockingChains _),
     "d2_plan_stats_diff" -> (QueriesCatalog.d2PlanStatsDiff _),
     "d6_database_stats_diff" -> (QueriesCatalog.d6DatabaseStatsDiff _),
