@@ -1827,6 +1827,18 @@ object OraclesGen {
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,
     "corpus_distinct_hll" -> corpusDistinctHll,
+    // Heavy hitters: the MG sketch only proposes candidates; the final
+    // answer is exact counts above the n/(k+1) guarantee threshold, so
+    // the oracle is a plain GROUP BY with the same integer compare.
+    "text_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> len(w) > 0)) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok)
+        |SELECT w, cnt, CAST(cnt AS DOUBLE) / n_tokens AS share
+        |FROM cnt, tot WHERE cnt * 201 > n_tokens""".stripMargin,
     "sample_mix_sources" -> sampleMixSources,
     "doc_decontaminate" -> docDecontaminate,
     "text_vocab_topk" -> textVocabTopK,

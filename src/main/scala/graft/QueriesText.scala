@@ -978,6 +978,36 @@ object QueriesText {
           .otherwise(rawE), 4).as("hll_estimate"))
   }
 
+  /** Exact heavy hitters via a Misra–Gries candidate pass — the 100 TB
+    * two-pass pattern: pass 1 runs the k=200-counter
+    * [[graft.functions.expressions.MisraGriesAgg]] sketch (bounded
+    * state per partial, associative merges, map-side combine), pass 2
+    * exact-counts ONLY the surviving candidates (broadcast semi join —
+    * the corpus never shuffles on the long tail) and keeps items above
+    * the n/(k+1) guarantee threshold. The sketch's candidate set may
+    * vary with partitioning; the guarantee makes the FINAL answer
+    * partitioning-independent, so a plain GROUP BY oracle gates it.
+    * The threshold compare is integer-exact (`cnt * 201 > n`). */
+  def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val K = 200
+    val toks = Tables.fanOut(Tables.documents(s, dir))
+      .select(explode(TextFns.words(col("text"))).as("w"))
+    val mg = graft.functions.expressions.MisraGriesAgg(
+      org.apache.spark.sql.GraftNative.expression(col("w")), K)
+    val cands = toks
+      .agg(org.apache.spark.sql.GraftNative.column(mg.toAggregateExpression())
+        .as("cand"))
+      .select(explode(col("cand")).as("c"))
+      .select(col("c.w").as("w"))
+    val tot = toks.agg(count(lit(1)).as("n_tokens"))
+    toks.join(broadcast(cands), Seq("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * (K + 1) > col("n_tokens"))
+      .select(col("w"), col("cnt"),
+        (col("cnt").cast("double") / col("n_tokens")).as("share"))
+  }
+
   /** Shard-packing manifest: documents routed to 16 training shards by
     * deterministic FNV (a reproducible global shuffle — 16 divides
     * 2^64, so the unsigned-mod oracle and the signed-pmod engine

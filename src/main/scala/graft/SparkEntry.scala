@@ -124,6 +124,7 @@ object SparkEntry {
     "corpus_token_budget" -> (QueriesText.corpusTokenBudget _),
     "corpus_stats_rollup" -> (QueriesText.corpusStatsRollup _),
     "corpus_distinct_hll" -> (QueriesText.corpusDistinctHll _),
+    "text_heavy_hitters" -> (QueriesText.textHeavyHitters _),
     "text_repetition" -> (QueriesText.textRepetition _),
     "embed_quantize" -> (QueriesText.embedQuantize _),
     "dsir_select" -> (QueriesText.dsirSelect _),

@@ -1,0 +1,115 @@
+package graft.functions.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries heavy-hitters sketch as a native
+  * [[TypedImperativeAggregate]] — the bounded-memory candidate pass of
+  * the classic two-pass exact heavy-hitters at lake scale: the sketch
+  * state is AT MOST `k` (item, counter) pairs per partial regardless
+  * of input size, partials merge associatively (map-side combine does
+  * the heavy lifting), and every item with true frequency
+  * > n/(k+1) is GUARANTEED to survive in the merged sketch (the
+  * mergeable-summaries bound: each update decrement charges k+1
+  * distinct items, each merge subtracts the (k+1)-th largest counter,
+  * so total undercount ≤ n/(k+1)). The candidate SET may vary with
+  * partitioning — callers exact-count the candidates in a second pass
+  * and filter by the guarantee threshold, which makes the final
+  * answer partitioning-independent and lets a plain GROUP BY oracle
+  * gate it.
+  *
+  * update: present key +1; room left → insert at 1; otherwise all
+  * counters -1, zeros evicted. merge: counter sums, then if over k
+  * entries subtract the (k+1)-th largest and evict ≤0.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      buf.get(s) match {
+        case Some(c) => buf(s) = c + 1
+        case None if buf.size < k => buf(s) = 1L
+        case None =>
+          // decrement-all: charges this item plus the k live counters
+          buf.keys.toList.foreach { key =>
+            val c = buf(key) - 1
+            if (c == 0) buf -= key else buf(key) = c
+          }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[String, Long],
+      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (w, c) => buf(w) = buf.getOrElse(w, 0L) + c }
+    if (buf.size > k) {
+      // subtract the (k+1)-th largest counter from every entry
+      val m = buf.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      buf.keys.toList.foreach { key =>
+        val c = buf(key) - m
+        if (c <= 0) buf -= key else buf(key) = c
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    // deterministic candidate order: residual count desc, then item
+    val sorted = buf.toSeq.sortBy { case (w, c) => (-c, w) }
+    new GenericArrayData(sorted.map { case (w, c) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(w), c))
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (w, c) => out.writeUTF(w); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) { buf(in.readUTF()) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w", StringType), StructField("cnt", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def withNewMutableAggBufferOffset(offset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesAgg =
+    copy(child = newChildren.head)
+}

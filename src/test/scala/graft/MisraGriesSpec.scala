@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.MisraGriesAgg
+
+/** The Misra–Gries sketch contract: bounded state, the n/(k+1)
+  * survival guarantee under ANY partitioning, and the two-pass query
+  * equaling the exact answer.
+  */
+class MisraGriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def candidates(df: org.apache.spark.sql.DataFrame, k: Int): Seq[(String, Long)] = {
+    val mg = MisraGriesAgg(
+      org.apache.spark.sql.GraftNative.expression(col("w")), k)
+    df.agg(org.apache.spark.sql.GraftNative.column(mg.toAggregateExpression())
+        .as("cand"))
+      .select(explode(col("cand")).as("c"))
+      .select(col("c.w"), col("c.cnt")).as[(String, Long)].collect().toSeq
+  }
+
+  test("sketch state never exceeds k entries") {
+    val words = (1 to 2000).map(i => s"w${i % 50}")
+    assert(candidates(words.toDF("w"), 3).size <= 3)
+    assert(candidates(words.toDF("w"), 7).size <= 7)
+  }
+
+  test("an item above n/(k+1) survives every partitioning") {
+    // 'hot' has 400 of 1000 tokens; k = 4 → guarantee covers > 200
+    val words = Seq.fill(400)("hot") ++ (1 to 600).map(i => s"cold$i")
+    for (parts <- Seq(1, 3, 13)) {
+      val df = words.toDF("w").repartition(parts)
+      val got = candidates(df, 4).map(_._1)
+      assert(got.contains("hot"), s"parts=$parts got=$got")
+    }
+  }
+
+  test("two-pass heavy hitters equals the exact answer at sf0.001") {
+    val exact = {
+      val toks = Tables.documents(spark, Sf)
+        .select(explode(graft.functions.TextFns.words(col("text"))).as("w"))
+      val n = toks.count()
+      toks.groupBy("w").count().filter(col("count") * 201 > n)
+        .select("w").as[String].collect().toSet
+    }
+    val got = QueriesText.textHeavyHitters(spark, Sf)
+      .select("w").as[String].collect().toSet
+    assert(got === exact)
+    assert(got.nonEmpty)
+  }
+}
