@@ -112,6 +112,14 @@ class ScaleJoinSpec extends SparkSpec {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name must not plan a nested-loop join:\n${plan.take(2000)}")
       }
+    // heavy hitters: the corpus side must only ever broadcast-join the
+    // k-bounded candidate set (one 1-row scalar cross join allowed for
+    // the n_tokens total), never shuffle-join the long tail
+    val hh = QueriesText.textHeavyHitters(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!hh.contains("CartesianProduct"))
+    assert(!hh.contains("SortMergeJoin"),
+      s"text_heavy_hitters must broadcast the candidate set:\n${hh.take(2000)}")
   }
 
   test("cloud adapters parse the envelope exactly once per record") {
