@@ -511,6 +511,48 @@ object OraclesGen {
        |FROM tot, sk""".stripMargin
   }
 
+  /** Per-group HLL: the global sketch partitioned by source — same
+    * hash, per-(source, reg) max ranks, per-source register-ordered
+    * fold and correction. */
+  val corpusDistinctBySource: String = {
+    val h = fnvHuge("w")
+    s"""WITH tok AS (
+       |  SELECT source,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      w -> len(w) > 0)) AS w
+       |  FROM documents),
+       |th AS (SELECT source, w, $h AS h FROM tok),
+       |rr AS (SELECT source, CAST(h % 256 AS INT) AS reg,
+       |         CAST(h // 256 AS BIGINT) AS v FROM th),
+       |rk AS (SELECT source, reg,
+       |         max(CASE WHEN v = 0 THEN 57
+       |             ELSE 57 - len(bin(v)) END) AS mr
+       |       FROM rr GROUP BY source, reg),
+       |regs AS (
+       |  SELECT s.source, g.reg, COALESCE(rk.mr, 0) AS rank0
+       |  FROM (SELECT DISTINCT source FROM tok) s
+       |  CROSS JOIN (SELECT unnest(range(256)) AS reg) g
+       |  LEFT JOIN rk ON rk.source = s.source AND rk.reg = g.reg),
+       |sk AS (
+       |  SELECT source,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(1.0 / CAST((CAST(1 AS BIGINT) << rank0) AS DOUBLE)
+       |        ORDER BY reg)), (a, b) -> a + b) AS sum2,
+       |    CAST(sum(CASE WHEN rank0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS zeros
+       |  FROM regs GROUP BY source),
+       |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |          CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+       |        FROM tok GROUP BY source)
+       |SELECT t.source, n_tokens, exact_distinct, zeros,
+       |  round(CASE WHEN ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / sum2)
+       |               <= 640.0 AND zeros > 0
+       |        THEN 256.0 * ln(256.0 / zeros)
+       |        ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / sum2 END, 4)
+       |    AS hll_estimate
+       |FROM tot t JOIN sk USING (source)""".stripMargin
+  }
+
   /** Shard manifest: unsigned HUGEINT mod 16 ≡ the engine's signed
     * pmod because 16 divides 2^64. */
   val sampleShardManifest: String = {
@@ -1827,6 +1869,7 @@ object OraclesGen {
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,
     "corpus_distinct_hll" -> corpusDistinctHll,
+    "corpus_distinct_by_source" -> corpusDistinctBySource,
     // Heavy hitters: the MG sketch only proposes candidates; the final
     // answer is exact counts above the n/(k+1) guarantee threshold, so
     // the oracle is a plain GROUP BY with the same integer compare.

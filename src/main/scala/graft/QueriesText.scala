@@ -978,6 +978,51 @@ object QueriesText {
           .otherwise(rawE), 4).as("hll_estimate"))
   }
 
+  /** Per-group HLL — [[corpusDistinctHll]] generalized to a grouping
+    * key (distinct tokens per source): register state is 256 bytes PER
+    * GROUP regardless of corpus size, so the per-group distinct
+    * question that makes exact count-distinct shuffles explode at lake
+    * scale (every token rides the wire once per group) costs one
+    * (source, reg) aggregation. Same FNV hash, register fold and
+    * small-range correction as the global sketch — bit-reproduced in
+    * the oracle per group; exact included to expose the error. */
+  def corpusDistinctBySource(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("source"), explode(TextFns.words(col("text"))).as("w"))
+    val h = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.Fnv64Expr(
+        org.apache.spark.sql.GraftNative.expression(col("w"))))
+    val ranks = toks.select(col("source"),
+        h.bitwiseAND(lit(255L)).cast("int").as("reg"),
+        shiftrightunsigned(h, 8).as("v"))
+      .select(col("source"), col("reg"),
+        when(col("v") === 0, 57)
+          .otherwise(lit(57) - length(bin(col("v")))).as("rank"))
+      .groupBy("source", "reg").agg(max("rank").as("mr"))
+    val sources = toks.select("source").distinct()
+    val regs = sources
+      .crossJoin(s.range(256).select(col("id").cast("int").as("reg")))
+      .join(ranks, Seq("source", "reg"), "left")
+      .select(col("source"), col("reg"), coalesce(col("mr"), lit(0)).as("rank0"))
+    val sketch = regs.groupBy("source").agg(
+      expr("""aggregate(array_sort(collect_list(struct(reg, rank0))),
+        |0D, (acc, x) ->
+        |  acc + 1.0 / cast(shiftleft(cast(1 as bigint), x.rank0) as double))"""
+        .stripMargin).as("sum2"),
+      sum(when(col("rank0") === 0, 1).otherwise(0)).cast("long").as("zeros"))
+    val tot = toks.groupBy("source").agg(
+      count(lit(1)).as("n_tokens"),
+      count_distinct(col("w")).as("exact_distinct"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val rawE = alpha * lit(65536.0) / col("sum2")
+    tot.join(broadcast(sketch), Seq("source"))
+      .select(col("source"), col("n_tokens"), col("exact_distinct"),
+        col("zeros"),
+        round(when(rawE <= 640.0 && col("zeros") > 0,
+          lit(256.0) * log(lit(256.0) / col("zeros")))
+          .otherwise(rawE), 4).as("hll_estimate"))
+  }
+
   /** Exact heavy hitters via a Misra–Gries candidate pass — the 100 TB
     * two-pass pattern: pass 1 runs the k=200-counter
     * [[graft.functions.expressions.MisraGriesAgg]] sketch (bounded
