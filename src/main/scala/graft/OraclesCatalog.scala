@@ -759,6 +759,43 @@ object OraclesCatalog {
         |  coalesce(arg_min(result, ord) FILTER (WHERE matched), '') AS return_type
         |FROM m GROUP BY req_id, name""".stripMargin,
 
+    "idx_unused" ->
+      """WITH idx AS (
+        |  SELECT p_partkey + 1000000 AS index_oid, (p_partkey // 3) * 3 AS indrelid,
+        |    'idx_' || p_partkey AS indexname, p_partkey % 12 = 0 AS is_primary
+        |  FROM part WHERE p_partkey % 2 = 0),
+        |st AS (
+        |  SELECT p_partkey + 1000000 AS index_oid,
+        |    CASE WHEN p_partkey % 10 = 0 THEN 0
+        |      ELSE p_size * 7 % 1000 END AS idx_scan
+        |  FROM part WHERE p_partkey % 2 = 0),
+        |rels AS (
+        |  SELECT p_partkey AS indrelid, 'rel_' || p_partkey AS relname,
+        |    CAST(p_size * 10 AS BIGINT) AS relpages
+        |  FROM part)
+        |SELECT i.index_oid, i.indexname, r.relname, st.idx_scan,
+        |  relpages * 8192 AS est_bytes
+        |FROM idx i JOIN st USING (index_oid)
+        |JOIN rels r ON i.indrelid = r.indrelid
+        |WHERE st.idx_scan = 0 AND NOT i.is_primary""".stripMargin,
+
+    "idx_overlapping" ->
+      """WITH idx AS (
+        |  SELECT p_partkey + 1000000 AS index_oid,
+        |    (p_partkey // 10) * 10 AS indrelid,
+        |    'idx_' || p_partkey AS indexname, p_partkey % 6 = 0 AS is_unique,
+        |    list_slice([1, 2, 3, 4], 1, CAST(p_partkey % 4 AS INT) + 1) AS cols
+        |  FROM part WHERE p_partkey % 2 = 0)
+        |SELECT a.indrelid, a.index_oid AS oid_a, a.indexname AS name_a,
+        |  b.index_oid AS oid_b, b.indexname AS name_b,
+        |  array_to_string(a.cols, ',') AS cols_prefix,
+        |  array_to_string(b.cols, ',') AS cols_covering,
+        |  NOT a.is_unique AS drop_candidate
+        |FROM idx a JOIN idx b
+        |  ON a.indrelid = b.indrelid AND a.index_oid <> b.index_oid
+        |WHERE len(a.cols) < len(b.cols)
+        |  AND list_slice(b.cols, 1, len(a.cols)) = a.cols""".stripMargin,
+
     "a13_wait_event_profile" ->
       """WITH samples AS (
         |  SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS query_k,

@@ -410,6 +410,65 @@ object QueriesCatalog {
       .select("rel_oid", "parent_oid", "inhseqno")
   }
 
+  /** Unused-index report — the first thing a DBA asks of the collected
+    * index stats (`input/postgres/relation_stats.go:151-177` ships
+    * idx_scan per index; pganalyze's Index Advisor consumes it): zero
+    * scans since stats reset, primaries excluded, sized by the owning
+    * relation's pages so the report ranks by reclaimable bytes. Two
+    * equi-joins on oid keys, k-row per server. */
+  def idxUnused(s: SparkSession, dir: String): DataFrame = {
+    val idx = s8Indexes(s, dir)
+    // dedicated stats synth: the shared indexStats scan-count formula
+    // (p_size * 7 % 1000) never lands on zero, so this report zeroes a
+    // deterministic tenth of the indexes to have genuinely-unused rows
+    val stats = Tables.part(s, dir)
+      .filter(col("p_partkey") % 2 === 0)
+      .select((col("p_partkey") + 1000000).as("index_oid"),
+        expr("CASE WHEN p_partkey % 10 = 0 THEN 0 " +
+          "ELSE p_size * 7 % 1000 END").as("idx_scan"))
+    val rels = CatalogSynth.relations(s, dir)
+      .select(col("rel_oid").as("indrelid"), col("relname"), col("relpages"))
+    idx.join(stats, Seq("index_oid"))
+      .filter(col("idx_scan") === 0 && !col("is_primary"))
+      .join(rels, idx("indrelid") === rels("indrelid"))
+      .select(col("index_oid"), col("indexname"), col("relname"),
+        col("idx_scan"), (col("relpages") * 8192L).as("est_bytes"))
+  }
+
+  /** Overlapping-index detection: index A is redundant when its column
+    * list is a strict PREFIX of sibling index B on the same relation
+    * (B serves every query A serves), unless A backs a unique or
+    * primary constraint. One equi-join on indrelid; the prefix test is
+    * per-pair array logic. Richer synthetic indkeys than S8's (1-4
+    * column prefixes of a shared column order) so proper-prefix,
+    * equal-list and disjoint cases all occur. */
+  def idxOverlapping(s: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.part(s, dir)
+      .filter(col("p_partkey") % 2 === 0)
+      .select(
+        (col("p_partkey") + 1000000).as("index_oid"),
+        expr("(p_partkey div 10) * 10").as("indrelid"),
+        concat(lit("idx_"), col("p_partkey")).as("indexname"),
+        (col("p_partkey") % 6 === 0).as("is_unique"),
+        expr("slice(array(1, 2, 3, 4), 1, CAST(p_partkey % 4 AS INT) + 1)")
+          .as("cols"))
+    val a = idx.select(col("index_oid").as("oid_a"),
+      col("indexname").as("name_a"), col("indrelid"),
+      col("is_unique").as("unique_a"), col("cols").as("cols_a"))
+    val b = idx.select(col("index_oid").as("oid_b"),
+      col("indexname").as("name_b"), col("indrelid"),
+      col("cols").as("cols_b"))
+    a.join(b, Seq("indrelid"))
+      .filter(col("oid_a") =!= col("oid_b"))
+      .filter(expr("size(cols_a) < size(cols_b) " +
+        "AND slice(cols_b, 1, size(cols_a)) = cols_a"))
+      .select(col("indrelid"), col("oid_a"), col("name_a"),
+        col("oid_b"), col("name_b"),
+        expr("array_join(cast(cols_a as array<string>), ',')").as("cols_prefix"),
+        expr("array_join(cast(cols_b as array<string>), ',')").as("cols_covering"),
+        (!col("unique_a")).as("drop_candidate"))
+  }
+
   /** A13 — wait-event profile: the sampling analysis built on the
     * wait_event columns the reference collects per backend
     * (`input/postgres/backends.go:19-24`: wait_event_type, wait_event,

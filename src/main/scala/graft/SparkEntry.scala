@@ -72,6 +72,8 @@ object SparkEntry {
     "s15_ext_stats" -> (QueriesCatalog.s15ExtStats _),
     "selftest_summary" -> (QueriesSelftest.selftestSummary _),
     "a13_wait_event_profile" -> (QueriesCatalog.a13WaitEventProfile _),
+    "idx_unused" -> (QueriesCatalog.idxUnused _),
+    "idx_overlapping" -> (QueriesCatalog.idxOverlapping _),
     "s35_helper_match" -> (graft.sources.HelperMatch.query _),
     "config_resolve" -> (QueriesConfig.configResolve _),
     "system_identify" -> (QueriesConfig.systemIdentify _),
