@@ -553,6 +553,41 @@ object OraclesGen {
        |FROM tot t JOIN sk USING (source)""".stripMargin
   }
 
+  /** Per-source KL over hashed buckets: same (source, bucket) counts,
+    * dense grid, add-one smoothing, bucket-ordered p·ln(p/q) fold. */
+  val mixKlDivergence: String = {
+    val h = fnvHuge("'kl:' || w")
+    s"""WITH tok AS (
+       |  SELECT source,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      w -> len(w) > 0)) AS w
+       |  FROM documents),
+       |hb AS (SELECT source, CAST($h % 1024 AS BIGINT) AS bucket FROM tok),
+       |sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n
+       |       FROM hb GROUP BY 1, 2),
+       |cb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS cbn FROM sb GROUP BY 1),
+       |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM sb),
+       |srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM sb GROUP BY 1),
+       |grid AS (
+       |  SELECT s.source, g.bucket, s.ns,
+       |    COALESCE(sb.n, 0) AS csb, COALESCE(cb.cbn, 0) AS cbn, nn.nn
+       |  FROM srcs s
+       |  CROSS JOIN (SELECT CAST(unnest(range(1024)) AS BIGINT) AS bucket) g
+       |  LEFT JOIN sb ON sb.source = s.source AND sb.bucket = g.bucket
+       |  LEFT JOIN cb ON cb.bucket = g.bucket
+       |  CROSS JOIN nn),
+       |terms AS (
+       |  SELECT source, bucket, ns,
+       |    (CAST(csb + 1 AS DOUBLE) / (ns + 1024)) *
+       |      ln((CAST(csb + 1 AS DOUBLE) / (ns + 1024)) /
+       |        (CAST(cbn + 1 AS DOUBLE) / (nn + 1024))) AS term
+       |  FROM grid)
+       |SELECT source, ns AS n_tokens,
+       |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(term ORDER BY bucket)), (a, b) -> a + b), 6) AS kl_unigram
+       |FROM terms GROUP BY source, ns""".stripMargin
+  }
+
   /** Shard manifest: unsigned HUGEINT mod 16 ≡ the engine's signed
     * pmod because 16 divides 2^64. */
   val sampleShardManifest: String = {
@@ -1870,6 +1905,7 @@ object OraclesGen {
     "sample_seq_pack" -> sampleSeqPack,
     "corpus_distinct_hll" -> corpusDistinctHll,
     "corpus_distinct_by_source" -> corpusDistinctBySource,
+    "mix_kl_divergence" -> mixKlDivergence,
     // Heavy hitters: the MG sketch only proposes candidates; the final
     // answer is exact counts above the n/(k+1) guarantee threshold, so
     // the oracle is a plain GROUP BY with the same integer compare.

@@ -978,6 +978,48 @@ object QueriesText {
           .otherwise(rawE), 4).as("hll_estimate"))
   }
 
+  /** Mixture diagnostic: per-source KL divergence against the corpus
+    * unigram distribution, over DSIR-style hashed buckets (B = 1024)
+    * rather than the raw vocabulary — per-source state is B-bounded at
+    * any corpus size, add-one smoothing makes every bucket defined,
+    * and the bucket grid is dense so the fold shape is fixed. ONE
+    * corpus-scale shuffle to (source, bucket) counts; everything after
+    * is a rollup of that k×B table. The float chain (p·ln(p/q) summed
+    * in bucket order) is bit-reproduced by the oracle's ordered
+    * list_reduce — same discipline as [[dsirSelect]]/[[textLmScore]]. */
+  def mixKlDivergence(s: SparkSession, dir: String): DataFrame = {
+    val B = 1024L
+    val toks = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("source"), explode(TextFns.words(col("text"))).as("w"))
+    val h = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.Fnv64Expr(
+        org.apache.spark.sql.GraftNative.expression(
+          concat(lit("kl:"), col("w")))))
+    // B divides 2^64 → signed pmod equals the oracle's unsigned mod
+    val sb = toks.select(col("source"), pmod(h, lit(B)).as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // EAGER: feeds corpus totals AND the grid
+    val cb = sb.groupBy("bucket").agg(sum("n").as("cbn"))
+    val totals = sb.agg(sum("n").as("nn"))
+    val srcs = sb.groupBy("source").agg(sum("n").as("ns"))
+    val grid = srcs
+      .crossJoin(s.range(B).select(col("id").as("bucket")))
+      .join(sb.select(col("source"), col("bucket"), col("n")),
+        Seq("source", "bucket"), "left")
+      .join(broadcast(cb), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("bucket"), col("ns"),
+        expr(s"(CAST(coalesce(n, 0) + 1 AS DOUBLE) / (ns + $B)) * " +
+          s"ln((CAST(coalesce(n, 0) + 1 AS DOUBLE) / (ns + $B)) / " +
+          s"(CAST(coalesce(cbn, 0) + 1 AS DOUBLE) / (nn + $B)))").as("term"))
+    grid.groupBy("source", "ns")
+      .agg(round(expr(
+        """aggregate(array_sort(collect_list(struct(bucket, term))),
+          |cast(0 as double), (acc, x) -> acc + x.term)""".stripMargin), 6)
+        .as("kl_unigram"))
+      .select(col("source"), col("ns").as("n_tokens"), col("kl_unigram"))
+  }
+
   /** Per-group HLL — [[corpusDistinctHll]] generalized to a grouping
     * key (distinct tokens per source): register state is 256 bytes PER
     * GROUP regardless of corpus size, so the per-group distinct

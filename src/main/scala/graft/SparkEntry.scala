@@ -128,6 +128,7 @@ object SparkEntry {
     "corpus_distinct_hll" -> (QueriesText.corpusDistinctHll _),
     "text_heavy_hitters" -> (QueriesText.textHeavyHitters _),
     "corpus_distinct_by_source" -> (QueriesText.corpusDistinctBySource _),
+    "mix_kl_divergence" -> (QueriesText.mixKlDivergence _),
     "text_repetition" -> (QueriesText.textRepetition _),
     "embed_quantize" -> (QueriesText.embedQuantize _),
     "dsir_select" -> (QueriesText.dsirSelect _),
