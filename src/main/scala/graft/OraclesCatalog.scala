@@ -759,6 +759,44 @@ object OraclesCatalog {
         |  coalesce(arg_min(result, ord) FILTER (WHERE matched), '') AS return_type
         |FROM m GROUP BY req_id, name""".stripMargin,
 
+    "vacuum_due" ->
+      s"""WITH $rels
+         |SELECT rel_oid, relname, reltuples,
+         |  (rel_oid * 37) % 5000 AS n_dead_tup,
+         |  (rel_oid * 9700019) % 300000000 AS rel_xid_age,
+         |  CASE WHEN rel_oid % 10 = 0 THEN 1000 ELSE 50 END AS av_threshold,
+         |  CASE WHEN rel_oid % 10 = 0 THEN 1 ELSE 20 END AS av_scale_x100,
+         |  CASE WHEN rel_oid % 7 = 0 THEN 100000000 ELSE 200000000 END
+         |    AS freeze_max_age,
+         |  CASE WHEN ((rel_oid * 9700019) % 300000000) >
+         |      (CASE WHEN rel_oid % 7 = 0 THEN 100000000 ELSE 200000000 END)
+         |    THEN 'wraparound'
+         |    WHEN ((rel_oid * 37) % 5000) * 100 >
+         |      (CASE WHEN rel_oid % 10 = 0 THEN 1000 ELSE 50 END) * 100 +
+         |      (CASE WHEN rel_oid % 10 = 0 THEN 1 ELSE 20 END) * reltuples
+         |    THEN 'dead_tuples' ELSE 'ok' END AS verdict
+         |FROM rels
+         |WHERE relkind = 'r' AND NOT is_locked
+         |  AND nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')
+         |""".stripMargin,
+
+    "rel_bloat_estimate" ->
+      s"""WITH $rels,
+         |b AS (
+         |  SELECT rel_oid, relname, relpages,
+         |    (reltuples * (28 + 24 + rel_oid % 80) + 8167) // 8168
+         |      AS expected_pages
+         |  FROM rels
+         |  WHERE relkind = 'r' AND NOT is_locked
+         |    AND nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')
+         |    AND relpages > 0)
+         |SELECT rel_oid, relname, relpages, expected_pages,
+         |  greatest(relpages - expected_pages, 0) AS bloat_pages,
+         |  CAST(greatest(relpages - expected_pages, 0) AS DOUBLE) / relpages
+         |    AS bloat_frac,
+         |  greatest(relpages - expected_pages, 0) * 8192 AS wasted_bytes
+         |FROM b""".stripMargin,
+
     "idx_unused" ->
       """WITH idx AS (
         |  SELECT p_partkey + 1000000 AS index_oid, (p_partkey // 3) * 3 AS indrelid,

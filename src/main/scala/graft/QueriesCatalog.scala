@@ -469,6 +469,61 @@ object QueriesCatalog {
         (!col("unique_a")).as("drop_candidate"))
   }
 
+  /** Autovacuum-need derivation — the trigger rule the reference's
+    * VACUUM advisor consumes, applied to the collected inputs
+    * (`input/postgres/relation_stats.go:62` n_dead_tup, `:81`
+    * relation_xid_age; settings via S19): a table is due when
+    * n_dead_tup > autovacuum_vacuum_threshold +
+    * autovacuum_vacuum_scale_factor × reltuples, and is
+    * anti-wraparound-forced when its xid age exceeds
+    * autovacuum_freeze_max_age regardless of dead tuples. Defaults
+    * (50 / 0.2 / 200M) with per-table storage-parameter overrides on a
+    * deterministic subset; the scale-factor compare is kept
+    * integer-exact (×100 on both sides). Per-row arithmetic over the
+    * relation scan — no shuffle beyond the source. */
+  def vacuumDue(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.relations(s, dir)
+      .filter(col("relkind") === "r" && !col("is_locked") &&
+        !col("nspname").isin(SystemSchemas: _*))
+      .withColumn("n_dead_tup", expr("(rel_oid * 37) % 5000"))
+      .withColumn("rel_xid_age", expr("(rel_oid * 9700019) % 300000000"))
+      // storage-parameter overrides on every 10th / 7th table
+      .withColumn("av_threshold",
+        expr("CASE WHEN rel_oid % 10 = 0 THEN 1000 ELSE 50 END"))
+      .withColumn("av_scale_x100",
+        expr("CASE WHEN rel_oid % 10 = 0 THEN 1 ELSE 20 END"))
+      .withColumn("freeze_max_age", expr(
+        "CASE WHEN rel_oid % 7 = 0 THEN 100000000 ELSE 200000000 END"))
+      .withColumn("dead_due", expr(
+        "n_dead_tup * 100 > av_threshold * 100 + av_scale_x100 * reltuples"))
+      .withColumn("wraparound", expr("rel_xid_age > freeze_max_age"))
+      .select(col("rel_oid"), col("relname"), col("reltuples"),
+        col("n_dead_tup"), col("rel_xid_age"),
+        col("av_threshold"), col("av_scale_x100"), col("freeze_max_age"),
+        expr("CASE WHEN wraparound THEN 'wraparound' " +
+          "WHEN dead_due THEN 'dead_tuples' ELSE 'ok' END").as("verdict"))
+
+  /** Table-bloat estimate — the check_postgres-family arithmetic over
+    * the collected relation stats: expected pages from reltuples × a
+    * per-row width (tuple header 28 B + synthetic avg column width),
+    * packed at 8168 usable bytes/page with integer ceiling; bloat =
+    * pages on disk beyond that, reported as a fraction and wasted
+    * bytes. All integer except the final fraction — bit-stable. */
+  def relBloatEstimate(s: SparkSession, dir: String): DataFrame =
+    CatalogSynth.relations(s, dir)
+      .filter(col("relkind") === "r" && !col("is_locked") &&
+        !col("nspname").isin(SystemSchemas: _*))
+      .withColumn("avg_width", expr("24 + rel_oid % 80"))
+      .withColumn("expected_pages", expr(
+        "(reltuples * (28 + avg_width) + 8167) div 8168"))
+      .withColumn("bloat_pages",
+        expr("greatest(relpages - expected_pages, 0)"))
+      .filter(col("relpages") > 0)
+      .select(col("rel_oid"), col("relname"), col("relpages"),
+        col("expected_pages"), col("bloat_pages"),
+        (col("bloat_pages").cast("double") / col("relpages")).as("bloat_frac"),
+        (col("bloat_pages") * 8192L).as("wasted_bytes"))
+
   /** A13 — wait-event profile: the sampling analysis built on the
     * wait_event columns the reference collects per backend
     * (`input/postgres/backends.go:19-24`: wait_event_type, wait_event,

@@ -73,6 +73,8 @@ object SparkEntry {
     "selftest_summary" -> (QueriesSelftest.selftestSummary _),
     "a13_wait_event_profile" -> (QueriesCatalog.a13WaitEventProfile _),
     "idx_unused" -> (QueriesCatalog.idxUnused _),
+    "vacuum_due" -> (QueriesCatalog.vacuumDue _),
+    "rel_bloat_estimate" -> (QueriesCatalog.relBloatEstimate _),
     "idx_overlapping" -> (QueriesCatalog.idxOverlapping _),
     "s35_helper_match" -> (graft.sources.HelperMatch.query _),
     "config_resolve" -> (QueriesConfig.configResolve _),
