@@ -759,6 +759,44 @@ object OraclesCatalog {
         |  coalesce(arg_min(result, ord) FILTER (WHERE matched), '') AS return_type
         |FROM m GROUP BY req_id, name""".stripMargin,
 
+    "plan_flip_detect" ->
+      """WITH deltas AS (
+        |  SELECT p_partkey % 300 AS query_id,
+        |    (p_partkey // 300) % 5 AS plan_id, s.snap,
+        |    CAST(sum(p_size * (1 + 9 * CAST(((p_partkey // 300) % 5 + s.snap) % 4 = 0 AS INT))) AS BIGINT)
+        |      AS calls_delta
+        |  FROM part CROSS JOIN (SELECT unnest(range(4)) AS snap) s
+        |  GROUP BY 1, 2, 3),
+        |dom AS (
+        |  SELECT query_id, snap, plan_id AS dominant_plan, calls_delta,
+        |    row_number() OVER (PARTITION BY query_id, snap
+        |      ORDER BY calls_delta DESC, plan_id) AS rn
+        |  FROM deltas)
+        |SELECT query_id, snap, dominant_plan,
+        |  lag(dominant_plan) OVER w AS prev_plan,
+        |  coalesce(lag(dominant_plan) OVER w <> dominant_plan, false)
+        |    AS flipped
+        |FROM dom WHERE rn = 1
+        |WINDOW w AS (PARTITION BY query_id ORDER BY snap)""".stripMargin,
+
+    "query_regression" ->
+      """WITH per AS (
+        |  SELECT p_partkey % 300 AS query_id, s.snap,
+        |    CAST(sum(p_size * 2) AS BIGINT) AS calls,
+        |    CAST(sum(p_size * (3 + 20 * CAST((p_partkey % 300 + s.snap) % 5 = 0 AS INT))) AS BIGINT)
+        |      AS total_ms
+        |  FROM part CROSS JOIN (SELECT unnest(range(4)) AS snap) s
+        |  GROUP BY 1, 2),
+        |x AS (
+        |  SELECT *, lag(calls) OVER w AS prev_calls,
+        |    lag(total_ms) OVER w AS prev_ms
+        |  FROM per WINDOW w AS (PARTITION BY query_id ORDER BY snap))
+        |SELECT query_id, snap, calls, total_ms,
+        |  CAST(total_ms AS DOUBLE) / calls AS ms_per_call,
+        |  (prev_ms IS NOT NULL AND total_ms * prev_calls > 2 * prev_ms * calls)
+        |    AS regressed
+        |FROM x""".stripMargin,
+
     "vacuum_due" ->
       s"""WITH $rels
          |SELECT rel_oid, relname, reltuples,

@@ -469,6 +469,70 @@ object QueriesCatalog {
         (!col("unique_a")).as("drop_candidate"))
   }
 
+  /** Plan-flip detection — "this query switched plans" over the D2
+    * per-(query, plan) counter timeline: the dominant plan per
+    * (query, snapshot) is the max-delta plan (ties to the lower plan
+    * id), and a flip is a snapshot whose dominant differs from the
+    * previous snapshot's. The synthetic deltas carry a
+    * (query+plan+snap)-keyed boost so dominance genuinely moves.
+    * Window partitions are (query) / (query, snap) — bounded key
+    * groups, never corpus-wide. */
+  def planFlipDetect(s: SparkSession, dir: String): DataFrame = {
+    val deltas = Tables.part(s, dir)
+      .select(col("p_partkey").as("pk"), col("p_size"),
+        explode(sequence(lit(0L), lit(3L))).as("snap"))
+      // plan_id from pk div 300, NOT pk % 5: pk % 5 is functionally
+      // dependent on query_id = pk % 300 (gcd 5), which would give
+      // every query exactly one plan and no flips to detect
+      .select((col("pk") % 300).as("query_id"),
+        expr("(pk div 300) % 5").as("plan_id"), col("snap"),
+        expr("p_size * (1 + 9 * CAST(((pk div 300) % 5 + snap) % 4 = 0 AS INT))")
+          .as("calls_delta"))
+      .groupBy("query_id", "plan_id", "snap")
+      .agg(sum("calls_delta").as("calls_delta"))
+    val dom = deltas
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("query_id", "snap")
+        .orderBy(col("calls_delta").desc, col("plan_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("snap"),
+        col("plan_id").as("dominant_plan"), col("calls_delta"))
+    dom
+      .withColumn("prev_plan", lag("dominant_plan", 1).over(
+        Window.partitionBy("query_id").orderBy("snap")))
+      .select(col("query_id"), col("snap"), col("dominant_plan"),
+        col("prev_plan"),
+        (col("prev_plan").isNotNull &&
+          col("prev_plan") =!= col("dominant_plan")).as("flipped"))
+  }
+
+  /** Latency-regression flags — per (query, snapshot) ms/call versus
+    * the previous snapshot, flagged when it more than doubles. The
+    * compare is the integer cross-multiplication
+    * `T_cur × C_prev > 2 × T_prev × C_cur` (denominators positive), so
+    * the verdict is exact even though the reported ms_per_call is a
+    * double. Synthetic per-snap spikes on a (query+snap)-keyed subset
+    * make both verdicts occur. */
+  def queryRegression(s: SparkSession, dir: String): DataFrame = {
+    val perSnap = Tables.part(s, dir)
+      .select(col("p_partkey").as("pk"), col("p_size"),
+        explode(sequence(lit(0L), lit(3L))).as("snap"))
+      .select((col("pk") % 300).as("query_id"), col("snap"),
+        expr("p_size * 2").as("calls_delta"),
+        expr("p_size * (3 + 20 * CAST((pk % 300 + snap) % 5 = 0 AS INT))")
+          .as("ms_delta"))
+      .groupBy("query_id", "snap")
+      .agg(sum("calls_delta").as("calls"), sum("ms_delta").as("total_ms"))
+    val w = Window.partitionBy("query_id").orderBy("snap")
+    perSnap
+      .withColumn("prev_calls", lag("calls", 1).over(w))
+      .withColumn("prev_ms", lag("total_ms", 1).over(w))
+      .select(col("query_id"), col("snap"), col("calls"), col("total_ms"),
+        (col("total_ms").cast("double") / col("calls")).as("ms_per_call"),
+        expr("prev_ms IS NOT NULL AND total_ms * prev_calls > 2 * prev_ms * calls")
+          .as("regressed"))
+  }
+
   /** Autovacuum-need derivation — the trigger rule the reference's
     * VACUUM advisor consumes, applied to the collected inputs
     * (`input/postgres/relation_stats.go:62` n_dead_tup, `:81`

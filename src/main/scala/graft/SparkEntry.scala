@@ -75,6 +75,8 @@ object SparkEntry {
     "idx_unused" -> (QueriesCatalog.idxUnused _),
     "vacuum_due" -> (QueriesCatalog.vacuumDue _),
     "rel_bloat_estimate" -> (QueriesCatalog.relBloatEstimate _),
+    "plan_flip_detect" -> (QueriesCatalog.planFlipDetect _),
+    "query_regression" -> (QueriesCatalog.queryRegression _),
     "idx_overlapping" -> (QueriesCatalog.idxOverlapping _),
     "s35_helper_match" -> (graft.sources.HelperMatch.query _),
     "config_resolve" -> (QueriesConfig.configResolve _),
