@@ -405,6 +405,60 @@ object Oracles {
         |  round(avg(n_chars), 6) AS avg_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
 
+    // auto_explain dispatch + text-format transform: corpus rebuilt from
+    // the same generation rule, dispatch/parse re-derived with the same
+    // regexes (both engines are leftmost-match with greedy/lazy groups
+    // behaving identically on this corpus shape).
+    "x11_text_explain" ->
+      """WITH base AS (
+        |  SELECT event_id AS sample_id,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |corpus AS (
+        |  SELECT sample_id,
+        |    CASE CAST(sample_id % 5 AS INT)
+        |      WHEN 0 THEN '{"Query Text": "SELECT ' || k || '", "Plan": {"Node Type": "Result"}}'
+        |      WHEN 1 THEN '{"Query Text": "SELECT 1", "Plan": {"No' || ' [Your log message was truncated]'
+        |      WHEN 2 THEN 'Query Text: SELECT * FROM t' || k || ' WHERE a = $1' || chr(10) || ' Query Parameters: $1 = ''v' || k || '''' || chr(10) || ' Seq Scan on t' || k || '  (cost=0.00..35.50 rows=2550 width=4)'
+        |      WHEN 3 THEN 'Query Text: SELECT ' || k || ' FROM x' || chr(10) || ' Index Scan using i on x  (cost=0.29..8.31 rows=1 width=8)'
+        |      ELSE 'duration: ' || k || ' ms' END AS explain_text
+        |  FROM base),
+        |d AS (
+        |  SELECT *,
+        |    CASE WHEN explain_text LIKE '{%' THEN
+        |      CASE WHEN contains(explain_text, '[Your log message was truncated]')
+        |      THEN 'json_truncated' ELSE 'json' END
+        |      WHEN explain_text LIKE 'Query Text:%' THEN 'text'
+        |      ELSE 'unsupported' END AS fmt,
+        |    coalesce(regexp_extract(explain_text,
+        |      '^Query Text: ([\s\S]+)\r?\n\s*Query Parameters: (.+)\r?\n\s*([\s\S]+)', 1), '') AS p1q,
+        |    coalesce(regexp_extract(explain_text,
+        |      '^Query Text: ([\s\S]+)\r?\n\s*Query Parameters: (.+)\r?\n\s*([\s\S]+)', 2), '') AS p1p,
+        |    coalesce(regexp_extract(explain_text,
+        |      '^Query Text: ([\s\S]+)\r?\n\s*Query Parameters: (.+)\r?\n\s*([\s\S]+)', 3), '') AS p1x,
+        |    coalesce(regexp_extract(explain_text,
+        |      '^Query Text: ([\s\S]+?)\r?\n\s*([\S ]+  \(cost=\d+\.\d+\.\.\d+\.\d+ rows=\d+ width=\d+\)[\s\S]+)', 1), '') AS p2q,
+        |    coalesce(regexp_extract(explain_text,
+        |      '^Query Text: ([\s\S]+?)\r?\n\s*([\S ]+  \(cost=\d+\.\d+\.\.\d+\.\d+ rows=\d+ width=\d+\)[\s\S]+)', 2), '') AS p2x
+        |  FROM corpus)
+        |SELECT sample_id, fmt,
+        |  CASE fmt WHEN 'json' THEN json_extract_string(explain_text, '$."Query Text"')
+        |    WHEN 'text' THEN CASE WHEN p1q <> '' THEN p1q ELSE p2q END
+        |    ELSE '' END AS query,
+        |  CASE WHEN fmt = 'text' AND p1q <> '' THEN p1p ELSE '' END AS parameters,
+        |  CASE fmt WHEN 'json' THEN json_extract_string(explain_text, '$.Plan."Node Type"')
+        |    WHEN 'text' THEN CASE WHEN p1q <> '' THEN p1x ELSE p2x END
+        |    ELSE '' END AS plan_out,
+        |  CASE fmt WHEN 'json_truncated' THEN
+        |    'auto_explain output was truncated and can''t be parsed as JSON'
+        |    WHEN 'unsupported' THEN 'unsupported auto_explain format'
+        |    WHEN 'text' THEN CASE WHEN p1q = '' AND p2q = '' THEN
+        |      'auto_explain output doesn''t match expected format' ELSE '' END
+        |    ELSE '' END AS error,
+        |  CASE fmt WHEN 'json_truncated' THEN false WHEN 'unsupported' THEN false
+        |    ELSE NOT (fmt = 'text' AND p1q = '' AND p2q = '') END AS has_explain
+        |FROM d""".stripMargin,
+
     // Log-pipeline oracles: ground truth is re-derived from the
     // generation rule (event_type → line), NOT by re-running the engine's
     // regexes — agreement proves the parse/classify path.

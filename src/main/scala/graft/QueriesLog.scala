@@ -500,6 +500,68 @@ object QueriesLog {
     result
   }
 
+  // X11 second half — the auto_explain format dispatch
+  // (logs/querysample/querysample.go:17-30) and the TEXT-format
+  // transform (:73-102): '{' prefix routes to JSON unless the RDS
+  // truncation marker is present (truncated JSON is rejected with the
+  // reference's exact error), 'Query Text:' routes to the text parser —
+  // first the Query-Parameters regex (GREEDY query group), then the
+  // costs regex (LAZY query group anchored on the two-space cost
+  // marker) — and anything else is unsupported. Line breaks are built
+  // with chr(10) so the Spark and DuckDB corpora are byte-identical.
+  def x11TextExplain(s: SparkSession, dir: String): DataFrame = {
+    val pParams =
+      "^Query Text: ([\\s\\S]+)\\r?\\n\\s*Query Parameters: (.+)\\r?\\n\\s*([\\s\\S]+)"
+    val pCosts =
+      "^Query Text: ([\\s\\S]+?)\\r?\\n\\s*([\\S ]+  \\(cost=\\d+\\.\\d+\\.\\.\\d+\\.\\d+ rows=\\d+ width=\\d+\\)[\\s\\S]+)"
+    val base = Tables.events(s, dir)
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .select(col("event_id").as("sample_id"), col("k"),
+        expr("CASE CAST(event_id % 5 AS INT) " +
+          "WHEN 0 THEN '{\"Query Text\": \"SELECT ' || k || '\", " +
+          "\"Plan\": {\"Node Type\": \"Result\"}}' " +
+          "WHEN 1 THEN '{\"Query Text\": \"SELECT 1\", \"Plan\": {\"No' " +
+          "|| ' [Your log message was truncated]' " +
+          "WHEN 2 THEN 'Query Text: SELECT * FROM t' || k || " +
+          "' WHERE a = $1' || chr(10) || ' Query Parameters: $1 = ''v' || k " +
+          "|| '''' || chr(10) || ' Seq Scan on t' || k || " +
+          "'  (cost=0.00..35.50 rows=2550 width=4)' " +
+          "WHEN 3 THEN 'Query Text: SELECT ' || k || ' FROM x' || chr(10) || " +
+          "' Index Scan using i on x  (cost=0.29..8.31 rows=1 width=8)' " +
+          "ELSE 'duration: ' || k || ' ms' END").as("explain_text"))
+    base
+      .withColumn("fmt", expr(
+        "CASE WHEN explain_text LIKE '{%' THEN " +
+          "CASE WHEN contains(explain_text, '[Your log message was truncated]') " +
+          "THEN 'json_truncated' ELSE 'json' END " +
+          "WHEN explain_text LIKE 'Query Text:%' THEN 'text' " +
+          "ELSE 'unsupported' END"))
+      .withColumn("p1q", regexp_extract(col("explain_text"), pParams, 1))
+      .withColumn("p1p", regexp_extract(col("explain_text"), pParams, 2))
+      .withColumn("p1x", regexp_extract(col("explain_text"), pParams, 3))
+      .withColumn("p2q", regexp_extract(col("explain_text"), pCosts, 1))
+      .withColumn("p2x", regexp_extract(col("explain_text"), pCosts, 2))
+      .select(col("sample_id"), col("fmt"),
+        expr("CASE fmt WHEN 'json' THEN " +
+          "get_json_object(explain_text, '$[\\'Query Text\\']') " +
+          "WHEN 'text' THEN CASE WHEN p1q <> '' THEN p1q ELSE p2q END " +
+          "ELSE '' END").as("query"),
+        expr("CASE WHEN fmt = 'text' AND p1q <> '' THEN p1p ELSE '' END")
+          .as("parameters"),
+        expr("CASE fmt WHEN 'json' THEN " +
+          "get_json_object(explain_text, '$[\\'Plan\\'][\\'Node Type\\']') " +
+          "WHEN 'text' THEN CASE WHEN p1q <> '' THEN p1x ELSE p2x END " +
+          "ELSE '' END").as("plan_out"),
+        expr("CASE fmt WHEN 'json_truncated' THEN " +
+          "'auto_explain output was truncated and can''t be parsed as JSON' " +
+          "WHEN 'unsupported' THEN 'unsupported auto_explain format' " +
+          "WHEN 'text' THEN CASE WHEN p1q = '' AND p2q = '' THEN " +
+          "'auto_explain output doesn''t match expected format' ELSE '' END " +
+          "ELSE '' END").as("error"))
+      .withColumn("has_explain", col("error") === "")
+  }
+
   // S27 — syslog RFC5424 source adapter: frame the synthetic corpus as
   // `<PRI>1 TS HOST APP PROCID MSGID SD [seqno-chunk] MSG` lines, then
   // de-frame with the adapter and recover every typed field; the oracle
