@@ -511,6 +511,34 @@ object OraclesGen {
        |FROM tot, sk""".stripMargin
   }
 
+  /** Stratified largest-remainder sampling: integer quota math, signed
+    * hash order (the engine sorts signed 64-bit FNV values). */
+  val sampleStratified: String = {
+    val h = fnvHuge("'strat:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(CASE WHEN hh >= 9223372036854775808 THEN hh - 18446744073709551616
+       |      ELSE hh END AS BIGINT) AS h
+       |  FROM (SELECT doc_id, lang AS source, $h AS hh FROM documents)),
+       |counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM counts),
+       |q0 AS (
+       |  SELECT source, n_s,
+       |    (100 * n_s) // n_total AS f_s,
+       |    100 * n_s - ((100 * n_s) // n_total) * n_total AS r_s
+       |  FROM counts, tot),
+       |lo AS (SELECT 100 - CAST(sum(f_s) AS BIGINT) AS l FROM q0),
+       |q AS (
+       |  SELECT source, n_s,
+       |    f_s + CAST(row_number() OVER (ORDER BY r_s DESC, source) <= l AS INT)
+       |      AS quota
+       |  FROM q0, lo)
+       |SELECT d.doc_id, d.source, q.n_s, q.quota,
+       |  row_number() OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id)
+       |    <= q.quota AS picked
+       |FROM d JOIN q USING (source)""".stripMargin
+  }
+
   /** Per-group HLL: the global sketch partitioned by source — same
     * hash, per-(source, reg) max ranks, per-source register-ordered
     * fold and correction. */
@@ -1906,6 +1934,7 @@ object OraclesGen {
     "corpus_distinct_hll" -> corpusDistinctHll,
     "corpus_distinct_by_source" -> corpusDistinctBySource,
     "mix_kl_divergence" -> mixKlDivergence,
+    "sample_stratified" -> sampleStratified,
     // Heavy hitters: the MG sketch only proposes candidates; the final
     // answer is exact counts above the n/(k+1) guarantee threshold, so
     // the oracle is a plain GROUP BY with the same integer compare.

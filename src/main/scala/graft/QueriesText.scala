@@ -978,6 +978,49 @@ object QueriesText {
           .otherwise(rawE), 4).as("hll_estimate"))
   }
 
+  /** Stratified sampling with exact largest-remainder (Hamilton)
+    * quotas: a K-document budget split across sources proportionally —
+    * floor allocations from integer division ((K·n_s) div N), then the
+    * leftover seats go to the strata with the largest integer
+    * remainders (K·n_s − f_s·N, ties to source name) — and each
+    * stratum fills its quota with its hash-smallest documents
+    * (deterministic "random", ties to doc_id). Every compare is
+    * integer-exact; the only per-stratum state is one rank window over
+    * that stratum's rows. The quota table is #sources-bounded and
+    * broadcast. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val K = 100L
+    // stratify by lang, whose sizes are UNEVEN (en dominates): nonzero
+    // remainders mean the leftover seats and the remainder-then-name
+    // tie-break genuinely decide quotas (source strata are uniform and
+    // would never exercise the Hamilton branch)
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang").as("source"))
+      .withColumn("h", org.apache.spark.sql.GraftNative.column(
+        graft.functions.expressions.Fnv64Expr(
+          org.apache.spark.sql.GraftNative.expression(
+            concat(lit("strat:"), col("doc_id"))))))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val total = counts.agg(sum("n_s").as("n_total"))
+    val quotas0 = counts.crossJoin(broadcast(total))
+      .withColumn("f_s", expr(s"($K * n_s) div n_total"))
+      .withColumn("r_s", expr(s"$K * n_s - f_s * n_total"))
+    val leftover = quotas0.agg((lit(K) - sum("f_s")).as("l"))
+    val quotas = quotas0.crossJoin(broadcast(leftover))
+      .withColumn("rr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("r_s").desc, col("source"))))
+      .withColumn("quota", expr("f_s + CAST(rr <= l AS INT)"))
+      .select("source", "n_s", "quota")
+    docs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .join(broadcast(quotas), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_s"), col("quota"),
+        (col("rn") <= col("quota")).as("picked"))
+  }
+
   /** Mixture diagnostic: per-source KL divergence against the corpus
     * unigram distribution, over DSIR-style hashed buckets (B = 1024)
     * rather than the raw vocabulary — per-source state is B-bounded at

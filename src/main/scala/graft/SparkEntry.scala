@@ -133,6 +133,7 @@ object SparkEntry {
     "text_heavy_hitters" -> (QueriesText.textHeavyHitters _),
     "corpus_distinct_by_source" -> (QueriesText.corpusDistinctBySource _),
     "mix_kl_divergence" -> (QueriesText.mixKlDivergence _),
+    "sample_stratified" -> (QueriesText.sampleStratified _),
     "text_repetition" -> (QueriesText.textRepetition _),
     "embed_quantize" -> (QueriesText.embedQuantize _),
     "dsir_select" -> (QueriesText.dsirSelect _),
