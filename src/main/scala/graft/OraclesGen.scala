@@ -1907,7 +1907,71 @@ object OraclesGen {
        |  LEFT JOIN rr r USING (q_id, n_id)""".stripMargin
   }
 
+  /** Line-level (5-word-segment) first-occurrence dedup: same slicing,
+    * same `line:`-prefixed FNV64 segment keys, first occurrence = lowest
+    * (doc_id, seg_id) per key. Docs shorter than one segment keep a row
+    * via the LEFT JOIN. */
+  val dedupLines: String = {
+    val h = fnvHuge("'line:' || seg")
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> len(w) > 0) AS ws
+       |  FROM documents),
+       |base AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words, ws FROM d),
+       |seg AS (
+       |  SELECT doc_id, n_words,
+       |    unnest(range(len(ws) // 5)) AS seg_id,
+       |    list_transform(range(len(ws) // 5),
+       |      i -> array_to_string(ws[i*5+1 : i*5+5], ' ')) AS all_segs
+       |  FROM base),
+       |sh AS (
+       |  SELECT doc_id, seg_id, $h AS hh
+       |  FROM (SELECT doc_id, seg_id, all_segs[seg_id + 1] AS seg FROM seg)),
+       |rn AS (
+       |  SELECT doc_id, seg_id,
+       |    row_number() OVER (PARTITION BY hh ORDER BY doc_id, seg_id) AS rn
+       |  FROM sh),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+       |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM rn GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_words,
+       |  COALESCE(a.n_segs, 0) AS n_segs,
+       |  COALESCE(a.n_dup, 0) AS n_dup_segs,
+       |  round(COALESCE(a.n_dup, 0) * 5 /
+       |    CAST(greatest(b.n_words, 1) AS DOUBLE), 6) AS frac_removed
+       |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
+  /** Count–Min sketch: same 4×1024 grid, same seeded `d:word` FNV
+    * bucket keys (1024 divides 2^64 → unsigned mod here equals the
+    * engine's signed pmod), estimate = min over depth rows. */
+  val freqCms: String = {
+    val h = fnvHuge("CAST(d AS VARCHAR) || ':' || w")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> len(w) > 0)) AS w
+       |  FROM documents),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+       |dep AS (SELECT unnest(range(4)) AS d),
+       |wb AS (
+       |  SELECT w, cnt, d, CAST($h % 1024 AS BIGINT) AS b
+       |  FROM wc CROSS JOIN dep),
+       |sketch AS (
+       |  SELECT d, b, CAST(sum(cnt) AS BIGINT) AS cell
+       |  FROM wb GROUP BY d, b),
+       |cands AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 30)
+       |SELECT c.w, c.cnt AS cnt_exact,
+       |  min(s.cell) AS cms_est,
+       |  min(s.cell) - c.cnt AS overcount
+       |FROM cands c JOIN wb USING (w) JOIN sketch s
+       |  ON s.d = wb.d AND s.b = wb.b
+       |GROUP BY c.w, c.cnt""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "dedup_lines" -> dedupLines,
+    "freq_cms" -> freqCms,
     "e2e_full_snapshot" -> e2eFullSnapshot,
     "e2e_compact_snapshot" -> e2eCompactSnapshot,
     "e2e_activity_snapshot" -> e2eActivitySnapshot,

@@ -1189,6 +1189,91 @@ object QueriesText {
       .withColumn("fill_ratio", round(col("n_tokens") / 512.0, 6))
   }
 
+  /** Line-level exact dedup (the C4 / RefinedWeb rule: a line occurring
+    * more than once corpus-wide keeps only its FIRST occurrence),
+    * adapted to this corpus's newline-free texts by treating each
+    * non-overlapping 5-word segment as a "line". Segmentation is pure
+    * per-row HOF work (slice over the words array — the corpus is never
+    * exploded to one row per token); the only corpus-scale shuffle is
+    * the first-occurrence window, and it shuffles (doc_id, seg_id,
+    * fnv64) — a slim fixed-width key, not the segment text. First
+    * occurrence = lowest (doc_id, seg_id) per segment hash, so the
+    * answer is partitioning-independent. Skew is bounded by the max
+    * duplicate count of a single segment (hot segments at crawl scale
+    * would take the same key-salted two-level rank as the LSH hot
+    * bucket caps). Per-doc rollup: dropped-segment count and the
+    * removed-token fraction (tail <5-word fragments are always kept,
+    * exactly like C4's partial-line remainder). */
+  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val W = 5
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+        expr(s"""transform(sequence(0, size(ws) div $W - 1),
+          |  i -> concat_ws(' ', slice(ws, i * $W + 1, $W)))""".stripMargin)
+          .as("segs"))
+    val seg = d.select(col("doc_id"), col("n_words"),
+        posexplode_outer(col("segs")).as(Seq("seg_id", "seg")))
+      .select(col("doc_id"), col("n_words"), col("seg_id"),
+        when(col("seg").isNotNull, org.apache.spark.sql.GraftNative.column(
+          graft.functions.expressions.Fnv64Expr(
+            org.apache.spark.sql.GraftNative.expression(
+              concat(lit("line:"), col("seg")))))).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id", "seg_id")
+    seg.withColumn("rn",
+        when(col("h").isNotNull, row_number().over(w)).otherwise(lit(1)))
+      .groupBy("doc_id", "n_words")
+      .agg(
+        sum(when(col("h").isNotNull, 1).otherwise(0)).as("n_segs"),
+        sum(when(col("rn") > 1, 1).otherwise(0)).as("n_dup_segs"))
+      .select(col("doc_id"), col("n_words"), col("n_segs"), col("n_dup_segs"),
+        round(col("n_dup_segs") * lit(W) /
+          greatest(col("n_words"), lit(1)).cast("double"), 6)
+          .as("frac_removed"))
+  }
+
+  /** Count–Min sketch token-frequency estimation — the third member of
+    * the bounded-state sketch family (Misra–Gries for heavy hitters,
+    * HLL for distincts, CMS for point frequencies): depth 4 × width
+    * 1024 counters (32 KiB total, associative merges, map-side
+    * combinable), estimate = min over rows of the hashed-bucket sums,
+    * which can only OVERcount — the output carries the exact count next
+    * to the estimate so the one-sided error is measured, not asserted.
+    * 1024 divides 2^64, so the engine's signed pmod equals the oracle's
+    * unsigned mod. Shape at scale: one corpus shuffle to word counts
+    * (needed for the error column anyway; the sketch itself never needs
+    * it — streaming ingest would fold rows directly into the 4×1024
+    * grid), a 4096-row sketch table, and a broadcast join to the
+    * candidate top-30. */
+  def freqCms(s: SparkSession, dir: String): DataFrame = {
+    val D = 4; val Wd = 1024L
+    val wc = Tables.fanOut(Tables.documents(s, dir))
+      .select(explode(TextFns.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // EAGER: feeds sketch build + candidates + output
+    def bucket(dRow: Column, word: Column): Column =
+      pmod(org.apache.spark.sql.GraftNative.column(
+        graft.functions.expressions.Fnv64Expr(
+          org.apache.spark.sql.GraftNative.expression(
+            concat(dRow.cast("string"), lit(":"), word)))), lit(Wd))
+    val sketch = wc
+      .select(col("cnt"), explode(sequence(lit(0), lit(D - 1))).as("d"),
+        col("w"))
+      .select(col("d"), bucket(col("d"), col("w")).as("b"), col("cnt"))
+      .groupBy("d", "b").agg(sum("cnt").as("cell"))
+    val cands = wc.orderBy(col("cnt").desc, col("w")).limit(30)
+    cands
+      .select(col("w"), col("cnt"),
+        explode(sequence(lit(0), lit(D - 1))).as("d"))
+      .select(col("w"), col("cnt"), col("d"),
+        bucket(col("d"), col("w")).as("b"))
+      .join(broadcast(sketch), Seq("d", "b"))
+      .groupBy("w", "cnt").agg(min("cell").as("cms_est"))
+      .select(col("w"), col("cnt").as("cnt_exact"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overcount"))
+  }
+
   /** Deterministic train/validation/test split: FNV-1a over
     * `split:<doc_id>` routes each document to a bucket in [0, 256) —
     * 80/10/10 by bucket range, reproducible across engines and cluster

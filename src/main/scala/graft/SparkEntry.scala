@@ -131,6 +131,8 @@ object SparkEntry {
     "corpus_stats_rollup" -> (QueriesText.corpusStatsRollup _),
     "corpus_distinct_hll" -> (QueriesText.corpusDistinctHll _),
     "text_heavy_hitters" -> (QueriesText.textHeavyHitters _),
+    "dedup_lines" -> (QueriesText.dedupLines _),
+    "freq_cms" -> (QueriesText.freqCms _),
     "corpus_distinct_by_source" -> (QueriesText.corpusDistinctBySource _),
     "mix_kl_divergence" -> (QueriesText.mixKlDivergence _),
     "sample_stratified" -> (QueriesText.sampleStratified _),
