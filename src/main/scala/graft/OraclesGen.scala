@@ -1969,9 +1969,78 @@ object OraclesGen {
        |GROUP BY c.w, c.cnt""".stripMargin
   }
 
+  /** Bloom decontamination: same winnow fingerprints, same 3 seeded
+    * `b{j}:fp` FNV probes into 4096 positions (divides 2^64 → unsigned
+    * mod = the engine's signed pmod), maybe-in = all probes set. */
+  val decontamBloom: String = {
+    def h(j: Int) = fnvHuge(s"'b$j:' || CAST(fp AS VARCHAR)")
+    s"""WITH ${winnowCtes()},
+       |bfp AS (SELECT DISTINCT unnest(fps) AS fp FROM f WHERE doc_id % 97 = 0),
+       |probes AS (
+       |  SELECT DISTINCT CAST(hh % 4096 AS BIGINT) AS pos FROM (
+       |    SELECT ${h(0)} AS hh FROM bfp
+       |    UNION ALL SELECT ${h(1)} FROM bfp
+       |    UNION ALL SELECT ${h(2)} FROM bfp)),
+       |tr AS (SELECT doc_id AS train_id, unnest(fps) AS fp
+       |       FROM f WHERE doc_id % 97 <> 0),
+       |flags AS (
+       |  SELECT train_id,
+       |    (CAST(${h(0)} % 4096 AS BIGINT) IN (SELECT pos FROM probes)
+       |     AND CAST(${h(1)} % 4096 AS BIGINT) IN (SELECT pos FROM probes)
+       |     AND CAST(${h(2)} % 4096 AS BIGINT) IN (SELECT pos FROM probes))
+       |      AS maybe_in,
+       |    fp IN (SELECT fp FROM bfp) AS exact_in
+       |  FROM tr)
+       |SELECT train_id,
+       |  CAST(count(*) AS BIGINT) AS n_fps,
+       |  CAST(sum(CASE WHEN exact_in THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN maybe_in THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       |  CAST(sum(CASE WHEN maybe_in THEN 1 ELSE 0 END)
+       |    - sum(CASE WHEN exact_in THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_false_pos,
+       |  sum(CASE WHEN maybe_in THEN 1 ELSE 0 END) >= 3 AS flagged
+       |FROM flags GROUP BY train_id""".stripMargin
+  }
+
+  /** SQ8 ANN recall: same 254-level per-dim grid as embed_quantize,
+    * same index-ordered cosine folds, truth = the embed_cosine_topk
+    * brute-force CTE. */
+  val embedSq8Recall: String =
+    s"""WITH bf AS (${Oracles.sql("embed_cosine_topk")}),
+       |e2 AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
+       |       FROM e2),
+       |bounds AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+       |deq AS (
+       |  SELECT vec_id AS n_id,
+       |    list(CASE WHEN mx > mn THEN
+       |        (round((x - mn) / (mx - mn) * 254) / 254) * (mx - mn) + mn
+       |      ELSE mn END ORDER BY i) AS dv
+       |  FROM ex JOIN bounds USING (i) GROUP BY vec_id),
+       |q2 AS (SELECT vec_id AS q_id, v AS qv FROM e2 WHERE vec_id < 20),
+       |sc AS (
+       |  SELECT q_id, n_id,
+       |    ${seqDot("qv", "dv")} AS dot,
+       |    sqrt(${seqDot("qv", "qv")}) * sqrt(${seqDot("dv", "dv")}) AS denom
+       |  FROM q2 CROSS JOIN deq WHERE q_id <> n_id),
+       |rk AS (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END) DESC,
+       |             n_id) AS rank
+       |  FROM sc),
+       |ap AS (SELECT q_id, n_id FROM rk WHERE rank <= 5)
+       |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(count(a.n_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.n_id) AS DOUBLE) / count(*) AS recall_sq8
+       |FROM bf LEFT JOIN ap a USING (q_id, n_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_lines" -> dedupLines,
     "freq_cms" -> freqCms,
+    "decontam_bloom" -> decontamBloom,
+    "embed_sq8_recall" -> embedSq8Recall,
     "e2e_full_snapshot" -> e2eFullSnapshot,
     "e2e_compact_snapshot" -> e2eCompactSnapshot,
     "e2e_activity_snapshot" -> e2eActivitySnapshot,

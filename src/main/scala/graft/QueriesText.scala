@@ -1189,6 +1189,113 @@ object QueriesText {
       .withColumn("fill_ratio", round(col("n_tokens") / 512.0, 6))
   }
 
+  /** Bloom-filter decontamination — the 100 TB scale path for
+    * [[docDecontaminate]]: instead of equi-joining the corpus
+    * fingerprint stream against the benchmark set, the benchmark's
+    * winnow fingerprints are folded into a 4096-position Bloom filter
+    * (3 seeded FNV probes per fingerprint) whose SET POSITIONS travel
+    * as one broadcast array; membership is then a per-row array probe —
+    * the corpus never joins, never shuffles except the per-doc rollup.
+    * The exact intersection is computed alongside (also from a
+    * broadcast array) to MEASURE the one-sided error: Bloom has no
+    * false negatives, so `n_maybe - n_exact >= 0` row-wise — surfaced
+    * as `n_false_pos` rather than asserted. 4096 divides 2^64, so the
+    * engine's signed pmod equals the oracle's unsigned mod. At real
+    * scale the sorted position array becomes a bitset broadcast; the
+    * probe contract is identical. */
+  def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val M = 4096L
+    def fnvOf(prefix: String, c: Column): Column =
+      org.apache.spark.sql.GraftNative.column(
+        graft.functions.expressions.Fnv64Expr(
+          org.apache.spark.sql.GraftNative.expression(
+            concat(lit(prefix), c.cast("string")))))
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFns.winnowFingerprints(col("text")).as("fps"))
+      .localCheckpoint() // EAGER: feeds the bench bit-set AND the train scan
+    val benchFps = d.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("fps")).as("fp")).distinct()
+    val bits = benchFps
+      .select(explode(array((0 until 3).map(j =>
+        pmod(fnvOf(s"b$j:", col("fp")), lit(M))): _*)).as("pos"))
+      .distinct()
+      .agg(sort_array(collect_list(col("pos"))).as("bits_arr"))
+    val benchArr = benchFps
+      .agg(sort_array(collect_list(col("fp"))).as("bench_arr"))
+    val tr = d.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_id"), explode(col("fps")).as("fp"))
+      .crossJoin(broadcast(bits)).crossJoin(broadcast(benchArr))
+      .withColumn("maybe_in",
+        array_contains(col("bits_arr"), pmod(fnvOf("b0:", col("fp")), lit(M))) &&
+        array_contains(col("bits_arr"), pmod(fnvOf("b1:", col("fp")), lit(M))) &&
+        array_contains(col("bits_arr"), pmod(fnvOf("b2:", col("fp")), lit(M))))
+      .withColumn("exact_in", array_contains(col("bench_arr"), col("fp")))
+    tr.groupBy("train_id")
+      .agg(
+        count(lit(1)).as("n_fps"),
+        sum(when(col("exact_in"), 1).otherwise(0)).as("n_exact"),
+        sum(when(col("maybe_in"), 1).otherwise(0)).as("n_maybe"))
+      .select(col("train_id"), col("n_fps"), col("n_exact"), col("n_maybe"),
+        (col("n_maybe") - col("n_exact")).as("n_false_pos"),
+        (col("n_maybe") >= 3).as("flagged"))
+  }
+
+  /** Scalar-quantization (int8) ANN recall — the 4th member of the
+    * vector-compression family (full-vector LSH / IVF / PQ / SQ8):
+    * corpus vectors are dequantized through the SAME 254-level
+    * per-dimension grid as [[embedQuantize]] (one 1-row bounds
+    * aggregate, broadcast everywhere), queries stay full-precision
+    * (asymmetric distance), and top-5-by-reconstructed-cosine is
+    * measured against exact brute force. Dequantization is projected
+    * BELOW the broadcast nested-loop join, so each corpus vector is
+    * reconstructed once, not once per query; all cosine folds run in
+    * index order (bit-reproduced by the oracle's list_reduce). */
+  def embedSq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val eRaw = Tables.fanOut(Tables.embeddings(s, dir))
+    val e = eRaw.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val bounds = e.agg(
+      array((0 until dims).map(i =>
+        min(element_at(col("v"), i + 1))): _*).as("mns"),
+      array((0 until dims).map(i =>
+        max(element_at(col("v"), i + 1))): _*).as("mxs"))
+    val deq = e.crossJoin(broadcast(bounds))
+      .select(col("vec_id").as("n_id"), expr(
+        s"""transform(sequence(0, $dims - 1), i ->
+           |  CASE WHEN mxs[i] > mns[i] THEN
+           |    (round((v[i] - mns[i]) / (mxs[i] - mns[i]) * 254) / 254)
+           |      * (mxs[i] - mns[i]) + mns[i]
+           |  ELSE mns[i] END)""".stripMargin).as("dv"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def sdot(a: String, b: String): String =
+      s"aggregate(sequence(0, $dims - 1), 0D, (acc, i) -> acc + $a[i] * $b[i])"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val approx = broadcast(queries).crossJoin(deq)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dot", expr(sdot("qv", "dv")))
+      .withColumn("denom",
+        sqrt(expr(sdot("qv", "qv"))) * sqrt(expr(sdot("dv", "dv"))))
+      .withColumn("sim",
+        when(col("denom") === 0, 0.0).otherwise(col("dot") / col("denom")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    val truth = Similarity.bruteForceTopK(
+      eRaw.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      eRaw.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")),
+      k = 5).select("q_id", "n_id")
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth")).as("recall_sq8"))
+  }
+
   /** Line-level exact dedup (the C4 / RefinedWeb rule: a line occurring
     * more than once corpus-wide keeps only its FIRST occurrence),
     * adapted to this corpus's newline-free texts by treating each

@@ -133,6 +133,8 @@ object SparkEntry {
     "text_heavy_hitters" -> (QueriesText.textHeavyHitters _),
     "dedup_lines" -> (QueriesText.dedupLines _),
     "freq_cms" -> (QueriesText.freqCms _),
+    "decontam_bloom" -> (QueriesText.decontamBloom _),
+    "embed_sq8_recall" -> (QueriesText.embedSq8Recall _),
     "corpus_distinct_by_source" -> (QueriesText.corpusDistinctBySource _),
     "mix_kl_divergence" -> (QueriesText.mixKlDivergence _),
     "sample_stratified" -> (QueriesText.sampleStratified _),
