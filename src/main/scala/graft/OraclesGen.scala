@@ -2036,11 +2036,87 @@ object OraclesGen {
        |  CAST(count(a.n_id) AS DOUBLE) / count(*) AS recall_sq8
        |FROM bf LEFT JOIN ap a USING (q_id, n_id)""".stripMargin
 
+  /** Hybrid RRF: same rarest-3-terms BM25 (term-ordered folds), same
+    * brute-force cosine, RRF(60) fused with n_id tie-breaks. */
+  val hybridSearchRrf: String =
+    """WITH corpus AS (
+      |  SELECT d.doc_id,
+      |    list_filter(string_split_regex(lower(d.text), '\s+'),
+      |      w -> len(w) > 0) AS ws,
+      |    e.embedding
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      |stats AS (SELECT count(*) AS n_docs, sum(len(ws)) AS sum_dl FROM corpus),
+      |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM corpus),
+      |dfreq AS (
+      |  SELECT term, count(*) AS df FROM (
+      |    SELECT doc_id, unnest(list_distinct(ws)) AS term FROM corpus)
+      |  GROUP BY term),
+      |q AS (SELECT doc_id AS q_id, ws, embedding FROM corpus
+      |      WHERE doc_id % 101 = 0),
+      |qt AS (
+      |  SELECT q_id, term, df FROM (
+      |    SELECT q_id, term, df, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY df ASC, term ASC) AS trk
+      |    FROM (SELECT q_id, unnest(list_distinct(ws)) AS term FROM q)
+      |      JOIN dfreq USING (term)) x
+      |  WHERE trk <= 3),
+      |tf AS (
+      |  SELECT qt.q_id, t.doc_id, t.dl, qt.term, qt.df, count(*) AS tf
+      |  FROM t JOIN qt USING (term) WHERE t.doc_id <> qt.q_id
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |sc AS (
+      |  SELECT q_id, doc_id, term,
+      |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+      |      / (tf + 1.2 * (0.25 + 0.75 * dl
+      |           / (sum_dl::DOUBLE / n_docs::DOUBLE))) AS contrib
+      |  FROM tf CROSS JOIN stats),
+      |lex AS (
+      |  SELECT q_id, doc_id AS n_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY bm25 DESC, doc_id) AS INT) AS rank_lex
+      |  FROM (
+      |    SELECT q_id, doc_id,
+      |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list(contrib ORDER BY term)), (a, b) -> a + b) AS bm25
+      |    FROM sc GROUP BY q_id, doc_id) y),
+      |lex20 AS (SELECT * FROM lex WHERE rank_lex <= 20),
+      |qe AS (SELECT q_id, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS i FROM q),
+      |ce AS (SELECT doc_id AS n_id, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS i FROM corpus),
+      |s2 AS (
+      |  SELECT q_id, n_id,
+      |    sum(CAST(qe.x AS DOUBLE) * CAST(ce.x AS DOUBLE)) AS dot,
+      |    sqrt(sum(CAST(qe.x AS DOUBLE) * CAST(qe.x AS DOUBLE)))
+      |      * sqrt(sum(CAST(ce.x AS DOUBLE) * CAST(ce.x AS DOUBLE))) AS denom
+      |  FROM qe JOIN ce ON qe.i = ce.i WHERE q_id <> n_id
+      |  GROUP BY q_id, n_id),
+      |vec AS (
+      |  SELECT q_id, n_id, CAST(row_number() OVER (PARTITION BY q_id
+      |    ORDER BY (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END) DESC,
+      |             n_id) AS INT) AS rank_vec
+      |  FROM s2),
+      |vec20 AS (SELECT * FROM vec WHERE rank_vec <= 20),
+      |fused AS (
+      |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+      |    COALESCE(l.n_id, v.n_id) AS n_id, l.rank_lex, v.rank_vec,
+      |    round(COALESCE(1.0 / (60 + l.rank_lex), 0.0)
+      |      + COALESCE(1.0 / (60 + v.rank_vec), 0.0), 6) AS rrf_score
+      |  FROM lex20 l FULL OUTER JOIN vec20 v
+      |    ON l.q_id = v.q_id AND l.n_id = v.n_id)
+      |SELECT * FROM (
+      |  SELECT q_id, n_id, rank_lex, rank_vec, rrf_score,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY rrf_score DESC, n_id) AS INT) AS rank_rrf
+      |  FROM fused) z
+      |WHERE rank_rrf <= 10""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_lines" -> dedupLines,
     "freq_cms" -> freqCms,
     "decontam_bloom" -> decontamBloom,
     "embed_sq8_recall" -> embedSq8Recall,
+    "hybrid_search_rrf" -> hybridSearchRrf,
     "e2e_full_snapshot" -> e2eFullSnapshot,
     "e2e_compact_snapshot" -> e2eCompactSnapshot,
     "e2e_activity_snapshot" -> e2eActivitySnapshot,

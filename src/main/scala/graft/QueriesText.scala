@@ -1189,6 +1189,77 @@ object QueriesText {
       .withColumn("fill_ratio", round(col("n_tokens") / 512.0, 6))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (the RAG-corpus
+    * construction pattern): two independent retrievers — BM25 over the
+    * query document's 3 RAREST terms (min corpus df, ties
+    * lexicographic: rare-term candidate generation keeps the inverted-
+    * index join sparse at scale) and exact cosine over the embedding
+    * column — each produce a per-query top-20, fused by
+    * RRF(60): score = Σ 1/(60 + rank), missing rank contributes 0.
+    * The corpus is documents ⨝ embeddings on id (co-partitioned
+    * equi-join at scale); the ONE tokenization pass is checkpointed
+    * eagerly because stats / df / tf / query-terms all branch from it.
+    * BM25 contributions fold in term order and cosine is the proven
+    * brute-force shape, so every rank — and therefore the fused
+    * ordering — is bit-reproduced by the oracle. */
+  def hybridSearchRrf(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2; val b = 0.75; val K = 20
+    val W = org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val corpus = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("ws"), col("embedding"))
+      .localCheckpoint() // EAGER: stats + df + tf + queries + vector side
+    val stats = corpus.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("ws"))).as("sum_dl"))
+    val toks = corpus.select(col("doc_id"), size(col("ws")).as("dl"),
+      explode(col("ws")).as("term"))
+    val dfreq = corpus
+      .select(col("doc_id"), explode(array_distinct(col("ws"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val qdocs = corpus.filter(col("doc_id") % 101 === 0)
+    val wq = W.partitionBy("q_id").orderBy(col("df").asc, col("term").asc)
+    val qterms = qdocs
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(col("ws"))).as("term"))
+      .join(broadcast(dfreq), "term")
+      .withColumn("trk", row_number().over(wq)).filter(col("trk") <= 3)
+      .select("q_id", "term", "df")
+    val tf = toks.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id", "dl", "term", "df")
+      .agg(count(lit(1)).as("tf"))
+    val wl = W.partitionBy("q_id").orderBy(col("bm25").desc, col("doc_id"))
+    val lex = tf.crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib", col("idf") * col("tf") /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("q_id", "doc_id")
+      .agg(expr(
+        """aggregate(array_sort(collect_list(struct(term, contrib))),
+          |  cast(0 as double), (acc, x) -> acc + x.contrib)""".stripMargin)
+        .as("bm25"))
+      .withColumn("rank_lex", row_number().over(wl))
+      .filter(col("rank_lex") <= K)
+      .select(col("q_id"), col("doc_id").as("n_id"), col("rank_lex"))
+    val vec = Similarity.bruteForceTopK(
+      qdocs.select(col("doc_id").as("q_id"), col("embedding").as("q_vec")),
+      corpus.select(col("doc_id").as("n_id"), col("embedding").as("n_vec")),
+      k = K).select(col("q_id"), col("n_id"), col("rank").as("rank_vec"))
+    val wf = W.partitionBy("q_id").orderBy(col("rrf_score").desc, col("n_id"))
+    lex.join(vec, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 6))
+      .withColumn("rank_rrf", row_number().over(wf))
+      .filter(col("rank_rrf") <= 10)
+      .select("q_id", "n_id", "rank_lex", "rank_vec", "rrf_score", "rank_rrf")
+  }
+
   /** Bloom-filter decontamination — the 100 TB scale path for
     * [[docDecontaminate]]: instead of equi-joining the corpus
     * fingerprint stream against the benchmark set, the benchmark's

@@ -135,6 +135,7 @@ object SparkEntry {
     "freq_cms" -> (QueriesText.freqCms _),
     "decontam_bloom" -> (QueriesText.decontamBloom _),
     "embed_sq8_recall" -> (QueriesText.embedSq8Recall _),
+    "hybrid_search_rrf" -> (QueriesText.hybridSearchRrf _),
     "corpus_distinct_by_source" -> (QueriesText.corpusDistinctBySource _),
     "mix_kl_divergence" -> (QueriesText.mixKlDivergence _),
     "sample_stratified" -> (QueriesText.sampleStratified _),
