@@ -36,7 +36,23 @@ object OraclesCatalog {
       |    value > 150 AS waiting
       |  FROM events)""".stripMargin
 
+  /** SE12: generated from the SAME SetupRules strings the engine runs —
+    * single source of truth; the SQL dialect subset (CASE / contains /
+    * arithmetic) is common to Spark and DuckDB. */
+  private def setupRecommendations: String = {
+    val R = graft.QueriesConfig.SetupRules
+    def sel(cols: Seq[(String, String)]) =
+      cols.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
+    s"""WITH base AS (SELECT p_partkey AS pk FROM part),
+       |s1 AS (SELECT pk, ${sel(R.synth)} FROM base),
+       |s2 AS (SELECT *, ${sel(R.derive1)} FROM s1),
+       |s3 AS (SELECT *, ${sel(R.derive2)} FROM s2)
+       |SELECT pk AS server_id, ${R.outCols.drop(1).mkString(", ")}
+       |FROM s3""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "setup_recommendations" -> setupRecommendations,
     "s3_activity_scan" ->
       s"""WITH $backends
          |SELECT event_id, pid, db_oid, usename, state, backend_type, waiting

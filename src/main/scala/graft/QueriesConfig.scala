@@ -271,4 +271,116 @@ object QueriesConfig {
       .withColumn("db_url_redacted", expr(
         "CASE WHEN db_url = '' THEN '' " +
           "ELSE regexp_replace(db_url, '://([^:@/]+):[^@]*@', '://$1@') END"))
+
+  /** SE12 — guided-setup recommendation derivation: the check half of every
+    * non-interactive setup-step rule (the reference's `setup/steps`
+    * directory) as one per-server row. The
+    * rules are the reference's own, verbatim:
+    *  - version gate: `server_version_num >= 100000`
+    *    (`setup/steps/check_postgres_version.go:20-21`);
+    *  - log_line_prefix support = contains %d AND %u AND (%m|%n|%t)
+    *    (`li_ensure_supported_log_line_prefix.go:26-31`); the
+    *    recommended replacement is LogPrefixRecommended =
+    *    `%m [%p] %q[user=%u,db=%d,app=%a] ` (`logs/parse.go:24,42`);
+    *  - log_min_duration_statement supported iff -1 or >= 10 ms
+    *    (`li_ensure_supported_log_min_duration_statement.go:64-66`,
+    *    `logs/validate_config.go:11`), recommended 1000
+    *    (`setup/state/state.go:27`);
+    *  - log_duration must not be `on`, log_statement must not be `all`
+    *    (`li_ensure_supported_log_duration.go`,
+    *    `li_ensure_supported_log_statement.go`);
+    *  - shared_preload_libraries membership checks
+    *    (`ensure_pgss_in_spl.go:21`, `aemod_ensure_auto_explain_in_spl
+    *    .go`) and the three-way restart verdict they imply
+    *    (`check_restart_needed.go:13-45`: no pgss → restart required;
+    *    pgss but no auto_explain → restart only for automated EXPLAIN);
+    *  - auto_explain deviation count against RecommendedGUCS
+    *    (analyze on, buffers on, timing OFF, triggers on, verbose on,
+    *    format json, min_duration 1000, nested on —
+    *    `setup/state/state.go:30-37`); the reference's check passes
+    *    when the deviation query returns zero rows
+    *    (`aemod_ensure_recommended_settings.go:205-300,40`).
+    *
+    * The synth grid (mod-prime per GUC) makes every branch fire. Pure
+    * per-row derivation — zero shuffles at any fleet size. The shared
+    * [[SetupRules]] strings are the single source of truth for engine
+    * AND oracle. */
+  object SetupRules {
+    val synth: Seq[(String, String)] = Seq(
+      "version_num" -> ("CAST(CASE pk % 5 WHEN 0 THEN 90613 WHEN 1 THEN 100000 " +
+        "WHEN 2 THEN 140005 WHEN 3 THEN 170004 ELSE 120010 END AS INT)"),
+      "log_line_prefix" -> ("CASE CAST(pk % 5 AS INT) " +
+        "WHEN 0 THEN '%m [%p] %q[user=%u,db=%d,app=%a] ' " +
+        "WHEN 1 THEN '%t [%p]: user=%u,db=%d ' " +
+        "WHEN 2 THEN '%p ' " +
+        "WHEN 3 THEN '%n [%p] db=%d,user=%u ' " +
+        "ELSE '%m user=%u ' END"),
+      "lmds" -> ("CAST(CASE pk % 6 WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 5 " +
+        "WHEN 3 THEN 10 WHEN 4 THEN 250 ELSE 1000 END AS INT)"),
+      "log_duration" -> "CASE WHEN pk % 7 = 0 THEN 'on' ELSE 'off' END",
+      "log_statement" -> ("CASE CAST(pk % 9 AS INT) WHEN 0 THEN 'all' " +
+        "WHEN 1 THEN 'ddl' WHEN 2 THEN 'mod' ELSE 'none' END"),
+      "spl" -> ("CASE CAST(pk % 4 AS INT) " +
+        "WHEN 0 THEN 'pg_stat_statements,auto_explain' " +
+        "WHEN 1 THEN 'pg_stat_statements' " +
+        "WHEN 2 THEN 'auto_explain,citus' ELSE '' END"),
+      "ae_log_analyze" -> "CASE WHEN pk % 2 = 0 THEN 'on' ELSE 'off' END",
+      "ae_log_buffers" -> "CASE WHEN pk % 3 = 0 THEN 'off' ELSE 'on' END",
+      "ae_log_timing" -> "CASE WHEN pk % 5 = 0 THEN 'on' ELSE 'off' END",
+      "ae_log_triggers" -> "CASE WHEN pk % 11 = 0 THEN 'off' ELSE 'on' END",
+      "ae_log_verbose" -> "CASE WHEN pk % 13 = 0 THEN 'off' ELSE 'on' END",
+      "ae_log_format" -> "CASE WHEN pk % 3 = 1 THEN 'text' ELSE 'json' END",
+      "ae_log_min_duration" ->
+        "CAST(CASE WHEN pk % 4 = 1 THEN 500 ELSE 1000 END AS INT)",
+      "ae_log_nested" -> "CASE WHEN pk % 17 = 0 THEN 'off' ELSE 'on' END")
+
+    val derive1: Seq[(String, String)] = Seq(
+      "version_supported" -> "version_num >= 100000",
+      "prefix_ok" -> ("(contains(log_line_prefix, '%d') " +
+        "AND contains(log_line_prefix, '%u') " +
+        "AND (contains(log_line_prefix, '%m') " +
+        "OR contains(log_line_prefix, '%n') " +
+        "OR contains(log_line_prefix, '%t')))"),
+      "lmds_ok" -> "(lmds = -1 OR lmds >= 10)",
+      "log_duration_ok" -> "log_duration <> 'on'",
+      "log_statement_ok" -> "log_statement <> 'all'",
+      "pgss_in_spl" -> "contains(spl, 'pg_stat_statements')",
+      "auto_explain_in_spl" -> "contains(spl, 'auto_explain')",
+      "n_ae_deviations" -> ("CAST(" +
+        "(CASE WHEN ae_log_analyze <> 'on' THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN ae_log_buffers <> 'on' THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN ae_log_timing <> 'off' THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN ae_log_triggers <> 'on' THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN ae_log_verbose <> 'on' THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN ae_log_format <> 'json' THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN ae_log_min_duration <> 1000 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN ae_log_nested <> 'on' THEN 1 ELSE 0 END) AS INT)"))
+
+    val derive2: Seq[(String, String)] = Seq(
+      "recommended_prefix" -> ("CASE WHEN prefix_ok THEN NULL " +
+        "ELSE '%m [%p] %q[user=%u,db=%d,app=%a] ' END"),
+      "lmds_recommended" ->
+        "CAST(CASE WHEN lmds_ok THEN NULL ELSE 1000 END AS INT)",
+      "restart_verdict" -> ("CASE WHEN NOT pgss_in_spl THEN 'restart_required' " +
+        "WHEN NOT auto_explain_in_spl THEN 'restart_for_auto_explain' " +
+        "ELSE 'no_restart' END"),
+      "setup_ready" -> ("(version_supported AND prefix_ok AND lmds_ok " +
+        "AND log_duration_ok AND log_statement_ok AND pgss_in_spl " +
+        "AND auto_explain_in_spl AND n_ae_deviations = 0)"))
+
+    val outCols: Seq[String] = Seq("server_id", "version_num",
+      "log_line_prefix", "lmds", "version_supported", "prefix_ok",
+      "recommended_prefix", "lmds_ok", "lmds_recommended",
+      "log_duration_ok", "log_statement_ok", "pgss_in_spl",
+      "auto_explain_in_spl", "n_ae_deviations", "restart_verdict",
+      "setup_ready")
+  }
+
+  def setupRecommendations(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.part(s, dir).select(col("p_partkey").as("pk"))
+    val staged = (SetupRules.synth ++ SetupRules.derive1 ++ SetupRules.derive2)
+      .foldLeft(base) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    staged.withColumn("server_id", col("pk"))
+      .select(SetupRules.outCols.map(col): _*)
+  }
 }

@@ -80,6 +80,7 @@ object SparkEntry {
     "idx_overlapping" -> (QueriesCatalog.idxOverlapping _),
     "s35_helper_match" -> (graft.sources.HelperMatch.query _),
     "config_resolve" -> (QueriesConfig.configResolve _),
+    "setup_recommendations" -> (QueriesConfig.setupRecommendations _),
     "system_identify" -> (QueriesConfig.systemIdentify _),
     "j12_blocking_chains" -> (QueriesCatalog.j12BlockingChains _),
     "d2_plan_stats_diff" -> (QueriesCatalog.d2PlanStatsDiff _),
