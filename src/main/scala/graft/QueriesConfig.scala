@@ -315,8 +315,11 @@ object QueriesConfig {
         "WHEN 2 THEN '%p ' " +
         "WHEN 3 THEN '%n [%p] db=%d,user=%u ' " +
         "ELSE '%m user=%u ' END"),
-      "lmds" -> ("CAST(CASE pk % 6 WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 5 " +
-        "WHEN 3 THEN 10 WHEN 4 THEN 250 ELSE 1000 END AS INT)"),
+      // slot 2 must be supported or setup_ready is structurally
+      // impossible (spl forces pk ≡ 0 mod 4 and the ae grid forces
+      // pk ≡ 2 mod 3, so ready rows all have pk % 6 = 2)
+      "lmds" -> ("CAST(CASE pk % 6 WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 30 " +
+        "WHEN 3 THEN 5 WHEN 4 THEN 250 ELSE 1000 END AS INT)"),
       "log_duration" -> "CASE WHEN pk % 7 = 0 THEN 'on' ELSE 'off' END",
       "log_statement" -> ("CASE CAST(pk % 9 AS INT) WHEN 0 THEN 'all' " +
         "WHEN 1 THEN 'ddl' WHEN 2 THEN 'mod' ELSE 'none' END"),
