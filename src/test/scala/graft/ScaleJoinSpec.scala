@@ -122,6 +122,47 @@ class ScaleJoinSpec extends SparkSpec {
       s"text_heavy_hitters must broadcast the candidate set:\n${hh.take(2000)}")
   }
 
+  test("round-6 session-2 operators hold the plan discipline") {
+    // setup recommendations are pure per-row derivation: ANY exchange
+    // is a scale regression
+    val setup = QueriesConfig.setupRecommendations(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!setup.contains("Exchange"),
+      s"setup_recommendations must not shuffle:\n${setup.take(2000)}")
+    // line dedup and CMS: equi-join/broadcast shapes only
+    Seq(
+      "dedup_lines" -> QueriesText.dedupLines(spark, Sf),
+      "freq_cms" -> QueriesText.freqCms(spark, Sf)).foreach {
+      case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name must not plan a cartesian product:\n${plan.take(2000)}")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name must not plan a nested-loop join:\n${plan.take(2000)}")
+    }
+    // bloom decontamination: exactly the two 1-row broadcast-array
+    // cross joins (bit-set + bench-set); the corpus must never
+    // shuffle-join the benchmark side
+    val bloom = QueriesText.decontamBloom(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!bloom.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(bloom).length <= 2,
+      s"decontam_bloom: only the two broadcast set arrays may cross:\n${bloom.take(2000)}")
+    // hybrid RRF: the deliberate brute-force cosine cross plus the
+    // 1-row stats scalar; the lexical path must stay equi-join
+    val rrf = QueriesText.hybridSearchRrf(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!rrf.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(rrf).length <= 2,
+      s"hybrid_search_rrf: brute-force cosine + stats scalar only:\n${rrf.take(2000)}")
+    // SQ8 recall: bounds scalar + the two deliberate brute-force shapes
+    val sq8 = QueriesText.embedSq8Recall(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!sq8.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(sq8).length <= 3,
+      s"embed_sq8_recall: bounds scalar + brute-force shapes only:\n${sq8.take(2000)}")
+  }
+
   test("cloud adapters parse the envelope exactly once per record") {
     // the explode(array(...)) fences keep pushed-down filters from
     // re-substituting from_json per conjunct (a per-row 5x JSON parse)
