@@ -2111,12 +2111,85 @@ object OraclesGen {
       |  FROM fused) z
       |WHERE rank_rrf <= 10""".stripMargin
 
+  /** Matryoshka truncation recall: prefix-width cosines per dims arm,
+    * truth = the full-width brute-force CTE. */
+  val embedMrlRecall: String =
+    s"""WITH bf AS (${Oracles.sql("embed_cosine_topk")}),
+       |dims AS (SELECT unnest([8, 16, 32]) AS dims),
+       |qd AS (
+       |  SELECT d.dims, t.vec_id AS q_id, t.x, t.i
+       |  FROM (SELECT vec_id, unnest(embedding) AS x,
+       |          generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings WHERE vec_id < 20) t
+       |  CROSS JOIN dims d WHERE t.i <= d.dims),
+       |cd AS (
+       |  SELECT d.dims, t.vec_id AS n_id, t.x, t.i
+       |  FROM (SELECT vec_id, unnest(embedding) AS x,
+       |          generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings) t
+       |  CROSS JOIN dims d WHERE t.i <= d.dims),
+       |s AS (
+       |  SELECT qd.dims, q_id, n_id,
+       |    sum(CAST(qd.x AS DOUBLE) * CAST(cd.x AS DOUBLE)) AS dot,
+       |    sqrt(sum(CAST(qd.x AS DOUBLE) * CAST(qd.x AS DOUBLE)))
+       |      * sqrt(sum(CAST(cd.x AS DOUBLE) * CAST(cd.x AS DOUBLE))) AS denom
+       |  FROM qd JOIN cd ON qd.i = cd.i AND qd.dims = cd.dims
+       |  WHERE q_id <> n_id GROUP BY qd.dims, q_id, n_id),
+       |ap AS (
+       |  SELECT dims, q_id, n_id FROM (
+       |    SELECT dims, q_id, n_id, row_number() OVER (
+       |      PARTITION BY dims, q_id
+       |      ORDER BY (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END) DESC,
+       |               n_id) AS rank
+       |    FROM s) t WHERE rank <= 5)
+       |SELECT d.dims, CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(count(a.n_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.n_id) AS DOUBLE) / count(*) AS recall
+       |FROM dims d CROSS JOIN bf b
+       |  LEFT JOIN ap a ON a.dims = d.dims AND a.q_id = b.q_id
+       |    AND a.n_id = b.n_id
+       |GROUP BY d.dims""".stripMargin
+
+  /** Histogram quantiles: same width-4 buckets, same ceil(q·n) target,
+    * same min-v exact rule. */
+  val quantileSketch: String =
+    """WITH vals AS (
+      |  SELECT CAST(len(regexp_extract_all(lower(text),
+      |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS v
+      |  FROM documents),
+      |hist AS (
+      |  SELECT v // 4 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM vals GROUP BY v // 4),
+      |hc AS (
+      |  SELECT bucket,
+      |    CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS tot
+      |  FROM hist),
+      |ex AS (
+      |  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+      |  FROM (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM vals GROUP BY v) t),
+      |grid AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q),
+      |est AS (
+      |  SELECT q, min(bucket * 4 + 3) AS est_hist, min(tot) AS n
+      |  FROM grid CROSS JOIN hc
+      |  WHERE cum >= ceil(q * tot) GROUP BY q),
+      |exv AS (
+      |  SELECT q, min(v) AS exact_val
+      |  FROM grid CROSS JOIN ex CROSS JOIN (SELECT max(tot) AS tot FROM hc) t2
+      |  WHERE cum >= ceil(q * tot) GROUP BY q)
+      |SELECT est.q, est.n, est.est_hist, exv.exact_val,
+      |  est.est_hist - exv.exact_val AS err
+      |FROM est JOIN exv USING (q)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_lines" -> dedupLines,
     "freq_cms" -> freqCms,
     "decontam_bloom" -> decontamBloom,
     "embed_sq8_recall" -> embedSq8Recall,
     "hybrid_search_rrf" -> hybridSearchRrf,
+    "embed_mrl_recall" -> embedMrlRecall,
+    "quantile_sketch" -> quantileSketch,
     "e2e_full_snapshot" -> e2eFullSnapshot,
     "e2e_compact_snapshot" -> e2eCompactSnapshot,
     "e2e_activity_snapshot" -> e2eActivitySnapshot,

@@ -1189,6 +1189,78 @@ object QueriesText {
       .withColumn("fill_ratio", round(col("n_tokens") / 512.0, 6))
   }
 
+  /** Matryoshka-style dimension-truncation recall: top-5 retrieval
+    * using only the first 8 / 16 / 32 dimensions of the embedding,
+    * measured against the full-64-dim exact top-5 — the
+    * "shorten the vectors before sharding the index" decision, with
+    * its cost measured rather than assumed. Truncation is a per-row
+    * `slice`; each arm is the proven brute-force shape. One row per
+    * prefix width. */
+  def embedMrlRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
+    val truth = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")),
+      k = 5).select("q_id", "n_id")
+      .localCheckpoint() // EAGER: joined against all three arms
+    val arms = Seq(8, 16, 32).map { d =>
+      val approx = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"),
+            slice(col("embedding"), 1, d).as("q_vec")),
+        e.select(col("vec_id").as("n_id"),
+          slice(col("embedding"), 1, d).as("n_vec")),
+        k = 5).select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("q_id", "n_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum("hit"), lit(0L)).as("n_hit"))
+        .select(lit(d).as("dims"), col("n_truth"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+    }
+    arms.reduce(_.union(_))
+  }
+
+  /** Mergeable histogram quantiles — the bounded-state quantile path
+    * (the 4th sketch family member next to Misra–Gries / HLL / CMS):
+    * token counts fold into width-4 integer buckets (k-bounded state,
+    * map-side combine — the shape that replaces a full sort at lake
+    * scale), the quantile estimate is the upper edge of the first
+    * bucket whose cumulative count reaches ceil(q·n), and the EXACT
+    * quantile under the same rule (min v with cum ≥ target) is
+    * computed alongside so the bucket-width error is measured — est ≥
+    * exact always (one-sided, like CMS). Every compare is
+    * integer-exact; ceil(q·n) is the same IEEE product in both
+    * engines. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val vals = Tables.fanOut(Tables.documents(s, dir))
+      .select(TextFns.tokenCount(col("text")).cast("long").as("v"))
+    val hist = vals.groupBy(expr("v div 4").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("tot", sum("cnt").over(
+        W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val exact = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val grid = vals.sparkSession.createDataFrame(
+      qs.map(Tuple1.apply)).toDF("q")
+    val est = grid.crossJoin(broadcast(hist))
+      .filter(col("cum") >= ceil(col("q") * col("tot")))
+      .groupBy("q").agg(min(col("bucket") * 4 + 3).as("est_hist"),
+        first(col("tot")).as("n"))
+    val exv = grid.crossJoin(broadcast(
+        exact.crossJoin(broadcast(hist.agg(max("tot").as("tot"))))))
+      .filter(col("cum") >= ceil(col("q") * col("tot")))
+      .groupBy("q").agg(min("v").as("exact_val"))
+    est.join(exv, Seq("q"))
+      .select(col("q"), col("n"), col("est_hist"), col("exact_val"),
+        (col("est_hist") - col("exact_val")).as("err"))
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (the RAG-corpus
     * construction pattern): two independent retrievers — BM25 over the
     * query document's 3 RAREST terms (min corpus df, ties

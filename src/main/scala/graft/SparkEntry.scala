@@ -137,6 +137,8 @@ object SparkEntry {
     "decontam_bloom" -> (QueriesText.decontamBloom _),
     "embed_sq8_recall" -> (QueriesText.embedSq8Recall _),
     "hybrid_search_rrf" -> (QueriesText.hybridSearchRrf _),
+    "embed_mrl_recall" -> (QueriesText.embedMrlRecall _),
+    "quantile_sketch" -> (QueriesText.quantileSketch _),
     "corpus_distinct_by_source" -> (QueriesText.corpusDistinctBySource _),
     "mix_kl_divergence" -> (QueriesText.mixKlDivergence _),
     "sample_stratified" -> (QueriesText.sampleStratified _),
