@@ -51,8 +51,37 @@ object OraclesCatalog {
        |FROM s3""".stripMargin
   }
 
+  /** S34/RDS: expected flattened metrics re-derived from the same
+    * pk-generation rule (the engine additionally round-trips them
+    * through the real JSON envelope). */
+  private val s34RdsEnhanced: String =
+    """WITH base AS (SELECT p_partkey AS pk FROM part
+      |              WHERE p_partkey % 10 = 0),
+      |fs AS (SELECT pk, unnest(range(2)) AS fi FROM base)
+      |SELECT pk AS server_id, pk % 3 = 0 AS is_aurora,
+      |  'db-' || pk AS instance_id,
+      |  CAST(pk % 15 + 1 AS INT) AS n_vcpus,
+      |  (pk % 100) / 2.0 AS cpu_user_pct,
+      |  (pk % 40) + 0.25 AS cpu_idle_pct,
+      |  (pk % 10) / 2.0 AS cpu_iowait_pct,
+      |  (pk % 16) / 8.0 AS loadavg1,
+      |  CAST((16000000 + pk) * 1024 AS BIGINT) AS mem_total_bytes,
+      |  CAST((pk % 100000 * 3) * 1024 AS BIGINT) AS mem_cached_bytes,
+      |  CAST((pk % 50000) * 1024 AS BIGINT) AS swap_used_bytes,
+      |  (pk % 100) / 4.0 AS disk_util_pct,
+      |  CASE fi WHEN 0 THEN 'rdsfilesys' ELSE 'tmpfs0' END AS partition_name,
+      |  CASE fi WHEN 0 THEN '/rdsdbdata' ELSE '/tmp' END AS mount_point,
+      |  CAST(CASE WHEN fi = 0 AND pk % 3 = 0 THEN pk * 1048576
+      |       WHEN fi = 0 THEN (pk % 50 + 10) * 100000 * CAST(1024 AS BIGINT)
+      |       ELSE (pk % 4096) * 1024 END AS BIGINT) AS used_bytes,
+      |  CAST(CASE WHEN fi = 0 AND pk % 3 = 0 THEN 140737488355328
+      |       WHEN fi = 0 THEN CAST(10000000 AS BIGINT) * 1024
+      |       ELSE 4096 * 1024 END AS BIGINT) AS total_bytes
+      |FROM fs""".stripMargin
+
   val sql: Map[String, String] = Map(
     "setup_recommendations" -> setupRecommendations,
+    "s34_rds_enhanced" -> s34RdsEnhanced,
     "s3_activity_scan" ->
       s"""WITH $backends
          |SELECT event_id, pid, db_oid, usename, state, backend_type, waiting

@@ -342,6 +342,66 @@ object QueriesCatalog {
         (col("cpu_system").cast("double") / col("total")).as("system_pct"),
         (col("cpu_idle").cast("double") / col("total")).as("idle_pct"))
 
+  // S34/RDS — enhanced-monitoring ingestion: the CloudWatch
+  // RDSOSMetrics JSON envelope (RdsOsSnapshot) parsed and flattened
+  // with the reference's exact mapping (input/system/rds/system.go:
+  // 159-253): ×1024 KiB scaling, swap_used = total − free, rdsdev-only
+  // disk utilization, and the Aurora /rdsdbdata override
+  // (VolumeBytesUsed against the fixed 128 TiB ceiling). The envelope
+  // is synthesized per server from the generation rule the oracle
+  // re-derives; the adapter does real from_json work behind the
+  // parse-once fence.
+  def s34RdsEnhanced(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.part(s, dir).select(col("p_partkey").as("pk"))
+      .filter(col("pk") % 10 === 0)
+      .withColumn("server_id", col("pk"))
+      .withColumn("is_aurora", col("pk") % 3 === 0)
+      .withColumn("aurora_volume_used", col("pk") * 1048576L)
+    val payload = to_json(struct(
+      concat(lit("db-"), col("pk")).as("instanceID"),
+      (col("pk") % 15 + 1).cast("int").as("numVCPUs"),
+      struct(
+        lit(0.0).as("guest"),
+        (expr("CAST(pk % 40 AS DOUBLE)") + 0.25).as("idle"),
+        lit(0.5).as("irq"), lit(1.0).as("nice"), lit(0.0).as("steal"),
+        expr("CAST(pk % 20 AS DOUBLE) / 4").as("system"),
+        expr("CAST(pk % 100 AS DOUBLE) / 2").as("user"),
+        expr("CAST(pk % 10 AS DOUBLE) / 2").as("wait")).as("cpuUtilization"),
+      struct(
+        expr("CAST(pk % 16 AS DOUBLE) / 8").as("one"),
+        expr("CAST(pk % 12 AS DOUBLE) / 4").as("five"),
+        expr("CAST(pk % 8 AS DOUBLE) / 2").as("fifteen"))
+        .as("loadAverageMinute"),
+      struct(
+        (col("pk") % 9999).as("active"), (col("pk") % 777).as("buffers"),
+        (col("pk") % 100000 * 3).as("cached"), (col("pk") % 55).as("dirty"),
+        (col("pk") % 100000).as("free"),
+        (lit(16000000L) + col("pk")).as("total"),
+        (col("pk") % 11).as("writeback")).as("memory"),
+      struct((col("pk") % 100).as("cached"),
+        (lit(4000000L) - col("pk") % 50000).as("free"),
+        lit(4000000L).as("total")).as("swap"),
+      array(struct(lit("eth0").as("interface"))).as("network"),
+      array(
+        struct(lit("rdsdev").as("device"),
+          expr("CAST(pk % 100 AS DOUBLE) / 4").as("util")),
+        struct(lit("filesystem").as("device"), lit(0.0).as("util")))
+        .as("diskIO"),
+      array(
+        struct(lit("rdsfilesys").as("name"),
+          lit("/rdsdbdata").as("mountPoint"),
+          ((col("pk") % 50 + 10) * 100000L).as("used"),
+          lit(10000000L).as("total")),
+        struct(lit("tmpfs0").as("name"), lit("/tmp").as("mountPoint"),
+          (col("pk") % 4096).as("used"), lit(4096L).as("total")))
+        .as("fileSys")))
+    graft.sources.CloudLogs.rdsEnhanced(
+      base.withColumn("payload", payload)
+        .select("server_id", "is_aurora", "aurora_volume_used", "payload"),
+      "payload")
+      .drop("aurora_volume_used")
+  }
+
   // S15 — extended-statistics scan (pg_statistic_ext: kinds arrays).
   def s15ExtStats(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)

@@ -69,6 +69,7 @@ object SparkEntry {
     "s9_constraints" -> (QueriesCatalog.s9Constraints _),
     "s10_views" -> (QueriesCatalog.s10Views _),
     "s34_os_metrics" -> (QueriesCatalog.s34OsMetrics _),
+    "s34_rds_enhanced" -> (QueriesCatalog.s34RdsEnhanced _),
     "s15_ext_stats" -> (QueriesCatalog.s15ExtStats _),
     "selftest_summary" -> (QueriesSelftest.selftestSummary _),
     "a13_wait_event_profile" -> (QueriesCatalog.a13WaitEventProfile _),

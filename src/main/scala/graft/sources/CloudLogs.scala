@@ -277,4 +277,78 @@ object CloudLogs {
       array(mainStruct, detailStruct)).otherwise(array(mainStruct))
     lined.select(df.columns.map(col) :+ inline(rows): _*)
   }
+
+  // ------------------------------------- RDS enhanced monitoring (S34/RDS)
+
+  /** Aurora's fixed volume ceiling (`input/system/rds/system.go:19`). */
+  final val AuroraMaxStorage: Long = 128L * 1024 * 1024 * 1024 * 1024
+
+  /** The CloudWatch `RDSOSMetrics` log-event message schema — the
+    * consumed subset of `RdsOsSnapshot`
+    * (`input/system/rds/enhanced_monitoring.go:4-21`). */
+  val RdsOsSchema: StructType = StructType(Seq(
+    StructField("instanceID", StringType),
+    StructField("numVCPUs", IntegerType),
+    StructField("cpuUtilization", StructType(Seq(
+      StructField("guest", DoubleType), StructField("idle", DoubleType),
+      StructField("irq", DoubleType), StructField("nice", DoubleType),
+      StructField("steal", DoubleType), StructField("system", DoubleType),
+      StructField("user", DoubleType), StructField("wait", DoubleType)))),
+    StructField("loadAverageMinute", StructType(Seq(
+      StructField("one", DoubleType), StructField("five", DoubleType),
+      StructField("fifteen", DoubleType)))),
+    StructField("memory", StructType(Seq(
+      StructField("active", LongType), StructField("buffers", LongType),
+      StructField("cached", LongType), StructField("dirty", LongType),
+      StructField("free", LongType), StructField("total", LongType),
+      StructField("writeback", LongType)))),
+    StructField("swap", StructType(Seq(
+      StructField("cached", LongType), StructField("free", LongType),
+      StructField("total", LongType)))),
+    StructField("network", ArrayType(StructType(Seq(
+      StructField("interface", StringType))))),
+    StructField("diskIO", ArrayType(StructType(Seq(
+      StructField("device", StringType), StructField("util", DoubleType))))),
+    StructField("fileSys", ArrayType(StructType(Seq(
+      StructField("name", StringType), StructField("mountPoint", StringType),
+      StructField("used", LongType), StructField("total", LongType)))))))
+
+  /** Flatten an enhanced-monitoring snapshot into per-partition rows
+    * with the reference's exact mapping (`input/system/rds/system.go:
+    * 159-253`): KiB→bytes ×1024 on the memory fields, swap_used =
+    * (total − free)×1024, disk utilization ONLY from the `rdsdev`
+    * device (the /rdsdbdata backing store), and the Aurora override —
+    * the /rdsdbdata partition reports the cluster VolumeBytesUsed
+    * metric against the fixed 128 TiB ceiling instead of the
+    * filesystem numbers. `df` must carry `is_aurora` and
+    * `aurora_volume_used`. Pure per-row JSON + column algebra; the
+    * explode(array(…)) fence keeps the payload parsed once per row. */
+  def rdsEnhanced(df: DataFrame, jsonCol: String): DataFrame = {
+    val m = from_json(col(jsonCol), RdsOsSchema)
+    df.withColumn("_m", explode(array(m)))
+      .filter(col("_m").isNotNull)
+      .withColumn("_fs", explode(col("_m.fileSys")))
+      .select(
+        df.columns.filterNot(_ == jsonCol).map(col) ++ Seq(
+          col("_m.instanceID").as("instance_id"),
+          col("_m.numVCPUs").as("n_vcpus"),
+          col("_m.cpuUtilization.user").as("cpu_user_pct"),
+          col("_m.cpuUtilization.idle").as("cpu_idle_pct"),
+          col("_m.cpuUtilization.wait").as("cpu_iowait_pct"),
+          col("_m.loadAverageMinute.one").as("loadavg1"),
+          (col("_m.memory.total") * 1024).as("mem_total_bytes"),
+          (col("_m.memory.cached") * 1024).as("mem_cached_bytes"),
+          ((col("_m.swap.total") - col("_m.swap.free")) * 1024)
+            .as("swap_used_bytes"),
+          expr("filter(_m.diskIO, d -> d.device = 'rdsdev')[0].util")
+            .as("disk_util_pct"),
+          col("_fs.name").as("partition_name"),
+          col("_fs.mountPoint").as("mount_point"),
+          when(col("is_aurora") && col("_fs.mountPoint") === "/rdsdbdata",
+            col("aurora_volume_used"))
+            .otherwise(col("_fs.used") * 1024).as("used_bytes"),
+          when(col("is_aurora") && col("_fs.mountPoint") === "/rdsdbdata",
+            lit(AuroraMaxStorage))
+            .otherwise(col("_fs.total") * 1024).as("total_bytes")): _*)
+  }
 }
