@@ -79,9 +79,39 @@ object OraclesCatalog {
       |       ELSE 4096 * 1024 END AS BIGINT) AS total_bytes
       |FROM fs""".stripMargin
 
+  /** S34/Crunchy: same metric mapping, same exact-integer centi-percent
+    * averaging, same left-to-right idle residual. */
+  private val s34ProviderMetrics: String = {
+    def avgOf(m: String) =
+      s"""(CAST(sum(CASE WHEN metric = '$m' THEN cp END) AS DOUBLE) /
+         |      sum(CASE WHEN metric = '$m' THEN 1 ELSE 0 END)) / 100.0""".stripMargin
+    s"""WITH e AS (
+       |  SELECT user_id % 5 AS server_id,
+       |    CASE event_type WHEN 'click' THEN 'cpu_iowait'
+       |      WHEN 'view' THEN 'cpu_system'
+       |      WHEN 'purchase' THEN 'cpu_user'
+       |      WHEN 'signup' THEN 'cpu_steal'
+       |      ELSE 'mem_used_pct' END AS metric,
+       |    CAST(floor(value * 100) AS BIGINT) AS cp
+       |  FROM events),
+       |a AS (
+       |  SELECT server_id,
+       |    ${avgOf("cpu_iowait")} AS iowait_pct,
+       |    ${avgOf("cpu_system")} AS system_pct,
+       |    ${avgOf("cpu_user")} AS user_pct,
+       |    ${avgOf("cpu_steal")} AS steal_pct,
+       |    ${avgOf("mem_used_pct")} AS mem_used_pct
+       |  FROM e GROUP BY server_id)
+       |SELECT server_id, iowait_pct, system_pct, user_pct, steal_pct,
+       |  mem_used_pct,
+       |  100.0 - iowait_pct - system_pct - user_pct - steal_pct AS idle_pct
+       |FROM a""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "setup_recommendations" -> setupRecommendations,
     "s34_rds_enhanced" -> s34RdsEnhanced,
+    "s34_provider_metrics" -> s34ProviderMetrics,
     "s3_activity_scan" ->
       s"""WITH $backends
          |SELECT event_id, pid, db_oid, usename, state, backend_type, waiting

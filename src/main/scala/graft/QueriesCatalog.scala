@@ -402,6 +402,38 @@ object QueriesCatalog {
       .drop("aurora_volume_used")
   }
 
+  // S34/Crunchy — managed-provider metrics-API ingestion
+  // (input/system/crunchy_bridge/client.go:149-207, system.go:38-70):
+  // each metric arrives as a time series and is consumed as the
+  // AVERAGE of its points, and idle CPU is not reported — the
+  // reference derives it as the residual 100 − iowait − system − user
+  // − steal (system.go:55-57, left-to-right). Points are integerized
+  // (centi-percent) so the per-metric average is one exact-integer sum
+  // divided once — no float-accumulation-order hazard. One shuffle on
+  // (server, metric), k-row after.
+  def s34ProviderMetrics(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select((col("user_id") % 5).as("server_id"),
+        when(col("event_type") === "click", "cpu_iowait")
+          .when(col("event_type") === "view", "cpu_system")
+          .when(col("event_type") === "purchase", "cpu_user")
+          .when(col("event_type") === "signup", "cpu_steal")
+          .otherwise("mem_used_pct").as("metric"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cp"))
+    def avgOf(m: String): org.apache.spark.sql.Column =
+      (sum(when(col("metric") === m, col("cp"))).cast("double") /
+        sum(when(col("metric") === m, 1).otherwise(0))) / 100.0
+    val agg = e.groupBy("server_id").agg(
+      avgOf("cpu_iowait").as("iowait_pct"),
+      avgOf("cpu_system").as("system_pct"),
+      avgOf("cpu_user").as("user_pct"),
+      avgOf("cpu_steal").as("steal_pct"),
+      avgOf("mem_used_pct").as("mem_used_pct"))
+    agg.withColumn("idle_pct",
+      lit(100.0) - col("iowait_pct") - col("system_pct") - col("user_pct")
+        - col("steal_pct"))
+  }
+
   // S15 — extended-statistics scan (pg_statistic_ext: kinds arrays).
   def s15ExtStats(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
