@@ -2036,6 +2036,63 @@ object OraclesGen {
        |  CAST(count(a.n_id) AS DOUBLE) / count(*) AS recall_sq8
        |FROM bf LEFT JOIN ap a USING (q_id, n_id)""".stripMargin
 
+  /** Best-fit-decreasing packing: the engine's per-shard fold replayed
+    * as a sentinel-flat-list list_reduce (fills ++ [-1] ++ assigned
+    * example ids; elements are single-element BIGINT lists so the
+    * accumulator type matches). Best fit = max feasible fill; its
+    * FIRST index in the fills list is the engine's tie-break, and
+    * feasibility depends only on the value, so list_position is safe. */
+  val packBestfit: String = {
+    val h = fnvHuge("'shard:' || CAST(doc_id AS VARCHAR)")
+    // shared sub-expressions, inlined (DuckDB lambdas have no let)
+    val p = "list_position(acc, -1)"
+    val base = s"acc[1 : $p - 1]"
+    val asg = s"acc[$p + 1 : len(acc)]"
+    val feas = s"list_filter($base, f -> f + e[1] <= 512)"
+    val best = s"list_aggregate($feas, 'max')"
+    val ex = s"list_position($base, $best) - 1"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, n_tok, CAST($h % 16 AS INT) AS shard FROM d),
+       |lists AS (
+       |  SELECT shard,
+       |    list(struct_pack(doc_id := doc_id, n_tok := n_tok)
+       |      ORDER BY n_tok DESC, doc_id) AS docs
+       |  FROM sh GROUP BY shard),
+       |folded AS (
+       |  SELECT shard, docs,
+       |    list_reduce(list_prepend(CAST([-1] AS BIGINT[]),
+       |      list_transform(docs, x -> [x.n_tok])),
+       |      (acc, e) -> CASE
+       |        WHEN len($feas) = 0 THEN
+       |          list_concat(list_append($base, e[1]),
+       |            list_concat(CAST([-1] AS BIGINT[]),
+       |              list_append($asg, CAST(len($base) AS BIGINT))))
+       |        ELSE
+       |          list_concat(
+       |            list_transform(range(len($base)), i -> CASE
+       |              WHEN i = $ex THEN ($base)[i+1] + e[1]
+       |              ELSE ($base)[i+1] END),
+       |            list_concat(CAST([-1] AS BIGINT[]),
+       |              list_append($asg, CAST($ex AS BIGINT))))
+       |        END) AS acc
+       |  FROM lists),
+       |zipped AS (
+       |  SELECT shard,
+       |    unnest(docs) AS doc,
+       |    unnest(acc[list_position(acc, -1) + 1 : len(acc)]) AS ex
+       |  FROM folded)
+       |SELECT shard, ex AS example_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(doc.n_tok) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(doc.n_tok) AS BIGINT) / 512.0, 6) AS fill_ratio
+       |FROM zipped GROUP BY shard, ex""".stripMargin
+  }
+
   /** Hybrid RRF: same rarest-3-terms BM25 (term-ordered folds), same
     * brute-force cosine, RRF(60) fused with n_id tie-breaks. */
   val hybridSearchRrf: String =
@@ -2190,6 +2247,7 @@ object OraclesGen {
     "hybrid_search_rrf" -> hybridSearchRrf,
     "embed_mrl_recall" -> embedMrlRecall,
     "quantile_sketch" -> quantileSketch,
+    "pack_bestfit" -> packBestfit,
     "e2e_full_snapshot" -> e2eFullSnapshot,
     "e2e_compact_snapshot" -> e2eCompactSnapshot,
     "e2e_activity_snapshot" -> e2eActivitySnapshot,

@@ -1524,6 +1524,53 @@ object QueriesText {
         (col("cms_est") - col("cnt")).as("overcount"))
   }
 
+  /** Best-fit-decreasing sequence packing — the quality-packer
+    * companion to [[sampleSeqPack]]'s next-fit: per FNV shard, docs
+    * sorted by (n_tok DESC, doc_id) each land in the OPEN example with
+    * the highest feasible fill (ties → lowest example id), opening a
+    * new example only when none fits; an over-budget doc still gets
+    * its own example. Like all production packers this is sequential
+    * PER SHARD (a global BFD is inherently serial) — the fold is one
+    * aggregate HOF per shard group, and only the example rollup
+    * shuffles. The oracle replays the identical fold as a DuckDB
+    * list_reduce with the repo's sentinel-flat-list encoding (struct
+    * accumulators corrupt in DuckDB 1.0). */
+  def packBestfit(s: SparkSession, dir: String): DataFrame = {
+    val (shard, _) = graft.sinks.ShardWriter.shardOf("doc_id", 16)
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("shard", shard)
+    d.groupBy("shard")
+      .agg(sort_array(collect_list(struct((-col("n_tok")).as("neg"),
+        col("doc_id"), col("n_tok")))).as("ms"))
+      .withColumn("asg", expr(
+        """aggregate(ms,
+          |  struct(cast(array() as array<bigint>) as fills,
+          |         cast(array() as array<bigint>) as asg),
+          |  (acc, m) -> CASE
+          |    WHEN size(filter(acc.fills, f -> f + m.n_tok <= 512)) = 0 THEN
+          |      struct(concat(acc.fills, array(m.n_tok)) as fills,
+          |        concat(acc.asg, array(cast(size(acc.fills) as bigint)))
+          |          as asg)
+          |    ELSE
+          |      struct(
+          |        transform(acc.fills, (f, i) -> CASE
+          |          WHEN i = array_position(acc.fills,
+          |            array_max(filter(acc.fills,
+          |              f2 -> f2 + m.n_tok <= 512))) - 1
+          |          THEN f + m.n_tok ELSE f END) as fills,
+          |        concat(acc.asg, array(array_position(acc.fills,
+          |          array_max(filter(acc.fills,
+          |            f2 -> f2 + m.n_tok <= 512))) - 1)) as asg)
+          |    END,
+          |  acc -> acc.asg)""".stripMargin))
+      .select(col("shard"), explode(arrays_zip(col("ms"), col("asg"))).as("z"))
+      .groupBy(col("shard"), col("z.asg").as("example_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("z.ms.n_tok").as("n_tokens"))
+      .withColumn("fill_ratio", round(col("n_tokens") / 512.0, 6))
+  }
+
   /** Deterministic train/validation/test split: FNV-1a over
     * `split:<doc_id>` routes each document to a bucket in [0, 256) —
     * 80/10/10 by bucket range, reproducible across engines and cluster

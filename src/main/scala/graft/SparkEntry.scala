@@ -141,6 +141,7 @@ object SparkEntry {
     "hybrid_search_rrf" -> (QueriesText.hybridSearchRrf _),
     "embed_mrl_recall" -> (QueriesText.embedMrlRecall _),
     "quantile_sketch" -> (QueriesText.quantileSketch _),
+    "pack_bestfit" -> (QueriesText.packBestfit _),
     "corpus_distinct_by_source" -> (QueriesText.corpusDistinctBySource _),
     "mix_kl_divergence" -> (QueriesText.mixKlDivergence _),
     "sample_stratified" -> (QueriesText.sampleStratified _),
