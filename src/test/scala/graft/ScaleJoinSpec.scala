@@ -163,6 +163,38 @@ class ScaleJoinSpec extends SparkSpec {
       s"embed_sq8_recall: bounds scalar + brute-force shapes only:\n${sq8.take(2000)}")
   }
 
+  test("round-6 session-2 late operators hold the plan discipline") {
+    // per-shard BFD packing and the provider-metrics rollup are
+    // single-shuffle group-folds; the RDS envelope parse is pure
+    // per-row JSON work (one exchange only if AQE coalesces)
+    Seq(
+      "pack_bestfit" -> QueriesText.packBestfit(spark, Sf),
+      "s34_provider_metrics" -> QueriesCatalog.s34ProviderMetrics(spark, Sf))
+      .foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name must not plan a cartesian product:\n${plan.take(2000)}")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name must not plan a nested-loop join:\n${plan.take(2000)}")
+      }
+    // quantile_sketch: the 5-row quantile grid crosses the k-bounded
+    // histogram/value tables on an inequality — k-row × k-row by
+    // construction, never corpus-scale
+    val qs = QueriesText.quantileSketch(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!qs.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(qs).length <= 3,
+      s"quantile_sketch: only the grid-vs-sketch crosses:\n${qs.take(2000)}")
+    val rds = QueriesCatalog.s34RdsEnhanced(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!rds.contains("Exchange"),
+      s"s34_rds_enhanced is per-row work and must not shuffle:\n${rds.take(2000)}")
+    // MRL recall is three deliberate brute-force arms + the truth arm
+    val mrl = QueriesText.embedMrlRecall(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!mrl.contains("CartesianProduct"))
+  }
+
   test("cloud adapters parse the envelope exactly once per record") {
     // the explode(array(...)) fences keep pushed-down filters from
     // re-substituting from_json per conjunct (a per-row 5x JSON parse)
