@@ -1336,16 +1336,16 @@ object QueriesText {
     * [[docDecontaminate]]: instead of equi-joining the corpus
     * fingerprint stream against the benchmark set, the benchmark's
     * winnow fingerprints are folded into a 4096-position Bloom filter
-    * (3 seeded FNV probes per fingerprint) whose SET POSITIONS travel
-    * as one broadcast array; membership is then a per-row array probe —
-    * the corpus never joins, never shuffles except the per-doc rollup.
-    * The exact intersection is computed alongside (also from a
-    * broadcast array) to MEASURE the one-sided error: Bloom has no
-    * false negatives, so `n_maybe - n_exact >= 0` row-wise — surfaced
-    * as `n_false_pos` rather than asserted. 4096 divides 2^64, so the
-    * engine's signed pmod equals the oracle's unsigned mod. At real
-    * scale the sorted position array becomes a bitset broadcast; the
-    * probe contract is identical. */
+    * (3 seeded FNV probes per fingerprint) that travels as a REAL
+    * 64-word bitset in one broadcast array — membership is two shifts
+    * and an AND per probe; the corpus never shuffles except the
+    * per-doc rollup. The exact intersection is computed alongside (a
+    * broadcast hash join on fp) to MEASURE the one-sided error: Bloom
+    * has no false negatives, so `n_maybe - n_exact >= 0` row-wise —
+    * surfaced as `n_false_pos` rather than asserted. 4096 divides
+    * 2^64, so the engine's signed pmod equals the oracle's unsigned
+    * mod (the oracle states membership as IN over the set positions —
+    * same predicate, scan-shaped only on the oracle side). */
   def decontamBloom(s: SparkSession, dir: String): DataFrame = {
     val M = 4096L
     def fnvOf(prefix: String, c: Column): Column =
@@ -1358,21 +1358,34 @@ object QueriesText {
       .localCheckpoint() // EAGER: feeds the bench bit-set AND the train scan
     val benchFps = d.filter(col("doc_id") % 97 === 0)
       .select(explode(col("fps")).as("fp")).distinct()
-    val bits = benchFps
+    // the filter travels as a REAL bitset: 4096 bits = 64 words,
+    // assembled by a bit_or aggregate over a dense word grid and
+    // broadcast as one 64-long array — membership is two shifts and an
+    // AND per probe, not a scan
+    val words = benchFps
       .select(explode(array((0 until 3).map(j =>
         pmod(fnvOf(s"b$j:", col("fp")), lit(M))): _*)).as("pos"))
-      .distinct()
-      .agg(sort_array(collect_list(col("pos"))).as("bits_arr"))
-    val benchArr = benchFps
-      .agg(sort_array(collect_list(col("fp"))).as("bench_arr"))
+      .groupBy(expr("pos div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 64 as int)))")
+        .as("b"))
+    val mask = s.range(M / 64).select(col("id").as("w"))
+      .join(words, Seq("w"), "left")
+      .agg(expr("transform(array_sort(collect_list(struct(w, " +
+        "coalesce(b, cast(0 as bigint)) as b))), x -> x.b)").as("mask"))
+    def bitTest(p: String): Column = expr(
+      s"(shiftright(element_at(mask, cast($p div 64 as int) + 1), " +
+        s"cast($p % 64 as int)) & 1) = 1")
     val tr = d.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id").as("train_id"), explode(col("fps")).as("fp"))
-      .crossJoin(broadcast(bits)).crossJoin(broadcast(benchArr))
+      .crossJoin(broadcast(mask))
+      .withColumn("p0", pmod(fnvOf("b0:", col("fp")), lit(M)))
+      .withColumn("p1", pmod(fnvOf("b1:", col("fp")), lit(M)))
+      .withColumn("p2", pmod(fnvOf("b2:", col("fp")), lit(M)))
       .withColumn("maybe_in",
-        array_contains(col("bits_arr"), pmod(fnvOf("b0:", col("fp")), lit(M))) &&
-        array_contains(col("bits_arr"), pmod(fnvOf("b1:", col("fp")), lit(M))) &&
-        array_contains(col("bits_arr"), pmod(fnvOf("b2:", col("fp")), lit(M))))
-      .withColumn("exact_in", array_contains(col("bench_arr"), col("fp")))
+        bitTest("p0") && bitTest("p1") && bitTest("p2"))
+      // exact side: broadcast HASH join (O(1) per row), not a scan
+      .join(broadcast(benchFps.withColumn("eh", lit(1))), Seq("fp"), "left")
+      .withColumn("exact_in", col("eh").isNotNull)
     tr.groupBy("train_id")
       .agg(
         count(lit(1)).as("n_fps"),
