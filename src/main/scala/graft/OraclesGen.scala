@@ -2057,14 +2057,17 @@ object OraclesGen {
        |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
        |  FROM documents),
        |sh AS (
-       |  SELECT doc_id, n_tok, CAST($h % 16 AS INT) AS shard FROM d),
+       |  SELECT doc_id, n_tok, CAST($h % 16 AS INT) AS shard,
+       |    CAST((row_number() OVER (PARTITION BY CAST($h % 16 AS INT)
+       |      ORDER BY n_tok DESC, doc_id) - 1) // 512 AS BIGINT) AS batch
+       |  FROM d),
        |lists AS (
-       |  SELECT shard,
+       |  SELECT shard, batch,
        |    list(struct_pack(doc_id := doc_id, n_tok := n_tok)
        |      ORDER BY n_tok DESC, doc_id) AS docs
-       |  FROM sh GROUP BY shard),
+       |  FROM sh GROUP BY shard, batch),
        |folded AS (
-       |  SELECT shard, docs,
+       |  SELECT shard, batch, docs,
        |    list_reduce(list_prepend(CAST([-1] AS BIGINT[]),
        |      list_transform(docs, x -> [x.n_tok])),
        |      (acc, e) -> CASE
@@ -2082,15 +2085,15 @@ object OraclesGen {
        |        END) AS acc
        |  FROM lists),
        |zipped AS (
-       |  SELECT shard,
+       |  SELECT shard, batch,
        |    unnest(docs) AS doc,
        |    unnest(acc[list_position(acc, -1) + 1 : len(acc)]) AS ex
        |  FROM folded)
-       |SELECT shard, ex AS example_id,
+       |SELECT shard, batch, ex AS example_id,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(doc.n_tok) AS BIGINT) AS n_tokens,
        |  round(CAST(sum(doc.n_tok) AS BIGINT) / 512.0, 6) AS fill_ratio
-       |FROM zipped GROUP BY shard, ex""".stripMargin
+       |FROM zipped GROUP BY shard, batch, ex""".stripMargin
   }
 
   /** Hybrid RRF: same rarest-3-terms BM25 (term-ordered folds), same
