@@ -2290,6 +2290,18 @@ object OraclesGen {
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok)
         |SELECT w, cnt, CAST(cnt AS DOUBLE) / n_tokens AS share
         |FROM cnt, tot WHERE cnt * 201 > n_tokens""".stripMargin,
+    // Streaming MG: same final-answer contract as the batch entry —
+    // the guarantee threshold makes the answer sketch-, shard- and
+    // batch-boundary-independent, so the exact GROUP BY gates it.
+    "stream_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> len(w) > 0)) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok)
+        |SELECT w, cnt, CAST(cnt AS DOUBLE) / n_tokens AS share
+        |FROM cnt, tot WHERE cnt * 201 > n_tokens""".stripMargin,
     "sample_mix_sources" -> sampleMixSources,
     "doc_decontaminate" -> docDecontaminate,
     "text_vocab_topk" -> textVocabTopK,

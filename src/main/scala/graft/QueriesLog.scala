@@ -442,6 +442,62 @@ object QueriesLog {
     result
   }
 
+  // Streaming heavy hitters — per-word-hash-shard Misra–Gries state
+  // merged across REAL micro-batches under the gate (the input is
+  // written as two files and drained with maxFilesPerTrigger=1, so
+  // the sketch genuinely carries across batch boundaries), then the
+  // exact second pass over the corpus. Sharding preserves the global
+  // n/(k+1) guarantee (all of a word's occurrences share a shard and
+  // the shard count ≤ n), so the final answer is arrival-order- and
+  // batch-boundary-independent — gated by the same plain GROUP BY
+  // oracle as the batch entry.
+  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val K = 200
+    val tmp = scratchDir("graft_shh")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val h = org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.Fnv64Expr(
+        org.apache.spark.sql.GraftNative.expression(col("w"))))
+    val toks = Tables.documents(s, dir)
+      .select(explode(graft.functions.TextFns.words(col("text"))).as("w"))
+      .select(pmod(h, lit(16L)).cast("int").as("grp"), col("w"))
+    toks.repartition(2).write.mode("overwrite").parquet(inDir)
+    val stream = s.readStream.schema(toks.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .as[graft.streaming.StreamingHeavyHitters.Tok]
+    val cands = graft.streaming.StreamingHeavyHitters(stream, K).toDF()
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      cands.schema).write.mode("overwrite").parquet(outDir)
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = cands.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("update")
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val wlast = Window.partitionBy("grp").orderBy(col("gen").desc)
+    val candWords = s.read.parquet(outDir)
+      .withColumn("rn", row_number().over(wlast))
+      .filter(col("rn") === 1)
+      .select(explode(col("words")).as("w")).distinct()
+    val result = toks.select("w").join(broadcast(candWords), Seq("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_tokens"))))
+      .filter(col("cnt") * (K + 1) > col("n_tokens"))
+      .select(col("w"), col("cnt"),
+        (col("cnt").cast("double") / col("n_tokens")).as("share"))
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    result
+  }
+
   // Streaming NEAR-dup — the incremental form of the MinHash→LSH
   // pipeline: per-LSH-bucket first-claimant state (StreamingNearDup)
   // drained under the gate, then the per-band match records combined

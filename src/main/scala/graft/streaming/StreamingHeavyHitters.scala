@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming heavy hitters — the incremental form of the two-pass
+  * Misra–Gries pattern behind `text_heavy_hitters`: tokens arrive in
+  * micro-batches and each word-hash shard keeps its own k-counter MG
+  * sketch in the state store (state ≤ k entries per shard, merged
+  * incrementally across batches — never a per-word count).
+  *
+  * Sharding by word hash PRESERVES the global guarantee: all
+  * occurrences of a word land in one shard, and the shard's token
+  * count n_g ≤ n, so any word with global count > n/(k+1) also
+  * exceeds n_g/(k+1) and must survive its shard's sketch. The union
+  * of shard candidate sets (≤ shards×k words) therefore contains
+  * every true heavy hitter; the exact second pass + the n/(k+1)
+  * threshold then make the FINAL answer independent of sharding,
+  * batch boundaries and arrival order — which is why the plain
+  * GROUP BY oracle gates it.
+  *
+  * Each batch emits the shard's current candidate set stamped with a
+  * generation counter; the reader keeps the last generation per shard.
+  */
+object StreamingHeavyHitters {
+
+  case class Tok(grp: Int, w: String)
+  /** public: the state encoder's generated code must reach the ctor */
+  case class MgState(counts: Map[String, Long], gen: Long)
+  case class Cands(grp: Int, gen: Long, words: Seq[String])
+
+  /** One Misra–Gries update: increment if tracked, insert if room,
+    * otherwise decrement every counter (dropping zeros). */
+  private[graft] def mgAdd(
+      m: Map[String, Long], w: String, k: Int): Map[String, Long] =
+    m.get(w) match {
+      case Some(c) => m.updated(w, c + 1)
+      case None if m.size < k => m.updated(w, 1L)
+      case None =>
+        m.flatMap { case (kw, c) =>
+          if (c - 1 > 0) Some(kw -> (c - 1)) else None
+        }
+    }
+
+  def apply(rows: Dataset[Tok], k: Int): Dataset[Cands] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.grp)
+      .mapGroupsWithState[MgState, Cands](GroupStateTimeout.NoTimeout) {
+        (g: Int, it: Iterator[Tok], state: GroupState[MgState]) =>
+          var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          it.foreach(t => m = mgAdd(m, t.w, k))
+          val gen = state.getOption.map(_.gen).getOrElse(0L) + 1
+          state.update(MgState(m, gen))
+          Cands(g, gen, m.keys.toSeq.sorted)
+      }
+  }
+}

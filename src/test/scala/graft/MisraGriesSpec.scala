@@ -36,6 +36,40 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("streaming MG state fold: bound, survival, cross-batch merge") {
+    import graft.streaming.StreamingHeavyHitters.mgAdd
+    val k = 3
+    // insert / increment / decrement-all semantics
+    var m = Map.empty[String, Long]
+    Seq("a", "b", "c").foreach(w => m = mgAdd(m, w, k))
+    assert(m === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    m = mgAdd(m, "a", k)
+    assert(m("a") === 2L)
+    m = mgAdd(m, "d", k) // full, miss → decrement all, zeros dropped
+    assert(m === Map("a" -> 1L))
+    // the k-bound holds under any stream
+    val stream = (1 to 500).map(i => s"w${i % 17}")
+    var big = Map.empty[String, Long]
+    stream.foreach(w => big = mgAdd(big, w, k))
+    assert(big.size <= k)
+    // guarantee: a word above n/(k+1) survives ANY arrival order —
+    // including split across "batches" (state carries between folds,
+    // which is exactly what the streaming operator's GroupState does)
+    val hot = Seq.fill(40)("hot")
+    val noise = (1 to 60).map(i => s"n$i")
+    Seq(
+      hot ++ noise, noise ++ hot,
+      (hot.take(20) ++ noise.take(30)) ++ (noise.drop(30) ++ hot.drop(20)))
+      .foreach { order =>
+        var st = Map.empty[String, Long]
+        // fold in two batches to model micro-batch boundaries
+        val (b1, b2) = order.splitAt(order.length / 2)
+        b1.foreach(w => st = mgAdd(st, w, k))
+        b2.foreach(w => st = mgAdd(st, w, k))
+        assert(st.contains("hot"), s"hot lost in order=${order.take(5)}…")
+      }
+  }
+
   test("two-pass heavy hitters equals the exact answer at sf0.001") {
     val exact = {
       val toks = Tables.documents(spark, Sf)
