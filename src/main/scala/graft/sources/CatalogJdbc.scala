@@ -133,6 +133,30 @@ object CatalogJdbc {
        |WHERE $filter""".stripMargin
   }
 
+  /** Plan-stats scan variant split (`plans.go:8-40`): Aurora's
+    * `aurora_stat_plans` carries real io counters, a plan_type column
+    * (rows with 'no plan' — planid 0 cursor fetches — are excluded at
+    * the source) and a capture timestamp; the `pg_stat_plans`
+    * extension variant zero-fills the counters, stamps 'estimate' and
+    * captures at read time. Both normalize to ONE schema so the D2/J6
+    * plan pipeline is variant-independent. */
+  def plansSql(variant: String, table: String): String =
+    if (variant == "aurora")
+      s"""SELECT userid, dbid, toplevel, queryid, planid,
+         |  explain_plan AS plan, plan_type,
+         |  plan_captured_time, calls, total_exec_time,
+         |  "rows" AS rows_out, shared_blks_hit, shared_blks_read
+         |FROM $table
+         |WHERE plan_type IN ('estimate', 'actual')""".stripMargin
+    else
+      s"""SELECT userid, dbid, toplevel, queryid, planid, plan,
+         |  'estimate' AS plan_type,
+         |  CURRENT_TIMESTAMP AS plan_captured_time, calls,
+         |  total_exec_time, CAST(0 AS BIGINT) AS rows_out,
+         |  CAST(0 AS BIGINT) AS shared_blks_hit,
+         |  CAST(0 AS BIGINT) AS shared_blks_read
+         |FROM $table""".stripMargin
+
   // ------------------------------------------------------- JDBC reads
 
   private def readSql(s: SparkSession, src: PgSource, sql: String): DataFrame = {
@@ -162,6 +186,12 @@ object CatalogJdbc {
       nsTable: String = "pg_namespace"): DataFrame =
     readSql(s, src, relationsSql(src.pgMajor, src.systemType,
       classTable, nsTable))
+
+  /** Plan-stats scan ([[plansSql]] variants). */
+  def plans(s: SparkSession, src: PgSource, table: String): DataFrame =
+    readSql(s, src,
+      plansSql(if (src.systemType == "aurora") "aurora" else "extension",
+        table))
 
   /** The Aurora IO-timing quirk (`statements.go:431-450` +
     * `output/transform/postgres_statements.go:114-117`): Aurora reports

@@ -217,6 +217,28 @@ class CatalogJdbcSpec extends SparkSpec {
       }
       p16.executeBatch(); p17.executeBatch()
     } finally { p16.close(); p17.close() }
+    // plan stats, both source variants (plans.go:8-40): Aurora carries
+    // plan_type (incl. the excluded 'no plan' cursor rows) + io
+    // counters; the extension variant has neither
+    exec("CREATE TABLE aurora_plans (userid BIGINT, dbid BIGINT, " +
+      "toplevel BOOLEAN, queryid BIGINT, planid BIGINT, " +
+      "explain_plan VARCHAR(200), plan_type VARCHAR(20), " +
+      "plan_captured_time TIMESTAMP, calls BIGINT, " +
+      "total_exec_time DOUBLE, \"rows\" BIGINT, shared_blks_hit BIGINT, " +
+      "shared_blks_read BIGINT)")
+    exec("INSERT INTO aurora_plans VALUES " +
+      "(10, 1, true, 100, 1, '{\"Plan\":{}}', 'estimate', " +
+      "CURRENT_TIMESTAMP, 5, 1.5, 50, 7, 3), " +
+      "(10, 1, true, 100, 2, '{\"Plan\":{}}', 'actual', " +
+      "CURRENT_TIMESTAMP, 2, 0.5, 20, 1, 1), " +
+      "(10, 1, true, 101, 0, '', 'no plan', CURRENT_TIMESTAMP, 9, 9.0, " +
+      "0, 0, 0)")
+    exec("CREATE TABLE ext_plans (userid BIGINT, dbid BIGINT, " +
+      "toplevel BOOLEAN, queryid BIGINT, planid BIGINT, " +
+      "plan VARCHAR(200), calls BIGINT, total_exec_time DOUBLE)")
+    exec("INSERT INTO ext_plans VALUES " +
+      "(10, 1, true, 100, 1, '{\"Plan\":{}}', 5, 1.5), " +
+      "(11, 2, false, 102, 3, '{\"Plan\":{}}', 1, 0.1)")
   }
 
   private def scanFor(minor: Int, table: String): DataFrame =
@@ -343,6 +365,29 @@ class CatalogJdbcSpec extends SparkSpec {
       .filter(col("relname") === "events")
       .select("relation_has_oids").head.getBoolean(0)
     assert(post === false) // constant-false variant
+  }
+
+  test("plan-stats scan: aurora vs extension variants normalize to one schema") {
+    seeded
+    val aur = CatalogJdbc.plans(spark,
+      PgSource(url, pgMajor = 15, pgssMinor = 10, systemType = "aurora"),
+      "aurora_plans")
+    val ext = CatalogJdbc.plans(spark,
+      PgSource(url, pgMajor = 15, pgssMinor = 10), "ext_plans")
+    assert(aur.columns.toSeq === ext.columns.toSeq)
+    // 'no plan' cursor rows are excluded at the source (plans.go:6)
+    assert(aur.count() === 2)
+    assert(aur.filter(col("plan_type") === "no plan").count() === 0)
+    assert(aur.select("plan_type").distinct().collect().map(_.getString(0))
+      .toSet === Set("estimate", "actual"))
+    // aurora keeps real counters; extension zero-fills and stamps
+    // 'estimate' at read time
+    assert(aur.agg(max("rows_out")).head.getAs[Number](0).longValue === 50L)
+    assert(ext.count() === 2)
+    assert(ext.select("plan_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("estimate"))
+    assert(ext.agg(max("rows_out")).head.getAs[Number](0).longValue === 0L)
+    assert(ext.filter(col("plan_captured_time").isNull).count() === 0)
   }
 
   test("vacuum progress: pg16 vs pg17 field generations normalize to one schema") {
