@@ -2096,6 +2096,50 @@ object OraclesGen {
        |FROM zipped GROUP BY shard, batch, ex""".stripMargin
   }
 
+  /** Gopher char-fraction repetition signals: same n-gram windows,
+    * same tie-breaks, same integer-over-integer single divisions. */
+  val textDupNgramFrac: String = {
+    def ngSel(n: Int) =
+      s"""list_transform(range(len(ws) - $n + 1),
+         |    i -> array_to_string(ws[i+1 : i+$n], ' ')) AS ng$n""".stripMargin
+    def topFrac(n: Int) =
+      s"""CASE WHEN len(ng$n) = 0 THEN 0.0 ELSE
+         |  CAST(list_aggregate(list_transform(ng$n, g ->
+         |      len(list_filter(ng$n, h -> h = g))), 'max')
+         |    * length(replace(list_aggregate(list_filter(ng$n, g ->
+         |        len(list_filter(ng$n, h -> h = g)) =
+         |        list_aggregate(list_transform(ng$n, g2 ->
+         |          len(list_filter(ng$n, h -> h = g2))), 'max')), 'min'),
+         |      ' ', ''))
+         |    AS DOUBLE) / tc END AS top${n}_gram_frac""".stripMargin
+    def dupFrac(n: Int) =
+      s"""CASE WHEN len(ng$n) = 0 THEN 0.0 ELSE
+         |  CAST(COALESCE(list_aggregate(list_transform(
+         |    list_distinct(flatten(list_transform(
+         |      list_filter(range(len(ws) - $n + 1), i ->
+         |        len(list_filter(ng$n, h -> h = ng$n[i+1])) >= 2),
+         |      i -> range(i, i + $n)))),
+         |    p -> len(ws[p+1])), 'sum'), 0) AS DOUBLE) / tc
+         |  END AS dup${n}_gram_frac""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> len(w) > 0) AS ws
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, ws,
+       |    CAST(COALESCE(list_aggregate(list_transform(ws, w -> len(w)),
+       |      'sum'), 0) AS INT) AS tc
+       |  FROM d),
+       |ngs AS (
+       |  SELECT doc_id, ws, tc,
+       |    ${(2 to 10).map(ngSel).mkString(",\n    ")}
+       |  FROM base)
+       |SELECT doc_id, tc AS n_chars,
+       |  ${(2 to 4).map(topFrac).mkString(",\n  ")},
+       |  ${(5 to 10).map(dupFrac).mkString(",\n  ")}
+       |FROM ngs""".stripMargin
+  }
+
   /** Hybrid RRF: same rarest-3-terms BM25 (term-ordered folds), same
     * brute-force cosine, RRF(60) fused with n_id tie-breaks. */
   val hybridSearchRrf: String =
@@ -2251,6 +2295,7 @@ object OraclesGen {
     "embed_mrl_recall" -> embedMrlRecall,
     "quantile_sketch" -> quantileSketch,
     "pack_bestfit" -> packBestfit,
+    "text_dup_ngram_frac" -> textDupNgramFrac,
     "e2e_full_snapshot" -> e2eFullSnapshot,
     "e2e_compact_snapshot" -> e2eCompactSnapshot,
     "e2e_activity_snapshot" -> e2eActivitySnapshot,

@@ -404,6 +404,50 @@ object QueriesText {
         .otherwise(0.0).as("top_bigram_frac"))
   }
 
+  /** The rest of the Gopher repetition family (Rae et al., Table A1):
+    * fraction of characters inside the MOST FREQUENT {2,3,4}-gram
+    * (count × chars, ties to the lexicographically smallest gram) and
+    * fraction of characters covered by ANY duplicated {5..10}-gram
+    * (position coverage — overlapping occurrences count each character
+    * once). All pure per-row higher-order functions — O(L²) string
+    * compares per document over L ≤ ~110 words, zero shuffle at any
+    * corpus size; every fraction is exact-integer-over-integer in one
+    * division, so no float-order hazard and no rounding needed. */
+  def textDupNgramFrac(s: SparkSession, dir: String): DataFrame = {
+    def ng(n: Int): String =
+      s"CASE WHEN size(ws) >= $n THEN transform(sequence(0, size(ws) - $n), " +
+        s"i -> array_join(slice(ws, i + 1, $n), ' ')) " +
+        "ELSE cast(array() as array<string>) END"
+    def topFrac(n: Int): String =
+      s"""CASE WHEN size(ng$n) = 0 THEN 0D ELSE
+         |  CAST(array_max(transform(ng$n, g ->
+         |      size(filter(ng$n, h -> h = g))))
+         |    * length(replace(array_min(filter(ng$n, g ->
+         |        size(filter(ng$n, h -> h = g)) =
+         |        array_max(transform(ng$n, g2 ->
+         |          size(filter(ng$n, h -> h = g2)))))), ' ', ''))
+         |    AS DOUBLE) / tc END""".stripMargin
+    def dupFrac(n: Int): String =
+      s"""CASE WHEN size(ng$n) = 0 THEN 0D ELSE
+         |  CAST(aggregate(
+         |    array_distinct(flatten(transform(
+         |      filter(sequence(0, size(ws) - $n), i ->
+         |        size(filter(ng$n, h -> h = ng$n[i])) >= 2),
+         |      i -> sequence(i, i + $n - 1)))),
+         |    0, (acc, p) -> acc + length(ws[p])) AS DOUBLE) / tc END"""
+        .stripMargin
+    val base = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .withColumn("tc", expr("aggregate(ws, 0, (acc, w) -> acc + length(w))"))
+    val withNg = (2 to 10).foldLeft(base) { (df, n) =>
+      df.withColumn(s"ng$n", expr(ng(n)))
+    }
+    withNg.select(
+      Seq(col("doc_id"), col("tc").as("n_chars")) ++
+        (2 to 4).map(n => expr(topFrac(n)).as(s"top${n}_gram_frac")) ++
+        (5 to 10).map(n => expr(dupFrac(n)).as(s"dup${n}_gram_frac")): _*)
+  }
+
   /** Composed C4/Gopher-style quality gating: every rule evaluated
     * per document in ONE pass (all signals are per-row higher-order
     * functions — no shuffle, no UDF), with per-rule pass flags kept in
