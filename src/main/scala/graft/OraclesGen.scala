@@ -2102,22 +2102,23 @@ object OraclesGen {
     def ngSel(n: Int) =
       s"""list_transform(range(len(ws) - $n + 1),
          |    i -> array_to_string(ws[i+1 : i+$n], ' ')) AS ng$n""".stripMargin
+    def cnSel(n: Int) =
+      s"""list_transform(ng$n, g ->
+         |      len(list_filter(ng$n, h -> h = g))) AS cn$n""".stripMargin
     def topFrac(n: Int) =
       s"""CASE WHEN len(ng$n) = 0 THEN 0.0 ELSE
-         |  CAST(list_aggregate(list_transform(ng$n, g ->
-         |      len(list_filter(ng$n, h -> h = g))), 'max')
-         |    * length(replace(list_aggregate(list_filter(ng$n, g ->
-         |        len(list_filter(ng$n, h -> h = g)) =
-         |        list_aggregate(list_transform(ng$n, g2 ->
-         |          len(list_filter(ng$n, h -> h = g2))), 'max')), 'min'),
+         |  CAST(list_aggregate(cn$n, 'max')
+         |    * length(replace(list_aggregate(list_transform(
+         |        list_filter(range(len(ng$n)), i ->
+         |          cn$n[i+1] = list_aggregate(cn$n, 'max')),
+         |        i -> ng$n[i+1]), 'min'),
          |      ' ', ''))
          |    AS DOUBLE) / tc END AS top${n}_gram_frac""".stripMargin
     def dupFrac(n: Int) =
       s"""CASE WHEN len(ng$n) = 0 THEN 0.0 ELSE
          |  CAST(COALESCE(list_aggregate(list_transform(
          |    list_distinct(flatten(list_transform(
-         |      list_filter(range(len(ws) - $n + 1), i ->
-         |        len(list_filter(ng$n, h -> h = ng$n[i+1])) >= 2),
+         |      list_filter(range(len(ws) - $n + 1), i -> cn$n[i+1] >= 2),
          |      i -> range(i, i + $n)))),
          |    p -> len(ws[p+1])), 'sum'), 0) AS DOUBLE) / tc
          |  END AS dup${n}_gram_frac""".stripMargin
@@ -2130,10 +2131,14 @@ object OraclesGen {
        |    CAST(COALESCE(list_aggregate(list_transform(ws, w -> len(w)),
        |      'sum'), 0) AS INT) AS tc
        |  FROM d),
-       |ngs AS (
+       |ng0 AS (
        |  SELECT doc_id, ws, tc,
        |    ${(2 to 10).map(ngSel).mkString(",\n    ")}
-       |  FROM base)
+       |  FROM base),
+       |ngs AS (
+       |  SELECT *,
+       |    ${(2 to 10).map(cnSel).mkString(",\n    ")}
+       |  FROM ng0)
        |SELECT doc_id, tc AS n_chars,
        |  ${(2 to 4).map(topFrac).mkString(",\n  ")},
        |  ${(5 to 10).map(dupFrac).mkString(",\n  ")}

@@ -420,27 +420,29 @@ object QueriesText {
         "ELSE cast(array() as array<string>) END"
     def topFrac(n: Int): String =
       s"""CASE WHEN size(ng$n) = 0 THEN 0D ELSE
-         |  CAST(array_max(transform(ng$n, g ->
-         |      size(filter(ng$n, h -> h = g))))
-         |    * length(replace(array_min(filter(ng$n, g ->
-         |        size(filter(ng$n, h -> h = g)) =
-         |        array_max(transform(ng$n, g2 ->
-         |          size(filter(ng$n, h -> h = g2)))))), ' ', ''))
+         |  CAST(array_max(cn$n)
+         |    * length(replace(array_min(transform(
+         |        filter(sequence(0, size(ng$n) - 1), i ->
+         |          cn$n[i] = array_max(cn$n)),
+         |        i -> ng$n[i])), ' ', ''))
          |    AS DOUBLE) / tc END""".stripMargin
     def dupFrac(n: Int): String =
       s"""CASE WHEN size(ng$n) = 0 THEN 0D ELSE
          |  CAST(aggregate(
          |    array_distinct(flatten(transform(
-         |      filter(sequence(0, size(ws) - $n), i ->
-         |        size(filter(ng$n, h -> h = ng$n[i])) >= 2),
+         |      filter(sequence(0, size(ws) - $n), i -> cn$n[i] >= 2),
          |      i -> sequence(i, i + $n - 1)))),
          |    0, (acc, p) -> acc + length(ws[p])) AS DOUBLE) / tc END"""
         .stripMargin
     val base = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
       .withColumn("tc", expr("aggregate(ws, 0, (acc, w) -> acc + length(w))"))
+    // per-n occurrence-count arrays materialized ONCE per row — every
+    // signal below reads them instead of re-running the O(L²) count
     val withNg = (2 to 10).foldLeft(base) { (df, n) =>
       df.withColumn(s"ng$n", expr(ng(n)))
+        .withColumn(s"cn$n",
+          expr(s"transform(ng$n, g -> size(filter(ng$n, h -> h = g)))"))
     }
     withNg.select(
       Seq(col("doc_id"), col("tc").as("n_chars")) ++
