@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scan-efficiency discipline: predicates must reach the parquet
+  * reader as PushedFilters and projections must prune ReadSchema —
+  * the two properties that decide whether a 100 TB scan reads 100 TB
+  * or a fraction of it. Asserted on the physical plan text, both for
+  * raw table access and through real SparkEntry queries (fanOut's
+  * repartition must not fence either property). */
+class PushdownSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String = {
+    val qe = df.queryExecution
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode
+      .fromString("formatted"))
+  }
+
+  test("filters push through fanOut to the parquet scan") {
+    val df = Tables.fanOut(Tables.documents(spark, Sf))
+      .filter(col("doc_id") < 100)
+      .select("doc_id", "lang")
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(doc_id,100)"),
+      s"doc_id predicate not pushed:\n$plan")
+  }
+
+  test("projection prunes ReadSchema to the consumed columns") {
+    val df = Tables.documents(spark, Sf).select("doc_id", "lang")
+    val plan = formatted(df)
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang"),
+      s"consumed columns missing:\n$readSchema")
+    assert(!readSchema.contains("text") && !readSchema.contains("n_chars"),
+      s"scan reads columns the query never consumes:\n$readSchema")
+  }
+
+  test("a real entry's scan is pruned and filtered") {
+    // s1_projection_scan: static predicates must reach the reader and
+    // the 16-column lineitem scan must narrow to the consumed five
+    val s1 = formatted(Queries.s1ProjectionScan(spark, Sf))
+    assert(s1.contains("PushedFilters") &&
+      s1.contains("GreaterThan(l_discount,0.05)"),
+      s"s1 predicates not pushed:\n${s1.take(3000)}")
+    val rs = s1.linesIterator.filter(_.trim.startsWith("ReadSchema"))
+      .mkString("\n")
+    assert(rs.nonEmpty && !rs.contains("l_comment"),
+      s"s1 scan must prune unused lineitem columns:\n$rs")
+  }
+}
