@@ -762,6 +762,28 @@ object OraclesGen {
        |    AS perplexity
        |FROM sc GROUP BY doc_id""".stripMargin
 
+  /** CCNet perplexity buckets: same rounded-ppl floors, same histogram
+    * thresholds with exact-integer tertile targets. */
+  val corpusPplBuckets: String =
+    s"""WITH lm AS ($textLmScore),
+       |l2 AS (SELECT doc_id, perplexity,
+       |         CAST(floor(perplexity * 16) AS BIGINT) AS pf FROM lm),
+       |hist AS (SELECT pf, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM l2 GROUP BY pf),
+       |hc AS (SELECT pf,
+       |         CAST(sum(cnt) OVER (ORDER BY pf) AS BIGINT) AS cum,
+       |         CAST(sum(cnt) OVER () AS BIGINT) AS tot
+       |       FROM hist),
+       |th AS (SELECT
+       |         min(CASE WHEN cum >= (tot + 2) // 3 THEN pf END) AS th1,
+       |         min(CASE WHEN cum >= (tot * 2 + 2) // 3 THEN pf END) AS th2
+       |       FROM hc)
+       |SELECT doc_id, perplexity, pf AS ppl_floor,
+       |  CASE WHEN pf <= th1 THEN 'head'
+       |       WHEN pf <= th2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM l2 CROSS JOIN th""".stripMargin
+
   /** Exact substring dedup: rebuilds the duplicated-5-gram set with the
     * same FNV64 window hashes, expands coverage, and re-derives the
     * per-doc counts and surviving token stream. */
@@ -2322,6 +2344,7 @@ object OraclesGen {
     "tokenizer_bpe_encode" -> tokenizerBpeEncode,
     "dedup_substrings" -> dedupSubstrings,
     "text_lm_score" -> textLmScore,
+    "corpus_ppl_buckets" -> corpusPplBuckets,
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,
     "corpus_distinct_hll" -> corpusDistinctHll,

@@ -704,6 +704,41 @@ object QueriesText {
         round(exp(-col("s") / col("n_bigrams")), 6).as("perplexity"))
   }
 
+  /** CCNet-style perplexity bucketing: the scored corpus split into
+    * head / middle / tail thirds by LM perplexity — the classic
+    * quality-stratification step before mixing. The split is
+    * SCALE-HONEST: no global rank/sort — thresholds come from an
+    * integer-floor perplexity histogram (k-bounded, map-side
+    * combinable, the [[quantileSketch]] shape) with exact-integer
+    * tertile targets ceil(n/3) = (n+2) div 3, then bucket assignment
+    * is a per-row compare against the two broadcast thresholds. All
+    * compares run on the ROUNDED perplexity (bit-identical in both
+    * engines), so the bucketing is deterministic. */
+  def corpusPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val lm = textLmScore(s, dir)
+      .select(col("doc_id"), col("perplexity"),
+        floor(col("perplexity") * 16).cast("long").as("pf"))
+      .localCheckpoint() // EAGER: feeds the histogram AND the assignment
+    val hist = lm.groupBy("pf").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        W.orderBy("pf").rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("tot", sum("cnt").over(
+        W.orderBy("pf").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val th = hist
+      .select(col("pf"), col("cum"),
+        ((col("tot") + 2) / 3).cast("long").as("t1"),
+        ((col("tot") * 2 + 2) / 3).cast("long").as("t2"))
+      .agg(
+        min(when(col("cum") >= col("t1"), col("pf"))).as("th1"),
+        min(when(col("cum") >= col("t2"), col("pf"))).as("th2"))
+    lm.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("perplexity"), col("pf").as("ppl_floor"),
+        when(col("pf") <= col("th1"), "head")
+          .when(col("pf") <= col("th2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Exact substring dedup (the Lee et al. "Deduplicating Training
     * Data" operator): find every 5-token window whose token sequence
     * occurs MORE THAN ONCE anywhere in the corpus, and strip the

@@ -143,6 +143,7 @@ object SparkEntry {
     "quantile_sketch" -> (QueriesText.quantileSketch _),
     "pack_bestfit" -> (QueriesText.packBestfit _),
     "text_dup_ngram_frac" -> (QueriesText.textDupNgramFrac _),
+    "corpus_ppl_buckets" -> (QueriesText.corpusPplBuckets _),
     "corpus_distinct_by_source" -> (QueriesText.corpusDistinctBySource _),
     "mix_kl_divergence" -> (QueriesText.mixKlDivergence _),
     "sample_stratified" -> (QueriesText.sampleStratified _),
