@@ -675,7 +675,11 @@ object OraclesCatalog {
         |      WHEN 2 THEN 'postgres, extra1, extra2' ELSE ' maindb ' END
         |      AS db_name_raw,
         |    CASE WHEN pk % 17 = 0 THEN 'sysid' || pk ELSE '' END AS preset_system_id,
-        |    CASE WHEN pk % 19 = 0 THEN 'amazon_rds' ELSE '' END AS preset_system_type
+        |    CASE WHEN pk % 19 = 0 THEN 'amazon_rds' ELSE '' END AS preset_system_type,
+        |    CASE WHEN pk % 23 = 0 THEN 'org-inst' || pk ELSE '' END AS tembo_namespace,
+        |    CASE WHEN pk % 29 = 0 THEN 'psorg' || pk % 11 ELSE '' END AS ps_org,
+        |    'psdb' || pk % 7 AS ps_db,
+        |    'main' AS ps_branch
         |  FROM h),
         |hh AS (
         |  SELECT *, host0 AS host,
@@ -735,6 +739,8 @@ object OraclesCatalog {
         |      WHEN gcp_proj <> '' AND gcp_inst <> '' THEN 'google_cloudsql'
         |      WHEN crunchy_id <> '' THEN 'crunchy_bridge'
         |      WHEN aiven_proj <> '' AND aiven_svc <> '' THEN 'aiven'
+        |      WHEN tembo_namespace <> '' THEN 'tembo'
+        |      WHEN ps_org <> '' THEN 'planetscale'
         |      WHEN host LIKE '%.neon.tech' THEN 'neon'
         |      WHEN host LIKE '%.supabase.co'
         |        OR host LIKE '%.pooler.supabase.com' THEN 'supabase'
@@ -752,6 +758,8 @@ object OraclesCatalog {
         |    WHEN 'google_cloudsql' THEN gcp_inst
         |    WHEN 'crunchy_bridge' THEN crunchy_id
         |    WHEN 'aiven' THEN aiven_svc
+        |    WHEN 'tembo' THEN tembo_namespace
+        |    WHEN 'planetscale' THEN ps_org || '/' || ps_db || '/' || ps_branch
         |    WHEN 'neon' THEN host
         |    WHEN 'supabase' THEN regexp_extract(host, '([^.]+)[.]supabase[.]co$', 1)
         |    ELSE self_id END END AS system_id,

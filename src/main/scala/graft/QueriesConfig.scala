@@ -126,6 +126,16 @@ object QueriesConfig {
         "CASE WHEN pk % 17 = 0 THEN 'sysid' || pk ELSE '' END"))
       .withColumn("preset_system_type", expr(
         "CASE WHEN pk % 19 = 0 THEN 'amazon_rds' ELSE '' END"))
+      // field-driven providers (identify_system.go:85-93): Tembo and
+      // PlanetScale sit between Aiven and Neon in branch order, so
+      // rows carrying these fields on a neon/supabase-shaped host
+      // genuinely exercise the precedence
+      .withColumn("tembo_namespace", expr(
+        "CASE WHEN pk % 23 = 0 THEN 'org-inst' || pk ELSE '' END"))
+      .withColumn("ps_org", expr(
+        "CASE WHEN pk % 29 = 0 THEN 'psorg' || pk % 11 ELSE '' END"))
+      .withColumn("ps_db", expr("'psdb' || pk % 7"))
+      .withColumn("ps_branch", lit("main"))
     resolveAll(cfg)
       .withColumn("port", expr(
         "CASE WHEN db_url <> '' THEN CAST(regexp_extract(db_url, ':(\\\\d+)/', 1) AS INT) " +
@@ -144,6 +154,8 @@ object QueriesConfig {
           "WHEN gcp_project_id <> '' AND gcp_instance_id <> '' THEN 'google_cloudsql' " +
           "WHEN crunchy_bridge_cluster_id <> '' THEN 'crunchy_bridge' " +
           "WHEN aiven_project_id <> '' AND aiven_service_id <> '' THEN 'aiven' " +
+          "WHEN tembo_namespace <> '' THEN 'tembo' " +
+          "WHEN ps_org <> '' THEN 'planetscale' " +
           "WHEN host LIKE '%.neon.tech' THEN 'neon' " +
           "WHEN host LIKE '%.supabase.co' OR host LIKE '%.pooler.supabase.com' " +
           "THEN 'supabase' ELSE 'self_hosted' END"))
@@ -160,6 +172,8 @@ object QueriesConfig {
           "WHEN 'google_cloudsql' THEN gcp_instance_id " +
           "WHEN 'crunchy_bridge' THEN crunchy_bridge_cluster_id " +
           "WHEN 'aiven' THEN aiven_service_id " +
+          "WHEN 'tembo' THEN tembo_namespace " +
+          "WHEN 'planetscale' THEN ps_org || '/' || ps_db || '/' || ps_branch " +
           "WHEN 'neon' THEN host " +
           "WHEN 'supabase' THEN regexp_extract(host, '([^.]+)[.]supabase[.]co$', 1) " +
           "ELSE self_id END END"))
