@@ -762,6 +762,92 @@ object OraclesGen {
        |    AS perplexity
        |FROM sc GROUP BY doc_id""".stripMargin
 
+  /** Unigram-LM tokenizer: the full E+M pass replayed — same seed
+    * substring frequencies and tie-breaks, the Viterbi fold as a
+    * flat-list list_reduce over the [dp0,bp0,dp1,bp1,…] interleaved
+    * accumulator (1-based here), and the backtrace as a recursive CTE
+    * over the per-position backpointer table. */
+  val tokenizerUnigram: String = {
+    val bestList =
+      """list_aggregate(list_transform(
+        |          list_filter(cands, c -> c.i = e[1]),
+        |          c -> [acc[2 * c.j + 1] + c.lp, -CAST(c.j AS DOUBLE)]),
+        |        'max')""".stripMargin
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |wcount AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+       |           FROM tok GROUP BY w),
+       |subs AS (
+       |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
+       |    SELECT wcnt, unnest(flatten(list_transform(range(1, 5), l ->
+       |      CASE WHEN length(w) >= l THEN
+       |        list_transform(range(0, length(w) - l + 1),
+       |          s2 -> substr(w, CAST(s2 + 1 AS INT), CAST(l AS INT)))
+       |      ELSE CAST([] AS VARCHAR[]) END))) AS piece
+       |    FROM wcount) t
+       |  GROUP BY piece),
+       |topv AS (SELECT piece, freq FROM subs WHERE length(piece) > 1
+       |         ORDER BY freq DESC, piece LIMIT 200),
+       |chars AS (SELECT piece, freq FROM subs WHERE length(piece) = 1),
+       |vocab0 AS (SELECT * FROM topv UNION ALL SELECT * FROM chars),
+       |tv AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM vocab0),
+       |vocab AS (
+       |  SELECT piece, freq,
+       |    round(ln(CAST(freq AS DOUBLE)) - ln(CAST(tot AS DOUBLE)), 6)
+       |      AS lp
+       |  FROM vocab0 CROSS JOIN tv),
+       |cand0 AS (
+       |  SELECT w, wcnt, u.i AS i, u.j AS j, u.piece AS piece FROM (
+       |    SELECT w, wcnt,
+       |      unnest(flatten(list_transform(range(1, length(w) + 1), i ->
+       |        list_transform(range(greatest(0, i - 4), i), j ->
+       |          struct_pack(i := i, j := j,
+       |            piece := substr(w, CAST(j + 1 AS INT),
+       |                            CAST(i - j AS INT))))))) AS u
+       |    FROM wcount) t),
+       |candj AS (
+       |  SELECT c.w, c.wcnt,
+       |    list(struct_pack(i := c.i, j := c.j, lp := v.lp)) AS cands
+       |  FROM cand0 c JOIN vocab v USING (piece)
+       |  GROUP BY c.w, c.wcnt),
+       |folded AS (
+       |  SELECT w, wcnt,
+       |    list_reduce(list_prepend(CAST([0, 0] AS DOUBLE[]),
+       |      list_transform(range(1, length(w) + 1),
+       |        i -> [CAST(i AS DOUBLE)])),
+       |      (acc, e) -> list_concat(acc, [
+       |        ($bestList)[1],
+       |        -($bestList)[2]])) AS acc
+       |  FROM candj),
+       |bpt AS (
+       |  SELECT w, CAST(p AS INT) AS p,
+       |    CAST(acc[CAST(2 * p + 2 AS INT)] AS INT) AS bpj
+       |  FROM (SELECT w, acc, unnest(range(1, length(w) + 1)) AS p
+       |        FROM folded) t),
+       |walk(w, p) AS (
+       |  SELECT w, CAST(length(w) AS INT) FROM folded
+       |  UNION ALL
+       |  SELECT walk.w, bpt.bpj FROM walk
+       |  JOIN bpt ON bpt.w = walk.w AND bpt.p = walk.p
+       |  WHERE walk.p > 0),
+       |pieces AS (
+       |  SELECT walk.w,
+       |    substr(walk.w, bpt.bpj + 1, walk.p - bpt.bpj) AS piece
+       |  FROM walk JOIN bpt ON bpt.w = walk.w AND bpt.p = walk.p
+       |  WHERE walk.p > 0),
+       |usage AS (
+       |  SELECT piece, CAST(sum(f.wcnt) AS BIGINT) AS m_count,
+       |    CAST(count(DISTINCT p2.w) AS BIGINT) AS n_words_using
+       |  FROM pieces p2 JOIN wcount f ON f.w = p2.w
+       |  GROUP BY piece)
+       |SELECT v.piece, v.freq, v.lp,
+       |  COALESCE(u.m_count, 0) AS m_count,
+       |  COALESCE(u.n_words_using, 0) AS n_words_using
+       |FROM vocab v LEFT JOIN usage u USING (piece)""".stripMargin
+  }
+
   /** CCNet perplexity buckets: same rounded-ppl floors, same histogram
     * thresholds with exact-integer tertile targets. */
   val corpusPplBuckets: String =
@@ -2345,6 +2431,7 @@ object OraclesGen {
     "dedup_substrings" -> dedupSubstrings,
     "text_lm_score" -> textLmScore,
     "corpus_ppl_buckets" -> corpusPplBuckets,
+    "tokenizer_unigram" -> tokenizerUnigram,
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,
     "corpus_distinct_hll" -> corpusDistinctHll,

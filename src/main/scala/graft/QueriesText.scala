@@ -1674,6 +1674,18 @@ object QueriesText {
       .withColumn("fill_ratio", round(col("n_tokens") / 512.0, 6))
   }
 
+  /** Unigram-LM tokenizer (SentencePiece family), one full E+M pass —
+    * see [[graft.operators.UnigramLm]]: seed substring vocabulary
+    * (top-200 multi-char pieces + all chars), Viterbi-best
+    * segmentation of every distinct word, M-step usage recount. The
+    * only corpus-scale stage is the word count. */
+  def tokenizerUnigram(s: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.fanOut(Tables.documents(s, dir))
+      .select(explode(TextFns.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    graft.operators.UnigramLm.emRound(wc, vocabTop = 200)
+  }
+
   /** Deterministic train/validation/test split: FNV-1a over
     * `split:<doc_id>` routes each document to a bucket in [0, 256) —
     * 80/10/10 by bucket range, reproducible across engines and cluster

@@ -144,6 +144,7 @@ object SparkEntry {
     "pack_bestfit" -> (QueriesText.packBestfit _),
     "text_dup_ngram_frac" -> (QueriesText.textDupNgramFrac _),
     "corpus_ppl_buckets" -> (QueriesText.corpusPplBuckets _),
+    "tokenizer_unigram" -> (QueriesText.tokenizerUnigram _),
     "corpus_distinct_by_source" -> (QueriesText.corpusDistinctBySource _),
     "mix_kl_divergence" -> (QueriesText.mixKlDivergence _),
     "sample_stratified" -> (QueriesText.sampleStratified _),
