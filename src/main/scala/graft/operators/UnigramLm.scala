@@ -92,8 +92,10 @@ object UnigramLm {
         |  ELSE ch END)""".stripMargin))
       .select(col("w"), col("wc"),
         expr("round(element_at(acc, -2), 6)").as("best_logp"),
+        // the walk visits boundaries end→start; reverse for pieces in
+        // left-to-right word order
         expr(
-          """transform(filter(chain, p -> p > 0),
+          """transform(reverse(filter(chain, p -> p > 0)),
             |  p -> substring(w, cast(acc[2 * p + 1] as int) + 1,
             |                 p - cast(acc[2 * p + 1] as int)))""".stripMargin)
           .as("pieces"))

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.UnigramLm
+
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wc(rows: (String, Long)*) = rows.toDF("w", "wc")
+
+  test("viterbi picks the highest-probability segmentation") {
+    // 'abcd' can segment as [ab, cd], [abc, d], [a, bcd], chars, …
+    // with this corpus 'ab' and 'cd' dominate the substring counts,
+    // so the two-piece segmentation must win
+    val counts = wc("abcd" -> 1L, "ab" -> 50L, "cd" -> 50L, "xyz" -> 1L)
+    val vocab = UnigramLm.seedVocab(counts, vocabTop = 20)
+    val seg = UnigramLm.viterbi(counts, vocab)
+      .filter(col("w") === "abcd")
+      .select("pieces").as[Seq[String]].head()
+    assert(seg === Seq("ab", "cd"), s"got $seg")
+  }
+
+  test("segmentation always covers the word exactly") {
+    val counts = Tables.documents(spark, Sf)
+      .select(explode(graft.functions.TextFns.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val vocab = UnigramLm.seedVocab(counts, vocabTop = 50)
+    val bad = UnigramLm.viterbi(counts, vocab)
+      .withColumn("joined", concat_ws("", col("pieces")))
+      .filter(col("joined") =!= col("w"))
+    assert(bad.isEmpty, bad.select("w", "joined").head(5).mkString(", "))
+  }
+
+  test("best logp is never worse than the all-chars segmentation") {
+    val counts = wc("spark" -> 3L, "spa" -> 5L, "rk" -> 5L)
+    val vocab = UnigramLm.seedVocab(counts, vocabTop = 20)
+    val lpOf = vocab.select("piece", "lp").as[(String, Double)]
+      .collect().toMap
+    val charSum = "spark".map(c => lpOf(c.toString)).sum
+    val best = UnigramLm.viterbi(counts, vocab)
+      .filter(col("w") === "spark")
+      .select("best_logp").as[Double].head()
+    assert(best >= charSum - 1e-9, s"best=$best charSum=$charSum")
+  }
+}
