@@ -767,13 +767,13 @@ object OraclesGen {
     * flat-list list_reduce over the [dp0,bp0,dp1,bp1,…] interleaved
     * accumulator (1-based here), and the backtrace as a recursive CTE
     * over the per-position backpointer table. */
-  val tokenizerUnigram: String = {
+  private val unigramCtes: String = {
     val bestList =
       """list_aggregate(list_transform(
         |          list_filter(cands, c -> c.i = e[1]),
         |          c -> [acc[2 * c.j + 1] + c.lp, -CAST(c.j AS DOUBLE)]),
         |        'max')""".stripMargin
-    s"""WITH RECURSIVE tok AS (
+    s"""tok AS (
        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
        |    x -> len(x) > 0)) AS w
        |  FROM documents),
@@ -836,7 +836,11 @@ object OraclesGen {
        |  SELECT walk.w,
        |    substr(walk.w, bpt.bpj + 1, walk.p - bpt.bpj) AS piece
        |  FROM walk JOIN bpt ON bpt.w = walk.w AND bpt.p = walk.p
-       |  WHERE walk.p > 0),
+       |  WHERE walk.p > 0)""".stripMargin
+  }
+
+  val tokenizerUnigram: String =
+    s"""WITH RECURSIVE $unigramCtes,
        |usage AS (
        |  SELECT piece, CAST(sum(f.wcnt) AS BIGINT) AS m_count,
        |    CAST(count(DISTINCT p2.w) AS BIGINT) AS n_words_using
@@ -846,7 +850,23 @@ object OraclesGen {
        |  COALESCE(u.m_count, 0) AS m_count,
        |  COALESCE(u.n_words_using, 0) AS n_words_using
        |FROM vocab v LEFT JOIN usage u USING (piece)""".stripMargin
-  }
+
+  /** Corpus encoded under the trained unigram vocab: per-doc piece
+    * counts from the shared segmentation CTEs. */
+  val tokenizerUnigramEncode: String =
+    s"""WITH RECURSIVE $unigramCtes,
+       |wpieces AS (SELECT w, CAST(count(*) AS BIGINT) AS np
+       |            FROM pieces GROUP BY w),
+       |dtok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0)) AS w
+       |  FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(np) AS DOUBLE) / count(*) AS pieces_per_word
+       |FROM dtok JOIN wpieces USING (w)
+       |GROUP BY doc_id""".stripMargin
 
   /** CCNet perplexity buckets: same rounded-ppl floors, same histogram
     * thresholds with exact-integer tertile targets. */
@@ -2432,6 +2452,7 @@ object OraclesGen {
     "text_lm_score" -> textLmScore,
     "corpus_ppl_buckets" -> corpusPplBuckets,
     "tokenizer_unigram" -> tokenizerUnigram,
+    "tokenizer_unigram_encode" -> tokenizerUnigramEncode,
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,
     "corpus_distinct_hll" -> corpusDistinctHll,

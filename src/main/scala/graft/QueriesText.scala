@@ -1686,6 +1686,26 @@ object QueriesText {
     graft.operators.UnigramLm.emRound(wc, vocabTop = 200)
   }
 
+  /** Corpus encoded under the trained unigram vocab (the encode half,
+    * mirroring tokenizer_bpe_encode): the Viterbi segmentation runs
+    * once per DISTINCT word; the corpus is tokenized by ONE broadcast
+    * join against that table. Per-doc piece counts are exact-integer
+    * sums; the ratio is one division. */
+  def tokenizerUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
+    val wc = toks.groupBy("w").agg(count(lit(1)).as("wc"))
+    val vocab = graft.operators.UnigramLm.seedVocab(wc, vocabTop = 200)
+    val seg = graft.operators.UnigramLm.viterbi(wc, vocab)
+      .select(col("w"), size(col("pieces")).cast("long").as("np"))
+    toks.join(broadcast(seg), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words"))
+          .as("pieces_per_word"))
+  }
+
   /** Deterministic train/validation/test split: FNV-1a over
     * `split:<doc_id>` routes each document to a bucket in [0, 256) —
     * 80/10/10 by bucket range, reproducible across engines and cluster

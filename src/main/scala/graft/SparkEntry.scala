@@ -145,6 +145,7 @@ object SparkEntry {
     "text_dup_ngram_frac" -> (QueriesText.textDupNgramFrac _),
     "corpus_ppl_buckets" -> (QueriesText.corpusPplBuckets _),
     "tokenizer_unigram" -> (QueriesText.tokenizerUnigram _),
+    "tokenizer_unigram_encode" -> (QueriesText.tokenizerUnigramEncode _),
     "corpus_distinct_by_source" -> (QueriesText.corpusDistinctBySource _),
     "mix_kl_divergence" -> (QueriesText.mixKlDivergence _),
     "sample_stratified" -> (QueriesText.sampleStratified _),
