@@ -868,6 +868,67 @@ object OraclesGen {
        |FROM dtok JOIN wpieces USING (w)
        |GROUP BY doc_id""".stripMargin
 
+  /** URL canonicalization: same synth variants, same rule chain, same
+    * first-owner window. */
+  val dedupUrlCanonical: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 6 AS INT)
+      |      WHEN 0 THEN 'https://example' || doc_id % 40 || '.com/page/' || doc_id % 97
+      |      WHEN 1 THEN 'https://example' || doc_id % 40 || '.com:443/page/' || doc_id % 97
+      |      WHEN 2 THEN 'https://EXAMPLE' || doc_id % 40 || '.COM/page/' || doc_id % 97
+      |      WHEN 3 THEN 'https://example' || doc_id % 40 || '.com/page/' || doc_id % 97 || '/'
+      |      WHEN 4 THEN 'https://example' || doc_id % 40 || '.com/page/' || doc_id % 97 || '?utm_source=feed&utm_campaign=x'
+      |      ELSE 'https://example' || doc_id % 40 || '.com/page/' || doc_id % 97 || '?id=5&utm_medium=email#frag'
+      |    END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(url, '#.*$', '') AS nofrag
+      |  FROM d),
+      |c2 AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(lower(regexp_extract(nofrag,
+      |      '^[a-zA-Z]+://([^/?#]+)', 1)), ':443$', '') AS hostc,
+      |    regexp_extract(nofrag, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)
+      |      AS path0,
+      |    regexp_extract(nofrag, '\?([^#]*)', 1) AS q0
+      |  FROM c),
+      |c3 AS (
+      |  SELECT doc_id, url, hostc,
+      |    CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+      |      THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS pathc,
+      |    array_to_string(list_filter(string_split(q0, '&'),
+      |      p -> p <> '' AND NOT p LIKE 'utm_%'), '&') AS qkept
+      |  FROM c2),
+      |c4 AS (
+      |  SELECT doc_id, url,
+      |    'https://' || hostc || pathc ||
+      |      CASE WHEN qkept <> '' THEN '?' || qkept ELSE '' END
+      |      AS canonical_url
+      |  FROM c3)
+      |SELECT doc_id, url, canonical_url,
+      |  min(doc_id) OVER (PARTITION BY canonical_url
+      |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS canonical_owner,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY canonical_url
+      |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS is_dup
+      |FROM c4""".stripMargin
+
+  /** Char entropy: same char-ordered fold, one terminal round. */
+  val textEntropy: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[^\s]') AS ch
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(ch) AS INT) AS n_chars,
+      |  CAST(len(list_distinct(ch)) AS INT) AS n_distinct_chars,
+      |  round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(list_sort(list_distinct(ch)), c ->
+      |      (CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE) / len(ch))
+      |      * ln(CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE) / len(ch)))),
+      |    (a, b) -> a + b), 6) AS entropy
+      |FROM d""".stripMargin
+
   /** CCNet perplexity buckets: same rounded-ppl floors, same histogram
     * thresholds with exact-integer tertile targets. */
   val corpusPplBuckets: String =
@@ -2453,6 +2514,8 @@ object OraclesGen {
     "corpus_ppl_buckets" -> corpusPplBuckets,
     "tokenizer_unigram" -> tokenizerUnigram,
     "tokenizer_unigram_encode" -> tokenizerUnigramEncode,
+    "dedup_url_canonical" -> dedupUrlCanonical,
+    "text_entropy" -> textEntropy,
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,
     "corpus_distinct_hll" -> corpusDistinctHll,

@@ -1686,6 +1686,69 @@ object QueriesText {
     graft.operators.UnigramLm.emRound(wc, vocabTop = 200)
   }
 
+  /** URL canonicalization dedup — the crawl-pipeline rule set applied
+    * per row (fragment dropped, utm_* params stripped with other
+    * params kept in order, scheme+host lowercased, default :443 port
+    * removed, trailing slash trimmed), then first-owner dedup on the
+    * canonical form. URLs are synthesized from doc_id with variant
+    * shapes engineered to COLLIDE post-canonicalization, so every
+    * rule genuinely decides. One slim shuffle on the canonical key. */
+  def dedupUrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("url", expr(
+        """CASE CAST(doc_id % 6 AS INT)
+          |  WHEN 0 THEN 'https://example' || doc_id % 40 || '.com/page/' || doc_id % 97
+          |  WHEN 1 THEN 'https://example' || doc_id % 40 || '.com:443/page/' || doc_id % 97
+          |  WHEN 2 THEN 'https://EXAMPLE' || doc_id % 40 || '.COM/page/' || doc_id % 97
+          |  WHEN 3 THEN 'https://example' || doc_id % 40 || '.com/page/' || doc_id % 97 || '/'
+          |  WHEN 4 THEN 'https://example' || doc_id % 40 || '.com/page/' || doc_id % 97 || '?utm_source=feed&utm_campaign=x'
+          |  ELSE 'https://example' || doc_id % 40 || '.com/page/' || doc_id % 97 || '?id=5&utm_medium=email#frag'
+          |END""".stripMargin))
+      .withColumn("nofrag", expr("regexp_replace(url, '#.*$', '')"))
+      .withColumn("hostport", expr(
+        "lower(regexp_extract(nofrag, '^[a-zA-Z]+://([^/?#]+)', 1))"))
+      .withColumn("hostc", expr("regexp_replace(hostport, ':443$', '')"))
+      .withColumn("path0", expr(
+        "regexp_extract(nofrag, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)"))
+      .withColumn("pathc", expr(
+        "CASE WHEN length(path0) > 1 AND path0 LIKE '%/' " +
+          "THEN substring(path0, 1, length(path0) - 1) ELSE path0 END"))
+      .withColumn("q0", expr("regexp_extract(nofrag, '\\\\?([^#]*)', 1)"))
+      .withColumn("qkept", expr(
+        """array_join(filter(split(q0, '&'),
+          |  p -> p <> '' AND NOT p LIKE 'utm_%'), '&')""".stripMargin))
+      .withColumn("canonical_url", expr(
+        "'https://' || hostc || pathc || " +
+          "CASE WHEN qkept <> '' THEN '?' || qkept ELSE '' END"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical_url").orderBy("doc_id")
+    d.withColumn("canonical_owner",
+        first(col("doc_id")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+        col("canonical_owner"),
+        (col("doc_id") =!= col("canonical_owner")).as("is_dup"))
+  }
+
+  /** Character-level entropy — the Shannon quality signal (gibberish
+    * and boilerplate both sit at entropy extremes): per-row char
+    * counts over non-whitespace chars, -Σ p·ln p folded in SORTED
+    * char order so both engines accumulate identically, rounded once
+    * at the end. Pure per-row HOFs, zero shuffle. */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[^\\\\s]', 0)").as("ch"))
+      .select(col("doc_id"),
+        size(col("ch")).as("n_chars"),
+        size(array_distinct(col("ch"))).as("n_distinct_chars"),
+        round(expr(
+          """-aggregate(array_sort(array_distinct(ch)), 0D, (acc, c) ->
+            |  acc + (CAST(size(filter(ch, x -> x = c)) AS DOUBLE) / size(ch))
+            |      * ln(CAST(size(filter(ch, x -> x = c)) AS DOUBLE) / size(ch)))"""
+            .stripMargin), 6).as("entropy"))
+
   /** Corpus encoded under the trained unigram vocab (the encode half,
     * mirroring tokenizer_bpe_encode): the Viterbi segmentation runs
     * once per DISTINCT word; the corpus is tokenized by ONE broadcast

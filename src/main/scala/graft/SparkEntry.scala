@@ -146,6 +146,8 @@ object SparkEntry {
     "corpus_ppl_buckets" -> (QueriesText.corpusPplBuckets _),
     "tokenizer_unigram" -> (QueriesText.tokenizerUnigram _),
     "tokenizer_unigram_encode" -> (QueriesText.tokenizerUnigramEncode _),
+    "dedup_url_canonical" -> (QueriesText.dedupUrlCanonical _),
+    "text_entropy" -> (QueriesText.textEntropy _),
     "corpus_distinct_by_source" -> (QueriesText.corpusDistinctBySource _),
     "mix_kl_divergence" -> (QueriesText.mixKlDivergence _),
     "sample_stratified" -> (QueriesText.sampleStratified _),
