@@ -874,12 +874,12 @@ object OraclesGen {
     """WITH d AS (
       |  SELECT doc_id,
       |    CASE CAST(doc_id % 6 AS INT)
-      |      WHEN 0 THEN 'https://example' || doc_id % 40 || '.com/page/' || doc_id % 97
-      |      WHEN 1 THEN 'https://example' || doc_id % 40 || '.com:443/page/' || doc_id % 97
-      |      WHEN 2 THEN 'https://EXAMPLE' || doc_id % 40 || '.COM/page/' || doc_id % 97
-      |      WHEN 3 THEN 'https://example' || doc_id % 40 || '.com/page/' || doc_id % 97 || '/'
-      |      WHEN 4 THEN 'https://example' || doc_id % 40 || '.com/page/' || doc_id % 97 || '?utm_source=feed&utm_campaign=x'
-      |      ELSE 'https://example' || doc_id % 40 || '.com/page/' || doc_id % 97 || '?id=5&utm_medium=email#frag'
+      |      WHEN 0 THEN 'https://example' || doc_id % 80 % 8 || '.com/page/' || doc_id % 80 // 8
+      |      WHEN 1 THEN 'https://example' || doc_id % 80 % 8 || '.com:443/page/' || doc_id % 97
+      |      WHEN 2 THEN 'https://EXAMPLE' || doc_id % 80 % 8 || '.COM/page/' || doc_id % 80 // 8
+      |      WHEN 3 THEN 'https://example' || doc_id % 80 % 8 || '.com/page/' || doc_id % 80 // 8 || '/'
+      |      WHEN 4 THEN 'https://example' || doc_id % 80 % 8 || '.com/page/' || doc_id % 80 // 8 || '?utm_source=feed&utm_campaign=x'
+      |      ELSE 'https://example' || doc_id % 80 % 8 || '.com/page/' || doc_id % 80 // 8 || '?id=5&utm_medium=email#frag'
       |    END AS url
       |  FROM documents),
       |c AS (
