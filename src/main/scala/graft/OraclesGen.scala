@@ -868,6 +868,49 @@ object OraclesGen {
        |FROM dtok JOIN wpieces USING (w)
        |GROUP BY doc_id""".stripMargin
 
+  /** Curation funnel: the composed pipeline re-derived from the SAME
+    * stage oracles (quality-gate SQL, md5 fingerprint, winnow-overlap
+    * decontamination), canonical-min restricted to stage-2 survivors. */
+  lazy val corpusCurationFunnel: String =
+    s"""WITH q AS (${Oracles.sql("corpus_quality_gates")}),
+       |fpt AS (
+       |  SELECT doc_id,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM documents),
+       |ct AS (SELECT DISTINCT train_id AS doc_id FROM ($docDecontaminate) t0
+       |       WHERE n_shared >= 20),
+       |flags AS (
+       |  SELECT fpt.doc_id, fpt.fp, q.keep AS q_keep,
+       |    (fpt.doc_id % 97 = 0) AS is_bench,
+       |    (ct.doc_id IS NOT NULL) AS contaminated
+       |  FROM fpt JOIN q USING (doc_id)
+       |    LEFT JOIN ct ON ct.doc_id = fpt.doc_id),
+       |s AS (
+       |  SELECT *, NOT is_bench AS s1,
+       |    (NOT is_bench AND q_keep) AS s2
+       |  FROM flags),
+       |s3t AS (
+       |  SELECT *, min(CASE WHEN s2 THEN doc_id END)
+       |    OVER (PARTITION BY fp) AS canon2
+       |  FROM s),
+       |st AS (
+       |  SELECT *, (s2 AND doc_id = canon2) AS s3,
+       |    (s2 AND doc_id = canon2 AND NOT contaminated) AS s4
+       |  FROM s3t),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+       |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM st)
+       |SELECT CAST(1 AS INT) AS stage, 'benchmark_holdout' AS stage_name,
+       |  n_all AS n_in, n1 AS n_kept, n_all - n1 AS n_dropped FROM agg
+       |UNION ALL SELECT 2, 'quality_gate', n1, n2, n1 - n2 FROM agg
+       |UNION ALL SELECT 3, 'exact_dedup', n2, n3, n2 - n3 FROM agg
+       |UNION ALL SELECT 4, 'decontaminate', n3, n4, n3 - n4 FROM agg"""
+      .stripMargin
+
   /** URL canonicalization: same synth variants, same rule chain, same
     * first-owner window. */
   val dedupUrlCanonical: String =
@@ -2515,6 +2558,7 @@ object OraclesGen {
     "tokenizer_unigram" -> tokenizerUnigram,
     "tokenizer_unigram_encode" -> tokenizerUnigramEncode,
     "dedup_url_canonical" -> dedupUrlCanonical,
+    "corpus_curation_funnel" -> corpusCurationFunnel,
     "text_entropy" -> textEntropy,
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,

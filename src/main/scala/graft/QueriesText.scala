@@ -1686,6 +1686,58 @@ object QueriesText {
     graft.operators.UnigramLm.emRound(wc, vocabTop = 200)
   }
 
+  /** The corpus-curation funnel — the composed production pipeline as
+    * ONE accountable artifact: benchmark holdout → quality gate →
+    * exact-dedup canonical keep → decontamination, with per-stage
+    * attrition counts. Each rule REUSES the verified operator
+    * ([[corpusQualityGates]]'s keep conjunction,
+    * [[TextFns.contentFingerprint]]'s canonical-min window,
+    * [[docDecontaminate]]'s ≥3-shared-fingerprints flag), so the
+    * funnel and its stage entries can never drift apart. Canonicals
+    * are computed AMONG stage-2 survivors (a dropped doc must not
+    * shadow a surviving duplicate). One corpus pass per rule family,
+    * k-row output. */
+  def corpusCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFns.contentFingerprint(col("text")).as("fp"))
+    // funnel threshold ≥20 shared fingerprints (vs the pairwise
+    // entry's ≥3): calibrated so the stage genuinely partitions this
+    // heavily-overlapping corpus — the production decontamination knob
+    val contam = docDecontaminate(s, dir)
+      .filter(col("n_shared") >= 20)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val flags = fp
+      .join(corpusQualityGates(s, dir).select(col("doc_id"),
+        col("keep").as("q_keep")), Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("is_bench", col("doc_id") % 97 === 0)
+      .withColumn("s1", !col("is_bench"))
+      .withColumn("s2", col("s1") && col("q_keep"))
+      .withColumn("canon2", min(when(col("s2"), col("doc_id"))).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .withColumn("s3", col("s2") && col("doc_id") === col("canon2"))
+      .withColumn("s4",
+        col("s3") && !coalesce(col("contaminated"), lit(false)))
+    flags.agg(
+        count(lit(1)).as("n_all"),
+        sum(when(col("s1"), 1).otherwise(0)).as("n1"),
+        sum(when(col("s2"), 1).otherwise(0)).as("n2"),
+        sum(when(col("s3"), 1).otherwise(0)).as("n3"),
+        sum(when(col("s4"), 1).otherwise(0)).as("n4"))
+      .select(explode(array(
+        struct(lit(1).as("stage"), lit("benchmark_holdout").as("stage_name"),
+          col("n_all").as("n_in"), col("n1").as("n_kept")),
+        struct(lit(2).as("stage"), lit("quality_gate").as("stage_name"),
+          col("n1").as("n_in"), col("n2").as("n_kept")),
+        struct(lit(3).as("stage"), lit("exact_dedup").as("stage_name"),
+          col("n2").as("n_in"), col("n3").as("n_kept")),
+        struct(lit(4).as("stage"), lit("decontaminate").as("stage_name"),
+          col("n3").as("n_in"), col("n4").as("n_kept")))).as("r"))
+      .select(col("r.stage"), col("r.stage_name"), col("r.n_in"),
+        col("r.n_kept"), (col("r.n_in") - col("r.n_kept")).as("n_dropped"))
+  }
+
   /** URL canonicalization dedup — the crawl-pipeline rule set applied
     * per row (fragment dropped, utm_* params stripped with other
     * params kept in order, scheme+host lowercased, default :443 port

@@ -147,6 +147,7 @@ object SparkEntry {
     "tokenizer_unigram" -> (QueriesText.tokenizerUnigram _),
     "tokenizer_unigram_encode" -> (QueriesText.tokenizerUnigramEncode _),
     "dedup_url_canonical" -> (QueriesText.dedupUrlCanonical _),
+    "corpus_curation_funnel" -> (QueriesText.corpusCurationFunnel _),
     "text_entropy" -> (QueriesText.textEntropy _),
     "corpus_distinct_by_source" -> (QueriesText.corpusDistinctBySource _),
     "mix_kl_divergence" -> (QueriesText.mixKlDivergence _),
