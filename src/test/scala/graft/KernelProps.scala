@@ -106,6 +106,33 @@ object KernelProps extends Properties("graft.kernels") {
       Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' ')))
         .map(_.mkString))
 
+  property("misra-gries state never exceeds k under any stream") =
+    forAll(Gen.chooseNum(1, 8),
+      Gen.listOf(Gen.chooseNum(0, 30))) { (k, xs) =>
+      val st = xs.foldLeft(Map.empty[String, Long]) {
+        (m, x) => graft.streaming.StreamingHeavyHitters.mgAdd(m, s"w$x", k)
+      }
+      st.size <= k
+    }
+
+  property("misra-gries guarantee: an item above n/(k+1) survives " +
+    "any arrival order and batch split") =
+    forAll(Gen.chooseNum(2, 6), Gen.chooseNum(5, 30),
+      Gen.chooseNum(0L, Long.MaxValue)) { (k, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val m = rnd.nextInt(h * k) // noise count < h*k → hot > n/(k+1)
+      val stream = rnd.shuffle(
+        Seq.fill(h)("hot") ++ (1 to m).map(i => s"n$i"))
+      val (b1, b2) = stream.splitAt(rnd.nextInt(stream.length + 1))
+      val afterB1 = b1.foldLeft(Map.empty[String, Long]) {
+        (st, w) => graft.streaming.StreamingHeavyHitters.mgAdd(st, w, k)
+      }
+      val finalSt = b2.foldLeft(afterB1) {
+        (st, w) => graft.streaming.StreamingHeavyHitters.mgAdd(st, w, k)
+      }
+      Prop(finalSt.contains("hot"))
+    }
+
   property("heroku octet framing round-trips random frame sequences") =
     forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, msgGen))) { msgs =>
       val frames = msgs.map(m =>
