@@ -195,6 +195,31 @@ class ScaleJoinSpec extends SparkSpec {
     assert(!mrl.contains("CartesianProduct"))
   }
 
+  test("round-6 session-2 fifth-batch operators hold the plan discipline") {
+    // char entropy is pure per-row work: no hash shuffle (fanOut's
+    // round-robin repartition of the single local test file is fine)
+    val ent = QueriesText.textEntropy(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!ent.contains("Exchange hashpartitioning"),
+      s"text_entropy must not hash-shuffle:\n${ent.take(2000)}")
+    // url canonicalization, unigram train+encode and the funnel:
+    // equi-join/broadcast/window shapes only
+    Seq(
+      "dedup_url_canonical" -> QueriesText.dedupUrlCanonical(spark, Sf),
+      "tokenizer_unigram" -> QueriesText.tokenizerUnigram(spark, Sf),
+      "tokenizer_unigram_encode" ->
+        QueriesText.tokenizerUnigramEncode(spark, Sf),
+      "corpus_curation_funnel" ->
+        QueriesText.corpusCurationFunnel(spark, Sf)).foreach {
+      case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name must not plan a cartesian product:\n${plan.take(2000)}")
+        assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+          s"$name: at most the 1-row scalar cross:\n${plan.take(2000)}")
+    }
+  }
+
   test("cloud adapters parse the envelope exactly once per record") {
     // the explode(array(...)) fences keep pushed-down filters from
     // re-substituting from_json per conjunct (a per-row 5x JSON parse)
