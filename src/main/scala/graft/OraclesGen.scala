@@ -911,6 +911,35 @@ object OraclesGen {
        |UNION ALL SELECT 4, 'decontaminate', n3, n4, n3 - n4 FROM agg"""
       .stripMargin
 
+  /** Streaming curation == the batch derivation: id-ordered batches
+    * make first-seen the global min per content fingerprint; the
+    * gates are per-row. */
+  lazy val streamCuration: String =
+    s"""WITH q AS (${Oracles.sql("corpus_quality_gates")}),
+       |${winnowCtes()},
+       |bfp AS (SELECT DISTINCT unnest(fps) AS wfp FROM f
+       |        WHERE doc_id % 97 = 0),
+       |sh AS (
+       |  SELECT t.doc_id, CAST(count(b.wfp) AS INT) AS n_shared
+       |  FROM (SELECT doc_id, unnest(fps) AS wfp FROM f) t
+       |  LEFT JOIN bfp b USING (wfp)
+       |  GROUP BY t.doc_id),
+       |md AS (
+       |  SELECT doc_id,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS cfp
+       |  FROM documents),
+       |fst AS (
+       |  SELECT doc_id,
+       |    doc_id = min(doc_id) OVER (PARTITION BY cfp) AS is_first
+       |  FROM md)
+       |SELECT q.doc_id, (q.doc_id % 97 = 0) AS is_bench, q.keep AS q_keep,
+       |  fst.is_first,
+       |  COALESCE(sh.n_shared, 0) >= 20 AS contaminated,
+       |  (NOT (q.doc_id % 97 = 0) AND q.keep AND fst.is_first
+       |    AND NOT (COALESCE(sh.n_shared, 0) >= 20)) AS final_keep
+       |FROM q JOIN fst USING (doc_id) LEFT JOIN sh USING (doc_id)"""
+      .stripMargin
+
   /** URL canonicalization: same synth variants, same rule chain, same
     * first-owner window. */
   val dedupUrlCanonical: String =
@@ -2559,6 +2588,7 @@ object OraclesGen {
     "tokenizer_unigram_encode" -> tokenizerUnigramEncode,
     "dedup_url_canonical" -> dedupUrlCanonical,
     "corpus_curation_funnel" -> corpusCurationFunnel,
+    "stream_curation" -> streamCuration,
     "text_entropy" -> textEntropy,
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,

@@ -498,6 +498,95 @@ object QueriesLog {
     result
   }
 
+  // Streaming corpus curation — the funnel at ingestion time:
+  // documents arrive in TWO id-ordered micro-batches (file mtimes
+  // force the processing order, which keeps first-seen = global
+  // min-id and therefore batch-reproducible). Only exact dedup is
+  // STATEFUL and runs in the stream; the quality gate and the
+  // contamination probe (bench fingerprints as a k-row literal array;
+  // decontam_bloom's bitset is the lake-scale variant) are
+  // deterministic per-row expressions that commute with arrival
+  // order, assembled after the drain. final_keep is the conjunction
+  // the batch funnel verifies stage by stage.
+  def streamCuration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val tmp = scratchDir("graft_scur")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val docs = Tables.documents(s, dir)
+    val mid = 250L
+    docs.filter(col("doc_id") < mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/b1")
+    docs.filter(col("doc_id") >= mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/b2")
+    // mtime decides maxFilesPerTrigger order: pin it explicitly
+    val fs = new java.io.File(inDir)
+    fs.listFiles().filter(_.isDirectory).foreach { d =>
+      val t = if (d.getName == "b1") 1000000L else 2000000L
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(t))
+    }
+    val benchFps: Array[Long] = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(graft.functions.TextFns.winnowFingerprints(col("text")))
+        .as("fp"))
+      .distinct().orderBy("fp").as[Long].collect()
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(inDir)
+    // the stream carries exactly the STATEFUL stage (first-seen vs all
+    // history); the per-row gates are deterministic expressions that
+    // commute with arrival order, assembled after the drain
+    val tagged = graft.streaming.StreamingDedup(
+      stream.select(
+        graft.functions.TextFns.contentFingerprint(col("text"))
+          .as("fingerprint"),
+        col("doc_id").as("docId"))
+        .as[graft.streaming.StreamingDedup.DocRow]).toDF()
+      .select(col("docId").as("doc_id"), col("isFirst").as("is_first"))
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      tagged.schema).write.mode("overwrite").parquet(outDir)
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = tagged.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val firsts = s.read.parquet(outDir)
+    val flagsBatch = Tables.fanOut(docs).select(
+      col("doc_id"),
+      (col("doc_id") % 97 === 0).as("is_bench"),
+      graft.functions.TextFns.words(col("text")).as("ws"),
+      graft.functions.TextFns.winnowFingerprints(col("text")).as("fps"))
+      .withColumn("q_keep",
+        size(col("ws")) >= 30 &&
+        graft.functions.TextFns.dupWordFrac(col("ws")) <= 0.65 &&
+        (when(size(col("ws")) > 0,
+          graft.functions.TextFns.topElementCount(col("ws")).cast("double") /
+            size(col("ws"))).otherwise(0.0) <= 0.2) &&
+        (when(size(col("ws")) > 0,
+          graft.functions.TextFns.stopwordHits(array_distinct(col("ws")), "en")
+            .cast("double") / size(col("ws"))).otherwise(0.0) >= 0.02))
+      .withColumn("n_shared", size(expr(
+        s"filter(fps, f -> array_contains(" +
+          s"array(${benchFps.mkString("L,").concat("L")}), f))")))
+      .withColumn("contaminated", col("n_shared") >= 20)
+      .select("doc_id", "is_bench", "q_keep", "contaminated")
+    val result = flagsBatch.join(firsts, Seq("doc_id"))
+      .select(col("doc_id"), col("is_bench"), col("q_keep"),
+        col("is_first"), col("contaminated"),
+        (!col("is_bench") && col("q_keep") && col("is_first") &&
+          !col("contaminated")).as("final_keep"))
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    result
+  }
+
   // Streaming NEAR-dup — the incremental form of the MinHash→LSH
   // pipeline: per-LSH-bucket first-claimant state (StreamingNearDup)
   // drained under the gate, then the per-band match records combined

@@ -160,6 +160,7 @@ object SparkEntry {
     "dedup_stream" -> (QueriesLog.dedupStream _),
     "dedup_stream_lsh" -> (QueriesLog.dedupStreamLsh _),
     "stream_heavy_hitters" -> (QueriesLog.streamHeavyHitters _),
+    "stream_curation" -> (QueriesLog.streamCuration _),
     "x11_text_explain" -> (QueriesLog.x11TextExplain _),
     "tokenizer_bpe_encode" -> (QueriesText.tokenizerBpeEncode _),
     "dedup_substrings" -> (QueriesText.dedupSubstrings _),
