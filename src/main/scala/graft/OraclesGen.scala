@@ -911,6 +911,85 @@ object OraclesGen {
        |UNION ALL SELECT 4, 'decontaminate', n3, n4, n3 - n4 FROM agg"""
       .stripMargin
 
+  /** PCA power iteration: every reduction replayed on the identical
+    * two-level ordered chunk fold; projections and norms fold in
+    * index order. */
+  val embedPcaPower: String = {
+    def fold(items: String, term: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform($items, $term)), (a, b) -> a + b)""".stripMargin
+    def normalize(sCol: String) =
+      s"""list_transform(range(64), d -> $sCol[d+1] /
+         |    sqrt(${fold("range(64)", s"d2 -> $sCol[d2+1] * $sCol[d2+1]")}))"""
+        .stripMargin
+    def iter(i: Int, prev: String) =
+      s"""w$i AS (
+         |  SELECT e.id, e.v,
+         |    ${fold("range(64)", s"d -> (e.v[d+1] - mu.mu[d+1]) * $prev.pv[d+1]")} AS w
+         |  FROM e CROSS JOIN mu CROSS JOIN $prev),
+         |sc$i AS (
+         |  SELECT id // 1024 AS chunk,
+         |    list(struct_pack(id := id, v := v, w := w) ORDER BY id) AS ms
+         |  FROM w$i GROUP BY id // 1024),
+         |sp$i AS (
+         |  SELECT chunk, list_transform(range(64), d ->
+         |    ${fold("ms", "m -> m.w * (m.v[d+1] - mu.mu[d+1])")}) AS psum
+         |  FROM sc$i CROSS JOIN mu),
+         |s$i AS (
+         |  SELECT list_transform(range(64), d ->
+         |    ${fold("cl", "c -> c.psum[d+1]")}) AS s
+         |  FROM (SELECT list(struct_pack(chunk := chunk, psum := psum)
+         |          ORDER BY chunk) AS cl FROM sp$i) t$i),
+         |v$i AS (SELECT ${normalize("s")} AS pv FROM s$i)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |mu0 AS (
+       |  SELECT id // 1024 AS chunk,
+       |    list(struct_pack(id := id, v := v) ORDER BY id) AS ms
+       |  FROM e GROUP BY id // 1024),
+       |mu1 AS (
+       |  SELECT chunk, list_transform(range(64), d ->
+       |    ${fold("ms", "m -> m.v[d+1]")}) AS psum, len(ms) AS cnt
+       |  FROM mu0),
+       |mu AS (
+       |  SELECT list_transform(range(64), d ->
+       |    ${fold("cl", "c -> c.psum[d+1]")} / n) AS mu, n
+       |  FROM (SELECT list(struct_pack(chunk := chunk, psum := psum)
+       |          ORDER BY chunk) AS cl, CAST(sum(cnt) AS BIGINT) AS n
+       |        FROM mu1) tmu),
+       |tw AS (
+       |  SELECT id, ${fold("range(64)",
+            "d -> (v[d+1] - mu.mu[d+1]) * (v[d+1] - mu.mu[d+1])")} AS w
+       |  FROM e CROSS JOIN mu),
+       |tvc AS (
+       |  SELECT id // 1024 AS chunk,
+       |    list(struct_pack(id := id, w := w) ORDER BY id) AS ms
+       |  FROM tw GROUP BY id // 1024),
+       |tvp AS (SELECT chunk, ${fold("ms", "m -> m.w")} AS psum FROM tvc),
+       |tv AS (
+       |  SELECT ${fold("cl", "c -> c.psum")} AS total_var
+       |  FROM (SELECT list(struct_pack(chunk := chunk, psum := psum)
+       |          ORDER BY chunk) AS cl FROM tvp) ttv),
+       |x0 AS (SELECT v FROM e WHERE id = 0),
+       |sv0 AS (
+       |  SELECT list_transform(range(64), d -> x0.v[d+1] - mu.mu[d+1]) AS s
+       |  FROM x0 CROSS JOIN mu),
+       |v0 AS (SELECT ${normalize("s")} AS pv FROM sv0),
+       |${iter(1, "v0")},
+       |${iter(2, "v1")},
+       |${iter(3, "v2")},
+       |lam AS (
+       |  SELECT sqrt(${fold("range(64)", "d -> s[d+1] * s[d+1]")}) AS lambda1
+       |  FROM s3)
+       |SELECT CAST(d AS INT) AS dim, round(pv[d+1], 6) AS loading,
+       |  round(lambda1, 6) AS lambda1, round(total_var, 6) AS total_var,
+       |  round(lambda1 / total_var, 6) AS evr1
+       |FROM v3 CROSS JOIN lam CROSS JOIN tv
+       |  CROSS JOIN (SELECT unnest(range(64)) AS d) dd""".stripMargin
+  }
+
   /** Streaming curation == the batch derivation: id-ordered batches
     * make first-seen the global min per content fingerprint; the
     * gates are per-row. */
@@ -2589,6 +2668,7 @@ object OraclesGen {
     "dedup_url_canonical" -> dedupUrlCanonical,
     "corpus_curation_funnel" -> corpusCurationFunnel,
     "stream_curation" -> streamCuration,
+    "embed_pca_power" -> embedPcaPower,
     "text_entropy" -> textEntropy,
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,

@@ -1686,6 +1686,17 @@ object QueriesText {
     graft.operators.UnigramLm.emRound(wc, vocabTop = 200)
   }
 
+  /** Top principal component of the embedding corpus by power
+    * iteration — see [[graft.operators.Pca]]: 3 rounds from the
+    * deterministic (x₀ − μ) start, every corpus reduction on the
+    * two-level ordered chunk fold. Output: per-dim loadings + λ₁ and
+    * the explained-variance ratio. */
+  def embedPcaPower(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.powerTop1(
+      Tables.fanOut(Tables.embeddings(s, dir))
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      dim = 64)
+
   /** The corpus-curation funnel — the composed production pipeline as
     * ONE accountable artifact: benchmark holdout → quality gate →
     * exact-dedup canonical keep → decontamination, with per-stage

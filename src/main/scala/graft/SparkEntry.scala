@@ -140,6 +140,7 @@ object SparkEntry {
     "embed_sq8_recall" -> (QueriesText.embedSq8Recall _),
     "hybrid_search_rrf" -> (QueriesText.hybridSearchRrf _),
     "embed_mrl_recall" -> (QueriesText.embedMrlRecall _),
+    "embed_pca_power" -> (QueriesText.embedPcaPower _),
     "quantile_sketch" -> (QueriesText.quantileSketch _),
     "pack_bestfit" -> (QueriesText.packBestfit _),
     "text_dup_ngram_frac" -> (QueriesText.textDupNgramFrac _),

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Top-principal-component extraction by power iteration — the
+  * embedding-analysis operator behind whitening / anisotropy checks:
+  * s = Xcᵀ(Xc v) over the CENTERED corpus, v ← s/‖s‖, iterated a
+  * fixed number of rounds from the deterministic start v₀ ∝ (x₀ − μ).
+  *
+  * Every corpus-scale reduction (the per-dim mean, the total variance,
+  * and each iteration's s) runs the repo's two-level ordered chunk
+  * fold (groupBy id-div-1024 chunks → per-chunk id-ordered fold →
+  * chunk-ordered fold), the [[Similarity.ivfFit]] contract that keeps
+  * float accumulation order partitioning-independent and
+  * bit-reproducible in the oracle. Per-row work (the x·v projection)
+  * folds in index order. λ₁ = ‖s‖ at the last step; explained
+  * variance ratio = λ₁ / Σ‖xc‖² (trace of the unnormalized
+  * covariance).
+  */
+object Pca {
+
+  /** emb: (id: long, vec: array<float-or-double>). Returns one row per
+    * dimension: (dim, loading, lambda1, total_var, evr1). */
+  def powerTop1(emb: DataFrame, dim: Int, iters: Int = 3,
+      chunkWidth: Long = 1024L): DataFrame = {
+    val e = emb.select(col("id"),
+      expr("transform(vec, x -> cast(x as double))").as("v"))
+    def chunkFold(df: DataFrame, valueExpr: String): DataFrame =
+      df.groupBy(expr(s"id div $chunkWidth").as("chunk"))
+        .agg(sort_array(collect_list(struct(col("id"), col("v"), col("w"))))
+          .as("ms"))
+        .select(col("chunk"), expr(
+          s"""transform(sequence(0, $dim - 1),
+             |  d -> aggregate(ms, 0D, (acc, m) -> acc + ($valueExpr)))"""
+            .stripMargin).as("psum"),
+          size(col("ms")).cast("long").as("cnt"))
+        .agg(sort_array(collect_list(struct(col("chunk"), col("psum"))))
+          .as("chunks"), sum("cnt").as("n"))
+        .select(expr(s"""transform(sequence(0, $dim - 1), d ->
+             |  aggregate(chunks, 0D, (acc, c) -> acc + c.psum[d]))"""
+            .stripMargin).as("s"), col("n"))
+    // per-dim mean (w unused in the fold)
+    val mu = chunkFold(e.withColumn("w", lit(0.0)), "m.v[d]")
+      .select(expr("transform(sequence(0, " + (dim - 1) +
+        "), d -> s[d] / n)").as("mu"), col("n"))
+      .localCheckpoint() // EAGER: feeds every iteration + variance + v0
+    // total variance: Σ ‖x − μ‖² via the same fold over per-row sums
+    val sq = e.crossJoin(broadcast(mu))
+      .withColumn("w", expr(
+        s"""aggregate(sequence(0, $dim - 1), 0D,
+           |  (acc, d) -> acc + (v[d] - mu[d]) * (v[d] - mu[d]))"""
+          .stripMargin))
+      .groupBy(expr(s"id div $chunkWidth").as("chunk"))
+      .agg(sort_array(collect_list(struct(col("id"), col("w")))).as("ms"))
+      .select(col("chunk"),
+        expr("aggregate(ms, 0D, (acc, m) -> acc + m.w)").as("psum"))
+      .agg(sort_array(collect_list(struct(col("chunk"), col("psum"))))
+        .as("chunks"))
+      .select(expr(
+        "aggregate(chunks, 0D, (acc, c) -> acc + c.psum)").as("total_var"))
+    // v0 ∝ x₀ − μ, normalized with an index-ordered norm fold
+    def normalized(col0: String): String =
+      s"""transform(sequence(0, $dim - 1), d -> $col0[d] /
+         |  sqrt(aggregate(sequence(0, $dim - 1), 0D,
+         |    (acc, d2) -> acc + $col0[d2] * $col0[d2])))""".stripMargin
+    var vcur = e.filter(col("id") === 0).crossJoin(broadcast(mu))
+      .select(expr(s"transform(sequence(0, $dim - 1), d -> v[d] - mu[d])")
+        .as("s0"))
+      .select(expr(normalized("s0")).as("pv"))
+      .localCheckpoint(eager = false)
+    var lastS: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val projected = e.crossJoin(broadcast(mu)).crossJoin(broadcast(vcur))
+        .withColumn("w", expr(
+          s"""aggregate(sequence(0, $dim - 1), 0D,
+             |  (acc, d) -> acc + (v[d] - mu[d]) * pv[d])""".stripMargin))
+      lastS = chunkFold(
+        projected.select(col("id"),
+          expr(s"transform(sequence(0, $dim - 1), d -> v[d] - mu[d])")
+            .as("v"), col("w")),
+        "m.w * m.v[d]")
+        .localCheckpoint(eager = false)
+      vcur = lastS.select(expr(normalized("s")).as("pv"))
+        .localCheckpoint(eager = false)
+      i += 1
+    }
+    val lam = lastS.select(expr(
+      s"""sqrt(aggregate(sequence(0, $dim - 1), 0D,
+         |  (acc, d) -> acc + s[d] * s[d]))""".stripMargin).as("lambda1"))
+    vcur.crossJoin(broadcast(lam)).crossJoin(broadcast(sq))
+      .select(posexplode(col("pv")).as(Seq("dim", "loading0")),
+        col("lambda1"), col("total_var"))
+      .select(col("dim"), round(col("loading0"), 6).as("loading"),
+        round(col("lambda1"), 6).as("lambda1"),
+        round(col("total_var"), 6).as("total_var"),
+        round(col("lambda1") / col("total_var"), 6).as("evr1"))
+  }
+}
