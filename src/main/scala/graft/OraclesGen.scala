@@ -914,81 +914,119 @@ object OraclesGen {
   /** PCA power iteration: every reduction replayed on the identical
     * two-level ordered chunk fold; projections and norms fold in
     * index order. */
-  val embedPcaPower: String = {
-    def fold(items: String, term: String) =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform($items, $term)), (a, b) -> a + b)""".stripMargin
-    def normalize(sCol: String) =
-      s"""list_transform(range(64), d -> $sCol[d+1] /
-         |    sqrt(${fold("range(64)", s"d2 -> $sCol[d2+1] * $sCol[d2+1]")}))"""
-        .stripMargin
+  private def pcaFold(items: String, term: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform($items, $term)), (a, b) -> a + b)""".stripMargin
+  private def pcaNormalize(sCol: String) =
+    s"""list_transform(range(64), d -> $sCol[d+1] /
+       |    sqrt(${pcaFold("range(64)", s"d2 -> $sCol[d2+1] * $sCol[d2+1]")}))"""
+      .stripMargin
+
+  /** The full power-iteration CTE chain over source CTE `src`
+    * (id, v DOUBLE[]), all names prefixed `p` — ends with ${p}v3 (pv),
+    * ${p}lam (lambda1), ${p}tv (total_var), ${p}mu (mu, n). */
+  private def pcaCtes(p: String, src: String): String = {
     def iter(i: Int, prev: String) =
-      s"""w$i AS (
-         |  SELECT e.id, e.v,
-         |    ${fold("range(64)", s"d -> (e.v[d+1] - mu.mu[d+1]) * $prev.pv[d+1]")} AS w
-         |  FROM e CROSS JOIN mu CROSS JOIN $prev),
-         |sc$i AS (
+      s"""${p}w$i AS (
+         |  SELECT e0.id, e0.v,
+         |    ${pcaFold("range(64)",
+              s"d -> (e0.v[d+1] - ${p}mu.mu[d+1]) * $prev.pv[d+1]")} AS w
+         |  FROM $src e0 CROSS JOIN ${p}mu CROSS JOIN $prev),
+         |${p}sc$i AS (
          |  SELECT id // 1024 AS chunk,
          |    list(struct_pack(id := id, v := v, w := w) ORDER BY id) AS ms
-         |  FROM w$i GROUP BY id // 1024),
-         |sp$i AS (
+         |  FROM ${p}w$i GROUP BY id // 1024),
+         |${p}sp$i AS (
          |  SELECT chunk, list_transform(range(64), d ->
-         |    ${fold("ms", "m -> m.w * (m.v[d+1] - mu.mu[d+1])")}) AS psum
-         |  FROM sc$i CROSS JOIN mu),
-         |s$i AS (
+         |    ${pcaFold("ms", s"m -> m.w * (m.v[d+1] - ${p}mu.mu[d+1])")}) AS psum
+         |  FROM ${p}sc$i CROSS JOIN ${p}mu),
+         |${p}s$i AS (
          |  SELECT list_transform(range(64), d ->
-         |    ${fold("cl", "c -> c.psum[d+1]")}) AS s
+         |    ${pcaFold("cl", "c -> c.psum[d+1]")}) AS s
          |  FROM (SELECT list(struct_pack(chunk := chunk, psum := psum)
-         |          ORDER BY chunk) AS cl FROM sp$i) t$i),
-         |v$i AS (SELECT ${normalize("s")} AS pv FROM s$i)""".stripMargin
+         |          ORDER BY chunk) AS cl FROM ${p}sp$i) ${p}t$i),
+         |${p}v$i AS (SELECT ${pcaNormalize("s")} AS pv FROM ${p}s$i)"""
+        .stripMargin
+    s"""${p}mu0 AS (
+       |  SELECT id // 1024 AS chunk,
+       |    list(struct_pack(id := id, v := v) ORDER BY id) AS ms
+       |  FROM $src GROUP BY id // 1024),
+       |${p}mu1 AS (
+       |  SELECT chunk, list_transform(range(64), d ->
+       |    ${pcaFold("ms", "m -> m.v[d+1]")}) AS psum, len(ms) AS cnt
+       |  FROM ${p}mu0),
+       |${p}mu AS (
+       |  SELECT list_transform(range(64), d ->
+       |    ${pcaFold("cl", "c -> c.psum[d+1]")} / n) AS mu, n
+       |  FROM (SELECT list(struct_pack(chunk := chunk, psum := psum)
+       |          ORDER BY chunk) AS cl, CAST(sum(cnt) AS BIGINT) AS n
+       |        FROM ${p}mu1) ${p}tmu),
+       |${p}tw AS (
+       |  SELECT id, ${pcaFold("range(64)",
+            s"d -> (v[d+1] - ${p}mu.mu[d+1]) * (v[d+1] - ${p}mu.mu[d+1])")} AS w
+       |  FROM $src CROSS JOIN ${p}mu),
+       |${p}tvc AS (
+       |  SELECT id // 1024 AS chunk,
+       |    list(struct_pack(id := id, w := w) ORDER BY id) AS ms
+       |  FROM ${p}tw GROUP BY id // 1024),
+       |${p}tvp AS (SELECT chunk, ${pcaFold("ms", "m -> m.w")} AS psum
+       |            FROM ${p}tvc),
+       |${p}tv AS (
+       |  SELECT ${pcaFold("cl", "c -> c.psum")} AS total_var
+       |  FROM (SELECT list(struct_pack(chunk := chunk, psum := psum)
+       |          ORDER BY chunk) AS cl FROM ${p}tvp) ${p}ttv),
+       |${p}x0 AS (SELECT v FROM $src WHERE id = 0),
+       |${p}sv0 AS (
+       |  SELECT list_transform(range(64), d -> ${p}x0.v[d+1] - ${p}mu.mu[d+1])
+       |    AS s
+       |  FROM ${p}x0 CROSS JOIN ${p}mu),
+       |${p}v0 AS (SELECT ${pcaNormalize("s")} AS pv FROM ${p}sv0),
+       |${iter(1, s"${p}v0")},
+       |${iter(2, s"${p}v1")},
+       |${iter(3, s"${p}v2")},
+       |${p}lam AS (
+       |  SELECT sqrt(${pcaFold("range(64)", "d -> s[d+1] * s[d+1]")})
+       |    AS lambda1
+       |  FROM ${p}s3)""".stripMargin
+  }
+
+  val embedPcaPower: String =
     s"""WITH e AS (
        |  SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |mu0 AS (
-       |  SELECT id // 1024 AS chunk,
-       |    list(struct_pack(id := id, v := v) ORDER BY id) AS ms
-       |  FROM e GROUP BY id // 1024),
-       |mu1 AS (
-       |  SELECT chunk, list_transform(range(64), d ->
-       |    ${fold("ms", "m -> m.v[d+1]")}) AS psum, len(ms) AS cnt
-       |  FROM mu0),
-       |mu AS (
-       |  SELECT list_transform(range(64), d ->
-       |    ${fold("cl", "c -> c.psum[d+1]")} / n) AS mu, n
-       |  FROM (SELECT list(struct_pack(chunk := chunk, psum := psum)
-       |          ORDER BY chunk) AS cl, CAST(sum(cnt) AS BIGINT) AS n
-       |        FROM mu1) tmu),
-       |tw AS (
-       |  SELECT id, ${fold("range(64)",
-            "d -> (v[d+1] - mu.mu[d+1]) * (v[d+1] - mu.mu[d+1])")} AS w
-       |  FROM e CROSS JOIN mu),
-       |tvc AS (
-       |  SELECT id // 1024 AS chunk,
-       |    list(struct_pack(id := id, w := w) ORDER BY id) AS ms
-       |  FROM tw GROUP BY id // 1024),
-       |tvp AS (SELECT chunk, ${fold("ms", "m -> m.w")} AS psum FROM tvc),
-       |tv AS (
-       |  SELECT ${fold("cl", "c -> c.psum")} AS total_var
-       |  FROM (SELECT list(struct_pack(chunk := chunk, psum := psum)
-       |          ORDER BY chunk) AS cl FROM tvp) ttv),
-       |x0 AS (SELECT v FROM e WHERE id = 0),
-       |sv0 AS (
-       |  SELECT list_transform(range(64), d -> x0.v[d+1] - mu.mu[d+1]) AS s
-       |  FROM x0 CROSS JOIN mu),
-       |v0 AS (SELECT ${normalize("s")} AS pv FROM sv0),
-       |${iter(1, "v0")},
-       |${iter(2, "v1")},
-       |${iter(3, "v2")},
-       |lam AS (
-       |  SELECT sqrt(${fold("range(64)", "d -> s[d+1] * s[d+1]")}) AS lambda1
-       |  FROM s3)
+       |${pcaCtes("", "e")}
        |SELECT CAST(d AS INT) AS dim, round(pv[d+1], 6) AS loading,
        |  round(lambda1, 6) AS lambda1, round(total_var, 6) AS total_var,
        |  round(lambda1 / total_var, 6) AS evr1
        |FROM v3 CROSS JOIN lam CROSS JOIN tv
        |  CROSS JOIN (SELECT unnest(range(64)) AS d) dd""".stripMargin
-  }
+
+  /** All-but-the-top whitening: remove the measured component, rerun
+    * the identical chain on the whitened corpus. */
+  val embedWhiten: String =
+    s"""WITH e AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${pcaCtes("a", "e")},
+       |wh0 AS (
+       |  SELECT e.id, e.v,
+       |    ${pcaFold("range(64)", "d -> (e.v[d+1] - amu.mu[d+1]) * av3.pv[d+1]")} AS w
+       |  FROM e CROSS JOIN amu CROSS JOIN av3),
+       |wh AS (
+       |  SELECT id, list_transform(range(64), d -> v[d+1] - w * av3.pv[d+1])
+       |    AS v
+       |  FROM wh0 CROSS JOIN av3),
+       |${pcaCtes("b", "wh")}
+       |SELECT round(alam.lambda1, 6) AS lambda1,
+       |  round(alam.lambda1 / atv.total_var, 6) AS evr1,
+       |  round(blam.lambda1, 6) AS lambda2,
+       |  round(blam.lambda1 / atv.total_var, 6) AS evr2_of_original,
+       |  round(atv.total_var, 6) AS trace_before,
+       |  round(btv.total_var, 6) AS trace_after
+       |FROM alam CROSS JOIN atv CROSS JOIN blam CROSS JOIN btv"""
+      .stripMargin
 
   /** Streaming curation == the batch derivation: id-ordered batches
     * make first-seen the global min per content fingerprint; the
@@ -2669,6 +2707,7 @@ object OraclesGen {
     "corpus_curation_funnel" -> corpusCurationFunnel,
     "stream_curation" -> streamCuration,
     "embed_pca_power" -> embedPcaPower,
+    "embed_whiten" -> embedWhiten,
     "text_entropy" -> textEntropy,
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,

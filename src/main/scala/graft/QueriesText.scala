@@ -1697,6 +1697,16 @@ object QueriesText {
         .select(col("vec_id").as("id"), col("embedding").as("vec")),
       dim = 64)
 
+  /** All-but-the-top whitening over the embedding corpus: remove the
+    * measured top component, re-run the identical power iteration on
+    * the whitened vectors — (lambda1, evr1, lambda2, evr2, traces) in
+    * one row. */
+  def embedWhiten(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.whitenTop1(
+      Tables.fanOut(Tables.embeddings(s, dir))
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      dim = 64)
+
   /** The corpus-curation funnel — the composed production pipeline as
     * ONE accountable artifact: benchmark holdout → quality gate →
     * exact-dedup canonical keep → decontamination, with per-stage

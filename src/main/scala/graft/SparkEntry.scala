@@ -141,6 +141,7 @@ object SparkEntry {
     "hybrid_search_rrf" -> (QueriesText.hybridSearchRrf _),
     "embed_mrl_recall" -> (QueriesText.embedMrlRecall _),
     "embed_pca_power" -> (QueriesText.embedPcaPower _),
+    "embed_whiten" -> (QueriesText.embedWhiten _),
     "quantile_sketch" -> (QueriesText.quantileSketch _),
     "pack_bestfit" -> (QueriesText.packBestfit _),
     "text_dup_ngram_frac" -> (QueriesText.textDupNgramFrac _),

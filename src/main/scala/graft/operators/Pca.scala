@@ -24,6 +24,19 @@ object Pca {
     * dimension: (dim, loading, lambda1, total_var, evr1). */
   def powerTop1(emb: DataFrame, dim: Int, iters: Int = 3,
       chunkWidth: Long = 1024L): DataFrame = {
+    val t = topComponent(emb, dim, iters, chunkWidth)
+    t.select(posexplode(col("pv")).as(Seq("dim", "loading0")),
+        col("lambda1"), col("total_var"))
+      .select(col("dim"), round(col("loading0"), 6).as("loading"),
+        round(col("lambda1"), 6).as("lambda1"),
+        round(col("total_var"), 6).as("total_var"),
+        round(col("lambda1") / col("total_var"), 6).as("evr1"))
+  }
+
+  /** The 1-row core: (mu, pv, lambda1, total_var) — exposed so
+    * downstream transforms (whitening) can reuse the component. */
+  def topComponent(emb: DataFrame, dim: Int, iters: Int = 3,
+      chunkWidth: Long = 1024L): DataFrame = {
     val e = emb.select(col("id"),
       expr("transform(vec, x -> cast(x as double))").as("v"))
     def chunkFold(df: DataFrame, valueExpr: String): DataFrame =
@@ -90,11 +103,38 @@ object Pca {
       s"""sqrt(aggregate(sequence(0, $dim - 1), 0D,
          |  (acc, d) -> acc + s[d] * s[d]))""".stripMargin).as("lambda1"))
     vcur.crossJoin(broadcast(lam)).crossJoin(broadcast(sq))
-      .select(posexplode(col("pv")).as(Seq("dim", "loading0")),
-        col("lambda1"), col("total_var"))
-      .select(col("dim"), round(col("loading0"), 6).as("loading"),
-        round(col("lambda1"), 6).as("lambda1"),
-        round(col("total_var"), 6).as("total_var"),
-        round(col("lambda1") / col("total_var"), 6).as("evr1"))
+      .crossJoin(broadcast(mu.select(col("mu"))))
+      .select(col("mu"), col("pv"), col("lambda1"), col("total_var"))
+  }
+
+  /** All-but-the-top whitening (Mu & Viswanath): remove the top
+    * component from every vector — x' = x − ((x − μ)·v₁)v₁ — and
+    * re-measure: the post-removal top eigenvalue λ₂ and its share of
+    * the ORIGINAL variance. One corpus-scale transform between two
+    * [[topComponent]] runs. */
+  def whitenTop1(emb: DataFrame, dim: Int, iters: Int = 3,
+      chunkWidth: Long = 1024L): DataFrame = {
+    val e = emb.select(col("id"),
+      expr("transform(vec, x -> cast(x as double))").as("vec"))
+    val t1 = topComponent(e, dim, iters, chunkWidth)
+      .localCheckpoint() // EAGER: feeds the whitening transform + output
+    val whitened = e.crossJoin(broadcast(t1))
+      .withColumn("w", expr(
+        s"""aggregate(sequence(0, $dim - 1), 0D,
+           |  (acc, d) -> acc + (vec[d] - mu[d]) * pv[d])""".stripMargin))
+      .select(col("id"), expr(
+        s"transform(sequence(0, $dim - 1), d -> vec[d] - w * pv[d])")
+        .as("vec"))
+    val t2 = topComponent(whitened, dim, iters, chunkWidth)
+    t1.select(col("lambda1").as("l1"), col("total_var").as("tv1"))
+      .crossJoin(broadcast(t2.select(col("lambda1").as("l2"),
+        col("total_var").as("tv2"))))
+      .select(
+        round(col("l1"), 6).as("lambda1"),
+        round(col("l1") / col("tv1"), 6).as("evr1"),
+        round(col("l2"), 6).as("lambda2"),
+        round(col("l2") / col("tv1"), 6).as("evr2_of_original"),
+        round(col("tv1"), 6).as("trace_before"),
+        round(col("tv2"), 6).as("trace_after"))
   }
 }
