@@ -503,11 +503,11 @@ object QueriesLog {
   // force the processing order, which keeps first-seen = global
   // min-id and therefore batch-reproducible). Only exact dedup is
   // STATEFUL and runs in the stream; the quality gate and the
-  // contamination probe (bench fingerprints as a k-row literal array;
-  // decontam_bloom's bitset is the lake-scale variant) are
-  // deterministic per-row expressions that commute with arrival
-  // order, assembled after the drain. final_keep is the conjunction
-  // the batch funnel verifies stage by stage.
+  // contamination probe (broadcast hash join against the bench
+  // fingerprint set — decontam_bloom's bitset is the in-stream
+  // per-row variant) are deterministic derivations that commute with
+  // arrival order, assembled after the drain. final_keep is the
+  // conjunction the batch funnel verifies stage by stage.
   def streamCuration(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
@@ -526,10 +526,10 @@ object QueriesLog {
       d.listFiles().filter(_.getName.endsWith(".parquet"))
         .foreach(_.setLastModified(t))
     }
-    val benchFps: Array[Long] = docs.filter(col("doc_id") % 97 === 0)
+    val benchFpsDf = docs.filter(col("doc_id") % 97 === 0)
       .select(explode(graft.functions.TextFns.winnowFingerprints(col("text")))
         .as("fp"))
-      .distinct().orderBy("fp").as[Long].collect()
+      .distinct()
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
       .option("recursiveFileLookup", "true").parquet(inDir)
@@ -558,11 +558,20 @@ object QueriesLog {
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     val firsts = s.read.parquet(outDir)
+    // contamination via broadcast hash join on fingerprint (O(1) per
+    // probe — the literal-array scan this replaces was O(|bench fps|)
+    // per fingerprint and superlinear at 10×)
+    val shared = Tables.fanOut(docs)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.winnowFingerprints(col("text")))
+          .as("fp"))
+      .join(broadcast(benchFpsDf.withColumn("bh", lit(1))), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("bh") === 1, 1).otherwise(0)).as("n_shared"))
     val flagsBatch = Tables.fanOut(docs).select(
       col("doc_id"),
       (col("doc_id") % 97 === 0).as("is_bench"),
-      graft.functions.TextFns.words(col("text")).as("ws"),
-      graft.functions.TextFns.winnowFingerprints(col("text")).as("fps"))
+      graft.functions.TextFns.words(col("text")).as("ws"))
       .withColumn("q_keep",
         size(col("ws")) >= 30 &&
         graft.functions.TextFns.dupWordFrac(col("ws")) <= 0.65 &&
@@ -572,10 +581,8 @@ object QueriesLog {
         (when(size(col("ws")) > 0,
           graft.functions.TextFns.stopwordHits(array_distinct(col("ws")), "en")
             .cast("double") / size(col("ws"))).otherwise(0.0) >= 0.02))
-      .withColumn("n_shared", size(expr(
-        s"filter(fps, f -> array_contains(" +
-          s"array(${benchFps.mkString("L,").concat("L")}), f))")))
-      .withColumn("contaminated", col("n_shared") >= 20)
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("n_shared"), lit(0L)) >= 20)
       .select("doc_id", "is_bench", "q_keep", "contaminated")
     val result = flagsBatch.join(firsts, Seq("doc_id"))
       .select(col("doc_id"), col("is_bench"), col("q_keep"),

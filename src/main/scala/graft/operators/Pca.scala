@@ -97,12 +97,14 @@ object Pca {
         .withColumn("w", expr(
           s"""aggregate(sequence(0, $dim - 1), 0D,
              |  (acc, d) -> acc + (v[d] - mu[d]) * pv[d])""".stripMargin))
+      // EAGER (1-row): the final iteration's s feeds BOTH the norm
+      // (λ) and the loadings in one action — the multi-branch rule
       lastS = chunkFold(
         projected.select(col("id"),
           expr(s"transform(sequence(0, $dim - 1), d -> v[d] - mu[d])")
             .as("v"), col("w")),
         "m.w * m.v[d]")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       vcur = lastS.select(expr(normalized("s")).as("pv"))
         .localCheckpoint(eager = false)
       i += 1
