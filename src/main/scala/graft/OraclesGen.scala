@@ -911,6 +911,72 @@ object OraclesGen {
        |UNION ALL SELECT 4, 'decontaminate', n3, n4, n3 - n4 FROM agg"""
       .stripMargin
 
+  /** One-pass profile: HLL from the corpus_distinct_hll construction,
+    * CMS point estimates from the freq_cms grid at build-time-computed
+    * probe positions (same seeded FNV), length quantiles from the
+    * exact-integer histogram rule. */
+  def corpusProfile: String = {
+    val hW = fnvHuge("w")
+    val hCms = fnvHuge("CAST(d AS VARCHAR) || ':' || w")
+    // absent cells are zero in the engine's dense grid → COALESCE 0
+    def cmsSel(word: String, name: String) =
+      "least(" + (0 until 4).map { j =>
+        val pos = java.lang.Math.floorMod(
+          graft.functions.Hashing.fnv1a64(j, word), 1024L)
+        s"COALESCE((SELECT cell FROM sketch WHERE d = $j AND b = $pos), 0)"
+      }.mkString(", ") + s") AS $name"
+    def lenQ(q: Double, name: String) =
+      s"""(SELECT min(v) FROM lcum CROSS JOIN tot
+         |    WHERE cum >= ceil($q * n_tokens)) AS $name""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> len(w) > 0)) AS w
+       |  FROM documents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok),
+       |th AS (SELECT w, $hW AS h FROM tok),
+       |rr AS (SELECT CAST(h % 256 AS INT) AS reg,
+       |         CAST(h // 256 AS BIGINT) AS v FROM th),
+       |rk AS (SELECT reg,
+       |         max(CASE WHEN v = 0 THEN 57
+       |             ELSE 57 - len(bin(v)) END) AS mr
+       |       FROM rr GROUP BY reg),
+       |regs AS (
+       |  SELECT g.reg, COALESCE(rk.mr, 0) AS rank0
+       |  FROM (SELECT unnest(range(256)) AS reg) g LEFT JOIN rk USING (reg)),
+       |sk AS (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(1.0 / CAST((CAST(1 AS BIGINT) << rank0) AS DOUBLE)
+       |        ORDER BY reg)), (a, b) -> a + b) AS sum2,
+       |    CAST(sum(CASE WHEN rank0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS zeros
+       |  FROM regs),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+       |dep AS (SELECT unnest(range(4)) AS d),
+       |wb AS (
+       |  SELECT w, cnt, d, CAST($hCms % 1024 AS BIGINT) AS b
+       |  FROM wc CROSS JOIN dep),
+       |sketch AS (
+       |  SELECT d, b, CAST(sum(cnt) AS BIGINT) AS cell
+       |  FROM wb GROUP BY d, b),
+       |ll AS (SELECT CAST(length(w) AS BIGINT) AS v FROM tok),
+       |lcum AS (
+       |  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+       |  FROM (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM ll GROUP BY v) t)
+       |SELECT tot.n_tokens,
+       |  round(CASE WHEN ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / sum2)
+       |               <= 640.0 AND zeros > 0
+       |        THEN 256.0 * ln(256.0 / zeros)
+       |        ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / sum2 END, 4)
+       |    AS distinct_hll,
+       |  ${cmsSel("table", "cms_table")},
+       |  ${cmsSel("row", "cms_row")},
+       |  ${cmsSel("zebra", "cms_zebra")},
+       |  ${lenQ(0.5, "len_p50")},
+       |  ${lenQ(0.9, "len_p90")}
+       |FROM tot CROSS JOIN sk""".stripMargin
+  }
+
   /** PCA power iteration: every reduction replayed on the identical
     * two-level ordered chunk fold; projections and norms fold in
     * index order. */
@@ -2708,6 +2774,7 @@ object OraclesGen {
     "stream_curation" -> streamCuration,
     "embed_pca_power" -> embedPcaPower,
     "embed_whiten" -> embedWhiten,
+    "corpus_profile" -> corpusProfile,
     "text_entropy" -> textEntropy,
     "sample_shard_manifest" -> sampleShardManifest,
     "sample_seq_pack" -> sampleSeqPack,

@@ -1697,6 +1697,59 @@ object QueriesText {
         .select(col("vec_id").as("id"), col("embedding").as("vec")),
       dim = 64)
 
+  /** One-pass corpus profile — HLL registers, the Count–Min grid and
+    * the token-length histogram computed as
+    * [[graft.functions.expressions.HllRegistersAgg]] /
+    * [[graft.functions.expressions.CmsGridAgg]] /
+    * [[graft.functions.expressions.LongHistAgg]] TypedImperativeAggregates
+    * in a SINGLE aggregation over the token stream: bounded partial
+    * buffers combine map-side and one tiny state rides one shuffle —
+    * vs one shuffle per sketch when each is its own query. Hash and
+    * fold semantics match the SQL-expression entries exactly, so the
+    * same oracle constructions gate this. Probe positions for the CMS
+    * point estimates are computed at plan-build time with the same
+    * seeded FNV. */
+  def corpusProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftNative
+    val toks = Tables.fanOut(Tables.documents(s, dir))
+      .select(explode(TextFns.words(col("text"))).as("w"))
+    val prof = toks.agg(
+      count(lit(1)).as("n_tokens"),
+      GraftNative.column(graft.functions.expressions.HllRegistersAgg(
+        GraftNative.expression(col("w"))).toAggregateExpression()).as("hll"),
+      GraftNative.column(graft.functions.expressions.CmsGridAgg(
+        GraftNative.expression(col("w"))).toAggregateExpression()).as("cms"),
+      GraftNative.column(graft.functions.expressions.LongHistAgg(
+        GraftNative.expression(length(col("w")).cast("long")), 1L)
+        .toAggregateExpression()).as("hist"))
+    def cmsEst(word: String): Column =
+      least((0 until 4).map { j =>
+        val pos = j * 1024 + java.lang.Math.floorMod(
+          graft.functions.Hashing.fnv1a64(j, word), 1024L).toInt
+        element_at(col("cms"), pos + 1)
+      }: _*)
+    def histQ(q: Double): Column = expr(
+      s"""aggregate(hist,
+         |  struct(cast(0 as bigint) as cum, cast(-1 as bigint) as ans),
+         |  (acc, h) -> CASE WHEN acc.ans >= 0 THEN acc
+         |    WHEN acc.cum + h.cnt >= ceil($q * n_tokens) THEN
+         |      struct(acc.cum + h.cnt as cum, h.bucket as ans)
+         |    ELSE struct(acc.cum + h.cnt as cum, acc.ans as ans) END,
+         |  acc -> acc.ans)""".stripMargin)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val rawE = alpha * lit(65536.0) / col("hll.sum2")
+    prof.select(
+      col("n_tokens"),
+      round(when(rawE <= 640.0 && col("hll.zeros") > 0,
+        lit(256.0) * log(lit(256.0) / col("hll.zeros")))
+        .otherwise(rawE), 4).as("distinct_hll"),
+      cmsEst("table").as("cms_table"),
+      cmsEst("row").as("cms_row"),
+      cmsEst("zebra").as("cms_zebra"),
+      histQ(0.5).as("len_p50"),
+      histQ(0.9).as("len_p90"))
+  }
+
   /** All-but-the-top whitening over the embedding corpus: remove the
     * measured top component, re-run the identical power iteration on
     * the whitened vectors — (lambda1, evr1, lambda2, evr2, traces) in

@@ -142,6 +142,7 @@ object SparkEntry {
     "embed_mrl_recall" -> (QueriesText.embedMrlRecall _),
     "embed_pca_power" -> (QueriesText.embedPcaPower _),
     "embed_whiten" -> (QueriesText.embedWhiten _),
+    "corpus_profile" -> (QueriesText.corpusProfile _),
     "quantile_sketch" -> (QueriesText.quantileSketch _),
     "pack_bestfit" -> (QueriesText.packBestfit _),
     "text_dup_ngram_frac" -> (QueriesText.textDupNgramFrac _),

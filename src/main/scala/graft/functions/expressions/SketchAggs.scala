@@ -1,0 +1,204 @@
+package graft.functions.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** One-pass profiling aggregates — the other bounded-state sketches as
+  * [[TypedImperativeAggregate]]s next to [[MisraGriesAgg]], so a
+  * corpus profile (distincts + point frequencies + value histogram)
+  * computes in ONE aggregation pass: partial buffers combine map-side
+  * and one tiny state rides the single shuffle.
+  *
+  * Hash/fold semantics are IDENTICAL to the SQL-expression variants
+  * (`corpus_distinct_hll`, `freq_cms`, `quantile_sketch`), so the same
+  * DuckDB oracle constructions gate the one-pass entry.
+  */
+object SketchAggs
+
+/** m=256 HLL registers; eval → (sum2, zeros) with the register fold in
+  * index order 0..255 — the exact operands the SQL estimate uses. */
+case class HllRegistersAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](256)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = SketchExprs.fnv(v.asInstanceOf[UTF8String])
+      val reg = (h & 255L).toInt
+      val rest = h >>> 8
+      val rank =
+        if (rest == 0L) 57
+        else 57 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      if (rank > buf(reg)) buf(reg) = rank.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < 256) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var sum2 = 0.0
+    var zeros = 0L
+    var i = 0
+    while (i < 256) {
+      sum2 += 1.0 / (1L << buf(i)).toDouble
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](sum2, zeros))
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum2", DoubleType), StructField("zeros", LongType)))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def withNewMutableAggBufferOffset(o: Int): HllRegistersAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllRegistersAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): HllRegistersAgg = copy(child = c.head)
+}
+
+/** Count–Min grid, depth 4 × width 1024, seeded `j:item` FNV probes —
+  * eval → the flat 4096-cell grid (row-major by depth). */
+case class CmsGridAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](4096)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      var j = 0
+      while (j < 4) {
+        val h = SketchExprs.fnv(UTF8String.fromString(j.toString + ":" + s))
+        buf(j * 1024 + java.lang.Math.floorMod(h, 1024L).toInt) += 1
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 4096) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4096 * 8)
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < 4096) { out.writeLong(buf(i)); i += 1 }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Long](4096)
+    var i = 0
+    while (i < 4096) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def withNewMutableAggBufferOffset(o: Int): CmsGridAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsGridAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): CmsGridAgg = copy(child = c.head)
+}
+
+/** Integer histogram over a long child — eval → (bucket, cnt) rows
+  * sorted by bucket (the mergeable quantile state). */
+case class LongHistAgg(
+    child: Expression,
+    width: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[Long, Long]] {
+
+  override def createAggregationBuffer(): mutable.HashMap[Long, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[Long, Long],
+      input: InternalRow): mutable.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val b = java.lang.Math.floorDiv(v.asInstanceOf[Long], width)
+      buf(b) = buf.getOrElse(b, 0L) + 1
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[Long, Long],
+      other: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] = {
+    other.foreach { case (b, c) => buf(b) = buf.getOrElse(b, 0L) + c }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[Long, Long]): Any =
+    new GenericArrayData(buf.toSeq.sortBy(_._1).map { case (b, c) =>
+      new GenericInternalRow(Array[Any](b, c))
+    }.toArray[Any])
+
+  override def serialize(buf: mutable.HashMap[Long, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (b, c) => out.writeLong(b); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Long, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[Long, Long]
+    var i = 0
+    while (i < n) { val b = in.readLong(); buf(b) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bucket", LongType), StructField("cnt", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def withNewMutableAggBufferOffset(o: Int): LongHistAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): LongHistAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): LongHistAgg = copy(child = c.head)
+}

@@ -220,6 +220,38 @@ class ScaleJoinSpec extends SparkSpec {
     }
   }
 
+  test("corpus_profile: one aggregation pass, partition-independent") {
+    val df = QueriesText.corpusProfile(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // typed-imperative buffers aggregate in one pass (map-side partials
+    // + the single-partition final), never one job per sketch
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"),
+      s"profile must use imperative aggregation buffers:\n${plan.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"a global profile needs no hash exchange:\n${plan.take(2000)}")
+    // the sketches' merges are associative: any INPUT partitioning of
+    // the token stream produces the identical buffers
+    import org.apache.spark.sql.GraftNative
+    import graft.functions.expressions.{CmsGridAgg, HllRegistersAgg, LongHistAgg}
+    val toks = Tables.documents(spark, Sf)
+      .select(explode(graft.functions.TextFns.words(col("text"))).as("w"))
+    def profileOf(parts: Int): Seq[Seq[Any]] =
+      toks.repartition(parts).agg(
+        GraftNative.column(HllRegistersAgg(
+          GraftNative.expression(col("w"))).toAggregateExpression()).as("h"),
+        GraftNative.column(CmsGridAgg(
+          GraftNative.expression(col("w"))).toAggregateExpression()).as("c"),
+        GraftNative.column(LongHistAgg(
+          GraftNative.expression(length(col("w")).cast("long")), 1L)
+          .toAggregateExpression()).as("g"))
+        .collect().map(_.toSeq.map {
+          case a: Seq[_] => a
+          case x => x
+        }).toSeq
+    assert(profileOf(1) === profileOf(7))
+  }
+
   test("cloud adapters parse the envelope exactly once per record") {
     // the explode(array(...)) fences keep pushed-down filters from
     // re-substituting from_json per conjunct (a per-row 5x JSON parse)
