@@ -48,7 +48,11 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
 
+    // local-iteration filter (driver never sets it → full suite)
+    val onlySet = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => onlySet.forall(_(n)))
     // warmup: run the first query once to pay session/codegen startup
     try force(names.head) catch { case _: Throwable => () }
 

@@ -409,21 +409,33 @@ object QueriesText {
     * (count × chars, ties to the lexicographically smallest gram) and
     * fraction of characters covered by ANY duplicated {5..10}-gram
     * (position coverage — overlapping occurrences count each character
-    * once). All pure per-row higher-order functions — O(L²) string
-    * compares per document over L ≤ ~110 words, zero shuffle at any
-    * corpus size; every fraction is exact-integer-over-integer in one
-    * division, so no float-order hazard and no rounding needed. */
-  def textDupNgramFrac(s: SparkSession, dir: String): DataFrame = {
+    * once). Per-row only, zero shuffle at any corpus size: the gram
+    * arrays are HOF-built (O(L·n)) and the occurrence counts come from
+    * the native O(L) hash-pass [[TextFns.elementCounts]], so the whole
+    * row is O(L·n) — a 100k-token document is ~10⁶ ops, not the ~10¹⁰
+    * of the quadratic transform/filter form this replaced. Every
+    * fraction is exact-integer-over-integer in one division, so no
+    * float-order hazard and no rounding needed. */
+  def textDupNgramFrac(s: SparkSession, dir: String): DataFrame =
+    textDupNgramFracOf(Tables.fanOut(Tables.documents(s, dir)))
+
+  /** Core of [[textDupNgramFrac]] over any `(doc_id, text)` frame —
+    * split out so specs can push a pathological long document (≥100k
+    * tokens) through the exact production pipeline. */
+  def textDupNgramFracOf(docs: DataFrame): DataFrame = {
     def ng(n: Int): String =
       s"CASE WHEN size(ws) >= $n THEN transform(sequence(0, size(ws) - $n), " +
         s"i -> array_join(slice(ws, i + 1, $n), ' ')) " +
         "ELSE cast(array() as array<string>) END"
+    // mx$n is a materialized column, NOT array_max inside the filter
+    // lambda — a lambda-body array_max re-runs per element (O(L²); a
+    // 120k-token doc stalled a task for minutes before this was hoisted)
     def topFrac(n: Int): String =
       s"""CASE WHEN size(ng$n) = 0 THEN 0D ELSE
-         |  CAST(array_max(cn$n)
+         |  CAST(mx$n
          |    * length(replace(array_min(transform(
          |        filter(sequence(0, size(ng$n) - 1), i ->
-         |          cn$n[i] = array_max(cn$n)),
+         |          cn$n[i] = mx$n),
          |        i -> ng$n[i])), ' ', ''))
          |    AS DOUBLE) / tc END""".stripMargin
     def dupFrac(n: Int): String =
@@ -434,15 +446,19 @@ object QueriesText {
          |      i -> sequence(i, i + $n - 1)))),
          |    0, (acc, p) -> acc + length(ws[p])) AS DOUBLE) / tc END"""
         .stripMargin
-    val base = Tables.fanOut(Tables.documents(s, dir))
+    val base = docs
       .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
       .withColumn("tc", expr("aggregate(ws, 0, (acc, w) -> acc + length(w))"))
     // per-n occurrence-count arrays materialized ONCE per row — every
-    // signal below reads them instead of re-running the O(L²) count
+    // signal below reads them; counts come from the native O(L)
+    // hash-pass expression, not the O(L²) transform/filter rescan
     val withNg = (2 to 10).foldLeft(base) { (df, n) =>
-      df.withColumn(s"ng$n", expr(ng(n)))
-        .withColumn(s"cn$n",
-          expr(s"transform(ng$n, g -> size(filter(ng$n, h -> h = g)))"))
+      val d2 = df.withColumn(s"ng$n", expr(ng(n)))
+        .withColumn(s"cn$n", TextFns.elementCounts(col(s"ng$n")))
+      if (n <= 4)
+        d2.withColumn(s"mx$n",
+          expr(s"CASE WHEN size(cn$n) = 0 THEN 0 ELSE array_max(cn$n) END"))
+      else d2
     }
     withNg.select(
       Seq(col("doc_id"), col("tc").as("n_chars")) ++

@@ -106,6 +106,15 @@ object TextFns {
         w => size(filter(arr, x => x === w)))))
       .otherwise(lit(0))
 
+  /** Position-aligned occurrence counts of `arr`'s elements, O(L) per
+    * row via [[graft.functions.expressions.ElementCountsExpr]] — the
+    * scale-safe replacement for the quadratic
+    * `transform(arr, g -> size(filter(arr, h -> h = g)))` HOF form. */
+  def elementCounts(arr: Column): Column =
+    org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.ElementCountsExpr(
+        org.apache.spark.sql.GraftNative.expression(arr)))
+
   /** Adjacent word bigrams as strings ("w1 w2"). */
   def bigrams(ws: Column): Column =
     when(size(ws) >= 2,

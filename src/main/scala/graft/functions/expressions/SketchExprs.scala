@@ -298,3 +298,46 @@ case class SigAgreeExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SigAgreeExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Position-aligned occurrence counts: array<string> xs →
+  * array<int> cn with cn(i) = |{ j : xs(j) = xs(i) }|.
+  *
+  * One hash-map pass + one lookup pass — O(L) per row — replacing the
+  * HOF form `transform(xs, g -> size(filter(xs, h -> h = g)))`, which
+  * rescans the array per element (O(L²) string compares; a 100k-token
+  * web document would cost ~10¹⁰ compares in a single task). Output
+  * values are identical, so oracle SQL (which may keep the quadratic
+  * form — DuckDB is fine at oracle scale) is unchanged.
+  *
+  * Null elements count as one shared key (grams from `transform` are
+  * never null in practice, but the type allows it). */
+case class ElementCountsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
+    var nulls = 0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) nulls += 1
+      else {
+        val k = arr.getUTF8String(i)
+        val c = counts.get(k)
+        if (c == null) counts.put(k, Array(1)) else c(0) += 1
+      }
+      i += 1
+    }
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) nulls else counts.get(arr.getUTF8String(i))(0)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ElementCountsExpr =
+    copy(child = newChild)
+}

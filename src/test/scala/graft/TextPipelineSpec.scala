@@ -104,4 +104,44 @@ class TextPipelineSpec extends SparkSpec {
       assert(p50 <= p95 && p95 <= p99)
     }
   }
+
+  test("elementCounts matches the quadratic HOF form") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "c", "a", "b")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("x")),
+      (4L, (1 to 500).map(i => s"w${i % 37}"))).toDF("id", "xs")
+    val both = df.select(
+      col("id"),
+      TextFns.elementCounts(col("xs")).as("fast"),
+      expr("transform(xs, g -> size(filter(xs, h -> h = g)))").as("slow"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"row ${r.getLong(0)}")
+    }
+  }
+
+  test("textDupNgramFrac survives a 100k-token document (sub-quadratic)") {
+    // A quadratic count would do ~1e10 gram compares per n on this row
+    // (minutes-to-hours in one task); the O(L·n) pipeline finishes in
+    // seconds. 120k tokens with a Zipf-ish repeating structure so both
+    // the top-gram and the dup-coverage arms do real work.
+    val longDoc = (0 until 120000)
+      .map(i => s"tok${(i * 2654435761L % 5000) % (i % 97 + 3)}")
+      .mkString(" ")
+    val df = Seq((1L, longDoc), (2L, "short doc here")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val rows = QueriesText.textDupNgramFracOf(df).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 2)
+    val r = rows.find(_.getLong(0) == 1L).get
+    // long doc: heavy repetition → some dup coverage must be seen
+    assert(r.getDouble(r.fieldIndex("dup5_gram_frac")) > 0.0)
+    ((2 to 4).map(n => s"top${n}_gram_frac") ++
+      (5 to 10).map(n => s"dup${n}_gram_frac")).foreach { c =>
+      val v = r.getDouble(r.fieldIndex(c))
+      assert(v >= 0.0 && v <= 1.0, s"$c = $v")
+    }
+    assert(secs < 120.0, f"took $secs%.1f s — quadratic regression?")
+  }
 }
