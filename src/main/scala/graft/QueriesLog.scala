@@ -415,16 +415,36 @@ object QueriesLog {
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val rows = Tables.documents(s, dir).select(
       graft.functions.TextFns.contentFingerprint(col("text")).as("fingerprint"),
-      col("doc_id").as("docId"))
-    rows.write.mode("overwrite").parquet(inDir)
-    val stream = s.readStream.schema(rows.schema).parquet(inDir)
+      col("doc_id").as("docId"),
+      // synthetic monotone arrival time drives the watermark-TTL
+      // eviction clock; the 1 h default TTL means nothing evicts
+      // within one drain, so tagging semantics stay exactly min-id
+      expr("timestamp_millis(1700000000000 + doc_id)").as("ts"))
+    // TWO id-ordered micro-batches (mtime-pinned, maxFilesPerTrigger=1)
+    // so first-seen state genuinely replays across a batch boundary —
+    // id order keeps first-seen = global min-id, hence batch-oracle-equal
+    val mid = 250L
+    rows.filter(col("docId") < mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/b1")
+    rows.filter(col("docId") >= mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/b2")
+    new java.io.File(inDir).listFiles.filter(_.isDirectory).foreach { d =>
+      val t = if (d.getName == "b1") 1000000L else 2000000L
+      d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(t))
+    }
+    val stream = s.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(inDir)
       .as[graft.streaming.StreamingDedup.DocRow]
     val tagged = graft.streaming.StreamingDedup(stream).toDF()
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       tagged.schema).write.mode("overwrite").parquet(outDir)
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+    // RocksDB state store: per-fingerprint state off-heap, heap flat at
+    // any corpus-distinct count (default HDFS store holds it all in heap)
+    try graft.streaming.StreamingDedup.withRocksDb(s) {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = tagged.writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           b.write.mode("append").parquet(outDir); () }
@@ -540,14 +560,16 @@ object QueriesLog {
       stream.select(
         graft.functions.TextFns.contentFingerprint(col("text"))
           .as("fingerprint"),
-        col("doc_id").as("docId"))
+        col("doc_id").as("docId"),
+        expr("timestamp_millis(1700000000000 + doc_id)").as("ts"))
         .as[graft.streaming.StreamingDedup.DocRow]).toDF()
       .select(col("docId").as("doc_id"), col("isFirst").as("is_first"))
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       tagged.schema).write.mode("overwrite").parquet(outDir)
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+    // RocksDB state store for the stateful dedup stage (off-heap state)
+    try graft.streaming.StreamingDedup.withRocksDb(s) {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = tagged.writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           b.write.mode("append").parquet(outDir); () }
@@ -616,16 +638,33 @@ object QueriesLog {
       .select(
         concat_ws(":", col("band"),
           concat_ws(",", col("band_sig").cast("array<string>"))).as("bucket"),
-        col("id").as("docId"), col("sig"))
-    rows.write.mode("overwrite").parquet(inDir)
-    val stream = s.readStream.schema(rows.schema).parquet(inDir)
+        col("id").as("docId"), col("sig"),
+        expr("timestamp_millis(1700000000000 + id)").as("ts"))
+    // two id-ordered micro-batches (see dedupStream): holder state
+    // must replay across a batch boundary; id order keeps holder =
+    // bucket min-id, which is what the SQL oracle computes
+    val mid = 250L
+    rows.filter(col("docId") < mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/b1")
+    rows.filter(col("docId") >= mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/b2")
+    new java.io.File(inDir).listFiles.filter(_.isDirectory).foreach { d =>
+      val t = if (d.getName == "b1") 1000000L else 2000000L
+      d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(t))
+    }
+    val stream = s.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(inDir)
       .as[graft.streaming.StreamingNearDup.BandRow]
     val matches = graft.streaming.StreamingNearDup(stream).toDF()
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       matches.schema).write.mode("overwrite").parquet(outDir)
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+    // RocksDB state store: per-bucket holder state off-heap (see
+    // StreamingNearDup's 100 TB note)
+    try graft.streaming.StreamingDedup.withRocksDb(s) {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = matches.writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           b.write.mode("append").parquet(outDir); () }

@@ -96,15 +96,19 @@ class StreamingSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("sdedup")
       .outputMode(OutputMode.Append).start()
     try {
+      val t0 = ts("2024-01-01 00:00:00")
       // batch 1: doc 5 arrives first and claims the canonical slot
-      input.addData(StreamingDedup.DocRow("fpA", 5L),
-        StreamingDedup.DocRow("fpB", 9L))
+      input.addData(StreamingDedup.DocRow("fpA", 5L, t0),
+        StreamingDedup.DocRow("fpB", 9L, t0))
       q.processAllAvailable()
       // batch 2: a LOWER id of the same content arrives later — it is a
       // duplicate of the already-seen doc 5 (incremental semantics:
-      // history wins, unlike the batch operator's global min)
-      input.addData(StreamingDedup.DocRow("fpA", 3L),
-        StreamingDedup.DocRow("fpA", 7L))
+      // history wins, unlike the batch operator's global min). Event
+      // time advances past batch 1's watermark (rows at ts ≤ watermark
+      // are late data and dropped).
+      val t1 = ts("2024-01-01 00:00:01")
+      input.addData(StreamingDedup.DocRow("fpA", 3L, t1),
+        StreamingDedup.DocRow("fpA", 7L, t1))
       q.processAllAvailable()
       val all = spark.table("sdedup").as[StreamingDedup.Tagged].collect()
         .map(t => (t.fingerprint, t.docId) -> (t.isFirst, t.canonicalId)).toMap
@@ -128,17 +132,20 @@ class StreamingSpec extends SparkSpec {
       // batch 1: doc 10 claims bucket b0; doc 20 (16/64 components off —
       // est 0.75) matches it in the same batch, and CLAIMS bucket b9
       // that doc 10 is not in
+      val t0 = ts("2024-01-01 00:00:00")
       input.addData(
-        StreamingNearDup.BandRow("b0", 10L, sig(7L, 0)),
-        StreamingNearDup.BandRow("b0", 20L, sig(7L, 16)),
-        StreamingNearDup.BandRow("b9", 20L, sig(7L, 16)))
+        StreamingNearDup.BandRow("b0", 10L, sig(7L, 0), t0),
+        StreamingNearDup.BandRow("b0", 20L, sig(7L, 16), t0),
+        StreamingNearDup.BandRow("b9", 20L, sig(7L, 16), t0))
       q.processAllAvailable()
       // batch 2: doc 5 has a LOWER id but arrives later — history wins,
       // it matches doc 10's standing claim on b0; doc 30 lands in b9
-      // only, matching the duplicate doc 20's claim (the C→B→A chain)
+      // only, matching the duplicate doc 20's claim (the C→B→A chain).
+      // Event time advances past batch 1's watermark.
+      val t1 = ts("2024-01-01 00:00:01")
       input.addData(
-        StreamingNearDup.BandRow("b0", 5L, sig(7L, 8)),
-        StreamingNearDup.BandRow("b9", 30L, sig(7L, 16)))
+        StreamingNearDup.BandRow("b0", 5L, sig(7L, 8), t1),
+        StreamingNearDup.BandRow("b9", 30L, sig(7L, 16), t1))
       q.processAllAvailable()
       val all = spark.table("snd").as[StreamingNearDup.BandMatch].collect()
         .map(m => m.docId -> ((m.holderId, m.est))).toMap
@@ -338,5 +345,88 @@ class StreamingSpec extends SparkSpec {
       assert(ids === Set(1L, 3L, 5L),
         s"expected first-writer-wins dedup, got $ids")
     } finally q.stop()
+  }
+
+  test("dedup state is bounded: RocksDB store + watermark-TTL eviction under key churn") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingDedup.DocRow]
+    // 1 s EVENT-time TTL: a key whose last sighting falls 1 s behind
+    // the watermark evicts — deterministic (no wall clock), and the
+    // gate entries use the same mechanism with a 1 h horizon
+    val out = StreamingDedup(input.toDS(), ttlMs = Some(1000L))
+    StreamingDedup.withRocksDb(spark) {
+      val q = out.writeStream.format("memory").queryName("sdedup_ttl")
+        .outputMode(OutputMode.Append).start()
+      try {
+        def addWave(lo: Int, hi: Int, at: Timestamp): Unit = {
+          input.addData((lo until hi).map(i =>
+            StreamingDedup.DocRow(s"fp$i", i.toLong, at)))
+          q.processAllAvailable()
+        }
+        // three waves of disjoint keys, event time advancing 10 s per
+        // wave — an unbounded store would hold all 600 keys; the
+        // watermark passing wave N's ttl evicts it during wave N+2's
+        // batch (watermark trails by one batch)
+        addWave(0, 200, ts("2024-01-01 00:00:00"))
+        addWave(200, 400, ts("2024-01-01 00:00:10"))
+        addWave(400, 600, ts("2024-01-01 00:00:20"))
+        // wave 4 re-presents fp0: it was evicted when the watermark
+        // passed 00:00:01, so it re-tags as FIRST — windowed-dedup
+        // semantics, the documented price of bounded state
+        input.addData(StreamingDedup.DocRow("fp0", 9999L,
+          ts("2024-01-01 00:00:30")))
+        q.processAllAvailable()
+        val stateOp = q.lastProgress.stateOperators.apply(0)
+        assert(stateOp.customMetrics.keySet.toArray
+          .exists(_.toString.startsWith("rocksdb")),
+          "expected the RocksDB state store provider to be active")
+        assert(stateOp.numRowsTotal < 600,
+          s"state not evicting: ${stateOp.numRowsTotal} rows resident")
+        val re = spark.table("sdedup_ttl").as[StreamingDedup.Tagged]
+          .collect().filter(t => t.fingerprint == "fp0" && t.docId == 9999L)
+        assert(re.length == 1 && re.head.isFirst,
+          s"evicted key should re-tag as first, got ${re.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("near-dup holder state evicts on watermark TTL; bucket re-claimable after") {
+    import graft.streaming.{StreamingDedup, StreamingNearDup}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingNearDup.BandRow]
+    val out = StreamingNearDup(input.toDS(), ttlMs = Some(1000L))
+    StreamingDedup.withRocksDb(spark) {
+      val q = out.writeStream.format("memory").queryName("snd_ttl")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val sig = Array.tabulate(8)(_.toLong)
+        def drain(rows: StreamingNearDup.BandRow*): Unit = {
+          input.addData(rows); q.processAllAvailable()
+        }
+        // doc 10 claims b1 at t0
+        drain(StreamingNearDup.BandRow("b1", 10L, sig,
+          ts("2024-01-01 00:00:00")))
+        // two watermark-advancing batches on an unrelated bucket: the
+        // first raises the watermark past b1's ttl, the second gives
+        // the expired timeout a batch (with no b1 data) to fire in
+        drain(StreamingNearDup.BandRow("wm", 1L, sig,
+          ts("2024-01-01 00:00:10")))
+        drain(StreamingNearDup.BandRow("wm", 2L, sig,
+          ts("2024-01-01 00:00:11")))
+        // b1's holder is gone: doc 20 re-claims (emits NO match) …
+        drain(StreamingNearDup.BandRow("b1", 20L, sig,
+          ts("2024-01-01 00:00:12")))
+        // … and doc 30 matches the NEW holder 20, not the evicted 10
+        drain(StreamingNearDup.BandRow("b1", 30L, sig,
+          ts("2024-01-01 00:00:13")))
+        val ms = spark.table("snd_ttl").as[StreamingNearDup.BandMatch]
+          .collect().filter(_.docId >= 20L)
+        assert(!ms.exists(_.docId == 20L),
+          s"doc 20 should have re-claimed the evicted bucket, got ${ms.toSeq}")
+        assert(ms.exists(m => m.docId == 30L && m.holderId == 20L && m.est == 1.0),
+          s"doc 30 should match the new holder 20, got ${ms.toSeq}")
+      } finally q.stop()
+    }
   }
 }
