@@ -2746,6 +2746,10 @@ object OraclesGen {
     "pack_bestfit" -> packBestfit,
     "text_dup_ngram_frac" -> textDupNgramFrac,
     "e2e_full_snapshot" -> e2eFullSnapshot,
+    // the transported variants decode the bytes the server received —
+    // the document content (and thus the oracle) is identical
+    "e2e_snapshot_upload" -> e2eFullSnapshot,
+    "e2e_snapshot_ws_upload" -> e2eFullSnapshot,
     "e2e_compact_snapshot" -> e2eCompactSnapshot,
     "e2e_activity_snapshot" -> e2eActivitySnapshot,
     "e2e_system_snapshot" -> e2eSystemSnapshot,

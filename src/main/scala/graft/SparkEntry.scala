@@ -221,7 +221,16 @@ object SparkEntry {
     // CompactSnapshot per on-demand run, guard verdicts by the real
     // scanner, per-run decode + integrity)
     "e2e_query_run_snapshot" ->
-      ((s: SparkSession, d: String) => graft.sinks.QueryRunSnapshotPipeline.e2e(s, d))
+      ((s: SparkSession, d: String) => graft.sinks.QueryRunSnapshotPipeline.e2e(s, d)),
+    // the SHIPPED full snapshot: same wire document, but decoded from
+    // the bytes a real in-process server RECEIVED — storage POST →
+    // key → submission POST (K1 upload leg, output/upload_http_legacy.go)
+    "e2e_snapshot_upload" ->
+      ((s: SparkSession, d: String) => graft.sinks.SnapshotUpload.e2eHttp(s, d)),
+    // the websocket delivery variant (output/upload.go:101-113): one
+    // masked RFC 6455 binary frame, decoded from the unmasked payload
+    "e2e_snapshot_ws_upload" ->
+      ((s: SparkSession, d: String) => graft.sinks.SnapshotUpload.e2eWs(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -182,6 +182,30 @@ object SnapshotTransport {
       else Submitted(location, upTries + n2)
     }
 
+    /** `uploadViaWebsocketOrHttp` (`output/upload.go:95-113`): a
+      * connected websocket takes the document as ONE binary frame and
+      * skips the storage/submission POST pair entirely; an
+      * API-requires-websocket config fails hard when the socket is
+      * down; otherwise the HTTP path above. (The reference zlib's
+      * inside this call; our pipelines hand wire bytes already
+      * compressed.) */
+    def uploadViaWebsocketOrHttp(
+        ws: Option[SnapshotWebSocket.Client],
+        requireWebsocket: Boolean,
+        wire: Array[Byte], uuid: String, collectedAtSecs: Long,
+        compact: Boolean): Outcome = {
+      ws match {
+        case Some(c) if c.connected =>
+          c.writeSnapshot(wire) match {
+            case Right(()) => Submitted("websocket", 1)
+            case Left(err) => Failed(err, 1)
+          }
+        case _ if requireWebsocket =>
+          Failed("Error uploading snapshot: WebSocket not connected", 0)
+        case _ => upload(wire, uuid, collectedAtSecs, compact)
+      }
+    }
+
     // ---- compact-submission throttle (upload.go:27,62-76)
     private val compactCounts = mutable.SortedMap.empty[String, Int]
     private var windowStart = 0L

@@ -1,0 +1,307 @@
+package graft.sinks
+
+import java.io.{DataInputStream, DataOutputStream, IOException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Base64
+
+import scala.collection.mutable.ArrayBuffer
+
+/** The websocket leg of snapshot delivery (`runner/websocket.go` +
+  * `util/reconnecting_socket.go`): when the socket is connected the
+  * uploader writes the zlib'd wire document as ONE binary message
+  * instead of the storage-POST/submission-POST pair
+  * (`output/upload.go:101-113`), and falls back to HTTP otherwise
+  * (hard error when the config requires websocket delivery).
+  *
+  * The frame layer is a minimal RFC 6455 implementation over plain
+  * TCP (public spec; no TLS in this container): client frames are
+  * masked as the RFC requires, server frames are not; text/ping/pong
+  * are not needed — the reference only ever exchanges binary messages
+  * (zlib'd protobuf in both directions) and close frames.
+  *
+  * Reconnect semantics ported from `NewReconnectingSocket`
+  * (`util/reconnecting_socket.go:38-101`): `Connect()` is requested-
+  * and-idempotent, a handshake rejected with a 4xx skips further
+  * attempts for `clientErrorTimeoutMs` (the reference's 8 min), and
+  * `Disconnect()` clears the requested flag so the periodic
+  * reconnect loop (driven here by explicit `tick()` calls — the
+  * scheduler owns wall-clock) leaves the socket down. */
+object SnapshotWebSocket {
+
+  private val WsGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+  /** Sec-WebSocket-Accept for a client key (RFC 6455 §4.2.2). */
+  def acceptKey(clientKey: String): String =
+    Base64.getEncoder.encodeToString(
+      MessageDigest.getInstance("SHA-1")
+        .digest((clientKey + WsGuid).getBytes(UTF_8)))
+
+  // ------------------------------------------------------------ frames
+
+  /** One binary frame, client→server (FIN set, opcode 0x2, MASKED —
+    * RFC 6455 §5.1 requires all client frames masked). */
+  def encodeClientBinary(payload: Array[Byte], maskKey: Int): Array[Byte] = {
+    val mask = Array[Byte](
+      (maskKey >>> 24).toByte, (maskKey >>> 16).toByte,
+      (maskKey >>> 8).toByte, maskKey.toByte)
+    val out = new ArrayBuffer[Byte](payload.length + 14)
+    out += 0x82.toByte // FIN + binary
+    val n = payload.length
+    if (n < 126) out += (0x80 | n).toByte
+    else if (n < 65536) {
+      out += 0xfe.toByte; out += (n >>> 8).toByte; out += n.toByte
+    } else {
+      out += 0xff.toByte
+      var i = 7
+      while (i >= 0) { out += (n.toLong >>> (8 * i)).toByte; i -= 1 }
+    }
+    out ++= mask
+    var i = 0
+    while (i < n) { out += (payload(i) ^ mask(i % 4)).toByte; i += 1 }
+    out.toArray
+  }
+
+  /** One binary frame, server→client (unmasked). */
+  def encodeServerBinary(payload: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](payload.length + 10)
+    out += 0x82.toByte
+    val n = payload.length
+    if (n < 126) out += n.toByte
+    else if (n < 65536) {
+      out += 126.toByte; out += (n >>> 8).toByte; out += n.toByte
+    } else {
+      out += 127.toByte
+      var i = 7
+      while (i >= 0) { out += (n.toLong >>> (8 * i)).toByte; i -= 1 }
+    }
+    out ++= payload
+    out.toArray
+  }
+
+  /** Close frame (opcode 0x8); mask iff sent by a client. */
+  def encodeClose(masked: Boolean): Array[Byte] =
+    if (masked) Array(0x88.toByte, 0x80.toByte, 0, 0, 0, 0)
+    else Array(0x88.toByte, 0x00.toByte)
+
+  /** Read one frame from the stream: (opcode, unmasked payload).
+    * Throws EOFException on stream end. */
+  def readFrame(in: DataInputStream): (Int, Array[Byte]) = {
+    val b0 = in.readUnsignedByte()
+    val opcode = b0 & 0x0f
+    val b1 = in.readUnsignedByte()
+    val masked = (b1 & 0x80) != 0
+    var len: Long = b1 & 0x7f
+    if (len == 126) len = in.readUnsignedShort().toLong
+    else if (len == 127) len = in.readLong()
+    require(len <= Int.MaxValue, s"frame too large: $len")
+    val mask = if (masked) {
+      val m = new Array[Byte](4); in.readFully(m); m
+    } else null
+    val payload = new Array[Byte](len.toInt)
+    in.readFully(payload)
+    if (masked) {
+      var i = 0
+      while (i < payload.length) {
+        payload(i) = (payload(i) ^ mask(i % 4)).toByte; i += 1
+      }
+    }
+    (opcode, payload)
+  }
+
+  // ------------------------------------------------------- client side
+
+  /** Injectable dialer: returns (httpStatus, socketOrNull). A real
+    * handshake returns (101, socket); a rejected one (4xx, null). */
+  type Dialer = () => (Int, Socket)
+
+  /** TCP + HTTP-Upgrade handshake against host:port/path. */
+  def dial(host: String, port: Int, path: String,
+      headers: Map[String, String] = Map.empty): (Int, Socket) = {
+    val sock = new Socket(host, port)
+    val key = Base64.getEncoder.encodeToString(
+      Array.tabulate[Byte](16)(i => (i * 31 + 7).toByte))
+    val out = new DataOutputStream(sock.getOutputStream)
+    val req = new StringBuilder()
+      .append(s"GET $path HTTP/1.1\r\n")
+      .append(s"Host: $host:$port\r\n")
+      .append("Upgrade: websocket\r\nConnection: Upgrade\r\n")
+      .append(s"Sec-WebSocket-Key: $key\r\nSec-WebSocket-Version: 13\r\n")
+    headers.foreach { case (k, v) => req.append(s"$k: $v\r\n") }
+    req.append("\r\n")
+    out.write(req.toString.getBytes(UTF_8)); out.flush()
+    val in = new DataInputStream(sock.getInputStream)
+    val status = {
+      val line = readHttpLine(in)
+      line.split(" ").lift(1).map(_.toInt).getOrElse(0)
+    }
+    var accept = ""
+    var l = readHttpLine(in)
+    while (l.nonEmpty) {
+      val i = l.indexOf(':')
+      if (i > 0 && l.substring(0, i).equalsIgnoreCase("Sec-WebSocket-Accept"))
+        accept = l.substring(i + 1).trim
+      l = readHttpLine(in)
+    }
+    if (status != 101) { sock.close(); (status, null) }
+    else if (accept != acceptKey(key)) {
+      sock.close()
+      throw new IOException(s"Bad Sec-WebSocket-Accept: $accept")
+    } else (101, sock)
+  }
+
+  private def readHttpLine(in: DataInputStream): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c >= 0 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+    sb.toString
+  }
+
+  /** `util.ReconnectingSocket`'s client state machine, clock-injected
+    * so specs drive the 4xx rate limit without wall time. */
+  final class Client(
+      dialer: Dialer,
+      clientErrorTimeoutMs: Long = 8 * 60 * 1000L,
+      now: () => Long = System.currentTimeMillis) {
+
+    private var sock: Socket = _
+    private var requested = false
+    private var skipConnectUntil = 0L
+    private var maskCounter = 0x5eed
+
+    def connected: Boolean = sock != null && !sock.isClosed
+
+    /** Blocking connect; no-op when already connected; rate-limited
+      * after a 4xx handshake rejection (`reconnecting_socket.go:60-66`). */
+    def connect(): Either[String, Unit] = {
+      requested = true
+      if (connected) Right(())
+      else if (now() < skipConnectUntil)
+        Left("Skipping connection attempt because of previous 4XX error")
+      else {
+        val (status, s) =
+          try dialer()
+          catch { case e: IOException => (0, null) }
+        if (s != null) { sock = s; Right(()) }
+        else {
+          if (status >= 400 && status < 500)
+            skipConnectUntil = now() + clientErrorTimeoutMs
+          Left(s"Error starting websocket: status $status")
+        }
+      }
+    }
+
+    /** Periodic reconnect tick (the reference runs one per minute):
+      * reconnects only while requested and down. */
+    def tick(): Unit = if (requested && !connected) { connect(); () }
+
+    def disconnect(): Unit = {
+      requested = false
+      if (connected) {
+        try {
+          sock.getOutputStream.write(encodeClose(masked = true))
+          sock.getOutputStream.flush()
+        } catch { case _: IOException => () }
+        sock.close()
+      }
+      sock = null
+    }
+
+    /** One zlib'd wire document as one binary message
+      * (`upload.go:103`: `server.WebSocket.Write <- compressedData`). */
+    def writeSnapshot(wire: Array[Byte]): Either[String, Unit] = {
+      if (!connected) Left("WebSocket not connected")
+      else try {
+        maskCounter = maskCounter * 0x9e3779b1 + 1
+        sock.getOutputStream.write(encodeClientBinary(wire, maskCounter))
+        sock.getOutputStream.flush()
+        Right(())
+      } catch {
+        case e: IOException =>
+          disconnect()
+          Left(s"Error writing to websocket: ${e.getMessage}")
+      }
+    }
+
+    /** Read one server binary message (ServerMessage channel). */
+    def readMessage(): Either[String, Array[Byte]] = {
+      if (!connected) Left("WebSocket not connected")
+      else try {
+        val in = new DataInputStream(sock.getInputStream)
+        var r = readFrame(in)
+        while (r._1 != 0x2 && r._1 != 0x8) r = readFrame(in)
+        if (r._1 == 0x8) { disconnect(); Left("server closed") }
+        else Right(r._2)
+      } catch {
+        case e: IOException => disconnect(); Left(String.valueOf(e.getMessage))
+      }
+    }
+  }
+
+  // ------------------------------------------------------- server side
+
+  /** In-process websocket endpoint for specs and the e2e entries:
+    * accepts ONE client, performs the RFC 6455 handshake, collects
+    * binary payloads until a close frame or EOF. Runs on a daemon
+    * thread; `payloads` is safe to read after `await()`. */
+  final class SingleServer {
+    private val server = new ServerSocket(0)
+    val port: Int = server.getLocalPort
+    @volatile private var done = false
+    private val received = new ArrayBuffer[Array[Byte]]
+    private var handshakeHeaders = Map.empty[String, String]
+
+    private val thread = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new DataInputStream(sock.getInputStream)
+        var key = ""
+        val hdrs = scala.collection.mutable.Map.empty[String, String]
+        var line = readHttpLine(in)
+        while (line.nonEmpty) {
+          val i = line.indexOf(':')
+          if (i > 0) {
+            val (k, v) = (line.substring(0, i).trim, line.substring(i + 1).trim)
+            hdrs(k.toLowerCase) = v
+            if (k.equalsIgnoreCase("Sec-WebSocket-Key")) key = v
+          }
+          line = readHttpLine(in)
+        }
+        handshakeHeaders = hdrs.toMap
+        val resp = "HTTP/1.1 101 Switching Protocols\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          s"Sec-WebSocket-Accept: ${acceptKey(key)}\r\n\r\n"
+        sock.getOutputStream.write(resp.getBytes(UTF_8))
+        sock.getOutputStream.flush()
+        var open = true
+        while (open) {
+          try {
+            val (op, payload) = readFrame(in)
+            if (op == 0x8) {
+              sock.getOutputStream.write(encodeClose(masked = false))
+              open = false
+            } else if (op == 0x2) received.synchronized {
+              received += payload
+            }
+          } catch { case _: IOException => open = false }
+        }
+        sock.close()
+      } catch { case _: IOException => () }
+      finally {
+        done = true
+        try server.close() catch { case _: IOException => () }
+      }
+    })
+    thread.setDaemon(true)
+    thread.start()
+
+    def headers: Map[String, String] = handshakeHeaders
+    def payloads: Seq[Array[Byte]] =
+      received.synchronized(received.toVector)
+    def await(timeoutMs: Long = 10000): Unit = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      while (!done && System.currentTimeMillis < deadline) Thread.sleep(10)
+    }
+  }
+}

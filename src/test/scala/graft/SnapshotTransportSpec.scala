@@ -195,4 +195,97 @@ class SnapshotTransportSpec extends SparkSpec {
     t += 10000L
     assert(up.noteCompactSubmission("system").isEmpty)
   }
+
+  // ----------------------------------------------------- websocket leg
+
+  test("ws frames round-trip at the 125/126 and 65535/65536 length edges") {
+    import graft.sinks.SnapshotWebSocket._
+    for (n <- Seq(0, 1, 125, 126, 65535, 65536, 100000)) {
+      val payload = Array.tabulate[Byte](n)(i => (i * 131 + 7).toByte)
+      val framed = encodeClientBinary(payload, 0xdeadbeef)
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(framed))
+      val (op, got) = readFrame(in)
+      assert(op == 0x2 && java.util.Arrays.equals(got, payload), s"n=$n masked")
+      val sframed = encodeServerBinary(payload)
+      val sin = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(sframed))
+      val (sop, sgot) = readFrame(sin)
+      assert(sop == 0x2 && java.util.Arrays.equals(sgot, payload), s"n=$n plain")
+    }
+  }
+
+  test("ws handshake computes the RFC 6455 accept key") {
+    // the RFC's own worked example (§1.3)
+    assert(graft.sinks.SnapshotWebSocket
+      .acceptKey("dGhlIHNhbXBsZSBub25jZQ==") ==
+      "s3pPLMBiTxaQ9kYGzzhZRbK+xOo=")
+  }
+
+  test("ws 4xx handshake rejections rate-limit reconnects (clientErrorTimeout)") {
+    import graft.sinks.SnapshotWebSocket.Client
+    var t = 0L
+    var dials = 0
+    val c = new Client(() => { dials += 1; (403, null) },
+      clientErrorTimeoutMs = 8 * 60 * 1000L, now = () => t)
+    assert(c.connect().isLeft && dials == 1)
+    // inside the window: no dial attempted (reconnecting_socket.go:60-66)
+    t += 60 * 1000L
+    c.tick()
+    assert(dials == 1)
+    assert(c.connect() ==
+      Left("Skipping connection attempt because of previous 4XX error"))
+    // past the 8-minute window the next tick dials again
+    t += 8 * 60 * 1000L
+    c.tick()
+    assert(dials == 2)
+  }
+
+  test("uploadViaWebsocketOrHttp: ws when connected, hard error when required, else http") {
+    import graft.sinks.SnapshotWebSocket
+    val wire = ProtoWire.zlib(FP.encode(FP.assemble(spark, Sf)))
+    // leg 1: connected socket takes the frame
+    val server = new SnapshotWebSocket.SingleServer
+    val client = new SnapshotWebSocket.Client(
+      () => SnapshotWebSocket.dial("127.0.0.1", server.port, "/websocket"))
+    assert(client.connect().isRight)
+    val upWs = new Uploader(Grant(s3Url = "unused", apiBaseUrl = "unused"),
+      sleep = _ => ())
+    assert(upWs.uploadViaWebsocketOrHttp(Some(client), requireWebsocket = true,
+      wire, "u1", 1L, compact = false) == Submitted("websocket", 1))
+    client.disconnect()
+    server.await()
+    assert(server.payloads.length == 1 &&
+      java.util.Arrays.equals(server.payloads.head, wire))
+    // leg 2: websocket required but down -> hard error, no http fallback
+    var httpCalls = 0
+    val upReq = new Uploader(Grant(s3Url = "http://x", apiBaseUrl = "http://x"),
+      http = (_, _, _) => { httpCalls += 1; (500, "") }, sleep = _ => ())
+    assert(upReq.uploadViaWebsocketOrHttp(None, requireWebsocket = true,
+      wire, "u2", 1L, compact = false) ==
+      Failed("Error uploading snapshot: WebSocket not connected", 0))
+    assert(httpCalls == 0)
+    // leg 3: not required and down -> the http path runs
+    val upHttp = new Uploader(
+      Grant(s3Url = "http://x/up", apiBaseUrl = "http://x",
+        s3Fields = Map("key" -> "k")),
+      http = (url, _, _) => {
+        httpCalls += 1
+        if (url.endsWith("/up")) (201, "<Key>k</Key>") else (200, "OK")
+      }, sleep = _ => ())
+    assert(upHttp.uploadViaWebsocketOrHttp(None, requireWebsocket = false,
+      wire, "u3", 1L, compact = false) == Submitted("k", 2))
+    assert(httpCalls == 2)
+  }
+
+  test("tampered received bytes are rejected (verifyIntegrity on the decode side)") {
+    val wire = ProtoWire.zlib(FP.encode(FP.assemble(spark, Sf)))
+    // flip one byte mid-payload: zlib inflate or the wire decode or the
+    // K3 integrity requires must throw — corruption cannot pass silently
+    val bad = wire.clone()
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x41).toByte
+    intercept[Exception] {
+      FP.decodeVerify(spark, bad).collect()
+    }
+  }
 }
