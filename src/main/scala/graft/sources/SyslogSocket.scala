@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.io.OutputStreamWriter
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The LIVE network leg of the syslog source (S27): Postgres logs
+  * shipped over a real TCP connection, de-framed with [[Syslog]] and
+  * fed straight into the streaming pipeline
+  * ([[graft.streaming.Stitch]]), the socket analogue of the
+  * reference's syslog server (`input/system/selfhosted/
+  * syslog_handler.go:26-120` — TCP listener → LogPartsChannel →
+  * SelfHostedLogStreamItem per message).
+  *
+  * Transport: Spark's built-in `socket` streaming source — the
+  * executor connects to the emitting host and reads newline-delimited
+  * frames; at 100 TB this slot is played by Kafka/Kinesis partitions,
+  * with everything downstream of [[rawLines]] unchanged (the adapter
+  * contract is a single string column named `value`).
+  *
+  * Level semantics mirror `logStreamItemFromSyslogParts`
+  * (`syslog_handler.go:137-172`): the syslog envelope contributes
+  * pid (PROCID), event time (TIMESTAMP) and the `[seqno-chunk]`
+  * stitch marker; the MESSAGE is the raw Postgres log payload whose
+  * leading `LEVEL:` token decides primary-vs-continuation — messages
+  * with no recognized level are continuations for the stitcher (W3),
+  * and lines that are not syslog-framed at all are poison (W7:
+  * pid −1, epoch+1 event time, DISCARDED downstream). */
+object SyslogSocket {
+
+  /** Primary-line levels (the reference's LogLineParser set); DETAIL/
+    * HINT/STATEMENT/CONTEXT etc. ride along as continuations. */
+  val PrimaryLevels: Seq[String] =
+    Seq("DEBUG", "INFO", "NOTICE", "WARNING", "ERROR", "LOG", "FATAL", "PANIC")
+
+  /** Spark's socket source: connects to host:port, one row per line. */
+  def stream(s: SparkSession, host: String, port: Int): DataFrame =
+    s.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** Syslog frame stream (`value` column) → [[graft.streaming.Stitch.RawLine]]
+    * columns. One RegexGroupsExpr pass per regex per row, no shuffle. */
+  def rawLines(framed: DataFrame): DataFrame = {
+    val p = Syslog.parsedStruct(col("value"))
+    val lvl = regexp_extract(col("_c"),
+      "^(" + PrimaryLevels.mkString("|") + "):\\s*(.*)$", 1)
+    val body = regexp_extract(col("_c"),
+      "^(" + PrimaryLevels.mkString("|") + "):\\s*(.*)$", 2)
+    framed
+      .select(p.as("p"))
+      .select(
+        col("p.syslog_framed").as("framed"),
+        col("p.pid").as("spid"),
+        to_timestamp(col("p.log_time"), "yyyy-MM-dd'T'HH:mm:ssX").as("sts"),
+        coalesce(col("p.log_line_no"), lit(0L)).as("lineNo"),
+        col("p.content").as("_c"))
+      .select(
+        when(!col("framed") || col("spid").isNull, lit(-1L))
+          .otherwise(col("spid")).as("pid"),
+        when(!col("framed") || col("sts").isNull,
+          timestamp_seconds(lit(1L))).otherwise(col("sts")).as("ts"),
+        when(!col("framed"), lit("UNKNOWN"))
+          .when(lvl === "", lit("UNKNOWN")).otherwise(lvl).as("level"),
+        when(!col("framed"), lit("")).when(lvl === "", col("_c"))
+          .otherwise(body).as("content"),
+        when(!col("framed"), lit(0L)).otherwise(col("lineNo")).as("lineNo"))
+      .select("pid", "ts", "level", "content", "lineNo")
+  }
+
+  /** In-process line emitter for specs: accepts ONE client and writes
+    * the waves in order, flushing each and pausing `gapMs` between
+    * them, so arrival is genuinely spread over the wire in time (the
+    * socket source sees multiple reads → multiple micro-batches). */
+  final class LineServer(waves: Seq[Seq[String]], gapMs: Long = 200L) {
+    private val server = new ServerSocket(0)
+    val port: Int = server.getLocalPort
+    @volatile var done = false
+    @volatile private var stopRequested = false
+    private val thread = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val w = new OutputStreamWriter(sock.getOutputStream, UTF_8)
+        waves.foreach { wave =>
+          wave.foreach { l => w.write(l); w.write("\n") }
+          w.flush()
+          Thread.sleep(gapMs)
+        }
+        done = true
+        // hold the connection open (a closed socket ends the Spark
+        // source) until the driving spec calls stop()
+        while (!stopRequested) Thread.sleep(20)
+        sock.close()
+      } catch { case _: java.io.IOException => () }
+      finally {
+        done = true
+        try server.close() catch { case _: java.io.IOException => () }
+      }
+    })
+    thread.setDaemon(true)
+    thread.start()
+
+    def stop(): Unit = stopRequested = true
+  }
+}

@@ -429,4 +429,72 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("LIVE socket syslog source: RFC5424 over TCP into stitch, out-of-order + W7") {
+    import graft.sources.SyslogSocket
+    def fr(t: String, pid: Int, seq: Int, msg: String): String =
+      s"<134>1 ${t}Z host postgres $pid - - [$seq-1] $msg"
+    // waves arrive over a REAL wire in time order that does NOT match
+    // event time: pid 100's continuation lands a wave after its
+    // primary, interleaved with pid 200's later-ts primary; wave 3
+    // carries an orphan continuation (pid 300, W7), an unframed poison
+    // line, a second pid-100 primary (flushes the stitched first), and
+    // a far-future closer that drags the watermark past every timeout
+    val server = new SyslogSocket.LineServer(Seq(
+      Seq(
+        fr("2024-01-01T00:00:02", 100, 1, "LOG:  slow query start"),
+        fr("2024-01-01T00:00:03", 200, 1, "ERROR:  deadlock detected")),
+      Seq(
+        fr("2024-01-01T00:00:02", 100, 2, "\tquery: SELECT pg_sleep(10)"),
+        fr("2024-01-01T00:00:04", 100, 3, "LOG:  second statement")),
+      Seq(
+        fr("2024-01-01T00:00:05", 300, 9, "\torphan detail"),
+        "this is not a syslog frame",
+        fr("2024-01-01T00:00:30", 999, 1, "LOG:  closer"))))
+    val raw = SyslogSocket.stream(spark, "127.0.0.1", server.port)
+    val stitched = Stitch(
+      SyslogSocket.rawLines(raw)
+        .withWatermark("ts", "3 seconds")
+        .as[Stitch.RawLine]).toDF()
+      .withColumn("classification",
+        graft.logsys.LogClassify.classify(org.apache.spark.sql.functions.col("content")))
+    val q = stitched.writeStream.format("memory").queryName("syslog_live")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // arrival is genuinely asynchronous: poll until the three
+      // stitched lines and two dead-letter rows surface
+      val deadline = System.currentTimeMillis + 60000
+      def rows() = spark.table("syslog_live").collect()
+      while (rows().length < 5 && System.currentTimeMillis < deadline)
+        Thread.sleep(250)
+      val all = rows()
+      val stitchedRows = all.filter(_.getAs[String]("level") != "DISCARDED")
+      val discarded = all.filter(_.getAs[String]("level") == "DISCARDED")
+      val first = stitchedRows.find(r =>
+        r.getAs[Long]("pid") == 100L &&
+          r.getAs[String]("content").startsWith("slow query start"))
+      assert(first.isDefined, s"missing stitched primary, got ${all.toSeq}")
+      // the out-of-order continuation (arrived one wave later over the
+      // wire) stitched into its primary across the batch boundary
+      assert(first.get.getAs[String]("content") ==
+        "slow query start\n\tquery: SELECT pg_sleep(10)",
+        s"continuation not stitched: ${first.get}")
+      assert(first.get.getAs[Int]("nLines") == 2)
+      assert(stitchedRows.exists(r => r.getAs[Long]("pid") == 200L &&
+        r.getAs[String]("content") == "deadlock detected" &&
+        r.getAs[String]("level") == "ERROR"))
+      assert(stitchedRows.exists(r => r.getAs[Long]("pid") == 100L &&
+        r.getAs[String]("content") == "second statement"))
+      // W7: the orphan continuation and the unframed poison line are
+      // dead-lettered, never promoted or associated
+      assert(discarded.length == 2, s"discards: ${discarded.toSeq}")
+      assert(discarded.exists(_.getAs[Long]("pid") == 300L))
+      assert(discarded.exists(_.getAs[Long]("pid") == -1L))
+      // the closer never flushes (watermark never passes it)
+      assert(!all.exists(_.getAs[Long]("pid") == 999L))
+    } finally {
+      q.stop()
+      server.stop()
+    }
+  }
 }
