@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: stage breakdown of the compact-snapshot e2e —
+  * `runMain graft.tools.ProfileCompact [sfDir]` times the parse
+  * checkpoint, the dim encodes, the capped section collects, and the
+  * encode→decode tail separately, to attribute e2e growth at 10×. */
+object ProfileCompact {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFILE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // warmup whole e2e once (JVM/codegen)
+    graft.sinks.CompactSnapshotPipeline.e2e(spark, sfDir).collect()
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
+    val doc = t("assemble_total") {
+      graft.sinks.CompactSnapshotPipeline.assemble(spark, sfDir)
+    }
+    val wire = t("encode_zlib") {
+      graft.sinks.ProtoWire.zlib(
+        graft.sinks.CompactSnapshotPipeline.encode(doc))
+    }
+    println(s"PROFILE wire_bytes ${wire.length}")
+    println(s"PROFILE line_rows ${doc.lineRows.length} " +
+      s"sample_rows ${doc.sampleRows.length} query_rows ${doc.queryRows.length}")
+    t("decode_verify") {
+      graft.sinks.CompactSnapshotPipeline.decodeVerify(spark, wire).collect()
+    }
+    // isolate the parse checkpoint (the distributed log fan-in)
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    t("parse_checkpoint_only") {
+      graft.sinks.CompactSnapshotPipeline.parsedLines(spark, sfDir)
+        .localCheckpoint().count()
+    }
+    spark.stop()
+  }
+}
