@@ -1527,27 +1527,57 @@ object OraclesGen {
   /** The stubbed decoder's feature math re-derived in SQL: FNV-1a over
     * the payload bytes (== the ASCII text), per-dim xor-multiply mix,
     * top-53-bit fraction — exact doubles on both sides. */
-  val mmDecodeFeatures: String = {
-    def mixed(c: Long): String =
-      s"""((CASE WHEN xor(h0, CAST($c AS BIGINT)) < 0
-         |      THEN CAST(xor(h0, CAST($c AS BIGINT)) AS HUGEINT) + 18446744073709551616
-         |      ELSE CAST(xor(h0, CAST($c AS BIGINT)) AS HUGEINT) END)
-         |   * 1099511628211) % 18446744073709551616""".stripMargin
-    val feats = graft.operators.Multimodal.featureConsts.zipWithIndex
-      .map { case (c, i) =>
-        s"CAST((${mixed(c)}) // 2048 AS DOUBLE) / 9007199254740992.0 AS f$i" }
-      .mkString(",\n  ")
-    s"""WITH wh AS (
-       |  SELECT doc_id,
-       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-       |      ELSE 'video' END AS media_type,
-       |    CAST(length(text) AS INT) AS n_bytes,
-       |    CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS h0
-       |  FROM (SELECT *, ${fnvHuge("text")} AS h FROM documents))
-       |SELECT doc_id, media_type, n_bytes,
-       |  $feats
-       |FROM wh""".stripMargin
-  }
+  /** Analytic reconstruction of the REAL-codec features: the engine
+    * encodes genuine PNG / RIFF-WAV / raw-frame documents and decodes
+    * them back (ImageIO, javax.sound); the oracle computes what those
+    * decodes MUST yield straight from the synthesis formulas — pixel
+    * channel means, PCM sample stats, container byte stats. Grids use
+    * constant range() bounds (w≤16, h≤14, n≤127, total≤112) with the
+    * correlation in WHERE, since DuckDB table-function args must be
+    * uncorrelated. */
+  val mmDecodeFeatures: String =
+    s"""WITH gxy AS (
+       |  SELECT x.range AS x, y.range AS y FROM range(0, 17) x, range(0, 15) y),
+       |im AS (
+       |  SELECT d.doc_id, 8 + d.doc_id % 9 AS w, 8 + d.doc_id % 7 AS h,
+       |         g.x, g.y
+       |  FROM documents d CROSS JOIN gxy g
+       |  WHERE d.doc_id % 3 = 0 AND g.x < 8 + d.doc_id % 9
+       |    AND g.y < 8 + d.doc_id % 7),
+       |imf AS (
+       |  SELECT doc_id, 'image' AS media_type,
+       |    CAST(w AS DOUBLE) AS f0, CAST(h AS DOUBLE) AS f1,
+       |    CAST(CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS DOUBLE)
+       |      / (w*h) AS f2,
+       |    CAST(CAST(sum((doc_id*17 + x*11 + y*3) % 256) AS BIGINT) AS DOUBLE)
+       |      / (w*h) AS f3,
+       |    CAST(CAST(sum((doc_id*23 + x*5 + y*19) % 256) AS BIGINT) AS DOUBLE)
+       |      / (w*h) AS f4
+       |  FROM im GROUP BY doc_id, w, h),
+       |au AS (
+       |  SELECT d.doc_id, 64 + d.doc_id % 64 AS n,
+       |    (d.doc_id*7919 + i.range*31) % 65536 - 32768 AS s
+       |  FROM documents d CROSS JOIN range(0, 128) i
+       |  WHERE d.doc_id % 3 = 1 AND i.range < 64 + d.doc_id % 64),
+       |auf AS (
+       |  SELECT doc_id, 'audio' AS media_type,
+       |    CAST(n AS DOUBLE) AS f0, 8000.0 AS f1,
+       |    CAST(CAST(sum(s) AS BIGINT) AS DOUBLE) / n AS f2,
+       |    CAST(max(s) AS DOUBLE) AS f3, CAST(min(s) AS DOUBLE) AS f4
+       |  FROM au GROUP BY doc_id, n),
+       |vi AS (
+       |  SELECT d.doc_id, 2 + d.doc_id % 6 AS nf, (2 + d.doc_id % 6)*16 AS total,
+       |    (d.doc_id*13 + j.range*7) % 256 AS b
+       |  FROM documents d CROSS JOIN range(0, 128) j
+       |  WHERE d.doc_id % 3 = 2 AND j.range < (2 + d.doc_id % 6)*16),
+       |vif AS (
+       |  SELECT doc_id, 'video' AS media_type,
+       |    CAST(nf AS DOUBLE) AS f0, CAST(total AS DOUBLE) AS f1,
+       |    CAST(CAST(sum(b) AS BIGINT) AS DOUBLE) / total AS f2,
+       |    CAST(max(b) AS DOUBLE) AS f3, CAST(min(b) AS DOUBLE) AS f4
+       |  FROM vi GROUP BY doc_id, nf, total)
+       |SELECT * FROM imf UNION ALL SELECT * FROM auf UNION ALL
+       |SELECT * FROM vif""".stripMargin
 
   val mmFrameSample: String =
     """WITH v AS (

@@ -152,17 +152,25 @@ object QueriesText {
         "ELSE 'video' END").as("media_type"),
       col("text").cast("binary").as("payload"))
 
-  // Multimodal: batched partition-local decode (stubbed codec, real
-  // batch/schema/partitioning contract).
+  // Multimodal: REAL codecs behind the batched partition-local
+  // contract — executors synthesize genuine PNG (ImageIO) and RIFF/WAV
+  // (javax.sound) documents plus raw-frame video containers, then
+  // decode them back and emit pixel/sample-derived features; the
+  // oracle reproduces every feature analytically from the synthesis
+  // formulas, so a wrong decode (channel swap, sign error, dropped
+  // sample) hash-fails. n_bytes is excluded: PNG/zlib encoded size is
+  // codec-version detail, not data.
   def mmDecodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val feats = graft.operators.Multimodal.decodeFeatures(
-      media(s, dir).as[graft.operators.Multimodal.MediaRow]).toDF()
-    // feature vector re-projected to one column per dimension so the
-    // driver comparator (which cannot sort array cells) stays green
-    val dims = (0 until graft.operators.Multimodal.FeatureDim)
-      .map(i => col("features")(i).as(s"f$i"))
-    feats.select(col("doc_id") +: col("media_type") +: col("n_bytes") +: dims: _*)
+    val M = graft.operators.Multimodal
+    val typed = Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END").as("media_type"))
+      .as[(Long, String)]
+    val feats = M.decodeFeatures(M.encodeMedia(typed)).toDF()
+    val dims = (0 until M.FeatureDim).map(i => col("features")(i).as(s"f$i"))
+    feats.select(col("doc_id") +: col("media_type") +: dims: _*)
   }
 
   // Multimodal: video frame sampling as pure binary column algebra.

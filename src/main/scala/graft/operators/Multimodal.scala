@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for training-data pipelines: media
   * payloads are opaque `binary` columns with typed metadata; decode /
@@ -13,50 +13,201 @@ import graft.functions.Hashing
   * an iterator, the decoder consumes fixed-size batches, and emits an
   * iterator back; no shuffle, no driver collection).
   *
-  * DECODER STUB: this container ships no image/audio codecs, so
-  * [[fakeDecode]] is a clearly-marked deterministic stand-in (FNV-mixed
-  * feature vector). The Spark-side contract — schema, binary payloads,
-  * batch shape, partition independence — is real and is what a real
-  * decoder (JNI to libjpeg/ffmpeg, or a Python worker via Arrow) would
-  * plug into.
+  * REAL CODECS: image payloads are genuine PNG documents decoded with
+  * the JDK's ImageIO (headless), audio payloads are genuine RIFF/WAV
+  * PCM16 documents decoded with javax.sound.sampled, and video
+  * payloads are raw fixed-size-frame containers (container-level byte
+  * math — no JDK video codec exists, and pretending otherwise would be
+  * a stub). The encode side runs in executors too, so both codec
+  * directions are exercised partition-locally. Features are
+  * pixel/sample-derived (dimensions + channel means + sample extrema),
+  * which the DuckDB oracle reproduces ANALYTICALLY from the synthesis
+  * formulas — a wrong decode (channel swap, sign error, dropped row)
+  * breaks the mean and fails the hash gate.
   */
 object Multimodal {
 
-  val FeatureDim = 4
+  val FeatureDim = 5
   val FrameBytes = 16
   val FrameStride = 4 // keep every 4th frame
   val DecodeBatch = 64
-
-  /** Per-dimension mixing constants (inlined into the oracle). */
-  val featureConsts: Array[Long] =
-    Array.tabulate(FeatureDim)(j => Hashing.fnv1a64(j + ":mm"))
+  val WavRate = 8000
 
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   final case class FeatureRow(doc_id: Long, media_type: String, n_bytes: Int,
       features: Array[Double])
 
-  /** STUB decode: payload bytes → FeatureDim doubles in [0, 1). Stands
-    * in for a real image/audio feature extractor; deterministic and
-    * byte-exact reproducible (FNV-1a + per-dim mix, the engine's hash
-    * family). Replace the body — not the signature — to plug in a real
-    * codec. */
-  def fakeDecode(payload: Array[Byte]): Array[Double] = {
-    var h = Hashing.FnvOffset
+  // ------------------------------------------------- synthesis formulas
+  // (shared, via their closed forms, with the oracle's analytic arms)
+
+  def imageDims(docId: Long): (Int, Int) =
+    (8 + (docId % 9).toInt, 8 + (docId % 7).toInt)
+
+  @inline private def pixR(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 13) % 256).toInt
+  @inline private def pixG(docId: Long, x: Int, y: Int): Int =
+    ((docId * 17 + x * 11 + y * 3) % 256).toInt
+  @inline private def pixB(docId: Long, x: Int, y: Int): Int =
+    ((docId * 23 + x * 5 + y * 19) % 256).toInt
+
+  def wavSamples(docId: Long): Int = 64 + (docId % 64).toInt
+  @inline private def wavSample(docId: Long, i: Int): Int =
+    ((docId * 7919 + i * 31) % 65536).toInt - 32768
+
+  def videoFrames(docId: Long): Int = 2 + (docId % 6).toInt
+  @inline private def videoByte(docId: Long, j: Int): Int =
+    ((docId * 13 + j * 7) % 256).toInt
+
+  // ------------------------------------------------------- image codec
+
+  /** A real PNG: deterministic RGB raster → ImageIO "png" writer. */
+  def encodePng(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixR(docId, x, y) << 16) | (pixG(docId, x, y) << 8) |
+            pixB(docId, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** ImageIO decode → (width, height, mean_r, mean_g, mean_b): channel
+    * sums are exact longs, one double division each. */
+  def decodeImage(payload: Array[Byte]): Array[Double] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    Array(w.toDouble, h.toDouble, sr / n, sg / n, sb / n)
+  }
+
+  // ------------------------------------------------------- audio codec
+
+  /** A real RIFF/WAV document: PCM16 LE mono at [[WavRate]] Hz. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val n = wavSamples(docId)
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(WavRate)
+      .putInt(WavRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < payload.length) {
-      h ^= (payload(i) & 0xffL)
-      h *= Hashing.FnvPrime
+    while (i < n) { bb.putShort(wavSample(docId, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** javax.sound decode → (n_samples, sample_rate, mean, max, min) over
+    * the signed PCM16 samples. */
+  def decodeWav(payload: Array[Byte]): Array[Double] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"unexpected wav format: $fmt")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val n = bytes.length / 2
+    var sum = 0L; var max = Int.MinValue; var min = Int.MaxValue
+    var i = 0
+    while (i < n) {
+      val lo = bytes(2 * i) & 0xff
+      val hi = bytes(2 * i + 1).toInt // sign-extends
+      val s = (hi << 8) | lo
+      sum += s
+      if (s > max) max = s
+      if (s < min) min = s
       i += 1
     }
-    Array.tabulate(FeatureDim) { j =>
-      val m = (h ^ featureConsts(j)) * Hashing.FnvPrime
-      (m >>> 11).toDouble / (1L << 53).toDouble
+    Array(n.toDouble, fmt.getSampleRate.toDouble, sum.toDouble / n,
+      max.toDouble, min.toDouble)
+  }
+
+  // ---------------------------------------------- raw video container
+
+  /** Raw fixed-frame container: [[videoFrames]] frames of
+    * [[FrameBytes]] bytes each. */
+  def encodeRawVideo(docId: Long): Array[Byte] = {
+    val total = videoFrames(docId) * FrameBytes
+    Array.tabulate[Byte](total)(j => videoByte(docId, j).toByte)
+  }
+
+  /** Container math → (n_frames, total_bytes, mean_byte, max, min)
+    * over the unsigned payload bytes. */
+  def decodeRawVideo(payload: Array[Byte]): Array[Double] = {
+    val n = payload.length
+    var sum = 0L; var max = -1; var min = 256
+    var j = 0
+    while (j < n) {
+      val b = payload(j) & 0xff
+      sum += b
+      if (b > max) max = b
+      if (b < min) min = b
+      j += 1
+    }
+    Array((n / FrameBytes).toDouble, n.toDouble, sum.toDouble / n,
+      max.toDouble, min.toDouble)
+  }
+
+  // --------------------------------------------------- batched stages
+
+  def decodeOne(mediaType: String, payload: Array[Byte]): Array[Double] =
+    mediaType match {
+      case "image" => decodeImage(payload)
+      case "audio" => decodeWav(payload)
+      case _       => decodeRawVideo(payload)
+    }
+
+  /** Batched partition-local ENCODE: synthesize each row's real media
+    * document in the executor (codec write direction). */
+  def encodeMedia(ids: Dataset[(Long, String)]): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap { batch =>
+        batch.iterator.map { case (id, tpe) =>
+          val payload = tpe match {
+            case "image" => encodePng(id)
+            case "audio" => encodeWav(id)
+            case _       => encodeRawVideo(id)
+          }
+          MediaRow(id, tpe, payload)
+        }
+      }
     }
   }
 
   /** Batched partition-local feature extraction: iterator in, iterator
-    * out, consuming [[DecodeBatch]]-row batches (a real decoder amortizes
-    * codec setup per batch exactly here). */
+    * out, consuming [[DecodeBatch]]-row batches (the codec-session
+    * boundary a heavier decoder would amortize against). */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -65,7 +216,7 @@ object Multimodal {
         // batch boundary = codec-session boundary
         batch.iterator.map { r =>
           FeatureRow(r.doc_id, r.media_type, r.payload.length,
-            fakeDecode(r.payload))
+            decodeOne(r.media_type, r.payload))
         }
       }
     }

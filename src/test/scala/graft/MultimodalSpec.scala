@@ -12,18 +12,50 @@ class MultimodalSpec extends SparkSpec {
       ("payload-" * i).getBytes("UTF-8"))
   }.toDS()
 
-  test("decodeFeatures: deterministic, schema'd, batch- and partition-invariant") {
-    val base = Multimodal.decodeFeatures(mediaDs(200).repartition(1))
+  test("png round trip: ImageIO decode reproduces the analytic channel means") {
+    for (docId <- Seq(0L, 3L, 9L, 42L)) {
+      val f = Multimodal.decodeImage(Multimodal.encodePng(docId))
+      val (w, h) = Multimodal.imageDims(docId)
+      assert(f(0) == w.toDouble && f(1) == h.toDouble)
+      // analytic means straight from the pixel formulas
+      def mean(a: Long, bx: Long, by: Long): Double = {
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          s += ((docId * a + x * bx + y * by) % 256)
+        s.toDouble / (w * h)
+      }
+      assert(f(2) == mean(31, 7, 13), s"doc $docId mean_r")
+      assert(f(3) == mean(17, 11, 3), s"doc $docId mean_g")
+      assert(f(4) == mean(23, 5, 19), s"doc $docId mean_b")
+    }
+  }
+
+  test("wav round trip: javax.sound decode reproduces the PCM sample stats") {
+    for (docId <- Seq(1L, 4L, 64L)) {
+      val f = Multimodal.decodeWav(Multimodal.encodeWav(docId))
+      val n = Multimodal.wavSamples(docId)
+      val samples = (0 until n)
+        .map(i => ((docId * 7919 + i * 31) % 65536).toInt - 32768)
+      assert(f(0) == n.toDouble && f(1) == Multimodal.WavRate.toDouble)
+      assert(f(2) == samples.map(_.toLong).sum.toDouble / n, s"doc $docId mean")
+      assert(f(3) == samples.max.toDouble && f(4) == samples.min.toDouble)
+    }
+  }
+
+  test("decodeFeatures: real codecs, batch- and partition-invariant") {
+    import spark.implicits._
+    val ids = (0 until 200).map(i =>
+      (i.toLong, Seq("image", "audio", "video")(i % 3))).toDS()
+    def run(parts: Int) = Multimodal
+      .decodeFeatures(Multimodal.encodeMedia(ids.repartition(parts)))
       .collect().map(r => r.doc_id -> r.features.toSeq).toMap
+    val base = run(1)
     // different partitioning (and therefore different batch boundaries)
     // must not change a single feature
-    val re = Multimodal.decodeFeatures(mediaDs(200).repartition(7))
-      .collect().map(r => r.doc_id -> r.features.toSeq).toMap
-    assert(base == re)
+    assert(base == run(7))
     assert(base(1L).length == Multimodal.FeatureDim)
-    assert(base.values.forall(_.forall(f => f >= 0.0 && f < 1.0)))
     // payloads differ → features differ
-    assert(base(1L) != base(2L))
+    assert(base(0L) != base(3L))
   }
 
   test("frameSample: every 4th fixed-size frame, binary slices") {
