@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The S32/S33 polling DRIVER — what turns [[IncrementalTail]]'s
+  * single-poll semantics into the reference's 30 s download loop
+  * (`runner/logs.go:82-145`): each tick snapshots the current file
+  * set, tails every file from its persisted marker, hands the new
+  * lines to the sink, and persists the advanced markers for the next
+  * tick (`server.LogPrevState = newLogState` — updated every tick,
+  * success or not). Ticks of one poller SERIALIZE (the reference's
+  * `LogStateMutex`): a slow download can't race the next tick into
+  * reading the same window twice.
+  *
+  * The cadence itself comes from [[graft.streaming.Scheduler]]
+  * ([[graft.streaming.Scheduler.LogDownload]], `planCadence` — the
+  * reference runs this ticker beside, not inside, its three-schedule
+  * scheduler), so deadline/cancel semantics are the scheduler's.
+  *
+  * Marker state is a driver-held map (file → byte offset), exactly the
+  * reference's `PersistedLogState`; it is the only driver-side state
+  * and is #files-bounded. The per-tick tail work is the distributed
+  * [[IncrementalTail.tail]] plan — at 100 TB this loop schedules a
+  * partition-parallel scan per tick, not a driver loop over files. */
+final class LogPoller(
+    spark: SparkSession,
+    filesProvider: () => DataFrame,
+    sink: DataFrame => Unit,
+    maxTailBytes: Long = IncrementalTail.DefaultMaxTailBytes) {
+
+  private val markers =
+    new AtomicReference[Map[String, Long]](Map.empty)
+  private val tickLock = new Object
+
+  /** The persisted marker table (file → offset) as of the last tick. */
+  def currentMarkers: Map[String, Long] = markers.get()
+
+  /** One download tick: tail every file from its marker, emit new
+    * lines, advance markers. Returns the number of emitted lines. */
+  def tick(): Long = tickLock.synchronized {
+    import spark.implicits._
+    val files = filesProvider()
+    val prev = markers.get()
+    val markerDf = prev.toSeq.toDF("file", "prev_offset")
+    val out = IncrementalTail.tail(files, markerDf, maxTailBytes)
+      .filter(col("line") =!= "") // tail windows ending in '\n' yield one empty fragment
+      .localCheckpoint() // one materialization feeds sink + marker collect
+    // marker advance: every PRESENT file moves to its current size;
+    // files absent this tick keep their old marker (the reference keeps
+    // state per file until the file rotates out of the returned set)
+    val advanced = files
+      .select(col("file"), length(col("content")).cast("long").as("sz"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    markers.set(prev ++ advanced)
+    sink(out)
+    out.count()
+  }
+}

@@ -31,6 +31,12 @@ object Scheduler {
   val HighFreq = "highfreq_1min"
   val Full = "full_10min"
 
+  /** The log-download cadence (`runner/logs.go:30`,
+    * LogDownloadInterval = 30 s) — runs beside the three snapshot
+    * cadences, driving [[graft.sources.LogPoller]] ticks. */
+  val LogDownload = "log_download_30s"
+  val LogDownloadPeriod = 30L
+
   final case class Tick(cadence: String, fireAt: Long, deadline: Long)
 
   /** Deterministic fire plan over (t0, t0 + horizon]: every cadence
@@ -54,6 +60,15 @@ object Scheduler {
         HighFreqPeriod) ++
       withDeadline(Full, offsets(FullPeriod).map(t0 + _), FullPeriod)
   }
+
+  /** One standalone cadence's fire plan — the shape `runner/logs.go`'s
+    * dedicated 30 s ticker has (it runs OUTSIDE the three-schedule
+    * scheduler): period multiples over (t0, t0+horizon], same deadline
+    * rule as [[plan]], no overlap-skip (nothing to be secondary to). */
+  def planCadence(cadence: String, period: Long, t0: Long, horizon: Long,
+      minRunSecs: Long = 19L): Seq[Tick] =
+    (period to horizon by period)
+      .map(o => Tick(cadence, t0 + o, t0 + o + math.max(period - 1, minRunSecs)))
 
   sealed trait Outcome
   case object Completed extends Outcome

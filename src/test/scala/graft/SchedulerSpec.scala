@@ -3,15 +3,14 @@ package graft
 import java.util.concurrent.CountDownLatch
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.streaming.Scheduler
 import graft.streaming.Scheduler.{Completed, TimedOut}
 
 /** The three-cadence scheduler: plan arithmetic (fire times, overlap
-  * skip, deadlines) and the concurrent runtime (side-by-side cadences,
-  * per-tick deadline cancellation). */
-class SchedulerSpec extends AnyFunSuite {
+  * skip, deadlines), the concurrent runtime (side-by-side cadences,
+  * per-tick deadline cancellation), and the 30 s log-download cadence
+  * driving the S32/S33 poller. */
+class SchedulerSpec extends SparkSpec {
 
   test("plan: one 600 s cycle fires 60 activity + 9 high-freq + 1 full") {
     val p = Scheduler.plan(1200L, 600L)
@@ -79,5 +78,58 @@ class SchedulerSpec extends AnyFunSuite {
     val byFire = reports.map(r => r.tick.fireAt -> r.outcome).toMap
     assert(byFire(10L) === TimedOut)
     assert(byFire(20L) === Completed)
+  }
+
+  test("log-download cadence drives the S32/S33 poller: markers advance monotonically over 4 ticks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the file system as the poller sees it, growing between ticks —
+    // appends to A, a quiet B, and a file C that appears at tick 3
+    @volatile var fs = Map(
+      "postgresql.log.A" -> "a1\na2",
+      "postgresql.log.B" -> "b1")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val markerHistory = scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
+    val poller = new graft.sources.LogPoller(
+      spark,
+      filesProvider = () => fs.toSeq.toDF("file", "content"),
+      sink = df => emitted.synchronized {
+        emitted ++= df.select("file", "line").collect()
+          .map(r => r.getString(0) -> r.getString(1))
+      })
+    // the reference's 30 s ticker planned by the scheduler: 4 firings
+    val ticks = Scheduler.planCadence(
+      Scheduler.LogDownload, Scheduler.LogDownloadPeriod, 0L, 120L)
+    assert(ticks.map(_.fireAt) === Seq(30L, 60L, 90L, 120L))
+    val mutations: Map[Long, () => Unit] = Map(
+      60L -> (() => fs += "postgresql.log.A" -> "a1\na2\na3"),
+      90L -> (() => fs += "postgresql.log.C" -> "c1"),
+      120L -> (() => fs += "postgresql.log.B" -> "b1\nb2"))
+    val reports = Scheduler.runConcurrent(ticks, t => {
+      mutations.get(t.fireAt).foreach(_.apply())
+      poller.tick()
+      markerHistory.synchronized { markerHistory += poller.currentMarkers }
+    }, tickBudgetMs = 2000L)
+    assert(reports.forall(_.outcome === Completed), reports.toString)
+    // ≥3 ticks: every file's marker is monotonically non-decreasing
+    assert(markerHistory.size === 4)
+    markerHistory.toSeq.sliding(2).foreach { w =>
+      val (prev, next) = (w.head, w.last)
+      prev.foreach { case (f, off) =>
+        assert(next.getOrElse(f, -1L) >= off,
+          s"marker for $f went backwards: $prev -> $next")
+      }
+    }
+    assert(markerHistory.last === Map(
+      "postgresql.log.A" -> 8L, "postgresql.log.B" -> 5L,
+      "postgresql.log.C" -> 2L))
+    // and the emitted lines are exactly each tick's NEW content — no
+    // re-reads of already-delivered windows across ticks (a2 is read
+    // in tick 1; the tick-2 window starts mid-line at a2's end and
+    // yields only a3)
+    val byFile = emitted.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(byFile("postgresql.log.A") === Seq("a1", "a2", "a3"))
+    assert(byFile("postgresql.log.B") === Seq("b1", "b2"))
+    assert(byFile("postgresql.log.C") === Seq("c1"))
   }
 }
