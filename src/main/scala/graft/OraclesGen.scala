@@ -2662,18 +2662,17 @@ object OraclesGen {
       |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |        list(contrib ORDER BY term)), (a, b) -> a + b) AS bm25
       |    FROM sc GROUP BY q_id, doc_id) y),
-      |lex20 AS (SELECT * FROM lex WHERE rank_lex <= 20),
-      |qe AS (SELECT q_id, unnest(embedding) AS x,
-      |         generate_subscripts(embedding, 1) AS i FROM q),
-      |ce AS (SELECT doc_id AS n_id, unnest(embedding) AS x,
-      |         generate_subscripts(embedding, 1) AS i FROM corpus),
+      |lex20 AS (SELECT * FROM lex WHERE rank_lex <= 20),""".stripMargin +
+    // vec arm dots fold in INDEX order (seqDot) — a parallel SUM
+    // aggregate can reorder float adds and flip near-tie ranks
+    s"""
       |s2 AS (
-      |  SELECT q_id, n_id,
-      |    sum(CAST(qe.x AS DOUBLE) * CAST(ce.x AS DOUBLE)) AS dot,
-      |    sqrt(sum(CAST(qe.x AS DOUBLE) * CAST(qe.x AS DOUBLE)))
-      |      * sqrt(sum(CAST(ce.x AS DOUBLE) * CAST(ce.x AS DOUBLE))) AS denom
-      |  FROM qe JOIN ce ON qe.i = ce.i WHERE q_id <> n_id
-      |  GROUP BY q_id, n_id),
+      |  SELECT q.q_id, c.doc_id AS n_id,
+      |    ${seqDot("q.embedding", "c.embedding")} AS dot,
+      |    sqrt(${seqDot("q.embedding", "q.embedding")})
+      |      * sqrt(${seqDot("c.embedding", "c.embedding")}) AS denom
+      |  FROM q, corpus c WHERE q.q_id <> c.doc_id),""".stripMargin +
+    """
       |vec AS (
       |  SELECT q_id, n_id, CAST(row_number() OVER (PARTITION BY q_id
       |    ORDER BY (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END) DESC,
@@ -2700,24 +2699,17 @@ object OraclesGen {
     s"""WITH bf AS (${Oracles.sql("embed_cosine_topk")}),
        |dims AS (SELECT unnest([8, 16, 32]) AS dims),
        |qd AS (
-       |  SELECT d.dims, t.vec_id AS q_id, t.x, t.i
-       |  FROM (SELECT vec_id, unnest(embedding) AS x,
-       |          generate_subscripts(embedding, 1) AS i
-       |        FROM embeddings WHERE vec_id < 20) t
-       |  CROSS JOIN dims d WHERE t.i <= d.dims),
+       |  SELECT d.dims, vec_id AS q_id, embedding[1:d.dims] AS qv
+       |  FROM embeddings CROSS JOIN dims d WHERE vec_id < 20),
        |cd AS (
-       |  SELECT d.dims, t.vec_id AS n_id, t.x, t.i
-       |  FROM (SELECT vec_id, unnest(embedding) AS x,
-       |          generate_subscripts(embedding, 1) AS i
-       |        FROM embeddings) t
-       |  CROSS JOIN dims d WHERE t.i <= d.dims),
+       |  SELECT d.dims, vec_id AS n_id, embedding[1:d.dims] AS cv
+       |  FROM embeddings CROSS JOIN dims d),
        |s AS (
        |  SELECT qd.dims, q_id, n_id,
-       |    sum(CAST(qd.x AS DOUBLE) * CAST(cd.x AS DOUBLE)) AS dot,
-       |    sqrt(sum(CAST(qd.x AS DOUBLE) * CAST(qd.x AS DOUBLE)))
-       |      * sqrt(sum(CAST(cd.x AS DOUBLE) * CAST(cd.x AS DOUBLE))) AS denom
-       |  FROM qd JOIN cd ON qd.i = cd.i AND qd.dims = cd.dims
-       |  WHERE q_id <> n_id GROUP BY qd.dims, q_id, n_id),
+       |    ${seqDot("qv", "cv")} AS dot,
+       |    sqrt(${seqDot("qv", "qv")}) * sqrt(${seqDot("cv", "cv")}) AS denom
+       |  FROM qd JOIN cd ON qd.dims = cd.dims
+       |  WHERE q_id <> n_id),
        |ap AS (
        |  SELECT dims, q_id, n_id FROM (
        |    SELECT dims, q_id, n_id, row_number() OVER (

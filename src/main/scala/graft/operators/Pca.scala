@@ -45,6 +45,9 @@ object Pca {
     * downstream transforms (whitening) can reuse the component. */
   def topComponent(emb: DataFrame, dim: Int, iters: Int = 3,
       chunkWidth: Long = 1024L): DataFrame = {
+    // lastS (and therefore lambda1) only exists after the first
+    // power-iteration round — iters = 0 would dereference null
+    require(iters >= 1, s"power iteration needs iters >= 1, got $iters")
     val e = emb.select(col("id"),
       expr("transform(vec, x -> cast(x as double))").as("v"))
     def chunkFold(df: DataFrame, valueExpr: String): DataFrame =
