@@ -497,4 +497,55 @@ class StreamingSpec extends SparkSpec {
       server.stop()
     }
   }
+
+  test("LIVE HTTPS drain: octet-framed bodies over real HTTP -> spool -> stream -> frames") {
+    import graft.sources.{HttpDrain, Syslog}
+    import org.apache.spark.sql.functions.{col, explode}
+    val spool = java.nio.file.Files.createTempDirectory("graft_drain")
+    val rx = new HttpDrain.Receiver(spool)
+    def framed(msg: String): String = s"${msg.length} $msg"
+    try {
+      // two real POSTs: a pg frame + interleaved router noise the
+      // de-framer must discard, then a second body with one pg frame
+      val pg1 = "<134>1 2024-01-01T00:00:02Z host app postgres.5 - LOG: one"
+      val noise = "<158>1 2024-01-01T00:00:02Z host heroku router - at=info"
+      val pg2 = "<134>1 2024-01-01T00:00:03Z host app postgres.7 - LOG: two"
+      assert(HttpDrain.post(rx.port, "/logs/tok1", framed(noise) + framed(pg1)) == 200)
+      assert(HttpDrain.post(rx.port, "/logs/tok1", framed(pg2)) == 200)
+      val frames = HttpDrain.stream(spark, spool)
+        .select(explode(Syslog.herokuFrames(col("value"))).as("f"))
+        .select("f.proc_id", "f.content")
+      val q = frames.writeStream.format("memory").queryName("drain_live")
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(30000)
+      val rows = spark.table("drain_live").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toSet
+      assert(rows == Set("postgres.5" -> "LOG: one",
+        "postgres.7" -> "LOG: two"), s"got $rows")
+      assert(rx.dropped == 0)
+    } finally {
+      rx.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)
+    }
+  }
+
+  test("HTTPS drain backpressure: spool at capacity drops requests with a count (W6)") {
+    import graft.sources.HttpDrain
+    val spool = java.nio.file.Files.createTempDirectory("graft_drain_bp")
+    val rx = new HttpDrain.Receiver(spool, maxPending = 2)
+    try {
+      (1 to 5).foreach(i =>
+        assert(HttpDrain.post(rx.port, "/logs/t", s"5 m$i") == 200))
+      // 2 accepted into the spool, 3 dropped — the reference's bounded
+      // channel drops rather than buffering unboundedly
+      val pending = spool.toFile.listFiles((_, n) => n.endsWith(".body"))
+      assert(pending.length == 2, s"spool: ${pending.toSeq}")
+      assert(rx.dropped == 3)
+    } finally {
+      rx.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)
+    }
+  }
 }
