@@ -372,8 +372,19 @@ object OraclesGen {
        |  CAST(count(l.n_id) AS DOUBLE) / count(*) AS recall
        |FROM bf LEFT JOIN lsh l USING (q_id, n_id)""".stripMargin
 
-  val embedNearDups: String = {
-    val bits = 4; val sigs = 8
+  val embedNearDups: String = embedNearDupsWith(4, 8)
+
+  /** The autoBits scale path at the gate's corpus: the engine sizes
+    * `bits = autoBits(count, sigs)` from the live corpus count, and at
+    * the driver's fixed sf0.01 gate (500 vectors, sigs 8, target 125)
+    * that formula yields 2 — pinned here because oracle SQL is static
+    * text while the plane matrix's size depends on bits. TextPipelineSpec
+    * pins the formula itself at other corpus sizes (2 k → 4, 20 k → 7,
+    * clamp at 62/sigs), so the adaptive leg is covered where SQL can't
+    * reach. */
+  val embedNearDupsAuto: String = embedNearDupsWith(Similarity.autoBits(500, 8), 8)
+
+  private def embedNearDupsWith(bits: Int, sigs: Int): String = {
     val planes = Similarity.planeMatrix(bits * sigs, 64)
     val pows = longList((0 until bits * sigs).map(1L << _))
     val sigPows = longList((0 until sigs).map(s => 1L << (bits * s)))
@@ -2860,6 +2871,7 @@ object OraclesGen {
     "doc_winnow" -> docWinnow,
     "doc_cdc_chunks" -> docCdcChunks,
     "embed_near_dups" -> embedNearDups,
+    "embed_near_dups_auto" -> embedNearDupsAuto,
     "x1_normalize_goldens" -> x1NormalizeGoldens,
     "x1_fingerprint_collapse" -> x1FingerprintCollapse)
 }

@@ -102,6 +102,18 @@ object QueriesText {
       Tables.fanOut(Tables.embeddings(s, dir)), "vec_id", "embedding",
       threshold = 0.4, bits = 4, sigs = 8, dim = 64)
 
+  /** The production scale path: `bits` sized from the live corpus count
+    * (autoBits), so bucket population stays near the per-cell target at
+    * ANY corpus size instead of flooding the hot-bucket cap when a fixed
+    * `bits` under-partitions a grown corpus (fixed 4 bits = 16 buckets
+    * → every bucket over the 1000-row cap at ~50 k vectors, dropping
+    * true pairs). The gate runs at sf0.01 where autoBits(500, 8) = 2;
+    * the oracle pins that same value (see OraclesGen.embedNearDupsAuto). */
+  def embedNearDupsAuto(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupsAuto(
+      Tables.fanOut(Tables.embeddings(s, dir)), "vec_id", "embedding",
+      threshold = 0.4, sigs = 8, dim = 64)
+
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanOut(Tables.documents(s, dir))
     val ws = TextFns.words(col("text"))

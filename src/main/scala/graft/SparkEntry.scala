@@ -122,6 +122,7 @@ object SparkEntry {
     "embed_ann_recall" -> (QueriesText.embedAnnRecall _),
     "embed_ivf_recall" -> (QueriesText.embedIvfRecall _),
     "embed_near_dups" -> (QueriesText.embedNearDups _),
+    "embed_near_dups_auto" -> (QueriesText.embedNearDupsAuto _),
     "text_quality" -> (QueriesText.textQuality _),
     "text_token_count" -> (QueriesText.textTokenCount _),
     "text_lang_id" -> (QueriesText.textLangId _),
