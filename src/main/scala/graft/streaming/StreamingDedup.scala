@@ -56,13 +56,28 @@ object StreamingDedup {
     * query START, so the switch must wrap `.start()`. */
   def withRocksDb[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    // changelog checkpointing: each commit uploads only that batch's
+    // key deltas instead of a full RocksDB snapshot (snapshots still
+    // happen, in the background every N commits) — the per-batch commit
+    // cost becomes O(changed keys), not O(total state), which is the
+    // difference between a fixed tax and a growing one on a 100 TB
+    // keyspace drained in many micro-batches
+    val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val old = spark.conf.getOption(key)
+    val oldCl = spark.conf.getOption(clKey)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(clKey, "true")
     try body
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      oldCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None    => spark.conf.unset(clKey)
+      }
     }
   }
 
