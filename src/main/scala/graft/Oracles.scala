@@ -694,6 +694,56 @@ object Oracles {
         |  content, false
         |FROM e WHERE m = 2""".stripMargin,
 
+    // the LIVE transport leg: same corpus, 1/37 subset, batched over
+    // real HTTP — the wire carries only record fields, so event_id is
+    // not in the output
+    "s28_otel_live" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id AS pid,
+        |    CAST(event_id % 4 AS INT) AS m,
+        |    CAST(event_id % 1000 AS BIGINT) AS n,
+        |    event_type = 'error' AS is_err,
+        |    CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END AS lvl,
+        |    CASE event_type
+        |      WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |        || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |        || regexp_extract(props, '"k": (\d+)', 1)
+        |      WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |        || regexp_extract(props, '"k": (\d+)', 1)
+        |        || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |        || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |        || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+        |      WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |        || (5000 + user_id % 100)
+        |      WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |        || ' database=db'
+        |        || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |      ELSE 'deadlock detected' END AS content
+        |  FROM events WHERE event_id % 37 = 0),
+        |jsonlike AS (
+        |  SELECT
+        |    CASE m WHEN 0 THEN 'jsonlog' WHEN 1 THEN 'k8s'
+        |      ELSE 'supabase' END AS record_kind,
+        |    CASE WHEN m = 1 THEN 'pg-0' END AS k8s_pod,
+        |    CASE WHEN m = 1 THEN 'ns' || (pid % 4) END AS k8s_namespace,
+        |    pid, n AS log_line_no, lvl AS log_level,
+        |    'u' || pid AS username, 'db' || (pid % 5) AS database,
+        |    content, false AS is_detail, is_err
+        |  FROM e WHERE m IN (0, 1, 3))
+        |SELECT record_kind, k8s_pod, k8s_namespace, pid,
+        |  log_line_no, log_level, username, database, content, is_detail
+        |FROM jsonlike
+        |UNION ALL
+        |SELECT record_kind, k8s_pod, k8s_namespace, pid,
+        |  log_line_no, 'DETAIL', username, database,
+        |  'Process ' || pid || ' waits for ShareLock on transaction 1234',
+        |  true
+        |FROM jsonlike WHERE is_err
+        |UNION ALL
+        |SELECT 'plain', NULL, NULL, pid, n, NULL, NULL, NULL,
+        |  content, false
+        |FROM e WHERE m = 2""".stripMargin,
+
     "s29_heroku_frames" ->
       """SELECT event_id,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS header_timestamp,
@@ -737,6 +787,33 @@ object Oracles {
         |      || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
         |    ELSE 'deadlock detected' END AS content
         |FROM events""".stripMargin,
+
+    // the LIVE pull-subscriber leg: the router accepts exactly the
+    // p0/postgres.log envelopes (pid%3==0, pid%7!=0) from the 1/37
+    // published subset; everything else is ack-discarded as stale
+    "s30_pubsub_live" ->
+      """SELECT event_id,
+        |  'p' || (user_id % 3) AS project_id,
+        |  'inst' || (user_id % 5) AS instance_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS log_time,
+        |  CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END AS severity,
+        |  CASE event_type
+        |    WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |      || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |      || regexp_extract(props, '"k": (\d+)', 1)
+        |    WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |      || regexp_extract(props, '"k": (\d+)', 1)
+        |      || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |      || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |      || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+        |    WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |      || (5000 + user_id % 100)
+        |    WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |      || ' database=db'
+        |      || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |    ELSE 'deadlock detected' END AS content
+        |FROM events
+        |WHERE event_id % 37 = 0 AND user_id % 3 = 0 AND user_id % 7 <> 0""".stripMargin,
 
     "s31_azure_log_parse" ->
       """WITH base AS (

@@ -901,8 +901,17 @@ object QueriesLog {
         "log_line_no", "log_level", "username", "database", "content",
         "is_detail")
 
-  /** The synthesized OTLP/JSON payload feed for S28: (event_id, payload). */
-  def s28Payload(s: SparkSession, dir: String): DataFrame = {
+  /** The synthesized OTLP/JSON payload feed for S28: (event_id, payload)
+    * — one single-record export request per event. */
+  def s28Payload(s: SparkSession, dir: String): DataFrame =
+    s28Records(s, dir).select(col("event_id"), concat(
+      lit("""{"resourceLogs":[{"scopeLogs":[{"logRecords":["""),
+      col("record"), lit("]}]}]}")).as("payload"))
+
+  /** The per-event OTLP log RECORD JSON (event_id, record) — the unit
+    * [[s28Payload]] wraps one-per-request and [[s28OtelLive]] batches
+    * into real export POSTs. */
+  def s28Records(s: SparkSession, dir: String): DataFrame = {
     val base = LogSynth.lines(s, dir)
       .withColumn("m", (col("event_id") % 4).cast("int"))
       .withColumn("n", col("event_id") % 1000)
@@ -959,10 +968,49 @@ object QueriesLog {
     val eventName = when(col("m") === 3,
       concat(lit("\"eventName\":\""), col("content"), lit("\",")))
       .otherwise(lit(""))
-    val payload = concat(
-      lit("""{"resourceLogs":[{"scopeLogs":[{"logRecords":[{"timeUnixNano":"0","""),
-      eventName, lit("\"body\":"), body, lit("}]}]}]}"))
-    base.select(col("event_id"), payload.as("payload"))
+    val record = concat(lit("""{"timeUnixNano":"0","""),
+      eventName, lit("\"body\":"), body, lit("}"))
+    base.select(col("event_id"), record.as("record"))
+  }
+
+  /** S28 LIVE — the transport leg under the correctness gate: the same
+    * OTLP record corpus (1/37 of events), BATCHED 100 records per
+    * export request and POSTed gzip-encoded over real HTTP to an
+    * in-process [[graft.sources.OtelReceiver]], then parsed back off
+    * the durable spool with the identical adapter the synth entry
+    * gates. Output drops event_id (the wire carries only record
+    * fields); the oracle rebuilds the same multiset from events. */
+  def s28OtelLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.OtelReceiver
+    val reqs = s28Records(s, dir)
+      .filter(col("event_id") % 37 === 0)
+      .groupBy(expr("event_id div 3700").as("batch"))
+      .agg(array_sort(collect_list(struct(col("event_id"), col("record"))))
+        .as("rs"))
+      .select(concat(
+        lit("""{"resourceLogs":[{"scopeLogs":[{"logRecords":["""),
+        array_join(transform(col("rs"), x => x.getField("record")), ","),
+        lit("]}]}]}")).as("req"))
+      .collect().map(_.getString(0)) // bounded: |events|/3700 requests
+    val spool = java.nio.file.Files.createTempDirectory("graft_otel_live")
+    val rx = new OtelReceiver.Receiver(spool, maxPending = Int.MaxValue)
+    try {
+      reqs.foreach { r =>
+        val (code, _) = OtelReceiver.post(rx.port,
+          r.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          "application/json", gzipBody = true)
+        require(code == 200, s"export POST rejected: $code")
+      }
+    } finally rx.stop()
+    val spooled = s.read.option("wholetext", "true")
+      .option("pathGlobFilter", "*.body").text(spool.toString)
+    val out = graft.sources.CloudLogs.otelLogLines(spooled, "value")
+      .select("record_kind", "k8s_pod", "k8s_namespace", "pid",
+        "log_line_no", "log_level", "username", "database", "content",
+        "is_detail")
+      .localCheckpoint() // EAGER: materialize before the spool is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)
+    out
   }
 
   // S29 — Heroku HTTPS log-drain adapter: octet-framed syslog bodies
@@ -1006,6 +1054,62 @@ object QueriesLog {
       base.select(col("event_id"), payload.as("payload")), "payload")
       .select("event_id", "project_id", "instance_id", "log_time",
         "severity", "content")
+  }
+
+  /** S30 LIVE — the pull-subscriber transport under the correctness
+    * gate: 1/37 of the log corpus wrapped in Pub/Sub-published
+    * envelopes (project p{pid%3}, instance inst{pid%5}; pid%7==0 rows
+    * get a non-postgres logName), pulled by a real
+    * [[graft.sources.PubSubPull.Puller]] configured for project p0's
+    * five instances — so the ack/nack router must ACCEPT exactly the
+    * p0/postgres.log envelopes and ack-discard the rest (all stale
+    * against the wall clock, the reference's lost-and-cleaned-up
+    * path) — then parsed off the line-framed spool. The oracle
+    * rebuilds the accepted set from events. */
+  def s30PubsubLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PubSubPull
+    val base = LogSynth.lines(s, dir).filter(col("event_id") % 37 === 0)
+    val envelope = to_json(struct(
+      concat(lit("ins"), col("event_id")).as("insertId"),
+      concat(lit("projects/p"), col("pid") % 3, lit("/logs/"),
+        when(col("pid") % 7 === 0,
+          lit("cloudsql.googleapis.com%2Fmysql.log"))
+          .otherwise(lit("cloudsql.googleapis.com%2Fpostgres.log")))
+        .as("logName"),
+      struct(
+        lit("cloudsql_database").as("type"),
+        map(lit("database_id"),
+          concat(lit("p"), col("pid") % 3, lit(":inst"), col("pid") % 5))
+          .as("labels")).as("resource"),
+      col("log_level").as("severity"),
+      col("content").as("textPayload"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp")))
+    // deterministic publish order; bounded (|events|/37) driver loop —
+    // the reference's subscriber is the same single-process receive loop
+    val messages = base.orderBy("event_id")
+      .select(envelope.as("env")).collect().map(_.getString(0))
+    val em = new PubSubPull.Emulator()
+    val spool = java.nio.file.Files.createTempDirectory("graft_pubsub_live")
+    try {
+      messages.foreach(em.publish)
+      val puller = new PubSubPull.Puller(
+        em.endpoint, "projects/p0/subscriptions/postgres-logs",
+        (0 until 5).map(i => PubSubPull.ServerCfg("p0", s"inst$i")),
+        spool)
+      while (puller.tick(1000).received > 0) ()
+      require(em.availableCount == 0 && em.outstandingCount == 0,
+        "subscription not drained")
+    } finally em.stop()
+    val spooled = PubSubPull.readSpool(s, spool)
+      .withColumn("event_id",
+        regexp_extract(col("value"), "\"insertId\":\"ins(\\d+)\"", 1)
+          .cast("long"))
+    val out = graft.sources.CloudLogs.gcpLogStream(spooled, "value")
+      .select("event_id", "project_id", "instance_id", "log_time",
+        "severity", "content")
+      .localCheckpoint() // EAGER: materialize before the spool is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)
+    out
   }
 
   // S31 — Azure Event Hub adapter: single-server records with Azure's

@@ -192,9 +192,15 @@ object SparkEntry {
     "j9_explain_enrich" -> (QueriesLog.j9ExplainEnrich _),
     "j9_explain_live" -> (QueriesLog.j9ExplainLive _),
     "s28_otel_log_parse" -> (QueriesLog.s28OtelLogParse _),
+    // the LIVE OTel transport: batched gzip HTTP exports against a real
+    // in-process /v1/logs receiver, parsed back off the durable spool
+    "s28_otel_live" -> (QueriesLog.s28OtelLive _),
     "s32_incremental_tail" -> (QueriesLog.s32IncrementalTail _),
     "s29_heroku_frames" -> (QueriesLog.s29HerokuFrames _),
     "s30_gcp_log_parse" -> (QueriesLog.s30GcpLogParse _),
+    // the LIVE Pub/Sub transport: published envelopes pulled by the real
+    // ack/nack router, accepted lines parsed off the line-framed spool
+    "s30_pubsub_live" -> (QueriesLog.s30PubsubLive _),
     "s31_azure_log_parse" -> (QueriesLog.s31AzureLogParse _),
     "x6_tz_parse" -> (QueriesLog.x6TzParse _),
     "x17_session_duration" -> (QueriesLog.x17SessionDuration _),

@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Scale variant of the correctness gate: same compare as check.py, but
+each entry (DuckDB oracle + compare) runs in a subprocess with a
+per-entry timeout, so oracles that are infeasible at 10x data (e.g.
+quadratic pairwise arms) report ORACLE_TIMEOUT instead of wedging the
+sweep. Handles both flat-file (driver testdata) and directory (Spark
+write) parquet layouts. Usage:
+    python3 tools/check_scale.py [sfdir] [outdir] [timeout_s]
+"""
+import sys, json, glob, math, os
+import multiprocessing as mp
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def table_glob(sfdir, t):
+    p = f"{sfdir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
+def norm(df):
+    import pandas as pd  # noqa: F401
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            try:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+            except TypeError:
+                pass
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                type(v).__name__ == "ndarray" else v)
+    return sorted(df.itertuples(index=False, name=None), key=lambda r: tuple(
+        (x is None or (isinstance(x, float) and math.isnan(x)), str(x))
+        for x in r))
+
+
+def cmp_val(a, b):
+    a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+    b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+    if a_nan or b_nan:
+        return a_nan == b_nan
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return a == b or abs(float(a) - float(b)) < 1e-9
+        except (TypeError, ValueError):
+            return False
+    return a == b or str(a) == str(b)
+
+
+def check_one(sfdir, outdir, name, sql, q):
+    import duckdb
+    import pandas as pd
+    try:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{table_glob(sfdir, t)}')")
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            q.put(("FAIL", "no spark output")); return
+        mine = pd.read_parquet(f"{outdir}/{name}")
+        want = con.execute(sql).fetchdf()
+        if sorted(mine.columns) != sorted(want.columns):
+            q.put(("FAIL", f"columns {sorted(mine.columns)} vs "
+                           f"{sorted(want.columns)}")); return
+        a, b = norm(mine), norm(want)
+        if len(a) != len(b):
+            q.put(("FAIL", f"rows {len(a)} vs {len(b)}")); return
+        for i, (ra, rb) in enumerate(zip(a, b)):
+            if not all(cmp_val(x, y) for x, y in zip(ra, rb)):
+                q.put(("FAIL", f"row {i}: spark={ra} duck={rb}")); return
+        q.put(("PASS", f"{len(a)} rows"))
+    except Exception as e:
+        q.put(("FAIL", f"{type(e).__name__}: {e}"))
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf1"
+    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 180.0
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    tally = {"PASS": 0, "FAIL": 0, "ORACLE_TIMEOUT": 0}
+    for name in sorted(oracle):
+        q = mp.Queue()
+        p = mp.Process(target=check_one,
+                       args=(sfdir, outdir, name, oracle[name], q))
+        p.start()
+        p.join(timeout)
+        if p.is_alive():
+            p.terminate(); p.join()
+            status, detail = "ORACLE_TIMEOUT", f">{timeout:.0f}s"
+        else:
+            status, detail = q.get() if not q.empty() else ("FAIL", "no result")
+        tally[status] += 1
+        print(f"{status} {name}: {detail}", flush=True)
+    print(f"== {tally['PASS']} pass / {tally['FAIL']} fail / "
+          f"{tally['ORACLE_TIMEOUT']} oracle-timeout ==")
+    sys.exit(1 if tally["FAIL"] else 0)
+
+
+if __name__ == "__main__":
+    main()
