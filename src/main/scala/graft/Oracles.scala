@@ -848,6 +848,41 @@ object Oracles {
         |  true AS is_detail
         |FROM base WHERE is_err""".stripMargin,
 
+    // the LIVE Event Hub leg: the 1/37 subset carried over real AMQP
+    // 1.0 — the wire holds only record fields, so no event_id column
+    "s31_eventhub_live" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id AS pid, ts,
+        |    CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END AS log_level,
+        |    CASE event_type
+        |      WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |        || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |        || regexp_extract(props, '"k": (\d+)', 1)
+        |      WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |        || regexp_extract(props, '"k": (\d+)', 1)
+        |        || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |        || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |        || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+        |      WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |        || (5000 + user_id % 100)
+        |      WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |        || ' database=db'
+        |        || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |      ELSE 'deadlock detected' END AS content,
+        |    event_type = 'error' AS is_err
+        |  FROM events WHERE event_id % 37 = 0)
+        |SELECT 'server' || (pid % 4) AS server_name, log_level,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || ' UTC ['
+        |    || pid || ']: ' || log_level || ':  ' || content AS line,
+        |  false AS is_detail
+        |FROM base
+        |UNION ALL
+        |SELECT 'server' || (pid % 4) AS server_name,
+        |  'DETAIL' AS log_level,
+        |  'Process ' || pid || ' waits for ShareLock on transaction 1234' AS line,
+        |  true AS is_detail
+        |FROM base WHERE is_err""".stripMargin,
+
     "x6_tz_parse" ->
       """WITH t AS (
         |  SELECT event_id,

@@ -1112,11 +1112,11 @@ object QueriesLog {
     out
   }
 
-  // S31 — Azure Event Hub adapter: single-server records with Azure's
-  // message mutations applied at synthesis; the adapter must undo them
-  // (pid suffix, missing space, checkpoint "(N)") and re-join
-  // prefix+level+content, emitting DETAIL rows for deadlock records.
-  def s31AzureLogParse(s: SparkSession, dir: String): DataFrame = {
+  // S31 — Azure Event Hub record synthesis: single-server records with
+  // Azure's message mutations applied (pid suffix, missing space,
+  // checkpoint "(N)") that the adapter must undo; (event_id, record)
+  // where record is one AzurePostgresLogRecord JSON.
+  def s31Records(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
       .withColumn("ms", floor(col("value") * 100).cast("long"))
@@ -1145,7 +1145,7 @@ object QueriesLog {
         concat(lit("Process "), col("user_id"),
           lit(" waits for ShareLock on transaction 1234")))
         .otherwise(lit("")).as("detail"))
-    val payload = to_json(struct(array(struct(
+    val record = to_json(struct(
       concat(lit("server"), col("pid") % 4).as("LogicalServerName"),
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("time"),
       concat(lit("/subscriptions/s1/resourceGroups/rg/providers/" +
@@ -1158,10 +1158,56 @@ object QueriesLog {
           lit(" UTC ["), col("pid"), lit("]: ")).as("prefix"),
         col("message").as("message"),
         col("detail").as("detail"),
-        col("log_level").as("errorLevel")).as("properties"))).as("records")))
+        col("log_level").as("errorLevel")).as("properties")))
+    mutated.select(col("event_id"), record.as("record"))
+  }
+
+  // S31 — Azure Event Hub adapter over the synthesized corpus: one
+  // single-record envelope per event (to_json(struct(array(...))) and
+  // '{"records":[' || record || ']}' are byte-identical).
+  def s31AzureLogParse(s: SparkSession, dir: String): DataFrame =
     graft.sources.CloudLogs.azureLogLines(
-      mutated.select(col("event_id"), payload.as("payload")), "payload")
+      s31Records(s, dir).select(col("event_id"),
+        concat(lit("""{"records":["""), col("record"), lit("]}"))
+          .as("payload")), "payload")
       .select("event_id", "server_name", "log_level", "line", "is_detail")
+
+  /** S31 LIVE — the Event Hub transport under the correctness gate:
+    * 1/37 of the mutated record corpus, batched 50 records per event
+    * body, published round-robin across the broker's 4 partitions, and
+    * consumed over REAL hand-rolled AMQP 1.0 (per-partition receiver
+    * links, flow credit, drain round-trips —
+    * [[graft.sources.AmqpEventHub]]), then parsed off the line-framed
+    * spool with the identical adapter. Output drops event_id (the wire
+    * carries only record fields); the oracle rebuilds the multiset. */
+  def s31EventhubLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.AmqpEventHub
+    val bodies = s31Records(s, dir)
+      .filter(col("event_id") % 37 === 0)
+      .groupBy(expr("event_id div 1850").as("batch"))
+      .agg(array_sort(collect_list(struct(col("event_id"), col("record"))))
+        .as("rs"))
+      .orderBy("batch")
+      .select(concat(lit("""{"records":["""),
+        array_join(transform(col("rs"), x => x.getField("record")), ","),
+        lit("]}")).as("body"))
+      .collect().map(_.getString(0)) // bounded: |events|/1850 bodies
+    val broker = new AmqpEventHub.Broker("pglogs", partitions = 4)
+    val spool = java.nio.file.Files.createTempDirectory("graft_eventhub")
+    try {
+      bodies.zipWithIndex.foreach { case (b, i) => broker.publish(i % 4, b) }
+      val consumer = new AmqpEventHub.Consumer(
+        "127.0.0.1", broker.port, "pglogs", partitions = 4, spool)
+      val (received, spooled) = consumer.drain()
+      require(received == bodies.length && spooled == bodies.length,
+        s"wire loss: published ${bodies.length}, got $received/$spooled")
+    } finally broker.stop()
+    val out = graft.sources.CloudLogs.azureLogLines(
+      AmqpEventHub.readSpool(s, spool), "value")
+      .select("server_name", "log_level", "line", "is_detail")
+      .localCheckpoint() // EAGER: materialize before the spool is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)
+    out
   }
 
   // X6 — timestamp parse with timezone resolution: offset-suffixed log

@@ -202,6 +202,9 @@ object SparkEntry {
     // ack/nack router, accepted lines parsed off the line-framed spool
     "s30_pubsub_live" -> (QueriesLog.s30PubsubLive _),
     "s31_azure_log_parse" -> (QueriesLog.s31AzureLogParse _),
+    // the LIVE Event Hub transport: published batches consumed over
+    // real hand-rolled AMQP 1.0 receiver links, one per partition
+    "s31_eventhub_live" -> (QueriesLog.s31EventhubLive _),
     "x6_tz_parse" -> (QueriesLog.x6TzParse _),
     "x17_session_duration" -> (QueriesLog.x17SessionDuration _),
     "x14_span_export" -> (QueriesLog.x14SpanExport _),

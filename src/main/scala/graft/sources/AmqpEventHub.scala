@@ -1,0 +1,431 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The LIVE transport leg of the Azure Event Hub log source (S31,
+  * `input/system/azure/logs.go:135-217`): the reference consumes
+  * Postgres log batches over AMQP 1.0 — one receiver link per
+  * partition, `StartPosition{Earliest}`, each event body a
+  * `{"records":[...]}` JSON batch; bodies that fail to parse warn and
+  * yield no records.
+  *
+  * This is a hand-rolled MINIMAL AMQP 1.0 implementation (from the
+  * public OASIS spec), the same posture as the repo's RFC 6455
+  * websocket frames and protobuf wire: protocol header exchange,
+  * open/begin/attach/flow/transfer/detach/close performatives over
+  * described-list encoding, amqp:data:binary message sections,
+  * pre-settled transfers, flow-based link credit. Partition addresses
+  * follow the Event Hubs convention
+  * `<hub>/ConsumerGroups/$Default/Partitions/<id>`. Out of scope as
+  * SDK plumbing: TLS+SASL auth and the management-node partition query
+  * (partition count is config here, as the namespace/hub name is in
+  * the reference's config).
+  *
+  * Spark shape: per-partition driver receive loops (the reference runs
+  * one goroutine per partition) → one line-framed spool file per
+  * receive round (canonical single-line JSON) → the DISTRIBUTED
+  * envelope parse ([[CloudLogs.azureLogLines]]). */
+object AmqpEventHub {
+
+  private val mapper = new ObjectMapper()
+
+  // --------------------------------------------------- AMQP 1.0 codec
+
+  sealed trait AValue
+  case object ANull extends AValue
+  final case class ABool(b: Boolean) extends AValue
+  final case class AUByte(v: Int) extends AValue
+  final case class AUShort(v: Int) extends AValue
+  final case class AUInt(v: Long) extends AValue
+  final case class AULong(v: Long) extends AValue
+  final case class AString(s: String) extends AValue
+  final case class ABinary(b: Array[Byte]) extends AValue
+  final case class AList(items: Seq[AValue]) extends AValue
+  final case class ADescribed(descriptor: AValue, value: AValue) extends AValue
+
+  object Amqp {
+    def encode(v: AValue): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      write(new DataOutputStream(out), v)
+      out.toByteArray
+    }
+
+    private def write(o: DataOutputStream, v: AValue): Unit = v match {
+      case ANull => o.writeByte(0x40)
+      case ABool(true) => o.writeByte(0x41)
+      case ABool(false) => o.writeByte(0x42)
+      case AUByte(x) => o.writeByte(0x50); o.writeByte(x)
+      case AUShort(x) => o.writeByte(0x60); o.writeShort(x)
+      case AUInt(x) => o.writeByte(0x70); o.writeInt(x.toInt)
+      case AULong(x) => o.writeByte(0x80); o.writeLong(x)
+      case AString(s) =>
+        val b = s.getBytes(UTF_8)
+        o.writeByte(0xb1); o.writeInt(b.length); o.write(b)
+      case ABinary(b) =>
+        o.writeByte(0xb0); o.writeInt(b.length); o.write(b)
+      case AList(items) =>
+        if (items.isEmpty) o.writeByte(0x45)
+        else {
+          val body = new ByteArrayOutputStream()
+          val bo = new DataOutputStream(body)
+          items.foreach(write(bo, _))
+          o.writeByte(0xd0)
+          o.writeInt(body.size() + 4) // size includes the count field
+          o.writeInt(items.length)
+          body.writeTo(o)
+        }
+      case ADescribed(d, value) =>
+        o.writeByte(0x00); write(o, d); write(o, value)
+    }
+
+    /** Decode one value; returns (value, bytesConsumed). Handles the
+      * codes this codec emits plus the common compact variants. */
+    def decode(b: Array[Byte], pos0: Int = 0): (AValue, Int) = {
+      var pos = pos0
+      def u8(): Int = { val x = b(pos) & 0xff; pos += 1; x }
+      def u16(): Int = { (u8() << 8) | u8() }
+      def u32(): Long = {
+        ((u8().toLong << 24) | (u8() << 16) | (u8() << 8) | u8()) & 0xffffffffL
+      }
+      def u64(): Long = (u32() << 32) | u32()
+      def take(n: Int): Array[Byte] = {
+        val a = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; a
+      }
+      val code = u8()
+      val v: AValue = code match {
+        case 0x00 =>
+          val (d, n1) = decode(b, pos); pos = n1
+          val (value, n2) = decode(b, pos); pos = n2
+          ADescribed(d, value)
+        case 0x40 => ANull
+        case 0x41 => ABool(true)
+        case 0x42 => ABool(false)
+        case 0x43 => AUInt(0L) // uint0
+        case 0x44 => AULong(0L) // ulong0
+        case 0x50 => AUByte(u8())
+        case 0x52 => AUInt(u8().toLong) // smalluint
+        case 0x53 => AULong(u8().toLong) // smallulong
+        case 0x60 => AUShort(u16())
+        case 0x70 => AUInt(u32())
+        case 0x80 => AULong(u64())
+        case 0xa0 => ABinary(take(u8()))
+        case 0xa1 => AString(new String(take(u8()), UTF_8))
+        case 0xb0 => ABinary(take(u32().toInt))
+        case 0xb1 => AString(new String(take(u32().toInt), UTF_8))
+        case 0x45 => AList(Seq.empty)
+        case 0xc0 =>
+          u8() // size
+          val count = u8()
+          AList((0 until count).map { _ =>
+            val (item, n) = decode(b, pos); pos = n; item
+          })
+        case 0xd0 =>
+          u32() // size
+          val count = u32().toInt
+          AList((0 until count).map { _ =>
+            val (item, n) = decode(b, pos); pos = n; item
+          })
+        case other =>
+          throw new IllegalArgumentException(
+            f"unsupported AMQP format code 0x$other%02x")
+      }
+      (v, pos)
+    }
+  }
+
+  // performative descriptors (OASIS AMQP 1.0 §2.7) and the data
+  // section (§3.2.6)
+  private val OpenD = 0x10L
+  private val BeginD = 0x11L
+  private val AttachD = 0x12L
+  private val FlowD = 0x13L
+  private val TransferD = 0x14L
+  private val DetachD = 0x16L
+  private val EndD = 0x17L
+  private val CloseD = 0x18L
+  private val SourceD = 0x28L
+  private val TargetD = 0x29L
+  private val DataSectionD = 0x75L
+
+  private val ProtocolHeader: Array[Byte] =
+    Array('A'.toByte, 'M'.toByte, 'Q'.toByte, 'P'.toByte, 0, 1, 0, 0)
+
+  private def performative(desc: Long, fields: AValue*): Array[Byte] =
+    Amqp.encode(ADescribed(AULong(desc), AList(fields)))
+
+  private def writeFrame(o: DataOutputStream, channel: Int,
+      body: Array[Byte], payload: Array[Byte] = Array.empty): Unit = {
+    o.writeInt(8 + body.length + payload.length)
+    o.writeByte(2) // DOFF
+    o.writeByte(0) // AMQP frame
+    o.writeShort(channel)
+    o.write(body)
+    o.write(payload)
+    o.flush()
+  }
+
+  /** Read one frame: (channel, performative, trailing payload bytes). */
+  private def readFrame(in: DataInputStream): (Int, ADescribed, Array[Byte]) = {
+    val size = in.readInt()
+    val doff = in.readUnsignedByte()
+    in.readUnsignedByte() // type
+    val channel = in.readUnsignedShort()
+    val body = new Array[Byte](size - doff * 4)
+    in.readFully(body)
+    val (perf, consumed) = Amqp.decode(body)
+    (channel, perf.asInstanceOf[ADescribed],
+      java.util.Arrays.copyOfRange(body, consumed, body.length))
+  }
+
+  private def field(l: AValue, i: Int): AValue = l match {
+    case AList(items) if items.length > i => items(i)
+    case _ => ANull
+  }
+  private def str(v: AValue): String =
+    v match { case AString(s) => s; case _ => "" }
+  private def uint(v: AValue): Long = v match {
+    case AUInt(x) => x; case AULong(x) => x
+    case AUByte(x) => x.toLong; case AUShort(x) => x.toLong; case _ => 0L
+  }
+
+  def partitionAddress(hub: String, partition: Int): String =
+    s"$hub/ConsumerGroups/$$Default/Partitions/$partition"
+
+  // ---------------------------------------------------------- broker
+
+  /** In-process Event-Hub-shaped AMQP broker (test double): per-
+    * partition retained logs; every receiver link attaches at Earliest
+    * and is fed pre-settled transfers up to its flow credit. */
+  final class Broker(hub: String, val partitions: Int) {
+    private val logs =
+      Vector.fill(partitions)(mutable.ArrayBuffer[Array[Byte]]())
+    private val lock = new Object
+    @volatile private var running = true
+
+    def publish(partition: Int, body: String): Unit = lock.synchronized {
+      logs(partition % partitions) += body.getBytes(UTF_8)
+    }
+
+    private val server = new ServerSocket()
+    server.bind(new InetSocketAddress("127.0.0.1", 0))
+    val port: Int = server.getLocalPort
+
+    private val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          new Thread(() => serve(sock), "amqp-broker-conn").start()
+        } catch { case _: Exception => () }
+      }
+    }, "amqp-broker-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    private def serve(sock: Socket): Unit = try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val hdr = new Array[Byte](8)
+      in.readFully(hdr)
+      require(java.util.Arrays.equals(hdr, ProtocolHeader), "bad header")
+      out.write(ProtocolHeader); out.flush()
+      // handle → (partition, deliveryCount, offset into the log)
+      val links = mutable.Map[Long, (Int, Long, Int)]()
+      var open = true
+      while (open) {
+        val (channel, perf, _) = readFrame(in)
+        val ADescribed(AULong(desc), body) = (perf: @unchecked)
+        desc match {
+          case OpenD =>
+            writeFrame(out, 0, performative(OpenD,
+              AString(s"graft-eventhub-$hub")))
+          case BeginD =>
+            writeFrame(out, channel, performative(BeginD,
+              AUShort(channel), AUInt(0), AUInt(2048), AUInt(2048)))
+          case AttachD =>
+            val name = str(field(body, 0))
+            val handle = uint(field(body, 1))
+            val source = field(body, 5) match {
+              case ADescribed(_, srcList) => str(field(srcList, 0))
+              case _ => ""
+            }
+            val part = source.split("/Partitions/").lift(1)
+              .flatMap(_.toIntOption).getOrElse(
+                throw new IllegalArgumentException(s"bad address $source"))
+            require(part >= 0 && part < partitions, s"no partition $part")
+            require(source.startsWith(s"$hub/ConsumerGroups/"),
+              s"unknown hub in $source")
+            links(handle) = (part, 0L, 0)
+            // echo the attach with the broker as sender (role=false)
+            writeFrame(out, channel, performative(AttachD,
+              AString(name), AUInt(handle), ABool(false),
+              AUByte(1), AUByte(0),
+              ADescribed(AULong(SourceD), AList(Seq(AString(source)))),
+              ADescribed(AULong(TargetD), AList(Seq(ANull)))))
+          case FlowD =>
+            val handle = uint(field(body, 4))
+            val credit = uint(field(body, 6))
+            links.get(handle).foreach { case (part, dc0, off0) =>
+              var dc = dc0
+              var off = off0
+              val snapshot = lock.synchronized(logs(part).toVector)
+              var granted = credit
+              while (granted > 0 && off < snapshot.length) {
+                val msg = Amqp.encode(ADescribed(AULong(DataSectionD),
+                  ABinary(snapshot(off))))
+                writeFrame(out, channel, performative(TransferD,
+                  AUInt(handle), AUInt(dc), ABinary(s"d$dc".getBytes(UTF_8)),
+                  AUInt(0), ABool(true)), msg)
+                dc += 1; off += 1; granted -= 1
+              }
+              links(handle) = (part, dc, off)
+              // drain semantics (§2.6.23): the receiver drains its
+              // credit, so answer with a flow advancing delivery-count
+              // and zeroing link-credit — the round terminator the
+              // consumer waits for instead of a read timeout
+              writeFrame(out, channel, performative(FlowD,
+                AUInt(0), AUInt(2048), AUInt(dc), AUInt(2048),
+                AUInt(handle), AUInt(dc), AUInt(0)))
+            }
+          case DetachD =>
+            val handle = uint(field(body, 0))
+            links.remove(handle)
+            writeFrame(out, channel, performative(DetachD,
+              AUInt(handle), ABool(true)))
+          case EndD =>
+            writeFrame(out, channel, performative(EndD))
+          case CloseD =>
+            writeFrame(out, 0, performative(CloseD))
+            open = false
+          case _ => () // ignore (dispositions etc.)
+        }
+      }
+      sock.close()
+    } catch { case _: Exception => try sock.close() catch { case _: Exception => () } }
+
+    def stop(): Unit = {
+      running = false
+      try server.close() catch { case _: Exception => () }
+    }
+  }
+
+  // -------------------------------------------------------- consumer
+
+  /** Per-partition AMQP receiver (`runEventHubHandlers`): one
+    * connection + receiver link per partition from Earliest, draining
+    * with flow credit; bodies that parse as JSON are canonically
+    * re-serialized into a line-framed spool file per partition round;
+    * unparseable bodies warn-and-drop (no records, as in the
+    * reference's handler). Returns (received, spooled). */
+  final class Consumer(host: String, port: Int, hub: String,
+      partitions: Int, spoolDir: Path) {
+    Files.createDirectories(spoolDir)
+    private val seq = new AtomicLong(0L)
+
+    def drain(creditPerRound: Int = 256): (Int, Int) = {
+      var received = 0
+      var spooled = 0
+      (0 until partitions).foreach { part =>
+        val bodies = receivePartition(part, creditPerRound)
+        received += bodies.length
+        val lines = bodies.flatMap { b =>
+          try Some(mapper.writeValueAsString(mapper.readTree(b)))
+          catch { case _: Exception => None } // warn-and-drop path
+        }
+        if (lines.nonEmpty) {
+          val id = seq.incrementAndGet()
+          val tmp = spoolDir.resolve(f"hub-$part-$id%09d.tmp")
+          Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+          Files.move(tmp, spoolDir.resolve(f"hub-$part-$id%09d.body"),
+            StandardCopyOption.ATOMIC_MOVE)
+          spooled += lines.length
+        }
+      }
+      (received, spooled)
+    }
+
+    private def receivePartition(part: Int, credit: Int): Seq[Array[Byte]] = {
+      val sock = new Socket(host, port)
+      try {
+        val in = new DataInputStream(sock.getInputStream)
+        val out = new DataOutputStream(sock.getOutputStream)
+        out.write(ProtocolHeader); out.flush()
+        val hdr = new Array[Byte](8)
+        in.readFully(hdr)
+        require(java.util.Arrays.equals(hdr, ProtocolHeader),
+          "broker is not AMQP 1.0")
+        writeFrame(out, 0, performative(OpenD, AString(s"graft-consumer-$part")))
+        var opened = false
+        while (!opened) {
+          val (_, ADescribed(AULong(d), _), _) = (readFrame(in): @unchecked)
+          if (d == OpenD) opened = true
+        }
+        writeFrame(out, 0, performative(BeginD,
+          ANull, AUInt(0), AUInt(2048), AUInt(2048)))
+        var begun = false
+        while (!begun) {
+          val (_, ADescribed(AULong(d), _), _) = (readFrame(in): @unchecked)
+          if (d == BeginD) begun = true
+        }
+        val addr = partitionAddress(hub, part)
+        // role=true: we are the receiver; snd-settle-mode settled(1)
+        writeFrame(out, 0, performative(AttachD,
+          AString(s"graft-recv-$part"), AUInt(0), ABool(true),
+          AUByte(1), AUByte(0),
+          ADescribed(AULong(SourceD), AList(Seq(AString(addr)))),
+          ADescribed(AULong(TargetD), AList(Seq(ANull)))))
+        var attached = false
+        while (!attached) {
+          val (_, ADescribed(AULong(d), _), _) = (readFrame(in): @unchecked)
+          if (d == AttachD) attached = true
+        }
+        val bodies = mutable.ArrayBuffer[Array[Byte]]()
+        var dc = 0L
+        var drained = false
+        while (!drained) {
+          // drain=true (field 8): the sender must exhaust this credit —
+          // transfers for what it has, then a flow that zeroes credit
+          writeFrame(out, 0, performative(FlowD,
+            AUInt(0), AUInt(2048), AUInt(0), AUInt(2048),
+            AUInt(0), AUInt(dc), AUInt(credit.toLong),
+            ANull, ABool(true)))
+          var got = 0
+          var roundOver = false
+          while (!roundOver) {
+            val (_, perf, payload) = readFrame(in)
+            val ADescribed(AULong(d), _) = (perf: @unchecked)
+            if (d == TransferD) {
+              Amqp.decode(payload)._1 match {
+                case ADescribed(AULong(DataSectionD), ABinary(b)) =>
+                  bodies += b
+                case _ => ()
+              }
+              dc += 1; got += 1
+            } else if (d == FlowD) roundOver = true // drain satisfied
+          }
+          if (got < credit) drained = true
+        }
+        writeFrame(out, 0, performative(DetachD, AUInt(0), ABool(true)))
+        writeFrame(out, 0, performative(CloseD))
+        bodies.toSeq
+      } finally sock.close()
+    }
+  }
+
+  /** Batch read of the line-framed spool — input for
+    * [[CloudLogs.azureLogLines]]. */
+  def readSpool(s: SparkSession, spoolDir: Path): DataFrame =
+    s.read.option("pathGlobFilter", "*.body").text(spoolDir.toString)
+
+  /** Tail the spool as a stream. */
+  def stream(s: SparkSession, spoolDir: Path): DataFrame =
+    s.readStream.option("pathGlobFilter", "*.body").text(spoolDir.toString)
+}
