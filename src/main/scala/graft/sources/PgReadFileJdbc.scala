@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.sql.Connection
+
+import scala.collection.mutable
+
+/** The LIVE JDBC leg of S33 — `pg_read_file` log polling
+  * (`input/postgres/log_pg_read_file.go:15-123`): each tick
+  *
+  *  1. lists log files modified in the last 2 minutes
+  *     (`LogFileSql`: `pg_ls_logdir() WHERE modification > now() -
+  *     '2 minute'`);
+  *  2. reads each file's tail WINDOW server-side — `GREATEST(size -
+  *     10MB, $prevOffset)` start, 10 MB cap — via
+  *     `pg_read_file` (superuser) or the `read_log_file(text, bigint,
+  *     bigint)` helper when the probe finds it
+  *     (`HelperExists`, `log_pg_read_file.go:80-85`); only the window
+  *     travels over the wire, which is the entire point of this
+  *     source;
+  *  3. REPLACES the marker map with this tick's files
+  *     (`psl.ReadFileMarkers = newMarkers` — a file that rotates out
+  *     of the recent set loses its marker, unlike the RDS path's
+  *     keep-until-rotation; pinned in the spec);
+  *  4. discards the partial first line when the window starts
+  *     mid-file (the parser's unclassifiable-fragment rule, shared
+  *     with [[IncrementalTail]]).
+  *
+  * The embedded oracle engine is Derby (as CatalogJdbc/ExplainJdbc):
+  * `pg_ls_logdir()` becomes a `logdir(name, modification, content)`
+  * table, `GREATEST` a CASE, `pg_read_file` a SUBSTR window — the
+  * reference's own helper variant is exactly such a server-side
+  * rewrite. Driver-side cost is #files × window, marker state is
+  * #files-bounded; the parse of returned lines is the distributed
+  * plan downstream. */
+object PgReadFileJdbc {
+
+  val MaxTailBytes: Long = 10L * 1024 * 1024
+
+  final case class FileWindow(file: String, newOffset: Long, window: String)
+
+  /** The reference's helper probe: does
+    * `read_log_file(text, bigint, bigint)` exist in the helper
+    * catalog? */
+  def helperExists(conn: Connection): Boolean =
+    try {
+      val st = conn.prepareStatement(
+        "SELECT COUNT(*) FROM helpers WHERE name = 'read_log_file' " +
+          "AND args = 'log_filename text, read_offset bigint, read_length bigint'")
+      try {
+        val rs = st.executeQuery()
+        rs.next() && rs.getInt(1) > 0
+      } finally st.close()
+    } catch { case _: java.sql.SQLException => false } // no helper catalog
+
+  /** One poll: (windows, replacement marker map). */
+  def poll(conn: Connection, markers: Map[String, Long],
+      maxTailBytes: Long = MaxTailBytes): (Seq[FileWindow], Map[String, Long]) = {
+    // LogFileSql — only files modified in the last 2 minutes
+    val names = mutable.ArrayBuffer[String]()
+    val ls = conn.prepareStatement(
+      "SELECT name FROM logdir WHERE modification > " +
+        "{fn TIMESTAMPADD(SQL_TSI_MINUTE, -2, CURRENT_TIMESTAMP)}")
+    try {
+      val rs = ls.executeQuery()
+      while (rs.next()) names += rs.getString(1)
+    } finally ls.close()
+
+    // Both of the reference's variants (superuser pg_read_file over
+    // the resolved path, helper read_log_file over the bare name)
+    // compute the IDENTICAL window — GREATEST(size - cap, prev) start,
+    // cap length; on the embedded oracle engine that window is one
+    // SUBSTR, so the probe only decides which leg gets logged/used,
+    // not what is read. CASE = GREATEST (Derby has none).
+    val readSql =
+      "SELECT LENGTH(content), SUBSTR(content, CASE WHEN " +
+        "LENGTH(content) - ? > ? THEN LENGTH(content) - ? ELSE ? END + 1, ?) " +
+        "FROM logdir WHERE name = ?"
+    val windows = names.toSeq.map { name =>
+      val prev = markers.getOrElse(name, 0L)
+      val st = conn.prepareStatement(readSql)
+      try {
+        st.setLong(1, maxTailBytes); st.setLong(2, prev)
+        st.setLong(3, maxTailBytes); st.setLong(4, prev)
+        st.setLong(5, maxTailBytes); st.setString(6, name)
+        val rs = st.executeQuery()
+        require(rs.next(), s"file vanished mid-poll: $name")
+        val size = rs.getLong(1)
+        val window = Option(rs.getString(2)).getOrElse("")
+        FileWindow(name, size, window)
+      } finally st.close()
+    }
+    // marker REPLACEMENT, not merge (log_pg_read_file.go:122)
+    (windows, windows.map(w => w.file -> w.newOffset).toMap)
+  }
+
+  /** The client-side fragment rule shared with [[IncrementalTail]]:
+    * when the server-side window started mid-file, drop the partial
+    * first line. Start offset is recomputed from (size, prev) exactly
+    * as the read SQL computed it. */
+  def windowLines(w: FileWindow, prevOffset: Long,
+      maxTailBytes: Long = MaxTailBytes): Seq[String] = {
+    val start = math.max(0L, math.max(w.newOffset - maxTailBytes, prevOffset))
+    val tail =
+      if (start > 0) {
+        val nl = w.window.indexOf('\n')
+        if (nl < 0) "" else w.window.substring(nl + 1)
+      } else w.window
+    if (tail.isEmpty) Seq.empty else tail.split("\n", -1).toSeq
+  }
+
+  /** The 30 s polling loop driver, marker replacement per tick —
+    * [[graft.streaming.Scheduler]] cadence, like [[LogPoller]]. */
+  final class Poller(conn: Connection,
+      sink: Seq[(String, String)] => Unit,
+      maxTailBytes: Long = MaxTailBytes) {
+    private var markers = Map.empty[String, Long]
+    private val tickLock = new Object
+
+    def currentMarkers: Map[String, Long] = markers
+
+    /** One tick; returns emitted (file, line) count. */
+    def tick(): Int = tickLock.synchronized {
+      val (windows, newMarkers) = poll(conn, markers, maxTailBytes)
+      val lines = windows.flatMap { w =>
+        windowLines(w, markers.getOrElse(w.file, 0L), maxTailBytes)
+          .filter(_.nonEmpty).map(w.file -> _)
+      }
+      markers = newMarkers
+      sink(lines)
+      lines.length
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PgReadFileJdbc
+
+/** The LIVE S33 JDBC poll against embedded Derby: recent-file listing,
+  * server-side tail windows, helper probe, marker REPLACEMENT
+  * semantics, and the shared partial-first-line fragment rule. */
+class PgReadFileJdbcSpec extends AnyFunSuite {
+
+  private val url = "jdbc:derby:memory:graftlogpoll;create=true"
+  Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+  private val conn = DriverManager.getConnection(url)
+
+  private def exec(sql: String): Unit = {
+    val st = conn.createStatement(); try st.execute(sql) finally st.close()
+  }
+  private def upsert(name: String, recent: Boolean, content: String): Unit = {
+    val del = conn.prepareStatement("DELETE FROM logdir WHERE name = ?")
+    del.setString(1, name); del.executeUpdate(); del.close()
+    val st = conn.prepareStatement(
+      "INSERT INTO logdir VALUES (?, " +
+        (if (recent) "CURRENT_TIMESTAMP" else
+          "TIMESTAMP('2020-01-01 00:00:00')") + ", ?)")
+    st.setString(1, name); st.setString(2, content)
+    st.executeUpdate(); st.close()
+  }
+
+  exec("CREATE TABLE logdir (name VARCHAR(128), modification TIMESTAMP, " +
+    "content CLOB)")
+
+  test("helper probe: absent catalog, then a matching signature") {
+    assert(!PgReadFileJdbc.helperExists(conn)) // no helpers table at all
+    exec("CREATE TABLE helpers (name VARCHAR(64), args VARCHAR(256))")
+    assert(!PgReadFileJdbc.helperExists(conn)) // empty catalog
+    exec("INSERT INTO helpers VALUES ('read_log_file', " +
+      "'log_filename text, read_offset bigint, read_length bigint')")
+    assert(PgReadFileJdbc.helperExists(conn))
+  }
+
+  test("polling loop: windows, marker replacement, fragment rule") {
+    val emitted = collection.mutable.ArrayBuffer[(String, String)]()
+    val poller = new PgReadFileJdbc.Poller(conn, emitted ++= _)
+
+    // tick 1: two recent files, one stale (rotated out >2 min ago)
+    upsert("a.log", recent = true, "a1\na2")
+    upsert("b.log", recent = true, "b1")
+    upsert("stale.log", recent = false, "old1\nold2")
+    assert(poller.tick() == 3)
+    assert(emitted.toSet == Set("a.log" -> "a1", "a.log" -> "a2",
+      "b.log" -> "b1"))
+    assert(poller.currentMarkers == Map("a.log" -> 5L, "b.log" -> 2L))
+
+    // tick 2: a.log grows; the window resumes at the marker and the
+    // shared fragment rule drops the continuation of the already-read
+    // unterminated last line
+    emitted.clear()
+    upsert("a.log", recent = true, "a1\na2x\na3")
+    assert(poller.tick() == 1)
+    assert(emitted.toSeq == Seq("a.log" -> "a3"))
+    assert(poller.currentMarkers == Map("a.log" -> 9L, "b.log" -> 2L))
+
+    // tick 3: a.log rotates out of the recent set — the reference
+    // REPLACES the marker map (log_pg_read_file.go:122), so its
+    // marker is dropped, not retained
+    emitted.clear()
+    upsert("a.log", recent = false, "a1\na2x\na3")
+    assert(poller.tick() == 0)
+    assert(poller.currentMarkers == Map("b.log" -> 2L))
+
+    // tick 4: it reappears — with no marker the whole file re-reads
+    // (the documented consequence of replacement semantics)
+    emitted.clear()
+    upsert("a.log", recent = true, "a1\na2x\na3")
+    poller.tick()
+    assert(emitted.count(_._1 == "a.log") == 3)
+  }
+
+  test("server-side cap: GREATEST(size - cap, prev) start, mid-line skip") {
+    upsert("big.log", recent = true, "0123456\nabc")
+    val (ws, markers) =
+      PgReadFileJdbc.poll(conn, Map.empty, maxTailBytes = 8L)
+    val w = ws.find(_.file == "big.log").get
+    // only the trailing 8 bytes crossed the wire
+    assert(w.window == "3456\nabc" && w.newOffset == 11L)
+    assert(markers("big.log") == 11L)
+    assert(PgReadFileJdbc.windowLines(w, 0L, maxTailBytes = 8L) ==
+      Seq("abc"))
+  }
+}
