@@ -1096,9 +1096,13 @@ object QueriesLog {
         em.endpoint, "projects/p0/subscriptions/postgres-logs",
         (0 until 5).map(i => PubSubPull.ServerCfg("p0", s"inst$i")),
         spool)
-      while (puller.tick(1000).received > 0) ()
+      // bounded drain: a nack-redelivery cycle (possible only if the
+      // corpus timestamps were ever within maxAge of the wall clock)
+      // must surface as a clear failure, not a spin
+      var ticks = 0
+      while (puller.tick(1000).received > 0 && ticks < 100) ticks += 1
       require(em.availableCount == 0 && em.outstandingCount == 0,
-        "subscription not drained")
+        s"subscription not drained after $ticks ticks (nack cycle?)")
     } finally em.stop()
     val spooled = PubSubPull.readSpool(s, spool)
       .withColumn("event_id",
