@@ -1,0 +1,60 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.sources.AmqpEventHub._
+
+/** Property checks over the hand-rolled AMQP 1.0 type codec: any value
+  * tree the transport can carry round-trips bit-exactly, and decode
+  * consumes exactly the encoded bytes (no trailing-byte drift — the
+  * invariant frame parsing relies on to find the transfer payload). */
+object AmqpCodecProps extends Properties("graft.amqp") {
+
+  private val leaf: Gen[AValue] = Gen.oneOf(
+    Gen.const(ANull),
+    Gen.oneOf(true, false).map(ABool(_)),
+    Gen.chooseNum(0, 255).map(AUByte(_)),
+    Gen.chooseNum(0, 65535).map(AUShort(_)),
+    Gen.chooseNum(0L, 0xffffffffL).map(AUInt(_)),
+    Gen.chooseNum(Long.MinValue, Long.MaxValue).map(AULong(_)),
+    Gen.asciiPrintableStr.map(AString(_)),
+    Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(bs => ABinary(bs.toArray)))
+
+  private def tree(depth: Int): Gen[AValue] =
+    if (depth <= 0) leaf
+    else Gen.frequency(
+      4 -> leaf,
+      2 -> Gen.chooseNum(0, 5).flatMap(n =>
+        Gen.listOfN(n, tree(depth - 1)).map(AList(_))),
+      1 -> (for {
+        d <- Gen.chooseNum(0L, 0x100L).map(AULong(_))
+        v <- tree(depth - 1)
+      } yield ADescribed(d, v)))
+
+  private def eq(a: AValue, b: AValue): Boolean = (a, b) match {
+    case (ABinary(x), ABinary(y)) => x.toSeq == y.toSeq
+    case (AList(x), AList(y)) =>
+      x.length == y.length && x.zip(y).forall { case (p, q) => eq(p, q) }
+    case (ADescribed(d1, v1), ADescribed(d2, v2)) => eq(d1, d2) && eq(v1, v2)
+    case _ => a == b
+  }
+
+  property("encode/decode round-trips any carried value tree") =
+    forAll(tree(3)) { v =>
+      val bytes = Amqp.encode(v)
+      val (back, consumed) = Amqp.decode(bytes)
+      eq(back, v) && consumed == bytes.length
+    }
+
+  property("decode position is exact mid-stream (frame payload split)") =
+    forAll(tree(2), tree(2)) { (a, b) =>
+      // a frame body is performative-bytes ++ payload-bytes; the frame
+      // reader relies on decode() reporting the exact boundary
+      val bytes = Amqp.encode(a) ++ Amqp.encode(b)
+      val (a2, n) = Amqp.decode(bytes)
+      val (b2, m) = Amqp.decode(bytes, n)
+      eq(a2, a) && eq(b2, b) && m == bytes.length
+    }
+}

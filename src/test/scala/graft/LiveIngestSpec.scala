@@ -237,6 +237,35 @@ class LiveIngestSpec extends SparkSpec {
     }
   }
 
+  test("Pub/Sub spool streams: line-framed files drive the streaming parse") {
+    val em = new PubSubPull.Emulator()
+    val spool = Files.createTempDirectory("graft_pubsub_stream")
+    try {
+      val puller = new PubSubPull.Puller(
+        em.endpoint, "projects/p1/subscriptions/s1",
+        Seq(PubSubPull.ServerCfg("proj-a", cloudSqlInstanceId = "inst-1")),
+        spool, maxAge = Duration.ofMinutes(5),
+        now = () => Instant.parse("2024-01-01T00:10:00Z"))
+      em.publish(gcpEnvelope("proj-a", "inst-1",
+        "2024-01-01T00:09:00Z", "LOG: s1"))
+      puller.tick()
+      em.publish(gcpEnvelope("proj-a", "inst-1",
+        "2024-01-01T00:09:10Z", "LOG: s2"))
+      puller.tick() // second tick → second spool file
+      val q = CloudLogs.gcpLogStream(PubSubPull.stream(spark, spool), "value")
+        .select("content")
+        .writeStream.format("memory").queryName("pubsub_stream")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(30000)
+      val rows = spark.table("pubsub_stream").collect().map(_.getString(0)).toSet
+      assert(rows == Set("LOG: s1", "LOG: s2"))
+    } finally {
+      em.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)
+    }
+  }
+
   test("Pub/Sub subscription id format is validated") {
     val ex = intercept[IllegalArgumentException] {
       new PubSubPull.Puller("http://127.0.0.1:1", "bad/path",
