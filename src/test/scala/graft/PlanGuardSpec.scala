@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+/** Global physical-plan guard over the ENTIRE query registry: no entry
+  * may plan a CartesianProductExec. The repo's scalar-attachment
+  * pattern (`crossJoin(broadcast(<1-row aggregate>))`) plans as a
+  * BroadcastNestedLoopJoin — bounded by the broadcast side — and the
+  * declared truth probes broadcast their k-row side, so a
+  * CartesianProductExec can only mean an ACCIDENTAL unbounded
+  * cross product (both sides corpus-sized). Round 6 established this
+  * by hand-auditing 66 crossJoin sites; this spec locks it for every
+  * entry, present and future. */
+class PlanGuardSpec extends SparkSpec {
+
+  private def cartesians(plan: SparkPlan): Seq[String] = {
+    def walk(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case c: CartesianProductExec => Seq(c.simpleStringWithNodeId())
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => Seq.empty
+      }
+      self ++ p.children.flatMap(walk) ++
+        p.subqueries.flatMap(walk)
+    }
+    walk(plan)
+  }
+
+  test("no entry in the registry plans a CartesianProductExec") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val hits =
+          try cartesians(fn(spark, Sf).queryExecution.executedPlan)
+          catch { case e: Exception =>
+            Seq(s"planning failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        hits.map(h => s"$name: $h")
+    }
+    assert(offenders.isEmpty,
+      s"unbounded cross products (or planning failures):\n  " +
+        offenders.mkString("\n  "))
+  }
+}
