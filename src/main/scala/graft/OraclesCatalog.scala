@@ -539,6 +539,29 @@ object OraclesCatalog {
         |    ORDER BY inhseqno, parent_oid) AS rn
         |  FROM inh) t WHERE rn = 1""".stripMargin,
 
+    // Mirrors QueriesConfig.configReadIni: rebuilds the INI merge from
+    // the synthesis formulas — [pganalyze] globals (api_key gk,
+    // db_port 6000), pk%11 api_key override, pk%13 skip (no conn
+    // info), pk%4 url path wins GetDbName, else host/name fields;
+    // duplicate_of = the FIRST earlier section with the identical
+    // (api_key, db_host, effective-db-name) identity.
+    "config_read_ini" ->
+      """WITH s AS (
+        |  SELECT p_partkey AS pk,
+        |    CASE WHEN p_partkey % 11 = 0 THEN 'sk' || (p_partkey % 3)
+        |      ELSE 'gk' END AS api_key,
+        |    CASE WHEN p_partkey % 4 = 0 THEN ''
+        |      ELSE 'host' || (p_partkey % 50) END AS db_host,
+        |    '6000' AS db_port,
+        |    CASE WHEN p_partkey % 4 = 0 THEN 'urldb' || (p_partkey % 5)
+        |      ELSE 'db' || (p_partkey % 7) END AS db_name
+        |  FROM part WHERE p_partkey % 13 <> 0)
+        |SELECT 's' || pk AS section, api_key, db_host, db_port, db_name,
+        |  CASE WHEN MIN(pk) OVER w < pk THEN 's' || (MIN(pk) OVER w)
+        |    ELSE '' END AS duplicate_of
+        |FROM s
+        |WINDOW w AS (PARTITION BY api_key, db_host, db_name)""".stripMargin,
+
     // Mirrors QueriesConfig.configResolve: same synthetic shapes, same
     // precedence/SplitN-equality/trim rules. All regexes anchored or
     // single-occurrence so Spark's replace-all == DuckDB's

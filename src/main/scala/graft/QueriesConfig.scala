@@ -37,6 +37,47 @@ import org.apache.spark.sql.functions._
   */
 object QueriesConfig {
 
+  /** The config-file READ layer under the gate
+    * ([[graft.sources.ConfigIni]], `config/read.go:839-988`): a real
+    * INI document synthesized from the part table — `[pganalyze]`
+    * globals, per-section overrides, url-vs-fields connection info,
+    * no-connection sections, colliding identities — is parsed and
+    * merged by the driver-side reader, and the resulting server list
+    * (with GetDbName resolution and duplicate flags) is the output.
+    * The oracle rebuilds the same merge in SQL from the synthesis
+    * formulas, so a precedence slip, a quoting bug, or a wrong
+    * duplicate-window all hash-fail. Config is inherently one small
+    * driver-side document; the INI string is built with one collect
+    * over pk. */
+  def configReadIni(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pks = Tables.part(s, dir).select(col("p_partkey").cast("long"))
+      .orderBy("p_partkey").collect().map(_.getLong(0))
+    val ini = new StringBuilder
+    ini ++= "; synthesized collector config\n[pganalyze]\napi_key = gk\ndb_port = 6000\n"
+    pks.foreach { pk =>
+      ini ++= s"\n[s$pk]\n"
+      if (pk % 11 == 0) ini ++= s"api_key = sk${pk % 3}\n"
+      if (pk % 13 == 0) {
+        ini ++= "db_username = lonely ; no connection info -> skipped\n"
+      } else if (pk % 4 == 0) {
+        ini ++= s"db_url = postgres://u:pw@host${pk % 50}:7000/urldb${pk % 5}\n"
+      } else {
+        ini ++= s"db_host = host${pk % 50}\n"
+        ini ++= s"db_name = db${pk % 7}\n"
+      }
+    }
+    val r = graft.sources.ConfigIni.read(Some(ini.toString())) match {
+      case Right(res) => res
+      case Left(err) => throw new IllegalStateException(err)
+    }
+    r.servers.map(sec => (sec.sectionName, sec.get("api_key"),
+        sec.get("db_host"), sec.get("db_port"), sec.dbName,
+        sec.duplicateOf.getOrElse("")))
+      .toDF("section", "api_key", "db_host", "db_port", "db_name",
+        "duplicate_of")
+  }
+
   def configResolve(s: SparkSession, dir: String): DataFrame =
     resolve(Tables.part(s, dir)
       .select(col("p_partkey").as("pk"))

@@ -82,6 +82,9 @@ object SparkEntry {
     "idx_overlapping" -> (QueriesCatalog.idxOverlapping _),
     "s35_helper_match" -> (graft.sources.HelperMatch.query _),
     "config_resolve" -> (QueriesConfig.configResolve _),
+    // the config-file READ layer: a real INI document parsed + merged
+    // by the driver-side reader, duplicate identities flagged
+    "config_read_ini" -> (QueriesConfig.configReadIni _),
     "setup_recommendations" -> (QueriesConfig.setupRecommendations _),
     "system_identify" -> (QueriesConfig.systemIdentify _),
     "j12_blocking_chains" -> (QueriesCatalog.j12BlockingChains _),

@@ -1,0 +1,196 @@
+package graft.sources
+
+import scala.collection.immutable.ListMap
+
+/** The collector's configuration READ layer (`config/read.go:839-988`
+  * + the go-ini subset it depends on): INI text → per-server section
+  * configs with the reference's exact precedence —
+  *
+  *  1. environment variables seed the DEFAULT config
+  *     (`getDefaultConfig`, `read.go:70-…`: `PGA_API_KEY`, `DB_URL`,
+  *     `DB_HOST`, … — the Docker configuration path);
+  *  2. the `[pganalyze]` section maps ONTO that default (file
+  *     overrides env);
+  *  3. every other section starts as a COPY of the merged default and
+  *     maps its own keys over it (section overrides global);
+  *  4. sections whose `GetDbName` resolves empty are SKIPPED with an
+  *     error (`read.go:889-892`) — `GetDbName` takes the db_url PATH
+  *     when a URL is set, else `db_name` (`config.go:511-523`);
+  *  5. duplicate server identities are flagged
+  *     (`read.go:905-913`);
+  *  6. no config file: the `PGA_API_KEY` + `DB_*` env path builds one
+  *     server, or Heroku mode scans every `*_URL` env var matching
+  *     `postgres(ql)?://` (`read.go:923-957`), else the whole read
+  *     errors.
+  *
+  * INI dialect = the go-ini options the reference loads with
+  * (`SpaceBeforeInlineComment: true`): `[section]` headers, `k = v`
+  * pairs, full-line `;`/`#` comments, inline comments only when
+  * preceded by whitespace, double-quote/backtick quoting (protects
+  * comment characters), blank-line tolerance.
+  *
+  * Config parsing is inherently driver-side (a config file is one
+  * small document); the downstream provider/identity resolution over
+  * the RESULTING sections is the existing distributed
+  * `QueriesConfig.resolveAll` pipeline. */
+object ConfigIni {
+
+  /** Raw parsed section, key order preserved. */
+  final case class IniSection(name: String, keys: ListMap[String, String])
+
+  /** The env keys `getDefaultConfig` reads into the default config
+    * (modeled subset). */
+  val EnvDefaults: Map[String, String] = Map(
+    "PGA_API_KEY" -> "api_key",
+    "PGA_API_BASEURL" -> "api_base_url",
+    "DB_URL" -> "db_url",
+    "DB_HOST" -> "db_host",
+    "DB_PORT" -> "db_port",
+    "DB_NAME" -> "db_name",
+    "DB_USERNAME" -> "db_username",
+    "DB_PASSWORD" -> "db_password")
+
+  def parseIni(text: String): Seq[IniSection] = {
+    val sections = scala.collection.mutable.ArrayBuffer[
+      (String, scala.collection.mutable.LinkedHashMap[String, String])]()
+    var current = ("DEFAULT",
+      scala.collection.mutable.LinkedHashMap[String, String]())
+    sections += current
+    text.linesIterator.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith(";") && !line.startsWith("#")) {
+        if (line.startsWith("[") && line.endsWith("]")) {
+          current = (line.substring(1, line.length - 1).trim,
+            scala.collection.mutable.LinkedHashMap[String, String]())
+          sections += current
+        } else {
+          val eq = line.indexOf('=')
+          if (eq > 0) {
+            val key = line.substring(0, eq).trim
+            current._2(key) = parseValue(line.substring(eq + 1).trim)
+          }
+        }
+      }
+    }
+    sections.toSeq.map { case (n, m) => IniSection(n, ListMap(m.toSeq: _*)) }
+  }
+
+  /** Value rules: quoting protects inline-comment characters; an
+    * UNQUOTED ` ;`/` #` (comment char preceded by whitespace —
+    * `SpaceBeforeInlineComment`) starts a comment; a comment char
+    * glued to the value does not. */
+  private def parseValue(v0: String): String = {
+    if (v0.length >= 2 &&
+        ((v0.head == '"' && v0.last == '"') ||
+          (v0.head == '`' && v0.last == '`')))
+      v0.substring(1, v0.length - 1)
+    else {
+      var cut = v0.length
+      var i = 1
+      while (i < v0.length) {
+        if ((v0(i) == ';' || v0(i) == '#') &&
+            Character.isWhitespace(v0(i - 1)) && i < cut) cut = i
+        i += 1
+      }
+      v0.substring(0, cut).trim
+    }
+  }
+
+  /** One resolved server section: merged settings + bookkeeping. */
+  final case class ServerSection(
+      sectionName: String,
+      settings: Map[String, String],
+      duplicateOf: Option[String] = None) {
+    def get(k: String): String = settings.getOrElse(k, "")
+    /** `config.GetDbName()`: the db_url path wins, else db_name. */
+    def dbName: String = {
+      val url = get("db_url")
+      if (url.nonEmpty) {
+        val m = ConfigIni.UrlPathRegexp.findFirstMatchIn(url)
+        m.map(_.group(1)).getOrElse("")
+      } else get("db_name")
+    }
+    /** The identity tuple duplicate detection compares (the reference
+      * compares (APIKey, APIBaseURL, SystemID, SystemType,
+      * SystemScope); system identity here is the host/port/db triple
+      * the self-hosted branch of identifySystem produces — provider
+      * refinement happens downstream in resolveAll). */
+    def identity: (String, String, String, String) =
+      (get("api_key"), get("api_base_url"), get("db_host"),
+        get("db_port") + "/" + dbName)
+  }
+
+  final case class ReadResult(
+      servers: Seq[ServerSection],
+      skipped: Seq[String], // sections with no connection info
+      errors: Seq[String])
+
+  val PgUriRegexp = "\\Apostgres(?:ql)?://.*".r
+  private[sources] val UrlPathRegexp = "^[a-z+]+://[^/]*/(.*)$".r
+
+  def read(fileText: Option[String],
+      env: Map[String, String] = Map.empty,
+      isHeroku: Boolean = false): Either[String, ReadResult] = {
+    // env seeds the default config (Docker path)
+    val envDefaults: Map[String, String] =
+      EnvDefaults.flatMap { case (ek, ck) =>
+        env.get(ek).filter(_.nonEmpty).map(ck -> _)
+      }
+    fileText match {
+      case Some(text) =>
+        val sections = parseIni(text)
+        val pga = sections.find(_.name == "pganalyze").getOrElse(
+          return Left("Failed to find [pganalyze] section in config"))
+        // [pganalyze] maps onto the env-seeded default
+        val defaults = envDefaults ++ pga.keys
+        var servers = Vector[ServerSection]()
+        var skipped = Vector[String]()
+        var errors = Vector[String]()
+        // first-seen identity → section name (the reference scans the
+        // accumulated list per section; a hash keeps the same
+        // first-match answer without the quadratic scan)
+        val seen = scala.collection.mutable.HashMap[
+          (String, String, String, String), String]()
+        sections.foreach { sec =>
+          if (sec.name != "pganalyze" && sec.name != "DEFAULT") {
+            // each server section starts as a COPY of the merged
+            // default, then overrides (read.go:866-869)
+            val merged = defaults ++ sec.keys
+            val cand = ServerSection(sec.name, merged)
+            if (cand.dbName.isEmpty) {
+              skipped :+= sec.name // "No connection info found" path
+            } else {
+              val dup = seen.get(cand.identity)
+              dup.foreach(d => errors :+=
+                s"Duplicate servers detected: $d and ${sec.name}")
+              if (dup.isEmpty) seen(cand.identity) = sec.name
+              servers :+= cand.copy(duplicateOf = dup)
+            }
+          }
+        }
+        if (servers.isEmpty)
+          Left("Configuration contains no valid servers")
+        else Right(ReadResult(servers, skipped, errors))
+      case None =>
+        val hasDbEnv = Seq("DB_URL", "DB_HOST", "DB_PORT", "DB_NAME",
+          "DB_USERNAME", "DB_PASSWORD").exists(k =>
+          env.getOrElse(k, "").nonEmpty)
+        if (env.getOrElse("PGA_API_KEY", "").nonEmpty && hasDbEnv)
+          Right(ReadResult(
+            Seq(ServerSection("default", envDefaults)), Nil, Nil))
+        else if (isHeroku) {
+          // every *_URL env var holding a postgres URI is a server;
+          // SystemID = the var name minus _URL (read.go:931-956)
+          val servers = env.toSeq.sortBy(_._1).collect {
+            case (k, v) if k.endsWith("_URL") &&
+                PgUriRegexp.findFirstIn(v).isDefined =>
+              ServerSection(k, envDefaults +
+                ("db_url" -> v) +
+                ("system_id" -> k.stripSuffix("_URL")) +
+                ("system_type" -> "heroku"))
+          }
+          Right(ReadResult(servers, Nil, Nil))
+        } else Left("No configuration file found, and no environment variables set")
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ConfigIni
+import graft.sources.ConfigIni._
+
+/** The configuration read layer: go-ini dialect parsing, the
+  * env → [pganalyze] → section precedence chain, GetDbName, section
+  * skip, duplicate detection, and the no-file env/Heroku fallbacks. */
+class ConfigIniSpec extends AnyFunSuite {
+
+  private val golden =
+    """# full-line comment
+      |; another
+      |[pganalyze]
+      |api_key = global-key   ; inline comment after spaces
+      |api_base_url = "https://api.example.com ; not-a-comment"
+      |db_port = 5432
+      |
+      |[server-one]
+      |db_host = one.example.com
+      |db_name = onedb
+      |db_password = `pw ; with ; semicolons`
+      |
+      |[server-two]
+      |db_url = postgres://u:pw@two.example.com:6432/twodb
+      |api_key = section-key#glued-not-a-comment
+      |
+      |[no-conn]
+      |db_username = lonely
+      |
+      |[server-one-dup]
+      |db_host = one.example.com
+      |db_name = onedb
+      |""".stripMargin
+
+  test("golden file: precedence, quoting, inline comments, skip, duplicates") {
+    val r = ConfigIni.read(Some(golden),
+      env = Map("PGA_API_KEY" -> "env-key", "DB_PORT" -> "9999")).toOption.get
+    assert(r.servers.map(_.sectionName) ==
+      Seq("server-one", "server-two", "server-one-dup"))
+    val one = r.servers.find(_.sectionName == "server-one").get
+    // file [pganalyze] overrides the env seed; section inherits it
+    assert(one.get("api_key") == "global-key")
+    // inline comment stripped only when preceded by whitespace
+    assert(one.get("api_base_url") == "https://api.example.com ; not-a-comment")
+    // [pganalyze] db_port=5432 overrides env DB_PORT=9999; section copy keeps it
+    assert(one.get("db_port") == "5432")
+    // backtick quoting protects semicolons
+    assert(one.get("db_password") == "pw ; with ; semicolons")
+    assert(one.dbName == "onedb")
+
+    val two = r.servers.find(_.sectionName == "server-two").get
+    // glued # is part of the value (SpaceBeforeInlineComment)
+    assert(two.get("api_key") == "section-key#glued-not-a-comment")
+    // GetDbName: the URL path wins
+    assert(two.dbName == "twodb")
+
+    // no connection info → skipped with an error, not a server
+    assert(r.skipped == Seq("no-conn"))
+    // identical identity → flagged duplicate, still appended (the
+    // reference logs and appends outside test runs)
+    val dup = r.servers.find(_.sectionName == "server-one-dup").get
+    assert(dup.duplicateOf.contains("server-one"))
+    assert(r.errors.exists(_.contains("Duplicate servers detected")))
+  }
+
+  test("missing [pganalyze] section and no-valid-servers are errors") {
+    assert(ConfigIni.read(Some("[only-server]\ndb_name = x\n")).isLeft)
+    assert(ConfigIni.read(Some("[pganalyze]\napi_key = k\n")).isLeft)
+  }
+
+  test("no file: PGA_API_KEY + DB_* env builds the single default server") {
+    val r = ConfigIni.read(None, env = Map(
+      "PGA_API_KEY" -> "k", "DB_HOST" -> "h", "DB_NAME" -> "d")).toOption.get
+    assert(r.servers.map(_.sectionName) == Seq("default"))
+    assert(r.servers.head.get("db_host") == "h")
+    assert(r.servers.head.dbName == "d")
+  }
+
+  test("no file, Heroku mode: every *_URL postgres URI becomes a server") {
+    val r = ConfigIni.read(None, env = Map(
+      "HEROKU_POSTGRESQL_RED_URL" -> "postgres://u:p@r.example.com:5432/rdb",
+      "AMQP_URL" -> "amqp://not-postgres",
+      "GREEN_URL" -> "postgresql://u:p@g.example.com:5432/gdb",
+      "PG_BACKUP_VAR" -> "postgres://ignored-no-url-suffix/x"),
+      isHeroku = true).toOption.get
+    assert(r.servers.map(_.sectionName) ==
+      Seq("GREEN_URL", "HEROKU_POSTGRESQL_RED_URL"))
+    val red = r.servers.find(_.sectionName == "HEROKU_POSTGRESQL_RED_URL").get
+    assert(red.get("system_id") == "HEROKU_POSTGRESQL_RED")
+    assert(red.get("system_type") == "heroku")
+    assert(red.dbName == "rdb")
+  }
+
+  test("no file, no env: the read errors") {
+    assert(ConfigIni.read(None).isLeft)
+  }
+}
