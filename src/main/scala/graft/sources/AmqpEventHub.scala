@@ -223,7 +223,9 @@ object AmqpEventHub {
       while (running) {
         try {
           val sock = server.accept()
-          new Thread(() => serve(sock), "amqp-broker-conn").start()
+          val t = new Thread(() => serve(sock), "amqp-broker-conn")
+          t.setDaemon(true) // a wedged link must never pin the JVM
+          t.start()
         } catch { case _: Exception => () }
       }
     }, "amqp-broker-accept")
@@ -354,6 +356,9 @@ object AmqpEventHub {
 
     private def receivePartition(part: Int, credit: Int): Seq[Array[Byte]] = {
       val sock = new Socket(host, port)
+      // a broker that stops answering (no transfer, no drain flow) must
+      // surface as a transport error, not a hung receive loop
+      sock.setSoTimeout(30000)
       try {
         val in = new DataInputStream(sock.getInputStream)
         val out = new DataOutputStream(sock.getOutputStream)
