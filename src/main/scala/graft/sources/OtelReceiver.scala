@@ -58,8 +58,8 @@ object OtelReceiver {
       def respond(code: Int, body: String, ctype: String): Unit = {
         val b = body.getBytes(UTF_8)
         ex.getResponseHeaders.set("Content-Type", ctype)
-        ex.sendResponseHeaders(code, b.length.toLong)
-        ex.getResponseBody.write(b)
+        ex.sendResponseHeaders(code, if (b.isEmpty) -1L else b.length.toLong)
+        if (b.nonEmpty) ex.getResponseBody.write(b)
         ex.close()
       }
 
@@ -97,7 +97,9 @@ object OtelReceiver {
               try {
                 val json = OtlpWire.requestToJson(body)
                 spool(json)
-                respond(200, "{}", "application/x-protobuf")
+                // an empty ExportLogsServiceResponse is zero bytes on
+                // the wire — NOT "{}" (that is the protojson rendering)
+                respond(200, "", "application/x-protobuf")
               } catch {
                 case _: Exception =>
                   respond(400, "Could not parse request body", "text/plain")
