@@ -544,9 +544,13 @@ object OraclesCatalog {
     // db_port 6000), pk%11 api_key override, pk%13 skip (no conn
     // info), pk%4 url path wins GetDbName, else host/name fields;
     // duplicate_of = the FIRST earlier section with the identical
-    // (api_key, db_host, effective-db-name) identity.
+    // (api_key, db_host, effective-db-name) identity. Section count is
+    // capped at the first 200 partkeys on BOTH sides (a config file is
+    // dozens of sections; the entry's cost is SF-independent).
     "config_read_ini" ->
-      """WITH s AS (
+      """WITH capped AS (
+        |  SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 200),
+        |s AS (
         |  SELECT p_partkey AS pk,
         |    CASE WHEN p_partkey % 11 = 0 THEN 'sk' || (p_partkey % 3)
         |      ELSE 'gk' END AS api_key,
@@ -555,7 +559,7 @@ object OraclesCatalog {
         |    '6000' AS db_port,
         |    CASE WHEN p_partkey % 4 = 0 THEN 'urldb' || (p_partkey % 5)
         |      ELSE 'db' || (p_partkey % 7) END AS db_name
-        |  FROM part WHERE p_partkey % 13 <> 0)
+        |  FROM capped WHERE p_partkey % 13 <> 0)
         |SELECT 's' || pk AS section, api_key, db_host, db_port, db_name,
         |  CASE WHEN MIN(pk) OVER w < pk THEN 's' || (MIN(pk) OVER w)
         |    ELSE '' END AS duplicate_of

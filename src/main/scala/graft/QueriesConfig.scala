@@ -47,12 +47,18 @@ object QueriesConfig {
     * The oracle rebuilds the same merge in SQL from the synthesis
     * formulas, so a precedence slip, a quoting bug, or a wrong
     * duplicate-window all hash-fail. Config is inherently one small
-    * driver-side document; the INI string is built with one collect
-    * over pk. */
+    * driver-side document — real config files have DOZENS of
+    * sections, not corpus-many — so the synthesis is capped at the
+    * first [[ConfigSections]] partkeys (TakeOrderedAndProject, a
+    * constant-size collect at ANY scale factor; oracle applies the
+    * identical cap). */
+  val ConfigSections = 200
+
   def configReadIni(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pks = Tables.part(s, dir).select(col("p_partkey").cast("long"))
-      .orderBy("p_partkey").collect().map(_.getLong(0))
+      .orderBy("p_partkey").limit(ConfigSections)
+      .collect().map(_.getLong(0))
     val ini = new StringBuilder
     ini ++= "; synthesized collector config\n[pganalyze]\napi_key = gk\ndb_port = 6000\n"
     pks.foreach { pk =>

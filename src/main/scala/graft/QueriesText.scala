@@ -270,6 +270,10 @@ object QueriesText {
     val threshold = 0.3
     val e = Tables.fanOut(Tables.embeddings(s, dir))
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint() // EAGER: feeds count + ivfFit's k-means passes
+      // + ivfAssign + the final join — without it the auto-k count()
+      // re-runs the embeddings scan (r7 verdict finding #1); block-
+      // manager storage spills to disk so it stays bounded at scale
     // k scales with the corpus so cluster sizes stay ~300 and the
     // within-cluster pairwise stays bounded (quadratic in cluster
     // size × k clusters = LINEAR total when k ∝ n) — the SemDeDup

@@ -37,8 +37,11 @@ object SnapshotUpload {
   def filePart(body: Array[Byte]): Array[Byte] = {
     val s = new String(body, ISO_8859_1)
     val marker = "application/octet-stream\r\n\r\n"
-    val start = s.indexOf(marker) + marker.length
+    val at = s.indexOf(marker)
+    require(at >= 0, "multipart body has no application/octet-stream part")
+    val start = at + marker.length
     val end = s.indexOf("\r\n--", start)
+    require(end >= 0, "multipart file part is not terminated by a boundary")
     body.slice(start, end)
   }
 

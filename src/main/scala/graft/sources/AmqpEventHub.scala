@@ -331,12 +331,22 @@ object AmqpEventHub {
       partitions: Int, spoolDir: Path) {
     Files.createDirectories(spoolDir)
     private val seq = new AtomicLong(0L)
+    // Per-partition resume offsets: a second drain() must NOT re-spool
+    // the broker's retained log (the reference's per-partition handlers
+    // stay attached and never re-read). Each fresh link still attaches
+    // at Earliest — the real Event Hub pushes the skip server-side via
+    // the `amqp.annotation.x-opt-offset` selector filter; this codec
+    // has no map/symbol types yet, so the skip happens client-side
+    // before the spool instead.
+    private val resumeAt = Array.fill(partitions)(0)
 
     def drain(creditPerRound: Int = 256): (Int, Int) = {
       var received = 0
       var spooled = 0
       (0 until partitions).foreach { part =>
-        val bodies = receivePartition(part, creditPerRound)
+        val all = receivePartition(part, creditPerRound)
+        val bodies = all.drop(resumeAt(part))
+        resumeAt(part) = all.length
         received += bodies.length
         val lines = bodies.flatMap { b =>
           try Some(mapper.writeValueAsString(mapper.readTree(b)))

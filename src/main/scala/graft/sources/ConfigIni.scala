@@ -186,7 +186,9 @@ object ConfigIni {
                 PgUriRegexp.findFirstIn(v).isDefined =>
               ServerSection(k, envDefaults +
                 ("db_url" -> v) +
-                ("system_id" -> k.stripSuffix("_URL")) +
+                // strings.Replace(parsedKey, "_URL", "", 1) — FIRST
+                // occurrence, not suffix (read.go:948)
+                ("system_id" -> k.replaceFirst("_URL", "")) +
                 ("system_type" -> "heroku"))
           }
           Right(ReadResult(servers, Nil, Nil))

@@ -65,21 +65,28 @@ object OtelReceiver {
 
       // Content-Encoding first, as in decodeRequestBody
       // (`otel_handler.go:88-99`)
+      def gunzip(bytes: Array[Byte]): Either[String, Array[Byte]] =
+        try {
+          val gz = new GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val o = new ByteArrayOutputStream()
+          val b2 = new Array[Byte](8192)
+          var m = gz.read(b2)
+          while (m >= 0) { o.write(b2, 0, m); m = gz.read(b2) }
+          Right(o.toByteArray)
+        } catch {
+          case _: Exception => Left("Could not decode request body")
+        }
       val decoded: Either[String, Array[Byte]] =
         ex.getRequestHeaders.getFirst("Content-Encoding") match {
-          case null | "" | "identity" => Right(raw)
-          case "gzip" =>
-            try {
-              val gz = new GZIPInputStream(
-                new java.io.ByteArrayInputStream(raw))
-              val o = new ByteArrayOutputStream()
-              val b2 = new Array[Byte](8192)
-              var m = gz.read(b2)
-              while (m >= 0) { o.write(b2, 0, m); m = gz.read(b2) }
-              Right(o.toByteArray)
-            } catch {
-              case _: Exception => Left("Could not decode request body")
-            }
+          case null | "" | "identity" =>
+            // "Some exporters gzip without setting Content-Encoding;
+            // valid OTLP never starts with the gzip magic bytes" —
+            // sniff 0x1f 0x8b and gunzip anyway (otel_handler.go:92-95)
+            if (raw.length >= 2 && raw(0) == 0x1f.toByte &&
+                raw(1) == 0x8b.toByte) gunzip(raw)
+            else Right(raw)
+          case "gzip" => gunzip(raw)
           case _ => Left("Could not decode request body")
         }
 
@@ -88,9 +95,24 @@ object OtelReceiver {
         case Right(body) =>
           ex.getRequestHeaders.getFirst("Content-Type") match {
             case "application/json" =>
+              // the reference's JSON path is protojson.Unmarshal
+              // (handleOtlpLogsRequestJson) — it rejects unknown
+              // fields and non-OTLP shapes, not just malformed JSON:
+              // root must be an object, its only known top-level
+              // field is resourceLogs, and that must be an array
               val ok =
-                try { mapper.readTree(body); true }
-                catch { case _: Exception => false }
+                try {
+                  val root = mapper.readTree(body)
+                  root.isObject && {
+                    val names = root.fieldNames()
+                    var valid = true
+                    while (names.hasNext && valid) {
+                      val f = names.next()
+                      valid = f == "resourceLogs" && root.get(f).isArray
+                    }
+                    valid
+                  }
+                } catch { case _: Exception => false }
               if (!ok) respond(400, "Could not parse request body", "text/plain")
               else { spool(new String(body, UTF_8)); respond(200, "{}", "application/json") }
             case "application/x-protobuf" =>

@@ -21,9 +21,11 @@ import scala.collection.mutable
   *     (`psl.ReadFileMarkers = newMarkers` — a file that rotates out
   *     of the recent set loses its marker, unlike the RDS path's
   *     keep-until-rotation; pinned in the spec);
-  *  4. discards the partial first line when the window starts
-  *     mid-file (the parser's unclassifiable-fragment rule, shared
-  *     with [[IncrementalTail]]).
+  *  4. discards the partial first line ONLY when the 10 MB cap
+  *     clamped the window start past the previous marker; a window
+  *     resuming exactly at the marker is fed downstream whole, as the
+  *     reference feeds the entire window to ParseAndAnalyzeBuffer
+  *     (`log_pg_read_file.go:109-111`).
   *
   * The embedded oracle engine is Derby (as CatalogJdbc/ExplainJdbc):
   * `pg_ls_logdir()` becomes a `logdir(name, modification, content)`
@@ -93,15 +95,19 @@ object PgReadFileJdbc {
     (windows, windows.map(w => w.file -> w.newOffset).toMap)
   }
 
-  /** The client-side fragment rule shared with [[IncrementalTail]]:
-    * when the server-side window started mid-file, drop the partial
-    * first line. Start offset is recomputed from (size, prev) exactly
-    * as the read SQL computed it. */
+  /** The client-side fragment rule: drop the partial first line ONLY
+    * when the 10 MB cap clamped the window start PAST the previous
+    * marker (`newOffset - cap > prev`) — we jumped mid-file with no
+    * way to know where the line began. A window resuming exactly at
+    * the marker travels downstream whole, as the reference does
+    * (`log_pg_read_file.go:109-111` feeds the entire window to
+    * ParseAndAnalyzeBuffer; mid-line continuation fragments are the
+    * PARSER's concern, not the source's). */
   def windowLines(w: FileWindow, prevOffset: Long,
       maxTailBytes: Long = MaxTailBytes): Seq[String] = {
-    val start = math.max(0L, math.max(w.newOffset - maxTailBytes, prevOffset))
+    val clamped = w.newOffset - maxTailBytes > prevOffset
     val tail =
-      if (start > 0) {
+      if (clamped) {
         val nl = w.window.indexOf('\n')
         if (nl < 0) "" else w.window.substring(nl + 1)
       } else w.window

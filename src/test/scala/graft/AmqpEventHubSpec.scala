@@ -60,6 +60,21 @@ class AmqpEventHubSpec extends SparkSpec {
       val p1 = lines.filter(_.contains("\"1")).map(s =>
         s.substring(s.indexOf("\"p\":\"1") + 6).take(1))
       assert(p1 == Seq("a", "b", "c"), s"p1 order: $p1")
+
+      // a second drain() RESUMES: the broker's retained log is not
+      // re-spooled (the reference's handlers stay attached and never
+      // re-read); only post-first-drain publishes produce new rows
+      val (r2, s2) = consumer.drain(creditPerRound = 2)
+      assert(r2 == 0 && s2 == 0, s"re-drain re-spooled: $r2/$s2")
+      broker.publish(1, """{"records":[],"p":"1d"}""")
+      broker.publish(2, """{"records":[],"p":"2a"}""")
+      val (r3, s3) = consumer.drain(creditPerRound = 2)
+      assert(r3 == 2 && s3 == 2, s"resume drain: $r3/$s3")
+      val after = AmqpEventHub.readSpool(spark, spool)
+        .collect().map(_.getString(0)).toSeq
+      assert(after.length == 6 &&
+        after.count(_.contains("\"p\":\"1d\"")) == 1 &&
+        after.count(_.contains("\"p\":\"2a\"")) == 1)
     } finally {
       broker.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)

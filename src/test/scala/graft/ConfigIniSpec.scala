@@ -94,6 +94,15 @@ class ConfigIniSpec extends AnyFunSuite {
     assert(red.dbName == "rdb")
   }
 
+  test("Heroku system_id removes the FIRST _URL, not the suffix") {
+    // read.go:948 is strings.Replace(parsedKey, "_URL", "", 1):
+    // A_URL_B_URL → A_B_URL (a suffix-strip would give A_URL_B)
+    val r = ConfigIni.read(None, env = Map(
+      "A_URL_B_URL" -> "postgres://u:p@h.example.com:5432/db"),
+      isHeroku = true).toOption.get
+    assert(r.servers.head.get("system_id") == "A_B_URL")
+  }
+
   test("no file, no env: the read errors") {
     assert(ConfigIni.read(None).isLeft)
   }

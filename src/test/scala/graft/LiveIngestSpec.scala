@@ -138,6 +138,28 @@ class LiveIngestSpec extends SparkSpec {
       val (c3, _) = OtelReceiver.post(rx.port,
         "{not json".getBytes(UTF_8), "application/json")
       assert(c3 == 400)
+      // well-formed but non-OTLP JSON → 400 (the reference's JSON path
+      // is protojson.Unmarshal, which rejects unknown fields)
+      val (c3b, _) = OtelReceiver.post(rx.port,
+        """{"foo":[1,2]}""".getBytes(UTF_8), "application/json")
+      assert(c3b == 400)
+      val (c3c, _) = OtelReceiver.post(rx.port,
+        """{"resourceLogs":{}}""".getBytes(UTF_8), "application/json")
+      assert(c3c == 400) // resourceLogs must be an array
+      // an empty export request IS valid OTLP
+      val (c3d, _) = OtelReceiver.post(rx.port,
+        "{}".getBytes(UTF_8), "application/json")
+      assert(c3d == 200)
+      // gzip WITHOUT Content-Encoding: decodeRequestBody sniffs the
+      // 0x1f 0x8b magic and gunzips anyway (otel_handler.go:92-95)
+      val gzBody = {
+        val o = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(o)
+        gz.write("""{"resourceLogs":[]}""".getBytes(UTF_8)); gz.close()
+        o.toByteArray
+      }
+      val (c3e, _) = OtelReceiver.post(rx.port, gzBody, "application/json")
+      assert(c3e == 200, "unannounced gzip must be sniffed and accepted")
       // unknown content encoding → 400
       val conn2 = new java.net.URL(s"http://127.0.0.1:${rx.port}/v1/logs")
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
@@ -148,8 +170,9 @@ class LiveIngestSpec extends SparkSpec {
       conn2.getOutputStream.close()
       assert(conn2.getResponseCode == 400)
       conn2.disconnect()
-      // nothing reached the spool
-      assert(spool.toFile.listFiles((_, n) => n.endsWith(".body")).isEmpty)
+      // only the two accepted (empty) exports reached the spool —
+      // every rejection above spooled nothing
+      assert(spool.toFile.listFiles((_, n) => n.endsWith(".body")).length == 2)
     } finally {
       rx.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)

@@ -54,14 +54,30 @@ class PgReadFileJdbcSpec extends AnyFunSuite {
       "b.log" -> "b1"))
     assert(poller.currentMarkers == Map("a.log" -> 5L, "b.log" -> 2L))
 
-    // tick 2: a.log grows; the window resumes at the marker and the
-    // shared fragment rule drops the continuation of the already-read
-    // unterminated last line
+    // tick 2: a.log grows; the window resumes exactly at the marker,
+    // so it travels downstream WHOLE — including the mid-line
+    // continuation 'x' of the previously unterminated last line
+    // (fragments are the parser's concern; the reference feeds the
+    // entire window to ParseAndAnalyzeBuffer)
     emitted.clear()
     upsert("a.log", recent = true, "a1\na2x\na3")
-    assert(poller.tick() == 1)
-    assert(emitted.toSeq == Seq("a.log" -> "a3"))
+    assert(poller.tick() == 2)
+    assert(emitted.toSeq == Seq("a.log" -> "x", "a.log" -> "a3"))
     assert(poller.currentMarkers == Map("a.log" -> 9L, "b.log" -> 2L))
+
+    // tick 2b: b.log's previous content ends in '\n' (marker ON a line
+    // boundary) and a full new line appends — the new line MUST be
+    // emitted, not dropped (the round-7 ADVICE bug: the old rule ate
+    // the first complete line of every clean-boundary resume)
+    emitted.clear()
+    upsert("b.log", recent = true, "b1XXb2\n")
+    assert(poller.tick() == 1 && emitted.toSeq == Seq("b.log" -> "XXb2"))
+    emitted.clear()
+    upsert("b.log", recent = true, "b1XXb2\nb3\n")
+    assert(poller.tick() == 1)
+    assert(emitted.toSeq == Seq("b.log" -> "b3"))
+    assert(poller.currentMarkers ==
+      Map("a.log" -> 9L, "b.log" -> 10L))
 
     // tick 3: a.log rotates out of the recent set — the reference
     // REPLACES the marker map (log_pg_read_file.go:122), so its
@@ -69,7 +85,7 @@ class PgReadFileJdbcSpec extends AnyFunSuite {
     emitted.clear()
     upsert("a.log", recent = false, "a1\na2x\na3")
     assert(poller.tick() == 0)
-    assert(poller.currentMarkers == Map("b.log" -> 2L))
+    assert(poller.currentMarkers == Map("b.log" -> 10L))
 
     // tick 4: it reappears — with no marker the whole file re-reads
     // (the documented consequence of replacement semantics)
