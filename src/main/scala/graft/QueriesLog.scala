@@ -841,10 +841,15 @@ object QueriesLog {
       graft.operators.ExplainJdbc.seedDerby(
         s"jdbc:derby:memory:explain_$db", counts)
     }
+    // seedOnOpen: in-memory Derby is per-JVM, so separate executor
+    // JVMs (local-cluster / a real cluster) materialize the monitored
+    // db lazily from the same counts — a real Postgres deployment
+    // passes network URLs and no seed
     val runner = new graft.operators.JdbcExplainRunner(
       monitored.map(db => db -> s"jdbc:derby:memory:explain_$db").toMap,
       helperSql = Some(graft.operators.ExplainEnrich.MarkerSql +
-        " VALUES pganalyze.\"explain\"(?)"))
+        " VALUES pganalyze.\"explain\"(?)"),
+      seedOnOpen = counts)
     val e = Tables.events(s, dir)
       .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
     val rel = element_at(

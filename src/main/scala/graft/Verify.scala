@@ -7,8 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // master precedence: spark-submit's --master (spark.master sysprop,
+    // how the local-cluster distributed-execution gate runs), then
+    // SPARK_GRAFT_MASTER, then local[$cpus]
+    val master = sys.props.get("spark.master")
+      .orElse(sys.env.get("SPARK_GRAFT_MASTER"))
+      .getOrElse(s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -43,13 +43,29 @@ object ExplainJdbc {
   private def loadDriver(): Unit =
     Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
 
+  // Embedded-Derby in-memory databases are PER-JVM: a db seeded on the
+  // driver does not exist in a separate executor JVM (the local-cluster
+  // gate caught exactly this — "Database 'memory:explain_db1' not
+  // found"). Against a real monitored Postgres the URL is network-
+  // reachable from every executor and none of this applies; for the
+  // embedded deployment the runner re-seeds lazily, once per JVM.
+  private val seedLock = new Object
+  private val seededUrls = scala.collection.mutable.HashSet.empty[String]
+
+  /** [[seedDerby]] exactly once per (JVM, url) — the executor-side
+    * open path, so concurrent tasks don't re-run DELETE+INSERT. */
+  def seedDerbyOnce(url: String, counts: Map[String, Long]): Unit =
+    seedLock.synchronized {
+      if (!seededUrls.contains(url)) seedDerby(url, counts)
+    }
+
   /** Idempotently install the in-database helper + the `rel_counts`
     * catalog into one embedded database — the "DBA installs the
     * monitoring helper in every monitored database" setup step the
     * reference documents for log-based EXPLAIN. Counts are refreshed
     * on every call (DELETE + INSERT), so re-seeding with a different
     * scale factor is safe within one JVM. */
-  def seedDerby(url: String, counts: Map[String, Long]): Unit = {
+  def seedDerby(url: String, counts: Map[String, Long]): Unit = seedLock.synchronized {
     loadDriver()
     val c = DriverManager.getConnection(url + ";create=true")
     try {
@@ -74,6 +90,7 @@ object ExplainJdbc {
         }
         ps.executeBatch()
       } finally ps.close()
+      seededUrls += url
     } finally c.close()
   }
 
@@ -111,12 +128,17 @@ object DerbyExplainHelper {
 /** Live JDBC runner: `urls` maps each monitored database to its
   * connection string (the per-db EstablishConnection matrix);
   * `helperSql` is the deployment's helper invocation with one `?`
-  * placeholder for the query text (None → direct-EXPLAIN mode). */
+  * placeholder for the query text (None → direct-EXPLAIN mode).
+  * `seedOnOpen` (embedded deployments only): rel_counts to install
+  * lazily in whatever JVM the task runs in — in-memory Derby is
+  * per-JVM, so executor JVMs must materialize the monitored db
+  * themselves; a real Postgres URL needs no seed (leave it empty). */
 final class JdbcExplainRunner(
     urls: Map[String, String],
     helperSql: Option[String],
     directPrefix: String =
-      ExplainEnrich.MarkerSql + " EXPLAIN (VERBOSE, FORMAT JSON) ")
+      ExplainEnrich.MarkerSql + " EXPLAIN (VERBOSE, FORMAT JSON) ",
+    seedOnOpen: Map[String, Long] = Map.empty)
   extends ExplainEnrich.Runner {
 
   @transient private lazy val conns =
@@ -125,6 +147,7 @@ final class JdbcExplainRunner(
   private def conn(db: String): java.sql.Connection =
     conns.getOrElseUpdate(db, {
       Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+      if (seedOnOpen.nonEmpty) ExplainJdbc.seedDerbyOnce(urls(db), seedOnOpen)
       DriverManager.getConnection(urls(db))
     })
 
