@@ -361,6 +361,61 @@ object OraclesCatalog {
         |  CAST(cpu_idle AS DOUBLE) / (cpu_user + cpu_system + cpu_idle) AS idle_pct
         |FROM agg""".stripMargin,
 
+    // Mirrors QueriesCatalog.s34Live: the synth host's /proc documents
+    // are rendered from these same part-derived formulas (32 cpus, 8
+    // devices, tick1 − tick0 deltas; USER_HZ/100, sectors×512, kB×1024),
+    // and the live host reduces to the constant invariant rows.
+    "s34_live" ->
+      """WITH capped AS (
+        |  SELECT p_partkey AS pk FROM part ORDER BY p_partkey LIMIT 32),
+        |disks AS (SELECT pk FROM capped ORDER BY pk LIMIT 8)
+        |SELECT 'synth' AS src, 'cpu' || pk AS dev, m AS metric,
+        |  CAST(v AS DOUBLE) AS value FROM (
+        |  SELECT pk, 'cpu_user_s' AS m, (pk*11)/100.0 AS v FROM capped
+        |  UNION ALL SELECT pk, 'cpu_nice_s', 1/100.0 FROM capped
+        |  UNION ALL SELECT pk, 'cpu_system_s', (pk*2)/100.0 FROM capped
+        |  UNION ALL SELECT pk, 'cpu_idle_s', (pk*100)/100.0 FROM capped
+        |  UNION ALL SELECT pk, 'cpu_iowait_s', 3/100.0 FROM capped
+        |  UNION ALL SELECT pk, 'cpu_irq_s', 0.0 FROM capped
+        |  UNION ALL SELECT pk, 'cpu_softirq_s', (pk%3)/100.0 FROM capped
+        |  UNION ALL SELECT pk, 'cpu_steal_s', 0.0 FROM capped)
+        |UNION ALL
+        |SELECT 'synth', 'dev' || pk, m, CAST(v AS DOUBLE) FROM (
+        |  SELECT pk, 'reads_completed' AS m, pk*5 AS v FROM disks
+        |  UNION ALL SELECT pk, 'reads_merged', 0 FROM disks
+        |  UNION ALL SELECT pk, 'bytes_read', pk*16*512 FROM disks
+        |  UNION ALL SELECT pk, 'read_time_ms', pk FROM disks
+        |  UNION ALL SELECT pk, 'writes_completed', pk*3 FROM disks
+        |  UNION ALL SELECT pk, 'writes_merged', 1 FROM disks
+        |  UNION ALL SELECT pk, 'bytes_written', pk*8*512 FROM disks
+        |  UNION ALL SELECT pk, 'write_time_ms', 2 FROM disks
+        |  UNION ALL SELECT pk, 'avg_queue_size', 1 FROM disks
+        |  UNION ALL SELECT pk, 'io_time_ms', pk FROM disks
+        |  UNION ALL SELECT pk, 'weighted_io_ms', pk+2 FROM disks)
+        |UNION ALL
+        |SELECT 'synth', 'eth0', m, CAST(v AS DOUBLE) FROM (VALUES
+        |  ('bytes_recv', 3456), ('bytes_sent', 789)) AS n(m, v)
+        |UNION ALL
+        |SELECT 'synth', 'mem', m, CAST(v AS DOUBLE) FROM (VALUES
+        |  ('total_bytes',      32768000::BIGINT * 1024),
+        |  ('free_bytes',       15900000::BIGINT * 1024),
+        |  ('available_bytes',  23900000::BIGINT * 1024),
+        |  ('buffers_bytes',      201000::BIGINT * 1024),
+        |  ('cached_bytes',      8010000::BIGINT * 1024),
+        |  ('active_bytes',      9010000::BIGINT * 1024),
+        |  ('inactive_bytes',    5005000::BIGINT * 1024),
+        |  ('swap_total_bytes',  2097152::BIGINT * 1024),
+        |  ('swap_used_bytes',     98152::BIGINT * 1024)) AS mm(m, v)
+        |UNION ALL
+        |SELECT 'synth', 'host', m, CAST(v AS DOUBLE) FROM (VALUES
+        |  ('loadavg_1min', 1.25), ('loadavg_5min', 0.75),
+        |  ('loadavg_15min', 0.50)) AS l(m, v)
+        |UNION ALL
+        |SELECT 'live', 'host', m, CAST(v AS DOUBLE) FROM (VALUES
+        |  ('ticks', 2), ('cpu_monotonic_ok', 1), ('cpu_cores_stable_ok', 1),
+        |  ('mem_total_stable_ok', 1), ('disk_monotonic_ok', 1),
+        |  ('net_monotonic_ok', 1), ('loadavg_ok', 1)) AS i(m, v)""".stripMargin,
+
     "s15_ext_stats" ->
       """SELECT p_partkey + 3000000 AS stx_oid, p_partkey AS rel_oid,
         |  'stx_' || p_partkey AS stxname,

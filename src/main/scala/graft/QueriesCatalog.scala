@@ -434,6 +434,201 @@ object QueriesCatalog {
         - col("steal_pct"))
   }
 
+  /** S34 LIVE — the real /proc leg (`input/system/selfhosted/system.go`
+    * reads these exact files via gopsutil). Two hosts ride one spool →
+    * parse → D7-diff pipeline:
+    *
+    *  - `synth`: /proc documents RENDERED from part-derived formulas
+    *    (capped at 32 cpus / 8 devices — a host has a fixed core
+    *    count; SF-independent like configReadIni) and pushed through
+    *    the real [[graft.sources.ProcMetrics]] sampler/parser; the
+    *    oracle re-derives every delta from the same formulas, so a
+    *    field-offset slip, a missed ×512/×1024 scaling, or a broken
+    *    noise-line filter hash-fails.
+    *  - `live`: THIS machine's /proc sampled twice through the same
+    *    code path, reduced to monotonicity/stability invariants that
+    *    are deterministic when (and only when) the live leg works —
+    *    counters non-decreasing, MemTotal stable, core count stable —
+    *    enforced with require() and emitted as constant rows.
+    */
+  def s34Live(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ProcMetrics
+    val pks = Tables.part(s, dir).select(col("p_partkey").cast("long"))
+      .orderBy("p_partkey").limit(32).collect().map(_.getLong(0))
+    val diskPks = pks.take(8)
+
+    def statDoc(tick: Int): String = {
+      val sb = new StringBuilder
+      sb ++= "cpu  999999 0 888888 777777 0 0 0 0 0 0\n" // aggregate: skipped
+      pks.foreach { pk =>
+        val t = tick.toLong
+        sb ++= s"cpu$pk ${pk * 100 + 17 + t * (pk * 11)} ${pk * 3 + t} " +
+          s"${pk * 40 + 5 + t * (pk * 2)} ${pk * 1000 + t * (pk * 100)} " +
+          s"${pk * 7 + t * 3} ${pk + 0} ${2 * pk + t * (pk % 3)} " +
+          s"${pk % 5} 0 0\n"
+      }
+      sb ++= "intr 123456 0 0\nctxt 987654\nbtime 1700000000\n" +
+        "processes 4242\nprocs_running 3\nprocs_blocked 0\n" // noise: skipped
+      sb.toString()
+    }
+    def diskDoc(tick: Int): String = {
+      val t = tick.toLong
+      diskPks.map { pk =>
+        s"   8 $pk dev$pk ${pk * 50 + t * (pk * 5)} $pk " +
+          s"${pk * 800 + t * (pk * 16)} ${pk * 20 + t * pk} " +
+          s"${pk * 30 + t * (pk * 3)} ${2 * pk + t} " +
+          s"${pk * 600 + t * (pk * 8)} ${pk * 25 + t * 2} $t " +
+          s"${pk * 40 + t * pk} ${pk * 45 + t * (pk + 2)} 0 0 0 0"
+      }.mkString("", "\n", "\n")
+    }
+    def memDoc(tick: Int): String =
+      if (tick == 0)
+        "MemTotal:       32768000 kB\nMemFree:        16000000 kB\n" +
+          "MemAvailable:   24000000 kB\nBuffers:          200000 kB\n" +
+          "Cached:          8000000 kB\nActive:          9000000 kB\n" +
+          "Inactive:        5000000 kB\nSwapTotal:       2097152 kB\n" +
+          "SwapFree:        2000000 kB\nHugePages_Total:       0\n"
+      else
+        "MemTotal:       32768000 kB\nMemFree:        15900000 kB\n" +
+          "MemAvailable:   23900000 kB\nBuffers:          201000 kB\n" +
+          "Cached:          8010000 kB\nActive:          9010000 kB\n" +
+          "Inactive:        5005000 kB\nSwapTotal:       2097152 kB\n" +
+          "SwapFree:        1999000 kB\nHugePages_Total:       0\n"
+    def netDoc(tick: Int): String = {
+      val (r, x) = if (tick == 0) (1000000L, 500000L) else (1003456L, 500789L)
+      "Inter-|   Receive                                                |  Transmit\n" +
+        " face |bytes    packets errs drop fifo frame compressed multicast|bytes    packets errs drop fifo colls carrier compressed\n" +
+        "    lo: 555 10 0 0 0 0 0 0 555 10 0 0 0 0 0 0\n" + // loopback: skipped
+        "  ifb0: 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0\n" +       // all-zero: skipped
+        s"  eth0: $r 800 0 0 0 0 0 0 $x 600 0 0 0 0 0 0\n"
+    }
+    def loadDoc(tick: Int): String =
+      if (tick == 0) "9.99 9.98 9.97 1/1 1\n" else "1.25 0.75 0.50 2/300 999\n"
+
+    val spool = java.nio.file.Files.createTempDirectory("graft_proc_live")
+    (0 to 1).foreach { t =>
+      ProcMetrics.spoolSample(spool, "synth", t, Map(
+        "stat" -> statDoc(t), "meminfo" -> memDoc(t),
+        "diskstats" -> diskDoc(t), "netdev" -> netDoc(t),
+        "loadavg" -> loadDoc(t)))
+      ProcMetrics.spoolSample(spool, "live", t, ProcMetrics.sample())
+      if (t == 0) Thread.sleep(100) // let live counters advance a tick
+    }
+
+    import graft.operators.Diff.counterDiff
+    val raw = ProcMetrics.readSpool(s, spool)
+    val cpuCols = Seq("user", "nice", "system", "idle", "iowait", "irq",
+      "softirq", "steal", "guest", "guest_nice")
+    val diskCols = Seq("reads_completed", "reads_merged", "sectors_read",
+      "read_time_ms", "writes_completed", "writes_merged",
+      "sectors_written", "write_time_ms", "io_time_ms", "weighted_io_ms")
+    // handleResets=false: a live counter regression must surface as a
+    // NEGATIVE delta (invariant failure), not be masked as a rebaseline
+    val cpuD = counterDiff(ProcMetrics.cpuTicks(raw),
+      Seq("host", "cpu"), Seq("tick"), cpuCols, handleResets = false)
+      .filter(col("tick") === 1)
+    val diskD = counterDiff(ProcMetrics.diskStats(raw),
+      Seq("host", "dev"), Seq("tick"), diskCols, handleResets = false)
+      .filter(col("tick") === 1)
+    val netD = counterDiff(ProcMetrics.netDev(raw),
+      Seq("host", "iface"), Seq("tick"), Seq("bytes_recv", "bytes_sent"),
+      handleResets = false)
+      .filter(col("tick") === 1)
+    val mem = ProcMetrics.memInfo(raw)
+    val load1 = ProcMetrics.loadAvg(raw).filter(col("tick") === 1)
+
+    // ---- live invariants (each require = the leg actually worked) ----
+    val cpuBase = ProcMetrics.cpuTicks(raw).filter(col("host") === "live")
+    val Array(c0, c1) = Array(0, 1).map(t =>
+      cpuBase.filter(col("tick") === t).count())
+    require(c0 >= 1 && c0 == c1, s"live core count unstable: $c0 vs $c1")
+    val cpuMin = cpuD.filter(col("host") === "live")
+      .agg(least(cpuCols.map(c => min(col(s"${c}_delta"))): _*)).head.getLong(0)
+    require(cpuMin >= 0, s"live cpu counters regressed: $cpuMin")
+    val memTotals = mem.filter(col("host") === "live" && col("key") === "MemTotal")
+      .select("bytes").collect().map(_.getLong(0))
+    require(memTotals.length == 2 && memTotals.distinct.length == 1 &&
+      memTotals.head > 0, s"live MemTotal unstable: ${memTotals.toSeq}")
+    val diskMin = diskD.filter(col("host") === "live")
+      .agg(coalesce(least(diskCols.map(c => min(col(s"${c}_delta"))): _*),
+        lit(0L))).head.getLong(0)
+    require(diskMin >= 0, s"live disk counters regressed: $diskMin")
+    val netMin = netD.filter(col("host") === "live")
+      .agg(coalesce(least(min(col("bytes_recv_delta")),
+        min(col("bytes_sent_delta"))), lit(0L))).head.getLong(0)
+    require(netMin >= 0, s"live net counters regressed: $netMin")
+    val loads = ProcMetrics.loadAvg(raw).filter(col("host") === "live")
+      .collect()
+    require(loads.length == 2 && loads.forall(r =>
+      r.getDouble(2) >= 0 && r.getDouble(3) >= 0 && r.getDouble(4) >= 0),
+      "live loadavg parse failed")
+
+    // ---- output rows ----
+    def metricRows(df: DataFrame, dev: org.apache.spark.sql.Column,
+        ms: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+      df.filter(col("host") === "synth")
+        .select(lit("synth").as("src"), dev.as("dev"),
+          inline(array(ms.map { case (m, v) =>
+            struct(lit(m).as("metric"), v.cast("double").as("value"))
+          }: _*)))
+    val cpuOut = metricRows(cpuD, col("cpu"), Seq(
+      "cpu_user_s" -> col("user_delta") / 100.0,
+      "cpu_nice_s" -> col("nice_delta") / 100.0,
+      "cpu_system_s" -> col("system_delta") / 100.0,
+      "cpu_idle_s" -> col("idle_delta") / 100.0,
+      "cpu_iowait_s" -> col("iowait_delta") / 100.0,
+      "cpu_irq_s" -> col("irq_delta") / 100.0,
+      "cpu_softirq_s" -> col("softirq_delta") / 100.0,
+      "cpu_steal_s" -> col("steal_delta") / 100.0))
+    val diskOut = metricRows(diskD, col("dev"), Seq(
+      "reads_completed" -> col("reads_completed_delta"),
+      "reads_merged" -> col("reads_merged_delta"),
+      "bytes_read" -> col("sectors_read_delta") * 512L,
+      "read_time_ms" -> col("read_time_ms_delta"),
+      "writes_completed" -> col("writes_completed_delta"),
+      "writes_merged" -> col("writes_merged_delta"),
+      "bytes_written" -> col("sectors_written_delta") * 512L,
+      "write_time_ms" -> col("write_time_ms_delta"),
+      "avg_queue_size" -> col("in_progress"),
+      "io_time_ms" -> col("io_time_ms_delta"),
+      "weighted_io_ms" -> col("weighted_io_ms_delta")))
+    val netOut = metricRows(netD, col("iface"), Seq(
+      "bytes_recv" -> col("bytes_recv_delta"),
+      "bytes_sent" -> col("bytes_sent_delta")))
+    def kb(key: String) = max(when(col("key") === key, col("bytes")))
+    val memOut = metricRows(
+      mem.filter(col("tick") === 1).groupBy("host").agg(
+        kb("MemTotal").as("t"), kb("MemFree").as("f"),
+        kb("MemAvailable").as("av"), kb("Buffers").as("b"),
+        kb("Cached").as("c"), kb("Active").as("a"),
+        kb("Inactive").as("i"), kb("SwapTotal").as("st"),
+        kb("SwapFree").as("sf")),
+      lit("mem"), Seq(
+        "total_bytes" -> col("t"), "free_bytes" -> col("f"),
+        "available_bytes" -> col("av"), "buffers_bytes" -> col("b"),
+        "cached_bytes" -> col("c"), "active_bytes" -> col("a"),
+        "inactive_bytes" -> col("i"), "swap_total_bytes" -> col("st"),
+        "swap_used_bytes" -> (col("st") - col("sf"))))
+    val loadOut = metricRows(load1, lit("host"), Seq(
+      "loadavg_1min" -> col("loadavg_1min"),
+      "loadavg_5min" -> col("loadavg_5min"),
+      "loadavg_15min" -> col("loadavg_15min")))
+    val liveOut = s.createDataFrame(Seq(
+      ("live", "host", "ticks", 2.0),
+      ("live", "host", "cpu_monotonic_ok", 1.0),
+      ("live", "host", "cpu_cores_stable_ok", 1.0),
+      ("live", "host", "mem_total_stable_ok", 1.0),
+      ("live", "host", "disk_monotonic_ok", 1.0),
+      ("live", "host", "net_monotonic_ok", 1.0),
+      ("live", "host", "loadavg_ok", 1.0)))
+      .toDF("src", "dev", "metric", "value")
+    val out = cpuOut.union(diskOut).union(netOut).union(memOut)
+      .union(loadOut).union(liveOut)
+      .localCheckpoint() // EAGER: materialize before the spool is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)
+    out
+  }
+
   // S15 — extended-statistics scan (pg_statistic_ext: kinds arrays).
   def s15ExtStats(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)

@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The LIVE /proc leg of S34 — self-hosted OS metrics
+  * (`input/system/selfhosted/system.go:139-216`, which reads these
+  * same files through gopsutil: `cpu.Times(true)` = /proc/stat,
+  * `mem.VirtualMemory()` = /proc/meminfo, `disk.IOCounters()` =
+  * /proc/diskstats, `net.IOCounters(true)` = /proc/net/dev,
+  * `load.Avg()` = /proc/loadavg).
+  *
+  * Shape: a per-host receiver snapshots the raw files each tick into
+  * the durable spool (tmp-write + atomic move, the same bridge as
+  * [[OtelReceiver]]/[[HttpDrain]]); Spark parses the spooled text
+  * DISTRIBUTED — at fleet scale the parse fans out over (hosts ×
+  * ticks) files while each host's sampler stays a trivial file read.
+  * Counter families (cpu ticks, diskstats, net bytes) then go through
+  * the D7 diff operator, exactly how the reference diffs OS counters
+  * between 10-second snapshots (`state/system.go:318-347`).
+  *
+  * gopsutil conventions preserved: per-cpu rows only (the aggregate
+  * `cpu ` line and ctxt/btime/intr noise are skipped); tick counters
+  * are USER_HZ=100 (seconds = ticks/100); meminfo kB → bytes ×1024;
+  * diskstats sectors → bytes ×512; `lo` and zero/zero interfaces
+  * dropped (`system.go:166-180`); swap_used = total − free. */
+object ProcMetrics {
+
+  val Sources = Seq("stat", "meminfo", "diskstats", "netdev", "loadavg")
+
+  /** One sample of the real (or a synthesized) /proc: raw file text
+    * keyed by source name. */
+  def sample(procDir: String = "/proc"): Map[String, String] = {
+    def read(p: String): String =
+      new String(Files.readAllBytes(java.nio.file.Paths.get(p)), UTF_8)
+    Map(
+      "stat" -> read(s"$procDir/stat"),
+      "meminfo" -> read(s"$procDir/meminfo"),
+      "diskstats" -> read(s"$procDir/diskstats"),
+      "netdev" -> read(s"$procDir/net/dev"),
+      "loadavg" -> read(s"$procDir/loadavg"))
+  }
+
+  /** Spool one tick's files: `<host>-t<tick>-<source>.sample`,
+    * tmp-write + atomic move so the file-stream reader never sees a
+    * partial snapshot. */
+  def spoolSample(spoolDir: Path, host: String, tick: Int,
+      files: Map[String, String]): Unit = {
+    Files.createDirectories(spoolDir)
+    files.foreach { case (src, content) =>
+      val name = s"$host-t$tick-$src"
+      val tmp = spoolDir.resolve(s"$name.tmp")
+      Files.write(tmp, content.getBytes(UTF_8))
+      Files.move(tmp, spoolDir.resolve(s"$name.sample"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** The spool as (host, tick, source, content) — one row per spooled
+    * file, names parsed back out of the file name. */
+  def readSpool(s: SparkSession, spoolDir: Path): DataFrame =
+    s.read.option("wholetext", "true").option("pathGlobFilter", "*.sample")
+      .text(spoolDir.toString)
+      .withColumn("f", regexp_extract(input_file_name(),
+        "([^/]+)-t(\\d+)-([a-z]+)\\.sample$", 0))
+      .select(
+        regexp_extract(col("f"), "([^/]+)-t(\\d+)-([a-z]+)\\.sample$", 1)
+          .as("host"),
+        regexp_extract(col("f"), "([^/]+)-t(\\d+)-([a-z]+)\\.sample$", 2)
+          .cast("int").as("tick"),
+        regexp_extract(col("f"), "([^/]+)-t(\\d+)-([a-z]+)\\.sample$", 3)
+          .as("source"),
+        col("value").as("content"))
+
+  private def lines(df: DataFrame, source: String): DataFrame =
+    df.filter(col("source") === source)
+      .select(col("host"), col("tick"),
+        explode(split(col("content"), "\n")).as("line"))
+
+  // try_: short rows (old kernels omit trailing cpu fields) read NULL,
+  // not an ANSI out-of-bounds error
+  private def field(n: Int): Column =
+    try_element_at(split(trim(col("line")), " +"), lit(n))
+
+  /** /proc/stat → per-cpu tick counters (USER_HZ). Only `cpu<N>` rows
+    * — gopsutil's `percpu=true`; the aggregate line and the
+    * ctxt/btime/intr/processes noise are skipped. Old kernels may omit
+    * trailing fields (steal/guest): absent → 0. */
+  def cpuTicks(df: DataFrame): DataFrame = {
+    def f(n: Int, name: String): Column =
+      coalesce(field(n).cast("long"), lit(0L)).as(name)
+    lines(df, "stat")
+      .filter(col("line").rlike("^cpu[0-9]+ "))
+      .select(col("host"), col("tick"), field(1).as("cpu"),
+        f(2, "user"), f(3, "nice"), f(4, "system"), f(5, "idle"),
+        f(6, "iowait"), f(7, "irq"), f(8, "softirq"), f(9, "steal"),
+        f(10, "guest"), f(11, "guest_nice"))
+  }
+
+  /** /proc/meminfo → (key, bytes); kB fields ×1024. */
+  def memInfo(df: DataFrame): DataFrame =
+    lines(df, "meminfo")
+      .filter(col("line").rlike("^[A-Za-z_()0-9]+:"))
+      .select(col("host"), col("tick"),
+        regexp_extract(col("line"), "^([A-Za-z_()0-9]+):", 1).as("key"),
+        (regexp_extract(col("line"), ":\\s+(\\d+)", 1).cast("long") *
+          when(col("line").endsWith(" kB"), 1024L).otherwise(1L))
+          .as("bytes"))
+
+  /** /proc/diskstats → the 11 gopsutil counter fields per device
+    * (`disk.IOCounters`): bytes = sectors × 512. */
+  def diskStats(df: DataFrame): DataFrame = {
+    def f(n: Int, name: String): Column =
+      coalesce(field(n).cast("long"), lit(0L)).as(name)
+    lines(df, "diskstats")
+      .filter(trim(col("line")) =!= "")
+      .select(col("host"), col("tick"), field(3).as("dev"),
+        f(4, "reads_completed"), f(5, "reads_merged"),
+        f(6, "sectors_read"), f(7, "read_time_ms"),
+        f(8, "writes_completed"), f(9, "writes_merged"),
+        f(10, "sectors_written"), f(11, "write_time_ms"),
+        f(12, "in_progress"), f(13, "io_time_ms"),
+        f(14, "weighted_io_ms"))
+  }
+
+  /** /proc/net/dev → (iface, bytes_recv, bytes_sent); `lo` and
+    * all-zero interfaces dropped (`system.go:172-175`). */
+  def netDev(df: DataFrame): DataFrame =
+    lines(df, "netdev")
+      .filter(col("line").contains(":"))
+      .select(col("host"), col("tick"),
+        trim(regexp_extract(col("line"), "^\\s*([^:]+):", 1)).as("iface"),
+        try_element_at(split(trim(regexp_extract(col("line"), ":(.*)$", 1)),
+          " +"), lit(1)).cast("long").as("bytes_recv"),
+        try_element_at(split(trim(regexp_extract(col("line"), ":(.*)$", 1)),
+          " +"), lit(9)).cast("long").as("bytes_sent"))
+      .filter(col("iface") =!= "lo" &&
+        !(col("bytes_recv") === 0L && col("bytes_sent") === 0L))
+
+  /** /proc/loadavg → the three load averages (gauges). */
+  def loadAvg(df: DataFrame): DataFrame =
+    lines(df, "loadavg")
+      .filter(trim(col("line")) =!= "")
+      .select(col("host"), col("tick"),
+        field(1).cast("double").as("loadavg_1min"),
+        field(2).cast("double").as("loadavg_5min"),
+        field(3).cast("double").as("loadavg_15min"))
+}

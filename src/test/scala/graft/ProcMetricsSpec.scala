@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ProcMetrics
+
+/** The LIVE /proc leg (S34): parser fidelity against known document
+  * shapes (gopsutil conventions) and a real sample of THIS machine's
+  * /proc through the same path. */
+class ProcMetricsSpec extends SparkSpec {
+
+  private def spoolOf(files: Map[String, String]): java.nio.file.Path = {
+    val d = Files.createTempDirectory("graft_procspec")
+    ProcMetrics.spoolSample(d, "h1", 0, files)
+    d
+  }
+
+  test("/proc/stat: per-cpu only — aggregate and noise lines skipped") {
+    val d = spoolOf(Map("stat" ->
+      ("cpu  100 200 300 400 0 0 0 0 0 0\n" +
+        "cpu0 10 2 30 400 5 0 7 1 0 0\n" +
+        "cpu11 20 0 40 500 0 0 0 0 3 4\n" +
+        "intr 5 0\nctxt 9\nbtime 1700000000\nprocesses 1\n")))
+    try {
+      val rows = ProcMetrics.cpuTicks(ProcMetrics.readSpool(spark, d))
+        .orderBy("cpu").collect()
+      assert(rows.map(_.getAs[String]("cpu")).toSeq == Seq("cpu0", "cpu11"))
+      val c0 = rows(0)
+      assert(c0.getAs[Long]("user") == 10L && c0.getAs[Long]("idle") == 400L
+        && c0.getAs[Long]("softirq") == 7L && c0.getAs[Long]("steal") == 1L)
+      assert(rows(1).getAs[Long]("guest") == 3L &&
+        rows(1).getAs[Long]("guest_nice") == 4L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+  }
+
+  test("/proc/stat: old-kernel short rows read missing fields as 0") {
+    val d = spoolOf(Map("stat" -> "cpu0 10 2 30 400\n"))
+    try {
+      val r = ProcMetrics.cpuTicks(ProcMetrics.readSpool(spark, d)).head
+      assert(r.getAs[Long]("iowait") == 0L && r.getAs[Long]("steal") == 0L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+  }
+
+  test("meminfo kB scaling, diskstats sector math, net/dev skip rules") {
+    val d = spoolOf(Map(
+      "meminfo" -> ("MemTotal:       1024 kB\nHugePages_Total:       2\n" +
+        "MemFree:         512 kB\n"),
+      "diskstats" -> ("   8 0 sda 100 5 2048 30 50 2 1024 40 3 70 75 0 0 0 0\n" +
+        "   7 0 loop0 0 0 0 0 0 0 0 0 0 0 0\n"),
+      "netdev" -> ("Inter-| Receive |Transmit\n" +
+        " face |bytes packets errs drop fifo frame compressed multicast|bytes packets errs drop fifo colls carrier compressed\n" +
+        "    lo: 99 1 0 0 0 0 0 0 99 1 0 0 0 0 0 0\n" +
+        "  ifb0: 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0\n" +
+        "  eth0: 1234 9 0 0 0 0 0 0 567 8 0 0 0 0 0 0\n")))
+    try {
+      val raw = ProcMetrics.readSpool(spark, d)
+      val mem = ProcMetrics.memInfo(raw).collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[Long]("bytes")).toMap
+      // kB fields scale ×1024; bare-count fields (HugePages) do not
+      assert(mem == Map("MemTotal" -> 1048576L, "MemFree" -> 524288L,
+        "HugePages_Total" -> 2L))
+      val disks = ProcMetrics.diskStats(raw).orderBy("dev").collect()
+      assert(disks.length == 2)
+      val sda = disks.find(_.getAs[String]("dev") == "sda").get
+      assert(sda.getAs[Long]("reads_completed") == 100L &&
+        sda.getAs[Long]("sectors_read") == 2048L &&
+        sda.getAs[Long]("in_progress") == 3L &&
+        sda.getAs[Long]("weighted_io_ms") == 75L)
+      val net = ProcMetrics.netDev(raw).collect()
+      assert(net.length == 1 && net.head.getAs[String]("iface") == "eth0" &&
+        net.head.getAs[Long]("bytes_recv") == 1234L &&
+        net.head.getAs[Long]("bytes_sent") == 567L,
+        "lo and all-zero interfaces must be skipped")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+  }
+
+  test("LIVE: this machine's /proc samples parse and hold invariants") {
+    val d = Files.createTempDirectory("graft_procspec_live")
+    try {
+      ProcMetrics.spoolSample(d, "live", 0, ProcMetrics.sample())
+      Thread.sleep(50)
+      ProcMetrics.spoolSample(d, "live", 1, ProcMetrics.sample())
+      val raw = ProcMetrics.readSpool(spark, d)
+      val cpu = ProcMetrics.cpuTicks(raw)
+      val perTick = cpu.groupBy("tick").count().orderBy("tick")
+        .collect().map(_.getLong(1))
+      assert(perTick.length == 2 && perTick(0) == perTick(1) &&
+        perTick(0) >= 1, s"core count: ${perTick.toSeq}")
+      // counters monotonic across the two ticks
+      val neg = cpu.groupBy("cpu")
+        .agg((max(when(col("tick") === 1, col("user"))) -
+          max(when(col("tick") === 0, col("user")))).as("d"))
+        .filter(col("d") < 0).count()
+      assert(neg == 0, "live cpu user ticks regressed")
+      val total = ProcMetrics.memInfo(raw)
+        .filter(col("key") === "MemTotal").select("bytes")
+        .collect().map(_.getLong(0))
+      assert(total.length == 2 && total.distinct.length == 1 && total.head > 0)
+      val load = ProcMetrics.loadAvg(raw).collect()
+      assert(load.length == 2 && load.forall(_.getDouble(2) >= 0))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+  }
+}
