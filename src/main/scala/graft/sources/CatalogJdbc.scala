@@ -50,6 +50,30 @@ object CatalogJdbc {
 
   // ------------------------------------------------------ SQL assembly
 
+  /** The pg_stat_statements minor version BUNDLED with each Postgres
+    * major — the fallback when the server does not report an available
+    * version (`statements.go:84-97`). */
+  def bundledPgssMinor(pgMajor: Int): Int =
+    if (pgMajor >= 18) 12
+    else if (pgMajor >= 17) 11
+    else if (pgMajor >= 15) 10
+    else if (pgMajor >= 14) 9
+    else if (pgMajor >= 13) 8
+    else 3
+
+  /** Statement source-table selection (`statements.go:320-333`): the
+    * monitoring helper wins when installed; otherwise the extension's
+    * own schema. `showtext=false` reads the stats-only form (`(false)`
+    * argument / relation form). */
+  def statementSourceTable(helperExists: Boolean, showtext: Boolean,
+      extSchema: String = "public"): String =
+    (helperExists, showtext) match {
+      case (true, false)  => "pganalyze.get_stat_statements(false)"
+      case (true, true)   => "pganalyze.get_stat_statements()"
+      case (false, false) => s"$extSchema.pg_stat_statements(false)"
+      case (false, true)  => s"$extSchema.pg_stat_statements"
+    }
+
   /** `statementStatsSQL` with the four version-gated slots filled
     * (`statements.go:128-154`). */
   def statementStatsSql(pgssMinor: Int, table: String): String = {
@@ -133,6 +157,37 @@ object CatalogJdbc {
        |WHERE $filter""".stripMargin
   }
 
+  /** S15 LIVE — extended-statistics scan with the version matrix
+    * (`relation_stats_ext.go:13-99`): PG 14 adds real expression
+    * statistics (`pg_get_statisticsobjdef_expressions(s.oid)` — an
+    * in-database function call; pre-14 selects NULL), PG 15 adds the
+    * `inherited` flag on `pg_stats_ext` (pre-15 NULL). Portable
+    * spellings as in [[relationsSql]]: the NULL slots carry explicit
+    * CASTs and `stxkeys` travels as its raw text form (the reference's
+    * `array_agg(unnest(...))` round-trip is a Postgres-only identity
+    * rewrite), so every variant is provable against the embedded test
+    * database — which registers the same-named function, making a
+    * returned expression list proof of a genuine in-db call. */
+  def extStatsSql(pgMajor: Int,
+      statTable: String = "pg_catalog.pg_statistic_ext",
+      classTable: String = "pg_class",
+      nsTable: String = "pg_namespace",
+      sdTable: String = "pg_catalog.pg_stats_ext"): String = {
+    val exprs =
+      if (pgMajor >= 14) "pg_get_statisticsobjdef_expressions(s.oid)"
+      else "CAST(NULL AS VARCHAR(32672))"
+    val inherited =
+      if (pgMajor >= 15) "sd.inherited" else "CAST(NULL AS BOOLEAN)"
+    s"""SELECT c.oid AS rel_oid, n.nspname, s.stxname, s.stxkeys,
+       |  COALESCE($exprs, '') AS exprs, s.stxkind,
+       |  $inherited AS inherited, sd.n_distinct, sd.dependencies
+       |FROM $statTable s
+       |  JOIN $classTable c ON s.stxrelid = c.oid
+       |  JOIN $nsTable n ON s.stxnamespace = n.oid
+       |  LEFT JOIN $sdTable sd ON sd.statistics_schemaname = n.nspname
+       |    AND sd.statistics_name = s.stxname""".stripMargin
+  }
+
   /** Plan-stats scan variant split (`plans.go:8-40`): Aurora's
     * `aurora_stat_plans` carries real io counters, a plan_type column
     * (rows with 'no plan' — planid 0 cursor fetches — are excluded at
@@ -187,6 +242,15 @@ object CatalogJdbc {
     readSql(s, src, relationsSql(src.pgMajor, src.systemType,
       classTable, nsTable))
 
+  /** S15 — extended-statistics scan ([[extStatsSql]] variants). */
+  def extStats(s: SparkSession, src: PgSource,
+      statTable: String = "pg_catalog.pg_statistic_ext",
+      classTable: String = "pg_class",
+      nsTable: String = "pg_namespace",
+      sdTable: String = "pg_catalog.pg_stats_ext"): DataFrame =
+    readSql(s, src, extStatsSql(src.pgMajor, statTable, classTable,
+      nsTable, sdTable))
+
   /** Plan-stats scan ([[plansSql]] variants). */
   def plans(s: SparkSession, src: PgSource, table: String): DataFrame =
     readSql(s, src,
@@ -216,6 +280,15 @@ object CatalogJdbc {
           when(isUtil, lit(0.0)).otherwise(col("blk_write_time")))
         .drop("query")
     }
+
+  /** Embedded stand-in for `pg_get_statisticsobjdef_expressions`
+    * (the PG 14 slot of [[extStatsSql]]): the test database registers
+    * this under the same name, so a returned expression list proves the
+    * assembled SQL made a genuine in-database function call.
+    * Deterministic from the stat object's oid; odd oids have no
+    * expression statistics (NULL, like column-only stat objects). */
+  def statExprsHelper(oid: Long): String =
+    if (oid % 2 == 0) s"{lower(col$oid)}" else null
 
   /** Map the normalized JDBC statement scan onto the keyed-stats shape
     * the snapshot pipeline consumes ([[CatalogSynth.statementStats]]'s

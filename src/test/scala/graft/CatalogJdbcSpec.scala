@@ -390,6 +390,185 @@ class CatalogJdbcSpec extends SparkSpec {
     assert(ext.filter(col("plan_captured_time").isNull).count() === 0)
   }
 
+  // ---------------------------------------------------------------
+  // The FULL version matrix, pinned as golden assembled-SQL fixtures
+  // (statements.go:22-36,320-333 + vacuum_progress.go:11-25 +
+  // relation_stats_ext.go:13-99): any projection drift in the
+  // assembly fails a literal string compare.
+  // ---------------------------------------------------------------
+
+  private val statsGoldenLegacy = // pgss 1.3–1.7 (PG ≤12)
+    """SELECT dbid, userid, queryid, true AS toplevel, calls,
+      |  total_time AS total_time, "rows", shared_blks_hit, shared_blks_read,
+      |  shared_blks_dirtied, shared_blks_written, local_blks_hit,
+      |  local_blks_read, local_blks_dirtied, local_blks_written,
+      |  temp_blks_read, temp_blks_written,
+      |  blk_read_time AS blk_read_time, blk_write_time AS blk_write_time,
+      |  min_time AS min_time, max_time AS max_time, mean_time AS mean_time,
+      |  stddev_time AS stddev_time
+      |FROM pg_stat_statements""".stripMargin
+  private val statsGolden8 = // pgss 1.8 (PG 13): exec-time renames
+    """SELECT dbid, userid, queryid, true AS toplevel, calls,
+      |  total_exec_time AS total_time, "rows", shared_blks_hit, shared_blks_read,
+      |  shared_blks_dirtied, shared_blks_written, local_blks_hit,
+      |  local_blks_read, local_blks_dirtied, local_blks_written,
+      |  temp_blks_read, temp_blks_written,
+      |  blk_read_time AS blk_read_time, blk_write_time AS blk_write_time,
+      |  min_exec_time AS min_time, max_exec_time AS max_time, mean_exec_time AS mean_time,
+      |  stddev_exec_time AS stddev_time
+      |FROM pg_stat_statements""".stripMargin
+  private val statsGolden9 = // pgss 1.9–1.10 (PG 14–16): real toplevel
+    """SELECT dbid, userid, queryid, toplevel AS toplevel, calls,
+      |  total_exec_time AS total_time, "rows", shared_blks_hit, shared_blks_read,
+      |  shared_blks_dirtied, shared_blks_written, local_blks_hit,
+      |  local_blks_read, local_blks_dirtied, local_blks_written,
+      |  temp_blks_read, temp_blks_written,
+      |  blk_read_time AS blk_read_time, blk_write_time AS blk_write_time,
+      |  min_exec_time AS min_time, max_exec_time AS max_time, mean_exec_time AS mean_time,
+      |  stddev_exec_time AS stddev_time
+      |FROM pg_stat_statements""".stripMargin
+  private val statsGolden11 = // pgss 1.11–1.12 (PG 17–18): io splits
+    """SELECT dbid, userid, queryid, toplevel AS toplevel, calls,
+      |  total_exec_time AS total_time, "rows", shared_blks_hit, shared_blks_read,
+      |  shared_blks_dirtied, shared_blks_written, local_blks_hit,
+      |  local_blks_read, local_blks_dirtied, local_blks_written,
+      |  temp_blks_read, temp_blks_written,
+      |  shared_blk_read_time + local_blk_read_time + temp_blk_read_time AS blk_read_time, shared_blk_write_time + local_blk_write_time + temp_blk_write_time AS blk_write_time,
+      |  min_exec_time AS min_time, max_exec_time AS max_time, mean_exec_time AS mean_time,
+      |  stddev_exec_time AS stddev_time
+      |FROM pg_stat_statements""".stripMargin
+
+  test("golden assembled SQL for every PG 10-18 × pgss 1.3-1.12 cell") {
+    val bundled = Map(10 -> 3, 11 -> 3, 12 -> 3, 13 -> 8, 14 -> 9,
+      15 -> 10, 16 -> 10, 17 -> 11, 18 -> 12) // statements.go:84-97
+    for (pg <- 10 to 18; minor <- 3 to 12) {
+      val clue = s"pg$pg/pgss1.$minor"
+      val stats = CatalogJdbc.statementStatsSql(minor, "pg_stat_statements")
+      val expectStats =
+        if (minor >= 11) statsGolden11
+        else if (minor >= 9) statsGolden9
+        else if (minor >= 8) statsGolden8
+        else statsGoldenLegacy
+      assert(stats === expectStats, clue)
+      val texts = CatalogJdbc.statementTextsSql(minor, "pg_stat_statements")
+      val expectTexts =
+        if (minor >= 9)
+          "SELECT dbid, userid, queryid, toplevel AS toplevel, query FROM pg_stat_statements"
+        else
+          "SELECT dbid, userid, queryid, true AS toplevel, query FROM pg_stat_statements"
+      assert(texts === expectTexts, clue)
+      assert(CatalogJdbc.bundledPgssMinor(pg) === bundled(pg), clue)
+      // the normalized output schema is identical for EVERY cell: the
+      // alias list never varies with version
+      val aliases = stats.linesIterator.mkString(" ")
+        .replaceAll("(?s)FROM .*", "")
+      Seq("AS toplevel", "AS total_time", "AS blk_read_time",
+        "AS blk_write_time", "AS min_time", "AS max_time",
+        "AS mean_time", "AS stddev_time").foreach(a =>
+        assert(aliases.contains(a), s"$clue missing $a"))
+    }
+  }
+
+  test("golden vacuum-progress SQL: pg10-16 vs pg17-18 field generations") {
+    val pre17 =
+      """SELECT pid, datid, relid, phase, heap_blks_total, heap_blks_scanned,
+        |  heap_blks_vacuumed, index_vacuum_count,
+        |  COALESCE(max_dead_tuples, 0) AS max_dead_item_ids,
+        |  COALESCE(num_dead_tuples, 0) AS num_dead_item_ids,
+        |  CAST(0 AS BIGINT) AS dead_tuple_bytes,
+        |  CAST(0 AS BIGINT) AS max_dead_tuple_bytes,
+        |  CAST(0 AS BIGINT) AS indexes_total,
+        |  CAST(0 AS BIGINT) AS indexes_processed
+        |FROM pg_stat_progress_vacuum""".stripMargin
+    val v17 =
+      """SELECT pid, datid, relid, phase, heap_blks_total, heap_blks_scanned,
+        |  heap_blks_vacuumed, index_vacuum_count,
+        |  CAST(0 AS BIGINT) AS max_dead_item_ids,
+        |  COALESCE(num_dead_item_ids, 0) AS num_dead_item_ids,
+        |  COALESCE(dead_tuple_bytes, 0) AS dead_tuple_bytes,
+        |  COALESCE(max_dead_tuple_bytes, 0) AS max_dead_tuple_bytes,
+        |  COALESCE(indexes_total, 0) AS indexes_total,
+        |  COALESCE(indexes_processed, 0) AS indexes_processed
+        |FROM pg_stat_progress_vacuum""".stripMargin
+    (10 to 18).foreach { pg =>
+      assert(CatalogJdbc.vacuumProgressSql(pg, "pg_stat_progress_vacuum") ===
+        (if (pg >= 17) v17 else pre17), s"pg$pg")
+    }
+  }
+
+  test("golden ext-stats SQL: pg14 expression slot, pg15 inherited slot") {
+    def g(exprs: String, inh: String) =
+      s"""SELECT c.oid AS rel_oid, n.nspname, s.stxname, s.stxkeys,
+         |  COALESCE($exprs, '') AS exprs, s.stxkind,
+         |  $inh AS inherited, sd.n_distinct, sd.dependencies
+         |FROM pg_catalog.pg_statistic_ext s
+         |  JOIN pg_class c ON s.stxrelid = c.oid
+         |  JOIN pg_namespace n ON s.stxnamespace = n.oid
+         |  LEFT JOIN pg_catalog.pg_stats_ext sd ON sd.statistics_schemaname = n.nspname
+         |    AND sd.statistics_name = s.stxname""".stripMargin
+    (10 to 18).foreach { pg =>
+      val expect =
+        if (pg >= 15) g("pg_get_statisticsobjdef_expressions(s.oid)",
+          "sd.inherited")
+        else if (pg >= 14) g("pg_get_statisticsobjdef_expressions(s.oid)",
+          "CAST(NULL AS BOOLEAN)")
+        else g("CAST(NULL AS VARCHAR(32672))", "CAST(NULL AS BOOLEAN)")
+      assert(CatalogJdbc.extStatsSql(pg) === expect, s"pg$pg")
+    }
+  }
+
+  test("statement source-table selection: helper vs extension schema × showtext") {
+    import CatalogJdbc.statementSourceTable
+    assert(statementSourceTable(helperExists = true, showtext = false) ===
+      "pganalyze.get_stat_statements(false)")
+    assert(statementSourceTable(helperExists = true, showtext = true) ===
+      "pganalyze.get_stat_statements()")
+    assert(statementSourceTable(helperExists = false, showtext = false) ===
+      "public.pg_stat_statements(false)")
+    assert(statementSourceTable(helperExists = false, showtext = true,
+      extSchema = "monitoring") === "monitoring.pg_stat_statements")
+  }
+
+  test("ext-stats scan runs the version matrix against the embedded db") {
+    seeded
+    // the same-named function the PG14 slot calls, registered in-db
+    exec("CREATE FUNCTION pg_get_statisticsobjdef_expressions(oid BIGINT) " +
+      "RETURNS VARCHAR(32672) LANGUAGE JAVA PARAMETER STYLE JAVA " +
+      "READS SQL DATA EXTERNAL NAME " +
+      "'graft.sources.CatalogJdbc.statExprsHelper'")
+    exec("CREATE TABLE ext_stat (oid BIGINT, stxrelid BIGINT, " +
+      "stxnamespace BIGINT, stxname VARCHAR(64), stxkeys VARCHAR(32), " +
+      "stxkind VARCHAR(8))")
+    exec("INSERT INTO ext_stat VALUES " +
+      "(9002, 1001, 16, 'stx_orders', '1 3', 'd,f'), " +
+      "(9003, 1002, 17, 'stx_events', '2', 'd')")
+    exec("CREATE TABLE ext_sd (statistics_schemaname VARCHAR(64), " +
+      "statistics_name VARCHAR(64), inherited BOOLEAN, " +
+      "n_distinct VARCHAR(64), dependencies VARCHAR(64))")
+    exec("INSERT INTO ext_sd VALUES " +
+      "('public', 'stx_orders', true, '{\"1, 3\": 42}', '{\"1 => 3\": 0.9}')")
+    def scan(pg: Int) = CatalogJdbc.extStats(spark,
+      PgSource(url, pgMajor = pg, pgssMinor = CatalogJdbc.bundledPgssMinor(pg)),
+      statTable = "ext_stat", sdTable = "ext_sd")
+    val Seq(v13, v14, v15) = Seq(13, 14, 15).map(scan)
+    // one normalized schema across the matrix
+    assert(v13.columns.toSeq === v14.columns.toSeq &&
+      v14.columns.toSeq === v15.columns.toSeq)
+    def byName(df: DataFrame) = df
+      .select(col("stxname"), col("exprs"), col("inherited")).collect()
+      .map(r => r.getString(0) -> (r.getString(1), Option(r.get(2)))).toMap
+    val m13 = byName(v13)
+    assert(m13("stx_orders") === ("", None) && m13("stx_events") === ("", None))
+    val m14 = byName(v14)
+    // even oid → the in-db function returned an expression list;
+    // odd oid → NULL → COALESCE '' (the reference's empty array)
+    assert(m14("stx_orders") === ("{lower(col9002)}", None))
+    assert(m14("stx_events") === ("", None))
+    val m15 = byName(v15)
+    assert(m15("stx_orders") === ("{lower(col9002)}", Some(true)))
+    assert(m15("stx_events") === ("", None)) // no pg_stats_ext row: LEFT JOIN
+  }
+
   test("vacuum progress: pg16 vs pg17 field generations normalize to one schema") {
     seeded
     val v16 = CatalogJdbc.vacuumProgress(spark,
