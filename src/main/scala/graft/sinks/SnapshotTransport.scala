@@ -43,6 +43,99 @@ object SnapshotTransport {
       apiBaseUrl: String = "",
       valid: Boolean = true)
 
+  /** The identifying headers every API call carries
+    * (`config/read.go:504-519`, APIHeaders). */
+  def apiHeaders(apiKey: String, systemId: String = "",
+      systemType: String = "", testRun: Boolean = false): Map[String, String] = {
+    val base = Map(
+      "Pganalyze-Api-Key" -> apiKey,
+      "Pganalyze-System-Id" -> systemId,
+      "Pganalyze-System-Type" -> systemType)
+    if (testRun) base + ("Pganalyze-Test-Run" -> "true") else base
+  }
+
+  /** GET transport (URL, headers) → (status, body); injectable like
+    * [[Http]]. Connection errors surface as status −1. */
+  type HttpGet = (String, Map[String, String]) => (Int, String)
+
+  val httpGet: HttpGet = (url, headers) => {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("GET")
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body =
+        if (is == null) ""
+        else try new String(is.readAllBytes(), UTF_8) finally is.close()
+      (code, body)
+    } catch {
+      case e: IOException => (-1, String.valueOf(e.getMessage))
+    } finally conn.disconnect()
+  }
+
+  /** The grant-fetch leg (`output/grant.go:82-115` getGrant +
+    * `EnsureGrant:18-67`): GET `/v2/snapshots/grant` with the API
+    * headers; a 200 with a non-empty JSON body yields a grant valid
+    * for one hour (`ValidForS3Until`); while valid it is REUSED
+    * without refetching (unless `refetchAlways`); a fetch error falls
+    * back to a still-valid previous grant, and only errors out when
+    * none exists — the reference's behavior verbatim. One instance per
+    * server, like `server.Grant`. */
+  final class GrantFetcher(
+      apiBaseUrl: String,
+      headers: Map[String, String],
+      get: HttpGet = httpGet,
+      now: () => Long = System.currentTimeMillis,
+      validityMs: Long = 3600000L) {
+
+    private var cached: Option[(Grant, Long)] = None // (grant, validUntil)
+
+    /** The currently-held grant, if any (diagnostics). */
+    def current: Option[Grant] = cached.map(_._1)
+
+    def ensureGrant(refetchAlways: Boolean = false): Either[String, Grant] =
+      cached match {
+        case Some((g, until)) if !refetchAlways && until > now() => Right(g)
+        case prev =>
+          val (st, body) = get(apiBaseUrl + "/v2/snapshots/grant",
+            headers + ("Accept" -> "application/json"))
+          if (st == 200 && body.nonEmpty) {
+            try {
+              val root = new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(body)
+              def str(k: String): String =
+                Option(root.get(k)).map(_.asText("")).getOrElse("")
+              val fields = Option(root.get("s3_fields")).map { n =>
+                val it = n.fields()
+                val b = Map.newBuilder[String, String]
+                while (it.hasNext) {
+                  val e = it.next(); b += e.getKey -> e.getValue.asText("")
+                }
+                b.result()
+              }.getOrElse(Map.empty[String, String])
+              val g = Grant(
+                s3Url = str("s3_url"),
+                s3Fields = fields,
+                localDir = Some(str("local_dir")).filter(_.nonEmpty),
+                apiBaseUrl = apiBaseUrl)
+              cached = Some((g, now() + validityMs))
+              Right(g)
+            } catch {
+              case e: Exception => stale(prev, s"invalid grant JSON: ${e.getMessage}")
+            }
+          } else stale(prev, s"Error when getting grant: $body")
+      }
+
+    /** Fetch-error fallback: reuse the previous grant while it is
+      * still inside its validity window (`EnsureGrant:55-59`). */
+    private def stale(prev: Option[(Grant, Long)],
+        err: String): Either[String, Grant] = prev match {
+      case Some((g, until)) if until > now() => Right(g)
+      case _ => Left(err)
+    }
+  }
+
   /** `config/read.go:470-478`. */
   final case class RetryPolicy(
       retryMax: Int = 4,

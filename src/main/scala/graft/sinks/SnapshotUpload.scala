@@ -61,14 +61,19 @@ object SnapshotUpload {
     ex.close()
   }
 
-  /** HTTP leg: wire → real storage/submission round-trip → decode the
-    * bytes the storage endpoint received. */
+  /** HTTP leg — the reference's FULL chain grant→storage→submit
+    * (`output/grant.go:82-115` + `upload_http_legacy.go:24-170`): the
+    * in-process server issues the grant (API-key checked, invalid key
+    * → the error surface), the fetched grant drives the storage POST
+    * and submission, and the received bytes decode back. */
   def e2eHttp(s: SparkSession, dir: String): DataFrame = {
     val wire = ProtoWire.zlib(
       FullSnapshotPipeline.encode(FullSnapshotPipeline.assemble(s, dir)))
     var stored: Array[Byte] = null
     var submittedLocation: String = null
+    var grantRequests = 0
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
     server.createContext("/storage", (ex: HttpExchange) => {
       stored = filePart(readBody(ex))
       respond(ex, 201,
@@ -82,14 +87,33 @@ object SnapshotUpload {
       }.orNull
       respond(ex, 200, "OK")
     })
+    server.createContext("/v2/snapshots/grant", (ex: HttpExchange) => {
+      grantRequests += 1
+      val key = ex.getRequestHeaders.getFirst("Pganalyze-Api-Key")
+      if (key != "gk-valid")
+        respond(ex, 401, "Error: Invalid API key")
+      else
+        respond(ex, 200,
+          s"""{"s3_url":"$base/storage","s3_fields":""" +
+            """{"key":"snapshots/graft/full.bin"},"local_dir":""}""")
+    })
     server.start()
     try {
-      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
-      val up = new Uploader(
-        Grant(s3Url = s"$base/storage",
-          s3Fields = Map("key" -> "snapshots/graft/full.bin"),
-          apiBaseUrl = base),
-        sleep = _ => ())
+      // an invalid key must surface the reference's refusal, not a grant
+      val refused = new SnapshotTransport.GrantFetcher(base,
+        SnapshotTransport.apiHeaders("gk-wrong")).ensureGrant()
+      require(refused == Left("Error when getting grant: Error: Invalid API key"),
+        s"invalid key not refused: $refused")
+      // the real chain: fetch the grant, reuse it while valid
+      val fetcher = new SnapshotTransport.GrantFetcher(base,
+        SnapshotTransport.apiHeaders("gk-valid", systemId = "graft-e2e"))
+      val grant = fetcher.ensureGrant() match {
+        case Right(g) => g
+        case Left(err) => throw new IllegalStateException(err)
+      }
+      require(fetcher.ensureGrant() == Right(grant) && grantRequests == 2,
+        "a valid grant must be reused without refetching")
+      val up = new Uploader(grant, sleep = _ => ())
       up.upload(wire, "graft-full-uuid", 1700000000L, compact = false) match {
         case Submitted(loc, _) =>
           require(loc == "snapshots/graft/full.bin", s"bad key: $loc")

@@ -288,4 +288,54 @@ class SnapshotTransportSpec extends SparkSpec {
       FP.decodeVerify(spark, bad).collect()
     }
   }
+
+  test("grant fetch: caching, refresh-on-expiry, stale fallback, refusal") {
+    // scripted GET + injected clock — no wall time, no sockets
+    var clock = 0L
+    var calls = 0
+    var response: (Int, String) =
+      (200, """{"s3_url":"https://s/u","s3_fields":{"key":"k1"},"local_dir":""}""")
+    val get: SnapshotTransport.HttpGet = (url, headers) => {
+      calls += 1
+      assert(url == "https://api/v2/snapshots/grant")
+      assert(headers("Pganalyze-Api-Key") == "gk" &&
+        headers("Accept") == "application/json")
+      response
+    }
+    val f = new GrantFetcher("https://api", apiHeaders("gk"),
+      get = get, now = () => clock, validityMs = 3600000L)
+    // first fetch parses the grant
+    val g1 = f.ensureGrant().toOption.get
+    assert(g1.s3Url == "https://s/u" && g1.s3Fields == Map("key" -> "k1") &&
+      g1.localDir.isEmpty && g1.apiBaseUrl == "https://api")
+    // inside the validity window: reused, no second GET
+    clock = 3599999L
+    assert(f.ensureGrant() == Right(g1) && calls == 1)
+    // refetchAlways forces a round-trip even while valid
+    response = (200,
+      """{"s3_url":"https://s/u2","s3_fields":{"key":"k2"},"local_dir":""}""")
+    val g2 = f.ensureGrant(refetchAlways = true).toOption.get
+    assert(g2.s3Fields == Map("key" -> "k2") && calls == 2)
+    // past expiry the next ensure refetches
+    clock += 3600001L
+    response = (200,
+      """{"s3_url":"https://s/u3","s3_fields":{"key":"k3"},"local_dir":"/spool"}""")
+    val g3 = f.ensureGrant().toOption.get
+    assert(g3.s3Fields == Map("key" -> "k3") && g3.localDir == Some("/spool")
+      && calls == 3)
+    // fetch error with a STILL-VALID previous grant: reuse it
+    // (EnsureGrant:55-59), do not fail
+    response = (503, "upstream down")
+    assert(f.ensureGrant(refetchAlways = true) == Right(g3) && calls == 4)
+    // fetch error past expiry: the error surfaces
+    clock += 3600001L
+    response = (401, "Error: Invalid API key")
+    assert(f.ensureGrant() ==
+      Left("Error when getting grant: Error: Invalid API key"))
+    // empty 200 body is an error too (grant.go:106-108)
+    val f2 = new GrantFetcher("https://api", apiHeaders("gk"),
+      get = (_, _) => (200, ""), now = () => clock)
+    assert(f2.ensureGrant().isLeft)
+  }
+
 }
