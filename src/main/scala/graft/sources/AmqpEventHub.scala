@@ -48,8 +48,10 @@ object AmqpEventHub {
   final case class AUInt(v: Long) extends AValue
   final case class AULong(v: Long) extends AValue
   final case class AString(s: String) extends AValue
+  final case class ASymbol(s: String) extends AValue
   final case class ABinary(b: Array[Byte]) extends AValue
   final case class AList(items: Seq[AValue]) extends AValue
+  final case class AMap(entries: Seq[(AValue, AValue)]) extends AValue
   final case class ADescribed(descriptor: AValue, value: AValue) extends AValue
 
   object Amqp {
@@ -70,8 +72,19 @@ object AmqpEventHub {
       case AString(s) =>
         val b = s.getBytes(UTF_8)
         o.writeByte(0xb1); o.writeInt(b.length); o.write(b)
+      case ASymbol(s) =>
+        val b = s.getBytes(UTF_8)
+        o.writeByte(0xb3); o.writeInt(b.length); o.write(b)
       case ABinary(b) =>
         o.writeByte(0xb0); o.writeInt(b.length); o.write(b)
+      case AMap(entries) =>
+        val body = new ByteArrayOutputStream()
+        val bo = new DataOutputStream(body)
+        entries.foreach { case (k, v2) => write(bo, k); write(bo, v2) }
+        o.writeByte(0xd1)
+        o.writeInt(body.size() + 4) // size includes the count field
+        o.writeInt(entries.length * 2)
+        body.writeTo(o)
       case AList(items) =>
         if (items.isEmpty) o.writeByte(0x45)
         else {
@@ -119,8 +132,10 @@ object AmqpEventHub {
         case 0x80 => AULong(u64())
         case 0xa0 => ABinary(take(u8()))
         case 0xa1 => AString(new String(take(u8()), UTF_8))
+        case 0xa3 => ASymbol(new String(take(u8()), UTF_8))
         case 0xb0 => ABinary(take(u32().toInt))
         case 0xb1 => AString(new String(take(u32().toInt), UTF_8))
+        case 0xb3 => ASymbol(new String(take(u32().toInt), UTF_8))
         case 0x45 => AList(Seq.empty)
         case 0xc0 =>
           u8() // size
@@ -133,6 +148,22 @@ object AmqpEventHub {
           val count = u32().toInt
           AList((0 until count).map { _ =>
             val (item, n) = decode(b, pos); pos = n; item
+          })
+        case 0xc1 =>
+          u8() // size
+          val count = u8() / 2
+          AMap((0 until count).map { _ =>
+            val (k, n1) = decode(b, pos); pos = n1
+            val (v2, n2) = decode(b, pos); pos = n2
+            k -> v2
+          })
+        case 0xd1 =>
+          u32() // size
+          val count = u32().toInt / 2
+          AMap((0 until count).map { _ =>
+            val (k, n1) = decode(b, pos); pos = n1
+            val (v2, n2) = decode(b, pos); pos = n2
+            k -> v2
           })
         case other =>
           throw new IllegalArgumentException(
@@ -155,6 +186,35 @@ object AmqpEventHub {
   private val SourceD = 0x28L
   private val TargetD = 0x29L
   private val DataSectionD = 0x75L
+  private val MessageAnnotationsD = 0x72L // §3.2.3
+
+  // The Event Hub resume convention: a selector filter on the attach
+  // source scoping the link to offsets PAST the last-seen one, and a
+  // per-message `x-opt-offset` annotation carrying the broker offset —
+  // how the Azure client libraries (and the reference's per-partition
+  // handlers) resume without re-reading the retained log.
+  private val SelectorFilterName = "apache.org:selector-filter:string"
+  private val XOptOffset = "x-opt-offset"
+
+  private def offsetFilter(afterOffset: Long): AValue =
+    AMap(Seq(ASymbol(SelectorFilterName) ->
+      ADescribed(ASymbol(SelectorFilterName),
+        AString(s"amqp.annotation.$XOptOffset > '$afterOffset'"))))
+
+  /** Parse the attach source's filter-set (field 7) back into the
+    * exclusive resume offset; None = no filter (attach at Earliest). */
+  private def filterOffset(sourceList: AValue): Option[Long] =
+    field(sourceList, 7) match {
+      case AMap(entries) =>
+        entries.collectFirst {
+          case (ASymbol(SelectorFilterName),
+              ADescribed(_, AString(expr)))
+            if expr.startsWith(s"amqp.annotation.$XOptOffset > '") =>
+            expr.substring(expr.indexOf('\'') + 1, expr.lastIndexOf('\''))
+              .toLong
+        }
+      case _ => None
+    }
 
   private val ProtocolHeader: Array[Byte] =
     Array('A'.toByte, 'M'.toByte, 'Q'.toByte, 'P'.toByte, 0, 1, 0, 0)
@@ -255,17 +315,21 @@ object AmqpEventHub {
           case AttachD =>
             val name = str(field(body, 0))
             val handle = uint(field(body, 1))
-            val source = field(body, 5) match {
-              case ADescribed(_, srcList) => str(field(srcList, 0))
-              case _ => ""
+            val srcList = field(body, 5) match {
+              case ADescribed(_, l) => l
+              case _ => AList(Seq.empty)
             }
+            val source = str(field(srcList, 0))
             val part = source.split("/Partitions/").lift(1)
               .flatMap(_.toIntOption).getOrElse(
                 throw new IllegalArgumentException(s"bad address $source"))
             require(part >= 0 && part < partitions, s"no partition $part")
             require(source.startsWith(s"$hub/ConsumerGroups/"),
               s"unknown hub in $source")
-            links(handle) = (part, 0L, 0)
+            // selector filter (x-opt-offset > 'N') → resume AFTER N;
+            // no filter → Earliest
+            val startOff = filterOffset(srcList).map(_ + 1).getOrElse(0L).toInt
+            links(handle) = (part, 0L, startOff)
             // echo the attach with the broker as sender (role=false)
             writeFrame(out, channel, performative(AttachD,
               AString(name), AUInt(handle), ABool(false),
@@ -281,8 +345,13 @@ object AmqpEventHub {
               val snapshot = lock.synchronized(logs(part).toVector)
               var granted = credit
               while (granted > 0 && off < snapshot.length) {
-                val msg = Amqp.encode(ADescribed(AULong(DataSectionD),
-                  ABinary(snapshot(off))))
+                // message-annotations section (x-opt-offset = the
+                // broker's absolute log offset) + data section
+                val msg = Amqp.encode(ADescribed(AULong(MessageAnnotationsD),
+                  AMap(Seq(ASymbol(XOptOffset) ->
+                    AString(off.toString))))) ++
+                  Amqp.encode(ADescribed(AULong(DataSectionD),
+                    ABinary(snapshot(off))))
                 writeFrame(out, channel, performative(TransferD,
                   AUInt(handle), AUInt(dc), ABinary(s"d$dc".getBytes(UTF_8)),
                   AUInt(0), ABool(true)), msg)
@@ -331,22 +400,20 @@ object AmqpEventHub {
       partitions: Int, spoolDir: Path) {
     Files.createDirectories(spoolDir)
     private val seq = new AtomicLong(0L)
-    // Per-partition resume offsets: a second drain() must NOT re-spool
+    // Per-partition resume offsets: a second drain() must NOT re-read
     // the broker's retained log (the reference's per-partition handlers
-    // stay attached and never re-read). Each fresh link still attaches
-    // at Earliest — the real Event Hub pushes the skip server-side via
-    // the `amqp.annotation.x-opt-offset` selector filter; this codec
-    // has no map/symbol types yet, so the skip happens client-side
-    // before the spool instead.
-    private val resumeAt = Array.fill(partitions)(0)
+    // stay attached and never re-read). Resume is SERVER-side, the real
+    // Event Hub way: each re-attach carries an
+    // `amqp.annotation.x-opt-offset > 'N'` selector filter built from
+    // the last received message's x-opt-offset annotation, so the
+    // broker only transfers what this consumer has not seen.
+    private val lastOffset = Array.fill(partitions)(-1L)
 
     def drain(creditPerRound: Int = 256): (Int, Int) = {
       var received = 0
       var spooled = 0
       (0 until partitions).foreach { part =>
-        val all = receivePartition(part, creditPerRound)
-        val bodies = all.drop(resumeAt(part))
-        resumeAt(part) = all.length
+        val bodies = receivePartition(part, creditPerRound, lastOffset(part))
         received += bodies.length
         val lines = bodies.flatMap { b =>
           try Some(mapper.writeValueAsString(mapper.readTree(b)))
@@ -364,7 +431,8 @@ object AmqpEventHub {
       (received, spooled)
     }
 
-    private def receivePartition(part: Int, credit: Int): Seq[Array[Byte]] = {
+    private def receivePartition(part: Int, credit: Int,
+        afterOffset: Long): Seq[Array[Byte]] = {
       val sock = new Socket(host, port)
       // a broker that stops answering (no transfer, no drain flow) must
       // surface as a transport error, not a hung receive loop
@@ -391,11 +459,17 @@ object AmqpEventHub {
           if (d == BeginD) begun = true
         }
         val addr = partitionAddress(hub, part)
-        // role=true: we are the receiver; snd-settle-mode settled(1)
+        // role=true: we are the receiver; snd-settle-mode settled(1).
+        // A resuming link scopes the source with the offset selector
+        // (source field 7 = filter-set); a first attach reads Earliest.
+        val sourceFields: Seq[AValue] =
+          if (afterOffset < 0) Seq(AString(addr))
+          else Seq(AString(addr), ANull, ANull, ANull, ANull, ANull,
+            ANull, offsetFilter(afterOffset))
         writeFrame(out, 0, performative(AttachD,
           AString(s"graft-recv-$part"), AUInt(0), ABool(true),
           AUByte(1), AUByte(0),
-          ADescribed(AULong(SourceD), AList(Seq(AString(addr)))),
+          ADescribed(AULong(SourceD), AList(sourceFields)),
           ADescribed(AULong(TargetD), AList(Seq(ANull)))))
         var attached = false
         while (!attached) {
@@ -418,10 +492,23 @@ object AmqpEventHub {
             val (_, perf, payload) = readFrame(in)
             val ADescribed(AULong(d), _) = (perf: @unchecked)
             if (d == TransferD) {
-              Amqp.decode(payload)._1 match {
-                case ADescribed(AULong(DataSectionD), ABinary(b)) =>
-                  bodies += b
-                case _ => ()
+              // walk the message sections: annotations (x-opt-offset,
+              // our resume cursor) then the data section
+              var p = 0
+              while (p < payload.length) {
+                val (section, n) = Amqp.decode(payload, p)
+                p = n
+                section match {
+                  case ADescribed(AULong(MessageAnnotationsD), AMap(es)) =>
+                    es.foreach {
+                      case (ASymbol(XOptOffset), AString(o)) =>
+                        lastOffset(part) = math.max(lastOffset(part), o.toLong)
+                      case _ => ()
+                    }
+                  case ADescribed(AULong(DataSectionD), ABinary(b)) =>
+                    bodies += b
+                  case _ => ()
+                }
               }
               dc += 1; got += 1
             } else if (d == FlowD) roundOver = true // drain satisfied

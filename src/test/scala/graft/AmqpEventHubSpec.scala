@@ -19,7 +19,13 @@ class AmqpEventHubSpec extends SparkSpec {
       ABinary(Array[Byte](1, 2, 3)),
       AList(Seq(AString("a"), AUInt(5L), ANull)),
       ADescribed(AULong(0x14L), AList(Seq(AUInt(0L), ABool(true)))),
-      AList(Seq.empty))
+      AList(Seq.empty),
+      ASymbol("apache.org:selector-filter:string"),
+      AMap(Seq.empty),
+      AMap(Seq(ASymbol("x-opt-offset") -> AString("42"),
+        AString("k") -> AUInt(7L))),
+      ADescribed(AULong(0x72L),
+        AMap(Seq(ASymbol("x-opt-offset") -> AString("9")))))
     vals.foreach { v =>
       val (back, n) = Amqp.decode(Amqp.encode(v))
       assert(n == Amqp.encode(v).length)
