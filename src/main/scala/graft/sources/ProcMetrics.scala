@@ -140,6 +140,36 @@ object ProcMetrics {
       .filter(col("iface") =!= "lo" &&
         !(col("bytes_recv") === 0L && col("bytes_sent") === 0L))
 
+  /** The S34 polling DRIVER — the reference samples system state once
+    * per snapshot run (`GetSystemState`, invoked on the
+    * [[graft.streaming.Scheduler]] full/activity cadences), so each
+    * tick spools one sample and the downstream D7 delta plan reads
+    * consecutive ticks off the spool. Ticks serialize (one sampler per
+    * host); tick numbering is the resume marker — a restarted poller
+    * continues from the spool's highest tick rather than overwriting
+    * history. */
+  final class Poller(spoolDir: Path, host: String,
+      procDir: String = "/proc") {
+    Files.createDirectories(spoolDir)
+    private val tickLock = new Object
+    private var nextTick: Int = {
+      val re = s"^${java.util.regex.Pattern.quote(host)}-t(\\d+)-".r
+      val existing = Option(spoolDir.toFile.list()).getOrElse(Array.empty)
+        .flatMap(n => re.findFirstMatchIn(n).map(_.group(1).toInt))
+      if (existing.isEmpty) 0 else existing.max + 1
+    }
+
+    /** One sampling tick; returns the tick number just spooled. */
+    def tick(): Int = tickLock.synchronized {
+      val t = nextTick
+      spoolSample(spoolDir, host, t, sample(procDir))
+      nextTick += 1
+      t
+    }
+
+    def ticksTaken: Int = tickLock.synchronized(nextTick)
+  }
+
   /** /proc/loadavg → the three load averages (gauges). */
   def loadAvg(df: DataFrame): DataFrame =
     lines(df, "loadavg")

@@ -106,6 +106,22 @@ class CatalogJdbcSpec extends SparkSpec {
         ps.setLong(4, r.getAs[Number]("calls").longValue)
         ps.setDouble(5, r.getAs[Number]("total_ms").doubleValue)
       })
+    // 1.9 (PG14): first version with a real toplevel column; exec-time
+    // names, combined io-time pair
+    seed("pgss_m9",
+      "dbid BIGINT, userid BIGINT, queryid BIGINT, toplevel BOOLEAN, calls BIGINT, " +
+        s"total_exec_time DOUBLE, \"rows\" BIGINT, $zeros, " +
+        "blk_read_time DOUBLE, blk_write_time DOUBLE, " +
+        "min_exec_time DOUBLE, max_exec_time DOUBLE, mean_exec_time DOUBLE, " +
+        "stddev_exec_time DOUBLE",
+      s"INSERT INTO pgss_m9 VALUES (?, ?, ?, ?, ?, ?, 0, $zeroVals, " +
+        "2.0, 3.0, 0, 0, 0, 0)",
+      synthStats, (ps, r) => {
+        bindCommon(ps, r)
+        ps.setBoolean(4, r.getAs[Boolean]("toplevel"))
+        ps.setLong(5, r.getAs[Number]("calls").longValue)
+        ps.setDouble(6, r.getAs[Number]("total_ms").doubleValue)
+      })
     // 1.10 (PG15): 1.9 shape + the jit_* block and temp io-times —
     // extra columns the scan must simply not trip over
     seed("pgss_m10",
@@ -291,6 +307,14 @@ class CatalogJdbcSpec extends SparkSpec {
     val j = viaJdbc.fact.collect().map(_.toSeq).toSet
     val p = viaSynth.fact.collect().map(_.toSeq).toSet
     assert(j === p)
+  }
+
+  test("pgss 1.9 scan (first real toplevel) matches synth") {
+    seeded
+    assert(keyed(scanFor(9, "pgss_m9")) === expected(onlyToplevel = false))
+    val io = scanFor(9, "pgss_m9").agg(
+      min("blk_read_time"), min("blk_write_time")).head
+    assert(io.getDouble(0) === 2.0 && io.getDouble(1) === 3.0)
   }
 
   test("pgss 1.10 scan (jit columns present) routes through the 1.9 slots and matches synth") {

@@ -76,6 +76,28 @@ class ProcMetricsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
   }
 
+  test("Poller: ticks accumulate on the spool; restart resumes tick numbering") {
+    val d = Files.createTempDirectory("graft_procspec_poll")
+    try {
+      val p = new ProcMetrics.Poller(d, "h9")
+      assert(p.tick() == 0 && p.tick() == 1 && p.ticksTaken == 2)
+      // a restarted poller (fresh instance, same spool) must CONTINUE,
+      // not overwrite history
+      val p2 = new ProcMetrics.Poller(d, "h9")
+      assert(p2.tick() == 2)
+      val ticks = ProcMetrics.readSpool(spark, d)
+        .select("tick").distinct().collect().map(_.getInt(0)).sorted
+      assert(ticks.toSeq == Seq(0, 1, 2))
+      // deltas flow across ALL consecutive tick pairs, not just one
+      val cpuD = graft.operators.Diff.counterDiff(
+        ProcMetrics.cpuTicks(ProcMetrics.readSpool(spark, d)),
+        Seq("host", "cpu"), Seq("tick"), Seq("user"), handleResets = false)
+      val perTick = cpuD.filter(col("tick") > 0).groupBy("tick").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(perTick.keySet == Set(1, 2) && perTick.values.forall(_ >= 1))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+  }
+
   test("LIVE: this machine's /proc samples parse and hold invariants") {
     val d = Files.createTempDirectory("graft_procspec_live")
     try {
