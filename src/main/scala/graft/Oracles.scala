@@ -647,6 +647,41 @@ object Oracles {
         |  SELECT unnest(string_split(tail, chr(10))) AS line,
         |    generate_subscripts(string_split(tail, chr(10)), 1) AS i) u""".stripMargin,
 
+    // Mirrors QueriesLog.s32RdsLive: the same rendered-line formulas as
+    // s32_incremental_tail, SF-capped at event_id < 3000, grouped into
+    // three RDS files by event_id % 3; line_idx = per-file arrival rank.
+    // The live SigV4/pagination/refusal legs are require()-asserted in
+    // the entry; the downloaded content itself is what hashes here.
+    "s32_rds_live" ->
+      """WITH l AS (
+        |  SELECT 'error/postgresql.log.' || (event_id % 3) AS file, event_id,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || ' UTC ['
+        |      || user_id || ']: [' || (event_id % 1000) || '-1] user=u'
+        |      || user_id || ',db=db' || (user_id % 5) || ' '
+        |      || (CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END)
+        |      || ':  '
+        |      || CASE event_type
+        |        WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |          || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |          || regexp_extract(props, '"k": (\d+)', 1)
+        |        WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |          || regexp_extract(props, '"k": (\d+)', 1)
+        |          || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |          || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |          || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+        |        WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |          || (5000 + user_id % 100)
+        |        WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |          || ' database=db'
+        |          || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |        ELSE 'deadlock detected' END AS line
+        |  FROM events WHERE event_id < 3000)
+        |SELECT file,
+        |  CAST(row_number() OVER (PARTITION BY file ORDER BY event_id) - 1
+        |    AS INT) AS line_idx,
+        |  line
+        |FROM l""".stripMargin,
+
     "s28_otel_log_parse" ->
       """WITH e AS (
         |  SELECT event_id, user_id AS pid,

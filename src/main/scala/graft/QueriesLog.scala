@@ -895,6 +895,83 @@ object QueriesLog {
     graft.sources.IncrementalTail.tail(files, markers, maxTailBytes = 100000L)
   }
 
+  /** S32 LIVE — the RDS download chain under the gate: the log corpus
+    * (SF-capped at the first 3000 events — a log file is a bounded
+    * recent window, `rds/logs.go:50-52`) grouped into three RDS log
+    * files, served by an in-process SigV4-VERIFYING RDS API double
+    * ([[graft.sources.RdsLogs.Endpoint]]), downloaded by the real
+    * signed query-protocol client with the reference's pagination
+    * (Marker / AdditionalDataPending, `logs.go:78-105`), then split
+    * distributed. Also asserted in-entry: wrong credentials are
+    * REFUSED by server-side signature verification, marker resume
+    * re-downloads nothing, and the stale file (older than the
+    * FileLastWritten floor) is not listed. The oracle re-derives every
+    * (file, line_idx, line) from the events formulas. */
+  def s32RdsLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{AwsSigV4, RdsLogs}
+    val lines = LogSynth.renderedLines(s, dir)
+      .filter(col("event_id") < 3000)
+      .select((col("event_id") % 3).cast("int").as("fidx"),
+        col("event_id"), col("line"))
+    val fileMap = lines.groupBy("fidx").agg(
+      array_sort(collect_list(struct(col("event_id"), col("line")))).as("ls"))
+      .select(col("fidx"),
+        transform(col("ls"), x => x.getField("line")).as("ls"))
+      .collect().map { r =>
+        s"error/postgresql.log.${r.getInt(0)}" ->
+          (1700000000000L, r.getSeq[String](1).toVector)
+      }.toMap
+    val creds = AwsSigV4.Credentials("AKIDGRAFT", "graft-secret-key")
+    val ep = new RdsLogs.Endpoint(creds, "us-east-1",
+      fileMap + ("error/postgresql.log.stale" -> (5L, Vector("old"))),
+      pageSize = 400)
+    val spool = java.nio.file.Files.createTempDirectory("graft_rds_live")
+    try {
+      // refusal surface: a wrong secret fails server-side verification
+      val bad = new RdsLogs.Client(ep.url, ep.host, "us-east-1",
+        AwsSigV4.Credentials("AKIDGRAFT", "wrong-secret"),
+        () => "20240101T000000Z")
+      val refused =
+        try { bad.describeDbLogFiles("db-GRAFT", 0L); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("403") &&
+            e.getMessage.contains("SignatureDoesNotMatch") }
+      require(refused, "bad credentials must be refused")
+      val c = new RdsLogs.Client(ep.url, ep.host, "us-east-1", creds,
+        () => "20240101T000000Z")
+      // FileLastWritten floor: the stale file must not be listed
+      val (files, markers) =
+        RdsLogs.downloadLogFiles(c, "db-GRAFT", Map.empty,
+          fileLastWritten = 1000L)
+      require(files.size == 3 && markers.size == 3,
+        s"expected 3 recent files, got ${files.map(_._1)}")
+      // marker resume: a second tick downloads nothing new
+      val (again, markers2) =
+        RdsLogs.downloadLogFiles(c, "db-GRAFT", markers,
+          fileLastWritten = 1000L)
+      require(again.forall(_._2.isEmpty) && markers2 == markers,
+        "marker resume re-downloaded data")
+      files.foreach { case (name, content) =>
+        val idx = name.substring(name.lastIndexOf('.') + 1)
+        java.nio.file.Files.write(spool.resolve(s"rds-$idx.body"),
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } finally ep.stop()
+    val out = s.read.option("wholetext", "true")
+      .option("pathGlobFilter", "*.body").text(spool.toString)
+      .select(
+        concat(lit("error/postgresql.log."),
+          regexp_extract(input_file_name(), "rds-(\\d+)\\.body$", 1))
+          .as("file"),
+        posexplode(split(col("value"), "\n")))
+      .filter(col("col") =!= "")
+      .select(col("file"), col("pos").cast("int").as("line_idx"),
+        col("col").as("line"))
+      .localCheckpoint() // EAGER: materialize before the spool is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)
+    out
+  }
+
   // S28 — OTel OTLP/JSON log adapter: three record shapes per the
   // reference (simple jsonlog, K8s-wrapped jsonlog with logger=postgres,
   // plain syslog-framed string bodies), detail fields fanning out as
@@ -1093,14 +1170,44 @@ object QueriesLog {
     // the reference's subscriber is the same single-process receive loop
     val messages = base.orderBy("event_id")
       .select(envelope.as("env")).collect().map(_.getString(0))
-    val em = new PubSubPull.Emulator()
+    // the OAuth2 JWT-bearer chain in front of the pull API: the token
+    // endpoint verifies the service account's RS256 assertion against
+    // its PUBLIC key, the emulator rejects untokened calls with 401,
+    // and the puller's token source refreshes transparently
+    import graft.sources.GcpOAuth
+    val kp = java.security.KeyPairGenerator.getInstance("RSA")
+    kp.initialize(2048)
+    val keys = kp.generateKeyPair()
+    val tokens = new GcpOAuth.TokenEndpoint(
+      "collector@graft-project.iam.gserviceaccount.com", keys.getPublic)
+    val em = new PubSubPull.Emulator(requireBearer = Some(tokens.isValid))
     val spool = java.nio.file.Files.createTempDirectory("graft_pubsub_live")
     try {
       messages.foreach(em.publish)
+      // refusal surfaces: no token → 401; a forged assertion (wrong
+      // private key) → invalid_grant at the token endpoint
+      val unauth = new PubSubPull.Puller(
+        em.endpoint, "projects/p0/subscriptions/postgres-logs",
+        Seq(PubSubPull.ServerCfg("p0", "inst0")),
+        java.nio.file.Files.createTempDirectory("graft_pubsub_unauth"))
+      require(unauth.tick(1).received == 0,
+        "an untokened pull must receive nothing (401)")
+      require(em.availableCount == messages.length,
+        "the 401'd pull must not consume messages")
+      val forged = kp.generateKeyPair()
+      val forgedFetcher = new GcpOAuth.TokenFetcher(tokens.uri,
+        "collector@graft-project.iam.gserviceaccount.com",
+        "https://www.googleapis.com/auth/pubsub", forged.getPrivate)
+      require(forgedFetcher.bearer().swap.exists(_.contains("invalid_grant")),
+        "a forged assertion must be refused")
+      val fetcher = new GcpOAuth.TokenFetcher(tokens.uri,
+        "collector@graft-project.iam.gserviceaccount.com",
+        "https://www.googleapis.com/auth/pubsub", keys.getPrivate)
       val puller = new PubSubPull.Puller(
         em.endpoint, "projects/p0/subscriptions/postgres-logs",
         (0 until 5).map(i => PubSubPull.ServerCfg("p0", s"inst$i")),
-        spool)
+        spool,
+        bearer = () => fetcher.bearer().toOption)
       // bounded drain: a nack-redelivery cycle (possible only if the
       // corpus timestamps were ever within maxAge of the wall clock)
       // must surface as a clear failure, not a spin
@@ -1108,7 +1215,11 @@ object QueriesLog {
       while (puller.tick(1000).received > 0 && ticks < 100) ticks += 1
       require(em.availableCount == 0 && em.outstandingCount == 0,
         s"subscription not drained after $ticks ticks (nack cycle?)")
-    } finally em.stop()
+      // exactly the forged attempt + ONE genuine exchange: the cached
+      // token was reused across every subsequent pull/ack round-trip
+      require(tokens.exchanges == 2,
+        s"token endpoint saw ${tokens.exchanges} exchanges (expected 2)")
+    } finally { em.stop(); tokens.stop() }
     val spooled = PubSubPull.readSpool(s, spool)
       .withColumn("event_id",
         regexp_extract(col("value"), "\"insertId\":\"ins(\\d+)\"", 1)
@@ -1201,12 +1312,29 @@ object QueriesLog {
         array_join(transform(col("rs"), x => x.getField("record")), ","),
         lit("]}")).as("body"))
       .collect().map(_.getString(0)) // bounded: |events|/1850 bodies
-    val broker = new AmqpEventHub.Broker("pglogs", partitions = 4)
+    // the namespace requires SASL PLAIN (the Event Hub SAS key name +
+    // key credential); a wrong key must fail the SASL outcome, not
+    // reach the link layer
+    val saslCreds = "RootManageSharedAccessKey" -> "graft-sas-key"
+    val broker = new AmqpEventHub.Broker("pglogs", partitions = 4,
+      sasl = Some(saslCreds))
     val spool = java.nio.file.Files.createTempDirectory("graft_eventhub")
     try {
       bodies.zipWithIndex.foreach { case (b, i) => broker.publish(i % 4, b) }
+      val badSpool = java.nio.file.Files.createTempDirectory("graft_eh_bad")
+      val bad = new AmqpEventHub.Consumer(
+        "127.0.0.1", broker.port, "pglogs", partitions = 4, badSpool,
+        sasl = Some(saslCreds._1 -> "wrong-key"))
+      val refused =
+        try { bad.drain(); false }
+        catch { case e: Exception =>
+          String.valueOf(e.getMessage).contains("SASL") ||
+            e.isInstanceOf[java.io.IOException] }
+      require(refused, "a wrong SAS key must fail SASL authentication")
+      org.apache.commons.io.FileUtils.deleteQuietly(badSpool.toFile)
       val consumer = new AmqpEventHub.Consumer(
-        "127.0.0.1", broker.port, "pglogs", partitions = 4, spool)
+        "127.0.0.1", broker.port, "pglogs", partitions = 4, spool,
+        sasl = Some(saslCreds))
       val (received, spooled) = consumer.drain()
       require(received == bodies.length && spooled == bodies.length,
         s"wire loss: published ${bodies.length}, got $received/$spooled")

@@ -199,6 +199,7 @@ object SparkEntry {
     // the LIVE OTel transport: batched gzip HTTP exports against a real
     // in-process /v1/logs receiver, parsed back off the durable spool
     "s28_otel_live" -> (QueriesLog.s28OtelLive _),
+    "s32_rds_live" -> (QueriesLog.s32RdsLive _),
     "s32_incremental_tail" -> (QueriesLog.s32IncrementalTail _),
     "s29_heroku_frames" -> (QueriesLog.s29HerokuFrames _),
     "s30_gcp_log_parse" -> (QueriesLog.s30GcpLogParse _),

@@ -218,20 +218,35 @@ object AmqpEventHub {
 
   private val ProtocolHeader: Array[Byte] =
     Array('A'.toByte, 'M'.toByte, 'Q'.toByte, 'P'.toByte, 0, 1, 0, 0)
+  // the SASL security layer's own header (§5.3.1: protocol-id 3)
+  private val SaslHeader: Array[Byte] =
+    Array('A'.toByte, 'M'.toByte, 'Q'.toByte, 'P'.toByte, 3, 1, 0, 0)
+
+  // SASL performative descriptors (§5.3.3)
+  private val SaslMechanismsD = 0x40L
+  private val SaslInitD = 0x41L
+  private val SaslOutcomeD = 0x44L
 
   private def performative(desc: Long, fields: AValue*): Array[Byte] =
     Amqp.encode(ADescribed(AULong(desc), AList(fields)))
 
   private def writeFrame(o: DataOutputStream, channel: Int,
-      body: Array[Byte], payload: Array[Byte] = Array.empty): Unit = {
+      body: Array[Byte], payload: Array[Byte] = Array.empty,
+      ftype: Int = 0): Unit = {
     o.writeInt(8 + body.length + payload.length)
-    o.writeByte(2) // DOFF
-    o.writeByte(0) // AMQP frame
+    o.writeByte(2)     // DOFF
+    o.writeByte(ftype) // 0 = AMQP frame, 1 = SASL frame
     o.writeShort(channel)
     o.write(body)
     o.write(payload)
     o.flush()
   }
+
+  /** SASL PLAIN initial-response: `\0authcid\0passwd` — for Event Hub,
+    * the SAS key name and key (the connection-string credential). */
+  private def saslPlainResponse(user: String, pass: String): Array[Byte] =
+    (Array[Byte](0) ++ user.getBytes(UTF_8) ++
+      Array[Byte](0) ++ pass.getBytes(UTF_8))
 
   /** Read one frame: (channel, performative, trailing payload bytes). */
   private def readFrame(in: DataInputStream): (Int, ADescribed, Array[Byte]) = {
@@ -265,7 +280,8 @@ object AmqpEventHub {
   /** In-process Event-Hub-shaped AMQP broker (test double): per-
     * partition retained logs; every receiver link attaches at Earliest
     * and is fed pre-settled transfers up to its flow credit. */
-  final class Broker(hub: String, val partitions: Int) {
+  final class Broker(hub: String, val partitions: Int,
+      sasl: Option[(String, String)] = None) {
     private val logs =
       Vector.fill(partitions)(mutable.ArrayBuffer[Array[Byte]]())
     private val lock = new Object
@@ -297,6 +313,30 @@ object AmqpEventHub {
       val out = new DataOutputStream(sock.getOutputStream)
       val hdr = new Array[Byte](8)
       in.readFully(hdr)
+      // SASL security layer first when credentials are required
+      // (§5.3.2 negotiation: mechanisms → init → outcome, then the
+      // plain AMQP header restart)
+      sasl.foreach { case (user, pass) =>
+        require(java.util.Arrays.equals(hdr, SaslHeader),
+          "expected SASL header")
+        out.write(SaslHeader); out.flush()
+        writeFrame(out, 0, performative(SaslMechanismsD,
+          ASymbol("PLAIN")), ftype = 1)
+        val (_, ADescribed(AULong(d), initBody), _) = (readFrame(in): @unchecked)
+        require(d == SaslInitD, f"expected sasl-init, got 0x$d%02x")
+        val mech = field(initBody, 0) match {
+          case ASymbol(m) => m; case AString(m) => m; case _ => ""
+        }
+        val resp = field(initBody, 1) match {
+          case ABinary(b) => b; case _ => Array.empty[Byte]
+        }
+        val ok = mech == "PLAIN" && java.util.Arrays.equals(resp,
+          saslPlainResponse(user, pass))
+        writeFrame(out, 0, performative(SaslOutcomeD,
+          AUByte(if (ok) 0 else 1)), ftype = 1)
+        if (!ok) { sock.close(); throw new java.io.EOFException("sasl auth") }
+        in.readFully(hdr) // the restart header
+      }
       require(java.util.Arrays.equals(hdr, ProtocolHeader), "bad header")
       out.write(ProtocolHeader); out.flush()
       // handle → (partition, deliveryCount, offset into the log)
@@ -397,7 +437,8 @@ object AmqpEventHub {
     * unparseable bodies warn-and-drop (no records, as in the
     * reference's handler). Returns (received, spooled). */
   final class Consumer(host: String, port: Int, hub: String,
-      partitions: Int, spoolDir: Path) {
+      partitions: Int, spoolDir: Path,
+      sasl: Option[(String, String)] = None) {
     Files.createDirectories(spoolDir)
     private val seq = new AtomicLong(0L)
     // Per-partition resume offsets: a second drain() must NOT re-read
@@ -440,8 +481,32 @@ object AmqpEventHub {
       try {
         val in = new DataInputStream(sock.getInputStream)
         val out = new DataOutputStream(sock.getOutputStream)
-        out.write(ProtocolHeader); out.flush()
         val hdr = new Array[Byte](8)
+        // SASL PLAIN first when the namespace requires credentials
+        // (Event Hub's SAS key name/key over the connection string)
+        sasl.foreach { case (user, pass) =>
+          out.write(SaslHeader); out.flush()
+          in.readFully(hdr)
+          require(java.util.Arrays.equals(hdr, SaslHeader),
+            "broker did not speak SASL")
+          val (_, ADescribed(AULong(dm), mechBody), _) =
+            (readFrame(in): @unchecked)
+          require(dm == SaslMechanismsD, "expected sasl-mechanisms")
+          require((field(mechBody, 0) match {
+            case ASymbol(m) => m == "PLAIN"
+            case AList(ms) => ms.contains(ASymbol("PLAIN"))
+            case _ => false
+          }), "broker does not offer PLAIN")
+          writeFrame(out, 0, performative(SaslInitD, ASymbol("PLAIN"),
+            ABinary(saslPlainResponse(user, pass)), AString(host)),
+            ftype = 1)
+          val (_, ADescribed(AULong(dout), outBody), _) =
+            (readFrame(in): @unchecked)
+          require(dout == SaslOutcomeD, "expected sasl-outcome")
+          val code = uint(field(outBody, 0))
+          require(code == 0L, s"SASL authentication failed (code $code)")
+        }
+        out.write(ProtocolHeader); out.flush()
         in.readFully(hdr)
         require(java.util.Arrays.equals(hdr, ProtocolHeader),
           "broker is not AMQP 1.0")

@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** AWS Signature Version 4 request signing — the auth layer under every
+  * AWS API call the reference makes through the SDK
+  * (the `util/awsutil` package, `input/system/rds/logs.go`
+  * DescribeDBLogFiles /
+  * DownloadDBLogFilePortion). The algorithm is public (AWS "SigV4
+  * signing process"): canonical request → string-to-sign → derived
+  * signing key (HMAC chain over date/region/service) → hex HMAC
+  * signature, carried in the `Authorization` header. Implemented from
+  * the published spec; the spec pins the documentation's complete
+  * worked example (IAM ListUsers, 20150830) byte-for-byte.
+  *
+  * Scale/deployment note: signing is per-request, driver-side, O(bytes
+  * hashed); the signed REST calls are the control plane (file listing,
+  * portion download), never the data plane. */
+object AwsSigV4 {
+
+  final case class Credentials(accessKeyId: String, secretAccessKey: String)
+
+  def sha256Hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(b)
+      .map("%02x".format(_)).mkString
+
+  def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  /** RFC 3986 percent-encoding with AWS's unreserved set; space is
+    * %20 (never +), and `/` is encoded except as a path separator. */
+  def uriEncode(s: String, encodeSlash: Boolean = true): String =
+    s.flatMap { c =>
+      if (c.isLetterOrDigit && c < 128 || "-._~".contains(c)) c.toString
+      else if (c == '/' && !encodeSlash) "/"
+      else c.toString.getBytes(UTF_8).map("%%%02X".format(_)).mkString
+    }
+
+  /** Canonical query string: params uriEncoded then sorted by encoded
+    * name, then value. */
+  def canonicalQuery(params: Seq[(String, String)]): String =
+    params.map { case (k, v) => uriEncode(k) -> uriEncode(v) }
+      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+
+  /** The canonical request (step 1): method, canonical path, canonical
+    * query, canonical headers (lowercased names, trimmed values,
+    * sorted), signed-header list, payload hash. */
+  def canonicalRequest(method: String, path: String,
+      query: Seq[(String, String)], headers: Seq[(String, String)],
+      payloadSha256Hex: String): String = {
+    val canon = headers
+      .map { case (k, v) => k.toLowerCase -> v.trim.replaceAll(" +", " ") }
+      .sortBy(_._1)
+    val signedHeaders = canon.map(_._1).mkString(";")
+    method.toUpperCase + "\n" +
+      uriEncode(if (path.isEmpty) "/" else path, encodeSlash = false) + "\n" +
+      canonicalQuery(query) + "\n" +
+      canon.map { case (k, v) => s"$k:$v\n" }.mkString + "\n" +
+      signedHeaders + "\n" +
+      payloadSha256Hex
+  }
+
+  /** Steps 2–4: string-to-sign, key derivation, signature, and the
+    * final `Authorization` header value. `amzDate` is
+    * `yyyyMMdd'T'HHmmss'Z'`. */
+  def authorization(creds: Credentials, region: String, service: String,
+      amzDate: String, method: String, path: String,
+      query: Seq[(String, String)], headers: Seq[(String, String)],
+      payload: Array[Byte]): String = {
+    val dateStamp = amzDate.take(8)
+    val scope = s"$dateStamp/$region/$service/aws4_request"
+    val canon = canonicalRequest(method, path, query, headers,
+      sha256Hex(payload))
+    val stringToSign =
+      s"AWS4-HMAC-SHA256\n$amzDate\n$scope\n${sha256Hex(canon.getBytes(UTF_8))}"
+    val kDate = hmac(("AWS4" + creds.secretAccessKey).getBytes(UTF_8), dateStamp)
+    val kRegion = hmac(kDate, region)
+    val kService = hmac(kRegion, service)
+    val kSigning = hmac(kService, "aws4_request")
+    val signature = hmac(kSigning, stringToSign).map("%02x".format(_)).mkString
+    val signedHeaders =
+      headers.map(_._1.toLowerCase).sorted.mkString(";")
+    s"AWS4-HMAC-SHA256 Credential=${creds.accessKeyId}/$scope, " +
+      s"SignedHeaders=$signedHeaders, Signature=$signature"
+  }
+
+  /** Server-side verification (what the in-process AWS test double
+    * does, and what AWS itself does): recompute the signature from the
+    * received request pieces and the account's secret; constant-time
+    * compare. */
+  def verify(creds: Credentials, region: String, service: String,
+      amzDate: String, method: String, path: String,
+      query: Seq[(String, String)], headers: Seq[(String, String)],
+      payload: Array[Byte], authorizationHeader: String): Boolean = {
+    val expect = authorization(creds, region, service, amzDate, method,
+      path, query, headers, payload)
+    MessageDigest.isEqual(expect.getBytes(UTF_8),
+      authorizationHeader.getBytes(UTF_8))
+  }
+}

@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.{PrivateKey, PublicKey, Signature}
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The GCP service-account OAuth2 flow under the reference's Pub/Sub
+  * subscriber (`input/system/google_cloudsql/logs.go` authenticates via
+  * the google SDK's token source; the underlying protocol is the public
+  * OAuth2 JWT-bearer grant, RFC 7523): build a JWT
+  * `{iss: sa-email, scope, aud: token_uri, iat, exp}`, sign it RS256
+  * with the service account's private key, exchange it at the token
+  * endpoint for a bearer `access_token`, and refresh before expiry.
+  * Only the vendor glue (credentials-file discovery, IMDS) is out of
+  * scope; the assertion format, signature, exchange, and refresh are
+  * the real protocol.
+  *
+  * The in-process [[GcpOAuth.TokenEndpoint]] VERIFIES the assertion's
+  * RS256 signature against the account's PUBLIC key (as Google does)
+  * and rejects bad signatures/audiences/expiries with OAuth's
+  * `invalid_grant` surface — so a token-bearing pull proves the chain. */
+object GcpOAuth {
+
+  private val mapper = new ObjectMapper()
+  private def b64url(b: Array[Byte]): String =
+    Base64.getUrlEncoder.withoutPadding().encodeToString(b)
+
+  val GrantType = "urn:ietf:params:oauth:grant-type:jwt-bearer"
+
+  /** RFC 7523 assertion: RS256-signed `header.claims.signature`. */
+  def signJwt(saEmail: String, scope: String, tokenUri: String,
+      iatSecs: Long, expSecs: Long, key: PrivateKey): String = {
+    val header = b64url("""{"alg":"RS256","typ":"JWT"}""".getBytes(UTF_8))
+    val claims = b64url(
+      (s"""{"iss":"$saEmail","scope":"$scope","aud":"$tokenUri",""" +
+        s""""iat":$iatSecs,"exp":$expSecs}""").getBytes(UTF_8))
+    val signingInput = s"$header.$claims"
+    val sig = Signature.getInstance("SHA256withRSA")
+    sig.initSign(key)
+    sig.update(signingInput.getBytes(UTF_8))
+    s"$signingInput.${b64url(sig.sign())}"
+  }
+
+  /** Server-side verification of one assertion. Returns the claims
+    * JSON on success (Google's checks: signature against the account's
+    * public key, audience = this endpoint, exp in the future). */
+  def verifyJwt(jwt: String, pub: PublicKey, expectedAud: String,
+      nowSecs: Long): Either[String, com.fasterxml.jackson.databind.JsonNode] = {
+    val parts = jwt.split("\\.")
+    if (parts.length != 3) return Left("invalid_grant: malformed assertion")
+    val sig = Signature.getInstance("SHA256withRSA")
+    sig.initVerify(pub)
+    sig.update(s"${parts(0)}.${parts(1)}".getBytes(UTF_8))
+    val ok =
+      try sig.verify(Base64.getUrlDecoder.decode(parts(2)))
+      catch { case _: Exception => false }
+    if (!ok) return Left("invalid_grant: bad signature")
+    val claims = mapper.readTree(Base64.getUrlDecoder.decode(parts(1)))
+    if (Option(claims.get("aud")).map(_.asText("")).getOrElse("") != expectedAud)
+      Left("invalid_grant: wrong audience")
+    else if (Option(claims.get("exp")).map(_.asLong(0L)).getOrElse(0L) <= nowSecs)
+      Left("invalid_grant: assertion expired")
+    else Right(claims)
+  }
+
+  /** Client-side token source with refresh-before-expiry (60 s skew),
+    * the oauth2 token-source contract the SDK wraps. `post` is
+    * injectable; the default speaks form-encoded HTTP. */
+  final class TokenFetcher(
+      tokenUri: String,
+      saEmail: String,
+      scope: String,
+      key: PrivateKey,
+      now: () => Long = () => System.currentTimeMillis() / 1000L,
+      lifetimeSecs: Long = 3600L,
+      post: (String, String) => (Int, String) = postForm) {
+
+    private var cached: Option[(String, Long)] = None // (token, expiresAt)
+
+    def bearer(): Either[String, String] = cached match {
+      case Some((tok, until)) if until - 60 > now() => Right(tok)
+      case _ =>
+        val iat = now()
+        val jwt = signJwt(saEmail, scope, tokenUri, iat,
+          iat + lifetimeSecs, key)
+        val body = s"grant_type=${java.net.URLEncoder.encode(GrantType, "UTF-8")}" +
+          s"&assertion=$jwt"
+        val (st, resp) = post(tokenUri, body)
+        if (st != 200) Left(s"token exchange failed: HTTP $st $resp")
+        else {
+          val root = mapper.readTree(resp)
+          val tok = Option(root.get("access_token")).map(_.asText(""))
+            .getOrElse("")
+          val ttl = Option(root.get("expires_in")).map(_.asLong(0L))
+            .getOrElse(0L)
+          if (tok.isEmpty) Left(s"token exchange returned no token: $resp")
+          else { cached = Some((tok, now() + ttl)); Right(tok) }
+        }
+    }
+  }
+
+  private def postForm(url: String, body: String): (Int, String) = {
+    val conn = new java.net.URL(url)
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type",
+        "application/x-www-form-urlencoded")
+      val bytes = body.getBytes(UTF_8)
+      conn.setFixedLengthStreamingMode(bytes.length)
+      conn.getOutputStream.write(bytes)
+      conn.getOutputStream.close()
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      ((code, if (is == null) ""
+        else try new String(is.readAllBytes(), UTF_8) finally is.close()))
+    } finally conn.disconnect()
+  }
+
+  /** In-process token endpoint: verifies assertions against the
+    * account's public key and issues short opaque bearer tokens;
+    * [[isValid]] is the resource server's introspection hook. */
+  final class TokenEndpoint(saEmail: String, pub: PublicKey,
+      now: () => Long = () => System.currentTimeMillis() / 1000L,
+      expiresInSecs: Long = 3600L) {
+    private val issued = scala.collection.mutable.Set.empty[String]
+    private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val port: Int = server.getAddress.getPort
+    val uri: String = s"http://127.0.0.1:$port/token"
+
+    var exchanges: Int = 0
+
+    server.createContext("/token", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      def respond(code: Int, text: String): Unit = {
+        val b = text.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, b.length.toLong)
+        ex.getResponseBody.write(b)
+        ex.close()
+      }
+      val params = body.split("&").map(_.split("=", 2))
+        .map(a => a(0) -> (if (a.length > 1)
+          java.net.URLDecoder.decode(a(1), "UTF-8") else "")).toMap
+      this.synchronized { exchanges += 1 }
+      if (params.getOrElse("grant_type", "") != GrantType)
+        respond(400, """{"error":"unsupported_grant_type"}""")
+      else verifyJwt(params.getOrElse("assertion", ""), pub, uri, now()) match {
+        case Left(err) =>
+          respond(400, s"""{"error":"invalid_grant","error_description":"${err.replace("\"", "")}"}""")
+        case Right(claims) if claims.get("iss").asText("") != saEmail =>
+          respond(400, """{"error":"invalid_grant","error_description":"unknown issuer"}""")
+        case Right(_) =>
+          val tok = s"graft-tok-${seq.incrementAndGet()}"
+          this.synchronized { issued += tok }
+          respond(200,
+            s"""{"access_token":"$tok","expires_in":$expiresInSecs,"token_type":"Bearer"}""")
+      }
+    })
+    server.start()
+
+    def isValid(token: String): Boolean =
+      this.synchronized(issued.contains(token))
+    def stop(): Unit = server.stop(0)
+  }
+}

@@ -65,7 +65,11 @@ object PubSubPull {
       servers: Seq[ServerCfg],
       spoolDir: Path,
       maxAge: Duration = Duration.ofMinutes(5),
-      now: () => Instant = () => Instant.now()) {
+      now: () => Instant = () => Instant.now(),
+      // the OAuth token source ([[GcpOAuth.TokenFetcher.bearer]]): every
+      // API call carries `Authorization: Bearer <token>`; None = an
+      // unauthenticated emulator (tests that aren't about auth)
+      bearer: () => Option[String] = () => None) {
     require(subscription.count(_ == '/') == 3,
       "unsupported subscription format - must be " +
         s""""projects/PROJECT_NAME/subscriptions/SUBSCRIPTION_NAME", got: $subscription""")
@@ -177,6 +181,8 @@ object PubSubPull {
         conn.setRequestMethod("POST")
         conn.setDoOutput(true)
         conn.setRequestProperty("Content-Type", "application/json")
+        bearer().foreach(t =>
+          conn.setRequestProperty("Authorization", s"Bearer $t"))
         val bytes = body.getBytes(UTF_8)
         conn.setFixedLengthStreamingMode(bytes.length)
         conn.getOutputStream.write(bytes)
@@ -207,7 +213,11 @@ object PubSubPull {
   // the same in-process-server posture as SnapshotTransport's spec
   // servers; real lease semantics: pulled messages are outstanding
   // until acked (deleted) or deadline-zeroed (redelivered).
-  final class Emulator {
+  // `requireBearer`: when set, every call must carry a valid
+  // `Authorization: Bearer` token (validated by the hook — wire it to
+  // [[GcpOAuth.TokenEndpoint.isValid]]); otherwise 401 UNAUTHENTICATED,
+  // Google's surface for missing/invalid credentials.
+  final class Emulator(requireBearer: Option[String => Boolean] = None) {
     private final case class Msg(id: Long, data: Array[Byte])
     private val available = mutable.Queue[Msg]()
     private val outstanding = mutable.LinkedHashMap[String, Msg]()
@@ -233,6 +243,22 @@ object PubSubPull {
       while (n >= 0) { out.write(buf, 0, n); n = is.read(buf) }
       val req = mapper.readTree(out.toByteArray)
       val path = ex.getRequestURI.getPath
+      val authorized = requireBearer match {
+        case None => true
+        case Some(check) =>
+          Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .filter(_.startsWith("Bearer "))
+            .exists(h => check(h.substring("Bearer ".length)))
+      }
+      if (!authorized) {
+        val b = ("""{"error":{"code":401,"status":"UNAUTHENTICATED",""" +
+          """"message":"Request had invalid authentication credentials."}}""")
+          .getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(401, b.length.toLong)
+        ex.getResponseBody.write(b)
+        ex.close()
+      } else {
       val resp: String = lock.synchronized {
         if (path.endsWith(":pull")) {
           val max = Option(req.get("maxMessages")).map(_.asInt()).getOrElse(10)
@@ -273,6 +299,7 @@ object PubSubPull {
       ex.sendResponseHeaders(200, b.length.toLong)
       ex.getResponseBody.write(b)
       ex.close()
+      }
     })
     server.start()
 

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GcpOAuth
+
+/** The OAuth2 JWT-bearer grant (RFC 7523) under the GCP subscriber:
+  * assertion structure, server-side RS256 verification, the token
+  * cache's refresh-before-expiry, and the refusal surfaces. */
+class GcpOAuthSpec extends AnyFunSuite {
+
+  private val kp = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048); g.generateKeyPair()
+  }
+  private val email = "collector@p.iam.gserviceaccount.com"
+  private val scope = "https://www.googleapis.com/auth/pubsub"
+
+  test("assertion structure and server-side verification") {
+    val jwt = GcpOAuth.signJwt(email, scope, "https://t/token",
+      iatSecs = 1000L, expSecs = 4600L, kp.getPrivate)
+    val parts = jwt.split("\\.")
+    assert(parts.length == 3)
+    assert(new String(Base64.getUrlDecoder.decode(parts(0)), UTF_8) ==
+      """{"alg":"RS256","typ":"JWT"}""")
+    val claims = new String(Base64.getUrlDecoder.decode(parts(1)), UTF_8)
+    assert(claims ==
+      s"""{"iss":"$email","scope":"$scope","aud":"https://t/token","iat":1000,"exp":4600}""")
+    // genuine key verifies; audience/expiry/signature each refuse
+    assert(GcpOAuth.verifyJwt(jwt, kp.getPublic, "https://t/token", 2000L).isRight)
+    assert(GcpOAuth.verifyJwt(jwt, kp.getPublic, "https://other", 2000L) ==
+      Left("invalid_grant: wrong audience"))
+    assert(GcpOAuth.verifyJwt(jwt, kp.getPublic, "https://t/token", 4600L) ==
+      Left("invalid_grant: assertion expired"))
+    val other = {
+      val g = java.security.KeyPairGenerator.getInstance("RSA")
+      g.initialize(2048); g.generateKeyPair()
+    }
+    assert(GcpOAuth.verifyJwt(jwt, other.getPublic, "https://t/token", 2000L) ==
+      Left("invalid_grant: bad signature"))
+  }
+
+  test("token fetcher caches until expiry, refreshes after (injected clock)") {
+    var clock = 1000L
+    var issued = 0
+    val post: (String, String) => (Int, String) = (_, body) => {
+      issued += 1
+      assert(body.startsWith("grant_type=urn%3Aietf%3Aparams%3Aoauth"))
+      (200, s"""{"access_token":"tok-$issued","expires_in":3600}""")
+    }
+    val f = new GcpOAuth.TokenFetcher("https://t/token", email, scope,
+      kp.getPrivate, now = () => clock, post = post)
+    assert(f.bearer() == Right("tok-1"))
+    clock += 3000L // inside the window (minus the 60 s skew)
+    assert(f.bearer() == Right("tok-1") && issued == 1)
+    clock += 541L // now past expiresAt - 60
+    assert(f.bearer() == Right("tok-2") && issued == 2)
+  }
+
+  test("live endpoint round-trip: exchange, introspection, bad grant_type") {
+    val te = new GcpOAuth.TokenEndpoint(email, kp.getPublic)
+    try {
+      val f = new GcpOAuth.TokenFetcher(te.uri, email, scope, kp.getPrivate)
+      val tok = f.bearer().toOption.get
+      assert(te.isValid(tok) && !te.isValid("forged-token"))
+      // an assertion for a different issuer is refused
+      val f2 = new GcpOAuth.TokenFetcher(te.uri, "other@x", scope, kp.getPrivate)
+      assert(f2.bearer().swap.exists(_.contains("invalid_grant")))
+    } finally te.stop()
+  }
+}
