@@ -1,0 +1,170 @@
+package graft.sources
+
+/** Postgres connection negotiation — the reference's EstablishConnection
+  * chain (`input/postgres/establish_connection.go:13-132`) and its
+  * connection-string assembly (`config/config.go:283-421`
+  * GetPqOpenString), re-expressed with the connector injectable so the
+  * full negotiation matrix is provable without a live server (none
+  * exists in this sandbox; against one, [[establish]] takes a real
+  * JDBC/libpq connector and the same strings).
+  *
+  * Semantics preserved verbatim:
+  *  - URL fields (user/password/dbname/host/port/sslmode/sslrootcert/
+  *    sslcert/sslkey) parsed first, then explicit config fields WIN
+  *    over URL fields, then per-call overrides win over both;
+  *  - defaults: host localhost, port 5432, sslmode prefer;
+  *  - `sslmode=prefer` is emulated (lib/pq has none): first attempt
+  *    `require`, and when the server answers "SSL is not enabled on
+  *    the server" the connect RETRIES once with `disable`
+  *    (`DbSslModePreferFailed`, `establish_connection.go:16-20`);
+  *  - the collector-shipped RDS root-cert aliases rewrite to the
+  *    bundled path (`config.go:384-387`);
+  *  - values are single-quoted with `'` escaped as `\'`, and
+  *    `connect_timeout=10` is always appended;
+  *  - after connecting: the monitoring-connection budget is validated
+  *    (too many open collector connections is a hard error) and the
+  *    grant-provided statement timeout is applied (default 30 s;
+  *    values under 100 ms are ignored as misconfiguration). */
+object PgConnect {
+
+  /** The connection-relevant slice of `config.ServerConfig`. */
+  final case class ServerConfig(
+      dbUrl: String = "",
+      dbUsername: String = "",
+      dbPassword: String = "",
+      dbName: String = "",
+      dbHost: String = "",
+      dbPort: Int = 0,
+      dbSslMode: String = "",
+      dbSslRootCert: String = "",
+      dbSslCert: String = "",
+      dbSslKey: String = "",
+      dbSslModePreferFailed: Boolean = false,
+      maxCollectorConnections: Int = 10)
+
+  val BundledRdsRootCert = "/usr/share/pganalyze-collector/sslrootcert/rds-ca-global.pem"
+
+  private def q(v: String): String = "'" + v.replace("'", "\\'") + "'"
+
+  /** `GetPqOpenString` (`config.go:283-421`). */
+  def pqOpenString(cfg: ServerConfig, dbNameOverride: String = "",
+      passwordOverride: String = "", hostOverride: String = "",
+      sslmodeOverride: String = ""): Either[String, String] = {
+    var user = ""; var password = ""; var name = ""; var host = ""
+    var port = 0
+    var sslMode = ""; var sslRootCert = ""; var sslCert = ""; var sslKey = ""
+
+    if (cfg.dbUrl.nonEmpty) {
+      val u =
+        try new java.net.URI(cfg.dbUrl)
+        catch { case e: Exception =>
+          return Left(s"Failed to parse database URL: ${e.getMessage}")
+        }
+      Option(u.getUserInfo).foreach { ui =>
+        val parts = ui.split(":", 2)
+        user = parts(0)
+        if (parts.length > 1) password = parts(1)
+      }
+      Option(u.getPath).filter(_.nonEmpty).foreach(p => name = p.substring(1))
+      Option(u.getHost).foreach(host = _)
+      if (u.getPort > 0) port = u.getPort
+      Option(u.getRawQuery).getOrElse("").split("&").foreach { kv =>
+        val parts = kv.split("=", 2)
+        val v = if (parts.length > 1) parts(1) else ""
+        parts(0) match {
+          case "sslmode" => sslMode = v
+          case "sslrootcert" => sslRootCert = v
+          case "sslcert" => sslCert = v
+          case "sslkey" => sslKey = v
+          case _ => ()
+        }
+      }
+    }
+
+    if (cfg.dbUsername.nonEmpty) user = cfg.dbUsername
+    if (passwordOverride.nonEmpty) password = passwordOverride
+    else if (cfg.dbPassword.nonEmpty) password = cfg.dbPassword
+    if (dbNameOverride.nonEmpty) name = dbNameOverride
+    else if (cfg.dbName.nonEmpty) name = cfg.dbName
+    if (hostOverride.nonEmpty) host = hostOverride
+    else if (cfg.dbHost.nonEmpty) host = cfg.dbHost
+    if (cfg.dbPort != 0) port = cfg.dbPort
+    if (sslmodeOverride.nonEmpty) sslMode = sslmodeOverride
+    else if (cfg.dbSslMode.nonEmpty) sslMode = cfg.dbSslMode
+    if (cfg.dbSslRootCert.nonEmpty) sslRootCert = cfg.dbSslRootCert
+    if (cfg.dbSslCert.nonEmpty) sslCert = cfg.dbSslCert
+    if (cfg.dbSslKey.nonEmpty) sslKey = cfg.dbSslKey
+
+    if (host.isEmpty) host = "localhost"
+    if (port == 0) port = 5432
+    if (sslMode.isEmpty) sslMode = "prefer"
+    // lib/pq has no native prefer: require first, disable on retry
+    if (sslMode == "prefer")
+      sslMode = if (cfg.dbSslModePreferFailed) "disable" else "require"
+    if (sslRootCert == "rds-ca-2019-root" || sslRootCert == "rds-ca-global")
+      sslRootCert = BundledRdsRootCert
+
+    val parts = Seq.newBuilder[String]
+    if (user.nonEmpty) parts += s"user=${q(user)}"
+    if (password.nonEmpty) parts += s"password=${q(password)}"
+    if (name.nonEmpty) parts += s"dbname=${q(name)}"
+    if (host.nonEmpty) parts += s"host=${q(host)}"
+    if (port != 0) parts += s"port=$port"
+    if (sslMode.nonEmpty) parts += s"sslmode=$sslMode"
+    if (sslRootCert.nonEmpty) parts += s"sslrootcert=${q(sslRootCert)}"
+    if (sslCert.nonEmpty) parts += s"sslcert=${q(sslCert)}"
+    if (sslKey.nonEmpty) parts += s"sslkey=${q(sslKey)}"
+    parts += "connect_timeout=10"
+    Right(parts.result().mkString(" "))
+  }
+
+  /** What the negotiation needs from a live connection. */
+  trait Conn {
+    /** `SELECT count(*) FROM pg_stat_activity WHERE application_name=…` */
+    def collectorConnectionCount(appName: String): Int
+    def setStatementTimeout(ms: Int): Unit
+    def close(): Unit
+  }
+
+  /** The exact error text lib/pq surfaces when `require` hits a
+    * non-SSL server — the trigger for the prefer retry. */
+  val SslNotEnabledError = "pq: SSL is not enabled on the server"
+
+  /** `EstablishConnection` (`establish_connection.go:13-38`):
+    * connect (with the prefer→disable retry), validate the
+    * monitoring-connection budget, apply the grant statement timeout. */
+  def establish(cfg: ServerConfig,
+      connect: String => Either[String, Conn],
+      appName: String = "pganalyze_collector",
+      grantStatementTimeoutMs: Int = 0,
+      databaseName: String = ""): Either[String, Conn] = {
+    def open(c: ServerConfig): Either[String, Conn] =
+      pqOpenString(c, dbNameOverride = databaseName).flatMap(s =>
+        connect(s + " application_name=" + appName))
+    val conn = open(cfg) match {
+      case Left(SslNotEnabledError)
+        if cfg.dbSslMode == "prefer" || cfg.dbSslMode == "" =>
+        open(cfg.copy(dbSslModePreferFailed = true))
+      case other => other
+    }
+    conn.flatMap { c =>
+      val count = c.collectorConnectionCount(appName)
+      if (count > cfg.maxCollectorConnections) {
+        c.close()
+        Left(s"Too many open monitoring connections (current: $count, " +
+          s"maximum allowed: ${cfg.maxCollectorConnections}), exiting")
+      } else {
+        val ms =
+          if (grantStatementTimeoutMs == 0) 30000 else grantStatementTimeoutMs
+        // anything below 100ms is assumed set in error and ignored
+        if (ms >= 100) c.setStatementTimeout(ms)
+        Right(c)
+      }
+    }
+  }
+
+  /** The query-text read path's longer timeout
+    * (`SetQueryTextStatementTimeout`, default 120 s). */
+  def queryTextStatementTimeoutMs(grantValue: Int): Int =
+    if (grantValue == 0) 120000 else grantValue
+}
