@@ -90,6 +90,34 @@ object AwsSigV4 {
       s"SignedHeaders=$signedHeaders, Signature=$signature"
   }
 
+  /** Query-string presigning (the signature travels as `X-Amz-*` query
+    * parameters instead of a header) — what `rds-db` IAM auth tokens
+    * and presigned S3 URLs are. Only the `host` header is signed;
+    * `payloadHash` is `UNSIGNED-PAYLOAD` for S3-style presigns and the
+    * empty-body hash for rds-db connect tokens. Returns the full query
+    * string including `X-Amz-Signature`. */
+  def presignQuery(creds: Credentials, region: String, service: String,
+      amzDate: String, expiresSecs: Long, method: String, host: String,
+      path: String, query: Seq[(String, String)],
+      payloadHash: String): String = {
+    val dateStamp = amzDate.take(8)
+    val scope = s"$dateStamp/$region/$service/aws4_request"
+    val fullQuery = query ++ Seq(
+      "X-Amz-Algorithm" -> "AWS4-HMAC-SHA256",
+      "X-Amz-Credential" -> s"${creds.accessKeyId}/$scope",
+      "X-Amz-Date" -> amzDate,
+      "X-Amz-Expires" -> expiresSecs.toString,
+      "X-Amz-SignedHeaders" -> "host")
+    val canon = canonicalRequest(method, path, fullQuery,
+      Seq("Host" -> host), payloadHash)
+    val stringToSign =
+      s"AWS4-HMAC-SHA256\n$amzDate\n$scope\n${sha256Hex(canon.getBytes(UTF_8))}"
+    val kDate = hmac(("AWS4" + creds.secretAccessKey).getBytes(UTF_8), dateStamp)
+    val kSigning = hmac(hmac(hmac(kDate, region), service), "aws4_request")
+    val signature = hmac(kSigning, stringToSign).map("%02x".format(_)).mkString
+    canonicalQuery(fullQuery) + s"&X-Amz-Signature=$signature"
+  }
+
   /** Server-side verification (what the in-process AWS test double
     * does, and what AWS itself does): recompute the signature from the
     * received request pieces and the account's secret; constant-time

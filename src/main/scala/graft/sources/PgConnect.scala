@@ -167,4 +167,81 @@ object PgConnect {
     * (`SetQueryTextStatementTimeout`, default 120 s). */
   def queryTextStatementTimeoutMs(grantValue: Int): Int =
     if (grantValue == 0) 120000 else grantValue
+
+  // ------------------------------------------------------ IAM auth
+  // `input/postgres/iam_connection.go:20-89` — the DbUseIamAuth path:
+  // on RDS the password becomes a 15-minute SigV4-presigned rds-db
+  // connect token; on Cloud SQL/AlloyDB the host becomes the
+  // connector's instance path and sslmode is forced to disable (the
+  // connector does its own mTLS).
+
+  final case class IamParams(
+      driverName: String = "postgres",
+      hostOverride: String = "",
+      passwordOverride: String = "",
+      sslmodeOverride: String = "")
+
+  /** `rdsauth.BuildAuthToken`: a presigned `GET host:port/?Action=
+    * connect&DBUser=user` valid 900 s, returned WITHOUT the scheme —
+    * used verbatim as the libpq password. */
+  def rdsAuthToken(creds: AwsSigV4.Credentials, region: String,
+      host: String, port: Int, user: String, amzDate: String): String = {
+    val endpoint = s"$host:$port"
+    val qs = AwsSigV4.presignQuery(creds, region, "rds-db", amzDate,
+      expiresSecs = 900L, method = "GET", host = endpoint, path = "/",
+      query = Seq("Action" -> "connect", "DBUser" -> user),
+      payloadHash = AwsSigV4.sha256Hex(Array.emptyByteArray))
+    s"$endpoint/?$qs"
+  }
+
+  final case class GcpIamConfig(
+      projectId: String = "", region: String = "",
+      cloudSqlInstanceId: String = "",
+      alloyDbClusterId: String = "", alloyDbInstanceId: String = "",
+      usePsc: Boolean = false, usePublicIp: Boolean = false)
+
+  /** `getIamConnectionParams` (`iam_connection.go:26-89`): the
+    * system-type switch with the reference's driver-name matrix and
+    * error surfaces. The RDS token builder is injected (it needs
+    * credentials + clock). */
+  def iamConnectionParams(systemType: String,
+      rdsToken: () => String = () => "",
+      gcp: GcpIamConfig = GcpIamConfig()): Either[String, IamParams] =
+    systemType match {
+      case "amazon_rds" =>
+        Right(IamParams(driverName = "postgres",
+          passwordOverride = rdsToken()))
+      case "google_cloudsql" =>
+        if (gcp.projectId.isEmpty || gcp.region.isEmpty)
+          Left("To use IAM auth with Google Cloud SQL or AlloyDB, you " +
+            "must specify project ID and region in the configuration")
+        else if (gcp.cloudSqlInstanceId.nonEmpty)
+          Right(IamParams(
+            driverName =
+              if (gcp.usePsc) "cloudsql-postgres-psc"
+              else if (gcp.usePublicIp) "cloudsql-postgres-public"
+              else "cloudsql-postgres",
+            hostOverride = Seq(gcp.projectId, gcp.region,
+              gcp.cloudSqlInstanceId).mkString(":"),
+            // the connector does its own mTLS → sslmode disable
+            sslmodeOverride = "disable"))
+        else if (gcp.alloyDbClusterId.nonEmpty && gcp.alloyDbInstanceId.nonEmpty)
+          Right(IamParams(
+            driverName =
+              if (gcp.usePsc) "alloydb-postgres-psc"
+              else if (gcp.usePublicIp) "alloydb-postgres-public"
+              else "alloydb-postgres",
+            hostOverride = s"projects/${gcp.projectId}/locations/" +
+              s"${gcp.region}/clusters/${gcp.alloyDbClusterId}/instances/" +
+              s"${gcp.alloyDbInstanceId}",
+            sslmodeOverride = "disable"))
+        else
+          Left("To use IAM auth with either Google Cloud SQL or AlloyDB, " +
+            "you must specify instance ID (CloudSQL) or cluster ID and " +
+            "instance ID (AlloyDB) in the configuration")
+      case _ =>
+        Left("IAM auth is only supported for Amazon RDS, Aurora, Google " +
+          "Cloud SQL, and Google AlloyDB - turn off IAM auth setting to " +
+          "use password-based authentication")
+    }
 }

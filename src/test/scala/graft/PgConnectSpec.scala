@@ -109,4 +109,34 @@ class PgConnectSpec extends AnyFunSuite {
     assert(PgConnect.queryTextStatementTimeoutMs(0) == 120000)
     assert(PgConnect.queryTextStatementTimeoutMs(240000) == 240000)
   }
+
+  test("IAM auth params: the getIamConnectionParams system-type matrix") {
+    import PgConnect.{iamConnectionParams, GcpIamConfig, IamParams}
+    // RDS: password becomes the presigned token, driver stays postgres
+    assert(iamConnectionParams("amazon_rds", rdsToken = () => "tok123") ==
+      Right(IamParams(driverName = "postgres", passwordOverride = "tok123")))
+    // Cloud SQL: driver by psc/public flags, host = project:region:instance,
+    // sslmode forced to disable (the connector does its own mTLS)
+    val g = GcpIamConfig(projectId = "p", region = "r", cloudSqlInstanceId = "i")
+    assert(iamConnectionParams("google_cloudsql", gcp = g) ==
+      Right(IamParams("cloudsql-postgres", "p:r:i", "", "disable")))
+    assert(iamConnectionParams("google_cloudsql", gcp = g.copy(usePsc = true))
+      .toOption.get.driverName == "cloudsql-postgres-psc")
+    assert(iamConnectionParams("google_cloudsql",
+      gcp = g.copy(usePublicIp = true))
+      .toOption.get.driverName == "cloudsql-postgres-public")
+    // AlloyDB: instance-path host
+    val a = GcpIamConfig(projectId = "p", region = "r",
+      alloyDbClusterId = "c", alloyDbInstanceId = "i")
+    assert(iamConnectionParams("google_cloudsql", gcp = a) ==
+      Right(IamParams("alloydb-postgres",
+        "projects/p/locations/r/clusters/c/instances/i", "", "disable")))
+    // error surfaces (iam_connection.go:29-33,58-62,84-88)
+    assert(iamConnectionParams("google_cloudsql",
+      gcp = GcpIamConfig(projectId = "p", region = "r")).isLeft)
+    assert(iamConnectionParams("google_cloudsql",
+      gcp = GcpIamConfig(cloudSqlInstanceId = "i")).isLeft)
+    assert(iamConnectionParams("self_hosted").left.exists(
+      _.contains("IAM auth is only supported")))
+  }
 }
