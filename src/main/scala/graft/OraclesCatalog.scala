@@ -108,7 +108,67 @@ object OraclesCatalog {
        |FROM a""".stripMargin
   }
 
+  /** Mirrors QueriesConfig.helperInstallSql: DuckDB rebuilds the
+    * collected-database list (db_name=* filters template / no-conn /
+    * cloud-internal rows; explicit mode lists primary+extras verbatim),
+    * the effective usernames (URL userinfo, supabase/planetscale
+    * suffix stripping — pre-resolved to their constant results here,
+    * the same way other oracles pin synthesis formulas), and the psql
+    * script sections byte-for-byte, including QuoteIdentifier's
+    * quote-doubling. The helper-function bodies are injected as
+    * dollar-quoted literals from the SAME contract constants the
+    * engine emits ([[graft.sources.HelperSql]]) — the oracle's job is
+    * the assembly, filtering, and quoting logic around them. */
+  private def helperInstallSqlOracle: String = {
+    import graft.sources.HelperSql
+    val cs = "$cs$" + HelperSql.GetColumnStatsHelper + "$cs$"
+    val es = "$es$" + HelperSql.GetRelationStatsExtHelper + "$es$"
+    val ea = "$ea$" + HelperSql.ExplainAnalyzeHelper + "$ea$"
+    """WITH n AS (
+      |  SELECT n_nationkey AS k,
+      |    CASE WHEN n_nationkey % 10 = 0 THEN lower(n_name) || '"x'
+      |         ELSE lower(n_name) END AS db,
+      |    n_regionkey AS r
+      |  FROM nation),
+      |regions AS (SELECT DISTINCT n_regionkey AS r FROM nation),
+      |cfg AS (
+      |  SELECT r,
+      |    CASE r WHEN 0 THEN 'amazon_rds' WHEN 1 THEN 'azure_database'
+      |      WHEN 2 THEN 'google_cloudsql' WHEN 3 THEN 'supabase'
+      |      ELSE 'planetscale' END AS system_type,
+      |    CASE r WHEN 1 THEN 'urluser' WHEN 3 THEN 'monitor'
+      |      WHEN 4 THEN 'role.v1' ELSE 'pganalyze_monitor' END AS eff
+      |  FROM regions),
+      |collected AS (
+      |  SELECT r, db FROM n WHERE r % 2 = 0 AND k % 7 <> 0 AND k % 6 <> 3
+      |  UNION ALL
+      |  SELECT r, 'rdsadmin' FROM regions WHERE r % 2 = 0 AND r <> 0
+      |  UNION ALL
+      |  SELECT r, 'main_r' || r FROM regions WHERE r % 2 = 1
+      |  UNION ALL
+      |  SELECT r, e FROM regions, (VALUES ('extra1'), ('extra2')) t(e)
+      |  WHERE r % 2 = 1)
+      |SELECT c.r AS region_key, cfg.system_type, cfg.eff AS effective_user,
+      |  c.db AS dbname,
+      |  '\c "' || replace(c.db, '"', '""') || '"' || chr(10) ||
+      |  'CREATE SCHEMA IF NOT EXISTS pganalyze;' || chr(10) ||
+      |  'GRANT USAGE ON SCHEMA pganalyze TO "' || cfg.eff || '";' || chr(10) ||
+      |  CS_BODY || chr(10) || ES_BODY || chr(10) || chr(10) AS stats_sql,
+      |  '\c "' || replace(c.db, '"', '""') || '"' || chr(10) ||
+      |  'CREATE SCHEMA IF NOT EXISTS pganalyze;' || chr(10) ||
+      |  'GRANT USAGE ON SCHEMA pganalyze TO "' || cfg.eff || '";' || chr(10) ||
+      |  'GRANT CREATE ON SCHEMA pganalyze TO "pganalyze_explain";' || chr(10) ||
+      |  'SET ROLE "pganalyze_explain";' || chr(10) ||
+      |  EA_BODY || chr(10) ||
+      |  'RESET ROLE;' || chr(10) ||
+      |  'REVOKE CREATE ON SCHEMA pganalyze FROM "pganalyze_explain";' ||
+      |  chr(10) || chr(10) AS explain_sql
+      |FROM collected c JOIN cfg ON cfg.r = c.r""".stripMargin
+      .replace("CS_BODY", cs).replace("ES_BODY", es).replace("EA_BODY", ea)
+  }
+
   val sql: Map[String, String] = Map(
+    "helper_install_sql" -> helperInstallSqlOracle,
     "setup_recommendations" -> setupRecommendations,
     "s34_rds_enhanced" -> s34RdsEnhanced,
     "s34_provider_metrics" -> s34ProviderMetrics,

@@ -447,4 +447,68 @@ object QueriesConfig {
     staged.withColumn("server_id", col("pk"))
       .select(SetupRules.outCols.map(col): _*)
   }
+
+  /** Helper-install SQL generation under the gate
+    * ([[graft.sources.HelperSql]], `runner/generate_helper_sql.go`):
+    * each region plays one monitored server (system type, username
+    * shape, and db_name mode derived from the region key), the
+    * region's nations play its `pg_database` rows, and the output is
+    * one row per COLLECTED database with the exact psql script
+    * sections both generators would emit. The oracle rebuilds the
+    * same strings in SQL — a quoting slip, a wrong
+    * GetDatabasesToCollect filter (template / !allowconn /
+    * cloud-internal), or a username-suffix mistake all hash-fail.
+    * Like config entries, this is an inherently driver-side document:
+    * the input is the 25-row nation table at every SF. */
+  def helperInstallSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.HelperSql
+    import graft.sources.HelperSql.PgDatabase
+    val nations = Tables.nation(s, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1).toLowerCase, r.getInt(2)))
+      .sortBy(_._1)
+
+    def systemType(r: Int): String = r match {
+      case 0 => "amazon_rds"
+      case 1 => "azure_database"
+      case 2 => "google_cloudsql"
+      case 3 => "supabase"
+      case _ => "planetscale"
+    }
+    // a db name with an embedded quote exercises QuoteIdentifier
+    // doubling (k=10,20 survive the filters in region 0)
+    def dbNameOf(k: Int, name: String): String =
+      if (k % 10 == 0) name + "\"x" else name
+
+    val rows = nations.map(_._3).distinct.sorted.flatMap { r =>
+      val sysT = systemType(r)
+      // pg_database as the collector sees it; an appended rdsadmin is
+      // cloud-internal ONLY for amazon_rds (r=0) — collected elsewhere.
+      // The mod grid cross-cuts regionkey = k%5 so every region keeps
+      // collected rows AND every filter branch drops at least one.
+      val dbs = nations.collect { case (k, name, `r`) =>
+        PgDatabase(dbNameOf(k, name), k % 7 == 0, k % 6 != 3)
+      } :+ PgDatabase("rdsadmin", isTemplate = false, allowConnections = true)
+      val (url, userField) = r match {
+        case 1 => ("postgres://urluser:pw@h:5432/d", "ignored_field")
+        case 3 => ("", "monitor.abcdef")       // supabase pooler suffix
+        case 4 => ("", "role.v1.branch|route") // planetscale role.branch|route
+        case _ => ("", "pganalyze_monitor")
+      }
+      val eff = HelperSql.effectiveDbUsername(sysT, url, userField)
+      val collected = HelperSql.databasesToCollect(
+        dbAllNames = r % 2 == 0, dbName = s"main_r$r",
+        dbExtraNames = Seq("extra1", "extra2"), systemType = sysT,
+        databases = dbs)
+      collected.map { db =>
+        (r, sysT, eff, db,
+          HelperSql.statsHelperSection(db, eff),
+          HelperSql.explainAnalyzeHelperSection(db, eff, "pganalyze_explain"))
+      }
+    }
+    rows.toSeq.toDF("region_key", "system_type", "effective_user",
+      "dbname", "stats_sql", "explain_sql")
+  }
 }

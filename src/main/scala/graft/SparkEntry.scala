@@ -87,6 +87,8 @@ object SparkEntry {
     // by the driver-side reader, duplicate identities flagged
     "config_read_ini" -> (QueriesConfig.configReadIni _),
     "setup_recommendations" -> (QueriesConfig.setupRecommendations _),
+    // --generate-stats-helper-sql / --generate-explain-analyze-helper-sql
+    "helper_install_sql" -> (QueriesConfig.helperInstallSql _),
     "system_identify" -> (QueriesConfig.systemIdentify _),
     "j12_blocking_chains" -> (QueriesCatalog.j12BlockingChains _),
     "d2_plan_stats_diff" -> (QueriesCatalog.d2PlanStatsDiff _),

@@ -1,0 +1,259 @@
+package graft.sources
+
+/** Helper-function installation SQL — the collector's
+  * `--generate-stats-helper-sql` / `--generate-explain-analyze-helper-sql`
+  * CLI surface (`runner/generate_helper_sql.go:14-65`): for every
+  * database the config says to collect, emit a psql script section that
+  * connects, creates the `pganalyze` schema, grants usage to the
+  * monitoring user, and (re)defines the SECURITY DEFINER helper
+  * functions whose bodies are the byte-exact contract text from
+  * `util/helpers/ *.sql` (embedded via `util/sql_helpers.go`).
+  *
+  * Everything here is driver-side string assembly — the output IS a SQL
+  * document a human pipes into psql as a superuser; there is nothing to
+  * distribute.
+  */
+object HelperSql {
+
+  // ---------------------------------------------------------- quoting
+
+  /** `pq.QuoteIdentifier`: truncate at the first NUL, double any
+    * embedded double quote, wrap in double quotes. */
+  def quoteIdentifier(name: String): String = {
+    val end = name.indexOf('\u0000')
+    val n = if (end > -1) name.substring(0, end) else name
+    "\"" + n.replace("\"", "\"\"") + "\""
+  }
+
+  // ----------------------------------------------- databases to collect
+
+  /** One row of `pg_database` as the collector sees it
+    * (`state/postgres_database.go`). */
+  final case class PgDatabase(name: String, isTemplate: Boolean,
+      allowConnections: Boolean)
+
+  /** `input/postgres/schema.go:21-31` — provider-managed internal
+    * databases the collector never connects to. */
+  def isCloudInternalDatabase(systemType: String, databaseName: String): Boolean =
+    systemType match {
+      case "amazon_rds"      => databaseName == "rdsadmin"
+      case "azure_database"  => databaseName == "azure_maintenance"
+      case "google_cloudsql" => databaseName == "cloudsqladmin"
+      case _                 => false
+    }
+
+  /** `GetDatabasesToCollect` (`input/postgres/schema.go:34-47`):
+    * `db_name = *` (dbAllNames) collects every connectable
+    * non-template non-cloud-internal database; otherwise the primary
+    * name plus the extra names, verbatim (no existence check). */
+  def databasesToCollect(dbAllNames: Boolean, dbName: String,
+      dbExtraNames: Seq[String], systemType: String,
+      databases: Seq[PgDatabase]): Seq[String] =
+    if (dbAllNames)
+      databases.collect {
+        case d if !d.isTemplate && d.allowConnections &&
+            !isCloudInternalDatabase(systemType, d.name) => d.name
+      }
+    else dbName +: dbExtraNames
+
+  // ------------------------------------------------- effective username
+
+  /** PlanetScale usernames are `<role>.<branch>|<route>`; strip from
+    * the END (role names are user-supplied and may contain dots)
+    * (`config/config.go:530-542`). */
+  def extractPlanetScaleUsername(username: String): String = {
+    val afterRoute = {
+      val i = username.lastIndexOf('|')
+      if (i > 0) username.substring(0, i) else username
+    }
+    val i = afterRoute.lastIndexOf('.')
+    if (i > 0) afterRoute.substring(0, i) else afterRoute
+  }
+
+  /** Supabase pooler usernames are `<user>.<project-ref>`
+    * (`config/managed_platforms.go:48-53`). */
+  def extractSupabaseUsername(username: String): String = {
+    val i = username.lastIndexOf('.')
+    if (i > 0) username.substring(0, i) else username
+  }
+
+  /** `GetDbUsername` (`config/config.go:481-493`): the URL's userinfo
+    * wins over the field; an unparseable URL yields "". */
+  def dbUsername(dbUrl: String, dbUsernameField: String): String =
+    if (dbUrl.nonEmpty) {
+      try {
+        val u = new java.net.URI(dbUrl)
+        val info = u.getUserInfo
+        if (info == null) ""
+        else {
+          val i = info.indexOf(':')
+          if (i >= 0) info.substring(0, i) else info
+        }
+      } catch { case _: Exception => "" }
+    } else dbUsernameField
+
+  /** `GetEffectiveDbUsername` (`config/config.go:499-508`): undo the
+    * intermediary-proxy suffixes so the GRANT targets the real role. */
+  def effectiveDbUsername(systemType: String, dbUrl: String,
+      dbUsernameField: String): String = {
+    val u = dbUsername(dbUrl, dbUsernameField)
+    systemType match {
+      case "planetscale" => extractPlanetScaleUsername(u)
+      case "supabase"    => extractSupabaseUsername(u)
+      case _             => u
+    }
+  }
+
+  // --------------------------------------------------- helper bodies
+  // Byte-exact contract text (`util/helpers/ *.sql`, embedded by
+  // `util/sql_helpers.go`) — the emitted script must define exactly
+  // these functions or the catalog readers' helper-schema slots
+  // (`CatalogJdbc.statementSourceTable` etc.) query a different shape.
+  // Each constant includes the source file's trailing newline.
+
+  val GetColumnStatsHelper: String =
+    """DROP FUNCTION IF EXISTS pganalyze.get_column_stats;
+      |CREATE FUNCTION pganalyze.get_column_stats() RETURNS TABLE(
+      |  schemaname name, tablename name, attname name, inherited bool, null_frac real, avg_width int, n_distinct real, correlation real
+      |) AS $$
+      |  /* pganalyze-collector */
+      |  SELECT schemaname, tablename, attname, inherited, null_frac, avg_width, n_distinct, correlation
+      |  FROM pg_catalog.pg_stats
+      |  WHERE schemaname NOT IN ('pg_catalog', 'information_schema') AND tablename <> 'pg_subscription';
+      |$$ LANGUAGE sql VOLATILE SECURITY DEFINER;
+      |""".stripMargin
+
+  val GetRelationStatsExtHelper: String =
+    """DROP FUNCTION IF EXISTS pganalyze.get_relation_stats_ext;
+      |CREATE FUNCTION pganalyze.get_relation_stats_ext() RETURNS TABLE(
+      |  statistics_schemaname text, statistics_name text,
+      |  inherited boolean, n_distinct pg_ndistinct, dependencies pg_dependencies,
+      |  most_common_val_nulls boolean[], most_common_freqs float8[], most_common_base_freqs float8[]
+      |) AS
+      |$$
+      |  /* pganalyze-collector */ SELECT statistics_schemaname::text, statistics_name::text,
+      |  (row_to_json(se.*)::jsonb ->> 'inherited')::boolean AS inherited, n_distinct, dependencies,
+      |  most_common_val_nulls, most_common_freqs, most_common_base_freqs
+      |  FROM pg_catalog.pg_stats_ext se
+      |  WHERE schemaname NOT IN ('pg_catalog', 'information_schema') AND tablename <> 'pg_subscription';
+      |$$ LANGUAGE sql VOLATILE SECURITY DEFINER;
+      |""".stripMargin
+
+  val GetStatStatementsHelper: String =
+    """DROP FUNCTION IF EXISTS pganalyze.get_stat_statements;
+      |CREATE FUNCTION pganalyze.get_stat_statements(showtext boolean = true) RETURNS SETOF pg_stat_statements AS
+      |$$
+      |    /* pganalyze-collector */ SELECT * FROM public.pg_stat_statements(showtext);
+      |$$ LANGUAGE sql VOLATILE SECURITY DEFINER;
+      |""".stripMargin
+
+  /** The EXPLAIN ANALYZE runner function (`util/helpers/explain_analyze.sql`):
+    * refuses superuser-owned installs, refuses multi-statement queries
+    * and malformed flags, PREPAREs with quoted param types, EXECUTEs
+    * under `EXPLAIN (VERBOSE, FORMAT JSON, <flags>)` in a read-only
+    * transaction, and always DEALLOCATEs. */
+  val ExplainAnalyzeHelper: String =
+    """CREATE OR REPLACE FUNCTION pganalyze.explain_analyze(query text, params text[], param_types text[], analyze_flags text[]) RETURNS text AS $$
+      |DECLARE
+      |  prepared_query text;
+      |  params_str text;
+      |  param_types_str text;
+      |  explain_prefix text;
+      |  explain_flag text;
+      |  result text;
+      |BEGIN
+      |  SET TRANSACTION READ ONLY;
+      |
+      |  PERFORM 1 FROM pg_roles WHERE (rolname = current_user AND rolsuper) OR (pg_has_role(oid, 'MEMBER') AND rolname IN ('rds_superuser', 'azure_pg_admin', 'cloudsqlsuperuser'));
+      |  IF FOUND THEN
+      |    RAISE EXCEPTION 'cannot run: pganalyze.explain_analyze helper is owned by superuser - recreate function with lesser privileged user';
+      |  END IF;
+      |
+      |  SELECT pg_catalog.regexp_replace(query, ';+\s*\Z', '') INTO prepared_query;
+      |  IF prepared_query LIKE '%;%' THEN
+      |    RAISE EXCEPTION 'cannot run pganalyze.explain_analyze helper with a multi-statement query';
+      |  END IF;
+      |
+      |  explain_prefix := 'EXPLAIN (VERBOSE, FORMAT JSON';
+      |  FOR explain_flag IN SELECT * FROM unnest(analyze_flags)
+      |  LOOP
+      |    IF explain_flag NOT SIMILAR TO '[A-z_ ]+' THEN
+      |      RAISE EXCEPTION 'cannot run pganalyze.explain_analyze helper with invalid flag';
+      |    END IF;
+      |    explain_prefix := explain_prefix || ', ' || explain_flag;
+      |  END LOOP;
+      |  explain_prefix := explain_prefix || ') ';
+      |
+      |  IF cardinality(params) > 0 THEN
+      |    SELECT '(' || pg_catalog.array_to_string(
+      |      ARRAY(
+      |        SELECT pg_catalog.quote_literal(p)
+      |        FROM pg_catalog.unnest(params) _(p)
+      |      ),
+      |      ',',
+      |      'NULL'
+      |    ) || ')' INTO params_str;
+      |  ELSE
+      |    SELECT '' INTO params_str;
+      |  END IF;
+      |  SELECT COALESCE('(' || pg_catalog.string_agg(
+      |    CASE
+      |      WHEN p ~ '^[a-z_][a-z0-9_]*(\[\])?$' THEN p
+      |      ELSE pg_catalog.quote_ident(p)
+      |    END,
+      |    ','
+      |  ) || ')', '') FROM pg_catalog.unnest(param_types) _(p) INTO param_types_str;
+      |
+      |  EXECUTE 'PREPARE pganalyze_explain_analyze ' || param_types_str || ' AS ' || prepared_query;
+      |  BEGIN
+      |    EXECUTE explain_prefix || 'EXECUTE pganalyze_explain_analyze' || params_str INTO STRICT result;
+      |  EXCEPTION WHEN QUERY_CANCELED OR OTHERS THEN
+      |    DEALLOCATE pganalyze_explain_analyze;
+      |    RAISE;
+      |  END;
+      |  DEALLOCATE pganalyze_explain_analyze;
+      |
+      |  RETURN result;
+      |END
+      |$$ LANGUAGE plpgsql VOLATILE SECURITY DEFINER;
+      |""".stripMargin
+
+  // ----------------------------------------------------- script assembly
+
+  /** One database's section of the stats-helper install script
+    * (`generate_helper_sql.go:26-34`). */
+  def statsHelperSection(dbName: String, effectiveUser: String): String =
+    s"\\c ${quoteIdentifier(dbName)}\n" +
+      "CREATE SCHEMA IF NOT EXISTS pganalyze;\n" +
+      s"GRANT USAGE ON SCHEMA pganalyze TO ${quoteIdentifier(effectiveUser)};\n" +
+      GetColumnStatsHelper + "\n" +
+      GetRelationStatsExtHelper + "\n" +
+      "\n"
+
+  /** One database's section of the explain-analyze-helper install
+    * script (`generate_helper_sql.go:52-63`): the helper is created AS
+    * the lesser-privileged role (SET ROLE), which gets CREATE on the
+    * schema only for the duration. */
+  def explainAnalyzeHelperSection(dbName: String, effectiveUser: String,
+      helperRole: String): String =
+    s"\\c ${quoteIdentifier(dbName)}\n" +
+      "CREATE SCHEMA IF NOT EXISTS pganalyze;\n" +
+      s"GRANT USAGE ON SCHEMA pganalyze TO ${quoteIdentifier(effectiveUser)};\n" +
+      s"GRANT CREATE ON SCHEMA pganalyze TO ${quoteIdentifier(helperRole)};\n" +
+      s"SET ROLE ${quoteIdentifier(helperRole)};\n" +
+      ExplainAnalyzeHelper + "\n" +
+      "RESET ROLE;\n" +
+      s"REVOKE CREATE ON SCHEMA pganalyze FROM ${quoteIdentifier(helperRole)};\n" +
+      "\n"
+
+  /** `GenerateStatsHelperSql`: the full script over the collected
+    * database list. */
+  def statsHelperSql(dbNames: Seq[String], effectiveUser: String): String =
+    dbNames.map(statsHelperSection(_, effectiveUser)).mkString
+
+  /** `GenerateExplainAnalyzeHelperSql`. */
+  def explainAnalyzeHelperSql(dbNames: Seq[String], effectiveUser: String,
+      helperRole: String): String =
+    dbNames.map(explainAnalyzeHelperSection(_, effectiveUser, helperRole))
+      .mkString
+}
