@@ -902,13 +902,18 @@ object QueriesLog {
     * ([[graft.sources.RdsLogs.Endpoint]]), downloaded by the real
     * signed query-protocol client with the reference's pagination
     * (Marker / AdditionalDataPending, `logs.go:78-105`), then split
-    * distributed. Also asserted in-entry: wrong credentials are
-    * REFUSED by server-side signature verification, marker resume
-    * re-downloads nothing, and the stale file (older than the
-    * FileLastWritten floor) is not listed. The oracle re-derives every
-    * (file, line_idx, line) from the events formulas. */
+    * distributed. Credentials run the reference's FULL chain
+    * (`awsutil/amazon.go:20-106`): shared-credentials-file profile →
+    * `AssumeRole` against a SigV4-verifying STS double → temporary
+    * key + session token signing every RDS call. Also asserted
+    * in-entry: a wrong secret is SignatureDoesNotMatch, a session
+    * token STS never issued is InvalidClientTokenId, an untrusted
+    * role is AccessDenied, marker resume re-downloads nothing, and
+    * the stale file (older than the FileLastWritten floor) is not
+    * listed. The oracle re-derives every (file, line_idx, line) from
+    * the events formulas. */
   def s32RdsLive(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.{AwsSigV4, RdsLogs}
+    import graft.sources.{AwsCredentials, AwsSigV4, AwsSts, RdsLogs}
     val lines = LogSynth.renderedLines(s, dir)
       .filter(col("event_id") < 3000)
       .select((col("event_id") % 3).cast("int").as("fidx"),
@@ -922,23 +927,63 @@ object QueriesLog {
           (1700000000000L, r.getSeq[String](1).toVector)
       }.toMap
     val creds = AwsSigV4.Credentials("AKIDGRAFT", "graft-secret-key")
+    // the full reference chain (`awsutil/amazon.go:20-106`): base
+    // credentials from the shared-credentials-file profile, then
+    // aws_assume_role through a SigV4-verifying STS, then every RDS
+    // call signed with the TEMPORARY secret + session token
+    val sts = new AwsSts.Endpoint("us-east-1",
+      accounts = Map(creds.accessKeyId -> creds.secretAccessKey),
+      trustedRoles = Set("arn:aws:iam::111122223333:role/graft-monitoring"))
     val ep = new RdsLogs.Endpoint(creds, "us-east-1",
       fileMap + ("error/postgresql.log.stale" -> (5L, Vector("old"))),
-      pageSize = 400)
+      pageSize = 400, tempCreds = sts.issued)
     val spool = java.nio.file.Files.createTempDirectory("graft_rds_live")
     try {
-      // refusal surface: a wrong secret fails server-side verification
-      val bad = new RdsLogs.Client(ep.url, ep.host, "us-east-1",
-        AwsSigV4.Credentials("AKIDGRAFT", "wrong-secret"),
+      val stsClient = new AwsSts.Client(sts.url, sts.host, "us-east-1",
         () => "20240101T000000Z")
+      // untrusted role ARN is AccessDenied at STS
+      require(stsClient.assumeRole(
+        AwsCredentials.Creds(creds.accessKeyId, creds.secretAccessKey),
+        "arn:aws:iam::111122223333:role/other", "graft")
+        .left.exists(_.contains("AccessDenied")),
+        "untrusted role must be denied")
+      val shared =
+        s"""[graft]
+           |aws_access_key_id = ${creds.accessKeyId}
+           |aws_secret_access_key = ${creds.secretAccessKey}
+           |""".stripMargin
+      val temp = AwsCredentials.resolve(
+        cfgAccessKeyId = "", cfgSecretAccessKey = "",
+        webIdentityTokenFile = "", roleArn = "",
+        assumeRole = "arn:aws:iam::111122223333:role/graft-monitoring",
+        env = Map("AWS_PROFILE" -> "graft"), sharedFile = Some(shared),
+        assumeRoleCall = (c, arn) => stsClient.assumeRole(c, arn, "graft"))
+        .fold(e => throw new IllegalStateException(e), identity)
+      require(temp.sessionToken.nonEmpty && temp.accessKeyId != creds.accessKeyId,
+        "AssumeRole must return distinct temporary credentials")
+      // refusal surfaces: a wrong temp secret fails signature
+      // verification; a forged session token is InvalidClientTokenId
+      val bad = new RdsLogs.Client(ep.url, ep.host, "us-east-1",
+        AwsSigV4.Credentials(temp.accessKeyId, "wrong-secret"),
+        () => "20240101T000000Z", sessionToken = temp.sessionToken)
       val refused =
         try { bad.describeDbLogFiles("db-GRAFT", 0L); false }
         catch { case e: IllegalArgumentException =>
           e.getMessage.contains("403") &&
             e.getMessage.contains("SignatureDoesNotMatch") }
       require(refused, "bad credentials must be refused")
-      val c = new RdsLogs.Client(ep.url, ep.host, "us-east-1", creds,
-        () => "20240101T000000Z")
+      val forged = new RdsLogs.Client(ep.url, ep.host, "us-east-1",
+        temp.toSigV4, () => "20240101T000000Z",
+        sessionToken = "graft-session-token-FORGED")
+      val forgedRefused =
+        try { forged.describeDbLogFiles("db-GRAFT", 0L); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("403") &&
+            e.getMessage.contains("InvalidClientTokenId") }
+      require(forgedRefused, "an unissued session token must be refused")
+      val c = new RdsLogs.Client(ep.url, ep.host, "us-east-1",
+        temp.toSigV4, () => "20240101T000000Z",
+        sessionToken = temp.sessionToken)
       // FileLastWritten floor: the stale file must not be listed
       val (files, markers) =
         RdsLogs.downloadLogFiles(c, "db-GRAFT", Map.empty,
@@ -956,7 +1001,7 @@ object QueriesLog {
         java.nio.file.Files.write(spool.resolve(s"rds-$idx.body"),
           content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
-    } finally ep.stop()
+    } finally { ep.stop(); sts.stop() }
     val out = s.read.option("wholetext", "true")
       .option("pathGlobFilter", "*.body").text(spool.toString)
       .select(

@@ -1,0 +1,131 @@
+package graft.sources
+
+/** AWS credential resolution — the chain `GetAwsConfig` delegates to
+  * the SDK for (`util/awsutil/amazon.go:20-106`), re-expressed over
+  * the PUBLIC formats and precedence rules the SDK documents:
+  *
+  *  1. static config credentials win when FULLY configured (both key
+  *     id and secret — `amazon.go:73-78`);
+  *  2. otherwise the default chain: environment variables →
+  *     shared credentials file (profile from `AWS_PROFILE`, else
+  *     `default`) → EC2 IMDS (injected — the reference gives it a
+  *     dedicated fail-fast HTTP client, `amazon.go:62-69`);
+  *  3. then role providers layer ON TOP (`amazon.go:85-103`): a web
+  *     identity token + role ARN exchanges through
+  *     `AssumeRoleWithWebIdentity`, and `aws_assume_role` runs
+  *     `AssumeRole` with whatever the previous step produced.
+  *
+  * The STS calls themselves live in [[AwsSts]]; this module is the
+  * pure resolution logic, driven entirely by injected inputs so specs
+  * pin every branch. */
+object AwsCredentials {
+
+  /** Resolved credentials; `sessionToken` is non-empty only for
+    * temporary (STS/IMDS) credentials and rides as the
+    * `X-Amz-Security-Token` signed header. */
+  final case class Creds(accessKeyId: String, secretAccessKey: String,
+      sessionToken: String = "") {
+    def toSigV4: AwsSigV4.Credentials =
+      AwsSigV4.Credentials(accessKeyId, secretAccessKey)
+  }
+
+  // ------------------------------------------- shared credentials file
+
+  /** The `~/.aws/credentials` INI dialect: `[profile]` headers are
+    * bare names (the `profile ` prefix belongs to the CONFIG file, not
+    * this one), `key = value` pairs, `#`/`;` comments, keys
+    * case-insensitive (lowered here). */
+  def parseSharedCredentials(content: String): Map[String, Map[String, String]] = {
+    var current = ""
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[String, String]]
+    content.linesIterator.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#") && !line.startsWith(";")) {
+        if (line.startsWith("[") && line.endsWith("]")) {
+          current = line.substring(1, line.length - 1).trim
+          if (!out.contains(current)) out(current) = Map.empty
+        } else if (current.nonEmpty) {
+          val i = line.indexOf('=')
+          if (i > 0) {
+            val k = line.substring(0, i).trim.toLowerCase
+            val v = line.substring(i + 1).trim
+            out(current) = out(current) + (k -> v)
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** One profile's credentials from a parsed shared file; both the key
+    * id and secret must be present. */
+  def fromSharedFile(content: String, profile: String): Option[Creds] =
+    parseSharedCredentials(content).get(profile).flatMap { kv =>
+      for {
+        id <- kv.get("aws_access_key_id") if id.nonEmpty
+        secret <- kv.get("aws_secret_access_key") if secret.nonEmpty
+      } yield Creds(id, secret, kv.getOrElse("aws_session_token", ""))
+    }
+
+  /** Environment-variable provider: `AWS_ACCESS_KEY_ID` +
+    * `AWS_SECRET_ACCESS_KEY` (+ optional `AWS_SESSION_TOKEN`). */
+  def fromEnv(env: Map[String, String]): Option[Creds] =
+    for {
+      id <- env.get("AWS_ACCESS_KEY_ID") if id.nonEmpty
+      secret <- env.get("AWS_SECRET_ACCESS_KEY") if secret.nonEmpty
+    } yield Creds(id, secret, env.getOrElse("AWS_SESSION_TOKEN", ""))
+
+  /** The SDK default chain: env → shared file (profile from
+    * `AWS_PROFILE`, else `default`) → IMDS. */
+  def defaultChain(env: Map[String, String],
+      sharedFile: Option[String],
+      imds: () => Option[Creds] = () => None): Either[String, Creds] = {
+    val profile = env.getOrElse("AWS_PROFILE", "default")
+    fromEnv(env)
+      .orElse(sharedFile.flatMap(fromSharedFile(_, profile)))
+      .orElse(imds())
+      .toRight("no EC2 IMDS role found")
+  }
+
+  /** `GetAwsConfig`'s base-credential rule (`amazon.go:73-78`): static
+    * credentials take precedence only when both pieces are set. */
+  def baseCredentials(cfgAccessKeyId: String, cfgSecretAccessKey: String,
+      env: Map[String, String], sharedFile: Option[String],
+      imds: () => Option[Creds] = () => None): Either[String, Creds] =
+    if (cfgAccessKeyId.nonEmpty && cfgSecretAccessKey.nonEmpty)
+      Right(Creds(cfgAccessKeyId, cfgSecretAccessKey))
+    else defaultChain(env, sharedFile, imds)
+
+  /** The role-provider layering (`amazon.go:85-103`). `assumeRole` and
+    * `assumeRoleWithWebIdentity` are injected so the spec can script
+    * them and the live path can point them at [[AwsSts.Client]]:
+    *
+    *  - web identity file + role ARN → the web-identity exchange
+    *    REPLACES the base credentials, and a configured
+    *    `aws_assume_role` then chains `AssumeRole` on top of the
+    *    exchanged credentials;
+    *  - otherwise `aws_assume_role` alone runs `AssumeRole` with the
+    *    base credentials. */
+  def resolve(cfgAccessKeyId: String, cfgSecretAccessKey: String,
+      webIdentityTokenFile: String, roleArn: String, assumeRole: String,
+      env: Map[String, String], sharedFile: Option[String],
+      imds: () => Option[Creds] = () => None,
+      readToken: String => String = _ => "",
+      assumeRoleCall: (Creds, String) => Either[String, Creds] =
+        (_, _) => Left("AssumeRole not available"),
+      webIdentityCall: (String, String) => Either[String, Creds] =
+        (_, _) => Left("AssumeRoleWithWebIdentity not available"))
+      : Either[String, Creds] = {
+    val base = baseCredentials(cfgAccessKeyId, cfgSecretAccessKey, env,
+      sharedFile, imds)
+    if (webIdentityTokenFile.nonEmpty && roleArn.nonEmpty) {
+      val exchanged = webIdentityCall(roleArn, readToken(webIdentityTokenFile))
+      if (assumeRole.nonEmpty)
+        exchanged.flatMap(assumeRoleCall(_, assumeRole))
+      else exchanged
+    } else if (assumeRole.nonEmpty) {
+      base.flatMap(assumeRoleCall(_, assumeRole))
+    } else base
+  }
+}

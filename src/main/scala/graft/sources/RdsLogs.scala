@@ -58,11 +58,14 @@ object RdsLogs {
       AwsSigV4.uriEncode(k) + "=" + AwsSigV4.uriEncode(v)
     }.mkString("&")
 
-  /** Query-protocol client: each action is one signed POST to `/`. */
+  /** Query-protocol client: each action is one signed POST to `/`.
+    * Temporary (STS) credentials carry their session token as the
+    * `X-Amz-Security-Token` SIGNED header, per the SigV4 spec. */
   final class Client(endpoint: String, host: String, region: String,
       creds: AwsSigV4.Credentials,
       amzDate: () => String,
-      post: HttpP = httpPost) {
+      post: HttpP = httpPost,
+      sessionToken: String = "") {
 
     private val mapper = new ObjectMapper()
 
@@ -72,10 +75,14 @@ object RdsLogs {
         ("Action" -> action) +: ("Version" -> ApiVersion) +: params)
       val bytes = body.getBytes(UTF_8)
       val date = amzDate()
-      val headers = Seq(
+      val base = Seq(
         "Host" -> host,
         "X-Amz-Date" -> date,
         "Content-Type" -> "application/x-www-form-urlencoded; charset=utf-8")
+      val headers =
+        if (sessionToken.nonEmpty)
+          base :+ ("X-Amz-Security-Token" -> sessionToken)
+        else base
       val auth = AwsSigV4.authorization(creds, region, "rds", date,
         "POST", "/", Nil, headers, bytes)
       val (st, resp) = post(endpoint,
@@ -150,7 +157,11 @@ object RdsLogs {
     * `AdditionalDataPending` while more remain. */
   final class Endpoint(creds: AwsSigV4.Credentials, region: String,
       files: Map[String, (Long, Vector[String])],
-      pageSize: Int = 400, recentLines: Int = 10000) {
+      pageSize: Int = 400, recentLines: Int = 10000,
+      // session token → the temporary credentials STS issued for it
+      // (the [[AwsSts.Endpoint]].issued lookup); lets temporary keys
+      // authenticate and unissued/forged tokens be refused
+      tempCreds: String => Option[AwsCredentials.Creds] = _ => None) {
 
     private val mapper = new ObjectMapper()
     private val server =
@@ -177,12 +188,29 @@ object RdsLogs {
       val h = ex.getRequestHeaders
       val date = Option(h.getFirst("X-Amz-Date")).getOrElse("")
       val auth = Option(h.getFirst("Authorization")).getOrElse("")
-      val signedHeaders = Seq(
+      val token = Option(h.getFirst("X-Amz-Security-Token")).getOrElse("")
+      val akid = "Credential=([^/,]+)/".r.findFirstMatchIn(auth)
+        .map(_.group(1)).getOrElse("")
+      val base = Seq(
         "Host" -> Option(h.getFirst("Host")).getOrElse(""),
         "X-Amz-Date" -> date,
         "Content-Type" -> Option(h.getFirst("Content-Type")).getOrElse(""))
-      if (!AwsSigV4.verify(creds, region, "rds", date, "POST", "/",
-          Nil, signedHeaders, body, auth)) {
+      val signedHeaders =
+        if (token.nonEmpty) base :+ ("X-Amz-Security-Token" -> token)
+        else base
+      // resolve the signing secret: the account's long-lived key, or a
+      // temporary key whose session token STS actually issued
+      val secret: Option[String] =
+        if (akid == creds.accessKeyId && token.isEmpty)
+          Some(creds.secretAccessKey)
+        else tempCreds(token).collect {
+          case c if c.accessKeyId == akid => c.secretAccessKey
+        }
+      if (secret.isEmpty) {
+        respond(403, """{"Error":{"Code":"InvalidClientTokenId"}}""")
+      } else if (!AwsSigV4.verify(
+          AwsSigV4.Credentials(akid, secret.get), region, "rds", date,
+          "POST", "/", Nil, signedHeaders, body, auth)) {
         respond(403, """{"Error":{"Code":"SignatureDoesNotMatch"}}""")
       } else {
         val params = new String(body, UTF_8).split("&").toSeq

@@ -1,0 +1,186 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{AwsCredentials, AwsSigV4, AwsSts, GcpOAuth}
+import graft.sources.AwsCredentials.Creds
+
+/** Credential resolution chain (`util/awsutil/amazon.go:20-106`) and
+  * the STS temporary-credential protocol. */
+class AwsCredentialsSpec extends AnyFunSuite {
+
+  private val sharedFile =
+    """# comment
+      |[default]
+      |aws_access_key_id = AKIDDEFAULT
+      |aws_secret_access_key = secret-default
+      |
+      |[graft]
+      |aws_access_key_id = AKIDGRAFT
+      |aws_secret_access_key = secret-graft
+      |aws_session_token = tok-graft
+      |; trailing comment
+      |[broken]
+      |aws_access_key_id = AKIDONLY
+      |""".stripMargin
+
+  test("shared credentials file: profiles, comments, session token") {
+    assert(AwsCredentials.fromSharedFile(sharedFile, "default") ==
+      Some(Creds("AKIDDEFAULT", "secret-default")))
+    assert(AwsCredentials.fromSharedFile(sharedFile, "graft") ==
+      Some(Creds("AKIDGRAFT", "secret-graft", "tok-graft")))
+    // a profile missing the secret yields nothing
+    assert(AwsCredentials.fromSharedFile(sharedFile, "broken").isEmpty)
+    assert(AwsCredentials.fromSharedFile(sharedFile, "ghost").isEmpty)
+  }
+
+  test("default chain: env wins, then file profile, then IMDS") {
+    val env = Map(
+      "AWS_ACCESS_KEY_ID" -> "AKIDENV",
+      "AWS_SECRET_ACCESS_KEY" -> "secret-env",
+      "AWS_SESSION_TOKEN" -> "tok-env",
+      "AWS_PROFILE" -> "graft")
+    assert(AwsCredentials.defaultChain(env, Some(sharedFile)) ==
+      Right(Creds("AKIDENV", "secret-env", "tok-env")))
+    // no env creds -> AWS_PROFILE selects the file profile
+    assert(AwsCredentials.defaultChain(Map("AWS_PROFILE" -> "graft"),
+      Some(sharedFile)) == Right(Creds("AKIDGRAFT", "secret-graft", "tok-graft")))
+    // no profile var -> default profile
+    assert(AwsCredentials.defaultChain(Map.empty, Some(sharedFile)) ==
+      Right(Creds("AKIDDEFAULT", "secret-default")))
+    // nothing anywhere -> IMDS; IMDS absent -> error
+    assert(AwsCredentials.defaultChain(Map.empty, None,
+      () => Some(Creds("AKIDIMDS", "s", "t"))) ==
+      Right(Creds("AKIDIMDS", "s", "t")))
+    assert(AwsCredentials.defaultChain(Map.empty, None).isLeft)
+  }
+
+  test("static config credentials win only when fully configured") {
+    val env = Map("AWS_ACCESS_KEY_ID" -> "AKIDENV",
+      "AWS_SECRET_ACCESS_KEY" -> "secret-env")
+    assert(AwsCredentials.baseCredentials("AKIDCFG", "secret-cfg", env,
+      None) == Right(Creds("AKIDCFG", "secret-cfg")))
+    // id without secret falls through to the default chain
+    assert(AwsCredentials.baseCredentials("AKIDCFG", "", env, None) ==
+      Right(Creds("AKIDENV", "secret-env")))
+  }
+
+  test("role layering: web identity replaces base, assume_role chains") {
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    def assumeRole(c: Creds, arn: String): Either[String, Creds] = {
+      calls += s"assume:$arn:by:${c.accessKeyId}"
+      Right(Creds("ASIA2", "s2", "t2"))
+    }
+    def webId(arn: String, tok: String): Either[String, Creds] = {
+      calls += s"webid:$arn:tok:$tok"
+      Right(Creds("ASIA1", "s1", "t1"))
+    }
+    val env = Map("AWS_ACCESS_KEY_ID" -> "AKIDENV",
+      "AWS_SECRET_ACCESS_KEY" -> "se")
+    // web identity + role + assume_role: exchange, then chain on top
+    val r = AwsCredentials.resolve("", "", "/var/run/token",
+      "arn:role/web", "arn:role/chained", env, None,
+      readToken = f => s"jwt-from-$f",
+      assumeRoleCall = assumeRole, webIdentityCall = webId)
+    assert(r == Right(Creds("ASIA2", "s2", "t2")))
+    assert(calls.toSeq == Seq(
+      "webid:arn:role/web:tok:jwt-from-/var/run/token",
+      "assume:arn:role/chained:by:ASIA1"))
+    // assume_role alone uses the base credentials
+    calls.clear()
+    val r2 = AwsCredentials.resolve("", "", "", "", "arn:role/solo",
+      env, None, assumeRoleCall = assumeRole, webIdentityCall = webId)
+    assert(r2 == Right(Creds("ASIA2", "s2", "t2")))
+    assert(calls.toSeq == Seq("assume:arn:role/solo:by:AKIDENV"))
+    // no roles -> base passthrough
+    assert(AwsCredentials.resolve("", "", "", "", "", env, None) ==
+      Right(Creds("AKIDENV", "se")))
+  }
+
+  test("STS endpoint: AssumeRole verifies SigV4 and trusts roles") {
+    val acct = Creds("AKIDGRAFT", "graft-secret")
+    val sts = new AwsSts.Endpoint("us-east-1",
+      accounts = Map(acct.accessKeyId -> acct.secretAccessKey),
+      trustedRoles = Set("arn:role/ok"))
+    try {
+      val c = new AwsSts.Client(sts.url, sts.host, "us-east-1",
+        () => "20240101T000000Z")
+      val t1 = c.assumeRole(acct, "arn:role/ok", "sess")
+      assert(t1.exists(t => t.accessKeyId.startsWith("ASIA") &&
+        t.sessionToken.nonEmpty))
+      // issued-token registry resolves what it minted
+      assert(sts.issued(t1.toOption.get.sessionToken) == t1.toOption)
+      assert(sts.issued("never-issued").isEmpty)
+      // wrong secret -> SignatureDoesNotMatch
+      assert(c.assumeRole(Creds(acct.accessKeyId, "bad"), "arn:role/ok",
+        "sess").left.exists(_.contains("SignatureDoesNotMatch")))
+      // unknown key id -> InvalidClientTokenId
+      assert(c.assumeRole(Creds("AKIDGHOST", "x"), "arn:role/ok", "sess")
+        .left.exists(_.contains("InvalidClientTokenId")))
+      // untrusted role -> AccessDenied
+      assert(c.assumeRole(acct, "arn:role/evil", "sess")
+        .left.exists(_.contains("AccessDenied")))
+      // role chaining: temp creds (with their session token signed in)
+      // can AssumeRole again
+      val t2 = c.assumeRole(t1.toOption.get, "arn:role/ok", "sess2")
+      assert(t2.exists(_.sessionToken != t1.toOption.get.sessionToken))
+    } finally sts.stop()
+  }
+
+  test("STS endpoint: AssumeRoleWithWebIdentity validates the OIDC JWT") {
+    val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    val aud = "sts.amazonaws.com"
+    val sts = new AwsSts.Endpoint("us-east-1", accounts = Map.empty,
+      trustedRoles = Set("arn:role/web"),
+      oidcKey = Some((kp.getPublic, aud)), nowSecs = () => 1700000000L)
+    try {
+      val c = new AwsSts.Client(sts.url, sts.host, "us-east-1",
+        () => "20240101T000000Z")
+      val jwt = GcpOAuth.signJwt("system:serviceaccount:ns:sa", "sts",
+        aud, 1700000000L, 1700003600L, kp.getPrivate)
+      val t = c.assumeRoleWithWebIdentity("arn:role/web", "sess", jwt)
+      assert(t.exists(_.sessionToken.nonEmpty))
+      // a forged signature is InvalidIdentityToken
+      val forged = jwt.dropRight(4) + "AAAA"
+      assert(c.assumeRoleWithWebIdentity("arn:role/web", "sess", forged)
+        .left.exists(_.contains("InvalidIdentityToken")))
+      // an expired assertion is refused
+      val expired = GcpOAuth.signJwt("sa", "sts", aud, 1600000000L,
+        1600003600L, kp.getPrivate)
+      assert(c.assumeRoleWithWebIdentity("arn:role/web", "sess", expired)
+        .left.exists(_.contains("InvalidIdentityToken")))
+    } finally sts.stop()
+  }
+
+  test("AssumeRole XML parse tolerates metadata and rejects junk") {
+    val xml =
+      """<AssumeRoleResponse xmlns="https://sts.amazonaws.com/doc/2011-06-15/">
+        |  <AssumeRoleResult>
+        |    <Credentials>
+        |      <AccessKeyId>ASIAX</AccessKeyId>
+        |      <SecretAccessKey>sec</SecretAccessKey>
+        |      <SessionToken>tok</SessionToken>
+        |      <Expiration>2026-01-01T00:00:00Z</Expiration>
+        |    </Credentials>
+        |  </AssumeRoleResult>
+        |  <ResponseMetadata><RequestId>req-1</RequestId></ResponseMetadata>
+        |</AssumeRoleResponse>""".stripMargin
+    assert(AwsSts.parseCredentials(xml) == Right(Creds("ASIAX", "sec", "tok")))
+    assert(AwsSts.parseCredentials("<ErrorResponse/>").isLeft)
+    assert(AwsSts.parseCredentials("not xml").isLeft)
+  }
+
+  test("temporary credentials sign with the session token header") {
+    // the X-Amz-Security-Token header participates in the signature:
+    // same request, different token -> different signature
+    val c = AwsSigV4.Credentials("ASIAX", "sec")
+    def sig(tok: String): String =
+      AwsSigV4.authorization(c, "us-east-1", "rds", "20240101T000000Z",
+        "POST", "/", Nil,
+        Seq("Host" -> "h", "X-Amz-Date" -> "20240101T000000Z",
+          "X-Amz-Security-Token" -> tok),
+        Array.emptyByteArray)
+    assert(sig("tok-a") != sig("tok-b"))
+  }
+}
