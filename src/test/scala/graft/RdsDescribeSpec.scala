@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.RdsDescribe
+import graft.sources.RdsDescribe._
+
+/** Instance discovery + CloudWatch read policy (`util/awsutil/rds.go`,
+  * `input/system/rds/system.go:43-50`). */
+class RdsDescribeSpec extends AnyFunSuite {
+
+  private val writer = DbInstance("inst-w", "w.host", 5432,
+    clusterId = "clu", arn = "arn:aws:rds:us-east-1:123456789012:db:inst-w")
+  private val reader1 = DbInstance("inst-r1", "r1.host", 5432)
+  private val reader2 = DbInstance("inst-r2", "r2.host", 5432)
+
+  private def api(cluster: Seq[ClusterMember],
+      all: Seq[DbInstance] = Seq(writer, reader1, reader2)) = new RdsApi {
+    def describeInstance(id: String): Either[String, Seq[DbInstance]] =
+      Right(all.filter(_.instanceId == id))
+    def describeCluster(id: String): Either[String, Seq[DbCluster]] =
+      Right(if (id == "clu") Seq(DbCluster("clu", cluster)) else Nil)
+    def describeAllInstances(): Either[String, Seq[DbInstance]] = Right(all)
+  }
+
+  private val members = Seq(
+    ClusterMember("inst-w", isClusterWriter = true),
+    ClusterMember("inst-r1", isClusterWriter = false),
+    ClusterMember("inst-r2", isClusterWriter = false))
+
+  test("explicit instance ID wins; empty result is the exact error") {
+    assert(findRdsInstance("inst-r1", "clu", false, "", 0,
+      api(members)) == Right(reader1))
+    assert(findRdsInstance("ghost", "", false, "", 0, api(members)) ==
+      Left("Unexpected empty result set for DescribeDBInstances with " +
+        "DBInstanceIdentifier = \"ghost\""))
+  }
+
+  test("cluster mode: writer for read-write, single reader for readonly") {
+    assert(findRdsInstance("", "clu", false, "", 0, api(members)) ==
+      Right(writer))
+    // readonly with two readers -> the HINT error
+    assert(findRdsInstance("", "clu", true, "", 0, api(members)) ==
+      Left("Found more than one reader to monitor for read-only cluster " +
+        "\"clu\" (HINT: use specific instance IDs instead)"))
+    // exactly one reader is fine
+    assert(findRdsInstance("", "clu", true, "", 0,
+      api(members.take(2))) == Right(reader1))
+    // two writers is the unexpected-multiple-writers error
+    val twoWriters = Seq(ClusterMember("inst-w", true),
+      ClusterMember("inst-r1", true))
+    assert(findRdsInstance("", "clu", false, "", 0, api(twoWriters)) ==
+      Left("Unexpected multiple writers for cluster \"clu\""))
+    // no usable member
+    assert(findRdsInstance("", "clu", true, "", 0,
+      api(Seq(ClusterMember("inst-w", true)))) ==
+      Left("Could not locate usable instance ID for cluster \"clu\" " +
+        "(readonly = true)"))
+    // unknown cluster -> exact empty-result error
+    assert(findRdsInstance("", "nope", false, "", 0, api(members)) ==
+      Left("Unexpected empty result set for DescribeDBClusters with " +
+        "DBClusterIdentifier = \"nope\""))
+  }
+
+  test("endpoint-based fallback matches host AND port") {
+    assert(findRdsInstance("", "", false, "r2.host", 5432,
+      api(members)) == Right(reader2))
+    assert(findRdsInstance("", "", false, "r2.host", 6432,
+      api(members)) ==
+      Left("Failed to find RDS instance using endpoint-based search " +
+        "for host \"r2.host\" and port 6432"))
+  }
+
+  test("cluster ID is prefixed with the ARN's account id") {
+    assert(clusterIdWithAccount(writer) == "123456789012/clu")
+    // short/empty-account ARNs keep the bare cluster id
+    assert(clusterIdWithAccount(writer.copy(arn = "arn:aws")) == "clu")
+    assert(clusterIdWithAccount(
+      writer.copy(arn = "arn:aws:rds:us-east-1::db:x")) == "clu")
+    assert(clusterIdWithAccount(writer.copy(clusterId = "")) == "")
+  }
+
+  test("GetRdsParameter walks marker pagination and can return None") {
+    val pages = Map(
+      None -> (Seq("a" -> "1", "b" -> "2"), Some("m1")),
+      Some("m1") -> (Seq("shared_preload_libraries" -> "pg_stat_statements"),
+        Some("m2")),
+      Some("m2") -> (Seq("z" -> "9"), None))
+    val calls = scala.collection.mutable.ArrayBuffer[Option[String]]()
+    def page(m: Option[String]) = { calls += m; pages(m) }
+    assert(getRdsParameter("shared_preload_libraries", page) ==
+      Some("pg_stat_statements"))
+    // stops at the page that contains the parameter
+    assert(calls.toSeq == Seq(None, Some("m1")))
+    calls.clear()
+    assert(getRdsParameter("missing", page).isEmpty)
+    assert(calls.toSeq == Seq(None, Some("m1"), Some("m2")))
+  }
+
+  test("CloudWatch read policy: windows, dimensions, datapoint picks") {
+    val seen = scala.collection.mutable.ArrayBuffer[MetricRequest]()
+    val reader = new CloudWatchReader("inst-w", "clu", req => {
+      seen += req
+      req.metricName match {
+        case "CPUUtilization" => Right(Seq(Datapoint(100, Some(42.5)),
+          Datapoint(200, Some(99.0))))
+        case "VolumeBytesUsed" => Right(Seq(
+          Datapoint(100, Some(1000.0)), Datapoint(900, Some(3000.0)),
+          Datapoint(500, Some(2000.0))))
+        case "FreeableMemory" => Right(Nil)
+        case _ => Left("throttled")
+      }
+    })
+    // instance metric: first datapoint, 10-min/60s window on the
+    // instance dimension
+    assert(reader.getRdsFloatMetric("CPUUtilization", "Percent") == 42.5)
+    assert(seen.last == MetricRequest("AWS/RDS", "CPUUtilization",
+      "Percent", "DBInstanceIdentifier", "inst-w", 60, 600L, "Average"))
+    // cluster metric: LATEST datapoint, 3h/300s window on the cluster
+    // dimension (Aurora volume metrics report infrequently)
+    assert(reader.getRdsClusterIntMetric("VolumeBytesUsed", "Bytes") == 3000L)
+    assert(seen.last == MetricRequest("AWS/RDS", "VolumeBytesUsed",
+      "Bytes", "DBClusterIdentifier", "clu", 300, 10800L, "Average"))
+    // empty result and errors read as 0, never a failure
+    assert(reader.getRdsIntMetric("FreeableMemory", "Bytes") == 0L)
+    assert(reader.getRdsIntMetric("SwapUsage", "Bytes") == 0L)
+    assert(reader.getRdsClusterIntMetric("VolumeReadIOPs", "Count") == 0L)
+  }
+}
