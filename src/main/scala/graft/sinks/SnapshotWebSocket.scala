@@ -198,6 +198,15 @@ object SnapshotWebSocket {
 
     def disconnect(): Unit = {
       requested = false
+      closeConnection()
+    }
+
+    /** Close the CONNECTION without clearing `requested` — the
+      * reference's write/read error paths (`reconnecting_socket.go`
+      * closeConnection) leave the socket requested so the reconnect
+      * ticker re-establishes it; only an explicit Disconnect() turns
+      * the socket off. */
+    private def closeConnection(): Unit = {
       if (connected) {
         try {
           sock.getOutputStream.write(encodeClose(masked = true))
@@ -219,7 +228,7 @@ object SnapshotWebSocket {
         Right(())
       } catch {
         case e: IOException =>
-          disconnect()
+          closeConnection()
           Left(s"Error writing to websocket: ${e.getMessage}")
       }
     }
@@ -231,10 +240,11 @@ object SnapshotWebSocket {
         val in = new DataInputStream(sock.getInputStream)
         var r = readFrame(in)
         while (r._1 != 0x2 && r._1 != 0x8) r = readFrame(in)
-        if (r._1 == 0x8) { disconnect(); Left("server closed") }
+        if (r._1 == 0x8) { closeConnection(); Left("server closed") }
         else Right(r._2)
       } catch {
-        case e: IOException => disconnect(); Left(String.valueOf(e.getMessage))
+        case e: IOException =>
+          closeConnection(); Left(String.valueOf(e.getMessage))
       }
     }
   }
@@ -249,12 +259,14 @@ object SnapshotWebSocket {
     private val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
     @volatile private var done = false
+    @volatile private var client: Socket = _
     private val received = new ArrayBuffer[Array[Byte]]
     private var handshakeHeaders = Map.empty[String, String]
 
     private val thread = new Thread(() => {
       try {
         val sock = server.accept()
+        client = sock
         val in = new DataInputStream(sock.getInputStream)
         var key = ""
         val hdrs = scala.collection.mutable.Map.empty[String, String]
@@ -302,6 +314,14 @@ object SnapshotWebSocket {
     def await(timeoutMs: Long = 10000): Unit = {
       val deadline = System.currentTimeMillis + timeoutMs
       while (!done && System.currentTimeMillis < deadline) Thread.sleep(10)
+    }
+
+    /** Kill the endpoint abruptly (listener + any accepted client) —
+      * the "server went away" condition the reconnect loop handles. */
+    def close(): Unit = {
+      try server.close() catch { case _: IOException => () }
+      val c = client
+      if (c != null) { try c.close() catch { case _: IOException => () } }
     }
   }
 }

@@ -123,6 +123,54 @@ object RdsDescribe {
     None
   }
 
+  // ----------------------------------------- log-download instance lookup
+
+  /** `util/ttl_map.go`: string TTL map; reads past the TTL delete and
+    * miss, and every Put refreshes the creation stamp. */
+  final class TtlMap(ttlSecs: Long,
+      now: () => Long = () => System.currentTimeMillis() / 1000L) {
+    private val m = scala.collection.mutable.Map.empty[String, (String, Long)]
+    def len: Int = m.synchronized(m.size)
+    def put(k: String, v: String): Unit = m.synchronized {
+      // the reference keeps the FIRST value for an existing key and
+      // only refreshes its stamp (ttl_map.go:28-36)
+      m(k) = (m.get(k).map(_._1).getOrElse(v), now())
+    }
+    def get(k: String): String = m.synchronized {
+      m.get(k) match {
+        case Some((v, at)) =>
+          if (now() - at > ttlSecs) { m.remove(k); "" } else v
+        case None => ""
+      }
+    }
+  }
+
+  /** `getAwsDbInstanceID` (`input/system/rds/logs.go:133-158`): an
+    * explicit instance ID wins; no cluster ID either is the exact
+    * skip error; a previously FAILED cluster lookup is answered from a
+    * 10-minute error cache (successes are never cached — failovers
+    * must be picked up immediately). */
+  def getAwsDbInstanceId(awsDbInstanceId: String, awsDbClusterId: String,
+      awsDbClusterReadonly: Boolean, dbHost: String, dbPort: Int,
+      api: RdsApi, errorCache: TtlMap): Either[String, String] =
+    if (awsDbInstanceId.nonEmpty) Right(awsDbInstanceId)
+    else if (awsDbClusterId.isEmpty)
+      Left("Neither AWS instance ID or cluster ID are specified - " +
+        "skipping log download")
+    else {
+      val cached = errorCache.get(awsDbClusterId)
+      if (cached.nonEmpty) Left(cached)
+      else findRdsInstance("", awsDbClusterId, awsDbClusterReadonly,
+          dbHost, dbPort, api) match {
+        case Right(inst) => Right(inst.instanceId)
+        case Left(e) =>
+          val msg =
+            s"""Error finding instance for cluster ID "$awsDbClusterId": $e"""
+          errorCache.put(awsDbClusterId, msg)
+          Left(msg)
+      }
+    }
+
   // --------------------------------------------- CloudWatch read policy
 
   final case class Datapoint(timestampSecs: Long, average: Option[Double])

@@ -96,6 +96,50 @@ class RdsDescribeSpec extends AnyFunSuite {
     assert(calls.toSeq == Seq(None, Some("m1"), Some("m2")))
   }
 
+  test("getAwsDbInstanceID: error cache answers repeats, successes uncached") {
+    var t = 0L
+    val cache = new RdsDescribe.TtlMap(600L, () => t)
+    var calls = 0
+    val failing = new RdsApi {
+      def describeInstance(id: String) = Right(Seq(writer))
+      def describeCluster(id: String) = { calls += 1; Left("throttled") }
+      def describeAllInstances() = Right(Nil)
+    }
+    // instance ID wins without any API call
+    assert(getAwsDbInstanceId("inst-x", "clu", false, "", 0, failing,
+      cache) == Right("inst-x"))
+    // neither id -> the exact skip error
+    assert(getAwsDbInstanceId("", "", false, "", 0, failing, cache) ==
+      Left("Neither AWS instance ID or cluster ID are specified - " +
+        "skipping log download"))
+    // first cluster failure hits the API and caches the message
+    val e1 = getAwsDbInstanceId("", "clu", false, "", 0, failing, cache)
+    assert(e1 == Left("Error finding instance for cluster ID \"clu\": " +
+      "throttled") && calls == 1)
+    // repeat within 10 min: served from the cache, no API call
+    t += 599
+    assert(getAwsDbInstanceId("", "clu", false, "", 0, failing,
+      cache) == e1 && calls == 1)
+    // past the TTL the lookup retries
+    t += 2
+    assert(getAwsDbInstanceId("", "clu", false, "", 0, failing, cache)
+      .isLeft && calls == 2)
+    // a SUCCESS is never cached (failover reactivity): two calls = two
+    // cluster describes
+    val ok = api(members)
+    val cache2 = new RdsDescribe.TtlMap(600L, () => t)
+    assert(getAwsDbInstanceId("", "clu", false, "", 0, ok, cache2) ==
+      Right("inst-w"))
+    assert(cache2.len == 0)
+    // TTLMap keeps the first value for a key; Put refreshes the stamp
+    val m = new RdsDescribe.TtlMap(10L, () => t)
+    m.put("k", "first"); t += 8; m.put("k", "second")
+    t += 8 // 16 past the first put, 8 past the refresh
+    assert(m.get("k") == "first")
+    t += 3
+    assert(m.get("k") == "" && m.len == 0)
+  }
+
   test("CloudWatch read policy: windows, dimensions, datapoint picks") {
     val seen = scala.collection.mutable.ArrayBuffer[MetricRequest]()
     val reader = new CloudWatchReader("inst-w", "clu", req => {

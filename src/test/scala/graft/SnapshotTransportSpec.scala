@@ -241,6 +241,39 @@ class SnapshotTransportSpec extends SparkSpec {
     assert(dials == 2)
   }
 
+  test("ws write failure closes the CONNECTION but stays requested; tick reconnects") {
+    import graft.sinks.SnapshotWebSocket
+    // first dial goes to a server we kill; the retry dial goes to a
+    // live replacement — the reference's reconnect loop re-establishes
+    // after a write error without a new Connect() call
+    val dead = new SnapshotWebSocket.SingleServer
+    val live = new SnapshotWebSocket.SingleServer
+    var target = dead
+    val c = new SnapshotWebSocket.Client(
+      () => SnapshotWebSocket.dial("127.0.0.1", target.port, "/websocket"))
+    assert(c.connect().isRight && c.connected)
+    dead.close()
+    // the write eventually surfaces the broken pipe (the first may
+    // land in the TCP buffer); bounded loop, then the connection is
+    // down but a tick RECONNECTS because requested was not cleared
+    var failed = false
+    var i = 0
+    while (!failed && i < 200) {
+      failed = c.writeSnapshot(Array.fill(64 * 1024)(0x61.toByte)).isLeft
+      i += 1
+      if (!failed) Thread.sleep(5)
+    }
+    assert(failed && !c.connected)
+    target = live
+    c.tick()
+    assert(c.connected, "tick must reconnect after a write failure")
+    // explicit disconnect DOES clear requested: tick stays down
+    c.disconnect()
+    c.tick()
+    assert(!c.connected)
+    live.close()
+  }
+
   test("uploadViaWebsocketOrHttp: ws when connected, hard error when required, else http") {
     import graft.sinks.SnapshotWebSocket
     val wire = ProtoWire.zlib(FP.encode(FP.assemble(spark, Sf)))
