@@ -682,6 +682,25 @@ object Oracles {
         |  line
         |FROM l""".stripMargin,
 
+    // Mirrors QueriesLog.s28OtelK8sFilter: the skip decision unrolled —
+    // pod spec pg/pod-2 (namespace first, then pod name), selector
+    // app = postgres (equality fails on mismatch; app always present),
+    // selector env != prod (inequality fails only when the key is
+    // PRESENT and equal — env is 'prod' exactly when event_id % 4 = 0).
+    "s28_otel_k8s_filter" ->
+      """SELECT event_id,
+        |  'pod-' || (user_id % 5) AS pod,
+        |  CASE WHEN event_id % 2 = 0 THEN 'pg' ELSE 'other' END AS namespace,
+        |  CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'postgres'
+        |    WHEN 1 THEN 'web' ELSE 'cache' END AS app,
+        |  event_id % 4 = 0 AS has_env,
+        |  (CASE WHEN event_id % 2 = 0 THEN 'pg' ELSE 'other' END) <> 'pg'
+        |    OR ('pod-' || (user_id % 5)) <> 'pod-2'
+        |    OR (CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'postgres'
+        |      WHEN 1 THEN 'web' ELSE 'cache' END) <> 'postgres'
+        |    OR event_id % 4 = 0 AS skipped
+        |FROM events""".stripMargin,
+
     "s28_otel_log_parse" ->
       """WITH e AS (
         |  SELECT event_id, user_id AS pid,

@@ -1022,6 +1022,41 @@ object QueriesLog {
   // plain syslog-framed string bodies), detail fields fanning out as
   // DETAIL rows. The envelope is synthesized as literal OTLP JSON; the
   // adapter's from_json + kvlist unwrapping is the code under test.
+  /** S28 — the OTel server's Kubernetes pod/label FILTER
+    * ([[graft.sources.K8sFilter]], `otel_handler.go:370-402` +
+    * `config/read.go:795-817` + `util/kubernetes.go`): every record
+    * carries a synthesized pod / namespace / label map, and the
+    * configured `log_otel_k8s_pod` = `pg/pod-2` plus selectors
+    * `app = postgres, env != prod` compile to a plan-time column
+    * predicate (element_at comparisons — no UDF, rides the scan). The
+    * oracle re-derives the skip decision from the same formulas, so a
+    * selector-operator slip (equality vs inequality on a missing key)
+    * or a namespace-precedence bug hash-fails. */
+  def s28OtelK8sFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.K8sFilter
+    val base = LogSynth.lines(s, dir).select(col("event_id"), col("pid"))
+      .withColumn("pod", concat(lit("pod-"), pmod(col("pid"), lit(5))))
+      .withColumn("namespace",
+        when(col("event_id") % 2 === 0, "pg").otherwise("other"))
+      .withColumn("app",
+        when(pmod(col("pid"), lit(3)) === 0, "postgres")
+          .when(pmod(col("pid"), lit(3)) === 1, "web")
+          .otherwise("cache"))
+      .withColumn("labels", map_filter(
+        map(lit("app"), col("app"),
+          lit("env"), when(col("event_id") % 4 === 0, "prod")
+            .otherwise(lit(null).cast("string"))),
+        (_, v) => v.isNotNull))
+    val selectors = K8sFilter
+      .parseLabelSelectors("app = postgres, env != prod")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    val skip = K8sFilter.skipCol(col("pod"), col("namespace"),
+        col("labels"), "pg/pod-2", selectors)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    base.select(col("event_id"), col("pod"), col("namespace"), col("app"),
+      (col("event_id") % 4 === 0).as("has_env"), skip.as("skipped"))
+  }
+
   def s28OtelLogParse(s: SparkSession, dir: String): DataFrame =
     graft.sources.CloudLogs.otelLogLines(s28Payload(s, dir), "payload")
       .select("event_id", "record_kind", "k8s_pod", "k8s_namespace", "pid",

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Kubernetes pod/label filtering for the OTel log server —
+  * `skipDueToK8sFilter` (`input/system/selfhosted/otel_handler.go:
+  * 370-402`), the `log_otel_k8s_pod` / `log_otel_k8s_labels` config
+  * parses (`config/read.go:795-817`), and the equality-based label
+  * selector matcher (`util/kubernetes.go`).
+  *
+  * The matcher compiles to a PLAN-TIME conjunction of map lookups
+  * (selectors are config constants), so the distributed form is plain
+  * codegen'd `element_at` comparisons — no UDF, and the filter rides
+  * the scan. */
+object K8sFilter {
+
+  /** `util.K8sSelectorRegexp`: `key (=|==|!=) value`. */
+  val SelectorRegex =
+    """\s*([^!=\s]+)\s*(=|==|!=)\s*([^!=\s]+)\s*""".r
+
+  /** `log_otel_k8s_pod` → (namespace, podName); zero or one `/`
+    * (`read.go:795-806`, exact error surface). */
+  def parsePodSpec(spec: String): Either[String, (String, String)] =
+    if (spec.isEmpty) Right(("", ""))
+    else spec.split("/", 2) match {
+      case Array(ns, name) => Right((ns, name))
+      case Array(name) => Right(("", name))
+      case _ => Left("pod specification for OTel server not valid " +
+        s"""(need zero or one / separator): "$spec"""")
+    }
+
+  /** `log_otel_k8s_labels` → validated selector list
+    * (`read.go:808-817`). */
+  def parseLabelSelectors(labels: String): Either[String, Seq[String]] =
+    if (labels.isEmpty) Right(Nil)
+    else {
+      val selectors = labels.split(",").toSeq
+      if (selectors.forall(s =>
+          SelectorRegex.findFirstMatchIn(s).isDefined))
+        Right(selectors)
+      else Left(
+        s"""label selector for OTel server not valid: "$labels"""")
+    }
+
+  /** Driver-side matcher (`CheckLabelSelectorMismatch`): true when any
+    * selector does NOT match — equality selectors fail on a missing
+    * key, inequality selectors pass on one. */
+  def selectorMismatch(labels: Map[String, String],
+      selectors: Seq[String]): Boolean =
+    selectors.exists { s =>
+      SelectorRegex.findFirstMatchIn(s) match {
+        case None => false
+        case Some(m) =>
+          val (k, op, v) = (m.group(1), m.group(2), m.group(3))
+          val eq = op == "=" || op == "=="
+          labels.get(k) match {
+            case Some(lv) => (eq && lv != v) || (!eq && lv == v)
+            case None => eq
+          }
+      }
+    }
+
+  /** The same matcher over a `map<string,string>` COLUMN: selectors
+    * unroll at plan time into `element_at` comparisons. */
+  def selectorMismatchCol(labels: Column,
+      selectors: Seq[String]): Column =
+    selectors.flatMap { s =>
+      SelectorRegex.findFirstMatchIn(s).map { m =>
+        val (k, op, v) = (m.group(1), m.group(2), m.group(3))
+        val lv = element_at(labels, k)
+        if (op == "!=") lv.isNotNull && lv === v
+        else lv.isNull || lv =!= v
+      }
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** `skipDueToK8sFilter` as a column: a configured pod spec requires
+    * the namespace (when given) AND pod name to match; a configured
+    * label list then applies the selector matcher. `podName`/`ns` may
+    * be null (non-K8s records match nothing). */
+  def skipCol(podName: Column, ns: Column, labels: Column,
+      podSpec: String, labelSelectors: Seq[String])
+      : Either[String, Column] =
+    parsePodSpec(podSpec).map { case (cfgNs, cfgName) =>
+      val podMismatch =
+        if (cfgName.isEmpty) lit(false)
+        else {
+          val nsBad =
+            if (cfgNs.isEmpty) lit(false)
+            else ns.isNull || ns =!= cfgNs
+          nsBad || podName.isNull || podName =!= cfgName
+        }
+      podMismatch || (
+        if (labelSelectors.isEmpty) lit(false)
+        else selectorMismatchCol(labels, labelSelectors))
+    }
+}

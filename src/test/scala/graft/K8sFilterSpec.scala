@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.K8sFilter
+
+/** K8s pod/label filter semantics (`util/kubernetes.go`,
+  * `config/read.go:795-817`, `otel_handler.go:370-402`). */
+class K8sFilterSpec extends AnyFunSuite with SparkSpec {
+
+  test("pod spec parse: zero or one slash") {
+    assert(K8sFilter.parsePodSpec("") == Right(("", "")))
+    assert(K8sFilter.parsePodSpec("mypod") == Right(("", "mypod")))
+    assert(K8sFilter.parsePodSpec("ns/mypod") == Right(("ns", "mypod")))
+    // split with limit 2 keeps extra slashes in the name, like
+    // strings.SplitN(spec, "/", 2)
+    assert(K8sFilter.parsePodSpec("ns/a/b") == Right(("ns", "a/b")))
+  }
+
+  test("label selector parse validates every selector") {
+    assert(K8sFilter.parseLabelSelectors("") == Right(Nil))
+    assert(K8sFilter.parseLabelSelectors("a=b, c != d,e == f") ==
+      Right(Seq("a=b", " c != d", "e == f")))
+    assert(K8sFilter.parseLabelSelectors("a=b,!!!").left.exists(
+      _ == "label selector for OTel server not valid: \"a=b,!!!\""))
+  }
+
+  test("CheckLabelSelectorMismatch: the equality-based matrix") {
+    val labels = Map("app" -> "postgres", "tier" -> "db")
+    def mis(sel: String*) = K8sFilter.selectorMismatch(labels, sel)
+    // matching equality / non-matching value
+    assert(!mis("app=postgres"))
+    assert(!mis("app == postgres"))
+    assert(mis("app=web"))
+    // inequality: mismatch only when present AND equal
+    assert(mis("tier!=db"))
+    assert(!mis("tier!=cache"))
+    // missing key: equality fails, inequality passes
+    assert(mis("ghost=x"))
+    assert(!mis("ghost!=x"))
+    // any one mismatching selector flips the whole set
+    assert(mis("app=postgres", "tier!=db"))
+    assert(!mis("app=postgres", "tier=db", "ghost != x"))
+    // an unparseable selector is skipped (FindStringSubmatch nil)
+    assert(!mis("!!!"))
+  }
+
+  test("column matcher agrees with the driver-side matcher") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val selectors = Seq("app=postgres", "tier != cache", "env=prod")
+    val rows = Seq(
+      ("a", Map("app" -> "postgres", "tier" -> "db", "env" -> "prod")),
+      ("b", Map("app" -> "web", "env" -> "prod")),
+      ("c", Map("app" -> "postgres", "tier" -> "cache", "env" -> "prod")),
+      ("d", Map("app" -> "postgres", "tier" -> "db")),
+      ("e", Map.empty[String, String]))
+    val got = rows.toDF("id", "labels")
+      .withColumn("mis",
+        K8sFilter.selectorMismatchCol(col("labels"), selectors))
+      .select("id", "mis").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (id, labels) =>
+      assert(got(id) == K8sFilter.selectorMismatch(labels, selectors),
+        s"row $id diverged")
+    }
+    // empty selector list never skips
+    val none = rows.toDF("id", "labels")
+      .withColumn("mis", K8sFilter.selectorMismatchCol(col("labels"), Nil))
+      .where(col("mis")).count()
+    assert(none == 0)
+  }
+
+  test("skipCol: namespace gate applies only when a pod is configured") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("pg", "pod-2", Map("app" -> "postgres")),
+      ("other", "pod-2", Map("app" -> "postgres")),
+      ("pg", "pod-3", Map("app" -> "postgres")),
+      (null, null, Map("app" -> "postgres")))
+      .toDF("ns", "pod", "labels")
+    def run(podSpec: String, sel: Seq[String]): Seq[Boolean] = {
+      val c = K8sFilter.skipCol(col("pod"), col("ns"), col("labels"),
+        podSpec, sel).toOption.get
+      df.select(c).collect().map(_.getBoolean(0)).toSeq
+    }
+    assert(run("pg/pod-2", Nil) == Seq(false, true, true, true))
+    // name-only spec ignores the namespace
+    assert(run("pod-2", Nil) == Seq(false, false, true, true))
+    // no pod spec, selectors only
+    assert(run("", Seq("app=postgres")) == Seq(false, false, false, false))
+    assert(run("", Seq("app=web")) == Seq(true, true, true, true))
+  }
+}
