@@ -1,0 +1,770 @@
+package graft.setup
+
+import scala.collection.mutable
+
+/** The guided-setup engine (`setup/main.go`, `setup/steps/`,
+  * `setup/util/`) in SCRIPTED mode — the check → run → re-check step
+  * pipeline with the reference's exact SQL, decision rules, and error
+  * surfaces. Only the interactive survey prompts are out of scope
+  * (scripted mode is the reference's own non-interactive path, driven
+  * by an inputs file); local-Postgres discovery, the superuser
+  * connection, and the service restart are injected, since no Postgres
+  * exists in the sandbox — against a real one the same SQL drives a
+  * real connection.
+  *
+  * Scope note: the pipeline covers `setup/main.go:27-58` through
+  * ConfirmRestartPostgres; the three post-restart verification steps
+  * (recommended auto_explain GUC review, test snapshot, test EXPLAIN)
+  * are runtime drivers over already-covered machinery
+  * (`QueriesConfig.SetupRules`, the e2e pipelines). */
+object GuidedSetup {
+
+  // ---------------------------------------------------------- quoting
+
+  /** `pq.QuoteLiteral`: double single quotes, escape backslashes, and
+    * use the ` E'...'` form when a backslash is present. */
+  def quoteLiteral(s: String): String = {
+    val escaped = s.replace("'", "''")
+    if (escaped.contains("\\"))
+      " E'" + escaped.replace("\\", "\\\\") + "'"
+    else "'" + escaped + "'"
+  }
+
+  def quoteIdentifier(s: String): String =
+    graft.sources.HelperSql.quoteIdentifier(s)
+
+  /** `setup/util.JoinWithAnd`. */
+  def joinWithAnd(strs: Seq[String]): String = strs match {
+    case Seq() => ""
+    case Seq(a) => a
+    case Seq(a, b) => s"$a and $b"
+    case _ => strs.init.mkString(", ") + ", and " + strs.last
+  }
+
+  // ----------------------------------------------------------- inputs
+
+  /** `state.SetupGUCS` (the scripted GUC overrides; None = invalid). */
+  final case class Gucs(
+      logDuration: Option[String] = None,
+      logStatement: Option[String] = None,
+      logMinDurationStatement: Option[Int] = None,
+      logLinePrefix: Option[String] = None)
+
+  final case class Settings(
+      apiKey: Option[String] = None,
+      apiBaseUrl: Option[String] = None,
+      dbName: Option[String] = None,
+      dbUsername: Option[String] = None,
+      dbPassword: Option[String] = None)
+
+  /** `state.SetupInputs`, scripted subset. */
+  final case class Inputs(
+      scripted: Boolean = true,
+      settings: Settings = Settings(),
+      gucs: Gucs = Gucs(),
+      pgSetupConnPort: Option[Int] = None,
+      pgSetupConnSocketDir: Option[String] = None,
+      pgSetupConnUser: Option[String] = None,
+      ensureMonitoringUser: Option[Boolean] = None,
+      generateMonitoringPassword: Option[Boolean] = None,
+      ensureMonitoringPassword: Option[Boolean] = None,
+      ensureMonitoringPermissions: Option[Boolean] = None,
+      ensurePgStatStatementsInstalled: Option[Boolean] = None,
+      ensurePgStatStatementsLoaded: Option[Boolean] = None,
+      confirmSetUpLogInsights: Option[Boolean] = None,
+      useLogBasedExplain: Option[Boolean] = None,
+      ensureAutoExplainLoaded: Option[Boolean] = None,
+      confirmPostgresRestart: Option[Boolean] = None)
+
+  val LogPrefixRecommended = "%m [%p] %q[user=%u,db=%d,app=%a] "
+  val MinSupportedLogMinDurationStatement = 10
+
+  /** `state.RecommendedGUCS` (`setup/state/state.go:24-31`, the
+    * collector-relevant subset). */
+  val RecommendedGucs: Gucs = Gucs(
+    logDuration = Some("off"),
+    logStatement = Some("none"),
+    logMinDurationStatement = Some(1000),
+    logLinePrefix = Some(LogPrefixRecommended))
+
+  // ------------------------------------------------------ query runner
+
+  /** The slice of `setup/query.Runner` the steps use. `queryRow`
+    * returns Right(None) for zero rows (query.ErrNoRows). */
+  trait QueryRunner {
+    var database: String
+    def queryRow(sql: String): Either[String, Option[Seq[String]]]
+    def query(sql: String): Either[String, Seq[Seq[String]]]
+    def exec(sql: String): Either[String, Unit]
+    /** the guided-setup superuser connection ping */
+    def pingSuper(): Either[String, Unit]
+    /** connect as the CONFIGURED monitoring user/password (the
+      * ensure_monitoring_user_password Check) — Left("authentication
+      * failed...") maps to check-false, other errors propagate */
+    def pingMonitoring(user: String, password: String): Either[String, Unit]
+  }
+
+  final case class LocalPostgres(socketDir: String, port: Int)
+
+  // ------------------------------------------------------ setup state
+
+  final class SetupState(
+      val inputs: Inputs,
+      val discoverLocalPgs: () => Seq[LocalPostgres],
+      val connectSuper: (String, LocalPostgres) => QueryRunner,
+      val hostInfo: (String, String, String), // (os, platform, platformVersion)
+      val restartPostgres: () => Either[String, Unit] = () => Right(()),
+      val randomPasswordHex: () => String =
+        () => "0123456789abcdef0123456789abcdef") {
+    var runner: Option[QueryRunner] = None
+    val pganalyzeSection: mutable.LinkedHashMap[String, String] =
+      mutable.LinkedHashMap.empty
+    val serverSection: mutable.LinkedHashMap[String, String] =
+      mutable.LinkedHashMap.empty
+    val logMessages: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+    var configSaves: Int = 0
+    var pgVersionStr: String = ""
+    var pgVersionNum: Int = 0
+    var operatingSystem: String = ""
+    var platform: String = ""
+    var platformVersion: String = ""
+
+    def log(msg: String): Unit = logMessages += msg
+    def saveConfig(): Either[String, Unit] = { configSaves += 1; Right(()) }
+    def q: QueryRunner = runner.getOrElse(
+      throw new IllegalStateException("no setup connection"))
+
+    /** `setup/util.UsingLogExplain`. */
+    def usingLogExplain: Either[String, Boolean] =
+      serverSection.get("enable_log_explain")
+        .toRight("key enable_log_explain not found")
+        .map(_ == "true")
+  }
+
+  // ------------------------------------------------------------- steps
+
+  final case class Step(id: String, description: String,
+      check: SetupState => Either[String, Boolean],
+      run: Option[SetupState => Either[String, Unit]] = None)
+
+  sealed trait StepOutcome
+  case object NoChangesNeeded extends StepOutcome
+  case object Completed extends StepOutcome
+
+  /** `doStep` (`setup/main.go:235-275`): check; done → no changes; a
+    * failing check without a Run is a programming error; run, then the
+    * re-check MUST pass. */
+  def doStep(s: SetupState, step: Step): Either[String, StepOutcome] =
+    step.check(s).flatMap { done =>
+      if (done) Right(NoChangesNeeded)
+      else step.run match {
+        case None =>
+          throw new IllegalStateException(
+            "check failed and no resolution defined")
+        case Some(run) => run(s).flatMap { _ =>
+          step.check(s).flatMap { nowDone =>
+            if (nowDone) Right(Completed)
+            else Left("check still failed after running resolution; " +
+              "please try again")
+          }
+        }
+      }
+    }
+
+  /** Run the pipeline; stops at the first failing step. Returns
+    * (stepId, outcome) for every completed step. */
+  def run(s: SetupState, pipeline: Seq[Step] = steps)
+      : (Seq[(String, StepOutcome)], Option[(String, String)]) = {
+    val done = mutable.ArrayBuffer.empty[(String, StepOutcome)]
+    pipeline.foreach { step =>
+      doStep(s, step) match {
+        case Right(o) => done += step.id -> o
+        case Left(e) => return (done.toSeq, Some(step.id -> e))
+      }
+    }
+    (done.toSeq, None)
+  }
+
+  // --- SQL constants (verbatim from the steps) ---
+
+  val PendingSplSql: String = "\n" +
+    """SELECT
+      |  name,
+      |  CASE
+      |    WHEN NOT pending_restart THEN
+      |      setting
+      |    ELSE
+      |      btrim(
+      |        regexp_replace(
+      |          COALESCE(
+      |            (SELECT line FROM
+      |              regexp_split_to_table(
+      |                pg_read_file(
+      |                  CASE
+      |                    WHEN pg_stat_file('postgresql.auto.conf', true) IS DISTINCT FROM NULL THEN
+      |                      'postgresql.auto.conf'
+      |                    ELSE
+      |                      sourcefile
+      |                  END
+      |                ), '\s*$\s*', 'm'
+      |              ) WITH ORDINALITY AS lines(line, line_num)
+      |              WHERE
+      |                line LIKE name || ' = %'
+      |              ORDER BY
+      |                line_num DESC
+      |              LIMIT 1
+      |            ),
+      |            (SELECT line FROM
+      |              regexp_split_to_table(
+      |                pg_read_file(sourcefile), '\s*$\s*', 'm'
+      |              ) WITH ORDINALITY AS lines(line, line_num)
+      |              WHERE
+      |                line LIKE name || ' = %'
+      |              ORDER BY
+      |                line_num DESC
+      |              LIMIT 1
+      |            )
+      |          ),
+      |          name || ' = ', ''
+      |        ),
+      |        ''''
+      |      )
+      |  END AS pending_value
+      |FROM
+      |  pg_settings
+      |WHERE
+      |  name = 'shared_preload_libraries'""".stripMargin
+
+  /** `setup/util.GetPendingSharedPreloadLibraries`. */
+  def pendingSharedPreloadLibraries(r: QueryRunner): Either[String, String] =
+    r.queryRow(PendingSplSql).flatMap {
+      case Some(cols) => Right(cols(1))
+      case None => Left("no rows")
+    }
+
+  /** `setup/util.ApplyConfigSetting`: the value is NOT quoted (lists
+    * like shared_preload_libraries would not parse), and the config is
+    * reloaded. */
+  def applyConfigSetting(setting: String, value: String,
+      r: QueryRunner): Either[String, Unit] =
+    r.exec(s"ALTER SYSTEM SET $setting = $value")
+      .left.map(e => s"failed to apply setting: $e")
+      .flatMap(_ => r.exec("SELECT pg_reload_conf()")
+        .left.map(e => "failed to reload Postgres configuration after " +
+          s"applying setting: $e"))
+
+  private def scriptedOnly(s: SetupState): Either[String, Unit] =
+    if (s.inputs.scripted) Right(())
+    else Left("interactive mode is out of scope (scripted inputs only)")
+
+  val steps: Seq[Step] = Seq(
+    Step("check_platform",
+      "Check whether this platform is supported by pganalyze guided setup",
+      check = s => {
+        val (os, plat, ver) = s.hostInfo
+        s.operatingSystem = os; s.platform = plat; s.platformVersion = ver
+        val parsed = try Some(ver.toFloat) catch {
+          case _: NumberFormatException => None
+        }
+        parsed match {
+          case None => Left(
+            s"could not parse current platform version: $plat / version $ver")
+          case Some(num) =>
+            if (plat == "ubuntu") {
+              if (num < 14.04f)
+                Left("Ubuntu versions older than 14.04 are not supported")
+              else Right(true)
+            } else if (plat == "debian") {
+              if (num < 10.0f)
+                Left("Debian versions older than 10 are not supported")
+              else Right(true)
+            } else Left(s"the current platform ($plat) is not currently " +
+              "supported; please contact support")
+        }
+      }),
+
+    Step("confirm_superuser_connection",
+      "Confirm the Postgres superuser connection to use only for this guided setup session",
+      check = s => s.runner match {
+        case None => Right(false)
+        case Some(r) => r.pingSuper().map(_ => true)
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          val localPgs = s.discoverLocalPgs()
+          if (localPgs.isEmpty)
+            Left("failed to find a running local Postgres install")
+          else {
+            val selected: Either[String, Option[LocalPostgres]] =
+              if (localPgs.length == 1) {
+                val pg = localPgs.head
+                // validate the single find against the inputs, if present
+                if (s.inputs.pgSetupConnPort.exists(_ != pg.port) ||
+                    s.inputs.pgSetupConnSocketDir.exists(_ != pg.socketDir))
+                  Right(None)
+                else Right(Some(pg))
+              } else s.inputs.pgSetupConnPort match {
+                case None =>
+                  Left("no port specified for setup Postgres connection")
+                case Some(p) => Right(localPgs.find(pg => pg.port == p &&
+                  s.inputs.pgSetupConnSocketDir.forall(_ == pg.socketDir)))
+              }
+            selected.flatMap {
+              case None =>
+                val portStr = s.inputs.pgSetupConnPort
+                  .map(p => s" on $p").getOrElse("")
+                val sockStr = s.inputs.pgSetupConnSocketDir
+                  .map(d => s" in $d").getOrElse("")
+                Left(s"no Postgres server found listening$portStr$sockStr")
+              case Some(pg) =>
+                s.inputs.pgSetupConnUser match {
+                  case None =>
+                    Left("no user specified for setup Postgres connection")
+                  case Some(u) =>
+                    s.runner = Some(s.connectSuper(u, pg)); Right(())
+                }
+            }
+          }
+        }
+      }),
+
+    Step("check_postgres_version",
+      "Check whether this Postgres version is supported by pganalyze guided setup",
+      check = s => s.q.queryRow("SELECT current_setting('server_version'), " +
+          "current_setting('server_version_num')::integer").flatMap {
+        case Some(cols) =>
+          s.pgVersionStr = cols(0); s.pgVersionNum = cols(1).toInt
+          if (s.pgVersionNum < 100000)
+            Left("not supported for Postgres versions older than 10; " +
+              s"found ${s.pgVersionStr}")
+          else Right(true)
+        case None => Left("no rows")
+      }),
+
+    Step("check_replication_status",
+      "Check whether the database is a replica, which is currently unsupported by pganalyze guided setup",
+      check = s => s.q.queryRow("SELECT pg_is_in_recovery()").flatMap {
+        case Some(cols) =>
+          if (cols(0) == "true")
+            Left("Postgres server is a replica; this is currently not supported")
+          else Right(true)
+        case None => Left("no rows")
+      }),
+
+    Step("check_restart_needed",
+      "Check whether a Postgres restart will be necessary in a future step to install the collector",
+      check = s => s.q.queryRow(
+        "SELECT\ncurrent_setting('shared_preload_libraries') LIKE '%pg_stat_statements%',\n" +
+          "current_setting('shared_preload_libraries') LIKE '%auto_explain%'").flatMap {
+        case Some(cols) =>
+          val (hasPgss, hasAe) = (cols(0) == "true", cols(1) == "true")
+          if (!hasPgss)
+            s.log("NOTICE: A Postgres restart will be required to set up " +
+              "query performance monitoring.")
+          else if (!hasAe)
+            s.log("NOTICE: A Postgres restart will not be required to set " +
+              "up query performance monitoring.")
+          else
+            s.log("NOTICE: A Postgres restart will *not* be required to " +
+              "set up any features.")
+          Right(s.inputs.scripted)
+        case None => Left("no rows")
+      }),
+
+    Step("specify_api_key",
+      "Specify the pganalyze API key (api_key) in the collector config file",
+      check = s => Right(s.pganalyzeSection.contains("api_key")),
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          s.inputs.settings.apiKey match {
+            case None | Some("") => Left("no api_key setting specified")
+            case Some(k) =>
+              s.pganalyzeSection("api_key") = k
+              s.inputs.settings.apiBaseUrl.filter(_.nonEmpty)
+                .foreach(s.pganalyzeSection("api_base_url") = _)
+              s.saveConfig()
+          }
+        }
+      }),
+
+    Step("specify_databases",
+      "Specify database(s) to monitor (db_name) in the collector config file",
+      check = s => {
+        s.serverSection.get("db_name") match {
+          case None => Right(false)
+          case Some(v) =>
+            val dbs = v.split(",").map(_.trim)
+            if (dbs.isEmpty || dbs(0).isEmpty) Right(false)
+            else { s.q.database = dbs(0); Right(true) }
+        }
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          s.q.query("SELECT datname FROM pg_database WHERE datallowconn " +
+              "AND NOT datistemplate").flatMap { rows =>
+            val dbOpts = rows.map(_.head)
+            s.inputs.settings.dbName match {
+              case None => Left("no db_name setting specified")
+              case Some(spec) =>
+                val names = spec.split(",").map(_.trim).flatMap { n =>
+                  if (n == "*") Some(n) else dbOpts.find(_ == n)
+                }
+                if (names.isEmpty)
+                  Left("no valid database names provided")
+                else {
+                  s.serverSection("db_name") = names.mkString(",")
+                  s.saveConfig()
+                }
+            }
+          }
+        }
+      }),
+
+    Step("specify_monitoring_user",
+      "Specify the monitoring user to connect as (db_username) in the collector config file",
+      check = s => Right(s.serverSection.contains("db_username")),
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          s.inputs.settings.dbUsername match {
+            case None => Left("no db_username setting specified")
+            case Some(u) =>
+              s.serverSection("db_username") = u; s.saveConfig()
+          }
+        }
+      }),
+
+    Step("eensure_monitoring_user", // sic — the reference's own ID typo
+      "Ensure the monitoring user (db_user in the collector config file) exists in Postgres",
+      check = s => s.serverSection.get("db_username") match {
+        case None => Left("key db_username not found")
+        case Some(user) =>
+          s.q.queryRow("SELECT true FROM pg_user WHERE usename = " +
+              quoteLiteral(user)).map {
+            case Some(cols) => cols(0) == "true"
+            case None => false
+          }
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          val user = s.serverSection("db_username")
+          if (!s.inputs.ensureMonitoringUser.contains(true))
+            Left("create_monitoring_user flag not set and specified " +
+              s"monitoring user $user does not exist")
+          else s.q.exec(
+            s"CREATE USER ${quoteIdentifier(user)} CONNECTION LIMIT 5")
+        }
+      }),
+
+    Step("specify_monitoring_user_password",
+      "Specify monitoring user password (db_password) in the collector config file",
+      check = s => Right(s.serverSection.contains("db_password")),
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          val explicit = s.inputs.settings.dbPassword.filter(_.nonEmpty)
+          val generate = s.inputs.generateMonitoringPassword.contains(true)
+          if (generate && explicit.isDefined)
+            Left("cannot specify both generate password and set explicit password")
+          else if (generate) {
+            s.serverSection("db_password") = s.randomPasswordHex()
+            s.saveConfig()
+          } else explicit match {
+            case Some(p) => s.serverSection("db_password") = p; s.saveConfig()
+            case None => Left("no db_password specified and " +
+              "generate_monitoring_password flag not set")
+          }
+        }
+      }),
+
+    Step("ensure_monitoring_user_password",
+      "Ensure the monitoring user password in Postgres matches db_password in the collector config file",
+      check = s => {
+        val user = s.serverSection.getOrElse("db_username", "")
+        val pass = s.serverSection.getOrElse("db_password", "")
+        s.q.pingMonitoring(user, pass) match {
+          case Right(_) => Right(true)
+          case Left(e) if e.contains("authentication failed") => Right(false)
+          case Left(e) => Left(e)
+        }
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          if (!s.inputs.ensureMonitoringPassword.isDefined)
+            Left("update_monitoring_password flag not set and cannot log " +
+              "in with current credentials")
+          else if (!s.inputs.ensureMonitoringPassword.contains(true))
+            Right(())
+          else {
+            val user = s.serverSection("db_username")
+            val pass = s.serverSection("db_password")
+            s.q.exec("SET log_statement = none; ALTER USER " +
+              s"${quoteIdentifier(user)} WITH ENCRYPTED PASSWORD " +
+              quoteLiteral(pass))
+          }
+        }
+      }),
+
+    Step("ensure_monitoring_user_permissions",
+      "Ensure the monitoring user has sufficient permissions in Postgres for access to queries and monitoring metadata",
+      check = s => {
+        val user = s.serverSection.getOrElse("db_username", "")
+        s.q.queryRow("SELECT usesuper OR pg_has_role(usename, " +
+            "'pg_monitor', 'usage') FROM pg_user WHERE usename = " +
+            quoteLiteral(user)).map {
+          case Some(cols) => cols(0) == "true"
+          case None => false
+        }
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          if (!s.inputs.ensureMonitoringPermissions.contains(true))
+            Left("set_up_monitoring_user flag not set and monitoring user " +
+              "does not have adequate permissions")
+          else s.q.exec("GRANT pg_monitor to " +
+            quoteIdentifier(s.serverSection("db_username")))
+        }
+      }),
+
+    Step("ensure_pganalyze_schema",
+      "Ensure the pganalyze schema exists and db_user in the collector config file has USAGE privilege on it",
+      check = s => {
+        s.q.queryRow("SELECT COUNT(*) FROM pg_namespace WHERE nspname = " +
+            "'pganalyze'").flatMap {
+          case Some(cols) if cols(0).toInt == 1 =>
+            val user = s.serverSection.getOrElse("db_username", "")
+            s.q.queryRow("SELECT has_schema_privilege(" +
+                s"${quoteLiteral(user)}, 'pganalyze', 'USAGE')").map {
+              case Some(c2) => c2(0) == "true"
+              case None => false
+            }
+          case Some(_) => Right(false)
+          case None => Left("no rows")
+        }
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          val user = s.serverSection("db_username")
+          s.q.exec("CREATE SCHEMA IF NOT EXISTS pganalyze; GRANT USAGE " +
+            s"ON SCHEMA pganalyze TO ${quoteIdentifier(user)};")
+        }
+      }),
+
+    Step("check_pgss_available",
+      "Confirm the pg_stat_statements extension is ready to be installed",
+      check = s => s.q.queryRow("SELECT true FROM pg_available_extensions " +
+          "WHERE name = 'pg_stat_statements'").map {
+        case Some(cols) => cols(0) == "true"
+        case None => false
+      },
+      run = Some { _ =>
+        Left("contrib extension pg_stat_statements is not available")
+      }),
+
+    Step("ensure_pgss_ext_installed",
+      "Ensure the pg_stat_statements extension is installed in Postgres",
+      check = s => s.q.queryRow("SELECT extnamespace::regnamespace::text " +
+          "FROM pg_extension WHERE extname = 'pg_stat_statements'").flatMap {
+        case Some(cols) =>
+          if (cols(0) != "public")
+            Left(s"pg_stat_statements is installed, but in unsupported " +
+              s"schema ${cols(0)}; must be installed in 'public'")
+          else Right(true)
+        case None => Right(false)
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          if (!s.inputs.ensurePgStatStatementsInstalled.contains(true))
+            Left("create_pg_stat_statements flag not set and " +
+              "pg_stat_statements does not exist in primary database")
+          else s.q.exec("CREATE EXTENSION pg_stat_statements SCHEMA public")
+        }
+      }),
+
+    Step("ensure_pgss_in_spl",
+      "Ensure the pg_stat_statements extension is included in the shared_preload_libraries setting in Postgres",
+      check = s => pendingSharedPreloadLibraries(s.q)
+        .map(_.contains("pg_stat_statements")),
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          if (!s.inputs.ensurePgStatStatementsLoaded.contains(true))
+            Left("enable_pg_stat_statements flag not set but " +
+              "pg_stat_statements not in shared_preload_libraries")
+          else pendingSharedPreloadLibraries(s.q).flatMap { spl =>
+            val newSpl =
+              if (spl.isEmpty) "pg_stat_statements"
+              else spl + ",pg_stat_statements"
+            applyConfigSetting("shared_preload_libraries", newSpl, s.q)
+          }
+        }
+      }),
+
+    Step("confirm_set_up_log_insights",
+      "Confirm whether to set up the optional Log Insights feature",
+      check = s => Right(s.inputs.confirmSetUpLogInsights.isDefined ||
+        s.pganalyzeSection.contains("db_log_location")),
+      run = Some { s =>
+        if (s.inputs.scripted)
+          Left("skip_log_insights value must be specified")
+        else Left("interactive mode is out of scope (scripted inputs only)")
+      }),
+
+    Step("li_ensure_supported_log_duration",
+      "Ensure the log_duration setting in Postgres is supported by the collector",
+      check = s => gucSetting(s, "log_duration").map { curr =>
+        val needsUpdate = curr == "on" ||
+          (s.inputs.scripted && s.inputs.gucs.logDuration.exists(_ != curr))
+        !needsUpdate
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          s.inputs.gucs.logDuration match {
+            case None => Left("log_duration value not provided and current " +
+              "value not supported")
+            case Some("on") =>
+              Left("log_duration provided as unsupported value 'on'")
+            case Some(v) =>
+              if (v == "off") applyConfigSetting("log_duration", "off", s.q)
+              else Right(()) // non-off: no change; the re-check decides
+          }
+        }
+      }),
+
+    Step("li_ensure_supported_log_statement",
+      "Ensure the log_statement setting in Postgres is supported by the collector",
+      check = s => gucSetting(s, "log_statement").map { curr =>
+        val needsUpdate = curr == "all" ||
+          (s.inputs.scripted && s.inputs.gucs.logStatement.exists(_ != curr))
+        !needsUpdate
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          s.inputs.gucs.logStatement match {
+            case None => Left("log_statement value not provided and " +
+              "current value not supported")
+            case Some("all") =>
+              Left("log_statement provided as unsupported value 'all'")
+            case Some(v) => applyConfigSetting("log_statement", v, s.q)
+          }
+        }
+      }),
+
+    Step("li_ensure_supported_log_min_duration_statement",
+      "Ensure the log_min_duration_statement setting in Postgres is supported by the collector",
+      check = s => gucSetting(s, "log_min_duration_statement").map { curr =>
+        val lmds = curr.toInt
+        val needsUpdate = !isSupportedLmds(lmds) ||
+          (s.inputs.scripted &&
+            s.inputs.gucs.logMinDurationStatement.exists(_ != lmds))
+        !needsUpdate
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          s.inputs.gucs.logMinDurationStatement match {
+            case None => Left("log_min_duration_statement not provided and " +
+              "current value is unsupported")
+            case Some(v) if !isSupportedLmds(v) =>
+              Left(s"log_min_duration_statement provided as unsupported value '$v'")
+            case Some(v) =>
+              applyConfigSetting("log_min_duration_statement", v.toString, s.q)
+          }
+        }
+      }),
+
+    Step("li_ensure_supported_log_line_prefix",
+      "Ensure the log_line_prefix setting in Postgres is supported by the collector",
+      check = s => gucSetting(s, "log_line_prefix").map { curr =>
+        val supported = curr.contains("%d") && curr.contains("%u") &&
+          (curr.contains("%m") || curr.contains("%n") || curr.contains("%t"))
+        val needsUpdate = !supported ||
+          (s.inputs.scripted && s.inputs.gucs.logLinePrefix.exists(_ != curr))
+        !needsUpdate
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          s.inputs.gucs.logLinePrefix match {
+            case None => Left("log_line_prefix not provided and current " +
+              "setting is not supported")
+            case Some(p) => applyConfigSetting("log_line_prefix",
+              quoteLiteral(p), s.q)
+          }
+        }
+      }),
+
+    Step("ae_confirm_automated_explain_mode",
+      "Confirm whether to implement Automated EXPLAIN via the recommended auto_explain module or the alternative log-based EXPLAIN",
+      check = s => Right(s.serverSection.contains("enable_log_explain")),
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          s.inputs.useLogBasedExplain match {
+            case None => Left("use_log_based_explain not set")
+            case Some(v) =>
+              s.serverSection("enable_log_explain") = v.toString
+              s.saveConfig()
+          }
+        }
+      }),
+
+    Step("aemod_check_auto_explain_available",
+      "Confirm the auto_explain contrib module is available",
+      check = s => s.usingLogExplain.flatMap { logExplain =>
+        if (logExplain) Right(true)
+        else s.q.exec("LOAD 'auto_explain'") match {
+          case Right(_) => Right(true)
+          case Left(e) if e.contains("No such file or directory") =>
+            Right(false)
+          case Left(e) => Left(e)
+        }
+      },
+      run = Some { _ =>
+        Left("contrib module auto_explain is not available")
+      }),
+
+    Step("aemod_ensure_auto_explain_in_spl",
+      "Ensure the auto_explain module is included in the shared_preload_libraries setting in Postgres",
+      check = s => s.usingLogExplain.flatMap { logExplain =>
+        if (logExplain) Right(true)
+        else pendingSharedPreloadLibraries(s.q).map(_.contains("auto_explain"))
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          if (!s.inputs.ensureAutoExplainLoaded.contains(true))
+            Left("enable_auto_explain flag not set but auto_explain " +
+              "configuration selected")
+          else pendingSharedPreloadLibraries(s.q).flatMap { spl =>
+            val newSpl =
+              if (spl.isEmpty) "auto_explain" else spl + ",auto_explain"
+            applyConfigSetting("shared_preload_libraries", newSpl, s.q)
+          }
+        }
+      }),
+
+    Step("confirm_restart_postgres",
+      "Confirm whether Postgres should be restarted to have pending configuration changes take effect",
+      check = s => s.q.queryRow("SELECT COUNT(*) FROM pg_settings WHERE " +
+          "pending_restart;").flatMap {
+        case Some(cols) => Right(cols(0).toInt == 0)
+        case None => Left("no rows")
+      },
+      run = Some { s =>
+        s.q.query("SELECT name FROM pg_settings WHERE pending_restart")
+          .flatMap { rows =>
+            val pendingList = joinWithAnd(rows.map(_.head))
+            scriptedOnly(s).flatMap { _ =>
+              if (!s.inputs.confirmPostgresRestart.contains(true))
+                Left("confirm_postgres_restart flag not set but Postgres " +
+                  s"restart required for settings $pendingList")
+              else s.restartPostgres()
+            }
+          }
+      }))
+
+  private def gucSetting(s: SetupState,
+      name: String): Either[String, String] =
+    s.q.queryRow(s"SELECT setting FROM pg_settings WHERE name = '$name'")
+      .flatMap {
+        case Some(cols) => Right(cols(0))
+        case None => Left("no rows")
+      }
+
+  def isSupportedLmds(value: Int): Boolean =
+    value == -1 || value >= MinSupportedLogMinDurationStatement
+}

@@ -1,0 +1,319 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.setup.GuidedSetup
+import graft.setup.GuidedSetup._
+import scala.collection.mutable
+
+/** The guided-setup pipeline in scripted mode (`setup/main.go`,
+  * `setup/steps/`): a stateful in-memory Postgres double answers the
+  * steps' EXACT SQL and applies their DDL, so the check → run →
+  * re-check contract is exercised for real (a run whose SQL doesn't
+  * actually fix the checked condition fails the step). */
+class GuidedSetupSpec extends AnyFunSuite {
+
+  /** In-memory Postgres: users/roles, schema, extensions, GUCs with
+    * ALTER SYSTEM semantics (shared_preload_libraries needs a restart;
+    * others apply on reload). */
+  final class FakePg(
+      var splCurrent: String = "",
+      var inRecovery: Boolean = false,
+      var versionStr: String = "14.5",
+      var versionNum: Int = 140005,
+      var autoExplainAvailable: Boolean = true) extends QueryRunner {
+    var database = "postgres"
+    // user -> (super, hasPgMonitor, password)
+    val users: mutable.Map[String, (Boolean, Boolean, String)] =
+      mutable.Map("postgres" -> ((true, false, "pg")))
+    var schemaExists = false
+    val schemaUsage: mutable.Set[String] = mutable.Set.empty
+    var pgssInstalledIn: Option[String] = None
+    val settings: mutable.Map[String, String] = mutable.Map(
+      "log_duration" -> "on", "log_statement" -> "all",
+      "log_min_duration_statement" -> "5", "log_line_prefix" -> "%p ")
+    var splPending: Option[String] = None
+    val databases = Seq("postgres", "app")
+    val execLog: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+
+    def restart(): Either[String, Unit] = {
+      splPending.foreach(splCurrent = _)
+      splPending = None
+      Right(())
+    }
+
+    def pingSuper(): Either[String, Unit] = Right(())
+    def pingMonitoring(u: String, p: String): Either[String, Unit] =
+      users.get(u) match {
+        case Some((_, _, pw)) if pw == p && p.nonEmpty => Right(())
+        case _ => Left(s"pq: password authentication failed for user \"$u\"")
+      }
+
+    private def lit(s: String): String = GuidedSetup.quoteLiteral(s)
+
+    def queryRow(sql: String): Either[String, Option[Seq[String]]] =
+      sql match {
+        case "SELECT current_setting('server_version'), current_setting('server_version_num')::integer" =>
+          Right(Some(Seq(versionStr, versionNum.toString)))
+        case "SELECT pg_is_in_recovery()" =>
+          Right(Some(Seq(inRecovery.toString)))
+        case q if q.startsWith("SELECT\ncurrent_setting('shared_preload_libraries')") =>
+          Right(Some(Seq(
+            splCurrent.contains("pg_stat_statements").toString,
+            splCurrent.contains("auto_explain").toString)))
+        case q if q.startsWith("SELECT true FROM pg_user WHERE usename = ") =>
+          val user = q.stripPrefix("SELECT true FROM pg_user WHERE usename = ")
+          users.keys.find(u => lit(u) == user) match {
+            case Some(_) => Right(Some(Seq("true")))
+            case None => Right(None)
+          }
+        case q if q.startsWith("SELECT usesuper OR pg_has_role(") =>
+          val user = q.substring(q.indexOf("usename = ") + "usename = ".length)
+          users.find { case (u, _) => lit(u) == user } match {
+            case Some((_, (sup, mon, _))) =>
+              Right(Some(Seq((sup || mon).toString)))
+            case None => Right(None)
+          }
+        case "SELECT COUNT(*) FROM pg_namespace WHERE nspname = 'pganalyze'" =>
+          Right(Some(Seq(if (schemaExists) "1" else "0")))
+        case q if q.startsWith("SELECT has_schema_privilege(") =>
+          val user = q.stripPrefix("SELECT has_schema_privilege(")
+            .stripSuffix(", 'pganalyze', 'USAGE')")
+          Right(Some(Seq(
+            schemaUsage.exists(u => lit(u) == user).toString)))
+        case "SELECT true FROM pg_available_extensions WHERE name = 'pg_stat_statements'" =>
+          Right(Some(Seq("true")))
+        case "SELECT extnamespace::regnamespace::text FROM pg_extension WHERE extname = 'pg_stat_statements'" =>
+          pgssInstalledIn match {
+            case Some(nsp) => Right(Some(Seq(nsp)))
+            case None => Right(None)
+          }
+        case q if q == GuidedSetup.PendingSplSql =>
+          Right(Some(Seq("shared_preload_libraries",
+            splPending.getOrElse(splCurrent))))
+        case q if q.startsWith("SELECT setting FROM pg_settings WHERE name = '") =>
+          val name = q.stripPrefix("SELECT setting FROM pg_settings WHERE name = '")
+            .stripSuffix("'")
+          settings.get(name).map(v => Some(Seq(v)))
+            .toRight(s"unknown setting $name")
+        case "SELECT COUNT(*) FROM pg_settings WHERE pending_restart;" =>
+          Right(Some(Seq(if (splPending.isDefined) "1" else "0")))
+        case other => Left(s"FakePg: unexpected queryRow: $other")
+      }
+
+    def query(sql: String): Either[String, Seq[Seq[String]]] = sql match {
+      case "SELECT datname FROM pg_database WHERE datallowconn AND NOT datistemplate" =>
+        Right(databases.map(Seq(_)))
+      case "SELECT name FROM pg_settings WHERE pending_restart" =>
+        Right(splPending.toSeq.map(_ => Seq("shared_preload_libraries")))
+      case other => Left(s"FakePg: unexpected query: $other")
+    }
+
+    def exec(sql: String): Either[String, Unit] = {
+      execLog += sql
+      sql match {
+        case q if q.startsWith("CREATE USER ") =>
+          val user = q.stripPrefix("CREATE USER ")
+            .stripSuffix(" CONNECTION LIMIT 5").stripPrefix("\"")
+            .stripSuffix("\"")
+          users(user) = (false, false, ""); Right(())
+        case q if q.startsWith("SET log_statement = none; ALTER USER ") =>
+          val rest = q.stripPrefix("SET log_statement = none; ALTER USER ")
+          val user = rest.substring(0, rest.indexOf(" WITH "))
+            .stripPrefix("\"").stripSuffix("\"")
+          val pw = rest.substring(
+            rest.indexOf("ENCRYPTED PASSWORD ") + "ENCRYPTED PASSWORD ".length)
+            .stripPrefix("'").stripSuffix("'")
+          val (sup, mon, _) = users(user)
+          users(user) = (sup, mon, pw); Right(())
+        case q if q.startsWith("GRANT pg_monitor to ") =>
+          val user = q.stripPrefix("GRANT pg_monitor to ")
+            .stripPrefix("\"").stripSuffix("\"")
+          val (sup, _, pw) = users(user)
+          users(user) = (sup, true, pw); Right(())
+        case q if q.startsWith("CREATE SCHEMA IF NOT EXISTS pganalyze; GRANT USAGE ON SCHEMA pganalyze TO ") =>
+          val user = q.stripPrefix(
+            "CREATE SCHEMA IF NOT EXISTS pganalyze; GRANT USAGE ON SCHEMA pganalyze TO ")
+            .stripSuffix(";").stripPrefix("\"").stripSuffix("\"")
+          schemaExists = true; schemaUsage += user; Right(())
+        case "CREATE EXTENSION pg_stat_statements SCHEMA public" =>
+          pgssInstalledIn = Some("public"); Right(())
+        case "LOAD 'auto_explain'" =>
+          if (autoExplainAvailable) Right(())
+          else Left("could not access file \"$libdir/auto_explain\": " +
+            "No such file or directory")
+        case q if q.startsWith("ALTER SYSTEM SET ") =>
+          val body = q.stripPrefix("ALTER SYSTEM SET ")
+          val i = body.indexOf(" = ")
+          val (name, value) = (body.substring(0, i), body.substring(i + 3))
+          if (name == "shared_preload_libraries") splPending = Some(value)
+          else settings(name) = value.stripPrefix("'").stripSuffix("'")
+          Right(())
+        case "SELECT pg_reload_conf()" => Right(())
+        case other => Left(s"FakePg: unexpected exec: $other")
+      }
+    }
+  }
+
+  private def freshState(pg: FakePg,
+      inputs: Inputs = recommendedInputs): SetupState =
+    new SetupState(inputs,
+      discoverLocalPgs = () => Seq(LocalPostgres("/var/run/postgresql", 5432)),
+      connectSuper = (_, _) => pg,
+      hostInfo = ("linux", "ubuntu", "22.04"),
+      restartPostgres = () => pg.restart(),
+      randomPasswordHex = () => "feedfacefeedfacefeedfacefeedface")
+
+  private val recommendedInputs = Inputs(
+    settings = Settings(apiKey = Some("k1"), dbName = Some("app, *"),
+      dbUsername = Some("pganalyze")),
+    gucs = RecommendedGucs,
+    pgSetupConnPort = Some(5432),
+    pgSetupConnUser = Some("postgres"),
+    ensureMonitoringUser = Some(true),
+    generateMonitoringPassword = Some(true),
+    ensureMonitoringPassword = Some(true),
+    ensureMonitoringPermissions = Some(true),
+    ensurePgStatStatementsInstalled = Some(true),
+    ensurePgStatStatementsLoaded = Some(true),
+    confirmSetUpLogInsights = Some(true),
+    useLogBasedExplain = Some(false),
+    ensureAutoExplainLoaded = Some(true),
+    confirmPostgresRestart = Some(true))
+
+  test("scripted happy path: fresh Postgres ends fully configured") {
+    val pg = new FakePg()
+    val s = freshState(pg)
+    val (done, failure) = GuidedSetup.run(s)
+    assert(failure.isEmpty, s"failed: $failure\nexec: ${pg.execLog}")
+    assert(done.length == GuidedSetup.steps.length)
+    // config written
+    assert(s.pganalyzeSection("api_key") == "k1")
+    assert(s.serverSection("db_name") == "app,*")
+    assert(s.serverSection("db_username") == "pganalyze")
+    assert(s.serverSection("db_password") ==
+      "feedfacefeedfacefeedfacefeedface")
+    assert(s.serverSection("enable_log_explain") == "false")
+    // the setup connection switched to the primary monitored db
+    assert(pg.database == "app")
+    // Postgres state: user + role + schema + extension + SPL + GUCs
+    assert(pg.users("pganalyze") ==
+      ((false, true, "feedfacefeedfacefeedfacefeedface")))
+    assert(pg.schemaExists && pg.schemaUsage.contains("pganalyze"))
+    assert(pg.pgssInstalledIn.contains("public"))
+    assert(pg.splCurrent == "pg_stat_statements,auto_explain")
+    assert(pg.splPending.isEmpty) // restart applied it
+    assert(pg.settings("log_duration") == "off")
+    assert(pg.settings("log_statement") == "none")
+    assert(pg.settings("log_min_duration_statement") == "1000")
+    assert(pg.settings("log_line_prefix") == LogPrefixRecommended)
+    // steps that had to act vs were already satisfied
+    val outcomes = done.toMap
+    assert(outcomes("eensure_monitoring_user") == Completed)
+    assert(outcomes("ensure_pgss_in_spl") == Completed)
+    assert(outcomes("confirm_restart_postgres") == Completed)
+    assert(outcomes("check_pgss_available") == NoChangesNeeded)
+  }
+
+  test("second run over configured state is all no-changes") {
+    val pg = new FakePg()
+    val s = freshState(pg)
+    assert(GuidedSetup.run(s)._2.isEmpty)
+    val s2 = freshState(pg)
+    // carry the config file forward (SaveConfig persisted it)
+    s2.pganalyzeSection ++= s.pganalyzeSection
+    s2.serverSection ++= s.serverSection
+    s2.runner = Some(pg)
+    val (done2, failure2) = GuidedSetup.run(s2)
+    assert(failure2.isEmpty)
+    assert(done2.forall(_._2 == NoChangesNeeded),
+      s"unexpected re-runs: ${done2.filter(_._2 != NoChangesNeeded)}")
+  }
+
+  test("error surfaces match the reference") {
+    // unsupported platform
+    val s1 = freshState(new FakePg())
+    val bad1 = new SetupState(recommendedInputs, s1.discoverLocalPgs,
+      s1.connectSuper, ("linux", "centos", "8.1"))
+    assert(GuidedSetup.run(bad1)._2.contains("check_platform" ->
+      ("the current platform (centos) is not currently supported; " +
+        "please contact support")))
+    // replica refused
+    val s2 = freshState(new FakePg(inRecovery = true))
+    assert(GuidedSetup.run(s2)._2.contains("check_replication_status" ->
+      "Postgres server is a replica; this is currently not supported"))
+    // old Postgres refused
+    val s3 = freshState(new FakePg(versionStr = "9.6.2", versionNum = 90602))
+    assert(GuidedSetup.run(s3)._2.contains("check_postgres_version" ->
+      "not supported for Postgres versions older than 10; found 9.6.2"))
+    // missing api key
+    val s4 = freshState(new FakePg(),
+      recommendedInputs.copy(settings =
+        recommendedInputs.settings.copy(apiKey = None)))
+    assert(GuidedSetup.run(s4)._2.contains("specify_api_key" ->
+      "no api_key setting specified"))
+    // generate + explicit password conflict
+    val s5 = freshState(new FakePg(),
+      recommendedInputs.copy(settings =
+        recommendedInputs.settings.copy(dbPassword = Some("pw"))))
+    assert(GuidedSetup.run(s5)._2.contains(
+      "specify_monitoring_user_password" ->
+        "cannot specify both generate password and set explicit password"))
+    // unsupported lmds input
+    val s6 = freshState(new FakePg(),
+      recommendedInputs.copy(gucs =
+        RecommendedGucs.copy(logMinDurationStatement = Some(5))))
+    assert(GuidedSetup.run(s6)._2.contains(
+      "li_ensure_supported_log_min_duration_statement" ->
+        "log_min_duration_statement provided as unsupported value '5'"))
+    // restart needed but not confirmed — names the pending settings
+    val s7 = freshState(new FakePg(),
+      recommendedInputs.copy(confirmPostgresRestart = None))
+    assert(GuidedSetup.run(s7)._2.contains("confirm_restart_postgres" ->
+      ("confirm_postgres_restart flag not set but Postgres restart " +
+        "required for settings shared_preload_libraries")))
+    // auto_explain module missing
+    val s8 = freshState(new FakePg(autoExplainAvailable = false))
+    assert(GuidedSetup.run(s8)._2.contains(
+      "aemod_check_auto_explain_available" ->
+        "contrib module auto_explain is not available"))
+  }
+
+  test("log-based EXPLAIN mode skips the auto_explain module steps") {
+    val pg = new FakePg()
+    val s = freshState(pg,
+      recommendedInputs.copy(useLogBasedExplain = Some(true)))
+    val (done, failure) = GuidedSetup.run(s)
+    assert(failure.isEmpty)
+    val outcomes = done.toMap
+    assert(s.serverSection("enable_log_explain") == "true")
+    // auto_explain never touched: checks short-circuit on log-explain
+    assert(outcomes("aemod_check_auto_explain_available") == NoChangesNeeded)
+    assert(outcomes("aemod_ensure_auto_explain_in_spl") == NoChangesNeeded)
+    assert(pg.splCurrent == "pg_stat_statements")
+    assert(!pg.execLog.exists(_.contains("auto_explain")))
+  }
+
+  test("a run that does not fix the condition fails the re-check") {
+    // log_duration scripted to a non-off unsupported-fix value: the Run
+    // is a no-op and the re-check still fails (the reference's comment:
+    // "technically there is no error to report here; the re-check will
+    // fail")
+    val pg = new FakePg()
+    val s = freshState(pg,
+      recommendedInputs.copy(gucs =
+        RecommendedGucs.copy(logDuration = Some("abc"))))
+    val (_, failure) = GuidedSetup.run(s)
+    assert(failure.contains("li_ensure_supported_log_duration" ->
+      "check still failed after running resolution; please try again"))
+  }
+
+  test("quoteLiteral matches pq semantics incl. the E'' backslash form") {
+    assert(quoteLiteral("plain") == "'plain'")
+    assert(quoteLiteral("o'brien") == "'o''brien'")
+    assert(quoteLiteral("back\\slash") == " E'back\\\\slash'")
+    assert(joinWithAnd(Nil) == "")
+    assert(joinWithAnd(Seq("a")) == "a")
+    assert(joinWithAnd(Seq("a", "b")) == "a and b")
+    assert(joinWithAnd(Seq("a", "b", "c")) == "a, b, and c")
+  }
+}
