@@ -682,6 +682,46 @@ object Oracles {
         |  line
         |FROM l""".stripMargin,
 
+    // Mirrors QueriesLog.s36TemboLive: the jsonlog records rebuilt from
+    // the events formulas — one primary row per record plus a DETAIL
+    // row when the record carried a detail key (ERROR rows). The live
+    // auth/frame legs are require()-asserted in the entry; the parsed
+    // lines are what hashes here.
+    "s36_tembo_live" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END AS lvl,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || ' UTC'
+        |      AS log_time,
+        |    CASE event_type
+        |      WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |        || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |        || regexp_extract(props, '"k": (\d+)', 1)
+        |      WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |        || regexp_extract(props, '"k": (\d+)', 1)
+        |        || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |        || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |        || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+        |      WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |        || (5000 + user_id % 100)
+        |      WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |        || ' database=db'
+        |        || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |      ELSE 'deadlock detected' END AS message
+        |  FROM events WHERE event_id % 37 = 0),
+        |r AS (
+        |  SELECT event_id, user_id, log_time, message AS content,
+        |    lvl AS level, false AS is_detail FROM l
+        |  UNION ALL
+        |  SELECT event_id, user_id, log_time,
+        |    'parameters: $1 = ' || event_id AS content,
+        |    'DETAIL' AS level, true AS is_detail FROM l WHERE lvl = 'ERROR')
+        |SELECT 'graftns-1' AS pod, 'inst-graft' AS instance_id, log_time,
+        |  'u' || user_id AS username, 'db' || (user_id % 5) AS "database",
+        |  CAST(user_id AS INT) AS pid, 'app' || (event_id % 3) AS application,
+        |  CAST(event_id AS INT) AS line_num, content, level, is_detail
+        |FROM r""".stripMargin,
+
     // Mirrors QueriesLog.s28OtelK8sFilter: the skip decision unrolled —
     // pod spec pg/pod-2 (namespace first, then pod name), selector
     // app = postgres (equality fails on mismatch; app always present),

@@ -1022,6 +1022,78 @@ object QueriesLog {
   // plain syslog-framed string bodies), detail fields fanning out as
   // DETAIL rows. The envelope is synthesized as literal OTLP JSON; the
   // adapter's from_json + kvlist unwrapping is the code under test.
+  /** S36 — Tembo LIVE: the Loki tail-over-websocket log source
+    * ([[graft.sources.TemboLogs]], `input/system/tembo/logs.go`). The
+    * corpus (event_id % 37) renders as Postgres jsonlog records packed
+    * into Loki StreamResult frames, served by an in-process tail
+    * endpoint that enforces `Authorization: Bearer` + `X-Scope-OrgId`
+    * + the exact LogQL selector (`{tembo_instance_id="…",
+    * pod="<ns>-1"}`); the real websocket client drains the frames to a
+    * spool and Spark parses them DISTRIBUTED (StreamResult explode +
+    * jsonlog unpack, the `detail` key fanned out as a DETAIL row via
+    * one inline — no branch union). Refusals asserted in-entry: wrong
+    * token 401, wrong org 403, both before any upgrade. */
+  def s36TemboLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TemboLogs
+    val base = LogSynth.lines(s, dir).filter(col("event_id") % 37 === 0)
+    val rec = to_json(struct(map_filter(map(
+      lit("log_time"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss 'UTC'"),
+      lit("user_name"), concat(lit("u"), col("pid")),
+      lit("database_name"), concat(lit("db"), pmod(col("pid"), lit(5))),
+      lit("process_id"), col("pid").cast("string"),
+      lit("application_name"), concat(lit("app"), pmod(col("event_id"), lit(3))),
+      lit("session_line_num"), col("event_id").cast("string"),
+      lit("message"), col("content"),
+      lit("error_severity"), col("log_level"),
+      lit("detail"), when(col("log_level") === "ERROR",
+        concat(lit("parameters: $1 = "), col("event_id")))
+        .otherwise(lit(null).cast("string"))),
+      (_, v) => v.isNotNull).as("record")))
+    val meta = struct(lit("postgres").as("app"),
+      lit("postgres").as("container"), lit("graftns-1").as("pod"),
+      lit("stdout").as("stream"), lit("inst-graft").as("tembo_instance_id"),
+      lit("org-graft").as("tembo_organization_id"))
+    val frames = base
+      .select((col("event_id") % 7).cast("int").as("fid"),
+        col("event_id"), rec.as("rec"))
+      .groupBy("fid")
+      .agg(array_sort(collect_list(struct(col("event_id"), col("rec"))))
+        .as("vs"))
+      .select(col("fid"), to_json(struct(array(struct(
+        meta.as("stream"),
+        transform(col("vs"), v => array(v.getField("event_id")
+          .cast("string"), v.getField("rec"))).as("values")))
+        .as("streams"))).as("frame"))
+      .orderBy("fid").collect().map(_.getString(1)).toSeq
+    val srv = new TemboLogs.LokiTailServer("graft-token", "org-graft",
+      TemboLogs.tailPath("inst-graft", "graftns"), frames)
+    val spool = java.nio.file.Files.createTempDirectory("graft_tembo")
+    try {
+      def refuse(token: String, org: String): Boolean =
+        try {
+          TemboLogs.drain("127.0.0.1", srv.port,
+            TemboLogs.tailPath("inst-graft", "graftns"), token, org, spool)
+          false
+        } catch { case e: java.io.IOException => true }
+      require(refuse("wrong-token", "org-graft"),
+        "a wrong bearer token must be refused (401)")
+      require(refuse("graft-token", "org-other"),
+        "a wrong org id must be refused (403)")
+      val n = TemboLogs.drain("127.0.0.1", srv.port,
+        TemboLogs.tailPath("inst-graft", "graftns"), "graft-token",
+        "org-graft", spool)
+      require(n == frames.length, s"expected ${frames.length} frames, got $n")
+      val out = TemboLogs.parseFrames(
+        s.read.option("wholetext", "true")
+          .option("pathGlobFilter", "frame-*.json").text(spool.toString),
+        "value").localCheckpoint() // EAGER: spool deleted below
+      out
+    } finally {
+      srv.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)
+    }
+  }
+
   /** S28 — the OTel server's Kubernetes pod/label FILTER
     * ([[graft.sources.K8sFilter]], `otel_handler.go:370-402` +
     * `config/read.go:795-817` + `util/kubernetes.go`): every record

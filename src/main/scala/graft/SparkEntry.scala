@@ -200,6 +200,8 @@ object SparkEntry {
     "s28_otel_log_parse" -> (QueriesLog.s28OtelLogParse _),
     // the OTel server's K8s pod/label filter as a plan-time predicate
     "s28_otel_k8s_filter" -> (QueriesLog.s28OtelK8sFilter _),
+    // Tembo Loki tail-over-websocket, live wire + distributed parse
+    "s36_tembo_live" -> (QueriesLog.s36TemboLive _),
     // the LIVE OTel transport: batched gzip HTTP exports against a real
     // in-process /v1/logs receiver, parsed back off the durable spool
     "s28_otel_live" -> (QueriesLog.s28OtelLive _),

@@ -1,0 +1,222 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, IOException}
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SnapshotWebSocket
+
+/** Tembo log streaming — the Loki tail-over-websocket source
+  * (`input/system/tembo/logs.go`): the collector opens
+  * `wss://<logs-api>/loki/api/v1/tail?query={tembo_instance_id="…",
+  * pod="<namespace>-1"}` with `Authorization: Bearer <token>` and
+  * `X-Scope-OrgId` headers, reads Loki `StreamResult` JSON frames
+  * (`{streams:[{stream:<meta>,values:[[ts,line],…]}]}`), and parses
+  * every value line as a Postgres jsonlog record, fanning a `detail`
+  * key out as an extra DETAIL log line (`logs.go:166-218`).
+  *
+  * Split here the way the engine splits every live source: a thin
+  * receiver (dial → frame loop → durable spool, one file per frame)
+  * and a DISTRIBUTED parser — the StreamResult explode and the
+  * jsonlog unpack run as Spark `from_json`/`inline` over the spool,
+  * so 1000 executors each parse their shard of frames. The in-process
+  * [[TemboLogs.LokiTailServer]] enforces the auth headers and the
+  * exact query string (401/403 before the websocket upgrade, as Loki
+  * gateways do). */
+object TemboLogs {
+
+  /** `connectWebsocket` (`logs.go:45-50`): the LogQL selector — note
+    * the reference's fixed `-1` pod suffix (no HA replicas yet). */
+  def lokiQuery(instanceId: String, namespace: String): String =
+    s"""{tembo_instance_id="$instanceId", pod="$namespace-1"}"""
+
+  def tailPath(instanceId: String, namespace: String): String =
+    "/loki/api/v1/tail?query=" +
+      java.net.URLEncoder.encode(lokiQuery(instanceId, namespace), "UTF-8")
+
+  // ------------------------------------------------------ the consumer
+
+  /** Dial the tail endpoint and drain text frames until the server
+    * closes; each frame is one StreamResult JSON document, spooled as
+    * one file (tmp-write + atomic move). Returns the frame count.
+    * Connection errors surface to the caller — the reference's outer
+    * loop sleeps 10 s and redials (`logs.go:110-124`); the entry
+    * asserts the refusal surfaces instead. */
+  def drain(host: String, port: Int, path: String, token: String,
+      orgId: String, spoolDir: java.nio.file.Path): Int = {
+    val (status, sock) = SnapshotWebSocket.dial(host, port, path, Map(
+      "Authorization" -> s"Bearer $token",
+      "X-Scope-OrgId" -> orgId))
+    if (sock == null)
+      throw new IOException(s"Error connecting to Tembo logs websocket " +
+        s"(status $status)")
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      var n = 0
+      var open = true
+      while (open) {
+        val (op, payload) = SnapshotWebSocket.readFrame(in)
+        if (op == 0x8) open = false
+        else if (op == 0x1) {
+          val tmp = java.nio.file.Files.createTempFile(spoolDir, ".tmp", "")
+          java.nio.file.Files.write(tmp, payload)
+          java.nio.file.Files.move(tmp,
+            spoolDir.resolve(f"frame-$n%05d.json"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          n += 1
+        }
+      }
+      n
+    } finally sock.close()
+  }
+
+  // ----------------------------------------------- distributed parsing
+
+  private val StreamSchema =
+    "struct<streams: array<struct<" +
+      "stream: struct<app: string, container: string, pod: string, " +
+      "stream: string, tembo_instance_id: string, " +
+      "tembo_organization_id: string>, " +
+      "values: array<array<string>>>>>"
+
+  private val RecordSchema = "struct<record: map<string, string>>"
+
+  /** StreamResult frames (one JSON document per row in `frameCol`) →
+    * parsed log lines, jsonlog keys unpacked per `logs.go:166-218`
+    * and the `detail` key fanned out as a DETAIL row. The two output
+    * rows per errored record are built as an array of structs and
+    * `inline`d — one pass over the upstream, not a union of filtered
+    * branches. */
+  def parseFrames(frames: DataFrame, frameCol: String): DataFrame = {
+    val vals = frames
+      .select(from_json(col(frameCol),
+        org.apache.spark.sql.types.DataType.fromDDL(StreamSchema)).as("f"))
+      .select(explode(col("f.streams")).as("s"))
+      .select(col("s.stream.pod").as("pod"),
+        col("s.stream.tembo_instance_id").as("instance_id"),
+        explode(col("s.values")).as("v"))
+      .select(col("pod"), col("instance_id"),
+        from_json(element_at(col("v"), 2),
+          org.apache.spark.sql.types.DataType.fromDDL(RecordSchema))
+          .getField("record").as("r"))
+    val base = vals.select(
+      col("pod"), col("instance_id"),
+      col("r")("log_time").as("log_time"),
+      col("r")("user_name").as("username"),
+      col("r")("database_name").as("database"),
+      col("r")("process_id").cast("int").as("pid"),
+      col("r")("application_name").as("application"),
+      col("r")("session_line_num").cast("int").as("line_num"),
+      col("r")("message").as("message"),
+      col("r")("error_severity").as("severity"),
+      col("r")("detail").as("detail"))
+    def row(content: Column, level: Column, isDetail: Column) =
+      struct(content.as("content"), level.as("level"),
+        isDetail.as("is_detail"))
+    base.select(col("pod"), col("instance_id"), col("log_time"),
+        col("username"), col("database"), col("pid"), col("application"),
+        col("line_num"),
+        inline(when(col("detail").isNotNull,
+          array(row(col("message"), col("severity"), lit(false)),
+            row(col("detail"), lit("DETAIL"), lit(true))))
+          .otherwise(array(
+            row(col("message"), col("severity"), lit(false))))))
+  }
+
+  // ------------------------------------------------------- the server
+
+  /** In-process Loki tail endpoint: one client, Bearer + org-id
+    * enforced (401/403 BEFORE the 101 upgrade), the query string must
+    * match the configured selector, then the frames stream as
+    * unmasked text frames followed by a close. */
+  final class LokiTailServer(token: String, orgId: String,
+      expectPath: String, frames: Seq[String]) {
+    private val server = new ServerSocket(0)
+    val port: Int = server.getLocalPort
+
+    private def serverFrame(op: Int, payload: Array[Byte]): Array[Byte] = {
+      val header =
+        if (payload.length < 126)
+          Array[Byte]((0x80 | op).toByte, payload.length.toByte)
+        else if (payload.length < 65536)
+          Array[Byte]((0x80 | op).toByte, 126.toByte,
+            (payload.length >> 8).toByte, payload.length.toByte)
+        else {
+          val len = payload.length.toLong
+          Array[Byte]((0x80 | op).toByte, 127.toByte) ++
+            (7 to 0 by -1).map(i => ((len >> (8 * i)) & 0xff).toByte)
+        }
+      header ++ payload
+    }
+
+    private val thread = new Thread(() => {
+      // keep accepting (refused attempts included) until one client
+      // authenticates and drains the stream
+      var served = false
+      try {
+        while (!served) {
+          val sock = server.accept()
+          try {
+            val in = new DataInputStream(sock.getInputStream)
+            val out = new DataOutputStream(sock.getOutputStream)
+            def readLine(): String = {
+              val sb = new StringBuilder
+              var c = in.read()
+              while (c >= 0 && c != '\n') {
+                if (c != '\r') sb.append(c.toChar); c = in.read()
+              }
+              sb.toString
+            }
+            val reqLine = readLine()
+            var auth = ""; var org = ""; var wsKey = ""
+            var line = readLine()
+            while (line.nonEmpty) {
+              val i = line.indexOf(':')
+              if (i > 0) {
+                val k = line.substring(0, i).trim.toLowerCase
+                val v = line.substring(i + 1).trim
+                if (k == "authorization") auth = v
+                if (k == "x-scope-orgid") org = v
+                if (k == "sec-websocket-key") wsKey = v
+              }
+              line = readLine()
+            }
+            val path = reqLine.split(" ").lift(1).getOrElse("")
+            if (auth != s"Bearer $token") {
+              out.write(("HTTP/1.1 401 Unauthorized\r\n" +
+                "Content-Length: 0\r\n\r\n").getBytes(UTF_8))
+            } else if (org != orgId) {
+              out.write(("HTTP/1.1 403 Forbidden\r\n" +
+                "Content-Length: 0\r\n\r\n").getBytes(UTF_8))
+            } else if (path != expectPath) {
+              out.write(("HTTP/1.1 400 Bad Request\r\n" +
+                "Content-Length: 0\r\n\r\n").getBytes(UTF_8))
+            } else {
+              out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+                s"Sec-WebSocket-Accept: ${SnapshotWebSocket.acceptKey(wsKey)}" +
+                "\r\n\r\n").getBytes(UTF_8))
+              out.flush()
+              frames.foreach { f =>
+                out.write(serverFrame(0x1, f.getBytes(UTF_8)))
+              }
+              out.write(serverFrame(0x8, Array.emptyByteArray))
+              served = true
+            }
+            out.flush()
+          } finally sock.close()
+        }
+      } catch { case _: IOException => () }
+      finally { try server.close() catch { case _: IOException => () } }
+    })
+    thread.setDaemon(true)
+    thread.start()
+
+    def stop(): Unit = {
+      try server.close() catch { case _: IOException => () }
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.TemboLogs
+
+/** Tembo Loki-tail protocol pieces (`input/system/tembo/logs.go`);
+  * the live wire + distributed parse are gate-verified by
+  * s36_tembo_live. */
+class TemboLogsSpec extends AnyFunSuite {
+
+  test("LogQL selector and tail path match connectWebsocket") {
+    // logs.go:45-50 — note the fixed -1 pod suffix (no HA replicas)
+    assert(TemboLogs.lokiQuery("inst-1", "ns") ==
+      """{tembo_instance_id="inst-1", pod="ns-1"}""")
+    assert(TemboLogs.tailPath("inst-1", "ns") ==
+      "/loki/api/v1/tail?query=%7Btembo_instance_id%3D%22inst-1%22" +
+        "%2C+pod%3D%22ns-1%22%7D")
+  }
+
+  test("tail server: auth ordering (401 before 403 before query check)") {
+    val srv = new TemboLogs.LokiTailServer("tok", "org",
+      TemboLogs.tailPath("i", "n"), Seq("""{"streams":[]}"""))
+    val spool = java.nio.file.Files.createTempDirectory("tembo_spec")
+    try {
+      def attempt(token: String, org: String, path: String): Option[Int] =
+        try {
+          TemboLogs.drain("127.0.0.1", srv.port, path, token, org, spool)
+          None
+        } catch {
+          case e: java.io.IOException =>
+            "status (\\d+)".r.findFirstMatchIn(e.getMessage)
+              .map(_.group(1).toInt)
+        }
+      // bad token wins even with a bad org and bad path
+      assert(attempt("bad", "bad", "/bad") == Some(401))
+      assert(attempt("tok", "bad", "/bad") == Some(403))
+      assert(attempt("tok", "org", "/bad") == Some(400))
+      // the real drain succeeds and spools one frame per text frame
+      assert(attempt("tok", "org", TemboLogs.tailPath("i", "n")).isEmpty)
+      assert(java.nio.file.Files.list(spool).count() == 1)
+    } finally {
+      srv.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)
+    }
+  }
+}
