@@ -682,6 +682,40 @@ object Oracles {
         |  line
         |FROM l""".stripMargin,
 
+    // Mirrors QueriesLog.s37PlanetscaleLive: the rendered lines in
+    // _time order (second-truncated stamp, event_id as the nanos
+    // tiebreak — lexicographic == chronological). The auth/signature/
+    // pagination legs are require()-asserted in the entry; the
+    // downloaded content is what hashes here.
+    "s37_planetscale_live" ->
+      """WITH l AS (
+        |  SELECT event_id,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS tsec,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || ' UTC ['
+        |      || user_id || ']: [' || (event_id % 1000) || '-1] user=u'
+        |      || user_id || ',db=db' || (user_id % 5) || ' '
+        |      || (CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'LOG' END)
+        |      || ':  '
+        |      || CASE event_type
+        |        WHEN 'click' THEN 'duration: ' || CAST(floor(value * 100) AS BIGINT)
+        |          || '.000 ms  statement: SELECT * FROM orders WHERE o_custkey = '
+        |          || regexp_extract(props, '"k": (\d+)', 1)
+        |        WHEN 'purchase' THEN 'checkpoint complete: wrote '
+        |          || regexp_extract(props, '"k": (\d+)', 1)
+        |          || ' buffers (4.2%); 0 WAL file(s) added, 0 removed, 3 recycled; '
+        |          || 'write=1.2 s, sync=0.1 s, total=1.4 s; sync files=7, '
+        |          || 'longest=0.05 s, average=0.01 s; distance=1024 kB, estimate=2048 kB'
+        |        WHEN 'view' THEN 'connection received: host=10.0.0.1 port='
+        |          || (5000 + user_id % 100)
+        |        WHEN 'signup' THEN 'connection authorized: user=u' || user_id
+        |          || ' database=db'
+        |          || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
+        |        ELSE 'deadlock detected' END AS line
+        |  FROM events WHERE event_id % 41 = 0)
+        |SELECT CAST(row_number() OVER (ORDER BY tsec, event_id) - 1 AS INT)
+        |  AS line_idx, line
+        |FROM l""".stripMargin,
+
     // Mirrors QueriesLog.s36TemboLive: the jsonlog records rebuilt from
     // the events formulas — one primary row per record plus a DETAIL
     // row when the record carried a detail key (ERROR rows). The live

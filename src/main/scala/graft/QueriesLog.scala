@@ -1022,6 +1022,82 @@ object QueriesLog {
   // plain syslog-framed string bodies), detail fields fanning out as
   // DETAIL rows. The envelope is synthesized as literal OTLP JSON; the
   // adapter's from_json + kvlist unwrapping is the code under test.
+  /** S37 — PlanetScale LIVE: the signature-authenticated logs API
+    * ([[graft.sources.PlanetScaleLogs]],
+    * `input/system/planetscale/logs.go`). The corpus (event_id % 41)
+    * renders as prefixed log lines with RFC3339Nano-style `_time`
+    * stamps, served by an in-process API+log-edge double that enforces
+    * the service token on the API paths and verifies sig+exp at the
+    * log edge; the client runs the reference's full chain — branch-ID
+    * resolve (cached), signature mint (reused while valid),
+    * `_time:>`-filtered sorted pagination advancing `since` to the
+    * newest stamp, trailing-cap accumulation — and the downloaded
+    * content splits to lines DISTRIBUTED. Asserted in-entry: wrong
+    * service token 401, forged signature 403 AND the cached signature
+    * cleared for refresh, ≥2 pages actually paged, resume downloads
+    * nothing, exactly one branch + one signature call across both
+    * cycles. */
+  def s37PlanetscaleLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PlanetScaleLogs
+    val times = LogSynth.lines(s, dir).filter(col("event_id") % 41 === 0)
+      .select(col("event_id"),
+        concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("."),
+          lpad(pmod(col("event_id"), lit(1000000000)).cast("string"), 9, "0"),
+          lit("Z")).as("t"))
+    val entries = LogSynth.renderedLines(s, dir)
+      .join(times, Seq("event_id"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("t"), r.getAs[String]("line"))).toSeq
+    val ep = new PlanetScaleLogs.Endpoint("ps-tok-id", "ps-tok-secret",
+      "graft-org", "graft-db", "main", "branch-abc123", entries)
+    val spool = java.nio.file.Files.createTempDirectory("graft_ps")
+    try {
+      // wrong service token: 401 on the branch API
+      val bad = new PlanetScaleLogs.Client(ep.url, ep.url, "ps-tok-id",
+        "wrong-secret")
+      require(bad.getBranchId("graft-org", "graft-db", "main")
+        .left.exists(_.statusCode == 401), "wrong token must be 401")
+      val c = new PlanetScaleLogs.Client(ep.url, ep.url, "ps-tok-id",
+        "ps-tok-secret")
+      // forged signature: 403 at the log edge, cached signature cleared
+      val forged = PlanetScaleLogs.downloadLogFiles(c,
+        PlanetScaleLogs.PsState(branchId = "branch-abc123",
+          signature = "ps-sig-FORGED", expiry = 1700003600L),
+        "graft-org", "graft-db", "main", nowEpochSecs = 1700000000L,
+        linesNewerThan = "")
+      require(forged.left.exists { case (msg, st) =>
+        msg.contains("403") && st.signature.isEmpty && st.expiry == 0L
+      }, "a forged signature must be 403 and clear the cache")
+      val r1 = PlanetScaleLogs.downloadLogFiles(c, PlanetScaleLogs.PsState(),
+        "graft-org", "graft-db", "main", nowEpochSecs = 1700000000L,
+        linesNewerThan = "", pageSize = 100)
+        .fold(e => throw new IllegalStateException(e._1), identity)
+      require(r1.pages >= 2, s"pagination must occur, got ${r1.pages} pages")
+      require(ep.branchCalls == 1 && ep.signatureCalls == 1,
+        "one branch resolve + one signature mint expected")
+      // resume: a second cycle from the persisted state is empty and
+      // reuses both the branch id and the still-valid signature
+      val r2 = PlanetScaleLogs.downloadLogFiles(c, r1.state,
+        "graft-org", "graft-db", "main", nowEpochSecs = 1700000100L,
+        linesNewerThan = "", pageSize = 100)
+        .fold(e => throw new IllegalStateException(e._1), identity)
+      require(r2.content.isEmpty &&
+        r2.state.lastTimestamp == r1.state.lastTimestamp,
+        "resume must download nothing")
+      require(ep.branchCalls == 1 && ep.signatureCalls == 1,
+        "branch id and valid signature must be cached")
+      java.nio.file.Files.write(spool.resolve("planetscale-logs"),
+        r1.content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally ep.stop()
+    val out = s.read.option("wholetext", "true").text(spool.toString)
+      .select(posexplode(split(col("value"), "\n")))
+      .filter(col("col") =!= "")
+      .select(col("pos").cast("int").as("line_idx"), col("col").as("line"))
+      .localCheckpoint() // EAGER: materialize before the spool is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)
+    out
+  }
+
   /** S36 — Tembo LIVE: the Loki tail-over-websocket log source
     * ([[graft.sources.TemboLogs]], `input/system/tembo/logs.go`). The
     * corpus (event_id % 37) renders as Postgres jsonlog records packed

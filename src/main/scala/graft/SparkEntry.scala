@@ -202,6 +202,8 @@ object SparkEntry {
     "s28_otel_k8s_filter" -> (QueriesLog.s28OtelK8sFilter _),
     // Tembo Loki tail-over-websocket, live wire + distributed parse
     "s36_tembo_live" -> (QueriesLog.s36TemboLive _),
+    // PlanetScale signature-authenticated logs API, full auth chain
+    "s37_planetscale_live" -> (QueriesLog.s37PlanetscaleLive _),
     // the LIVE OTel transport: batched gzip HTTP exports against a real
     // in-process /v1/logs receiver, parsed back off the durable spool
     "s28_otel_live" -> (QueriesLog.s28OtelLive _),

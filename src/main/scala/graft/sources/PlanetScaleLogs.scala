@@ -1,0 +1,270 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.net.{HttpURLConnection, InetSocketAddress, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** PlanetScale log download — the signature-authenticated logs API
+  * (`input/system/planetscale/logs.go`): resolve the branch ID once
+  * per collector lifetime (`GET /v1/organizations/O/databases/D/
+  * branches/B`, `Authorization: tokenId:tokenSecret`), obtain a log
+  * access signature with an expiry (`POST …/logs/signatures`), then
+  * page `GET <logsURL>/logs/branch/<id>/query?sig&exp&query&limit`
+  * where the query is the fixed selector
+  * `planetscale.component:postgres planetscale.role:primary` plus an
+  * `_time:><since>` filter and `| sort by (_time)` — NDJSON LogEntry
+  * responses, trailing-10 MB parse cap, `since` advancing to the
+  * newest `_time` until a short page, 403 clearing the cached
+  * signature for refresh next cycle.
+  *
+  * The in-process [[PlanetScaleLogs.Endpoint]] enforces the service
+  * token on the API paths and VERIFIES sig+exp on the logs path the
+  * way PlanetScale's log edge does (unknown/expired signatures are
+  * 403), so a gate-green download proves the whole chain. */
+object PlanetScaleLogs {
+
+  val DefaultQuery = "planetscale.component:postgres planetscale.role:primary"
+  val MaxLogParsingSize: Int = 10 * 1024 * 1024
+  val PageSize = 1000
+
+  final case class HttpError(statusCode: Int, body: String)
+      extends Exception(
+        if (body.nonEmpty) s"HTTP $statusCode: $body" else s"HTTP $statusCode")
+
+  final case class LogEntry(time: String, msg: String, component: String,
+      role: String, pod: String)
+
+  /** The persisted per-server state (`state.PlanetScaleLogState`):
+    * branch id cached forever, signature until expiry, last timestamp
+    * as the resume point. */
+  final case class PsState(branchId: String = "", signature: String = "",
+      expiry: Long = 0L, lastTimestamp: String = "")
+
+  /** (method, url, headers) → (status, body). */
+  type Http = (String, String, Map[String, String]) => (Int, String)
+
+  val httpDo: Http = (method, url, headers) => {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      if (method == "POST") { conn.setDoOutput(true); conn.getOutputStream.close() }
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = if (is == null) ""
+        else try new String(is.readAllBytes(), UTF_8) finally is.close()
+      (code, body)
+    } finally conn.disconnect()
+  }
+
+  final class Client(apiUrl: String, logsUrl: String, tokenId: String,
+      tokenSecret: String, http: Http = httpDo) {
+
+    private val mapper = new ObjectMapper()
+    private def authHeaders = Map(
+      "Authorization" -> s"$tokenId:$tokenSecret",
+      "Accept" -> "application/json")
+
+    /** `GetBranchID` (`logs.go:298-332`). */
+    def getBranchId(org: String, database: String,
+        branch: String): Either[HttpError, String] = {
+      val (st, body) = http("GET",
+        s"$apiUrl/v1/organizations/$org/databases/$database/branches/$branch",
+        authHeaders)
+      if (st != 200) Left(HttpError(st, body))
+      else Right(mapper.readTree(body).get("id").asText(""))
+    }
+
+    /** `GetSignature` (`logs.go:334-372`); `exp` arrives as a string. */
+    def getSignature(org: String, database: String,
+        branch: String): Either[HttpError, (String, Long)] = {
+      val (st, body) = http("POST",
+        s"$apiUrl/v1/organizations/$org/databases/$database/branches/$branch/logs/signatures",
+        authHeaders)
+      if (st != 200) Left(HttpError(st, body))
+      else {
+        val n = mapper.readTree(body)
+        Right((n.get("sig").asText(""), n.get("exp").asText("0").toLong))
+      }
+    }
+
+    /** `QueryLogs` (`logs.go:374-426`): one NDJSON page. */
+    def queryLogs(branchId: String, sig: String, expiry: Long,
+        since: String, limit: Int): Either[HttpError, Seq[LogEntry]] = {
+      val query = new StringBuilder(DefaultQuery)
+      if (since.nonEmpty) query ++= s" _time:>$since"
+      query ++= " | sort by (_time)"
+      val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+      val url = s"$logsUrl/logs/branch/$branchId/query?" +
+        s"sig=${enc(sig)}&exp=$expiry&query=${enc(query.toString)}&limit=$limit"
+      val (st, body) = http("GET", url, Map.empty)
+      if (st != 200) Left(HttpError(st, body))
+      else Right(body.linesIterator.filter(_.nonEmpty).flatMap { line =>
+        try {
+          val n = mapper.readTree(line)
+          def f(k: String) = Option(n.get(k)).map(_.asText("")).getOrElse("")
+          Some(LogEntry(f("_time"), f("_msg"),
+            f("planetscale.component"), f("planetscale.role"),
+            f("planetscale.pod")))
+        } catch { case _: Exception => None } // parse errors: skip, keep going
+      }.toSeq)
+    }
+  }
+
+  final case class Download(state: PsState, content: String, pages: Int)
+
+  /** `DownloadLogFiles` (`logs.go:140-296`): branch-id cache,
+    * signature refresh on expiry, the 2-minute recency floor on the
+    * resume point, page loop advancing `since` to the newest `_time`
+    * until a short page, per-message trailing-cap logic, messages
+    * newline-terminated, 403 clearing the cached signature. */
+  def downloadLogFiles(client: Client, st0: PsState, org: String,
+      database: String, branch: String, nowEpochSecs: Long,
+      linesNewerThan: String, maxParse: Int = MaxLogParsingSize,
+      pageSize: Int = PageSize): Either[(String, PsState), Download] = {
+    var st = st0
+    if (st.branchId.isEmpty) {
+      client.getBranchId(org, database, branch) match {
+        case Left(e) =>
+          return Left((s"failed to get branch ID: ${e.getMessage}", st))
+        case Right(id) => st = st.copy(branchId = id)
+      }
+    }
+    if (st.signature.isEmpty || st.expiry <= nowEpochSecs) {
+      client.getSignature(org, database, branch) match {
+        case Left(e) =>
+          return Left((s"failed to get signature: ${e.getMessage}", st))
+        case Right((sig, exp)) => st = st.copy(signature = sig, expiry = exp)
+      }
+    }
+    var since = st.lastTimestamp
+    if (since < linesNewerThan) since = linesNewerThan
+    val content = new StringBuilder
+    var newest = ""
+    var pages = 0
+    var done = false
+    while (!done) {
+      client.queryLogs(st.branchId, st.signature, st.expiry, since,
+          pageSize) match {
+        case Left(e) =>
+          // a 403 clears the cached signature for refresh next cycle
+          if (e.statusCode == 403)
+            st = st.copy(signature = "", expiry = 0L)
+          return Left((s"failed to query logs: ${e.getMessage}", st))
+        case Right(entries) =>
+          pages += 1
+          entries.foreach { e =>
+            val msg = if (e.msg.endsWith("\n")) e.msg else e.msg + "\n"
+            if (msg.length > maxParse)
+              content.replace(0, content.length,
+                msg.substring(msg.length - maxParse))
+            else {
+              val overflow = content.length + msg.length - maxParse
+              if (overflow > 0) content.delete(0, overflow)
+              content ++= msg
+            }
+            if (e.time > newest) newest = e.time
+          }
+          if (entries.length < pageSize || newest == since) done = true
+          else since = newest
+      }
+    }
+    val st1 = if (newest.nonEmpty) st.copy(lastTimestamp = newest) else st
+    Right(Download(st1, content.toString, pages))
+  }
+
+  // ------------------------------------------------------- the endpoint
+
+  /** In-process PlanetScale API + logs edge: the API paths check the
+    * service token, the signatures endpoint mints (sig, exp) pairs it
+    * remembers, and the logs path serves only requests whose sig was
+    * minted AND whose exp is in the future — 403 otherwise, like the
+    * real log edge. Entries are (timeRfc3339, msg) pairs, selector-
+    * filtered, `_time:>` filtered, sorted, limited. */
+  final class Endpoint(tokenId: String, tokenSecret: String, org: String,
+      database: String, branch: String, branchId: String,
+      entries: Seq[(String, String)],
+      nowEpochSecs: () => Long = () => 1700000000L,
+      sigTtlSecs: Long = 3600L) {
+
+    private val mapper = new ObjectMapper()
+    private var sigCounter = 0
+    private val minted = scala.collection.mutable.Map.empty[String, Long]
+    var branchCalls = 0
+    var signatureCalls = 0
+
+    private val server =
+      HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val port: Int = server.getAddress.getPort
+    val url: String = s"http://127.0.0.1:$port"
+
+    server.createContext("/", (ex: HttpExchange) => {
+      def respond(code: Int, text: String): Unit = {
+        val b = text.getBytes(UTF_8)
+        ex.sendResponseHeaders(code, if (b.isEmpty) -1L else b.length.toLong)
+        if (b.nonEmpty) ex.getResponseBody.write(b)
+        ex.close()
+      }
+      val path = ex.getRequestURI.getPath
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .getOrElse("")
+      val apiBase = s"/v1/organizations/$org/databases/$database/branches/$branch"
+      if (path == apiBase || path == s"$apiBase/logs/signatures") {
+        if (auth != s"$tokenId:$tokenSecret") respond(401, "unauthorized")
+        else if (path == apiBase) {
+          this.synchronized { branchCalls += 1 }
+          respond(200, s"""{"id":"$branchId","name":"$branch"}""")
+        } else {
+          val (sig, exp) = this.synchronized {
+            signatureCalls += 1
+            sigCounter += 1
+            val s = s"ps-sig-$sigCounter"
+            val e = nowEpochSecs() + sigTtlSecs
+            minted(s) = e
+            (s, e)
+          }
+          respond(200, s"""{"sig":"$sig","exp":"$exp"}""")
+        }
+      } else if (path == s"/logs/branch/$branchId/query") {
+        val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+          .split("&").toSeq.map(_.split("=", 2))
+          .map(a => java.net.URLDecoder.decode(a(0), "UTF-8") ->
+            (if (a.length > 1) java.net.URLDecoder.decode(a(1), "UTF-8")
+             else "")).toMap
+        val sig = params.getOrElse("sig", "")
+        val exp = params.getOrElse("exp", "0").toLong
+        val valid = this.synchronized {
+          minted.get(sig).contains(exp) && exp > nowEpochSecs()
+        }
+        if (!valid) respond(403, "signature invalid or expired")
+        else {
+          val q = params.getOrElse("query", "")
+          if (!q.startsWith(DefaultQuery)) respond(400, "bad selector")
+          else {
+            val since = " _time:>([^ ]+)".r.findFirstMatchIn(q)
+              .map(_.group(1)).getOrElse("")
+            val limit = params.getOrElse("limit", "1000").toInt
+            val page = entries.filter(_._1 > since).sortBy(_._1).take(limit)
+            val body = page.map { case (t, m) =>
+              val n = mapper.createObjectNode()
+              n.put("_time", t)
+              n.put("_stream_id", "st-1")
+              n.put("_msg", m)
+              n.put("planetscale.component", "postgres")
+              n.put("planetscale.role", "primary")
+              n.put("planetscale.pod", "pg-primary-0")
+              mapper.writeValueAsString(n)
+            }.mkString("\n")
+            respond(200, body)
+          }
+        }
+      } else respond(404, "not found")
+    })
+    server.start()
+
+    def stop(): Unit = server.stop(0)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.PlanetScaleLogs
+import graft.sources.PlanetScaleLogs._
+
+/** PlanetScale log-download mechanics that the gate entry's corpus is
+  * too small to exercise (`input/system/planetscale/logs.go`). */
+class PlanetScaleLogsSpec extends AnyFunSuite {
+
+  private def endpoint(entries: Seq[(String, String)],
+      now: () => Long = () => 1700000000L, ttl: Long = 3600L) =
+    new Endpoint("tid", "tsec", "o", "d", "b", "br-1", entries,
+      nowEpochSecs = now, sigTtlSecs = ttl)
+
+  test("trailing cap: oldest bytes discarded, oversized message truncated") {
+    val entries = Seq(
+      ("2024-01-01T00:00:01.000000000Z", "aaaa"),
+      ("2024-01-01T00:00:02.000000000Z", "bbbb"),
+      ("2024-01-01T00:00:03.000000000Z", "cccc"))
+    val ep = endpoint(entries)
+    try {
+      val c = new Client(ep.url, ep.url, "tid", "tsec")
+      // cap of 12 holds 2 messages + newlines ("bbbb\ncccc\n" after
+      // overflow trims "aaaa\n" and the leading 3 bytes of... exactly:
+      // 15 bytes total, overflow 3 -> drop "aaa"
+      val r = downloadLogFiles(c, PsState(), "o", "d", "b",
+        1700000000L, "", maxParse = 12, pageSize = 1000)
+        .fold(e => fail(e._1), identity)
+      assert(r.content == "a\nbbbb\ncccc\n")
+      // a single message larger than the cap keeps only its tail
+      val big = endpoint(Seq(("2024-01-01T00:00:01.000000000Z",
+        "x" * 30)))
+      try {
+        val c2 = new Client(big.url, big.url, "tid", "tsec")
+        val r2 = downloadLogFiles(c2, PsState(), "o", "d", "b",
+          1700000000L, "", maxParse = 8, pageSize = 1000)
+          .fold(e => fail(e._1), identity)
+        assert(r2.content == "xxxxxxx\n")
+      } finally big.stop()
+    } finally ep.stop()
+  }
+
+  test("expired signature is refreshed; recency floor bounds the resume") {
+    val entries = Seq(
+      ("2024-01-01T00:00:01.000000000Z", "old"),
+      ("2024-01-01T00:10:00.000000000Z", "new"))
+    var now = 1700000000L
+    val ep = endpoint(entries, () => now, ttl = 100L)
+    try {
+      val c = new Client(ep.url, ep.url, "tid", "tsec")
+      val r1 = downloadLogFiles(c, PsState(), "o", "d", "b", now, "")
+        .fold(e => fail(e._1), identity)
+      assert(ep.signatureCalls == 1)
+      // past the signature's expiry, the next cycle re-mints
+      now += 200
+      val r2 = downloadLogFiles(c, r1.state, "o", "d", "b", now, "")
+        .fold(e => fail(e._1), identity)
+      assert(ep.signatureCalls == 2)
+      assert(r2.content.isEmpty) // resume point already at the newest
+      // the 2-minute recency floor (linesNewerThan) skips stale lines
+      // on a fresh state
+      val r3 = downloadLogFiles(c, PsState(branchId = "br-1",
+        signature = r2.state.signature, expiry = r2.state.expiry),
+        "o", "d", "b", now,
+        linesNewerThan = "2024-01-01T00:05:00.000000000Z")
+        .fold(e => fail(e._1), identity)
+      assert(r3.content == "new\n")
+    } finally ep.stop()
+  }
+
+  test("query selector: fixed component/role filter plus time and sort") {
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val c = new Client("http://api", "http://logs", "tid", "tsec",
+      http = (_, url, _) => { seen += url; (200, "") })
+    c.queryLogs("br-1", "sig", 42L, since = "2024-01-01T00:00:00.000000000Z",
+      limit = 7)
+    val q = java.net.URLDecoder.decode(
+      "query=([^&]+)".r.findFirstMatchIn(seen.head).get.group(1), "UTF-8")
+    assert(q == "planetscale.component:postgres planetscale.role:primary" +
+      " _time:>2024-01-01T00:00:00.000000000Z | sort by (_time)")
+    assert(seen.head.contains("limit=7") && seen.head.contains("exp=42"))
+    // no since -> no time filter
+    c.queryLogs("br-1", "sig", 42L, since = "", limit = 7)
+    val q2 = java.net.URLDecoder.decode(
+      "query=([^&]+)".r.findFirstMatchIn(seen(1)).get.group(1), "UTF-8")
+    assert(q2 == "planetscale.component:postgres planetscale.role:primary" +
+      " | sort by (_time)")
+  }
+}
