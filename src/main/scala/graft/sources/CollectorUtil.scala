@@ -1,0 +1,47 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Small collector utilities (`util/prune_temp_files.go`,
+  * `util/clean_http_error.go`). */
+object CollectorUtil {
+
+  /** `util.TempFilePrefix` — every temp file the collector creates. */
+  val TempFilePrefix = "pganalyze_collector_"
+
+  /** `PruneTempFiles`: on startup, delete temp files left behind by an
+    * unclean shutdown. Returns (removed, warnings) — individual
+    * failures warn and continue, like the reference. */
+  def pruneTempFiles(tmpDir: Path): (Seq[String], Seq[String]) = {
+    val removed = Seq.newBuilder[String]
+    val warnings = Seq.newBuilder[String]
+    val entries =
+      try Files.list(tmpDir).iterator().asScala.toSeq
+      catch { case e: Exception =>
+        return (Nil, Seq("Could not open temp directory to prune temp " +
+          s"files: ${e.getMessage}"))
+      }
+    entries.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith(TempFilePrefix)) {
+        try { Files.delete(p); removed += name }
+        catch { case e: Exception =>
+          warnings += s"Could not remove stray temp file $name in temp " +
+            s"dir $tmpDir: ${e.getMessage}"
+        }
+      }
+    }
+    (removed.result(), warnings.result())
+  }
+
+  private val retryUrlRegex = "(?i): (get|post|patch) ".r
+
+  /** `CleanHTTPError`: retryablehttp prefixes errors with the
+    * method+URL once per attempt — keep only the message after the
+    * LAST such marker. */
+  def cleanHttpError(message: String): String = {
+    val parts = retryUrlRegex.split(message)
+    parts.last
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.CollectorUtil
+
+/** `util/prune_temp_files.go` + `util/clean_http_error.go`. */
+class CollectorUtilSpec extends AnyFunSuite {
+
+  test("pruneTempFiles removes only collector-prefixed files") {
+    val dir = java.nio.file.Files.createTempDirectory("prune_spec")
+    try {
+      java.nio.file.Files.write(dir.resolve("pganalyze_collector_abc"),
+        "x".getBytes)
+      java.nio.file.Files.write(dir.resolve("pganalyze_collector_def"),
+        "y".getBytes)
+      java.nio.file.Files.write(dir.resolve("unrelated.tmp"), "z".getBytes)
+      val (removed, warnings) = CollectorUtil.pruneTempFiles(dir)
+      assert(removed.sorted ==
+        Seq("pganalyze_collector_abc", "pganalyze_collector_def"))
+      assert(warnings.isEmpty)
+      assert(java.nio.file.Files.list(dir).count() == 1)
+      // unreadable dir warns instead of failing
+      val (r2, w2) = CollectorUtil.pruneTempFiles(dir.resolve("missing"))
+      assert(r2.isEmpty && w2.exists(_.startsWith(
+        "Could not open temp directory to prune temp files")))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("cleanHttpError drops retryablehttp's duplicated URLs") {
+    assert(CollectorUtil.cleanHttpError(
+      "Post \"https://api/v2/snapshots\": POST https://api/v2/snapshots " +
+        "giving up after 5 attempt(s): connection refused") ==
+      "https://api/v2/snapshots giving up after 5 attempt(s): " +
+        "connection refused")
+    // case-insensitive marker, last segment wins
+    assert(CollectorUtil.cleanHttpError("x: GET a: get b: final msg") ==
+      "b: final msg")
+    // no marker: message unchanged
+    assert(CollectorUtil.cleanHttpError("plain failure") == "plain failure")
+  }
+}
