@@ -48,7 +48,15 @@ object GuidedSetup {
       logDuration: Option[String] = None,
       logStatement: Option[String] = None,
       logMinDurationStatement: Option[Int] = None,
-      logLinePrefix: Option[String] = None)
+      logLinePrefix: Option[String] = None,
+      aeLogAnalyze: Option[String] = None,
+      aeLogBuffers: Option[String] = None,
+      aeLogTiming: Option[String] = None,
+      aeLogTriggers: Option[String] = None,
+      aeLogVerbose: Option[String] = None,
+      aeLogFormat: Option[String] = None,
+      aeLogMinDuration: Option[Int] = None,
+      aeLogNestedStatements: Option[String] = None)
 
   final case class Settings(
       apiKey: Option[String] = None,
@@ -74,18 +82,26 @@ object GuidedSetup {
       confirmSetUpLogInsights: Option[Boolean] = None,
       useLogBasedExplain: Option[Boolean] = None,
       ensureAutoExplainLoaded: Option[Boolean] = None,
-      confirmPostgresRestart: Option[Boolean] = None)
+      confirmPostgresRestart: Option[Boolean] = None,
+      ensureAutoExplainRecommendedSettings: Option[Boolean] = None)
 
   val LogPrefixRecommended = "%m [%p] %q[user=%u,db=%d,app=%a] "
   val MinSupportedLogMinDurationStatement = 10
 
-  /** `state.RecommendedGUCS` (`setup/state/state.go:24-31`, the
-    * collector-relevant subset). */
+  /** `state.RecommendedGUCS` (`setup/state/state.go:24-38`). */
   val RecommendedGucs: Gucs = Gucs(
     logDuration = Some("off"),
     logStatement = Some("none"),
     logMinDurationStatement = Some(1000),
-    logLinePrefix = Some(LogPrefixRecommended))
+    logLinePrefix = Some(LogPrefixRecommended),
+    aeLogAnalyze = Some("on"),
+    aeLogBuffers = Some("on"),
+    aeLogTiming = Some("off"),
+    aeLogTriggers = Some("on"),
+    aeLogVerbose = Some("on"),
+    aeLogFormat = Some("json"),
+    aeLogMinDuration = Some(1000),
+    aeLogNestedStatements = Some("on"))
 
   // ------------------------------------------------------ query runner
 
@@ -128,6 +144,7 @@ object GuidedSetup {
     var operatingSystem: String = ""
     var platform: String = ""
     var platformVersion: String = ""
+    var didAutoExplainRecommendedSettings: Boolean = false
 
     def log(msg: String): Unit = logMessages += msg
     def saveConfig(): Either[String, Unit] = { configSaves += 1; Right(()) }
@@ -755,7 +772,110 @@ object GuidedSetup {
               else s.restartPostgres()
             }
           }
-      }))
+      }),
+
+    aemodEnsureRecommendedSettings)
+
+  /** `getAutoExplainGUCSQuery` in scripted mode
+    * (`aemod_ensure_recommended_settings.go:205-253`): one predicate
+    * per PROVIDED auto_explain GUC input, `log_min_duration` compared
+    * as an integer for exact inequality. */
+  def autoExplainGucsQuery(gucs: Gucs): String = {
+    val parts = Seq.newBuilder[String]
+    def pred(name: String, v: Option[String]): Unit = v.foreach { value =>
+      parts += s"(name = ${quoteLiteral(name)} AND setting <> " +
+        s"${quoteLiteral(value)})"
+    }
+    pred("auto_explain.log_analyze", gucs.aeLogAnalyze)
+    pred("auto_explain.log_buffers", gucs.aeLogBuffers)
+    pred("auto_explain.log_timing", gucs.aeLogTiming)
+    pred("auto_explain.log_triggers", gucs.aeLogTriggers)
+    pred("auto_explain.log_verbose", gucs.aeLogVerbose)
+    pred("auto_explain.log_format", gucs.aeLogFormat)
+    gucs.aeLogMinDuration.foreach { d =>
+      parts += s"(name = 'auto_explain.log_min_duration' AND " +
+        s"setting::integer <> $d)"
+    }
+    pred("auto_explain.log_nested_statements", gucs.aeLogNestedStatements)
+    "SELECT name, setting\nFROM pg_settings\nWHERE " +
+      parts.result().mkString(" OR ")
+  }
+
+  /** `EnsureRecommendedAutoExplainSettings`
+    * (`aemod_ensure_recommended_settings.go`) — runs AFTER the
+    * restart so ALTER SYSTEM recognizes the auto_explain GUCs. The
+    * scripted review applies the provided value for every divergent
+    * setting, in the reference's order (log_timing first — most
+    * impactful), re-querying `SHOW auto_explain.log_analyze` to gate
+    * the analyze-dependent settings. A setting under review without a
+    * provided value is the reference's panic, surfaced as an error. */
+  private def aemodEnsureRecommendedSettings: Step =
+    Step("aemod_ensure_recommended_settings",
+      "Ensure auto_explain settings in Postgres are configured as recommended, if desired",
+      check = s => {
+        if (s.didAutoExplainRecommendedSettings ||
+            s.inputs.ensureAutoExplainRecommendedSettings.contains(false))
+          Right(true)
+        else s.usingLogExplain.flatMap { logExplain =>
+          if (logExplain) Right(true)
+          else s.q.query(autoExplainGucsQuery(s.inputs.gucs))
+            .left.map(e => s"error checking existing settings: $e")
+            .map(_.isEmpty)
+        }
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          val doReview =
+            s.inputs.ensureAutoExplainRecommendedSettings.getOrElse(false)
+          if (!doReview) Right(())
+          else s.q.query(autoExplainGucsQuery(s.inputs.gucs))
+            .left.map(e => s"error checking existing settings: $e")
+            .flatMap { rows =>
+              if (rows.isEmpty) {
+                s.log("all auto_explain configuration settings using " +
+                  "recommended values")
+                s.didAutoExplainRecommendedSettings = true
+                Right(())
+              } else {
+                val review = rows.map(r => r(0) -> r(1)).toMap
+                def scripted(name: String,
+                    v: Option[String]): Either[String, Unit] =
+                  review.get(name) match {
+                    case None => Right(())
+                    case Some(curr) => v match {
+                      case None => Left(s"$name setting needs review but " +
+                        "was not provided")
+                      case Some(want) if want == curr => Right(())
+                      case Some(want) =>
+                        applyConfigSetting(name, want, s.q)
+                    }
+                  }
+                val g = s.inputs.gucs
+                for {
+                  _ <- scripted("auto_explain.log_timing", g.aeLogTiming)
+                  _ <- scripted("auto_explain.log_analyze", g.aeLogAnalyze)
+                  analyzeNow <- s.q.queryRow("SHOW auto_explain.log_analyze")
+                    .flatMap {
+                      case Some(cols) => Right(cols(0) == "on")
+                      case None => Left("no rows")
+                    }
+                  _ <- if (analyzeNow) for {
+                      _ <- scripted("auto_explain.log_buffers", g.aeLogBuffers)
+                      _ <- scripted("auto_explain.log_triggers",
+                        g.aeLogTriggers)
+                      _ <- scripted("auto_explain.log_verbose", g.aeLogVerbose)
+                    } yield ()
+                    else Right(())
+                  _ <- scripted("auto_explain.log_format", g.aeLogFormat)
+                  _ <- scripted("auto_explain.log_min_duration",
+                    g.aeLogMinDuration.map(_.toString))
+                  _ <- scripted("auto_explain.log_nested_statements",
+                    g.aeLogNestedStatements)
+                } yield { s.didAutoExplainRecommendedSettings = true }
+              }
+            }
+        }
+      })
 
   private def gucSetting(s: SetupState,
       name: String): Either[String, String] =

@@ -38,6 +38,19 @@ class GuidedSetupSpec extends AnyFunSuite {
     def restart(): Either[String, Unit] = {
       splPending.foreach(splCurrent = _)
       splPending = None
+      // loading auto_explain creates its GUCs with module defaults
+      if (splCurrent.contains("auto_explain") &&
+          !settings.contains("auto_explain.log_analyze")) {
+        settings ++= Map(
+          "auto_explain.log_analyze" -> "off",
+          "auto_explain.log_buffers" -> "off",
+          "auto_explain.log_timing" -> "on",
+          "auto_explain.log_triggers" -> "off",
+          "auto_explain.log_verbose" -> "off",
+          "auto_explain.log_format" -> "text",
+          "auto_explain.log_min_duration" -> "-1",
+          "auto_explain.log_nested_statements" -> "off")
+      }
       Right(())
     }
 
@@ -97,14 +110,30 @@ class GuidedSetupSpec extends AnyFunSuite {
             .toRight(s"unknown setting $name")
         case "SELECT COUNT(*) FROM pg_settings WHERE pending_restart;" =>
           Right(Some(Seq(if (splPending.isDefined) "1" else "0")))
+        case "SHOW auto_explain.log_analyze" =>
+          settings.get("auto_explain.log_analyze")
+            .map(v => Some(Seq(v))).toRight("unknown GUC")
         case other => Left(s"FakePg: unexpected queryRow: $other")
       }
+
+    private val predPart =
+      """\(name = '([^']+)' AND setting(?:::integer)? <> '?([^')]+)'?\)""".r
 
     def query(sql: String): Either[String, Seq[Seq[String]]] = sql match {
       case "SELECT datname FROM pg_database WHERE datallowconn AND NOT datistemplate" =>
         Right(databases.map(Seq(_)))
       case "SELECT name FROM pg_settings WHERE pending_restart" =>
         Right(splPending.toSeq.map(_ => Seq("shared_preload_libraries")))
+      case q if q.startsWith("SELECT name, setting\nFROM pg_settings\nWHERE ") =>
+        // evaluate the divergence predicate against the settings map;
+        // GUCs that don't exist (module not loaded) match nothing
+        Right(predPart.findAllMatchIn(q).toSeq.flatMap { m =>
+          val (name, want) = (m.group(1), m.group(2))
+          settings.get(name) match {
+            case Some(curr) if curr != want => Some(Seq(name, curr))
+            case _ => None
+          }
+        })
       case other => Left(s"FakePg: unexpected query: $other")
     }
 
@@ -178,7 +207,8 @@ class GuidedSetupSpec extends AnyFunSuite {
     confirmSetUpLogInsights = Some(true),
     useLogBasedExplain = Some(false),
     ensureAutoExplainLoaded = Some(true),
-    confirmPostgresRestart = Some(true))
+    confirmPostgresRestart = Some(true),
+    ensureAutoExplainRecommendedSettings = Some(true))
 
   test("scripted happy path: fresh Postgres ends fully configured") {
     val pg = new FakePg()
@@ -212,6 +242,17 @@ class GuidedSetupSpec extends AnyFunSuite {
     assert(outcomes("ensure_pgss_in_spl") == Completed)
     assert(outcomes("confirm_restart_postgres") == Completed)
     assert(outcomes("check_pgss_available") == NoChangesNeeded)
+    // the post-restart auto_explain review applied every recommended
+    // value (analyze-dependent ones gated on the re-queried SHOW)
+    assert(outcomes("aemod_ensure_recommended_settings") == Completed)
+    assert(pg.settings("auto_explain.log_analyze") == "on")
+    assert(pg.settings("auto_explain.log_timing") == "off")
+    assert(pg.settings("auto_explain.log_buffers") == "on")
+    assert(pg.settings("auto_explain.log_triggers") == "on")
+    assert(pg.settings("auto_explain.log_verbose") == "on")
+    assert(pg.settings("auto_explain.log_format") == "json")
+    assert(pg.settings("auto_explain.log_min_duration") == "1000")
+    assert(pg.settings("auto_explain.log_nested_statements") == "on")
   }
 
   test("second run over configured state is all no-changes") {
