@@ -1068,9 +1068,12 @@ object QueriesLog {
       require(forged.left.exists { case (msg, st) =>
         msg.contains("403") && st.signature.isEmpty && st.expiry == 0L
       }, "a forged signature must be 403 and clear the cache")
+      // page size scaled to the corpus so the loop ALWAYS pages (the
+      // plan guard runs this at sf0.001 where the corpus is ~25 rows)
+      val page = math.max(1, entries.length / 3)
       val r1 = PlanetScaleLogs.downloadLogFiles(c, PlanetScaleLogs.PsState(),
         "graft-org", "graft-db", "main", nowEpochSecs = 1700000000L,
-        linesNewerThan = "", pageSize = 100)
+        linesNewerThan = "", pageSize = page)
         .fold(e => throw new IllegalStateException(e._1), identity)
       require(r1.pages >= 2, s"pagination must occur, got ${r1.pages} pages")
       require(ep.branchCalls == 1 && ep.signatureCalls == 1,
@@ -1079,7 +1082,7 @@ object QueriesLog {
       // reuses both the branch id and the still-valid signature
       val r2 = PlanetScaleLogs.downloadLogFiles(c, r1.state,
         "graft-org", "graft-db", "main", nowEpochSecs = 1700000100L,
-        linesNewerThan = "", pageSize = 100)
+        linesNewerThan = "", pageSize = page)
         .fold(e => throw new IllegalStateException(e._1), identity)
       require(r2.content.isEmpty &&
         r2.state.lastTimestamp == r1.state.lastTimestamp,
