@@ -1835,6 +1835,17 @@ object OraclesGen {
        |   WHERE p_partkey % 2 = 0) AS sum_idx_scan_delta,
        |  (SELECT CAST(sum(p_size * 3) AS BIGINT) FROM part
        |   WHERE p_partkey % 5 = 0) AS sum_fn_calls_delta,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM part
+       |   WHERE p_partkey % 11 = 0 AND p_partkey < 2200)
+       |    AS n_backend_counts,
+       |  (SELECT CAST(sum(p_partkey % 9 + 1) AS BIGINT) FROM part
+       |   WHERE p_partkey % 11 = 0 AND p_partkey < 2200)
+       |    AS sum_backend_count,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM supplier
+       |   WHERE s_suppkey < 5) AS n_standbys,
+       |  (SELECT CAST(sum(s_suppkey * 1024 + 17) AS BIGINT) FROM supplier
+       |   WHERE s_suppkey < 5) AS sum_standby_lag,
+       |  FALSE AS in_recovery,
        |  (SELECT CAST(epoch_us(max(tsx)) // 1000000 AS BIGINT) FROM ev)
        |    AS collected_at_s,
        |  CAST(600 AS BIGINT) AS interval_secs,

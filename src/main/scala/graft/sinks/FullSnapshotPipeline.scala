@@ -97,7 +97,18 @@ object FullSnapshotPipeline {
       relRefRows: Seq[Row], relStatRows: Seq[Row], dbStatRows: Seq[Row],
       settingRows: Seq[Row],
       idxRows: Seq[Row] = Nil, fnRows: Seq[Row] = Nil,
-      collectorErrors: Seq[String] = Nil)
+      collectorErrors: Seq[String] = Nil,
+      // (hasRole, roleIdx, hasDb, dbIdx, stateEnum, typeEnum, waiting,
+      // count) — `output/transform/postgres_backend_counts.go`
+      backendCountRows: Seq[(Boolean, Long, Boolean, Long, Int, Int,
+        Boolean, Long)] = Nil,
+      // (clientAddr, roleIdx, pid, appName, clientPort, syncPriority,
+      // syncState, state, remoteByteLag, localByteLag) —
+      // `output/transform/postgres_replication.go`
+      standbyRows: Seq[(String, Long, Long, String, Int, Int, String,
+        String, Long, Long)] = Nil,
+      inRecovery: Boolean = false,
+      currentXlog: String = "")
 
   /** Section limits (reference defaults; specs shrink them to prove the
     * overflow path). */
@@ -253,6 +264,21 @@ object FullSnapshotPipeline {
     }
     val fCollectedAt = bg(Tables.events(s, dir)
       .agg(expr("unix_micros(max(ts)) div 1000000").as("s")).head.getLong(0))
+    // -------- backend counts (`postgres_backend_counts.go`) + standbys
+    // (`postgres_replication.go`): both SF-capped (a server has dozens
+    // of backend-count groups and a handful of standbys, not 10⁵) —
+    // raw facts collected distributed, dim idx resolution driver-side
+    // once the role dim exists
+    val fBackendRaw = bg(Tables.part(s, dir)
+      .filter(col("p_partkey") % 11 === 0 && col("p_partkey") < 2200)
+      .select(col("p_partkey").cast("long").as("pk"))
+      .orderBy("pk").collect().map(_.getLong(0)).toIndexedSeq)
+    val fStandbyRaw = bg(Tables.supplier(s, dir)
+      .filter(col("s_suppkey") < 5)
+      .select(col("s_suppkey").cast("long").as("sk"))
+      .orderBy("sk").collect().map(_.getLong(0)).toIndexedSeq)
+    val fDbIdx = bg(dbDim.select("db_oid", "db_oid_idx").collect()
+      .map(r => num(r, 0) -> num(r, 1)).toMap)
     val fDbRows = bg(dbFact
       .select("db_oid_idx", "datname", "frozenxid", "temp_files")
       .orderBy("db_oid_idx").collect().toIndexedSeq)
@@ -262,7 +288,28 @@ object FullSnapshotPipeline {
     val (roleRows, qSec) = Await.result(fQ, Duration.Inf)
     val (refSec, relStatRows, idxRows) = Await.result(fRel, Duration.Inf)
     val fnSec = Await.result(fFn, Duration.Inf)
+    val dbIdxOf = Await.result(fDbIdx, Duration.Inf)
+    val nRoles = roleRows.length
+    def roleIdxAt(i: Long): Long = num(roleRows((i % nRoles).toInt), 0)
+    val backendCountRows = Await.result(fBackendRaw, Duration.Inf).map { pk =>
+      val hasDb = pk % 3 != 0
+      val hasRole = pk % 4 != 0
+      (hasRole, if (hasRole) roleIdxAt(pk) else 0L,
+        hasDb, if (hasDb) dbIdxOf.getOrElse(pk % 5, 0L) else 0L,
+        (pk % 7).toInt, (pk % 13).toInt, pk % 2 == 0, pk % 9 + 1)
+    }
+    val standbyRows = Await.result(fStandbyRaw, Duration.Inf).map { sk =>
+      (s"10.0.2.${10 + sk}", roleIdxAt(sk), 9000L + sk, "walreceiver",
+        (50000 + sk).toInt, (sk % 2).toInt,
+        (sk % 3) match { case 0 => "sync"; case 1 => "async"
+          case _ => "potential" },
+        "streaming", sk * 1024L + 17L, sk * 512L)
+    }
     Doc(
+      backendCountRows = backendCountRows,
+      standbyRows = standbyRows,
+      inRecovery = false,
+      currentXlog = "4E8/9A3F2B10",
       collectedAtSecs = Await.result(fCollectedAt, Duration.Inf),
       dbRows = Await.result(fDbRows, Duration.Inf),
       roleRows = roleRows,
@@ -389,6 +436,45 @@ object FullSnapshotPipeline {
         .double(3, num(r, 5).toDouble)     // total_time
         .double(4, num(r, 6).toDouble))    // self_time
     }
+    // 123 Replication (full_snapshot.proto:240-286): header fields +
+    // the standby reference/information/statistic triplet nested in
+    // the one Replication message
+    if (doc.currentXlog.nonEmpty || doc.standbyRows.nonEmpty) {
+      val repl = ProtoWire.msg()
+        .varint(1, if (doc.inRecovery) 1L else 0L)   // in_recovery
+        .string(10, doc.currentXlog)                 // current_xlog_location
+      doc.standbyRows.foreach { st =>                // 11 StandbyReference
+        repl.msg(11, ProtoWire.msg().string(1, st._1))
+      }
+      doc.standbyRows.zipWithIndex.foreach { case (st, pos) =>
+        repl.msg(12, ProtoWire.msg()                 // 12 StandbyInformation
+          .varint(1, pos + 1L)                       // standby_idx
+          .varint(2, st._2)                          // role_idx
+          .varint(3, st._3)                          // pid
+          .string(4, st._4)                          // application_name
+          .varint(6, st._5.toLong)                   // client_port
+          .varint(8, st._6.toLong)                   // sync_priority
+          .string(9, st._7))                         // sync_state
+      }
+      doc.standbyRows.zipWithIndex.foreach { case (st, pos) =>
+        repl.msg(13, ProtoWire.msg()                 // 13 StandbyStatistic
+          .varint(1, pos + 1L)                       // standby_idx
+          .string(2, st._8)                          // state
+          .varint(7, st._9)                          // remote_byte_lag
+          .varint(8, st._10))                        // local_byte_lag
+      }
+      m.msg(123, repl)
+    }
+    doc.backendCountRows.foreach { b =>    // 124 BackendCountStatistic
+      val bc = ProtoWire.msg()
+      if (b._1) bc.varint(1, 1L).varint(2, b._2) // has_role_idx, role_idx
+      if (b._3) bc.varint(3, 1L).varint(4, b._4) // has_database_idx, idx
+      bc.varint(5, b._5.toLong)                  // state enum
+        .varint(6, b._6.toLong)                  // backend_type enum
+        .varint(7, if (b._7) 1L else 0L)         // waiting_for_lock
+        .varint(8, b._8)                         // count
+      m.msg(124, bc)
+    }
     doc.relStatRows.foreach { r =>         // 221 RelationStatistic
       val s221 = ProtoWire.msg().varint(1, num(r, 0))
       // locked-in-previous-snapshot keys diff to NULL (runner/diff.go:48-70
@@ -489,6 +575,43 @@ object FullSnapshotPipeline {
     require(relRefs.forall { m =>
       val d = vint(m, 1); d >= 1 && d <= nDbs
     }, "relation_references db idx out of range")
+    // backend counts (124): an idx is only present with its has_ flag,
+    // and always lands inside its reference array
+    val backendCounts = msgs(124)
+    require(backendCounts.forall { m =>
+      val roleOk =
+        if (vint(m, 1) == 1L) { val i = vint(m, 2); i >= 1 && i <= nRoles }
+        else m.get(2).isEmpty
+      val dbOk =
+        if (vint(m, 3) == 1L) { val i = vint(m, 4); i >= 1 && i <= nDbs }
+        else m.get(4).isEmpty
+      roleOk && dbOk
+    }, "backend_count_statistics idx/has-flag inconsistent")
+    // replication (123): the standby ref/info/stat triplet must agree
+    // and every standby/role idx resolve
+    val repl = msgs(123).headOption
+    val standbyRefs = repl.map(r =>
+      r.getOrElse(11, Nil).collect { case VBytes(b) => sub(b) })
+      .getOrElse(Nil)
+    val standbyInfos = repl.map(r =>
+      r.getOrElse(12, Nil).collect { case VBytes(b) => sub(b) })
+      .getOrElse(Nil)
+    val standbyStats = repl.map(r =>
+      r.getOrElse(13, Nil).collect { case VBytes(b) => sub(b) })
+      .getOrElse(Nil)
+    val nStandbys = standbyRefs.length.toLong
+    require(standbyInfos.length == nStandbys &&
+      standbyStats.length == nStandbys,
+      s"found ${standbyInfos.length} StandbyInformations / " +
+        s"${standbyStats.length} StandbyStatistics but $nStandbys " +
+        "StandbyReferences")
+    require(standbyInfos.forall { m =>
+      val si = vint(m, 1); val ri = vint(m, 2)
+      si >= 1 && si <= nStandbys && ri >= 1 && ri <= nRoles
+    }, "standby_informations idx out of range")
+    require(standbyStats.forall { m =>
+      val si = vint(m, 1); si >= 1 && si <= nStandbys
+    }, "standby_statistics idx out of range")
 
     val hdr = top.collect { case (f, v) if f <= 12 => (f, v) }.toMap
     val collectedAtSecs = hdr.get(11) match {
@@ -510,6 +633,10 @@ object FullSnapshotPipeline {
     // turn linear decode into quadratic)
     val sumIdxScan = idxStats.map(vint(_, 3)).sum
     val sumFnCalls = fnStats.map(vint(_, 2)).sum
+    val nBackendCounts = backendCounts.length.toLong
+    val sumBackendCount = backendCounts.map(vint(_, 8)).sum
+    val sumStandbyLag = standbyStats.map(vint(_, 7)).sum
+    val inRecovery = repl.exists(r => vint(r, 1) == 1L)
     val rows = qRefs.zipWithIndex.map { case (ref, pos) =>
       val idx = pos + 1
       val info = infoByIdx(idx.toLong)
@@ -540,6 +667,8 @@ object FullSnapshotPipeline {
         totalMs,
         nRoles, nDbs, nQs, nRels, nSettings, nIdx, nFns,
         sumIdxScan, sumFnCalls,
+        nBackendCounts, sumBackendCount, nStandbys, sumStandbyLag,
+        inRecovery,
         collectedAtSecs, intervalSecs, true)
     }
     val schema = StructType(Seq(
@@ -553,6 +682,11 @@ object FullSnapshotPipeline {
       StructField("n_indexes", LongType), StructField("n_functions", LongType),
       StructField("sum_idx_scan_delta", LongType),
       StructField("sum_fn_calls_delta", LongType),
+      StructField("n_backend_counts", LongType),
+      StructField("sum_backend_count", LongType),
+      StructField("n_standbys", LongType),
+      StructField("sum_standby_lag", LongType),
+      StructField("in_recovery", BooleanType),
       StructField("collected_at_s", LongType), StructField("interval_secs", LongType),
       StructField("integrity_ok", BooleanType)))
     import scala.jdk.CollectionConverters._
