@@ -91,6 +91,56 @@ class FullSnapshotSpec extends SparkSpec {
     assert(row.getAs[Long]("interval_secs") === 600L)
   }
 
+  test("config/replication/backend-count sections round-trip with redaction") {
+    val doc = miniDoc.copy(
+      config = Some(P.ConfigSection(
+        dbName = "d1", dbUsername = "mon", dbPort = 5432,
+        dbSslRootCert = "rds-ca-global",
+        dbUrl = "postgres://mon:secret-pw@h:5432/d1",
+        dbExtraNames = Seq("x1", "x2"),
+        awsAccessKeyId = "AKID")),
+      inRecovery = false, currentXlog = "0/AA",
+      // one full backend count (role+db), one with neither idx
+      backendCountRows = Seq(
+        (true, 1L, true, 1L, 1, 5, false, 7L),
+        (false, 0L, false, 0L, 2, 0, true, 3L)),
+      standbyRows = Seq(("10.0.2.10", 1L, 9000L, "walreceiver", 50000, 1,
+        "sync", "streaming", 1041L, 512L)))
+    val wire = P.encode(doc)
+    val top = ProtoWire.decode(wire).toMap
+    // CollectorConfig (13): password redacted, certs reduced to flags
+    val cfg = top(13) match { case VBytes(b) => ProtoWire.decode(b) }
+    def cstr(f: Int) = cfg.collectFirst {
+      case (`f`, VBytes(b)) => new String(b, "UTF-8") }.get
+    def cint(f: Int) = cfg.collectFirst { case (`f`, VInt(v)) => v }.get
+    assert(cstr(22) == "postgres://mon@h:5432/d1") // password GONE
+    assert(!new String(wire.map(_.toChar)).contains("secret-pw"))
+    assert(cint(19) == 1L && cint(20) == 0L) // has_sslrootcert, no sslcert
+    assert(cint(44) == 1L)                   // aws_has_access_key_id
+    assert(cfg.count(_._1 == 31) == 2)       // repeated db_extra_names
+    // decodeVerify accepts and exposes the section aggregates
+    val row = P.decodeVerify(spark, ProtoWire.zlib(wire)).collect().head
+    assert(row.getAs[Long]("n_backend_counts") == 2L)
+    assert(row.getAs[Long]("sum_backend_count") == 10L)
+    assert(row.getAs[Long]("n_standbys") == 1L)
+    assert(row.getAs[Long]("sum_standby_lag") == 1041L)
+    assert(!row.getAs[Boolean]("in_recovery"))
+    // a backend count whose role idx is out of range is rejected
+    val badBc = doc.copy(backendCountRows = Seq(
+      (true, 9L, false, 0L, 1, 5, false, 7L)))
+    val e1 = intercept[IllegalArgumentException] {
+      P.decodeVerify(spark, ProtoWire.zlib(P.encode(badBc)))
+    }
+    assert(e1.getMessage.contains("backend_count_statistics"))
+    // a standby pointing at a missing role is rejected
+    val badSt = doc.copy(standbyRows = Seq(("a", 9L, 1L, "w", 1, 1,
+      "sync", "streaming", 1L, 1L)))
+    val e2 = intercept[IllegalArgumentException] {
+      P.decodeVerify(spark, ProtoWire.zlib(P.encode(badSt)))
+    }
+    assert(e2.getMessage.contains("standby_informations"))
+  }
+
   test("integrity check rejects ref/info length mismatch (verifyIntegrity)") {
     // drop the RoleInformation section: references != informations
     val good = P.encode(miniDoc)
