@@ -35,6 +35,24 @@ object CollectorUtil {
     (removed.result(), warnings.result())
   }
 
+  /** `GetDbName` (`config/config.go:511-523`): the URL path wins over
+    * the field; an unparseable URL yields "". */
+  def dbName(dbUrl: String, dbNameField: String): String =
+    if (dbUrl.nonEmpty) {
+      try {
+        val p = new java.net.URI(dbUrl).getPath
+        if (p != null && p.nonEmpty) p.substring(1) else ""
+      } catch { case _: Exception => "" }
+    } else dbNameField
+
+  /** `input/system/neon/logs.go`: Neon's fixed log_line_prefix omits
+    * `%d`, and a Neon endpoint only ever serves the configured
+    * database — attribute otherwise-database-less log lines to it.
+    * "" for every other system type. */
+  def neonLogDatabaseFallback(systemType: String, dbUrl: String,
+      dbNameField: String): String =
+    if (systemType != "neon") "" else dbName(dbUrl, dbNameField)
+
   private val retryUrlRegex = "(?i): (get|post|patch) ".r
 
   /** `CleanHTTPError`: retryablehttp prefixes errors with the

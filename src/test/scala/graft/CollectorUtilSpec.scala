@@ -26,6 +26,18 @@ class CollectorUtilSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("neon database fallback: only for neon, URL path wins") {
+    assert(CollectorUtil.neonLogDatabaseFallback("neon",
+      "postgres://u:p@ep.neon.tech/maindb", "ignored") == "maindb")
+    assert(CollectorUtil.neonLogDatabaseFallback("neon", "", "fieldb") ==
+      "fieldb")
+    assert(CollectorUtil.neonLogDatabaseFallback("self_hosted",
+      "postgres://u:p@h/d", "x") == "")
+    // unparseable URL -> "" (config.go:513-516)
+    assert(CollectorUtil.neonLogDatabaseFallback("neon",
+      "postgres://u:p@h:bad port/d", "x") == "")
+  }
+
   test("cleanHttpError drops retryablehttp's duplicated URLs") {
     assert(CollectorUtil.cleanHttpError(
       "Post \"https://api/v2/snapshots\": POST https://api/v2/snapshots " +
