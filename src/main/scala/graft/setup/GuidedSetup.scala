@@ -81,6 +81,7 @@ object GuidedSetup {
       ensurePgStatStatementsLoaded: Option[Boolean] = None,
       confirmSetUpLogInsights: Option[Boolean] = None,
       useLogBasedExplain: Option[Boolean] = None,
+      ensureLogExplainHelpers: Option[Boolean] = None,
       ensureAutoExplainLoaded: Option[Boolean] = None,
       confirmPostgresRestart: Option[Boolean] = None,
       ensureAutoExplainRecommendedSettings: Option[Boolean] = None)
@@ -720,6 +721,8 @@ object GuidedSetup {
         }
       }),
 
+    aelogEnsureLogExplainHelpers,
+
     Step("aemod_check_auto_explain_available",
       "Confirm the auto_explain contrib module is available",
       check = s => s.usingLogExplain.flatMap { logExplain =>
@@ -775,6 +778,142 @@ object GuidedSetup {
       }),
 
     aemodEnsureRecommendedSettings)
+
+  // ----------------------------------------- log-explain helper install
+
+  /** `setup/util.PGHelperFn`: the helper source split around `prosrc`
+    * so installs can be VALIDATED by md5 of the body alone. */
+  final case class PgHelperFn(name: String, head: String, body: String,
+      tail: String) {
+    def definition: String = head + body + tail
+    def bodyMd5: String = GuidedSetup.md5Hex(body)
+    def matches(md5hash: String): Boolean = md5hash == bodyMd5
+  }
+
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The log-based EXPLAIN helper (`setup/util/helper_functions.go:
+    * 36-67`): refuses multi-statement queries, PREPAREs with
+    * `::unknown` params, runs `EXPLAIN (VERBOSE, FORMAT JSON)`,
+    * always DEALLOCATEs. */
+  val ExplainHelper: PgHelperFn = PgHelperFn(
+    name = "explain",
+    head = "CREATE OR REPLACE FUNCTION pganalyze.explain(query text, " +
+      "params text[]) RETURNS text AS $$",
+    body = """DECLARE
+      |	prepared_query text;
+      |	prepared_params text;
+      |	result text;
+      |BEGIN
+      |	SELECT regexp_replace(query, ';+\s*\Z', '') INTO prepared_query;
+      |	IF prepared_query LIKE '%;%' THEN
+      |		RAISE EXCEPTION 'cannot run EXPLAIN when query contains semicolon';
+      |	END IF;
+      |
+      |	IF array_length(params, 1) > 0 THEN
+      |		SELECT string_agg(quote_literal(param) || '::unknown', ',') FROM unnest(params) p(param) INTO prepared_params;
+      |
+      |		EXECUTE 'PREPARE pganalyze_explain AS ' || prepared_query;
+      |		BEGIN
+      |			EXECUTE 'EXPLAIN (VERBOSE, FORMAT JSON) EXECUTE pganalyze_explain(' || prepared_params || ')' INTO STRICT result;
+      |		EXCEPTION WHEN OTHERS THEN
+      |			DEALLOCATE pganalyze_explain;
+      |			RAISE;
+      |		END;
+      |		DEALLOCATE pganalyze_explain;
+      |	ELSE
+      |		EXECUTE 'EXPLAIN (VERBOSE, FORMAT JSON) ' || prepared_query INTO STRICT result;
+      |	END IF;
+      |
+      |	RETURN result;
+      |END""".stripMargin,
+    tail = "$$ LANGUAGE plpgsql VOLATILE SECURITY DEFINER;")
+
+  /** `ValidateHelperFunction`'s query: the installed body's md5, only
+    * for a SECURITY DEFINER function owned by a superuser in the
+    * pganalyze schema. */
+  def validateHelperSql(name: String): String =
+    "SELECT md5(btrim(prosrc, E' \\\\n\\\\r\\\\t'))\n" +
+      "FROM pg_proc INNER JOIN pg_user ON " +
+      "(pg_proc.proowner = pg_user.usesysid)\n" +
+      s"WHERE proname = ${quoteLiteral(name)}\n" +
+      "\tAND pronamespace::regnamespace::text = 'pganalyze'\n" +
+      "\tAND prosecdef\n" +
+      "  AND pg_user.usesuper"
+
+  def validateHelperFunction(fn: PgHelperFn,
+      r: QueryRunner): Either[String, Boolean] =
+    r.queryRow(validateHelperSql(fn.name)).map {
+      case Some(cols) => fn.matches(cols(0))
+      case None => false
+    }
+
+  /** `getMonitoredDBs` (`aelog_ensure_log_explain_helpers.go:96-125`):
+    * the db_name list; a trailing `*` expands to every connectable
+    * non-template database, deduplicated. */
+  def getMonitoredDbs(s: SetupState): Either[String, Seq[String]] = {
+    val dbs0 = s.serverSection.get("db_name")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    if (dbs0.isEmpty || dbs0.head.isEmpty)
+      Left("no databases found under db_name")
+    else if (dbs0.last != "*") Right(dbs0)
+    else {
+      val named = dbs0.init
+      s.q.query("SELECT datname FROM pg_database WHERE datallowconn " +
+          "AND NOT datistemplate")
+        .map(rows => named ++ rows.map(_.head).filterNot(named.contains))
+    }
+  }
+
+  private def inDb[T](s: SetupState, db: String)(f: => T): T = {
+    val prev = s.q.database
+    s.q.database = db
+    try f finally s.q.database = prev
+  }
+
+  /** `EnsureLogExplainHelpers`: with log-based EXPLAIN selected, the
+    * helper must exist WITH the expected body (md5-validated) in every
+    * monitored database; the Run installs it where missing or
+    * divergent. */
+  private def aelogEnsureLogExplainHelpers: Step =
+    Step("aelog_ensure_log_explain_helpers",
+      "Ensure EXPLAIN helper functions for log-based EXPLAIN exist in all monitored Postgres databases",
+      check = s => s.usingLogExplain.flatMap { logExplain =>
+        if (!logExplain) Right(true)
+        else getMonitoredDbs(s).flatMap { dbs =>
+          dbs.foldLeft[Either[String, Boolean]](Right(true)) {
+            case (acc @ (Left(_) | Right(false)), _) => acc
+            case (Right(true), db) =>
+              inDb(s, db)(validateHelperFunction(ExplainHelper, s.q))
+          }
+        }
+      },
+      run = Some { s =>
+        scriptedOnly(s).flatMap { _ =>
+          if (!s.inputs.ensureLogExplainHelpers.contains(true))
+            Left("create_explain_helper flag not set and helper function " +
+              "does not exist or does not match expected signature on all " +
+              "monitored databases")
+          else getMonitoredDbs(s).flatMap { dbs =>
+            dbs.foldLeft[Either[String, Unit]](Right(())) {
+              case (l @ Left(_), _) => l
+              case (Right(_), db) => inDb(s, db) {
+                validateHelperFunction(ExplainHelper, s.q).flatMap {
+                  case true => Right(())
+                  case false =>
+                    val user = s.serverSection("db_username")
+                    s.q.exec("CREATE SCHEMA IF NOT EXISTS pganalyze; " +
+                      "GRANT USAGE ON SCHEMA pganalyze TO " +
+                      s"${quoteIdentifier(user)};" +
+                      ExplainHelper.definition)
+                }
+              }
+            }
+          }
+        }
+      })
 
   /** `getAutoExplainGUCSQuery` in scripted mode
     * (`aemod_ensure_recommended_settings.go:205-253`): one predicate

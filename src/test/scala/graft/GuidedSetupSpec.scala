@@ -27,6 +27,8 @@ class GuidedSetupSpec extends AnyFunSuite {
       mutable.Map("postgres" -> ((true, false, "pg")))
     var schemaExists = false
     val schemaUsage: mutable.Set[String] = mutable.Set.empty
+    // (database, function name) -> installed body md5
+    val helperMd5: mutable.Map[(String, String), String] = mutable.Map.empty
     var pgssInstalledIn: Option[String] = None
     val settings: mutable.Map[String, String] = mutable.Map(
       "log_duration" -> "on", "log_statement" -> "all",
@@ -113,6 +115,10 @@ class GuidedSetupSpec extends AnyFunSuite {
         case "SHOW auto_explain.log_analyze" =>
           settings.get("auto_explain.log_analyze")
             .map(v => Some(Seq(v))).toRight("unknown GUC")
+        case q if q.startsWith("SELECT md5(btrim(prosrc,") =>
+          val name = "proname = '([^']+)'".r.findFirstMatchIn(q)
+            .map(_.group(1)).getOrElse("")
+          Right(helperMd5.get((database, name)).map(Seq(_)))
         case other => Left(s"FakePg: unexpected queryRow: $other")
       }
 
@@ -159,6 +165,15 @@ class GuidedSetupSpec extends AnyFunSuite {
             .stripPrefix("\"").stripSuffix("\"")
           val (sup, _, pw) = users(user)
           users(user) = (sup, true, pw); Right(())
+        case q if q.contains("FUNCTION pganalyze.explain(") =>
+          // schema + grant + the helper definition in one script; the
+          // stored md5 is of the btrim'd body, as pg_proc would show
+          val body = q.substring(q.indexOf("AS $$") + 5,
+            q.indexOf("$$ LANGUAGE"))
+          schemaExists = true
+          helperMd5((database, "explain")) =
+            GuidedSetup.md5Hex(body.trim)
+          Right(())
         case q if q.startsWith("CREATE SCHEMA IF NOT EXISTS pganalyze; GRANT USAGE ON SCHEMA pganalyze TO ") =>
           val user = q.stripPrefix(
             "CREATE SCHEMA IF NOT EXISTS pganalyze; GRANT USAGE ON SCHEMA pganalyze TO ")
@@ -319,19 +334,50 @@ class GuidedSetupSpec extends AnyFunSuite {
         "contrib module auto_explain is not available"))
   }
 
-  test("log-based EXPLAIN mode skips the auto_explain module steps") {
+  test("log-based EXPLAIN mode installs helpers, skips auto_explain steps") {
     val pg = new FakePg()
     val s = freshState(pg,
-      recommendedInputs.copy(useLogBasedExplain = Some(true)))
+      recommendedInputs.copy(useLogBasedExplain = Some(true),
+        ensureLogExplainHelpers = Some(true)))
     val (done, failure) = GuidedSetup.run(s)
     assert(failure.isEmpty)
     val outcomes = done.toMap
     assert(s.serverSection("enable_log_explain") == "true")
+    // the EXPLAIN helper landed in every monitored database: db_name
+    // "app, *" expands the star and dedups app
+    assert(outcomes("aelog_ensure_log_explain_helpers") == Completed)
+    assert(pg.helperMd5.keySet ==
+      Set(("app", "explain"), ("postgres", "explain")))
+    assert(pg.helperMd5.values.toSet ==
+      Set(GuidedSetup.ExplainHelper.bodyMd5))
     // auto_explain never touched: checks short-circuit on log-explain
     assert(outcomes("aemod_check_auto_explain_available") == NoChangesNeeded)
     assert(outcomes("aemod_ensure_auto_explain_in_spl") == NoChangesNeeded)
+    assert(outcomes("aemod_ensure_recommended_settings") == NoChangesNeeded)
     assert(pg.splCurrent == "pg_stat_statements")
-    assert(!pg.execLog.exists(_.contains("auto_explain")))
+    assert(!pg.execLog.exists(_.contains("shared_preload_libraries = " +
+      "pg_stat_statements,auto_explain")))
+    // a TAMPERED helper body re-installs on the next run
+    pg.helperMd5(("app", "explain")) = "0" * 32
+    val s2 = freshState(pg, s.inputs)
+    s2.pganalyzeSection ++= s.pganalyzeSection
+    s2.serverSection ++= s.serverSection
+    s2.runner = Some(pg)
+    val (done2, f2) = GuidedSetup.run(s2)
+    assert(f2.isEmpty)
+    assert(done2.toMap.apply("aelog_ensure_log_explain_helpers") ==
+      Completed)
+    assert(pg.helperMd5(("app", "explain")) ==
+      GuidedSetup.ExplainHelper.bodyMd5)
+    // missing flag: the exact scripted error
+    val pg3 = new FakePg()
+    val s3 = freshState(pg3,
+      recommendedInputs.copy(useLogBasedExplain = Some(true)))
+    assert(GuidedSetup.run(s3)._2.contains(
+      "aelog_ensure_log_explain_helpers" ->
+        ("create_explain_helper flag not set and helper function does " +
+          "not exist or does not match expected signature on all " +
+          "monitored databases")))
   }
 
   test("a run that does not fix the condition fails the re-check") {
