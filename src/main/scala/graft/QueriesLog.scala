@@ -1076,6 +1076,10 @@ object QueriesLog {
         linesNewerThan = "", pageSize = page)
         .fold(e => throw new IllegalStateException(e._1), identity)
       require(r1.pages >= 2, s"pagination must occur, got ${r1.pages} pages")
+      // the DISCARDED channel: malformed NDJSON lines are counted, not
+      // silently dropped — a clean corpus must report zero drops
+      require(r1.discarded == 0,
+        s"clean corpus must have zero parse drops, got ${r1.discarded}")
       require(ep.branchCalls == 1 && ep.signatureCalls == 1,
         "one branch resolve + one signature mint expected")
       // resume: a second cycle from the persisted state is empty and

@@ -91,9 +91,12 @@ object PlanetScaleLogs {
       }
     }
 
-    /** `QueryLogs` (`logs.go:374-426`): one NDJSON page. */
+    /** `QueryLogs` (`logs.go:374-426`): one NDJSON page. Unparseable
+      * lines are skipped but COUNTED — the reference surfaces parse
+      * errors, so a malformed page must not vanish silently; the count
+      * rides the page like W7's DISCARDED channel. */
     def queryLogs(branchId: String, sig: String, expiry: Long,
-        since: String, limit: Int): Either[HttpError, Seq[LogEntry]] = {
+        since: String, limit: Int): Either[HttpError, Page] = {
       val query = new StringBuilder(DefaultQuery)
       if (since.nonEmpty) query ++= s" _time:>$since"
       query ++= " | sort by (_time)"
@@ -102,19 +105,31 @@ object PlanetScaleLogs {
         s"sig=${enc(sig)}&exp=$expiry&query=${enc(query.toString)}&limit=$limit"
       val (st, body) = http("GET", url, Map.empty)
       if (st != 200) Left(HttpError(st, body))
-      else Right(body.linesIterator.filter(_.nonEmpty).flatMap { line =>
-        try {
-          val n = mapper.readTree(line)
-          def f(k: String) = Option(n.get(k)).map(_.asText("")).getOrElse("")
-          Some(LogEntry(f("_time"), f("_msg"),
-            f("planetscale.component"), f("planetscale.role"),
-            f("planetscale.pod")))
-        } catch { case _: Exception => None } // parse errors: skip, keep going
-      }.toSeq)
+      else {
+        var discarded = 0
+        val entries = body.linesIterator.filter(_.nonEmpty).flatMap { line =>
+          try {
+            val n = mapper.readTree(line)
+            if (n == null || !n.isObject) { discarded += 1; None }
+            else {
+              def f(k: String) = Option(n.get(k)).map(_.asText("")).getOrElse("")
+              Some(LogEntry(f("_time"), f("_msg"),
+                f("planetscale.component"), f("planetscale.role"),
+                f("planetscale.pod")))
+            }
+          } catch { case _: Exception => discarded += 1; None }
+        }.toSeq
+        Right(Page(entries, discarded))
+      }
     }
   }
 
-  final case class Download(state: PsState, content: String, pages: Int)
+  /** One NDJSON page: the parsed entries plus the count of lines the
+    * parser had to drop (malformed JSON / non-object lines). */
+  final case class Page(entries: Seq[LogEntry], discarded: Int)
+
+  final case class Download(state: PsState, content: String, pages: Int,
+      discarded: Int = 0)
 
   /** `DownloadLogFiles` (`logs.go:140-296`): branch-id cache,
     * signature refresh on expiry, the 2-minute recency floor on the
@@ -145,6 +160,7 @@ object PlanetScaleLogs {
     val content = new StringBuilder
     var newest = ""
     var pages = 0
+    var discarded = 0
     var done = false
     while (!done) {
       client.queryLogs(st.branchId, st.signature, st.expiry, since,
@@ -154,8 +170,9 @@ object PlanetScaleLogs {
           if (e.statusCode == 403)
             st = st.copy(signature = "", expiry = 0L)
           return Left((s"failed to query logs: ${e.getMessage}", st))
-        case Right(entries) =>
+        case Right(Page(entries, pageDiscarded)) =>
           pages += 1
+          discarded += pageDiscarded
           entries.foreach { e =>
             val msg = if (e.msg.endsWith("\n")) e.msg else e.msg + "\n"
             if (msg.length > maxParse)
@@ -173,7 +190,7 @@ object PlanetScaleLogs {
       }
     }
     val st1 = if (newest.nonEmpty) st.copy(lastTimestamp = newest) else st
-    Right(Download(st1, content.toString, pages))
+    Right(Download(st1, content.toString, pages, discarded))
   }
 
   // ------------------------------------------------------- the endpoint

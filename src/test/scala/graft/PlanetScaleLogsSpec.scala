@@ -69,6 +69,33 @@ class PlanetScaleLogsSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("malformed NDJSON lines are counted as discarded, not lost") {
+    // a page with two good entries, one broken JSON line and one
+    // non-object line: the good ones parse, the drops are COUNTED
+    val body = Seq(
+      """{"_time":"2024-01-01T00:00:01.000000000Z","_msg":"ok1"}""",
+      """{"_time":"2024-01-01T00:00:02.0000""", // truncated mid-value
+      """"just a JSON string, not an object"""",
+      """{"_time":"2024-01-01T00:00:03.000000000Z","_msg":"ok2"}"""
+    ).mkString("\n")
+    val c = new Client("http://api", "http://logs", "tid", "tsec",
+      http = (_, _, _) => (200, body))
+    val Page(entries, discarded) =
+      c.queryLogs("br-1", "sig", 42L, since = "", limit = 1000)
+        .fold(e => fail(e.getMessage), identity)
+    assert(entries.map(_.msg) == Seq("ok1", "ok2"))
+    assert(discarded == 2)
+    // and the download carries the accumulated count as an observable
+    val d = downloadLogFiles(
+      new Client("http://api", "http://logs", "tid", "tsec",
+        http = (_, url, _) =>
+          if (url.contains("/logs/branch/")) (200, body)
+          else (200, """{"id":"br-1","sig":"s","exp":"9999999999"}""")),
+      PsState(), "o", "d", "b", 1700000000L, "")
+      .fold(e => fail(e._1), identity)
+    assert(d.discarded == 2 && d.content == "ok1\nok2\n")
+  }
+
   test("query selector: fixed component/role filter plus time and sort") {
     val seen = scala.collection.mutable.ArrayBuffer[String]()
     val c = new Client("http://api", "http://logs", "tid", "tsec",
