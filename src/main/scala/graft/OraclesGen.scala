@@ -2084,6 +2084,29 @@ object OraclesGen {
        |  TRUE AS integrity_ok
        |FROM c""".stripMargin
 
+  /** Websocket-triggered query runs: the `% 3` request subset of the
+    * query-run e2e — transport changes (requests arrive as ServerMessage
+    * frames, replies decode server-side), the run semantics don't. */
+  val e2eQueryRunWs: String =
+    s"""WITH c AS (
+       |  SELECT event_id AS run_id, user_id AS backend_pid,
+       |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT)
+       |      AS started_s,
+       |    CASE WHEN event_id % 5 = 0
+       |      THEN 'DELETE FROM orders WHERE o_custkey = '
+       |      ELSE 'SELECT * FROM orders WHERE o_custkey = ' END
+       |      || regexp_extract(props, '"k": (\\d+)', 1) AS query
+       |  FROM events WHERE event_type = 'click' AND event_id % 3 = 0)
+       |SELECT run_id, backend_pid, started_s,
+       |  started_s + 1 AS finished_s,
+       |  run_id % 5 = 0 AS blocked,
+       |  CASE WHEN run_id % 5 <> 0 THEN
+       |    '{"Plan":{"Node Type":"Seq Scan","Relation Name":"orders","Total Cost":'
+       |    || CAST(length(query) * 3 // 2 AS BIGINT) || '}}' END AS result,
+       |  CASE WHEN run_id % 5 = 0 THEN 'dml' END AS error,
+       |  TRUE AS integrity_ok
+       |FROM c""".stripMargin
+
   /** X14 exporter: re-derives every decoded OTLP span field — ids,
     * deterministic span id (FNV of "span:"+trace_id), tracestate vs
     * fallback timing, the sample URL — from the same events rows. */
@@ -2798,6 +2821,7 @@ object OraclesGen {
     "e2e_activity_snapshot" -> e2eActivitySnapshot,
     "e2e_system_snapshot" -> e2eSystemSnapshot,
     "e2e_query_run_snapshot" -> e2eQueryRunSnapshot,
+    "e2e_query_run_ws" -> e2eQueryRunWs,
     "x14_span_export" -> x14SpanExport,
     "dsir_select" -> dsirSelect,
     "embed_pq_recall" -> embedPqRecall,

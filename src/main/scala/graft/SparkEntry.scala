@@ -245,6 +245,12 @@ object SparkEntry {
     // scanner, per-run decode + integrity)
     "e2e_query_run_snapshot" ->
       ((s: SparkSession, d: String) => graft.sinks.QueryRunSnapshotPipeline.e2e(s, d)),
+    // the websocket-TRIGGERED variant: run requests arrive as real
+    // ServerMessage frames on the upload socket (processServerMessages
+    // dispatch incl. duplicate-id ignore), replies decoded from the
+    // bytes the server side received
+    "e2e_query_run_ws" ->
+      ((s: SparkSession, d: String) => graft.sinks.QueryRunSnapshotPipeline.e2eWs(s, d)),
     // the SHIPPED full snapshot: same wire document, but decoded from
     // the bytes a real in-process server RECEIVED — storage POST →
     // key → submission POST (K1 upload leg, output/upload_http_legacy.go)

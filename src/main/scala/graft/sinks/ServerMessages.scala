@@ -1,0 +1,231 @@
+package graft.sinks
+
+import scala.collection.mutable
+
+/** The INBOUND half of the websocket channel — the reference's
+  * `ServerMessage` protocol (`protobuf/server_message.proto:8-67`) and
+  * its dispatch loop `processServerMessages`
+  * (`runner/websocket.go:37-93`): the server pushes zlib'd protobuf
+  * messages down the SAME socket snapshots go up, and the collector
+  * dispatches them —
+  *
+  *   - `Config` → stored on the server grant (`ValidConfig = true`),
+  *     with the FIRST config firing the one-shot
+  *     `InitialConfigReceived` signal (`websocket.go:59-66` — the Go
+  *     side closes a channel, so a second fire would panic; here the
+  *     one-shot-ness is asserted),
+  *   - `Pause` → the pause flag (`websocket.go:67-68`),
+  *   - `QueryRun` → registered in the per-server run registry KEYED BY
+  *     ID, an already-known id ignored (`websocket.go:69-91` — the
+  *     `if _, exists := server.QueryRuns[q.Id]; !exists` guard), with
+  *     `query_parameters` kept as nullable strings
+  *     (`NullString{valid,value}`) and `postgres_settings` as the
+  *     proto3 map (repeated key/value entries).
+  *
+  * Undecodable frames (bad zlib, bad protobuf) are warnings, never
+  * fatal — the loop keeps reading (`websocket.go:46-58`).
+  */
+object ServerMessages {
+
+  final case class NullStr(valid: Boolean, value: String)
+
+  /** `ServerMessage.QueryRun` (`server_message.proto:48-56`). */
+  final case class QueryRunReq(
+      id: Long,
+      runType: Int, // QueryRunType enum; 1 = EXPLAIN
+      databaseName: String,
+      queryText: String,
+      params: Seq[NullStr],
+      paramTypes: Seq[String],
+      settings: Seq[(String, String)])
+
+  /** `ServerMessage.Features` (`server_message.proto:31-42`). */
+  final case class Features(
+      statementResetFrequency: Int = 0,
+      statementTimeoutMs: Int = 0,
+      statementTimeoutMsQueryText: Int = 0,
+      statementMaxSizeMb: Int = 0)
+
+  sealed trait Msg
+
+  /** `ServerMessage.Config` (`server_message.proto:18-28`). */
+  final case class Config(
+      serverId: String,
+      serverUrl: String,
+      features: Features = Features(),
+      enableActivity: Boolean = false,
+      enableLogs: Boolean = false,
+      schemaTableLimit: Int = 0) extends Msg
+
+  final case class Pause(pause: Boolean) extends Msg
+
+  final case class QueryRun(req: QueryRunReq) extends Msg
+
+  // -------------------------------------------------------------- encode
+  // (the SERVER side of the wire — the in-process endpoint and specs
+  // need to speak it to drive the client loop)
+
+  def encode(m: Msg): Array[Byte] = {
+    val top = ProtoWire.msg()
+    m match {
+      case c: Config =>
+        val cm = ProtoWire.msg()
+        if (c.serverId.nonEmpty) cm.string(1, c.serverId)
+        if (c.serverUrl.nonEmpty) cm.string(2, c.serverUrl)
+        val f = ProtoWire.msg()
+          .varintOpt(1, c.features.statementResetFrequency.toLong)
+          .varintOpt(2, c.features.statementTimeoutMs.toLong)
+          .varintOpt(3, c.features.statementTimeoutMsQueryText.toLong)
+          .varintOpt(4, c.features.statementMaxSizeMb.toLong)
+        cm.msg(4, f)
+        if (c.enableActivity) cm.varint(5, 1L)
+        if (c.enableLogs) cm.varint(6, 1L)
+        cm.varintOpt(7, c.schemaTableLimit.toLong)
+        top.msg(1, cm)
+      case Pause(p) =>
+        val pm = ProtoWire.msg()
+        if (p) pm.varint(1, 1L)
+        top.msg(2, pm)
+      case QueryRun(q) =>
+        val qm = ProtoWire.msg().varint(1, q.id)
+          .varintOpt(2, q.runType.toLong)
+        if (q.databaseName.nonEmpty) qm.string(3, q.databaseName)
+        if (q.queryText.nonEmpty) qm.string(4, q.queryText)
+        q.params.foreach { p =>
+          val pm = ProtoWire.msg()
+          if (p.valid) pm.varint(1, 1L)
+          if (p.value.nonEmpty) pm.string(2, p.value)
+          qm.msg(5, pm)
+        }
+        q.paramTypes.foreach(qm.string(6, _))
+        q.settings.foreach { case (k, v) =>
+          qm.msg(7, ProtoWire.msg().string(1, k).string(2, v))
+        }
+        top.msg(3, qm)
+    }
+    ProtoWire.zlib(top.toBytes)
+  }
+
+  // -------------------------------------------------------------- decode
+
+  import ProtoWire.{VBytes, VInt, Value}
+
+  private def str(b: Array[Byte]): String =
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+
+  private def fields(b: Array[Byte]): Map[Int, Seq[Value]] =
+    ProtoWire.decode(b).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  private def vint(m: Map[Int, Seq[Value]], f: Int): Long =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(VInt(v)) => v
+      case _ => 0L
+    }
+
+  private def vstr(m: Map[Int, Seq[Value]], f: Int): String =
+    m.get(f).flatMap(_.headOption) match {
+      case Some(VBytes(b)) => str(b)
+      case _ => ""
+    }
+
+  /** Decompress + parse one inbound frame. Left = the warning the loop
+    * logs (`websocket.go:48-58`); the caller continues either way. */
+  def decode(compressed: Array[Byte]): Either[String, Msg] = {
+    val raw =
+      try ProtoWire.unzlib(compressed)
+      catch {
+        case e: Exception =>
+          return Left(s"Error decompressing websocket data: ${e.getMessage}")
+      }
+    try {
+      val top = fields(raw)
+      top.get(1).flatMap(_.headOption) match {
+        case Some(VBytes(cb)) =>
+          val c = fields(cb)
+          val f = c.get(4).flatMap(_.headOption) match {
+            case Some(VBytes(fb)) =>
+              val fm = fields(fb)
+              Features(vint(fm, 1).toInt, vint(fm, 2).toInt,
+                vint(fm, 3).toInt, vint(fm, 4).toInt)
+            case _ => Features()
+          }
+          return Right(Config(vstr(c, 1), vstr(c, 2), f,
+            vint(c, 5) != 0, vint(c, 6) != 0, vint(c, 7).toInt))
+        case _ => ()
+      }
+      top.get(2).flatMap(_.headOption) match {
+        case Some(VBytes(pb)) =>
+          return Right(Pause(vint(fields(pb), 1) != 0))
+        case _ => ()
+      }
+      top.get(3).flatMap(_.headOption) match {
+        case Some(VBytes(qb)) =>
+          val q = fields(qb)
+          val params = q.getOrElse(5, Nil).collect { case VBytes(pb) =>
+            val pm = fields(pb)
+            NullStr(vint(pm, 1) != 0, vstr(pm, 2))
+          }
+          val types = q.getOrElse(6, Nil).collect { case VBytes(b) => str(b) }
+          val settings = q.getOrElse(7, Nil).collect { case VBytes(eb) =>
+            val em = fields(eb)
+            vstr(em, 1) -> vstr(em, 2)
+          }
+          Right(QueryRun(QueryRunReq(vint(q, 1), vint(q, 2).toInt,
+            vstr(q, 3), vstr(q, 4), params, types, settings)))
+        case _ =>
+          Left("Error parsing ServerMessage: empty oneof")
+      }
+    } catch {
+      case e: Exception => Left(s"Error parsing ServerMessage: ${e.getMessage}")
+    }
+  }
+
+  // ------------------------------------------------------------ dispatch
+
+  /** The `state.Server` slice the message loop mutates: the grant
+    * config, the pause flag, the keyed run registry, and the one-shot
+    * initial-config signal. */
+  final class ServerState {
+    @volatile var grantConfig: Option[Config] = None
+    @volatile var validConfig: Boolean = false
+    @volatile var paused: Boolean = false
+    private var initialConfig = true
+    /** Times the one-shot signal fired — the Go side `close()`s a
+      * channel here, so anything but 0/1 is a protocol bug. */
+    var initialConfigFired: Int = 0
+    /** Insertion-ordered, KEYED BY ID — duplicate ids ignored. */
+    val queryRuns: mutable.LinkedHashMap[Long, QueryRunReq] =
+      mutable.LinkedHashMap.empty
+    val warnings: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+
+    /** `processServerMessages`' per-message body. */
+    def processMessage(compressed: Array[Byte]): Unit = this.synchronized {
+      decode(compressed) match {
+        case Left(w) => warnings += w
+        case Right(c: Config) =>
+          grantConfig = Some(c)
+          validConfig = true
+          if (initialConfig) { initialConfigFired += 1; initialConfig = false }
+        case Right(Pause(p)) => paused = p
+        case Right(QueryRun(q)) =>
+          if (!queryRuns.contains(q.id)) queryRuns(q.id) = q
+      }
+    }
+  }
+
+  /** Drain exactly `n` inbound messages from a connected client into
+    * the state — the bounded, deterministic form of the reference's
+    * endless `for { select { case <-server.WebSocket.Read … } }` loop. */
+  def processServerMessages(client: SnapshotWebSocket.Client,
+      state: ServerState, n: Int): Unit = {
+    var i = 0
+    while (i < n) {
+      client.readMessage() match {
+        case Right(payload) => state.processMessage(payload)
+        case Left(err) =>
+          throw new IllegalStateException(s"websocket read failed: $err")
+      }
+      i += 1
+    }
+  }
+}

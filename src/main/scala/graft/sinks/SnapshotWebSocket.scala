@@ -254,12 +254,17 @@ object SnapshotWebSocket {
   /** In-process websocket endpoint for specs and the e2e entries:
     * accepts ONE client, performs the RFC 6455 handshake, collects
     * binary payloads until a close frame or EOF. Runs on a daemon
-    * thread; `payloads` is safe to read after `await()`. */
+    * thread; `payloads` is safe to read after `await()`. Can also PUSH
+    * server→client binary messages ([[SingleServer.send]]) — the
+    * channel `processServerMessages` reads — making the socket
+    * bidirectional like the reference's. */
   final class SingleServer {
     private val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
     @volatile private var done = false
+    @volatile private var handshaken = false
     @volatile private var client: Socket = _
+    private val sendLock = new Object
     private val received = new ArrayBuffer[Array[Byte]]
     private var handshakeHeaders = Map.empty[String, String]
 
@@ -286,12 +291,15 @@ object SnapshotWebSocket {
           s"Sec-WebSocket-Accept: ${acceptKey(key)}\r\n\r\n"
         sock.getOutputStream.write(resp.getBytes(UTF_8))
         sock.getOutputStream.flush()
+        handshaken = true
         var open = true
         while (open) {
           try {
             val (op, payload) = readFrame(in)
             if (op == 0x8) {
-              sock.getOutputStream.write(encodeClose(masked = false))
+              sendLock.synchronized {
+                sock.getOutputStream.write(encodeClose(masked = false))
+              }
               open = false
             } else if (op == 0x2) received.synchronized {
               received += payload
@@ -311,6 +319,26 @@ object SnapshotWebSocket {
     def headers: Map[String, String] = handshakeHeaders
     def payloads: Seq[Array[Byte]] =
       received.synchronized(received.toVector)
+
+    /** Block until the RFC 6455 handshake with the one client is done
+      * (a `send` before that would corrupt the HTTP response). */
+    def awaitHandshake(timeoutMs: Long = 10000): Unit = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      while (!handshaken && System.currentTimeMillis < deadline)
+        Thread.sleep(5)
+      require(handshaken, "websocket handshake did not complete")
+    }
+
+    /** Push one server→client binary message (unmasked, RFC 6455
+      * §5.1) — the `ServerMessage` channel of the reference's
+      * bidirectional socket. */
+    def send(payload: Array[Byte]): Unit = {
+      awaitHandshake()
+      sendLock.synchronized {
+        client.getOutputStream.write(encodeServerBinary(payload))
+        client.getOutputStream.flush()
+      }
+    }
     def await(timeoutMs: Long = 10000): Unit = {
       val deadline = System.currentTimeMillis + timeoutMs
       while (!done && System.currentTimeMillis < deadline) Thread.sleep(10)

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.{ServerMessages, SnapshotWebSocket}
+import graft.sinks.ServerMessages._
+
+/** `processServerMessages` dispatch semantics
+  * (`runner/websocket.go:37-93`) + the ServerMessage codec
+  * (`protobuf/server_message.proto`). */
+class ServerMessagesSpec extends AnyFunSuite {
+
+  test("codec round-trips all three oneof arms with full field sets") {
+    val cfg = Config("srv-9", "https://ex.com/api",
+      Features(6, 30000, 120000, 256), enableActivity = true,
+      enableLogs = false, schemaTableLimit = 4000)
+    assert(decode(encode(cfg)) == Right(cfg))
+    assert(decode(encode(Pause(pause = true))) == Right(Pause(true)))
+    assert(decode(encode(Pause(pause = false))) == Right(Pause(false)))
+    val qr = QueryRun(QueryRunReq(77L, 1, "mydb",
+      "SELECT * FROM t WHERE a = $1 AND b = $2",
+      params = Seq(NullStr(valid = true, "42"), NullStr(valid = false, "")),
+      paramTypes = Seq("int4", "text"),
+      settings = Seq("statement_timeout" -> "60s", "work_mem" -> "64MB")))
+    assert(decode(encode(qr)) == Right(qr))
+  }
+
+  test("undecodable frames are warnings: bad zlib and bad protobuf") {
+    assert(decode(Array[Byte](1, 2, 3)).left.exists(
+      _.startsWith("Error decompressing")))
+    // valid zlib of an EMPTY message: no oneof arm set
+    assert(decode(graft.sinks.ProtoWire.zlib(Array.emptyByteArray))
+      .left.exists(_.startsWith("Error parsing")))
+  }
+
+  test("dispatch: config one-shot, pause toggle, duplicate-id ignore") {
+    val st = new ServerState
+    def qrun(id: Long, text: String) = encode(QueryRun(
+      QueryRunReq(id, 1, "db", text, Nil, Nil, Nil)))
+    st.processMessage(encode(Config("s1", "u1")))
+    st.processMessage(encode(Config("s2", "u2"))) // fires only ONCE
+    assert(st.initialConfigFired == 1)
+    assert(st.validConfig && st.grantConfig.exists(_.serverId == "s2"))
+    st.processMessage(encode(Pause(pause = true)))
+    assert(st.paused)
+    st.processMessage(encode(Pause(pause = false)))
+    assert(!st.paused)
+    st.processMessage(qrun(1, "SELECT 1"))
+    st.processMessage(qrun(2, "SELECT 2"))
+    // duplicate id with DIFFERENT text: first registration wins
+    st.processMessage(qrun(1, "SELECT 999"))
+    assert(st.queryRuns.size == 2)
+    assert(st.queryRuns(1L).queryText == "SELECT 1")
+    st.processMessage(Array[Byte](9, 9)) // undecodable → warning
+    assert(st.warnings.size == 1 && st.queryRuns.size == 2)
+  }
+
+  test("the loop reads frames off a real socket in order") {
+    val ep = new SnapshotWebSocket.SingleServer
+    try {
+      val cl = new SnapshotWebSocket.Client(() =>
+        SnapshotWebSocket.dial("127.0.0.1", ep.port, "/ws"))
+      assert(cl.connect().isRight)
+      ep.awaitHandshake()
+      ep.send(encode(Config("s1", "u1")))
+      ep.send(encode(QueryRun(QueryRunReq(5L, 1, "db", "SELECT 5",
+        Nil, Nil, Nil))))
+      ep.send(encode(Pause(pause = true)))
+      val st = new ServerState
+      processServerMessages(cl, st, 3)
+      assert(st.initialConfigFired == 1)
+      assert(st.queryRuns.keySet == Set(5L))
+      assert(st.paused)
+      cl.disconnect()
+    } finally ep.close()
+  }
+}
