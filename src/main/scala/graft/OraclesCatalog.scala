@@ -476,6 +476,48 @@ object OraclesCatalog {
         |  ('mem_total_stable_ok', 1), ('disk_monotonic_ok', 1),
         |  ('net_monotonic_ok', 1), ('loadavg_ok', 1)) AS i(m, v)""".stripMargin,
 
+    // Mirrors QueriesCatalog.s34AzureMetrics: the fleet's resolve-time
+    // info and every metric average are pk-derived; the oracle re-derives
+    // the uint64/int32 truncs, the ÷60 network scaling, the storage
+    // ceiling by resource type, and the empty-series → zero-default skip
+    // (flexible pk % 4 = 0 read_iops).
+    "s34_azure_metrics" ->
+      """WITH capped AS (
+        |  SELECT p_partkey AS pk FROM part ORDER BY p_partkey LIMIT 12)
+        |SELECT
+        |  'azdb-' || pk AS server_name,
+        |  CASE WHEN pk % 3 = 0 THEN 'serverGroupsv2'
+        |       ELSE 'flexibleServers' END AS resource_type,
+        |  CASE WHEN pk % 3 <> 0 AND pk % 5 = 0
+        |       THEN 'rg-src/azdb-src-' || pk
+        |       ELSE 'rg-' || (pk % 4) || '/azdb-' || pk END AS cluster_id,
+        |  'eastus' AS location,
+        |  CASE WHEN pk % 3 <> 0 THEN 'Standard_D4s_v3' END AS sku_name,
+        |  CASE WHEN pk % 3 = 0 THEN '12.1' END AS citus_version,
+        |  CASE WHEN pk % 3 = 0 THEN CAST(pk % 5 + 1 AS BIGINT) END
+        |    AS node_count,
+        |  CASE WHEN pk % 3 <> 0 THEN 'ZoneRedundant' END AS ha_mode,
+        |  CASE WHEN pk % 3 = 0 THEN pk % 2 = 0 END AS ha_enabled,
+        |  (pk % 80) / 2.0 + 0.25 AS cpu_user_percent,
+        |  CASE WHEN pk % 3 <> 0 THEN CAST(pk * 1000 + 512 AS BIGINT) END
+        |    AS xlog_used_bytes,
+        |  CAST(pk * 10 AS BIGINT) AS tx_bytes_per_s,
+        |  CAST(pk * 21 AS BIGINT) AS rx_bytes_per_s,
+        |  CASE WHEN pk % 3 <> 0 THEN
+        |    CASE WHEN pk % 4 = 0 THEN 0.0 ELSE (pk % 97) + 0.5 END END
+        |    AS read_iops,
+        |  CASE WHEN pk % 3 <> 0 THEN (pk % 89) + 0.25 END AS write_iops,
+        |  CASE WHEN pk % 3 <> 0 THEN CAST(pk % 31 AS BIGINT) END
+        |    AS avg_queue_size,
+        |  CASE WHEN pk % 3 <> 0 THEN pk * 3.5 END AS read_bytes_per_s,
+        |  CASE WHEN pk % 3 <> 0 THEN pk * 2.25 END AS write_bytes_per_s,
+        |  CAST((pk % 50 + 10) AS BIGINT) * 100000000 AS disk_used_bytes,
+        |  CASE WHEN pk % 3 = 0
+        |       THEN CAST((pk % 9 + 1) * 1024 AS BIGINT) * 1048576
+        |       ELSE CAST(pk % 7 + 1 AS BIGINT) * 1073741824 END
+        |    AS disk_total_bytes
+        |FROM capped""".stripMargin,
+
     "s15_ext_stats" ->
       """SELECT p_partkey + 3000000 AS stx_oid, p_partkey AS rel_oid,
         |  'stx_' || p_partkey AS stxname,

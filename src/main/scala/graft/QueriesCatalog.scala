@@ -629,6 +629,184 @@ object QueriesCatalog {
     out
   }
 
+  /** S34/Azure — Azure Monitor system metrics
+    * ([[graft.sources.AzureMonitor]], `input/system/azure/system.go`):
+    * a 12-server fleet (part-seeded; pk % 3 == 0 are Cosmos clusters,
+    * the rest Flexible Servers) is served by an in-process ARM +
+    * Monitor double behind the real AAD client-credentials chain. Per
+    * monitored server the client pages the Flexible list (match by
+    * name), falls back to the Cosmos `serverGroupsv2` list, then pulls
+    * the 1-min metric averages — the full 11-name set on Flexible, the
+    * base 5 on Cosmos — and the metric → system-state mapping (uint64/
+    * int32 truncs, the ÷60 network scaling, the storage ceiling by
+    * resolve-time type, the empty-series skip that leaves the zero
+    * default) runs DISTRIBUTED over the per-server responses.
+    * Asserted in-entry: a forged bearer is 401, an unknown server name
+    * resolves to the reference's warning, and the Flexible list
+    * actually paged. */
+  def s34AzureMetrics(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{AzureAad, AzureMonitor}
+    val pks = Tables.part(s, dir).select(col("p_partkey").cast("long"))
+      .orderBy("p_partkey").limit(12).collect().map(_.getLong(0)).toSeq
+    val sub = "sub-1"
+    def rid(pk: Long, tpe: String) =
+      s"/subscriptions/$sub/resourceGroups/rg-${pk % 4}/providers/" +
+        s"Microsoft.DBforPostgreSQL/$tpe/azdb-$pk"
+    val flexPks = pks.filter(_ % 3 != 0)
+    val cosmosPks = pks.filter(_ % 3 == 0)
+    val flexJson = flexPks.map { pk =>
+      val src = if (pk % 5 == 0)
+        s""","sourceServerResourceID":"/subscriptions/$sub/resourceGroups/rg-src/providers/Microsoft.DBforPostgreSQL/flexibleServers/azdb-src-$pk""""
+      else ""
+      s"""{"id":"${rid(pk, "flexibleServers")}","location":"eastus",
+         |"sku":{"name":"Standard_D4s_v3"},
+         |"systemData":{"createdAt":"2023-01-01T00:00:00Z"},
+         |"properties":{"state":"Ready",
+         |"storage":{"storageSizeGB":${pk % 7 + 1}},
+         |"maintenanceWindow":{"customWindow":"Enabled","dayOfWeek":0,
+         |"startHour":3,"startMinute":30},
+         |"highAvailability":{"mode":"ZoneRedundant","state":"Healthy"}
+         |$src}}""".stripMargin.replace("\n", "")
+    }
+    val cosmosJson = cosmosPks.map { pk =>
+      s"""{"id":"${rid(pk, "serverGroupsv2")}","location":"eastus",
+         |"systemData":{"createdAt":"2023-01-01T00:00:00Z"},
+         |"properties":{"state":"Ready","citusVersion":"12.1",
+         |"enableHa":${pk % 2 == 0},
+         |"coordinatorStorageQuotaInMb":${(pk % 9 + 1) * 1024},
+         |"nodeStorageQuotaInMb":524288,"nodeCount":${pk % 5 + 1},
+         |"coordinatorVCores":4,"nodeVCores":8}}""".stripMargin
+        .replace("\n", "")
+    }
+    // per-resource 1-min averages, all pk-derived and float-exact; on
+    // Flexible pk % 4 == 0 the read_iops series has NO points (skip)
+    val metricsMap: Map[String, Map[String, Option[Double]]] =
+      (flexPks.map { pk =>
+        rid(pk, "flexibleServers") -> Map(
+          "cpu_percent" -> Some((pk % 80) / 2.0 + 0.25),
+          "memory_percent" -> Some((pk % 100).toDouble),
+          "network_bytes_egress" -> Some((pk * 600).toDouble),
+          "network_bytes_ingress" -> Some((pk * 1260).toDouble),
+          "storage_used" -> Some(((pk % 50 + 10) * 100000000L).toDouble),
+          "txlogs_storage_used" -> Some((pk * 1000 + 512).toDouble),
+          "read_iops" ->
+            (if (pk % 4 == 0) None else Some((pk % 97) + 0.5)),
+          "write_iops" -> Some((pk % 89) + 0.25),
+          "disk_queue_depth" -> Some((pk % 31) + 0.75),
+          "read_throughput" -> Some(pk * 3.5),
+          "write_throughput" -> Some(pk * 2.25))
+      } ++ cosmosPks.map { pk =>
+        rid(pk, "serverGroupsv2") -> Map(
+          "cpu_percent" -> Some((pk % 80) / 2.0 + 0.25),
+          "memory_percent" -> Some((pk % 100).toDouble),
+          "network_bytes_egress" -> Some((pk * 600).toDouble),
+          "network_bytes_ingress" -> Some((pk * 1260).toDouble),
+          "storage_used" -> Some(((pk % 50 + 10) * 100000000L).toDouble))
+      }).toMap
+    val aad = new AzureAad.TokenEndpoint("tenant-1", "client-1",
+      clientSecret = "az-secret-1")
+    val ep = new AzureMonitor.Endpoint(aad.isValid, sub, flexJson,
+      cosmosJson, metricsMap)
+    val rows =
+      try {
+        val fetcher = new AzureAad.TokenFetcher(aad.tokenUrl, "client-1",
+          "https://management.azure.com/.default",
+          clientSecret = "az-secret-1")
+        val c = new AzureMonitor.Client(ep.url, () => fetcher.bearer())
+        // a forged bearer is refused before any data
+        val bad = new AzureMonitor.Client(ep.url, () => Right("forged"))
+        require(bad.listFlexibleServers(sub).left.exists(_.contains("401")),
+          "forged bearer must be 401")
+        // an unknown server name is the reference's resolve-miss warning
+        require(c.resolve(sub, "azdb-missing")
+          .left.exists(_ == "unable to find the database server info"),
+          "unknown server must be a resolve miss")
+        pks.map { pk =>
+          val info = c.resolve(sub, s"azdb-$pk")
+            .fold(e => throw new IllegalStateException(e), identity)
+          val body = c.queryMetrics(info.resourceId, c.metricNames(info))
+            .fold(e => throw new IllegalStateException(e), identity)
+          org.apache.spark.sql.Row(
+            s"azdb-$pk", info.resourceType, info.clusterId, info.location,
+            if (info.isFlexible) info.skuName else null,
+            if (info.isFlexible) null else info.citusVersion,
+            if (info.isFlexible) null
+            else java.lang.Long.valueOf(info.nodeCount.toLong),
+            if (info.isFlexible) info.haMode else null,
+            if (info.isFlexible) null
+            else java.lang.Boolean.valueOf(info.haEnabled),
+            info.storageTotalBytes, body)
+        }
+      } finally { ep.stop(); aad.stop() }
+    require(ep.flexPageCalls > pks.length + 2,
+      s"the Flexible list must page, got ${ep.flexPageCalls} page calls")
+    require(ep.metricCalls == pks.length,
+      s"one metrics query per server, got ${ep.metricCalls}")
+    import org.apache.spark.sql.types._
+    val driverSchema = StructType(Seq(
+      StructField("server_name", StringType),
+      StructField("resource_type", StringType),
+      StructField("cluster_id", StringType),
+      StructField("location", StringType),
+      StructField("sku_name", StringType),
+      StructField("citus_version", StringType),
+      StructField("node_count", LongType),
+      StructField("ha_mode", StringType),
+      StructField("ha_enabled", BooleanType),
+      StructField("disk_total_bytes", LongType),
+      StructField("metrics_json", StringType)))
+    import scala.jdk.CollectionConverters._
+    val raw = s.createDataFrame(rows.asJava, driverSchema)
+    // ---- distributed: metric response JSON → system-state mapping ----
+    val mSchema = "STRUCT<value: ARRAY<STRUCT<name: STRUCT<value: STRING>," +
+      " timeseries: ARRAY<STRUCT<data: ARRAY<STRUCT<average: DOUBLE>>>>>>>"
+    val dims = Seq("server_name", "resource_type", "cluster_id", "location",
+      "sku_name", "citus_version", "node_count", "ha_mode", "ha_enabled",
+      "disk_total_bytes")
+    val exploded = raw
+      .select(dims.map(col) :+
+        explode(from_json(col("metrics_json"), mSchema,
+          Map.empty[String, String]).getField("value")).as("m"): _*)
+      .select(dims.map(col) :+ col("m.name.value").as("metric") :+
+        // getFirstMetricValue: timeseries[0].data[0].average — `get()`
+        // yields NULL on an empty series (the skip case) where [0]
+        // would throw under ANSI
+        get(get(col("m.timeseries"), lit(0)).getField("data"), lit(0))
+          .getField("average").as("avg"): _*)
+    def m(name: String) = max(when(col("metric") === name, col("avg")))
+    val isFlex = col("resource_type") === "flexibleServers"
+    exploded.groupBy(dims.map(col): _*).agg(
+      m("cpu_percent").as("cpu_user_percent"),
+      m("txlogs_storage_used").as("xlog_avg"),
+      m("network_bytes_egress").as("tx_avg"),
+      m("network_bytes_ingress").as("rx_avg"),
+      m("read_iops").as("riops"), m("write_iops").as("wiops"),
+      m("disk_queue_depth").as("qd"),
+      m("read_throughput").as("rtput"), m("write_throughput").as("wtput"),
+      m("storage_used").as("used_avg"))
+      .select(col("server_name"), col("resource_type"), col("cluster_id"),
+        col("location"), col("sku_name"), col("citus_version"),
+        col("node_count"), col("ha_mode"), col("ha_enabled"),
+        col("cpu_user_percent"),
+        when(isFlex, floor(coalesce(col("xlog_avg"), lit(0.0)))
+          .cast("long")).as("xlog_used_bytes"),
+        floor(coalesce(col("tx_avg"), lit(0.0)) / 60).cast("long")
+          .as("tx_bytes_per_s"),
+        floor(coalesce(col("rx_avg"), lit(0.0)) / 60).cast("long")
+          .as("rx_bytes_per_s"),
+        when(isFlex, coalesce(col("riops"), lit(0.0))).as("read_iops"),
+        when(isFlex, coalesce(col("wiops"), lit(0.0))).as("write_iops"),
+        when(isFlex, floor(coalesce(col("qd"), lit(0.0))).cast("long"))
+          .as("avg_queue_size"),
+        when(isFlex, coalesce(col("rtput"), lit(0.0)))
+          .as("read_bytes_per_s"),
+        when(isFlex, coalesce(col("wtput"), lit(0.0)))
+          .as("write_bytes_per_s"),
+        floor(coalesce(col("used_avg"), lit(0.0))).cast("long")
+          .as("disk_used_bytes"),
+        col("disk_total_bytes"))
+  }
+
   // S15 — extended-statistics scan (pg_statistic_ext: kinds arrays).
   def s15ExtStats(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)

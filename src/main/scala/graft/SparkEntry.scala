@@ -72,6 +72,7 @@ object SparkEntry {
     "s34_rds_enhanced" -> (QueriesCatalog.s34RdsEnhanced _),
     "s34_provider_metrics" -> (QueriesCatalog.s34ProviderMetrics _),
     "s34_live" -> (QueriesCatalog.s34Live _),
+    "s34_azure_metrics" -> (QueriesCatalog.s34AzureMetrics _),
     "s15_ext_stats" -> (QueriesCatalog.s15ExtStats _),
     "selftest_summary" -> (QueriesSelftest.selftestSummary _),
     "a13_wait_event_profile" -> (QueriesCatalog.a13WaitEventProfile _),

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.AzureMonitor
+import graft.sources.AzureMonitor._
+
+/** Azure Monitor resolve + metric plumbing
+  * (`input/system/azure/system.go`) below the gate entry's corpus. */
+class AzureMonitorSpec extends AnyFunSuite {
+
+  test("ARM resource IDs parse; malformed ones are errors") {
+    val id = "/subscriptions/sub-1/resourceGroups/rg-2/providers/" +
+      "Microsoft.DBforPostgreSQL/flexibleServers/mydb"
+    assert(parseResourceId(id) == Right(ResourceId("sub-1", "rg-2",
+      "Microsoft.DBforPostgreSQL", "flexibleServers", "mydb")))
+    assert(parseResourceId("/subscriptions/s/x/y").isLeft)
+    assert(parseResourceId("not-an-id").isLeft)
+  }
+
+  test("metric-name set: base five everywhere, +6 on Flexible only") {
+    val flex = AzureInfo("id", "flexibleServers", "a", "rg", "c", "l", "s")
+    val cosmos = AzureInfo("id", "serverGroupsv2", "a", "rg", "c", "l", "s")
+    val c = new Client("http://x", () => Right("t"),
+      http = (_, _, _) => (500, ""))
+    assert(c.metricNames(cosmos) == BaseMetrics)
+    assert(c.metricNames(flex) == BaseMetrics ++ FlexibleExtraMetrics)
+    assert(c.metricNames(flex).head == "cpu_percent" &&
+      c.metricNames(flex).size == 11)
+  }
+
+  test("storage ceiling: GB on Flexible, coordinator MB on Cosmos") {
+    assert(AzureInfo("i", "flexibleServers", "a", "rg", "c", "l", "s",
+      storageGB = 3).storageTotalBytes == 3L * 1024 * 1024 * 1024)
+    assert(AzureInfo("i", "serverGroupsv2", "a", "rg", "c", "l", "s",
+      coordinatorStorageMB = 2048).storageTotalBytes ==
+      2048L * 1024 * 1024)
+  }
+
+  test("resolve: paged flexible match, cosmos fallback, miss warning") {
+    def srv(tpe: String, name: String, extraProps: String = "",
+        extraTop: String = "") =
+      s"""{"id":"/subscriptions/s1/resourceGroups/rg-1/providers/""" +
+        s"""Microsoft.DBforPostgreSQL/$tpe/$name","location":"westus"""" +
+        s"""$extraTop,"properties":{"state":"Ready"$extraProps}}"""
+    // a fake ARM surface: flexible list pages once via nextLink
+    val fetched = scala.collection.mutable.ArrayBuffer[String]()
+    val http: Http = (_, url, hdrs) => {
+      fetched += url
+      assert(hdrs("Authorization") == "Bearer tok-1")
+      if (url.contains("/flexibleServers?") && !url.contains("page=2"))
+        (200, s"""{"value":[${srv("flexibleServers", "flex-a")}],
+          "nextLink":"${url.replace("?", "?page=2&")}"}""")
+      else if (url.contains("/flexibleServers?"))
+        (200, s"""{"value":[${srv("flexibleServers", "flex-b",
+          ""","storage":{"storageSizeGB":7}""",
+          extraTop = ""","sku":{"name":"X"}""")}]}""")
+      else if (url.contains("/serverGroupsv2?"))
+        (200, s"""{"value":[${srv("serverGroupsv2", "cos-a",
+          ""","coordinatorStorageQuotaInMb":512,"enableHa":true,
+          "citusVersion":"12.1","nodeCount":3""")}]}""")
+      else (404, "")
+    }
+    val c = new Client("http://arm", () => Right("tok-1"), http)
+    // second-page flexible match (SKU/storage from the matched entry)
+    val flexB = c.resolve("s1", "flex-b").toOption.get
+    assert(flexB.isFlexible && flexB.storageGB == 7 &&
+      flexB.skuName == "X" && flexB.clusterId == "rg-1/flex-b")
+    // cosmos fallback fields
+    val cosA = c.resolve("s1", "cos-a").toOption.get
+    assert(!cosA.isFlexible && cosA.coordinatorStorageMB == 512 &&
+      cosA.haEnabled && cosA.citusVersion == "12.1" && cosA.nodeCount == 3)
+    // miss: the reference's warning text
+    assert(c.resolve("s1", "nope") ==
+      Left("unable to find the database server info"))
+  }
+}
