@@ -40,10 +40,17 @@ object ActivitySnapshotPipeline {
 
   /** The activity tick: the latest backend row per pid, with the
     * derived query text / wait-event fields the transform ships. */
-  def currentBackends(s: SparkSession, dir: String): DataFrame = {
+  def currentBackends(s: SparkSession, dir: String): DataFrame =
+    backendsFrom(CatalogSynth.backends(s, dir))
+
+  /** Same derivation over an arbitrary backends-shaped frame — the
+    * daemon soak scopes each 10 s tick to its window of activity by
+    * pre-filtering the raw frame (the reference's tick likewise sees
+    * only what `pg_stat_activity` holds AT the tick). */
+  def backendsFrom(raw: DataFrame): DataFrame = {
     val w = Window.partitionBy("pid")
       .orderBy(col("query_start").desc, col("event_id").desc)
-    CatalogSynth.backends(s, dir)
+    raw
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .withColumn("rolname", col("usename"))
@@ -64,9 +71,13 @@ object ActivitySnapshotPipeline {
 
   /** The vacuum tick: latest vacuum-progress row per pid (autovacuum
     * backends), with its relation key. */
-  def currentVacuums(s: SparkSession, dir: String): DataFrame = {
+  def currentVacuums(s: SparkSession, dir: String): DataFrame =
+    vacuumsFrom(CatalogSynth.vacuumProgress(s, dir))
+
+  /** Tick-scopable form of [[currentVacuums]]. */
+  def vacuumsFrom(raw: DataFrame): DataFrame = {
     val w = Window.partitionBy("pid").orderBy(col("event_id").desc)
-    CatalogSynth.vacuumProgress(s, dir)
+    raw
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .withColumn("db_oid", col("pid") % 5)
@@ -95,78 +106,150 @@ object ActivitySnapshotPipeline {
       droppedSections: Seq[String] = Nil)
 
   def assemble(s: SparkSession, dir: String,
+      backendLimit: Int = SectionCap.BackendLimit): Doc =
+    assembleDoc(currentBackends(s, dir), currentVacuums(s, dir), backendLimit)
+
+  /** Assemble the activity document from the tick tables in ONE Spark
+    * action.
+    *
+    * An activity tick is architecturally bounded — `pg_stat_activity`
+    * never exceeds `max_connections` (and [[SectionCap.BackendLimit]]
+    * makes the bound local), so unlike the full/compact pipelines'
+    * corpus-scale dimensions (query fingerprints — millions of distinct
+    * values, hence [[graft.operators.DimEncode]]'s range-partitioned
+    * `zipWithIndex`), the activity dims fit one partition AT ANY FLEET
+    * SCALE: per server the tick is ≤ max_connections rows no matter how
+    * much data the cluster holds. That licenses `dense_rank()` over a
+    * single-partition window — identical index semantics to DimEncode
+    * (1-based dense index by sorted value, nulls first) — and lets the
+    * whole document (sections, dims, caps, collected_at) fold into one
+    * collected row: a 10 s cadence pipeline is latency-critical, and the
+    * previous multi-action form (2 localCheckpoints + 4 dim builds + 6
+    * concurrent collects ≈ 58 scheduler jobs) spent ~2 s of pure job
+    * latency per tick that this form spends once.
+    *
+    * Section caps stay driver-bounded against pathological inputs: each
+    * per-pid section is `orderBy(pid).limit(limit+1)`
+    * (TakeOrderedAndProject) BEFORE the array aggregation, so at most
+    * limit+1 rows ever ship, while the unlimited count for the overflow
+    * flag rides the same plan. */
+  def assembleDoc(backsIn: DataFrame, vacsIn: DataFrame,
       backendLimit: Int = SectionCap.BackendLimit): Doc = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    import graft.operators.DimEncode
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    def bg[T](f: => T): Future[T] = Future(f)
+    val nullS = lit(null).cast("string")
+    // one tagged frame carrying both tick tables: every dim, index,
+    // section list and count folds into a single aggregate over it
+    val b0 = backsIn.select(
+      lit("b").as("tag"), col("pid"), col("rolname"), col("datname"),
+      col("has_query"), col("query"), col("fp"), col("normalized_query"),
+      col("query_start_s"), col("waiting"), col("state"),
+      col("wait_event_type"), col("wait_event"), col("backend_type"),
+      nullS.as("relname"), lit(null).cast("int").as("phase_id"),
+      lit(null).cast("long").as("heap_blks_total"),
+      lit(null).cast("long").as("heap_blks_scanned"))
+    val v0 = vacsIn.select(
+      lit("v").as("tag"), col("pid"),
+      concat(lit("u"), col("pid")).as("rolname"), col("datname"),
+      lit(null).cast("boolean").as("has_query"), nullS.as("query"),
+      lit(null).cast("long").as("fp"), nullS.as("normalized_query"),
+      lit(null).cast("long").as("query_start_s"),
+      lit(null).cast("boolean").as("waiting"), nullS.as("state"),
+      nullS.as("wait_event_type"), nullS.as("wait_event"),
+      nullS.as("backend_type"),
+      col("relname"), col("phase_id").cast("int"),
+      col("heap_blks_total"), col("heap_blks_scanned"))
+    val u0 = b0.unionByName(v0)
 
-    // the tick tables are bounded (one row per pid) but feed several
-    // consumers — materialize each once before the concurrent collects
-    val backs0 = currentBackends(s, dir).localCheckpoint()
-    val vacs0 = currentVacuums(s, dir).localCheckpoint()
+    // a vacuum backend resolves through the BACKENDS' role/db dims (it
+    // is a backend); a vacuum row whose role or database has no backend
+    // row is dropped, and — crucially — must not extend the dims
+    val isB = when(col("tag") === "b", 1).otherwise(0)
+    val u1 = u0
+      .withColumn("role_present", max(isB).over(Window.partitionBy("rolname")))
+      .withColumn("db_present", max(isB).over(Window.partitionBy("datname")))
+      .filter(col("role_present") === 1 && col("db_present") === 1)
 
-    val (roleDim, b1) = DimEncode.encode(backs0, "rolname")
-    val (dbDim, b2) = DimEncode.encode(b1, "datname")
-    val qset = b2.filter(col("has_query"))
-      .withColumn("qkey",
-        struct(col("datname_idx"), col("rolname_idx"), col("fp")))
-    val (_, qFact0) = DimEncode.encode(qset, "qkey")
-    val qFact = qFact0.localCheckpoint()
-    val backs = b2.join(
-      qFact.select(col("pid").as("pid"), col("qkey_idx")), Seq("pid"), "left")
+    // dense_rank over the sorted value = DimEncode's 1-based dense index
+    // by sorted value; for the partial dims (queries, relations) the
+    // null keys sort FIRST, so subtracting the null group's presence
+    // leaves the same index the dim-build-then-join form produced
+    val wAll = Window.partitionBy()
+    val u2 = u1
+      .withColumn("rolname_idx",
+        dense_rank().over(Window.orderBy("rolname")).cast("int"))
+      .withColumn("datname_idx",
+        dense_rank().over(Window.orderBy("datname")).cast("int"))
+      .withColumn("qkey", when(col("has_query"),
+        struct(col("datname_idx"), col("rolname_idx"), col("fp"))))
+      .withColumn("qkey_idx", when(col("qkey").isNotNull,
+        (dense_rank().over(Window.orderBy("qkey")) -
+          max(when(col("qkey").isNull, 1).otherwise(0)).over(wAll))
+          .cast("int")))
+      .withColumn("rkey", when(col("tag") === "v",
+        struct(col("datname_idx"), col("relname"))))
+      .withColumn("rkey_idx", when(col("rkey").isNotNull,
+        (dense_rank().over(Window.orderBy("rkey")) -
+          max(when(col("rkey").isNull, 1).otherwise(0)).over(wAll))
+          .cast("int")))
+      // per-section cap rank: bounds what the section arrays materialize
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("tag").orderBy("pid")))
 
-    // vacuums resolve through the same role/db dims (the vacuum backend
-    // is a backend), plus their own relation dim
-    val vacs1 = vacs0
-      .withColumn("rolname", concat(lit("u"), col("pid")))
-      .join(broadcast(roleDim), Seq("rolname"))
-      .join(broadcast(dbDim), Seq("datname"))
-      .withColumn("rkey", struct(col("datname_idx"), col("relname")))
-    val (_, vFact0) = DimEncode.encode(vacs1, "rkey")
-    val vFact = vFact0.localCheckpoint()
+    val inCap = col("rn") <= backendLimit + 1
+    // pid-led structs make sort_array reproduce the orderBy(pid) section
+    // order (pid is unique per tick table)
+    val docRow = u2.agg(
+      coalesce(sum(isB), lit(0L)).as("n_backends"),
+      coalesce(sum(lit(1) - isB), lit(0L)).as("n_vacuums"),
+      coalesce(max("query_start_s"), lit(0L)).as("collected_at_s"),
+      sort_array(collect_list(when(col("tag") === "b" && inCap, struct(
+        col("pid"), col("rolname_idx"), col("datname_idx"), col("qkey_idx"),
+        col("query"), col("query_start_s"), col("waiting"), col("state"),
+        col("wait_event_type"), col("wait_event"), col("backend_type")))))
+        .as("backends"),
+      sort_array(collect_list(when(col("tag") === "v" && inCap, struct(
+        col("pid"), col("rolname_idx"), col("datname_idx"), col("rkey_idx"),
+        lit(0L).as("started_s"), col("phase_id"),
+        col("heap_blks_total"), col("heap_blks_scanned")))))
+        .as("vacuums"),
+      sort_array(collect_set(when(col("qkey_idx").isNotNull, struct(
+        col("qkey_idx"), col("datname_idx"), col("rolname_idx"), col("fp"),
+        col("normalized_query"))))).as("queries"),
+      sort_array(collect_set(when(col("rkey_idx").isNotNull, struct(
+        col("rkey_idx"), col("datname_idx"), col("relname")))))
+        .as("rels"),
+      sort_array(collect_set(struct(col("rolname_idx"), col("rolname"))))
+        .as("roles"),
+      sort_array(collect_set(struct(col("datname_idx"), col("datname"))))
+        .as("dbs"))
+      .head()
 
-    // backends are max_connections-bounded server-side; the guard makes
-    // the bound local — a runaway source drops the per-pid sections
-    // with a flag instead of unbounding the driver collect
-    val fBacks = bg(SectionCap.guarded(
-      backs.select(col("pid"), col("rolname_idx"),
-          col("datname_idx"), col("qkey_idx"), col("query"),
-          col("query_start_s"), col("waiting"), col("state"),
-          col("wait_event_type"), col("wait_event"), col("backend_type"))
-        .orderBy("pid"),
-      backendLimit, "backends", "backend"))
-    val fVacs = bg(SectionCap.guarded(
-      vFact.select(col("pid"), col("rolname_idx"),
-          col("datname_idx"), col("rkey_idx"),
-          expr("CAST(0 AS BIGINT)").as("started_s"), col("phase_id"),
-          col("heap_blks_total"), col("heap_blks_scanned"))
-        .orderBy("pid"),
-      backendLimit, "vacuum backends", "vacuum progress"))
-    val fQueries = bg(qFact.groupBy("qkey_idx")
-      .agg(first("datname_idx").as("datname_idx"),
-        first("rolname_idx").as("rolname_idx"), first("fp").as("fp"),
-        min("normalized_query").as("normalized_query"))
-      .orderBy("qkey_idx").collect().toIndexedSeq)
-    val fRels = bg(vFact.groupBy("rkey_idx")
-      .agg(first("datname_idx").as("datname_idx"),
-        first("relname").as("relname"))
-      .orderBy("rkey_idx").collect().toIndexedSeq)
-    val fRoles = bg(roleDim.select("rolname_idx", "rolname")
-      .orderBy("rolname_idx").collect().toIndexedSeq)
-    val fDbs = bg(dbDim.select("datname_idx", "datname")
-      .orderBy("datname_idx").collect().toIndexedSeq)
-    val fAt = bg(backs0.agg(max("query_start_s")).head.getLong(0))
-
-    val backSec = Await.result(fBacks, Duration.Inf)
-    val vacSec = Await.result(fVacs, Duration.Inf)
+    def rows(field: String): IndexedSeq[Row] =
+      docRow.getAs[scala.collection.Seq[Row]](field).toIndexedSeq
+    // a qkey can carry several raw normalized spellings; sorted order
+    // puts the min first, so keep-first per index = the old min() agg
+    def dedupByIdx(rs: IndexedSeq[Row]): IndexedSeq[Row] = {
+      val seen = scala.collection.mutable.HashSet.empty[Int]
+      rs.filter(r => seen.add(r.getInt(0)))
+    }
+    val nBackends = docRow.getAs[Long]("n_backends")
+    val nVacs = docRow.getAs[Long]("n_vacuums")
+    def cap(rowsIn: IndexedSeq[Row], observed: Long, what: String,
+        section: String): SectionCap.Section =
+      if (observed > backendLimit)
+        SectionCap.Section(Vector.empty, dropped = true, observed,
+          flag = Some(s"Too many $what: got $observed, but only " +
+            s"$backendLimit can be monitored per server; $section " +
+            "information will not be sent"))
+      else SectionCap.Section(rowsIn, dropped = false, observed, None)
+    val backSec = cap(rows("backends"), nBackends, "backends", "backend")
+    val vacSec = cap(rows("vacuums"), nVacs, "vacuum backends",
+      "vacuum progress")
     Doc(
-      collectedAtSecs = Await.result(fAt, Duration.Inf),
-      roleRows = Await.result(fRoles, Duration.Inf),
-      dbRows = Await.result(fDbs, Duration.Inf),
-      queryRows = Await.result(fQueries, Duration.Inf),
-      relRows = Await.result(fRels, Duration.Inf),
+      collectedAtSecs = docRow.getAs[Long]("collected_at_s"),
+      roleRows = rows("roles"),
+      dbRows = rows("dbs"),
+      queryRows = dedupByIdx(rows("queries")),
+      relRows = dedupByIdx(rows("rels")),
       backendRows = backSec.rows,
       vacuumRows = vacSec.rows,
       droppedSections = backSec.flag.toSeq ++ vacSec.flag.toSeq)

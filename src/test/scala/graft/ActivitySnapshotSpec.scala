@@ -27,6 +27,38 @@ class ActivitySnapshotSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("section cap: an over-limit tick drops the per-pid sections with the flag, dims survive") {
+    val capped = P.assemble(spark, Sf, backendLimit = 3)
+    assert(capped.backendRows.isEmpty && capped.vacuumRows.isEmpty)
+    assert(capped.droppedSections.size == 2)
+    assert(capped.droppedSections.head.startsWith("Too many backends: got "))
+    assert(capped.droppedSections.head.contains("only 3 can be monitored"))
+    assert(capped.droppedSections(1).contains("vacuum progress information"))
+    // the guard drops the SECTION, not the document: dims still assemble
+    assert(capped.roleRows.nonEmpty && capped.dbRows.nonEmpty)
+    assert(capped.collectedAtSecs == doc.collectedAtSecs)
+  }
+
+  test("vacuum rows resolve through the backends' dims only — an unmatched vacuum is dropped, not dim-extending") {
+    import org.apache.spark.sql.functions._
+    val backs = P.backendsFrom(
+      graft.sources.CatalogSynth.backends(spark, Sf).filter(col("pid") % 2 === 0))
+    val vacs = P.vacuumsFrom(graft.sources.CatalogSynth.vacuumProgress(spark, Sf))
+    val d = P.assembleDoc(backs, vacs)
+    // only even-pid backends exist → odd-pid vacuums must be dropped
+    assert(d.vacuumRows.nonEmpty)
+    assert(d.vacuumRows.forall(_.getAs[Number](0).longValue % 2 == 0))
+    // and the role dim is exactly the backends' roles (no vacuum-added entries)
+    val roleNames = d.roleRows.map(_.getString(1)).toSet
+    val backendRoles = d.backendRows.map(r => s"u${r.getAs[Number](0).longValue}").toSet
+    assert(roleNames == backendRoles)
+    // indices stay dense 1..n after the drop
+    assert(d.roleRows.map(_.getAs[Number](0).intValue).sorted ==
+      (1 to d.roleRows.length).toList)
+    assert(d.relRows.map(_.getAs[Number](0).intValue).sorted ==
+      (1 to d.relRows.length).toList)
+  }
+
   test("integrity: dangling backend query reference is rejected") {
     // drop the last QueryReference+Information pair: backends holding
     // that idx must fail idx resolution in decodeVerify
