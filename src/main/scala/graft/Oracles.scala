@@ -144,6 +144,108 @@ object Oracles {
         |WHERE NOT (cadence = 'highfreq_1min' AND fire_at % 600 = 0)
         |GROUP BY cadence, fire_at""".stripMargin,
 
+    // Daemon soak: re-derives every tick's document aggregates from the
+    // same folded event corpus the four cadences consumed — activity
+    // counts from the latest-per-(tick,pid) rows, vacuum relations from
+    // the latest-error rows, high-freq scrape deltas as the distinct
+    // statement keys of each (possibly skip-doubled) window, the full
+    // snapshot's constant statement-group/relation counts, and the log
+    // ticks' line/classification counts. The tick plans themselves are
+    // the same generate_series arithmetic Scheduler.plan encodes,
+    // including the overlap-skip (no high-freq fire on a 600 s boundary)
+    // and the lag() that doubles the post-skip scrape window.
+    "daemon_cycle_soak" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id AS pid, value, event_type,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS eu,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+        |  FROM events),
+        |f AS (
+        |  SELECT ev.*, (es - (SELECT min(es) FROM ev)) % 1800 AS off
+        |  FROM ev),
+        |al AS (
+        |  SELECT * FROM (
+        |    SELECT *, CAST(off // 10 AS BIGINT) + 1 AS t,
+        |      row_number() OVER (PARTITION BY off // 10, pid
+        |        ORDER BY eu DESC, event_id DESC) AS rn
+        |    FROM f) z WHERE rn = 1),
+        |aa AS (
+        |  SELECT t,
+        |    CAST(count(*) AS BIGINT) AS n_backends,
+        |    CAST(count(DISTINCT pid % 5) AS BIGINT) AS n_dbs,
+        |    CAST(count(*) FILTER (WHERE event_type NOT IN ('view','signup')
+        |      AND pid % 17 <> 0) AS BIGINT) AS n_queries
+        |  FROM al GROUP BY t),
+        |vl AS (
+        |  SELECT * FROM (
+        |    SELECT *, CAST(off // 10 AS BIGINT) + 1 AS t,
+        |      row_number() OVER (PARTITION BY off // 10, pid
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM f WHERE event_type = 'error') z WHERE rn = 1),
+        |va AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n_vacuums,
+        |    CAST(count(DISTINCT CAST(pid % 5 AS VARCHAR) || '/' ||
+        |      CAST(CAST(floor(value * 10) AS BIGINT) AS VARCHAR))
+        |      AS BIGINT) AS n_rels
+        |  FROM vl GROUP BY t),
+        |act AS (
+        |  SELECT 'activity_10s' AS cadence, t * 10 AS fire_at,
+        |    t AS tick_index,
+        |    COALESCE(aa.n_backends, 0) AS n_items,
+        |    COALESCE(aa.n_backends, 0) + COALESCE(aa.n_dbs, 0)
+        |      + COALESCE(aa.n_queries, 0) + COALESCE(va.n_rels, 0)
+        |      AS n_dims
+        |  FROM generate_series(1, 180) g(t)
+        |  LEFT JOIN aa USING (t) LEFT JOIN va USING (t)),
+        |hft AS (
+        |  SELECT fa AS fire_at,
+        |    row_number() OVER (ORDER BY fa) AS tick_index,
+        |    COALESCE(lag(fa) OVER (ORDER BY fa), 0) AS lo
+        |  FROM (SELECT fa FROM generate_series(60, 1740, 60) s(fa)
+        |        WHERE fa % 600 <> 0) z),
+        |hfk AS (
+        |  SELECT h.fire_at, pid % 5 AS db_oid, pid AS user_oid, k,
+        |    event_id % 7 <> 0 AS toplevel
+        |  FROM f JOIN hft h ON f.off >= h.lo AND f.off < h.fire_at
+        |  GROUP BY ALL),
+        |hfa AS (
+        |  SELECT fire_at, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS n_dims
+        |  FROM hfk GROUP BY fire_at),
+        |hf AS (
+        |  SELECT 'highfreq_1min' AS cadence, h.fire_at, h.tick_index,
+        |    COALESCE(a.n_items, 0) AS n_items,
+        |    COALESCE(a.n_dims, 0) AS n_dims
+        |  FROM hft h LEFT JOIN hfa a USING (fire_at)),
+        |fq AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_q FROM (
+        |    SELECT DISTINCT pid % 5, pid, event_id % 7 <> 0
+        |    FROM ev WHERE k % 50 <> 0) z),
+        |fl AS (
+        |  SELECT 'full_10min' AS cadence, t * 600 AS fire_at,
+        |    t AS tick_index,
+        |    (SELECT n_q FROM fq) AS n_items,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_dims
+        |  FROM generate_series(1, 3) g(t)),
+        |lg AS (
+        |  SELECT 'log_download_30s' AS cadence, t * 30 AS fire_at,
+        |    t AS tick_index,
+        |    COALESCE(la.n_items, 0) AS n_items,
+        |    COALESCE(la.n_dims, 0) AS n_dims
+        |  FROM generate_series(1, 60) g(t)
+        |  LEFT JOIN (
+        |    SELECT CAST(off // 30 AS BIGINT) + 1 AS t,
+        |      CAST(count(*) AS BIGINT) AS n_items,
+        |      CAST(count(DISTINCT event_type) AS BIGINT) AS n_dims
+        |    FROM f GROUP BY 1) la USING (t))
+        |SELECT cadence, CAST(fire_at AS BIGINT) AS fire_at,
+        |  CAST(tick_index AS BIGINT) AS tick_index,
+        |  'completed' AS outcome, n_items, n_dims, TRUE AS wire_ok
+        |FROM (SELECT * FROM act UNION ALL SELECT * FROM hf
+        |      UNION ALL SELECT * FROM fl UNION ALL SELECT * FROM lg) u
+        |""".stripMargin,
+
     "x2_normalize_fingerprint" ->
       """SELECT normalized, count(*) AS n, md5(normalized) AS fingerprint
         |FROM (SELECT regexp_replace(

@@ -34,6 +34,7 @@ object SparkEntry {
     "w3_sessionize" -> (Queries.w3Sessionize _),
     "w10_tumbling_window" -> (Queries.w10TumblingWindow _),
     "w10_scheduler_cycle" -> (Queries.w10SchedulerCycle _),
+    "daemon_cycle_soak" -> (graft.streaming.DaemonSoak.query _),
     "x2_normalize_fingerprint" -> (Queries.x2NormalizeFingerprint _),
     "x1_normalize_goldens" -> (Queries.x1NormalizeGoldens _),
     "x1_fingerprint_collapse" -> (Queries.x1FingerprintCollapse _),

@@ -19,8 +19,14 @@ import graft.Tables
 object LogSynth {
 
   /** (event_id, pid, ts, log_level, content) */
-  def lines(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.fanOut(Tables.events(s, dir))
+  def lines(s: SparkSession, dir: String): DataFrame =
+    linesFrom(Tables.fanOut(Tables.events(s, dir)))
+
+  /** [[lines]] over an arbitrary events-shaped frame — the daemon soak
+    * renders each 30 s log tick's window of events as that tick's new
+    * log-file content. */
+  def linesFrom(ev: DataFrame): DataFrame = {
+    val e = ev
       .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
       // floor before the long cast: Spark's double→long cast truncates
       // while DuckDB's rounds — floor() is identical in both
@@ -89,11 +95,17 @@ object LogSynth {
   /** Fully-rendered log line with a `%t [%p]: [%l-1] user=%u,db=%d `
     * prefix — input for the prefix-parse operator (X5). */
   def renderedLines(s: SparkSession, dir: String): DataFrame =
-    lines(s, dir).select(
+    render(lines(s, dir))
+
+  /** Render pre-built `(event_id, pid, ts, log_level, content)` rows
+    * with the `%t [%p]: [%l-1] user=%u,db=%d ` prefix; `keep` carries
+    * scoping columns through. */
+  def render(linesDf: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    linesDf.select(keep.map(col) ++ Seq(
       col("event_id"),
       concat(
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit(" UTC ["),
         col("pid"), lit("]: ["), col("event_id") % 1000, lit("-1] user=u"),
         col("pid"), lit(",db=db"), col("pid") % 5, lit(" "),
-        col("log_level"), lit(":  "), col("content")).as("line"))
+        col("log_level"), lit(":  "), col("content")).as("line")): _*)
 }

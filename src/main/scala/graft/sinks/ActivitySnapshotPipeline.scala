@@ -134,7 +134,12 @@ object ActivitySnapshotPipeline {
     * limit+1 rows ever ship, while the unlimited count for the overflow
     * flag rides the same plan. */
   def assembleDoc(backsIn: DataFrame, vacsIn: DataFrame,
-      backendLimit: Int = SectionCap.BackendLimit): Doc = {
+      backendLimit: Int = SectionCap.BackendLimit): Doc =
+    docFromRow(docFrame(backsIn, vacsIn, backendLimit).head(), backendLimit)
+
+  /** The single-row document plan behind [[assembleDoc]]. */
+  def docFrame(backsIn: DataFrame, vacsIn: DataFrame,
+      backendLimit: Int = SectionCap.BackendLimit): DataFrame = {
     val nullS = lit(null).cast("string")
     // one tagged frame carrying both tick tables: every dim, index,
     // section list and count folds into a single aggregate over it
@@ -197,7 +202,7 @@ object ActivitySnapshotPipeline {
     val inCap = col("rn") <= backendLimit + 1
     // pid-led structs make sort_array reproduce the orderBy(pid) section
     // order (pid is unique per tick table)
-    val docRow = u2.agg(
+    u2.agg(
       coalesce(sum(isB), lit(0L)).as("n_backends"),
       coalesce(sum(lit(1) - isB), lit(0L)).as("n_vacuums"),
       coalesce(max("query_start_s"), lit(0L)).as("collected_at_s"),
@@ -221,8 +226,10 @@ object ActivitySnapshotPipeline {
         .as("roles"),
       sort_array(collect_set(struct(col("datname_idx"), col("datname"))))
         .as("dbs"))
-      .head()
+  }
 
+  /** [[Doc]] from one collected [[docFrame]] row. */
+  def docFromRow(docRow: Row, backendLimit: Int): Doc = {
     def rows(field: String): IndexedSeq[Row] =
       docRow.getAs[scala.collection.Seq[Row]](field).toIndexedSeq
     // a qkey can carry several raw normalized spellings; sorted order
@@ -352,8 +359,24 @@ object ActivitySnapshotPipeline {
       case _ => Array.empty
     }
 
-  /** Decode + verify; one output row per backend, resolved. */
-  def decodeVerify(s: SparkSession, wire: Array[Byte]): DataFrame = {
+  /** Document-level counts from a decoded, integrity-checked wire. */
+  final case class DocCounts(nBackends: Long, nRoles: Long, nDbs: Long,
+      nQueries: Long, nRels: Long, nVacuums: Long, sumHeapScanned: Long,
+      collectedAtSecs: Long)
+
+  private final case class Decoded(
+      top: Map[Int, Value],
+      act: Map[Int, Seq[Value]],
+      roleRefs: Seq[Map[Int, Seq[Value]]], dbRefs: Seq[Map[Int, Seq[Value]]],
+      qRefs: Seq[Map[Int, Seq[Value]]], backends: Seq[Map[Int, Seq[Value]]],
+      counts: DocCounts)
+
+  /** Decode + run every integrity require, Spark-free — the daemon
+    * soak's per-tick wire check (180 activity ticks per 3-cycle soak
+    * must not pay a scheduler round-trip each). */
+  def decodeCounts(wire: Array[Byte]): DocCounts = decodeChecked(wire).counts
+
+  private def decodeChecked(wire: Array[Byte]): Decoded = {
     val top = ProtoWire.decode(ProtoWire.unzlib(wire)).toMap
     def topBytes(f: Int): Array[Byte] = top.get(f) match {
       case Some(VBytes(b)) => b
@@ -404,6 +427,18 @@ object ActivitySnapshotPipeline {
       case Some(VBytes(b)) => vint(sub(b), 1)
       case _ => 0L
     }
+    val sumHeapScanned = vacStats.map(vint(_, 4)).sum
+    Decoded(top, act, roleRefs, dbRefs, qRefs, backends,
+      DocCounts(nBackends, nRoles, nDbs, nQs, nRels, nVacs,
+        sumHeapScanned, collectedAtSecs))
+  }
+
+  /** Decode + verify; one output row per backend, resolved. */
+  def decodeVerify(s: SparkSession, wire: Array[Byte]): DataFrame = {
+    val d = decodeChecked(wire)
+    import d.{act, backends, counts, dbRefs, qRefs, roleRefs}
+    val DocCounts(nBackends, nRoles, nDbs, nQs, nRels, nVacs,
+      sumHeapScanned, collectedAtSecs) = counts
     val pgv = act.getOrElse(1, Nil).headOption match {
       case Some(VBytes(b)) => vstr(sub(b), 1)
       case _ => ""
@@ -412,7 +447,6 @@ object ActivitySnapshotPipeline {
     val dbNames = dbRefs.map(vstr(_, 1)).toIndexedSeq
     val fpByIdx = qRefs.map(r =>
       java.nio.ByteBuffer.wrap(vbytes(r, 3)).getLong).toIndexedSeq
-    val sumHeapScanned = vacStats.map(vint(_, 4)).sum
 
     val rows = backends.map { m =>
       val hasQ = vint(m, 7) == 1L

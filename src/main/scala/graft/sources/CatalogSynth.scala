@@ -52,7 +52,12 @@ object CatalogSynth {
 
   /** pg_stat_activity analogue (S3): one backend row per event. */
   def backends(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(
+    backendsFromEvents(Tables.events(s, dir))
+
+  /** [[backends]] over an arbitrary events-shaped frame — the daemon
+    * soak scopes each 10 s activity tick to its window of events. */
+  def backendsFromEvents(ev: DataFrame): DataFrame =
+    ev.select(
       col("event_id"),
       col("user_id").as("pid"),
       (col("user_id") % 5).as("db_oid"),
@@ -69,7 +74,13 @@ object CatalogSynth {
 
   /** pg_stat_statements stats rows (S1 analogue, keyed). */
   def statementStats(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    statementStatsFromEvents(Tables.events(s, dir))
+
+  /** [[statementStats]] over an arbitrary events-shaped frame — the
+    * daemon soak's 1 min query-stats scrape aggregates each tick's
+    * window of events into cumulative-counter deltas. */
+  def statementStatsFromEvents(ev: DataFrame): DataFrame =
+    ev
       .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
       .groupBy(
         (col("user_id") % 5).as("db_oid"),
@@ -151,16 +162,22 @@ object CatalogSynth {
 
   /** pg_stat_progress_vacuum analogue (S5): error events are vacuums. */
   def vacuumProgress(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    vacuumProgressFromEvents(Tables.events(s, dir))
+
+  /** [[vacuumProgress]] over an arbitrary events-shaped frame (daemon
+    * soak tick scoping); `keep` carries scoping columns through. */
+  def vacuumProgressFromEvents(ev: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    ev
       .filter(col("event_type") === "error")
-      .select(
+      .select(keep.map(col) ++ Seq(
         col("event_id"),
         col("user_id").as("pid"),
         expr("CAST(floor(value * 10) AS BIGINT)").as("relid"),
         expr("CASE event_id % 3 WHEN 0 THEN 'scanning heap' " +
           "WHEN 1 THEN 'vacuuming indexes' ELSE 'vacuuming heap' END").as("phase"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("heap_blks_total"),
-        expr("CAST(floor(value * 50) AS BIGINT)").as("heap_blks_scanned"))
+        expr("CAST(floor(value * 50) AS BIGINT)").as("heap_blks_scanned")): _*)
 
   /** Relation-stats timeline (D4): three collection snapshots per
     * relation with monotonically growing counters; every 11th relation

@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.{DaemonSoak, Scheduler}
+
+/** The concurrent daemon composition (`runner/run.go:285-309`): ≥3 full
+  * 600 s cycles of all four cadences from one SparkSession, with the
+  * overlap-skip observed in the executed run, per-tick wire integrity,
+  * deadline cancellation under an injected stall, and session-level
+  * memory stability across cycles. */
+class DaemonSoakSpec extends SparkSpec {
+
+  // one full 3-cycle soak, shared by the assertions below
+  private lazy val soak = {
+    val sc = spark.sparkContext
+    val rddsBefore = sc.getPersistentRDDs.size
+    System.gc()
+    val rt = Runtime.getRuntime
+    val heapBefore = rt.totalMemory() - rt.freeMemory()
+    val (rows, reports) = DaemonSoak.run(spark, Sf)
+    System.gc()
+    val heapAfter = rt.totalMemory() - rt.freeMemory()
+    (rows, reports, rddsBefore, sc.getPersistentRDDs.size,
+      heapBefore, heapAfter)
+  }
+
+  test("3 cycles: every planned tick of all four cadences ran to completion") {
+    val (rows, reports, _, _, _, _) = soak
+    val byCad = rows.groupBy(_.cadence).view.mapValues(_.size).toMap
+    assert(byCad == Map(
+      Scheduler.Activity -> 180, Scheduler.HighFreq -> 27,
+      Scheduler.Full -> 3, Scheduler.LogDownload -> 60))
+    assert(reports.size == 270)
+    assert(rows.forall(_.outcome == "completed"))
+    assert(rows.forall(_.wireOk), rows.filterNot(_.wireOk).take(3).toString)
+  }
+
+  test("overlap-skip fired: no high-freq tick on a full boundary; post-skip scrapes cover the doubled gap") {
+    val (rows, _, _, _, _, _) = soak
+    val hf = rows.filter(_.cadence == Scheduler.HighFreq).map(_.fireAt).sorted
+    assert(hf.size == 27)
+    assert(hf.forall(_ % Scheduler.FullPeriod != 0))
+    // the fires right after the two interior skips exist (660, 1260):
+    // their scrape windows span 120 s — the diff-against-previous-scrape
+    // semantics under a skipped firing
+    assert(hf.contains(660L) && hf.contains(1260L))
+    assert(!hf.contains(600L) && !hf.contains(1200L))
+  }
+
+  test("memory stable across cycles: caches released, heap returns to baseline") {
+    val (_, _, rddsBefore, rddsAfter, heapBefore, heapAfter) = soak
+    // the soak's own cached bases are released; the only tolerated
+    // residue is the full pipeline's internal per-run checkpoints
+    assert(rddsAfter - rddsBefore <= 20,
+      s"persistent RDDs grew $rddsBefore -> $rddsAfter")
+    val growthMb = (heapAfter - heapBefore) / 1024 / 1024
+    assert(growthMb < 512, s"driver heap grew ${growthMb} MB over 3 cycles")
+  }
+
+  test("deadline cancellation: a stalled tick is cancelled at its budget, later ticks still run") {
+    // one 60 s window of the plan, tight budgets, first activity tick stalls
+    val (rows, reports) = DaemonSoak.run(spark, Sf, tickBudgetMs = 100L,
+      horizon = 60L, slowTick = Some(t =>
+        t.cadence == Scheduler.Activity && t.fireAt == 10L))
+    val act = rows.filter(_.cadence == Scheduler.Activity)
+    assert(act.size == 6)
+    assert(act.find(_.fireAt == 10L).get.outcome == "timed_out")
+    // the stall neither starved nor failed the rest of the cadence
+    assert(act.filter(_.fireAt > 10L).forall(_.outcome == "completed"))
+    assert(reports.count(_.outcome == Scheduler.TimedOut) == 1)
+  }
+}
