@@ -62,12 +62,36 @@ case class QueryRunGuardExpr(child: Expression) extends UnaryExpression {
   * → empty string, no match → null). Replaces N parallel
   * `regexp_extract` calls that would each rescan the same line. */
 case class RegexGroupsExpr(child: Expression, pattern: String, groups: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val m = compiled.matcher(input.asInstanceOf[UTF8String].toString)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    RegexGroupsExpr.evalGroups(compiled, input.asInstanceOf[UTF8String], groups)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the compiled Pattern rides along as a reference object — one
+    // static call per row inside whole-stage codegen, no fallback row
+    // materialization in the hottest per-line stage
+    val patRef = ctx.addReferenceObj("graftRegex", compiled,
+      classOf[java.util.regex.Pattern].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.expressions.RegexGroupsExpr
+         |  .evalGroups($patRef, $c, $groups);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): RegexGroupsExpr =
+    copy(child = newChild)
+}
+
+object RegexGroupsExpr {
+  /** Static per-row kernel shared by eval and generated code; null on
+    * no-match (the caller's continuation-line branch). */
+  def evalGroups(compiled: java.util.regex.Pattern, input: UTF8String,
+      groups: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = compiled.matcher(input.toString)
     if (!m.find()) return null
     val out = new Array[Any](groups)
     var g = 0
@@ -78,25 +102,29 @@ case class RegexGroupsExpr(child: Expression, pattern: String, groups: Int)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
-  override protected def withNewChildInternal(newChild: Expression): RegexGroupsExpr =
-    copy(child = newChild)
 }
 
 /** sqlcommenter/marginalia query tags as a map column (X13,
   * `logs/querysample/tags.go:14-77`). */
-case class QueryTagsExpr(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class QueryTagsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     MapType(StringType, StringType, valueContainsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val tags = graft.logsys.PlanNormalize.parseTags(
-      input.asInstanceOf[UTF8String].toString).toSeq
+  override def nullSafeEval(input: Any): Any =
+    QueryTagsExpr.tagsMapData(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.QueryTagsExpr.tagsMapData($c)")
+  override protected def withNewChildInternal(newChild: Expression): QueryTagsExpr =
+    copy(child = newChild)
+}
+
+object QueryTagsExpr {
+  def tagsMapData(input: UTF8String): ArrayBasedMapData = {
+    val tags = graft.logsys.PlanNormalize.parseTags(input.toString).toSeq
     ArrayBasedMapData(
       tags.map(t => UTF8String.fromString(t._1)).toArray[Any],
       tags.map(t => UTF8String.fromString(t._2)).toArray[Any])
   }
-  override protected def withNewChildInternal(newChild: Expression): QueryTagsExpr =
-    copy(child = newChild)
 }
 
 /** Heroku "Query Text" newline repair (X18). */

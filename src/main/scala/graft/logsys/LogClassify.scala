@@ -165,13 +165,25 @@ case class ClassNameExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class ClassifyDetailsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class ClassifyDetailsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("classification", IntegerType, nullable = false),
     StructField("details",
       MapType(StringType, StringType, valueContainsNull = false), nullable = false)))
-  override def nullSafeEval(input: Any): Any = {
-    val content = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    ClassifyDetailsExpr.classifyDetailsRow(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.logsys.ClassifyDetailsExpr.classifyDetailsRow($c)")
+  override protected def withNewChildInternal(newChild: Expression): ClassifyDetailsExpr =
+    copy(child = newChild)
+}
+
+object ClassifyDetailsExpr {
+  /** Static per-row kernel shared by eval and generated code — ONE
+    * matcher-table scan, at most one regex execution per row. */
+  def classifyDetailsRow(input: UTF8String): InternalRow = {
+    val content = input.toString
     val (c, mt) = LogClassify.findWithMatch(content)
     val cid = if (c == null) LogClassify.Unknown else c.cid
     if (c == null || mt == null || c.groupNames.isEmpty)
@@ -189,14 +201,22 @@ case class ClassifyDetailsExpr(child: Expression) extends UnaryExpression with C
     }
     InternalRow(cid, ArrayBasedMapData(keys.toArray, vals.toArray))
   }
-  override protected def withNewChildInternal(newChild: Expression): ClassifyDetailsExpr =
+}
+
+case class DetailsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    DetailsExpr.detailsMapData(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.logsys.DetailsExpr.detailsMapData($c)")
+  override protected def withNewChildInternal(newChild: Expression): DetailsExpr =
     copy(child = newChild)
 }
 
-case class DetailsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val m = LogClassify.detailsOf(input.asInstanceOf[UTF8String].toString)
+object DetailsExpr {
+  def detailsMapData(input: UTF8String): ArrayBasedMapData = {
+    val m = LogClassify.detailsOf(input.toString)
     val keys = new Array[Any](m.size)
     val vals = new Array[Any](m.size)
     var i = 0
@@ -209,6 +229,4 @@ case class DetailsExpr(child: Expression) extends UnaryExpression with CodegenFa
     }
     ArrayBasedMapData(keys, vals)
   }
-  override protected def withNewChildInternal(newChild: Expression): DetailsExpr =
-    copy(child = newChild)
 }

@@ -370,29 +370,56 @@ object LogSecrets {
 }
 
 case class SecretMarkersExpr(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("start", IntegerType, nullable = false),
     StructField("end", IntegerType, nullable = false),
     StructField("kind", IntegerType, nullable = false))), containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val (_, _, ms) = LogSecrets.primaryMark(input.asInstanceOf[UTF8String].toString)
-    new GenericArrayData(ms.map(m => InternalRow(m.start, m.end, m.kind)).toArray[Any])
-  }
+  override def nullSafeEval(input: Any): Any =
+    SecretMarkersExpr.markersArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.logsys.SecretMarkersExpr.markersArray($c)")
   override protected def withNewChildInternal(newChild: Expression): SecretMarkersExpr =
     copy(child = newChild)
 }
 
+object SecretMarkersExpr {
+  /** Static per-row kernel shared by eval and generated code. */
+  def markersArray(input: UTF8String): GenericArrayData = {
+    val (_, _, ms) = LogSecrets.primaryMark(input.toString)
+    new GenericArrayData(ms.map(m => InternalRow(m.start, m.end, m.kind)).toArray[Any])
+  }
+}
+
 case class RedactSecretsExpr(left: Expression, right: Expression, kinds: Seq[Int])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   private lazy val kindSet = kinds.toSet
   override def dataType: DataType = StringType
   override def nullSafeEval(content: Any, level: Any): Any =
-    UTF8String.fromString(LogSecrets.redactLine(
-      content.asInstanceOf[UTF8String].toString,
-      level.asInstanceOf[UTF8String].toString, kindSet))
+    RedactSecretsExpr.redactU(content.asInstanceOf[UTF8String],
+      level.asInstanceOf[UTF8String], kindSet)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // the filter-kind set rides along as a reference object
+    val kindsRef = ctx.addReferenceObj("graftSecretKinds", kindSet,
+      "scala.collection.immutable.Set")
+    defineCodeGen(ctx, ev, (c, l) =>
+      s"graft.logsys.RedactSecretsExpr.redactU($c, $l, $kindsRef)")
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RedactSecretsExpr =
     copy(left = newLeft, right = newRight)
+}
+
+object RedactSecretsExpr {
+  def redactU(content: UTF8String, level: UTF8String,
+      kinds: Set[Int]): UTF8String =
+    UTF8String.fromString(LogSecrets.redactLine(
+      content.toString, level.toString, kinds))
 }
