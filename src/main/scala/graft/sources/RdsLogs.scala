@@ -163,6 +163,14 @@ object RdsLogs {
       // authenticate and unissued/forged tokens be refused
       tempCreds: String => Option[AwsCredentials.Creds] = _ => None) {
 
+    // the "live server": log files grow between poller ticks
+    @volatile private var filesNow: Map[String, (Long, Vector[String])] = files
+    def append(name: String, lastWritten: Long, more: Seq[String]): Unit =
+      synchronized {
+        val (_, cur) = filesNow.getOrElse(name, (0L, Vector.empty[String]))
+        filesNow = filesNow.updated(name, (lastWritten, cur ++ more))
+      }
+
     private val mapper = new ObjectMapper()
     private val server =
       HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -223,7 +231,7 @@ object RdsLogs {
             val floor = params.getOrElse("FileLastWritten", "0").toLong
             val node = mapper.createObjectNode()
             val arr = node.putArray("DescribeDBLogFiles")
-            files.toSeq.sortBy(_._1).foreach {
+            filesNow.toSeq.sortBy(_._1).foreach {
               case (name, (lastWritten, _)) if lastWritten >= floor =>
                 val f = arr.addObject()
                 f.put("LogFileName", name)
@@ -233,7 +241,7 @@ object RdsLogs {
             }
             respond(200, mapper.writeValueAsString(node))
           case "DownloadDBLogFilePortion" =>
-            files.get(params.getOrElse("LogFileName", "")) match {
+            filesNow.get(params.getOrElse("LogFileName", "")) match {
               case None =>
                 respond(404, """{"Error":{"Code":"DBLogFileNotFoundFault"}}""")
               case Some((_, lines)) =>

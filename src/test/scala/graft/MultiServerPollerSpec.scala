@@ -1,0 +1,93 @@
+package graft
+
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
+
+import graft.sources.{AwsSigV4, RdsLogs}
+import graft.streaming.Scheduler
+
+/** Fleet form of the S32 pull loop: N=8 servers' log pollers running
+  * CONCURRENTLY under the scheduler runtime (the reference runs one
+  * goroutine per server; `runner/logs.go` tick per server) — per-server
+  * marker isolation, per-server content isolation, and no cross-server
+  * blocking, against 8 live SigV4-verifying RDS doubles whose files
+  * grow between ticks. */
+class MultiServerPollerSpec extends SparkSpec {
+
+  test("8 servers' pull loops run side by side: isolated markers, isolated content, no cross-blocking") {
+    val N = 8
+    val creds = AwsSigV4.Credentials("AKIDGRAFT", "graft-secret-key")
+    val endpoints = (0 until N).map { i =>
+      new RdsLogs.Endpoint(creds, "us-east-1", Map(
+        s"error/postgresql.log.s$i" ->
+          (1700000000000L, Vector(s"s$i-line-0", s"s$i-line-1"))))
+    }
+    val clients = endpoints.map(ep =>
+      new RdsLogs.Client(ep.url, ep.host, "us-east-1", creds,
+        () => "20240101T000000Z"))
+    try {
+      // 4 planned firings of each server's own 30 s download cadence
+      val ticks = (0 until N).flatMap(i => Scheduler.planCadence(
+        s"${Scheduler.LogDownload}#s$i", Scheduler.LogDownloadPeriod,
+        0L, 120L))
+      assert(ticks.size == N * 4)
+
+      val markers = new ConcurrentHashMap[Int, Map[String, String]]()
+      (0 until N).foreach(i => markers.put(i, Map.empty))
+      val got = new ConcurrentHashMap[Int, Vector[String]]()
+      (0 until N).foreach(i => got.put(i, Vector.empty))
+      val markerHistory =
+        new ConcurrentHashMap[Int, Vector[Map[String, String]]]()
+      (0 until N).foreach(i => markerHistory.put(i, Vector.empty))
+      // all 8 first ticks must be in flight at once for anyone to pass:
+      // a serialized (cross-blocking) runtime would deadlock here
+      val barrier = new CountDownLatch(N)
+
+      val reports = Scheduler.runConcurrent(ticks, { t =>
+        val i = t.cadence.split("#s")(1).toInt
+        if (t.fireAt == 30L) {
+          barrier.countDown()
+          assert(barrier.await(60, TimeUnit.SECONDS),
+            "pull loops did not run concurrently")
+        }
+        // the server's log grows between ticks, distinctly per server
+        if (t.fireAt == 60L)
+          endpoints(i).append(s"error/postgresql.log.s$i",
+            1700000000001L, Seq(s"s$i-line-2"))
+        if (t.fireAt == 90L)
+          endpoints(i).append(s"error/postgresql.log.extra.s$i",
+            1700000000002L, Seq(s"s$i-extra-0"))
+        val (files, newMarkers) = RdsLogs.downloadLogFiles(
+          clients(i), s"db-s$i", markers.get(i), fileLastWritten = 1000L)
+        markers.put(i, newMarkers) // marker REPLACEMENT per tick
+        markerHistory.merge(i, Vector(newMarkers), _ ++ _)
+        got.merge(i,
+          files.flatMap(_._2.split("\n").filter(_.nonEmpty)).toVector,
+          _ ++ _)
+      }, tickBudgetMs = 4000L)
+
+      assert(reports.size == N * 4)
+      assert(reports.forall(_.outcome == Scheduler.Completed))
+      (0 until N).foreach { i =>
+        // content isolation: every line this poller saw is its own
+        // server's, each exactly once across the 4 ticks
+        assert(got.get(i).sorted == Vector(
+          s"s$i-extra-0", s"s$i-line-0", s"s$i-line-1", s"s$i-line-2"),
+          s"server $i content: ${got.get(i)}")
+        // marker isolation: only this server's files, advancing
+        // monotonically, ending at its own line counts
+        val hist = markerHistory.get(i)
+        assert(hist.size == 4)
+        assert(hist.flatMap(_.keySet).forall(_.endsWith(s".s$i")))
+        hist.sliding(2).foreach { w =>
+          w.head.foreach { case (f, m) =>
+            assert(w.last.getOrElse(f, "0").toInt >= m.toInt,
+              s"server $i marker for $f went backwards")
+          }
+        }
+        assert(hist.last == Map(
+          s"error/postgresql.log.s$i" -> "3",
+          s"error/postgresql.log.extra.s$i" -> "1"))
+      }
+    } finally endpoints.foreach(_.stop())
+  }
+}
