@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,12 +17,22 @@ import graft.functions.Hashing
   * Hash family identical to the UDFs they replace (FNV-1a content hash
   * + per-permutation xor-multiply mix), so the DuckDB oracles are
   * unchanged.
+  *
+  * Every expression here participates in WHOLE-STAGE CODEGEN: the
+  * per-row kernel is a static method on this object (Scala emits
+  * static forwarders), shared verbatim by interpreted `eval` and the
+  * generated code, with per-expression constants (permutation mixes,
+  * hyperplanes) carried as codegen reference objects — sketching runs
+  * over the ENTIRE corpus, so these are the hottest per-document
+  * expressions in the dedup pipelines and must not break the codegen
+  * span around the scan they fuse into.
   */
 object SketchExprs {
 
   /** FNV-1a 64 over a UTF8String's bytes — identical to
-    * `Hashing.fnv1a64(s: String)` for any UTF-8 content. */
-  @inline private[expressions] def fnv(u: UTF8String): Long = {
+    * `Hashing.fnv1a64(s: String)` for any UTF-8 content. Public: the
+    * generated code calls it through the static forwarder. */
+  @inline def fnv(u: UTF8String): Long = {
     val bytes = u.getBytes
     var h = Hashing.FnvOffset
     var i = 0
@@ -33,15 +43,10 @@ object SketchExprs {
     }
     h
   }
-}
 
-/** MinHash signature: array<string> words → array<long>[numPerms]. */
-case class MinhashSignatureExpr(child: Expression, numPerms: Int,
-    permConsts: Seq[Long]) extends UnaryExpression with CodegenFallback {
-  @transient private lazy val consts = permConsts.toArray
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Per-row kernel for [[MinhashSignatureExpr]]. */
+  def minhash(arr: ArrayData, consts: Array[Long]): ArrayData = {
+    val numPerms = consts.length
     val n = arr.numElements()
     val out = new Array[Any](numPerms)
     if (n == 0) {
@@ -51,7 +56,7 @@ case class MinhashSignatureExpr(child: Expression, numPerms: Int,
     }
     val h0s = new Array[Long](n)
     var i = 0
-    while (i < n) { h0s(i) = SketchExprs.fnv(arr.getUTF8String(i)); i += 1 }
+    while (i < n) { h0s(i) = fnv(arr.getUTF8String(i)); i += 1 }
     var p = 0
     while (p < numPerms) {
       val c = consts(p)
@@ -67,20 +72,10 @@ case class MinhashSignatureExpr(child: Expression, numPerms: Int,
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(newChild: Expression): MinhashSignatureExpr =
-    copy(child = newChild)
-}
 
-/** Random-hyperplane sign bits: array<float> vector → long bucket id
-  * (bit p set when plane p's dot product is positive). Planes are
-  * passed flattened (bits × dim row-major) — the same constants the
-  * oracle generator inlines. */
-case class SignBitsExpr(child: Expression, bits: Int, dim: Int,
-    planesFlat: Seq[Double]) extends UnaryExpression with CodegenFallback {
-  @transient private lazy val planes = planesFlat.toArray
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Per-row kernel for [[SignBitsExpr]]. */
+  def signBits(v: ArrayData, bits: Int, dim: Int,
+      planes: Array[Double]): Long = {
     val n = math.min(dim, v.numElements())
     var sig = 0L
     var p = 0
@@ -94,20 +89,13 @@ case class SignBitsExpr(child: Expression, bits: Int, dim: Int,
     }
     sig
   }
-  override protected def withNewChildInternal(newChild: Expression): SignBitsExpr =
-    copy(child = newChild)
-}
 
-/** SimHash: array<string> words → 64-bit signed sketch. */
-case class SimhashExpr(child: Expression) extends UnaryExpression
-    with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Per-row kernel for [[SimhashExpr]]. */
+  def simhash(arr: ArrayData): Long = {
     val acc = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
-      val h = SketchExprs.fnv(arr.getUTF8String(i))
+      val h = fnv(arr.getUTF8String(i))
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
@@ -120,35 +108,12 @@ case class SimhashExpr(child: Expression) extends UnaryExpression
     while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
     out
   }
-  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
-    copy(child = newChild)
-}
 
-/** Content-defined chunking (the Rabin/FastCDC family used by
-  * dedup-at-scale stores): the SAME rolling polynomial k-gram hash as
-  * [[WinnowExpr]], with a cut after byte position e-1 whenever the
-  * gram ending there satisfies `hash % divisor == 0`, subject to
-  * min/max chunk bounds — a boundary survives local edits because it
-  * depends only on the surrounding k bytes, so shifted content
-  * re-aligns (fixed-size chunking cannot).
-  *
-  * Scan semantics (mirrored exactly in the oracle's recursive CTE):
-  * from `start`, the chunk ends at the FIRST candidate cut e with
-  * `start+minLen ≤ e ≤ start+maxLen`, else at `start+maxLen`, clamped
-  * to the document end (the final remainder may be short). Returns
-  * array<struct<start, end, hash>> with hash = FNV-1a 64 of the chunk
-  * bytes (the dedup key). */
-case class CdcChunksExpr(child: Expression, k: Int, divisor: Long,
-    minLen: Int, maxLen: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k > 0 && divisor > 0 && minLen >= k && maxLen > minLen)
-  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("start", IntegerType, nullable = false),
-    StructField("end", IntegerType, nullable = false),
-    StructField("hash", LongType, nullable = false))), containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  /** Per-row kernel for [[CdcChunksExpr]] — scan semantics documented
+    * there (and mirrored in the oracle's recursive CTE). */
+  def cdcChunks(input: UTF8String, k: Int, divisor: Long,
+      minLen: Int, maxLen: Int): ArrayData = {
+    val bytes = input.getBytes
     val n = bytes.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     // rolling gram hashes: hs(p) = hash of bytes [p, p+k)
@@ -194,26 +159,10 @@ case class CdcChunksExpr(child: Expression, k: Int, divisor: Long,
     }
     new GenericArrayData(out.toArray)
   }
-  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
-    copy(child = newChild)
-}
 
-/** Winnowing document fingerprints (the MOSS scheme): a TRUE rolling
-  * polynomial hash over every `k`-byte gram — O(1) per position via
-  *   h' = (h − out·B^(k−1))·B + in   (mod 2^64)
-  * — then the minimum hash of each `w`-gram window, distinct and
-  * sorted. Near-duplicate documents share fingerprints even under
-  * local edits, which whole-content hashing (doc_fingerprint) cannot
-  * see. B = the FNV prime; all arithmetic wraps mod 2^64 so the DuckDB
-  * oracle reproduces values in HUGEINT. Documents shorter than `k`
-  * yield an empty fingerprint set; fewer grams than `w` form a single
-  * window. */
-case class WinnowExpr(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k > 0 && w > 0)
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  /** Per-row kernel for [[WinnowExpr]]. */
+  def winnow(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = input.getBytes
     val n = bytes.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val m = n - k + 1
@@ -254,37 +203,9 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
     while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
-    copy(child = newChild)
-}
 
-/** FNV-1a 64 of a string's UTF-8 bytes as a signed long (the unsigned
-  * value is the same 64 bits; oracles compare via HUGEINT). Used for
-  * deterministic, engine-owned row routing — e.g. train/validation/test
-  * sample splits — where the assignment must be reproducible across
-  * Spark versions, JVMs and cluster topologies (unlike `rand()`, and
-  * unlike `hash()`/`xxhash64()` which DuckDB cannot reproduce). */
-case class Fnv64Expr(child: Expression) extends UnaryExpression
-    with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any =
-    SketchExprs.fnv(input.asInstanceOf[UTF8String])
-  override protected def withNewChildInternal(newChild: Expression): Fnv64Expr =
-    copy(child = newChild)
-}
-
-/** Fraction of agreeing positions between two equal-length long-array
-  * minhash signatures (`est_jaccard`). Replaces the interpreted
-  * `zip_with` + `filter` + `size` higher-order pipeline on the candidate
-  *-pair hot path — one primitive loop per pair instead of per-element
-  * lambda dispatch. */
-case class SigAgreeExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
-  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  /** Per-row kernel for [[SigAgreeExpr]]. */
+  def sigAgree(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var eq = 0
     var i = 0
@@ -294,29 +215,9 @@ case class SigAgreeExpr(left: Expression, right: Expression)
     }
     if (n == 0) 0.0 else eq.toDouble / n
   }
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): SigAgreeExpr =
-    copy(left = newLeft, right = newRight)
-}
 
-/** Position-aligned occurrence counts: array<string> xs →
-  * array<int> cn with cn(i) = |{ j : xs(j) = xs(i) }|.
-  *
-  * One hash-map pass + one lookup pass — O(L) per row — replacing the
-  * HOF form `transform(xs, g -> size(filter(xs, h -> h = g)))`, which
-  * rescans the array per element (O(L²) string compares; a 100k-token
-  * web document would cost ~10¹⁰ compares in a single task). Output
-  * values are identical, so oracle SQL (which may keep the quadratic
-  * form — DuckDB is fine at oracle scale) is unchanged.
-  *
-  * Null elements count as one shared key (grams from `transform` are
-  * never null in practice, but the type allows it). */
-case class ElementCountsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Per-row kernel for [[ElementCountsExpr]]. */
+  def elementCounts(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val counts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
     var nulls = 0
@@ -338,6 +239,165 @@ case class ElementCountsExpr(child: Expression)
     }
     new GenericArrayData(out)
   }
+}
+
+/** MinHash signature: array<string> words → array<long>[numPerms]. */
+case class MinhashSignatureExpr(child: Expression, numPerms: Int,
+    permConsts: Seq[Long]) extends UnaryExpression {
+  @transient private lazy val consts = permConsts.toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.minhash(input.asInstanceOf[ArrayData], consts)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val constsRef = ctx.addReferenceObj("graftPermConsts", consts, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SketchExprs.minhash($c, $constsRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane sign bits: array<float> vector → long bucket id
+  * (bit p set when plane p's dot product is positive). Planes are
+  * passed flattened (bits × dim row-major) — the same constants the
+  * oracle generator inlines. */
+case class SignBitsExpr(child: Expression, bits: Int, dim: Int,
+    planesFlat: Seq[Double]) extends UnaryExpression {
+  @transient private lazy val planes = planesFlat.toArray
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.signBits(input.asInstanceOf[ArrayData], bits, dim, planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("graftPlanes", planes, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SketchExprs.signBits($c, $bits, $dim, $planesRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SignBitsExpr =
+    copy(child = newChild)
+}
+
+/** SimHash: array<string> words → 64-bit signed sketch. */
+case class SimhashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SketchExprs.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}
+
+/** Content-defined chunking (the Rabin/FastCDC family used by
+  * dedup-at-scale stores): the SAME rolling polynomial k-gram hash as
+  * [[WinnowExpr]], with a cut after byte position e-1 whenever the
+  * gram ending there satisfies `hash % divisor == 0`, subject to
+  * min/max chunk bounds — a boundary survives local edits because it
+  * depends only on the surrounding k bytes, so shifted content
+  * re-aligns (fixed-size chunking cannot).
+  *
+  * Scan semantics (mirrored exactly in the oracle's recursive CTE):
+  * from `start`, the chunk ends at the FIRST candidate cut e with
+  * `start+minLen ≤ e ≤ start+maxLen`, else at `start+maxLen`, clamped
+  * to the document end (the final remainder may be short). Returns
+  * array<struct<start, end, hash>> with hash = FNV-1a 64 of the chunk
+  * bytes (the dedup key). */
+case class CdcChunksExpr(child: Expression, k: Int, divisor: Long,
+    minLen: Int, maxLen: Int) extends UnaryExpression {
+  require(k > 0 && divisor > 0 && minLen >= k && maxLen > minLen)
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.cdcChunks(input.asInstanceOf[UTF8String], k, divisor,
+      minLen, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SketchExprs.cdcChunks($c, $k, ${divisor}L, $minLen, $maxLen)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+}
+
+/** Winnowing document fingerprints (the MOSS scheme): a TRUE rolling
+  * polynomial hash over every `k`-byte gram — O(1) per position via
+  *   h' = (h − out·B^(k−1))·B + in   (mod 2^64)
+  * — then the minimum hash of each `w`-gram window, distinct and
+  * sorted. Near-duplicate documents share fingerprints even under
+  * local edits, which whole-content hashing (doc_fingerprint) cannot
+  * see. B = the FNV prime; all arithmetic wraps mod 2^64 so the DuckDB
+  * oracle reproduces values in HUGEINT. Documents shorter than `k`
+  * yield an empty fingerprint set; fewer grams than `w` form a single
+  * window. */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SketchExprs.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
+/** FNV-1a 64 of a string's UTF-8 bytes as a signed long (the unsigned
+  * value is the same 64 bits; oracles compare via HUGEINT). Used for
+  * deterministic, engine-owned row routing — e.g. train/validation/test
+  * sample splits — where the assignment must be reproducible across
+  * Spark versions, JVMs and cluster topologies (unlike `rand()`, and
+  * unlike `hash()`/`xxhash64()` which DuckDB cannot reproduce). */
+case class Fnv64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.fnv(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SketchExprs.fnv($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv64Expr =
+    copy(child = newChild)
+}
+
+/** Fraction of agreeing positions between two equal-length long-array
+  * minhash signatures (`est_jaccard`). Replaces the interpreted
+  * `zip_with` + `filter` + `size` higher-order pipeline on the candidate
+  *-pair hot path — one primitive loop per pair instead of per-element
+  * lambda dispatch. */
+case class SigAgreeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchExprs.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.SketchExprs.sigAgree($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Position-aligned occurrence counts: array<string> xs →
+  * array<int> cn with cn(i) = |{ j : xs(j) = xs(i) }|.
+  *
+  * One hash-map pass + one lookup pass — O(L) per row — replacing the
+  * HOF form `transform(xs, g -> size(filter(xs, h -> h = g)))`, which
+  * rescans the array per element (O(L²) string compares; a 100k-token
+  * web document would cost ~10¹⁰ compares in a single task). Output
+  * values are identical, so oracle SQL (which may keep the quadratic
+  * form — DuckDB is fine at oracle scale) is unchanged.
+  *
+  * Null elements count as one shared key (grams from `transform` are
+  * never null in practice, but the type allows it). */
+case class ElementCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.elementCounts(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SketchExprs.elementCounts($c)")
   override protected def withNewChildInternal(newChild: Expression): ElementCountsExpr =
     copy(child = newChild)
 }
