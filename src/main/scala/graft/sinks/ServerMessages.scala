@@ -61,6 +61,11 @@ object ServerMessages {
 
   final case class QueryRun(req: QueryRunReq) extends Msg
 
+  /** A decodable frame with no oneof arm set: the reference's
+    * `processServerMessages` unmarshals it fine, every getter returns
+    * nil, and the message is silently skipped — NOT a parse warning. */
+  case object Ignore extends Msg
+
   // -------------------------------------------------------------- encode
   // (the SERVER side of the wire — the in-process endpoint and specs
   // need to speak it to drive the client loop)
@@ -173,7 +178,7 @@ object ServerMessages {
           Right(QueryRun(QueryRunReq(vint(q, 1), vint(q, 2).toInt,
             vstr(q, 3), vstr(q, 4), params, types, settings)))
         case _ =>
-          Left("Error parsing ServerMessage: empty oneof")
+          Right(Ignore)
       }
     } catch {
       case e: Exception => Left(s"Error parsing ServerMessage: ${e.getMessage}")
@@ -209,6 +214,7 @@ object ServerMessages {
         case Right(Pause(p)) => paused = p
         case Right(QueryRun(q)) =>
           if (!queryRuns.contains(q.id)) queryRuns(q.id) = q
+        case Right(Ignore) => ()
       }
     }
   }

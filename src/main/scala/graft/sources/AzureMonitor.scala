@@ -55,10 +55,16 @@ object AzureMonitor {
 
   def parseResourceId(id: String): Either[String, ResourceId] = {
     val parts = id.stripPrefix("/").split("/")
-    if (parts.length < 8 || parts(0) != "subscriptions" ||
-        parts(2) != "resourceGroups" || parts(4) != "providers")
+    // Child/nested ARM resources append (type, name) pairs after the
+    // top-level pair; arm.ParseResourceID resolves to the LAST pair, so
+    // the trailing segments must pair up and the trailing pair names the
+    // resource itself.
+    if (parts.length < 8 || parts.length % 2 != 0 ||
+        parts(0) != "subscriptions" || parts(2) != "resourceGroups" ||
+        parts(4) != "providers")
       Left(s"invalid resource ID: $id")
-    else Right(ResourceId(parts(1), parts(3), parts(5), parts(6), parts(7)))
+    else Right(ResourceId(parts(1), parts(3), parts(5),
+      parts(parts.length - 2), parts(parts.length - 1)))
   }
 
   /** The resolve-time server info the metric mapping needs
@@ -160,13 +166,18 @@ object AzureMonitor {
         val hit = flex.iterator.flatMap { v =>
           val id = txt(v, "id")
           parseResourceId(id).toOption.filter(_.name == serverName).map { r =>
-            // ClusterID: the replication source when present, else self
+            // ClusterID: the replication source when present AND
+            // parseable; absent source → self; present-but-malformed
+            // source → empty, like the reference, which only assigns
+            // ClusterID inside the successful-parse branch
             // (`system.go:66-74`)
             val srcId = txt(v, "properties", "sourceServerResourceID")
-            val cluster = parseResourceId(srcId).toOption match {
-              case Some(src) => s"${src.resourceGroup}/${src.name}"
-              case None => s"${r.resourceGroup}/${r.name}"
-            }
+            val cluster =
+              if (srcId.isEmpty) s"${r.resourceGroup}/${r.name}"
+              else parseResourceId(srcId).toOption match {
+                case Some(src) => s"${src.resourceGroup}/${src.name}"
+                case None => ""
+              }
             AzureInfo(id, r.resourceType, r.name, r.resourceGroup, cluster,
               txt(v, "location"), txt(v, "properties", "state"),
               skuName = txt(v, "sku", "name"),

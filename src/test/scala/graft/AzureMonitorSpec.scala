@@ -15,6 +15,15 @@ class AzureMonitorSpec extends AnyFunSuite {
       "Microsoft.DBforPostgreSQL", "flexibleServers", "mydb")))
     assert(parseResourceId("/subscriptions/s/x/y").isLeft)
     assert(parseResourceId("not-an-id").isLeft)
+    // child/nested resource: arm.ParseResourceID resolves to the LAST
+    // (type, name) pair, not fixed positions 5-7
+    val child = "/subscriptions/sub-1/resourceGroups/rg-2/providers/" +
+      "Microsoft.DBforPostgreSQL/flexibleServers/mydb/databases/db1"
+    assert(parseResourceId(child) == Right(ResourceId("sub-1", "rg-2",
+      "Microsoft.DBforPostgreSQL", "databases", "db1")))
+    // dangling child type with no name does not parse
+    assert(parseResourceId(
+      "/subscriptions/s/resourceGroups/g/providers/NS/T/n/orphan").isLeft)
   }
 
   test("metric-name set: base five everywhere, +6 on Flexible only") {
@@ -72,5 +81,30 @@ class AzureMonitorSpec extends AnyFunSuite {
     // miss: the reference's warning text
     assert(c.resolve("s1", "nope") ==
       Left("unable to find the database server info"))
+  }
+
+  test("clusterId: parsed source, self on absent, EMPTY on malformed") {
+    def srv(name: String, props: String) =
+      s"""{"id":"/subscriptions/s1/resourceGroups/rg-1/providers/""" +
+        s"""Microsoft.DBforPostgreSQL/flexibleServers/$name",""" +
+        s""""location":"w","properties":{"state":"Ready"$props}}"""
+    val srcId = "/subscriptions/s1/resourceGroups/rg-9/providers/" +
+      "Microsoft.DBforPostgreSQL/flexibleServers/primary"
+    val http2: Http = (_, url, _) =>
+      if (url.contains("/flexibleServers?"))
+        (200, s"""{"value":[
+          ${srv("replica", s""","sourceServerResourceID":"$srcId"""")},
+          ${srv("solo", "")},
+          ${srv("broken", ""","sourceServerResourceID":"garbage-id"""")}]}""")
+      else (404, "")
+    val c = new Client("http://arm", () => Right("t"), http2)
+    // replication source present + parseable → source group/name
+    assert(c.resolve("s1", "replica").toOption.get.clusterId ==
+      "rg-9/primary")
+    // absent → self (system.go falls through to the server's own id)
+    assert(c.resolve("s1", "solo").toOption.get.clusterId == "rg-1/solo")
+    // present but malformed → EMPTY, the reference only assigns inside
+    // the successful-parse branch (system.go:66-74)
+    assert(c.resolve("s1", "broken").toOption.get.clusterId == "")
   }
 }

@@ -27,9 +27,11 @@ class ServerMessagesSpec extends AnyFunSuite {
   test("undecodable frames are warnings: bad zlib and bad protobuf") {
     assert(decode(Array[Byte](1, 2, 3)).left.exists(
       _.startsWith("Error decompressing")))
-    // valid zlib of an EMPTY message: no oneof arm set
+    // valid zlib of an EMPTY message: no oneof arm set. The reference's
+    // Unmarshal succeeds and every getter is nil, so the frame is
+    // silently skipped — NOT a parse warning (websocket.go:54-93).
     assert(decode(graft.sinks.ProtoWire.zlib(Array.emptyByteArray))
-      .left.exists(_.startsWith("Error parsing")))
+      == Right(Ignore))
   }
 
   test("dispatch: config one-shot, pause toggle, duplicate-id ignore") {
@@ -52,6 +54,9 @@ class ServerMessagesSpec extends AnyFunSuite {
     assert(st.queryRuns(1L).queryText == "SELECT 1")
     st.processMessage(Array[Byte](9, 9)) // undecodable → warning
     assert(st.warnings.size == 1 && st.queryRuns.size == 2)
+    // decodable frame with no arm set → no-op, NO new warning
+    st.processMessage(graft.sinks.ProtoWire.zlib(Array.emptyByteArray))
+    assert(st.warnings.size == 1 && st.queryRuns.size == 2 && !st.paused)
   }
 
   test("the loop reads frames off a real socket in order") {
