@@ -4,7 +4,6 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,15 +18,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * malformed length/truncated frame stops the walk, like the
   * reference's reader loop. */
 case class HerokuSyslogFramesExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("header_timestamp", StringType),
     StructField("proc_id", StringType),
     StructField("content", StringType))), containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(input: Any): Any =
+    HerokuSyslogFramesExpr.framesArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.HerokuSyslogFramesExpr.framesArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HerokuSyslogFramesExpr =
+    copy(child = newChild)
+}
+
+object HerokuSyslogFramesExpr {
+  /** Static per-row kernel shared by interpreted eval and generated code. */
+  def framesArray(input: UTF8String): GenericArrayData = {
+    val bytes = input.getBytes
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var i = 0
     val n = bytes.length
@@ -81,7 +96,4 @@ case class HerokuSyslogFramesExpr(child: Expression)
     }
     new GenericArrayData(out.toArray[Any])
   }
-
-  override protected def withNewChildInternal(newChild: Expression): HerokuSyslogFramesExpr =
-    copy(child = newChild)
 }

@@ -7,7 +7,6 @@ import scala.collection.mutable.ListBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftNative
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._

@@ -6,7 +6,6 @@ import java.time.format.DateTimeFormatter
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftNative
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -71,10 +70,25 @@ object LogTime {
 }
 
 case class LogTimeExpr(child: Expression, logTimezone: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     LogTime.parseMicros(input.asInstanceOf[UTF8String].toString, logTimezone)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // result is a primitive long slot but the parse can fail → null, so
+    // route through the boxed kernel and set isNull explicitly
+    val tzRef = ctx.addReferenceObj("graftLogTz", logTimezone, "java.lang.String")
+    val lt = ctx.freshName("graftLt")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $lt = graft.logsys.LogTime.parseMicros($c.toString(), $tzRef);
+      if ($lt == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $lt.longValue(); }
+    """)
+  }
   override protected def withNewChildInternal(newChild: Expression): LogTimeExpr =
     copy(child = newChild)
 }
