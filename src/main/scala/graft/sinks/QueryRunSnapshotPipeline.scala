@@ -185,16 +185,30 @@ object QueryRunSnapshotPipeline {
           SnapshotWebSocket.dial("127.0.0.1", ep.port, "/websocket"))
         require(cl.connect().isRight, "client must connect")
         ep.awaitHandshake()
-        ep.send(encode(Config("srv-1", "https://api.example.com",
-          Features(statementTimeoutMs = 30000), enableActivity = true,
-          enableLogs = true, schemaTableLimit = 5000)))
-        ep.send(encode(Pause(pause = true)))
-        ep.send(encode(Pause(pause = false)))
-        ep.send(Array[Byte](1, 2, 3)) // not zlib: a warning, never fatal
-        reqs.foreach(r => ep.send(encode(toMsg(r))))
-        ep.send(encode(toMsg(reqs.head))) // duplicate id → ignored
+        // The socket is full-duplex and the reference reads it from its
+        // own goroutine while the server writes at will — push on a
+        // separate thread while this one drains, or a corpus-scale
+        // request burst fills the TCP buffers in BOTH directions and
+        // the half-duplex push-then-read order deadlocks (seen at sf1).
+        @volatile var pushErr: Throwable = null
+        val pusher = new Thread(() => {
+          try {
+            ep.send(encode(Config("srv-1", "https://api.example.com",
+              Features(statementTimeoutMs = 30000), enableActivity = true,
+              enableLogs = true, schemaTableLimit = 5000)))
+            ep.send(encode(Pause(pause = true)))
+            ep.send(encode(Pause(pause = false)))
+            ep.send(Array[Byte](1, 2, 3)) // not zlib: a warning, never fatal
+            reqs.foreach(r => ep.send(encode(toMsg(r))))
+            ep.send(encode(toMsg(reqs.head))) // duplicate id → ignored
+          } catch { case t: Throwable => pushErr = t }
+        }, "graft-ws-push")
+        pusher.setDaemon(true)
+        pusher.start()
         val st = new ServerState
         processServerMessages(cl, st, reqs.length + 5)
+        pusher.join(30000)
+        require(pushErr == null, s"server push failed: $pushErr")
         require(st.initialConfigFired == 1 && st.validConfig,
           "the first Config must fire the one-shot initial-config signal")
         require(st.grantConfig.exists(_.schemaTableLimit == 5000),
