@@ -223,10 +223,15 @@ object Oracles {
         |    SELECT DISTINCT pid % 5, pid, event_id % 7 <> 0
         |    FROM ev WHERE k % 50 <> 0) z),
         |fl AS (
+        |  -- schema_table_limit / statement limit contracts: an overflowed
+        |  -- section drops whole (schema.go:97-110), so the full tick's
+        |  -- counts zero past the cap instead of growing with the corpus
         |  SELECT 'full_10min' AS cadence, t * 600 AS fire_at,
         |    t AS tick_index,
-        |    (SELECT n_q FROM fq) AS n_items,
-        |    (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_dims
+        |    CAST(CASE WHEN (SELECT n_q FROM fq) > 5000 THEN 0
+        |      ELSE (SELECT n_q FROM fq) END AS BIGINT) AS n_items,
+        |    CAST(CASE WHEN (SELECT count(*) FROM part) > 5000 THEN 0
+        |      ELSE (SELECT count(*) FROM part) END AS BIGINT) AS n_dims
         |  FROM generate_series(1, 3) g(t)),
         |lg AS (
         |  SELECT 'log_download_30s' AS cadence, t * 30 AS fire_at,

@@ -1824,17 +1824,28 @@ object OraclesGen {
        |  (SELECT CAST(count(DISTINCT user_oid) AS BIGINT) FROM f) AS n_roles,
        |  (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_databases,
        |  (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_queries,
-       |  (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_relations,
+       |  -- schema_table_limit contract (schema.go:14,97-110): the
+       |  -- relation count is the trigger and an overflow drops the whole
+       |  -- schema section (refs, stats, indexes); functions are guarded
+       |  -- by their own count against the same limit
+       |  CAST(CASE WHEN (SELECT count(*) FROM part) > 5000 THEN 0
+       |    ELSE (SELECT count(*) FROM part) END AS BIGINT) AS n_relations,
        |  (SELECT CAST(count(*) AS BIGINT) FROM part WHERE p_partkey % 7 = 0)
        |    AS n_settings,
-       |  (SELECT CAST(count(*) AS BIGINT) FROM part WHERE p_partkey % 2 = 0)
-       |    AS n_indexes,
-       |  (SELECT CAST(count(*) AS BIGINT) FROM part WHERE p_partkey % 5 = 0)
-       |    AS n_functions,
-       |  (SELECT CAST(sum(p_size * 7) AS BIGINT) FROM part
-       |   WHERE p_partkey % 2 = 0) AS sum_idx_scan_delta,
-       |  (SELECT CAST(sum(p_size * 3) AS BIGINT) FROM part
-       |   WHERE p_partkey % 5 = 0) AS sum_fn_calls_delta,
+       |  CAST(CASE WHEN (SELECT count(*) FROM part) > 5000 THEN 0
+       |    ELSE (SELECT count(*) FROM part WHERE p_partkey % 2 = 0)
+       |    END AS BIGINT) AS n_indexes,
+       |  CAST(CASE WHEN (SELECT count(*) FROM part WHERE p_partkey % 5 = 0)
+       |      > 5000 THEN 0
+       |    ELSE (SELECT count(*) FROM part WHERE p_partkey % 5 = 0)
+       |    END AS BIGINT) AS n_functions,
+       |  CAST(CASE WHEN (SELECT count(*) FROM part) > 5000 THEN 0
+       |    ELSE (SELECT sum(p_size * 7) FROM part WHERE p_partkey % 2 = 0)
+       |    END AS BIGINT) AS sum_idx_scan_delta,
+       |  CAST(CASE WHEN (SELECT count(*) FROM part WHERE p_partkey % 5 = 0)
+       |      > 5000 THEN 0
+       |    ELSE (SELECT sum(p_size * 3) FROM part WHERE p_partkey % 5 = 0)
+       |    END AS BIGINT) AS sum_fn_calls_delta,
        |  (SELECT CAST(count(*) AS BIGINT) FROM part
        |   WHERE p_partkey % 11 = 0 AND p_partkey < 2200)
        |    AS n_backend_counts,

@@ -186,11 +186,17 @@ object DaemonSoak {
     }
 
     def fullTick(): TickResult = {
+      // No rows means the statements section overflowed its limit and
+      // dropped whole (the output is one row per statement group);
+      // decodeVerify's integrity requires already ran, so an empty frame
+      // is a thin-but-valid snapshot, not a wire failure.
       val row = FullSnapshotPipeline.e2e(s, dir)
-        .select("n_queries", "n_relations", "integrity_ok").head()
-      TickResult(row.getAs[Number]("n_queries").longValue,
-        row.getAs[Number]("n_relations").longValue,
-        row.getAs[Boolean]("integrity_ok"))
+        .select("n_queries", "n_relations", "integrity_ok").take(1)
+      row.headOption.fold(TickResult(0L, 0L, wireOk = true)) { r =>
+        TickResult(r.getAs[Number]("n_queries").longValue,
+          r.getAs[Number]("n_relations").longValue,
+          r.getAs[Boolean]("integrity_ok"))
+      }
     }
 
     def logTick(fire: Long): TickResult = {
