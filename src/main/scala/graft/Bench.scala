@@ -64,17 +64,24 @@ object Bench {
       try force(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout is captured with a ~2k-char tail, so the printed line must
+    // stay bounded: carry the total + the slowest entries inline and
+    // write the FULL per-entry timing map to the artifact file
+    val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":${results.size},"queries":${toJson(slowest)},""" +
+      s""""sf":"$sfDir"}"""
     println(line)
-    // stdout gets truncated by log capture on long runs — also write
-    // the full per-entry timing map to a file for the round artifact
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":${results.size},"queries":${toJson(results)},""" +
+      s""""sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      line + "\n")
+      full + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
