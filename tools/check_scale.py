@@ -75,7 +75,13 @@ def check_one(sfdir, outdir, name, sql, q):
                 q.put(("FAIL", f"row {i}: spark={ra} duck={rb}")); return
         q.put(("PASS", f"{len(a)} rows"))
     except Exception as e:
-        q.put(("FAIL", f"{type(e).__name__}: {e}"))
+        # DuckDB running out of memory on its side of the compare is the
+        # same oracle-infeasible-at-scale class as a timeout, not an
+        # engine mismatch
+        if "OutOfMemory" in type(e).__name__ or "Out of Memory" in str(e):
+            q.put(("ORACLE_OOM", f"{type(e).__name__}: {e}"))
+        else:
+            q.put(("FAIL", f"{type(e).__name__}: {e}"))
 
 
 def main():
@@ -83,7 +89,7 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf1"
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 180.0
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    tally = {"PASS": 0, "FAIL": 0, "ORACLE_TIMEOUT": 0}
+    tally = {"PASS": 0, "FAIL": 0, "ORACLE_TIMEOUT": 0, "ORACLE_OOM": 0}
     for name in sorted(oracle):
         q = mp.Queue()
         p = mp.Process(target=check_one,
@@ -98,7 +104,8 @@ def main():
         tally[status] += 1
         print(f"{status} {name}: {detail}", flush=True)
     print(f"== {tally['PASS']} pass / {tally['FAIL']} fail / "
-          f"{tally['ORACLE_TIMEOUT']} oracle-timeout ==")
+          f"{tally['ORACLE_TIMEOUT']} oracle-timeout / "
+          f"{tally['ORACLE_OOM']} oracle-oom ==")
     sys.exit(1 if tally["FAIL"] else 0)
 
 
