@@ -374,15 +374,42 @@ object OraclesGen {
 
   val embedNearDups: String = embedNearDupsWith(4, 8)
 
-  /** The autoBits scale path at the gate's corpus: the engine sizes
-    * `bits = autoBits(count, sigs)` from the live corpus count, and at
-    * the driver's fixed sf0.01 gate (500 vectors, sigs 8, target 125)
-    * that formula yields 2 — pinned here because oracle SQL is static
-    * text while the plane matrix's size depends on bits. TextPipelineSpec
-    * pins the formula itself at other corpus sizes (2 k → 4, 20 k → 7,
-    * clamp at 62/sigs), so the adaptive leg is covered where SQL can't
-    * reach. */
-  val embedNearDupsAuto: String = embedNearDupsWith(Similarity.autoBits(500, 8), 8)
+  /** The autoBits scale path, corpus-adaptive in SQL: `planeComponent`
+    * hashes each (plane, dim) cell independently, so the first
+    * `bits*sigs` rows of the clamp-max matrix (62/8 = 7 bits × 8 sigs =
+    * 56 planes) ARE the matrix the engine builds for any smaller bits —
+    * the oracle packs all 56 sign bits once and band-extracts with a
+    * runtime `bits` scalar. `bits` itself is derived with the exact
+    * integer thresholds of autoBits (ceil(log2(n/125)) <= b  ⟺
+    * n <= 125·2^b, clamped to [2, 7]), so there is no float-log edge to
+    * diverge on; the equivalence is pinned in TextPipelineSpec for
+    * n = 1..200000. */
+  val embedNearDupsAuto: String = {
+    val sigs = 8; val maxBits = 62 / sigs
+    val planes = Similarity.planeMatrix(maxBits * sigs, 64)
+    val pows = longList((0 until maxBits * sigs).map(1L << _))
+    s"""WITH ${signBitsCte(maxBits * sigs, planeLit(planes), pows)},
+       |bc AS (
+       |  SELECT CAST(CASE WHEN n <= 500 THEN 2 WHEN n <= 1000 THEN 3
+       |    WHEN n <= 2000 THEN 4 WHEN n <= 4000 THEN 5
+       |    WHEN n <= 8000 THEN 6 ELSE 7 END AS BIGINT) AS bits
+       |  FROM (SELECT count(*) AS n FROM e)),
+       |sp AS (SELECT unnest(range($sigs)) AS sig),
+       |banded AS (
+       |  SELECT e.vec_id AS id, e.vec, sp.sig,
+       |    (sb.allbits // CAST(power(2, bc.bits * sp.sig) AS BIGINT))
+       |      % CAST(power(2, bc.bits) AS BIGINT) AS bucket
+       |  FROM e JOIN sb USING (vec_id) CROSS JOIN sp CROSS JOIN bc),
+       |bn AS (SELECT sig, bucket, count(*) AS n FROM banded GROUP BY sig, bucket),
+       |b2 AS (SELECT banded.* FROM banded JOIN bn USING (sig, bucket) WHERE bn.n <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.vec AS vec_a, b.vec AS vec_b
+       |  FROM b2 a JOIN b2 b ON a.sig = b.sig AND a.bucket = b.bucket AND a.id < b.id)
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT id_a, id_b, ${cosineSelect("vec_a", "vec_b")}
+       |    FROM cand)) t
+       |WHERE sim >= 0.4""".stripMargin
+  }
 
   private def embedNearDupsWith(bits: Int, sigs: Int): String = {
     val planes = Similarity.planeMatrix(bits * sigs, 64)

@@ -63,6 +63,15 @@ class TextPipelineSpec extends SparkSpec {
     assert(autoBits(100, 8) === 2)    // floor
     assert(autoBits(1L << 40, 8) === 7) // 62-bit packing clamp: 62/8
     assert(autoBits(1L << 40, 4) === 15)
+    // the corpus-adaptive oracle derives bits with integer thresholds
+    // (n <= 125·2^b); exhaustively pin the equivalence so a float-log
+    // edge in the formula can never silently diverge from the SQL CASE
+    def sqlCase(n: Long): Int =
+      if (n <= 500) 2 else if (n <= 1000) 3 else if (n <= 2000) 4
+      else if (n <= 4000) 5 else if (n <= 8000) 6 else 7
+    (1L to 200000L).foreach { n =>
+      assert(autoBits(n, 8) === sqlCase(n), s"autoBits($n, 8)")
+    }
     // auto variant runs end-to-end and picks a cap-safe width
     val out = graft.operators.Similarity.embeddingNearDupsAuto(
       Tables.embeddings(spark, Sf), "vec_id", "embedding", threshold = 0.4)
