@@ -1982,7 +1982,13 @@ object OraclesGen {
        |  c.n_lines, c.n_samples, c.n_roles, c.n_databases, c.n_queries,
        |  c.sum_runtime_ms, c.collected_at_s,
        |  TRUE AS integrity_ok
-       |FROM o JOIN f USING (file_idx), c""".stripMargin
+       |FROM o JOIN f USING (file_idx), c
+       |-- the log path is bounded like the reference's backpressure
+       |-- discard (runner/logs.go:265-283): an over-limit batch drops its
+       |-- line+sample sections whole, so past 100k lines the document
+       |-- carries no per-line rows (strictly-greater: a batch exactly at
+       |-- the limit is kept)
+       |WHERE (SELECT count(*) FROM o) <= 100000""".stripMargin
   }
 
   /** Compact activity snapshot e2e: re-derives the per-pid activity
