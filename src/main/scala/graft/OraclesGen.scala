@@ -265,7 +265,7 @@ object OraclesGen {
     * `c0` init = k lowest-id vectors, two Lloyd iterations with
     * id-ordered sequential member sums, `a3` = the final (id, vec,
     * cluster) assignment. Bit-reproducible against the engine. */
-  private def ivfAssignedCtes(k: Int, dim: Int): String = {
+  private def ivfAssignedCtes(kSql: String, dim: Int): String = {
     def assign(name: String, cents: String) =
       s"""$name AS (
          |  SELECT id, vec, cluster FROM (
@@ -308,7 +308,9 @@ object OraclesGen {
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster,
        |    list_transform(vec, x -> CAST(x AS DOUBLE)) AS centroid
-       |  FROM (SELECT id, vec FROM e ORDER BY id LIMIT $k) i),
+       |  FROM (SELECT id, vec FROM (
+       |      SELECT id, vec, row_number() OVER (ORDER BY id) AS rn FROM e) z0
+       |    WHERE rn <= $kSql) i),
        |${assign("a1", "c0")},
        |${update("c1", "a1", "c0")},
        |${assign("a2", "c1")},
@@ -319,7 +321,7 @@ object OraclesGen {
   val embedIvfRecall: String = {
     val nprobe = 4
     def sim(v: String, c: String) = ivfSim(v, c)
-    s"""WITH ${ivfAssignedCtes(16, 64)},
+    s"""WITH ${ivfAssignedCtes("16", 64)},
        |q AS (SELECT id AS q_id, vec AS q_vec FROM e WHERE id < 20),
        |qs AS (
        |  SELECT q_id, q_vec, cluster FROM (
@@ -349,9 +351,15 @@ object OraclesGen {
   }
 
   /** SemDeDup: same k-means re-derivation, then within-cluster pairwise
-    * cosine — any vector matching a lower-id member at ≥ 0.3 is dropped. */
+    * cosine — any vector matching a lower-id member at ≥ 0.3 is dropped.
+    * `k` follows the engine's sizing law (max(16, ceil(n/300)) — cluster
+    * sizes ~300 keeps the within-cluster pairwise LINEAR in the corpus)
+    * with exact integer arithmetic, so the oracle is corpus-adaptive. */
   val semDedup: String =
-    s"""WITH ${ivfAssignedCtes(16, 64)},
+    s"""WITH kc AS (
+       |  SELECT GREATEST(16, (count(*) + 299) // 300) AS k
+       |  FROM embeddings),
+       |${ivfAssignedCtes("(SELECT k FROM kc)", 64)},
        |pr AS (
        |  SELECT a.id AS id_a, b.id AS id_b, a.vec AS va, b.vec AS vb
        |  FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.id < b.id),
