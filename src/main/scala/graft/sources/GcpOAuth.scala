@@ -134,7 +134,7 @@ object GcpOAuth {
       Left(s"could not parse service account file: ${e.getMessage}")
     }
 
-  private def postForm(url: String, body: String): (Int, String) = {
+  private[sources] def postForm(url: String, body: String): (Int, String) = {
     val conn = new java.net.URL(url)
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
     try {

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{AwsCredentials, AwsImds}
+import graft.sources.AwsCredentials.Creds
+
+/** IMDSv2 — the EC2 arm of the SDK default credential chain
+  * (`util/awsutil/amazon.go:62-69`, `config/read.go:521-527`). */
+class AwsImdsSpec extends AnyFunSuite {
+
+  private val instanceCreds =
+    Creds("ASIAINSTANCE", "instance-secret", "instance-session-token")
+
+  test("token -> role -> credentials round trip") {
+    val ep = new AwsImds.Endpoint("graft-instance-role", instanceCreds)
+    try {
+      val c = new AwsImds.Client(ep.url)
+      val tok = c.fetchToken().fold(e => fail(e), identity)
+      assert(c.roleName(tok) == Right("graft-instance-role"))
+      assert(c.roleCredentials(tok, "graft-instance-role") ==
+        Right(instanceCreds))
+      assert(c.credentials() == Some(instanceCreds))
+      assert(ep.tokenRequests >= 2 && ep.credentialRequests >= 2)
+    } finally ep.stop()
+  }
+
+  test("v2 enforcement: unminted token is 401, missing TTL header is 400") {
+    val ep = new AwsImds.Endpoint("graft-instance-role", instanceCreds)
+    try {
+      val c = new AwsImds.Client(ep.url)
+      assert(c.roleName("forged-token").left.exists(_.contains("401")))
+      // raw PUT without the TTL header (the client always sends it)
+      val conn = new java.net.URL(ep.url + "/latest/api/token")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("PUT")
+      conn.setRequestProperty("X-aws-ec2-metadata-token-ttl-seconds", "")
+      conn.setDoOutput(true); conn.getOutputStream.close()
+      assert(conn.getResponseCode == 400)
+    } finally ep.stop()
+  }
+
+  test("fail fast off-EC2: unreachable IMDS resolves to None quickly") {
+    // a port nothing listens on -> connection refused, not a hang
+    val c = new AwsImds.Client("http://127.0.0.1:1")
+    val t0 = System.nanoTime()
+    assert(c.credentials().isEmpty)
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(ms < 1500, s"off-EC2 lookup took ${ms}ms; must fail fast")
+    assert(AwsCredentials.defaultChain(Map.empty, None,
+      () => c.credentials()).isLeft)
+  }
+
+  test("default chain: IMDS is the last arm and is consulted lazily") {
+    val ep = new AwsImds.Endpoint("graft-instance-role", instanceCreds)
+    try {
+      val c = new AwsImds.Client(ep.url)
+      // nothing else configured -> the live IMDS leg provides creds
+      assert(AwsCredentials.defaultChain(Map.empty, None,
+        () => c.credentials()) == Right(instanceCreds))
+      val afterMiss = ep.tokenRequests
+      // env creds present -> IMDS must NOT be consulted (lazy orElse)
+      assert(AwsCredentials.defaultChain(
+        Map("AWS_ACCESS_KEY_ID" -> "AKIDENV",
+          "AWS_SECRET_ACCESS_KEY" -> "s"), None,
+        () => c.credentials()) == Right(Creds("AKIDENV", "s")))
+      assert(ep.tokenRequests == afterMiss,
+        "IMDS consulted although an earlier chain arm resolved")
+    } finally ep.stop()
+  }
+
+  test("credential document parse: non-Success and incomplete are errors") {
+    assert(AwsImds.parseSecurityCredentials(
+      """{"Code":"AssumeRoleUnauthorizedAccess"}""").isLeft)
+    assert(AwsImds.parseSecurityCredentials(
+      """{"Code":"Success","AccessKeyId":"A"}""").isLeft)
+    assert(AwsImds.parseSecurityCredentials("not json").isLeft)
+    assert(AwsImds.parseSecurityCredentials(
+      """{"Code":"Success","AccessKeyId":"A","SecretAccessKey":"S","Token":"T"}""")
+      == Right(Creds("A", "S", "T")))
+  }
+}
