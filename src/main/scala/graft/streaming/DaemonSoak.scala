@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.logsys.LogSynth
-import graft.sinks.{ActivitySnapshotPipeline, FullSnapshotPipeline, ProtoWire}
+import graft.sinks.{ActivitySnapshotPipeline, FullSnapshotPipeline,
+  ProtoWire, SnapshotTransport, SnapshotUpload}
 import graft.sources.CatalogSynth
 
 /** The concurrent daemon — the reference's actual operating mode
@@ -40,15 +41,18 @@ import graft.sources.CatalogSynth
   *
   * Per-tick work (all real pipeline code, nothing soak-specific):
   *   - activity: [[ActivitySnapshotPipeline.assembleDoc]] over the
-  *     window's backends/vacuum ticks → encode → zlib → wire decode
-  *     with every integrity require ([[ActivitySnapshotPipeline.decodeCounts]]);
+  *     window's backends/vacuum ticks → encode → zlib → SHIP over the
+  *     real grant→storage→submission HTTP chain → wire decode of the
+  *     bytes the server RECEIVED, with every integrity require
+  *     ([[ActivitySnapshotPipeline.decodeCounts]]);
   *   - highfreq: distributed scrape ([[CatalogSynth.statementStatsFromEvents]]
   *     over the window) merged into the driver-held previous-scrape
   *     state — bounded the way the reference's is (pg_stat_statements
   *     is `pgss.max`-capped per server; `state/state.go` holds it in
   *     collector memory);
-  *   - full: the complete [[FullSnapshotPipeline.e2e]]
-  *     assemble→encode→decode→verify chain over the whole catalog;
+  *   - full: the complete [[FullSnapshotPipeline]]
+  *     assemble→encode→ship→decode→verify chain over the whole
+  *     catalog, likewise decoded from the server-received bytes;
   *   - log: render the window's new log content, prefix-parse and
   *     classify it with the streaming pipeline's stages
   *     ([[LogStreamPipeline.parse]] + LogClassify).
@@ -64,6 +68,71 @@ object DaemonSoak {
   val Horizon: Long = Cycles * Scheduler.FullPeriod // 1800 s
 
   final case class TickResult(nItems: Long, nDims: Long, wireOk: Boolean)
+
+  /** The soak's API server — grant + storage + submission on one
+    * in-process endpoint shared by every cadence, the way the
+    * reference daemon holds ONE grant per server and ships every
+    * snapshot through it (`output/grant.go:82-115` +
+    * `upload_http_legacy.go:24-170`). Received file parts are kept by
+    * uuid so each tick decodes the bytes the SERVER got. */
+  private final class SoakApi {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val received = new ConcurrentHashMap[String, Array[Byte]]()
+    private val grants = new java.util.concurrent.atomic.AtomicInteger
+    private val fulls = new java.util.concurrent.atomic.AtomicInteger
+    private val compacts = new java.util.concurrent.atomic.AtomicInteger
+    def grantRequests: Int = grants.get
+    def fullSubmissions: Int = fulls.get
+    def compactSubmissions: Int = compacts.get
+
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    private val server =
+      HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(pool)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+    private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length.toLong)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    }
+    private def readBody(ex: HttpExchange): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val is = ex.getRequestBody
+      val buf = new Array[Byte](8192)
+      var n = is.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = is.read(buf) }
+      out.toByteArray
+    }
+    private val FilenameRe = """filename="([^"]+)"""".r
+
+    server.createContext("/v2/snapshots/grant", (ex: HttpExchange) => {
+      grants.incrementAndGet()
+      if (ex.getRequestHeaders.getFirst("Pganalyze-Api-Key") != "soak-key")
+        respond(ex, 401, "Error: Invalid API key")
+      else respond(ex, 200,
+        s"""{"s3_url":"$base/storage","s3_fields":{"acl":"private"},""" +
+          """"local_dir":""}""")
+    })
+    server.createContext("/storage", (ex: HttpExchange) => {
+      val body = readBody(ex)
+      val name = FilenameRe.findFirstMatchIn(
+        new String(body, java.nio.charset.StandardCharsets.ISO_8859_1))
+        .map(_.group(1)).getOrElse("unnamed")
+      received.put(name, SnapshotUpload.filePart(body))
+      respond(ex, 201,
+        s"<PostResponse><Key>snapshots/soak/$name</Key></PostResponse>")
+    })
+    server.createContext("/v2/snapshots/compact", (ex: HttpExchange) => {
+      readBody(ex); compacts.incrementAndGet(); respond(ex, 200, "OK")
+    })
+    server.createContext("/v2/snapshots", (ex: HttpExchange) => {
+      readBody(ex); fulls.incrementAndGet(); respond(ex, 200, "OK")
+    })
+    server.start()
+    def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+  }
 
   /** Per-tick outcome of one soak run, in (cadence, fireAt) order. */
   final case class SoakRow(cadence: String, fireAt: Long, tickIndex: Long,
@@ -142,6 +211,38 @@ object DaemonSoak {
     val cumStats = new java.util.HashMap[(Long, Long, Long, Boolean),
       (Long, Long)]()
 
+    // ---- the shipping leg (`runner/run.go` transmits every snapshot;
+    // `output/grant.go` holds one reused grant per server): each
+    // activity/full tick's wire document goes over REAL HTTP —
+    // grant → storage POST → submission POST — and the tick decodes
+    // the bytes the server received, not its local buffer
+    val api = new SoakApi
+    require(new SnapshotTransport.GrantFetcher(api.base,
+      SnapshotTransport.apiHeaders("wrong-key")).ensureGrant()
+      .left.exists(_.contains("Invalid API key")),
+      "an invalid API key must be refused at the grant")
+    val fetcher = new SnapshotTransport.GrantFetcher(api.base,
+      SnapshotTransport.apiHeaders("soak-key", systemId = "graft-soak"))
+    def ship(wire: Array[Byte], uuid: String, collectedAt: Long,
+        compact: Boolean): Array[Byte] = {
+      // per-upload EnsureGrant, like the reference — reuse-while-valid
+      // means the whole 243-tick soak costs ONE real grant fetch
+      val grant = fetcher.synchronized { fetcher.ensureGrant() }
+        .fold(e => throw new IllegalStateException(e), identity)
+      new SnapshotTransport.Uploader(grant, sleep = _ => ())
+        .upload(wire, uuid, collectedAt, compact) match {
+        case SnapshotTransport.Submitted(loc, _) =>
+          require(loc == s"snapshots/soak/$uuid", s"bad storage key: $loc")
+        case SnapshotTransport.Failed(err, n) =>
+          throw new IllegalStateException(
+            s"upload of $uuid failed after $n attempts: $err")
+      }
+      val got = api.received.get(uuid)
+      require(got != null && java.util.Arrays.equals(got, wire),
+        s"server-received bytes for $uuid differ from the wire document")
+      got
+    }
+
     def activityTick(fire: Long): TickResult = {
       val doc = ActivitySnapshotPipeline.assembleDoc(
         ActivitySnapshotPipeline.backendsFrom(
@@ -149,7 +250,8 @@ object DaemonSoak {
         ActivitySnapshotPipeline.vacuumsFrom(
           window(vacsBase, fire - Scheduler.ActivityPeriod, fire)))
       val wire = ProtoWire.zlib(ActivitySnapshotPipeline.encode(doc))
-      val c = ActivitySnapshotPipeline.decodeCounts(wire)
+      val shipped = ship(wire, s"act-$fire", fire, compact = true)
+      val c = ActivitySnapshotPipeline.decodeCounts(shipped)
       val ok = c.nBackends == doc.backendRows.length &&
         c.nVacuums == doc.vacuumRows.length &&
         c.nRoles == doc.roleRows.length && c.nDbs == doc.dbRows.length &&
@@ -185,12 +287,15 @@ object DaemonSoak {
       TickResult(changed, qids.size.toLong, monotonic)
     }
 
-    def fullTick(): TickResult = {
+    def fullTick(fire: Long): TickResult = {
       // No rows means the statements section overflowed its limit and
       // dropped whole (the output is one row per statement group);
       // decodeVerify's integrity requires already ran, so an empty frame
       // is a thin-but-valid snapshot, not a wire failure.
-      val row = FullSnapshotPipeline.e2e(s, dir)
+      val wire = ProtoWire.zlib(
+        FullSnapshotPipeline.encode(FullSnapshotPipeline.assemble(s, dir)))
+      val shipped = ship(wire, s"full-$fire", fire, compact = false)
+      val row = FullSnapshotPipeline.decodeVerify(s, shipped)
         .select("n_queries", "n_relations", "integrity_ok").take(1)
       row.headOption.fold(TickResult(0L, 0L, wireOk = true)) { r =>
         TickResult(r.getAs[Number]("n_queries").longValue,
@@ -223,7 +328,7 @@ object DaemonSoak {
       val r = t.cadence match {
         case Scheduler.Activity => activityTick(t.fireAt)
         case Scheduler.HighFreq => highFreqTick(t.fireAt)
-        case Scheduler.Full => fullTick()
+        case Scheduler.Full => fullTick(t.fireAt)
         case Scheduler.LogDownload => logTick(t.fireAt)
         case other => sys.error(s"unknown cadence $other")
       }
@@ -232,6 +337,22 @@ object DaemonSoak {
     }, tickBudgetMs)
     Seq(folded, backsBase, vacsBase, linesBase)
       .foreach(_.unpersist(blocking = false))
+    // shipping accounting: one real grant fetch (plus the refused
+    // wrong-key probe) served every completed upload; each completed
+    // activity/full tick stored exactly one document and submitted it
+    // on its kind's path
+    val doneA = reports.count(r => r.tick.cadence == Scheduler.Activity &&
+      r.outcome == Scheduler.Completed)
+    val doneF = reports.count(r => r.tick.cadence == Scheduler.Full &&
+      r.outcome == Scheduler.Completed)
+    api.stop()
+    require(api.grantRequests == 2,
+      s"grant fetched ${api.grantRequests}x for ${doneA + doneF} uploads " +
+        "(reuse-while-valid broken)")
+    require(api.compactSubmissions == doneA && api.fullSubmissions == doneF &&
+      api.received.size == doneA + doneF,
+      s"shipping accounting off: ${api.compactSubmissions}/${api.fullSubmissions}" +
+        s"/${api.received.size} vs $doneA activity + $doneF full")
     if (sys.env.contains("SPARK_GRAFT_SOAK_DEBUG"))
       cadNanos.forEach((c, n) => println(f"SOAK $c ${n / 1e9}%.1f s"))
 

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, GraftNative, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Task-retry fault injection: Spark re-executes failed tasks, and a
+  * correct operator must yield the SAME result whether or not a task's
+  * first attempt died mid-way. The custom `TypedImperativeAggregate`s
+  * are the operators with hand-written buffer lifecycles — exactly
+  * where a partial buffer from a failed attempt could leak into the
+  * merged result if anything were shared between attempts. At 1000
+  * executors task retries are ROUTINE (preemption, spot loss, OOM
+  * kills), so retry-invariance is a scale property, not an edge case.
+  *
+  * The suite needs a retry-capable scheduler: plain `local[4]` runs
+  * with maxFailures=1 where any task failure fails the job, so it
+  * (re)builds the shared session as `local[4,2]` — same semantics,
+  * one retry allowed. Suites running later share that context
+  * harmlessly via getOrCreate. */
+class TaskRetrySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .filter(!_.sparkContext.isStopped)
+      .filterNot(_.sparkContext.master.contains(","))
+      .foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4,2]")
+      .appName(getClass.getSimpleName)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  /** A stage that kills the FIRST attempt of one input partition after
+    * it has already produced part of its output — the surviving retry
+    * must fully replace it. Accumulator updates from FAILED tasks are
+    * discarded by Spark, so `fired` counts the RETRIED attempt (which
+    * only exists if the injection really killed attempt 0). */
+  private def flaky(df: DataFrame, fired: org.apache.spark.util.LongAccumulator)
+      : DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc.partitionId() == 1 && tc.attemptNumber() == 0) {
+        // consume (and emit) part of the iterator first, so the failed
+        // attempt dies with work in flight, not before starting
+        var n = 0
+        it.takeWhile { _ =>
+          n += 1
+          if (n == 50) throw new RuntimeException(
+            "injected first-attempt failure")
+          true
+        }
+      } else {
+        if (tc.partitionId() == 1) fired.add(1L)
+        it
+      }
+    }(enc)
+  }
+
+  private def sketchProfile(words: DataFrame): String = {
+    import graft.functions.expressions._
+    words.agg(
+      count(lit(1)).as("n"),
+      GraftNative.column(HllRegistersAgg(
+        GraftNative.expression(col("w"))).toAggregateExpression()).as("hll"),
+      GraftNative.column(CmsGridAgg(
+        GraftNative.expression(col("w"))).toAggregateExpression()).as("cms"),
+      GraftNative.column(LongHistAgg(
+        GraftNative.expression(length(col("w")).cast("long")), 1L)
+        .toAggregateExpression()).as("hist"))
+      .toJSON.head()
+  }
+
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    spark.range(0, 20000, 1, 4)
+      .select((col("id") % 977).as("k"), col("id"))
+      .select(concat(lit("w"), col("k")).as("w"), col("id"))
+  }
+
+  test("sketch aggregates are retry-invariant (failed attempt discarded)") {
+    // HLL registers (max), CMS grid (sum), histogram (sum) merge
+    // commutatively, so the retried plan must match BYTE-for-byte
+    val clean = sketchProfile(corpus)
+    val fired = spark.sparkContext.longAccumulator("injected")
+    val withRetry = sketchProfile(flaky(corpus, fired))
+    assert(fired.value >= 1L, "the fault never fired — no retry exercised")
+    assert(withRetry == clean,
+      "sketch state diverged after a task retry")
+  }
+
+  test("Misra-Gries keeps its heavy-hitter guarantee under task retries") {
+    // MG merge is order-sensitive in its evictions (only the GUARANTEE
+    // is stable): any key with frequency > n/(k+1) must survive. A
+    // retry that double-counted or half-counted the failed attempt's
+    // rows would break exactly this bound.
+    import graft.functions.expressions._
+    val skewed = corpus.select(
+      when(col("id") % 3 === 0, lit("hot")).otherwise(col("w")).as("w"))
+    val fired = spark.sparkContext.longAccumulator("injected-mg")
+    val row = flaky(skewed, fired).agg(
+      GraftNative.column(MisraGriesAgg(
+        GraftNative.expression(col("w")), 8).toAggregateExpression()).as("mg"))
+      .head()
+    assert(fired.value >= 1L)
+    val survivors = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    assert(survivors.contains("hot"),
+      s"frequency-n/3 key evicted after retry; survivors: $survivors")
+  }
+
+  test("shuffled group-by + broadcast join are retry-invariant") {
+    import spark.implicits._
+    val dim = (0 until 977).map(i => (s"w$i", i % 7)).toDF("w", "bucket")
+    def pipeline(base: DataFrame): Vector[(Int, Long)] =
+      base.join(broadcast(dim), "w")
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .as[(Int, Long)].collect().sortBy(_._1).toVector
+    val clean = pipeline(corpus)
+    val fired = spark.sparkContext.longAccumulator("injected2")
+    val withRetry = pipeline(flaky(corpus, fired))
+    assert(fired.value >= 1L)
+    assert(withRetry == clean)
+  }
+}
