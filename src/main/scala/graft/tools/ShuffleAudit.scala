@@ -1,0 +1,117 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.GraftSparkBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-query shuffle/IO audit: `runMain graft.tools.ShuffleAudit [q …]`.
+  *
+  * Times are host-load-dependent; BYTES are not — this tool measures the
+  * quantities that decide whether a plan survives a 100 TB cluster:
+  * bytes scanned from parquet, bytes written to + read back from
+  * shuffle, and spill. A plan whose shuffle volume is a small fraction
+  * of its input scales with the network bisection it actually needs; a
+  * plan that shuffles its whole input is a flag regardless of how fast
+  * it runs at test SF. Each named query runs once for plan warmup and
+  * once audited (task-end metrics accumulated off the listener bus,
+  * drained before reading — [[GraftSparkBridge.drainListenerBus]]).
+  *
+  * Output: one `AUDIT <name> …` line per query plus a JSON map written
+  * to /tmp/shuffle_audit.json (the SURVEY scale-evidence artifact).
+  */
+object ShuffleAudit {
+
+  /** Scale-critical batch headliners: the corpus-scale dedup / ANN /
+    * tokenizer / snapshot / curation chains plus one representative
+    * agg, join, diff, and window entry. Streaming and live-socket
+    * entries are excluded — their cost is transport machinery, not
+    * plan shape (their stateful stages are audited via the state-store
+    * metrics in StateSoakSpec instead). */
+  val Headliners: Seq[String] = Seq(
+    "a1_group_agg", "j10_asof_join", "d7_rate_derivation", "t5_topk",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_components",
+    "dedup_fuzzy_e2e", "dedup_substrings", "sem_dedup", "doc_decontaminate",
+    "tokenizer_bpe_encode", "corpus_profile", "corpus_curation_funnel",
+    "dsir_select", "hybrid_search_rrf", "embed_cosine_topk",
+    "embed_ivf_recall", "embed_ivfpq_recall",
+    "e2e_compact_snapshot", "e2e_full_snapshot")
+
+  final case class Acc(input: AtomicLong = new AtomicLong,
+      shufWrite: AtomicLong = new AtomicLong,
+      shufRead: AtomicLong = new AtomicLong,
+      memSpill: AtomicLong = new AtomicLong,
+      diskSpill: AtomicLong = new AtomicLong,
+      peakMem: AtomicLong = new AtomicLong,
+      tasks: AtomicLong = new AtomicLong) {
+    def reset(): Unit = Seq(input, shufWrite, shufRead, memSpill, diskSpill,
+      peakMem, tasks).foreach(_.set(0L))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Headliners
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val acc = Acc()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          acc.input.addAndGet(m.inputMetrics.bytesRead)
+          acc.shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          acc.shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          acc.memSpill.addAndGet(m.memoryBytesSpilled)
+          acc.diskSpill.addAndGet(m.diskBytesSpilled)
+          acc.peakMem.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+          acc.tasks.incrementAndGet()
+        }
+      }
+    })
+
+    def force(name: String): Unit = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.agg(sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+        .cast("decimal(38,0)"))).head
+    }
+    def cleanup(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    val out = new StringBuilder("{")
+    names.zipWithIndex.foreach { case (n, i) =>
+      force(n); cleanup() // warmup: parquet footers, codegen, broadcasts
+      GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      acc.reset()
+      force(n)
+      GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      val (in, sw, sr) = (acc.input.get, acc.shufWrite.get, acc.shufRead.get)
+      val ratio = if (in > 0) sw.toDouble / in else 0.0
+      println(f"AUDIT $n%-24s input=${in / 1e6}%9.1f MB  " +
+        f"shufW=${sw / 1e6}%8.2f MB  shufR=${sr / 1e6}%8.2f MB  " +
+        f"ratio=$ratio%6.4f  spillMem=${acc.memSpill.get / 1e6}%6.1f MB  " +
+        f"spillDisk=${acc.diskSpill.get / 1e6}%6.1f MB  " +
+        f"tasks=${acc.tasks.get}%4d")
+      if (i > 0) out.append(",")
+      out.append(s""""$n":{"input_bytes":$in,"shuffle_write_bytes":$sw,""" +
+        s""""shuffle_read_bytes":$sr,"mem_spill_bytes":${acc.memSpill.get},""" +
+        s""""disk_spill_bytes":${acc.diskSpill.get},""" +
+        s""""peak_exec_mem_bytes":${acc.peakMem.get},"tasks":${acc.tasks.get}}""")
+      cleanup()
+    }
+    out.append("}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/shuffle_audit.json"),
+      out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"AUDIT map written: /tmp/shuffle_audit.json (${names.size} entries)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,12 @@
+package org.apache.spark
+
+/** Bridge to `private[spark]` scheduler internals needed by the audit
+  * tooling: deterministic listener-bus drain so per-query metric
+  * accounting reads AFTER every task-end event of the finished action
+  * has been delivered (the bus is async; without the drain a fast
+  * query's metrics bleed into the next query's bucket).
+  */
+object GraftSparkBridge {
+  def drainListenerBus(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}
