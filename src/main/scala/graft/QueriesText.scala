@@ -585,10 +585,17 @@ object QueriesText {
 
   /** Benchmark decontamination: flag training documents sharing ≥ 3
     * winnowing fingerprints with any benchmark document (stand-in
-    * benchmark set: doc_id % 97 = 0). Scale shape: the benchmark side is
-    * tiny by construction, so the fingerprint equi-join BROADCASTS it —
-    * the training corpus never shuffles; per-doc fingerprints are
-    * distinct, so count(*) of the join IS the intersection size. */
+    * benchmark set: doc_id % 97 = 0). Scale shape: a real benchmark
+    * suite is FIXED-size, so AQE broadcasts it at runtime from its
+    * measured shuffle stats and the training corpus never shuffles —
+    * but the join is declared UNHINTED, because the synthetic stand-in
+    * scales as corpus/97 and a forced broadcast of a
+    * corpus-proportional side is exactly the 100 TB driver-OOM shape
+    * (observed as a 300 MB task at sf10 before this was unhinted); the
+    * fallback is a plain fp-keyed shuffle equi-join, linear at any SF.
+    * Per-doc fingerprints are distinct, so count(*) of the join IS the
+    * intersection size. [[decontamBloom]] is the constant-memory
+    * 100 TB path. */
   def docDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), TextFns.winnowFingerprints(col("text")).as("fps"))
@@ -596,7 +603,7 @@ object QueriesText {
       .select(col("doc_id").as("train_id"), explode(col("fps")).as("fp"))
     val bench = d.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("bench_id"), explode(col("fps")).as("fp"))
-    train.join(broadcast(bench), Seq("fp"))
+    train.join(bench, Seq("fp"))
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)

@@ -79,13 +79,21 @@ class TextPipelineSpec extends SparkSpec {
     out.count() // forces execution
   }
 
-  test("decontamination broadcasts the benchmark side") {
+  test("decontamination: AQE broadcasts the small benchmark side at runtime") {
+    // the join is deliberately unhinted (a forced broadcast of the
+    // corpus-proportional stand-in is the 100 TB driver-OOM shape);
+    // with a genuinely small bench side AQE must still convert the
+    // shuffle join to a broadcast one from measured stage stats —
+    // inspect the FINAL adaptive plan, after execution
     val df = QueriesText.docDecontaminate(spark, Sf)
+    // collect df ITSELF (an action on a derived frame would execute a
+    // different QueryExecution, leaving df's adaptive plan unfinalized)
+    val rows = df.collect()
+    // overlap is symmetric ground truth: every flagged pair shares >= 3
+    assert(rows.forall(_.getAs[Long]("n_shared") >= 3))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"benchmark side must broadcast:\n${plan.take(1500)}")
-    // overlap is symmetric ground truth: every flagged pair shares >= 3
-    assert(df.filter(col("n_shared") < 3).count() === 0)
+      s"AQE did not broadcast the small benchmark side:\n${plan.take(1500)}")
   }
 
   test("source mixing keeps everything for 100%-ratio sources") {
