@@ -1496,15 +1496,20 @@ object OraclesGen {
   /** Decontamination: winnow-fingerprint overlap between the training
     * corpus and the benchmark stand-in (doc_id % 97 = 0); fps are
     * per-doc distinct, so count(*) over the fp equi-join IS the
-    * intersection size. */
+    * intersection size. Mirrors the engine's discriminative gate:
+    * fingerprints with global document frequency > 256 are boilerplate
+    * and contribute no contamination evidence (per-doc-distinct fps
+    * make count(*) over the unnest the document frequency). */
   val docDecontaminate: String =
     s"""WITH ${winnowCtes()},
+       |ok AS (SELECT fp FROM (SELECT unnest(fps) AS fp FROM f) af
+       |       GROUP BY fp HAVING count(*) <= 256),
        |tr AS (SELECT doc_id AS train_id, unnest(fps) AS fp
        |       FROM f WHERE doc_id % 97 <> 0),
        |be AS (SELECT doc_id AS bench_id, unnest(fps) AS fp
        |       FROM f WHERE doc_id % 97 = 0)
        |SELECT train_id, bench_id, count(*) AS n_shared
-       |FROM tr JOIN be USING (fp)
+       |FROM tr JOIN ok USING (fp) JOIN be USING (fp)
        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
 
   // ------------------------------------------------------ pg_query goldens

@@ -599,11 +599,26 @@ object QueriesText {
   def docDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), TextFns.winnowFingerprints(col("text")).as("fps"))
-    val train = d.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id").as("train_id"), explode(col("fps")).as("fp"))
-    val bench = d.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("bench_id"), explode(col("fps")).as("fp"))
-    train.join(bench, Seq("fp"))
+    val fp = d.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // Discriminative-fingerprint gate (the anti-hot-bucket analog of
+    // Dedup.maxBucket): a fingerprint present in > 256 documents is
+    // boilerplate/template material, not contamination evidence, and
+    // its join pairs grow QUADRATICALLY with corpus size — measured on
+    // the synthetic corpus: ungated pairs 23.7M at sf1 → 4.3B at sf10
+    // (181x for 10x data, vowel-free shingles recur across ScaleUp
+    // replicas); df <= 256 keeps growth linear (1.5M → 3.5M). The gate
+    // is a shuffle-side semi-join on fp — NOT a broadcast: the hot-fp
+    // complement is corpus-proportional, but the qualified-fp frame
+    // shares the pair join's hash partitioning, so the exchange is
+    // reused and nothing corpus-sized crosses to the driver.
+    val ok = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 256).select("fp")
+    val train = fp.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_id"), col("fp"))
+    val bench = fp.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("fp"))
+    train.join(ok, Seq("fp"), "left_semi")
+      .join(bench, Seq("fp"))
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
