@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Parallel driver for check_scale.py's per-entry compare: N worker
+slots, each entry in its own subprocess with the same per-entry timeout
+and ORACLE_TIMEOUT / ORACLE_OOM classification. Usage:
+    python3 tools/check_scale_par.py [sfdir] [outdir] [timeout_s] [jobs]
+"""
+import sys, json, multiprocessing as mp
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from check_scale import check_one  # noqa: E402
+
+
+def run_entry(args):
+    sfdir, outdir, name, sql, timeout = args
+    q = mp.Queue()
+    p = mp.Process(target=check_one, args=(sfdir, outdir, name, sql, q))
+    p.start()
+    p.join(timeout)
+    if p.is_alive():
+        p.terminate(); p.join()
+        return name, "ORACLE_TIMEOUT", f">{timeout:.0f}s"
+    status, detail = q.get() if not q.empty() else ("FAIL", "no result")
+    return name, status, detail
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf10"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf10"
+    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
+    jobs = int(sys.argv[4]) if len(sys.argv) > 4 else 6
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    work = [(sfdir, outdir, n, oracle[n], timeout) for n in sorted(oracle)]
+    tally = {"PASS": 0, "FAIL": 0, "ORACLE_TIMEOUT": 0, "ORACLE_OOM": 0}
+    with mp.Pool(jobs) as pool:
+        for name, status, detail in pool.imap_unordered(run_entry, work):
+            tally[status] += 1
+            print(f"{status} {name}: {detail}", flush=True)
+    print(f"== {tally['PASS']} pass / {tally['FAIL']} fail / "
+          f"{tally['ORACLE_TIMEOUT']} oracle-timeout / "
+          f"{tally['ORACLE_OOM']} oracle-oom ==")
+    sys.exit(1 if tally["FAIL"] else 0)
+
+
+if __name__ == "__main__":
+    main()
