@@ -1544,11 +1544,15 @@ object QueriesLog {
         bearer = () => adc.bearer().toOption)
       // bounded drain: a nack-redelivery cycle (possible only if the
       // corpus timestamps were ever within maxAge of the wall clock)
-      // must surface as a clear failure, not a spin
+      // must surface as a clear failure, not a spin. The bound scales
+      // with the SEEDED message count (2x what a clean drain needs,
+      // +10 slack) — a fixed tick cap conflates corpus volume with the
+      // nack-cycle signal it exists to catch (sf10 tripped it at 100).
+      val maxTicks = 10 + 2 * (em.availableCount / 1000 + 1)
       var ticks = 0
-      while (puller.tick(1000).received > 0 && ticks < 100) ticks += 1
+      while (puller.tick(1000).received > 0 && ticks < maxTicks) ticks += 1
       require(em.availableCount == 0 && em.outstandingCount == 0,
-        s"subscription not drained after $ticks ticks (nack cycle?)")
+        s"subscription not drained after $ticks/$maxTicks ticks (nack cycle?)")
       // exactly the forged attempt + ONE genuine exchange: the cached
       // token was reused across every subsequent pull/ack round-trip
       require(tokens.exchanges == 2,
