@@ -31,8 +31,11 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     work = [(sfdir, outdir, n, oracle[n], timeout) for n in sorted(oracle)]
     tally = {"PASS": 0, "FAIL": 0, "ORACLE_TIMEOUT": 0, "ORACLE_OOM": 0}
-    with mp.Pool(jobs) as pool:
-        for name, status, detail in pool.imap_unordered(run_entry, work):
+    # threads (not a mp.Pool): each check_one runs in its own mp.Process
+    # child, and daemonic pool workers may not spawn children
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=jobs) as ex:
+        for name, status, detail in ex.map(run_entry, work):
             tally[status] += 1
             print(f"{status} {name}: {detail}", flush=True)
     print(f"== {tally['PASS']} pass / {tally['FAIL']} fail / "
