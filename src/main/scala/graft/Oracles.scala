@@ -793,7 +793,14 @@ object Oracles {
     // _time order (second-truncated stamp, event_id as the nanos
     // tiebreak — lexicographic == chronological). The auth/signature/
     // pagination legs are require()-asserted in the entry; the
-    // downloaded content is what hashes here.
+    // downloaded content is what hashes here. Models the reference's
+    // trailing 10 MB parse cap byte-exactly (the downloader keeps the
+    // NEWEST maxParse bytes of the newline-joined stream — sf10's
+    // 36 MB corpus engages it): rows whose cumulative tail position
+    // falls before the cut are dropped whole; a straddling row
+    // survives as the partial first line (its kept tail minus the
+    // newline) at pos 0 when >= 2 bytes are kept, and whenever a
+    // straddler exists the full rows' posexplode indices start at 1.
     "s37_planetscale_live" ->
       """WITH l AS (
         |  SELECT event_id,
@@ -818,10 +825,27 @@ object Oracles {
         |          || ' database=db'
         |          || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 5)
         |        ELSE 'deadlock detected' END AS line
-        |  FROM events WHERE event_id % 41 = 0)
-        |SELECT CAST(row_number() OVER (ORDER BY tsec, event_id) - 1 AS INT)
+        |  FROM events WHERE event_id % 41 = 0),
+        |o AS (
+        |  SELECT line, CAST(length(line) + 1 AS BIGINT) AS len,
+        |    row_number() OVER (ORDER BY tsec, event_id) AS rn
+        |  FROM l),
+        |k AS (
+        |  SELECT line, len, rn,
+        |    CAST(sum(len) OVER (ORDER BY rn) AS BIGINT) AS cum,
+        |    CAST(greatest(0, sum(len) OVER () - 10485760) AS BIGINT) AS drp
+        |  FROM o),
+        |frag AS (
+        |  SELECT right(line, CAST(cum - drp - 1 AS INT)) AS line
+        |  FROM k WHERE cum > drp AND cum - len < drp AND cum - drp >= 2),
+        |hasb AS (
+        |  SELECT CAST(count(*) AS INT) AS off
+        |  FROM k WHERE cum > drp AND cum - len < drp)
+        |SELECT CAST(row_number() OVER (ORDER BY rn) - 1 + off AS INT)
         |  AS line_idx, line
-        |FROM l""".stripMargin,
+        |FROM k, hasb WHERE cum - len >= drp
+        |UNION ALL
+        |SELECT 0 AS line_idx, line FROM frag""".stripMargin,
 
     // Mirrors QueriesLog.s36TemboLive: the jsonlog records rebuilt from
     // the events formulas — one primary row per record plus a DETAIL
