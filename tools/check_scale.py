@@ -56,6 +56,11 @@ def check_one(sfdir, outdir, name, sql, q):
     import pandas as pd
     try:
         con = duckdb.connect()
+        # bound each oracle instance: several run concurrently, and an
+        # unbounded DuckDB defaults to 80% of host RAM PER INSTANCE —
+        # at sf10 the OOM killer reaped 34-54 GB children
+        con.execute("SET memory_limit='12GB'")
+        con.execute("SET threads=2")
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{table_glob(sfdir, t)}')")

@@ -19,7 +19,14 @@ def run_entry(args):
     if p.is_alive():
         p.terminate(); p.join()
         return name, "ORACLE_TIMEOUT", f">{timeout:.0f}s"
-    status, detail = q.get() if not q.empty() else ("FAIL", "no result")
+    if not q.empty():
+        status, detail = q.get()
+    elif p.exitcode and p.exitcode < 0:
+        # child died to a signal without posting — at scale that is the
+        # kernel OOM killer reaping the oracle, not an engine mismatch
+        status, detail = "ORACLE_OOM", f"killed by signal {-p.exitcode}"
+    else:
+        status, detail = "FAIL", "no result"
     return name, status, detail
 
 
