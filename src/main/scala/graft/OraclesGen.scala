@@ -260,63 +260,149 @@ object OraclesGen {
   private def ivfSim(v: String, c: String) =
     s"(${seqDot(v, c)}) / (sqrt(${seqDot(v, v)}) * sqrt(${seqDot(c, c)}))"
 
+  /** Flat nearest-centroid assignment CTE ([[Similarity.ivfAssign]]):
+    * per-id argmax of cosine over `cents`, ties to the lowest cluster. */
+  private def ivfAssignCte(name: String, src: String, cents: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT id, vec, cluster FROM (
+       |    SELECT id, vec, cluster,
+       |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cluster) AS rn
+       |    FROM (
+       |      SELECT s.id, s.vec, $cents.cluster,
+       |        ${ivfSim("s.vec", s"$cents.centroid")} AS sim
+       |      FROM $src s CROSS JOIN $cents) s0) s1
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Centroid init CTE ([[Similarity]]'s seedCents): the `kSql`
+    * lowest-id vectors of `src`, widened to double, numbered 0..k-1. */
+  private def ivfSeedCte(name: String, src: String, kSql: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster,
+       |    list_transform(vec, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM (SELECT id, vec FROM (
+       |      SELECT id, vec, row_number() OVER (ORDER BY id) AS rn FROM $src) z0
+       |    WHERE rn <= $kSql) i)""".stripMargin
+
+  /** One Lloyd update CTE, the two-level ordered tree fold mirroring
+    * Similarity.lloydUpdate exactly: level 1 folds members in id order
+    * within chunk `id // W`, level 2 folds chunk partial sums in chunk
+    * order, then one division by the total count — same operand order,
+    * bit-reproducible. Empty clusters keep the previous centroid. */
+  private def ivfUpdateCte(name: String, assigned: String, prev: String,
+      dim: Int): String = {
+    val w = graft.operators.Similarity.DefaultChunkWidth
+    s"""$name AS MATERIALIZED (
+       |  SELECT p.cluster, COALESCE(u.centroid, p.centroid) AS centroid
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cluster,
+       |      list_transform(range($dim), d ->
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(pss, ps -> ps[d+1])),
+       |          (a, b) -> a + b) / total_cnt) AS centroid
+       |    FROM (
+       |      SELECT cluster, list(psum ORDER BY chunk) AS pss,
+       |        CAST(sum(cnt) AS BIGINT) AS total_cnt
+       |      FROM (
+       |        SELECT cluster, chunk,
+       |          list_transform(range($dim), d ->
+       |            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |              list_transform(ms, m -> CAST(m[d+1] AS DOUBLE))),
+       |              (a, b) -> a + b)) AS psum,
+       |          len(ms) AS cnt
+       |        FROM (SELECT cluster, id // $w AS chunk,
+       |                list(vec ORDER BY id) AS ms
+       |              FROM $assigned GROUP BY cluster, chunk) g1) g2
+       |      GROUP BY cluster) g3) u USING (cluster))""".stripMargin
+  }
+
   /** The shared WITH-fragment re-deriving [[Similarity.ivfFit]] +
     * [[Similarity.ivfAssign]] in SQL: `e` (id, vec from embeddings),
     * `c0` init = k lowest-id vectors, two Lloyd iterations with
     * id-ordered sequential member sums, `a3` = the final (id, vec,
     * cluster) assignment. Bit-reproducible against the engine. */
-  private def ivfAssignedCtes(kSql: String, dim: Int): String = {
-    def assign(name: String, cents: String) =
-      s"""$name AS (
-         |  SELECT id, vec, cluster FROM (
-         |    SELECT id, vec, cluster,
-         |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cluster) AS rn
-         |    FROM (
-         |      SELECT e.id, e.vec, $cents.cluster,
-         |        ${ivfSim("e.vec", s"$cents.centroid")} AS sim
-         |      FROM e CROSS JOIN $cents) s0) s1
-         |  WHERE rn = 1)""".stripMargin
-    // two-level ordered tree fold, mirroring Similarity.ivfFit exactly:
-    // level 1 folds members in id order within chunk `id // W`, level 2
-    // folds chunk partial sums in chunk order, then one division by the
-    // total count — same operand order, bit-reproducible.
-    val w = graft.operators.Similarity.DefaultChunkWidth
-    def update(name: String, assigned: String, prev: String) =
-      s"""$name AS (
-         |  SELECT p.cluster, COALESCE(u.centroid, p.centroid) AS centroid
-         |  FROM $prev p LEFT JOIN (
-         |    SELECT cluster,
-         |      list_transform(range($dim), d ->
-         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |          list_transform(pss, ps -> ps[d+1])),
-         |          (a, b) -> a + b) / total_cnt) AS centroid
-         |    FROM (
-         |      SELECT cluster, list(psum ORDER BY chunk) AS pss,
-         |        CAST(sum(cnt) AS BIGINT) AS total_cnt
-         |      FROM (
-         |        SELECT cluster, chunk,
-         |          list_transform(range($dim), d ->
-         |            list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |              list_transform(ms, m -> CAST(m[d+1] AS DOUBLE))),
-         |              (a, b) -> a + b)) AS psum,
-         |          len(ms) AS cnt
-         |        FROM (SELECT cluster, id // $w AS chunk,
-         |                list(vec ORDER BY id) AS ms
-         |              FROM $assigned GROUP BY cluster, chunk) g1) g2
-         |      GROUP BY cluster) g3) u USING (cluster))""".stripMargin
+  private def ivfAssignedCtes(kSql: String, dim: Int): String =
     s"""e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-       |c0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster,
-       |    list_transform(vec, x -> CAST(x AS DOUBLE)) AS centroid
-       |  FROM (SELECT id, vec FROM (
-       |      SELECT id, vec, row_number() OVER (ORDER BY id) AS rn FROM e) z0
-       |    WHERE rn <= $kSql) i),
-       |${assign("a1", "c0")},
-       |${update("c1", "a1", "c0")},
-       |${assign("a2", "c1")},
-       |${update("c2", "a2", "c1")},
-       |${assign("a3", "c2")}""".stripMargin
-  }
+       |${ivfSeedCte("c0", "e", kSql)},
+       |${ivfAssignCte("a1", "e", "c0")},
+       |${ivfUpdateCte("c1", "a1", "c0", dim)},
+       |${ivfAssignCte("a2", "e", "c1")},
+       |${ivfUpdateCte("c2", "a2", "c1", dim)},
+       |${ivfAssignCte("a3", "e", "c2")}""".stripMargin
+
+  /** Two-level assignment CTE group ([[Similarity.ivfAssign2L]]):
+    * `{name}_cc` routes each fine centroid to its single nearest coarse
+    * list, `{name}_c0` exact-assigns every probed vector within its
+    * probed lists, `{name}_ms`/`{name}_fb` is the flat fallback for
+    * vectors whose probed lists hold no fine centroid, `$name` the
+    * union. Tie-breaks identical to the engine (sim DESC, cluster). */
+  private def ivf2lAssignCte(name: String, src: String, probes: String,
+      cents: String, coarse: String): String =
+    s"""${name}_cc AS MATERIALIZED (
+       |  SELECT ccluster, cluster, centroid FROM (
+       |    SELECT gcluster AS ccluster, cluster, centroid,
+       |      row_number() OVER (PARTITION BY cluster ORDER BY csim DESC, gcluster) AS rn
+       |    FROM (
+       |      SELECT c.cluster, c.centroid, g.cluster AS gcluster,
+       |        ${ivfSim("c.centroid", "g.centroid")} AS csim
+       |      FROM $cents c CROSS JOIN $coarse g) q0) q1
+       |  WHERE rn = 1),
+       |${name}_c0 AS MATERIALIZED (
+       |  SELECT id, vec, cluster FROM (
+       |    SELECT id, vec, cluster,
+       |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cluster) AS rn
+       |    FROM (
+       |      SELECT p.id, p.vec, m.cluster,
+       |        ${ivfSim("p.vec", "m.centroid")} AS sim
+       |      FROM $probes p JOIN ${name}_cc m USING (ccluster)) q2) q3
+       |  WHERE rn = 1),
+       |${name}_ms AS MATERIALIZED (
+       |  SELECT s.id, s.vec FROM $src s ANTI JOIN ${name}_c0 a USING (id)),
+       |${name}_fb AS MATERIALIZED (
+       |  SELECT id, vec, cluster FROM (
+       |    SELECT id, vec, cluster,
+       |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cluster) AS rn
+       |    FROM (
+       |      SELECT s.id, s.vec, c.cluster,
+       |        ${ivfSim("s.vec", "c.centroid")} AS sim
+       |      FROM ${name}_ms s CROSS JOIN $cents c) q4) q5
+       |  WHERE rn = 1),
+       |$name AS MATERIALIZED (
+       |  SELECT * FROM ${name}_c0 UNION ALL SELECT * FROM ${name}_fb)""".stripMargin
+
+  /** The two-level IVF fit+assign chain
+    * ([[Similarity.ivfFitAssign2L]]): `tkc` = ⌈√k⌉ with integer
+    * adjustment (no float-rounding dependence at perfect squares),
+    * `gc0..gc2` the flat coarse fit, `tpr` each vector's `nprobe`
+    * nearest coarse lists (computed once — coarse centroids are fixed
+    * across fine iterations), `tc0..tc2` the fine Lloyd chain with
+    * two-level assignments, `ta3` the final (id, vec, cluster). */
+  private def ivf2lCtes(src: String, kSql: String, dim: Int,
+      nprobe: Int): String =
+    s"""tkc AS MATERIALIZED (
+       |  SELECT CASE WHEN (m0-1)*(m0-1) >= kk THEN m0-1
+       |              WHEN m0*m0 >= kk THEN m0 ELSE m0+1 END AS kc
+       |  FROM (SELECT CAST(floor(sqrt(CAST(kk AS DOUBLE))) AS BIGINT) AS m0, kk
+       |        FROM (SELECT $kSql AS kk) z1) z2),
+       |${ivfSeedCte("gc0", src, "(SELECT kc FROM tkc)")},
+       |${ivfAssignCte("ga1", src, "gc0")},
+       |${ivfUpdateCte("gc1", "ga1", "gc0", dim)},
+       |${ivfAssignCte("ga2", src, "gc1")},
+       |${ivfUpdateCte("gc2", "ga2", "gc1", dim)},
+       |tpr AS MATERIALIZED (
+       |  SELECT id, vec, ccluster FROM (
+       |    SELECT id, vec, ccluster,
+       |      row_number() OVER (PARTITION BY id ORDER BY csim DESC, ccluster) AS rn
+       |    FROM (
+       |      SELECT s.id, s.vec, g.cluster AS ccluster,
+       |        ${ivfSim("s.vec", "g.centroid")} AS csim
+       |      FROM $src s CROSS JOIN gc2 g) p0) p1
+       |  WHERE rn <= $nprobe),
+       |${ivfSeedCte("tc0", src, kSql)},
+       |${ivf2lAssignCte("ta1", src, "tpr", "tc0", "gc2")},
+       |${ivfUpdateCte("tc1", "ta1", "tc0", dim)},
+       |${ivf2lAssignCte("ta2", src, "tpr", "tc1", "gc2")},
+       |${ivfUpdateCte("tc2", "ta2", "tc1", dim)},
+       |${ivf2lAssignCte("ta3", src, "tpr", "tc2", "gc2")}""".stripMargin
 
   val embedIvfRecall: String = {
     val nprobe = 4
@@ -352,23 +438,47 @@ object OraclesGen {
 
   /** SemDeDup: same k-means re-derivation, then within-cluster pairwise
     * cosine — any vector matching a lower-id member at ≥ 0.3 is dropped.
-    * `k` follows the engine's sizing law (max(16, ceil(n/300)) — cluster
-    * sizes ~300 keeps the within-cluster pairwise LINEAR in the corpus)
-    * with exact integer arithmetic, so the oracle is corpus-adaptive. */
-  val semDedup: String =
+    * `k` follows the engine's sizing law (max(minK, ceil(n/300)) —
+    * cluster sizes ~300 keeps the within-cluster pairwise LINEAR in the
+    * corpus) with exact integer arithmetic, so the oracle is
+    * corpus-adaptive — INCLUDING the assignment-path switch: strictly
+    * above TwoLevelMinK the engine takes the coarse-routed two-level
+    * assignment, so the oracle does too. Both chains are emitted but
+    * each is seeded from a guard-filtered source (`ef`/`et`, one of
+    * which is always empty), so the untaken path's CTEs run over zero
+    * rows rather than relying on optimizer pruning. */
+  private def semDedupSql(minK: Int): String = {
+    val t = graft.operators.Similarity.TwoLevelMinK
     s"""WITH kc AS (
-       |  SELECT GREATEST(16, (count(*) + 299) // 300) AS k
+       |  SELECT GREATEST($minK, (count(*) + 299) // 300) AS k
        |  FROM embeddings),
-       |${ivfAssignedCtes("(SELECT k FROM kc)", 64)},
+       |e0 AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |ef AS MATERIALIZED (SELECT * FROM e0 WHERE (SELECT k FROM kc) <= $t),
+       |et AS MATERIALIZED (SELECT * FROM e0 WHERE (SELECT k FROM kc) > $t),
+       |${ivfSeedCte("fc0", "ef", "(SELECT k FROM kc)")},
+       |${ivfAssignCte("fa1", "ef", "fc0")},
+       |${ivfUpdateCte("fc1", "fa1", "fc0", 64)},
+       |${ivfAssignCte("fa2", "ef", "fc1")},
+       |${ivfUpdateCte("fc2", "fa2", "fc1", 64)},
+       |${ivfAssignCte("fa3", "ef", "fc2")},
+       |${ivf2lCtes("et", "(SELECT k FROM kc)", 64,
+          graft.operators.Similarity.DefaultNProbe)},
+       |asg AS MATERIALIZED (SELECT * FROM fa3 UNION ALL SELECT * FROM ta3),
        |pr AS (
        |  SELECT a.id AS id_a, b.id AS id_b, a.vec AS va, b.vec AS vb
-       |  FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.id < b.id),
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id),
        |sc AS (
        |  SELECT id_b, ${cosineSelect("va", "vb")}
        |    FROM pr)),
        |dropped AS (SELECT DISTINCT id_b FROM sc WHERE sim >= 0.3)
-       |SELECT a3.id AS vec_id, a3.cluster, (d.id_b IS NULL) AS kept
-       |FROM a3 LEFT JOIN dropped d ON a3.id = d.id_b""".stripMargin
+       |SELECT asg.id AS vec_id, asg.cluster, (d.id_b IS NULL) AS kept
+       |FROM asg LEFT JOIN dropped d ON asg.id = d.id_b""".stripMargin
+  }
+
+  val semDedup: String = semDedupSql(16)
+
+  /** The two-level path pinned at gate scale (see QueriesText.semDedup2L). */
+  val semDedup2L: String = semDedupSql(80)
 
   /** Recall of the banded ANN against the exact brute-force ground
     * truth: both algorithms re-derived in SQL, joined on (q_id, n_id). */
@@ -2270,13 +2380,13 @@ object OraclesGen {
     val cell =
       if (castDouble) s"CAST($vecCol[j*$subDim + d + 1] AS DOUBLE)"
       else s"$vecCol[j*$subDim + d + 1]"
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT id, j,
        |    list_transform(range($subDim), d -> $cell) AS s
        |  FROM $src CROSS JOIN (SELECT unnest(range($m)) AS j) js)""".stripMargin
   }
   private def pqInitCte(name: String, sv: String, k: Int) =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT j,
        |    CAST(row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS INT)
        |      AS cluster,
@@ -2284,7 +2394,7 @@ object OraclesGen {
        |  FROM $sv WHERE id IN (SELECT id FROM e ORDER BY id LIMIT $k))""".stripMargin
   private def pqAssignCte(name: String, sv: String, cents: String,
       subDim: Int) =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT id, j, s, cluster FROM (
        |    SELECT sv.id, sv.j, sv.s, c.cluster,
        |      row_number() OVER (PARTITION BY sv.id, sv.j
@@ -2293,7 +2403,7 @@ object OraclesGen {
   private def pqUpdateCte(name: String, assigned: String, prev: String,
       subDim: Int) = {
     val w = graft.operators.Similarity.DefaultChunkWidth
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT p.j, p.cluster, COALESCE(u.centroid, p.centroid) AS centroid
        |  FROM $prev p LEFT JOIN (
        |    SELECT j, cluster,
@@ -2960,6 +3070,7 @@ object OraclesGen {
     "embed_ann_recall" -> embedAnnRecall,
     "embed_ivf_recall" -> embedIvfRecall,
     "sem_dedup" -> semDedup,
+    "sem_dedup_2l" -> semDedup2L,
     "doc_winnow" -> docWinnow,
     "doc_cdc_chunks" -> docCdcChunks,
     "embed_near_dups" -> embedNearDups,

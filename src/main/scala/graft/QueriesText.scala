@@ -266,7 +266,18 @@ object QueriesText {
     * (n/k ≈ constant), which is the SemDeDup design point; the
     * cluster-keyed self-join is an equi-join, never a global cross
     * product. Output: every vector with its cluster and kept flag. */
-  def semDedup(s: SparkSession, dir: String): DataFrame = {
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupImpl(s, dir, minK = 16)
+
+  /** The two-level assignment path of [[semDedup]] pinned at gate scale:
+    * a floor of 80 clusters keeps k above [[Similarity.TwoLevelMinK]]
+    * even on the 500-vector sf0.01 corpus, so the coarse-routed
+    * assignment (the 100 TB path sem_dedup itself only takes at sf1+)
+    * is hash-checked against the oracle every round. */
+  def semDedup2L(s: SparkSession, dir: String): DataFrame =
+    semDedupImpl(s, dir, minK = 80)
+
+  private def semDedupImpl(s: SparkSession, dir: String, minK: Int): DataFrame = {
     val threshold = 0.3
     val e = Tables.fanOut(Tables.embeddings(s, dir))
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -279,9 +290,16 @@ object QueriesText {
     // size × k clusters = LINEAR total when k ∝ n) — the SemDeDup
     // sizing law, same shape as Similarity.autoBits. At the sf0.01
     // gate (500 vectors) this floors to the oracle's k = 16.
-    val k = math.max(16, math.ceil(e.count() / 300.0).toInt)
-    val cents = Similarity.ivfFit(e, k = k, iters = 2, dim = 64)
-    val assigned = Similarity.ivfAssign(e, cents)
+    val k = math.max(minK, math.ceil(e.count() / 300.0).toInt)
+    // flat assignment is n·k work under a k-row broadcast — fine while
+    // k is bounded, a scale-killer once k ∝ n; strictly above
+    // TwoLevelMinK the coarse-routed two-level assignment takes over
+    // (n·√k·nprobe work, √k broadcast). Same threshold in the oracle.
+    val assigned =
+      if (k > Similarity.TwoLevelMinK)
+        Similarity.ivfFitAssign2L(e, k = k, iters = 2, dim = 64)
+      else
+        Similarity.ivfAssign(e, Similarity.ivfFit(e, k = k, iters = 2, dim = 64))
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("vec").as("vec_a"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),

@@ -73,6 +73,8 @@ object SparkEntry {
     "s34_rds_enhanced" -> (QueriesCatalog.s34RdsEnhanced _),
     "s34_provider_metrics" -> (QueriesCatalog.s34ProviderMetrics _),
     "s34_live" -> (QueriesCatalog.s34Live _),
+    "s1_pglive_chain" -> (QueriesPgLive.pgliveChain _),
+    "s34_helper_status" -> (QueriesPgLive.helperStatus _),
     "s34_azure_metrics" -> (QueriesCatalog.s34AzureMetrics _),
     "s15_ext_stats" -> (QueriesCatalog.s15ExtStats _),
     "selftest_summary" -> (QueriesSelftest.selftestSummary _),
@@ -120,6 +122,7 @@ object SparkEntry {
     "sample_shard_manifest" -> (QueriesText.sampleShardManifest _),
     "sample_seq_pack" -> (QueriesText.sampleSeqPack _),
     "sem_dedup" -> (QueriesText.semDedup _),
+    "sem_dedup_2l" -> (QueriesText.semDedup2L _),
     "text_tfidf_topk" -> (QueriesText.textTfidfTopK _),
     "text_bm25" -> (QueriesText.textBm25 _),
     "text_vocab_topk" -> (QueriesText.textVocabTopK _),

@@ -147,43 +147,57 @@ object Similarity {
     * levels; the default matches the oracle's constant. */
   def ivfFit(emb: DataFrame, k: Int, iters: Int, dim: Int,
       chunkWidth: Long = DefaultChunkWidth): DataFrame = {
-    val spark = emb.sparkSession
-    var cents = emb.orderBy("id").limit(k)
+    var cents = seedCents(emb, k)
+    var i = 0
+    while (i < iters) {
+      cents = lloydUpdate(ivfAssign(emb, cents), cents, dim, chunkWidth)
+      i += 1
+    }
+    cents
+  }
+
+  /** Centroid init shared by the flat and two-level fits: the `k`
+    * lowest-id vectors, widened to double, numbered 0..k-1 in id
+    * order. */
+  private def seedCents(emb: DataFrame, k: Int): DataFrame =
+    emb.orderBy("id").limit(k)
       .orderBy("id")
       .select(col("id"), expr("transform(vec, x -> cast(x as double))").as("centroid"))
       .withColumn("cluster",
         (row_number().over(Window.orderBy("id")) - 1).cast("int"))
       .select("cluster", "centroid")
-    var i = 0
-    while (i < iters) {
-      val assigned = ivfAssign(emb, cents)
-      val updated = assigned
-        .groupBy(col("cluster"), expr(s"id div $chunkWidth").as("chunk"))
-        .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("ms"))
-        .select(col("cluster"), col("chunk"),
-          expr(s"""transform(sequence(0, $dim - 1),
-            d -> aggregate(ms, 0D, (acc, m) -> acc + m.vec[d]))""").as("psum"),
-          size(col("ms")).cast("long").as("cnt"))
-        .groupBy("cluster")
-        .agg(sort_array(collect_list(struct(col("chunk"), col("psum"), col("cnt"))))
-          .as("chunks"))
-        .select(col("cluster"),
-          expr(s"""transform(sequence(0, $dim - 1),
-            d -> aggregate(chunks, 0D, (acc, c) -> acc + c.psum[d])
-                 / aggregate(chunks, cast(0 as bigint), (acc, c) -> acc + c.cnt))""")
-            .as("centroid"))
-      cents = cents.select(col("cluster"), col("centroid").as("prev"))
-        .join(updated, Seq("cluster"), "left")
-        .select(col("cluster"), coalesce(col("centroid"), col("prev")).as("centroid"))
-        // k tiny rows: checkpoint so iteration i+1 (and every downstream
-        // consumer — list assignment AND query probing both re-reference
-        // cents) doesn't re-run the whole k-means lineage; lazy, so the
-        // next consumer's broadcast-collect materializes it in its own
-        // job rather than paying a separate eager job per iteration
-        .localCheckpoint(eager = false)
-      i += 1
-    }
-    cents
+
+  /** One Lloyd centroid update over an assignment, with the two-level
+    * ordered tree fold (see [[ivfFit]]'s scale notes): level 1 folds
+    * members in id order within chunk `id div chunkWidth`, level 2
+    * folds chunk partial sums in chunk order. Empty clusters keep the
+    * previous centroid. */
+  private def lloydUpdate(assigned: DataFrame, cents: DataFrame,
+      dim: Int, chunkWidth: Long): DataFrame = {
+    val updated = assigned
+      .groupBy(col("cluster"), expr(s"id div $chunkWidth").as("chunk"))
+      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("ms"))
+      .select(col("cluster"), col("chunk"),
+        expr(s"""transform(sequence(0, $dim - 1),
+          d -> aggregate(ms, 0D, (acc, m) -> acc + m.vec[d]))""").as("psum"),
+        size(col("ms")).cast("long").as("cnt"))
+      .groupBy("cluster")
+      .agg(sort_array(collect_list(struct(col("chunk"), col("psum"), col("cnt"))))
+        .as("chunks"))
+      .select(col("cluster"),
+        expr(s"""transform(sequence(0, $dim - 1),
+          d -> aggregate(chunks, 0D, (acc, c) -> acc + c.psum[d])
+               / aggregate(chunks, cast(0 as bigint), (acc, c) -> acc + c.cnt))""")
+          .as("centroid"))
+    cents.select(col("cluster"), col("centroid").as("prev"))
+      .join(updated, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("centroid"), col("prev")).as("centroid"))
+      // k tiny rows: checkpoint so iteration i+1 (and every downstream
+      // consumer — list assignment AND query probing both re-reference
+      // cents) doesn't re-run the whole k-means lineage; lazy, so the
+      // next consumer's broadcast-collect materializes it in its own
+      // job rather than paying a separate eager job per iteration
+      .localCheckpoint(eager = false)
   }
 
   /** Nearest-centroid assignment: (id, vec, cluster). Per-id argmax via
@@ -198,6 +212,119 @@ object Similarity {
       max_by(col("cluster"),
         struct(col("sim"), (-col("cluster")).cast("int"))).as("cluster"))
       .select("id", "vec", "cluster")
+  }
+
+  // -------------------------------------------- two-level IVF assignment
+  //
+  // When the cluster count scales with the corpus (k ∝ n, the SemDeDup
+  // sizing law), flat [[ivfAssign]] is n·k dot products under a
+  // corpus-proportional centroid broadcast — the r10-verdict 100 TB
+  // scale-killer. The two-level path routes every vector through a
+  // ⌈√k⌉-centroid coarse quantizer first (n·√k work, √k-sized
+  // broadcast), then exact-assigns only against the fine centroids
+  // living in the vector's `nprobe` nearest coarse lists — total work
+  // n·√k·nprobe, and the fine-centroid join is an unhinted equi-join on
+  // the coarse-list key that AQE broadcasts while small and shuffles
+  // when k ∝ n makes it big. Bit-reproduced in the DuckDB oracle
+  // (OraclesGen.ivf2lCtes).
+
+  /** Flat assignment is kept below this cluster count; strictly above
+    * it the two-level path engages. Shared with the SQL oracle. */
+  val TwoLevelMinK = 64
+
+  /** Coarse lists probed per vector in the two-level assignment. */
+  val DefaultNProbe = 4
+
+  /** ⌈√k⌉ with integer adjustment (no dependence on float rounding at
+    * perfect squares) — mirrored exactly in the oracle SQL. */
+  def isqrtCeil(k: Long): Int = {
+    val m0 = math.floor(math.sqrt(k.toDouble)).toLong
+    val m = if ((m0 - 1) * (m0 - 1) >= k) m0 - 1
+            else if (m0 * m0 >= k) m0
+            else m0 + 1
+    m.toInt
+  }
+
+  /** Per-vector coarse probe lists: (id, vec, ccluster), `nprobe` rows
+    * per id — the vector's nprobe nearest coarse centroids by cosine,
+    * ties to the lowest coarse cluster id. The coarse side is a bounded
+    * ⌈√k⌉-row broadcast. */
+  def coarseProbes(emb: DataFrame, coarse: DataFrame, nprobe: Int): DataFrame = {
+    val cc = coarse.select(col("cluster").as("ccluster"),
+      col("centroid").as("ccentroid"))
+    val w = Window.partitionBy("id").orderBy(col("csim").desc, col("ccluster"))
+    emb.crossJoin(broadcast(cc))
+      .withColumn("csim", cosineFD(col("vec"), col("ccentroid")))
+      .withColumn("prn", row_number().over(w))
+      .filter(col("prn") <= nprobe)
+      .select("id", "vec", "ccluster")
+  }
+
+  /** Cosine of two double vectors (fine centroid vs coarse centroid). */
+  private def cosineDD(a: Column, b: Column): Column =
+    GraftNative.column(graft.functions.expressions.CosineSimilarityDD(
+      GraftNative.expression(a), GraftNative.expression(b)))
+
+  /** Two-level nearest-centroid assignment: each fine centroid is
+    * routed to its single nearest coarse list; each vector exact-scores
+    * only the fine centroids in its probed coarse lists. Vectors whose
+    * probed lists hold no fine centroid (rare by construction — k ≥ kc
+    * fine centroids spread over kc coarse lists, and a vector probes
+    * its nprobe NEAREST lists) fall back to the flat argmax, with the
+    * tiny `missing` side broadcast so the centroid side streams.
+    * Same (sim DESC, cluster ASC) tie-break as [[ivfAssign]]. */
+  def ivfAssign2L(emb: DataFrame, probes: DataFrame, cents: DataFrame,
+      coarse: DataFrame): DataFrame = {
+    val cc = coarse.select(col("cluster").as("ccluster"),
+      col("centroid").as("ccentroid"))
+    val wc = Window.partitionBy("cluster").orderBy(col("csim").desc, col("ccluster"))
+    val centsC = cents.crossJoin(broadcast(cc))
+      .withColumn("csim", cosineDD(col("centroid"), col("ccentroid")))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") === 1)
+      .select("ccluster", "cluster", "centroid")
+    // unhinted equi-join on the coarse-list key: AQE broadcasts centsC
+    // while it is small and falls back to a shuffled hash join once
+    // k ∝ n makes it big — no forced corpus-proportional broadcast
+    val cand = probes.join(centsC, "ccluster")
+      .withColumn("sim", cosineFD(col("vec"), col("centroid")))
+    val assigned0 = cand.groupBy("id").agg(
+      first(col("vec")).as("vec"),
+      max_by(col("cluster"),
+        struct(col("sim"), (-col("cluster")).cast("int"))).as("cluster"))
+      .select("id", "vec", "cluster")
+    val missing = emb.join(assigned0.select("id"), Seq("id"), "left_anti")
+    val fallback = cents.crossJoin(broadcast(missing))
+      .withColumn("sim", cosineFD(col("vec"), col("centroid")))
+      .groupBy("id").agg(
+        first(col("vec")).as("vec"),
+        max_by(col("cluster"),
+          struct(col("sim"), (-col("cluster")).cast("int"))).as("cluster"))
+      .select("id", "vec", "cluster")
+    assigned0.unionByName(fallback)
+  }
+
+  /** Fit k ∝ n fine centroids and return the final (id, vec, cluster)
+    * assignment, with every Lloyd iteration's assignment AND the final
+    * one running two-level. The coarse quantizer (⌈√k⌉ centroids, flat
+    * [[ivfFit]]) and the per-vector probe lists are computed once —
+    * coarse centroids are fixed across fine iterations. */
+  def ivfFitAssign2L(emb: DataFrame, k: Int, iters: Int, dim: Int,
+      nprobe: Int = DefaultNProbe,
+      chunkWidth: Long = DefaultChunkWidth): DataFrame = {
+    val kc = isqrtCeil(k.toLong)
+    val coarse = ivfFit(emb, kc, iters, dim, chunkWidth)
+    // probes feed every fine iteration and the final assignment —
+    // checkpoint so the n·√k coarse scoring runs once, not iters+1 times
+    val probes = coarseProbes(emb, coarse, nprobe).localCheckpoint(eager = false)
+    var cents = seedCents(emb, k)
+    var i = 0
+    while (i < iters) {
+      cents = lloydUpdate(ivfAssign2L(emb, probes, cents, coarse), cents,
+        dim, chunkWidth)
+      i += 1
+    }
+    ivfAssign2L(emb, probes, cents, coarse)
   }
 
   /** IVF top-k: fit `nClusters` centroids on the corpus, assign corpus
