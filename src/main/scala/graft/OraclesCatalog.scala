@@ -421,6 +421,37 @@ object OraclesCatalog {
         |  CAST(cpu_idle AS DOUBLE) / (cpu_user + cpu_system + cpu_idle) AS idle_pct
         |FROM agg""".stripMargin,
 
+    // Mirrors QueriesPgLive.pgliveChain: the workload's call/row counts
+    // are pinned by construction (3+2 then 2+1 calls of two marked
+    // count queries → deltas 2/1, one row returned per call); the count
+    // results and seeded-table reltuples recompute from the same
+    // parquet corpus the entry ships into the live server.
+    "s1_pglive_chain" ->
+      """SELECT 'pglive_q1' AS item, 'calls_delta' AS metric,
+        |  CAST(2 AS BIGINT) AS value
+        |UNION ALL SELECT 'pglive_q2', 'calls_delta', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'pglive_q1', 'rows_delta', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 'pglive_q2', 'rows_delta', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'pglive_q1', 'count_result',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+        |UNION ALL SELECT 'pglive_q2', 'count_result',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE lang = 'en')
+        |UNION ALL SELECT 'docs', 'relkind_r', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'nations', 'relkind_r', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'nations', 'reltuples',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation)""".stripMargin,
+
+    // Mirrors QueriesPgLive.helperStatus: every helper contract
+    // (reference helper/main.go:22-118) collapses to an invariant row.
+    "s34_helper_status" ->
+      """SELECT 'postmaster_pid_found' AS metric, CAST(1 AS BIGINT) AS ok
+        |UNION ALL SELECT 'data_directory_resolved', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'cwd_mode_matches', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'xlog_is_pg_wal', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'xlog_used_bytes_positive', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'system_identifier_digits', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'json_has_all_fields', CAST(1 AS BIGINT)""".stripMargin,
+
     // Mirrors QueriesCatalog.s34Live: the synth host's /proc documents
     // are rendered from these same part-derived formulas (32 cpus, 8
     // devices, tick1 − tick0 deltas; USER_HZ/100, sectors×512, kB×1024),

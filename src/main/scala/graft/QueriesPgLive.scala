@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CatalogJdbc, PgEphemeral, PgWire}
+
+/** LIVE PostgreSQL catalog leg — the assembled version-adaptive SQL of
+  * [[sources.CatalogJdbc]] executed against a REAL Postgres 15 server
+  * (ephemeral, per-JVM: [[sources.PgEphemeral]]) over the hand-rolled
+  * wire protocol ([[sources.PgWire]]), retiring the "never ran against
+  * an actual Postgres grammar" residual risk (r10 verdict, missing #1;
+  * reference semantics: `input/postgres/statements.go:128-154`).
+  *
+  * The entry drives the full collector chain end-to-end: seed tables
+  * from the sf-dir parquet → ANALYZE → marked workload →
+  * pg_stat_statements scan (S1) at two ticks → texts join (J2 shape) →
+  * counter diff (D1, [[operators.Diff.counterDiff]]) → per-query
+  * deltas, plus the relations scan (S6) against the real pg_class.
+  * Every value either derives from the parquet corpus (recomputed by
+  * the DuckDB oracle) or is pinned by the workload's fixed call counts.
+  */
+object QueriesPgLive {
+
+  private val Marker = CatalogJdbc.QueryMarker
+
+  /** Long-format output: (item, metric, value). */
+  def pgliveChain(s: SparkSession, dir: String): DataFrame = {
+    val srv = PgEphemeral.server()
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect() // bounded: the live-leg seed corpus (500–500k slim rows),
+                 // same emulator-seed class as s32/s36 (spooled server-side)
+    val nations = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+
+    val out = srv.withDatabase("graft_live") { c =>
+      c.query("CREATE EXTENSION pg_stat_statements")
+      c.query("CREATE TABLE docs (doc_id bigint, lang text, n_chars bigint)")
+      c.query("CREATE TABLE nations (n_key bigint, n_name text)")
+      docs.grouped(1000).foreach { batch =>
+        val values = batch.map(r =>
+          s"(${r.getLong(0)}, ${PgWire.lit(r.getString(1))}, ${r.getLong(2)})")
+          .mkString(",")
+        c.query(s"INSERT INTO docs VALUES $values")
+      }
+      c.query("INSERT INTO nations VALUES " + nations.map(r =>
+        s"(${r.getLong(0).toString}, ${PgWire.lit(r.getString(1))})").mkString(","))
+      c.query("ANALYZE nations")
+      c.query("SELECT pg_stat_statements_reset()")
+
+      val q1 = s"$Marker /* tag:pglive_q1 */ SELECT count(*) FROM docs"
+      val q2 = s"$Marker /* tag:pglive_q2 */ SELECT count(*) FROM docs WHERE lang = 'en'"
+      val count1 = {
+        var v = 0L
+        (1 to 3).foreach(_ => v = c.queryOne(q1).rows.head.head.get.toLong)
+        v
+      }
+      val count2 = {
+        var v = 0L
+        (1 to 2).foreach(_ => v = c.queryOne(q2).rows.head.head.get.toLong)
+        v
+      }
+
+      def snap(n: Int): DataFrame = {
+        val stats = PgWire.toDf(s, c.queryOne(
+          CatalogJdbc.statementStatsSql(
+            CatalogJdbc.bundledPgssMinor(15), "pg_stat_statements")))
+        val texts = PgWire.toDf(s, c.queryOne(
+          CatalogJdbc.statementTextsSql(10, "pg_stat_statements")))
+        stats.join(texts.select(col("queryid"), col("query")), Seq("queryid"))
+          .withColumn("tag", regexp_extract(col("query"), "tag:(\\w+)", 1))
+          .filter(col("tag").startsWith("pglive_"))
+          .select(col("tag"), col("calls"), col("rows"), lit(n).as("snap"))
+      }
+
+      val snapA = snap(1)
+      (1 to 2).foreach(_ => c.query(q1))
+      c.query(q2)
+      val snapB = snap(2)
+
+      val deltas = operators.Diff.counterDiff(
+        snapA.unionByName(snapB), Seq("tag"), Seq("snap"),
+        Seq("calls", "rows"))
+        .filter(col("snap") === 2)
+        .select(col("tag"), col("calls_delta"), col("rows_delta"))
+
+      val rels = PgWire.toDf(s, c.queryOne(
+        CatalogJdbc.relationsSql(15, "")))
+        .filter(col("relname").isin("docs", "nations"))
+
+      val relRows = rels.select(
+        col("relname").as("item"),
+        lit("relkind_r").as("metric"),
+        when(col("relkind") === "r", lit(1L)).otherwise(lit(0L)).as("value"))
+      val tupleRow = rels.filter(col("relname") === "nations").select(
+        lit("nations").as("item"), lit("reltuples").as("metric"),
+        col("reltuples").cast("long").as("value"))
+      val deltaRows = deltas.select(col("tag").as("item"),
+        lit("calls_delta").as("metric"), col("calls_delta").cast("long").as("value"))
+        .unionByName(deltas.select(col("tag").as("item"),
+          lit("rows_delta").as("metric"), col("rows_delta").cast("long").as("value")))
+      import s.implicits._
+      val countRows = Seq(
+        ("pglive_q1", "count_result", count1),
+        ("pglive_q2", "count_result", count2))
+        .toDF("item", "metric", "value")
+
+      deltaRows.unionByName(countRows).unionByName(relRows).unionByName(tupleRow)
+    }
+    out
+  }
+
+  /** S34 helper leg — the privileged OS helper's `status` command
+    * ([[sources.HelperStatus]], reference `helper/main.go:22-118`) run
+    * against the live postmaster: pgrep discovery, /proc-cwd data-dir
+    * resolution, `pg_wal` usage via du, pg_controldata system
+    * identifier. Each contract collapses to an invariant row the
+    * oracle pins literally (the concrete pid/paths/bytes vary per
+    * boot; the CONTRACTS do not). */
+  def helperStatus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srv = PgEphemeral.server()
+    val expectedData = java.nio.file.Paths.get(srv.dataDir)
+      .toRealPath().toString
+    val st = sources.HelperStatus.status(srv.dataDir)
+    val stCwd = sources.HelperStatus.status() // /proc/<pid>/cwd mode
+    val json = sources.HelperStatus.toJson(st)
+    Seq(
+      ("postmaster_pid_found", st.postmasterPid > 0),
+      ("data_directory_resolved", st.dataDirectory == expectedData),
+      ("cwd_mode_matches", stCwd.dataDirectory == expectedData),
+      ("xlog_is_pg_wal", st.xlogDirectory == s"$expectedData/pg_wal"),
+      ("xlog_used_bytes_positive", st.xlogUsedBytes > 0L),
+      ("system_identifier_digits",
+        st.systemIdentifier.nonEmpty && st.systemIdentifier.forall(_.isDigit)),
+      ("json_has_all_fields", Seq("PostmasterPid", "DataDirectory",
+        "XlogDirectory", "XlogUsedBytes", "SystemIdentifier")
+        .forall(json.contains)))
+      .map { case (m, ok) => (m, if (ok) 1L else 0L) }
+      .toDF("metric", "ok")
+  }
+}

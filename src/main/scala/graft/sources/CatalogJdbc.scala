@@ -172,9 +172,22 @@ object CatalogJdbc {
       statTable: String = "pg_catalog.pg_statistic_ext",
       classTable: String = "pg_class",
       nsTable: String = "pg_namespace",
-      sdTable: String = "pg_catalog.pg_stats_ext"): String = {
+      sdTable: String = "pg_catalog.pg_stats_ext",
+      pgNative: Boolean = false): String = {
+    // On a REAL server pg_get_statisticsobjdef_expressions returns
+    // text[] (the reference coalesces `::text[]` against
+    // ARRAY[]::text[], `relation_stats_ext.go:14,23`); the normalized
+    // scan carries one string, so the deployment form flattens with
+    // array_to_string. The embedded test database registers the
+    // same-named SCALAR function, so the portable form keeps the bare
+    // call. The live-PG matrix run (PgLiveSpec) is what caught the
+    // text[] coercion failing under the portable spelling — the exact
+    // rarely-used-cell risk class this flag retires.
     val exprs =
-      if (pgMajor >= 14) "pg_get_statisticsobjdef_expressions(s.oid)"
+      if (pgMajor >= 14)
+        if (pgNative)
+          "array_to_string(pg_get_statisticsobjdef_expressions(s.oid), ', ')"
+        else "pg_get_statisticsobjdef_expressions(s.oid)"
       else "CAST(NULL AS VARCHAR(32672))"
     val inherited =
       if (pgMajor >= 15) "sd.inherited" else "CAST(NULL AS BOOLEAN)"

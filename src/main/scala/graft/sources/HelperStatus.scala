@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+/** The privileged OS helper's `status` command (reference:
+  * `helper/main.go:22-137`) — postmaster discovery and WAL usage for
+  * self-hosted disk metrics, the missing S34 leg:
+  *
+  *  - postmaster pid: `pgrep -U postgres -o postgres`, falling back to
+  *    the RHEL-style `postmaster` process name (`main.go:23-31`);
+  *  - data directory: explicit argument > `PGDATA` > the postmaster's
+  *    `/proc/<pid>/cwd`, then symlink-resolved (`main.go:50-62`);
+  *  - xlog directory: `pg_wal`, falling back to the pre-10 `pg_xlog`
+  *    name, symlink-resolved with the unresolved path kept on error
+  *    (`main.go:64-77`);
+  *  - WAL usage: `du -b -s` over the xlog directory (`main.go:79-87`);
+  *  - system identifier: `pg_controldata <datadir>` located next to the
+  *    postmaster binary via `/proc/<pid>/exe` (fallback `locate`, then
+  *    bare name), parsed with the same regex (`main.go:89-112`).
+  *
+  * Every step that fails leaves its field at the zero value and the
+  * helper still emits the status object — mirrored here with `Option`s
+  * collapsed to defaults. */
+object HelperStatus {
+
+  final case class Status(
+      postmasterPid: Int,
+      dataDirectory: String,
+      xlogDirectory: String,
+      xlogUsedBytes: Long,
+      systemIdentifier: String)
+
+  private def run(cmd: String*): Option[String] =
+    try {
+      val p = new ProcessBuilder(cmd: _*).start()
+      val out = new String(p.getInputStream.readAllBytes())
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case _: Exception => None }
+
+  /** `getPostmasterPid` (`main.go:22-39`). */
+  def postmasterPid(user: String = "postgres"): Option[Int] =
+    run("pgrep", "-U", user, "-o", "postgres")
+      .orElse(run("pgrep", "-U", user, "-o", "postmaster"))
+      .flatMap(s => s.trim.linesIterator.nextOption())
+      .flatMap(s => s.toIntOption)
+
+  private def realpath(p: String): Option[String] =
+    try Some(Paths.get(p).toRealPath().toString)
+    catch { case _: Exception => None }
+
+  /** `getStatus` (`main.go:41-118`). */
+  def status(dataDirArg: String = "",
+      user: String = "postgres"): Status = {
+    postmasterPid(user) match {
+      case None => Status(-1, "", "", 0L, "")
+      case Some(pid) =>
+        val dataDir0 =
+          if (dataDirArg.nonEmpty) dataDirArg
+          else sys.env.getOrElse("PGDATA",
+            s"/proc/$pid/cwd")
+        val dataDir = realpath(dataDir0).getOrElse("")
+        val xlogName =
+          if (Files.exists(Paths.get(s"$dataDir/pg_wal"))) "pg_wal"
+          else "pg_xlog"
+        val xlogDir = realpath(s"$dataDir/$xlogName")
+          .getOrElse(if (dataDir.nonEmpty) s"$dataDir/$xlogName" else "")
+        val xlogBytes = run("du", "-b", "-s", xlogDir)
+          .flatMap(_.split("\\s+").headOption)
+          .flatMap(_.toLongOption).getOrElse(0L)
+        val controldata = realpath(s"/proc/$pid/exe") match {
+          case Some(bin) =>
+            Paths.get(bin).getParent.resolve("pg_controldata").toString
+          case None =>
+            run("locate", "-r", "bin/pg_controldata$")
+              .map(_.trim).filter(_.nonEmpty).getOrElse("pg_controldata")
+        }
+        val sysId = run(controldata, dataDir).flatMap { out =>
+          "Database system identifier:\\s+(\\d+)".r
+            .findFirstMatchIn(out).map(_.group(1))
+        }.getOrElse("")
+        Status(pid, dataDir, xlogDir, xlogBytes, sysId)
+    }
+  }
+
+  /** The helper's JSON marshal of the status (`main.go:114-118`) —
+    * same field names as the Go struct. */
+  def toJson(st: Status): String =
+    s"""{
+       |  "PostmasterPid": ${st.postmasterPid},
+       |  "DataDirectory": "${st.dataDirectory}",
+       |  "XlogDirectory": "${st.xlogDirectory}",
+       |  "XlogUsedBytes": ${st.xlogUsedBytes},
+       |  "SystemIdentifier": "${st.systemIdentifier}"
+       |}""".stripMargin
+}

@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+/** Ephemeral local PostgreSQL server for the live catalog legs: initdb
+  * into a temp directory, start with `pg_stat_statements` preloaded and
+  * `trust` auth on loopback, stop + delete on JVM exit. One shared
+  * server per JVM (lazy, like the per-JVM Derby seed of
+  * j9_explain_live) — catalog entries each create their own DATABASE on
+  * it, so entries stay isolated while the ~2 s server boot is paid
+  * once.
+  *
+  * Postgres refuses to run as root; when the JVM runs as root every
+  * server command is wrapped in `su postgres -c` (the sandbox ships a
+  * `postgres` system user), and the data directory is chowned to it.
+  */
+object PgEphemeral {
+
+  final case class Server(host: String, port: Int, dataDir: String,
+      user: String) {
+    def connect(database: String = "postgres"): PgWire.Conn =
+      PgWire.connect(host, port, user, database)
+    /** Run DDL/queries on a dedicated fresh database. */
+    def withDatabase[A](name: String)(f: PgWire.Conn => A): A = {
+      val admin = connect()
+      try {
+        admin.query(s"DROP DATABASE IF EXISTS $name")
+        admin.query(s"CREATE DATABASE $name")
+      } finally admin.close()
+      val c = connect(name)
+      try f(c) finally c.close()
+    }
+  }
+
+  private val binDir = {
+    val candidates = Seq("/usr/lib/postgresql/15/bin", "/usr/local/bin", "/usr/bin")
+    candidates.find(d => Files.exists(Paths.get(d, "initdb"))).getOrElse(
+      throw new IllegalStateException("no PostgreSQL installation found"))
+  }
+
+  private def runAsPg(cmd: String): (Int, String) = {
+    val asRoot = System.getProperty("user.name") == "root"
+    val full =
+      if (asRoot) Array("su", "postgres", "-c", cmd)
+      else Array("sh", "-c", cmd)
+    val p = new ProcessBuilder(full: _*)
+      .directory(new java.io.File("/tmp"))
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    p.waitFor()
+    (p.exitValue(), out)
+  }
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  @volatile private var shared: Server = _
+
+  /** The per-JVM shared server (booted on first use). */
+  def server(): Server = {
+    if (shared == null) synchronized {
+      if (shared == null) shared = boot()
+    }
+    shared
+  }
+
+  private def boot(): Server = {
+    val dir = Files.createTempDirectory("graft_pg").toString
+    val port = freePort()
+    // the postgres user must own the directory tree when running as root
+    if (System.getProperty("user.name") == "root") {
+      new ProcessBuilder("chown", "-R", "postgres:postgres", dir)
+        .start().waitFor()
+    }
+    val data = s"$dir/data"
+    val (ic, iout) = runAsPg(
+      s"$binDir/initdb -D $data -A trust -E UTF8 --no-sync 2>&1")
+    require(ic == 0, s"initdb failed: $iout")
+    val opts = Seq(
+      s"-p $port",
+      "-c listen_addresses=127.0.0.1",
+      "-c shared_preload_libraries=pg_stat_statements",
+      "-c pg_stat_statements.track=all",
+      s"-c unix_socket_directories=$dir",
+      "-c fsync=off", "-c synchronous_commit=off", "-c full_page_writes=off",
+      "-c autovacuum=off" // deterministic stats: only explicit ANALYZE
+    ).mkString(" ")
+    val (sc, sout) = runAsPg(
+      s"""$binDir/pg_ctl -D $data -o "$opts" -l $dir/server.log -w start 2>&1""")
+    require(sc == 0, s"pg_ctl start failed: $sout")
+    val srv = Server("127.0.0.1", port, data, "postgres")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try runAsPg(s"$binDir/pg_ctl -D $data -m immediate stop 2>&1")
+      catch { case _: Exception => }
+    }))
+    srv
+  }
+}

@@ -1,0 +1,241 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Minimal PostgreSQL frontend/backend protocol (v3) client — the live
+  * leg that lets every assembled catalog SQL from [[CatalogJdbc]]
+  * execute against a REAL Postgres server grammar (no JDBC driver for
+  * Postgres ships in this environment; the protocol is public and
+  * small). Implemented from the published protocol description the
+  * same way [[AmqpEventHub]] hand-rolls AMQP 1.0:
+  *
+  *  - StartupMessage (protocol 3.0) with user/database, `trust` or
+  *    `cleartext` auth (the ephemeral test server runs trust);
+  *  - simple-query cycle: `Q` → RowDescription `T` / DataRow `D` /
+  *    CommandComplete `C` / ErrorResponse `E` … ReadyForQuery `Z`;
+  *  - all values travel in text format; [[PgWire.toDf]] maps them into
+  *    a typed DataFrame from the RowDescription's type OIDs.
+  *
+  * Scale shape: catalog scans are the reference's cadence model — ONE
+  * bounded-result query per tick — so the wire read happens driver-side
+  * and the (tiny) result enters Spark as a local relation; everything
+  * downstream (diff, joins, aggregation) is distributed. This mirrors
+  * `spark.read.jdbc` with a single partition, without needing a
+  * Postgres JDBC jar.
+  */
+object PgWire {
+
+  final case class PgField(name: String, typeOid: Int)
+  final case class PgResult(fields: Seq[PgField], rows: Seq[Seq[Option[String]]],
+      tag: String)
+  final case class PgServerError(code: String, message: String)
+      extends RuntimeException(s"$code: $message")
+
+  /** One live connection. Not thread-safe (one query cycle at a time —
+    * the collector's connection model). */
+  final class Conn private[PgWire] (socket: Socket) extends AutoCloseable {
+    private val in = new DataInputStream(socket.getInputStream)
+    private val out = new DataOutputStream(socket.getOutputStream)
+
+    private def writeMsg(tpe: Byte, body: Array[Byte]): Unit = {
+      if (tpe != 0) out.writeByte(tpe)
+      out.writeInt(body.length + 4)
+      out.write(body)
+      out.flush()
+    }
+
+    private def readCString(): String = {
+      val b = new ArrayBuffer[Byte]()
+      var c = in.readByte()
+      while (c != 0) { b += c; c = in.readByte() }
+      new String(b.toArray, UTF_8)
+    }
+
+    private[PgWire] def startup(user: String, database: String,
+        password: String): Unit = {
+      val body = new ArrayBuffer[Byte]()
+      def putInt(v: Int): Unit = {
+        body += ((v >> 24) & 0xff).toByte; body += ((v >> 16) & 0xff).toByte
+        body += ((v >> 8) & 0xff).toByte; body += (v & 0xff).toByte
+      }
+      def putStr(s: String): Unit = { body ++= s.getBytes(UTF_8); body += 0 }
+      putInt(196608) // protocol 3.0
+      putStr("user"); putStr(user)
+      putStr("database"); putStr(database)
+      putStr("client_encoding"); putStr("UTF8")
+      body += 0
+      writeMsg(0, body.toArray)
+      // auth loop until ReadyForQuery
+      var ready = false
+      while (!ready) {
+        val tpe = in.readByte().toChar
+        val len = in.readInt() - 4
+        tpe match {
+          case 'R' =>
+            val kind = in.readInt()
+            kind match {
+              case 0 => // AuthenticationOk
+              case 3 => // cleartext password
+                val pw = password.getBytes(UTF_8)
+                out.writeByte('p'); out.writeInt(4 + pw.length + 1)
+                out.write(pw); out.writeByte(0); out.flush()
+              case other =>
+                throw new IllegalStateException(
+                  s"unsupported auth method $other (run the test server with trust)")
+            }
+          case 'S' | 'K' | 'N' => in.skipBytes(len) // params, key data, notices
+          case 'Z' => in.skipBytes(len); ready = true
+          case 'E' => throw readError(len)
+          case other =>
+            throw new IllegalStateException(s"unexpected startup message '$other'")
+        }
+      }
+    }
+
+    private def readError(len: Int): PgServerError = {
+      var code = ""; var msg = ""
+      var b = in.readByte()
+      while (b != 0) {
+        val v = readCString()
+        b.toChar match {
+          case 'C' => code = v
+          case 'M' => msg = v
+          case _ =>
+        }
+        b = in.readByte()
+      }
+      PgServerError(code, msg)
+    }
+
+    /** Run one simple query string (may contain several statements);
+      * returns one [[PgResult]] per statement that produced a result
+      * set or completion tag. Throws [[PgServerError]] on the first
+      * server error (after draining to ReadyForQuery, so the
+      * connection stays usable). */
+    def query(sql: String): Seq[PgResult] = {
+      val b = sql.getBytes(UTF_8)
+      out.writeByte('Q'); out.writeInt(4 + b.length + 1)
+      out.write(b); out.writeByte(0); out.flush()
+      val results = new ArrayBuffer[PgResult]()
+      var fields: Seq[PgField] = Nil
+      var rows = new ArrayBuffer[Seq[Option[String]]]()
+      var err: PgServerError = null
+      var done = false
+      while (!done) {
+        val tpe = in.readByte().toChar
+        val len = in.readInt() - 4
+        tpe match {
+          case 'T' =>
+            val n = in.readShort()
+            fields = (0 until n).map { _ =>
+              val name = readCString()
+              in.readInt(); in.readShort() // table oid, attnum
+              val typeOid = in.readInt()
+              in.readShort(); in.readInt(); in.readShort() // len, mod, fmt
+              PgField(name, typeOid)
+            }
+            rows = new ArrayBuffer[Seq[Option[String]]]()
+          case 'D' =>
+            val n = in.readShort()
+            rows += (0 until n).map { _ =>
+              val l = in.readInt()
+              if (l < 0) None
+              else {
+                val buf = new Array[Byte](l)
+                in.readFully(buf)
+                Some(new String(buf, UTF_8))
+              }
+            }
+          case 'C' =>
+            results += PgResult(fields, rows.toSeq, readCString())
+            fields = Nil; rows = new ArrayBuffer[Seq[Option[String]]]()
+          case 'I' => in.skipBytes(len) // EmptyQueryResponse
+          case 'E' => if (err == null) err = readError(len) else in.skipBytes(len)
+          case 'N' | 'S' => in.skipBytes(len)
+          case 'Z' => in.skipBytes(len); done = true
+          case other =>
+            throw new IllegalStateException(s"unexpected message '$other'")
+        }
+      }
+      if (err != null) throw err
+      results.toSeq
+    }
+
+    /** Single-result convenience. */
+    def queryOne(sql: String): PgResult = {
+      val rs = query(sql).filter(_.fields.nonEmpty)
+      require(rs.size == 1, s"expected one result set, got ${rs.size}")
+      rs.head
+    }
+
+    override def close(): Unit = {
+      try { out.writeByte('X'); out.writeInt(4); out.flush() }
+      catch { case _: Exception => }
+      socket.close()
+    }
+  }
+
+  def connect(host: String, port: Int, user: String, database: String,
+      password: String = "", timeoutMs: Int = 10000): Conn = {
+    val s = new Socket()
+    s.connect(new InetSocketAddress(host, port), timeoutMs)
+    s.setSoTimeout(timeoutMs * 6)
+    val c = new Conn(s)
+    c.startup(user, database, password)
+    c
+  }
+
+  // --------------------------------------------------- result → DataFrame
+
+  /** Spark type for a Postgres type OID; everything unmapped stays
+    * string (the same lossy-but-safe envelope JDBC drivers use for
+    * exotic types). */
+  def sparkType(oid: Int): DataType = oid match {
+    case 16 => BooleanType // bool
+    case 20 => LongType // int8
+    case 21 => IntegerType // int2
+    case 23 => IntegerType // int4
+    case 26 => LongType // oid
+    case 700 => FloatType // float4
+    case 701 => DoubleType // float8
+    case 1700 => DoubleType // numeric (stats columns; lossless here)
+    case 1114 | 1184 => TimestampType // timestamp[tz]
+    case _ => StringType // text, name, varchar, char, arrays, …
+  }
+
+  private def convert(v: String, dt: DataType): Any = dt match {
+    case BooleanType => v == "t" || v == "true"
+    case IntegerType => v.toInt
+    case LongType => v.toLong
+    case FloatType => v.toFloat
+    case DoubleType => v.toDouble
+    case TimestampType => java.sql.Timestamp.valueOf(
+      v.replace('T', ' ').replaceAll("([+-]\\d\\d(:?\\d\\d)?)$", ""))
+    case _ => v
+  }
+
+  /** Materialize a wire result as a local-relation DataFrame with the
+    * schema derived from the RowDescription type OIDs. */
+  def toDf(spark: SparkSession, r: PgResult): DataFrame = {
+    val schema = StructType(r.fields.map(f =>
+      StructField(f.name, sparkType(f.typeOid), nullable = true)))
+    val rows = r.rows.map { vals =>
+      Row.fromSeq(vals.zip(r.fields).map { case (ov, f) =>
+        ov.map(convert(_, sparkType(f.typeOid))).orNull
+      })
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** SQL string literal with standard escaping. */
+  def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+}
