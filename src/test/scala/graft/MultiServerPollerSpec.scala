@@ -19,7 +19,8 @@ class MultiServerPollerSpec extends SparkSpec {
     val endpoints = (0 until N).map { i =>
       new RdsLogs.Endpoint(creds, "us-east-1", Map(
         s"error/postgresql.log.s$i" ->
-          (1700000000000L, Vector(s"s$i-line-0", s"s$i-line-1"))))
+          (1700000000000L, RdsLogs.FileContent.mem(
+            Seq(s"s$i-line-0", s"s$i-line-1")))))
     }
     val clients = endpoints.map(ep =>
       new RdsLogs.Client(ep.url, ep.host, "us-east-1", creds,

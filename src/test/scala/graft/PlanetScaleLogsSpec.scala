@@ -10,7 +10,8 @@ class PlanetScaleLogsSpec extends AnyFunSuite {
 
   private def endpoint(entries: Seq[(String, String)],
       now: () => Long = () => 1700000000L, ttl: Long = 3600L) =
-    new Endpoint("tid", "tsec", "o", "d", "b", "br-1", entries,
+    new Endpoint("tid", "tsec", "o", "d", "b", "br-1",
+      PlanetScaleLogs.EntrySource.Mem(entries),
       nowEpochSecs = now, sigTtlSecs = ttl)
 
   test("trailing cap: oldest bytes discarded, oversized message truncated") {

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{PlanetScaleLogs, RdsLogs, TemboLogs}
+
+/** The spooled emulator content sources must page identically to the
+  * in-memory forms they replaced (r10 verdict, wrong #2: live-entry
+  * servers held the rendered corpus in driver collections; at sf100
+  * they would OOM the driver for a reason unrelated to the pipeline
+  * under test). Every window/boundary shape is pinned against the Mem
+  * form as the executable definition. */
+class SpooledEmulatorSpec extends AnyFunSuite {
+
+  private def tmpLines(lines: Seq[String]): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempFile("spool_spec", ".txt")
+    java.nio.file.Files.write(p,
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+    p
+  }
+
+  test("RdsLogs.FileContent: Spool slices/appends identically to Mem") {
+    val lines = (0 until 57).map(i => s"line-$i")
+    val mem = RdsLogs.FileContent.mem(lines)
+    val spool = RdsLogs.FileContent.spool(tmpLines(lines))
+    assert(spool.length == mem.length)
+    for ((start, n) <- Seq((0, 10), (50, 10), (57, 5), (100, 3), (0, 0),
+        (56, 1), (13, 57))) {
+      assert(spool.slice(start, n) == mem.slice(start, n),
+        s"window ($start, $n)")
+    }
+    val mem2 = mem.appended(Seq("extra-a", "extra-b"))
+    val spool2 = spool.appended(Seq("extra-a", "extra-b"))
+    assert(spool2.length == mem2.length)
+    assert(spool2.slice(55, 10) == mem2.slice(55, 10))
+  }
+
+  test("PlanetScaleLogs.EntrySource: Spool pages identically to Mem on a sorted corpus") {
+    val entries = (0 until 40).map(i => (f"2024-01-01T00:00:$i%02dZ", s"msg $i"))
+    // messages may themselves contain tabs — the split is at the FIRST
+    val withTabs = (0 until 40).map(i => (f"2024-01-01T00:00:$i%02dZ", s"msg\t$i"))
+    for (corpus <- Seq(entries, withTabs)) {
+      val mem = PlanetScaleLogs.EntrySource.Mem(corpus)
+      val spool = PlanetScaleLogs.EntrySource.Spool(tmpLines(
+        corpus.map { case (t, m) => s"$t\t$m" }))
+      for (since <- Seq("", "2024-01-01T00:00:10Z", "2024-01-01T00:00:39Z",
+          "2025-01-01T00:00:00Z"); limit <- Seq(1, 7, 100)) {
+        assert(spool.page(since, limit) == mem.page(since, limit),
+          s"since=$since limit=$limit")
+      }
+    }
+  }
+
+  test("TemboLogs.spooledFrames streams the file per traversal") {
+    val frames = (0 until 9).map(i => s"""{"f":$i}""")
+    val src = TemboLogs.spooledFrames(tmpLines(frames))
+    assert(src.toSeq == frames)
+    assert(src.toSeq == frames) // second traversal re-streams
+    assert(src.size == 9)
+  }
+}
