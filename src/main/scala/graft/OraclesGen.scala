@@ -21,7 +21,7 @@ object OraclesGen {
 
   /** FNV-1a 64 over the UTF-8 bytes of `e` (ASCII corpus), as unsigned
     * HUGEINT in [0, 2^64). */
-  private def fnvHuge(e: String): String =
+  private[graft] def fnvHuge(e: String): String =
     s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
        |      list_transform(regexp_extract_all($e, '.'), c -> CAST(ord(c) AS HUGEINT))),
        |    (a, b) -> ((a - (a % 256) + CAST(xor(CAST(a % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT)) * 1099511628211)
@@ -29,7 +29,7 @@ object OraclesGen {
 
   /** Tokenize documents into per-doc distinct word lists + exploded
     * tokens + one FNV hash per distinct word (shared CTE prefix). */
-  private val tokenCtes: String =
+  private[graft] val tokenCtes: String =
     s"""d AS (
        |  SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)) AS ws
        |  FROM documents),
@@ -47,7 +47,7 @@ object OraclesGen {
     * the pair query and the fuzzy-dedup e2e chain. */
   /** Signature-building prefix shared by the batch pair queries and the
     * streaming first-seen oracle: everything through `sigs(id, sig)`. */
-  private val minhashSigCtes: String = {
+  private[graft] val minhashSigCtes: String = {
     val consts = longList(Dedup.permConsts.toIndexedSeq)
     val maxList = longList(Seq.fill(Dedup.NumPerms)(Long.MaxValue))
     s"""$tokenCtes,
@@ -161,12 +161,15 @@ object OraclesGen {
 
   // ------------------------------------------------------------- simhash
 
-  val dedupSimhash: String = {
+  /** Per-doc simhash signature prefix (everything through
+    * `shs`(id, sh, hu)) — shared with the sampled-oracle pair
+    * re-verification, which recomputes signatures only for documents
+    * appearing in a slice of the engine's emitted pairs. */
+  private[graft] val simhashSigCtes: String = {
     // 2^63 exceeds BIGINT — emit via BigInt so DuckDB parses HUGEINT
     val powList = (0 until 64).map(j => (BigInt(1) << j).toString)
       .mkString("[", ", ", "]")
-    val chunkPows = longList((0 until 4).map(c => 1L << (16 * c)))
-    s"""WITH $tokenCtes,
+    s"""$tokenCtes,
        |wh AS (
        |  SELECT w, ${fnvHuge("w")} AS hu FROM (SELECT DISTINCT w FROM tok)),
        |bitj AS (SELECT unnest(range(64)) AS j, unnest($powList) AS pw),
@@ -181,7 +184,12 @@ object OraclesGen {
        |  SELECT d.doc_id AS id,
        |    COALESCE(CAST(CASE WHEN s.hu >= 9223372036854775808 THEN s.hu - 18446744073709551616 ELSE s.hu END AS BIGINT), 0) AS sh,
        |    COALESCE(s.hu, CAST(0 AS HUGEINT)) AS hu
-       |  FROM d LEFT JOIN sh0 s USING (doc_id)),
+       |  FROM d LEFT JOIN sh0 s USING (doc_id))""".stripMargin
+  }
+
+  val dedupSimhash: String = {
+    val chunkPows = longList((0 until 4).map(c => 1L << (16 * c)))
+    s"""WITH $simhashSigCtes,
        |cp AS (SELECT unnest(range(4)) AS c, unnest($chunkPows) AS cpw),
        |chunks AS (SELECT id, sh, c, (hu // cpw) % 65536 AS cv FROM shs CROSS JOIN cp),
        |bn AS (SELECT c, cv, count(*) AS n FROM chunks GROUP BY c, cv),
@@ -888,7 +896,11 @@ object OraclesGen {
   /** Bigram-LM scoring: identical count tables, identical smoothed
     * conditional formula (same operand order, shared-libm ln/exp), and
     * the position-ordered log-prob fold. */
-  val textLmScore: String =
+  /** `finalFilter` restricts only the per-doc scoring fold — the LM
+    * count tables (`cb`/`cu`/`v`) always aggregate the FULL corpus, so
+    * a doc-sliced variant is sound for the sampled-oracle fallback
+    * (counts are corpus-global in the engine too). */
+  private[graft] def textLmScoreSql(finalFilter: String): String =
     s"""WITH d AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '\\s+'),
@@ -916,7 +928,9 @@ object OraclesGen {
        |  round(exp(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list(logp ORDER BY pos)), (a, b) -> a + b) / count(*)), 6)
        |    AS perplexity
-       |FROM sc GROUP BY doc_id""".stripMargin
+       |FROM sc $finalFilter GROUP BY doc_id""".stripMargin
+
+  val textLmScore: String = textLmScoreSql("")
 
   /** Unigram-LM tokenizer: the full E+M pass replayed — same seed
     * substring frequencies and tie-breaks, the Viterbi fold as a
@@ -2318,7 +2332,15 @@ object OraclesGen {
   /** DSIR importance weights re-derived: same FNV bucket hashing (1024
     * divides 2^64, so unsigned mod == the engine's signed pmod), same
     * exact-integer ratio operands, same bucket-ordered fold. */
-  val dsirSelect: String =
+  /** `dfFilter` restricts only the per-doc feature rollup (`df`) —
+    * the bucket log-ratio tables aggregate the FULL corpus either way,
+    * matching the engine's global distributions — and `finalSelect`
+    * swaps the output stage (the global top-100 `selected` flag is
+    * dropped in the doc-sliced sampled form: it needs every doc's
+    * weight; the selection RULE is invariant-checked from the engine
+    * output instead). */
+  private[graft] def dsirSelectSql(dfFilter: String,
+      finalSelect: String): String =
     s"""WITH dw AS (
        |  SELECT doc_id, lang,
        |    list_filter(string_split_regex(lower(text), '\\s+'),
@@ -2345,7 +2367,7 @@ object OraclesGen {
        |       / CAST((cr + 1) * (tt + 1024) AS DOUBLE)) AS log_ratio
        |  FROM raw r LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
        |df AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
-       |       FROM f GROUP BY 1, 2),
+       |       FROM f $dfFilter GROUP BY 1, 2),
        |w AS (
        |  SELECT doc_id,
        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2353,10 +2375,13 @@ object OraclesGen {
        |      AS dsir_weight,
        |    CAST(sum(n) AS BIGINT) AS n_bigrams
        |  FROM df JOIN lr USING (bucket) GROUP BY doc_id)
-       |SELECT doc_id, n_bigrams, dsir_weight,
-       |  (row_number() OVER (ORDER BY dsir_weight DESC, doc_id)) <= 100
-       |    AS selected
-       |FROM w""".stripMargin
+       |$finalSelect""".stripMargin
+
+  val dsirSelect: String = dsirSelectSql("",
+    """SELECT doc_id, n_bigrams, dsir_weight,
+      |  (row_number() OVER (ORDER BY dsir_weight DESC, doc_id)) <= 100
+      |    AS selected
+      |FROM w""".stripMargin)
 
   /** Full SQL re-derivation of the product-quantization path
     * ([[graft.operators.ProductQuant]]): per-subspace deterministic

@@ -1,0 +1,390 @@
+package graft
+
+/** Scale-feasible alternate oracles for entries whose exact SQL
+  * re-derivation is infeasible in DuckDB at 100×+ data (r10 verdict,
+  * next #2: the engine's sf10 answers for the corpus-scale algorithms
+  * were completed but UNCHECKED). Each entry is a pair of SQL strings
+  * the scale checker compares exactly:
+  *
+  *  - `engine`: a slice of the dumped engine output (registered as
+  *    `engine_out` in the checker's DuckDB);
+  *  - `oracle`: an independent re-derivation of THAT slice from the
+  *    corpus tables.
+  *
+  * Soundness classes, declared per entry:
+  *  - PER-DOC / PER-KEY SLICE — the computation is independent per
+  *    document/key, so re-deriving a deterministic id-slice of the
+  *    input yields exactly the output slice (winnowing fingerprints,
+  *    window diffs, within-doc n-gram stats);
+  *  - PAIR SOUNDNESS — per-doc signatures are recomputed ONLY for the
+  *    documents appearing in a deterministic slice of the engine's
+  *    emitted pairs, pinning every sliced pair's similarity value and
+  *    threshold condition exactly (completeness of corpus-global
+  *    banding/hot-bucket gating stays pinned by the exact oracle at
+  *    sf ≤ 1, where it runs to completion);
+  *  - STRUCTURAL INVARIANTS — properties decidable from the output
+  *    plus cheap corpus columns (component closure, one-canonical,
+  *    quota/capacity accounting).
+  *
+  * The checker consults these ONLY when the exact oracle times out or
+  * OOMs, and reports the result as a SAMPLED verdict — never silently
+  * upgraded to PASS. */
+object OraclesSampled {
+
+  /** Prefix `sql` with a table-shadowing CTE (DuckDB resolves CTE names
+    * before catalog tables; the shadowed body reads `main.<table>`),
+    * merging into an existing WITH [RECURSIVE]. */
+  private def shadow(sql: String, cte: String): String = {
+    val t = sql.trim
+    val up = t.toUpperCase
+    if (up.startsWith("WITH RECURSIVE"))
+      s"WITH RECURSIVE $cte,\n${t.drop("WITH RECURSIVE".length).trim}"
+    else if (up.startsWith("WITH"))
+      s"WITH $cte,\n${t.drop("WITH".length).trim}"
+    else s"WITH $cte\n$t"
+  }
+
+  /** PER-DOC SLICE over `documents`. */
+  private def perDoc(name: String, mod: Int): (String, String) = (
+    s"SELECT * FROM engine_out WHERE doc_id % $mod = 0",
+    shadow(SparkEntry.oracleSql(name),
+      s"documents AS MATERIALIZED (SELECT * FROM main.documents WHERE doc_id % $mod = 0)"))
+
+  /** PER-KEY SLICE over `events` (keyed computations: window diffs). */
+  private def perEventKey(name: String, keyCol: String, mod: Int)
+      : (String, String) = (
+    s"SELECT * FROM engine_out WHERE $keyCol % $mod = 0",
+    shadow(SparkEntry.oracleSql(name),
+      s"events AS MATERIALIZED (SELECT * FROM main.events WHERE $keyCol % $mod = 0)"))
+
+  /** PAIR SOUNDNESS for the MinHash LSH candidates: signatures
+    * recomputed only for documents in the pair slice; est_jaccard and
+    * the ≥ 0.7 gate re-derived exactly. */
+  private val minhashPairSoundness: (String, String) = {
+    // pair slice keyed on BOTH ids (uniform over pairs, not docs) so the
+    // signature-recompute doc set stays bounded at sf10 (~10k pairs)
+    val mod = "(id_a * 1000003 + id_b) % 4999 = 0"
+    (s"SELECT id_a, id_b, est_jaccard FROM engine_out WHERE $mod",
+      s"""WITH sel AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM engine_out WHERE $mod),
+         |documents AS MATERIALIZED (
+         |  SELECT * FROM main.documents WHERE doc_id IN (
+         |    SELECT id_a FROM sel UNION SELECT id_b FROM sel)),
+         |${OraclesGen.minhashSigCtes}
+         |SELECT sel.id_a, sel.id_b, round(CAST(len(list_filter(range(64),
+         |    i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 64, 6) AS est_jaccard
+         |FROM sel JOIN sigs a ON a.id = sel.id_a
+         |         JOIN sigs b ON b.id = sel.id_b
+         |WHERE CAST(len(list_filter(range(64),
+         |    i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 64 >= 0.7""".stripMargin)
+  }
+
+  /** PAIR SOUNDNESS for SimHash: signatures recomputed for the pair
+    * slice; hamming distance and the ≤ 3 gate re-derived exactly. */
+  private val simhashPairSoundness: (String, String) = {
+    val mod = "(id_a * 1000003 + id_b) % 4999 = 0"
+    (s"SELECT id_a, id_b, hamming FROM engine_out WHERE $mod",
+      s"""WITH sel AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM engine_out WHERE $mod),
+         |documents AS MATERIALIZED (
+         |  SELECT * FROM main.documents WHERE doc_id IN (
+         |    SELECT id_a FROM sel UNION SELECT id_b FROM sel)),
+         |${OraclesGen.simhashSigCtes}
+         |SELECT sel.id_a, sel.id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM sel JOIN shs a ON a.id = sel.id_a
+         |         JOIN shs b ON b.id = sel.id_b
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin)
+  }
+
+  /** STRUCTURAL INVARIANTS + PER-DOC SLICE for the fuzzy-dedup e2e
+    * chain: component closure (labels are member ids, label = min id
+    * of its component — checkable from the output alone), per-component
+    * member counts, exactly-one-canonical with the (n_words DESC,
+    * doc_id) pick, and an exact n_words re-derivation for a doc slice.
+    * Edge soundness of the underlying pair generator is covered by
+    * [[minhashPairSoundness]] (same generator). */
+  private val fuzzyE2eInvariants: (String, String) = {
+    val mod = 97
+    (s"""SELECT 'component_is_member_min' AS inv, CAST(count(*) AS BIGINT) AS bad
+       |FROM (
+       |  SELECT component, min(doc_id) AS lo,
+       |    count(CASE WHEN doc_id = component THEN 1 END) AS hits
+       |  FROM engine_out GROUP BY component) g
+       |WHERE lo <> component OR hits <> 1
+       |UNION ALL
+       |SELECT 'n_members_consistent', CAST(count(*) AS BIGINT) FROM (
+       |  SELECT component FROM engine_out
+       |  GROUP BY component, n_members
+       |  HAVING count(*) <> any_value(n_members)) g2
+       |UNION ALL
+       |SELECT 'one_canonical_right_pick', CAST(count(*) AS BIGINT) FROM (
+       |  SELECT component FROM (
+       |    SELECT component, is_canonical,
+       |      row_number() OVER (PARTITION BY component
+       |        ORDER BY n_words DESC, doc_id) AS rn
+       |    FROM engine_out) r
+       |  WHERE (rn = 1) <> is_canonical) g3
+       |UNION ALL
+       |SELECT 'n_words_slice_exact', CAST(count(*) AS BIGINT) FROM (
+       |  SELECT e.doc_id FROM engine_out e JOIN (
+       |    SELECT doc_id,
+       |      CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |        w -> len(w) > 0)) AS INT) AS nw
+       |    FROM main.documents WHERE doc_id % $mod = 0) d
+       |    ON d.doc_id = e.doc_id
+       |  WHERE d.nw <> e.n_words) g4""".stripMargin,
+      s"""SELECT 'component_is_member_min' AS inv, CAST(0 AS BIGINT) AS bad
+       |UNION ALL SELECT 'n_members_consistent', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'one_canonical_right_pick', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'n_words_slice_exact', CAST(0 AS BIGINT)""".stripMargin)
+  }
+
+  /** PER-DOC SLICE of the LM scoring fold; the bigram/context count
+    * tables stay full-corpus (they are corpus-global in the engine
+    * too), so the sliced per-doc folds are exact. */
+  private val textLmScoreSliced: (String, String) = {
+    val mod = 97
+    (s"SELECT * FROM engine_out WHERE doc_id % $mod = 0",
+      OraclesGen.textLmScoreSql(s"WHERE doc_id % $mod = 0"))
+  }
+
+  /** corpus_ppl_buckets: the tertile thresholds + bucket assignment are
+    * re-derived IN FULL from the engine output's own perplexity column
+    * (cheap — validates the bucketing law exactly given the scores),
+    * and the perplexity scores themselves are re-derived for a doc
+    * slice via the full-counts/sliced-fold LM oracle. */
+  private val pplBucketsSampled: (String, String) = {
+    val mod = 97
+    (s"""SELECT CAST(doc_id AS VARCHAR) AS k, perplexity AS v
+       |FROM engine_out WHERE doc_id % $mod = 0
+       |UNION ALL
+       |SELECT 'bucket_rule_bad', CAST(count(*) AS DOUBLE) FROM (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, bucket, ppl_floor,
+       |      min(CASE WHEN cum >= (tot + 2) // 3 THEN pf END) OVER () AS th1,
+       |      min(CASE WHEN cum >= (tot * 2 + 2) // 3 THEN pf END) OVER () AS th2
+       |    FROM engine_out
+       |    JOIN (SELECT pf, CAST(sum(cnt) OVER (ORDER BY pf) AS BIGINT) AS cum,
+       |            CAST(sum(cnt) OVER () AS BIGINT) AS tot
+       |          FROM (SELECT ppl_floor AS pf, count(*) AS cnt
+       |                FROM engine_out GROUP BY 1)) h ON h.pf = engine_out.ppl_floor
+       |  ) t
+       |  WHERE bucket <> (CASE WHEN ppl_floor <= th1 THEN 'head'
+       |                        WHEN ppl_floor <= th2 THEN 'middle'
+       |                        ELSE 'tail' END)) b
+       |UNION ALL
+       |SELECT 'row_count', CAST(count(*) AS DOUBLE) FROM engine_out""".stripMargin,
+      s"""SELECT CAST(doc_id AS VARCHAR) AS k, perplexity AS v
+       |FROM (${OraclesGen.textLmScoreSql(s"WHERE doc_id % $mod = 0")})
+       |UNION ALL SELECT 'bucket_rule_bad', 0.0
+       |UNION ALL
+       |SELECT 'row_count', CAST(count(*) AS DOUBLE) FROM (
+       |  SELECT DISTINCT doc_id FROM main.documents
+       |  WHERE len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> len(x) > 0)) >= 2)""".stripMargin)
+  }
+
+  /** dsir_select: doc-sliced weights over FULL-corpus bucket
+    * log-ratios, plus the global top-100 selection RULE re-checked
+    * from the engine output (weight DESC, doc_id tie-break). */
+  private val dsirSampled: (String, String) = {
+    val mod = 97
+    (s"""SELECT doc_id, n_bigrams, dsir_weight
+       |FROM engine_out WHERE doc_id % $mod = 0
+       |UNION ALL
+       |SELECT -1, CAST(count(*) AS BIGINT), 0.0 FROM (
+       |  SELECT doc_id FROM (
+       |    SELECT selected,
+       |      (row_number() OVER (ORDER BY dsir_weight DESC, doc_id)) <= 100
+       |        AS want, doc_id
+       |    FROM engine_out) t WHERE selected <> want) b""".stripMargin,
+      OraclesGen.dsirSelectSql(s"WHERE doc_id % $mod = 0",
+        s"""SELECT doc_id, n_bigrams, dsir_weight FROM w
+         |UNION ALL SELECT -1, CAST(0 AS BIGINT), 0.0""".stripMargin))
+  }
+
+  /** dedup_substrings: the duplicated-5-gram set is corpus-global
+    * (pinned by the exact oracle at sf ≤ 1); at scale the per-doc
+    * accounting is checked — n_tokens re-derived for a doc slice,
+    * kept_text length ≡ n_tokens − n_tokens_removed, no-dup-windows ⟹
+    * nothing removed, and removal bounded by 5·windows. */
+  private val substringsSampled: (String, String) = {
+    val mod = 97
+    (s"""SELECT 'n_tokens_slice_bad' AS inv, CAST(count(*) AS BIGINT) AS bad
+       |FROM engine_out e JOIN (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      w -> len(w) > 0)) AS BIGINT) AS nt
+       |  FROM main.documents WHERE doc_id % $mod = 0) d USING (doc_id)
+       |WHERE d.nt <> e.n_tokens
+       |UNION ALL
+       |SELECT 'kept_len_identity', CAST(count(*) AS BIGINT) FROM engine_out
+       |WHERE CAST(len(list_filter(string_split_regex(kept_text, ' '),
+       |    w -> len(w) > 0)) AS BIGINT) <> n_tokens - n_tokens_removed
+       |UNION ALL
+       |SELECT 'no_windows_no_removal', CAST(count(*) AS BIGINT)
+       |FROM engine_out WHERE n_dup_windows = 0 AND n_tokens_removed <> 0
+       |UNION ALL
+       |SELECT 'removal_bounded', CAST(count(*) AS BIGINT) FROM engine_out
+       |WHERE n_tokens_removed > 5 * n_dup_windows
+       |   OR n_tokens_removed > n_tokens
+       |UNION ALL
+       |SELECT 'row_count_vs_corpus', CAST(
+       |  (SELECT count(*) FROM engine_out) -
+       |  (SELECT count(*) FROM main.documents) AS BIGINT)""".stripMargin,
+      s"""SELECT 'n_tokens_slice_bad' AS inv, CAST(0 AS BIGINT) AS bad
+       |UNION ALL SELECT 'kept_len_identity', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'no_windows_no_removal', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'removal_bounded', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'row_count_vs_corpus', CAST(0 AS BIGINT)""".stripMargin)
+  }
+
+  /** decontam_bloom: the bench bit-set side is complete (it is already
+    * a 1/97 slice by construction); the train side — the corpus-scale
+    * term — is sliced to train_id % 89 = 0 by shadowing `documents`
+    * with (bench ∪ sliced-train), which the oracle's own bench/train
+    * split then partitions exactly. */
+  private val decontamBloomSampled: (String, String) = (
+    "SELECT * FROM engine_out WHERE train_id % 89 = 0",
+    shadow(SparkEntry.oracleSql("decontam_bloom"),
+      "documents AS MATERIALIZED (SELECT * FROM main.documents " +
+        "WHERE doc_id % 97 = 0 OR doc_id % 89 = 0)"))
+
+  /** sample_seq_pack: packing is a per-SHARD sequential fold (16
+    * hash-shards), so one whole shard is a sound slice — the fold
+    * never crosses shards. Shard 0 ≈ 1/16 of the corpus. */
+  private val seqPackSampled: (String, String) = (
+    "SELECT * FROM engine_out WHERE shard = 0",
+    shadow(SparkEntry.oracleSql("sample_seq_pack"),
+      "documents AS MATERIALIZED (SELECT * FROM main.documents WHERE " +
+        s"CAST(${OraclesGen.fnvHuge("'shard:' || CAST(doc_id AS VARCHAR)")} % 16 AS INT) = 0)"))
+
+  /** corpus_curation_funnel: global 4-row funnel — stage-1 (benchmark
+    * holdout) is re-derived exactly from the corpus, and the funnel
+    * chaining laws (n_in(s+1) = n_kept(s), monotone drops) are checked
+    * in full; stages 2–4 counts are pinned by the exact oracle at
+    * sf ≤ 1, where the winnowing/decontamination arms complete. */
+  private val funnelSampled: (String, String) = (
+    s"""SELECT 'stage1_exact' AS inv, CAST(count(*) AS BIGINT) AS bad
+       |FROM engine_out e, (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+       |    CAST(count(*) FILTER (WHERE doc_id % 97 <> 0) AS BIGINT) AS n1
+       |  FROM main.documents) d
+       |WHERE e.stage = 1 AND (e.n_in <> d.n_all OR e.n_kept <> d.n1
+       |  OR e.n_dropped <> d.n_all - d.n1)
+       |UNION ALL
+       |SELECT 'four_stages', CAST(abs((SELECT count(*) FROM engine_out) - 4)
+       |  AS BIGINT)
+       |UNION ALL
+       |SELECT 'chaining', CAST(count(*) AS BIGINT)
+       |FROM engine_out a JOIN engine_out b ON b.stage = a.stage + 1
+       |WHERE b.n_in <> a.n_kept
+       |UNION ALL
+       |SELECT 'drop_accounting', CAST(count(*) AS BIGINT) FROM engine_out
+       |WHERE n_dropped <> n_in - n_kept OR n_kept > n_in OR n_kept < 0""".stripMargin,
+    s"""SELECT 'stage1_exact' AS inv, CAST(0 AS BIGINT) AS bad
+       |UNION ALL SELECT 'four_stages', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'chaining', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'drop_accounting', CAST(0 AS BIGINT)""".stripMargin)
+
+  /** sem_dedup: the clustering is pinned exactly at sf ≤ 1; at scale
+    * the DROP LAW is re-checked against the engine's own clusters —
+    * the lowest id of every cluster is kept, every sliced dropped
+    * vector has a lower-id same-cluster member at cosine ≥ 0.3, every
+    * sliced kept vector has none, and the output covers the corpus
+    * exactly once. Cosines recompute from raw embeddings with the
+    * exact oracle's fold. */
+  private def semDedupLawChecks(mod: Int): (String, String) = {
+    def cos(a: String, b: String) =
+      s"""(list_reduce(list_transform(range(least(len($a), len($b))),
+         |  i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x,y) -> x+y)
+         | / (sqrt(list_reduce(list_transform(range(len($a)),
+         |      i -> CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE)), (x,y) -> x+y))
+         |  * sqrt(list_reduce(list_transform(range(len($b)),
+         |      i -> CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x,y) -> x+y))))""".stripMargin
+    (s"""SELECT 'cluster_min_kept' AS inv, CAST(count(*) AS BIGINT) AS bad
+       |FROM (SELECT cluster, min(vec_id) AS lo FROM engine_out GROUP BY cluster) m
+       |JOIN engine_out e ON e.cluster = m.cluster AND e.vec_id = m.lo
+       |WHERE NOT e.kept
+       |UNION ALL
+       |SELECT 'dropped_have_witness', CAST(count(*) AS BIGINT) FROM (
+       |  SELECT d.vec_id FROM engine_out d
+       |  WHERE NOT d.kept AND d.vec_id % $mod = 0
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM engine_out o
+       |      JOIN main.embeddings ea ON ea.vec_id = d.vec_id
+       |      JOIN main.embeddings eb ON eb.vec_id = o.vec_id
+       |      WHERE o.cluster = d.cluster AND o.vec_id < d.vec_id
+       |        AND ${cos("ea.embedding", "eb.embedding")} >= 0.3)) t
+       |UNION ALL
+       |SELECT 'kept_have_none', CAST(count(*) AS BIGINT) FROM (
+       |  SELECT k.vec_id FROM engine_out k
+       |  WHERE k.kept AND k.vec_id % $mod = 0
+       |    AND EXISTS (
+       |      SELECT 1 FROM engine_out o
+       |      JOIN main.embeddings ea ON ea.vec_id = k.vec_id
+       |      JOIN main.embeddings eb ON eb.vec_id = o.vec_id
+       |      WHERE o.cluster = k.cluster AND o.vec_id < k.vec_id
+       |        AND ${cos("ea.embedding", "eb.embedding")} >= 0.3)) t
+       |UNION ALL
+       |SELECT 'covers_corpus_once', CAST(
+       |  (SELECT count(*) FROM engine_out) -
+       |  (SELECT count(*) FROM main.embeddings) AS BIGINT) +
+       |  CAST((SELECT count(*) FROM (
+       |    SELECT vec_id FROM engine_out GROUP BY vec_id HAVING count(*) > 1)) AS BIGINT)""".stripMargin,
+      s"""SELECT 'cluster_min_kept' AS inv, CAST(0 AS BIGINT) AS bad
+       |UNION ALL SELECT 'dropped_have_witness', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'kept_have_none', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'covers_corpus_once', CAST(0 AS BIGINT)""".stripMargin)
+  }
+
+  /** dedup_stream_lsh: chain-structure invariants from the output
+    * (canonical roots are first-seen, pointers never ascend, depth
+    * zero exactly for firsts, corpus covered once); edge-wise
+    * similarity is pinned by the exact oracle at sf ≤ 1 and by
+    * [[minhashPairSoundness]] on the shared signature machinery. */
+  private val streamLshInvariants: (String, String) = (
+    s"""SELECT 'canonical_le_id' AS inv, CAST(count(*) AS BIGINT) AS bad
+       |FROM engine_out WHERE canonical_id > doc_id
+       |UNION ALL
+       |SELECT 'first_iff_self', CAST(count(*) AS BIGINT) FROM engine_out
+       |WHERE is_first <> (canonical_id = doc_id)
+       |UNION ALL
+       |SELECT 'depth_zero_iff_first', CAST(count(*) AS BIGINT)
+       |FROM engine_out WHERE (chain_depth = 0) <> is_first
+       |UNION ALL
+       |SELECT 'roots_are_first', CAST(count(*) AS BIGINT) FROM (
+       |  SELECT DISTINCT e.canonical_id FROM engine_out e
+       |  JOIN engine_out r ON r.doc_id = e.canonical_id
+       |  WHERE NOT r.is_first) t
+       |UNION ALL
+       |SELECT 'covers_corpus_once', CAST(
+       |  (SELECT count(*) FROM engine_out) -
+       |  (SELECT count(*) FROM main.documents) AS BIGINT) +
+       |  CAST((SELECT count(*) FROM (
+       |    SELECT doc_id FROM engine_out GROUP BY doc_id HAVING count(*) > 1)) AS BIGINT)""".stripMargin,
+    s"""SELECT 'canonical_le_id' AS inv, CAST(0 AS BIGINT) AS bad
+       |UNION ALL SELECT 'first_iff_self', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'depth_zero_iff_first', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'roots_are_first', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'covers_corpus_once', CAST(0 AS BIGINT)""".stripMargin)
+
+  val sql: Map[String, (String, String)] = Map(
+    "doc_winnow" -> perDoc("doc_winnow", 97),
+    "text_dup_ngram_frac" -> perDoc("text_dup_ngram_frac", 97),
+    "d1_counter_diff" -> perEventKey("d1_counter_diff", "user_id", 97),
+    "dedup_minhash_lsh" -> minhashPairSoundness,
+    "dedup_simhash" -> simhashPairSoundness,
+    "dedup_fuzzy_e2e" -> fuzzyE2eInvariants,
+    "text_lm_score" -> textLmScoreSliced,
+    "corpus_ppl_buckets" -> pplBucketsSampled,
+    "dsir_select" -> dsirSampled,
+    "dedup_substrings" -> substringsSampled,
+    "decontam_bloom" -> decontamBloomSampled,
+    "sample_seq_pack" -> seqPackSampled,
+    "corpus_curation_funnel" -> funnelSampled,
+    "sem_dedup" -> semDedupLawChecks(31),
+    "sem_dedup_2l" -> semDedupLawChecks(31),
+    "dedup_stream_lsh" -> streamLshInvariants)
+}

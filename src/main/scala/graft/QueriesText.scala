@@ -295,16 +295,32 @@ object QueriesText {
     // k is bounded, a scale-killer once k ∝ n; strictly above
     // TwoLevelMinK the coarse-routed two-level assignment takes over
     // (n·√k·nprobe work, √k broadcast). Same threshold in the oracle.
-    val assigned =
+    // EAGER checkpoint: the assignment feeds THREE arms of one action
+    // (both pairwise sides + the kept-flag join) — without it Spark
+    // re-runs the whole fit+assign subtree once per arm (the dominant
+    // term of the r10 sf10 wall time)
+    val assigned = (
       if (k > Similarity.TwoLevelMinK)
         Similarity.ivfFitAssign2L(e, k = k, iters = 2, dim = 64)
       else
         Similarity.ivfAssign(e, Similarity.ivfFit(e, k = k, iters = 2, dim = 64))
+    ).localCheckpoint()
+    // SALTED within-cluster pairwise: duplicate-heavy corpora collapse
+    // many vectors into one cluster, and a bare cluster-keyed self-join
+    // puts that cluster's quadratic scoring on a SINGLE task (measured:
+    // one 33-minute straggler at sf10). Salting the lower-id side by
+    // id%m and replicating the other side m× splits every cluster's
+    // pair grid over m keys. Pure execution rewrite — each (a, b) pair
+    // is still produced exactly once (a's salt cell × all b), so the
+    // dropped SET and the oracle are untouched.
+    val m = 32
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("vec").as("vec_a"))
+      .withColumn("salt", pmod(col("id_a"), lit(m)).cast("int"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),
       col("vec").as("vec_b"))
-    val dropped = a.join(b, "cluster")
+      .withColumn("salt", explode(sequence(lit(0), lit(m - 1))))
+    val dropped = a.join(b, Seq("cluster", "salt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)

@@ -271,4 +271,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.sql ++ OraclesGen.sql ++ OraclesCatalog.sql
+
+  /** Scale-feasible alternate oracles for entries whose exact SQL
+    * re-derivation is infeasible in DuckDB at 100×+ data (corpus-scale
+    * algorithms: banding, winnowing, k-means, packing). Each value is
+    * (engine-slice SQL over the dumped `engine_out` table, oracle SQL
+    * over the corpus tables); the scale checker compares the two
+    * exactly and reports a SAMPLED verdict — consulted only when the
+    * exact oracle times out or OOMs. */
+  def sampledOracleSql: Map[String, (String, String)] = OraclesSampled.sql
 }

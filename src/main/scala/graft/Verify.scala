@@ -61,6 +61,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // scale-feasible alternates for entries whose exact oracle is
+    // infeasible at 100×+ data: the checker falls back to these on
+    // ORACLE_TIMEOUT/ORACLE_OOM and reports a SAMPLED verdict
+    val sampled = SparkEntry.sampledOracleSql
+      .map { case (k, (e, o)) =>
+        s"${q(k)}: {${q("engine")}: ${q(e)}, ${q("oracle")}: ${q(o)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sampled.json"), sampled)
     spark.stop()
   }
 }

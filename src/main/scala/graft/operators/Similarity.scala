@@ -293,7 +293,14 @@ object Similarity {
       max_by(col("cluster"),
         struct(col("sim"), (-col("cluster")).cast("int"))).as("cluster"))
       .select("id", "vec", "cluster")
-    val missing = emb.join(assigned0.select("id"), Seq("id"), "left_anti")
+    // a vector is UNASSIGNED iff none of its probed lists holds a fine
+    // centroid — decidable from the (tiny) list-key sets alone, so the
+    // expensive scored aggregate above is never referenced twice in one
+    // plan (Spark duplicates shared subtrees; the 3×-recompute trap)
+    val covered = probes
+      .join(centsC.select("ccluster").distinct(), Seq("ccluster"))
+      .select("id").distinct()
+    val missing = emb.join(covered, Seq("id"), "left_anti")
     val fallback = cents.crossJoin(broadcast(missing))
       .withColumn("sim", cosineFD(col("vec"), col("centroid")))
       .groupBy("id").agg(
@@ -314,14 +321,20 @@ object Similarity {
       chunkWidth: Long = DefaultChunkWidth): DataFrame = {
     val kc = isqrtCeil(k.toLong)
     val coarse = ivfFit(emb, kc, iters, dim, chunkWidth)
-    // probes feed every fine iteration and the final assignment —
-    // checkpoint so the n·√k coarse scoring runs once, not iters+1 times
-    val probes = coarseProbes(emb, coarse, nprobe).localCheckpoint(eager = false)
+    // probes feed every fine iteration and the final assignment (and
+    // appear TWICE per assignment: candidate scoring + coverage check)
+    // — EAGER checkpoint so the n·√k coarse scoring runs once; lazy
+    // marking would not dedup the plan-duplicated subtrees inside one
+    // action (k-means is inherently iterative-eager, as MLlib's is)
+    val probes = coarseProbes(emb, coarse, nprobe).localCheckpoint()
     var cents = seedCents(emb, k)
     var i = 0
     while (i < iters) {
       cents = lloydUpdate(ivfAssign2L(emb, probes, cents, coarse), cents,
         dim, chunkWidth)
+      // cents feeds the next iteration twice (fine-centroid routing +
+      // the fallback arm) — materialize the k tiny rows eagerly
+      cents = cents.localCheckpoint()
       i += 1
     }
     ivfAssign2L(emb, probes, cents, coarse)

@@ -37,6 +37,12 @@ object VerifyQ {
     val json = graft.SparkEntry.oracleSql.filter(kv => args.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val sampled = graft.SparkEntry.sampledOracleSql
+      .filter(kv => args.contains(kv._1))
+      .map { case (k, (e, o)) =>
+        s"${q(k)}: {${q("engine")}: ${q(e)}, ${q("oracle")}: ${q(o)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sampled.json"), sampled)
     spark.stop()
   }
 }

@@ -89,12 +89,72 @@ def check_one(sfdir, outdir, name, sql, q):
             q.put(("FAIL", f"{type(e).__name__}: {e}"))
 
 
+def check_one_sampled(sfdir, outdir, name, engine_sql, oracle_sql, q):
+    """Sampled/invariant fallback: both sides run in DuckDB — the
+    engine's dumped parquet is registered as `engine_out` and sliced by
+    `engine_sql`; `oracle_sql` re-derives the same slice from the corpus
+    tables. Exact compare; PASS reports as SAMPLED."""
+    import duckdb
+    try:
+        con = duckdb.connect()
+        con.execute("SET memory_limit='12GB'")
+        con.execute("SET threads=2")
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{table_glob(sfdir, t)}')")
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            q.put(("FAIL", "no spark output")); return
+        con.execute(f"CREATE VIEW engine_out AS SELECT * FROM "
+                    f"read_parquet('{outdir}/{name}/*.parquet')")
+        mine = con.execute(engine_sql).fetchdf()
+        want = con.execute(oracle_sql).fetchdf()
+        if sorted(mine.columns) != sorted(want.columns):
+            q.put(("FAIL", f"sampled columns {sorted(mine.columns)} vs "
+                           f"{sorted(want.columns)}")); return
+        a, b = norm(mine), norm(want)
+        if len(a) != len(b):
+            q.put(("FAIL", f"sampled rows {len(a)} vs {len(b)}")); return
+        for i, (ra, rb) in enumerate(zip(a, b)):
+            if not all(cmp_val(x, y) for x, y in zip(ra, rb)):
+                q.put(("FAIL",
+                       f"sampled row {i}: spark={ra} duck={rb}")); return
+        q.put(("SAMPLED", f"{len(a)} sliced rows exact"))
+    except Exception as e:
+        if "OutOfMemory" in type(e).__name__ or "Out of Memory" in str(e):
+            q.put(("ORACLE_OOM", f"sampled: {type(e).__name__}: {e}"))
+        else:
+            q.put(("FAIL", f"sampled: {type(e).__name__}: {e}"))
+
+
+def load_sampled(outdir):
+    try:
+        return json.load(open(f"{outdir}/oracle_sampled.json"))
+    except (FileNotFoundError, ValueError):
+        return {}
+
+
+def run_sampled(sfdir, outdir, name, spec, timeout):
+    q = mp.Queue()
+    p = mp.Process(target=check_one_sampled,
+                   args=(sfdir, outdir, name, spec["engine"],
+                         spec["oracle"], q))
+    p.start()
+    p.join(timeout)
+    if p.is_alive():
+        p.terminate(); p.join()
+        return "ORACLE_TIMEOUT", f"sampled >{timeout:.0f}s"
+    return q.get() if not q.empty() else ("FAIL", "sampled: no result")
+
+
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf1"
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 180.0
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    tally = {"PASS": 0, "FAIL": 0, "ORACLE_TIMEOUT": 0, "ORACLE_OOM": 0}
+    sampled = load_sampled(outdir)
+    tally = {"PASS": 0, "FAIL": 0, "ORACLE_TIMEOUT": 0, "ORACLE_OOM": 0,
+             "SAMPLED": 0}
     for name in sorted(oracle):
         q = mp.Queue()
         p = mp.Process(target=check_one,
@@ -106,9 +166,13 @@ def main():
             status, detail = "ORACLE_TIMEOUT", f">{timeout:.0f}s"
         else:
             status, detail = q.get() if not q.empty() else ("FAIL", "no result")
+        if status in ("ORACLE_TIMEOUT", "ORACLE_OOM") and name in sampled:
+            status, detail = run_sampled(sfdir, outdir, name, sampled[name],
+                                         timeout)
         tally[status] += 1
         print(f"{status} {name}: {detail}", flush=True)
-    print(f"== {tally['PASS']} pass / {tally['FAIL']} fail / "
+    print(f"== {tally['PASS']} pass / {tally['SAMPLED']} sampled / "
+          f"{tally['FAIL']} fail / "
           f"{tally['ORACLE_TIMEOUT']} oracle-timeout / "
           f"{tally['ORACLE_OOM']} oracle-oom ==")
     sys.exit(1 if tally["FAIL"] else 0)

@@ -35,17 +35,31 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf10"
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
     jobs = int(sys.argv[4]) if len(sys.argv) > 4 else 6
+    from check_scale import load_sampled, run_sampled  # noqa: E402
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    sampled = load_sampled(outdir)
     work = [(sfdir, outdir, n, oracle[n], timeout) for n in sorted(oracle)]
-    tally = {"PASS": 0, "FAIL": 0, "ORACLE_TIMEOUT": 0, "ORACLE_OOM": 0}
+    tally = {"PASS": 0, "FAIL": 0, "ORACLE_TIMEOUT": 0, "ORACLE_OOM": 0,
+             "SAMPLED": 0}
+
+    def run_with_fallback(args):
+        name, status, detail = run_entry(args)
+        # exact oracle infeasible at this scale → scale-feasible
+        # sampled/invariant alternate, reported as its own verdict class
+        if status in ("ORACLE_TIMEOUT", "ORACLE_OOM") and name in sampled:
+            status, detail = run_sampled(args[0], args[1], name,
+                                         sampled[name], timeout)
+        return name, status, detail
+
     # threads (not a mp.Pool): each check_one runs in its own mp.Process
     # child, and daemonic pool workers may not spawn children
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=jobs) as ex:
-        for name, status, detail in ex.map(run_entry, work):
+        for name, status, detail in ex.map(run_with_fallback, work):
             tally[status] += 1
             print(f"{status} {name}: {detail}", flush=True)
-    print(f"== {tally['PASS']} pass / {tally['FAIL']} fail / "
+    print(f"== {tally['PASS']} pass / {tally['SAMPLED']} sampled / "
+          f"{tally['FAIL']} fail / "
           f"{tally['ORACLE_TIMEOUT']} oracle-timeout / "
           f"{tally['ORACLE_OOM']} oracle-oom ==")
     sys.exit(1 if tally["FAIL"] else 0)
