@@ -251,14 +251,44 @@ object OraclesSampled {
       "documents AS MATERIALIZED (SELECT * FROM main.documents " +
         "WHERE doc_id % 97 = 0 OR doc_id % 89 = 0)"))
 
-  /** sample_seq_pack: packing is a per-SHARD sequential fold (16
-    * hash-shards), so one whole shard is a sound slice — the fold
-    * never crosses shards. Shard 0 ≈ 1/16 of the corpus. */
-  private val seqPackSampled: (String, String) = (
-    "SELECT * FROM engine_out WHERE shard = 0",
-    shadow(SparkEntry.oracleSql("sample_seq_pack"),
-      "documents AS MATERIALIZED (SELECT * FROM main.documents WHERE " +
-        s"CAST(${OraclesGen.fnvHuge("'shard:' || CAST(doc_id AS VARCHAR)")} % 16 AS INT) = 0)"))
+  /** sample_seq_pack: the greedy fold is inherently sequential — the
+    * recursive-CTE replay is iteration-bound by the largest shard's doc
+    * count, so even a whole-shard slice is infeasible at sf10 (the
+    * exact oracle pins the fold at sf ≤ 1). At scale the packing LAWS
+    * and the shard-0 conservation totals are checked instead:
+    * capacity (an example over 512 tokens is always a single oversize
+    * doc), fill accounting, contiguous example ids per shard, and
+    * shard-0's doc/token totals re-derived from the corpus with the
+    * engine's shard hash + tokenizer. */
+  private val seqPackSampled: (String, String) = {
+    val shard0 =
+      s"CAST(${OraclesGen.fnvHuge("'shard:' || CAST(doc_id AS VARCHAR)")} % 16 AS INT) = 0"
+    (s"""SELECT 'capacity_law' AS inv, CAST(count(*) AS BIGINT) AS v
+       |FROM engine_out WHERE n_tokens > 512 AND n_docs <> 1
+       |UNION ALL
+       |SELECT 'fill_accounting', CAST(count(*) AS BIGINT) FROM engine_out
+       |WHERE fill_ratio <> round(n_tokens / 512.0, 6) OR n_docs < 1
+       |UNION ALL
+       |SELECT 'contiguous_examples', CAST(count(*) AS BIGINT) FROM (
+       |  SELECT shard FROM engine_out GROUP BY shard
+       |  HAVING min(example_id) <> 0
+       |      OR max(example_id) <> count(*) - 1) t
+       |UNION ALL
+       |SELECT 'shard0_docs', (SELECT CAST(COALESCE(sum(n_docs), 0) AS BIGINT)
+       |  FROM engine_out WHERE shard = 0)
+       |UNION ALL
+       |SELECT 'shard0_tokens', (SELECT CAST(COALESCE(sum(n_tokens), 0) AS BIGINT)
+       |  FROM engine_out WHERE shard = 0)""".stripMargin,
+      s"""SELECT 'capacity_law' AS inv, CAST(0 AS BIGINT) AS v
+       |UNION ALL SELECT 'fill_accounting', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'contiguous_examples', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'shard0_docs', (
+       |  SELECT CAST(count(*) AS BIGINT) FROM main.documents WHERE $shard0)
+       |UNION ALL SELECT 'shard0_tokens', (
+       |  SELECT CAST(COALESCE(sum(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))), 0) AS BIGINT)
+       |  FROM main.documents WHERE $shard0)""".stripMargin)
+  }
 
   /** corpus_curation_funnel: global 4-row funnel — stage-1 (benchmark
     * holdout) is re-derived exactly from the corpus, and the funnel
