@@ -211,4 +211,94 @@ class DedupSimilaritySpec extends SparkSpec {
         .sorted.toIndexedSeq
     assert(codes(emb) === codes(emb.repartition(5)))
   }
+
+  // ---------------------------------------------- two-level assignment
+
+  private def synthEmb(n: Int, groups: Int = 10) = {
+    // `groups` well-separated directions in 64-dim, vectors clustered
+    // around them with small deterministic jitter
+    val rows = (0 until n).map { i =>
+      val g = i % groups
+      val v = Array.tabulate(64) { d =>
+        val base = if (d % groups == g) 1.0f else 0.0f
+        base + ((i * 31 + d * 7) % 13) / 130.0f
+      }
+      (i.toLong, v)
+    }
+    spark.createDataFrame(rows).toDF("id", "vec")
+  }
+
+  test("two-level assignment is partitioning-invariant (bit-identical)") {
+    val e = synthEmb(300)
+    def run(parts: Int) =
+      Similarity.ivfFitAssign2L(e.repartition(parts), k = 80, iters = 2,
+        dim = 64)
+        .select("id", "cluster").as[(Long, Int)].collect().toMap
+    val a = run(3)
+    val b = run(7)
+    assert(a == b)
+    assert(a.size == 300)
+  }
+
+  test("two-level fallback: a vector with no fine centroid in its probed cells gets the flat argmax") {
+    // coarse cells along axis 0 and axis 1; all fine centroids near
+    // axis 0, one orphan vector near axis 1 probing only cell 1
+    def axis(d: Int, scale: Double) =
+      (0 until 64).map(j => if (j == d) scale else 0.0).toArray
+    val coarse = Seq((0, axis(0, 1.0)), (1, axis(1, 1.0)))
+      .toDF("cluster", "centroid")
+    val cents = Seq(
+      (0, axis(0, 1.0)),
+      (1, (0 until 64).map(j =>
+        if (j == 0) 1.0 else if (j == 2) 0.3 else 0.0).toArray))
+      .toDF("cluster", "centroid")
+    val emb = Seq(
+      (1L, (0 until 64).map(j => if (j == 0) 1.0f else 0.0f).toArray),
+      (2L, (0 until 64).map(j => if (j == 1) 1.0f else 0.0f).toArray))
+      .toDF("id", "vec")
+    val probes = Similarity.coarseProbes(emb, coarse, nprobe = 1)
+    val out = Similarity.ivfAssign2L(emb, probes, cents, coarse)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    // vector 1 probes cell 0 (both fine cents route to cell 0 — their
+    // cosine to axis-0 beats axis-1) and exact-assigns to fine 0;
+    // vector 2 probes cell 1, which holds NO fine centroid → fallback
+    // flat argmax over both cents: cosine(axis1, fine0)=0 vs
+    // cosine(axis1, fine1)=0 — tie broken to the LOWEST cluster id
+    assert(out(1L) == 0)
+    assert(out(2L) == 0)
+    // move fine 1 to have axis-1 mass: the fallback must now pick it
+    val cents2 = Seq(
+      (0, axis(0, 1.0)),
+      (1, (0 until 64).map(j =>
+        if (j == 0) 1.0 else if (j == 1) 0.3 else 0.0).toArray))
+      .toDF("cluster", "centroid")
+    val out2 = Similarity.ivfAssign2L(emb, probes, cents2, coarse)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(out2(2L) == 1)
+  }
+
+  test("salted pairwise emits the same dropped set as the bare cluster join") {
+    val e = synthEmb(200)
+    val assigned = Similarity.ivfAssign(e, Similarity.ivfFit(e, 8, 2, 64))
+      .localCheckpoint()
+    def dropped(salted: Boolean): Set[Long] = {
+      val a0 = assigned.select(col("cluster"), col("id").as("id_a"),
+        col("vec").as("vec_a"))
+      val b0 = assigned.select(col("cluster"), col("id").as("id_b"),
+        col("vec").as("vec_b"))
+      val (a, b, keys) =
+        if (!salted) (a0, b0, Seq("cluster"))
+        else (a0.withColumn("salt", pmod(col("id_a"), lit(32)).cast("int")),
+          b0.withColumn("salt", explode(sequence(lit(0), lit(31)))),
+          Seq("cluster", "salt"))
+      a.join(b, keys).filter(col("id_a") < col("id_b"))
+        .withColumn("sim", Similarity.cosine(col("vec_a"), col("vec_b")))
+        .filter(col("sim") >= 0.3)
+        .select(col("id_b")).distinct().as[Long].collect().toSet
+    }
+    val plain = dropped(salted = false)
+    val salted = dropped(salted = true)
+    assert(plain == salted)
+    assert(plain.nonEmpty)
+  }
 }
