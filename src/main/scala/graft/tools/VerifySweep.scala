@@ -90,6 +90,12 @@ object VerifySweep {
       .mkString("{", ", ", "}")
     Files.write(Paths.get(outDir, "oracle_sql.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sampled = graft.SparkEntry.sampledOracleSql.toSeq.sortBy(_._1)
+      .map { case (k, (e, o)) =>
+        s"${q(k)}: {${q("engine")}: ${q(e)}, ${q("oracle")}: ${q(o)}}" }
+      .mkString("{", ", ", "}")
+    Files.write(Paths.get(outDir, "oracle_sampled.json"),
+      sampled.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println("SWEEP done")
     spark.stop()
   }
