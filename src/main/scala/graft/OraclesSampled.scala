@@ -325,7 +325,7 @@ object OraclesSampled {
     * sliced kept vector has none, and the output covers the corpus
     * exactly once. Cosines recompute from raw embeddings with the
     * exact oracle's fold. */
-  private def semDedupLawChecks(mod: Int): (String, String) = {
+  private def semDedupLawChecks(mod: Int, keptMod: Int): (String, String) = {
     def cos(a: String, b: String) =
       s"""(list_reduce(list_transform(range(least(len($a), len($b))),
          |  i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x,y) -> x+y)
@@ -350,7 +350,7 @@ object OraclesSampled {
        |UNION ALL
        |SELECT 'kept_have_none', CAST(count(*) AS BIGINT) FROM (
        |  SELECT k.vec_id FROM engine_out k
-       |  WHERE k.kept AND k.vec_id % $mod = 0
+       |  WHERE k.kept AND k.vec_id % $keptMod = 0
        |    AND EXISTS (
        |      SELECT 1 FROM engine_out o
        |      JOIN main.embeddings ea ON ea.vec_id = k.vec_id
@@ -414,7 +414,10 @@ object OraclesSampled {
     "decontam_bloom" -> decontamBloomSampled,
     "sample_seq_pack" -> seqPackSampled,
     "corpus_curation_funnel" -> funnelSampled,
-    "sem_dedup" -> semDedupLawChecks(31),
-    "sem_dedup_2l" -> semDedupLawChecks(31),
+    // kept-side witness absence scans EVERY lower-id cluster member
+    // (no early exit), so its slice is 10x thinner than the dropped
+    // side's (which usually finds a witness immediately)
+    "sem_dedup" -> semDedupLawChecks(31, 311),
+    "sem_dedup_2l" -> semDedupLawChecks(31, 311),
     "dedup_stream_lsh" -> streamLshInvariants)
 }
