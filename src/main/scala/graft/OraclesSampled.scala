@@ -333,30 +333,53 @@ object OraclesSampled {
          |      i -> CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE)), (x,y) -> x+y))
          |  * sqrt(list_reduce(list_transform(range(len($b)),
          |      i -> CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x,y) -> x+y))))""".stripMargin
-    (s"""SELECT 'cluster_min_kept' AS inv, CAST(count(*) AS BIGINT) AS bad
+    // Witness search routes through DISTINCT-vector groups (identical
+    // vectors always co-cluster, and a group's lowest id is the only
+    // witness id that matters): "some member below b" ⟺ "group min
+    // below b", and the member's cosine equals its group vec's. With a
+    // duplicate-heavy corpus (measured sf10: one cluster = 41% of the
+    // vectors) this turns per-vector member scans into per-vector
+    // group scans — groups per cluster stay small. Zero-norm vectors
+    // score 0 against everything (engine cosine contract): excluded
+    // from groups, never witnesses, never droppable.
+    val grpCtes =
+      s"""nz AS MATERIALIZED (
+         |  SELECT e.vec_id, e.cluster, e.kept, emb.embedding AS vec
+         |  FROM engine_out e JOIN main.embeddings emb USING (vec_id)
+         |  WHERE list_reduce(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b) > 0),
+         |grp AS MATERIALIZED (
+         |  SELECT cluster, vec, min(vec_id) AS rep_id
+         |  FROM nz GROUP BY cluster, vec)""".stripMargin
+    (s"""WITH $grpCtes
+       |SELECT 'cluster_min_kept' AS inv, CAST(count(*) AS BIGINT) AS bad
        |FROM (SELECT cluster, min(vec_id) AS lo FROM engine_out GROUP BY cluster) m
        |JOIN engine_out e ON e.cluster = m.cluster AND e.vec_id = m.lo
        |WHERE NOT e.kept
        |UNION ALL
        |SELECT 'dropped_have_witness', CAST(count(*) AS BIGINT) FROM (
-       |  SELECT d.vec_id FROM engine_out d
+       |  SELECT d.vec_id FROM nz d JOIN grp g
+       |    ON g.cluster = d.cluster AND g.vec = d.vec
        |  WHERE NOT d.kept AND d.vec_id % $mod = 0
+       |    AND g.rep_id = d.vec_id  -- dup-witnessed otherwise (min < id)
        |    AND NOT EXISTS (
-       |      SELECT 1 FROM engine_out o
-       |      JOIN main.embeddings ea ON ea.vec_id = d.vec_id
-       |      JOIN main.embeddings eb ON eb.vec_id = o.vec_id
-       |      WHERE o.cluster = d.cluster AND o.vec_id < d.vec_id
-       |        AND ${cos("ea.embedding", "eb.embedding")} >= 0.3)) t
+       |      SELECT 1 FROM grp o
+       |      WHERE o.cluster = d.cluster AND o.rep_id < d.vec_id
+       |        AND ${cos("d.vec", "o.vec")} >= 0.3)) t
+       |UNION ALL
+       |SELECT 'dropped_zero_norm', CAST(count(*) AS BIGINT)
+       |FROM engine_out e
+       |WHERE NOT e.kept AND e.vec_id NOT IN (SELECT vec_id FROM nz)
        |UNION ALL
        |SELECT 'kept_have_none', CAST(count(*) AS BIGINT) FROM (
-       |  SELECT k.vec_id FROM engine_out k
+       |  SELECT k.vec_id FROM nz k JOIN grp g
+       |    ON g.cluster = k.cluster AND g.vec = k.vec
        |  WHERE k.kept AND k.vec_id % $keptMod = 0
-       |    AND EXISTS (
-       |      SELECT 1 FROM engine_out o
-       |      JOIN main.embeddings ea ON ea.vec_id = k.vec_id
-       |      JOIN main.embeddings eb ON eb.vec_id = o.vec_id
-       |      WHERE o.cluster = k.cluster AND o.vec_id < k.vec_id
-       |        AND ${cos("ea.embedding", "eb.embedding")} >= 0.3)) t
+       |    AND (g.rep_id < k.vec_id  -- identical lower-id ⟹ must drop
+       |      OR EXISTS (
+       |        SELECT 1 FROM grp o
+       |        WHERE o.cluster = k.cluster AND o.rep_id < k.vec_id
+       |          AND ${cos("k.vec", "o.vec")} >= 0.3))) t
        |UNION ALL
        |SELECT 'covers_corpus_once', CAST(
        |  (SELECT count(*) FROM engine_out) -
@@ -365,6 +388,7 @@ object OraclesSampled {
        |    SELECT vec_id FROM engine_out GROUP BY vec_id HAVING count(*) > 1)) AS BIGINT)""".stripMargin,
       s"""SELECT 'cluster_min_kept' AS inv, CAST(0 AS BIGINT) AS bad
        |UNION ALL SELECT 'dropped_have_witness', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'dropped_zero_norm', CAST(0 AS BIGINT)
        |UNION ALL SELECT 'kept_have_none', CAST(0 AS BIGINT)
        |UNION ALL SELECT 'covers_corpus_once', CAST(0 AS BIGINT)""".stripMargin)
   }
@@ -414,10 +438,9 @@ object OraclesSampled {
     "decontam_bloom" -> decontamBloomSampled,
     "sample_seq_pack" -> seqPackSampled,
     "corpus_curation_funnel" -> funnelSampled,
-    // kept-side witness absence scans EVERY lower-id cluster member
-    // (no early exit), so its slice is 10x thinner than the dropped
-    // side's (which usually finds a witness immediately)
-    "sem_dedup" -> semDedupLawChecks(31, 311),
-    "sem_dedup_2l" -> semDedupLawChecks(31, 311),
+    // group-routed witnesses make the kept-side check cheap enough to
+    // run UNSLICED (kept vectors are rare in duplicate-heavy corpora)
+    "sem_dedup" -> semDedupLawChecks(31, 1),
+    "sem_dedup_2l" -> semDedupLawChecks(31, 1),
     "dedup_stream_lsh" -> streamLshInvariants)
 }

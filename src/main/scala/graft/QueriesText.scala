@@ -305,26 +305,51 @@ object QueriesText {
       else
         Similarity.ivfAssign(e, Similarity.ivfFit(e, k = k, iters = 2, dim = 64))
     ).localCheckpoint()
-    // SALTED within-cluster pairwise: duplicate-heavy corpora collapse
-    // many vectors into one cluster, and a bare cluster-keyed self-join
-    // puts that cluster's quadratic scoring on a SINGLE task (measured:
-    // one 33-minute straggler at sf10). Salting the lower-id side by
-    // id%m and replicating the other side m× splits every cluster's
-    // pair grid over m keys. Pure execution rewrite — each (a, b) pair
-    // is still produced exactly once (a's salt cell × all b), so the
-    // dropped SET and the oracle are untouched.
+    // Duplicate-heavy corpora collapse identical vectors into one
+    // cluster (measured at sf10: one cluster holds 41% of the corpus),
+    // making the bare within-cluster pairwise intrinsically quadratic.
+    // Two semantics-preserving execution rewrites:
+    //
+    //  1. EXACT-DUP COLLAPSE — identical vectors always co-cluster
+    //     (same sims, same tie-break), and cosine(v, v) = 1 ≥ the 0.3
+    //     threshold for any non-zero v: every non-minimum member of an
+    //     identical-vector group is dropped by its group minimum. Only
+    //     group REPRESENTATIVES (min id per distinct (cluster, vec))
+    //     need pairwise scoring: a rep b has a lower-id witness iff
+    //     some OTHER rep with smaller min-id scores ≥ threshold (any
+    //     witness's whole group shares its vec, and "some member below
+    //     b" ⟺ "group min below b"). Zero-norm vectors score 0
+    //     against everything (cosine contract) — excluded from the
+    //     collapse, never dropped, never witnesses.
+    //  2. SALTED rep pairwise — distinct-heavy corpora leave reps ≈
+    //     members, so the rep self-join still salts (id%32 one side,
+    //     32× replication of the other) to keep any hot cluster's pair
+    //     grid off a single task (measured 33-min straggler).
+    //
+    // The dropped SET — and therefore the oracle — is untouched.
     val m = 32
-    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+    val nzAssigned = assigned.withColumn("nz",
+      expr("aggregate(vec, 0D, (a, x) -> a + cast(x as double) * x)") > 0d)
+    val groups = nzAssigned.filter(col("nz"))
+      .groupBy(col("cluster"), col("vec"))
+      .agg(min(col("id")).as("rep_id"))
+      .localCheckpoint() // feeds the dup-drop arm AND the rep pairwise
+    val dupDropped = nzAssigned.filter(col("nz"))
+      .join(groups, Seq("cluster", "vec"))
+      .filter(col("id") > col("rep_id"))
+      .select(col("id"))
+    val a = groups.select(col("cluster"), col("rep_id").as("id_a"),
       col("vec").as("vec_a"))
       .withColumn("salt", pmod(col("id_a"), lit(m)).cast("int"))
-    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+    val b = groups.select(col("cluster"), col("rep_id").as("id_b"),
       col("vec").as("vec_b"))
       .withColumn("salt", explode(sequence(lit(0), lit(m - 1))))
-    val dropped = a.join(b, Seq("cluster", "salt"))
+    val repDropped = a.join(b, Seq("cluster", "salt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
-      .select(col("id_b").as("id")).distinct()
+      .select(col("id_b").as("id"))
+    val dropped = dupDropped.unionByName(repDropped).distinct()
     assigned.join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
       .select(col("id").as("vec_id"), col("cluster"),
         (!coalesce(col("dup"), lit(false))).as("kept"))
