@@ -428,6 +428,9 @@ object OraclesSampled {
     "doc_winnow" -> perDoc("doc_winnow", 97),
     "text_dup_ngram_frac" -> perDoc("text_dup_ngram_frac", 97),
     "d1_counter_diff" -> perEventKey("d1_counter_diff", "user_id", 97),
+    "d7_rate_derivation" -> perEventKey("d7_rate_derivation", "user_id", 97),
+    "doc_chunking" -> perDoc("doc_chunking", 97),
+    "doc_cdc_chunks" -> perDoc("doc_cdc_chunks", 97),
     "dedup_minhash_lsh" -> minhashPairSoundness,
     "dedup_simhash" -> simhashPairSoundness,
     "dedup_fuzzy_e2e" -> fuzzyE2eInvariants,
