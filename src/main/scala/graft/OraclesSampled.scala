@@ -430,7 +430,9 @@ object OraclesSampled {
     "d1_counter_diff" -> perEventKey("d1_counter_diff", "user_id", 97),
     "d7_rate_derivation" -> perEventKey("d7_rate_derivation", "user_id", 97),
     "doc_chunking" -> perDoc("doc_chunking", 97),
-    "doc_cdc_chunks" -> perDoc("doc_cdc_chunks", 97),
+    // doc_cdc_chunks carries a corpus-global chunk-duplication count —
+    // NOT per-doc sliceable; its exact oracle runs at sf10 with a
+    // bigger budget instead (3.9M rows, passed r10's 600s recheck)
     "dedup_minhash_lsh" -> minhashPairSoundness,
     "dedup_simhash" -> simhashPairSoundness,
     "dedup_fuzzy_e2e" -> fuzzyE2eInvariants,
