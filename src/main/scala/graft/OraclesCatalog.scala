@@ -445,6 +445,7 @@ object OraclesCatalog {
     // (reference helper/main.go:22-118) collapses to an invariant row.
     "s34_helper_status" ->
       """SELECT 'postmaster_pid_found' AS metric, CAST(1 AS BIGINT) AS ok
+        |UNION ALL SELECT 'pgrep_lists_postmaster', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'data_directory_resolved', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'cwd_mode_matches', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'xlog_is_pg_wal', CAST(1 AS BIGINT)

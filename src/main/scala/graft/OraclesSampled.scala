@@ -382,10 +382,15 @@ object OraclesSampled {
        |          AND ${cos("k.vec", "o.vec")} >= 0.3))) t
        |UNION ALL
        |SELECT 'covers_corpus_once', CAST(
-       |  (SELECT count(*) FROM engine_out) -
-       |  (SELECT count(*) FROM main.embeddings) AS BIGINT) +
-       |  CAST((SELECT count(*) FROM (
-       |    SELECT vec_id FROM engine_out GROUP BY vec_id HAVING count(*) > 1)) AS BIGINT)""".stripMargin,
+       |  -- symmetric id-set difference + duplicate count: a signed
+       |  -- row-count delta could cancel against duplicated ids
+       |  (SELECT count(*) FROM main.embeddings b
+       |   WHERE b.vec_id NOT IN (SELECT vec_id FROM engine_out)) +
+       |  (SELECT count(*) FROM engine_out e
+       |   WHERE e.vec_id NOT IN (SELECT vec_id FROM main.embeddings)) +
+       |  (SELECT count(*) FROM (
+       |    SELECT vec_id FROM engine_out GROUP BY vec_id HAVING count(*) > 1))
+       |  AS BIGINT)""".stripMargin,
       s"""SELECT 'cluster_min_kept' AS inv, CAST(0 AS BIGINT) AS bad
        |UNION ALL SELECT 'dropped_have_witness', CAST(0 AS BIGINT)
        |UNION ALL SELECT 'dropped_zero_norm', CAST(0 AS BIGINT)
@@ -414,10 +419,15 @@ object OraclesSampled {
        |  WHERE NOT r.is_first) t
        |UNION ALL
        |SELECT 'covers_corpus_once', CAST(
-       |  (SELECT count(*) FROM engine_out) -
-       |  (SELECT count(*) FROM main.documents) AS BIGINT) +
-       |  CAST((SELECT count(*) FROM (
-       |    SELECT doc_id FROM engine_out GROUP BY doc_id HAVING count(*) > 1)) AS BIGINT)""".stripMargin,
+       |  -- symmetric id-set difference + duplicate count: a signed
+       |  -- row-count delta could cancel against duplicated ids
+       |  (SELECT count(*) FROM main.documents b
+       |   WHERE b.doc_id NOT IN (SELECT doc_id FROM engine_out)) +
+       |  (SELECT count(*) FROM engine_out e
+       |   WHERE e.doc_id NOT IN (SELECT doc_id FROM main.documents)) +
+       |  (SELECT count(*) FROM (
+       |    SELECT doc_id FROM engine_out GROUP BY doc_id HAVING count(*) > 1))
+       |  AS BIGINT)""".stripMargin,
     s"""SELECT 'canonical_le_id' AS inv, CAST(0 AS BIGINT) AS bad
        |UNION ALL SELECT 'first_iff_self', CAST(0 AS BIGINT)
        |UNION ALL SELECT 'depth_zero_iff_first', CAST(0 AS BIGINT)

@@ -934,9 +934,10 @@ object QueriesLog {
       linesCk.filter(col("fidx") === i)
         .repartition(1).sortWithinPartitions("event_id")
         .select("line").write.mode("overwrite").text(p)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(p))
-        .filter(q => q.getFileName.toString.startsWith("part-"))
-        .findFirst().get()
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(p)))(
+        _.filter(q => q.getFileName.toString.startsWith("part-"))
+          .findFirst().get())
       s"error/postgresql.log.$i" ->
         (1700000000000L, graft.sources.RdsLogs.FileContent.spool(part))
     }.toMap
@@ -1047,7 +1048,11 @@ object QueriesLog {
         java.nio.file.Files.write(spool.resolve(s"rds-$idx.body"),
           content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
-    } finally { ep.stop(); sts.stop() }
+    } finally {
+      ep.stop(); sts.stop()
+      // the server-side spool is only read by the endpoint
+      org.apache.commons.io.FileUtils.deleteQuietly(spoolRoot.toFile)
+    }
     val out = s.read.option("wholetext", "true")
       .option("pathGlobFilter", "*.body").text(spool.toString)
       .select(
@@ -1099,10 +1104,10 @@ object QueriesLog {
       .repartition(1).sortWithinPartitions("t", "event_id")
       .select(concat_ws("\t", col("t"), col("line")))
       .write.mode("overwrite").text(s"$psSpool/entries")
-    val psPart = java.nio.file.Files.list(
-      java.nio.file.Paths.get(s"$psSpool/entries"))
-      .filter(q => q.getFileName.toString.startsWith("part-"))
-      .findFirst().get()
+    val psPart = scala.util.Using.resource(java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$psSpool/entries")))(
+      _.filter(q => q.getFileName.toString.startsWith("part-"))
+        .findFirst().get())
     val ep = new PlanetScaleLogs.Endpoint("ps-tok-id", "ps-tok-secret",
       "graft-org", "graft-db", "main", "branch-abc123",
       PlanetScaleLogs.EntrySource.Spool(psPart))
@@ -1126,7 +1131,8 @@ object QueriesLog {
       }, "a forged signature must be 403 and clear the cache")
       // page size scaled to the corpus so the loop ALWAYS pages (the
       // plan guard runs this at sf0.001 where the corpus is ~25 rows)
-      val nEntries = java.nio.file.Files.lines(psPart).count()
+      val nEntries =
+        scala.util.Using.resource(java.nio.file.Files.lines(psPart))(_.count())
       val page = math.max(1, (nEntries / 3).toInt)
       val r1 = PlanetScaleLogs.downloadLogFiles(c, PlanetScaleLogs.PsState(),
         "graft-org", "graft-db", "main", nowEpochSecs = 1700000000L,
@@ -1152,7 +1158,10 @@ object QueriesLog {
         "branch id and valid signature must be cached")
       java.nio.file.Files.write(spool.resolve("planetscale-logs"),
         r1.content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally ep.stop()
+    } finally {
+      ep.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(psSpool.toFile)
+    }
     val out = s.read.option("wholetext", "true").text(spool.toString)
       .select(posexplode(split(col("value"), "\n")))
       .filter(col("col") =!= "")
@@ -1210,10 +1219,10 @@ object QueriesLog {
     val tbSpool = java.nio.file.Files.createTempDirectory("graft_tembo_srv")
     frames0.repartition(1).sortWithinPartitions("fid").select("frame")
       .write.mode("overwrite").text(s"$tbSpool/frames")
-    val tbPart = java.nio.file.Files.list(
-      java.nio.file.Paths.get(s"$tbSpool/frames"))
-      .filter(q => q.getFileName.toString.startsWith("part-"))
-      .findFirst().get()
+    val tbPart = scala.util.Using.resource(java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$tbSpool/frames")))(
+      _.filter(q => q.getFileName.toString.startsWith("part-"))
+        .findFirst().get())
     val frames = TemboLogs.spooledFrames(tbPart)
     val srv = new TemboLogs.LokiTailServer("graft-token", "org-graft",
       TemboLogs.tailPath("inst-graft", "graftns"), frames)
@@ -1241,6 +1250,7 @@ object QueriesLog {
     } finally {
       srv.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(spool.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbSpool.toFile)
     }
   }
 

@@ -123,11 +123,22 @@ object QueriesPgLive {
     val srv = PgEphemeral.server()
     val expectedData = java.nio.file.Paths.get(srv.dataDir)
       .toRealPath().toString
-    val st = sources.HelperStatus.status(srv.dataDir)
-    val stCwd = sources.HelperStatus.status() // /proc/<pid>/cwd mode
+    // anchor the status run on OUR postmaster's pid (postmaster.pid of
+    // the ephemeral server) — pgrep-oldest discovery would resolve a
+    // concurrent or pre-existing postgres instead; the pgrep contract
+    // itself is exercised as a membership row below
+    val pid = sources.HelperStatus.pidFromPidFile(srv.dataDir).getOrElse(-1)
+    val osUser =
+      if (System.getProperty("user.name") == "root") "postgres"
+      else System.getProperty("user.name")
+    val st = sources.HelperStatus.statusForPid(pid, srv.dataDir)
+    val stCwd = sources.HelperStatus.statusForPid(pid,
+      consultEnv = false) // the /proc/<pid>/cwd arm, stray-PGDATA-proof
     val json = sources.HelperStatus.toJson(st)
     Seq(
-      ("postmaster_pid_found", st.postmasterPid > 0),
+      ("postmaster_pid_found", pid > 0 && st.postmasterPid == pid),
+      ("pgrep_lists_postmaster",
+        sources.HelperStatus.pidsMatching(osUser).contains(pid)),
       ("data_directory_resolved", st.dataDirectory == expectedData),
       ("cwd_mode_matches", stCwd.dataDirectory == expectedData),
       ("xlog_is_pg_wal", st.xlogDirectory == s"$expectedData/pg_wal"),

@@ -44,20 +44,46 @@ object HelperStatus {
       .flatMap(s => s.trim.linesIterator.nextOption())
       .flatMap(s => s.toIntOption)
 
+  /** All pids pgrep matches for the user (no `-o`) — lets a caller that
+    * OWNS a server assert its postmaster is discoverable without
+    * assuming it is the host-oldest one. */
+  def pidsMatching(user: String): Seq[Int] =
+    (run("pgrep", "-U", user, "postgres").toSeq ++
+      run("pgrep", "-U", user, "postmaster").toSeq)
+      .flatMap(_.trim.linesIterator)
+      .flatMap(_.toIntOption).distinct
+
+  /** The pid of a SPECIFIC server: first line of
+    * `<dataDir>/postmaster.pid` — immune to concurrent foreign
+    * postmasters on the host, unlike pgrep-oldest discovery. */
+  def pidFromPidFile(dataDir: String): Option[Int] =
+    try Files.readString(Paths.get(dataDir, "postmaster.pid"))
+      .linesIterator.nextOption().flatMap(_.trim.toIntOption)
+    catch { case _: Exception => None }
+
   private def realpath(p: String): Option[String] =
     try Some(Paths.get(p).toRealPath().toString)
     catch { case _: Exception => None }
 
   /** `getStatus` (`main.go:41-118`). */
   def status(dataDirArg: String = "",
-      user: String = "postgres"): Status = {
+      user: String = "postgres"): Status =
     postmasterPid(user) match {
       case None => Status(-1, "", "", 0L, "")
-      case Some(pid) =>
+      case Some(pid) => statusForPid(pid, dataDirArg)
+    }
+
+  /** The resolution contracts of `getStatus` anchored on a KNOWN pid —
+    * callers that own the server read it from `postmaster.pid`, so a
+    * concurrent foreign postmaster can never be picked up.
+    * `consultEnv=false` exercises the /proc-cwd arm even when a stray
+    * `PGDATA` is set in the environment. */
+  def statusForPid(pid: Int, dataDirArg: String = "",
+      consultEnv: Boolean = true): Status = {
         val dataDir0 =
           if (dataDirArg.nonEmpty) dataDirArg
-          else sys.env.getOrElse("PGDATA",
-            s"/proc/$pid/cwd")
+          else if (consultEnv) sys.env.getOrElse("PGDATA", s"/proc/$pid/cwd")
+          else s"/proc/$pid/cwd"
         val dataDir = realpath(dataDir0).getOrElse("")
         val xlogName =
           if (Files.exists(Paths.get(s"$dataDir/pg_wal"))) "pg_wal"
@@ -79,7 +105,6 @@ object HelperStatus {
             .findFirstMatchIn(out).map(_.group(1))
         }.getOrElse("")
         Status(pid, dataDir, xlogDir, xlogBytes, sysId)
-    }
   }
 
   /** The helper's JSON marshal of the status (`main.go:114-118`) —

@@ -68,7 +68,6 @@ object PgEphemeral {
 
   private def boot(): Server = {
     val dir = Files.createTempDirectory("graft_pg").toString
-    val port = freePort()
     // the postgres user must own the directory tree when running as root
     if (System.getProperty("user.name") == "root") {
       new ProcessBuilder("chown", "-R", "postgres:postgres", dir)
@@ -78,22 +77,41 @@ object PgEphemeral {
     val (ic, iout) = runAsPg(
       s"$binDir/initdb -D $data -A trust -E UTF8 --no-sync 2>&1")
     require(ic == 0, s"initdb failed: $iout")
-    val opts = Seq(
-      s"-p $port",
-      "-c listen_addresses=127.0.0.1",
-      "-c shared_preload_libraries=pg_stat_statements",
-      "-c pg_stat_statements.track=all",
-      s"-c unix_socket_directories=$dir",
-      "-c fsync=off", "-c synchronous_commit=off", "-c full_page_writes=off",
-      "-c autovacuum=off" // deterministic stats: only explicit ANALYZE
-    ).mkString(" ")
-    val (sc, sout) = runAsPg(
-      s"""$binDir/pg_ctl -D $data -o "$opts" -l $dir/server.log -w start 2>&1""")
-    require(sc == 0, s"pg_ctl start failed: $sout")
+    // freePort() closes its probe socket before postgres binds the port
+    // (TOCTOU) — another process can grab it in the window, so retry the
+    // start with a fresh port on failure
+    var port = 0
+    var started = false
+    var lastOut = ""
+    var attempt = 0
+    while (!started && attempt < 3) {
+      attempt += 1
+      port = freePort()
+      val opts = Seq(
+        s"-p $port",
+        "-c listen_addresses=127.0.0.1",
+        "-c shared_preload_libraries=pg_stat_statements",
+        "-c pg_stat_statements.track=all",
+        s"-c unix_socket_directories=$dir",
+        "-c fsync=off", "-c synchronous_commit=off", "-c full_page_writes=off",
+        "-c autovacuum=off" // deterministic stats: only explicit ANALYZE
+      ).mkString(" ")
+      val (sc, sout) = runAsPg(
+        s"""$binDir/pg_ctl -D $data -o "$opts" -l $dir/server.log -w start 2>&1""")
+      started = sc == 0
+      lastOut = sout
+    }
+    require(started, s"pg_ctl start failed after $attempt attempts: $lastOut")
     val srv = Server("127.0.0.1", port, data, "postgres")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try runAsPg(s"$binDir/pg_ctl -D $data -m immediate stop 2>&1")
-      catch { case _: Exception => }
+      try {
+        runAsPg(s"$binDir/pg_ctl -D $data -m immediate stop 2>&1")
+        // best-effort delete of the temp data tree (as promised above);
+        // rm as the owning user — Files.walk can't remove the
+        // postgres-owned tree when the JVM is non-root elsewhere
+        runAsPg(s"rm -rf $dir")
+        new ProcessBuilder("rm", "-rf", dir).start().waitFor()
+      } catch { case _: Exception => }
     }))
     srv
   }

@@ -7,7 +7,7 @@ sweep. Handles both flat-file (driver testdata) and directory (Spark
 write) parquet layouts. Usage:
     python3 tools/check_scale.py [sfdir] [outdir] [timeout_s]
 """
-import sys, json, glob, math, os
+import sys, json, glob, math, os, re
 import multiprocessing as mp
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -38,7 +38,15 @@ def norm(df):
         for x in r))
 
 
-def cmp_val(a, b):
+def sf_of(sfdir):
+    m = re.search(r"sf([0-9.]+)", str(sfdir))
+    try:
+        return float(m.group(1)) if m else 1.0
+    except ValueError:
+        return 1.0
+
+
+def cmp_val(a, b, rel=0.0):
     a_nan = a is None or (isinstance(a, float) and math.isnan(a))
     b_nan = b is None or (isinstance(b, float) and math.isnan(b))
     if a_nan or b_nan:
@@ -46,14 +54,14 @@ def cmp_val(a, b):
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
-            # absolute epsilon for small values; RELATIVE for large
-            # magnitudes — unordered float sums over 10M+ rows differ
-            # between engines at ~1e-13 relative, which crosses
-            # fixed-decimal rounding boundaries (a1 at sf10: two 5e11
-            # sums landing in adjacent cent buckets). The per-round
-            # sf0.01 gate stays hash-exact; this applies to the
-            # large-SF sweeps only.
-            return a == b or abs(fa - fb) <= max(1e-9, 1e-11 * abs(fa))
+            # absolute epsilon always; RELATIVE term (symmetric in the
+            # two magnitudes) only at sf>1, where unordered float sums
+            # over 10M+ rows differ between engines at ~1e-13 relative,
+            # crossing fixed-decimal rounding boundaries (a1 at sf10:
+            # two 5e11 sums landing in adjacent cent buckets). sf<=1
+            # runs stay at the pure 1e-9 epsilon.
+            tol = max(1e-9, rel * max(abs(fa), abs(fb)))
+            return a == b or abs(fa - fb) <= tol
         except (TypeError, ValueError):
             return False
     return a == b or str(a) == str(b)
@@ -80,11 +88,12 @@ def check_one(sfdir, outdir, name, sql, q):
         if sorted(mine.columns) != sorted(want.columns):
             q.put(("FAIL", f"columns {sorted(mine.columns)} vs "
                            f"{sorted(want.columns)}")); return
+        rel = 1e-11 if sf_of(sfdir) > 1 else 0.0
         a, b = norm(mine), norm(want)
         if len(a) != len(b):
             q.put(("FAIL", f"rows {len(a)} vs {len(b)}")); return
         for i, (ra, rb) in enumerate(zip(a, b)):
-            if not all(cmp_val(x, y) for x, y in zip(ra, rb)):
+            if not all(cmp_val(x, y, rel) for x, y in zip(ra, rb)):
                 q.put(("FAIL", f"row {i}: spark={ra} duck={rb}")); return
         q.put(("PASS", f"{len(a)} rows"))
     except Exception as e:
@@ -120,11 +129,12 @@ def check_one_sampled(sfdir, outdir, name, engine_sql, oracle_sql, q):
         if sorted(mine.columns) != sorted(want.columns):
             q.put(("FAIL", f"sampled columns {sorted(mine.columns)} vs "
                            f"{sorted(want.columns)}")); return
+        rel = 1e-11 if sf_of(sfdir) > 1 else 0.0
         a, b = norm(mine), norm(want)
         if len(a) != len(b):
             q.put(("FAIL", f"sampled rows {len(a)} vs {len(b)}")); return
         for i, (ra, rb) in enumerate(zip(a, b)):
-            if not all(cmp_val(x, y) for x, y in zip(ra, rb)):
+            if not all(cmp_val(x, y, rel) for x, y in zip(ra, rb)):
                 q.put(("FAIL",
                        f"sampled row {i}: spark={ra} duck={rb}")); return
         q.put(("SAMPLED", f"{len(a)} sliced rows exact"))
