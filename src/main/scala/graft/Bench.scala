@@ -51,11 +51,16 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
 
-    // local-iteration filter (driver never sets it → full suite)
+    // local-iteration filters (driver never sets them → full suite):
+    // ONLY = include list; SKIP = exclude list (e.g. the wall-clock-bound
+    // daemon soak in large-SF scale benches)
     val onlySet = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val skipSet = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => onlySet.forall(_(n)))
+      .filter(n => onlySet.forall(_(n)) && !skipSet(n))
     // warmup: run the first query once to pay session/codegen startup
     try force(names.head) catch { case _: Throwable => () }
 

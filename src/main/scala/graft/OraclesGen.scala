@@ -2872,7 +2872,7 @@ object OraclesGen {
       |    SELECT doc_id, unnest(list_distinct(ws)) AS term FROM corpus)
       |  GROUP BY term),
       |q AS (SELECT doc_id AS q_id, ws, embedding FROM corpus
-      |      WHERE doc_id % 101 = 0),
+      |      WHERE doc_id % 101 = 0 AND doc_id < 101 * 128),
       |qt AS (
       |  SELECT q_id, term, df FROM (
       |    SELECT q_id, term, df, row_number() OVER (PARTITION BY q_id

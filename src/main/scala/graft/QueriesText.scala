@@ -1475,9 +1475,19 @@ object QueriesText {
     * eagerly because stats / df / tf / query-terms all branch from it.
     * BM25 contributions fold in term order and cosine is the proven
     * brute-force shape, so every rank — and therefore the fused
-    * ordering — is bit-reproduced by the oracle. */
+    * ordering — is bit-reproduced by the oracle.
+    *
+    * The query set is a FIXED budget (first 128 ids on the %101 grid),
+    * not corpus-proportional: a retrieval eval workload doesn't grow
+    * with the corpus, and |Q| ∝ n would turn the exact vector arm into
+    * n²/101 scoring work and the query-term frame into a
+    * corpus-proportional broadcast (the doc_decontaminate failure
+    * shape). With the budget both arms are |Q|·n = O(n). The term-df
+    * lookup streams the corpus-sized dfreq side and broadcasts the
+    * bounded query-term side, never the vocabulary. */
   def hybridSearchRrf(s: SparkSession, dir: String): DataFrame = {
     val k1 = 1.2; val b = 0.75; val K = 20
+    val QBudget = 128 // queries = doc_id % 101 == 0, capped to 128 ids
     val W = org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val corpus = Tables.fanOut(Tables.documents(s, dir))
@@ -1492,12 +1502,12 @@ object QueriesText {
     val dfreq = corpus
       .select(col("doc_id"), explode(array_distinct(col("ws"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val qdocs = corpus.filter(col("doc_id") % 101 === 0)
+    val qdocs = corpus.filter(col("doc_id") % 101 === 0 &&
+      col("doc_id") < 101L * QBudget)
     val wq = W.partitionBy("q_id").orderBy(col("df").asc, col("term").asc)
-    val qterms = qdocs
-      .select(col("doc_id").as("q_id"),
-        explode(array_distinct(col("ws"))).as("term"))
-      .join(broadcast(dfreq), "term")
+    val qterms = dfreq
+      .join(broadcast(qdocs.select(col("doc_id").as("q_id"),
+        explode(array_distinct(col("ws"))).as("term"))), "term")
       .withColumn("trk", row_number().over(wq)).filter(col("trk") <= 3)
       .select("q_id", "term", "df")
     val tf = toks.join(broadcast(qterms), "term")

@@ -133,6 +133,27 @@ class PgLiveSpec extends AnyFunSuite {
     }
   }
 
+  test("helper status anchors on postmaster.pid, immune to pgrep-oldest ambiguity") {
+    import graft.sources.HelperStatus
+    val pid = HelperStatus.pidFromPidFile(srv.dataDir)
+    assert(pid.exists(_ > 0), "postmaster.pid must yield the server pid")
+    // the anchored pid is among pgrep's matches for the owning OS user
+    // (pgrep-OLDEST could be a different concurrent postmaster)
+    val osUser =
+      if (System.getProperty("user.name") == "root") "postgres"
+      else System.getProperty("user.name")
+    assert(HelperStatus.pidsMatching(osUser).contains(pid.get))
+    val expected = java.nio.file.Paths.get(srv.dataDir).toRealPath().toString
+    // explicit-arg resolution and the env-blind /proc-cwd arm both land
+    // on the ephemeral server's data directory
+    assert(HelperStatus.statusForPid(pid.get, srv.dataDir)
+      .dataDirectory == expected)
+    assert(HelperStatus.statusForPid(pid.get, consultEnv = false)
+      .dataDirectory == expected)
+    // a missing pid file resolves to None, not a foreign pid
+    assert(HelperStatus.pidFromPidFile("/nonexistent-datadir").isEmpty)
+  }
+
   test("wire client: error surfacing keeps the connection usable; nulls and types map") {
     srv.withDatabase("wire_live") { c =>
       intercept[PgWire.PgServerError] { c.query("SELECT no_such_col") }
