@@ -157,7 +157,35 @@ object PlanetScaleLogs {
     }
     var since = st.lastTimestamp
     if (since < linesNewerThan) since = linesNewerThan
-    val content = new StringBuilder
+    // trailing-maxParse accumulator: a deque of whole messages plus a
+    // char offset into the oldest one — byte-identical to keeping the
+    // last maxParse chars, but trimming is amortized O(total bytes). A
+    // StringBuilder.delete(0, overflow) here shifted the whole capped
+    // buffer per entry once the cap was reached — O(n·cap) memmove,
+    // measured 80 s of the 81.6 s sf10 wall of s37_planetscale_live.
+    val tail = scala.collection.mutable.ArrayDeque.empty[String]
+    var tailChars = 0L // live chars = tailChars - headDrop
+    var headDrop = 0L  // chars already trimmed off tail.head
+    def appendCapped(msg: String): Unit = {
+      if (msg.length > maxParse) {
+        tail.clear(); tailChars = 0L; headDrop = 0L
+        tail += msg.substring(msg.length - maxParse)
+        tailChars = maxParse.toLong
+      } else {
+        tail += msg
+        tailChars += msg.length
+        var need = tailChars - headDrop - maxParse
+        while (need > 0) {
+          val headLive = tail.head.length - headDrop
+          if (headLive <= need) {
+            tailChars -= tail.head.length
+            tail.removeHead()
+            headDrop = 0L
+            need -= headLive
+          } else { headDrop += need; need = 0L }
+        }
+      }
+    }
     var newest = ""
     var pages = 0
     var discarded = 0
@@ -175,19 +203,16 @@ object PlanetScaleLogs {
           discarded += pageDiscarded
           entries.foreach { e =>
             val msg = if (e.msg.endsWith("\n")) e.msg else e.msg + "\n"
-            if (msg.length > maxParse)
-              content.replace(0, content.length,
-                msg.substring(msg.length - maxParse))
-            else {
-              val overflow = content.length + msg.length - maxParse
-              if (overflow > 0) content.delete(0, overflow)
-              content ++= msg
-            }
+            appendCapped(msg)
             if (e.time > newest) newest = e.time
           }
           if (entries.length < pageSize || newest == since) done = true
           else since = newest
       }
+    }
+    val content = new StringBuilder
+    tail.zipWithIndex.foreach { case (m, i) =>
+      if (i == 0) content ++= m.substring(headDrop.toInt) else content ++= m
     }
     val st1 = if (newest.nonEmpty) st.copy(lastTimestamp = newest) else st
     Right(Download(st1, content.toString, pages, discarded))
