@@ -203,15 +203,21 @@ object Similarity {
   /** Nearest-centroid assignment: (id, vec, cluster). Per-id argmax via
     * `max_by` over (sim, -cluster) — a map-side-combining hash aggregate
     * instead of a sort window, same tie-break (highest sim, then lowest
-    * cluster id). */
+    * cluster id). The aggregate carries ONLY fixed-width columns
+    * (id, cluster, sim) so it plans as whole-stage-codegen
+    * HashAggregate; a `first(vec)` alongside put the array in the
+    * aggregation buffer, forcing SortAggregate over the full n·k
+    * scored frame (external-sort spill storm on small executors at
+    * sf10 — the lc drill's exit-52). The vector column joins back from
+    * `emb` afterward (callers pass a checkpointed or plain-scan emb, so
+    * the double reference is a cheap re-scan, not a recompute). */
   def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(cents))
+    val scored = emb.select("id", "vec").crossJoin(broadcast(cents))
       .withColumn("sim", cosineFD(col("vec"), col("centroid")))
-    scored.groupBy("id").agg(
-      first(col("vec")).as("vec"),
+    val cl = scored.groupBy("id").agg(
       max_by(col("cluster"),
         struct(col("sim"), (-col("cluster")).cast("int"))).as("cluster"))
-      .select("id", "vec", "cluster")
+    emb.join(cl, Seq("id")).select("id", "vec", "cluster")
   }
 
   // -------------------------------------------- two-level IVF assignment
@@ -286,13 +292,14 @@ object Similarity {
     // unhinted equi-join on the coarse-list key: AQE broadcasts centsC
     // while it is small and falls back to a shuffled hash join once
     // k ∝ n makes it big — no forced corpus-proportional broadcast
+    // fixed-width aggregate (see ivfAssign's scale note): cluster-only
+    // argmax keeps the n·√k·nprobe candidate frame in codegen
+    // HashAggregate; vectors join back from emb once, below
     val cand = probes.join(centsC, "ccluster")
       .withColumn("sim", cosineFD(col("vec"), col("centroid")))
     val assigned0 = cand.groupBy("id").agg(
-      first(col("vec")).as("vec"),
       max_by(col("cluster"),
         struct(col("sim"), (-col("cluster")).cast("int"))).as("cluster"))
-      .select("id", "vec", "cluster")
     // a vector is UNASSIGNED iff none of its probed lists holds a fine
     // centroid — decidable from the (tiny) list-key sets alone, so the
     // expensive scored aggregate above is never referenced twice in one
@@ -304,11 +311,10 @@ object Similarity {
     val fallback = cents.crossJoin(broadcast(missing))
       .withColumn("sim", cosineFD(col("vec"), col("centroid")))
       .groupBy("id").agg(
-        first(col("vec")).as("vec"),
         max_by(col("cluster"),
           struct(col("sim"), (-col("cluster")).cast("int"))).as("cluster"))
+    emb.join(assigned0.unionByName(fallback), Seq("id"))
       .select("id", "vec", "cluster")
-    assigned0.unionByName(fallback)
   }
 
   /** Fit k ∝ n fine centroids and return the final (id, vec, cluster)
