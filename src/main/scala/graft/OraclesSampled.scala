@@ -434,7 +434,53 @@ object OraclesSampled {
        |UNION ALL SELECT 'roots_are_first', CAST(0 AS BIGINT)
        |UNION ALL SELECT 'covers_corpus_once', CAST(0 AS BIGINT)""".stripMargin)
 
+  /** PER-DOC SLICE + STRUCTURAL INVARIANTS for the BPE encoder (its
+    * exact oracle re-derives the 5 merge-training rounds over the full
+    * corpus — DuckDB-OOM at sf10): segmentation COVERAGE is per-doc
+    * checkable without the merges table — the space-stripped token
+    * stream must equal the concatenation of the doc's words in order,
+    * n_words must match the re-split, every word is ≥ 1 token, and the
+    * token count equals the stream's token count. Merge-priority
+    * correctness (WHICH segmentation) stays pinned by the exact oracle
+    * at sf ≤ 1. Row doc_id = -1 carries the corpus-coverage count
+    * (symmetric id-set difference + dups, zero iff every nonempty doc
+    * appears exactly once). */
+  private val bpeEncodeSampled: (String, String) = {
+    val mod = 97
+    (s"""SELECT doc_id, n_words,
+       |  replace(tokens_str, ' ', '') AS joined,
+       |  n_tokens >= n_words AS tok_ge_words,
+       |  n_tokens = CAST(1 + len(tokens_str)
+       |    - len(replace(tokens_str, ' ', '')) AS BIGINT)
+       |    AS n_tokens_matches_stream
+       |FROM engine_out WHERE doc_id % $mod = 0
+       |UNION ALL
+       |SELECT -1,
+       |  (SELECT count(*) FROM (
+       |     SELECT doc_id FROM main.documents
+       |     WHERE len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |       w -> len(w) > 0)) > 0) c
+       |   WHERE c.doc_id NOT IN (SELECT doc_id FROM engine_out)) +
+       |  (SELECT count(*) FROM engine_out e
+       |   WHERE e.doc_id NOT IN (SELECT doc_id FROM main.documents)) +
+       |  (SELECT count(*) FROM (
+       |     SELECT doc_id FROM engine_out
+       |     GROUP BY doc_id HAVING count(*) > 1)),
+       |  '', TRUE, TRUE""".stripMargin,
+      s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> len(w) > 0) AS ws
+       |  FROM main.documents WHERE doc_id % $mod = 0)
+       |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |  list_aggregate(ws, 'string_agg', '') AS joined,
+       |  TRUE AS tok_ge_words, TRUE AS n_tokens_matches_stream
+       |FROM d WHERE len(ws) > 0
+       |UNION ALL
+       |SELECT -1, CAST(0 AS BIGINT), '', TRUE, TRUE""".stripMargin)
+  }
+
   val sql: Map[String, (String, String)] = Map(
+    "tokenizer_bpe_encode" -> bpeEncodeSampled,
     "doc_winnow" -> perDoc("doc_winnow", 97),
     "text_dup_ngram_frac" -> perDoc("text_dup_ngram_frac", 97),
     "d1_counter_diff" -> perEventKey("d1_counter_diff", "user_id", 97),
