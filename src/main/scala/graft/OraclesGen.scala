@@ -3094,6 +3094,9 @@ object OraclesGen {
     "embed_ann_lsh" -> embedAnnLsh,
     "embed_ann_recall" -> embedAnnRecall,
     "embed_ivf_recall" -> embedIvfRecall,
+    // the persisted-index path must reproduce the in-memory IVF recall
+    // frame bit-for-bit: same oracle SQL verbatim
+    "embed_ivf_persisted" -> embedIvfRecall,
     "sem_dedup" -> semDedup,
     "sem_dedup_2l" -> semDedup2L,
     "doc_winnow" -> docWinnow,

@@ -93,6 +93,38 @@ object QueriesText {
         (col("n_hit").cast("double") / col("n_truth")).as("recall"))
   }
 
+  /** [[embedIvfRecall]] measured THROUGH a persisted index
+    * ([[graft.operators.IvfIndex]]): the corpus inverted lists are
+    * written as cluster-partitioned parquet and the probe runs as a
+    * partition-pruned scan — the build-once / probe-many serving shape
+    * of a 100 TB embedding lake. The fit/assign/score chain is
+    * byte-identical to the in-memory path and parquet round-trips the
+    * vectors losslessly, so this entry shares `embed_ivf_recall`'s
+    * oracle SQL verbatim — the persisted index must reproduce the
+    * in-memory recall frame bit-for-bit to pass. */
+  def embedIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_ivf_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    graft.operators.IvfIndex.save(
+      e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      idx, nClusters = 16, iters = 2, dim = 64)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("q_id", "n_id")
+    val approx = graft.operators.IvfIndex.topK(s, idx, queries, k = 5, nprobe = 4)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
   /** Banded LSH near-dups: 8 signatures × 4 bits → recall ≈ 0.75 at
     * sim 0.4 (p=0.63), with per-bucket caps bounding the self-join. The
     * sim column is left unrounded: the oracle reproduces the identical

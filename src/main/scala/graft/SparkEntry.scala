@@ -132,6 +132,7 @@ object SparkEntry {
     "embed_ann_lsh" -> (QueriesText.embedAnnLsh _),
     "embed_ann_recall" -> (QueriesText.embedAnnRecall _),
     "embed_ivf_recall" -> (QueriesText.embedIvfRecall _),
+    "embed_ivf_persisted" -> (QueriesText.embedIvfPersisted _),
     "embed_near_dups" -> (QueriesText.embedNearDups _),
     "embed_near_dups_auto" -> (QueriesText.embedNearDupsAuto _),
     "text_quality" -> (QueriesText.textQuality _),

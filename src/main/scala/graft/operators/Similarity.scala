@@ -365,9 +365,13 @@ object Similarity {
     val probes = qScored.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select("q_id", "q_vec", "cluster")
+    // no dedup: every n_id lives in exactly ONE list (argmax
+    // assignment) and a query's probed clusters are distinct, so the
+    // equi-join yields each (q_id, n_id) at most once — dropDuplicates
+    // here planned as a SortAggregate dragging both vectors through
+    // first() (two extra sorts + an exchange over the candidate frame)
     val scored = broadcast(probes).join(lists, Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
-      .dropDuplicates("q_id", "n_id")
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
