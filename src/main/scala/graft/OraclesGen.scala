@@ -488,6 +488,46 @@ object OraclesGen {
   /** The two-level path pinned at gate scale (see QueriesText.semDedup2L). */
   val semDedup2L: String = semDedupSql(80)
 
+  /** SemDeDup, bounded-k lake configuration
+    * ([[graft.QueriesText]]`.semDedupBounded`): FIXED k (no corpus
+    * sizing law — flat k-means chain reused verbatim), dup collapse
+    * via (cluster, vec) groups, and the per-cluster witness CAP — a
+    * vector is dropped iff an identical lower-id vector shares its
+    * cluster, or one of the cluster's first `cap` representatives (by
+    * rep id) is lower-id and scores ≥ 0.3. The cap is operator
+    * semantics, so the oracle re-derives it exactly. */
+  val semDedupBounded: String = {
+    val k = graft.operators.Similarity.BoundedK
+    val cap = graft.operators.Similarity.WitnessCap
+    s"""WITH ${ivfAssignedCtes(k.toString, 64)},
+       |nz AS MATERIALIZED (
+       |  SELECT id, vec, cluster FROM a3
+       |  WHERE list_reduce(list_transform(vec,
+       |    x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b) > 0),
+       |grp AS MATERIALIZED (
+       |  SELECT cluster, vec, min(id) AS rep_id FROM nz GROUP BY cluster, vec),
+       |wit AS MATERIALIZED (
+       |  SELECT cluster, rep_id, vec FROM (
+       |    SELECT cluster, rep_id, vec,
+       |      row_number() OVER (PARTITION BY cluster ORDER BY rep_id) AS wrn
+       |    FROM grp) w0
+       |  WHERE wrn <= $cap),
+       |dup AS (
+       |  SELECT n.id FROM nz n JOIN grp g
+       |    ON n.cluster = g.cluster AND n.vec = g.vec
+       |  WHERE n.id > g.rep_id),
+       |cand AS (
+       |  SELECT n.id, n.vec AS mvec, w.vec AS wvec
+       |  FROM nz n JOIN wit w ON n.cluster = w.cluster AND w.rep_id < n.id),
+       |sc AS (
+       |  SELECT id, ${cosineSelect("mvec", "wvec")}
+       |    FROM cand)),
+       |dropped AS (
+       |  SELECT id FROM dup UNION SELECT id FROM sc WHERE sim >= 0.3)
+       |SELECT a3.id AS vec_id, a3.cluster, (d.id IS NULL) AS kept
+       |FROM a3 LEFT JOIN dropped d ON a3.id = d.id""".stripMargin
+  }
+
   /** Recall of the banded ANN against the exact brute-force ground
     * truth: both algorithms re-derived in SQL, joined on (q_id, n_id). */
   val embedAnnRecall: String =
@@ -3099,6 +3139,7 @@ object OraclesGen {
     "embed_ivf_persisted" -> embedIvfRecall,
     "sem_dedup" -> semDedup,
     "sem_dedup_2l" -> semDedup2L,
+    "sem_dedup_bounded" -> semDedupBounded,
     "doc_winnow" -> docWinnow,
     "doc_cdc_chunks" -> docCdcChunks,
     "embed_near_dups" -> embedNearDups,

@@ -324,8 +324,14 @@ object OraclesSampled {
     * vector has a lower-id same-cluster member at cosine ≥ 0.3, every
     * sliced kept vector has none, and the output covers the corpus
     * exactly once. Cosines recompute from raw embeddings with the
-    * exact oracle's fold. */
-  private def semDedupLawChecks(mod: Int, keptMod: Int): (String, String) = {
+    * exact oracle's fold.
+    *
+    * `cap`: the bounded-k variant's per-cluster witness budget —
+    * witness searches then route through only the cluster's first
+    * `cap` representatives by rep id (sem_dedup_bounded's declared
+    * semantics); None = unlimited (sem_dedup / sem_dedup_2l). */
+  private def semDedupLawChecks(mod: Int, keptMod: Int,
+      cap: Option[Int] = None): (String, String) = {
     def cos(a: String, b: String) =
       s"""(list_reduce(list_transform(range(least(len($a), len($b))),
          |  i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x,y) -> x+y)
@@ -350,7 +356,17 @@ object OraclesSampled {
          |    x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b) > 0),
          |grp AS MATERIALIZED (
          |  SELECT cluster, vec, min(vec_id) AS rep_id
-         |  FROM nz GROUP BY cluster, vec)""".stripMargin
+         |  FROM nz GROUP BY cluster, vec)""".stripMargin +
+      cap.fold("") { c =>
+        s""",
+           |wit AS MATERIALIZED (
+           |  SELECT cluster, rep_id, vec FROM (
+           |    SELECT cluster, rep_id, vec,
+           |      row_number() OVER (PARTITION BY cluster ORDER BY rep_id) AS wrn
+           |    FROM grp) w0
+           |  WHERE wrn <= $c)""".stripMargin
+      }
+    val wsrc = if (cap.isDefined) "wit" else "grp"
     (s"""WITH $grpCtes
        |SELECT 'cluster_min_kept' AS inv, CAST(count(*) AS BIGINT) AS bad
        |FROM (SELECT cluster, min(vec_id) AS lo FROM engine_out GROUP BY cluster) m
@@ -363,7 +379,7 @@ object OraclesSampled {
        |  WHERE NOT d.kept AND d.vec_id % $mod = 0
        |    AND g.rep_id = d.vec_id  -- dup-witnessed otherwise (min < id)
        |    AND NOT EXISTS (
-       |      SELECT 1 FROM grp o
+       |      SELECT 1 FROM $wsrc o
        |      WHERE o.cluster = d.cluster AND o.rep_id < d.vec_id
        |        AND ${cos("d.vec", "o.vec")} >= 0.3)) t
        |UNION ALL
@@ -377,7 +393,7 @@ object OraclesSampled {
        |  WHERE k.kept AND k.vec_id % $keptMod = 0
        |    AND (g.rep_id < k.vec_id  -- identical lower-id ⟹ must drop
        |      OR EXISTS (
-       |        SELECT 1 FROM grp o
+       |        SELECT 1 FROM $wsrc o
        |        WHERE o.cluster = k.cluster AND o.rep_id < k.vec_id
        |          AND ${cos("k.vec", "o.vec")} >= 0.3))) t
        |UNION ALL
@@ -503,5 +519,7 @@ object OraclesSampled {
     // run UNSLICED (kept vectors are rare in duplicate-heavy corpora)
     "sem_dedup" -> semDedupLawChecks(31, 1),
     "sem_dedup_2l" -> semDedupLawChecks(31, 1),
+    "sem_dedup_bounded" -> semDedupLawChecks(31, 1,
+      Some(graft.operators.Similarity.WitnessCap)),
     "dedup_stream_lsh" -> streamLshInvariants)
 }

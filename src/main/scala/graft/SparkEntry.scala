@@ -123,6 +123,7 @@ object SparkEntry {
     "sample_seq_pack" -> (QueriesText.sampleSeqPack _),
     "sem_dedup" -> (QueriesText.semDedup _),
     "sem_dedup_2l" -> (QueriesText.semDedup2L _),
+    "sem_dedup_bounded" -> (QueriesText.semDedupBounded _),
     "text_tfidf_topk" -> (QueriesText.textTfidfTopK _),
     "text_bm25" -> (QueriesText.textBm25 _),
     "text_vocab_topk" -> (QueriesText.textVocabTopK _),

@@ -241,6 +241,61 @@ object Similarity {
   /** Coarse lists probed per vector in the two-level assignment. */
   val DefaultNProbe = 4
 
+  /** Fixed cluster count of the bounded-k SemDeDup lake configuration
+    * ([[graft.QueriesText]]`.semDedupBounded`) — production SemDeDup
+    * bounds k instead of scaling it with the corpus. Shared with the
+    * SQL oracle. */
+  val BoundedK = 64
+
+  /** Per-cluster witness budget of the bounded-k SemDeDup: each vector
+    * scores only its cluster's first `WitnessCap` representatives (by
+    * rep id), so the dedup arm is n·cap work under a ≤ k·cap-row
+    * broadcast. Part of the operator's DECLARED semantics (the oracle
+    * re-derives the cap), not an execution rewrite. */
+  val WitnessCap = 128
+
+  /** Bounded-witness SemDeDup drop set over an (id, vec, cluster)
+    * assignment — the LINEAR dedup arm of the bounded-k lake
+    * configuration. A vector is dropped iff
+    *
+    *  - an identical lower-id vector shares its cluster (exact-dup
+    *    collapse via one (cluster, vec) group-by), or
+    *  - one of its cluster's first `cap` representatives by rep id is
+    *    lower-id and scores ≥ `threshold` by cosine.
+    *
+    * The witness frame is ≤ k·cap rows regardless of corpus size, so
+    * it BROADCASTS and the scoring pass is one broadcast join over a
+    * single corpus scan (n·cap work, no pair shuffle). Zero-norm
+    * vectors score 0 against everything (cosine contract): excluded
+    * from groups, never witnesses, never dropped. Returns the dropped
+    * ids (column `id`). */
+  def cappedWitnessDrop(assigned: DataFrame, threshold: Double,
+      cap: Int): DataFrame = {
+    val nzAssigned = assigned.withColumn("nz",
+      expr("aggregate(vec, 0D, (a, x) -> a + cast(x as double) * x)") > 0d)
+    val groups = nzAssigned.filter(col("nz"))
+      .groupBy(col("cluster"), col("vec"))
+      .agg(min(col("id")).as("rep_id"))
+      .localCheckpoint() // feeds the dup-drop arm AND the witness frame
+    val dupDropped = nzAssigned.filter(col("nz"))
+      .join(groups, Seq("cluster", "vec"))
+      .filter(col("id") > col("rep_id"))
+      .select(col("id"))
+    val wit = groups
+      .withColumn("wrn",
+        row_number().over(Window.partitionBy("cluster").orderBy("rep_id")))
+      .filter(col("wrn") <= cap)
+      .select(col("cluster").as("w_cluster"), col("rep_id"),
+        col("vec").as("w_vec"))
+    val members = nzAssigned.filter(col("nz"))
+      .select(col("cluster"), col("id"), col("vec"))
+    val capDropped = members.join(broadcast(wit),
+        members("cluster") === wit("w_cluster") && col("rep_id") < col("id"))
+      .filter(cosine(col("vec"), col("w_vec")) >= threshold)
+      .select(col("id"))
+    dupDropped.unionByName(capDropped).distinct()
+  }
+
   /** ⌈√k⌉ with integer adjustment (no dependence on float rounding at
     * perfect squares) — mirrored exactly in the oracle SQL. */
   def isqrtCeil(k: Long): Int = {

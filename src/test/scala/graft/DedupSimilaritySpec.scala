@@ -277,6 +277,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out2(2L) == 1)
   }
 
+  // ---------------------------------------------- bounded-k SemDeDup
+
+  test("capped witness drop: within-cap reps drop, beyond-cap never; dups and zero-norms at any cap") {
+    // one cluster, distinct reps in id order 0 (axis 0), 1 (axis 1),
+    // 2 (axis 2) — mutually orthogonal, so cross-rep cosine is 0.
+    // id 6 points near axis 1: its only ≥ 0.3 witness is rep 1
+    // (witness rank 2). cap = 1 excludes it → kept; cap ≥ 2 → dropped.
+    def axis(d: Int) =
+      (0 until 64).map(j => if (j == d) 1.0f else 0.0f).toArray
+    val near1 = (0 until 64).map(j =>
+      if (j == 1) 1.0f else if (j == 2) 0.1f else 0.0f).toArray
+    val assigned = Seq(
+      (0L, axis(0), 1),
+      (1L, axis(1), 1),
+      (2L, axis(2), 1),
+      (3L, axis(0), 1),            // exact dup of id 0
+      (4L, axis(1), 1),            // exact dup of id 1
+      (5L, Array.fill(64)(0.0f), 1), // zero-norm: never dropped
+      (6L, near1, 1)
+    ).toDF("id", "vec", "cluster")
+    def dropped(cap: Int) =
+      Similarity.cappedWitnessDrop(assigned, 0.3, cap)
+        .as[Long].collect().toSet
+    assert(dropped(1) == Set(3L, 4L))       // dup collapse is cap-blind
+    assert(dropped(2) == Set(3L, 4L, 6L))   // rep 1 inside the window
+    assert(dropped(100) == Set(3L, 4L, 6L)) // big cap = plain SemDeDup
+  }
+
+  test("sem_dedup_bounded: witness scan broadcasts, output covers the corpus once") {
+    val df = QueriesText.semDedupBounded(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"bounded sem-dedup must not plan a cartesian:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the capped witness frame must broadcast:\n${plan.take(2000)}")
+    val n = Tables.embeddings(spark, Sf).count()
+    assert(df.count() === n)
+    assert(df.select("vec_id").distinct().count() === n)
+    // every cluster's lowest id survives (nothing below it to witness)
+    val badMins = df.groupBy("cluster")
+      .agg(min(col("vec_id")).as("lo"))
+      .join(df, col("lo") === df("vec_id"))
+      .filter(!col("kept")).count()
+    assert(badMins === 0L)
+  }
+
   test("salted pairwise emits the same dropped set as the bare cluster join") {
     val e = synthEmb(200)
     val assigned = Similarity.ivfAssign(e, Similarity.ivfFit(e, 8, 2, 64))
