@@ -33,7 +33,8 @@ object ShuffleAudit {
   val Headliners: Seq[String] = Seq(
     "a1_group_agg", "j10_asof_join", "d7_rate_derivation", "t5_topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_components",
-    "dedup_fuzzy_e2e", "dedup_substrings", "sem_dedup", "doc_decontaminate",
+    "dedup_fuzzy_e2e", "dedup_substrings", "sem_dedup", "sem_dedup_bounded",
+    "doc_decontaminate",
     "tokenizer_bpe_encode", "corpus_profile", "corpus_curation_funnel",
     "dsir_select", "hybrid_search_rrf", "embed_cosine_topk",
     "embed_ivf_recall", "embed_ivfpq_recall",
