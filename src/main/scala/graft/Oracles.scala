@@ -1285,6 +1285,76 @@ object Oracles {
         |FROM sc GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
 
+    // Multinomial NB over the fixed top-256 train vocabulary; contrib
+    // folds run in term order (the bm25 ordered-sum discipline) and
+    // prediction compares ROUNDED scores, so last-ULP ln() divergence
+    // cannot flip the 6th decimal or the argmax.
+    "text_nb_classifier" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id, ws,
+        |    CASE WHEN len(ws) > 0 AND
+        |      CAST(len(list_filter(ws, w -> w IN
+        |        ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |        / len(ws) >= 0.05
+        |    THEN 1 ELSE 0 END AS label
+        |  FROM d),
+        |tr AS (SELECT * FROM lab WHERE doc_id % 5 <> 0),
+        |toks AS (SELECT label, unnest(ws) AS term FROM tr),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        |    ORDER BY cnt DESC, term LIMIT 256)),
+        |counts AS (
+        |  SELECT term,
+        |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS cnt_pos,
+        |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS cnt_neg
+        |  FROM toks JOIN vocab USING (term) GROUP BY term),
+        |totals AS (
+        |  SELECT sum(cnt_pos) AS tok_pos, sum(cnt_neg) AS tok_neg
+        |  FROM counts),
+        |priors AS (
+        |  SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n_pos,
+        |    count(*) AS n_train
+        |  FROM tr),
+        |model AS (
+        |  SELECT term,
+        |    ln((cnt_pos + 1)::DOUBLE / (tok_pos + 256)::DOUBLE) AS ll_pos,
+        |    ln((cnt_neg + 1)::DOUBLE / (tok_neg + 256)::DOUBLE) AS ll_neg
+        |  FROM counts CROSS JOIN totals),
+        |ev AS (SELECT doc_id, label, ws FROM lab WHERE doc_id % 5 = 0),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM ev) t
+        |  GROUP BY doc_id, term),
+        |contrib AS (
+        |  SELECT doc_id, term, tf * ll_pos AS c_pos, tf * ll_neg AS c_neg
+        |  FROM tf JOIN model USING (term)),
+        |folded AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(c_pos ORDER BY term)), (a, b) -> a + b) AS sum_pos,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(c_neg ORDER BY term)), (a, b) -> a + b) AS sum_neg,
+        |    count(*) AS n_terms
+        |  FROM contrib GROUP BY doc_id),
+        |sc AS (
+        |  SELECT e.doc_id, CAST(e.label AS INT) AS label,
+        |    CAST(coalesce(f.n_terms, 0) AS BIGINT) AS n_terms,
+        |    round(ln(n_pos::DOUBLE / n_train::DOUBLE)
+        |      + coalesce(f.sum_pos, 0.0), 6) AS score_pos,
+        |    round(ln((n_train - n_pos)::DOUBLE / n_train::DOUBLE)
+        |      + coalesce(f.sum_neg, 0.0), 6) AS score_neg
+        |  FROM ev e LEFT JOIN folded f USING (doc_id) CROSS JOIN priors)
+        |SELECT doc_id, label, n_terms, score_pos, score_neg,
+        |  CAST(CASE WHEN score_pos > score_neg THEN 1 ELSE 0 END AS INT)
+        |    AS pred
+        |FROM sc""".stripMargin,
+
     // W11 streaming diff == batch lag-window diff (same reset/first-run
     // semantics as d1) + the stateful operator's per-key first_seen
     "w11_stream_diff" ->

@@ -605,7 +605,7 @@ object OraclesGen {
     * the recursive CTE propagates only labels smaller than the target
     * node (the final component is the min reachable id, so larger
     * labels can never win), which also bounds the closure. */
-  val dedupComponents: String =
+  private val componentCtes: String =
     """WITH RECURSIVE d AS (
       |  SELECT doc_id,
       |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
@@ -629,10 +629,28 @@ object OraclesGen {
       |  UNION
       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
       |  WHERE r.lbl < e.dst),
-      |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+      |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)""".stripMargin
+
+  val dedupComponents: String = componentCtes +
+    """
       |SELECT id AS doc_id, component,
       |  count(*) OVER (PARTITION BY component) AS cluster_size
       |FROM comp""".stripMargin
+
+  /** Keep-the-best-copy representative selection over the same
+    * component graph: max whitespace-token count wins, ties to the
+    * smaller doc_id. */
+  val dedupKeepBest: String = componentCtes +
+    """,
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                         w -> len(w) > 0)) AS INT) AS n_words
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT c.id AS doc_id, c.component, q.n_words,
+      |  (row_number() OVER (PARTITION BY c.component
+      |     ORDER BY q.n_words DESC, c.id)) = 1 AS keep
+      |FROM comp c JOIN q ON q.doc_id = c.id""".stripMargin
 
   /** 64-token chunks on a 48-token stride; DuckDB list slicing is
     * 1-based inclusive, mirroring Spark's `slice(ws, start+1, 64)`. */
@@ -3063,6 +3081,7 @@ object OraclesGen {
     "doc_pii_scrub" -> docPiiScrub,
     "x9_spans" -> x9Spans,
     "dedup_components" -> dedupComponents,
+    "dedup_keep_best" -> dedupKeepBest,
     "doc_chunking" -> docChunking,
     "sample_split" -> sampleSplit,
     "sample_domain_cap" -> sampleDomainCap,

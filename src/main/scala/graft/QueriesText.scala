@@ -2097,6 +2097,116 @@ object QueriesText {
           .as("pieces_per_word"))
   }
 
+  /** Trainable document-quality classifier: multinomial Naive Bayes
+    * over a FIXED top-V vocabulary (V = 256) — the classifier-based
+    * curation stage of LLM data pipelines (quality / educational-value
+    * filters), with every source of nondeterminism removed so the gate
+    * can hash-check it:
+    *
+    *  - weak labels from a declared heuristic (label 1 iff English
+    *    stopword ratio ≥ 0.05 — the teacher rule a production pipeline
+    *    would swap for human/LLM labels; the training/scoring plumbing
+    *    is what this operator delivers);
+    *  - train split `doc_id % 5 != 0`; held-out slice `% 5 == 0` is
+    *    what gets scored;
+    *  - vocabulary = top-V train tokens by (count DESC, term ASC):
+    *    map-side-combined counts into a V-row TakeOrdered, so the
+    *    MODEL IS CONSTANT-SIZE at any corpus scale and broadcasts;
+    *    out-of-vocabulary tokens are ignored by declared semantics
+    *    (fixed feature set — no unseen-token smoothing branch);
+    *  - add-one smoothing within the vocab:
+    *    P(t|c) = (cnt(t,c) + 1) / (tok_c + V);
+    *  - per-doc scores fold tf·ln P(t|c) in TERM order (the ordered-sum
+    *    discipline of [[textBm25]]) plus the ln class prior, rounded to
+    *    6 decimals; prediction compares the ROUNDED scores (tie → 0).
+    *
+    * Scale shape: ONE corpus tokenization feeds both branches
+    * (localCheckpoint); training is one map-side-combined count
+    * shuffle; scoring is a corpus scan against the broadcast V-row
+    * model plus one per-doc aggregation. Linear end-to-end with a
+    * constant-size broadcast — no corpus-proportional state anywhere. */
+  def textNbClassifier(s: SparkSession, dir: String): DataFrame = {
+    val V = 256
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .withColumn("label",
+        when(size(col("ws")) > 0 &&
+          TextFns.stopwordHits(col("ws"), "en").cast("double") /
+            size(col("ws")) >= 0.05, 1).otherwise(0))
+      .localCheckpoint() // EAGER: feeds the train branch + the eval branch
+    val train = d.filter(col("doc_id") % 5 =!= 0)
+    val toks = train.select(col("label"), explode(col("ws")).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(V)
+      .select("term")
+    val counts = toks.join(broadcast(vocab), Seq("term"))
+      .groupBy("term").agg(
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("cnt_pos"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("cnt_neg"))
+    val totals = counts.agg(
+      sum("cnt_pos").as("tok_pos"), sum("cnt_neg").as("tok_neg"))
+    val priors = train.agg(
+      sum(when(col("label") === 1, 1L).otherwise(0L)).as("n_pos"),
+      count(lit(1)).as("n_train"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("term"),
+        log((col("cnt_pos") + 1).cast("double") /
+          (col("tok_pos") + V).cast("double")).as("ll_pos"),
+        log((col("cnt_neg") + 1).cast("double") /
+          (col("tok_neg") + V).cast("double")).as("ll_neg"))
+    val heldOut = d.filter(col("doc_id") % 5 === 0)
+    val folded = heldOut
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(broadcast(model), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * col("ll_pos")).as("c_pos"),
+        (col("tf") * col("ll_neg")).as("c_neg"))
+      .groupBy("doc_id").agg(
+        expr("""aggregate(array_sort(collect_list(struct(term, c_pos))),
+               |  cast(0 as double), (a, x) -> a + x.c_pos)""".stripMargin)
+          .as("sum_pos"),
+        expr("""aggregate(array_sort(collect_list(struct(term, c_neg))),
+               |  cast(0 as double), (a, x) -> a + x.c_neg)""".stripMargin)
+          .as("sum_neg"),
+        count(lit(1)).as("n_terms"))
+    heldOut.select(col("doc_id"), col("label"))
+      .join(folded, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("label"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        round(log(col("n_pos").cast("double") / col("n_train").cast("double"))
+          + coalesce(col("sum_pos"), lit(0.0)), 6).as("score_pos"),
+        round(log((col("n_train") - col("n_pos")).cast("double") /
+            col("n_train").cast("double"))
+          + coalesce(col("sum_neg"), lit(0.0)), 6).as("score_neg"))
+      .withColumn("pred",
+        when(col("score_pos") > col("score_neg"), 1).otherwise(0))
+  }
+
+  /** Near-dup cluster representative selection — the "keep the best
+    * copy" policy production dedup uses instead of keep-min-id: within
+    * each connected component of the exact-Jaccard pair graph (same
+    * bounded slice + threshold as [[dedupComponents]]), the kept
+    * document is the one with the most whitespace tokens (quality
+    * proxy), ties to the smaller doc_id. The quality side is bounded
+    * by the same id slice, so it broadcasts; the argmax is one window
+    * per component — no extra corpus pass. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .filter(col("doc_id") < 300)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+    val comp = Dedup.connectedComponents(pairs)
+    val quality = docs.select(col("doc_id"),
+      size(TextFns.words(col("text"))).as("n_words"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("n_words").desc, col("doc_id"))
+    comp.join(broadcast(quality), comp("id") === quality("doc_id"))
+      .select(col("doc_id"), col("component"), col("n_words"))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** Deterministic train/validation/test split: FNV-1a over
     * `split:<doc_id>` routes each document to a bucket in [0, 256) —
     * 80/10/10 by bucket range, reproducible across engines and cluster

@@ -115,6 +115,8 @@ object SparkEntry {
     "dedup_exact" -> (QueriesText.dedupExact _),
     "dedup_ngram_jaccard" -> (QueriesText.dedupNgramJaccard _),
     "dedup_components" -> (QueriesText.dedupComponents _),
+    "dedup_keep_best" -> (QueriesText.dedupKeepBest _),
+    "text_nb_classifier" -> (QueriesText.textNbClassifier _),
     "doc_chunking" -> (QueriesText.docChunking _),
     "sample_split" -> (QueriesText.sampleSplit _),
     "sample_domain_cap" -> (QueriesText.sampleDomainCap _),

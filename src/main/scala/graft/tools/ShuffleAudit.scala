@@ -36,7 +36,8 @@ object ShuffleAudit {
     "dedup_fuzzy_e2e", "dedup_substrings", "sem_dedup", "sem_dedup_bounded",
     "doc_decontaminate",
     "tokenizer_bpe_encode", "corpus_profile", "corpus_curation_funnel",
-    "dsir_select", "hybrid_search_rrf", "embed_cosine_topk",
+    "dsir_select", "hybrid_search_rrf", "text_nb_classifier",
+    "embed_cosine_topk",
     "embed_ivf_recall", "embed_ivfpq_recall",
     "e2e_compact_snapshot", "e2e_full_snapshot")
 

@@ -161,4 +161,56 @@ class TextPipelineSpec extends SparkSpec {
     }
     assert(secs < 120.0, f"took $secs%.1f s — quadratic regression?")
   }
+
+  test("textNbClassifier scores the held-out slice and beats majority") {
+    val out = QueriesText.textNbClassifier(spark, Sf).collect()
+    // held-out slice only, every doc exactly once
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    assert(out.forall(_.getLong(0) % 5 == 0))
+    val n = out.length
+    val nPos = out.count(_.getInt(out.head.fieldIndex("label")) == 1)
+    val correct = out.count(r =>
+      r.getInt(r.fieldIndex("label")) == r.getInt(r.fieldIndex("pred")))
+    val majority = math.max(nPos, n - nPos)
+    // trained on weak labels, scored on unseen docs: must beat the
+    // majority-class baseline or the model learned nothing
+    assert(correct > majority,
+      s"NB accuracy $correct/$n does not beat majority $majority/$n")
+    // scores are finite log-probs (negative by construction: every
+    // factor is < 1) and the argmax matches pred on the rounded scores
+    out.foreach { r =>
+      val sp = r.getDouble(r.fieldIndex("score_pos"))
+      val sn = r.getDouble(r.fieldIndex("score_neg"))
+      assert(!sp.isNaN && !sn.isNaN && sp < 0 && sn < 0)
+      assert(r.getInt(r.fieldIndex("pred")) == (if (sp > sn) 1 else 0))
+    }
+  }
+
+  test("textNbClassifier model join broadcasts a constant-size model") {
+    val plan = QueriesText.textNbClassifier(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "V-row model must broadcast, never shuffle the corpus side")
+  }
+
+  test("dedupKeepBest keeps exactly the best doc per component") {
+    val out = QueriesText.dedupKeepBest(spark, Sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("component")),
+        r.getInt(r.fieldIndex("n_words")),
+        r.getBoolean(r.fieldIndex("keep"))))
+    assert(out.nonEmpty)
+    // node set identical to dedup_components
+    val compIds = QueriesText.dedupComponents(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == compIds)
+    out.groupBy(_._2).foreach { case (comp, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"component $comp kept ${kept.length}")
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(kept.head._1 == best._1,
+        s"component $comp kept ${kept.head._1}, best is ${best._1}")
+    }
+  }
 }
