@@ -279,6 +279,91 @@ object Oracles {
         |  min(doc_id) AS canonical_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // hard-negative mining: per fixed anchor, top-5 cross-source
+    // neighbors below the near-dup ceiling
+    "embed_hard_negatives" ->
+      """WITH src AS (SELECT doc_id AS vec_id, source FROM documents),
+        |q AS (SELECT vec_id AS q_id, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings WHERE vec_id < 32),
+        |c AS (SELECT vec_id AS n_id, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT q_id, n_id,
+        |    sum(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot,
+        |    sqrt(sum(CAST(q.x AS DOUBLE) * CAST(q.x AS DOUBLE)))
+        |      * sqrt(sum(CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE))) AS denom
+        |  FROM q JOIN c ON q.i = c.i WHERE q_id <> n_id
+        |  GROUP BY q_id, n_id),
+        |flt AS (
+        |  SELECT s.q_id, s.n_id, ns.source AS n_source,
+        |    CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END AS sim
+        |  FROM s
+        |  JOIN src qs ON qs.vec_id = s.q_id
+        |  JOIN src ns ON ns.vec_id = s.n_id
+        |  WHERE qs.source <> ns.source
+        |    AND (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END) < 0.9)
+        |SELECT q_id, n_id, n_source, rank, sim FROM (
+        |  SELECT q_id, n_id, n_source, sim,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, n_id) AS INT) AS rank
+        |  FROM flt) t
+        |WHERE rank <= 5""".stripMargin,
+
+    // temperature-scaled (alpha = 0.5) source mixing: integer-exact
+    // largest-remainder quotas over floor(sqrt(tokens)) weights, then
+    // doc_id-ordered quota fill per source
+    "mix_temperature" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+        |    count(*) AS n_docs
+        |  FROM d GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, src_tokens,
+        |    CAST(floor(sqrt(src_tokens)) AS BIGINT) AS weight_sqrt
+        |  FROM per),
+        |t AS (
+        |  SELECT CAST(sum(weight_sqrt) AS BIGINT) AS tot_w,
+        |    CAST(sum(src_tokens) AS BIGINT) AS tot_tokens
+        |  FROM w),
+        |q0 AS (
+        |  SELECT w.*, t.tot_w,
+        |    ((t.tot_tokens // 2) * weight_sqrt) // t.tot_w AS base_quota,
+        |    ((t.tot_tokens // 2) * weight_sqrt) % t.tot_w AS rem
+        |  FROM w CROSS JOIN t),
+        |q1 AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn,
+        |    CAST(sum(rem) OVER () AS BIGINT) // tot_w AS leftover
+        |  FROM q0),
+        |q AS (
+        |  SELECT source, n_docs, src_tokens, weight_sqrt,
+        |    base_quota + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+        |      AS quota_tokens
+        |  FROM q1),
+        |sel AS (
+        |  SELECT d.source, d.n_tokens,
+        |    sum(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.doc_id)
+        |      AS cum,
+        |    q.quota_tokens
+        |  FROM d JOIN q USING (source)),
+        |agg AS (
+        |  SELECT source,
+        |    count(*) FILTER (WHERE cum <= quota_tokens) AS n_docs_sel,
+        |    CAST(COALESCE(sum(n_tokens) FILTER (WHERE cum <= quota_tokens),
+        |      0) AS BIGINT) AS n_tokens_sel
+        |  FROM sel GROUP BY source)
+        |SELECT q.source, q.n_docs, q.src_tokens, q.weight_sqrt,
+        |  q.quota_tokens,
+        |  COALESCE(a.n_docs_sel, 0) AS n_docs_sel,
+        |  COALESCE(a.n_tokens_sel, 0) AS n_tokens_sel
+        |FROM q LEFT JOIN agg a USING (source)""".stripMargin,
+
     // streaming dedup == the batch min-id window (the stateful
     // operator's first-seen tagging must agree exactly)
     "dedup_stream" ->

@@ -159,6 +159,48 @@ object OraclesGen {
        |LEFT JOIN (SELECT pid, anc, depth FROM res WHERE rn = 1) r
        |  ON r.pid = doc.doc_id""".stripMargin
 
+  /** Incremental dedup through the persisted LSH index: base docs
+    * (id % 10 != 0) are banded with the build-time hot-bucket cap,
+    * delta docs (id % 10 = 0) probe uncapped; per delta doc the verdict
+    * is the best agreement ≥ 0.7 (ties to the smaller base id). Must
+    * equal the engine's probe through the parquet index — the parquet
+    * round-trip of the long signatures is lossless, so this is a pure
+    * re-derivation from the corpus. */
+  val dedupIncremental: String =
+    s"""WITH $minhashSigCtes,
+       |base AS (SELECT id, sig FROM sigs WHERE id % 10 <> 0),
+       |delta AS (SELECT id, sig FROM sigs WHERE id % 10 = 0),
+       |bb AS (
+       |  SELECT id, band, sig[band*8+1 : band*8+8] AS band_sig
+       |  FROM (SELECT id, sig, unnest(range(8)) AS band FROM base)),
+       |bn AS (SELECT band, band_sig, count(*) AS n FROM bb GROUP BY band, band_sig),
+       |idx AS (SELECT bb.* FROM bb JOIN bn USING (band, band_sig) WHERE bn.n <= 1000),
+       |db AS (
+       |  SELECT id, band, sig[band*8+1 : band*8+8] AS band_sig
+       |  FROM (SELECT id, sig, unnest(range(8)) AS band FROM delta)),
+       |cand AS (
+       |  SELECT DISTINCT d.id AS delta_id, i.id AS base_id
+       |  FROM db d JOIN idx i USING (band, band_sig)),
+       |est AS (
+       |  SELECT c.delta_id, c.base_id,
+       |    CAST(len(list_filter(range(64), i -> ds.sig[i+1] = bs.sig[i+1])) AS DOUBLE) / 64 AS est
+       |  FROM cand c JOIN delta ds ON ds.id = c.delta_id
+       |  JOIN base bs ON bs.id = c.base_id),
+       |nc AS (SELECT delta_id, count(*) AS n_cand FROM est GROUP BY delta_id),
+       |best AS (
+       |  SELECT delta_id, base_id, est,
+       |    row_number() OVER (PARTITION BY delta_id ORDER BY est DESC, base_id) AS rn
+       |  FROM est WHERE est >= 0.7)
+       |SELECT d.id AS doc_id,
+       |  COALESCE(nc.n_cand, 0) AS n_cand,
+       |  b.base_id IS NOT NULL AS is_dup,
+       |  b.base_id AS dup_of,
+       |  round(b.est, 6) AS est_jaccard
+       |FROM delta d
+       |LEFT JOIN nc ON nc.delta_id = d.id
+       |LEFT JOIN (SELECT delta_id, base_id, est FROM best WHERE rn = 1) b
+       |  ON b.delta_id = d.id""".stripMargin
+
   // ------------------------------------------------------------- simhash
 
   /** Per-doc simhash signature prefix (everything through
@@ -3149,6 +3191,7 @@ object OraclesGen {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_fuzzy_e2e" -> dedupFuzzyE2e,
     "dedup_stream_lsh" -> dedupStreamLsh,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "embed_ann_lsh" -> embedAnnLsh,
     "embed_ann_recall" -> embedAnnRecall,

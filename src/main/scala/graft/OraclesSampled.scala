@@ -495,8 +495,107 @@ object OraclesSampled {
        |SELECT -1, CAST(0 AS BIGINT), '', TRUE, TRUE""".stripMargin)
   }
 
+  /** dedup_incremental: PAIR SOUNDNESS on the claimed (delta, dup_of)
+    * matches — signatures recomputed only for a deterministic slice of
+    * the verdicted pairs, pinning each sliced pair's agreement value
+    * and the ≥ 0.7 gate — plus structural shape rows decidable from
+    * the output alone (one verdict per delta doc, dup targets in the
+    * base shard, non-dups carry no match columns). Best-match
+    * completeness (dup_of is the argmax over all surviving buckets) is
+    * corpus-global and stays pinned by the exact oracle at sf ≤ 1. */
+  private val dedupIncrementalSampled: (String, String) = {
+    val mod = "(doc_id * 1000003 + dup_of) % 37 = 0"
+    (s"""SELECT 'pair' AS kind, doc_id AS v1, dup_of AS v2,
+       |  est_jaccard AS v3
+       |FROM engine_out WHERE is_dup AND $mod
+       |UNION ALL
+       |SELECT 'shape',
+       |  (SELECT count(*) FROM engine_out),
+       |  (SELECT count(*) FROM engine_out
+       |   WHERE (is_dup AND (dup_of IS NULL OR est_jaccard IS NULL
+       |            OR est_jaccard < 0.7 OR dup_of % 10 = 0))
+       |      OR (NOT is_dup AND (dup_of IS NOT NULL
+       |            OR est_jaccard IS NOT NULL))
+       |      OR doc_id % 10 <> 0)
+       |   + (SELECT count(*) FROM (
+       |        SELECT doc_id FROM engine_out
+       |        GROUP BY doc_id HAVING count(*) > 1)),
+       |  CAST(0 AS DOUBLE)""".stripMargin,
+      s"""WITH sel AS MATERIALIZED (
+         |  SELECT doc_id, dup_of FROM engine_out WHERE is_dup AND $mod),
+         |documents AS MATERIALIZED (
+         |  SELECT * FROM main.documents WHERE doc_id IN (
+         |    SELECT doc_id FROM sel UNION SELECT dup_of FROM sel)),
+         |${OraclesGen.minhashSigCtes}
+         |SELECT 'pair' AS kind, sel.doc_id AS v1, sel.dup_of AS v2,
+         |  round(CAST(len(list_filter(range(64),
+         |    i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 64, 6) AS v3
+         |FROM sel JOIN sigs a ON a.id = sel.doc_id
+         |         JOIN sigs b ON b.id = sel.dup_of
+         |WHERE CAST(len(list_filter(range(64),
+         |    i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 64 >= 0.7
+         |UNION ALL
+         |SELECT 'shape',
+         |  (SELECT count(*) FROM main.documents WHERE doc_id % 10 = 0),
+         |  CAST(0 AS BIGINT), CAST(0 AS DOUBLE)""".stripMargin)
+  }
+
+  /** embed_hard_negatives: PAIR SOUNDNESS on every emitted negative —
+    * the output is a fixed 32×5 frame at any corpus size, so ALL pairs
+    * re-score from raw embeddings (no slice needed): sim value,
+    * cross-source constraint, and the < 0.9 ceiling pinned exactly.
+    * Well-formedness (ranks 1..k per anchor, anchors within budget) is
+    * decidable from the output alone; top-5 COMPLETENESS is
+    * corpus-global and stays pinned by the exact oracle at sf ≤ 1. */
+  private val hardNegativesSampled: (String, String) = {
+    // the engine's sequential fold: index-ordered list_reduce products
+    def cosSql(a: String, b: String): String =
+      s"""(CASE WHEN list_reduce(list_transform($a,
+         |    x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q) = 0
+         |  OR list_reduce(list_transform($b,
+         |    x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q) = 0 THEN 0.0
+         |ELSE list_reduce(list_transform(range(len($a)),
+         |    i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)),
+         |    (p, q) -> p + q)
+         |  / (sqrt(list_reduce(list_transform($a,
+         |      x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q))
+         |   * sqrt(list_reduce(list_transform($b,
+         |      x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q))) END)""".stripMargin
+    (s"""SELECT 'pair' AS kind, q_id AS v1, n_id AS v2, sim AS v3
+       |FROM engine_out
+       |UNION ALL
+       |SELECT 'shape',
+       |  (SELECT count(*) FROM engine_out WHERE q_id >= 32),
+       |  (SELECT count(*) FROM (
+       |     SELECT q_id FROM engine_out GROUP BY q_id
+       |     HAVING count(*) > 5 OR count(*) <> max(rank)
+       |       OR count(DISTINCT rank) <> count(*) OR min(rank) <> 1)),
+       |  CAST(0 AS DOUBLE)""".stripMargin,
+      s"""WITH sel AS MATERIALIZED (
+         |  SELECT q_id, n_id FROM engine_out),
+         |pr AS MATERIALIZED (
+         |  SELECT sel.q_id, sel.n_id,
+         |    qe.embedding AS qv, ne.embedding AS nv,
+         |    qd.source AS q_src, nd.source AS n_src
+         |  FROM sel
+         |  JOIN main.embeddings qe ON qe.vec_id = sel.q_id
+         |  JOIN main.embeddings ne ON ne.vec_id = sel.n_id
+         |  JOIN main.documents qd ON qd.doc_id = sel.q_id
+         |  JOIN main.documents nd ON nd.doc_id = sel.n_id)
+         |SELECT 'pair' AS kind, q_id AS v1, n_id AS v2,
+         |  ${cosSql("qv", "nv")} AS v3
+         |FROM pr
+         |WHERE q_src <> n_src AND q_id <> n_id
+         |  AND ${cosSql("qv", "nv")} < 0.9
+         |UNION ALL
+         |SELECT 'shape', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(0 AS DOUBLE)""".stripMargin)
+  }
+
   val sql: Map[String, (String, String)] = Map(
     "tokenizer_bpe_encode" -> bpeEncodeSampled,
+    "dedup_incremental" -> dedupIncrementalSampled,
+    "embed_hard_negatives" -> hardNegativesSampled,
     "doc_winnow" -> perDoc("doc_winnow", 97),
     "text_dup_ngram_frac" -> perDoc("text_dup_ngram_frac", 97),
     "d1_counter_diff" -> perEventKey("d1_counter_diff", "user_id", 97),

@@ -2207,6 +2207,135 @@ object QueriesText {
       .withColumn("keep", row_number().over(w) === 1)
   }
 
+  /** Incremental (append-only) fuzzy dedup through the persisted
+    * MinHash-LSH band index ([[graft.operators.LshIndex]]): the base
+    * corpus (doc_id % 10 != 0) is indexed ONCE, the delta shard
+    * (doc_id % 10 == 0) probes it, and each delta doc gets a verdict —
+    * duplicate of which base doc (best agreement ≥ 0.7, ties to the
+    * smaller base id) or new. The daily-shard maintenance shape: work
+    * is proportional to the delta, the corpus-sized index is scanned
+    * but never shuffled (delta band keys and candidate ids broadcast —
+    * see [[graft.operators.LshIndex.probe]]), and accepted docs append
+    * to the index for the next shard. Output per delta doc:
+    * (doc_id, n_cand, is_dup, dup_of, est_jaccard). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_lsh_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    graft.operators.LshIndex.save(base, "doc_id", "text", path)
+    val dSigs = Dedup.minhashSignatures(delta, "doc_id", "text")
+      // probe fans the (small) delta side into three broadcasts — build
+      // the signatures once, not once per consumer
+      .localCheckpoint()
+    val scored = graft.operators.LshIndex.probe(s, path, dSigs)
+    val nCand = scored.groupBy("delta_id")
+      .agg(count(lit(1)).as("n_cand"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("delta_id"))
+      .orderBy(col("est_jaccard").desc, col("base_id"))
+    val best = scored.filter(col("est_jaccard") >= 0.7)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("delta_id"), col("base_id").as("dup_of"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+    delta.select(col("doc_id"))
+      .join(broadcast(nCand.withColumnRenamed("delta_id", "doc_id")),
+        Seq("doc_id"), "left")
+      .join(broadcast(best.withColumnRenamed("delta_id", "doc_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("est_jaccard"))
+  }
+
+  /** Temperature-scaled source mixing (alpha = 0.5): the multilingual /
+    * multi-domain re-balancing rule LM pipelines use — sampling weight
+    * proportional to n_tokens^alpha, so low-resource sources are
+    * up-weighted relative to their raw share. Entirely INTEGER
+    * arithmetic end-to-end: s_i = floor(sqrt(tokens_i)) (exact — IEEE
+    * sqrt is correctly rounded and the counts are far below 2^52),
+    * quota_i = largest-remainder apportionment of a budget of half the
+    * corpus tokens (floor(B*s_i/S) + 1 for the top remainders, ties by
+    * source name), so there is NO cross-row float sum anywhere and the
+    * result is deterministic under any partitioning. Selection fills
+    * each source's quota in doc_id order (cumulative token sum ≤
+    * quota). One corpus scan, one per-source aggregate; the 20-row
+    * quota frame broadcasts back onto the selection scan. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(s, dir)).select(
+      col("doc_id"), col("source"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val per = d.groupBy("source").agg(
+      sum("n_tokens").as("src_tokens"), count(lit(1)).as("n_docs"))
+    val weighted = per.withColumn("weight_sqrt",
+      floor(sqrt(col("src_tokens"))).cast("long"))
+    val tot = weighted.agg(
+      sum("weight_sqrt").as("tot_w"), sum("src_tokens").as("tot_tokens"))
+    // windows below are over the per-source frame: #sources rows, a
+    // bounded dimension at any corpus scale
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val quotas = weighted.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tot_tokens DIV 2"))
+      .withColumn("base_quota", expr("(budget * weight_sqrt) DIV tot_w"))
+      .withColumn("rem", expr("(budget * weight_sqrt) % tot_w"))
+      // sum(rem) = budget*tot_w - tot_w*sum(base), so the leftover seat
+      // count is exactly sum(rem)/tot_w — integer by construction
+      .withColumn("rem_tot", sum(col("rem")).over(wAll))
+      .withColumn("leftover", expr("rem_tot DIV tot_w"))
+      .withColumn("quota_tokens",
+        col("base_quota") +
+          when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
+      .select("source", "n_docs", "src_tokens", "weight_sqrt", "quota_tokens")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val sel = d.join(broadcast(quotas.select("source", "quota_tokens")), "source")
+      .withColumn("cum", sum("n_tokens").over(wCum))
+      .filter(col("cum") <= col("quota_tokens"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs_sel"), sum("n_tokens").as("n_tokens_sel"))
+    quotas.join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("weight_sqrt"), col("quota_tokens"),
+        coalesce(col("n_docs_sel"), lit(0L)).as("n_docs_sel"),
+        coalesce(col("n_tokens_sel"), lit(0L)).as("n_tokens_sel"))
+  }
+
+  /** Hard-negative mining for contrastive/embedding training data: for
+    * each anchor (a FIXED 32-query budget — eval workloads don't grow
+    * with the corpus, the hybrid_search_rrf lesson) the top-5 most
+    * similar CROSS-SOURCE vectors below a near-dup ceiling
+    * (sim < 0.9): similar enough to be hard, guarded against disguised
+    * positives (same source, or a near-duplicate). Scale shape: the
+    * bounded anchor frame broadcasts, the corpus side streams through
+    * one embeddings⋈documents equi-join (source metadata) — n·32 dot
+    * products, one shuffle, top-k per anchor. */
+  def embedHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val e = Tables.fanOut(Tables.embeddings(s, dir)).join(src, "vec_id")
+    val anchors = e.filter(col("vec_id") < 32).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+      col("source").as("q_src"))
+    val corpus = e.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_vec"), col("source").as("n_source"))
+    val scored = corpus.crossJoin(broadcast(anchors))
+      .filter(col("q_id") =!= col("n_id") && col("q_src") =!= col("n_source"))
+      .withColumn("sim", Similarity.cosine(col("q_vec"), col("n_vec")))
+      .filter(col("sim") < 0.9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "n_id", "n_source", "rank", "sim")
+  }
+
   /** Deterministic train/validation/test split: FNV-1a over
     * `split:<doc_id>` routes each document to a bucket in [0, 256) —
     * 80/10/10 by bucket range, reproducible across engines and cluster

@@ -116,6 +116,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (QueriesText.dedupNgramJaccard _),
     "dedup_components" -> (QueriesText.dedupComponents _),
     "dedup_keep_best" -> (QueriesText.dedupKeepBest _),
+    "dedup_incremental" -> (QueriesText.dedupIncremental _),
+    "embed_hard_negatives" -> (QueriesText.embedHardNegatives _),
+    "mix_temperature" -> (QueriesText.mixTemperature _),
     "text_nb_classifier" -> (QueriesText.textNbClassifier _),
     "doc_chunking" -> (QueriesText.docChunking _),
     "sample_split" -> (QueriesText.sampleSplit _),

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, LshIndex}
+
+/** Persisted MinHash-LSH band index ([[graft.operators.LshIndex]]):
+  * bit-equality of the probe path with an in-memory re-derivation,
+  * append-then-reprobe semantics, and the plan property the layout
+  * exists for — the corpus-sized index datasets are never shuffled
+  * (delta side broadcasts). */
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, Sf)
+  private lazy val base = docs.filter(col("doc_id") % 10 =!= 0)
+  private lazy val delta = docs.filter(col("doc_id") % 10 === 0)
+
+  private lazy val idx = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_spec").toFile
+    dir.deleteOnExit()
+    LshIndex.save(base, "doc_id", "text", dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  /** In-memory reference: band the base with the build-time cap, join
+    * the delta's bands, score agreements — no parquet anywhere. */
+  private def expectedPairs = {
+    val bSigs = Dedup.minhashSignatures(base, "doc_id", "text")
+    val dSigs = Dedup.minhashSignatures(delta, "doc_id", "text")
+    val bb = LshIndex.banded(bSigs)
+    val hot = bb.groupBy("band", "band_sig")
+      .agg(count(lit(1)).as("n")).filter(col("n") > LshIndex.MaxBucket)
+      .select("band", "band_sig")
+    val kept = bb.join(hot, Seq("band", "band_sig"), "left_anti")
+    val cand = LshIndex.banded(dSigs)
+      .select(col("id").as("delta_id"), col("band"), col("band_sig"))
+      .join(kept.withColumnRenamed("id", "base_id"), Seq("band", "band_sig"))
+      .select("delta_id", "base_id").distinct()
+    cand
+      .join(dSigs.select(col("id").as("delta_id"), col("sig").as("ds")), "delta_id")
+      .join(bSigs.select(col("id").as("base_id"), col("sig").as("bs")), "base_id")
+      .select(col("delta_id"), col("base_id"),
+        org.apache.spark.sql.GraftNative.column(
+          graft.functions.expressions.SigAgreeExpr(
+            org.apache.spark.sql.GraftNative.expression(col("ds")),
+            org.apache.spark.sql.GraftNative.expression(col("bs"))))
+          .as("est_jaccard"))
+  }
+
+  test("probe through the parquet index equals the in-memory re-derivation") {
+    val dSigs = Dedup.minhashSignatures(delta, "doc_id", "text")
+    val got = LshIndex.probe(spark, idx, dSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = expectedPairs
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("append extends the index: a re-probe finds the appended docs") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_spec_append").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath
+    LshIndex.save(base, "doc_id", "text", p)
+    val dSigs = Dedup.minhashSignatures(delta, "doc_id", "text")
+      .localCheckpoint()
+    val before = LshIndex.probe(spark, p, dSigs)
+    // an appended doc is absent from probe results before the append
+    assert(before.filter(col("base_id").isin(
+      dSigs.select("id").as[Long].collect().map(java.lang.Long.valueOf): _*))
+      .count() == 0)
+    LshIndex.append(spark, p, dSigs)
+    // re-probing the SAME shard now sees every doc as its own exact
+    // duplicate (agreement 1.0 with itself)
+    val self = LshIndex.probe(spark, p, dSigs)
+      .filter(col("delta_id") === col("base_id"))
+    assert(self.count() == delta.count())
+    assert(self.filter(col("est_jaccard") =!= 1.0).count() == 0)
+  }
+
+  test("probe plan: index never shuffles — delta side broadcasts into both index scans") {
+    val dSigs = Dedup.minhashSignatures(delta, "doc_id", "text")
+    val plan = LshIndex.probe(spark, idx, dSigs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins against the index scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"index side must not shuffle or cross:\n$plan")
+  }
+
+  test("gate entry shape: every delta doc verdicted, dups point at base ids") {
+    val out = QueriesText.dedupIncremental(spark, Sf)
+    assert(out.count() == delta.count())
+    val dups = out.filter(col("is_dup"))
+    // dup targets live in the base shard and met the threshold
+    assert(dups.filter(col("dup_of") % 10 === 0).count() == 0)
+    assert(dups.filter(col("est_jaccard") < 0.7).count() == 0)
+    // non-dups carry no match columns
+    assert(out.filter(!col("is_dup") &&
+      (col("dup_of").isNotNull || col("est_jaccard").isNotNull)).count() == 0)
+  }
+}

@@ -213,4 +213,72 @@ class TextPipelineSpec extends SparkSpec {
         s"component $comp kept ${kept.head._1}, best is ${best._1}")
     }
   }
+
+  test("mixTemperature: integer apportionment laws and sqrt up-weighting") {
+    val out = QueriesText.mixTemperature(spark, Sf).collect()
+      .map(r => (r.getString(r.fieldIndex("source")),
+        r.getLong(r.fieldIndex("src_tokens")),
+        r.getLong(r.fieldIndex("weight_sqrt")),
+        r.getLong(r.fieldIndex("quota_tokens")),
+        r.getLong(r.fieldIndex("n_tokens_sel"))))
+    assert(out.length > 1)
+    // exact largest-remainder law: quotas sum to the budget exactly
+    val totTokens = out.map(_._2).sum
+    assert(out.map(_._4).sum == totTokens / 2)
+    out.foreach { case (src, tokens, w, quota, sel) =>
+      assert(w == math.sqrt(tokens.toDouble).toLong, src)
+      assert(sel <= quota, s"$src selected $sel over quota $quota")
+    }
+    // temperature flattening: the smallest source's quota share exceeds
+    // its raw token share; the largest source's is below it
+    val totQuota = out.map(_._4).sum.toDouble
+    val smallest = out.minBy(_._2)
+    val largest = out.maxBy(_._2)
+    assert(smallest._4 / totQuota > smallest._2.toDouble / totTokens)
+    assert(largest._4 / totQuota < largest._2.toDouble / totTokens)
+  }
+
+  test("embedHardNegatives: cross-source, below-ceiling, true top-5") {
+    val out = QueriesText.embedHardNegatives(spark, Sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("q_id")),
+        r.getLong(r.fieldIndex("n_id")),
+        r.getString(r.fieldIndex("n_source")),
+        r.getInt(r.fieldIndex("rank")),
+        r.getDouble(r.fieldIndex("sim"))))
+    assert(out.nonEmpty)
+    // anchors from the fixed budget only; 5 ranked negatives each
+    assert(out.map(_._1).forall(_ < 32))
+    out.groupBy(_._1).foreach { case (q, ns) =>
+      assert(ns.map(_._4).sorted.toSeq == (1 to ns.length),
+        s"anchor $q ranks ${ns.map(_._4).sorted.mkString(",")}")
+      assert(ns.length <= 5)
+    }
+    // every negative is below the near-dup ceiling and cross-source
+    assert(out.forall(_._5 < 0.9))
+    val srcOf = Tables.documents(spark, Sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (q, n, nSrc, _, _) =>
+      assert(srcOf(n) == nSrc)
+      assert(srcOf(q) != nSrc, s"anchor $q got same-source negative $n")
+    }
+    // rank-1 really is the max eligible similarity: re-derive one
+    // anchor's best negative by brute force
+    val q0 = out.map(_._1).min
+    val got = out.filter(x => x._1 == q0 && x._4 == 1).head
+    val emb = Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val best = emb.keys.filter(n => n != q0 && srcOf(n) != srcOf(q0))
+      .map(n => (n, cos(emb(q0), emb(n))))
+      .filter(_._2 < 0.9)
+      .minBy { case (n, s) => (-s, n) }
+    assert(got._2 == best._1 && got._5 == best._2)
+  }
 }
