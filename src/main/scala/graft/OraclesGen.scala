@@ -201,6 +201,66 @@ object OraclesGen {
        |LEFT JOIN (SELECT delta_id, base_id, est FROM best WHERE rn = 1) b
        |  ON b.delta_id = d.id""".stripMargin
 
+  /** Streaming ingestion against the persisted index: the 5-batch
+    * recurrence unrolled — batch k's candidates come from the capped
+    * base index UNION the bands of documents ACCEPTED in batches < k
+    * (appends bypass the build-time cap, like the engine's
+    * [[graft.operators.LshIndex.append]]); within a batch, documents
+    * see only the index as of the batch start. */
+  val dedupStreamIndex: String = {
+    val batches = 5
+    val perBatch = (0 until batches).map { k =>
+      val ix =
+        if (k == 0) s"ix$k AS (SELECT id, band, band_sig FROM idx0)"
+        else
+          s"""ix$k AS (
+             |  SELECT * FROM ix${k - 1}
+             |  UNION ALL
+             |  SELECT b.id, b.band, b.band_sig FROM db b JOIN acc${k - 1} a USING (id))""".stripMargin
+      s"""$ix,
+         |cand$k AS (
+         |  SELECT DISTINCT d.id AS delta_id, i.id AS base_id
+         |  FROM (SELECT id, band, band_sig FROM db WHERE batch = $k) d
+         |  JOIN ix$k i USING (band, band_sig)),
+         |est$k AS (
+         |  SELECT c.delta_id, c.base_id,
+         |    CAST(len(list_filter(range(64), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 64 AS est
+         |  FROM cand$k c JOIN sigs a ON a.id = c.delta_id
+         |  JOIN sigs b ON b.id = c.base_id),
+         |best$k AS (
+         |  SELECT delta_id, base_id, est,
+         |    row_number() OVER (PARTITION BY delta_id ORDER BY est DESC, base_id) AS rn
+         |  FROM est$k WHERE est >= 0.7),
+         |acc$k AS (
+         |  SELECT d.id FROM delta d WHERE d.batch = $k AND NOT EXISTS (
+         |    SELECT 1 FROM est$k e WHERE e.delta_id = d.id AND e.est >= 0.7))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until batches).map { k =>
+      s"""SELECT d.id AS doc_id, d.batch AS batch,
+         |  b2.base_id IS NOT NULL AS is_dup,
+         |  b2.base_id AS dup_of, round(b2.est, 6) AS est_jaccard
+         |FROM delta d
+         |LEFT JOIN (SELECT delta_id, base_id, est FROM best$k WHERE rn = 1) b2
+         |  ON b2.delta_id = d.id
+         |WHERE d.batch = $k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $minhashSigCtes,
+       |base AS (SELECT id, sig FROM sigs WHERE id % 10 <> 0),
+       |delta AS (
+       |  SELECT id, sig, CAST((id // 10) % 5 AS INT) AS batch
+       |  FROM sigs WHERE id % 10 = 0),
+       |bb AS (
+       |  SELECT id, band, sig[band*8+1 : band*8+8] AS band_sig
+       |  FROM (SELECT id, sig, unnest(range(8)) AS band FROM base)),
+       |bn AS (SELECT band, band_sig, count(*) AS n FROM bb GROUP BY band, band_sig),
+       |idx0 AS (SELECT bb.id, bb.band, bb.band_sig FROM bb JOIN bn USING (band, band_sig) WHERE bn.n <= 1000),
+       |db AS (
+       |  SELECT id, batch, band, sig[band*8+1 : band*8+8] AS band_sig
+       |  FROM (SELECT id, sig, batch, unnest(range(8)) AS band FROM delta)),
+       |$perBatch
+       |$union""".stripMargin
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** Per-doc simhash signature prefix (everything through
@@ -458,6 +518,51 @@ object OraclesGen {
     val nprobe = 4
     def sim(v: String, c: String) = ivfSim(v, c)
     s"""WITH ${ivfAssignedCtes("16", 64)},
+       |q AS (SELECT id AS q_id, vec AS q_vec FROM e WHERE id < 20),
+       |qs AS (
+       |  SELECT q_id, q_vec, cluster FROM (
+       |    SELECT q_id, q_vec, cluster,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cluster) AS rn
+       |    FROM (
+       |      SELECT q.q_id, q.q_vec, c2.cluster,
+       |        ${sim("q.q_vec", "c2.centroid")} AS sim
+       |      FROM q CROSS JOIN c2) p0) p1
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT qs.q_id, qs.q_vec, a3.id AS n_id, a3.vec AS n_vec
+       |  FROM qs JOIN a3 USING (cluster) WHERE qs.q_id <> a3.id),
+       |sc AS (
+       |  SELECT q_id, n_id, ${cosineSelect("q_vec", "n_vec")}
+       |    FROM cand)),
+       |ivf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+       |    FROM sc) t WHERE rk <= 5),
+       |bf AS (${Oracles.sql("embed_cosine_topk")})
+       |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(count(i.n_id) AS BIGINT) AS n_hit,
+       |  CAST(count(i.n_id) AS DOUBLE) / count(*) AS recall
+       |FROM bf LEFT JOIN ivf i USING (q_id, n_id)""".stripMargin
+  }
+
+  /** Incremental IVF: the k-means fit chain runs on the BASE shard only
+    * (id % 10 != 0), the final assignment runs over the FULL corpus
+    * against those fixed base centroids (the engine's append path —
+    * [[graft.operators.IvfIndex.append]] assigns the delta without a
+    * re-fit), and the probe measures recall through the appended lists
+    * against brute force over base ∪ delta. */
+  val embedIvfAppend: String = {
+    val nprobe = 4
+    def sim(v: String, c: String) = ivfSim(v, c)
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |eb AS (SELECT id, vec FROM e WHERE id % 10 <> 0),
+       |${ivfSeedCte("c0", "eb", "16")},
+       |${ivfAssignCte("a1", "eb", "c0")},
+       |${ivfUpdateCte("c1", "a1", "c0", 64)},
+       |${ivfAssignCte("a2", "eb", "c1")},
+       |${ivfUpdateCte("c2", "a2", "c1", 64)},
+       |${ivfAssignCte("a3", "e", "c2")},
        |q AS (SELECT id AS q_id, vec AS q_vec FROM e WHERE id < 20),
        |qs AS (
        |  SELECT q_id, q_vec, cluster FROM (
@@ -3192,6 +3297,7 @@ object OraclesGen {
     "dedup_fuzzy_e2e" -> dedupFuzzyE2e,
     "dedup_stream_lsh" -> dedupStreamLsh,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_stream_index" -> dedupStreamIndex,
     "dedup_simhash" -> dedupSimhash,
     "embed_ann_lsh" -> embedAnnLsh,
     "embed_ann_recall" -> embedAnnRecall,
@@ -3199,6 +3305,7 @@ object OraclesGen {
     // the persisted-index path must reproduce the in-memory IVF recall
     // frame bit-for-bit: same oracle SQL verbatim
     "embed_ivf_persisted" -> embedIvfRecall,
+    "embed_ivf_append" -> embedIvfAppend,
     "sem_dedup" -> semDedup,
     "sem_dedup_2l" -> semDedup2L,
     "sem_dedup_bounded" -> semDedupBounded,

@@ -592,9 +592,59 @@ object OraclesSampled {
          |  CAST(0 AS DOUBLE)""".stripMargin)
   }
 
+  /** dedup_stream_index: PAIR SOUNDNESS on a slice of the claimed
+    * (doc, dup_of) matches, plus chain laws decidable from the output
+    * alone — one verdict per delta doc, dup targets with delta ids
+    * must be ACCEPTED (non-dup) documents of a strictly earlier batch
+    * (the "index is the state" recurrence). Candidate completeness
+    * stays pinned by the exact unrolled oracle at sf ≤ 1. */
+  private val streamIndexSampled: (String, String) = {
+    val mod = "(doc_id * 1000003 + dup_of) % 37 = 0"
+    (s"""SELECT 'pair' AS kind, doc_id AS v1, dup_of AS v2,
+       |  est_jaccard AS v3
+       |FROM engine_out WHERE is_dup AND $mod
+       |UNION ALL
+       |SELECT 'shape',
+       |  (SELECT count(*) FROM engine_out),
+       |  (SELECT count(*) FROM engine_out
+       |   WHERE (is_dup AND (dup_of IS NULL OR est_jaccard IS NULL
+       |            OR est_jaccard < 0.7))
+       |      OR (NOT is_dup AND (dup_of IS NOT NULL
+       |            OR est_jaccard IS NOT NULL))
+       |      OR doc_id % 10 <> 0
+       |      OR batch <> CAST((doc_id // 10) % 5 AS INT))
+       |   + (SELECT count(*) FROM (
+       |        SELECT doc_id FROM engine_out
+       |        GROUP BY doc_id HAVING count(*) > 1))
+       |   + (SELECT count(*) FROM engine_out e
+       |      LEFT JOIN engine_out t ON t.doc_id = e.dup_of
+       |      WHERE e.is_dup AND e.dup_of % 10 = 0
+       |        AND (t.doc_id IS NULL OR t.is_dup
+       |             OR t.batch >= e.batch)),
+       |  CAST(0 AS DOUBLE)""".stripMargin,
+      s"""WITH sel AS MATERIALIZED (
+         |  SELECT doc_id, dup_of FROM engine_out WHERE is_dup AND $mod),
+         |documents AS MATERIALIZED (
+         |  SELECT * FROM main.documents WHERE doc_id IN (
+         |    SELECT doc_id FROM sel UNION SELECT dup_of FROM sel)),
+         |${OraclesGen.minhashSigCtes}
+         |SELECT 'pair' AS kind, sel.doc_id AS v1, sel.dup_of AS v2,
+         |  round(CAST(len(list_filter(range(64),
+         |    i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 64, 6) AS v3
+         |FROM sel JOIN sigs a ON a.id = sel.doc_id
+         |         JOIN sigs b ON b.id = sel.dup_of
+         |WHERE CAST(len(list_filter(range(64),
+         |    i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 64 >= 0.7
+         |UNION ALL
+         |SELECT 'shape',
+         |  (SELECT count(*) FROM main.documents WHERE doc_id % 10 = 0),
+         |  CAST(0 AS BIGINT), CAST(0 AS DOUBLE)""".stripMargin)
+  }
+
   val sql: Map[String, (String, String)] = Map(
     "tokenizer_bpe_encode" -> bpeEncodeSampled,
     "dedup_incremental" -> dedupIncrementalSampled,
+    "dedup_stream_index" -> streamIndexSampled,
     "embed_hard_negatives" -> hardNegativesSampled,
     "doc_winnow" -> perDoc("doc_winnow", 97),
     "text_dup_ngram_frac" -> perDoc("text_dup_ngram_frac", 97),

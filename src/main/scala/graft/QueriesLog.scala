@@ -623,6 +623,90 @@ object QueriesLog {
   // LockChains pointer jumping. The oracle reproduces the whole thing
   // in SQL because "claim on arrival" makes the bucket holder = the
   // bucket's min doc id.
+  /** Continuous ingestion against the PERSISTED LSH index
+    * ([[graft.operators.LshIndex]]): the production daily-shard loop
+    * run as a real Structured Streaming drain — each micro-batch
+    * probes the on-disk index, verdicts its documents (duplicate of
+    * base-or-earlier-accepted at agreement ≥ 0.7, ties to the smaller
+    * id), and APPENDS the accepted ones, so later batches dedup
+    * against earlier arrivals without any driver/state-store state:
+    * the index IS the state, externalized and restart-survivable.
+    * Within a batch, documents see only the index as of the batch
+    * start (declared semantics — the oracle unrolls the same 5-batch
+    * recurrence). Batch order is pinned by file mtimes under
+    * maxFilesPerTrigger=1, exactly like the other streaming drains. */
+  def dedupStreamIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = scratchDir("graft_sidx")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("batch", expr("(doc_id DIV 10) % 5").cast("int"))
+    val idx = s"$tmp/index"
+    graft.operators.LshIndex.save(base, "doc_id", "text", idx)
+    (0 until 5).foreach { k =>
+      delta.filter(col("batch") === k).coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/b$k")
+    }
+    val fs = new java.io.File(inDir)
+    fs.listFiles().filter(_.isDirectory).foreach { d =>
+      val t = 1000000L * (1 + d.getName.stripPrefix("b").toInt)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(t))
+    }
+    val verdictSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("is_dup",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("dup_of",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("est_jaccard",
+        org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      verdictSchema).write.mode("overwrite").parquet(outDir)
+    val stream = s.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(inDir)
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sigs = graft.operators.Dedup
+            .minhashSignatures(b.toDF(), "doc_id", "text")
+            .join(b.toDF().select(col("doc_id").as("id"), col("batch")), "id")
+            .localCheckpoint()
+          val scored = graft.operators.LshIndex.probe(s, idx,
+            sigs.select("id", "sig"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("delta_id"))
+            .orderBy(col("est_jaccard").desc, col("base_id"))
+          val best = scored.filter(col("est_jaccard") >= 0.7)
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("delta_id").as("id"), col("base_id").as("dup_of"),
+              round(col("est_jaccard"), 6).as("est_jaccard"))
+            .localCheckpoint()
+          sigs.join(best, Seq("id"), "left")
+            .select(col("id").as("doc_id"), col("batch"),
+              col("dup_of").isNotNull.as("is_dup"),
+              col("dup_of"), col("est_jaccard"))
+            .write.mode("append").parquet(outDir)
+          graft.operators.LshIndex.append(s, idx,
+            sigs.join(best, Seq("id"), "left_anti").select("id", "sig"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    s.read.parquet(outDir)
+  }
+
   def dedupStreamLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._

@@ -125,6 +125,43 @@ object QueriesText {
         (col("n_hit").cast("double") / col("n_truth")).as("recall"))
   }
 
+  /** Incremental ANN maintenance through the persisted IVF index: the
+    * base shard (vec_id % 10 != 0) is fitted + indexed once, the delta
+    * shard (vec_id % 10 == 0) is assigned to the EXISTING centroids
+    * and appended ([[graft.operators.IvfIndex.append]] — no re-fit),
+    * and retrieval quality is measured THROUGH the appended index:
+    * top-5 recall against exact brute force over base ∪ delta. The
+    * lifecycle counterpart of `dedup_incremental` on the ANN side —
+    * daily-shard cost is delta-proportional, the index keeps serving.
+    * One row (n_truth, n_hit, recall). */
+  def embedIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val delta = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_ivf_append_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    // Overwrite semantics per run: save() overwrites, then ONE append —
+    // the dir-keyed path would otherwise accrete delta copies across runs
+    graft.operators.IvfIndex.save(base, idx, nClusters = 16, iters = 2, dim = 64)
+    graft.operators.IvfIndex.append(s, idx, delta)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("q_id", "n_id")
+    val approx = graft.operators.IvfIndex.topK(s, idx, queries, k = 5, nprobe = 4)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
   /** Banded LSH near-dups: 8 signatures × 4 bits → recall ≈ 0.75 at
     * sim 0.4 (p=0.63), with per-bucket caps bounding the self-join. The
     * sim column is left unrounded: the oracle reproduces the identical

@@ -139,6 +139,7 @@ object SparkEntry {
     "embed_ann_recall" -> (QueriesText.embedAnnRecall _),
     "embed_ivf_recall" -> (QueriesText.embedIvfRecall _),
     "embed_ivf_persisted" -> (QueriesText.embedIvfPersisted _),
+    "embed_ivf_append" -> (QueriesText.embedIvfAppend _),
     "embed_near_dups" -> (QueriesText.embedNearDups _),
     "embed_near_dups_auto" -> (QueriesText.embedNearDupsAuto _),
     "text_quality" -> (QueriesText.textQuality _),
@@ -181,6 +182,7 @@ object SparkEntry {
     "embed_ivfpq_recall" -> (QueriesText.embedIvfPqRecall _),
     "dedup_stream" -> (QueriesLog.dedupStream _),
     "dedup_stream_lsh" -> (QueriesLog.dedupStreamLsh _),
+    "dedup_stream_index" -> (QueriesLog.dedupStreamIndex _),
     "stream_heavy_hitters" -> (QueriesLog.streamHeavyHitters _),
     "stream_curation" -> (QueriesLog.streamCuration _),
     "x11_text_explain" -> (QueriesLog.x11TextExplain _),

@@ -43,6 +43,22 @@ object IvfIndex {
       .parquet(s"$path/lists")
   }
 
+  /** Append a delta shard (columns `id`, `vec`) to the persisted
+    * layout WITHOUT re-fitting: each delta vector is assigned to its
+    * nearest EXISTING centroid (the k-row resident frame — a constant
+    * broadcast at any corpus size) and its row appended to that
+    * cluster's list directory. The lifecycle counterpart of
+    * [[LshIndex.append]]: a 100 TB embedding lake absorbs a daily
+    * shard at delta-proportional cost and serves base ∪ delta
+    * immediately; centroid drift is repaired at the periodic re-fit /
+    * compaction, the standard IVF maintenance trade. */
+  def append(s: SparkSession, path: String, delta: DataFrame): Unit = {
+    val cents = s.read.parquet(s"$path/centroids")
+    Similarity.ivfAssign(delta, cents)
+      .write.mode(SaveMode.Append).partitionBy("cluster")
+      .parquet(s"$path/lists")
+  }
+
   /** Top-k cosine neighbors for `queries` (columns `q_id`, `q_vec`)
     * through the persisted index: score the k resident centroids per
     * query (broadcast, k tiny rows), probe each query's `nprobe`

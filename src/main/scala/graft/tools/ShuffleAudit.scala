@@ -37,6 +37,7 @@ object ShuffleAudit {
     "doc_decontaminate",
     "tokenizer_bpe_encode", "corpus_profile", "corpus_curation_funnel",
     "dsir_select", "hybrid_search_rrf", "text_nb_classifier",
+    "dedup_incremental", "mix_temperature", "embed_hard_negatives",
     "embed_cosine_topk",
     "embed_ivf_recall", "embed_ivfpq_recall",
     "e2e_compact_snapshot", "e2e_full_snapshot")

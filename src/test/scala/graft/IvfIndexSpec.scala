@@ -65,6 +65,40 @@ class IvfIndexSpec extends SparkSpec {
       s"dynamic partition pruning subquery missing:\n$plan")
   }
 
+  test("append assigns delta to existing centroids; index serves base ∪ delta") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec_append").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val delta = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    IvfIndex.save(base, p, nClusters = 16, iters = 2, dim = 64)
+    val centsBefore = spark.read.parquet(s"$p/centroids").collect().toSet
+    IvfIndex.append(spark, p, delta)
+    // centroids untouched (no re-fit), lists cover base ∪ delta once
+    assert(spark.read.parquet(s"$p/centroids").collect().toSet == centsBefore)
+    val lists = spark.read.parquet(s"$p/lists")
+    assert(lists.count() == e.count())
+    assert(lists.select("id").distinct().count() == e.count())
+    // each appended row sits in its argmax cluster w.r.t. the PERSISTED
+    // centroids — identical to re-running the assignment in memory
+    val mem = graft.operators.Similarity.ivfAssign(delta,
+        spark.read.parquet(s"$p/centroids"))
+      .select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val disk = lists.join(delta.select("id"), Seq("id"))
+      .select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(disk == mem)
+    // the probe path serves appended rows: a delta vector queried
+    // against the index finds itself-adjacent neighbors (rows > 0)
+    val dq = delta.limit(3)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"))
+    assert(IvfIndex.topK(spark, p, dq, k = 3, nprobe = 4).count() > 0)
+  }
+
   test("probed-partition files are a strict subset when nprobe < k") {
     // with 20 queries × nprobe 1 on a 16-list index, at least one list
     // is typically unprobed; assert the scan's selected partitions are

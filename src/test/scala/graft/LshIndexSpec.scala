@@ -91,6 +91,45 @@ class LshIndexSpec extends SparkSpec {
       s"index side must not shuffle or cross:\n$plan")
   }
 
+  test("streaming drain: a batch-1 doc duplicating ONLY a batch-0 doc is caught") {
+    // synthetic corpus: the sequential-append semantics must catch a
+    // duplicate whose only twin arrived in an EARLIER batch (no base
+    // twin exists), and must NOT catch one whose twin is a LATER batch
+    import spark.implicits._
+    val distinct = (0 until 40).map(i =>
+      (i * 10L + 1, s"base document $i " + (s"w$i x$i y$i z$i " * 8)))
+    val b0Doc = (100L, "unique alpha beta gamma delta epsilon zeta eta theta " * 4)
+    val b1Dup = (110L, b0Doc._2 + "iota")          // near-dup of 100 only
+    val b2Doc = (120L, "solitary one two three four five six seven eight " * 4)
+    val b1EarlyOfLater = (160L,                    // batch 1; its twin 170 is batch 2
+      "orphan north south east west up down left right " * 4)
+    val b2TwinLater = (170L, b1EarlyOfLater._2 + "extra")
+    val docs = (distinct ++ Seq(b0Doc, b1Dup, b2Doc, b1EarlyOfLater, b2TwinLater))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sidx_spec").toFile
+    dir.deleteOnExit()
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(dir.getAbsolutePath + "/documents.parquet")
+    val out = QueriesLog.dedupStreamIndex(spark, dir.getAbsolutePath)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (r.getBoolean(r.fieldIndex("is_dup")),
+          if (r.isNullAt(r.fieldIndex("dup_of"))) -1L
+          else r.getLong(r.fieldIndex("dup_of")))).toMap
+    // 110 (batch (11%5)=1) dups 100 (batch 0) — caught via the APPEND
+    assert(out(110L) == ((true, 100L)), s"got ${out(110L)}")
+    // 100 itself is first-seen: accepted
+    assert(!out(100L)._1)
+    // 160 (batch 1) precedes its twin 170 (batch 2): 160 accepted,
+    // 170 flagged against 160 — order matters, not similarity alone
+    assert(!out(160L)._1)
+    assert(out(170L) == ((true, 160L)), s"got ${out(170L)}")
+    // 120 is unique: accepted
+    assert(!out(120L)._1)
+  }
+
   test("gate entry shape: every delta doc verdicted, dups point at base ids") {
     val out = QueriesText.dedupIncremental(spark, Sf)
     assert(out.count() == delta.count())
