@@ -675,36 +675,67 @@ object QueriesLog {
     try {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = stream.writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val sigs = graft.operators.Dedup
-            .minhashSignatures(b.toDF(), "doc_id", "text")
-            .join(b.toDF().select(col("doc_id").as("id"), col("batch")), "id")
-            .localCheckpoint()
-          val scored = graft.operators.LshIndex.probe(s, idx,
-            sigs.select("id", "sig"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("delta_id"))
-            .orderBy(col("est_jaccard").desc, col("base_id"))
-          val best = scored.filter(col("est_jaccard") >= 0.7)
-            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-            .select(col("delta_id").as("id"), col("base_id").as("dup_of"),
-              round(col("est_jaccard"), 6).as("est_jaccard"))
-            .localCheckpoint()
-          sigs.join(best, Seq("id"), "left")
-            .select(col("id").as("doc_id"), col("batch"),
-              col("dup_of").isNotNull.as("is_dup"),
-              col("dup_of"), col("est_jaccard"))
-            .write.mode("append").parquet(outDir)
-          graft.operators.LshIndex.append(s, idx,
-            sigs.join(best, Seq("id"), "left_anti").select("id", "sig"))
-          ()
-        }
+        .foreachBatch(ingestBatch(s, idx, outDir) _)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-    s.read.parquet(outDir)
+    // verdicts live in per-batch subdirectories (the idempotence unit);
+    // underscore-prefixed commit markers are hidden to the file index
+    s.read.schema(verdictSchema).option("recursiveFileLookup", "true")
+      .parquet(outDir)
+  }
+
+  /** One ingestion micro-batch against the persisted index: probe,
+    * verdict, append accepted. foreachBatch is AT-LEAST-ONCE — after a
+    * mid-batch crash the restarted query re-delivers the batch, and a
+    * blind re-run would double-append verdicts AND index rows. The
+    * batch is made idempotent the standard way: a per-batchId commit
+    * marker written AFTER the batch's writes; a re-delivered batch
+    * that finds its marker is skipped whole, and a re-delivered batch
+    * that died MID-write re-runs after `reset` removes its partial
+    * output (verdict files + appended index files are tagged with the
+    * batchId via parquet sub-dirs … the simple, engine-agnostic form:
+    * each batch writes to its OWN subdirectories, so a partial batch
+    * is erased by deleting them). Pinned by the kill/resume drill in
+    * LshIndexSpec. */
+  private[graft] def ingestBatch(s: SparkSession, idx: String, outDir: String)(
+      b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    val marker = new java.io.File(s"$outDir/_committed_$batchId")
+    if (marker.exists()) return
+    // erase partials from a mid-write crash of THIS batch, then re-run
+    val vDir = new java.io.File(s"$outDir/verdicts_$batchId")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    if (vDir.exists()) rmTree(vDir)
+    graft.operators.LshIndex.dropSeg(idx, batchId)
+    val sigs = graft.operators.Dedup
+      .minhashSignatures(b.toDF(), "doc_id", "text")
+      .join(b.toDF().select(col("doc_id").as("id"), col("batch")), "id")
+      .localCheckpoint()
+    val scored = graft.operators.LshIndex.probe(s, idx,
+      sigs.select("id", "sig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("delta_id"))
+      .orderBy(col("est_jaccard").desc, col("base_id"))
+    val best = scored.filter(col("est_jaccard") >= 0.7)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("delta_id").as("id"), col("base_id").as("dup_of"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .localCheckpoint()
+    sigs.join(best, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("batch"),
+        col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("est_jaccard"))
+      .write.mode("overwrite").parquet(vDir.getAbsolutePath)
+    graft.operators.LshIndex.appendTagged(s, idx,
+      sigs.join(best, Seq("id"), "left_anti").select("id", "sig"), batchId)
+    marker.createNewFile()
+    ()
   }
 
   def dedupStreamLsh(s: SparkSession, dir: String): DataFrame = {

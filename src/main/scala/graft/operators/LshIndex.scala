@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted MinHash-LSH band index: the build-once / probe-per-shard
@@ -22,18 +22,32 @@ import org.apache.spark.sql.functions._
   *    the index stays valid for tomorrow's shard without a rebuild.
   *
   * Layout (plain parquet, readable by any engine):
-  *  - `<path>/sigs`  — (id, sig: array<long>[64]) per base doc.
-  *  - `<path>/bands` — (id, band_sig, band) exploded 8× per doc,
-  *    written `partitionBy(band)`; buckets with more than `maxBucket`
-  *    base members are dropped at BUILD time (degenerate buckets — the
-  *    all-empty-doc bucket is the canonical case — carry no dedup
-  *    signal but quadratic probe cost; same cap semantics as
-  *    [[Dedup.lshCandidates]], applied once at write instead of per
-  *    run).
+  *  - `<path>/sigs/seg=…`  — (id, sig: array<long>[64]) per doc.
+  *  - `<path>/bands/seg=…/band=…/bucket=…` — (id, band_sig) exploded
+  *    8× per doc, sub-partitioned by bucket = hash(band_sig) %
+  *    [[NumBuckets]] so narrow probes partition-prune; LSH buckets
+  *    with more than `maxBucket` base members are dropped at BUILD
+  *    time (degenerate buckets — the all-empty-doc bucket is the
+  *    canonical case — carry no dedup signal but quadratic probe
+  *    cost; same cap semantics as [[Dedup.lshCandidates]], applied
+  *    once at write instead of per run).
   */
 object LshIndex {
 
   val MaxBucket = 1000
+
+  /** Physical sub-partition fan per band: band rows are laid out
+    * `band=…/bucket=…` with bucket = hash(band_sig) % NumBuckets, so a
+    * probe whose delta touches few distinct band keys PRUNES to the
+    * touched buckets instead of scanning the whole index (the
+    * IvfIndex-router pattern; a wide delta touching every bucket
+    * degrades gracefully to the full — still shuffle-free — scan).
+    * Layout-internal only: bucket is derived from band_sig, so
+    * candidate semantics (and the oracle) are unchanged. */
+  val NumBuckets = 64
+
+  private def bucketOf(bandSig: Column): Column =
+    pmod(xxhash64(bandSig), lit(NumBuckets.toLong)).cast("int")
 
   /** Explode (id, sig) into the 8 per-band signature slices. */
   private[graft] def banded(sigs: DataFrame): DataFrame =
@@ -47,20 +61,33 @@ object LshIndex {
   /** Signature + band the base corpus and persist both datasets.
     * Signatures are written first and the band explode reads them BACK
     * from parquet, so the (expensive) minhash pass over the text runs
-    * exactly once. */
+    * exactly once.
+    *
+    * Layout: both datasets are SEGMENTED (`seg=base` from the build,
+    * `seg=delta…` from appends) — segments are ordinary k=v partition
+    * directories, so one read of `<path>/sigs` / `<path>/bands` serves
+    * the whole index while a segment remains individually droppable
+    * (the unit of idempotent-ingest rollback and of compaction). */
   def save(docs: DataFrame, idCol: String, textCol: String, path: String,
       maxBucket: Int = MaxBucket): Unit = {
     val s = docs.sparkSession
+    rmTree(new java.io.File(path)) // stale delta segments must not survive
     Dedup.minhashSignatures(docs, idCol, textCol)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/sigs")
-    val b = banded(s.read.parquet(s"$path/sigs"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sigs/seg=base")
+    val b = banded(s.read.parquet(s"$path/sigs/seg=base"))
     val hot = b.groupBy("band", "band_sig")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
       .select("band", "band_sig")
     b.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
-      .write.mode(SaveMode.Overwrite).partitionBy("band")
-      .parquet(s"$path/bands")
+      .withColumn("bucket", bucketOf(col("band_sig")))
+      .write.mode(SaveMode.Overwrite).partitionBy("band", "bucket")
+      .parquet(s"$path/bands/seg=base")
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
   }
 
   /** Probe the index with a delta shard's signatures (`delta`: columns
@@ -77,7 +104,20 @@ object LshIndex {
   def probe(s: SparkSession, path: String, delta: DataFrame): DataFrame = {
     val dBands = banded(delta)
       .select(col("id").as("delta_id"), col("band"), col("band_sig"))
+      // feeds the router collect AND the candidate join — materialize
+      // the (small) delta banding once
+      .localCheckpoint()
+    // router: the delta's touched (band, bucket) cells — bounded by
+    // Bands × NumBuckets (512) regardless of delta size — pushed as a
+    // LITERAL partition filter, so a narrow delta reads only its cells
+    // (static partition elimination, the IvfIndex-router pattern); a
+    // wide delta lists every cell and the filter is a full-index no-op
+    val touched = dBands
+      .select((col("band") * NumBuckets + bucketOf(col("band_sig"))).as("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted
     val cand = s.read.parquet(s"$path/bands")
+      .filter((col("band") * NumBuckets + col("bucket"))
+        .isin(touched.map(Integer.valueOf): _*))
       .select(col("id").as("base_id"), col("band"), col("band_sig"))
       .join(broadcast(dBands), Seq("band", "band_sig"))
       .select("delta_id", "base_id")
@@ -103,11 +143,61 @@ object LshIndex {
     * done — a bucket that goes hot through appends is re-capped at the
     * next compaction/rebuild, the standard LSM-style maintenance
     * trade). */
-  def append(s: SparkSession, path: String, accepted: DataFrame): Unit = {
+  def append(s: SparkSession, path: String, accepted: DataFrame): Unit =
+    appendSeg(s, path, accepted, "delta")
+
+  /** [[append]] into a caller-tagged segment — the unit an idempotent
+    * ingest loop can roll back ([[dropSeg]]) after a mid-write crash
+    * before re-running the batch. */
+  def appendTagged(s: SparkSession, path: String, accepted: DataFrame,
+      batchId: Long): Unit =
+    appendSeg(s, path, accepted, s"delta_$batchId")
+
+  /** Remove one append segment (both datasets) — a no-op if absent. */
+  def dropSeg(path: String, batchId: Long): Unit = {
+    rmTree(new java.io.File(s"$path/sigs/seg=delta_$batchId"))
+    rmTree(new java.io.File(s"$path/bands/seg=delta_$batchId"))
+  }
+
+  /** Compaction — the LSM-style maintenance step appends defer to:
+    * collapse every segment into a fresh `seg=base`, RE-APPLYING the
+    * hot-bucket cap across the merged population (buckets that went
+    * hot through appends are dropped, exactly as a from-scratch build
+    * over the same documents would drop them) and re-coalescing the
+    * many small append part-files. Works from the persisted SIGNATURES
+    * alone — no document text is re-read. After compact, the index is
+    * bit-equivalent to `save` over the union corpus (LshIndexSpec). */
+  def compact(s: SparkSession, path: String,
+      maxBucket: Int = MaxBucket): Unit = {
+    val staging = s"$path/.compact"
+    rmTree(new java.io.File(staging))
+    s.read.parquet(s"$path/sigs").select("id", "sig")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/sigs/seg=base")
+    val b = banded(s.read.parquet(s"$staging/sigs/seg=base"))
+    val hot = b.groupBy("band", "band_sig")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("band", "band_sig")
+    b.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
+      .withColumn("bucket", bucketOf(col("band_sig")))
+      .write.mode(SaveMode.Overwrite).partitionBy("band", "bucket")
+      .parquet(s"$staging/bands/seg=base")
+    rmTree(new java.io.File(s"$path/sigs"))
+    rmTree(new java.io.File(s"$path/bands"))
+    require(new java.io.File(s"$staging/sigs").renameTo(
+      new java.io.File(s"$path/sigs")), s"compact swap failed: $path/sigs")
+    require(new java.io.File(s"$staging/bands").renameTo(
+      new java.io.File(s"$path/bands")), s"compact swap failed: $path/bands")
+    rmTree(new java.io.File(staging))
+  }
+
+  private def appendSeg(s: SparkSession, path: String, accepted: DataFrame,
+      seg: String): Unit = {
     accepted.select("id", "sig")
-      .write.mode(SaveMode.Append).parquet(s"$path/sigs")
+      .write.mode(SaveMode.Append).parquet(s"$path/sigs/seg=$seg")
     banded(accepted.select("id", "sig"))
-      .write.mode(SaveMode.Append).partitionBy("band")
-      .parquet(s"$path/bands")
+      .withColumn("bucket", bucketOf(col("band_sig")))
+      .write.mode(SaveMode.Append).partitionBy("band", "bucket")
+      .parquet(s"$path/bands/seg=$seg")
   }
 }

@@ -89,6 +89,11 @@ class LshIndexSpec extends SparkSpec {
       s"expected broadcast joins against the index scans:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"index side must not shuffle or cross:\n$plan")
+    // the router's touched-cell literal reaches the bands scan as a
+    // PARTITION filter (static elimination over band/bucket dirs)
+    assert(plan.replaceAll("\\s+", " ")
+      .matches("(?s).*PartitionFilters: \\[[^\\]]*bucket#\\d+.*"),
+      s"bucket router filter missing from PartitionFilters:\n$plan")
   }
 
   test("streaming drain: a batch-1 doc duplicating ONLY a batch-0 doc is caught") {
@@ -128,6 +133,62 @@ class LshIndexSpec extends SparkSpec {
     assert(out(170L) == ((true, 160L)), s"got ${out(170L)}")
     // 120 is unique: accepted
     assert(!out(120L)._1)
+  }
+
+  test("ingest batch is idempotent: re-delivery and mid-write crash both recover") {
+    // foreachBatch is at-least-once; the commit-marker protocol must
+    // make a re-delivered batch a no-op and a mid-write crash erasable
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sidx_idem").toFile
+    tmp.deleteOnExit()
+    val idxP = tmp.getAbsolutePath + "/index"
+    val outP = tmp.getAbsolutePath + "/out"
+    new java.io.File(outP).mkdirs()
+    LshIndex.save(base.limit(200), "doc_id", "text", idxP)
+    val batch = delta.limit(20).withColumn("batch", lit(0))
+    QueriesLog.ingestBatch(spark, idxP, outP)(batch, 0L)
+    def verdictRows = spark.read.parquet(s"$outP/verdicts_0").collect().toSet
+    def sigRows = spark.read.parquet(s"$idxP/sigs")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val (v1, s1) = (verdictRows, sigRows)
+    // 1) re-delivery of a COMMITTED batch: byte-identical, nothing doubled
+    QueriesLog.ingestBatch(spark, idxP, outP)(batch, 0L)
+    assert(verdictRows == v1 && sigRows == s1)
+    // 2) mid-write crash: marker missing, partial verdicts + partial
+    //    index segment present — the re-run must erase and rebuild
+    assert(new java.io.File(s"$outP/_committed_0").delete())
+    val part = new java.io.File(s"$outP/verdicts_0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part.delete()) // simulate torn verdict write
+    QueriesLog.ingestBatch(spark, idxP, outP)(batch, 0L)
+    assert(verdictRows == v1 && sigRows == s1,
+      "recovery after torn write must reproduce the committed state")
+  }
+
+  test("compact collapses segments and equals a from-scratch build over the union") {
+    val d1 = java.nio.file.Files
+      .createTempDirectory("graft_lsh_compact_a").toFile
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft_lsh_compact_b").toFile
+    Seq(d1, d2).foreach(_.deleteOnExit())
+    val (pA, pB) = (d1.getAbsolutePath, d2.getAbsolutePath)
+    // A: base build + append, then compact; B: one build over the union
+    LshIndex.save(base, "doc_id", "text", pA)
+    LshIndex.append(spark, pA,
+      Dedup.minhashSignatures(delta, "doc_id", "text"))
+    LshIndex.compact(spark, pA)
+    LshIndex.save(docs, "doc_id", "text", pB)
+    def dump(p: String) = (
+      spark.read.parquet(s"$p/sigs").select("id", "sig")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet,
+      spark.read.parquet(s"$p/bands").select("id", "band", "band_sig")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet)
+    val (sa, ba) = dump(pA)
+    val (sb, bb) = dump(pB)
+    assert(sa == sb && ba == bb)
+    // single segment remains
+    assert(new java.io.File(s"$pA/sigs").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq == Seq("seg=base"))
   }
 
   test("gate entry shape: every delta doc verdicted, dups point at base ids") {
