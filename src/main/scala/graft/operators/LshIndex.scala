@@ -81,6 +81,12 @@ object LshIndex {
       .select("band", "band_sig")
     b.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
       .withColumn("bucket", bucketOf(col("band_sig")))
+      // one exchange keyed on the physical partition columns: each
+      // (band, bucket) cell lands in one task -> ONE file per cell
+      // (still row-group-splittable), instead of every write task
+      // fanning out a file into every cell it touches (measured 10k+
+      // tiny files and a 10x probe regression at sf0.1 without this)
+      .repartition(col("band"), col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("band", "bucket")
       .parquet(s"$path/bands/seg=base")
   }
@@ -180,6 +186,12 @@ object LshIndex {
       .select("band", "band_sig")
     b.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
       .withColumn("bucket", bucketOf(col("band_sig")))
+      // one exchange keyed on the physical partition columns: each
+      // (band, bucket) cell lands in one task -> ONE file per cell
+      // (still row-group-splittable), instead of every write task
+      // fanning out a file into every cell it touches (measured 10k+
+      // tiny files and a 10x probe regression at sf0.1 without this)
+      .repartition(col("band"), col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("band", "bucket")
       .parquet(s"$staging/bands/seg=base")
     rmTree(new java.io.File(s"$path/sigs"))
@@ -197,6 +209,12 @@ object LshIndex {
       .write.mode(SaveMode.Append).parquet(s"$path/sigs/seg=$seg")
     banded(accepted.select("id", "sig"))
       .withColumn("bucket", bucketOf(col("band_sig")))
+      // one exchange keyed on the physical partition columns: each
+      // (band, bucket) cell lands in one task -> ONE file per cell
+      // (still row-group-splittable), instead of every write task
+      // fanning out a file into every cell it touches (measured 10k+
+      // tiny files and a 10x probe regression at sf0.1 without this)
+      .repartition(col("band"), col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("band", "bucket")
       .parquet(s"$path/bands/seg=$seg")
   }
