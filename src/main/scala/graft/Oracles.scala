@@ -334,8 +334,10 @@ object Oracles {
         |  FROM w),
         |q0 AS (
         |  SELECT w.*, t.tot_w,
-        |    ((t.tot_tokens // 2) * weight_sqrt) // t.tot_w AS base_quota,
-        |    ((t.tot_tokens // 2) * weight_sqrt) % t.tot_w AS rem
+        |    ((t.tot_tokens // 2) // t.tot_w) * weight_sqrt
+        |      + (((t.tot_tokens // 2) % t.tot_w) * weight_sqrt) // t.tot_w
+        |      AS base_quota,
+        |    (((t.tot_tokens // 2) % t.tot_w) * weight_sqrt) % t.tot_w AS rem
         |  FROM w CROSS JOIN t),
         |q1 AS (
         |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn,

@@ -161,11 +161,14 @@ object OraclesGen {
 
   /** Incremental dedup through the persisted LSH index: base docs
     * (id % 10 != 0) are banded with the build-time hot-bucket cap,
-    * delta docs (id % 10 = 0) probe uncapped; per delta doc the verdict
-    * is the best agreement ≥ 0.7 (ties to the smaller base id). Must
-    * equal the engine's probe through the parquet index — the parquet
-    * round-trip of the long signatures is lossless, so this is a pure
-    * re-derivation from the corpus. */
+    * delta docs (id % 10 = 0) probe it; the engine's probe-time
+    * hot-key guard is a NO-OP here (the probe runs right after the
+    * build, where every surviving key is already ≤ the cap), so the
+    * capped-base join below is the exact candidate set. Per delta doc
+    * the verdict is the best agreement ≥ 0.7 (ties to the smaller base
+    * id). Must equal the engine's probe through the parquet index —
+    * the parquet round-trip of the long signatures is lossless, so
+    * this is a pure re-derivation from the corpus. */
   val dedupIncremental: String =
     s"""WITH $minhashSigCtes,
        |base AS (SELECT id, sig FROM sigs WHERE id % 10 <> 0),
@@ -206,7 +209,11 @@ object OraclesGen {
     * base index UNION the bands of documents ACCEPTED in batches < k
     * (appends bypass the build-time cap, like the engine's
     * [[graft.operators.LshIndex.append]]); within a batch, documents
-    * see only the index as of the batch start. */
+    * see only the index as of the batch start, and each batch re-checks
+    * the hot-bucket cap against the CURRENT index population — the
+    * engine's probe-time guard ([[graft.operators.LshIndex.probe]]):
+    * a key pushed past the cap by appends yields no candidates until
+    * compaction re-drops it. */
   val dedupStreamIndex: String = {
     val batches = 5
     val perBatch = (0 until batches).map { k =>
@@ -218,10 +225,15 @@ object OraclesGen {
              |  UNION ALL
              |  SELECT b.id, b.band, b.band_sig FROM db b JOIN acc${k - 1} a USING (id))""".stripMargin
       s"""$ix,
+         |hot$k AS (
+         |  SELECT band, band_sig FROM ix$k
+         |  GROUP BY band, band_sig HAVING count(*) > 1000),
          |cand$k AS (
          |  SELECT DISTINCT d.id AS delta_id, i.id AS base_id
          |  FROM (SELECT id, band, band_sig FROM db WHERE batch = $k) d
-         |  JOIN ix$k i USING (band, band_sig)),
+         |  JOIN ix$k i USING (band, band_sig)
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot$k h
+         |    WHERE h.band = i.band AND h.band_sig = i.band_sig)),
          |est$k AS (
          |  SELECT c.delta_id, c.base_id,
          |    CAST(len(list_filter(range(64), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 64 AS est
@@ -3306,6 +3318,10 @@ object OraclesGen {
     // frame bit-for-bit: same oracle SQL verbatim
     "embed_ivf_persisted" -> embedIvfRecall,
     "embed_ivf_append" -> embedIvfAppend,
+    // refit ≡ from-scratch fit over the union corpus, so the oracle is
+    // embed_ivf_recall's verbatim — the strongest possible pin of the
+    // maintenance step (see QueriesText.embedIvfRefit)
+    "embed_ivf_refit" -> embedIvfRecall,
     "sem_dedup" -> semDedup,
     "sem_dedup_2l" -> semDedup2L,
     "sem_dedup_bounded" -> semDedupBounded,

@@ -431,7 +431,11 @@ object QueriesLog {
     new java.io.File(inDir).listFiles.filter(_.isDirectory).foreach { d =>
       val t = if (d.getName == "b1") 1000000L else 2000000L
       d.listFiles.filter(_.getName.endsWith(".parquet"))
-        .foreach(_.setLastModified(t))
+        // mtime is the batch-order contract: fail loudly on a
+        // filesystem that ignores the update instead of letting the
+        // file-source order (and every verdict) silently diverge
+        .foreach(f => require(f.setLastModified(t),
+          s"setLastModified unsupported on ${f.getAbsolutePath}"))
     }
     val stream = s.readStream.schema(rows.schema)
       .option("maxFilesPerTrigger", 1)
@@ -544,7 +548,11 @@ object QueriesLog {
     fs.listFiles().filter(_.isDirectory).foreach { d =>
       val t = if (d.getName == "b1") 1000000L else 2000000L
       d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(_.setLastModified(t))
+        // mtime is the batch-order contract: fail loudly on a
+        // filesystem that ignores the update instead of letting the
+        // file-source order (and every verdict) silently diverge
+        .foreach(f => require(f.setLastModified(t),
+          s"setLastModified unsupported on ${f.getAbsolutePath}"))
     }
     val benchFpsDf = docs.filter(col("doc_id") % 97 === 0)
       .select(explode(graft.functions.TextFns.winnowFingerprints(col("text")))
@@ -653,7 +661,11 @@ object QueriesLog {
     fs.listFiles().filter(_.isDirectory).foreach { d =>
       val t = 1000000L * (1 + d.getName.stripPrefix("b").toInt)
       d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(_.setLastModified(t))
+        // mtime is the batch-order contract: fail loudly on a
+        // filesystem that ignores the update instead of letting the
+        // file-source order (and every verdict) silently diverge
+        .foreach(f => require(f.setLastModified(t),
+          s"setLastModified unsupported on ${f.getAbsolutePath}"))
     }
     val verdictSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -766,7 +778,11 @@ object QueriesLog {
     new java.io.File(inDir).listFiles.filter(_.isDirectory).foreach { d =>
       val t = if (d.getName == "b1") 1000000L else 2000000L
       d.listFiles.filter(_.getName.endsWith(".parquet"))
-        .foreach(_.setLastModified(t))
+        // mtime is the batch-order contract: fail loudly on a
+        // filesystem that ignores the update instead of letting the
+        // file-source order (and every verdict) silently diverge
+        .foreach(f => require(f.setLastModified(t),
+          s"setLastModified unsupported on ${f.getAbsolutePath}"))
     }
     val stream = s.readStream.schema(rows.schema)
       .option("maxFilesPerTrigger", 1)

@@ -11,6 +11,29 @@ import graft.functions.TextFns
   */
 object QueriesText {
 
+  /** Per-invocation scratch dir for persisted-index round-trips —
+    * tmpfs when available (the host disk throttles under sustained
+    * load). Per-invocation (not keyed by the data dir) so concurrent
+    * runs never race each other's save()/probe and distinct data dirs
+    * can never collide onto one index path. */
+  private def scratchDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val p =
+      if (shm.isDirectory)
+        java.nio.file.Files.createTempDirectory(shm.toPath, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    p.toFile.getAbsolutePath
+  }
+
+  /** Build-probe-cleanup bracket: `body` gets a fresh index path, its
+    * result is pinned with localCheckpoint (the scratch dir is deleted
+    * before returning, so the frame must not lazily re-read it). */
+  private def withScratchIndex(prefix: String)(body: String => DataFrame): DataFrame = {
+    val tmp = scratchDir(prefix)
+    try body(s"$tmp/index").localCheckpoint()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.fanOut(Tables.documents(s, dir)), "doc_id", "text")
 
@@ -102,11 +125,9 @@ object QueriesText {
     * vectors losslessly, so this entry shares `embed_ivf_recall`'s
     * oracle SQL verbatim — the persisted index must reproduce the
     * in-memory recall frame bit-for-bit to pass. */
-  def embedIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+  def embedIvfPersisted(s: SparkSession, dir: String): DataFrame =
+    withScratchIndex("graft_ivf_index_") { idx =>
     val e = Tables.fanOut(Tables.embeddings(s, dir))
-    val idx = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_ivf_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     graft.operators.IvfIndex.save(
       e.select(col("vec_id").as("id"), col("embedding").as("vec")),
       idx, nClusters = 16, iters = 2, dim = 64)
@@ -134,19 +155,52 @@ object QueriesText {
     * lifecycle counterpart of `dedup_incremental` on the ANN side —
     * daily-shard cost is delta-proportional, the index keeps serving.
     * One row (n_truth, n_hit, recall). */
-  def embedIvfAppend(s: SparkSession, dir: String): DataFrame = {
+  def embedIvfAppend(s: SparkSession, dir: String): DataFrame =
+    withScratchIndex("graft_ivf_append_") { idx =>
     val e = Tables.fanOut(Tables.embeddings(s, dir))
     val base = e.filter(col("vec_id") % 10 =!= 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val delta = e.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val idx = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_ivf_append_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-    // Overwrite semantics per run: save() overwrites, then ONE append —
-    // the dir-keyed path would otherwise accrete delta copies across runs
     graft.operators.IvfIndex.save(base, idx, nClusters = 16, iters = 2, dim = 64)
     graft.operators.IvfIndex.append(s, idx, delta)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("q_id", "n_id")
+    val approx = graft.operators.IvfIndex.topK(s, idx, queries, k = 5, nprobe = 4)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
+  /** The ANN maintenance half ([[graft.operators.IvfIndex.refit]]):
+    * base fitted + indexed, delta APPENDED against the stale centroids,
+    * then the periodic REFIT re-fits the centroids from the persisted
+    * vectors and rewrites the lists — after which the index must be
+    * bit-identical to a from-scratch build over the union corpus
+    * (id-ordered deterministic k-means), which is exactly why this
+    * entry shares `embed_ivf_recall`'s oracle SQL verbatim: the
+    * refit-after-appends recall frame has to reproduce the
+    * fit-everything-at-once frame bit-for-bit. The reference's
+    * analogue is the statement-reset rebaseline policy
+    * (input/postgres/statements.go:78-110) — the maintenance loop is
+    * part of the operator, not an ops afterthought. */
+  def embedIvfRefit(s: SparkSession, dir: String): DataFrame =
+    withScratchIndex("graft_ivf_refit_") { idx =>
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val delta = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.operators.IvfIndex.save(base, idx, nClusters = 16, iters = 2, dim = 64)
+    graft.operators.IvfIndex.append(s, idx, delta)
+    graft.operators.IvfIndex.refit(s, idx, nClusters = 16, iters = 2, dim = 64)
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
@@ -334,15 +388,24 @@ object QueriesText {
     * corpus scale k grows with n so cluster sizes stay bounded
     * (n/k ≈ constant), which is the SemDeDup design point; the
     * cluster-keyed self-join is an equi-join, never a global cross
-    * product. Output: every vector with its cluster and kept flag. */
+    * product. Output: every vector with its cluster and kept flag.
+    *
+    * VERIFICATION-SCOPED (like `dedup_ngram_jaccard` is for the LSH
+    * path): the paper's k ∝ n sizing law makes even two-level
+    * assignment n^1.5 (measured 34×/38× at 10× data — the declared
+    * algorithm, not a plan defect), so this entry and `sem_dedup_2l`
+    * are paper-faithful check arms, NOT 100 TB lake paths; the
+    * declared production configuration is [[semDedupBounded]]
+    * (fixed k, capped witnesses, measured linear). */
   def semDedup(s: SparkSession, dir: String): DataFrame =
     semDedupImpl(s, dir, minK = 16)
 
   /** The two-level assignment path of [[semDedup]] pinned at gate scale:
     * a floor of 80 clusters keeps k above [[Similarity.TwoLevelMinK]]
     * even on the 500-vector sf0.01 corpus, so the coarse-routed
-    * assignment (the 100 TB path sem_dedup itself only takes at sf1+)
-    * is hash-checked against the oracle every round. */
+    * assignment is hash-checked against the oracle every round.
+    * VERIFICATION-SCOPED like [[semDedup]] (k ∝ n ⇒ n^1.5 by the
+    * declared sizing law); the lake path is [[semDedupBounded]]. */
   def semDedup2L(s: SparkSession, dir: String): DataFrame =
     semDedupImpl(s, dir, minK = 80)
 
@@ -2255,13 +2318,11 @@ object QueriesText {
     * see [[graft.operators.LshIndex.probe]]), and accepted docs append
     * to the index for the next shard. Output per delta doc:
     * (doc_id, n_cand, is_dup, dup_of, est_jaccard). */
-  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    withScratchIndex("graft_lsh_index_") { path =>
     val docs = Tables.fanOut(Tables.documents(s, dir))
     val base = docs.filter(col("doc_id") % 10 =!= 0)
     val delta = docs.filter(col("doc_id") % 10 === 0)
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_lsh_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     graft.operators.LshIndex.save(base, "doc_id", "text", path)
     val dSigs = Dedup.minhashSignatures(delta, "doc_id", "text")
       // probe fans the (small) delta side into three broadcasts — build
@@ -2320,8 +2381,15 @@ object QueriesText {
       .rowsBetween(Long.MinValue, Long.MaxValue)
     val quotas = weighted.crossJoin(broadcast(tot))
       .withColumn("budget", expr("tot_tokens DIV 2"))
-      .withColumn("base_quota", expr("(budget * weight_sqrt) DIV tot_w"))
-      .withColumn("rem", expr("(budget * weight_sqrt) % tot_w"))
+      // floor(budget*w/T) computed as floor(budget/T)*w +
+      // floor((budget%T)*w/T): algebraically identical, but every
+      // intermediate stays ≤ T*w ~ sqrt-scale instead of budget*w,
+      // which wraps signed-64 once the lake holds ~7e12 tokens (the
+      // oracle uses the same split form, so both engines stay exact)
+      .withColumn("base_quota",
+        expr("(budget DIV tot_w) * weight_sqrt + " +
+          "((budget % tot_w) * weight_sqrt) DIV tot_w"))
+      .withColumn("rem", expr("((budget % tot_w) * weight_sqrt) % tot_w"))
       // sum(rem) = budget*tot_w - tot_w*sum(base), so the leftover seat
       // count is exactly sum(rem)/tot_w — integer by construction
       .withColumn("rem_tot", sum(col("rem")).over(wAll))

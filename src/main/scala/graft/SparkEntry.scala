@@ -140,6 +140,7 @@ object SparkEntry {
     "embed_ivf_recall" -> (QueriesText.embedIvfRecall _),
     "embed_ivf_persisted" -> (QueriesText.embedIvfPersisted _),
     "embed_ivf_append" -> (QueriesText.embedIvfAppend _),
+    "embed_ivf_refit" -> (QueriesText.embedIvfRefit _),
     "embed_near_dups" -> (QueriesText.embedNearDups _),
     "embed_near_dups_auto" -> (QueriesText.embedNearDupsAuto _),
     "text_quality" -> (QueriesText.textQuality _),

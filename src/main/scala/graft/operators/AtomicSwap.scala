@@ -1,0 +1,95 @@
+package graft.operators
+
+/** Crash-safe publish of a staged rewrite of one or more dataset
+  * directories under a persisted-index root (the maintenance-step swap
+  * used by [[LshIndex.compact]] and [[IvfIndex.refit]]).
+  *
+  * Protocol: the rewrite is written in full under `<path>/.staging`,
+  * then a `_complete` marker (listing the dataset names) makes the
+  * staging authoritative, and only then is each live directory renamed
+  * aside (`<d>` → `<d>.old`), the staged copy renamed in, and the
+  * `.old` copy dropped. A crash at ANY point is recoverable by
+  * [[repair]]: staging without the marker is rolled back (live dirs
+  * were never touched); staging with the marker is rolled forward
+  * (every step of [[finish]] is re-runnable). Readers call [[repair]]
+  * on open, so an interrupted swap can never serve a half-swapped or
+  * missing index.
+  */
+private[graft] object AtomicSwap {
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
+  def stagingDir(path: String): String = s"$path/.staging"
+
+  private def marker(path: String): java.io.File =
+    new java.io.File(stagingDir(path), "_complete")
+
+  /** Begin a rewrite: recover any interrupted swap, then hand back a
+    * clean staging root for the caller to write datasets under. */
+  def begin(path: String): String = {
+    repair(path)
+    val st = stagingDir(path)
+    rmTree(new java.io.File(st))
+    st
+  }
+
+  /** Publish the staged datasets (written under `begin`'s root as
+    * `<staging>/<name>`): marker first — the commit point — then the
+    * re-runnable swap. */
+  def commit(path: String, datasets: Seq[String]): Unit = {
+    mark(path, datasets)
+    finish(path)
+  }
+
+  /** Write the commit marker WITHOUT swapping — split out so the crash
+    * drill (LshIndexSpec) can exercise repair from every intermediate
+    * state. Production callers use [[commit]]. */
+  private[graft] def mark(path: String, datasets: Seq[String]): Unit = {
+    val m = marker(path)
+    require(m.getParentFile.isDirectory, s"nothing staged under $path")
+    java.nio.file.Files.writeString(m.toPath, datasets.mkString("\n"))
+    ()
+  }
+
+  /** The swap itself. Idempotent: a dataset whose staged copy is gone
+    * was already swapped by a prior attempt, so only its leftover
+    * `.old` copy is dropped. */
+  private def finish(path: String): Unit = {
+    val m = marker(path)
+    val datasets = new String(
+      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    datasets.foreach { d =>
+      val live = new java.io.File(s"$path/$d")
+      val old = new java.io.File(s"$path/$d.old")
+      val staged = new java.io.File(s"${stagingDir(path)}/$d")
+      if (staged.exists()) {
+        if (old.exists()) rmTree(old)
+        if (live.exists())
+          require(live.renameTo(old), s"swap aside failed: $live")
+        require(staged.renameTo(live), s"swap in failed: $staged")
+      }
+      if (old.exists()) rmTree(old)
+    }
+    rmTree(new java.io.File(stagingDir(path)))
+  }
+
+  /** Recover an interrupted rewrite: roll FORWARD when the marker made
+    * the staging authoritative, roll BACK (discard staging) otherwise,
+    * and drop any stray `.old` copies. No-op on a healthy index. */
+  def repair(path: String): Unit = {
+    val st = new java.io.File(stagingDir(path))
+    if (st.exists()) {
+      if (marker(path).exists()) finish(path)
+      else rmTree(st)
+    }
+    val root = new java.io.File(path)
+    if (root.isDirectory)
+      root.listFiles()
+        .filter(f => f.isDirectory && f.getName.endsWith(".old"))
+        .foreach(rmTree)
+  }
+}

@@ -50,13 +50,38 @@ object IvfIndex {
     * cluster's list directory. The lifecycle counterpart of
     * [[LshIndex.append]]: a 100 TB embedding lake absorbs a daily
     * shard at delta-proportional cost and serves base ∪ delta
-    * immediately; centroid drift is repaired at the periodic re-fit /
-    * compaction, the standard IVF maintenance trade. */
+    * immediately; centroid drift is repaired by the periodic [[refit]],
+    * the standard IVF maintenance trade. */
   def append(s: SparkSession, path: String, delta: DataFrame): Unit = {
     val cents = s.read.parquet(s"$path/centroids")
     Similarity.ivfAssign(delta, cents)
       .write.mode(SaveMode.Append).partitionBy("cluster")
       .parquet(s"$path/lists")
+  }
+
+  /** Re-fit — the IVF maintenance counterpart of
+    * [[LshIndex.compact]]: appends assign against STALE centroids, so
+    * recall drifts as the appended fraction grows (measured in the
+    * drift artifact — see SURVEY §2.12's IVF lifecycle notes); the
+    * periodic refit re-fits the centroids from the persisted vectors
+    * (the lists carry full vectors — no external corpus read), rewrites
+    * the inverted lists, and also re-coalesces the per-append small
+    * files. The fit/assign chain is the id-ordered deterministic one
+    * ([[Similarity.ivfFit]]: id-ordered seeding, id-ordered chunk
+    * folds), so the result is BIT-IDENTICAL to [[save]] over the union
+    * corpus regardless of how many appends preceded it (IvfIndexSpec).
+    * Published via the crash-safe [[AtomicSwap]] staging swap. */
+  def refit(s: SparkSession, path: String, nClusters: Int = 16,
+      iters: Int = 2, dim: Int = 64): Unit = {
+    val staging = AtomicSwap.begin(path)
+    val all = s.read.parquet(s"$path/lists").select("id", "vec")
+    val cents = Similarity.ivfFit(all, nClusters, iters, dim)
+    val lists = Similarity.ivfAssign(all, cents)
+    cents.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$staging/centroids")
+    lists.write.mode(SaveMode.Overwrite).partitionBy("cluster")
+      .parquet(s"$staging/lists")
+    AtomicSwap.commit(path, Seq("centroids", "lists"))
   }
 
   /** Top-k cosine neighbors for `queries` (columns `q_id`, `q_vec`)
@@ -73,6 +98,7 @@ object IvfIndex {
     * broadcast equi-join on the pruned scan. */
   def topK(s: SparkSession, path: String, queries: DataFrame, k: Int,
       nprobe: Int = 4): DataFrame = {
+    AtomicSwap.repair(path) // finish/roll back an interrupted refit
     val cents = s.read.parquet(s"$path/centroids")
     val qScored = queries.crossJoin(broadcast(cents))
       .withColumn("sim", Similarity.cosineFD(col("q_vec"), col("centroid")))

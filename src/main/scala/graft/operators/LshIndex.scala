@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * With a persisted index the daily cost is proportional to the DELTA,
   * not the lake:
   *
-  *  - the index side is only ever SCANNED (the delta's band keys arrive
-  *    by broadcast, so no index row ever rides a shuffle — at 100 TB
-  *    the index is corpus-sized and re-shuffling it per shard is the
-  *    whole cost being avoided);
+  *  - the index side is only ever SCANNED, and only its probe-touched
+  *    cells ever ride a shuffle: the delta-side joins are UNHINTED, so
+  *    AQE broadcasts the delta while it is genuinely small and falls
+  *    back to shuffled joins when a corpus-proportional delta would
+  *    blow the broadcast cap — at 100 TB the index is corpus-sized and
+  *    re-shuffling it whole per shard is the whole cost being avoided;
   *  - base signatures are computed once at build time and parquet
   *    round-trips the long arrays losslessly, so probes agree
   *    bit-for-bit with a from-scratch [[Dedup.lshCandidates]] run over
@@ -102,12 +104,26 @@ object LshIndex {
     * minhash-agreement similarity estimate:
     * (delta_id, base_id, est_jaccard).
     *
-    * Plan shape (the point of the layout): the delta side is small by
-    * definition, so its 8·|delta| band keys BROADCAST into the bands
-    * scan and the matched candidate ids broadcast into the sigs scan —
-    * both corpus-sized index datasets are read once and never
-    * shuffled; the only exchanges are over the (small) candidate set. */
-  def probe(s: SparkSession, path: String, delta: DataFrame): DataFrame = {
+    * Plan shape (the point of the layout): every index-side join is an
+    * UNHINTED equi-join — AQE broadcasts the delta side while it is
+    * small (the daily-shard case: the index datasets are then read
+    * once, with only their touched cells riding a shuffle) and falls
+    * back to shuffled joins once the delta is corpus-proportional,
+    * where a forced broadcast would exceed the 8 GB cap and the driver
+    * (the doc_decontaminate failure shape). Pinned both ways by
+    * LshIndexSpec.
+    *
+    * Probe-time hot-key guard: index keys whose CURRENT population
+    * (across all segments, in the probed cells) exceeds `maxBucket`
+    * yield no candidates — the build-time cap re-checked at probe, so
+    * a bucket that went hot through appends between compactions costs
+    * nothing instead of candidate-exploding until the next compact.
+    * Right after a build or compact the guard is a no-op (every
+    * surviving key is already ≤ the cap); the SQL oracle re-derives
+    * the same recap per ingest batch. */
+  def probe(s: SparkSession, path: String, delta: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    AtomicSwap.repair(path) // finish/roll back an interrupted compact
     val dBands = banded(delta)
       .select(col("id").as("delta_id"), col("band"), col("band_sig"))
       // feeds the router collect AND the candidate join — materialize
@@ -117,23 +133,37 @@ object LshIndex {
     // Bands × NumBuckets (512) regardless of delta size — pushed as a
     // LITERAL partition filter, so a narrow delta reads only its cells
     // (static partition elimination, the IvfIndex-router pattern); a
-    // wide delta lists every cell and the filter is a full-index no-op
+    // wide delta touching EVERY cell skips the filter outright (the
+    // full — still partition-pruned-trivially — scan, with no 512-term
+    // predicate to evaluate per row group)
     val touched = dBands
       .select((col("band") * NumBuckets + bucketOf(col("band_sig"))).as("cell"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val cand = s.read.parquet(s"$path/bands")
-      .filter((col("band") * NumBuckets + col("bucket"))
-        .isin(touched.map(Integer.valueOf): _*))
-      .select(col("id").as("base_id"), col("band"), col("band_sig"))
-      .join(broadcast(dBands), Seq("band", "band_sig"))
+    val bands0 = s.read.parquet(s"$path/bands")
+    val pruned =
+      (if (touched.length >= Dedup.Bands * NumBuckets) bands0
+       else bands0.filter((col("band") * NumBuckets + col("bucket"))
+         .isin(touched.map(Integer.valueOf): _*)))
+        .select(col("id").as("base_id"), col("band"), col("band_sig"))
+    // hot keys are counted over the pruned cells only — a key's rows
+    // all live in one (band, bucket) cell, so the pruned count IS the
+    // key's full index population; the > cap survivors are a tiny
+    // frame (rare by the build-time cap) that AQE broadcasts
+    val hot = pruned.groupBy("band", "band_sig")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("band", "band_sig")
+    val cand = pruned
+      .join(hot, Seq("band", "band_sig"), "left_anti")
+      .join(dBands, Seq("band", "band_sig"))
       .select("delta_id", "base_id")
       .dropDuplicates("delta_id", "base_id")
     val withBase = s.read.parquet(s"$path/sigs")
       .select(col("id").as("base_id"), col("sig").as("base_sig"))
-      .join(broadcast(cand), Seq("base_id"))
+      .join(cand, Seq("base_id"))
     withBase
-      .join(broadcast(delta.select(col("id").as("delta_id"),
-        col("sig").as("delta_sig"))), Seq("delta_id"))
+      .join(delta.select(col("id").as("delta_id"),
+        col("sig").as("delta_sig")), Seq("delta_id"))
       .select(col("delta_id"), col("base_id"),
         org.apache.spark.sql.GraftNative.column(
           graft.functions.expressions.SigAgreeExpr(
@@ -146,9 +176,10 @@ object LshIndex {
     * layout: tomorrow's shard probes today's corpus without a rebuild.
     * Band rows for buckets the BUILD dropped as hot stay dropped
     * (append joins against the existing hot set is deliberately NOT
-    * done — a bucket that goes hot through appends is re-capped at the
-    * next compaction/rebuild, the standard LSM-style maintenance
-    * trade). */
+    * done — a bucket that goes hot through appends is skipped by the
+    * PROBE-time guard the moment it crosses the cap, and physically
+    * dropped at the next compaction, the standard LSM-style
+    * maintenance split). */
   def append(s: SparkSession, path: String, accepted: DataFrame): Unit =
     appendSeg(s, path, accepted, "delta")
 
@@ -175,8 +206,20 @@ object LshIndex {
     * bit-equivalent to `save` over the union corpus (LshIndexSpec). */
   def compact(s: SparkSession, path: String,
       maxBucket: Int = MaxBucket): Unit = {
-    val staging = s"$path/.compact"
-    rmTree(new java.io.File(staging))
+    compactStage(s, path, maxBucket)
+    // crash-safe publish: marker first, then per-dataset rename-aside
+    // swap — an interrupted swap is finished or rolled back by
+    // AtomicSwap.repair on the next probe/compact (ADVICE r12: the old
+    // delete-then-rename left a crash window with NO live index)
+    AtomicSwap.commit(path, Seq("sigs", "bands"))
+  }
+
+  /** The staged (side-effect-free w.r.t. the live index) half of
+    * [[compact]] — split out so the crash drill can exercise
+    * [[AtomicSwap.repair]] from every intermediate state. */
+  private[graft] def compactStage(s: SparkSession, path: String,
+      maxBucket: Int = MaxBucket): Unit = {
+    val staging = AtomicSwap.begin(path)
     s.read.parquet(s"$path/sigs").select("id", "sig")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/sigs/seg=base")
     val b = banded(s.read.parquet(s"$staging/sigs/seg=base"))
@@ -194,13 +237,6 @@ object LshIndex {
       .repartition(col("band"), col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("band", "bucket")
       .parquet(s"$staging/bands/seg=base")
-    rmTree(new java.io.File(s"$path/sigs"))
-    rmTree(new java.io.File(s"$path/bands"))
-    require(new java.io.File(s"$staging/sigs").renameTo(
-      new java.io.File(s"$path/sigs")), s"compact swap failed: $path/sigs")
-    require(new java.io.File(s"$staging/bands").renameTo(
-      new java.io.File(s"$path/bands")), s"compact swap failed: $path/bands")
-    rmTree(new java.io.File(staging))
   }
 
   private def appendSeg(s: SparkSession, path: String, accepted: DataFrame,

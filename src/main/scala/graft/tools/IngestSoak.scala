@@ -1,0 +1,136 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Long-horizon soak of the persisted-LSH streaming ingest loop
+  * ([[graft.QueriesLog.dedupStreamIndex]]'s production shape): 120
+  * micro-batches under a continuous ProcessingTime trigger against one
+  * persisted index, with LSM-style compaction every 25 committed
+  * segments — the cadence a daily-shard pipeline would run for months.
+  * Watches the two things that must stay FLAT for the loop to survive
+  * at 100 TB:
+  *
+  *  - per-batch wall time (probe cost is delta-proportional; a growing
+  *    trend means the index is leaking work into the per-batch path);
+  *  - index file counts (appends accrete small files; compaction must
+  *    pull the count back down — the plateau, not a sawtooth ramp).
+  *
+  * Writes a per-batch JSON artifact (ingest_soak_r13.json) like the r8
+  * state-store soaks.
+  *
+  * {{{ sbt -batch "runMain graft.tools.IngestSoak" }}}
+  */
+object IngestSoak {
+
+  private def countFiles(f: java.io.File): Int =
+    if (f.isDirectory) f.listFiles().map(countFiles).sum
+    else if (f.getName.endsWith(".parquet")) 1 else 0
+
+  private def segCount(f: java.io.File): Int =
+    if (!f.isDirectory) 0
+    else f.listFiles().count(d => d.isDirectory && d.getName.startsWith("seg="))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nBatches = sys.env.get("SPARK_GRAFT_SOAK_BATCHES")
+      .flatMap(_.toIntOption).getOrElse(120)
+    val compactEvery = 25
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("IngestSoak")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.streaming.Trigger
+
+    val tmp = java.nio.file.Files.createTempDirectory(
+      new java.io.File("/dev/shm").toPath, "graft_soak").toFile
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"; val idx = s"$tmp/index"
+    new java.io.File(outDir).mkdirs()
+
+    val docs = graft.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    // first 20% builds the index; the rest arrives as nBatches shards
+    val cut = n / 5
+    graft.operators.LshIndex.save(
+      docs.filter(col("doc_id") < cut), "doc_id", "text", idx)
+    val delta = docs.filter(col("doc_id") >= cut)
+      .withColumn("batch", ((col("doc_id") - cut) % nBatches).cast("int"))
+    (0 until nBatches).foreach { k =>
+      delta.filter(col("batch") === k).coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/b$k")
+    }
+    new java.io.File(inDir).listFiles().filter(_.isDirectory).foreach { d =>
+      val t = 1000000L * (1 + d.getName.stripPrefix("b").toInt)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => require(f.setLastModified(t), s"mtime pin failed: $f"))
+    }
+
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(inDir)
+
+    // per-batch observations, recorded inside the (sequential)
+    // foreachBatch — (batchId, wall_ms, sig_files, band_files,
+    // segments, compacted)
+    val obs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Int, Int, Boolean)]
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def soakBatch(b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long): Unit = {
+      val t0 = System.nanoTime()
+      graft.QueriesLog.ingestBatch(spark, idx, outDir)(b, batchId)
+      val segs = segCount(new java.io.File(s"$idx/sigs"))
+      val compacted = segs >= compactEvery
+      if (compacted) graft.operators.LshIndex.compact(spark, idx)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      obs += ((batchId, wallMs,
+        countFiles(new java.io.File(s"$idx/sigs")),
+        countFiles(new java.io.File(s"$idx/bands")),
+        segCount(new java.io.File(s"$idx/sigs")), compacted))
+      done.incrementAndGet()
+      ()
+    }
+
+    val q = stream.writeStream
+      .foreachBatch(soakBatch _)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .start()
+    while (done.get() < nBatches) Thread.sleep(200)
+    q.stop(); q.awaitTermination()
+
+    val verdicts = spark.read.option("recursiveFileLookup", "true")
+      .parquet(outDir)
+    val nV = verdicts.count()
+    val nDup = verdicts.filter(col("is_dup")).count()
+
+    val rows = obs.sortBy(_._1).map { case (id, ms, sf, bf, segs, c) =>
+      s"""{"batch":$id,"wall_ms":$ms,"sig_files":$sf,"band_files":$bf,""" +
+        s""""segments":$segs,"compacted":$c}"""
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    val walls = obs.sortBy(_._1).map(_._2)
+    val firstQ = walls.take(nBatches / 4)
+    val lastQ = walls.takeRight(nBatches / 4)
+    val out =
+      s"""{"metric":"ingest_soak","sf":"$sfDir","n_batches":$nBatches,
+         |"compact_every":$compactEvery,
+         |"verdicts":$nV,"dups":$nDup,
+         |"wall_ms_first_quartile_mean":${firstQ.sum / firstQ.size},
+         |"wall_ms_last_quartile_mean":${lastQ.sum / lastQ.size},
+         |"batches":$rows}""".stripMargin
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT",
+      "/tmp/ingest_soak.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), out)
+    println(s"""SOAK done n_batches=$nBatches verdicts=$nV dups=$nDup """ +
+      s"first_q_ms=${firstQ.sum / firstQ.size} " +
+      s"last_q_ms=${lastQ.sum / lastQ.size} -> $outFile")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    spark.stop()
+  }
+}

@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recall-vs-appends drift measurement for the persisted IVF index —
+  * the evidence behind [[graft.operators.IvfIndex.refit]]: appends
+  * assign against the BASE-fit centroids, so as the appended fraction
+  * grows the quantizer drifts away from the true corpus distribution
+  * and recall through the index degrades; a refit re-fits the
+  * centroids from the persisted vectors and must restore the
+  * from-scratch recall exactly (refit ≡ save over the union,
+  * IvfIndexSpec). Protocol: fit on the first half, append the rest in
+  * 5 waves, measure top-5 recall (100 fixed queries, nprobe=4) through
+  * the index after each wave, then refit and measure once more.
+  * Writes ivf_refit_drift JSON (→ SURVEY table).
+  *
+  * {{{ sbt -batch "runMain graft.tools.IvfDrift" }}}
+  */
+object IvfDrift {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("IvfDrift")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint()
+    val n = e.count()
+    val waves = 5
+    val tmp = java.nio.file.Files.createTempDirectory(
+      new java.io.File("/dev/shm").toPath, "graft_ivfdrift").toFile
+    val idx = s"$tmp/index"
+
+    // base = first half by id; waves split the rest round-robin
+    val base = e.filter(col("id") < n / 2)
+    graft.operators.IvfIndex.save(base, idx, nClusters = 16, iters = 2, dim = 64)
+
+    val queries = e.filter(col("id") < 100)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"))
+      .localCheckpoint()
+
+    /** Top-5 recall of the index against brute force over the CURRENT
+      * indexed corpus (the truth side re-reads the ids in the index, so
+      * each wave is measured against exactly what it serves). */
+    def recall(): Double = {
+      val inIdx = spark.read.parquet(s"$idx/lists")
+        .select(col("id").as("n_id"), col("vec").as("n_vec"))
+      val truth = graft.operators.Similarity
+        .bruteForceTopK(queries, inIdx, k = 5).select("q_id", "n_id")
+      val approx = graft.operators.IvfIndex
+        .topK(spark, idx, queries, k = 5, nprobe = 4)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("q_id", "n_id"), "left")
+        .agg((coalesce(sum("hit"), lit(0L)).cast("double") /
+          count(lit(1))).as("recall"))
+        .head().getDouble(0)
+    }
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    results += (("base_fit_0pct_appended", recall()))
+    (0 until waves).foreach { w =>
+      val wave = e.filter(col("id") >= n / 2 &&
+        ((col("id") - n / 2) % waves) === w)
+      graft.operators.IvfIndex.append(spark, idx, wave)
+      val pct = ((w + 1) * 100) / waves
+      results += ((s"appended_${pct}pct_of_delta", recall()))
+    }
+    graft.operators.IvfIndex.refit(spark, idx,
+      nClusters = 16, iters = 2, dim = 64)
+    results += (("after_refit", recall()))
+
+    // the from-scratch reference: a fresh fit over everything must
+    // equal the refit recall exactly (refit ≡ save over the union)
+    val idx2 = s"$tmp/index_scratch"
+    graft.operators.IvfIndex.save(e, idx2, nClusters = 16, iters = 2, dim = 64)
+    val scratch = {
+      val inIdx = spark.read.parquet(s"$idx2/lists")
+        .select(col("id").as("n_id"), col("vec").as("n_vec"))
+      val truth = graft.operators.Similarity
+        .bruteForceTopK(queries, inIdx, k = 5).select("q_id", "n_id")
+      graft.operators.IvfIndex.topK(spark, idx2, queries, k = 5, nprobe = 4)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+        .join(truth.select(col("q_id"), col("n_id"), lit(1L).as("t")),
+          Seq("q_id", "n_id"), "right")
+        .agg((coalesce(sum("hit"), lit(0L)).cast("double") /
+          count(lit(1))).as("recall"))
+        .head().getDouble(0)
+    }
+    results += (("from_scratch_reference", scratch))
+
+    val json = results.map { case (k, v) => s""""$k":$v""" }
+      .mkString(s"""{"metric":"ivf_refit_drift","sf":"$sfDir","n_vectors":$n,""",
+        ",", "}")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_DRIFT_OUT",
+      "/tmp/ivf_refit_drift.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    println(s"DRIFT $json")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    spark.stop()
+  }
+}

@@ -99,6 +99,75 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.topK(spark, p, dq, k = 3, nprobe = 4).count() > 0)
   }
 
+  test("refit after appends is bit-identical to a from-scratch build over the union") {
+    val d1 = java.nio.file.Files
+      .createTempDirectory("graft_ivf_refit_a").toFile
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft_ivf_refit_b").toFile
+    Seq(d1, d2).foreach(_.deleteOnExit())
+    val (pA, pB) = (d1.getAbsolutePath, d2.getAbsolutePath)
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val delta = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // A: base build + TWO append waves (split delta), then refit;
+    // B: one build over everything — the id-ordered deterministic
+    // k-means must make them indistinguishable
+    IvfIndex.save(base, pA, nClusters = 16, iters = 2, dim = 64)
+    IvfIndex.append(spark, pA, delta.filter(col("id") % 20 === 0))
+    IvfIndex.append(spark, pA, delta.filter(col("id") % 20 =!= 0))
+    IvfIndex.refit(spark, pA, nClusters = 16, iters = 2, dim = 64)
+    IvfIndex.save(e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      pB, nClusters = 16, iters = 2, dim = 64)
+    def cents(p: String) = spark.read.parquet(s"$p/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+    def lists(p: String) = spark.read.parquet(s"$p/lists")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSet
+    assert(cents(pA) == cents(pB))
+    assert(lists(pA) == lists(pB))
+    // and the full probe path agrees row-for-row
+    val a = IvfIndex.topK(spark, pA, queries, k = 5, nprobe = 4)
+      .orderBy("q_id", "rank").collect()
+    val b = IvfIndex.topK(spark, pB, queries, k = 5, nprobe = 4)
+      .orderBy("q_id", "rank").collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("interrupted refit swap: repair rolls back before the marker, forward after") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_crash").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    IvfIndex.save(base, p, nClusters = 16, iters = 2, dim = 64)
+    val before = spark.read.parquet(s"$p/lists").count()
+    // stage a refit by hand (write staging, no commit) — a crash here
+    // must roll back: the live index is untouched and still serves
+    val staging = graft.operators.AtomicSwap.begin(p)
+    spark.read.parquet(s"$p/centroids").write.parquet(s"$staging/centroids")
+    spark.read.parquet(s"$p/lists").write
+      .partitionBy("cluster").parquet(s"$staging/lists")
+    graft.operators.AtomicSwap.repair(p)
+    assert(!new java.io.File(s"$p/.staging").exists())
+    assert(spark.read.parquet(s"$p/lists").count() == before)
+    // crash mid-swap AFTER the marker: lists renamed aside — topK's
+    // open-time repair must roll forward before serving
+    val staging2 = graft.operators.AtomicSwap.begin(p)
+    spark.read.parquet(s"$p/centroids").write.parquet(s"$staging2/centroids")
+    spark.read.parquet(s"$p/lists").write
+      .partitionBy("cluster").parquet(s"$staging2/lists")
+    graft.operators.AtomicSwap.mark(p, Seq("centroids", "lists"))
+    assert(new java.io.File(s"$p/lists")
+      .renameTo(new java.io.File(s"$p/lists.old")))
+    val got = IvfIndex.topK(spark, p, queries, k = 5, nprobe = 4)
+    assert(got.count() > 0)
+    assert(new java.io.File(s"$p/lists").isDirectory &&
+      !new java.io.File(s"$p/lists.old").exists() &&
+      !new java.io.File(s"$p/.staging").exists())
+  }
+
   test("probed-partition files are a strict subset when nprobe < k") {
     // with 20 queries × nprobe 1 on a 16-list index, at least one list
     // is typically unprobed; assert the scan's selected partitions are
