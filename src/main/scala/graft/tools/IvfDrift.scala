@@ -73,6 +73,65 @@ object IvfDrift {
       val pct = ((w + 1) * 100) / waves
       results += ((s"appended_${pct}pct_of_delta", recall()))
     }
+
+    // ---- distribution-shifted arm: iid deltas barely move the
+    // quantizer (the table above), so ALSO measure the realistic drift
+    // case — a BURST delta concentrated around one point (a new domain
+    // arriving): under stale centroids the whole burst crams into one
+    // inverted list, so nprobe lists cover a corpus-scale fraction
+    // (probe-cost explosion); refit re-partitions the burst across
+    // clusters of its own.
+    val shiftIdx = s"$tmp/index_shift"
+    // the burst keeps each vector's own variation but moves the whole
+    // half-corpus into a region the base fit never saw (+0.5 on the
+    // first 8 coords): a new DOMAIN, not a point blob — so a re-fit
+    // CAN meaningfully re-partition it
+    val eShift = e.filter(col("id") >= n / 2)
+      .select((col("id") + 1000000L).as("id"),
+        expr("cast(transform(vec, (x, j) -> x + " +
+          "(case when j < 8 then 0.5d else 0d end)) as array<float>)")
+          .as("vec"))
+      .unionByName(base).localCheckpoint()
+    val qShift = eShift.filter(col("id") < 100 ||
+        (col("id") >= 1000000L && col("id") < 1000000L + n / 2 + 100))
+      .limit(100)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"))
+      .localCheckpoint()
+    def recallAt(p: String, qs: org.apache.spark.sql.DataFrame): Double = {
+      val inIdx = spark.read.parquet(s"$p/lists")
+        .select(col("id").as("n_id"), col("vec").as("n_vec"))
+      val truth = graft.operators.Similarity
+        .bruteForceTopK(qs, inIdx, k = 5).select("q_id", "n_id")
+      val approx = graft.operators.IvfIndex
+        .topK(spark, p, qs, k = 5, nprobe = 4)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("q_id", "n_id"), "left")
+        .agg((coalesce(sum("hit"), lit(0L)).cast("double") /
+          count(lit(1))).as("recall"))
+        .head().getDouble(0)
+    }
+    // list balance: the axis staleness actually degrades — an OOD
+    // delta crams into the few least-bad lists, so nprobe lists can
+    // cover half the corpus (probe cost explosion) even while recall
+    // looks fine; refit rebalances. max/mean list population.
+    def balance(p: String): Double = {
+      val sizes = spark.read.parquet(s"$p/lists")
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+        .agg(max("n").cast("double").as("mx"), avg("n").as("mean"))
+        .head()
+      sizes.getDouble(0) / sizes.getDouble(1)
+    }
+    graft.operators.IvfIndex.save(base, shiftIdx,
+      nClusters = 16, iters = 2, dim = 64)
+    graft.operators.IvfIndex.append(spark, shiftIdx,
+      eShift.filter(col("id") >= 1000000L))
+    results += (("burst_delta_appended_stale_centroids",
+      recallAt(shiftIdx, qShift)))
+    results += (("burst_delta_stale_list_imbalance", balance(shiftIdx)))
+    graft.operators.IvfIndex.refit(spark, shiftIdx,
+      nClusters = 16, iters = 2, dim = 64)
+    results += (("burst_delta_after_refit", recallAt(shiftIdx, qShift)))
+    results += (("burst_delta_refit_list_imbalance", balance(shiftIdx)))
     graft.operators.IvfIndex.refit(spark, idx,
       nClusters = 16, iters = 2, dim = 64)
     results += (("after_refit", recall()))
