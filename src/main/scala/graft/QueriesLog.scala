@@ -694,9 +694,16 @@ object QueriesLog {
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     // verdicts live in per-batch subdirectories (the idempotence unit);
-    // underscore-prefixed commit markers are hidden to the file index
-    s.read.schema(verdictSchema).option("recursiveFileLookup", "true")
+    // underscore-prefixed commit markers are hidden to the file index.
+    // localCheckpoint pins the rows so the scratch tree (tmpfs) can be
+    // deleted before returning — lazy reads leaked one scratch dir per
+    // run across a 209-entry bench session
+    val result = s.read.schema(verdictSchema)
+      .option("recursiveFileLookup", "true")
       .parquet(outDir)
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    result
   }
 
   /** One ingestion micro-batch against the persisted index: probe,
