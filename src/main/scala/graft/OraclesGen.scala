@@ -217,23 +217,28 @@ object OraclesGen {
   val dedupStreamIndex: String = {
     val batches = 5
     val perBatch = (0 until batches).map { k =>
+      // MATERIALIZED: each ix$k is referenced three times (the next
+      // batch's union, the candidate join, and the hot-key recap);
+      // inlined CTEs would re-expand the whole recurrence chain per
+      // reference (3^batches blowup — the embed_ivf_append sf10 lesson)
       val ix =
-        if (k == 0) s"ix$k AS (SELECT id, band, band_sig FROM idx0)"
+        if (k == 0)
+          s"ix$k AS MATERIALIZED (SELECT id, band, band_sig FROM idx0)"
         else
-          s"""ix$k AS (
+          s"""ix$k AS MATERIALIZED (
              |  SELECT * FROM ix${k - 1}
              |  UNION ALL
              |  SELECT b.id, b.band, b.band_sig FROM db b JOIN acc${k - 1} a USING (id))""".stripMargin
       s"""$ix,
-         |hot$k AS (
-         |  SELECT band, band_sig FROM ix$k
-         |  GROUP BY band, band_sig HAVING count(*) > 1000),
+         |nk$k AS (
+         |  SELECT band, band_sig, count(*) AS n FROM ix$k
+         |  GROUP BY band, band_sig),
          |cand$k AS (
          |  SELECT DISTINCT d.id AS delta_id, i.id AS base_id
          |  FROM (SELECT id, band, band_sig FROM db WHERE batch = $k) d
          |  JOIN ix$k i USING (band, band_sig)
-         |  WHERE NOT EXISTS (SELECT 1 FROM hot$k h
-         |    WHERE h.band = i.band AND h.band_sig = i.band_sig)),
+         |  JOIN nk$k nb USING (band, band_sig)
+         |  WHERE nb.n <= 1000),
          |est$k AS (
          |  SELECT c.delta_id, c.base_id,
          |    CAST(len(list_filter(range(64), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 64 AS est

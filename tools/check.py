@@ -3,7 +3,7 @@
 dumps against the DuckDB oracle on the same sf dir. Usage:
     python3 tools/check.py [sfdir] [outdir]
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 import pandas as pd
 
@@ -46,7 +46,12 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # driver testdata ships single-file tables; ScaleUp-generated
+        # dirs (10x rule) are Spark-written directories of part files
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
