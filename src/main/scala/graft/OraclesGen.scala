@@ -177,7 +177,7 @@ object OraclesGen {
        |  SELECT id, band, sig[band*8+1 : band*8+8] AS band_sig
        |  FROM (SELECT id, sig, unnest(range(8)) AS band FROM base)),
        |bn AS (SELECT band, band_sig, count(*) AS n FROM bb GROUP BY band, band_sig),
-       |idx AS (SELECT bb.* FROM bb JOIN bn USING (band, band_sig) WHERE bn.n <= 1000),
+       |idx AS (SELECT bb.* FROM bb JOIN bn USING (band, band_sig) WHERE bn.n <= ${graft.operators.LshIndex.MaxBucket}),
        |db AS (
        |  SELECT id, band, sig[band*8+1 : band*8+8] AS band_sig
        |  FROM (SELECT id, sig, unnest(range(8)) AS band FROM delta)),
@@ -238,7 +238,7 @@ object OraclesGen {
          |  FROM (SELECT id, band, band_sig FROM db WHERE batch = $k) d
          |  JOIN ix$k i USING (band, band_sig)
          |  JOIN nk$k nb USING (band, band_sig)
-         |  WHERE nb.n <= 1000),
+         |  WHERE nb.n <= ${graft.operators.LshIndex.MaxBucket}),
          |est$k AS (
          |  SELECT c.delta_id, c.base_id,
          |    CAST(len(list_filter(range(64), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 64 AS est
@@ -270,13 +270,48 @@ object OraclesGen {
        |  SELECT id, band, sig[band*8+1 : band*8+8] AS band_sig
        |  FROM (SELECT id, sig, unnest(range(8)) AS band FROM base)),
        |bn AS (SELECT band, band_sig, count(*) AS n FROM bb GROUP BY band, band_sig),
-       |idx0 AS (SELECT bb.id, bb.band, bb.band_sig FROM bb JOIN bn USING (band, band_sig) WHERE bn.n <= 1000),
+       |idx0 AS (SELECT bb.id, bb.band, bb.band_sig FROM bb JOIN bn USING (band, band_sig) WHERE bn.n <= ${graft.operators.LshIndex.MaxBucket}),
        |db AS (
        |  SELECT id, batch, band, sig[band*8+1 : band*8+8] AS band_sig
        |  FROM (SELECT id, sig, batch, unnest(range(8)) AS band FROM delta)),
        |$perBatch
        |$union""".stripMargin
   }
+
+  /** Maintenance-trigger policy (QueriesText.indexMaintenancePolicy):
+    * re-derives the engine's two compaction rules from the corpus —
+    * appended fraction = delta band rows / total surviving band rows
+    * (base band rows = the capped-survivor count the index physically
+    * stores; delta appends bypass the cap, 8 band rows per doc), and
+    * segment count = base + the three tagged append segments. */
+  val indexMaintenancePolicy: String =
+    s"""WITH $minhashSigCtes,
+       |base AS (SELECT id, sig FROM sigs WHERE id % 10 <> 0),
+       |delta AS (SELECT id FROM sigs WHERE id % 10 = 0),
+       |bb AS (
+       |  SELECT id, band, sig[band*8+1 : band*8+8] AS band_sig
+       |  FROM (SELECT id, sig, unnest(range(8)) AS band FROM base)),
+       |bn AS (SELECT band, band_sig, count(*) AS n FROM bb GROUP BY band, band_sig),
+       |stats AS (
+       |  SELECT
+       |    CAST((SELECT COALESCE(sum(n), 0) FROM bn WHERE n <= ${graft.operators.LshIndex.MaxBucket}) AS BIGINT) AS base_rows,
+       |    CAST(8 * (SELECT count(*) FROM delta) AS BIGINT) AS delta_rows,
+       |    CAST(1 + (SELECT count(DISTINCT (id // 10) % 3) FROM delta) AS BIGINT) AS segments),
+       |vals AS (
+       |  SELECT
+       |    CAST(delta_rows AS DOUBLE) / CAST(base_rows + delta_rows AS DOUBLE) AS frac,
+       |    segments
+       |  FROM stats),
+       |rules AS (
+       |  SELECT 'appended_frac' AS metric, frac AS value, 0.05 AS threshold,
+       |    frac >= 0.05 AS due FROM vals
+       |  UNION ALL
+       |  SELECT 'segments', CAST(segments AS DOUBLE), 16.0, segments >= 16 FROM vals)
+       |SELECT metric, value, threshold, due FROM rules
+       |UNION ALL
+       |SELECT 'compact_due',
+       |  CAST((SELECT count(*) FROM rules WHERE due) AS DOUBLE), 1.0,
+       |  (SELECT count(*) FROM rules WHERE due) >= 1""".stripMargin
 
   // ------------------------------------------------------------- simhash
 
@@ -3315,6 +3350,7 @@ object OraclesGen {
     "dedup_stream_lsh" -> dedupStreamLsh,
     "dedup_incremental" -> dedupIncremental,
     "dedup_stream_index" -> dedupStreamIndex,
+    "index_maintenance_policy" -> indexMaintenancePolicy,
     "dedup_simhash" -> dedupSimhash,
     "embed_ann_lsh" -> embedAnnLsh,
     "embed_ann_recall" -> embedAnnRecall,

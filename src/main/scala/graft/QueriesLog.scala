@@ -17,17 +17,11 @@ object QueriesLog {
   val Prefix = "%t [%p]: [%l-1] user=%u,db=%d "
   val Compiled: LogPrefix.Compiled = LogPrefix.compile(Prefix)
 
-  /** Scratch dir for stream round-trips — tmpfs when available (the
-    * host disk throttles to ~45 MB/s under sustained load; these dirs
-    * are deleted at the end of the query either way). */
-  private def scratchDir(prefix: String): String = {
-    val shm = new java.io.File("/dev/shm")
-    val p =
-      if (shm.isDirectory)
-        java.nio.file.Files.createTempDirectory(shm.toPath, prefix)
-      else java.nio.file.Files.createTempDirectory(prefix)
-    p.toFile.getAbsolutePath
-  }
+  /** Scratch dir for stream round-trips — QueriesText's policy (tmpfs
+    * only with headroom; SPARK_GRAFT_SCRATCH overrides; these dirs are
+    * deleted at the end of the query either way). */
+  private def scratchDir(prefix: String): String =
+    QueriesText.scratchDir(prefix)
 
   // X4/X5 — compile log_line_prefix to a regex, parse rendered lines back
   // into typed fields. A single-pass extractor: ONE regex match per row

@@ -15,13 +15,24 @@ object QueriesText {
     * tmpfs when available (the host disk throttles under sustained
     * load). Per-invocation (not keyed by the data dir) so concurrent
     * runs never race each other's save()/probe and distinct data dirs
-    * can never collide onto one index path. */
-  private def scratchDir(prefix: String): String = {
+    * can never collide onto one index path.
+    *
+    * tmpfs is RAM: a large-SF corpus's index + streaming scratch could
+    * exhaust it mid-run, so /dev/shm is used only when it has
+    * comfortable headroom (>4 GiB usable), and SPARK_GRAFT_SCRATCH
+    * overrides the location outright (set it to a disk path — or an
+    * HDFS-mounted one — for large scale factors). */
+  private[graft] def scratchDir(prefix: String): String = {
     val shm = new java.io.File("/dev/shm")
-    val p =
-      if (shm.isDirectory)
+    val p = sys.env.get("SPARK_GRAFT_SCRATCH") match {
+      case Some(root) =>
+        val r = new java.io.File(root)
+        r.mkdirs()
+        java.nio.file.Files.createTempDirectory(r.toPath, prefix)
+      case None if shm.isDirectory && shm.getUsableSpace > (4L << 30) =>
         java.nio.file.Files.createTempDirectory(shm.toPath, prefix)
-      else java.nio.file.Files.createTempDirectory(prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
     p.toFile.getAbsolutePath
   }
 
@@ -2348,6 +2359,32 @@ object QueriesText {
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         col("dup_of").isNotNull.as("is_dup"),
         col("dup_of"), col("est_jaccard"))
+  }
+
+  /** Maintenance-trigger policy over the persisted LSH index
+    * ([[graft.operators.IndexMaintenance]]): base indexed once, the
+    * delta shard appended as three tagged segments, then the policy
+    * derives WHEN to compact from the index's own state — appended
+    * band-row fraction (from the keycounts metadata, never a corpus
+    * scan) and segment count — the reference's reset-policy shape
+    * (statements rebaseline at ≥90% of max or >250 MB,
+    * input/postgres/statements.go:78-110). Output one row per rule
+    * plus the combined verdict: (metric, value, threshold, due). */
+  def indexMaintenancePolicy(s: SparkSession, dir: String): DataFrame =
+    withScratchIndex("graft_lsh_policy_") { path =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    graft.operators.LshIndex.save(base, "doc_id", "text", path)
+    val dSigs = Dedup.minhashSignatures(delta, "doc_id", "text")
+      .withColumn("b", expr("(id DIV 10) % 3").cast("int"))
+      .localCheckpoint()
+    (0 until 3).foreach { k =>
+      graft.operators.LshIndex.appendTagged(s, path,
+        dSigs.filter(col("b") === k).select("id", "sig"), k.toLong)
+    }
+    graft.operators.IndexMaintenance.lshPolicyFrame(s, path,
+      fracThreshold = 0.05, maxSegments = 16)
   }
 
   /** Temperature-scaled source mixing (alpha = 0.5): the multilingual /

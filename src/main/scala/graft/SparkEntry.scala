@@ -117,6 +117,7 @@ object SparkEntry {
     "dedup_components" -> (QueriesText.dedupComponents _),
     "dedup_keep_best" -> (QueriesText.dedupKeepBest _),
     "dedup_incremental" -> (QueriesText.dedupIncremental _),
+    "index_maintenance_policy" -> (QueriesText.indexMaintenancePolicy _),
     "embed_hard_negatives" -> (QueriesText.embedHardNegatives _),
     "mix_temperature" -> (QueriesText.mixTemperature _),
     "text_nb_classifier" -> (QueriesText.textNbClassifier _),

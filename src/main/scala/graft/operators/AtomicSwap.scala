@@ -1,5 +1,8 @@
 package graft.operators
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 /** Crash-safe publish of a staged rewrite of one or more dataset
   * directories under a persisted-index root (the maintenance-step swap
   * used by [[LshIndex.compact]] and [[IvfIndex.refit]]).
@@ -8,31 +11,60 @@ package graft.operators
   * then a `_complete` marker (listing the dataset names) makes the
   * staging authoritative, and only then is each live directory renamed
   * aside (`<d>` → `<d>.old`), the staged copy renamed in, and the
-  * `.old` copy dropped. A crash at ANY point is recoverable by
-  * [[repair]]: staging without the marker is rolled back (live dirs
-  * were never touched); staging with the marker is rolled forward
-  * (every step of [[finish]] is re-runnable). Readers call [[repair]]
-  * on open, so an interrupted swap can never serve a half-swapped or
-  * missing index.
+  * `.old` copy dropped. A crash at ANY point is recoverable: staging
+  * without the marker is rolled back by the NEXT WRITER's [[begin]]
+  * (live dirs were never touched); staging with the marker is rolled
+  * forward by anyone (every step of [[finish]] is re-runnable).
+  *
+  * Readers and appenders call [[recover]] on open — roll-FORWARD only:
+  * acting on unmarked staging is reserved to writers inside [[begin]],
+  * because a reader that rmTree'd an unmarked `.staging` would abort a
+  * CONCURRENT maintenance job mid-stage (or worse, race the marker
+  * write and publish a partially-deleted staging). With roll-forward-
+  * only readers, the only process that ever discards staged data is
+  * the next maintenance writer, for whom the staging is stale by
+  * definition.
+  *
+  * All paths go through Hadoop [[FileSystem]], so the same protocol
+  * runs on HDFS and on local disk. Object-store note (S3A and friends):
+  * `rename` there is copy+delete — NOT atomic and not cheap — but the
+  * protocol never depends on rename atomicity: the `_complete` marker
+  * is the single commit point, and readers treat any state where the
+  * marker exists as "swap in progress, finish it" and any state where
+  * it doesn't as "live dirs are authoritative". A torn rename leaves
+  * either the old or the new copy visible plus a `.old`/staged copy
+  * that [[finish]]/[[repair]] clean up idempotently; it can never
+  * leave the index unreadable.
   */
 private[graft] object AtomicSwap {
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
-    f.delete(); ()
+  /** Hadoop conf for path resolution: the active session's (so
+    * cluster-side fs.* settings apply) or a vanilla local one. */
+  private def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(conf)
+
+  private[operators] def rmTree(path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   def stagingDir(path: String): String = s"$path/.staging"
 
-  private def marker(path: String): java.io.File =
-    new java.io.File(stagingDir(path), "_complete")
+  private def marker(path: String): Path =
+    new Path(stagingDir(path), "_complete")
 
-  /** Begin a rewrite: recover any interrupted swap, then hand back a
-    * clean staging root for the caller to write datasets under. */
+  /** Begin a rewrite: recover any interrupted swap — including rolling
+    * BACK unmarked staging, the writer-only prerogative — then hand
+    * back a clean staging root for the caller to write datasets under. */
   def begin(path: String): String = {
     repair(path)
     val st = stagingDir(path)
-    rmTree(new java.io.File(st))
+    rmTree(st)
     st
   }
 
@@ -49,9 +81,11 @@ private[graft] object AtomicSwap {
     * state. Production callers use [[commit]]. */
   private[graft] def mark(path: String, datasets: Seq[String]): Unit = {
     val m = marker(path)
-    require(m.getParentFile.isDirectory, s"nothing staged under $path")
-    java.nio.file.Files.writeString(m.toPath, datasets.mkString("\n"))
-    ()
+    val fs = fsOf(m)
+    require(fs.isDirectory(m.getParent), s"nothing staged under $path")
+    val out = fs.create(m, true)
+    try out.write(datasets.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** The swap itself. Idempotent: a dataset whose staged copy is gone
@@ -59,37 +93,52 @@ private[graft] object AtomicSwap {
     * `.old` copy is dropped. */
   private def finish(path: String): Unit = {
     val m = marker(path)
-    val datasets = new String(
-      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
-      .split("\n").filter(_.nonEmpty)
+    val fs = fsOf(m)
+    val in = fs.open(m)
+    val datasets =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.commons.io.IOUtils.copy(in, buf)
+        new String(buf.toByteArray, "UTF-8").split("\n").filter(_.nonEmpty)
+      } finally in.close()
     datasets.foreach { d =>
-      val live = new java.io.File(s"$path/$d")
-      val old = new java.io.File(s"$path/$d.old")
-      val staged = new java.io.File(s"${stagingDir(path)}/$d")
-      if (staged.exists()) {
-        if (old.exists()) rmTree(old)
-        if (live.exists())
-          require(live.renameTo(old), s"swap aside failed: $live")
-        require(staged.renameTo(live), s"swap in failed: $staged")
+      val live = new Path(s"$path/$d")
+      val old = new Path(s"$path/$d.old")
+      val staged = new Path(s"${stagingDir(path)}/$d")
+      if (fs.exists(staged)) {
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(live))
+          require(fs.rename(live, old), s"swap aside failed: $live")
+        require(fs.rename(staged, live), s"swap in failed: $staged")
       }
-      if (old.exists()) rmTree(old)
+      if (fs.exists(old)) { fs.delete(old, true); () }
     }
-    rmTree(new java.io.File(stagingDir(path)))
+    rmTree(stagingDir(path))
   }
 
-  /** Recover an interrupted rewrite: roll FORWARD when the marker made
-    * the staging authoritative, roll BACK (discard staging) otherwise,
-    * and drop any stray `.old` copies. No-op on a healthy index. */
+  /** Reader/appender-side recovery: roll FORWARD an interrupted swap
+    * whose marker made the staging authoritative; leave anything else
+    * alone (see class doc — unmarked staging may be a LIVE writer). */
+  def recover(path: String): Unit = {
+    val m = marker(path)
+    if (fsOf(m).exists(m)) finish(path)
+  }
+
+  /** Writer-side recovery (from [[begin]]): roll FORWARD when the
+    * marker made the staging authoritative, roll BACK (discard
+    * staging) otherwise, and drop any stray `.old` copies. No-op on a
+    * healthy index. */
   def repair(path: String): Unit = {
-    val st = new java.io.File(stagingDir(path))
-    if (st.exists()) {
-      if (marker(path).exists()) finish(path)
-      else rmTree(st)
+    val stP = new Path(stagingDir(path))
+    val fs = fsOf(stP)
+    if (fs.exists(stP)) {
+      if (fs.exists(marker(path))) finish(path)
+      else { fs.delete(stP, true); () }
     }
-    val root = new java.io.File(path)
-    if (root.isDirectory)
-      root.listFiles()
-        .filter(f => f.isDirectory && f.getName.endsWith(".old"))
-        .foreach(rmTree)
+    val root = new Path(path)
+    if (fs.isDirectory(root))
+      fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.endsWith(".old"))
+        .foreach(s => fs.delete(s.getPath, true))
   }
 }

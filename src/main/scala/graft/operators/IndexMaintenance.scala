@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, StringType,
+  StructField, StructType}
+
+/** Maintenance trigger policy for the persisted LSH index: decides
+  * WHEN to run [[LshIndex.compact]] from the index's own state, the
+  * way the reference decides when to reset its statements baseline
+  * (≥90% of pg_stat_statements.max or >250 MB of snapshot text —
+  * reference `input/postgres/statements.go:78-110`): a cheap
+  * metadata-sized check, never a corpus scan.
+  *
+  * Two rules, either of which fires the compaction:
+  *  - appended fraction: appended band rows / total band rows, read
+  *    from the `keycounts` METADATA dataset (tiny — one row per
+  *    distinct key per segment), NOT from the corpus-sized bands
+  *    dataset. Appends accrete probe-time cost (more segments, more
+  *    small files, hot-key guard work); once the appended share passes
+  *    the threshold the amortized compact is worth its one-off cost.
+  *  - segment count: each append is one `seg=` directory; segment
+  *    count is a pure filesystem listing and bounds the per-probe
+  *    file-index overhead regardless of row volume.
+  */
+object IndexMaintenance {
+
+  /** Driver-side verdict (the shape an ingest loop consumes —
+    * [[graft.tools.IngestSoak]] fires compaction off this). */
+  final case class LshAdvice(appendedFrac: Double, segments: Int,
+      fracThreshold: Double, maxSegments: Int) {
+    def fracDue: Boolean = appendedFrac >= fracThreshold
+    def segmentsDue: Boolean = segments >= maxSegments
+    def compactDue: Boolean = fracDue || segmentsDue
+    def dueCount: Int = Seq(fracDue, segmentsDue).count(identity)
+  }
+
+  /** Evaluate the policy against a persisted [[LshIndex]] at `path`. */
+  def lshPolicy(s: SparkSession, path: String,
+      fracThreshold: Double = 0.5, maxSegments: Int = 25): LshAdvice = {
+    AtomicSwap.recover(path)
+    // segment count: one directory listing of <path>/sigs
+    val sigsP = new org.apache.hadoop.fs.Path(s"$path/sigs")
+    val fs = sigsP.getFileSystem(s.sessionState.newHadoopConf())
+    val segments =
+      if (!fs.exists(sigsP)) 0
+      else fs.listStatus(sigsP)
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+    // appended fraction: the keycounts metadata summed by segment kind
+    import org.apache.spark.sql.functions._
+    val sums = s.read.parquet(s"$path/keycounts")
+      .agg(
+        sum(when(col("seg") === "base", col("n")).otherwise(0L)).as("base_n"),
+        sum(when(col("seg") =!= "base", col("n")).otherwise(0L)).as("delta_n"))
+      .head()
+    val baseN = if (sums.isNullAt(0)) 0L else sums.getLong(0)
+    val deltaN = if (sums.isNullAt(1)) 0L else sums.getLong(1)
+    val frac =
+      if (baseN + deltaN == 0L) 0.0
+      else deltaN.toDouble / (baseN + deltaN).toDouble
+    LshAdvice(frac, segments, fracThreshold, maxSegments)
+  }
+
+  /** The policy verdict as a gate-shaped frame: one row per rule plus
+    * the combined verdict — (metric, value, threshold, due). */
+  def lshPolicyFrame(s: SparkSession, path: String,
+      fracThreshold: Double = 0.5, maxSegments: Int = 25): DataFrame = {
+    val a = lshPolicy(s, path, fracThreshold, maxSegments)
+    val schema = StructType(Seq(
+      StructField("metric", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("threshold", DoubleType, nullable = false),
+      StructField("due", BooleanType, nullable = false)))
+    s.createDataFrame(
+      java.util.Arrays.asList(
+        Row("appended_frac", a.appendedFrac, fracThreshold, a.fracDue),
+        Row("segments", a.segments.toDouble, maxSegments.toDouble,
+          a.segmentsDue),
+        Row("compact_due", a.dueCount.toDouble, 1.0, a.compactDue)),
+      schema)
+  }
+}

@@ -53,6 +53,11 @@ object IvfIndex {
     * immediately; centroid drift is repaired by the periodic [[refit]],
     * the standard IVF maintenance trade. */
   def append(s: SparkSession, path: String, delta: DataFrame): Unit = {
+    // land on the POST-recovery layout: after a crash between a refit's
+    // marker and its swap the staged index is authoritative — appending
+    // into the superseded live lists would be silently erased by the
+    // next reader's roll-forward (ADVICE r13)
+    AtomicSwap.recover(path)
     val cents = s.read.parquet(s"$path/centroids")
     Similarity.ivfAssign(delta, cents)
       .write.mode(SaveMode.Append).partitionBy("cluster")
@@ -98,7 +103,7 @@ object IvfIndex {
     * broadcast equi-join on the pruned scan. */
   def topK(s: SparkSession, path: String, queries: DataFrame, k: Int,
       nprobe: Int = 4): DataFrame = {
-    AtomicSwap.repair(path) // finish/roll back an interrupted refit
+    AtomicSwap.recover(path) // roll FORWARD an interrupted refit
     val cents = s.read.parquet(s"$path/centroids")
     val qScored = queries.crossJoin(broadcast(cents))
       .withColumn("sim", Similarity.cosineFD(col("q_vec"), col("centroid")))

@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   *    canonical case — carry no dedup signal but quadratic probe
   *    cost; same cap semantics as [[Dedup.lshCandidates]], applied
   *    once at write instead of per run).
+  *  - `<path>/keycounts/seg=…/band=…/bucket=…` — (band_sig, n): the
+  *    per-key row counts of the bands dataset, persisted as METADATA
+  *    at build/append/compact time so the probe-time hot-key guard
+  *    sums a tiny counts table instead of re-aggregating the
+  *    corpus-sized bands dataset on every probe (a key's rows all
+  *    live in one segment's one (band, bucket) cell, so summing the
+  *    per-segment counts IS the key's current index population).
   */
 object LshIndex {
 
@@ -73,15 +80,31 @@ object LshIndex {
   def save(docs: DataFrame, idCol: String, textCol: String, path: String,
       maxBucket: Int = MaxBucket): Unit = {
     val s = docs.sparkSession
-    rmTree(new java.io.File(path)) // stale delta segments must not survive
+    AtomicSwap.rmTree(path) // stale delta segments must not survive
     Dedup.minhashSignatures(docs, idCol, textCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/sigs/seg=base")
     val b = banded(s.read.parquet(s"$path/sigs/seg=base"))
-    val hot = b.groupBy("band", "band_sig")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucket)
-      .select("band", "band_sig")
-    b.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
+    writeBandsAndCounts(b, path, "base", Some(maxBucket))
+  }
+
+  /** Shared write path for bands + keycounts: count every key ONCE,
+    * drop keys over the cap (build/compact only — appends pass None
+    * and keep everything, the LSM split), and persist both the
+    * surviving band rows and their counts in the same cell layout. */
+  private def writeBandsAndCounts(b: DataFrame, root: String, seg: String,
+      cap: Option[Int]): Unit = {
+    val counts = b.groupBy("band", "band_sig")
+      .agg(count(lit(1)).as("n"))
+      // both the anti-join filter and the keycounts write read this;
+      // one aggregation pass, not two
+      .localCheckpoint()
+    val kept = cap match {
+      case Some(c) =>
+        val hot = counts.filter(col("n") > c).select("band", "band_sig")
+        b.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
+      case None => b
+    }
+    kept
       .withColumn("bucket", bucketOf(col("band_sig")))
       // one exchange keyed on the physical partition columns: each
       // (band, bucket) cell lands in one task -> ONE file per cell
@@ -89,13 +112,19 @@ object LshIndex {
       // fanning out a file into every cell it touches (measured 10k+
       // tiny files and a 10x probe regression at sf0.1 without this)
       .repartition(col("band"), col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("band", "bucket")
-      .parquet(s"$path/bands/seg=base")
-  }
-
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
-    f.delete(); ()
+      .write.mode(if (cap.isDefined) SaveMode.Overwrite else SaveMode.Append)
+      .partitionBy("band", "bucket")
+      .parquet(s"$root/bands/seg=$seg")
+    (cap match {
+      case Some(c) => counts.filter(col("n") <= c)
+      case None => counts
+    })
+      .withColumn("bucket", bucketOf(col("band_sig")))
+      .select("band_sig", "n", "band", "bucket")
+      .repartition(col("band"), col("bucket"))
+      .write.mode(if (cap.isDefined) SaveMode.Overwrite else SaveMode.Append)
+      .partitionBy("band", "bucket")
+      .parquet(s"$root/keycounts/seg=$seg")
   }
 
   /** Probe the index with a delta shard's signatures (`delta`: columns
@@ -120,10 +149,13 @@ object LshIndex {
     * nothing instead of candidate-exploding until the next compact.
     * Right after a build or compact the guard is a no-op (every
     * surviving key is already ≤ the cap); the SQL oracle re-derives
-    * the same recap per ingest batch. */
+    * the same recap per ingest batch. The population comes from the
+    * persisted `keycounts` METADATA (summed across segments, pruned to
+    * the probed cells) — the bands dataset itself is scanned exactly
+    * once per probe, by the candidate join. */
   def probe(s: SparkSession, path: String, delta: DataFrame,
       maxBucket: Int = MaxBucket): DataFrame = {
-    AtomicSwap.repair(path) // finish/roll back an interrupted compact
+    AtomicSwap.recover(path) // roll FORWARD an interrupted compact
     val dBands = banded(delta)
       .select(col("id").as("delta_id"), col("band"), col("band_sig"))
       // feeds the router collect AND the candidate join — materialize
@@ -139,18 +171,20 @@ object LshIndex {
     val touched = dBands
       .select((col("band") * NumBuckets + bucketOf(col("band_sig"))).as("cell"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val bands0 = s.read.parquet(s"$path/bands")
-    val pruned =
-      (if (touched.length >= Dedup.Bands * NumBuckets) bands0
-       else bands0.filter((col("band") * NumBuckets + col("bucket"))
-         .isin(touched.map(Integer.valueOf): _*)))
-        .select(col("id").as("base_id"), col("band"), col("band_sig"))
-    // hot keys are counted over the pruned cells only — a key's rows
-    // all live in one (band, bucket) cell, so the pruned count IS the
+    val cellOf = (df: DataFrame) =>
+      if (touched.length >= Dedup.Bands * NumBuckets) df
+      else df.filter((col("band") * NumBuckets + col("bucket"))
+        .isin(touched.map(Integer.valueOf): _*))
+    val pruned = cellOf(s.read.parquet(s"$path/bands"))
+      .select(col("id").as("base_id"), col("band"), col("band_sig"))
+    // hot keys come from the persisted keycounts metadata, pruned to
+    // the probed cells and summed across segments — a key's rows all
+    // live in one (band, bucket) cell per segment, so the sum IS the
     // key's full index population; the > cap survivors are a tiny
     // frame (rare by the build-time cap) that AQE broadcasts
-    val hot = pruned.groupBy("band", "band_sig")
-      .agg(count(lit(1)).as("bucket_n"))
+    val hot = cellOf(s.read.parquet(s"$path/keycounts"))
+      .groupBy("band", "band_sig")
+      .agg(sum("n").as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
       .select("band", "band_sig")
     val cand = pruned
@@ -190,10 +224,12 @@ object LshIndex {
       batchId: Long): Unit =
     appendSeg(s, path, accepted, s"delta_$batchId")
 
-  /** Remove one append segment (both datasets) — a no-op if absent. */
+  /** Remove one append segment (all three datasets) — a no-op if
+    * absent. */
   def dropSeg(path: String, batchId: Long): Unit = {
-    rmTree(new java.io.File(s"$path/sigs/seg=delta_$batchId"))
-    rmTree(new java.io.File(s"$path/bands/seg=delta_$batchId"))
+    AtomicSwap.rmTree(s"$path/sigs/seg=delta_$batchId")
+    AtomicSwap.rmTree(s"$path/bands/seg=delta_$batchId")
+    AtomicSwap.rmTree(s"$path/keycounts/seg=delta_$batchId")
   }
 
   /** Compaction — the LSM-style maintenance step appends defer to:
@@ -208,10 +244,11 @@ object LshIndex {
       maxBucket: Int = MaxBucket): Unit = {
     compactStage(s, path, maxBucket)
     // crash-safe publish: marker first, then per-dataset rename-aside
-    // swap — an interrupted swap is finished or rolled back by
-    // AtomicSwap.repair on the next probe/compact (ADVICE r12: the old
-    // delete-then-rename left a crash window with NO live index)
-    AtomicSwap.commit(path, Seq("sigs", "bands"))
+    // swap — an interrupted swap is rolled FORWARD by any reader's
+    // AtomicSwap.recover, or rolled back (pre-marker) by the next
+    // writer's begin (ADVICE r12: the old delete-then-rename left a
+    // crash window with NO live index)
+    AtomicSwap.commit(path, Seq("sigs", "bands", "keycounts"))
   }
 
   /** The staged (side-effect-free w.r.t. the live index) half of
@@ -223,35 +260,19 @@ object LshIndex {
     s.read.parquet(s"$path/sigs").select("id", "sig")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/sigs/seg=base")
     val b = banded(s.read.parquet(s"$staging/sigs/seg=base"))
-    val hot = b.groupBy("band", "band_sig")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucket)
-      .select("band", "band_sig")
-    b.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
-      .withColumn("bucket", bucketOf(col("band_sig")))
-      // one exchange keyed on the physical partition columns: each
-      // (band, bucket) cell lands in one task -> ONE file per cell
-      // (still row-group-splittable), instead of every write task
-      // fanning out a file into every cell it touches (measured 10k+
-      // tiny files and a 10x probe regression at sf0.1 without this)
-      .repartition(col("band"), col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("band", "bucket")
-      .parquet(s"$staging/bands/seg=base")
+    writeBandsAndCounts(b, staging, "base", Some(maxBucket))
   }
 
   private def appendSeg(s: SparkSession, path: String, accepted: DataFrame,
       seg: String): Unit = {
+    // appends must land on the POST-recovery layout: after a crash
+    // between a maintenance writer's marker and its swap, the staged
+    // index is authoritative — appending into the superseded live
+    // directories would be silently erased by the next reader's
+    // roll-forward (ADVICE r13)
+    AtomicSwap.recover(path)
     accepted.select("id", "sig")
       .write.mode(SaveMode.Append).parquet(s"$path/sigs/seg=$seg")
-    banded(accepted.select("id", "sig"))
-      .withColumn("bucket", bucketOf(col("band_sig")))
-      // one exchange keyed on the physical partition columns: each
-      // (band, bucket) cell lands in one task -> ONE file per cell
-      // (still row-group-splittable), instead of every write task
-      // fanning out a file into every cell it touches (measured 10k+
-      // tiny files and a 10x probe regression at sf0.1 without this)
-      .repartition(col("band"), col("bucket"))
-      .write.mode(SaveMode.Append).partitionBy("band", "bucket")
-      .parquet(s"$path/bands/seg=$seg")
+    writeBandsAndCounts(banded(accepted.select("id", "sig")), path, seg, None)
   }
 }

@@ -97,9 +97,10 @@ object IngestLcDrill {
         catch {
           case e: org.apache.spark.sql.streaming.StreamingQueryException =>
             require(attempts < 6, s"drain kept failing: ${e.getMessage}")
+            val cause = Option(e.getCause)
+              .map(_.getClass.getSimpleName).getOrElse("<no cause>")
             println(s"DRILL drain attempt $attempts failed " +
-              s"(${e.getCause.getClass.getSimpleName}) — restarting " +
-              "(marker-protocol recovery)")
+              s"($cause) — restarting (marker-protocol recovery)")
         }
       }
       val verdicts = spark.read.option("recursiveFileLookup", "true")

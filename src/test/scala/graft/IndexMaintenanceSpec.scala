@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IndexMaintenance, LshIndex}
+
+/** Maintenance-trigger policy ([[graft.operators.IndexMaintenance]]):
+  * the verdict derives from index state alone — appended keycount
+  * fraction + segment count — and matches a direct re-derivation. */
+class IndexMaintenanceSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, Sf)
+  private lazy val base = docs.filter(col("doc_id") % 10 =!= 0)
+  private lazy val delta = docs.filter(col("doc_id") % 10 === 0)
+
+  test("fresh build: nothing due; appends move both rules; thresholds fire them") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maint_spec").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath
+    LshIndex.save(base, "doc_id", "text", p)
+    val fresh = IndexMaintenance.lshPolicy(spark, p)
+    assert(fresh.segments == 1 && fresh.appendedFrac == 0.0)
+    assert(!fresh.compactDue)
+
+    val dSigs = Dedup.minhashSignatures(delta, "doc_id", "text")
+      .localCheckpoint()
+    LshIndex.appendTagged(spark, p, dSigs, 0L)
+    LshIndex.appendTagged(spark, p, dSigs, 1L)
+    val a = IndexMaintenance.lshPolicy(spark, p)
+    assert(a.segments == 3)
+    // appended fraction = delta band rows / total: both appends carry
+    // the full delta (8 rows per doc, appends bypass the cap)
+    val baseRows = spark.read.parquet(s"$p/keycounts")
+      .filter(col("seg") === "base").agg(sum("n")).head().getLong(0)
+    val deltaRows = 2 * 8 * delta.count()
+    assert(a.appendedFrac == deltaRows.toDouble / (baseRows + deltaRows).toDouble)
+    // defaults (segments >= 25, frac >= 0.5) not yet due at 3 segments
+    assert(!a.segmentsDue)
+    // tight thresholds fire each rule independently, and either fires
+    // the combined verdict
+    assert(IndexMaintenance.lshPolicy(spark, p, maxSegments = 3).compactDue)
+    assert(IndexMaintenance.lshPolicy(spark, p,
+      fracThreshold = math.min(a.appendedFrac, 0.01)).compactDue)
+    // compaction resets both rules
+    LshIndex.compact(spark, p)
+    val after = IndexMaintenance.lshPolicy(spark, p, maxSegments = 3)
+    assert(after.segments == 1 && after.appendedFrac == 0.0 && !after.compactDue)
+  }
+
+  test("gate frame shape: three rules, compact_due consistent with the rows") {
+    val out = QueriesText.indexMaintenancePolicy(spark, Sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set("appended_frac", "segments", "compact_due"))
+    val (fracV, fracT, fracDue) = out("appended_frac")
+    assert(fracV > 0.0 && fracV < 1.0 && fracT == 0.05)
+    assert(fracDue == (fracV >= fracT))
+    val (segV, segT, segDue) = out("segments")
+    assert(segV == 4.0 && segT == 16.0 && !segDue)
+    val (dueV, _, due) = out("compact_due")
+    assert(dueV == Seq(fracDue, segDue).count(identity).toDouble)
+    assert(due == (fracDue || segDue))
+  }
+}

@@ -194,7 +194,7 @@ class LshIndexSpec extends SparkSpec {
     // renamed in — the live index is MISSING a dataset until repair
     // rolls the swap forward to the compacted state
     LshIndex.compactStage(spark, pA)
-    graft.operators.AtomicSwap.mark(pA, Seq("sigs", "bands"))
+    graft.operators.AtomicSwap.mark(pA, Seq("sigs", "bands", "keycounts"))
     assert(new java.io.File(s"$pA/sigs")
       .renameTo(new java.io.File(s"$pA/sigs.old")))
     graft.operators.AtomicSwap.repair(pA)
@@ -205,6 +205,34 @@ class LshIndexSpec extends SparkSpec {
     // and the repaired index still probes correctly
     assert(LshIndex.probe(spark, pA, dSigs)
       .filter(col("delta_id") === col("base_id")).count() == delta.count())
+  }
+
+  test("reader recover leaves UNMARKED staging alone — a probe can't abort a live compact") {
+    // ADVICE r13: a reader that rmTree'd unmarked staging would abort a
+    // CONCURRENT maintenance writer mid-stage. Roll-back of unmarked
+    // staging is the next WRITER's job (AtomicSwap.begin); readers act
+    // only on a marker.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_reader").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath
+    LshIndex.save(base, "doc_id", "text", p)
+    val dSigs = Dedup.minhashSignatures(delta, "doc_id", "text")
+      .localCheckpoint()
+    LshIndex.compactStage(spark, p) // a writer mid-stage, marker not yet written
+    val staging = new java.io.File(s"$p/.staging")
+    assert(staging.isDirectory)
+    val want = LshIndex.probe(spark, p, dSigs)
+      .collect().map(_.toString).toSet // reader opens the index -> recover
+    assert(staging.isDirectory,
+      "probe-side recover must not delete a concurrent writer's staging")
+    LshIndex.append(spark, p, dSigs) // appender opens the index -> recover
+    assert(staging.isDirectory,
+      "append-side recover must not delete a concurrent writer's staging")
+    // the next WRITER rolls the (now stale) unmarked staging back
+    graft.operators.AtomicSwap.begin(p)
+    assert(!staging.exists())
+    assert(want.nonEmpty)
   }
 
   test("wide delta: a probe touching every cell skips the router filter, still exact") {
