@@ -64,25 +64,44 @@ object Bench {
     // warmup: run the first query once to pay session/codegen startup
     try force(names.head) catch { case _: Throwable => () }
 
+    // executor CPU / GC / shuffle-bytes alongside wall: wall on this
+    // host is throttle-hostage (1.5-2x swings under identical code);
+    // the executor-side deltas move only when the plan moves
+    val metrics = new BenchMetrics(spark)
     val results = names.map { name =>
+      val before = metrics.snapshot()
       val t0 = System.nanoTime()
       try force(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      (name, wall, metrics.snapshot() - before)
     }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val cpuTotal = results.map(_._3.cpuSec).sum
+    val gcTotal = results.map(_._3.gcSec).sum
+    val srTotal = results.map(_._3.shufReadMb).sum
+    val swTotal = results.map(_._3.shufWriteMb).sum
+    val totals = f""""cpu_sec_total":$cpuTotal%.3f,"gc_sec_total":$gcTotal%.3f,""" +
+      f""""shuffle_read_mb_total":$srTotal%.1f,"shuffle_write_mb_total":$swTotal%.1f"""
     // stdout is captured with a ~2k-char tail, so the printed line must
-    // stay bounded: carry the total + the slowest entries inline and
-    // write the FULL per-entry timing map to the artifact file
+    // stay bounded: carry the totals + the slowest entries inline and
+    // write the FULL per-entry maps to the artifact file
     val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_queries":${results.size},"queries":${toJson(slowest)},""" +
+      s""""n_queries":${results.size},$totals,""" +
+      s""""queries":${toJson(slowest.map(r => r._1 -> r._2))},""" +
       s""""sf":"$sfDir"}"""
     println(line)
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_queries":${results.size},"queries":${toJson(results)},""" +
+      s""""n_queries":${results.size},$totals,""" +
+      s""""queries":${toJson(results.map(r => r._1 -> r._2))},""" +
+      s""""cpu_sec":${toJson(results.map(r => r._1 -> r._3.cpuSec))},""" +
+      s""""gc_sec":${toJson(results.map(r => r._1 -> r._3.gcSec))},""" +
+      s""""shuffle_read_mb":${toJson(results.map(r => r._1 -> r._3.shufReadMb))},""" +
+      s""""shuffle_write_mb":${toJson(results.map(r => r._1 -> r._3.shufWriteMb))},""" +
+      s""""input_mb":${toJson(results.map(r => r._1 -> r._3.inputMb))},""" +
       s""""sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),

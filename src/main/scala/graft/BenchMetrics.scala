@@ -1,0 +1,63 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.GraftSparkBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-entry executor-side metrics for the bench surfaces (Bench,
+  * TimeQ): executor CPU time, JVM GC time, and shuffle bytes,
+  * accumulated off the listener bus and read as before/after deltas
+  * around each timed query.
+  *
+  * Wall time on a shared host is throttle-hostage — two rounds of
+  * judge re-runs measured the same entries 1.5-2x apart under
+  * identical code. CPU time and shuffle bytes are load-independent:
+  * they move only when the PLAN moves, so regressions can't hide
+  * behind host load and throttle can't fake them. The reference's own
+  * self-stats diff CPU for the same reason (its collector_stats track
+  * rusage, not wall). */
+final class BenchMetrics(spark: SparkSession) {
+  private val cpuNs = new AtomicLong
+  private val gcMs = new AtomicLong
+  private val shufRead = new AtomicLong
+  private val shufWrite = new AtomicLong
+  private val input = new AtomicLong
+
+  spark.sparkContext.addSparkListener(new SparkListener {
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        ()
+      }
+    }
+  })
+
+  /** Drain the (async) bus, then snapshot — call before AND after the
+    * timed action so the delta holds exactly its task-end events. */
+  def snapshot(): BenchMetrics.Snap = {
+    GraftSparkBridge.drainListenerBus(spark.sparkContext)
+    BenchMetrics.Snap(cpuNs.get, gcMs.get, shufRead.get, shufWrite.get,
+      input.get)
+  }
+}
+
+object BenchMetrics {
+  final case class Snap(cpuNs: Long, gcMs: Long, shufRead: Long,
+      shufWrite: Long, input: Long) {
+    def -(prev: Snap): Snap = Snap(cpuNs - prev.cpuNs, gcMs - prev.gcMs,
+      shufRead - prev.shufRead, shufWrite - prev.shufWrite,
+      input - prev.input)
+    def cpuSec: Double = cpuNs / 1e9
+    def gcSec: Double = gcMs / 1e3
+    def shufReadMb: Double = shufRead / 1e6
+    def shufWriteMb: Double = shufWrite / 1e6
+    def inputMb: Double = input / 1e6
+  }
+}

@@ -29,11 +29,17 @@ object TimeQ {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    val metrics = new graft.BenchMetrics(spark)
     args.foreach { n =>
       force(n); cleanup()
+      val before = metrics.snapshot()
       val t0 = System.nanoTime()
       force(n)
-      println(f"TIME $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val d = metrics.snapshot() - before
+      println(f"TIME $n wall=$wall%.2f s cpu=${d.cpuSec}%.2f s " +
+        f"gc=${d.gcSec}%.2f s shufR=${d.shufReadMb}%.1f MB " +
+        f"shufW=${d.shufWriteMb}%.1f MB input=${d.inputMb}%.1f MB")
       cleanup()
     }
     spark.stop()
