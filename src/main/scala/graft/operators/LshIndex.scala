@@ -25,34 +25,40 @@ import org.apache.spark.sql.functions._
   *
   * Layout (plain parquet, readable by any engine):
   *  - `<path>/sigs/seg=…`  — (id, sig: array<long>[64]) per doc.
-  *  - `<path>/bands/seg=…/band=…/bucket=…` — (id, band_sig) exploded
-  *    8× per doc, sub-partitioned by bucket = hash(band_sig) %
-  *    [[NumBuckets]] so narrow probes partition-prune; LSH buckets
-  *    with more than `maxBucket` base members are dropped at BUILD
-  *    time (degenerate buckets — the all-empty-doc bucket is the
+  *  - `<path>/bands/seg=…/bucket=…` — (id, band, band_sig) exploded
+  *    8× per doc, dir-partitioned by bucket = hash(band_sig) %
+  *    [[NumBuckets]] and SORTED by band within each file, so narrow
+  *    probes statically prune to their touched bucket dirs and
+  *    row-group min/max stats on `band` prune within them (64 dirs
+  *    per segment, NOT band×bucket=512: dynamic-partition dirs cost
+  *    ~20 ms each in commit overhead per segment write — measured
+  *    10-17 s at 512 dirs vs ~1.5 s at 64 for a 36k-row segment —
+  *    and every APPEND pays it per batch); LSH buckets with more
+  *    than `maxBucket` base members are dropped at BUILD time
+  *    (degenerate buckets — the all-empty-doc bucket is the
   *    canonical case — carry no dedup signal but quadratic probe
   *    cost; same cap semantics as [[Dedup.lshCandidates]], applied
   *    once at write instead of per run).
-  *  - `<path>/keycounts/seg=…/band=…/bucket=…` — (band_sig, n): the
+  *  - `<path>/keycounts/seg=…/bucket=…` — (band, band_sig, n): the
   *    per-key row counts of the bands dataset, persisted as METADATA
   *    at build/append/compact time so the probe-time hot-key guard
   *    sums a tiny counts table instead of re-aggregating the
   *    corpus-sized bands dataset on every probe (a key's rows all
-  *    live in one segment's one (band, bucket) cell, so summing the
+  *    live in one segment's one bucket dir, so summing the
   *    per-segment counts IS the key's current index population).
   */
 object LshIndex {
 
   val MaxBucket = 1000
 
-  /** Physical sub-partition fan per band: band rows are laid out
-    * `band=…/bucket=…` with bucket = hash(band_sig) % NumBuckets, so a
-    * probe whose delta touches few distinct band keys PRUNES to the
-    * touched buckets instead of scanning the whole index (the
-    * IvfIndex-router pattern; a wide delta touching every bucket
-    * degrades gracefully to the full — still shuffle-free — scan).
-    * Layout-internal only: bucket is derived from band_sig, so
-    * candidate semantics (and the oracle) are unchanged. */
+  /** Physical dir fan per segment: band rows are laid out `bucket=…`
+    * with bucket = hash(band_sig) % NumBuckets, so a probe whose delta
+    * touches few distinct band keys PRUNES to the touched bucket dirs
+    * instead of scanning the whole index (the IvfIndex-router
+    * pattern; a wide delta touching every bucket degrades gracefully
+    * to the full — still shuffle-free — scan). Layout-internal only:
+    * bucket is derived from band_sig, so candidate semantics (and the
+    * oracle) are unchanged. */
   val NumBuckets = 64
 
   private def bucketOf(bandSig: Column): Column =
@@ -104,26 +110,29 @@ object LshIndex {
         b.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
       case None => b
     }
+    // one exchange keyed on the physical partition column (each bucket
+    // dir gets one file per write, still row-group-splittable), then an
+    // in-task sort that ALSO satisfies the writer's dynamic-partition
+    // required ordering (prefix `bucket`), so no second sort runs and
+    // the `band` order survives into row-group min/max stats — the
+    // within-bucket pruning that replaced the band= dir level
     kept
       .withColumn("bucket", bucketOf(col("band_sig")))
-      // one exchange keyed on the physical partition columns: each
-      // (band, bucket) cell lands in one task -> ONE file per cell
-      // (still row-group-splittable), instead of every write task
-      // fanning out a file into every cell it touches (measured 10k+
-      // tiny files and a 10x probe regression at sf0.1 without this)
-      .repartition(col("band"), col("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "band")
       .write.mode(if (cap.isDefined) SaveMode.Overwrite else SaveMode.Append)
-      .partitionBy("band", "bucket")
+      .partitionBy("bucket")
       .parquet(s"$root/bands/seg=$seg")
     (cap match {
       case Some(c) => counts.filter(col("n") <= c)
       case None => counts
     })
       .withColumn("bucket", bucketOf(col("band_sig")))
-      .select("band_sig", "n", "band", "bucket")
-      .repartition(col("band"), col("bucket"))
+      .select("band", "band_sig", "n", "bucket")
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "band")
       .write.mode(if (cap.isDefined) SaveMode.Overwrite else SaveMode.Append)
-      .partitionBy("band", "bucket")
+      .partitionBy("bucket")
       .parquet(s"$root/keycounts/seg=$seg")
   }
 
@@ -162,19 +171,24 @@ object LshIndex {
       // the (small) delta banding once
       .localCheckpoint()
     // router: the delta's touched (band, bucket) cells — bounded by
-    // Bands × NumBuckets (512) regardless of delta size — pushed as a
-    // LITERAL partition filter, so a narrow delta reads only its cells
-    // (static partition elimination, the IvfIndex-router pattern); a
-    // wide delta touching EVERY cell skips the filter outright (the
-    // full — still partition-pruned-trivially — scan, with no 512-term
-    // predicate to evaluate per row group)
+    // Bands × NumBuckets (512) regardless of delta size. The bucket
+    // projection of the cells is pushed as a LITERAL partition filter
+    // (static elimination over the bucket dirs, the IvfIndex-router
+    // pattern); the exact cell membership rides as a residual data
+    // filter, where the in-file band sort lets row-group min/max stats
+    // prune within each touched dir. A wide delta touching EVERY cell
+    // skips both outright (the full — still shuffle-free — scan, with
+    // no 512-term predicate to evaluate per row group)
     val touched = dBands
       .select((col("band") * NumBuckets + bucketOf(col("band_sig"))).as("cell"))
       .distinct().collect().map(_.getInt(0)).sorted
+    val touchedBuckets = touched.map(_ % NumBuckets).distinct.sorted
     val cellOf = (df: DataFrame) =>
       if (touched.length >= Dedup.Bands * NumBuckets) df
-      else df.filter((col("band") * NumBuckets + col("bucket"))
-        .isin(touched.map(Integer.valueOf): _*))
+      else df
+        .filter(col("bucket").isin(touchedBuckets.map(Integer.valueOf): _*))
+        .filter((col("band") * NumBuckets + col("bucket"))
+          .isin(touched.map(Integer.valueOf): _*))
     val pruned = cellOf(s.read.parquet(s"$path/bands"))
       .select(col("id").as("base_id"), col("band"), col("band_sig"))
     // hot keys come from the persisted keycounts metadata, pruned to
