@@ -25,27 +25,38 @@ import org.apache.spark.sql.functions._
   *
   * Layout (plain parquet, readable by any engine):
   *  - `<path>/sigs/seg=…`  — (id, sig: array<long>[64]) per doc.
-  *  - `<path>/bands/seg=…/bucket=…` — (id, band, band_sig) exploded
+  *  - `<path>/bands/seg=base/bucket=…` — (id, band, band_sig) exploded
   *    8× per doc, dir-partitioned by bucket = hash(band_sig) %
   *    [[NumBuckets]] and SORTED by band within each file, so narrow
   *    probes statically prune to their touched bucket dirs and
-  *    row-group min/max stats on `band` prune within them (64 dirs
-  *    per segment, NOT band×bucket=512: dynamic-partition dirs cost
-  *    ~20 ms each in commit overhead per segment write — measured
-  *    10-17 s at 512 dirs vs ~1.5 s at 64 for a 36k-row segment —
-  *    and every APPEND pays it per batch); LSH buckets with more
+  *    row-group min/max stats on `band` prune within them. Written
+  *    only at build/compact: dynamic-partition dirs cost ~20 ms each
+  *    in commit overhead per write (measured 10-17 s at 512 dirs vs
+  *    ~1.5 s at 64 for a 36k-row segment), a price worth paying once
+  *    per compaction but NOT per ingest batch. LSH buckets with more
   *    than `maxBucket` base members are dropped at BUILD time
   *    (degenerate buckets — the all-empty-doc bucket is the
   *    canonical case — carry no dedup signal but quadratic probe
   *    cost; same cap semantics as [[Dedup.lshCandidates]], applied
   *    once at write instead of per run).
-  *  - `<path>/keycounts/seg=…/bucket=…` — (band, band_sig, n): the
-  *    per-key row counts of the bands dataset, persisted as METADATA
+  *  - `<path>/delta_bands/seg=…` — the APPEND half of the bands data:
+  *    plain files (no bucket dirs — appends must not pay the
+  *    per-dir commit overhead every batch), with `bucket` as a data
+  *    column and files sorted by (bucket, band) so parquet row-group
+  *    min/max stats give the same pruning the base side gets from
+  *    its dirs. Segments here are bounded by the compaction policy
+  *    ([[IndexMaintenance]]); compact folds them back into the
+  *    dir-partitioned base.
+  *  - `<path>/keycounts/seg=…` — (band, band_sig, n, bucket): the
+  *    per-key row counts of the bands data, persisted as METADATA
   *    at build/append/compact time so the probe-time hot-key guard
-  *    sums a tiny counts table instead of re-aggregating the
-  *    corpus-sized bands dataset on every probe (a key's rows all
-  *    live in one segment's one bucket dir, so summing the
-  *    per-segment counts IS the key's current index population).
+  *    sums a counts table instead of re-aggregating the corpus-sized
+  *    bands dataset on every probe (a key's rows all live in one
+  *    segment, so summing the per-segment counts IS the key's
+  *    current index population). Plain sorted files for the same
+  *    reason as delta_bands: at lake scale keycounts is the same
+  *    order as bands (one row per distinct key), so probes prune it
+  *    by row-group stats on the sorted (bucket, band) prefix.
   */
 object LshIndex {
 
@@ -63,6 +74,16 @@ object LshIndex {
 
   private def bucketOf(bandSig: Column): Column =
     pmod(xxhash64(bandSig), lit(NumBuckets.toLong)).cast("int")
+
+  /** Whether any append segments exist (compact leaves the
+    * `delta_bands` root behind as an empty dir — reading it then would
+    * fail schema inference, and there is nothing to read). */
+  private def hasDeltaBands(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/delta_bands")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+  }
 
   /** Explode (id, sig) into the 8 per-band signature slices. */
   private[graft] def banded(sigs: DataFrame): DataFrame =
@@ -90,51 +111,63 @@ object LshIndex {
     Dedup.minhashSignatures(docs, idCol, textCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/sigs/seg=base")
     val b = banded(s.read.parquet(s"$path/sigs/seg=base"))
-    writeBandsAndCounts(b, path, "base", Some(maxBucket))
+    writeBandsAndCounts(b, path, "base", maxBucket)
   }
 
-  /** Shared write path for bands + keycounts: count every key ONCE,
-    * drop keys over the cap (build/compact only — appends pass None
-    * and keep everything, the LSM split), and persist both the
-    * surviving band rows and their counts in the same cell layout. */
+  /** Build/compact write path for bands + keycounts: count every key
+    * ONCE, drop keys over the cap, and persist both the surviving band
+    * rows (bucket-dir-partitioned — the once-per-compaction price) and
+    * their counts (plain sorted files). */
   private def writeBandsAndCounts(b: DataFrame, root: String, seg: String,
-      cap: Option[Int]): Unit = {
+      cap: Int): Unit = {
     val counts = b.groupBy("band", "band_sig")
       .agg(count(lit(1)).as("n"))
       // both the anti-join filter and the keycounts write read this;
       // one aggregation pass, not two
       .localCheckpoint()
-    val kept = cap match {
-      case Some(c) =>
-        val hot = counts.filter(col("n") > c).select("band", "band_sig")
-        b.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
-      case None => b
-    }
+    val hot = counts.filter(col("n") > cap).select("band", "band_sig")
     // one exchange keyed on the physical partition column (each bucket
     // dir gets one file per write, still row-group-splittable), then an
     // in-task sort that ALSO satisfies the writer's dynamic-partition
     // required ordering (prefix `bucket`), so no second sort runs and
     // the `band` order survives into row-group min/max stats — the
-    // within-bucket pruning that replaced the band= dir level
-    kept
+    // within-bucket pruning under each bucket dir
+    b.join(broadcast(hot), Seq("band", "band_sig"), "left_anti")
       .withColumn("bucket", bucketOf(col("band_sig")))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "band")
-      .write.mode(if (cap.isDefined) SaveMode.Overwrite else SaveMode.Append)
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$root/bands/seg=$seg")
-    (cap match {
-      case Some(c) => counts.filter(col("n") <= c)
-      case None => counts
-    })
+    writeCounts(counts.filter(col("n") <= cap), root, seg,
+      SaveMode.Overwrite)
+  }
+
+  /** Append write path: plain sorted files only — no dynamic partition
+    * dirs, so a per-batch append pays file-write cost proportional to
+    * the DELTA, not ~20 ms × 64 dirs of commit overhead. Row-group
+    * stats on the (bucket, band) sort prefix stand in for the base
+    * side's dir pruning. */
+  private def writeDeltaBandsAndCounts(b: DataFrame, root: String,
+      seg: String): Unit = {
+    b.withColumn("bucket", bucketOf(col("band_sig")))
+      .sortWithinPartitions("bucket", "band")
+      .write.mode(SaveMode.Append)
+      .parquet(s"$root/delta_bands/seg=$seg")
+    writeCounts(
+      b.groupBy("band", "band_sig").agg(count(lit(1)).as("n")),
+      root, seg, SaveMode.Append)
+  }
+
+  private def writeCounts(counts: DataFrame, root: String, seg: String,
+      mode: SaveMode): Unit =
+    counts
       .withColumn("bucket", bucketOf(col("band_sig")))
       .select("band", "band_sig", "n", "bucket")
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "band")
-      .write.mode(if (cap.isDefined) SaveMode.Overwrite else SaveMode.Append)
-      .partitionBy("bucket")
+      .write.mode(mode)
       .parquet(s"$root/keycounts/seg=$seg")
-  }
 
   /** Probe the index with a delta shard's signatures (`delta`: columns
     * `id`, `sig`). Returns one row per (delta, base) candidate pair —
@@ -189,8 +222,17 @@ object LshIndex {
         .filter(col("bucket").isin(touchedBuckets.map(Integer.valueOf): _*))
         .filter((col("band") * NumBuckets + col("bucket"))
           .isin(touched.map(Integer.valueOf): _*))
-    val pruned = cellOf(s.read.parquet(s"$path/bands"))
+    // index-side band rows: the dir-partitioned base (bucket router →
+    // static partition elimination) plus any append segments (plain
+    // files, same cell filter lands as a data filter pruned by the
+    // row-group stats their (bucket, band) sort produces)
+    val baseBands = cellOf(s.read.parquet(s"$path/bands"))
       .select(col("id").as("base_id"), col("band"), col("band_sig"))
+    val pruned =
+      if (hasDeltaBands(s, path)) baseBands.unionByName(
+        cellOf(s.read.parquet(s"$path/delta_bands"))
+          .select(col("id").as("base_id"), col("band"), col("band_sig")))
+      else baseBands
     // hot keys come from the persisted keycounts metadata, pruned to
     // the probed cells and summed across segments — a key's rows all
     // live in one (band, bucket) cell per segment, so the sum IS the
@@ -242,7 +284,7 @@ object LshIndex {
     * absent. */
   def dropSeg(path: String, batchId: Long): Unit = {
     AtomicSwap.rmTree(s"$path/sigs/seg=delta_$batchId")
-    AtomicSwap.rmTree(s"$path/bands/seg=delta_$batchId")
+    AtomicSwap.rmTree(s"$path/delta_bands/seg=delta_$batchId")
     AtomicSwap.rmTree(s"$path/keycounts/seg=delta_$batchId")
   }
 
@@ -262,7 +304,7 @@ object LshIndex {
     // AtomicSwap.recover, or rolled back (pre-marker) by the next
     // writer's begin (ADVICE r12: the old delete-then-rename left a
     // crash window with NO live index)
-    AtomicSwap.commit(path, Seq("sigs", "bands", "keycounts"))
+    AtomicSwap.commit(path, Seq("sigs", "bands", "delta_bands", "keycounts"))
   }
 
   /** The staged (side-effect-free w.r.t. the live index) half of
@@ -274,7 +316,14 @@ object LshIndex {
     s.read.parquet(s"$path/sigs").select("id", "sig")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/sigs/seg=base")
     val b = banded(s.read.parquet(s"$staging/sigs/seg=base"))
-    writeBandsAndCounts(b, staging, "base", Some(maxBucket))
+    writeBandsAndCounts(b, staging, "base", maxBucket)
+    // staged delta_bands is an EMPTY dir: the swap publishes it over
+    // the live one, clearing the append segments the rebuilt base has
+    // just absorbed
+    val emptyDelta = new org.apache.hadoop.fs.Path(s"$staging/delta_bands")
+    emptyDelta.getFileSystem(s.sessionState.newHadoopConf())
+      .mkdirs(emptyDelta)
+    ()
   }
 
   private def appendSeg(s: SparkSession, path: String, accepted: DataFrame,
@@ -287,6 +336,6 @@ object LshIndex {
     AtomicSwap.recover(path)
     accepted.select("id", "sig")
       .write.mode(SaveMode.Append).parquet(s"$path/sigs/seg=$seg")
-    writeBandsAndCounts(banded(accepted.select("id", "sig")), path, seg, None)
+    writeDeltaBandsAndCounts(banded(accepted.select("id", "sig")), path, seg)
   }
 }

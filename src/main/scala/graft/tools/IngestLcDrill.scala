@@ -110,7 +110,12 @@ object IngestLcDrill {
         .collect().map(_.toString).toSet
       val sigs = spark.read.parquet(s"$idx/sigs")
         .select("id").collect().map(_.getLong(0)).toSet
-      val bandRows = spark.read.parquet(s"$idx/bands").count()
+      val deltaBandsDir = new java.io.File(s"$idx/delta_bands")
+      val bandRows = spark.read.parquet(s"$idx/bands").count() + (
+        if (deltaBandsDir.isDirectory &&
+            deltaBandsDir.listFiles().exists(_.getName.startsWith("seg=")))
+          spark.read.parquet(s"$idx/delta_bands").count()
+        else 0L)
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
       (verdicts, sigs, bandRows)
     }

@@ -117,7 +117,7 @@ object IngestSoak {
       val wallMs = (System.nanoTime() - t0) / 1000000L
       obs += ((batchId, wallMs,
         countFiles(s"$idx/sigs"),
-        countFiles(s"$idx/bands"),
+        countFiles(s"$idx/bands") + countFiles(s"$idx/delta_bands"),
         segCount(s"$idx/sigs"), compacted))
       done.incrementAndGet()
       ()

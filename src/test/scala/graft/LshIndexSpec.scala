@@ -24,6 +24,20 @@ class LshIndexSpec extends SparkSpec {
     dir.getAbsolutePath
   }
 
+  /** All band rows of an index — the dir-partitioned base plus any
+    * plain-file append segments — as a comparable set. */
+  private def bandSet(p: String) = {
+    val baseB = spark.read.parquet(s"$p/bands")
+      .select("id", "band", "band_sig")
+    val d = new java.io.File(s"$p/delta_bands")
+    val all =
+      if (d.isDirectory && d.listFiles().exists(_.getName.startsWith("seg=")))
+        baseB.unionByName(spark.read.parquet(s"$p/delta_bands")
+          .select("id", "band", "band_sig"))
+      else baseB
+    all.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+  }
+
   /** In-memory reference: band the base with the build-time cap, join
     * the delta's bands, score agreements — no parquet anywhere. */
   private def expectedPairs = {
@@ -196,8 +210,7 @@ class LshIndexSpec extends SparkSpec {
     def dump(p: String) = (
       spark.read.parquet(s"$p/sigs").select("id", "sig")
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet,
-      spark.read.parquet(s"$p/bands").select("id", "band", "band_sig")
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet)
+      bandSet(p))
     val preCompact = dump(pA)
     // crash BEFORE the marker: staging written, commit never reached —
     // repair must roll back and the live index must be untouched
@@ -209,7 +222,8 @@ class LshIndexSpec extends SparkSpec {
     // renamed in — the live index is MISSING a dataset until repair
     // rolls the swap forward to the compacted state
     LshIndex.compactStage(spark, pA)
-    graft.operators.AtomicSwap.mark(pA, Seq("sigs", "bands", "keycounts"))
+    graft.operators.AtomicSwap.mark(pA,
+      Seq("sigs", "bands", "delta_bands", "keycounts"))
     assert(new java.io.File(s"$pA/sigs")
       .renameTo(new java.io.File(s"$pA/sigs.old")))
     graft.operators.AtomicSwap.repair(pA)
@@ -356,14 +370,16 @@ class LshIndexSpec extends SparkSpec {
     def dump(p: String) = (
       spark.read.parquet(s"$p/sigs").select("id", "sig")
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet,
-      spark.read.parquet(s"$p/bands").select("id", "band", "band_sig")
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet)
+      bandSet(p))
     val (sa, ba) = dump(pA)
     val (sb, bb) = dump(pB)
     assert(sa == sb && ba == bb)
-    // single segment remains
+    // single segment remains; the append segments were absorbed
     assert(new java.io.File(s"$pA/sigs").listFiles()
       .filter(_.isDirectory).map(_.getName).toSeq == Seq("seg=base"))
+    assert(!new java.io.File(s"$pA/delta_bands").listFiles()
+      .exists(_.getName.startsWith("seg=")),
+      "compact must clear the append band segments")
   }
 
   test("gate entry shape: every delta doc verdicted, dups point at base ids") {
