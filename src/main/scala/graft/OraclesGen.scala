@@ -313,6 +313,52 @@ object OraclesGen {
        |  CAST((SELECT count(*) FROM rules WHERE due) AS DOUBLE), 1.0,
        |  (SELECT count(*) FROM rules WHERE due) >= 1""".stripMargin
 
+  /** IVF refit-trigger policy (QueriesText.ivfRefitPolicy): re-derives
+    * the engine's two refit rules from the corpus — the base fit chain
+    * (16 centroids, 2 Lloyd iterations, the shared ivf CTE fold), the
+    * biased delta assigned to the FINAL centroids, per-cluster counts,
+    * then the imbalance fold in cluster order (squares summed
+    * sequentially — the same op order as the engine's driver-side
+    * fold over its persisted per-list counts), × k, rounded to 6. */
+  val ivfRefitPolicy: String =
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, embedding AS vec FROM embeddings
+       |  WHERE vec_id % 10 <> 0),
+       |${ivfSeedCte("c0", "e", "16")},
+       |${ivfAssignCte("a1", "e", "c0")},
+       |${ivfUpdateCte("c1", "a1", "c0", 64)},
+       |${ivfAssignCte("a2", "e", "c1")},
+       |${ivfUpdateCte("c2", "a2", "c1", 64)},
+       |d AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> x + CAST(2.0 AS FLOAT)) AS vec
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |${ivfAssignCte("ad", "d", "c2")},
+       |dc AS (SELECT cluster, count(*) AS n FROM ad GROUP BY cluster),
+       |tot AS (SELECT
+       |  (SELECT count(*) FROM e) AS bn,
+       |  (SELECT count(*) FROM d) AS dn),
+       |sh AS (SELECT cluster,
+       |  CAST(n AS DOUBLE) / CAST((SELECT dn FROM tot) AS DOUBLE) AS share
+       |  FROM dc),
+       |vals AS (SELECT
+       |  CAST(dn AS DOUBLE) / CAST(bn + dn AS DOUBLE) AS frac,
+       |  round(16.0 * (SELECT list_reduce(
+       |      list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(list(share ORDER BY cluster), v -> v * v)),
+       |      (a, b) -> a + b) FROM sh), 6) AS skew
+       |  FROM tot),
+       |rules AS (
+       |  SELECT 'appended_frac' AS metric, frac AS value, 0.25 AS threshold,
+       |    frac >= 0.25 AS due FROM vals
+       |  UNION ALL
+       |  SELECT 'list_skew', skew, 4.0, skew >= 4.0 FROM vals)
+       |SELECT metric, value, threshold, due FROM rules
+       |UNION ALL
+       |SELECT 'refit_due',
+       |  CAST((SELECT count(*) FROM rules WHERE due) AS DOUBLE), 1.0,
+       |  (SELECT count(*) FROM rules WHERE due) >= 1""".stripMargin
+
   // ------------------------------------------------------------- simhash
 
   /** Per-doc simhash signature prefix (everything through
@@ -3351,6 +3397,7 @@ object OraclesGen {
     "dedup_incremental" -> dedupIncremental,
     "dedup_stream_index" -> dedupStreamIndex,
     "index_maintenance_policy" -> indexMaintenancePolicy,
+    "ivf_refit_policy" -> ivfRefitPolicy,
     "dedup_simhash" -> dedupSimhash,
     "embed_ann_lsh" -> embedAnnLsh,
     "embed_ann_recall" -> embedAnnRecall,

@@ -2387,6 +2387,37 @@ object QueriesText {
       fracThreshold = 0.05, maxSegments = 16)
   }
 
+  /** Refit-trigger policy over the persisted IVF index
+    * ([[graft.operators.IndexMaintenance.ivfPolicy]]) — the ANN-side
+    * counterpart of [[indexMaintenancePolicy]]: base fitted + indexed,
+    * then a DOMAIN-SHIFTED delta shard (a constant bias on every
+    * element — the deterministic stand-in for a new source whose
+    * embeddings share a dominant direction, e.g. a different encoder
+    * model) appended against the stale centroids. The policy derives
+    * WHEN to refit from the index's own ≤ k-row `stats` metadata
+    * alone: appended fraction (~0.1, below its 0.25 threshold — iid
+    * aging is not the problem here) and the appended rows' inverted-
+    * list imbalance factor (the shifted shard collapses into a few
+    * lists, so THIS rule fires — simultaneously the drift-artifact
+    * recall failure, 0.712 stale vs 0.984 refit, and the probe-time
+    * hot-list failure). One metadata read, zero corpus re-scores.
+    * Output one row per rule plus the verdict:
+    * (metric, value, threshold, due). */
+  def ivfRefitPolicy(s: SparkSession, dir: String): DataFrame =
+    withScratchIndex("graft_ivf_policy_") { idx =>
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val delta = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x + lit(2.0f)).as("vec"))
+    graft.operators.IvfIndex.save(base, idx, nClusters = 16, iters = 2,
+      dim = 64)
+    graft.operators.IvfIndex.append(s, idx, delta)
+    graft.operators.IndexMaintenance.ivfPolicyFrame(s, idx,
+      fracThreshold = 0.25, skewThreshold = 4.0)
+  }
+
   /** Temperature-scaled source mixing (alpha = 0.5): the multilingual /
     * multi-domain re-balancing rule LM pipelines use — sampling weight
     * proportional to n_tokens^alpha, so low-resource sources are

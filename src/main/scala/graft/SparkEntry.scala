@@ -118,6 +118,7 @@ object SparkEntry {
     "dedup_keep_best" -> (QueriesText.dedupKeepBest _),
     "dedup_incremental" -> (QueriesText.dedupIncremental _),
     "index_maintenance_policy" -> (QueriesText.indexMaintenancePolicy _),
+    "ivf_refit_policy" -> (QueriesText.ivfRefitPolicy _),
     "embed_hard_negatives" -> (QueriesText.embedHardNegatives _),
     "mix_temperature" -> (QueriesText.mixTemperature _),
     "text_nb_classifier" -> (QueriesText.textNbClassifier _),

@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   *    touches the other k − nprobe directories. At 100 TB this is the
   *    difference between reading ~nprobe/k of the corpus per query
   *    batch and re-scanning everything.
+  *  - `<path>/stats/seg=…` — per-list population METADATA
+  *    (cluster, n): ≤ k rows per build (`seg=base`) / append
+  *    (`seg=delta`), so the [[IndexMaintenance.ivfPolicy]] refit
+  *    trigger is a k-row metadata read — never a corpus re-score —
+  *    and pure INTEGER counts, deterministic under any partitioning.
   *
   * The fit/assign chain is byte-identical to [[Similarity.ivfTopK]]'s
   * (same seeding, same Lloyd fold, same tie-breaks) and parquet
@@ -41,7 +46,24 @@ object IvfIndex {
     // still read by many tasks
     lists.write.mode(SaveMode.Overwrite).partitionBy("cluster")
       .parquet(s"$path/lists")
+    writeBaseStats(emb.sparkSession, path)
   }
+
+  /** Per-list population of `assigned` (id, vec, cluster): ≤ k rows
+    * (cluster, n) — pure integer counts, so the persisted metadata is
+    * deterministic under any partitioning. */
+  private def statsOf(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+
+  /** Recompute the `stats/seg=base` metadata from the (already
+    * persisted) lists under `root` — used by [[save]] on the live
+    * layout and by [[refit]] on the staged one. The read back is
+    * column-pruned to the `cluster` partition column, so this touches
+    * file metadata, not vector data. */
+  private def writeBaseStats(s: SparkSession, root: String): Unit =
+    statsOf(s.read.parquet(s"$root/lists"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/stats/seg=base")
 
   /** Append a delta shard (columns `id`, `vec`) to the persisted
     * layout WITHOUT re-fitting: each delta vector is assigned to its
@@ -59,9 +81,21 @@ object IvfIndex {
     // next reader's roll-forward (ADVICE r13)
     AtomicSwap.recover(path)
     val cents = s.read.parquet(s"$path/centroids")
-    Similarity.ivfAssign(delta, cents)
-      .write.mode(SaveMode.Append).partitionBy("cluster")
+    // feeds the lists append AND the stats append — assign once
+    val assigned = Similarity.ivfAssign(delta, cents).localCheckpoint()
+    assigned.write.mode(SaveMode.Append).partitionBy("cluster")
       .parquet(s"$path/lists")
+    // appended-shard list populations accumulate under seg=delta (≤ k
+    // rows per append): the [[IndexMaintenance.ivfPolicy]] refit
+    // trigger reads THESE instead of re-scoring the corpus — a shard
+    // that collapses into a few lists under the stale centroids
+    // (domain shift: a new source sharing a dominant direction) is
+    // exactly the case the drift artifact showed losing 27 recall
+    // points, and the skew ALSO predicts the probe-cost hot-list
+    // failure
+    statsOf(assigned)
+      .coalesce(1).write.mode(SaveMode.Append)
+      .parquet(s"$path/stats/seg=delta")
   }
 
   /** Re-fit — the IVF maintenance counterpart of
@@ -86,7 +120,10 @@ object IvfIndex {
       .parquet(s"$staging/centroids")
     lists.write.mode(SaveMode.Overwrite).partitionBy("cluster")
       .parquet(s"$staging/lists")
-    AtomicSwap.commit(path, Seq("centroids", "lists"))
+    // post-refit everything is base again: one seg=base stats row over
+    // the union corpus, bit-equal to save's (the refit==save pin)
+    writeBaseStats(s, staging)
+    AtomicSwap.commit(path, Seq("centroids", "lists", "stats"))
   }
 
   /** Top-k cosine neighbors for `queries` (columns `q_id`, `q_vec`)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IndexMaintenance, LshIndex}
+import graft.operators.{Dedup, IndexMaintenance, IvfIndex, LshIndex}
 
 /** Maintenance-trigger policy ([[graft.operators.IndexMaintenance]]):
   * the verdict derives from index state alone — appended keycount
@@ -61,5 +61,70 @@ class IndexMaintenanceSpec extends SparkSpec {
     val (dueV, _, due) = out("compact_due")
     assert(dueV == Seq(fracDue, segDue).count(identity).toDouble)
     assert(due == (fracDue || segDue))
+  }
+
+  private lazy val emb = Tables.embeddings(spark, Sf)
+  private lazy val eBase = emb.filter(col("vec_id") % 10 =!= 0)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private lazy val eDelta = emb.filter(col("vec_id") % 10 === 0)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("ivf policy: iid appends age only the fraction; refit resets both rules") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maint_ivf").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath
+    IvfIndex.save(eBase, p, nClusters = 16, iters = 2, dim = 64)
+    val fresh = IndexMaintenance.ivfPolicy(spark, p)
+    assert(fresh.appendedFrac == 0.0 && fresh.listSkew == 0.0)
+    assert(!fresh.refitDue)
+
+    IvfIndex.append(spark, p, eDelta)
+    val a = IndexMaintenance.ivfPolicy(spark, p)
+    // appended fraction = delta rows / total rows, exactly
+    val bn = eBase.count(); val dn = eDelta.count()
+    assert(a.appendedFrac == dn.toDouble / (bn + dn).toDouble)
+    // an iid shard spreads over the lists like the base: imbalance
+    // stays near 1 and the skew rule does NOT fire
+    assert(a.listSkew >= 1.0 && a.listSkew < 4.0 && !a.skewDue)
+    // a tight fraction threshold fires the combined verdict
+    assert(IndexMaintenance.ivfPolicy(spark, p,
+      fracThreshold = math.min(a.appendedFrac, 0.01)).refitDue)
+    // refit folds everything back into seg=base: both rules reset
+    IvfIndex.refit(spark, p, nClusters = 16, iters = 2, dim = 64)
+    val after = IndexMaintenance.ivfPolicy(spark, p, fracThreshold = 0.01)
+    assert(after.appendedFrac == 0.0 && after.listSkew == 0.0 &&
+      !after.refitDue)
+  }
+
+  test("ivf policy: a domain-shifted shard fires the skew rule") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_maint_ivf_shift").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath
+    IvfIndex.save(eBase, p, nClusters = 16, iters = 2, dim = 64)
+    // constant bias on every element: deterministic stand-in for a
+    // new source sharing a dominant direction (a different encoder) —
+    // the stale centroids collapse it into a few inverted lists
+    IvfIndex.append(spark, p,
+      eDelta.select(col("id"),
+        transform(col("vec"), x => x + lit(2.0f)).as("vec")))
+    val a = IndexMaintenance.ivfPolicy(spark, p)
+    assert(a.skewDue, s"list skew ${a.listSkew} did not fire")
+    assert(!a.fracDue) // 10% < the default 0.25 — refit is due on
+    assert(a.refitDue) // QUALITY grounds alone, the drift-table case
+  }
+
+  test("ivf gate frame: three rules, skew fires, refit_due consistent") {
+    val out = QueriesText.ivfRefitPolicy(spark, Sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set("appended_frac", "list_skew", "refit_due"))
+    val (fracV, fracT, fracDue) = out("appended_frac")
+    assert(fracV > 0.0 && fracV < 0.25 && fracT == 0.25 && !fracDue)
+    val (skV, skT, skDue) = out("list_skew")
+    assert(skT == 4.0 && skDue && skV >= skT)
+    val (dueV, _, due) = out("refit_due")
+    assert(dueV == Seq(fracDue, skDue).count(identity).toDouble && due)
   }
 }

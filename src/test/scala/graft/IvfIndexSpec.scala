@@ -125,6 +125,13 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSet
     assert(cents(pA) == cents(pB))
     assert(lists(pA) == lists(pB))
+    // the per-list population metadata folds back to seg=base rows
+    // equal to the from-scratch build's (pure integer counts)
+    def stats(p: String) = spark.read.parquet(s"$p/stats")
+      .select("seg", "cluster", "n")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(stats(pA) == stats(pB))
+    assert(stats(pA).map(_._1) == Set("base"))
     // and the full probe path agrees row-for-row
     val a = IvfIndex.topK(spark, pA, queries, k = 5, nprobe = 4)
       .orderBy("q_id", "rank").collect()
