@@ -64,7 +64,7 @@ object OraclesGen {
        |          FROM tok t JOIN wh USING (w) CROSS JOIN perm))
        |  GROUP BY doc_id, p),
        |sig0 AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM hp GROUP BY doc_id),
-       |sigs AS (SELECT d.doc_id AS id, COALESCE(s.sig, $maxList) AS sig FROM d LEFT JOIN sig0 s USING (doc_id))""".stripMargin
+       |sigs AS MATERIALIZED (SELECT d.doc_id AS id, COALESCE(s.sig, $maxList) AS sig FROM d LEFT JOIN sig0 s USING (doc_id))""".stripMargin
   }
 
   private val minhashPairCtes: String = {
@@ -169,11 +169,15 @@ object OraclesGen {
     * id). Must equal the engine's probe through the parquet index —
     * the parquet round-trip of the long signatures is lossless, so
     * this is a pure re-derivation from the corpus. */
+  // multi-referenced CTEs are MATERIALIZED: without it DuckDB re-inlines
+  // the whole upstream chain per reference — at sf1 the minhash chain
+  // expands ~5x and the run spills >80 GB of temp before failing (the
+  // embed_ivf_append sf10 lesson, re-learned on this oracle in r14)
   val dedupIncremental: String =
     s"""WITH $minhashSigCtes,
-       |base AS (SELECT id, sig FROM sigs WHERE id % 10 <> 0),
-       |delta AS (SELECT id, sig FROM sigs WHERE id % 10 = 0),
-       |bb AS (
+       |base AS MATERIALIZED (SELECT id, sig FROM sigs WHERE id % 10 <> 0),
+       |delta AS MATERIALIZED (SELECT id, sig FROM sigs WHERE id % 10 = 0),
+       |bb AS MATERIALIZED (
        |  SELECT id, band, sig[band*8+1 : band*8+8] AS band_sig
        |  FROM (SELECT id, sig, unnest(range(8)) AS band FROM base)),
        |bn AS (SELECT band, band_sig, count(*) AS n FROM bb GROUP BY band, band_sig),
@@ -184,7 +188,7 @@ object OraclesGen {
        |cand AS (
        |  SELECT DISTINCT d.id AS delta_id, i.id AS base_id
        |  FROM db d JOIN idx i USING (band, band_sig)),
-       |est AS (
+       |est AS MATERIALIZED (
        |  SELECT c.delta_id, c.base_id,
        |    CAST(len(list_filter(range(64), i -> ds.sig[i+1] = bs.sig[i+1])) AS DOUBLE) / 64 AS est
        |  FROM cand c JOIN delta ds ON ds.id = c.delta_id
@@ -239,7 +243,7 @@ object OraclesGen {
          |  JOIN ix$k i USING (band, band_sig)
          |  JOIN nk$k nb USING (band, band_sig)
          |  WHERE nb.n <= ${graft.operators.LshIndex.MaxBucket}),
-         |est$k AS (
+         |est$k AS MATERIALIZED (
          |  SELECT c.delta_id, c.base_id,
          |    CAST(len(list_filter(range(64), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 64 AS est
          |  FROM cand$k c JOIN sigs a ON a.id = c.delta_id
@@ -263,15 +267,15 @@ object OraclesGen {
     }.mkString("\nUNION ALL\n")
     s"""WITH $minhashSigCtes,
        |base AS (SELECT id, sig FROM sigs WHERE id % 10 <> 0),
-       |delta AS (
+       |delta AS MATERIALIZED (
        |  SELECT id, sig, CAST((id // 10) % 5 AS INT) AS batch
        |  FROM sigs WHERE id % 10 = 0),
-       |bb AS (
+       |bb AS MATERIALIZED (
        |  SELECT id, band, sig[band*8+1 : band*8+8] AS band_sig
        |  FROM (SELECT id, sig, unnest(range(8)) AS band FROM base)),
        |bn AS (SELECT band, band_sig, count(*) AS n FROM bb GROUP BY band, band_sig),
        |idx0 AS (SELECT bb.id, bb.band, bb.band_sig FROM bb JOIN bn USING (band, band_sig) WHERE bn.n <= ${graft.operators.LshIndex.MaxBucket}),
-       |db AS (
+       |db AS MATERIALIZED (
        |  SELECT id, batch, band, sig[band*8+1 : band*8+8] AS band_sig
        |  FROM (SELECT id, sig, batch, unnest(range(8)) AS band FROM delta)),
        |$perBatch
