@@ -32,4 +32,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // class per stage, so the default 240m code cache fills mid-session
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

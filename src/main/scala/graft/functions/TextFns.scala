@@ -21,9 +21,16 @@ object TextFns {
 
   /** BPE-ish token count: letter runs, digit runs, and single
     * non-alphanumeric marks (X-token analogue of the reference's
-    * fingerprint-input lexing). */
+    * fingerprint-input lexing). Counted by the one-pass native
+    * [[graft.functions.expressions.TokenCountExpr]] — value-identical
+    * to `size(regexp_extract_all(lower(c), '[a-z]+|[0-9]+|[^a-z0-9\s]',
+    * 0))`, which the DuckDB oracles still use, without the regex
+    * engine's per-match array materialization (TokenCountSpec pins the
+    * equivalence property-style against the regex form). */
   def tokenCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    org.apache.spark.sql.GraftNative.column(
+      graft.functions.expressions.TokenCountExpr(
+        org.apache.spark.sql.GraftNative.expression(lower(c))))
 
   /** Whitespace-collapse + trim + lowercase normalization used before
     * content fingerprinting. */
@@ -97,13 +104,16 @@ object TextFns {
       lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
       .otherwise(0.0)
 
-  /** Count of the most frequent element of `arr`, computed per-row with
-    * higher-order functions only (no shuffle): for each distinct value,
-    * count its occurrences, take the max. O(distinct × n) per row. */
+  /** Count of the most frequent element of `arr` — the max of the
+    * position-aligned occurrence counts, one O(L) hash pass via
+    * [[elementCounts]]. (Was the quadratic HOF form
+    * `array_max(transform(array_distinct(arr), w -> size(filter(arr,
+    * x -> x = w))))` — O(distinct × n) string compares per row, the
+    * dominant CPU of the quality-gate entries; values are identical
+    * for the null-free token/bigram arrays every caller passes, and
+    * the DuckDB oracles keep their own form.) */
   def topElementCount(arr: Column): Column =
-    when(size(arr) > 0,
-      array_max(transform(array_distinct(arr),
-        w => size(filter(arr, x => x === w)))))
+    when(size(arr) > 0, array_max(elementCounts(arr)))
       .otherwise(lit(0))
 
   /** Position-aligned occurrence counts of `arr`'s elements, O(L) per

@@ -207,3 +207,78 @@ case class CosineSimilarityDD(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarityDD =
     copy(left = newLeft, right = newRight)
 }
+
+/** Element-wise ordered sum of a vector field across an array of
+  * structs: `xs: array<struct<…, f: array<float|double>, …>>` →
+  * `array<double>[dim]` with out(d) = Σ_i xs(i).f(d), the i-loop in
+  * ELEMENT ORDER — bit-identical to the per-dimension SQL fold
+  * `aggregate(xs, 0D, (acc, m) -> acc + m.f[d])` (IEEE addition order
+  * per dimension is the same), which is the form the DuckDB oracles
+  * keep.
+  *
+  * Replaces the `transform(sequence(0, dim-1), d -> aggregate(xs, …))`
+  * HOF tree in the Lloyd centroid update: HOFs evaluate interpreted
+  * (CodegenFallback path) with per-element boxing, so the old form
+  * cost dim × |xs| boxed lambda invocations per row — the dominant CPU
+  * of every k-means consumer (IVF fit/refit, SemDeDup). One native
+  * pass touches each value once, inside whole-stage codegen.
+  *
+  * Rows whose `f` is shorter than `dim` throw (same as ANSI-mode
+  * `m.f[d]` out-of-range); the call sites always pass fixed-width
+  * vectors.
+  */
+case class VecStructSumExpr(child: Expression, field: String, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.StructType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val (ordinal, nFields, isFloat) = {
+    val st = child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val i = st.fieldIndex(field)
+    val et = st(i).dataType.asInstanceOf[ArrayType].elementType
+    (i, st.size, et == FloatType)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VecStructSumExpr.sum(input.asInstanceOf[ArrayData], ordinal, nFields,
+      isFloat, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.VecStructSumExpr.sum(" +
+        s"$c, $ordinal, $nFields, $isFloat, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecStructSumExpr =
+    copy(child = newChild)
+}
+
+object VecStructSumExpr {
+  /** Per-row kernel — static so generated code calls it directly. */
+  def sum(xs: ArrayData, ord: Int, nFields: Int, isFloat: Boolean,
+      dim: Int): ArrayData = {
+    val n = xs.numElements()
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < n) {
+      val vec = xs.getStruct(i, nFields).getArray(ord)
+      // explicit range check: UnsafeArrayData reads out of range are
+      // undefined, while the SQL fold this replaces throws under ANSI
+      if (vec.numElements() < dim)
+        throw new ArrayIndexOutOfBoundsException(dim - 1)
+      var d = 0
+      if (isFloat) {
+        while (d < dim) { out(d) += vec.getFloat(d).toDouble; d += 1 }
+      } else {
+        while (d < dim) { out(d) += vec.getDouble(d); d += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def column(c: Column, field: String, dim: Int): Column =
+    org.apache.spark.sql.GraftNative.column(VecStructSumExpr(
+      org.apache.spark.sql.GraftNative.expression(c), field, dim))
+}

@@ -216,6 +216,36 @@ object SketchExprs {
     if (n == 0) 0.0 else eq.toDouble / n
   }
 
+  /** Per-row kernel for [[TokenCountExpr]]: matches of
+    * `[a-z]+|[0-9]+|[^a-z0-9\s]` counted in one UTF-8 byte walk.
+    * run = 1 inside a letter run, 2 inside a digit run, 0 otherwise;
+    * a continuation byte extends the previous (non-ASCII, already
+    * counted) code point and must not touch the run state. */
+  def tokenCount(s: UTF8String): Int = {
+    val b = s.getBytes
+    var count = 0
+    var run = 0
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c & 0xC0) == 0x80) {
+        // UTF-8 continuation: same code point as the lead byte
+      } else if (c >= 'a' && c <= 'z') {
+        if (run != 1) { count += 1; run = 1 }
+      } else if (c >= '0' && c <= '9') {
+        if (run != 2) { count += 1; run = 2 }
+      } else if (c == ' ' || c == '\t' || c == '\n' || c == 0x0B ||
+          c == '\f' || c == '\r') {
+        run = 0
+      } else {
+        count += 1
+        run = 0
+      }
+      i += 1
+    }
+    count
+  }
+
   /** Per-row kernel for [[ElementCountsExpr]]. */
   def elementCounts(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
@@ -399,5 +429,30 @@ case class ElementCountsExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.SketchExprs.elementCounts($c)")
   override protected def withNewChildInternal(newChild: Expression): ElementCountsExpr =
+    copy(child = newChild)
+}
+
+/** BPE-ish token count in one byte pass: the number of matches of
+  * `[a-z]+|[0-9]+|[^a-z0-9\s]` over the (already lowercased) input —
+  * letter runs, digit runs, and every other non-whitespace code point
+  * individually.
+  *
+  * Replaces `size(regexp_extract_all(...))`, which materializes every
+  * match as a UTF8String slice in an array only to count it (the regex
+  * engine's per-match allocation dominated CPU across the eight
+  * token-count consumers). The walk is over raw UTF-8 bytes:
+  * continuation bytes (10xxxxxx) are skipped so each non-ASCII code
+  * point counts exactly once, matching the regex's per-code-point
+  * semantics; `\s` is Java regex ASCII whitespace. Values are
+  * identical, so the DuckDB oracles (which keep the regex form)
+  * are unchanged. */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.tokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SketchExprs.tokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenCountExpr =
     copy(child = newChild)
 }

@@ -174,21 +174,29 @@ object Similarity {
     * previous centroid. */
   private def lloydUpdate(assigned: DataFrame, cents: DataFrame,
       dim: Int, chunkWidth: Long): DataFrame = {
+    import graft.functions.expressions.VecStructSumExpr
+    // per-dim sums via the native ordered kernel (one pass over each
+    // member list) instead of `transform(sequence(0, dim-1), d ->
+    // aggregate(ms, …))` — dim separate interpreted HOF folds per row,
+    // dim × |ms| boxed lambda calls (the dominant CPU of every k-means
+    // consumer). Fold order per dimension is unchanged (members in
+    // sorted-list order), so centroids stay bit-identical — pinned by
+    // DedupSimilaritySpec and the unchanged oracle hashes.
     val updated = assigned
       .groupBy(col("cluster"), expr(s"id div $chunkWidth").as("chunk"))
       .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("ms"))
       .select(col("cluster"), col("chunk"),
-        expr(s"""transform(sequence(0, $dim - 1),
-          d -> aggregate(ms, 0D, (acc, m) -> acc + m.vec[d]))""").as("psum"),
+        VecStructSumExpr.column(col("ms"), "vec", dim).as("psum"),
         size(col("ms")).cast("long").as("cnt"))
       .groupBy("cluster")
       .agg(sort_array(collect_list(struct(col("chunk"), col("psum"), col("cnt"))))
         .as("chunks"))
       .select(col("cluster"),
-        expr(s"""transform(sequence(0, $dim - 1),
-          d -> aggregate(chunks, 0D, (acc, c) -> acc + c.psum[d])
-               / aggregate(chunks, cast(0 as bigint), (acc, c) -> acc + c.cnt))""")
-          .as("centroid"))
+        VecStructSumExpr.column(col("chunks"), "psum", dim).as("num"),
+        expr("aggregate(chunks, cast(0 as bigint), (acc, c) -> acc + c.cnt)")
+          .as("den"))
+      .select(col("cluster"),
+        expr("transform(num, x -> x / den)").as("centroid"))
     cents.select(col("cluster"), col("centroid").as("prev"))
       .join(updated, Seq("cluster"), "left")
       .select(col("cluster"), coalesce(col("centroid"), col("prev")).as("centroid"))

@@ -47,27 +47,44 @@ object ActivitySnapshotPipeline {
     * daemon soak scopes each 10 s tick to its window of activity by
     * pre-filtering the raw frame (the reference's tick likewise sees
     * only what `pg_stat_activity` holds AT the tick). */
-  def backendsFrom(raw: DataFrame): DataFrame = {
-    val w = Window.partitionBy("pid")
-      .orderBy(col("query_start").desc, col("event_id").desc)
-    raw
-      .withColumn("rn", row_number().over(w))
+  def backendsFrom(raw: DataFrame): DataFrame =
+    latestPerPid(deriveBackendCols(raw),
+      Seq(col("query_start").desc, col("event_id").desc))
+
+  /** The per-row derived half of [[backendsFrom]], window-free. Split
+    * out so a caller driving MANY ticks over one cached base
+    * ([[graft.streaming.DaemonSoak]]) can hoist the derivations — incl.
+    * the pgFingerprint/pgNormalize scanner subtrees, the bulk of the
+    * expression tree — into the base it shapes ONCE, leaving the
+    * re-planned per-tick tree at filter + latest-per-pid + document
+    * fold (per-tick Catalyst re-analysis of the full tree measured
+    * ~2/3 of activity-tick wall in the soak). None of the derivations
+    * reads `pid` or the ordering columns, so deriving before or after
+    * the latest-per-pid window is value-identical. */
+  private[graft] def deriveBackendCols(raw: DataFrame): DataFrame = raw
+    .withColumn("rolname", col("usename"))
+    .withColumn("datname", concat(lit("db"), col("db_oid")))
+    .withColumn("has_query",
+      col("state") === "active" && col("backend_type") === "client backend")
+    .withColumn("query", when(col("has_query"),
+      concat(lit("SELECT * FROM orders WHERE o_custkey = "), col("query_k"))))
+    .withColumn("fp", when(col("has_query"), PgFns.pgFingerprint(col("query"))))
+    .withColumn("normalized_query",
+      when(col("has_query"), PgFns.pgNormalize(col("query"))))
+    .withColumn("wait_event_type", when(col("waiting"), "Lock").otherwise(""))
+    .withColumn("wait_event",
+      when(col("waiting"), "transactionid").otherwise(""))
+    .withColumn("query_start_s",
+      expr("unix_micros(query_start) div 1000000"))
+
+  /** Latest row per pid by `order` — the tick-scoped half of the
+    * `*From` derivations (must run per tick: "latest" is relative to
+    * the tick's window). */
+  private[graft] def latestPerPid(df: DataFrame,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.withColumn("rn",
+        row_number().over(Window.partitionBy("pid").orderBy(order: _*)))
       .filter(col("rn") === 1)
-      .withColumn("rolname", col("usename"))
-      .withColumn("datname", concat(lit("db"), col("db_oid")))
-      .withColumn("has_query",
-        col("state") === "active" && col("backend_type") === "client backend")
-      .withColumn("query", when(col("has_query"),
-        concat(lit("SELECT * FROM orders WHERE o_custkey = "), col("query_k"))))
-      .withColumn("fp", when(col("has_query"), PgFns.pgFingerprint(col("query"))))
-      .withColumn("normalized_query",
-        when(col("has_query"), PgFns.pgNormalize(col("query"))))
-      .withColumn("wait_event_type", when(col("waiting"), "Lock").otherwise(""))
-      .withColumn("wait_event",
-        when(col("waiting"), "transactionid").otherwise(""))
-      .withColumn("query_start_s",
-        expr("unix_micros(query_start) div 1000000"))
-  }
 
   /** The vacuum tick: latest vacuum-progress row per pid (autovacuum
     * backends), with its relation key. */
@@ -75,17 +92,17 @@ object ActivitySnapshotPipeline {
     vacuumsFrom(CatalogSynth.vacuumProgress(s, dir))
 
   /** Tick-scopable form of [[currentVacuums]]. */
-  def vacuumsFrom(raw: DataFrame): DataFrame = {
-    val w = Window.partitionBy("pid").orderBy(col("event_id").desc)
-    raw
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .withColumn("db_oid", col("pid") % 5)
-      .withColumn("datname", concat(lit("db"), col("db_oid")))
-      .withColumn("relname", concat(lit("t"), col("relid")))
-      .withColumn("phase_id",
-        coalesce(element_at(typedLit(PhaseByName), col("phase")), lit(0)))
-  }
+  def vacuumsFrom(raw: DataFrame): DataFrame =
+    latestPerPid(deriveVacuumCols(raw), Seq(col("event_id").desc))
+
+  /** Per-row derived half of [[vacuumsFrom]] (see
+    * [[deriveBackendCols]] for why it is split). */
+  private[graft] def deriveVacuumCols(raw: DataFrame): DataFrame = raw
+    .withColumn("db_oid", col("pid") % 5)
+    .withColumn("datname", concat(lit("db"), col("db_oid")))
+    .withColumn("relname", concat(lit("t"), col("relid")))
+    .withColumn("phase_id",
+      coalesce(element_at(typedLit(PhaseByName), col("phase")), lit(0)))
 
   // --------------------------------------------------- document assembly
 
@@ -137,21 +154,41 @@ object ActivitySnapshotPipeline {
       backendLimit: Int = SectionCap.BackendLimit): Doc =
     docFromRow(docFrame(backsIn, vacsIn, backendLimit).head(), backendLimit)
 
+  /** [[assembleDoc]] over a pre-tagged union (the hoisted-base tick
+    * path — see [[deriveBackendCols]]). */
+  private[graft] def assembleDocTagged(u0: DataFrame,
+      backendLimit: Int = SectionCap.BackendLimit): Doc =
+    docFromRow(docFrameTagged(u0, backendLimit).head(), backendLimit)
+
   /** The single-row document plan behind [[assembleDoc]]. */
   def docFrame(backsIn: DataFrame, vacsIn: DataFrame,
-      backendLimit: Int = SectionCap.BackendLimit): DataFrame = {
+      backendLimit: Int = SectionCap.BackendLimit): DataFrame =
+    docFrameTagged(
+      tagBackends(backsIn).unionByName(tagVacuums(vacsIn)), backendLimit)
+
+  /** [[docFrame]]'s b-side tag projection — per-row-constant, so a
+    * many-tick driver hoists it into its cached base ([[deriveBackendCols]]
+    * note); `keep` carries tick-scoping / window-ordering columns
+    * through for the per-tick filter + latest-per-pid that then run
+    * BEFORE [[docFrameTagged]]. */
+  private[graft] def tagBackends(backsIn: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
     val nullS = lit(null).cast("string")
-    // one tagged frame carrying both tick tables: every dim, index,
-    // section list and count folds into a single aggregate over it
-    val b0 = backsIn.select(
+    backsIn.select(keep.map(col) ++ Seq(
       lit("b").as("tag"), col("pid"), col("rolname"), col("datname"),
       col("has_query"), col("query"), col("fp"), col("normalized_query"),
       col("query_start_s"), col("waiting"), col("state"),
       col("wait_event_type"), col("wait_event"), col("backend_type"),
       nullS.as("relname"), lit(null).cast("int").as("phase_id"),
       lit(null).cast("long").as("heap_blks_total"),
-      lit(null).cast("long").as("heap_blks_scanned"))
-    val v0 = vacsIn.select(
+      lit(null).cast("long").as("heap_blks_scanned")): _*)
+  }
+
+  /** [[docFrame]]'s v-side tag projection (see [[tagBackends]]). */
+  private[graft] def tagVacuums(vacsIn: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    val nullS = lit(null).cast("string")
+    vacsIn.select(keep.map(col) ++ Seq(
       lit("v").as("tag"), col("pid"),
       concat(lit("u"), col("pid")).as("rolname"), col("datname"),
       lit(null).cast("boolean").as("has_query"), nullS.as("query"),
@@ -161,8 +198,13 @@ object ActivitySnapshotPipeline {
       nullS.as("wait_event_type"), nullS.as("wait_event"),
       nullS.as("backend_type"),
       col("relname"), col("phase_id").cast("int"),
-      col("heap_blks_total"), col("heap_blks_scanned"))
-    val u0 = b0.unionByName(v0)
+      col("heap_blks_total"), col("heap_blks_scanned")): _*)
+  }
+
+  /** The dim/index/fold half of [[docFrame]] over the tagged union of
+    * both tick tables (layout = [[tagBackends]]/[[tagVacuums]]). */
+  private[graft] def docFrameTagged(u0: DataFrame,
+      backendLimit: Int = SectionCap.BackendLimit): DataFrame = {
 
     // a vacuum backend resolves through the BACKENDS' role/db dims (it
     // is a backend); a vacuum row whose role or database has no backend

@@ -184,10 +184,22 @@ object DaemonSoak {
       base.withColumn("off", (col("es") - esMin) % horizon))
     def offOf(tsCol: String): org.apache.spark.sql.Column =
       (expr(s"unix_micros($tsCol) div 1000000") - esMin) % horizon
-    val backsBase = clustered(CatalogSynth.backendsFromEvents(folded)
-      .withColumn("off", offOf("query_start")))
-    val vacsBase = clustered(
-      CatalogSynth.vacuumProgressFromEvents(folded, keep = Seq("off")))
+    // per-tick plans are re-ANALYZED by Catalyst every tick (window
+    // bounds are literals) — measured ~2/3 of activity-tick wall. The
+    // per-row-constant derivation + tag subtrees (incl. the
+    // pgFingerprint/pgNormalize scanners) are hoisted HERE, into the
+    // base shaped once; per tick only filter + latest-per-pid +
+    // document fold remain to plan. Ordering columns ride along via
+    // `keep` for the per-tick latest-per-pid window.
+    val backsBase = clustered(ActivitySnapshotPipeline.tagBackends(
+      ActivitySnapshotPipeline.deriveBackendCols(
+        CatalogSynth.backendsFromEvents(folded))
+        .withColumn("off", offOf("query_start")),
+      keep = Seq("off", "query_start", "event_id")))
+    val vacsBase = clustered(ActivitySnapshotPipeline.tagVacuums(
+      ActivitySnapshotPipeline.deriveVacuumCols(
+        CatalogSynth.vacuumProgressFromEvents(folded, keep = Seq("off"))),
+      keep = Seq("off", "event_id")))
     val linesBase = clustered(
       LogSynth.render(LogSynth.linesFrom(folded).withColumn("off", offOf("ts")),
         keep = Seq("off")))
@@ -244,11 +256,15 @@ object DaemonSoak {
     }
 
     def activityTick(fire: Long): TickResult = {
-      val doc = ActivitySnapshotPipeline.assembleDoc(
-        ActivitySnapshotPipeline.backendsFrom(
-          window(backsBase, fire - Scheduler.ActivityPeriod, fire)),
-        ActivitySnapshotPipeline.vacuumsFrom(
-          window(vacsBase, fire - Scheduler.ActivityPeriod, fire)))
+      val lo = fire - Scheduler.ActivityPeriod
+      val b = ActivitySnapshotPipeline.latestPerPid(
+          window(backsBase, lo, fire),
+          Seq(col("query_start").desc, col("event_id").desc))
+        .drop("off", "query_start", "event_id", "rn")
+      val v = ActivitySnapshotPipeline.latestPerPid(
+          window(vacsBase, lo, fire), Seq(col("event_id").desc))
+        .drop("off", "event_id", "rn")
+      val doc = ActivitySnapshotPipeline.assembleDocTagged(b.unionByName(v))
       val wire = ProtoWire.zlib(ActivitySnapshotPipeline.encode(doc))
       val shipped = ship(wire, s"act-$fire", fire, compact = true)
       val c = ActivitySnapshotPipeline.decodeCounts(shipped)

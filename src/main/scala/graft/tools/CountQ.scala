@@ -1,0 +1,61 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Job/stage/task census per query — the companion diagnostic to TimeQ:
+  * when per-entry CPU is far above what the data volume can explain,
+  * the census says whether it is going to WORK (few stages, hot tasks)
+  * or to ORCHESTRATION (hundreds of stages of 32 near-empty tasks,
+  * where per-task fixed cost dominates). */
+object CountQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new AtomicLong; val stages = new AtomicLong
+    val tasks = new AtomicLong; val cpuNs = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = { stages.incrementAndGet(); () }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+        ()
+      }
+    })
+    def force(name: String): Unit = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.agg(sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+        .cast("decimal(38,0)"))).head
+    }
+    def cleanup(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    args.foreach { n =>
+      force(n); cleanup()
+      org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      val (j0, s0, t0, c0) = (jobs.get, stages.get, tasks.get, cpuNs.get)
+      val w0 = System.nanoTime()
+      force(n)
+      val wall = (System.nanoTime() - w0) / 1e9
+      org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      val (j, s, t, c) = (jobs.get - j0, stages.get - s0, tasks.get - t0,
+        cpuNs.get - c0)
+      println(f"COUNT $n wall=$wall%.2f s cpu=${c / 1e9}%.2f s " +
+        f"jobs=$j stages=$s tasks=$t cpuPerTaskMs=${c / 1e6 / math.max(1, t)}%.1f")
+      cleanup()
+    }
+    spark.stop()
+  }
+}

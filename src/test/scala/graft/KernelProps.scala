@@ -133,6 +133,41 @@ object KernelProps extends Properties("graft.kernels") {
       Prop(finalSt.contains("hot"))
     }
 
+  // the exact regex TextFns.tokenCount replaced — the oracle SQL keeps
+  // this form, so the native byte-walk kernel must match it on any input
+  private val tokenRe = java.util.regex.Pattern
+    .compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+  private val tokenTextGen: Gen[String] =
+    Gen.listOf(Gen.frequency[String](
+      6 -> Gen.alphaLowerChar.map(_.toString),
+      2 -> Gen.numChar.map(_.toString),
+      3 -> Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r"),
+      2 -> Gen.oneOf(".", ",", "!", "@", "-", "_", "(", ")"),
+      // multi-byte code points, incl. non-ASCII whitespace (U+00A0,
+      // NOT Java-regex \s) and an astral emoji (4-byte UTF-8)
+      1 -> Gen.oneOf("\u00E9", "\u00DF", "\u4E2D", "\u6587", "\u00A0",
+        new String(Character.toChars(0x1F600))),
+    )).map(_.mkString)
+
+  property("tokenCount byte-walk equals the regex-match count") =
+    forAll(tokenTextGen) { s =>
+      val m = tokenRe.matcher(s)
+      var n = 0
+      while (m.find()) n += 1
+      graft.functions.expressions.SketchExprs
+        .tokenCount(UTF8String.fromString(s)) == n
+    }
+
+  property("max of elementCounts equals the quadratic top-element count") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "ccc", "d", "ee", "f"))) { xs =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        xs.map(x => UTF8String.fromString(x): Any).toArray)
+      val cn = graft.functions.expressions.SketchExprs.elementCounts(arr)
+      val mx = (0 until cn.numElements()).map(cn.getInt).max
+      val quad = xs.distinct.map(w => xs.count(_ == w)).max
+      mx == quad
+    }
+
   property("heroku octet framing round-trips random frame sequences") =
     forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, msgGen))) { msgs =>
       val frames = msgs.map(m =>
