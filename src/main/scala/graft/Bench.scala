@@ -85,13 +85,12 @@ object Bench {
     val swTotal = results.map(_._3.shufWriteMb).sum
     val totals = f""""cpu_sec_total":$cpuTotal%.3f,"gc_sec_total":$gcTotal%.3f,""" +
       f""""shuffle_read_mb_total":$srTotal%.1f,"shuffle_write_mb_total":$swTotal%.1f"""
-    // stdout is captured with a ~2k-char tail, so the printed line must
-    // stay bounded: carry the totals + the slowest entries inline and
-    // write the FULL per-entry maps to the artifact file
-    val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
+    // the contract line carries EVERY entry (never remove/rename — the
+    // driver compares the map across rounds); the artifact file below
+    // additionally carries the cpu/gc/shuffle per-entry maps
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""n_queries":${results.size},$totals,""" +
-      s""""queries":${toJson(slowest.map(r => r._1 -> r._2))},""" +
+      s""""queries":${toJson(results.map(r => r._1 -> r._2))},""" +
       s""""sf":"$sfDir"}"""
     println(line)
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +

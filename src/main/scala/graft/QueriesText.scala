@@ -989,12 +989,18 @@ object QueriesText {
     val vocab = docs
       .select(explode(TextFns.words(col("text"))).as("w"))
       .agg(countDistinct("w").as("v"))
-    bg.join(cBig, Seq("w1", "w2"))
-      .join(cCtx, Seq("w1"))
+    // conditional-prob table built SMALL-side first: cBig ⋈ cCtx ⋈ v are
+    // all Zipf-bounded, so the corpus-sized bigram stream rides exactly
+    // ONE equi-join (vs the previous bg⋈cBig then bg⋈cCtx — two full
+    // corpus shuffles), and log() runs once per DISTINCT bigram instead
+    // of once per corpus bigram instance. logp per (w1, w2) is the same
+    // double expression over the same cb/cu/v values — bit-identical.
+    val probs = cBig.join(cCtx, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("logp", log(
+      .select(col("w1"), col("w2"), log(
         (col("cb") + lit(0.5)) /
-          (col("cu") + lit(0.5) * col("v"))))
+          (col("cu") + lit(0.5) * col("v"))).as("logp"))
+    bg.join(probs, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         collect_list(struct(col("pos"), col("logp"))).as("ls"))
@@ -1458,17 +1464,24 @@ object QueriesText {
   def corpusDistinctBySource(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.fanOut(Tables.documents(s, dir))
       .select(col("source"), explode(TextFns.words(col("text"))).as("w"))
+    // ONE corpus pass: the (source, w) rollup the exact count already
+    // needs also feeds the register build (max rank per register is
+    // idempotent, so distinct-token ranks give the same maxima as
+    // per-instance ranks) and the source list — previously three
+    // separate corpus-wide explode passes
+    val g = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // EAGER: feeds ranks + sources + tot
     val h = org.apache.spark.sql.GraftNative.column(
       graft.functions.expressions.Fnv64Expr(
         org.apache.spark.sql.GraftNative.expression(col("w"))))
-    val ranks = toks.select(col("source"),
+    val ranks = g.select(col("source"),
         h.bitwiseAND(lit(255L)).cast("int").as("reg"),
         shiftrightunsigned(h, 8).as("v"))
       .select(col("source"), col("reg"),
         when(col("v") === 0, 57)
           .otherwise(lit(57) - length(bin(col("v")))).as("rank"))
       .groupBy("source", "reg").agg(max("rank").as("mr"))
-    val sources = toks.select("source").distinct()
+    val sources = g.select("source").distinct()
     val regs = sources
       .crossJoin(s.range(256).select(col("id").cast("int").as("reg")))
       .join(ranks, Seq("source", "reg"), "left")
@@ -1479,9 +1492,9 @@ object QueriesText {
         |  acc + 1.0 / cast(shiftleft(cast(1 as bigint), x.rank0) as double))"""
         .stripMargin).as("sum2"),
       sum(when(col("rank0") === 0, 1).otherwise(0)).cast("long").as("zeros"))
-    val tot = toks.groupBy("source").agg(
-      count(lit(1)).as("n_tokens"),
-      count_distinct(col("w")).as("exact_distinct"))
+    val tot = g.groupBy("source").agg(
+      sum("c").as("n_tokens"),
+      count(lit(1)).as("exact_distinct"))
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
     val rawE = alpha * lit(65536.0) / col("sum2")
     tot.join(broadcast(sketch), Seq("source"))
