@@ -282,3 +282,258 @@ object VecStructSumExpr {
     org.apache.spark.sql.GraftNative.column(VecStructSumExpr(
       org.apache.spark.sql.GraftNative.expression(c), field, dim))
 }
+
+/** Weighted ordered sum of a vector field across an array of structs:
+  * out(d) = Σ_i xs(i).wField * xs(i).vecField(d), the i-loop in element
+  * order — bit-identical to the per-dimension fold
+  * `aggregate(xs, 0D, (acc, m) -> acc + m.w * m.v[d])` (same multiply,
+  * same IEEE addition order per dimension). The power-iteration step of
+  * [[graft.operators.Pca]]: the SQL HOF form cost dim × |xs| interpreted
+  * boxed lambda calls per chunk row. */
+case class VecStructWeightedSumExpr(child: Expression, vecField: String,
+    wField: String, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.StructType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val (vecOrd, wOrd, nFields) = {
+    val st = child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    (st.fieldIndex(vecField), st.fieldIndex(wField), st.size)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VecStructWeightedSumExpr.sum(input.asInstanceOf[ArrayData], vecOrd,
+      wOrd, nFields, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.VecStructWeightedSumExpr.sum(" +
+        s"$c, $vecOrd, $wOrd, $nFields, $dim)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VecStructWeightedSumExpr = copy(child = newChild)
+}
+
+object VecStructWeightedSumExpr {
+  def sum(xs: ArrayData, vecOrd: Int, wOrd: Int, nFields: Int,
+      dim: Int): ArrayData = {
+    val n = xs.numElements()
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < n) {
+      val row = xs.getStruct(i, nFields)
+      val w = row.getDouble(wOrd)
+      val vec = row.getArray(vecOrd)
+      if (vec.numElements() < dim)
+        throw new ArrayIndexOutOfBoundsException(dim - 1)
+      var d = 0
+      while (d < dim) { out(d) += w * vec.getDouble(d); d += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def column(c: Column, vecField: String, wField: String, dim: Int): Column =
+    org.apache.spark.sql.GraftNative.column(VecStructWeightedSumExpr(
+      org.apache.spark.sql.GraftNative.expression(c), vecField, wField, dim))
+}
+
+/** Ordered sum of a scalar double field across an array of structs:
+  * Σ_i xs(i).field in element order — bit-identical to
+  * `aggregate(xs, 0D, (acc, m) -> acc + m.f)`. The scalar chunk folds of
+  * [[graft.operators.Pca]] (per-chunk variance partials). */
+case class ScalarStructSumExpr(child: Expression, field: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.StructType
+
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val (ordinal, nFields) = {
+    val st = child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    (st.fieldIndex(field), st.size)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ScalarStructSumExpr.sum(input.asInstanceOf[ArrayData], ordinal, nFields)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.ScalarStructSumExpr.sum(" +
+        s"$c, $ordinal, $nFields)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ScalarStructSumExpr = copy(child = newChild)
+}
+
+object ScalarStructSumExpr {
+  def sum(xs: ArrayData, ord: Int, nFields: Int): Double = {
+    val n = xs.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += xs.getStruct(i, nFields).getDouble(ord); i += 1 }
+    acc
+  }
+
+  def column(c: Column, field: String): Column =
+    org.apache.spark.sql.GraftNative.column(ScalarStructSumExpr(
+      org.apache.spark.sql.GraftNative.expression(c), field))
+}
+
+/** Ordered dot product of a centered row against a direction:
+  * Σ_d (v(d) − mu(d)) · p(d), d ascending — bit-identical to
+  * `aggregate(sequence(0, dim-1), 0D, (acc, d) -> acc + (v[d]-mu[d])*p[d])`.
+  * All three args array<double>. The per-row projection of
+  * [[graft.operators.Pca]] — the SQL HOF ran dim interpreted boxed
+  * lambda calls per corpus row per pass. */
+case class CenteredDotExpr(first: Expression, second: Expression,
+    third: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any, mu: Any, p: Any): Any =
+    CenteredDotExpr.dot(v.asInstanceOf[ArrayData], mu.asInstanceOf[ArrayData],
+      p.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, mu, p) =>
+      s"graft.functions.expressions.CenteredDotExpr.dot($v, $mu, $p, $dim)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): CenteredDotExpr = copy(first = f, second = s, third = t)
+}
+
+object CenteredDotExpr {
+  def dot(v: ArrayData, mu: ArrayData, p: ArrayData, dim: Int): Double = {
+    if (v.numElements() < dim || mu.numElements() < dim ||
+        p.numElements() < dim)
+      throw new ArrayIndexOutOfBoundsException(dim - 1)
+    var acc = 0.0
+    var d = 0
+    while (d < dim) {
+      acc += (v.getDouble(d) - mu.getDouble(d)) * p.getDouble(d); d += 1
+    }
+    acc
+  }
+
+  def column(v: Column, mu: Column, p: Column, dim: Int): Column =
+    org.apache.spark.sql.GraftNative.column(CenteredDotExpr(
+      org.apache.spark.sql.GraftNative.expression(v),
+      org.apache.spark.sql.GraftNative.expression(mu),
+      org.apache.spark.sql.GraftNative.expression(p), dim))
+}
+
+/** Squared norm of the centered row: Σ_d (v(d) − mu(d))², d ascending —
+  * bit-identical to the HOF fold with the same subtract-multiply. */
+case class CenteredNorm2Expr(left: Expression, right: Expression, dim: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any, mu: Any): Any =
+    CenteredNorm2Expr.norm2(v.asInstanceOf[ArrayData],
+      mu.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, mu) =>
+      s"graft.functions.expressions.CenteredNorm2Expr.norm2($v, $mu, $dim)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CenteredNorm2Expr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CenteredNorm2Expr {
+  def norm2(v: ArrayData, mu: ArrayData, dim: Int): Double = {
+    if (v.numElements() < dim || mu.numElements() < dim)
+      throw new ArrayIndexOutOfBoundsException(dim - 1)
+    var acc = 0.0
+    var d = 0
+    while (d < dim) {
+      val x = v.getDouble(d) - mu.getDouble(d)
+      acc += x * x; d += 1
+    }
+    acc
+  }
+
+  def column(v: Column, mu: Column, dim: Int): Column =
+    org.apache.spark.sql.GraftNative.column(CenteredNorm2Expr(
+      org.apache.spark.sql.GraftNative.expression(v),
+      org.apache.spark.sql.GraftNative.expression(mu), dim))
+}
+
+/** Element-wise difference out(d) = a(d) − b(d) over array<double> —
+  * bit-identical to `transform(sequence(0, dim-1), d -> a[d] - b[d])`. */
+case class VecSubExpr(left: Expression, right: Expression, dim: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecSubExpr.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.VecSubExpr.sub($a, $b, $dim)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSubExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecSubExpr {
+  def sub(a: ArrayData, b: ArrayData, dim: Int): ArrayData = {
+    if (a.numElements() < dim || b.numElements() < dim)
+      throw new ArrayIndexOutOfBoundsException(dim - 1)
+    val out = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { out(d) = a.getDouble(d) - b.getDouble(d); d += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def column(a: Column, b: Column, dim: Int): Column =
+    org.apache.spark.sql.GraftNative.column(VecSubExpr(
+      org.apache.spark.sql.GraftNative.expression(a),
+      org.apache.spark.sql.GraftNative.expression(b), dim))
+}
+
+/** Remove a scaled direction: out(d) = v(d) − w · p(d) — bit-identical
+  * to `transform(sequence(0, dim-1), d -> v[d] - w * p[d])` (the
+  * all-but-the-top whitening transform). `w` is a scalar double. */
+case class AxpySubExpr(first: Expression, second: Expression,
+    third: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any, w: Any, p: Any): Any =
+    AxpySubExpr.axpy(v.asInstanceOf[ArrayData], w.asInstanceOf[Double],
+      p.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, w, p) =>
+      s"graft.functions.expressions.AxpySubExpr.axpy($v, $w, $p, $dim)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): AxpySubExpr = copy(first = f, second = s, third = t)
+}
+
+object AxpySubExpr {
+  def axpy(v: ArrayData, w: Double, p: ArrayData, dim: Int): ArrayData = {
+    if (v.numElements() < dim || p.numElements() < dim)
+      throw new ArrayIndexOutOfBoundsException(dim - 1)
+    val out = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { out(d) = v.getDouble(d) - w * p.getDouble(d); d += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def column(v: Column, w: Column, p: Column, dim: Int): Column =
+    org.apache.spark.sql.GraftNative.column(AxpySubExpr(
+      org.apache.spark.sql.GraftNative.expression(v),
+      org.apache.spark.sql.GraftNative.expression(w),
+      org.apache.spark.sql.GraftNative.expression(p), dim))
+}

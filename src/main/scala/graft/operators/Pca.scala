@@ -45,68 +45,70 @@ object Pca {
     * downstream transforms (whitening) can reuse the component. */
   def topComponent(emb: DataFrame, dim: Int, iters: Int = 3,
       chunkWidth: Long = 1024L): DataFrame = {
+    import graft.functions.expressions.{AxpySubExpr, CenteredDotExpr,
+      CenteredNorm2Expr, ScalarStructSumExpr, VecStructSumExpr,
+      VecStructWeightedSumExpr, VecSubExpr}
     // lastS (and therefore lambda1) only exists after the first
     // power-iteration round — iters = 0 would dereference null
     require(iters >= 1, s"power iteration needs iters >= 1, got $iters")
-    val e = emb.select(col("id"),
-      expr("transform(vec, x -> cast(x as double))").as("v"))
-    def chunkFold(df: DataFrame, valueExpr: String): DataFrame =
+    // elementwise float→double Cast (codegen) replaces the interpreted
+    // transform HOF — the widening is the same per element
+    val e = emb.select(col("id"), col("vec").cast("array<double>").as("v"))
+    // native ordered kernels replace the per-dim HOF folds (dim × |ms|
+    // interpreted boxed lambda calls per chunk row — the same
+    // VecStructSumExpr migration the Lloyd update got): element order
+    // and IEEE addition order per dimension are identical, so centroids
+    // and sums are bit-identical to the SQL-fold form the oracle keeps
+    def chunkFold(df: DataFrame,
+        psumOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : DataFrame =
       df.groupBy(expr(s"id div $chunkWidth").as("chunk"))
         .agg(sort_array(collect_list(struct(col("id"), col("v"), col("w"))))
           .as("ms"))
-        .select(col("chunk"), expr(
-          s"""transform(sequence(0, $dim - 1),
-             |  d -> aggregate(ms, 0D, (acc, m) -> acc + ($valueExpr)))"""
-            .stripMargin).as("psum"),
+        .select(col("chunk"), psumOf(col("ms")).as("psum"),
           size(col("ms")).cast("long").as("cnt"))
         .agg(sort_array(collect_list(struct(col("chunk"), col("psum"))))
           .as("chunks"), sum("cnt").as("n"))
-        .select(expr(s"""transform(sequence(0, $dim - 1), d ->
-             |  aggregate(chunks, 0D, (acc, c) -> acc + c.psum[d]))"""
-            .stripMargin).as("s"), col("n"))
+        .select(VecStructSumExpr.column(col("chunks"), "psum", dim).as("s"),
+          col("n"))
     // per-dim mean (w unused in the fold)
-    val mu = chunkFold(e.withColumn("w", lit(0.0)), "m.v[d]")
+    val mu = chunkFold(e.withColumn("w", lit(0.0)),
+      ms => VecStructSumExpr.column(ms, "v", dim))
       .select(expr("transform(sequence(0, " + (dim - 1) +
         "), d -> s[d] / n)").as("mu"), col("n"))
       .localCheckpoint() // EAGER: feeds every iteration + variance + v0
     // total variance: Σ ‖x − μ‖² via the same fold over per-row sums
     val sq = e.crossJoin(broadcast(mu))
-      .withColumn("w", expr(
-        s"""aggregate(sequence(0, $dim - 1), 0D,
-           |  (acc, d) -> acc + (v[d] - mu[d]) * (v[d] - mu[d]))"""
-          .stripMargin))
+      .withColumn("w", CenteredNorm2Expr.column(col("v"), col("mu"), dim))
       .groupBy(expr(s"id div $chunkWidth").as("chunk"))
       .agg(sort_array(collect_list(struct(col("id"), col("w")))).as("ms"))
       .select(col("chunk"),
-        expr("aggregate(ms, 0D, (acc, m) -> acc + m.w)").as("psum"))
+        ScalarStructSumExpr.column(col("ms"), "w").as("psum"))
       .agg(sort_array(collect_list(struct(col("chunk"), col("psum"))))
         .as("chunks"))
-      .select(expr(
-        "aggregate(chunks, 0D, (acc, c) -> acc + c.psum)").as("total_var"))
+      .select(ScalarStructSumExpr.column(col("chunks"), "psum")
+        .as("total_var"))
     // v0 ∝ x₀ − μ, normalized with an index-ordered norm fold
     def normalized(col0: String): String =
       s"""transform(sequence(0, $dim - 1), d -> $col0[d] /
          |  sqrt(aggregate(sequence(0, $dim - 1), 0D,
          |    (acc, d2) -> acc + $col0[d2] * $col0[d2])))""".stripMargin
     var vcur = e.filter(col("id") === 0).crossJoin(broadcast(mu))
-      .select(expr(s"transform(sequence(0, $dim - 1), d -> v[d] - mu[d])")
-        .as("s0"))
+      .select(VecSubExpr.column(col("v"), col("mu"), dim).as("s0"))
       .select(expr(normalized("s0")).as("pv"))
       .localCheckpoint(eager = false)
     var lastS: DataFrame = null
     var i = 0
     while (i < iters) {
       val projected = e.crossJoin(broadcast(mu)).crossJoin(broadcast(vcur))
-        .withColumn("w", expr(
-          s"""aggregate(sequence(0, $dim - 1), 0D,
-             |  (acc, d) -> acc + (v[d] - mu[d]) * pv[d])""".stripMargin))
+        .withColumn("w",
+          CenteredDotExpr.column(col("v"), col("mu"), col("pv"), dim))
       // EAGER (1-row): the final iteration's s feeds BOTH the norm
       // (λ) and the loadings in one action — the multi-branch rule
       lastS = chunkFold(
         projected.select(col("id"),
-          expr(s"transform(sequence(0, $dim - 1), d -> v[d] - mu[d])")
-            .as("v"), col("w")),
-        "m.w * m.v[d]")
+          VecSubExpr.column(col("v"), col("mu"), dim).as("v"), col("w")),
+        ms => VecStructWeightedSumExpr.column(ms, "v", "w", dim))
         .localCheckpoint()
       vcur = lastS.select(expr(normalized("s")).as("pv"))
         .localCheckpoint(eager = false)
@@ -127,8 +129,8 @@ object Pca {
     * [[topComponent]] runs. */
   def whitenTop1(emb: DataFrame, dim: Int, iters: Int = 3,
       chunkWidth: Long = 1024L): DataFrame = {
-    val e = emb.select(col("id"),
-      expr("transform(vec, x -> cast(x as double))").as("vec"))
+    import graft.functions.expressions.{AxpySubExpr, CenteredDotExpr}
+    val e = emb.select(col("id"), col("vec").cast("array<double>").as("vec"))
     val t1 = topComponent(e, dim, iters, chunkWidth)
       .localCheckpoint() // EAGER: feeds the whitening transform + output
     // EAGER: [[topComponent]] makes ~6 passes over its input (mean,
@@ -138,12 +140,10 @@ object Pca {
     // pressure). Block-manager storage spills to disk, so the
     // materialized corpus stays bounded at cluster scale too.
     val whitened = e.crossJoin(broadcast(t1))
-      .withColumn("w", expr(
-        s"""aggregate(sequence(0, $dim - 1), 0D,
-           |  (acc, d) -> acc + (vec[d] - mu[d]) * pv[d])""".stripMargin))
-      .select(col("id"), expr(
-        s"transform(sequence(0, $dim - 1), d -> vec[d] - w * pv[d])")
-        .as("vec"))
+      .withColumn("w",
+        CenteredDotExpr.column(col("vec"), col("mu"), col("pv"), dim))
+      .select(col("id"),
+        AxpySubExpr.column(col("vec"), col("w"), col("pv"), dim).as("vec"))
       .localCheckpoint()
     val t2 = topComponent(whitened, dim, iters, chunkWidth)
     t1.select(col("lambda1").as("l1"), col("total_var").as("tv1"))

@@ -168,6 +168,61 @@ object KernelProps extends Properties("graft.kernels") {
       mx == quad
     }
 
+  // ---- Pca vector kernels: each must be BIT-identical to the SQL HOF
+  // fold it replaced (same element order, same IEEE op sequence)
+  private val dimGen = Gen.chooseNum(1, 8)
+  private def vecGen(dim: Int): Gen[Array[Double]] =
+    Gen.listOfN(dim, Gen.chooseNum(-1e6, 1e6).map(_ / 997.0))
+      .map(_.toArray)
+  private def gad(xs: Array[Double]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(xs)
+
+  property("weighted struct sum equals the per-dim sequential fold") =
+    forAll(dimGen.flatMap(d => Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(vecGen(d), Gen.chooseNum(-100.0, 100.0)))
+        .map(ms => (d, ms))))) { case (d, ms) =>
+      val rows = ms.map { case (v, w) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](gad(v), w)): Any }
+      val got = graft.functions.expressions.VecStructWeightedSumExpr
+        .sum(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          rows.toArray), 0, 1, 2, d).toDoubleArray()
+      val want = Array.tabulate(d) { dd =>
+        ms.foldLeft(0.0) { case (acc, (v, w)) => acc + w * v(dd) } }
+      got.toSeq == want.toSeq
+    }
+
+  property("centered dot / norm2 / axpy-sub / vec-sub equal their folds") =
+    forAll(dimGen.flatMap(d =>
+      Gen.zip(vecGen(d), vecGen(d), vecGen(d),
+        Gen.chooseNum(-10.0, 10.0)).map(t => (d, t)))) {
+      case (d, (v, mu, p, w)) =>
+        import graft.functions.expressions._
+        val dot = CenteredDotExpr.dot(gad(v), gad(mu), gad(p), d)
+        val wantDot = (0 until d).foldLeft(0.0)((acc, i) =>
+          acc + (v(i) - mu(i)) * p(i))
+        val n2 = CenteredNorm2Expr.norm2(gad(v), gad(mu), d)
+        val wantN2 = (0 until d).foldLeft(0.0)((acc, i) =>
+          acc + (v(i) - mu(i)) * (v(i) - mu(i)))
+        val ax = AxpySubExpr.axpy(gad(v), w, gad(p), d).toDoubleArray()
+        val wantAx = Array.tabulate(d)(i => v(i) - w * p(i))
+        val sub = VecSubExpr.sub(gad(v), gad(mu), d).toDoubleArray()
+        val wantSub = Array.tabulate(d)(i => v(i) - mu(i))
+        dot == wantDot && n2 == wantN2 &&
+          ax.toSeq == wantAx.toSeq && sub.toSeq == wantSub.toSeq
+    }
+
+  property("scalar struct sum equals the sequential fold") =
+    forAll(Gen.listOf(Gen.chooseNum(-1e9, 1e9).map(_ / 31.0))) { xs =>
+      val rows = xs.map(x =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](x)): Any)
+      val got = graft.functions.expressions.ScalarStructSumExpr
+        .sum(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          rows.toArray), 0, 1)
+      got == xs.foldLeft(0.0)(_ + _)
+    }
+
   property("heroku octet framing round-trips random frame sequences") =
     forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, msgGen))) { msgs =>
       val frames = msgs.map(m =>
