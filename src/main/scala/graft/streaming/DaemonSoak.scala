@@ -215,8 +215,32 @@ object DaemonSoak {
     val hfPrev: Map[Long, Long] =
       hfFires.zip(0L +: hfFires.init).toMap
 
-    def window(df: DataFrame, lo: Long, hi: Long): DataFrame =
-      df.filter(col("off") >= lo && col("off") < hi)
+    // ---- prepared tick plans: every tick of a cadence re-executes ONE
+    // fixed tree in which only the two window-bound literals differ, so
+    // the tree is ANALYZED once and the bounds substituted per tick
+    // (distinctive marker literals → actual bounds in the resolved
+    // plan). Optimization, physical planning and execution — the work
+    // under the per-tick deadline budget — still run per tick; only the
+    // redundant re-analysis of an identical resolved tree is hoisted
+    // (measured ~45% of activity-tick wall post-r14-hoist; the document
+    // fold + classify trees are large). Cache substitution happens per
+    // execution (withCachedData), so the ticks keep reading the cached
+    // bases.
+    val MarkLo = -271828183L
+    val MarkHi = -314159265L
+    def prepared(build: (org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => DataFrame)
+        : (Long, Long) => DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.LongType
+      val plan = org.apache.spark.sql.GraftNative.analyzed(
+        build(lit(MarkLo), lit(MarkHi)))
+      (lo: Long, hi: Long) => org.apache.spark.sql.GraftNative.ofRows(ts,
+        plan.transformAllExpressions {
+          case Literal(MarkLo, LongType) => Literal(lo)
+          case Literal(MarkHi, LongType) => Literal(hi)
+        })
+    }
 
     // the reference's previous-scrape state (`state/state.go`) —
     // pgss.max-bounded per server, held in collector memory
@@ -255,19 +279,37 @@ object DaemonSoak {
       got
     }
 
-    def activityTick(fire: Long): TickResult = {
-      val lo = fire - Scheduler.ActivityPeriod
+    val actFrame = prepared { (lo, hi) =>
       val b = ActivitySnapshotPipeline.latestPerPid(
-          window(backsBase, lo, fire),
+          backsBase.filter(col("off") >= lo && col("off") < hi),
           Seq(col("query_start").desc, col("event_id").desc))
         .drop("off", "query_start", "event_id", "rn")
       val v = ActivitySnapshotPipeline.latestPerPid(
-          window(vacsBase, lo, fire), Seq(col("event_id").desc))
+          vacsBase.filter(col("off") >= lo && col("off") < hi),
+          Seq(col("event_id").desc))
         .drop("off", "event_id", "rn")
-      val doc = ActivitySnapshotPipeline.assembleDocTagged(b.unionByName(v))
-      val wire = ProtoWire.zlib(ActivitySnapshotPipeline.encode(doc))
-      val shipped = ship(wire, s"act-$fire", fire, compact = true)
-      val c = ActivitySnapshotPipeline.decodeCounts(shipped)
+      ActivitySnapshotPipeline.docFrameTagged(b.unionByName(v))
+    }
+
+    // SOAK_DEBUG phase split of the activity critical path:
+    // substitute+head (Spark) vs encode+zlib vs HTTP ship vs decode
+    val phaseNanos = new ConcurrentHashMap[String, java.lang.Long]()
+    def phased[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      phaseNanos.merge(name, System.nanoTime() - t0, (a, b) => a + b)
+      r
+    }
+
+    def activityTick(fire: Long): TickResult = {
+      val lo = fire - Scheduler.ActivityPeriod
+      val doc = phased("act.head")(ActivitySnapshotPipeline.docFromRow(
+        actFrame(lo, fire).head(), graft.sinks.SectionCap.BackendLimit))
+      val wire = phased("act.encode")(
+        ProtoWire.zlib(ActivitySnapshotPipeline.encode(doc)))
+      val shipped = phased("act.ship")(ship(wire, s"act-$fire", fire,
+        compact = true))
+      val c = phased("act.decode")(ActivitySnapshotPipeline.decodeCounts(shipped))
       val ok = c.nBackends == doc.backendRows.length &&
         c.nVacuums == doc.vacuumRows.length &&
         c.nRoles == doc.roleRows.length && c.nDbs == doc.dbRows.length &&
@@ -275,9 +317,13 @@ object DaemonSoak {
       TickResult(c.nBackends, c.nRoles + c.nDbs + c.nQueries + c.nRels, ok)
     }
 
+    val hfFrame = prepared { (lo, hi) =>
+      CatalogSynth.statementStatsFromEvents(
+        folded.filter(col("off") >= lo && col("off") < hi))
+    }
+
     def highFreqTick(fire: Long): TickResult = {
-      val w = window(folded, hfPrev(fire), fire)
-      val batch = CatalogSynth.statementStatsFromEvents(w)
+      val batch = hfFrame(hfPrev(fire), fire)
         .collect().toIndexedSeq
       var changed = 0L
       val qids = scala.collection.mutable.HashSet.empty[Long]
@@ -320,18 +366,23 @@ object DaemonSoak {
       }
     }
 
-    def logTick(fire: Long): TickResult = {
-      val rendered =
-        window(linesBase, fire - Scheduler.LogDownloadPeriod, fire)
-          .select(col("line").as("value"))
-      val parsed = LogStreamPipeline.parse(rendered, graft.QueriesLog.Compiled)
+    val logFrame = prepared { (lo, hi) =>
+      val rendered = linesBase
+        .filter(col("off") >= lo && col("off") < hi)
+        .select(col("line").as("value"))
+      LogStreamPipeline.parse(rendered, graft.QueriesLog.Compiled)
         .withColumn("classification",
           graft.logsys.LogClassify.classify(col("content")))
-      val row = parsed.agg(
-        count(lit(1)).as("n"),
-        count_distinct(col("classification")).as("n_classes"),
-        coalesce(sum(when(col("pid") === -1L, 1L).otherwise(0L)), lit(0L))
-          .as("unparsed")).head()
+        .agg(
+          count(lit(1)).as("n"),
+          count_distinct(col("classification")).as("n_classes"),
+          coalesce(sum(when(col("pid") === -1L, 1L).otherwise(0L)), lit(0L))
+            .as("unparsed"))
+    }
+
+    def logTick(fire: Long): TickResult = {
+      val row =
+        logFrame(fire - Scheduler.LogDownloadPeriod, fire).head()
       TickResult(row.getAs[Long]("n"), row.getAs[Long]("n_classes"),
         row.getAs[Long]("unparsed") == 0L)
     }
@@ -340,6 +391,12 @@ object DaemonSoak {
     val cadNanos = new ConcurrentHashMap[String, java.lang.Long]()
     val reports = Scheduler.runConcurrent(ticks, { t =>
       if (slowTick.exists(_(t))) Thread.sleep(3600000L)
+      // label the tick's jobs (guide: label your jobs) — an explicit
+      // call site also skips Spark's per-job getCallSite stack walk +
+      // regex filter, measured ~11% of the cadence worker's driver-side
+      // CPU across 270 ticks (thread-local, so each cadence worker
+      // labels only its own jobs)
+      ts.sparkContext.setCallSite(s"soak:${t.cadence}")
       val tn0 = System.nanoTime()
       val r = t.cadence match {
         case Scheduler.Activity => activityTick(t.fireAt)
@@ -369,8 +426,10 @@ object DaemonSoak {
       api.received.size == doneA + doneF,
       s"shipping accounting off: ${api.compactSubmissions}/${api.fullSubmissions}" +
         s"/${api.received.size} vs $doneA activity + $doneF full")
-    if (sys.env.contains("SPARK_GRAFT_SOAK_DEBUG"))
+    if (sys.env.contains("SPARK_GRAFT_SOAK_DEBUG")) {
       cadNanos.forEach((c, n) => println(f"SOAK $c ${n / 1e9}%.1f s"))
+      phaseNanos.forEach((c, n) => println(f"SOAK $c ${n / 1e9}%.1f s"))
+    }
 
     val outcomeOf = reports.map(r =>
       (r.tick.cadence, r.tick.fireAt) -> r.outcome).toMap

@@ -11,4 +11,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftNative {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The ANALYZED logical plan of a frame — for many-tick drivers that
+    * re-execute one fixed tree with per-tick literals: analyze once,
+    * substitute via [[ofRows]] per tick. Optimization, physical
+    * planning and execution still happen per resulting frame. */
+  def analyzed(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** A frame over an (already resolved) logical plan — the analyzer
+    * pass over it is a cheap no-change fixpoint. */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
