@@ -1,0 +1,124 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Viterbi DP + backtrace for the unigram-LM tokenizer — the
+  * per-distinct-word segmentation of [[graft.operators.UnigramLm]].
+  *
+  * Replaces the interpreted SQL fold pair (the interleaved
+  * `[dp0,bp0,dp1,bp1,…]` accumulator built by `aggregate(sequence…)`
+  * with an `array_max(transform(filter(cands,…)))` per position, then a
+  * second fold for the boundary chain): that form is CodegenFallback,
+  * re-filters the candidate list once per position (O(|cands|·|w|)
+  * compares), evaluates the position max twice, and re-allocates the
+  * accumulator array per step (O(|w|²) copies). One native pass buckets
+  * candidates by end position and walks the DP once.
+  *
+  * Bit-exactness contract (what the DuckDB oracle replays):
+  *   - dp(i) = max over candidates ending at i of dp(j) + lp, doubles,
+  *     each candidate's value computed independently — max with the
+  *     fold's exact tie-break (equal dp → SMALLEST start j, i.e. the
+  *     longest piece), using total double ordering;
+  *   - best_logp is dp(L) RAW — the caller keeps the SQL round(…, 6);
+  *   - pieces are SQL `substring(w, j + 1, i - j)` slices (code-point
+  *     based, via [[UTF8String.substringSQL]]) of the boundary chain,
+  *     reversed into left-to-right word order.
+  *
+  * Inputs: `w` string, `cands` array<struct<i:int, j:int, lp:double>>
+  * (order irrelevant — the position max is a total order). A position
+  * 1 ≤ i ≤ numChars(w) with NO candidate would make the SQL fold null —
+  * the seed vocabulary contains every corpus character, so this cannot
+  * occur; the kernel throws rather than propagating a null DP.
+  */
+case class UnigramViterbiExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lp", DoubleType, nullable = false),
+    StructField("pieces", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+
+  override def nullSafeEval(w: Any, cands: Any): Any =
+    UnigramViterbiExpr.segment(w.asInstanceOf[UTF8String],
+      cands.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, c) =>
+      s"graft.functions.expressions.UnigramViterbiExpr.segment($w, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnigramViterbiExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object UnigramViterbiExpr {
+
+  /** Per-row kernel — static so generated code calls it directly. */
+  def segment(w: UTF8String, cands: ArrayData): GenericInternalRow = {
+    val len = w.numChars()
+    val n = cands.numElements()
+    // bucket candidates by end position: head/next index chains keep
+    // this allocation-light (two int arrays, no per-position lists)
+    val head = Array.fill(len + 1)(-1)
+    val next = new Array[Int](n)
+    val ci = new Array[Int](n)
+    val cj = new Array[Int](n)
+    val clp = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val row = cands.getStruct(k, 3)
+      val i = row.getInt(0)
+      ci(k) = i; cj(k) = row.getInt(1); clp(k) = row.getDouble(2)
+      if (i >= 1 && i <= len) { next(k) = head(i); head(i) = k }
+      k += 1
+    }
+    val dp = new Array[Double](len + 1)
+    val bp = new Array[Int](len + 1)
+    var i = 1
+    while (i <= len) {
+      var bestV = Double.NaN
+      var bestJ = -1
+      var c = head(i)
+      if (c < 0)
+        throw new IllegalStateException(
+          s"no tokenizer piece ends at position $i of '$w'")
+      while (c >= 0) {
+        val v = dp(cj(c)) + clp(c)
+        // the SQL fold's struct max over (v, -j): total double order,
+        // ties to the smallest start j
+        val cmp = if (bestJ < 0) 1 else java.lang.Double.compare(v, bestV)
+        if (cmp > 0 || (cmp == 0 && cj(c) < bestJ)) {
+          bestV = v; bestJ = cj(c)
+        }
+        c = next(c)
+      }
+      dp(i) = bestV; bp(i) = bestJ
+      i += 1
+    }
+    // backtrace: boundary chain from len down to 0; piece p covers
+    // (bp(p), p] — collected end→start, reversed to word order
+    var p = len
+    var count = 0
+    while (p > 0) { count += 1; p = bp(p) }
+    val pieces = new Array[Any](count)
+    p = len
+    var idx = count - 1
+    while (p > 0) {
+      val j = bp(p)
+      pieces(idx) = w.substringSQL(j + 1, p - j)
+      idx -= 1
+      p = j
+    }
+    new GenericInternalRow(Array[Any](dp(len), new GenericArrayData(pieces)))
+  }
+
+  def column(w: Column, cands: Column): Column =
+    org.apache.spark.sql.GraftNative.column(UnigramViterbiExpr(
+      org.apache.spark.sql.GraftNative.expression(w),
+      org.apache.spark.sql.GraftNative.expression(cands)))
+}

@@ -69,36 +69,15 @@ object UnigramLm {
       .join(broadcast(vocab.select(col("piece"), col("lp"))), Seq("piece"))
       .groupBy("w", "wc")
       .agg(collect_list(struct(col("i"), col("j"), col("lp"))).as("cands"))
-    // interleaved accumulator [dp0, bp0, dp1, bp1, …]; best candidate
-    // ending at i maximizes dp[j] + lp, ties to smallest j (longest
-    // piece) via max over struct(v, -j)
-    val folded = cands.withColumn("acc", expr(
-      """aggregate(sequence(1, length(w)),
-        |  array(cast(0 as double), cast(0 as double)),
-        |  (acc, i) -> concat(acc, array(
-        |    array_max(transform(filter(cands, c -> c.i = i),
-        |      c -> struct(acc[2 * c.j] + c.lp as v,
-        |                  cast(-c.j as double) as nj))).v,
-        |    -array_max(transform(filter(cands, c -> c.i = i),
-        |      c -> struct(acc[2 * c.j] + c.lp as v,
-        |                  cast(-c.j as double) as nj))).nj)))""".stripMargin))
-    // backtrace: chain of boundary positions from |w| down to 0; each
-    // visited position p > 0 contributes piece (bp[p], p]
-    folded.withColumn("chain", expr(
-      """aggregate(sequence(1, length(w)),
-        |  array(length(w)),
-        |  (ch, x) -> CASE WHEN element_at(ch, -1) > 0 THEN
-        |    concat(ch, array(cast(acc[2 * element_at(ch, -1) + 1] as int)))
-        |  ELSE ch END)""".stripMargin))
+    // native one-pass DP + backtrace (the SQL fold pair it replaces ran
+    // interpreted, re-filtered cands per position and re-allocated the
+    // accumulator per step) — same max, same (v, smallest-j) tie-break,
+    // same SQL-substring pieces; best_logp keeps the SQL round
+    cands.withColumn("vit", graft.functions.expressions
+        .UnigramViterbiExpr.column(col("w"), col("cands")))
       .select(col("w"), col("wc"),
-        expr("round(element_at(acc, -2), 6)").as("best_logp"),
-        // the walk visits boundaries end→start; reverse for pieces in
-        // left-to-right word order
-        expr(
-          """transform(reverse(filter(chain, p -> p > 0)),
-            |  p -> substring(w, cast(acc[2 * p + 1] as int) + 1,
-            |                 p - cast(acc[2 * p + 1] as int)))""".stripMargin)
-          .as("pieces"))
+        round(col("vit.lp"), 6).as("best_logp"),
+        col("vit.pieces").as("pieces"))
   }
 
   /** One full E+M pass: (piece, freq, lp, m_count, n_words_using). */

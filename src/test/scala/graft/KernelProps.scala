@@ -223,6 +223,50 @@ object KernelProps extends Properties("graft.kernels") {
       got == xs.foldLeft(0.0)(_ + _)
     }
 
+  property("unigram viterbi kernel equals the SQL fold (dp, tie-break, " +
+    "backtrace)") =
+    forAll(Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)),
+      Gen.chooseNum(0L, Long.MaxValue)) { (w, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val L = w.length
+      // candidate set: every single char (coverage, like the seed
+      // vocab) plus random multi-char pieces, with quantized lps so
+      // dp ties actually occur and exercise the smallest-j tie-break
+      val cands = (1 to L).map(i => (i, i - 1)) ++
+        (0 until rnd.nextInt(2 * L)).map { _ =>
+          val i = 1 + rnd.nextInt(L)
+          val j = math.max(0, i - 1 - rnd.nextInt(math.min(4, i)))
+          (i, j)
+        }
+      val withLp = cands.distinct.map { case (i, j) =>
+        (i, j, -(1 + rnd.nextInt(4)).toDouble / 2.0) }
+      // reference: the SQL fold, literally — dp/bp via max over (v, -j)
+      val dp = new Array[Double](L + 1); val bp = new Array[Int](L + 1)
+      for (i <- 1 to L) {
+        val opts = withLp.filter(_._1 == i)
+          .map { case (_, j, lp) => (dp(j) + lp, -j.toDouble) }
+        val best = opts.max
+        dp(i) = best._1; bp(i) = (-best._2).toInt
+      }
+      var chain = List(L)
+      while (chain.head > 0) chain = bp(chain.head) :: chain
+      val wantPieces = chain.tail // ascending boundary ends
+        .zip(chain.init).map { case (p, j) => w.substring(j, p) }
+      val rows = withLp.map { case (i, j, lp) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, j, lp)): Any }
+      val got = graft.functions.expressions.UnigramViterbiExpr.segment(
+        UTF8String.fromString(w),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          rnd.shuffle(rows).toArray))
+      val gotPieces = {
+        val arr = got.getArray(1)
+        (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      }
+      got.getDouble(0) == dp(L) && gotPieces == wantPieces
+    }
+
   property("heroku octet framing round-trips random frame sequences") =
     forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, msgGen))) { msgs =>
       val frames = msgs.map(m =>
