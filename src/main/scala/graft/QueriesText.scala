@@ -511,7 +511,7 @@ object QueriesText {
     // The dropped SET — and therefore the oracle — is untouched.
     val m = 32
     val nzAssigned = assigned.withColumn("nz",
-      expr("aggregate(vec, 0D, (a, x) -> a + cast(x as double) * x)") > 0d)
+      graft.functions.expressions.Norm2FExpr.column(col("vec")) > 0d)
     val groups = nzAssigned.filter(col("nz"))
       .groupBy(col("cluster"), col("vec"))
       .agg(min(col("id")).as("rep_id"))
@@ -1832,17 +1832,18 @@ object QueriesText {
            |  ELSE mns[i] END)""".stripMargin).as("dv"))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    def sdot(a: String, b: String): String =
-      s"aggregate(sequence(0, $dims - 1), 0D, (acc, i) -> acc + $a[i] * $b[i])"
+    // native DD cosine replaces the three interpreted sdot folds per
+    // (query × candidate) pair: dot and both norms accumulate in index
+    // order inside ONE codegen loop, denominator-zero → 0.0 — the same
+    // values and the same contract as the dot/sqrt(na)*sqrt(nb) form
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     val approx = broadcast(queries).crossJoin(deq)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("dot", expr(sdot("qv", "dv")))
-      .withColumn("denom",
-        sqrt(expr(sdot("qv", "qv"))) * sqrt(expr(sdot("dv", "dv"))))
-      .withColumn("sim",
-        when(col("denom") === 0, 0.0).otherwise(col("dot") / col("denom")))
+      .withColumn("sim", org.apache.spark.sql.GraftNative.column(
+        graft.functions.expressions.CosineSimilarityDD(
+          org.apache.spark.sql.GraftNative.expression(col("qv")),
+          org.apache.spark.sql.GraftNative.expression(col("dv")))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))

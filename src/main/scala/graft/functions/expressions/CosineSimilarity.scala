@@ -537,3 +537,141 @@ object AxpySubExpr {
       org.apache.spark.sql.GraftNative.expression(w),
       org.apache.spark.sql.GraftNative.expression(p), dim))
 }
+
+/** Squared L2 between two equal-length double arrays, folded in index
+  * order — bit-identical to
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0D, (acc,v) -> acc+v)`
+  * (same subtract/multiply per index, same addition order). The
+  * assignment inner loop of [[graft.operators.ProductQuant]] — the SQL
+  * HOF pair ran interpreted per (row × codebook-entry) pair. Unequal
+  * lengths throw loudly (the SQL zip_with would null-pad and poison the
+  * fold; every call site passes fixed-width subvectors). */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SqDistExpr.sqDist(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.SqDistExpr.sqDist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistExpr {
+  def sqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq_dist arity mismatch: $n vs ${b.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  def column(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftNative.column(SqDistExpr(
+      org.apache.spark.sql.GraftNative.expression(a),
+      org.apache.spark.sql.GraftNative.expression(b)))
+}
+
+/** ADC table-lookup sum: Σ over code structs of dt(j·nCodes + cluster),
+  * in element order — bit-identical to
+  * `aggregate(cs, 0D, (acc, c) -> acc + dt[c.j * nCodes + c.cluster])`,
+  * including the null contract (a null table entry nulls the sum, as
+  * `acc + NULL` does). The per-(candidate × query) scoring loop of the
+  * PQ scan. */
+case class AdcSumExpr(left: Expression, right: Expression, nCodes: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(cs: Any, dt: Any): Any =
+    AdcSumExpr.adc(cs.asInstanceOf[ArrayData], dt.asInstanceOf[ArrayData],
+      nCodes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cs, dt) => {
+      val v = ctx.freshName("v")
+      s"""
+         |java.lang.Double $v = graft.functions.expressions.AdcSumExpr.adc(
+         |  $cs, $dt, $nCodes);
+         |if ($v == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $v.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcSumExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcSumExpr {
+  def adc(cs: ArrayData, dt: ArrayData, nCodes: Int): java.lang.Double = {
+    val n = cs.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val c = cs.getStruct(i, 2)
+      val idx = c.getInt(0) * nCodes + c.getInt(1)
+      if (idx < 0 || idx >= dt.numElements())
+        throw new ArrayIndexOutOfBoundsException(idx)
+      if (dt.isNullAt(idx)) return null
+      acc += dt.getDouble(idx)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def column(cs: Column, dt: Column, nCodes: Int): Column =
+    org.apache.spark.sql.GraftNative.column(AdcSumExpr(
+      org.apache.spark.sql.GraftNative.expression(cs),
+      org.apache.spark.sql.GraftNative.expression(dt), nCodes))
+}
+
+/** Squared norm of a float vector, widened per element and folded in
+  * index order — bit-identical to
+  * `aggregate(vec, 0D, (a, x) -> a + cast(x as double) * x)`. The
+  * per-row zero-norm guard of the SemDeDup witness pass. */
+case class Norm2FExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    Norm2FExpr.norm2(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.Norm2FExpr.norm2($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Norm2FExpr =
+    copy(child = newChild)
+}
+
+object Norm2FExpr {
+  def norm2(v: ArrayData): Double = {
+    val n = v.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      acc += x * x; i += 1
+    }
+    acc
+  }
+
+  def column(v: Column): Column =
+    org.apache.spark.sql.GraftNative.column(Norm2FExpr(
+      org.apache.spark.sql.GraftNative.expression(v)))
+}

@@ -31,20 +31,24 @@ import org.apache.spark.sql.functions._
 object ProductQuant {
 
   /** (id, j, sv): subvector j of every embedding, cast to double up
-    * front so both engines fold identical operands. */
-  private def subvectors(emb: DataFrame, m: Int, sub: Int): DataFrame =
-    emb.select(col("id"), explode(expr(
-      s"""transform(sequence(0, ${m - 1}), j -> struct(j as j,
-         |  transform(sequence(0, ${sub - 1}),
-         |    d -> cast(vec[j * $sub + d] as double)) as sv))""".stripMargin))
-      .as("x"))
+    * front so both engines fold identical operands. The subspace array
+    * is built from m literal struct/slice pairs over one whole-array
+    * cast (all codegen) instead of the interpreted per-element
+    * transform HOFs — identical values, m is plan-time-known. */
+  private def subvectors(emb: DataFrame, m: Int, sub: Int): DataFrame = {
+    val vd = col("vec").cast("array<double>")
+    emb.select(col("id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          slice(vd, j * sub + 1, sub).as("sv"))): _*)).as("x"))
       .select(col("id"), col("x.j").as("j"), col("x.sv").as("sv"))
+  }
 
   /** Squared L2 between two double-array columns, folded in index
-    * order (codegen'd higher-order functions, no UDF). */
+    * order — the native [[graft.functions.expressions.SqDistExpr]]
+    * (the HOF form it replaces ran interpreted once per
+    * row × codebook-entry pair). */
   def sqDist(a: String, b: String): org.apache.spark.sql.Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
-      "cast(0 as double), (acc, v) -> acc + v)")
+    graft.functions.expressions.SqDistExpr.column(col(a), col(b))
 
   /** Nearest-codebook-entry assignment per (id, subspace). */
   private def assign(sv: DataFrame, cents: DataFrame): DataFrame =
@@ -76,8 +80,8 @@ object ProductQuant {
           expr(s"id div $chunkWidth").as("chunk"))
         .agg(sort_array(collect_list(struct(col("id"), col("sv")))).as("ms"))
         .select(col("j"), col("cluster"), col("chunk"),
-          expr(s"""transform(sequence(0, ${sub - 1}),
-            d -> aggregate(ms, 0D, (acc, x) -> acc + x.sv[d]))""").as("psum"),
+          graft.functions.expressions.VecStructSumExpr
+            .column(col("ms"), "sv", sub).as("psum"),
           size(col("ms")).cast("long").as("cnt"))
         .groupBy("j", "cluster")
         .agg(sort_array(collect_list(struct(col("chunk"), col("psum"),
@@ -129,30 +133,27 @@ object ProductQuant {
     val res = emb.join(lists, Seq("id"))
       .join(broadcast(coarse.select(col("cluster").as("cl"),
         col("centroid"))), Seq("cl"))
-      .select(col("id"), col("cl"), expr(
-        s"""transform(sequence(0, ${dim - 1}),
-           |  d -> cast(vec[d] as double) - centroid[d])""".stripMargin)
-        .as("vec"))
+      .select(col("id"), col("cl"),
+        graft.functions.expressions.VecSubExpr.column(
+          col("vec").cast("array<double>"), col("centroid"), dim).as("vec"))
       // residuals feed PQ training (which re-derives its subvector view
       // once per k-means pass) AND encoding — cut the join lineage once
       .localCheckpoint(eager = false)
     val pqCents = fit(res.select("id", "vec"), m, nCodes, iters, dim)
     val codes = encode(res.select("id", "vec"), pqCents, m, dim)
       .join(res.select("id", "cl"), Seq("id"))
-    val qd = queries.withColumn("qd",
-      expr("transform(q_vec, x -> cast(x as double))"))
+    val qd = queries.withColumn("qd", col("q_vec").cast("array<double>"))
     val probes = qd.crossJoin(broadcast(coarse))
       .withColumn("d2", sqDist("qd", "centroid"))
       .withColumn("rn", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("d2"), col("cluster"))))
       .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("cluster").as("cl"), expr(
-        s"""transform(sequence(0, ${dim - 1}),
-           |  d -> qd[d] - centroid[d])""".stripMargin).as("q_rvec"))
-    val qsv = probes.select(col("q_id"), col("cl"), explode(expr(
-        s"""transform(sequence(0, ${m - 1}), j -> struct(j as j,
-           |  transform(sequence(0, ${sub - 1}),
-           |    d -> q_rvec[j * $sub + d]) as sv))""".stripMargin)).as("x"))
+      .select(col("q_id"), col("cluster").as("cl"),
+        graft.functions.expressions.VecSubExpr.column(
+          col("qd"), col("centroid"), dim).as("q_rvec"))
+    val qsv = probes.select(col("q_id"), col("cl"),
+        explode(array((0 until m).map(j => struct(lit(j).as("j"),
+          slice(col("q_rvec"), j * sub + 1, sub).as("sv"))): _*)).as("x"))
       .select(col("q_id"), col("cl"), col("x.j").as("j"), col("x.sv").as("sv"))
     val dtab = qsv.join(broadcast(pqCents), Seq("j"))
       .withColumn("d2", sqDist("sv", "centroid"))
@@ -164,9 +165,8 @@ object ProductQuant {
       .agg(sort_array(collect_list(struct(col("j"), col("cluster")))).as("cs"))
     val topK = codeArr.join(broadcast(dtab), Seq("cl"))
       .filter(col("id") =!= col("q_id"))
-      .withColumn("adist", expr(
-        s"aggregate(cs, cast(0 as double), (acc, c) -> " +
-          s"acc + dt[c.j * $nCodes + c.cluster])"))
+      .withColumn("adist", graft.functions.expressions.AdcSumExpr
+        .column(col("cs"), col("dt"), nCodes))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("adist"), col("id"))))
       .filter(col("rank") <= k)
@@ -183,12 +183,10 @@ object ProductQuant {
       k: Int, m: Int, dim: Int, nCodes: Int): DataFrame = {
     val sub = dim / m
     // per-query distance table: exact query-subvector ↔ centroid
+    val qv = col("q_vec").cast("array<double>")
     val qsv = queries.select(col("q_id"),
-      explode(expr(
-        s"""transform(sequence(0, ${m - 1}), j -> struct(j as j,
-           |  transform(sequence(0, ${sub - 1}),
-           |    d -> cast(q_vec[j * $sub + d] as double)) as sv))""".stripMargin))
-        .as("x"))
+        explode(array((0 until m).map(j => struct(lit(j).as("j"),
+          slice(qv, j * sub + 1, sub).as("sv"))): _*)).as("x"))
       .select(col("q_id"), col("x.j").as("j"), col("x.sv").as("sv"))
     val dtab = qsv.join(broadcast(cents), Seq("j"))
       .withColumn("d2", sqDist("sv", "centroid"))
@@ -205,9 +203,8 @@ object ProductQuant {
       .agg(sort_array(collect_list(struct(col("j"), col("cluster")))).as("cs"))
     codeArr.crossJoin(broadcast(dtab))
       .filter(col("id") =!= col("q_id")) // self-matches, like bruteForceTopK
-      .withColumn("adist", expr(
-        s"aggregate(cs, cast(0 as double), (acc, c) -> " +
-          s"acc + dt[c.j * $nCodes + c.cluster])"))
+      .withColumn("adist", graft.functions.expressions.AdcSumExpr
+        .column(col("cs"), col("dt"), nCodes))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("adist"), col("id"))))
       .filter(col("rank") <= k)

@@ -280,7 +280,7 @@ object Similarity {
   def cappedWitnessDrop(assigned: DataFrame, threshold: Double,
       cap: Int): DataFrame = {
     val nzAssigned = assigned.withColumn("nz",
-      expr("aggregate(vec, 0D, (a, x) -> a + cast(x as double) * x)") > 0d)
+      graft.functions.expressions.Norm2FExpr.column(col("vec")) > 0d)
     val groups = nzAssigned.filter(col("nz"))
       .groupBy(col("cluster"), col("vec"))
       .agg(min(col("id")).as("rep_id"))

@@ -223,6 +223,34 @@ object KernelProps extends Properties("graft.kernels") {
       got == xs.foldLeft(0.0)(_ + _)
     }
 
+  property("sq-dist / adc-sum / float-norm2 kernels equal their folds") =
+    forAll(dimGen.flatMap(d => Gen.zip(vecGen(d), vecGen(d))),
+      Gen.chooseNum(1, 6).flatMap(nc => Gen.zip(Gen.const(nc),
+        Gen.listOf(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 5)))
+          .map(_.map { case (j, c) => (j, c % nc) })))) {
+      case ((a, b), (nCodes, cs)) =>
+        import graft.functions.expressions._
+        val sq = SqDistExpr.sqDist(gad(a), gad(b))
+        val wantSq = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + (x - y) * (x - y) }
+        val dt = Array.tabulate[Any](4 * nCodes)(i => i * 0.5 - 3.0)
+        val csRows = cs.map { case (j, c) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](j, c)): Any }
+        val adc = AdcSumExpr.adc(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            csRows.toArray),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(dt), nCodes)
+        val wantAdc = cs.foldLeft(0.0) { case (acc, (j, c)) =>
+          acc + dt(j * nCodes + c).asInstanceOf[Double] }
+        val fl = a.map(_.toFloat)
+        val n2 = Norm2FExpr.norm2(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(fl))
+        val wantN2 = fl.foldLeft(0.0)((acc, x) =>
+          acc + x.toDouble * x.toDouble)
+        sq == wantSq && adc.doubleValue == wantAdc && n2 == wantN2
+    }
+
   property("unigram viterbi kernel equals the SQL fold (dp, tie-break, " +
     "backtrace)") =
     forAll(Gen.chooseNum(1, 10).flatMap(n =>
