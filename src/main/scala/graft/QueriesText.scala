@@ -2193,14 +2193,17 @@ object QueriesText {
     Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[^\\\\s]', 0)").as("ch"))
+      // native hash-count + sorted fold replaces the O(distinct × n)
+      // per-distinct-char filter rescans (same sorted-char fold order,
+      // same divide/ln per term — the DuckDB oracle keeps the
+      // quadratic form); the - and round stay out here
+      .select(col("doc_id"), size(col("ch")).as("n_chars"),
+        graft.functions.expressions.CharEntropyFoldExpr.column(col("ch"))
+          .as("ef"))
       .select(col("doc_id"),
-        size(col("ch")).as("n_chars"),
-        size(array_distinct(col("ch"))).as("n_distinct_chars"),
-        round(expr(
-          """-aggregate(array_sort(array_distinct(ch)), 0D, (acc, c) ->
-            |  acc + (CAST(size(filter(ch, x -> x = c)) AS DOUBLE) / size(ch))
-            |      * ln(CAST(size(filter(ch, x -> x = c)) AS DOUBLE) / size(ch)))"""
-            .stripMargin), 6).as("entropy"))
+        col("n_chars"),
+        col("ef.nd").as("n_distinct_chars"),
+        round(-col("ef.s"), 6).as("entropy"))
 
   /** Corpus encoded under the trained unigram vocab (the encode half,
     * mirroring tokenizer_bpe_encode): the Viterbi segmentation runs

@@ -269,6 +269,31 @@ object SketchExprs {
     }
     new GenericArrayData(out)
   }
+
+  /** Per-row kernel for [[CharEntropyFoldExpr]]. */
+  def charEntropyFold(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
+    var i = 0
+    while (i < n) {
+      val k = arr.getUTF8String(i)
+      val c = counts.get(k)
+      if (c == null) counts.put(k.clone(), Array(1)) else c(0) += 1
+      i += 1
+    }
+    val keys = new java.util.ArrayList[UTF8String](counts.keySet())
+    java.util.Collections.sort(keys)
+    var acc = 0.0
+    var j = 0
+    while (j < keys.size()) {
+      val p = counts.get(keys.get(j))(0).toDouble / n
+      acc += p * java.lang.Math.log(p)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](counts.size(), acc))
+  }
+
 }
 
 /** MinHash signature: array<string> words → array<long>[numPerms]. */
@@ -455,4 +480,37 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
       s"graft.functions.expressions.SketchExprs.tokenCount($c)")
   override protected def withNewChildInternal(newChild: Expression): TokenCountExpr =
     copy(child = newChild)
+}
+
+/** Char-entropy fold: for a string array `ch`, returns
+  * struct(nd = |distinct ch|,
+  *        s  = Σ over SORTED distinct c of (cnt_c/n)·ln(cnt_c/n)) —
+  * bit-identical to the SQL pair
+  * `size(array_distinct(ch))` and
+  * `aggregate(array_sort(array_distinct(ch)), 0D, (acc, c) ->
+  *    acc + (CAST(size(filter(ch, x -> x = c)) AS DOUBLE) / size(ch))
+  *        * ln(…))`:
+  * one hash-count pass + a sort of the DISTINCT values replaces the
+  * O(|distinct| × n) per-row equality rescans (the interpreted filter
+  * per distinct char), with the fold in the same binary string order
+  * (UTF8String.compareTo = array_sort's string order) and the same
+  * divide/ln per term. The caller keeps the SQL `-`/round. */
+case class CharEntropyFoldExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("nd", IntegerType, nullable = false),
+    StructField("s", DoubleType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.charEntropyFold(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SketchExprs.charEntropyFold($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): CharEntropyFoldExpr = copy(child = newChild)
+}
+
+object CharEntropyFoldExpr {
+  def column(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftNative.column(CharEntropyFoldExpr(
+      org.apache.spark.sql.GraftNative.expression(c)))
 }
