@@ -687,49 +687,22 @@ object QueriesText {
   /** Core of [[textDupNgramFrac]] over any `(doc_id, text)` frame —
     * split out so specs can push a pathological long document (≥100k
     * tokens) through the exact production pipeline. */
-  def textDupNgramFracOf(docs: DataFrame): DataFrame = {
-    def ng(n: Int): String =
-      s"CASE WHEN size(ws) >= $n THEN transform(sequence(0, size(ws) - $n), " +
-        s"i -> array_join(slice(ws, i + 1, $n), ' ')) " +
-        "ELSE cast(array() as array<string>) END"
-    // mx$n is a materialized column, NOT array_max inside the filter
-    // lambda — a lambda-body array_max re-runs per element (O(L²); a
-    // 120k-token doc stalled a task for minutes before this was hoisted)
-    def topFrac(n: Int): String =
-      s"""CASE WHEN size(ng$n) = 0 THEN 0D ELSE
-         |  CAST(mx$n
-         |    * length(replace(array_min(transform(
-         |        filter(sequence(0, size(ng$n) - 1), i ->
-         |          cn$n[i] = mx$n),
-         |        i -> ng$n[i])), ' ', ''))
-         |    AS DOUBLE) / tc END""".stripMargin
-    def dupFrac(n: Int): String =
-      s"""CASE WHEN size(ng$n) = 0 THEN 0D ELSE
-         |  CAST(aggregate(
-         |    array_distinct(flatten(transform(
-         |      filter(sequence(0, size(ws) - $n), i -> cn$n[i] >= 2),
-         |      i -> sequence(i, i + $n - 1)))),
-         |    0, (acc, p) -> acc + length(ws[p])) AS DOUBLE) / tc END"""
-        .stripMargin
-    val base = docs
+  def textDupNgramFracOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
-      .withColumn("tc", expr("aggregate(ws, 0, (acc, w) -> acc + length(w))"))
-    // per-n occurrence-count arrays materialized ONCE per row — every
-    // signal below reads them; counts come from the native O(L)
-    // hash-pass expression, not the O(L²) transform/filter rescan
-    val withNg = (2 to 10).foldLeft(base) { (df, n) =>
-      val d2 = df.withColumn(s"ng$n", expr(ng(n)))
-        .withColumn(s"cn$n", TextFns.elementCounts(col(s"ng$n")))
-      if (n <= 4)
-        d2.withColumn(s"mx$n",
-          expr(s"CASE WHEN size(cn$n) = 0 THEN 0 ELSE array_max(cn$n) END"))
-      else d2
-    }
-    withNg.select(
-      Seq(col("doc_id"), col("tc").as("n_chars")) ++
-        (2 to 4).map(n => expr(topFrac(n)).as(s"top${n}_gram_frac")) ++
-        (5 to 10).map(n => expr(dupFrac(n)).as(s"dup${n}_gram_frac")): _*)
-  }
+      // ONE fused native pass per row for all nine signals (tc, the
+      // {2,3,4}-gram top fractions, the {5..10}-gram coverage
+      // fractions) — same gram strings, same argmin/coverage/ANSI-int
+      // semantics as the HOF pipeline it replaces (the DuckDB oracle
+      // keeps that form; equivalence is property-pinned in
+      // KernelProps and hash-gated)
+      .select(col("doc_id"),
+        graft.functions.expressions.GopherRepetitionExpr.column(col("ws"))
+          .as("g"))
+      .select(
+        Seq(col("doc_id"), col("g.tc").as("n_chars")) ++
+          (2 to 4).map(n => col(s"g.t$n").as(s"top${n}_gram_frac")) ++
+          (5 to 10).map(n => col(s"g.d$n").as(s"dup${n}_gram_frac")): _*)
 
   /** Composed C4/Gopher-style quality gating: every rule evaluated
     * per document in ONE pass (all signals are per-row higher-order

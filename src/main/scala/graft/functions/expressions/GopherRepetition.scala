@@ -1,0 +1,135 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused Gopher repetition signals (Rae et al., Table A1) over one
+  * word array: total chars, the top-{2,3,4}-gram character fractions
+  * and the duplicated-{5..10}-gram coverage fractions, in ONE native
+  * pass per n — replacing the per-row interpreted HOF pipeline (9
+  * `transform(sequence…)` gram builds, `filter`+`flatten`+`aggregate`
+  * coverage chains, `transform`+`filter`+`array_min` argmin scans)
+  * whose boxing dominated the operator's CPU.
+  *
+  * Bit-exactness contract (the DuckDB oracle keeps the HOF form):
+  *  - grams are `array_join(slice(ws, i+1, n), ' ')` strings; words
+  *    never contain whitespace, so the join is injective per n and a
+  *    gram's no-space length is numChars − (n−1);
+  *  - topN = CAST(mx · len_nospace(lexicographically smallest gram
+  *    with count = mx) AS DOUBLE) / tc — string order is UTF8 binary
+  *    order, the same as `array_min`;
+  *  - dupN = CAST(Σ length(ws[p]) over DISTINCT positions covered by
+  *    any gram occurring ≥ 2 AS DOUBLE) / tc — a set sum of ints, so
+  *    visit order is irrelevant;
+  *  - size(ws) < n ⇒ 0D for that n; tc sums with int semantics
+  *    (addExact — ANSI overflow parity).
+  *
+  * Output struct: (tc int, t2, t3, t4, d5, d6, d7, d8, d9, d10). */
+case class GopherRepetitionExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(
+    StructField("tc", IntegerType, nullable = false) +:
+      (Seq("t2", "t3", "t4", "d5", "d6", "d7", "d8", "d9", "d10").map(f =>
+        StructField(f, DoubleType, nullable = false))))
+
+  override def nullSafeEval(input: Any): Any =
+    GopherRepetitionExpr.signals(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.GopherRepetitionExpr.signals($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GopherRepetitionExpr = copy(child = newChild)
+}
+
+object GopherRepetitionExpr {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Per-row kernel — static so generated code calls it directly. */
+  def signals(ws: ArrayData): GenericInternalRow = {
+    val L = ws.numElements()
+    val words = new Array[UTF8String](L)
+    val lens = new Array[Int](L)
+    var tc = 0
+    var i = 0
+    while (i < L) {
+      val w = ws.getUTF8String(i)
+      words(i) = w
+      lens(i) = w.numChars()
+      tc = Math.addExact(tc, lens(i))
+      i += 1
+    }
+    val out = new Array[Any](10)
+    out(0) = tc
+    var n = 2
+    while (n <= 10) {
+      out(n - 1) =
+        if (L < n) 0.0
+        else {
+          val m = L - n + 1
+          val grams = new Array[UTF8String](m)
+          val counts = new java.util.HashMap[UTF8String, Array[Int]](m * 2)
+          var p = 0
+          while (p < m) {
+            val g = UTF8String.concatWs(Space,
+              java.util.Arrays.copyOfRange(words, p, p + n): _*)
+            grams(p) = g
+            val c = counts.get(g)
+            if (c == null) counts.put(g, Array(1)) else c(0) += 1
+            p += 1
+          }
+          if (n <= 4) {
+            // top fraction: most frequent gram's count × its no-space
+            // chars, ties to the smallest gram string
+            var mx = 0
+            val it0 = counts.values().iterator()
+            while (it0.hasNext) {
+              val c = it0.next()(0); if (c > mx) mx = c
+            }
+            var minG: UTF8String = null
+            val it1 = counts.entrySet().iterator()
+            while (it1.hasNext) {
+              val e = it1.next()
+              if (e.getValue()(0) == mx &&
+                  (minG == null || e.getKey.compareTo(minG) < 0))
+                minG = e.getKey
+            }
+            Math.multiplyExact(mx, minG.numChars() - (n - 1)).toDouble /
+              tc.toDouble
+          } else {
+            // duplicated-gram coverage: chars at positions covered by
+            // any gram occurring ≥ 2, each position once
+            val covered = new Array[Boolean](L)
+            var p2 = 0
+            while (p2 < m) {
+              if (counts.get(grams(p2))(0) >= 2) {
+                var q = p2
+                while (q < p2 + n) { covered(q) = true; q += 1 }
+              }
+              p2 += 1
+            }
+            var num = 0
+            var q = 0
+            while (q < L) {
+              if (covered(q)) num = Math.addExact(num, lens(q))
+              q += 1
+            }
+            num.toDouble / tc.toDouble
+          }
+        }
+      n += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  def column(ws: Column): Column =
+    org.apache.spark.sql.GraftNative.column(GopherRepetitionExpr(
+      org.apache.spark.sql.GraftNative.expression(ws)))
+}

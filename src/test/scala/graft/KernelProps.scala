@@ -223,6 +223,47 @@ object KernelProps extends Properties("graft.kernels") {
       got == xs.foldLeft(0.0)(_ + _)
     }
 
+  // words drawn from a tiny alphabet so duplicated n-grams and top-gram
+  // ties actually occur
+  private val wordsGen: Gen[List[String]] =
+    Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "ab", "c", "dd", "a1")))
+
+  property("gopher repetition kernel equals the HOF-form signals") =
+    forAll(wordsGen) { ws =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(w => UTF8String.fromString(w): Any).toArray)
+      val got = graft.functions.expressions.GopherRepetitionExpr.signals(arr)
+      val L = ws.length
+      val tc = ws.map(_.length).sum
+      def grams(n: Int): Seq[String] =
+        if (L < n) Nil else (0 to L - n).map(i => ws.slice(i, i + n).mkString(" "))
+      def top(n: Int): Double = {
+        val gs = grams(n)
+        if (gs.isEmpty) 0.0
+        else {
+          val counts = gs.groupBy(identity).view.mapValues(_.size)
+          val mx = counts.values.max
+          val minG = counts.filter(_._2 == mx).keys.min
+          (mx * minG.replace(" ", "").length).toDouble / tc
+        }
+      }
+      def dup(n: Int): Double = {
+        val gs = grams(n)
+        if (gs.isEmpty) 0.0
+        else {
+          val counts = gs.groupBy(identity).view.mapValues(_.size)
+          val covered = gs.zipWithIndex.filter(g => counts(g._1) >= 2)
+            .flatMap { case (_, i) => i until i + n }.distinct
+          covered.map(p => ws(p).length).sum.toDouble / tc
+        }
+      }
+      val want = Seq(tc.toDouble) ++ (2 to 4).map(top) ++ (5 to 10).map(dup)
+      val gotSeq = Seq(got.getInt(0).toDouble) ++
+        (1 to 9).map(got.getDouble)
+      gotSeq == want
+    }
+
   property("sq-dist / adc-sum / float-norm2 kernels equal their folds") =
     forAll(dimGen.flatMap(d => Gen.zip(vecGen(d), vecGen(d))),
       Gen.chooseNum(1, 6).flatMap(nc => Gen.zip(Gen.const(nc),
