@@ -14,7 +14,11 @@ object TextFns {
   /** Lowercased whitespace tokens, empties dropped. Mirrors DuckDB's
     * `list_filter(string_split_regex(lower(x),'\s+'), w -> len(w)>0)`. */
   def words(c: Column): Column =
-    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+    // native byte-walk tokenizer — value-identical to
+    // filter(split(lower(c), "\\s+"), w -> length(w) > 0) (the form the
+    // DuckDB oracles keep), without the regex pass, the interpreted
+    // filter HOF, or the intermediate empty-token array
+    graft.functions.expressions.WordsExpr.column(lower(c))
 
   /** Distinct token set (dedup/Jaccard input). */
   def wordSet(c: Column): Column = array_distinct(words(c))
@@ -67,7 +71,10 @@ object TextFns {
 
   /** Hits of `lang`'s stopword list in the token array `ws`. */
   def stopwordHits(ws: Column, lang: String): Column =
-    size(filter(ws, w => w.isInCollection(stopwords(lang))))
+    // native membership count — value-identical to
+    // size(filter(ws, w -> w IN stopwords)) without materializing the
+    // filtered array per row
+    graft.functions.expressions.CountInSetExpr.column(ws, stopwords(lang))
 
   // -------------------------------------------------------------- PII scrub
 

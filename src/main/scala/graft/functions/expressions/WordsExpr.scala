@@ -1,0 +1,105 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whitespace tokenizer: maximal runs of non-whitespace characters, as
+  * zero-copy substrings of the input — bit-identical to
+  * `filter(split(s, "\\s+"), w -> length(w) > 0)` (Java-regex `\s` is
+  * the six ASCII whitespace chars, so a byte walk is exact in UTF-8:
+  * every whitespace byte is < 0x80 and never part of a multi-byte
+  * sequence). Replaces the regex-engine split + the interpreted filter
+  * HOF + the intermediate empty-token array on the hottest per-row
+  * path in the text family (every tokenization consumer). */
+case class WordsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordsExpr.words(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.WordsExpr.words($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordsExpr =
+    copy(child = newChild)
+}
+
+object WordsExpr {
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Per-row kernel — static so generated code calls it directly. */
+  def words(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start)
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def column(c: Column): Column =
+    org.apache.spark.sql.GraftNative.column(WordsExpr(
+      org.apache.spark.sql.GraftNative.expression(c)))
+}
+
+/** Count of array elements contained in a fixed string set —
+  * bit-identical to `size(filter(ws, w -> w IN (set)))` without
+  * materializing the filtered array (the stopword-ratio signal). */
+case class CountInSetExpr(child: Expression, set: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val utf8Set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CountInSetExpr.count(input.asInstanceOf[ArrayData], utf8Set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("utf8Set", utf8Set,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.CountInSetExpr.count($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CountInSetExpr = copy(child = newChild)
+}
+
+object CountInSetExpr {
+  def count(arr: ArrayData,
+      set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def column(c: Column, set: Seq[String]): Column =
+    org.apache.spark.sql.GraftNative.column(CountInSetExpr(
+      org.apache.spark.sql.GraftNative.expression(c), set))
+}

@@ -223,6 +223,37 @@ object KernelProps extends Properties("graft.kernels") {
       got == xs.foldLeft(0.0)(_ + _)
     }
 
+  // whitespace-heavy text incl. non-ASCII: the tokenizer must match the
+  // Java-regex split+filter form exactly (\s is ASCII-only)
+  private val wsTextGen: Gen[String] =
+    Gen.listOf(Gen.frequency[String](
+      5 -> Gen.alphaLowerChar.map(_.toString),
+      3 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r"),
+      1 -> Gen.oneOf(" ", "中", "é",
+        new String(Character.toChars(0x1F600))),
+    )).map(_.mkString)
+
+  property("words byte-walk equals filter(split(s, \\s+), len > 0)") =
+    forAll(wsTextGen) { s =>
+      val want = s.split("\\s+", -1).toSeq.filter(_.nonEmpty)
+      val got0 = graft.functions.expressions.WordsExpr
+        .words(UTF8String.fromString(s))
+      val got = (0 until got0.numElements())
+        .map(got0.getUTF8String(_).toString)
+      got == want
+    }
+
+  property("count-in-set equals size(filter(ws, w IN set))") =
+    forAll(Gen.listOf(Gen.oneOf("the", "a", "zz", "of", "qq", "and"))) { ws =>
+      val set = Seq("the", "a", "of", "and")
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(w => UTF8String.fromString(w): Any).toArray)
+      val utf8 = new java.util.HashSet[UTF8String]()
+      set.foreach(w => utf8.add(UTF8String.fromString(w)))
+      graft.functions.expressions.CountInSetExpr.count(arr, utf8) ==
+        ws.count(set.contains)
+    }
+
   // words drawn from a tiny alphabet so duplicated n-grams and top-gram
   // ties actually occur
   private val wordsGen: Gen[List[String]] =
