@@ -948,12 +948,13 @@ object QueriesText {
     val bg = docs
       .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
+      // native adjacent-pair kernel — same (w1, w2) structs as the
+      // transform(sequence…) HOF, without the per-row interpreted build
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), size(col("ws")) - 2),
-          k => struct(element_at(col("ws"), k + lit(1)).as("w1"),
-            element_at(col("ws"), k + lit(2)).as("w2")))))
+        graft.functions.expressions.BigramsExpr.column(col("ws")))
+        .as(Seq("pos", "bg")))
       .select(col("doc_id"), col("pos"),
-        col("col.w1").as("w1"), col("col.w2").as("w2"))
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .localCheckpoint() // EAGER: feeds counts + scoring join — three
     // branches of one final action; a lazy checkpoint here is
     // recomputed concurrently per branch (see dedupSubstrings)
@@ -1041,19 +1042,18 @@ object QueriesText {
       // by both branches' stages before it persists; eager pays one
       // up-front job and every consumer reads the materialized copy
       .localCheckpoint()
-    val h = org.apache.spark.sql.GraftNative.column(
-      graft.functions.expressions.Fnv64Expr(
-        org.apache.spark.sql.GraftNative.expression(col("ng"))))
     val windows = docs
       .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
       // size < W would make sequence(0, negative) run DESCENDING in
       // Spark, not empty — filter first
       .filter(size(col("ws")) >= W)
+      // fused window hashes: FNV-1a is a streaming byte fold, so
+      // hashing word bytes with 0x20 between equals hashing the joined
+      // gram string — the per-window strings (and the interpreted
+      // transform HOF that built them) are gone
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), size(col("ws")) - W),
-          k => concat_ws(" ", slice(col("ws"), k + lit(1), lit(W)))))
-        .as(Seq("pos", "ng")))
-      .select(col("doc_id"), col("pos"), h.as("h"))
+        graft.functions.expressions.NgramFnv64Expr.column(col("ws"), W))
+        .as(Seq("pos", "h")))
       .localCheckpoint() // feeds dup count + the dup join (see above)
     val dupHashes = windows.groupBy("h")
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("h")

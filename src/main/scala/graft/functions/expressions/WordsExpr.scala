@@ -103,3 +103,104 @@ object CountInSetExpr {
     org.apache.spark.sql.GraftNative.column(CountInSetExpr(
       org.apache.spark.sql.GraftNative.expression(c), set))
 }
+
+/** Sliding n-gram FNV-1a hashes: for each window of `n` consecutive
+  * words, the FNV-1a/64 of the words joined with a single space —
+  * bit-identical to
+  * `transform(sequence(0, size(ws)-n), k -> fnv(concat_ws(' ',
+  * slice(ws, k+1, n))))` because FNV-1a is a streaming byte fold: the
+  * hash of the joined string equals folding each word's UTF-8 bytes
+  * with 0x20 between, so the joined strings are never materialized.
+  * Callers must pre-filter size(ws) >= n (the SQL sequence would run
+  * descending otherwise); the kernel returns empty then. */
+case class NgramFnv64Expr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    NgramFnv64Expr.hashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NgramFnv64Expr.hashes($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramFnv64Expr = copy(child = newChild)
+}
+
+object NgramFnv64Expr {
+  def hashes(ws: ArrayData, n: Int): GenericArrayData = {
+    val L = ws.numElements()
+    if (L < n) return new GenericArrayData(Array.emptyLongArray)
+    val wordBytes = new Array[Array[Byte]](L)
+    var i = 0
+    while (i < L) { wordBytes(i) = ws.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Long](L - n + 1)
+    var p = 0
+    while (p <= L - n) {
+      var h = graft.functions.Hashing.FnvOffset
+      var j = p
+      while (j < p + n) {
+        if (j > p) { h ^= 0x20L; h *= graft.functions.Hashing.FnvPrime }
+        val b = wordBytes(j)
+        var k = 0
+        while (k < b.length) {
+          h ^= (b(k) & 0xffL); h *= graft.functions.Hashing.FnvPrime
+          k += 1
+        }
+        j += 1
+      }
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def column(ws: Column, n: Int): Column =
+    org.apache.spark.sql.GraftNative.column(NgramFnv64Expr(
+      org.apache.spark.sql.GraftNative.expression(ws), n))
+}
+
+/** Adjacent word pairs: array<struct<w1, w2>> of (ws(k), ws(k+1)) —
+  * bit-identical to `transform(sequence(0, size(ws)-2), k ->
+  * struct(element_at(ws, k+1), element_at(ws, k+2)))`. Callers
+  * pre-filter size(ws) >= 2; the kernel returns empty below that. */
+case class BigramsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    BigramsExpr.pairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.BigramsExpr.pairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramsExpr =
+    copy(child = newChild)
+}
+
+object BigramsExpr {
+  def pairs(ws: ArrayData): GenericArrayData = {
+    val L = ws.numElements()
+    if (L < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](L - 1)
+    var k = 0
+    while (k < L - 1) {
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ws.getUTF8String(k), ws.getUTF8String(k + 1)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def column(ws: Column): Column =
+    org.apache.spark.sql.GraftNative.column(BigramsExpr(
+      org.apache.spark.sql.GraftNative.expression(ws)))
+}

@@ -367,6 +367,41 @@ object KernelProps extends Properties("graft.kernels") {
       got.getDouble(0) == dp(L) && gotPieces == wantPieces
     }
 
+  // words incl. multi-byte UTF-8 (and an empty string — concat_ws keeps
+  // the separator around empties, and so does the streaming byte fold)
+  private val ngramWordGen: Gen[String] = Gen.frequency(
+    5 -> Gen.oneOf("a", "bb", "ab", "c", "dd", "a1"),
+    1 -> Gen.oneOf("é", "中文", new String(Character.toChars(0x1F600)), ""))
+
+  property("ngram fnv64 hashes equal fnv(concat_ws(' ', slice(ws, k+1, n)))") =
+    forAll(Gen.chooseNum(1, 4), Gen.listOf(ngramWordGen)) { (n, ws) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(w => UTF8String.fromString(w): Any).toArray)
+      val got0 = graft.functions.expressions.NgramFnv64Expr.hashes(arr, n)
+      val got = (0 until got0.numElements()).map(got0.getLong)
+      val want =
+        if (ws.length < n) Seq.empty[Long]
+        else (0 to ws.length - n).map(k =>
+          graft.functions.expressions.SketchExprs.fnv(
+            UTF8String.fromString(ws.slice(k, k + n).mkString(" "))))
+      got == want
+    }
+
+  property("bigrams kernel equals the adjacent (ws(k), ws(k+1)) pairs") =
+    forAll(Gen.listOf(ngramWordGen)) { ws =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(w => UTF8String.fromString(w): Any).toArray)
+      val got0 = graft.functions.expressions.BigramsExpr.pairs(arr)
+      val got = (0 until got0.numElements()).map { i =>
+        val r = got0.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+      }
+      val want =
+        if (ws.length < 2) Seq.empty
+        else (0 until ws.length - 1).map(k => (ws(k), ws(k + 1)))
+      got == want
+    }
+
   property("heroku octet framing round-trips random frame sequences") =
     forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, msgGen))) { msgs =>
       val frames = msgs.map(m =>
