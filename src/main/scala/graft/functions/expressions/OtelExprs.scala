@@ -1,0 +1,142 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** OTLP kvlist → map<string,string>: one pass over an
+  * array<struct<key, value struct<stringValue, intValue, …>>>, binding
+  * each key to coalesce(value.stringValue, value.intValue) —
+  * bit-identical to
+  * `map_from_entries(transform(values, v -> struct(v.key,
+  * coalesce(v.value.stringValue, v.value.intValue))))` on the inputs
+  * the OTLP parser produces. Error cases keep map_from_entries' loud
+  * default-policy semantics: a duplicate or null key throws (the
+  * EXCEPTION dedup policy), and a null ENTRY — which the transform
+  * form would silently turn into a null map — throws instead, because
+  * from_json of an OTLP kvlist never yields one and silence would hide
+  * a malformed envelope. Replaces four interpreted HOF traversals per
+  * log record on the S28 hot path. */
+case class KvMapExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    MapType(StringType, StringType, valueContainsNull = true)
+
+  private lazy val valueNumFields: Int =
+    child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+      .fields(1).dataType.asInstanceOf[StructType].fields.length
+
+  override def nullSafeEval(input: Any): Any =
+    KvMapExpr.build(input.asInstanceOf[ArrayData], valueNumFields)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.KvMapExpr.build($c, $valueNumFields)")
+
+  override protected def withNewChildInternal(newChild: Expression): KvMapExpr =
+    copy(child = newChild)
+}
+
+object KvMapExpr {
+  /** Per-row kernel — static so generated code calls it directly. */
+  def build(entries: ArrayData, valueNumFields: Int): ArrayBasedMapData = {
+    val n = entries.numElements()
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    val seen = new java.util.HashSet[UTF8String](Math.max(4, n * 2))
+    var i = 0
+    while (i < n) {
+      if (entries.isNullAt(i))
+        throw new IllegalStateException("OTLP kvlist entry is null")
+      val e = entries.getStruct(i, 2)
+      val k = if (e.isNullAt(0)) null else e.getUTF8String(0)
+      if (k == null)
+        throw new IllegalStateException("Cannot use null as map key")
+      if (!seen.add(k))
+        throw new IllegalStateException(s"Duplicate map key $k")
+      val v = if (e.isNullAt(1)) null else {
+        val vs = e.getStruct(1, valueNumFields)
+        if (!vs.isNullAt(0)) vs.getUTF8String(0)
+        else if (!vs.isNullAt(1)) vs.getUTF8String(1)
+        else null
+      }
+      keys(i) = k
+      vals(i) = v
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  def column(values: Column): Column =
+    org.apache.spark.sql.GraftNative.column(KvMapExpr(
+      org.apache.spark.sql.GraftNative.expression(values)))
+}
+
+/** First kvlist VALUE struct whose key equals the literal —
+  * bit-identical to `get(filter(values, v -> v.key === key),
+  * 0).getField("value")`: entries that are null or have a null key are
+  * skipped (the `===` predicate is null there, and filter drops
+  * null-predicate elements), the first match wins, no match (or a null
+  * input array) yields null. The caller chains plain GetStructField
+  * accessors on the result. */
+case class KvFirstValExpr(child: Expression, key: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fields(1).dataType
+
+  override def nullable: Boolean = true
+
+  private lazy val valueNumFields: Int =
+    dataType.asInstanceOf[StructType].fields.length
+
+  private val keyUtf8 = UTF8String.fromString(key)
+
+  override def nullSafeEval(input: Any): Any =
+    KvFirstValExpr.first(input.asInstanceOf[ArrayData], keyUtf8, valueNumFields)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keyRef = ctx.addReferenceObj("kvKey", keyUtf8,
+      classOf[UTF8String].getName)
+    val resultType = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.javaType(dataType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = ($resultType) graft.functions.expressions
+         |  .KvFirstValExpr.first($c, $keyRef, $valueNumFields);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KvFirstValExpr =
+    copy(child = newChild)
+}
+
+object KvFirstValExpr {
+  /** Per-row kernel — static so generated code calls it directly. */
+  def first(entries: ArrayData, key: UTF8String, valueNumFields: Int): InternalRow = {
+    val n = entries.numElements()
+    var i = 0
+    while (i < n) {
+      if (!entries.isNullAt(i)) {
+        val e = entries.getStruct(i, 2)
+        if (!e.isNullAt(0) && e.getUTF8String(0).equals(key)) {
+          return if (e.isNullAt(1)) null else e.getStruct(1, valueNumFields)
+        }
+      }
+      i += 1
+    }
+    null
+  }
+
+  def column(values: Column, key: String): Column =
+    org.apache.spark.sql.GraftNative.column(KvFirstValExpr(
+      org.apache.spark.sql.GraftNative.expression(values), key))
+}

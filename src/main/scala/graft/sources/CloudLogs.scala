@@ -98,17 +98,19 @@ object CloudLogs {
         StructField("logRecords", ArrayType(logRecord))))))))))))
   }
 
+  // native one-pass kernel — bit-identical to
+  // map_from_entries(transform(values, v -> struct(v.key,
+  // coalesce(v.value.stringValue, v.value.intValue)))), without the
+  // interpreted HOF traversal per record (see KvMapExpr)
   private def kvMap(values: org.apache.spark.sql.Column) =
-    map_from_entries(transform(values, v =>
-      struct(v.getField("key"),
-        coalesce(v.getField("value").getField("stringValue"),
-          v.getField("value").getField("intValue")))))
+    graft.functions.expressions.KvMapExpr.column(values)
 
-  // get() instead of [0]: an absent key yields null, not an ANSI
-  // out-of-bounds error
+  // native first-match kernel — bit-identical to
+  // get(filter(values, v -> v.key === key), 0).value (absent key →
+  // null, not an ANSI out-of-bounds error; see KvFirstValExpr)
   private def subKvlist(values: org.apache.spark.sql.Column, key: String) =
-    get(filter(values, v => v.getField("key") === key), lit(0))
-      .getField("value").getField("kvlistValue").getField("values")
+    graft.functions.expressions.KvFirstValExpr.column(values, key)
+      .getField("kvlistValue").getField("values")
 
   /** Unwrap OTLP/JSON log requests (`handleOtlpLogsRequest`,
     * `otel_handler.go:176-248` + `logLineFromStructuredFields`): three
@@ -127,9 +129,9 @@ object CloudLogs {
     val topVals = col("_lr.body.kvlistValue.values")
     // Supabase log drain: csvlog fields under metadata → parsed, message
     // on the record's eventName (`supabase/logs.go:13-25`)
-    val parsedVals = get(filter(subKvlist(topVals, "metadata"),
-      v => v.getField("key") === "parsed"), lit(0))
-      .getField("value").getField("kvlistValue").getField("values")
+    val parsedVals = graft.functions.expressions.KvFirstValExpr
+      .column(subKvlist(topVals, "metadata"), "parsed")
+      .getField("kvlistValue").getField("values")
     // Build every kvlist map (and the plain-body syslog parse) ONCE per
     // record in one projection behind an explode(array(…)) fence:
     // predicates on generator output are not pushed below a Generate, so

@@ -402,6 +402,62 @@ object KernelProps extends Properties("graft.kernels") {
       got == want
     }
 
+  // OTLP kvlist entries: struct<key, value struct<stringValue, intValue>>
+  // with nullable leaves so the coalesce and skip paths are exercised
+  private val kvEntryGen: Gen[(String, Option[String], Option[String])] =
+    for {
+      k <- Gen.identifier.map(_.take(6))
+      s <- Gen.option(Gen.alphaNumStr.map(_.take(8)))
+      i <- Gen.option(Gen.chooseNum(0, 9999).map(_.toString))
+    } yield (k, s, i)
+  private def kvRow(k: String, s: Option[String], i: Option[String]) =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(k),
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](s.map(UTF8String.fromString).orNull,
+            i.map(UTF8String.fromString).orNull))))
+
+  property("kv-map kernel equals map_from_entries(transform(...coalesce))") =
+    forAll(Gen.listOf(kvEntryGen)) { es0 =>
+      // map_from_entries' default policy throws on duplicates — the
+      // kernel replicates that; the value property runs on unique keys
+      val es = es0.groupBy(_._1).map(_._2.head).toList
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        es.map { case (k, s, i) => kvRow(k, s, i): Any }.toArray)
+      val m = graft.functions.expressions.KvMapExpr.build(arr, 2)
+      val gotKeys = (0 until m.numElements())
+        .map(m.keyArray.getUTF8String(_).toString)
+      val gotVals = (0 until m.numElements()).map(j =>
+        if (m.valueArray.isNullAt(j)) null
+        else m.valueArray.getUTF8String(j).toString)
+      val wantVals = es.map { case (_, s, i) => s.orElse(i).orNull }
+      val dupThrows = es0.map(_._1).distinct.size == es0.size || {
+        val dupArr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          es0.map { case (k, s, i) => kvRow(k, s, i): Any }.toArray)
+        try { graft.functions.expressions.KvMapExpr.build(dupArr, 2); false }
+        catch { case _: IllegalStateException => true }
+      }
+      Prop(gotKeys == es.map(_._1) && gotVals == wantVals && dupThrows)
+    }
+
+  property("kv-first-val kernel equals get(filter(vs, key===k), 0).value") =
+    forAll(Gen.listOf(Gen.zip(Gen.oneOf("a", "b", "metadata", "record"),
+      Gen.option(Gen.alphaNumStr.map(_.take(4))))),
+      Gen.oneOf("a", "b", "metadata", "record", "absent")) { (es, target) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        es.map { case (k, s) => kvRow(k, s, None): Any }.toArray)
+      val got = graft.functions.expressions.KvFirstValExpr.first(
+        arr, UTF8String.fromString(target), 2)
+      val want = es.find(_._1 == target).map(_._2)
+      want match {
+        case None => Prop(got == null)
+        case Some(s) =>
+          val gs = if (got.isNullAt(0)) None
+            else Some(got.getUTF8String(0).toString)
+          Prop(got != null && gs == s)
+      }
+    }
+
   property("heroku octet framing round-trips random frame sequences") =
     forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, msgGen))) { msgs =>
       val frames = msgs.map(m =>
