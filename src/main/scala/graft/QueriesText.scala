@@ -1253,23 +1253,23 @@ object QueriesText {
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
     val B = 1024L
     val d = Tables.fanOut(Tables.documents(s, dir))
+    // fused window hashes (see dedupSubstrings): FNV-1a is a streaming
+    // byte fold, so seeding with the folded "dsir:" prefix and hashing
+    // word bytes with 0x20 between equals fnv('dsir:' || w1 || ' ' || w2)
+    // — the bigram strings are never materialized
     val bg = d
       .select(col("doc_id"), col("lang"), TextFns.words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(0, size(ws) - 2), i -> ws[i] || ' ' || ws[i + 1])"))
-        .as("bg"))
-    val h = org.apache.spark.sql.GraftNative.column(
-      graft.functions.expressions.Fnv64Expr(
-        org.apache.spark.sql.GraftNative.expression(
-          concat(lit("dsir:"), col("bg")))))
+      .select(col("doc_id"), col("lang"), explode(
+        graft.functions.expressions.NgramFnv64Expr.column(
+          col("ws"), 2, "dsir:")).as("h"))
     // B divides 2^64, so the signed pmod equals the oracle's unsigned mod.
     // ONE corpus-scale shuffle: the hashed bigram stream rolls straight
     // up to (doc, bucket) counts; the raw/target distributions and both
     // totals are rollups of THAT (doc×B-bounded) table, so the token
     // stream is scanned exactly once and never materialized
     val docFeat = bg
-      .select(col("doc_id"), col("lang"), pmod(h, lit(B)).as("bucket"))
+      .select(col("doc_id"), col("lang"), pmod(col("h"), lit(B)).as("bucket"))
       .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("n"))
       .localCheckpoint() // EAGER: feeds raw + target + per-doc weights
     val raw = docFeat.groupBy("bucket").agg(sum("n").as("cr"))

@@ -105,33 +105,50 @@ object CountInSetExpr {
 }
 
 /** Sliding n-gram FNV-1a hashes: for each window of `n` consecutive
-  * words, the FNV-1a/64 of the words joined with a single space —
-  * bit-identical to
-  * `transform(sequence(0, size(ws)-n), k -> fnv(concat_ws(' ',
-  * slice(ws, k+1, n))))` because FNV-1a is a streaming byte fold: the
-  * hash of the joined string equals folding each word's UTF-8 bytes
-  * with 0x20 between, so the joined strings are never materialized.
-  * Callers must pre-filter size(ws) >= n (the SQL sequence would run
-  * descending otherwise); the kernel returns empty then. */
-case class NgramFnv64Expr(child: Expression, n: Int)
+  * words, the FNV-1a/64 of `prefix` + the words joined with a single
+  * space — bit-identical to
+  * `transform(sequence(0, size(ws)-n), k -> fnv(concat(prefix,
+  * concat_ws(' ', slice(ws, k+1, n)))))` because FNV-1a is a streaming
+  * byte fold: the hash of the concatenated string equals folding the
+  * prefix bytes (pre-folded into the start value once), then each
+  * word's UTF-8 bytes with 0x20 between — the joined strings are never
+  * materialized. Callers must pre-filter size(ws) >= n (the SQL
+  * sequence would run descending otherwise); the kernel returns empty
+  * then. */
+case class NgramFnv64Expr(child: Expression, n: Int, prefix: String = "")
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(n >= 1)
+
+  private val h0: Long = NgramFnv64Expr.seed(prefix)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    NgramFnv64Expr.hashes(input.asInstanceOf[ArrayData], n)
+    NgramFnv64Expr.hashes(input.asInstanceOf[ArrayData], n, h0)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expressions.NgramFnv64Expr.hashes($c, $n)")
+      s"graft.functions.expressions.NgramFnv64Expr.hashes($c, $n, ${h0}L)")
 
   override protected def withNewChildInternal(
       newChild: Expression): NgramFnv64Expr = copy(child = newChild)
 }
 
 object NgramFnv64Expr {
-  def hashes(ws: ArrayData, n: Int): GenericArrayData = {
+  /** FNV-1a fold of the prefix bytes from the offset basis — the start
+    * value every window hash continues from. */
+  def seed(prefix: String): Long = {
+    var h = graft.functions.Hashing.FnvOffset
+    val b = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < b.length) {
+      h ^= (b(i) & 0xffL); h *= graft.functions.Hashing.FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  def hashes(ws: ArrayData, n: Int, h0: Long): GenericArrayData = {
     val L = ws.numElements()
     if (L < n) return new GenericArrayData(Array.emptyLongArray)
     val wordBytes = new Array[Array[Byte]](L)
@@ -140,7 +157,7 @@ object NgramFnv64Expr {
     val out = new Array[Long](L - n + 1)
     var p = 0
     while (p <= L - n) {
-      var h = graft.functions.Hashing.FnvOffset
+      var h = h0
       var j = p
       while (j < p + n) {
         if (j > p) { h ^= 0x20L; h *= graft.functions.Hashing.FnvPrime }
@@ -158,9 +175,9 @@ object NgramFnv64Expr {
     new GenericArrayData(out)
   }
 
-  def column(ws: Column, n: Int): Column =
+  def column(ws: Column, n: Int, prefix: String = ""): Column =
     org.apache.spark.sql.GraftNative.column(NgramFnv64Expr(
-      org.apache.spark.sql.GraftNative.expression(ws), n))
+      org.apache.spark.sql.GraftNative.expression(ws), n, prefix))
 }
 
 /** Adjacent word pairs: array<struct<w1, w2>> of (ws(k), ws(k+1)) —

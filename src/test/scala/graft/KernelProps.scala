@@ -373,17 +373,19 @@ object KernelProps extends Properties("graft.kernels") {
     5 -> Gen.oneOf("a", "bb", "ab", "c", "dd", "a1"),
     1 -> Gen.oneOf("é", "中文", new String(Character.toChars(0x1F600)), ""))
 
-  property("ngram fnv64 hashes equal fnv(concat_ws(' ', slice(ws, k+1, n)))") =
-    forAll(Gen.chooseNum(1, 4), Gen.listOf(ngramWordGen)) { (n, ws) =>
+  property("ngram fnv64 hashes equal fnv(prefix || concat_ws(' ', slice(ws, k+1, n)))") =
+    forAll(Gen.chooseNum(1, 4), Gen.listOf(ngramWordGen),
+      Gen.oneOf("", "dsir:", "é:")) { (n, ws, prefix) =>
       val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
         ws.map(w => UTF8String.fromString(w): Any).toArray)
-      val got0 = graft.functions.expressions.NgramFnv64Expr.hashes(arr, n)
+      val got0 = graft.functions.expressions.NgramFnv64Expr.hashes(
+        arr, n, graft.functions.expressions.NgramFnv64Expr.seed(prefix))
       val got = (0 until got0.numElements()).map(got0.getLong)
       val want =
         if (ws.length < n) Seq.empty[Long]
         else (0 to ws.length - n).map(k =>
           graft.functions.expressions.SketchExprs.fnv(
-            UTF8String.fromString(ws.slice(k, k + n).mkString(" "))))
+            UTF8String.fromString(prefix + ws.slice(k, k + n).mkString(" "))))
       got == want
     }
 
