@@ -774,7 +774,7 @@ object QueriesText {
     val dims = 64
     val e = Tables.fanOut(Tables.embeddings(s, dir))
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val bounds = e.agg(
       array((0 until dims).map(i =>
         min(element_at(col("v"), i + 1))): _*).as("mns"),
@@ -1155,8 +1155,8 @@ object QueriesText {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("d2"), col("n_id"))
     def exact(pairs: DataFrame): DataFrame = pairs
-      .withColumn("qd", expr("transform(q_vec, x -> cast(x as double))"))
-      .withColumn("nd", expr("transform(n_vec, x -> cast(x as double))"))
+      .withColumn("qd", col("q_vec").cast("array<double>"))
+      .withColumn("nd", col("n_vec").cast("array<double>"))
       .withColumn("d2", ProductQuant.sqDist("qd", "nd"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -1202,8 +1202,8 @@ object QueriesText {
       .partitionBy("q_id").orderBy(col("d2"), col("n_id"))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
     def exact(pairs: DataFrame): DataFrame = pairs
-      .withColumn("qd", expr("transform(q_vec, x -> cast(x as double))"))
-      .withColumn("nd", expr("transform(n_vec, x -> cast(x as double))"))
+      .withColumn("qd", col("q_vec").cast("array<double>"))
+      .withColumn("nd", col("n_vec").cast("array<double>"))
       .withColumn("d2", ProductQuant.sqDist("qd", "nd"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -1790,7 +1790,7 @@ object QueriesText {
     val dims = 64
     val eRaw = Tables.fanOut(Tables.embeddings(s, dir))
     val e = eRaw.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      col("embedding").cast("array<double>").as("v"))
     val bounds = e.agg(
       array((0 until dims).map(i =>
         min(element_at(col("v"), i + 1))): _*).as("mns"),

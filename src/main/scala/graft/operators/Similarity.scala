@@ -162,7 +162,7 @@ object Similarity {
   private def seedCents(emb: DataFrame, k: Int): DataFrame =
     emb.orderBy("id").limit(k)
       .orderBy("id")
-      .select(col("id"), expr("transform(vec, x -> cast(x as double))").as("centroid"))
+      .select(col("id"), col("vec").cast("array<double>").as("centroid"))
       .withColumn("cluster",
         (row_number().over(Window.orderBy("id")) - 1).cast("int"))
       .select("cluster", "centroid")
