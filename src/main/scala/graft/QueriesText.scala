@@ -606,11 +606,12 @@ object QueriesText {
     // contribs fold in TERM order (one row per term per doc), not an
     // unordered `sum`: float addition order must match the oracle's
     // operand order exactly or a last-ULP difference can flip the 6th
-    // decimal under the hash gate
+    // decimal under the hash gate — the native kernel replays
+    // aggregate(array_sort(...)) bit-exactly without the interpreted
+    // comparator + lambda per group
     scored.groupBy("doc_id")
-      .agg(round(expr(
-        """aggregate(array_sort(collect_list(struct(term, contrib))),
-          |  cast(0 as double), (acc, x) -> acc + x.contrib)""".stripMargin),
+      .agg(round(graft.functions.expressions.SortedStructSumExpr.column(
+        collect_list(struct(col("term"), col("contrib")))),
         6).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(50)
@@ -750,9 +751,9 @@ object QueriesText {
       .withColumn("wt", pow(col("n_tokens").cast("double"), tau))
     // source-ordered sequential fold, not a parallel sum: the handful
     // of per-source weights must add in the same order in both engines
-    val denom = perSource.agg(expr(
-      """aggregate(array_sort(collect_list(struct(source, wt))),
-        |0D, (acc, x) -> acc + x.wt)""".stripMargin).as("wt_sum"))
+    val denom = perSource.agg(
+      graft.functions.expressions.SortedStructSumExpr.column(
+        collect_list(struct(col("source"), col("wt")))).as("wt_sum"))
     perSource.crossJoin(broadcast(denom))
       .select(
         col("source"), col("n_docs"), col("n_tokens"),
@@ -979,8 +980,7 @@ object QueriesText {
       .agg(count(lit(1)).as("n_bigrams"),
         collect_list(struct(col("pos"), col("logp"))).as("ls"))
       .select(col("doc_id"), col("n_bigrams"),
-        expr("""aggregate(transform(array_sort(ls), x -> x.logp),
-               |  cast(0 as double), (a, x) -> a + x)""".stripMargin)
+        graft.functions.expressions.SortedStructSumExpr.column(col("ls"))
           .as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("s"), 6).as("sum_logprob"),
@@ -1285,9 +1285,8 @@ object QueriesText {
     val wts = docFeat
       .join(broadcast(lr), Seq("bucket"))
       .groupBy("doc_id")
-      .agg(round(expr(
-        """aggregate(array_sort(collect_list(struct(bucket, n * log_ratio))),
-          |  cast(0 as double), (acc, x) -> acc + x.col2)""".stripMargin), 6)
+      .agg(round(graft.functions.expressions.SortedStructSumExpr.column(
+        collect_list(struct(col("bucket"), col("n") * col("log_ratio")))), 6)
         .as("dsir_weight"),
         sum("n").as("n_bigrams"))
     val top = wts.orderBy(col("dsir_weight").desc, col("doc_id")).limit(100)
@@ -1419,9 +1418,8 @@ object QueriesText {
           s"ln((CAST(coalesce(n, 0) + 1 AS DOUBLE) / (ns + $B)) / " +
           s"(CAST(coalesce(cbn, 0) + 1 AS DOUBLE) / (nn + $B)))").as("term"))
     grid.groupBy("source", "ns")
-      .agg(round(expr(
-        """aggregate(array_sort(collect_list(struct(bucket, term))),
-          |cast(0 as double), (acc, x) -> acc + x.term)""".stripMargin), 6)
+      .agg(round(graft.functions.expressions.SortedStructSumExpr.column(
+        collect_list(struct(col("bucket"), col("term")))), 6)
         .as("kl_unigram"))
       .select(col("source"), col("ns").as("n_tokens"), col("kl_unigram"))
   }
@@ -1691,9 +1689,8 @@ object QueriesText {
       .withColumn("contrib", col("idf") * col("tf") /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("q_id", "doc_id")
-      .agg(expr(
-        """aggregate(array_sort(collect_list(struct(term, contrib))),
-          |  cast(0 as double), (acc, x) -> acc + x.contrib)""".stripMargin)
+      .agg(graft.functions.expressions.SortedStructSumExpr.column(
+        collect_list(struct(col("term"), col("contrib"))))
         .as("bm25"))
       .withColumn("rank_lex", row_number().over(wl))
       .filter(col("rank_lex") <= K)
@@ -2264,12 +2261,10 @@ object QueriesText {
         (col("tf") * col("ll_pos")).as("c_pos"),
         (col("tf") * col("ll_neg")).as("c_neg"))
       .groupBy("doc_id").agg(
-        expr("""aggregate(array_sort(collect_list(struct(term, c_pos))),
-               |  cast(0 as double), (a, x) -> a + x.c_pos)""".stripMargin)
-          .as("sum_pos"),
-        expr("""aggregate(array_sort(collect_list(struct(term, c_neg))),
-               |  cast(0 as double), (a, x) -> a + x.c_neg)""".stripMargin)
-          .as("sum_neg"),
+        graft.functions.expressions.SortedStructSumExpr.column(
+          collect_list(struct(col("term"), col("c_pos")))).as("sum_pos"),
+        graft.functions.expressions.SortedStructSumExpr.column(
+          collect_list(struct(col("term"), col("c_neg")))).as("sum_neg"),
         count(lit(1)).as("n_terms"))
     heldOut.select(col("doc_id"), col("label"))
       .join(folded, Seq("doc_id"), "left")

@@ -1,0 +1,102 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic ordered sum over an array<struct<k, v: double>> —
+  * bit-identical to
+  * `aggregate(array_sort(collect_list(struct(k, v))), 0D,
+  * (acc, x) -> acc + x.v)`: elements sort lexicographically by
+  * (k, v) with Spark's per-type orderings (UTF8String binary for
+  * strings, integral compare for int/long, java.lang.Double.compare
+  * total order for the double field — -0.0 < 0.0, NaN last), then v
+  * accumulates in that order with the same IEEE addition sequence.
+  * The sorted-sequential fold is the engine/oracle float-determinism
+  * contract; this kernel removes the interpreted array_sort comparator
+  * and the interpreted aggregate lambda that paid for it per group.
+  * Null struct elements or null fields throw loudly — every call site
+  * builds the structs from non-null columns, and silence would hide a
+  * contract break (array_sort/aggregate would sort nulls last and
+  * poison the fold with null instead). Empty arrays return the fold's
+  * zero literal, 0.0. */
+case class SortedStructSumExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private lazy val keyTag: Int = {
+    val st = child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    require(st.fields.length == 2 &&
+      st.fields(1).dataType == DoubleType,
+      s"expected struct<k, v: double>, got $st")
+    st.fields(0).dataType match {
+      case StringType => SortedStructSumExpr.KeyString
+      case LongType => SortedStructSumExpr.KeyLong
+      case IntegerType => SortedStructSumExpr.KeyInt
+      case other => throw new IllegalArgumentException(
+        s"unsupported sort-key type $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SortedStructSumExpr.sum(input.asInstanceOf[ArrayData], keyTag)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SortedStructSumExpr.sum($c, $keyTag)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortedStructSumExpr = copy(child = newChild)
+}
+
+object SortedStructSumExpr {
+  val KeyString = 0
+  val KeyLong = 1
+  val KeyInt = 2
+
+  /** Per-row kernel — static so generated code calls it directly. */
+  def sum(arr: ArrayData, keyTag: Int): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val sKeys = if (keyTag == KeyString) new Array[UTF8String](n) else null
+    val lKeys = if (keyTag != KeyString) new Array[Long](n) else null
+    val vals = new Array[Double](n)
+    val idx = new Array[Integer](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalStateException("null element in sorted-sum array")
+      val e = arr.getStruct(i, 2)
+      if (e.isNullAt(0) || e.isNullAt(1))
+        throw new IllegalStateException("null field in sorted-sum struct")
+      if (keyTag == KeyString) sKeys(i) = e.getUTF8String(0)
+      else if (keyTag == KeyLong) lKeys(i) = e.getLong(0)
+      else lKeys(i) = e.getInt(0).toLong
+      vals(i) = e.getDouble(1)
+      idx(i) = i
+      i += 1
+    }
+    val cmp = new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c0 =
+          if (keyTag == KeyString) sKeys(a).compareTo(sKeys(b))
+          else java.lang.Long.compare(lKeys(a), lKeys(b))
+        if (c0 != 0) c0 else java.lang.Double.compare(vals(a), vals(b))
+      }
+    }
+    java.util.Arrays.sort(idx, cmp)
+    var acc = 0.0
+    i = 0
+    while (i < n) { acc += vals(idx(i)); i += 1 }
+    acc
+  }
+
+  def column(arr: Column): Column =
+    org.apache.spark.sql.GraftNative.column(SortedStructSumExpr(
+      org.apache.spark.sql.GraftNative.expression(arr)))
+}

@@ -460,6 +460,43 @@ object KernelProps extends Properties("graft.kernels") {
       }
     }
 
+  // tie-heavy: few distinct keys so the v-field tiebreak actually runs,
+  // values incl. -0.0/0.0 and denormal-ish magnitudes
+  private val ssKeyGen: Gen[String] = Gen.oneOf("a", "bb", "c", "dd")
+  private val ssValGen: Gen[Double] = Gen.oneOf(
+    Gen.chooseNum(-1e6, 1e6).map(_ / 997.0), Gen.oneOf(0.0, -0.0, 1.5))
+
+  property("sorted struct sum equals aggregate(array_sort(...), acc + x.v)") =
+    forAll(Gen.listOf(Gen.zip(ssKeyGen, ssValGen)),
+      Gen.listOf(Gen.zip(Gen.chooseNum(-5L, 5L), ssValGen))) { (sPairs, lPairs) =>
+      def row(k: Any, v: Double) =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](k, v)): Any
+      // string keys: UTF8String binary order == the small-alphabet
+      // lexicographic order here; double tiebreak via Double.compare
+      val sArr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sPairs.map { case (k, v) => row(UTF8String.fromString(k), v) }.toArray)
+      val sGot = graft.functions.expressions.SortedStructSumExpr.sum(
+        sArr, graft.functions.expressions.SortedStructSumExpr.KeyString)
+      val sWant = sPairs.sortWith { case ((k1, v1), (k2, v2)) =>
+        val c = k1.compareTo(k2)
+        if (c != 0) c < 0 else java.lang.Double.compare(v1, v2) < 0
+      }.foldLeft(0.0)(_ + _._2)
+      val lArr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        lPairs.map { case (k, v) => row(k, v) }.toArray)
+      val lGot = graft.functions.expressions.SortedStructSumExpr.sum(
+        lArr, graft.functions.expressions.SortedStructSumExpr.KeyLong)
+      val lWant = lPairs.sortWith { case ((k1, v1), (k2, v2)) =>
+        val c = java.lang.Long.compare(k1, k2)
+        if (c != 0) c < 0 else java.lang.Double.compare(v1, v2) < 0
+      }.foldLeft(0.0)(_ + _._2)
+      // bit-level equality (0.0 vs -0.0 must match the SQL fold too)
+      java.lang.Double.doubleToRawLongBits(sGot) ==
+        java.lang.Double.doubleToRawLongBits(sWant) &&
+        java.lang.Double.doubleToRawLongBits(lGot) ==
+          java.lang.Double.doubleToRawLongBits(lWant)
+    }
+
   property("heroku octet framing round-trips random frame sequences") =
     forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, msgGen))) { msgs =>
       val frames = msgs.map(m =>
