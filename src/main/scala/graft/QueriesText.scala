@@ -2162,7 +2162,10 @@ object QueriesText {
   def textEntropy(s: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"),
-        expr("regexp_extract_all(lower(text), '[^\\\\s]', 0)").as("ch"))
+        // native byte-walk — bit-identical to
+        // regexp_extract_all(lower(text), '[^\s]', 0), see CharsExpr
+        graft.functions.expressions.CharsExpr.column(lower(col("text")))
+          .as("ch"))
       // native hash-count + sorted fold replaces the O(distinct × n)
       // per-distinct-char filter rescans (same sorted-char fold order,
       // same divide/ln per term — the DuckDB oracle keeps the

@@ -58,6 +58,64 @@ object WordsExpr {
       org.apache.spark.sql.GraftNative.expression(c)))
 }
 
+/** Non-whitespace code points as 1-code-point strings — bit-identical
+  * to `regexp_extract_all(s, '[^\\s]', 0)`: Java-regex `\s` is the six
+  * ASCII whitespace chars and Java character classes match whole code
+  * points (a supplementary character is one match), so a UTF-8
+  * byte-walk emitting each non-whitespace code point's 1-4 bytes as a
+  * zero-copy substring is exact. Replaces the regex-engine scan + the
+  * per-match String slice feeding the char-entropy fold. */
+case class CharsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CharsExpr.chars(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.CharsExpr.chars($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharsExpr =
+    copy(child = newChild)
+}
+
+object CharsExpr {
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Per-row kernel — static so generated code calls it directly. */
+  def chars(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (isWs(b)) i += 1
+      else {
+        // UTF-8 code-point width from the lead byte (input strings are
+        // valid UTF-8 — parquet/JSON sources guarantee it)
+        val w =
+          if ((b & 0x80) == 0) 1
+          else if ((b & 0xE0) == 0xC0) 2
+          else if ((b & 0xF0) == 0xE0) 3
+          else 4
+        out.add(UTF8String.fromBytes(bytes, i, Math.min(w, n - i)))
+        i += w
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def column(c: Column): Column =
+    org.apache.spark.sql.GraftNative.column(CharsExpr(
+      org.apache.spark.sql.GraftNative.expression(c)))
+}
+
 /** Count of array elements contained in a fixed string set —
   * bit-identical to `size(filter(ws, w -> w IN (set)))` without
   * materializing the filtered array (the stopword-ratio signal). */

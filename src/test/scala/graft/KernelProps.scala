@@ -497,6 +497,18 @@ object KernelProps extends Properties("graft.kernels") {
           java.lang.Double.doubleToRawLongBits(lWant)
     }
 
+  property("chars byte-walk equals regexp_extract_all(s, [^\\s], 0)") =
+    forAll(wsTextGen) { s =>
+      val m = java.util.regex.Pattern.compile("[^\\s]").matcher(s)
+      val want = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) want += m.group()
+      val got0 = graft.functions.expressions.CharsExpr
+        .chars(UTF8String.fromString(s))
+      val got = (0 until got0.numElements())
+        .map(got0.getUTF8String(_).toString)
+      got == want.toSeq
+    }
+
   property("heroku octet framing round-trips random frame sequences") =
     forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, msgGen))) { msgs =>
       val frames = msgs.map(m =>
