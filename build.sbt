@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's default LoggedOutput prefixes the forked JVM's stdout with
+// "[info] " — a line-oriented parser of the Bench contract line never
+// sees a line starting with '{'. Forward run/runMain child output
+// verbatim instead (Test keeps the default so sbt's test summary
+// rendering is untouched).
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -75,39 +75,72 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       (name, wall, metrics.snapshot() - before)
     }
-    def toJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val cpuTotal = results.map(_._3.cpuSec).sum
-    val gcTotal = results.map(_._3.gcSec).sum
-    val srTotal = results.map(_._3.shufReadMb).sum
-    val swTotal = results.map(_._3.shufWriteMb).sum
-    val totals = f""""cpu_sec_total":$cpuTotal%.3f,"gc_sec_total":$gcTotal%.3f,""" +
-      f""""shuffle_read_mb_total":$srTotal%.1f,"shuffle_write_mb_total":$swTotal%.1f"""
-    // the contract line carries EVERY entry (never remove/rename — the
-    // driver compares the map across rounds); the artifact file below
-    // additionally carries the cpu/gc/shuffle per-entry maps
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_queries":${results.size},$totals,""" +
-      s""""queries":${toJson(results.map(r => r._1 -> r._2))},""" +
-      s""""sf":"$sfDir"}"""
-    println(line)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_queries":${results.size},$totals,""" +
-      s""""queries":${toJson(results.map(r => r._1 -> r._2))},""" +
+    val walls = results.map(r => r._1 -> r._2)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    // the full-map line carries EVERY entry (never remove/rename — humans
+    // and round artifacts compare the map across rounds); the artifact
+    // file additionally carries the cpu/gc/shuffle per-entry maps
+    println(fullLine(walls, results.map(_._3), sfDir))
+    val full = s"""{"metric":"total","value":${walls.map(_._2).sum},"unit":"sec",""" +
+      s""""n_queries":${results.size},${totalsJson(results.map(_._3))},""" +
+      s""""queries":${toJson(walls)},""" +
       s""""cpu_sec":${toJson(results.map(r => r._1 -> r._3.cpuSec))},""" +
       s""""gc_sec":${toJson(results.map(r => r._1 -> r._3.gcSec))},""" +
       s""""shuffle_read_mb":${toJson(results.map(r => r._1 -> r._3.shufReadMb))},""" +
       s""""shuffle_write_mb":${toJson(results.map(r => r._1 -> r._3.shufWriteMb))},""" +
       s""""input_mb":${toJson(results.map(r => r._1 -> r._3.inputMb))},""" +
       s""""sf":"$sfDir"}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       full + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
+    // LAST stdout line: a bounded (<1800 char) summary the per-round log
+    // capture can actually hold — the capture keeps only a ~2,000-char
+    // stdout tail, and the full-map line above (~7 KB at 212 entries)
+    // starts outside that window every round (r13/r14 both unparsed).
+    // Printed after spark.stop() so no Spark output can follow it.
+    println(summaryLine(walls, results.map(_._3), sfDir, outFile))
+  }
+
+  def toJson(rs: Seq[(String, Double)]): String =
+    rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+
+  def totalsJson(ms: Seq[BenchMetrics.Snap]): String = {
+    val cpu = ms.map(_.cpuSec).sum
+    val gc = ms.map(_.gcSec).sum
+    val sr = ms.map(_.shufReadMb).sum
+    val sw = ms.map(_.shufWriteMb).sum
+    f""""cpu_sec_total":$cpu%.3f,"gc_sec_total":$gc%.3f,""" +
+      f""""shuffle_read_mb_total":$sr%.1f,"shuffle_write_mb_total":$sw%.1f"""
+  }
+
+  def fullLine(walls: Seq[(String, Double)], ms: Seq[BenchMetrics.Snap],
+      sfDir: String): String =
+    s"""{"metric":"total","value":${walls.map(_._2).sum},"unit":"sec",""" +
+      s""""n_queries":${walls.size},${totalsJson(ms)},""" +
+      s""""queries":${toJson(walls)},"sf":"$sfDir"}"""
+
+  /** Bounded driver-facing summary: total + totals + the slowest entries
+    * that fit under the length budget (at most 20), + the artifact path
+    * carrying the complete per-entry maps. Guaranteed under 1,800 chars
+    * (asserted in BenchLineSpec) so the whole line survives a ~2,000-char
+    * stdout tail capture. */
+  def summaryLine(walls: Seq[(String, Double)], ms: Seq[BenchMetrics.Snap],
+      sfDir: String, outFile: String): String = {
+    val total = walls.map(_._2).sum
+    def line(k: Int): String = {
+      val slowest = walls.sortBy(-_._2).take(k).sortBy(_._1)
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""n_queries":${walls.size},${totalsJson(ms)},""" +
+        s""""queries":${toJson(slowest)},""" +
+        s""""full_queries_in":"$outFile","sf":"$sfDir"}"""
+    }
+    // shrink the map until the line fits; the fixed part alone is ~400
+    // chars so k never has to reach 0 for realistic paths
+    Iterator.range(20, -1, -1).map(line).find(_.length < 1800)
+      .getOrElse(line(0))
   }
 }
