@@ -22,7 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * builds the structs from non-null columns, and silence would hide a
   * contract break (array_sort/aggregate would sort nulls last and
   * poison the fold with null instead). Empty arrays return the fold's
-  * zero literal, 0.0. */
+  * zero literal, 0.0.
+  *
+  * One documented divergence from the SQL sort's ELEMENT ORDER (not
+  * its sum): the value-field tiebreak uses java.lang.Double.compare,
+  * which orders -0.0 < 0.0, while Spark's array_sort struct ordering
+  * treats -0.0 == 0.0 — so when two elements tie on the key with
+  * values {-0.0, 0.0} the visit order can differ from array_sort's.
+  * The SUM is provably unaffected (adding ±0.0 in either order leaves
+  * the accumulator bit-identical: x + 0.0 == x + -0.0 == x for every
+  * non-zero x, and 0.0 + -0.0 == -0.0 + 0.0 == 0.0), which is all this
+  * kernel returns. Do NOT reuse the sort for a caller that needs the
+  * permutation itself to match array_sort on such ties. */
 case class SortedStructSumExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

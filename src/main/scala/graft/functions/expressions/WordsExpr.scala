@@ -98,9 +98,14 @@ object CharsExpr {
       if (isWs(b)) i += 1
       else {
         // UTF-8 code-point width from the lead byte (input strings are
-        // valid UTF-8 — parquet/JSON sources guarantee it)
+        // valid UTF-8 — parquet/JSON sources guarantee it). A stray
+        // continuation byte (0x80-0xBF) at a code-point start is
+        // malformed input: emit it as width 1 instead of swallowing up
+        // to 3 following bytes, so malformed input degrades per-byte
+        // the way the regex form does rather than silently differently.
         val w =
           if ((b & 0x80) == 0) 1
+          else if ((b & 0xC0) == 0x80) 1
           else if ((b & 0xE0) == 0xC0) 2
           else if ((b & 0xF0) == 0xE0) 3
           else 4

@@ -235,11 +235,22 @@ object DaemonSoak {
       import org.apache.spark.sql.types.LongType
       val plan = org.apache.spark.sql.GraftNative.analyzed(
         build(lit(MarkLo), lit(MarkHi)))
-      (lo: Long, hi: Long) => org.apache.spark.sql.GraftNative.ofRows(ts,
-        plan.transformAllExpressions {
-          case Literal(MarkLo, LongType) => Literal(lo)
-          case Literal(MarkHi, LongType) => Literal(hi)
-        })
+      (lo: Long, hi: Long) => {
+        // a marker the analyzer rewrote (e.g. wrapped in a cast that
+        // folded) would survive as an always-false predicate and every
+        // tick would silently run over an empty window — count the
+        // substitutions and fail loudly instead
+        var nLo = 0; var nHi = 0
+        val sub = plan.transformAllExpressions {
+          case Literal(MarkLo, LongType) => nLo += 1; Literal(lo)
+          case Literal(MarkHi, LongType) => nHi += 1; Literal(hi)
+        }
+        require(nLo >= 1 && nHi >= 1,
+          s"prepared(): expected at least one MarkLo and one MarkHi in " +
+            s"the analyzed tick plan (a rewritten marker would leave an " +
+            s"always-false window), found lo=$nLo hi=$nHi")
+        org.apache.spark.sql.GraftNative.ofRows(ts, sub)
+      }
     }
 
     // the reference's previous-scrape state (`state/state.go`) —
