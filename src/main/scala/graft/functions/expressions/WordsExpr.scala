@@ -266,6 +266,72 @@ case class BigramsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Greedy left-to-right BPE merge application: rewrite symbol array `s`
+  * replacing each non-overlapping adjacent (a, b) with `a || b` —
+  * bit-identical to the skip-flag SQL fold
+  * `aggregate(sequence(0, size(s)-1),
+  *            struct(array() as out, false as skip),
+  *            (acc, i) -> CASE WHEN acc.skip THEN (acc.out, false)
+  *              WHEN i < size(s)-1 AND s[i] = a AND s[i+1] = b
+  *                THEN (acc.out || [s[i] || s[i+1]], true)
+  *              ELSE (acc.out || [s[i]], false) END, acc -> acc.out)`:
+  * a null element never matches (SQL `=` on null is unknown → CASE
+  * falls through) and is emitted as-is, exactly like the ELSE branch.
+  * The fold's `concat(acc.out, array(...))` copies the accumulated
+  * array per element — O(|s|²) per word per round interpreted; this
+  * kernel is one O(|s|) pass inside whole-stage codegen. Callers
+  * guarantee size(s) >= 1 (the SQL form's descending `sequence(0, -1)`
+  * would throw under ANSI on an empty array; the kernel throws too
+  * rather than silently diverging). */
+case class BpeMergeExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = true)
+
+  override def nullSafeEval(s: Any, a: Any, b: Any): Any =
+    BpeMergeExpr.merge(s.asInstanceOf[ArrayData],
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, a, b) =>
+      s"graft.functions.expressions.BpeMergeExpr.merge($s, $a, $b)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BpeMergeExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object BpeMergeExpr {
+  def merge(s: ArrayData, a: UTF8String, b: UTF8String): GenericArrayData = {
+    val n = s.numElements()
+    if (n == 0)
+      throw new IllegalStateException(
+        "empty symbol array in BPE merge (SQL fold would throw under ANSI)")
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val cur = if (s.isNullAt(i)) null else s.getUTF8String(i)
+      if (i < n - 1 && cur != null && cur.equals(a) && !s.isNullAt(i + 1) &&
+          s.getUTF8String(i + 1).equals(b)) {
+        out.add(UTF8String.concat(cur, s.getUTF8String(i + 1)))
+        i += 2 // the skip flag: the matched pair's second symbol is consumed
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def column(s: Column, a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftNative.column(BpeMergeExpr(
+      org.apache.spark.sql.GraftNative.expression(s),
+      org.apache.spark.sql.GraftNative.expression(a),
+      org.apache.spark.sql.GraftNative.expression(b)))
+}
+
 object BigramsExpr {
   def pairs(ws: ArrayData): GenericArrayData = {
     val L = ws.numElements()

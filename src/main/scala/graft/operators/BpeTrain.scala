@@ -26,19 +26,13 @@ object BpeTrain {
 
   /** Greedy left-to-right merge application: rewrite symbol array `s`,
     * replacing each non-overlapping adjacent (a, b) with the merged
-    * token. Pure column expression (aggregate fold with a skip flag). */
-  private def applyMerge(s: String, a: String, b: String) = expr(
-    s"""aggregate(
-       |  sequence(0, size($s) - 1),
-       |  struct(cast(array() as array<string>) as out, false as skip),
-       |  (acc, i) -> CASE
-       |    WHEN acc.skip THEN struct(acc.out as out, false as skip)
-       |    WHEN i < size($s) - 1 AND $s[i] = $a AND $s[i + 1] = $b
-       |      THEN struct(concat(acc.out, array($s[i] || $s[i + 1]))
-       |             as out, true as skip)
-       |    ELSE struct(concat(acc.out, array($s[i])) as out,
-       |           false as skip) END,
-       |  acc -> acc.out)""".stripMargin)
+    * token. Native one-pass kernel — bit-identical to the skip-flag
+    * `aggregate` fold it replaces (the fold's per-element
+    * `concat(acc.out, array(...))` copy made it O(|s|²) per word per
+    * round, interpreted; equivalence is property-pinned in KernelProps
+    * against the literal SQL fold). */
+  private def applyMerge(s: String, a: String, b: String) =
+    graft.functions.expressions.BpeMergeExpr.column(col(s), col(a), col(b))
 
   /** Learn `rounds` merges from `words`(w, wc). Returns one row per
     * merge: (round, left, right, merged, pair_count) — FEWER than
@@ -61,8 +55,12 @@ object BpeTrain {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val spark = words.sparkSession
     import spark.implicits._
+    // per-code-point split: CharsExpr equals
+    // `filter(split(w, ''), x -> x != '')` here because every `w` is a
+    // whitespace-tokenized word (contains no whitespace byte), and both
+    // forms emit one element per code point in order
     var vocab = words.select(col("w"), col("wc"),
-      expr("filter(split(w, ''), x -> x != '')").as("s"))
+      graft.functions.expressions.CharsExpr.column(col("w")).as("s"))
     var learned = Vector.empty[DataFrame]
     var r = 0
     var exhausted = false
@@ -71,10 +69,13 @@ object BpeTrain {
         // single-symbol words have no pairs (sequence(0, -1) would run
         // DESCENDING in Spark, not empty — guard, don't rely on it)
         .filter(size(col("s")) >= 2)
-        .select(col("wc"), explode(expr(
-          """transform(sequence(0, size(s) - 2),
-            |  i -> struct(s[i] as a, s[i + 1] as b))""".stripMargin)).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        // native adjacent-pair kernel (the interpreted transform-HOF
+        // form `transform(sequence(0, size(s)-2), i -> struct(s[i],
+        // s[i+1]))` is CodegenFallback); field names differ (w1/w2) but
+        // the groupBy aliases restore a/b — values identical
+        .select(col("wc"), explode(
+          graft.functions.expressions.BigramsExpr.column(col("s"))).as("p"))
+        .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
         .agg(sum("wc").as("pair_count"))
         .orderBy(col("pair_count").desc, col("a"), col("b"))
         .limit(1)

@@ -509,6 +509,29 @@ object KernelProps extends Properties("graft.kernels") {
       got == want.toSeq
     }
 
+  // small symbol alphabet so matches, overlapping runs (a a a with
+  // merge (a,a)) and merged-token collisions ("ab" vs "a"+"b") all occur
+  private val bpeSymGen: Gen[String] = Gen.oneOf("a", "b", "c", "ab", "bc")
+
+  property("bpe merge kernel equals the skip-flag aggregate fold") =
+    forAll(Gen.nonEmptyListOf(bpeSymGen), bpeSymGen, bpeSymGen) { (s, a, b) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        s.map(w => UTF8String.fromString(w): Any).toArray)
+      val got0 = graft.functions.expressions.BpeMergeExpr.merge(arr,
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      val got = (0 until got0.numElements())
+        .map(got0.getUTF8String(_).toString)
+      // the literal SQL fold: (out, skip) over indices 0..n-1
+      val want = s.indices.foldLeft((Vector.empty[String], false)) {
+        case ((out, true), _) => (out, false)
+        case ((out, false), i) =>
+          if (i < s.length - 1 && s(i) == a && s(i + 1) == b)
+            (out :+ (s(i) + s(i + 1)), true)
+          else (out :+ s(i), false)
+      }._1
+      got == want
+    }
+
   property("heroku octet framing round-trips random frame sequences") =
     forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, msgGen))) { msgs =>
       val frames = msgs.map(m =>
