@@ -245,21 +245,27 @@ object Dedup {
     var i = 0
     var done = false
     while (i < maxIters && !done) {
-      val nbrMin = edges
+      // one round = min over three message streams, fused into ONE
+      // union + min-aggregate (4 exchanges/round) instead of the
+      // nbrMin-groupBy + two left joins it replaces (6 exchanges/round;
+      // same values: every id appears exactly once in `self` and once
+      // in `jump` — labels are unique per id and a label's component is
+      // itself a node id — and at least once in `nbr` via the
+      // bidirectional edge list, so min(union) == least(coalesce(...))
+      // of the per-stream minimums)
+      val nbr = edges
         .join(labels.select(col("id").as("src"), col("component")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min("component").as("nbr_min"))
+        .select(col("dst").as("id"), col("component"))
+      val self = labels
       // pointer jumping: the label of my label (labels always carry node
       // ids, so the lookup always resolves)
-      val ptr = labels.select(col("id").as("ptr_id"), col("component").as("ptr_min"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .join(ptr, col("component") === col("ptr_id"), "left")
-        .select(col("id"),
-          least(
-            col("component"),
-            coalesce(col("nbr_min"), col("component")),
-            coalesce(col("ptr_min"), col("component"))).as("component"))
+      val jump = labels
+        .join(labels.select(col("id").as("ptr_id"),
+          col("component").as("ptr_min")), col("component") === col("ptr_id"))
+        .select(col("id"), col("ptr_min").as("component"))
+      val next = nbr.unionByName(self).unionByName(jump)
+        .groupBy("id")
+        .agg(min("component").as("component"))
         // lazy: the convergence aggregate right below is the first
         // action, so checkpoint materialization and the label-sum fold
         // happen in ONE job per round instead of two
