@@ -171,6 +171,16 @@ object QueriesLog {
   // (runner/logs.go:236-286, logs/stream/stream.go:240-312).
   def w5StreamBatch(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
+    // phase-split diagnostics (SPARK_GRAFT_STREAM_DEBUG=1): wall per
+    // pipeline leg, same pattern as the soak's SOAK_DEBUG — stderr only,
+    // zero cost when unset
+    val dbg = sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[w5-phase] $name ${(now - tPhase) / 1e9}%.2f s")
+      tPhase = now
+    }
     val tmp = scratchDir("graft_w5")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val sentinels = LogSynth.lines(s, dir)
@@ -192,6 +202,7 @@ object QueriesLog {
     LogSynth.renderedLines(s, dir).select("line").unionByName(sentinels)
       .unionByName(orphans)
       .write.mode("overwrite").text(inDir)
+    phase("input-write")
     graft.streaming.LogStreamPipeline.configureFor(s)
     val analyzed = graft.streaming.LogStreamPipeline.analyzed(
       s.readStream.text(inDir), Compiled)
@@ -223,10 +234,17 @@ object QueriesLog {
       s.conf.set("spark.sql.shuffle.partitions", oldParts)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", oldNoData)
     }
-    // W7 discard counter: the poison lines surfaced by the stitcher's
-    // dead-letter channel, counted off the bridged parquet
-    val nDiscarded = s.read.parquet(outDir)
-      .filter(col("level") === "DISCARDED").count()
+    phase("stream1-drain")
+    // W7 discard counter (the poison lines surfaced by the stitcher's
+    // dead-letter channel) and the watermark-advancer bound, in ONE
+    // pass over the bridged parquet: count(when(...)) ignores the null
+    // branch exactly like the filter+count it replaces, and max(ts) is
+    // the same aggregate the second scan ran
+    val aggHead = s.read.parquet(outDir).agg(
+      count(when(col("level") === "DISCARDED", 1)).as("n_discarded"),
+      max("ts").as("max_ts")).head
+    val nDiscarded = aggHead.getLong(0)
+    phase("discard-count")
 
     // K2 — the REAL streaming windowed-count sink: the bridged parquet
     // is replayed as a STREAM into windowedClassCounts (append mode:
@@ -235,7 +253,8 @@ object QueriesLog {
     // 30 s watermark clear every real window, so the trailing no-data
     // batch finalizes all of them; the advancer's own window never
     // closes and its marker class is dropped after the sink.
-    val maxTs = s.read.parquet(outDir).agg(max("ts")).head.getTimestamp(0)
+    val maxTs = aggHead.getTimestamp(1)
+    phase("max-ts")
     import s.implicits._
     Seq(1).toDF("x").select(
       lit(-1L).as("pid"),
@@ -244,6 +263,7 @@ object QueriesLog {
       lit(1).as("nLines"), lit(false).as("truncated"),
       lit(-999).as("classification"), lit("ADVANCER").as("class_name"))
       .write.mode("append").parquet(outDir)
+    phase("advancer-append")
     val out2 = s"$tmp/out2"; val ckpt2 = s"$tmp/ckpt2"
     val bridged = s.readStream.schema(s.read.parquet(outDir).schema)
       .parquet(outDir)
@@ -266,6 +286,7 @@ object QueriesLog {
       s.conf.set("spark.sql.shuffle.partitions", oldParts2)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", oldNoData)
     }
+    phase("stream2-drain")
     // helper rows aggregate into their own groups: dead-letter lines at
     // the epoch-0 window (a raw continuation carries no event time),
     // the advancer under its marker class — drop both after the sink
@@ -276,6 +297,7 @@ object QueriesLog {
         col("classification") =!= -999)
       .withColumn("n_discarded", lit(nDiscarded))
       .localCheckpoint() // materialize before the temp dir is deleted
+    phase("final-read")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     result
   }
