@@ -15,8 +15,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Schema memo per parquet path: every bare `spark.read.parquet` runs
+    * a one-task schema-inference job over the footers at PLAN time, and
+    * a composite query (snapshot assembly, funnels) builds readers for
+    * the same immutable test tables a dozen times — measured 12 footer
+    * jobs of ~40 ms inside one e2e_full_snapshot build. Inferring once
+    * per path and passing the schema explicitly is exactly the role a
+    * metastore plays on a production lake; the DATA is still read from
+    * parquet on every action (this memoizes metadata, never results).
+    * Keyed on the path string only: the test tables are immutable for a
+    * process lifetime, and a schema mismatch would fail loudly in the
+    * parquet reader. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  private def readMemoized(spark: SparkSession, path: String): DataFrame = {
+    val s = schemaMemo.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(s).parquet(path)
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readMemoized(spark, s"$dir/$name.parquet")
 
   /** The events table's `ts` has shipped as two different parquet
     * physical types across testdata generations: TIMESTAMP(NANOS) (no
@@ -30,7 +51,9 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    // memoized AFTER the nanosAsLong conf is set, so the cached schema
+    // is the one that conf produces (LongType for the NANOS generation)
+    val df = readMemoized(spark, s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => df

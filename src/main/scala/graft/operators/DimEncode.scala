@@ -38,12 +38,26 @@ object DimEncode {
     // distinct + range-partitioned sort stay distributed; zipWithIndex
     // assigns contiguous ids with one lightweight partition-size pass.
     val sorted = df.select(col(dimCol)).distinct().orderBy(col(dimCol))
+    // cache the sorted dim rows: a dim feeds several downstream ACTIONS
+    // (the fact join, direct reference-array collects, broadcasts in
+    // concurrent snapshot branches), and an uncached RDD re-runs the
+    // fact-scale distinct + range sort once per consumer. The sizes
+    // pass below materializes the blocks; dim cardinality is bounded by
+    // the distinct count, so MEMORY_AND_DISK degrades gracefully.
     val sortedRdd = sorted.rdd
-    // one extra lightweight job on the (already-shuffled) distinct side;
-    // its map stages are reused by the zipWithIndex pass below
-    val dimRows = sortedRdd.count()
-    val indexed = sortedRdd.zipWithIndex().map { case (r, i) =>
-      Row(r.get(0), (i + 1).toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one partition-size pass replaces BOTH the separate count() job and
+    // zipWithIndex's internal size job: global 1-based contiguous ids in
+    // partition order are identical to zipWithIndex's (the sort's range
+    // partitioning makes that the sorted order).
+    val sizes = sortedRdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().sortBy(_._1).map(_._2.toLong)
+    val dimRows = sizes.sum
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val indexed = sortedRdd.mapPartitionsWithIndex { (pi, it) =>
+      var k = offsets(pi)
+      it.map { r => k += 1; Row(r.get(0), k.toInt) }
     }
     val dim = spark.createDataFrame(indexed,
       StructType(Seq(valueField, StructField(idxCol, IntegerType, nullable = false))))

@@ -143,7 +143,8 @@ object DaemonSoak {
     * lets the spec inject one deadline-blowing runner. */
   def run(s: SparkSession, dir: String, tickBudgetMs: Long = 3000L,
       horizon: Long = Horizon,
-      slowTick: Option[Scheduler.Tick => Boolean] = None)
+      slowTick: Option[Scheduler.Tick => Boolean] = None,
+      onTickNanos: (Scheduler.Tick, Long) => Unit = (_, _) => ())
       : (Seq[SoakRow], Seq[Scheduler.Report]) = {
     // the tick cadences run on their own session: a 10 s tick over a
     // bounded window is latency-critical, so per-stage adaptivity and
@@ -417,7 +418,9 @@ object DaemonSoak {
         case other => sys.error(s"unknown cadence $other")
       }
       results.put((t.cadence, t.fireAt), r)
-      cadNanos.merge(t.cadence, System.nanoTime() - tn0, (a, b) => a + b)
+      val tickNanos = System.nanoTime() - tn0
+      onTickNanos(t, tickNanos)
+      cadNanos.merge(t.cadence, tickNanos, (a, b) => a + b)
     }, tickBudgetMs)
     Seq(folded, backsBase, vacsBase, linesBase)
       .foreach(_.unpersist(blocking = false))

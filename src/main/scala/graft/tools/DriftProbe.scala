@@ -1,0 +1,88 @@
+package graft.tools
+
+import java.lang.management.ManagementFactory
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** In-session CPU-drift diagnosis (round-15 verdict item #5): runs the
+  * full Bench query sequence `SPARK_GRAFT_PASSES` times (default 2) in
+  * ONE JVM, with the exact Bench per-query protocol (same force hash,
+  * same cache-clear hygiene, same sorted order), writing one
+  * /tmp/drift_pass<i>.json per pass.
+  *
+  * The experiment that separates the two drift hypotheses:
+  *   - run once with PASSES=2 (hot-JVM pass 2 on a warm host), then
+  *   - immediately run again with PASSES=1 (fresh JVM, same host state).
+  * If pass 2 inflates vs pass 1 AND the fresh-JVM pass matches pass 2,
+  * the drift is host (frequency throttle under sustained load). If the
+  * fresh JVM matches pass 1 while hot pass 2 inflated, the drift is
+  * in-JVM accumulation (codegen/GC) and worth a code fix. Driver-JVM
+  * signals (loaded classes, JIT time, heap) are printed per pass to
+  * attribute any in-JVM component.
+  */
+object DriftProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    if (sys.env.get("SPARK_GRAFT_TMPFS").forall(_ != "0") &&
+        new java.io.File("/dev/shm").isDirectory)
+      builder.config("spark.local.dir", "/dev/shm/graft_spark_local")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def force(name: String): Unit = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.agg(sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+        .cast("decimal(38,0)"))).head
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    val onlySet = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val skipSet = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => onlySet.forall(_(n)) && !skipSet(n))
+    try force(names.head) catch { case _: Throwable => () }
+
+    val metrics = new graft.BenchMetrics(spark)
+    val classes = ManagementFactory.getClassLoadingMXBean
+    val jit = ManagementFactory.getCompilationMXBean
+    (1 to passes).foreach { p =>
+      val results = names.map { name =>
+        val before = metrics.snapshot()
+        val t0 = System.nanoTime()
+        try force(name) catch { case _: Throwable => () }
+        val wall = (System.nanoTime() - t0) / 1e9
+        (name, wall, metrics.snapshot() - before)
+      }
+      val walls = results.map(r => r._1 -> r._2)
+      val full =
+        s"""{"pass":$p,"value":${walls.map(_._2).sum},""" +
+        s"""${graft.Bench.totalsJson(results.map(_._3))},""" +
+        s""""queries":${graft.Bench.toJson(walls)},""" +
+        s""""cpu_sec":${graft.Bench.toJson(results.map(r => r._1 -> r._3.cpuSec))},""" +
+        s""""gc_sec":${graft.Bench.toJson(results.map(r => r._1 -> r._3.gcSec))}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/tmp/drift_pass$p.json"), full + "\n")
+      val rt = Runtime.getRuntime
+      println(f"DRIFT pass=$p wall=${walls.map(_._2).sum}%.1f s " +
+        f"cpu=${results.map(_._3.cpuSec).sum}%.1f s " +
+        f"gc=${results.map(_._3.gcSec).sum}%.1f s " +
+        s"loadedClasses=${classes.getLoadedClassCount} " +
+        s"totalLoaded=${classes.getTotalLoadedClassCount} " +
+        s"jitMs=${jit.getTotalCompilationTime} " +
+        f"heapUsedMb=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f")
+    }
+    spark.stop()
+  }
+}

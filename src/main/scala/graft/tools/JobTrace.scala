@@ -1,0 +1,35 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object JobTrace {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val on = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val n = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        if (on.get) {
+          val cs = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          println(s"JOB ${n.incrementAndGet()} [$cs] stages=${j.stageInfos.size} tasks=${j.stageInfos.map(_.numTasks).sum}")
+        }
+      }
+    })
+    def force(name: String): Unit = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.agg(sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+        .cast("decimal(38,0)"))).head
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    args.foreach { q => force(q); org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext); on.set(true); force(q); on.set(false); org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext) }
+    spark.stop()
+  }
+}
